@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Benchmark runner: executes the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed as plan-build + execution to completion with results
+drained via a count-style action (``toLocalIterator`` would serialize;
+``count`` after a cache would distort; we use ``collect`` for small
+results and ``count`` for wide ones, matching how the driver consumes
+them).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from deathmetal_datalake_spark.session import get_spark
+from deathmetal_datalake_spark.plans import QUERIES
+
+# Headline set: the flagship chain, the gold-mart analogs, the TPC-H
+# volume queries, and one representative of each extension family.
+BENCH_QUERIES = [
+    "flagship_multijoin",
+    "g1_top10_customers_per_nation",
+    "g2_customer_order_stats",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_regional_revenue",
+    "tpch_q6_forecast_revenue",
+    "window_running_total",
+    "events_sessionization_30min",
+    "events_tumbling_5min",
+    "text_quality_scores",
+    "text_language_id",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "similarity_bruteforce_topk",
+]
+
+# Queries whose full result is large; drain with count() instead of
+# collect() so driver materialization doesn't dominate the timing.
+_COUNT_DRAIN = {
+    "flagship_multijoin",
+    "g2_customer_order_stats",
+    "window_running_total",
+    "events_sessionization_30min",
+    "events_tumbling_5min",
+    "text_quality_scores",
+    "text_language_id",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="deathmetal-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/code paths once so the measured numbers reflect
+    # steady-state execution, not first-query classloading.
+    QUERIES["tpch_q6_forecast_revenue"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        start = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
+        if name in _COUNT_DRAIN:
+            df.count()
+        else:
+            df.collect()
+        timings[name] = round(time.perf_counter() - start, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr, flush=True)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,14 @@
+"""Query catalog: every operator from SURVEY.md §2 (+ the large-scale
+training-data extensions) as a named (Spark DataFrame fn, DuckDB oracle
+SQL) pair. Importing this package populates the registry."""
+
+from deathmetal_datalake_spark.plans.registry import QUERIES, ORACLES, register
+
+# Domain modules register themselves on import.
+from deathmetal_datalake_spark.plans import relational  # noqa: E402,F401
+from deathmetal_datalake_spark.plans import events  # noqa: E402,F401
+from deathmetal_datalake_spark.plans import text  # noqa: E402,F401
+from deathmetal_datalake_spark.plans import dedup  # noqa: E402,F401
+from deathmetal_datalake_spark.plans import similarity  # noqa: E402,F401
+
+__all__ = ["QUERIES", "ORACLES", "register"]

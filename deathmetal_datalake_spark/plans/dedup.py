@@ -1,0 +1,356 @@
+"""Deduplication operators over ``documents``: exact, n-gram Jaccard,
+MinHash-LSH, and SimHash.
+
+Scale design (the whole point of these): never form the quadratic
+all-pairs set. Candidates come from inverted-index / band-bucket joins
+whose cost is Σ bucket² over buckets, not n². Every hash is the
+engine-portable 60-bit md5 hash (registry.hash60) so DuckDB oracles
+verify the full pipeline, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deathmetal_datalake_spark.plans.registry import hash60, register, sql_hash60
+from deathmetal_datalake_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Exact dedup: group by content hash; keep min doc_id as representative.
+# At 100 TB this is one shuffle on a 60-bit key — the canonical first
+# pass of any corpus dedup.
+# ---------------------------------------------------------------------------
+
+_EXACT_SQL = f"""
+SELECT {sql_hash60('text')} AS content_hash,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY content_hash
+"""
+
+
+@register("dedup_exact", oracle=_EXACT_SQL)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(hash60("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shared shingling: distinct 3-word shingles per document.
+# ---------------------------------------------------------------------------
+
+_SHINGLE_N = 3
+# Document-frequency cap on shingles used for candidate generation: a
+# shingle appearing in > MAX_DF docs would contribute O(df²) candidate
+# pairs (the classic hot-key blowup); dropping ubiquitous shingles is the
+# standard skew guard and is applied identically in the oracle.
+_MAX_DF = 100
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - (_SHINGLE_N - 1))
+    shingle = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, _SHINGLE_N)))
+    return (
+        docs.select("doc_id", F.explode(shingle).alias("shingle"))
+        .dropDuplicates(["doc_id", "shingle"])
+    )
+
+
+_SHINGLES_SQL = rf"""
+WITH tok AS (
+    SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS toks FROM documents
+),
+shingled AS (
+    SELECT DISTINCT doc_id,
+           UNNEST(list_transform(
+               range(1, LENGTH(toks) - {_SHINGLE_N - 1} + 1),
+               i -> array_to_string(toks[i:i+{_SHINGLE_N - 1}], ' ')
+           )) AS shingle
+    FROM tok
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup: inverted-index candidate join + true Jaccard
+# on shingle-set sizes; top-3 most similar neighbors per document.
+# ---------------------------------------------------------------------------
+
+_JACCARD_SQL = (
+    _SHINGLES_SQL
+    + f""",
+df AS (
+    SELECT shingle FROM shingled GROUP BY shingle HAVING COUNT(*) <= {_MAX_DF}
+),
+filtered AS (
+    SELECT s.doc_id, s.shingle FROM shingled s JOIN df USING (shingle)
+),
+sizes AS (
+    SELECT doc_id, COUNT(*) AS n_shingles FROM filtered GROUP BY doc_id
+),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM filtered a JOIN filtered b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+),
+scored AS (
+    SELECT doc_a, doc_b, n_common,
+           ROUND(CAST(n_common AS DOUBLE) /
+                 (sa.n_shingles + sb.n_shingles - n_common), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_a ORDER BY jaccard DESC, doc_b ASC
+    ) AS rn FROM scored
+)
+SELECT doc_a, doc_b, n_common, jaccard FROM ranked WHERE rn <= 3
+"""
+)
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = _shingles(docs)
+    df_counts = shingled.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    filtered = shingled.join(
+        df_counts.filter(F.col("df") <= _MAX_DF).select("shingle"), "shingle"
+    )
+    sizes = filtered.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = filtered.alias("a")
+    b = filtered.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    scored = (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_a").orderBy(F.desc("jaccard"), F.asc("doc_b"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH banding. k=8 permutation hashes
+# h_i(x) = (a_i·x + b_i) mod p over the portable 60-bit shingle hash;
+# 4 bands × 2 rows. Near-dup pairs = band-bucket collisions whose
+# estimated Jaccard (signature agreement fraction) ≥ 0.5.
+# ---------------------------------------------------------------------------
+
+_MERSENNE_P = 2147483647  # 2^31 - 1
+_MINHASH_AB = [
+    (1664525, 1013904223),
+    (22695477, 1),
+    (134775813, 1),
+    (214013, 2531011),
+    (69069, 1234567),
+    (1103515245, 12345),
+    (48271, 7),
+    (16807, 11),
+]
+_N_HASHES = len(_MINHASH_AB)
+_BAND_ROWS = 2  # 4 bands × 2 rows
+_EST_THRESHOLD = 0.5
+
+
+def _minhash_signatures(filtered: DataFrame) -> DataFrame:
+    """(doc_id, i, minhash) — min over shingles of the i-th permutation."""
+    hashed = filtered.select("doc_id", hash60("shingle").alias("h"))
+    perms = F.array(
+        *[
+            ((F.lit(a) * (F.col("h") % _MERSENNE_P) + F.lit(b)) % _MERSENNE_P).alias(str(i))
+            for i, (a, b) in enumerate(_MINHASH_AB)
+        ]
+    )
+    exploded = hashed.select("doc_id", F.posexplode(perms).alias("i", "hv"))
+    return exploded.groupBy("doc_id", "i").agg(F.min("hv").alias("minhash"))
+
+
+_SIG_SQL = (
+    _SHINGLES_SQL
+    + f""",
+hashed AS (
+    SELECT doc_id, {sql_hash60('shingle')} % {_MERSENNE_P} AS h FROM shingled
+),
+perms AS (
+    SELECT doc_id, g.i,
+           (CASE g.i {' '.join(f'WHEN {i} THEN ({a} * h + {b}) % {_MERSENNE_P}' for i, (a, b) in enumerate(_MINHASH_AB))} END) AS hv
+    FROM hashed, (SELECT UNNEST(range({_N_HASHES})) AS i) g
+),
+sig AS (
+    SELECT doc_id, i, MIN(hv) AS minhash FROM perms GROUP BY doc_id, i
+)
+"""
+)
+
+_MINHASH_SIG_SQL = _SIG_SQL + "SELECT doc_id, i AS hash_no, minhash FROM sig"
+
+
+@register("dedup_minhash_signatures", oracle=_MINHASH_SIG_SQL)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sig = _minhash_signatures(_shingles(docs))
+    return sig.select("doc_id", F.col("i").cast("long").alias("hash_no"), "minhash")
+
+
+_LSH_SQL = (
+    _SIG_SQL
+    + f""",
+bands AS (
+    SELECT doc_id,
+           i // {_BAND_ROWS} AS band,
+           {sql_hash60(f"array_to_string(list(minhash ORDER BY i), '_')")} AS bucket
+    FROM sig
+    GROUP BY doc_id, i // {_BAND_ROWS}
+),
+candidates AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+est AS (
+    SELECT c.doc_a, c.doc_b,
+           ROUND(CAST(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS DOUBLE)
+                 / {_N_HASHES}, 6) AS est_jaccard
+    FROM candidates c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= {_EST_THRESHOLD}
+"""
+)
+
+
+@register("dedup_minhash_lsh", oracle=_LSH_SQL)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sig = _minhash_signatures(_shingles(docs)).cache()
+    sorted_minhashes = F.transform(
+        F.array_sort(F.collect_list(F.struct("i", "minhash"))),
+        lambda s: s.getField("minhash").cast("string"),
+    )
+    bands = (
+        sig.withColumn("band", F.floor(F.col("i") / _BAND_ROWS))
+        .groupBy("doc_id", "band")
+        .agg(hash60(F.concat_ws("_", sorted_minhashes)).alias("bucket"))
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates()
+    )
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    est = (
+        candidates.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sb.i") == F.col("sa.i")))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("sa.minhash") == F.col("sb.minhash"), 1).otherwise(0)
+                ).cast("double")
+                / _N_HASHES,
+                6,
+            ).alias("est_jaccard")
+        )
+    )
+    return est.filter(F.col("est_jaccard") >= _EST_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# SimHash (32-bit): per-token hash bits vote ±1; the sign vector packs
+# into one integer per doc. Near-identical docs land within small
+# Hamming distance.
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 32
+
+_SIMHASH_SQL = rf"""
+WITH tok AS (
+    SELECT doc_id, UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS token
+    FROM documents
+),
+hashed AS (
+    SELECT doc_id, {sql_hash60('token')} AS h FROM tok
+),
+bits AS (
+    SELECT doc_id, g.j,
+           SUM(CASE WHEN (h >> g.j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+    FROM hashed, (SELECT UNNEST(range({_SIMHASH_BITS})) AS j) g
+    GROUP BY doc_id, g.j
+)
+SELECT doc_id,
+       SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+FROM bits
+GROUP BY doc_id
+"""
+
+
+@register("dedup_simhash", oracle=_SIMHASH_SQL)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+    )
+    hashed = tokens.select("doc_id", hash60("token").alias("h"))
+    bits = hashed.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("j"),
+        "h",
+    )
+    votes = bits.groupBy("doc_id", "j").agg(
+        F.sum(
+            F.when(F.expr("shiftright(h, j) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias("vote")
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(
+                F.lit(0)
+            )
+        ).alias("simhash")
+    )

@@ -1,0 +1,236 @@
+"""Event-stream analytics over the ``events`` table.
+
+The reference's only streaming semantics are micro-batch buffering and
+per-entity partitioning (SURVEY.md §2.7); watermarked event-time windows
+are the mandated extension (§7.3 M4). These are the *batch* versions of
+those windows — the Structured Streaming versions live in
+``deathmetal_datalake_spark/streaming/`` and share the same window
+logic; batch form keeps them DuckDB-oracle-checkable.
+
+Timestamps: events.ts is parquet TIMESTAMP(NANOS); the loader rebuilds
+it as TIMESTAMP_NTZ at micro precision, identical to DuckDB's
+CAST(ts AS TIMESTAMP). All window arithmetic is tz-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from deathmetal_datalake_spark.plans.registry import davg, dsum, register, sql_davg, sql_dsum
+from deathmetal_datalake_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Tumbling event-time window (5 minutes), aligned to the unix epoch —
+# F.window() and the epoch-bucket arithmetic in DuckDB agree on
+# boundaries.
+# ---------------------------------------------------------------------------
+
+_TUMBLING_SQL = """
+SELECT make_timestamp(CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 300) * 300 * 1000000 AS BIGINT)) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {sum_value},
+       {avg_value}
+FROM events
+GROUP BY window_start, event_type
+""".format(
+    sum_value=sql_dsum("value", "sum_value"),
+    avg_value=sql_davg("value", "avg_value"),
+)
+
+
+@register("events_tumbling_5min", oracle=_TUMBLING_SQL)
+def events_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "sum_value"),
+            davg("value", "avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding window (10 min window, 5 min slide): each event lands in two
+# buckets. Oracle replicates by unioning the two phase-shifted tumbling
+# assignments.
+# ---------------------------------------------------------------------------
+
+_SLIDING_SQL = """
+WITH assigned AS (
+    SELECT make_timestamp(CAST((FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 300) - g.off) * 300 * 1000000 AS BIGINT)) AS window_start,
+           value
+    FROM events, (SELECT UNNEST([0, 1]) AS off) g
+)
+SELECT window_start,
+       COUNT(*) AS n_events,
+       {sum_value}
+FROM assigned
+GROUP BY window_start
+""".format(sum_value=sql_dsum("value", "sum_value"))
+
+
+@register("events_sliding_10min_5min", oracle=_SLIDING_SQL)
+def events_sliding_10min_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session windows (30-minute inactivity gap) per user. Spark's
+# session_window ends at last_event + gap; we emit session_start,
+# last_ts, and count, which the lag/cumsum oracle reproduces exactly.
+# ---------------------------------------------------------------------------
+
+_SESSION_SQL = """
+WITH flagged AS (
+    SELECT user_id,
+           CAST(ts AS TIMESTAMP) AS ts,
+           CASE WHEN CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP)) OVER (
+                    PARTITION BY user_id ORDER BY ts
+                ) > INTERVAL 30 MINUTE THEN 1
+                WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1
+                ELSE 0 END AS new_session
+    FROM events
+),
+sessions AS (
+    SELECT user_id, ts,
+           SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_no
+    FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) AS last_ts,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_no
+"""
+
+
+@register("events_sessionization_30min", oracle=_SESSION_SQL)
+def events_sessionization_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "last_ts", "n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON props extraction (events.props is a JSON string → MapType path;
+# FIXTURES.md §B).
+# ---------------------------------------------------------------------------
+
+_JSON_SQL = """
+SELECT CAST(props->>'k' AS BIGINT) AS k,
+       COUNT(*) AS n_events,
+       {sum_value}
+FROM events
+GROUP BY k
+""".format(sum_value=sql_dsum("value", "sum_value"))
+
+
+@register("events_json_props_agg", oracle=_JSON_SQL)
+def events_json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact distinct + lag-delta window.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_distinct_users_per_type",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY event_type
+""",
+)
+def events_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_LAG_SQL = """
+SELECT event_id,
+       user_id,
+       ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS value_delta,
+       CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+FROM events
+"""
+
+
+@register("events_lag_delta")
+def events_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # No oracle: interval types hash differently across engines; the
+    # rows-only check still validates execution. A value-only variant is
+    # oracle-checked below.
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("value_delta"),
+        (F.col("ts") - F.lag("ts").over(w)).alias("gap"),
+    )
+
+
+@register(
+    "events_lag_value_delta",
+    oracle="""
+SELECT event_id,
+       user_id,
+       ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS value_delta
+FROM events
+""",
+)
+def events_lag_value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("value_delta"),
+    )
+
+
+# Approximate distinct: HLL implementations differ across engines, so
+# this is registered without an oracle (driver records rows-only check);
+# the exact-distinct query above is the strong-checked counterpart.
+@register("events_approx_distinct_users")
+def events_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    )

@@ -1,0 +1,86 @@
+"""Registry mapping query name → (Spark callable, optional DuckDB oracle).
+
+The driver contract (``__spark_entry__.py``) needs ``queries()`` and
+``oracle_sql()`` dicts; domain modules register via the decorator. Column
+names are part of the contract: the driver sorts columns by name before
+value-hashing, so the Spark DataFrame and oracle SQL must alias every
+computed column identically.
+
+Cross-engine determinism conventions used throughout the catalog:
+
+- **Sums of doubles** go through ``DECIMAL(18,6)``: decimal addition is
+  exact and associative, so Spark's partition-parallel sum and DuckDB's
+  sequential sum produce bit-identical results; the final value is cast
+  back to DOUBLE. Plain double sums differ in the last ulps with
+  partitioning and would flip rounded digits.
+- **Averages** are decimal-sum / row-count, rounded.
+- **Top-k / limits** always carry a unique tie-break key.
+- **64-bit hashes** are derived from ``md5`` (both engines agree on
+  md5 hex): Spark ``conv(substr(md5(s),1,15),16,10)`` ≡ DuckDB
+  ``CAST('0x'||substr(md5(s),1,15) AS BIGINT)`` — 60 bits, positive.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---- shared deterministic-aggregation helpers (Spark side) ----
+
+_DEC = "decimal(18,6)"
+
+
+def dsum(col: Column | str, alias: str) -> Column:
+    """Exact cross-engine sum of a double expression via decimal."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(_DEC)).cast("double").alias(alias)
+
+
+def davg(col: Column | str, alias: str, scale: int = 6) -> Column:
+    """Deterministic average: exact decimal sum / row count, rounded."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast(_DEC)).cast("double") / F.count(F.lit(1)), scale).alias(alias)
+
+
+def hash60(col: Column | str) -> Column:
+    """Deterministic 60-bit positive hash shared with the DuckDB oracle."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+# Matching oracle-side SQL fragments (DuckDB dialect).
+
+def sql_dsum(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE) AS {alias}"
+
+
+def sql_davg(expr: str, alias: str, scale: int = 6) -> str:
+    return (
+        f"ROUND(CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE)"
+        f" / COUNT(*), {scale}) AS {alias}"
+    )
+
+
+def sql_hash60(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"

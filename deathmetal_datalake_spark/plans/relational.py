@@ -1,0 +1,733 @@
+"""Relational query catalog: reference-parity analogs + TPC-H-style.
+
+Each reference operator (SURVEY.md §2) is exercised on the driver's
+star-schema tables by an analogous query, per FIXTURES.md §B ("e.g.
+top-10-customers-per-nation mirrors top10_by_country"). Mapping:
+bands→customer, albums→orders, reviews→lineitem, country→nation.
+
+Scale design notes (100 TB):
+- Dimension joins (nation, region, customer-at-dim-scale, part,
+  supplier) are explicitly ``broadcast()`` — no shuffle of the fact.
+- Aggregations group on keys with high cardinality relative to
+  partitions; Catalyst plans partial aggregation map-side.
+- Top-N per group uses row_number + filter, which Spark rewrites to
+  WindowGroupLimit (per-partition truncation before the final sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from deathmetal_datalake_spark.operators.aggregates import grouped_stats
+from deathmetal_datalake_spark.operators.cleaning import lenient_cast, normalize_country
+from deathmetal_datalake_spark.operators.topk import top_n_per_group
+from deathmetal_datalake_spark.plans.registry import (
+    davg,
+    dsum,
+    register,
+    sql_davg,
+    sql_dsum,
+)
+from deathmetal_datalake_spark.sources.tables import load_table
+
+
+def _customer_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 analog — the ``music_catalog`` mart: fact-side entity left-joined
+    to its dimension (``flows/silver.py:119-134``). customer ⟕ nation."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return customer.join(broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left").select(
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_name").alias("cust_name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("n_nationkey").alias("nation_id"),
+        F.col("n_name").alias("nation_name"),
+    )
+
+
+# --------------------------------------------------------------------------
+# J1: the music_catalog mart analog (left join + projection + rename)
+# --------------------------------------------------------------------------
+
+_CATALOG_SQL = """
+SELECT c_custkey AS cust_id,
+       c_name AS cust_name,
+       c_mktsegment AS segment,
+       n_nationkey AS nation_id,
+       n_name AS nation_name
+FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+@register("j1_customer_catalog", oracle=_CATALOG_SQL)
+def j1_customer_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _customer_catalog(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# J2: album_reviews analog — fact left-joined to parent (flows/silver.py:138-145)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "j2_order_lines",
+    oracle="""
+SELECT l_orderkey AS order_id,
+       l_linenumber AS line_no,
+       o_orderstatus AS status,
+       l_extendedprice AS ext_price,
+       o_totalprice AS total_price
+FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+""",
+)
+def j2_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "left").select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_linenumber").alias("line_no"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("l_extendedprice").alias("ext_price"),
+        F.col("o_totalprice").alias("total_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# J3: right join analog (main.py:54-58 — reviews ⟖ albums)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "j3_right_join_orders",
+    oracle="""
+SELECT o_orderkey AS order_id,
+       o_orderstatus AS status,
+       l_linenumber AS line_no,
+       l_quantity AS qty
+FROM lineitem RIGHT JOIN orders ON l_orderkey = o_orderkey
+""",
+)
+def j3_right_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "right").select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("l_linenumber").alias("line_no"),
+        F.col("l_quantity").alias("qty"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Flagship multi-join (§3.2 / main.py:13-86): sort → rename → J1 left →
+# project → J3 right → project → J5 left → project → two != filters.
+# entry() runs this at sf0.001.
+# --------------------------------------------------------------------------
+
+_FLAGSHIP_SQL = """
+WITH cust_orders AS (
+    SELECT o_orderkey AS order_id,
+           c_custkey AS cust_id,
+           c_name AS cust_name,
+           c_mktsegment AS segment,
+           o_totalprice AS total_price
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+),
+order_lines AS (
+    SELECT o_orderkey AS order_id,
+           l_linenumber AS line_no,
+           l_extendedprice AS ext_price,
+           l_returnflag AS flag
+    FROM lineitem RIGHT JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT co.order_id AS order_id,
+       co.cust_id AS cust_id,
+       co.cust_name AS cust_name,
+       co.segment AS segment,
+       co.total_price AS total_price,
+       ol.line_no AS line_no,
+       ol.ext_price AS ext_price,
+       ol.flag AS flag
+FROM cust_orders co LEFT JOIN order_lines ol ON co.order_id = ol.order_id
+WHERE co.segment <> 'BUILDING' AND ol.flag <> 'R'
+"""
+
+
+@register("flagship_multijoin", oracle=_FLAGSHIP_SQL)
+def flagship_multijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    cust_orders = orders.join(broadcast(customer), orders.o_custkey == customer.c_custkey, "left").select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_name").alias("cust_name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_totalprice").alias("total_price"),
+    )
+    order_lines = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "right").select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("l_linenumber").alias("line_no"),
+        F.col("l_extendedprice").alias("ext_price"),
+        F.col("l_returnflag").alias("flag"),
+    )
+    full = cust_orders.join(order_lines, "order_id", "left").select(
+        cust_orders.order_id.alias("order_id"),
+        "cust_id",
+        "cust_name",
+        "segment",
+        "total_price",
+        "line_no",
+        "ext_price",
+        "flag",
+    )
+    # P10 string-cleanup filters (main.py:86): null-propagating `!=`.
+    return full.filter(F.col("segment") != "BUILDING").filter(F.col("flag") != "R")
+
+
+# --------------------------------------------------------------------------
+# G1 + O2 + O5: top10_by_country analog — top 10 customers per nation by
+# order count (flows/gold.py:82-94), deterministic row_number semantics.
+# --------------------------------------------------------------------------
+
+_G1_SQL = """
+WITH catalog AS (
+    SELECT c_custkey AS cust_id, c_name AS cust_name, n_name AS nation_name
+    FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+),
+agg AS (
+    SELECT nation_name, cust_id, cust_name,
+           COUNT(*) AS order_count,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_price
+    FROM orders JOIN catalog ON o_custkey = cust_id
+    GROUP BY nation_name, cust_id, cust_name
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY nation_name ORDER BY order_count DESC, cust_id ASC
+    ) AS rn FROM agg
+)
+SELECT nation_name, cust_id, cust_name, order_count, avg_price
+FROM ranked WHERE rn <= 10
+"""
+
+
+@register("g1_top10_customers_per_nation", oracle=_G1_SQL)
+def g1_top10_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    catalog = _customer_catalog(spark, sf_dir)
+    joined = orders.join(broadcast(catalog), orders.o_custkey == catalog.cust_id, "inner")
+    agg = joined.groupBy("nation_name", "cust_id", "cust_name").agg(
+        F.count(F.lit(1)).alias("order_count"),
+        davg("o_totalprice", "avg_price"),
+    )
+    top = top_n_per_group(
+        agg,
+        ["nation_name"],
+        [F.desc("order_count"), F.asc("cust_id")],
+        n=10,
+    )
+    # O2 display ordering (country asc, count desc) — result is compared
+    # order-insensitively, the sort is for human parity with the reference.
+    return top.orderBy(F.asc("nation_name"), F.desc("order_count")).select(
+        "nation_name", "cust_id", "cust_name", "order_count", "avg_price"
+    )
+
+
+# --------------------------------------------------------------------------
+# G2: band_avg_scores analog — count/avg/min/max/stddev per customer
+# (flows/gold.py:102-109; std = stddev_samp, Polars ddof=1).
+# --------------------------------------------------------------------------
+
+_G2_SQL = """
+SELECT c_custkey AS cust_id,
+       c_name AS cust_name,
+       n_name AS nation_name,
+       COUNT(*) AS order_count,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       ROUND(STDDEV_SAMP(o_totalprice), 4) AS std_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+LEFT JOIN nation ON c_nationkey = n_nationkey
+GROUP BY cust_id, cust_name, nation_name
+"""
+
+
+@register("g2_customer_order_stats", oracle=_G2_SQL)
+def g2_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    catalog = _customer_catalog(spark, sf_dir)
+    joined = orders.join(broadcast(catalog), orders.o_custkey == catalog.cust_id, "inner")
+    return joined.groupBy(
+        F.col("cust_id"), F.col("cust_name"), F.col("nation_name")
+    ).agg(
+        F.count(F.lit(1)).alias("order_count"),
+        davg("o_totalprice", "avg_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("std_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# G3: band_album_counts analog (flows/gold.py:126-131).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "g3_customer_counts_per_nation",
+    oracle="""
+SELECT n_nationkey AS nation_id, n_name AS nation_name, COUNT(*) AS customer_count
+FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+GROUP BY nation_id, nation_name
+""",
+)
+def g3_customer_counts_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = customer.join(broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
+    return grouped_stats(
+        joined.select(F.col("n_nationkey").alias("nation_id"), F.col("n_name").alias("nation_name")),
+        ["nation_id", "nation_name"],
+        "nation_id",
+        {"customer_count": "count"},
+    )
+
+
+# --------------------------------------------------------------------------
+# G4: brazilian_bands analog — normalize + isin filter + sort over G2
+# output (flows/gold.py:115-122: lower/trim country, isin, sort desc).
+# --------------------------------------------------------------------------
+
+_G4_SQL = """
+WITH stats AS (
+    SELECT c_custkey AS cust_id,
+           c_name AS cust_name,
+           LOWER(TRIM(n_name)) AS nation_norm,
+           COUNT(*) AS order_count,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_price
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    LEFT JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY cust_id, cust_name, nation_norm
+)
+SELECT cust_id, cust_name, nation_norm, order_count, avg_price
+FROM stats
+WHERE nation_norm IN ('nation_1', 'nation_2', 'nation_3')
+ORDER BY avg_price DESC, cust_id ASC
+"""
+
+
+@register("g4_filtered_nation_ranking", oracle=_G4_SQL)
+def g4_filtered_nation_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    catalog = _customer_catalog(spark, sf_dir)
+    joined = orders.join(broadcast(catalog), orders.o_custkey == catalog.cust_id, "inner")
+    stats = joined.groupBy(
+        "cust_id", "cust_name", normalize_country("nation_name").alias("nation_norm")
+    ).agg(
+        F.count(F.lit(1)).alias("order_count"),
+        davg("o_totalprice", "avg_price"),
+    )
+    return (
+        stats.filter(F.col("nation_norm").isin("nation_1", "nation_2", "nation_3"))
+        .orderBy(F.desc("avg_price"), F.asc("cust_id"))
+        .select("cust_id", "cust_name", "nation_norm", "order_count", "avg_price")
+    )
+
+
+# --------------------------------------------------------------------------
+# O6: top-100 global ranking view (scripts/trino_create_tables.sql:114-121)
+# with a deterministic tie-break added per SURVEY.md §7.4.
+# --------------------------------------------------------------------------
+
+_O6_SQL = """
+WITH stats AS (
+    SELECT c_custkey AS cust_id,
+           c_name AS cust_name,
+           COUNT(*) AS order_count,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY cust_id, cust_name
+)
+SELECT cust_id, cust_name, order_count, avg_price
+FROM stats ORDER BY avg_price DESC, cust_id ASC LIMIT 100
+"""
+
+
+@register("o6_top100_ranking", oracle=_O6_SQL)
+def o6_top100_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(broadcast(customer), orders.o_custkey == customer.c_custkey, "inner")
+    stats = joined.groupBy(
+        F.col("c_custkey").alias("cust_id"), F.col("c_name").alias("cust_name")
+    ).agg(
+        F.count(F.lit(1)).alias("order_count"),
+        davg("o_totalprice", "avg_price"),
+    )
+    # Spark executes orderBy+limit as TakeOrderedAndProject — no full sort.
+    return stats.orderBy(F.desc("avg_price"), F.asc("cust_id")).limit(100)
+
+
+# --------------------------------------------------------------------------
+# P13: full-row distinct (flows/bronze.py:80 `unique()`).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "p13_distinct_segments",
+    oracle="SELECT DISTINCT c_mktsegment AS segment, c_nationkey AS nation_id FROM customer",
+)
+def p13_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.select(
+        F.col("c_mktsegment").alias("segment"), F.col("c_nationkey").alias("nation_id")
+    ).dropDuplicates()
+
+
+# --------------------------------------------------------------------------
+# Silver typing analog: strict/lenient casts, regex extract/replace,
+# case-when, lower/trim (P6, P7, P8, P9, F1, F2, F4, F5).
+# --------------------------------------------------------------------------
+
+_TYPING_SQL = r"""
+SELECT p_partkey AS part_id,
+       TRY_CAST(regexp_extract(p_brand, '(\d+)', 1) AS BIGINT) AS brand_num,
+       LOWER(TRIM(p_type)) AS type_norm,
+       CASE WHEN p_size > 25 THEN 'large' ELSE 'small' END AS size_class,
+       regexp_replace(p_name, ' ', ',', 'g') AS name_csv,
+       CAST(p_size AS BIGINT) AS size_long
+FROM part
+"""
+
+
+@register("silver_typing_part", oracle=_TYPING_SQL)
+def silver_typing_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        F.col("p_partkey").alias("part_id"),
+        lenient_cast(F.regexp_extract("p_brand", r"(\d+)", 1), "long").alias("brand_num"),
+        F.lower(F.trim(F.col("p_type"))).alias("type_norm"),
+        F.when(F.col("p_size") > 25, F.lit("large")).otherwise(F.lit("small")).alias("size_class"),
+        F.regexp_replace("p_name", " ", ",").alias("name_csv"),
+        F.col("p_size").cast("long").alias("size_long"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H-style analytics (the volume/bench workhorses).
+# --------------------------------------------------------------------------
+
+_Q1_SQL = """
+SELECT l_returnflag AS returnflag,
+       l_linestatus AS linestatus,
+       {sum_qty},
+       {sum_base},
+       {sum_disc},
+       {sum_charge},
+       {avg_qty},
+       {avg_price},
+       {avg_disc},
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
+GROUP BY returnflag, linestatus
+""".format(
+    sum_qty=sql_dsum("l_quantity", "sum_qty"),
+    sum_base=sql_dsum("l_extendedprice", "sum_base_price"),
+    sum_disc=sql_dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price"),
+    sum_charge=sql_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge"),
+    avg_qty=sql_davg("l_quantity", "avg_qty"),
+    avg_price=sql_davg("l_extendedprice", "avg_price"),
+    avg_disc=sql_davg("l_discount", "avg_disc"),
+)
+
+
+@register("tpch_q1_pricing_summary", oracle=_Q1_SQL)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.expr("TIMESTAMP_NTZ '1998-12-01 00:00:00'"))
+        .groupBy(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_linestatus").alias("linestatus"),
+        )
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_Q3_SQL = """
+SELECT o_orderkey AS order_id,
+       {revenue},
+       o_orderdate AS order_date,
+       o_orderpriority AS priority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1999-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1999-03-15 00:00:00'
+GROUP BY order_id, order_date, priority
+ORDER BY revenue DESC, order_id ASC
+LIMIT 10
+""".format(revenue=sql_dsum("l_extendedprice * (1 - l_discount)", "revenue"))
+
+
+@register("tpch_q3_shipping_priority", oracle=_Q3_SQL)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.expr("TIMESTAMP_NTZ '1999-03-15 00:00:00'")
+    joined = (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(
+            orders.filter(F.col("o_orderdate") < cutoff),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .join(
+            broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),
+            orders.o_custkey == customer.c_custkey,
+        )
+    )
+    return (
+        joined.groupBy(
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_orderdate").alias("order_date"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("order_id"))
+        .limit(10)
+        .select("order_id", "revenue", "order_date", "priority")
+    )
+
+
+_Q5_SQL = """
+SELECT n_name AS nation_name,
+       {revenue}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY nation_name
+""".format(revenue=sql_dsum("l_extendedprice * (1 - l_discount)", "revenue"))
+
+
+@register("tpch_q5_regional_revenue", oracle=_Q5_SQL)
+def tpch_q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dates_ok = (
+        F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'")
+    ) & (F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
+    # Dim side first: nation ⨝ region('ASIA') is tiny — broadcast it onto
+    # customer, then broadcast the filtered customer set onto the fact.
+    asia_nations = nation.join(
+        broadcast(region.filter(F.col("r_name") == "ASIA")),
+        nation.n_regionkey == region.r_regionkey,
+    )
+    asia_customers = customer.join(
+        broadcast(asia_nations), customer.c_nationkey == asia_nations.n_nationkey
+    )
+    joined = (
+        li.join(orders.filter(dates_ok), li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(asia_customers), orders.o_custkey == asia_customers.c_custkey)
+        .join(broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+    )
+    return joined.groupBy(F.col("n_name").alias("nation_name")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+    )
+
+
+_Q6_SQL = """
+SELECT {revenue}
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+""".format(revenue=sql_dsum("l_extendedprice * l_discount", "revenue"))
+
+
+@register("tpch_q6_forecast_revenue", oracle=_Q6_SQL)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+
+
+# --------------------------------------------------------------------------
+# Semi / anti joins and set operations (extension surface beyond the
+# reference's equi-joins — SURVEY.md §7.3 M4).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "j_semi_customers_with_open_orders",
+    oracle="""
+SELECT c_custkey AS cust_id, c_name AS cust_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+""",
+)
+def j_semi_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    open_orders = orders.filter(F.col("o_orderstatus") == "O")
+    return customer.join(
+        open_orders, customer.c_custkey == open_orders.o_custkey, "left_semi"
+    ).select(F.col("c_custkey").alias("cust_id"), F.col("c_name").alias("cust_name"))
+
+
+@register(
+    "j_anti_customers_without_orders",
+    oracle="""
+SELECT c_custkey AS cust_id, c_name AS cust_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def j_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti").select(
+        F.col("c_custkey").alias("cust_id"), F.col("c_name").alias("cust_name")
+    )
+
+
+@register(
+    "setop_building_with_open_orders",
+    oracle="""
+SELECT c_custkey AS cust_id FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS cust_id FROM orders WHERE o_orderstatus = 'O'
+""",
+)
+def setop_building_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("cust_id")
+    )
+    open_cust = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("cust_id")
+    )
+    return building.intersect(open_cust)
+
+
+@register(
+    "setop_machinery_minus_f_orders",
+    oracle="""
+SELECT c_custkey AS cust_id FROM customer WHERE c_mktsegment = 'MACHINERY'
+EXCEPT
+SELECT o_custkey AS cust_id FROM orders WHERE o_orderstatus = 'F'
+""",
+)
+def setop_machinery_minus_f_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    machinery = customer.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        F.col("c_custkey").alias("cust_id")
+    )
+    f_cust = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("cust_id")
+    )
+    return machinery.exceptAll(f_cust).dropDuplicates()
+
+
+# --------------------------------------------------------------------------
+# Rollup (multi-level aggregation — extension beyond reference's flat
+# group-bys).
+# --------------------------------------------------------------------------
+
+_ROLLUP_SQL = """
+SELECT o_orderstatus AS status,
+       o_orderpriority AS priority,
+       COUNT(*) AS n_orders,
+       {total}
+FROM orders
+GROUP BY ROLLUP (status, priority)
+""".format(total=sql_dsum("o_totalprice", "total_price"))
+
+
+@register("rollup_orders_status_priority", oracle=_ROLLUP_SQL)
+def rollup_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            "o_totalprice",
+        )
+        .rollup("status", "priority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total_price"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions beyond row_number: running totals and lag deltas.
+# --------------------------------------------------------------------------
+
+_RUNNING_SQL = """
+SELECT o_custkey AS cust_id,
+       o_orderkey AS order_id,
+       o_orderdate AS order_date,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate ASC, o_orderkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE), 4) AS running_total
+FROM orders
+"""
+
+
+@register("window_running_total", oracle=_RUNNING_SQL)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        F.col("o_custkey").alias("cust_id"),
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderdate").alias("order_date"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double"), 4).alias(
+            "running_total"
+        ),
+    )

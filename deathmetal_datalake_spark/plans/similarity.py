@@ -1,0 +1,139 @@
+"""Similarity search over the ``embeddings`` table (ArrayType(FloatType)).
+
+Brute-force cosine top-k is the correctness baseline; the label-blocked
+near-dup pass shows the bucketed/blocked pattern that survives scale
+(candidates per block, never the global n² cross join). Dot products are
+built-in higher-order array functions (``zip_with`` + ``aggregate``) —
+JVM-side, no Python UDF; embeddings are cast float→double so Spark and
+the DuckDB oracle run identical IEEE arithmetic.
+
+At 100 TB the brute-force variant is still the right primitive: the
+query set is broadcast (it is small by construction) and the corpus scan
+is embarrassingly parallel with a per-partition top-k (window +
+WindowGroupLimit) before the final merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from deathmetal_datalake_spark.plans.registry import register
+from deathmetal_datalake_spark.sources.tables import load_table
+
+_QUERY_MOD = 50  # vec_id % 50 == 0 → the query subset
+_TOP_K = 10
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _as_double(col: str) -> Column:
+    return F.col(col).cast("array<double>")
+
+
+_BRUTE_SQL = f"""
+WITH vecs AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+queries AS (
+    SELECT vec_id AS query_id, emb AS qemb FROM vecs WHERE vec_id % {_QUERY_MOD} = 0
+),
+scored AS (
+    SELECT q.query_id,
+           v.vec_id,
+           ROUND(list_dot_product(q.qemb, v.emb) /
+                 (sqrt(list_dot_product(q.qemb, q.qemb)) * sqrt(list_dot_product(v.emb, v.emb))),
+                 4) AS cosine
+    FROM queries q CROSS JOIN vecs v
+    WHERE q.query_id <> v.vec_id
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+    ) AS rank FROM scored
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {_TOP_K}
+"""
+
+
+@register("similarity_bruteforce_topk", oracle=_BRUTE_SQL)
+def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("emb")
+    )
+    queries = vecs.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    scored = (
+        vecs.join(broadcast(queries), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _dot(F.col("qemb"), F.col("emb"))
+                / (
+                    F.sqrt(_dot(F.col("qemb"), F.col("qemb")))
+                    * F.sqrt(_dot(F.col("emb"), F.col("emb")))
+                ),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+_NEARDUP_THRESHOLD = 0.9
+
+_NEARDUP_SQL = f"""
+WITH vecs AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+)
+SELECT a.vec_id AS vec_a,
+       b.vec_id AS vec_b,
+       a.label AS label,
+       ROUND(list_dot_product(a.emb, b.emb) /
+             (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))),
+             4) AS cosine
+FROM vecs a JOIN vecs b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.emb, b.emb) /
+      (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))
+      >= {_NEARDUP_THRESHOLD}
+"""
+
+
+@register("dedup_embedding_cosine", oracle=_NEARDUP_SQL)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, blocked by label (candidates come from
+    within a block — the blocked/bucketed shape that avoids global n²)."""
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("emb")
+    )
+    a = vecs.alias("a")
+    b = vecs.alias("b")
+    cosine = _dot(F.col("a.emb"), F.col("b.emb")) / (
+        F.sqrt(_dot(F.col("a.emb"), F.col("a.emb")))
+        * F.sqrt(_dot(F.col("b.emb"), F.col("b.emb")))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cosine >= _NEARDUP_THRESHOLD)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            F.round(cosine, 4).alias("cosine"),
+        )
+    )

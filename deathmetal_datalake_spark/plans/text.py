@@ -1,0 +1,240 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Large-scale training-data pipeline surface: token counting, quality
+scoring, n-gram-heuristic language ID, and content fingerprinting. All
+built-in Catalyst expressions (split / higher-order array functions /
+regex) — no Python UDFs — so they run inside whole-stage codegen and
+scale linearly; at 100 TB this layer is a single map-only stage with no
+shuffle until the final aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deathmetal_datalake_spark.plans.registry import hash60, register, sql_hash60
+from deathmetal_datalake_spark.sources.tables import load_table
+
+_STOPWORDS = ["the", "a", "and", "of", "to", "in"]
+_STOP_SQL = "['the', 'a', 'and', 'of', 'to', 'in']"
+
+# BPE-ish token regex: letter runs, single digits, or single
+# non-alphanumeric marks — a cheap stand-in for GPT-style pretokenizers.
+_BPE_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def _tokens(col: str = "text") -> Column:
+    return F.split(F.trim(F.col(col)), r"\s+")
+
+
+# ---------------------------------------------------------------------------
+# Token / length statistics per document + per-language aggregate.
+# ---------------------------------------------------------------------------
+
+_TOKEN_SQL = rf"""
+WITH tok AS (
+    SELECT doc_id,
+           lang,
+           string_split_regex(TRIM(text), '\s+') AS toks,
+           LENGTH(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe_tokens,
+           LENGTH(text) AS n_chars_exact
+    FROM documents
+)
+SELECT doc_id,
+       lang,
+       LENGTH(toks) AS n_tokens,
+       n_bpe_tokens,
+       n_chars_exact,
+       CAST(list_aggregate(list_transform(toks, t -> LENGTH(t)), 'sum') AS BIGINT) AS n_token_chars
+FROM tok
+"""
+
+
+@register("text_token_stats", oracle=_TOKEN_SQL)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0))).cast("long").alias(
+            "n_bpe_tokens"
+        ),
+        F.length("text").cast("long").alias("n_chars_exact"),
+        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)).alias(
+            "n_token_chars"
+        ),
+    )
+
+
+_LANG_AGG_SQL = r"""
+WITH tok AS (
+    SELECT lang, LENGTH(string_split_regex(TRIM(text), '\s+')) AS n_tokens FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(CAST(n_tokens AS BIGINT)) AS total_tokens,
+       ROUND(CAST(SUM(CAST(n_tokens AS BIGINT)) AS DOUBLE) / COUNT(*), 6) AS avg_tokens
+FROM tok GROUP BY lang
+"""
+
+
+@register("text_tokens_per_lang", oracle=_LANG_AGG_SQL)
+def text_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select("lang", F.size(_tokens()).cast("long").alias("n_tokens"))
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.sum("n_tokens").cast("double") / F.count(F.lit(1)), 6).alias("avg_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: stopword ratio, punctuation ratio, mean token length —
+# the classic cheap pre-filters for LLM training corpora.
+# ---------------------------------------------------------------------------
+
+_QUALITY_SQL = rf"""
+WITH tok AS (
+    SELECT doc_id,
+           string_split_regex(TRIM(text), '\s+') AS toks,
+           LENGTH(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
+           LENGTH(text) AS n_chars
+    FROM documents
+)
+SELECT doc_id,
+       LENGTH(toks) AS n_tokens,
+       ROUND(CAST(LENGTH(list_filter(toks, t -> list_contains({_STOP_SQL}, t))) AS DOUBLE)
+             / LENGTH(toks), 6) AS stopword_ratio,
+       ROUND(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+       ROUND(CAST(list_aggregate(list_transform(toks, t -> LENGTH(t)), 'sum') AS DOUBLE)
+             / LENGTH(toks), 6) AS mean_token_len
+FROM tok
+"""
+
+
+@register("text_quality_scores", oracle=_QUALITY_SQL)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    stop = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    n_punct = F.length(F.regexp_replace("text", r"[^.,!?;:]", ""))
+    token_chars = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(n_stop.cast("double") / n_tokens, 6).alias("stopword_ratio"),
+        F.round(n_punct.cast("double") / F.length("text"), 6).alias("punct_ratio"),
+        F.round(token_chars.cast("double") / n_tokens, 6).alias("mean_token_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language ID: n-gram/stopword-hit heuristic with a CJK codepoint check.
+# Deterministic CASE cascade — identical tie-breaking in both engines.
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "die", "und"],
+    "fr": ["le", "la", "et"],
+    "es": ["el", "los", "que"],
+}
+
+
+def _hits(toks: Column, words: list[str]) -> Column:
+    marker = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(marker, t)))
+
+
+def _sql_hits(words: list[str]) -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return f"LENGTH(list_filter(toks, t -> list_contains({arr}, t)))"
+
+
+_LANGID_SQL = rf"""
+WITH tok AS (
+    SELECT doc_id, lang,
+           string_split_regex(LOWER(TRIM(text)), '\s+') AS toks,
+           regexp_matches(text, '[\x{{4e00}}-\x{{9fff}}]') AS has_cjk
+    FROM documents
+),
+scored AS (
+    SELECT doc_id, lang, has_cjk,
+           {_sql_hits(_LANG_MARKERS["en"])} AS hits_en,
+           {_sql_hits(_LANG_MARKERS["de"])} AS hits_de,
+           {_sql_hits(_LANG_MARKERS["fr"])} AS hits_fr,
+           {_sql_hits(_LANG_MARKERS["es"])} AS hits_es
+    FROM tok
+)
+SELECT doc_id,
+       lang,
+       CASE WHEN has_cjk THEN 'zh'
+            WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es THEN 'en'
+            WHEN hits_de >= hits_fr AND hits_de >= hits_es THEN 'de'
+            WHEN hits_fr >= hits_es THEN 'fr'
+            ELSE 'es' END AS predicted_lang,
+       CAST(hits_en AS BIGINT) AS hits_en,
+       CAST(hits_de AS BIGINT) AS hits_de,
+       CAST(hits_fr AS BIGINT) AS hits_fr,
+       CAST(hits_es AS BIGINT) AS hits_es
+FROM scored
+"""
+
+
+@register("text_language_id", oracle=_LANGID_SQL)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    has_cjk = F.col("text").rlike("[一-鿿]")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        has_cjk.alias("has_cjk"),
+        *[
+            _hits(toks, words).cast("long").alias(f"hits_{lang}")
+            for lang, words in _LANG_MARKERS.items()
+        ],
+    )
+    he, hd, hf, hs = (F.col(f"hits_{x}") for x in ("en", "de", "fr", "es"))
+    predicted = (
+        F.when(F.col("has_cjk"), F.lit("zh"))
+        .when((he >= hd) & (he >= hf) & (he >= hs), F.lit("en"))
+        .when((hd >= hf) & (hd >= hs), F.lit("de"))
+        .when(hf >= hs, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        predicted.alias("predicted_lang"),
+        "hits_en",
+        "hits_de",
+        "hits_fr",
+        "hits_es",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting: 60-bit content hash of whitespace-normalized
+# text (the exact-dedup key), shared bit-for-bit with the oracle.
+# ---------------------------------------------------------------------------
+
+_FP_NORM = r"regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')"
+_FP_SQL = f"""
+SELECT doc_id,
+       {sql_hash60(_FP_NORM)} AS fingerprint
+FROM documents
+"""
+
+
+@register("text_fingerprint", oracle=_FP_SQL)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return docs.select("doc_id", hash60(normalized).alias("fingerprint"))

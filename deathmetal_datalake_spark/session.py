@@ -1,0 +1,59 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference delegates execution to Polars/Daft/Trino with no tuning
+surface (SURVEY.md §4); here the equivalent is a session factory that
+turns on AQE, snappy parquet, and Arrow, and sizes shuffle parallelism
+from the environment so the same code runs on local[32] and on a real
+cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the 100 TB design point:
+#  - AQE on: runtime partition coalescing + skew-join splitting replace
+#    hand-tuned shuffle partition counts at every scale factor.
+#  - shuffle.partitions seeds AQE's initial value; AQE coalesces down on
+#    small data and the high initialPartitionNum lets it scale up.
+#  - Arrow on: any pandas_udf extension op gets vectorized transfer.
+_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.parquet.compression.codec": "snappy",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    # Parity choice: the reference's casts raise on bad input only where
+    # it used strict casts; we model strict/lenient per-column with
+    # cast/try_cast instead of a global ANSI switch (SURVEY.md §7.4).
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "deathmetal-datalake-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` when unset so the
+    same entry point serves tests, bench.py, and cluster submission
+    (where ``master`` is left to spark-submit).
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_GRAFT_CPUS" in os.environ:
+        master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
+    if master is not None:
+        builder = builder.master(master)
+    conf = dict(_DEFAULTS)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
