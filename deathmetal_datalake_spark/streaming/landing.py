@@ -1,0 +1,124 @@
+"""Structured Streaming ingest: landing CSV chunks → bronze Parquet.
+
+Replaces the reference's Kinesis→Firehose micro-batch pipeline
+(``flows/landing.py:27-53``, ``infra/main.tf:47-124``) with a single
+Spark streaming query per dataset:
+
+- per-entity landing subdirectory ≈ per-entity Kinesis stream
+  (``infra/main.tf:47-60``; partition key at ``flows/landing.py:45``);
+- ``processingTime`` trigger ≈ Firehose's 60 s buffer
+  (``infra/main.tf:79-80``); ``availableNow`` = batch replay, replacing
+  the reference's ``wait_firehose`` polling loop
+  (``flows/landing.py:56-66``) with checkpointed exactly-once progress;
+- PERMISSIVE mode + ``_corrupt_record`` column ≈ the Firehose error
+  prefix (``infra/main.tf:82``): corrupt rows are diverted to an
+  errors/ sink rather than dropped.
+
+A chunked producer (``chunk_csv``) mirrors the reference's 900 KB
+header-re-attaching splitter (``flows/landing.py:27-53``) to generate
+realistic landing input for tests.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StringType, StructField, StructType
+
+_MAX_BYTES = 900 * 1024  # `flows/landing.py:28`
+
+
+def chunk_csv(csv_path: str, out_dir: str, max_bytes: int = _MAX_BYTES) -> list[str]:
+    """Split a CSV into ≤max_bytes chunks, re-prepending the header to
+    every chunk (`flows/landing.py:37-47`), written as
+    ``{out_dir}/{stem}_{part}.csv`` (`flows_iceberg/landing_iceberg.py:50`)."""
+    src = Path(csv_path)
+    lines = src.read_text().splitlines(keepends=True)
+    header, rows = lines[0], lines[1:]
+    os.makedirs(out_dir, exist_ok=True)
+    chunks: list[str] = []
+    buf: list[str] = [header]
+    size = len(header.encode())
+    part = 0
+
+    def flush() -> None:
+        nonlocal buf, size, part
+        if len(buf) > 1:
+            dest = Path(out_dir) / f"{src.stem}_{part:05d}.csv"
+            dest.write_text("".join(buf))
+            chunks.append(str(dest))
+            part += 1
+        buf = [header]
+        size = len(header.encode())
+
+    for row in rows:
+        rb = len(row.encode())
+        if size + rb > max_bytes:
+            flush()
+        buf.append(row)
+        size += rb
+    flush()
+    return chunks
+
+
+def _string_schema(columns: list[str]) -> StructType:
+    """Streaming CSV sources require a declared schema; ingest as
+    all-strings (typing happens at silver, matching the reference where
+    landing is raw text — `flows/landing.py:37-49`)."""
+    return StructType([StructField(c, StringType(), True) for c in columns])
+
+
+def stream_landing_to_bronze(
+    spark: SparkSession,
+    landing_dir: str,
+    bronze_dir: str,
+    dataset: str,
+    columns: list[str],
+    checkpoint_dir: str,
+    errors_dir: str | None = None,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """One micro-batch query: landing/{dataset}/*.csv → bronze parquet.
+
+    ``trigger`` defaults to ``{"availableNow": True}`` (drain everything
+    then stop — the test/replay mode); pass
+    ``{"processingTime": "60 seconds"}`` for the Firehose-equivalent
+    continuous mode.
+    """
+    schema = _string_schema(columns).add("_corrupt_record", StringType())
+    src = (
+        spark.readStream.schema(schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(os.path.join(landing_dir, dataset))
+    )
+    good = src.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    if errors_dir is not None:
+        # Error channel analog of the Firehose error prefix. Kept in the
+        # same stream via foreachBatch so one checkpoint covers both.
+        def _sink(batch_df, batch_id: int) -> None:
+            batch_df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record").write.mode(
+                "append"
+            ).option("compression", "snappy").parquet(os.path.join(bronze_dir, dataset))
+            bad = batch_df.filter(F.col("_corrupt_record").isNotNull())
+            if not bad.isEmpty():
+                bad.select("_corrupt_record").write.mode("append").json(
+                    os.path.join(errors_dir, dataset)
+                )
+
+        writer = src.writeStream.foreachBatch(_sink).option(
+            "checkpointLocation", checkpoint_dir
+        )
+    else:
+        writer = (
+            good.writeStream.format("parquet")
+            .option("path", os.path.join(bronze_dir, dataset))
+            .option("checkpointLocation", checkpoint_dir)
+            .option("compression", "snappy")
+        )
+    return writer.trigger(**(trigger or {"availableNow": True})).start()

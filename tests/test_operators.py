@@ -1,0 +1,108 @@
+"""Unit tests per operator inventory row (SURVEY.md §5 test plan #1),
+plus hypothesis property checks on the pure-python name normalizer."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from deathmetal_datalake_spark.operators.cleaning import (
+    clean_none_rows,
+    drop_embedded_header_rows,
+    extract_first_year,
+    lenient_cast,
+    pipe_to_comma,
+    validate_columns,
+)
+from deathmetal_datalake_spark.operators.columns import normalize_and_dedupe, normalize_column_names
+from deathmetal_datalake_spark.operators.topk import top_n_per_group
+
+
+# ---- P1: column-name normalize + dedupe (flows/bronze.py:30-40) ----
+
+
+def test_normalize_and_dedupe_exact_semantics():
+    # strip → lower → spaces→underscores; dupes suffixed _2, _3 in order.
+    assert normalize_and_dedupe([" Id ", "Name", "Formed In", "name", "NAME "]) == [
+        "id",
+        "name",
+        "formed_in",
+        "name_2",
+        "name_3",
+    ]
+
+
+@given(st.lists(st.text(min_size=0, max_size=20), max_size=10))
+@settings(max_examples=200, deadline=None)
+def test_normalize_and_dedupe_properties(names):
+    out = normalize_and_dedupe(names)
+    assert len(out) == len(names)
+    assert len(set(out)) == len(out), "output names are unique"
+
+
+def test_normalize_column_names_spark(spark):
+    df = spark.createDataFrame([(1, 2, 3)], [" Id ", "Formed In", "id"])
+    assert normalize_column_names(df).columns == ["id", "formed_in", "id_2"]
+
+
+# ---- P7 + F1: lenient cast & start_year extraction (flows/silver.py:86,91-94) ----
+
+
+def test_lenient_cast_and_extract_first_year(spark):
+    df = spark.createDataFrame(
+        [("N/A", "Mid 1990s"), ("1987", "1987-1993, 1997-"), ("x", "unknown")],
+        ["formed_in", "active"],
+    )
+    rows = df.select(
+        lenient_cast("formed_in", "long").alias("f"),
+        extract_first_year("active").alias("y"),
+    ).collect()
+    assert [(r["f"], r["y"]) for r in rows] == [(None, 1990), (1987, 1987), (None, None)]
+
+
+# ---- P11: embedded header filter (flows/silver.py:108) ----
+
+
+def test_drop_embedded_header_rows(spark):
+    df = spark.createDataFrame([("1",), ("id",), ("2",)], ["id"])
+    assert drop_embedded_header_rows(df, "id").count() == 2
+
+
+# ---- P10: literal 'None' cleanup, null-propagating != (main.py:86) ----
+
+
+def test_clean_none_rows_drops_nulls_too(spark):
+    df = spark.createDataFrame([("a",), ("None",), (None,)], ["name"])
+    assert [r["name"] for r in clean_none_rows(df, "name").collect()] == ["a"]
+
+
+# ---- F2: pipe → comma (flows/silver.py:113) ----
+
+
+def test_pipe_to_comma(spark):
+    df = spark.createDataFrame([("a|b|c",)], ["content"])
+    assert df.select(pipe_to_comma("content").alias("c")).first()["c"] == "a,b,c"
+
+
+# ---- schema presence validation (flows/silver.py:48-52) ----
+
+
+def test_validate_columns_raises(spark):
+    df = spark.createDataFrame([(1,)], ["id"])
+    with pytest.raises(ValueError, match="missing columns"):
+        validate_columns(df, ["id", "title"], "albums")
+
+
+# ---- O5: deterministic top-N per group ----
+
+
+def test_top_n_per_group_deterministic_ties(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 10), ("a", 3, 10), ("b", 4, 5)],
+        ["g", "id", "score"],
+    )
+    top = top_n_per_group(df, ["g"], [F.desc("score"), F.asc("id")], n=2)
+    got = sorted((r["g"], r["id"]) for r in top.collect())
+    assert got == [("a", 1), ("a", 2), ("b", 4)], "ties broken by id, stable"

@@ -1,0 +1,85 @@
+"""Structured Streaming landing → bronze: chunk-with-header replay
+(SURVEY.md §7.3 M3; reference chunker semantics flows/landing.py:27-53)."""
+
+from __future__ import annotations
+
+import csv
+from pathlib import Path
+
+import pytest
+
+from deathmetal_datalake_spark.streaming.landing import chunk_csv, stream_landing_to_bronze
+
+
+@pytest.fixture()
+def landing(tmp_path):
+    src = tmp_path / "src.csv"
+    with open(src, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["id", "album", "title", "score", "content"])
+        for i in range(1, 2001):
+            w.writerow([i, i % 50, f"Review {i}", round(i * 0.05, 2), f"text {i}"])
+    chunks = chunk_csv(str(src), str(tmp_path / "landing" / "reviews"), max_bytes=16 * 1024)
+    return tmp_path, chunks
+
+
+def test_chunker_reattaches_header(landing):
+    tmp_path, chunks = landing
+    assert len(chunks) > 1, "must split into multiple chunks"
+    header = "id,album,title,score,content"
+    for c in chunks:
+        lines = Path(c).read_text().splitlines()
+        assert lines[0] == header, "every chunk re-starts with the header"
+    # No rows lost: total data lines == 2000.
+    total = sum(len(Path(c).read_text().splitlines()) - 1 for c in chunks)
+    assert total == 2000
+
+
+def test_stream_availablenow_drains_to_bronze(spark, landing):
+    tmp_path, chunks = landing
+    q = stream_landing_to_bronze(
+        spark,
+        str(tmp_path / "landing"),
+        str(tmp_path / "bronze"),
+        "reviews",
+        ["id", "album", "title", "score", "content"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "bronze" / "reviews"))
+    assert out.count() == 2000
+    assert out.columns == ["id", "album", "title", "score", "content"]
+    # Exactly-once on restart: re-running with the same checkpoint adds nothing.
+    q2 = stream_landing_to_bronze(
+        spark,
+        str(tmp_path / "landing"),
+        str(tmp_path / "bronze"),
+        "reviews",
+        ["id", "album", "title", "score", "content"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "bronze" / "reviews")).count() == 2000
+
+
+def test_stream_diverts_corrupt_records(spark, tmp_path):
+    land = tmp_path / "landing" / "reviews"
+    land.mkdir(parents=True)
+    # A malformed row (unclosed quote spanning columns) → _corrupt_record.
+    (land / "part0.csv").write_text(
+        'id,album,title,score,content\n1,2,ok,3.5,fine\n"broken\n'
+    )
+    q = stream_landing_to_bronze(
+        spark,
+        str(tmp_path / "landing"),
+        str(tmp_path / "bronze"),
+        "reviews",
+        ["id", "album", "title", "score", "content"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        errors_dir=str(tmp_path / "errors"),
+    )
+    q.awaitTermination(120)
+    good = spark.read.parquet(str(tmp_path / "bronze" / "reviews"))
+    assert good.count() == 1
+    bad = spark.read.json(str(tmp_path / "errors" / "reviews"))
+    assert bad.count() >= 1
