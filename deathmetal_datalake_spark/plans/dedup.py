@@ -86,18 +86,21 @@ shingled AS (
 _JACCARD_SQL = (
     _SHINGLES_SQL
     + f""",
+hashed AS (
+    SELECT doc_id, {sql_hash60('shingle')} AS sh FROM shingled
+),
 df AS (
-    SELECT shingle FROM shingled GROUP BY shingle HAVING COUNT(*) <= {_MAX_DF}
+    SELECT sh FROM hashed GROUP BY sh HAVING COUNT(*) <= {_MAX_DF}
 ),
 filtered AS (
-    SELECT s.doc_id, s.shingle FROM shingled s JOIN df USING (shingle)
+    SELECT h.doc_id, h.sh FROM hashed h JOIN df USING (sh)
 ),
 sizes AS (
     SELECT doc_id, COUNT(*) AS n_shingles FROM filtered GROUP BY doc_id
 ),
 pairs AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-    FROM filtered a JOIN filtered b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    FROM filtered a JOIN filtered b ON a.sh = b.sh AND a.doc_id < b.doc_id
     GROUP BY doc_a, doc_b
 ),
 scored AS (
@@ -121,19 +124,19 @@ SELECT doc_a, doc_b, n_common, jaccard FROM ranked WHERE rn <= 3
 @register("dedup_ngram_jaccard", oracle=_JACCARD_SQL)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    shingled = _shingles(docs)
-    df_counts = shingled.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    filtered = shingled.join(
-        df_counts.filter(F.col("df") <= _MAX_DF).select("shingle"), "shingle"
-    )
+    # 60-bit hashed shingles: the inverted-index self-join shuffles 8-byte
+    # keys instead of ~20-byte strings (same dedup semantics; collision
+    # probability ~2^-61 per pair, and the oracle hashes identically).
+    shingled = _shingles(docs).select("doc_id", hash60("shingle").alias("sh")).cache()
+    df_counts = shingled.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    filtered = shingled.join(df_counts.filter(F.col("df") <= _MAX_DF).select("sh"), "sh")
     sizes = filtered.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = filtered.alias("a")
     b = filtered.alias("b")
     pairs = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -187,17 +190,20 @@ _BAND_ROWS = 2  # 4 bands × 2 rows
 _EST_THRESHOLD = 0.5
 
 
-def _minhash_signatures(filtered: DataFrame) -> DataFrame:
-    """(doc_id, i, minhash) — min over shingles of the i-th permutation."""
-    hashed = filtered.select("doc_id", hash60("shingle").alias("h"))
-    perms = F.array(
-        *[
-            ((F.lit(a) * (F.col("h") % _MERSENNE_P) + F.lit(b)) % _MERSENNE_P).alias(str(i))
-            for i, (a, b) in enumerate(_MINHASH_AB)
-        ]
-    )
-    exploded = hashed.select("doc_id", F.posexplode(perms).alias("i", "hv"))
-    return exploded.groupBy("doc_id", "i").agg(F.min("hv").alias("minhash"))
+def _minhash_columns(shingled: DataFrame) -> DataFrame:
+    """(doc_id, m0..m7) — columnar signatures in ONE hash aggregation.
+
+    Computing all k permutation-minima as parallel agg expressions
+    (instead of exploding k rows per shingle and re-grouping) keeps the
+    shuffle at one row per document and lets later stages read signature
+    components without a join — the layout that survives 100 TB.
+    """
+    hashed = shingled.select("doc_id", (hash60("shingle") % _MERSENNE_P).alias("h"))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MERSENNE_P).alias(f"m{i}")
+        for i, (a, b) in enumerate(_MINHASH_AB)
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 _SIG_SQL = (
@@ -223,8 +229,16 @@ _MINHASH_SIG_SQL = _SIG_SQL + "SELECT doc_id, i AS hash_no, minhash FROM sig"
 @register("dedup_minhash_signatures", oracle=_MINHASH_SIG_SQL)
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sig = _minhash_signatures(_shingles(docs))
-    return sig.select("doc_id", F.col("i").cast("long").alias("hash_no"), "minhash")
+    sig = _minhash_columns(_shingles(docs))
+    pairs = F.array(
+        *[
+            F.struct(F.lit(i).cast("long").alias("hash_no"), F.col(f"m{i}").alias("minhash"))
+            for i in range(_N_HASHES)
+        ]
+    )
+    return sig.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.hash_no").alias("hash_no"), F.col("p.minhash").alias("minhash")
+    )
 
 
 _LSH_SQL = (
@@ -259,15 +273,30 @@ SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= {_EST_THRESHOLD}
 @register("dedup_minhash_lsh", oracle=_LSH_SQL)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sig = _minhash_signatures(_shingles(docs)).cache()
-    sorted_minhashes = F.transform(
-        F.array_sort(F.collect_list(F.struct("i", "minhash"))),
-        lambda s: s.getField("minhash").cast("string"),
+    sig = _minhash_columns(_shingles(docs)).cache()
+    # Band buckets straight from the signature columns (band b covers
+    # components [b*_BAND_ROWS, (b+1)*_BAND_ROWS)); no per-component
+    # explode/regroup. Bucket string matches the oracle's
+    # array_to_string(list(minhash ORDER BY i), '_').
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("band"),
+                hash60(
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.col(f"m{i}").cast("string")
+                            for i in range(b * _BAND_ROWS, (b + 1) * _BAND_ROWS)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(_N_HASHES // _BAND_ROWS)
+        ]
     )
-    bands = (
-        sig.withColumn("band", F.floor(F.col("i") / _BAND_ROWS))
-        .groupBy("doc_id", "band")
-        .agg(hash60(F.concat_ws("_", sorted_minhashes)).alias("bucket"))
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -281,20 +310,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates()
     )
+    # Verify estimated Jaccard from the columnar signatures: two joins on
+    # doc_id, agreement computed row-local — no component-level join.
     sa = sig.alias("sa")
     sb = sig.alias("sb")
+    agreement = sum(
+        F.when(F.col(f"sa.m{i}") == F.col(f"sb.m{i}"), 1).otherwise(0)
+        for i in range(_N_HASHES)
+    )
     est = (
         candidates.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sb.i") == F.col("sa.i")))
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.round(
-                F.sum(
-                    F.when(F.col("sa.minhash") == F.col("sb.minhash"), 1).otherwise(0)
-                ).cast("double")
-                / _N_HASHES,
-                6,
-            ).alias("est_jaccard")
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agreement.cast("double") / _N_HASHES, 6).alias("est_jaccard"),
         )
     )
     return est.filter(F.col("est_jaccard") >= _EST_THRESHOLD)

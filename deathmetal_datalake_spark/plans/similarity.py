@@ -137,3 +137,107 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine, 4).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN — the scale path. Sign-random-projection hyperplanes
+# are derived deterministically from md5 (no RNG), embedded as literals
+# in BOTH engines, so the full pipeline (bucketing → candidate join →
+# rerank) is oracle-checked. At 100 TB: bucketing is a map-only pass,
+# the candidate join shuffles on an 8-bit key (256 buckets; use more
+# bits as the corpus grows), and rerank cost is Σ bucket·queries-in-
+# bucket instead of corpus × queries.
+# ---------------------------------------------------------------------------
+
+_N_PLANES = 8
+_DIM = 64
+_ANN_TOP_K = 5
+
+
+def _plane_weights() -> list[list[float]]:
+    import hashlib
+
+    planes = []
+    for j in range(_N_PLANES):
+        row = []
+        for d in range(_DIM):
+            h = int(hashlib.md5(f"{j}_{d}".encode()).hexdigest()[:15], 16)
+            row.append((h % 2001 - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+def _bucket_expr_spark(emb: Column) -> Column:
+    planes = _plane_weights()
+    bucket = F.lit(0).cast("long")
+    for j, row in enumerate(planes):
+        plane = F.array(*[F.lit(w) for w in row])
+        dot = _dot(emb, plane)
+        bucket = bucket + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
+def _bucket_expr_sql(emb: str) -> str:
+    planes = _plane_weights()
+    parts = []
+    for j, row in enumerate(planes):
+        lit = "[" + ", ".join(repr(w) for w in row) + "]"
+        parts.append(
+            f"CASE WHEN list_dot_product({emb}, {lit}::DOUBLE[]) > 0 THEN {1 << j} ELSE 0 END"
+        )
+    return " + ".join(parts)
+
+
+_ANN_SQL = f"""
+WITH vecs AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+bucketed AS (
+    SELECT vec_id, emb, {_bucket_expr_sql('emb')} AS bucket FROM vecs
+),
+queries AS (
+    SELECT vec_id AS query_id, emb AS qemb, bucket FROM bucketed WHERE vec_id % {_QUERY_MOD} = 0
+),
+scored AS (
+    SELECT q.query_id, v.vec_id,
+           ROUND(list_dot_product(q.qemb, v.emb) /
+                 (sqrt(list_dot_product(q.qemb, q.qemb)) * sqrt(list_dot_product(v.emb, v.emb))),
+                 4) AS cosine
+    FROM queries q JOIN bucketed v ON q.bucket = v.bucket AND q.query_id <> v.vec_id
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+    ) AS rank FROM scored
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {_ANN_TOP_K}
+"""
+
+
+@register("similarity_ann_lsh_topk", oracle=_ANN_SQL)
+def similarity_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("emb")
+    )
+    bucketed = vecs.withColumn("bucket", _bucket_expr_spark(F.col("emb")))
+    queries = bucketed.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cosine = _dot(F.col("qemb"), F.col("emb")) / (
+        F.sqrt(_dot(F.col("qemb"), F.col("qemb"))) * F.sqrt(_dot(F.col("emb"), F.col("emb")))
+    )
+    scored = (
+        bucketed.join(
+            broadcast(queries),
+            (F.col("qbucket") == F.col("bucket")) & (F.col("query_id") != F.col("vec_id")),
+        )
+        .select("query_id", "vec_id", F.round(cosine, 4).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _ANN_TOP_K)
+        .select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
