@@ -1,0 +1,430 @@
+"""Advanced relational coverage: more TPC-H shapes, cube/grouping,
+richer window frames, JSON maps, n-gram frequencies, scalar subqueries.
+
+Extends the reference surface (SURVEY.md §7.3 M4 "the fuller relational
+surface the driver's oracle can check"). Same determinism conventions as
+plans.registry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from deathmetal_datalake_spark.plans.registry import (
+    davg,
+    dsum,
+    register,
+    sql_davg,
+    sql_dsum,
+)
+from deathmetal_datalake_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# TPC-H q10: top-20 customers by returned-item revenue.
+# ---------------------------------------------------------------------------
+
+_Q10_SQL = """
+SELECT c_custkey AS cust_id,
+       c_name AS cust_name,
+       n_name AS nation_name,
+       {revenue}
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY cust_id, cust_name, nation_name
+ORDER BY revenue DESC, cust_id ASC
+LIMIT 20
+""".format(revenue=sql_dsum("l_extendedprice * (1 - l_discount)", "revenue"))
+
+
+@register("tpch_q10_returned_items", oracle=_Q10_SQL)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    dates_ok = (
+        F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1996-07-01 00:00:00'")
+    ) & (F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1997-07-01 00:00:00'"))
+    joined = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders.filter(dates_ok), li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        joined.groupBy(
+            F.col("c_custkey").alias("cust_id"),
+            F.col("c_name").alias("cust_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("cust_id"))
+        .limit(20)
+        .select("cust_id", "cust_name", "nation_name", "revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q12-shape: late shipments per order priority (90-day SLA).
+# ---------------------------------------------------------------------------
+
+_Q12_SQL = """
+SELECT o_orderpriority AS priority,
+       COUNT(*) AS n_late,
+       {late_value}
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY priority
+""".format(late_value=sql_dsum("l_extendedprice", "late_value"))
+
+
+@register("late_shipments_by_priority", oracle=_Q12_SQL)
+def late_shipments_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    )
+    return joined.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_late"), dsum("l_extendedprice", "late_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q14-shape: promo revenue share (two exact decimal sums, one division).
+# ---------------------------------------------------------------------------
+
+_Q14_SQL = """
+SELECT ROUND(
+         100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                               THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                               ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+               / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE),
+         6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+"""
+
+
+@register("promo_revenue_share", oracle=_Q14_SQL)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    joined = li.filter(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP_NTZ '1996-07-01 00:00:00'"))
+    ).join(broadcast(part), li.l_partkey == part.p_partkey)
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0).cast("decimal(18,6)"))
+    ).cast("double")
+    total = F.sum(disc).cast("double")
+    return joined.agg(F.round(100.0 * promo / total, 6).alias("promo_revenue_pct"))
+
+
+# ---------------------------------------------------------------------------
+# Brand sales: fact⨝dim aggregation with distinct counting.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "brand_sales_stats",
+    oracle="""
+SELECT p_brand AS brand,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       {qty},
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY brand
+""".format(qty=sql_dsum("l_quantity", "total_qty")),
+)
+def brand_sales_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            dsum("l_quantity", "total_qty"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE over two dims (beyond the reference's flat group-bys).
+# ---------------------------------------------------------------------------
+
+_CUBE_SQL = """
+SELECT o_orderstatus AS status,
+       o_orderpriority AS priority,
+       COUNT(*) AS n_orders,
+       {total}
+FROM orders
+GROUP BY CUBE (status, priority)
+""".format(total=sql_dsum("o_totalprice", "total_price"))
+
+
+@register("cube_orders_status_priority", oracle=_CUBE_SQL)
+def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            "o_totalprice",
+        )
+        .cube("status", "priority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions: dense_rank + ntile, moving average, first/last frames.
+# ---------------------------------------------------------------------------
+
+_RANKS_SQL = """
+WITH stats AS (
+    SELECT c_custkey AS cust_id,
+           n_name AS nation_name,
+           {avg_price}
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    LEFT JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY cust_id, nation_name
+)
+SELECT cust_id, nation_name, avg_price,
+       DENSE_RANK() OVER (PARTITION BY nation_name ORDER BY avg_price DESC, cust_id ASC) AS drank,
+       NTILE(4) OVER (PARTITION BY nation_name ORDER BY avg_price DESC, cust_id ASC) AS quartile
+FROM stats
+""".format(avg_price=sql_davg("o_totalprice", "avg_price"))
+
+
+@register("window_dense_rank_ntile", oracle=_RANKS_SQL)
+def window_dense_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = orders.join(broadcast(customer), orders.o_custkey == customer.c_custkey).join(
+        broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left"
+    )
+    stats = joined.groupBy(
+        F.col("c_custkey").alias("cust_id"), F.col("n_name").alias("nation_name")
+    ).agg(davg("o_totalprice", "avg_price"))
+    w = Window.partitionBy("nation_name").orderBy(F.desc("avg_price"), F.asc("cust_id"))
+    return stats.select(
+        "cust_id",
+        "nation_name",
+        "avg_price",
+        F.dense_rank().over(w).cast("long").alias("drank"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+_MOVING_SQL = """
+SELECT event_id,
+       user_id,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) / COUNT(*) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+       ), 6) AS moving_avg_3
+FROM events
+"""
+
+
+@register("window_moving_average", oracle=_MOVING_SQL)
+def window_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+            6,
+        ).alias("moving_avg_3"),
+    )
+
+
+_FIRST_LAST_SQL = """
+SELECT o_orderkey AS order_id,
+       o_custkey AS cust_id,
+       FIRST_VALUE(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS first_price,
+       LAST_VALUE(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS last_price
+FROM orders
+"""
+
+
+@register("window_first_last", oracle=_FIRST_LAST_SQL)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("cust_id"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set op: UNION (dedup) across two projections.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "setop_union_key_space",
+    oracle="""
+SELECT c_custkey AS key_id, 'customer' AS src FROM customer WHERE c_acctbal > 0
+UNION
+SELECT o_custkey AS key_id, 'orders' AS src FROM orders WHERE o_orderstatus = 'O'
+""",
+)
+def setop_union_key_space(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    a = customer.filter(F.col("c_acctbal") > 0).select(
+        F.col("c_custkey").alias("key_id"), F.lit("customer").alias("src")
+    )
+    b = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("key_id"), F.lit("orders").alias("src")
+    )
+    return a.union(b).dropDuplicates()
+
+
+# ---------------------------------------------------------------------------
+# JSON → MapType: explode keys of the props document.
+# ---------------------------------------------------------------------------
+
+_JSON_MAP_SQL = """
+WITH kv AS (
+    SELECT UNNEST(json_keys(props)) AS prop_key, props FROM events
+)
+SELECT prop_key,
+       COUNT(*) AS n_events,
+       SUM(CAST(json_extract_string(props, '$.' || prop_key) AS BIGINT)) AS sum_int_value
+FROM kv GROUP BY prop_key
+"""
+
+
+@register("events_props_map_explode", oracle=_JSON_MAP_SQL)
+def events_props_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    exploded = ev.select(
+        F.explode(F.from_json("props", "map<string,bigint>")).alias("prop_key", "v")
+    )
+    return exploded.groupBy("prop_key").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("v").alias("sum_int_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram frequency: global top-20 word bigrams over documents.
+# ---------------------------------------------------------------------------
+
+_BIGRAM_SQL = r"""
+WITH tok AS (
+    SELECT string_split_regex(LOWER(TRIM(text)), '\s+') AS toks FROM documents
+),
+grams AS (
+    SELECT UNNEST(list_transform(
+        range(1, LENGTH(toks)),
+        i -> toks[i] || ' ' || toks[i+1]
+    )) AS bigram
+    FROM tok
+)
+SELECT bigram, COUNT(*) AS freq
+FROM grams GROUP BY bigram
+ORDER BY freq DESC, bigram ASC
+LIMIT 20
+"""
+
+
+@register("text_top_bigrams", oracle=_BIGRAM_SQL)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    return (
+        docs.select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar subquery: customers above the (deterministic) global mean.
+# ---------------------------------------------------------------------------
+
+_ABOVE_AVG_SQL = """
+SELECT c_custkey AS cust_id, c_acctbal AS acctbal
+FROM customer
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) FROM customer
+)
+"""
+
+
+@register("subquery_above_avg_balance", oracle=_ABOVE_AVG_SQL)
+def subquery_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    mean = customer.agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))).alias(
+            "mean_bal"
+        )
+    )
+    return (
+        customer.crossJoin(broadcast(mean))
+        .filter(F.col("c_acctbal") > F.col("mean_bal"))
+        .select(F.col("c_custkey").alias("cust_id"), F.col("c_acctbal").alias("acctbal"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Histogram: document length distribution in 200-char buckets.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_length_histogram",
+    oracle="""
+SELECT CAST(FLOOR(LENGTH(text) / 200) * 200 AS BIGINT) AS bucket_start,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY bucket_start
+""",
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.floor(F.length("text") / 200) * 200).cast("long")
+    return docs.groupBy(bucket.alias("bucket_start")).agg(F.count(F.lit(1)).alias("n_docs"))

@@ -241,3 +241,33 @@ def similarity_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _ANN_TOP_K)
         .select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Pandas-UDF (Arrow) variant of brute-force cosine top-k: same oracle as
+# the built-in-expression variant — the two code paths must agree. This
+# is the template for extension math that has no Catalyst builtin.
+# ---------------------------------------------------------------------------
+
+
+@register("similarity_pandas_udf_topk", oracle=_BRUTE_SQL)
+def similarity_pandas_udf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deathmetal_datalake_spark.functions.vector import cosine_sim
+
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("emb")
+    )
+    queries = vecs.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    scored = vecs.join(broadcast(queries), F.col("query_id") != F.col("vec_id")).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_sim(F.col("qemb"), F.col("emb")), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
