@@ -40,6 +40,9 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "similarity_bruteforce_topk",
+    "similarity_ann_lsh_topk",
+    "tpch_q10_returned_items",
+    "multimodal_decode_stats",
 ]
 
 # Queries whose full result is large; drain with count() instead of
@@ -54,6 +57,7 @@ _COUNT_DRAIN = {
     "text_language_id",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "multimodal_decode_stats",
 }
 
 
