@@ -1,0 +1,59 @@
+"""Catalog-managed zone tables — the Iceberg/Nessie analog (S10/S11).
+
+Reference: ``flows_iceberg/bronze_iceberg.py:40-44`` (create-if-absent +
+overwrite), ``silver_iceberg.py:26-30`` / ``gold_iceberg.py:21-24``
+(append), reads via ``CATALOG.load_table`` (S11). The environment has no
+Iceberg runtime, so the Spark-native analog is the session catalog +
+warehouse dir: ``saveAsTable`` with ``overwrite``/``append`` carries the
+same write-mode semantics, ``spark.table`` is the catalog read. On a
+cluster with the Iceberg/Delta catalog plugin these calls become
+``df.writeTo(...).createOrReplace()/append()`` with no other changes —
+the flow code is format-agnostic by design.
+
+Bucketing lives here too: fact tables written ``bucketBy`` the join key
+let repeated joins run shuffle-free (co-located sort-merge), the
+table-layout lever that matters most at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def table_name(zone: str, dataset: str) -> str:
+    """``zone.dataset`` identity (``flows_iceberg/bronze_iceberg.py:35``)
+    flattened for the default database."""
+    return f"{zone}_{dataset}"
+
+
+def write_zone_table(
+    df: DataFrame, zone: str, dataset: str, mode: str = "overwrite"
+) -> str:
+    """S10: create-if-absent + overwrite (bronze) / append (silver, gold
+    default) — ``saveAsTable`` implements both create and write in one
+    idempotent call."""
+    name = table_name(zone, dataset)
+    df.write.mode(mode).format("parquet").saveAsTable(name)
+    return name
+
+
+def read_zone_table(spark: SparkSession, zone: str, dataset: str) -> DataFrame:
+    """S11: catalog table read (``daft.read_iceberg(CATALOG.load_table)``)."""
+    return spark.table(table_name(zone, dataset))
+
+
+def write_bucketed_fact(
+    df: DataFrame, zone: str, dataset: str, bucket_col: str, n_buckets: int = 16
+) -> str:
+    """Bucketed fact-table layout: co-locates rows by join key so
+    fact⨝fact joins on ``bucket_col`` skip the shuffle entirely
+    (SortMergeJoin reads pre-bucketed, pre-sorted part files)."""
+    name = table_name(zone, dataset)
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(name)
+    )
+    return name

@@ -1,0 +1,128 @@
+"""Catalog-table semantics (S10/S11), ingest flow, bucketed co-located
+joins (plan-level no-shuffle assertion), and salted-skew equivalence."""
+
+from __future__ import annotations
+
+import contextlib
+import csv
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from deathmetal_datalake_spark.flows.catalog import (
+    read_zone_table,
+    write_bucketed_fact,
+    write_zone_table,
+)
+from deathmetal_datalake_spark.flows.ingest import ingest_folder, list_csv
+from deathmetal_datalake_spark.operators.skew import salted_aggregate, salted_join
+from deathmetal_datalake_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---- S10/S11: overwrite vs append + catalog read ----
+
+
+def test_zone_table_overwrite_and_append(spark):
+    df = load_table(spark, SF, "nation")
+    write_zone_table(df, "bronze", "nation", mode="overwrite")
+    assert read_zone_table(spark, "bronze", "nation").count() == 25
+    # bronze semantics: overwrite is idempotent (`bronze_iceberg.py:44`)
+    write_zone_table(df, "bronze", "nation", mode="overwrite")
+    assert read_zone_table(spark, "bronze", "nation").count() == 25
+    # silver/gold semantics: append accumulates (`silver_iceberg.py:26-30`)
+    write_zone_table(df, "silver", "nation", mode="overwrite")
+    write_zone_table(df, "silver", "nation", mode="append")
+    assert read_zone_table(spark, "silver", "nation").count() == 50
+    spark.sql("DROP TABLE IF EXISTS bronze_nation")
+    spark.sql("DROP TABLE IF EXISTS silver_nation")
+
+
+# ---- ingest flow (flows/landing.py:69-74 analog) ----
+
+
+def test_ingest_folder_chunks_and_routes(tmp_path):
+    src = tmp_path / "csv"
+    src.mkdir()
+    for ds in ("albums", "bands"):
+        with open(src / f"{ds}.csv", "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["id", "x"])
+            for i in range(500):
+                w.writerow([i, f"{ds}-{i}"])
+    assert [p.endswith("albums.csv") for p in list_csv(str(src))][0]
+    out = ingest_folder(str(src), str(tmp_path / "landing"), max_bytes=2048)
+    assert set(out) == {"albums", "bands"}
+    assert all(len(chunks) > 1 for chunks in out.values()), "must chunk"
+    for ds, chunks in out.items():
+        assert all(f"/landing/{ds}/" in c for c in chunks), "routed by dataset"
+
+
+# ---- bucketed co-located join: no Exchange before SortMergeJoin ----
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    li = load_table(spark, SF, "lineitem")
+    orders = load_table(spark, SF, "orders")
+    write_bucketed_fact(li, "wh", "lineitem_b", "l_orderkey", n_buckets=8)
+    write_bucketed_fact(
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"), "wh", "orders_b", "l_orderkey", 8
+    )
+    a = spark.table("wh_lineitem_b")
+    b = spark.table("wh_orders_b")
+    joined = a.join(b, "l_orderkey").select("l_orderkey", "l_quantity", "o_totalprice")
+    # disable broadcast so the co-located SMJ path is what gets planned
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join must not shuffle:\n{plan}"
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS wh_lineitem_b")
+        spark.sql("DROP TABLE IF EXISTS wh_orders_b")
+
+
+# ---- salting: exact equivalence with direct operations ----
+
+
+def test_salted_aggregate_equals_direct(spark):
+    orders = load_table(spark, SF, "orders")
+    salted = salted_aggregate(
+        orders,
+        ["o_orderstatus"],
+        {
+            "n": ("count", "o_orderkey"),
+            "total": ("sum", "o_totalprice"),
+            "lo": ("min", "o_totalprice"),
+            "hi": ("max", "o_totalprice"),
+        },
+        n_salts=8,
+    )
+    direct = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_totalprice").alias("total"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+    got = {r["o_orderstatus"]: (r["n"], round(r["total"], 4), r["lo"], r["hi"]) for r in salted.collect()}
+    want = {r["o_orderstatus"]: (r["n"], round(r["total"], 4), r["lo"], r["hi"]) for r in direct.collect()}
+    assert got == want
+
+
+def test_salted_join_equals_direct(spark):
+    orders = load_table(spark, SF, "orders")
+    customer = load_table(spark, SF, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    salted = salted_join(orders, customer, "o_custkey", n_salts=4)
+    direct = orders.join(customer, "o_custkey")
+    assert salted.count() == direct.count()
+    got = sorted((r["o_orderkey"], r["c_name"]) for r in salted.select("o_orderkey", "c_name").collect())
+    want = sorted((r["o_orderkey"], r["c_name"]) for r in direct.select("o_orderkey", "c_name").collect())
+    assert got == want
