@@ -63,6 +63,22 @@ def _shingles(docs: DataFrame) -> DataFrame:
     )
 
 
+def _hashed_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh) distinct, deduped on the 60-bit hash — the distinct
+    shuffles 8-byte keys instead of shingle strings. Equivalent to
+    hashing after a string-distinct (the hash is injective modulo
+    ~2^-61 collisions; the oracle hashes the same way)."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - (_SHINGLE_N - 1))
+    shingle = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, _SHINGLE_N)))
+    return (
+        docs.select("doc_id", F.explode(shingle).alias("shingle"))
+        .select("doc_id", hash60("shingle").alias("sh"))
+        .dropDuplicates(["doc_id", "sh"])
+    )
+
+
 _SHINGLES_SQL = rf"""
 WITH tok AS (
     SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS toks FROM documents
@@ -124,12 +140,14 @@ SELECT doc_a, doc_b, n_common, jaccard FROM ranked WHERE rn <= 3
 @register("dedup_ngram_jaccard", oracle=_JACCARD_SQL)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # 60-bit hashed shingles: the inverted-index self-join shuffles 8-byte
-    # keys instead of ~20-byte strings (same dedup semantics; collision
-    # probability ~2^-61 per pair, and the oracle hashes identically).
-    shingled = _shingles(docs).select("doc_id", hash60("shingle").alias("sh")).cache()
+    # 60-bit hashed shingles end-to-end: the distinct, the df count, and
+    # the inverted-index self-join all shuffle 8-byte keys instead of
+    # ~20-byte strings (same semantics; the oracle hashes identically).
+    shingled = _hashed_shingles(docs)
     df_counts = shingled.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    filtered = shingled.join(df_counts.filter(F.col("df") <= _MAX_DF).select("sh"), "sh")
+    filtered = shingled.join(
+        df_counts.filter(F.col("df") <= _MAX_DF).select("sh"), "sh"
+    ).cache()
     sizes = filtered.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = filtered.alias("a")
     b = filtered.alias("b")
@@ -198,7 +216,7 @@ def _minhash_columns(shingled: DataFrame) -> DataFrame:
     shuffle at one row per document and lets later stages read signature
     components without a join — the layout that survives 100 TB.
     """
-    hashed = shingled.select("doc_id", (hash60("shingle") % _MERSENNE_P).alias("h"))
+    hashed = shingled.select("doc_id", (F.col("sh") % _MERSENNE_P).alias("h"))
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MERSENNE_P).alias(f"m{i}")
         for i, (a, b) in enumerate(_MINHASH_AB)
@@ -229,7 +247,7 @@ _MINHASH_SIG_SQL = _SIG_SQL + "SELECT doc_id, i AS hash_no, minhash FROM sig"
 @register("dedup_minhash_signatures", oracle=_MINHASH_SIG_SQL)
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sig = _minhash_columns(_shingles(docs))
+    sig = _minhash_columns(_hashed_shingles(docs))
     pairs = F.array(
         *[
             F.struct(F.lit(i).cast("long").alias("hash_no"), F.col(f"m{i}").alias("minhash"))
@@ -273,7 +291,7 @@ SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= {_EST_THRESHOLD}
 @register("dedup_minhash_lsh", oracle=_LSH_SQL)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sig = _minhash_columns(_shingles(docs)).cache()
+    sig = _minhash_columns(_hashed_shingles(docs)).cache()
     # Band buckets straight from the signature columns (band b covers
     # components [b*_BAND_ROWS, (b+1)*_BAND_ROWS)); no per-component
     # explode/regroup. Bucket string matches the oracle's
