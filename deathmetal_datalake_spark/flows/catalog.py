@@ -57,3 +57,21 @@ def write_bucketed_fact(
         .saveAsTable(name)
     )
     return name
+
+
+def write_partitioned_events(df: DataFrame, path: str, partition_col: str = "event_date") -> None:
+    """Date-partitioned event layout: `events/event_date=YYYY-MM-DD/...`.
+
+    The partitioning lever for time-series at 100 TB — queries with a
+    date predicate scan only the matching directories (PartitionFilters
+    in the plan), turning a full-table scan into a per-day read.
+    """
+    from pyspark.sql import functions as F
+
+    (
+        df.withColumn(partition_col, F.to_date("ts"))
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .option("compression", "snappy")
+        .parquet(path)
+    )

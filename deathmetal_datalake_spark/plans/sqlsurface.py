@@ -1,0 +1,146 @@
+"""Wider SQL-surface coverage: pivot, percentiles, correlation from
+exact sums, ordered array/string aggregation.
+
+Determinism notes: percentiles interpolate over sorted values (no
+summation — engine-independent); correlation is assembled in plain
+double arithmetic from exact DECIMAL sums rather than calling corr()
+(whose streaming accumulation is engine/order-dependent); ordered
+collects fix the element order on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deathmetal_datalake_spark.plans.registry import register
+from deathmetal_datalake_spark.sources.tables import load_table
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+_PIVOT_SQL = """
+SELECT o_orderstatus AS status,
+       {cols}
+FROM orders
+GROUP BY status
+""".format(
+    cols=",\n       ".join(
+        f"SUM(CASE WHEN o_orderpriority = '{p}' THEN 1 ELSE 0 END) AS p{i + 1}"
+        for i, p in enumerate(_PRIORITIES)
+    )
+)
+
+
+@register("pivot_status_by_priority", oracle=_PIVOT_SQL)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy(F.col("o_orderstatus").alias("status"))
+        .pivot("o_orderpriority", _PRIORITIES)
+        .count()
+    )
+    # pivot leaves NULL for absent cells; the CASE-sum oracle yields 0.
+    renamed = pivoted.select(
+        "status",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(f"p{i + 1}")
+            for i, p in enumerate(_PRIORITIES)
+        ],
+    )
+    return renamed
+
+
+_PCT_SQL = """
+SELECT o_orderstatus AS status,
+       ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.90), 4) AS p90
+FROM orders GROUP BY status
+"""
+
+
+@register("percentile_prices_by_status", oracle=_PCT_SQL)
+def percentile_prices_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.90)"), 4).alias("p90"),
+    )
+
+
+# Pearson correlation assembled from exact decimal sums (deterministic
+# across engines, unlike built-in corr()'s streaming accumulation).
+_CORR_SQL = """
+WITH sums AS (
+    SELECT l_returnflag AS flag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS syy
+    FROM lineitem GROUP BY flag
+)
+SELECT flag,
+       n,
+       ROUND((n * sxy - sx * sy) /
+             (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS qty_price_corr
+FROM sums
+"""
+
+
+@register("corr_qty_price_by_flag", oracle=_CORR_SQL)
+def corr_qty_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    sums = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast("decimal(18,6)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(18,6)")).cast("double").alias("sy"),
+        F.sum((x * y).cast("decimal(24,6)")).cast("double").alias("sxy"),
+        F.sum((x * x).cast("decimal(18,6)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(28,6)")).cast("double").alias("syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx", "syy"))
+    corr = (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+    return sums.select("flag", "n", F.round(corr, 6).alias("qty_price_corr"))
+
+
+_ARRAY_AGG_SQL = """
+SELECT n_name AS nation_name,
+       (list(c_name ORDER BY c_name))[1:3] AS top_names,
+       COUNT(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY nation_name
+"""
+
+
+@register("array_agg_first_names", oracle=_ARRAY_AGG_SQL)
+def array_agg_first_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+    return joined.groupBy(F.col("n_name").alias("nation_name")).agg(
+        F.slice(F.array_sort(F.collect_list("c_name")), 1, 3).alias("top_names"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+_STRING_AGG_SQL = """
+SELECT c_mktsegment AS segment,
+       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY segment
+"""
+
+
+@register("string_agg_statuses", oracle=_STRING_AGG_SQL)
+def string_agg_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(customer, orders.o_custkey == customer.c_custkey)
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("o_orderstatus"))).alias("statuses")
+    )

@@ -126,3 +126,24 @@ def test_salted_join_equals_direct(spark):
     got = sorted((r["o_orderkey"], r["c_name"]) for r in salted.select("o_orderkey", "c_name").collect())
     want = sorted((r["o_orderkey"], r["c_name"]) for r in direct.select("o_orderkey", "c_name").collect())
     assert got == want
+
+
+# ---- partitioned layout: partition pruning reaches the plan ----
+
+
+def test_partitioned_events_prune(spark, tmp_path):
+    from deathmetal_datalake_spark.flows.catalog import write_partitioned_events
+
+    ev = load_table(spark, SF, "events")
+    path = str(tmp_path / "events_part")
+    write_partitioned_events(ev, path)
+    back = spark.read.parquet(path)
+    q = back.filter(F.col("event_date") == "2024-01-05")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    # the pruned read must match a full-scan filter exactly
+    full = back.filter(F.to_date("ts") == "2024-01-05").count()
+    assert q.count() == full and full > 0
