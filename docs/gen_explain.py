@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Regenerate docs/EXPLAIN.md — captured physical plans for the
+headline queries at sf0.1 (plan-quality evidence: pushdown, pruning,
+broadcasts, WindowGroupLimit)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import pathlib
+
+from deathmetal_datalake_spark.plans import QUERIES
+from deathmetal_datalake_spark.session import get_spark
+
+NAMES = [
+    "tpch_q6_forecast_revenue",
+    "tpch_q1_pricing_summary",
+    "flagship_multijoin",
+    "g1_top10_customers_per_nation",
+    "tpch_q5_regional_revenue",
+    "dedup_minhash_lsh",
+    "similarity_ann_lsh_topk",
+]
+
+_DETAIL_PREFIXES = (
+    "Output",
+    "Input",
+    "Arguments",
+    "Functions",
+    "Aggregate Attributes",
+    "Results",
+    "Keys",
+    "Join condition",
+    "Left keys",
+    "Right keys",
+    "Condition",
+)
+
+
+def main() -> None:
+    spark = get_spark(master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/root/testdata/sf0.1"
+    out = [
+        "# EXPLAIN — captured physical plans for headline queries (sf0.1)",
+        "",
+        "Generated evidence that the plans are the ones a 100 TB deployment",
+        "wants: predicate pushdown (`PushedFilters`), column pruning",
+        "(`ReadSchema`), broadcast dimension joins (`BroadcastHashJoin`),",
+        "rank-limit pushdown (`WindowGroupLimit`), and whole-stage codegen.",
+        "Regenerate with `python docs/gen_explain.py`.",
+        "",
+    ]
+    for name in NAMES:
+        df = QUERIES[name](spark, sf)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        out += [f"## {name}", "", "```"]
+        for line in buf.getvalue().splitlines():
+            if line.strip().startswith(_DETAIL_PREFIXES):
+                continue
+            out.append(line.rstrip())
+        out += ["```", ""]
+    pathlib.Path(__file__).with_name("EXPLAIN.md").write_text("\n".join(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -106,3 +106,37 @@ def test_top_n_per_group_deterministic_ties(spark):
     top = top_n_per_group(df, ["g"], [F.desc("score"), F.asc("id")], n=2)
     got = sorted((r["g"], r["id"]) for r in top.collect())
     assert got == [("a", 1), ("a", 2), ("b", 4)], "ties broken by id, stable"
+
+
+# ---- S2 chunker: lossless round-trip property ----
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**6), st.text(st.characters(codec="ascii", exclude_characters='",\n\r'), max_size=12)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=64, max_value=512),
+)
+@settings(max_examples=25, deadline=None)
+def test_chunker_roundtrip_property(tmp_path_factory, rows, max_bytes):
+    import csv as _csv
+    from pathlib import Path
+
+    from deathmetal_datalake_spark.streaming.landing import chunk_csv
+
+    tmp = tmp_path_factory.mktemp("chunkprop")
+    src = tmp / "data.csv"
+    with open(src, "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["id", "val"])
+        w.writerows(rows)
+    chunks = chunk_csv(str(src), str(tmp / "out"), max_bytes=max_bytes)
+    rebuilt = []
+    for c in chunks:
+        lines = Path(c).read_text().splitlines()
+        assert lines[0] == "id,val"
+        rebuilt.extend(lines[1:])
+    original = Path(src).read_text().splitlines()[1:]
+    assert rebuilt == original, "chunking must be lossless and ordered"
