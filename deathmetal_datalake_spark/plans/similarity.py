@@ -271,3 +271,98 @@ def similarity_pandas_udf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOP_K)
         .select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN: training-free coarse quantizer (every 125th corpus
+# vector is a centroid), cosine cluster assignment, search within the
+# query's cluster (nprobe=1). Complements the LSH variant: IVF buckets
+# adapt to the data distribution where LSH buckets are data-oblivious.
+# Assignment uses ROUNDED similarity + centroid-id tie-break so both
+# engines pick identical clusters.
+# ---------------------------------------------------------------------------
+
+_CENTROID_MOD = 125
+_CENTROID_REM = 7
+_IVF_TOP_K = 5
+
+_IVF_COS = (
+    "ROUND(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+_IVF_SQL = f"""
+WITH vecs AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+centroids AS (
+    SELECT vec_id AS cid, emb AS cemb FROM vecs WHERE vec_id % {_CENTROID_MOD} = {_CENTROID_REM}
+),
+assigned AS (
+    SELECT vec_id, emb, cid FROM (
+        SELECT v.vec_id, v.emb, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {_IVF_COS.format(a='v.emb', b='c.cemb')} DESC, c.cid ASC
+               ) AS rn
+        FROM vecs v CROSS JOIN centroids c
+    ) WHERE rn = 1
+),
+queries AS (
+    SELECT vec_id AS query_id, emb AS qemb, cid FROM assigned WHERE vec_id % {_QUERY_MOD} = 0
+),
+scored AS (
+    SELECT q.query_id, v.vec_id,
+           ROUND(list_dot_product(q.qemb, v.emb) /
+                 (sqrt(list_dot_product(q.qemb, q.qemb)) * sqrt(list_dot_product(v.emb, v.emb))),
+                 4) AS cosine
+    FROM queries q JOIN assigned v ON q.cid = v.cid AND q.query_id <> v.vec_id
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+    ) AS rank FROM scored
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {_IVF_TOP_K}
+"""
+
+
+@register("similarity_ivf_topk", oracle=_IVF_SQL)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("emb")
+    )
+    centroids = vecs.filter(
+        F.col("vec_id") % _CENTROID_MOD == _CENTROID_REM
+    ).select(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
+    sim_to_centroid = F.round(
+        _dot(F.col("emb"), F.col("cemb"))
+        / (F.sqrt(_dot(F.col("emb"), F.col("emb"))) * F.sqrt(_dot(F.col("cemb"), F.col("cemb")))),
+        6,
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("centroid_sim"), F.asc("cid")
+    )
+    assigned = (
+        vecs.crossJoin(broadcast(centroids))
+        .withColumn("centroid_sim", sim_to_centroid)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "emb", "cid")
+    )
+    queries = assigned.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"), F.col("cid").alias("qcid")
+    )
+    cosine = _dot(F.col("qemb"), F.col("emb")) / (
+        F.sqrt(_dot(F.col("qemb"), F.col("qemb"))) * F.sqrt(_dot(F.col("emb"), F.col("emb")))
+    )
+    scored = assigned.join(
+        broadcast(queries),
+        (F.col("qcid") == F.col("cid")) & (F.col("query_id") != F.col("vec_id")),
+    ).select("query_id", "vec_id", F.round(cosine, 4).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _IVF_TOP_K)
+        .select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )

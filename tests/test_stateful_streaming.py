@@ -1,0 +1,71 @@
+"""applyInPandasWithState: state must accumulate across micro-batches
+and the final emission must equal the batch aggregate."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from deathmetal_datalake_spark.sources.tables import load_table
+from deathmetal_datalake_spark.streaming.stateful import running_user_totals
+from deathmetal_datalake_spark.streaming.windows import EVENT_SCHEMA
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    rows = load_table(spark, SF, "events").collect()
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    n = (len(rows) + 3) // 4
+    for part in range(4):
+        with open(drops / f"d{part}.json", "w") as f:
+            for r in rows[part * n : (part + 1) * n]:
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": r["event_id"],
+                            "ts": r["ts"].isoformat(sep=" "),
+                            "user_id": r["user_id"],
+                            "event_type": r["event_type"],
+                            "value": r["value"],
+                            "props": r["props"],
+                        }
+                    )
+                    + "\n"
+                )
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # force one micro-batch per drop
+        .json(str(drops))
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    emitted = spark.table("running_totals")
+    # multiple batches → multiple emissions per user (state carried over)
+    assert emitted.count() > emitted.select("user_id").distinct().count()
+    final = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in emitted.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_value")).alias("s"))
+        .select("user_id", "s.n_events", "s.total_value")
+        .collect()
+    }
+    batch = {
+        r["user_id"]: (r["n"], round(r["t"], 6))
+        for r in load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert final == batch
