@@ -428,3 +428,126 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bucket = (F.floor(F.length("text") / 200) * 200).cast("long")
     return docs.groupBy(bucket.alias("bucket_start")).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q4: priority checking via correlated EXISTS (late lineitems).
+# ---------------------------------------------------------------------------
+
+_Q4_SQL = """
+SELECT o_orderpriority AS priority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY priority
+"""
+
+
+@register("tpch_q4_priority_checking", oracle=_Q4_SQL)
+def tpch_q4_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    in_range = orders.filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1996-07-01 00:00:00'"))
+    )
+    # Correlated EXISTS with an extra predicate = left_semi on a
+    # two-condition join (equi key + range) — Catalyst plans the range
+    # part as a join residual.
+    matched = in_range.join(
+        li,
+        (in_range.o_orderkey == li.l_orderkey) & (li.l_shipdate > in_range.o_orderdate),
+        "left_semi",
+    )
+    return matched.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q13: customer order-count distribution (histogram of counts).
+# ---------------------------------------------------------------------------
+
+_Q13_SQL = """
+WITH per_cust AS (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+"""
+
+
+@register("tpch_q13_customer_distribution", oracle=_Q13_SQL)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q18: large-volume customers (HAVING over a grouped sum, joined
+# back to the parents).
+# ---------------------------------------------------------------------------
+
+_Q18_SQL = """
+WITH big AS (
+    SELECT l_orderkey
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 250
+)
+SELECT c_custkey AS cust_id,
+       c_name AS cust_name,
+       o_orderkey AS order_id,
+       o_totalprice AS total_price,
+       {qty}
+FROM orders
+JOIN big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN lineitem ON lineitem.l_orderkey = o_orderkey
+GROUP BY cust_id, cust_name, order_id, total_price
+ORDER BY total_price DESC, order_id ASC
+LIMIT 50
+""".format(qty=sql_dsum("l_quantity", "total_qty"))
+
+
+@register("tpch_q18_large_volume", oracle=_Q18_SQL)
+def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    joined = (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(li.alias("li2"), F.col("li2.l_orderkey") == orders.o_orderkey)
+    )
+    return (
+        joined.groupBy(
+            F.col("c_custkey").alias("cust_id"),
+            F.col("c_name").alias("cust_name"),
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_totalprice").alias("total_price"),
+        )
+        .agg(dsum(F.col("li2.l_quantity"), "total_qty"))
+        .orderBy(F.desc("total_price"), F.asc("order_id"))
+        .limit(50)
+        .select("cust_id", "cust_name", "order_id", "total_price", "total_qty")
+    )

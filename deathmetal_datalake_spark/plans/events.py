@@ -191,18 +191,30 @@ FROM events
 """
 
 
-@register("events_lag_delta")
+_LAG_GAP_SQL = """
+SELECT event_id,
+       user_id,
+       ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS value_delta,
+       date_diff('microsecond',
+                 LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                 CAST(ts AS TIMESTAMP)) AS gap_micros
+FROM events
+"""
+
+
+@register("events_lag_delta", oracle=_LAG_GAP_SQL)
 def events_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # No oracle: interval types hash differently across engines; the
-    # rows-only check still validates execution. A value-only variant is
-    # oracle-checked below.
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
-    return ev.select(
+    with_prev = ev.withColumn("__prev", F.lag("ts").over(w)).withColumn(
+        "__prev_value", F.lag("value").over(w)
+    )
+    return with_prev.select(
         "event_id",
         "user_id",
-        F.round(F.col("value") - F.lag("value").over(w), 6).alias("value_delta"),
-        (F.col("ts") - F.lag("ts").over(w)).alias("gap"),
+        F.round(F.col("value") - F.col("__prev_value"), 6).alias("value_delta"),
+        # timestampdiff over TIMESTAMP_NTZ operands — timezone-free.
+        F.expr("timestampdiff(MICROSECOND, __prev, ts)").alias("gap_micros"),
     )
 
 
