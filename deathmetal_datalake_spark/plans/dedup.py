@@ -67,13 +67,20 @@ def _hashed_shingles(docs: DataFrame) -> DataFrame:
     """(doc_id, sh) distinct, deduped on the 60-bit hash — the distinct
     shuffles 8-byte keys instead of shingle strings. Equivalent to
     hashing after a string-distinct (the hash is injective modulo
-    ~2^-61 collisions; the oracle hashes the same way)."""
+    ~2^-61 collisions; the oracle hashes the same way).
+
+    The input is repartitioned to full parallelism first: document
+    tables compress to few parquet splits, so without this the
+    expensive explode+md5 map stage runs on a handful of scan tasks
+    (measured 10× slowdown at 10× scale on a 32-core local run).
+    """
+    spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     n = F.size(toks)
     idx = F.sequence(F.lit(1), n - (_SHINGLE_N - 1))
     shingle = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, _SHINGLE_N)))
     return (
-        docs.select("doc_id", F.explode(shingle).alias("shingle"))
+        spread.select("doc_id", F.explode(shingle).alias("shingle"))
         .select("doc_id", hash60("shingle").alias("sh"))
         .dropDuplicates(["doc_id", "sh"])
     )
@@ -146,11 +153,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~15% faster at sf0.1 with identical pair sets. The df cap is the
     # list-size filter (a shingle's df == its distinct doc count).
     shingled = _hashed_shingles(docs)
+    # Cached: consumed by both the sizes branch and the pair branch —
+    # without it the whole shingle pipeline re-executes per consumer.
     lists = (
         shingled.groupBy("sh")
         .agg(F.collect_list("doc_id").alias("ds"))
         .filter(F.size("ds") <= _MAX_DF)
-    )
+    ).cache()
     sizes = (
         lists.select(F.explode("ds").alias("doc_id"))
         .groupBy("doc_id")
