@@ -90,7 +90,9 @@ def decode_media(
                 }
             )
 
-    return df.select(id_col, content_col).mapInPandas(batches, schema=_DECODE_OUT)
+    spread = df.select(id_col, content_col)
+    spread = spread.repartition(spread.sparkSession.sparkContext.defaultParallelism)
+    return spread.mapInPandas(batches, schema=_DECODE_OUT)
 
 
 _FRAME_OUT = StructType(
@@ -124,7 +126,9 @@ def sample_frames(
                     frames.append(raw[i : i + every_n_bytes])
             yield pd.DataFrame({"media_id": ids, "frame_no": nos, "frame": frames})
 
-    return df.select(id_col, content_col).mapInPandas(batches, schema=_FRAME_OUT)
+    spread = df.select(id_col, content_col)
+    spread = spread.repartition(spread.sparkSession.sparkContext.defaultParallelism)
+    return spread.mapInPandas(batches, schema=_FRAME_OUT)
 
 
 def documents_as_media(docs: DataFrame) -> DataFrame:

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from deathmetal_datalake_spark.plans.registry import hash60, register, sql_hash60
+from deathmetal_datalake_spark.plans.registry import hash60, register, spread, sql_hash60
 from deathmetal_datalake_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -398,7 +398,7 @@ GROUP BY doc_id
 
 @register("dedup_simhash", oracle=_SIMHASH_SQL)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     tokens = docs.select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),

@@ -84,3 +84,12 @@ def sql_davg(expr: str, alias: str, scale: int = 6) -> str:
 
 def sql_hash60(expr: str) -> str:
     return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def spread(df: "DataFrame") -> "DataFrame":
+    """Repartition to full parallelism ahead of a row-multiplying or
+    compute-heavy stage. Narrow/compressed tables (documents,
+    embeddings) scan as 1-10 parquet splits, which would otherwise cap
+    the downstream stage at scan-task parallelism (docs/SCALING.md §1).
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)

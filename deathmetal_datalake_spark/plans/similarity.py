@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from deathmetal_datalake_spark.plans.registry import register
+from deathmetal_datalake_spark.plans.registry import register, spread
 from deathmetal_datalake_spark.sources.tables import load_table
 
 _QUERY_MOD = 50  # vec_id % 50 == 0 → the query subset
@@ -63,8 +63,10 @@ SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {_TOP_K}
 
 @register("similarity_bruteforce_topk", oracle=_BRUTE_SQL)
 def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vecs = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double("embedding").alias("emb")
+    vecs = spread(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", _as_double("embedding").alias("emb")
+        )
     )
     queries = vecs.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
@@ -115,8 +117,10 @@ WHERE list_dot_product(a.emb, b.emb) /
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs, blocked by label (candidates come from
     within a block — the blocked/bucketed shape that avoids global n²)."""
-    vecs = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", _as_double("embedding").alias("emb")
+    vecs = spread(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", _as_double("embedding").alias("emb")
+        )
     )
     a = vecs.alias("a")
     b = vecs.alias("b")
@@ -216,8 +220,10 @@ SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {_ANN_TOP_K}
 
 @register("similarity_ann_lsh_topk", oracle=_ANN_SQL)
 def similarity_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vecs = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double("embedding").alias("emb")
+    vecs = spread(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", _as_double("embedding").alias("emb")
+        )
     )
     bucketed = vecs.withColumn("bucket", _bucket_expr_spark(F.col("emb")))
     queries = bucketed.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
@@ -254,8 +260,10 @@ def similarity_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_pandas_udf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deathmetal_datalake_spark.functions.vector import cosine_sim
 
-    vecs = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double("embedding").alias("emb")
+    vecs = spread(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", _as_double("embedding").alias("emb")
+        )
     )
     queries = vecs.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
@@ -329,8 +337,10 @@ SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {_IVF_TOP_K}
 
 @register("similarity_ivf_topk", oracle=_IVF_SQL)
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vecs = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double("embedding").alias("emb")
+    vecs = spread(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", _as_double("embedding").alias("emb")
+        )
     )
     centroids = vecs.filter(
         F.col("vec_id") % _CENTROID_MOD == _CENTROID_REM
