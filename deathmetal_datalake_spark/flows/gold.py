@@ -66,21 +66,22 @@ def band_avg_scores(reviews: DataFrame, music: DataFrame) -> DataFrame:
 
 
 def brazilian_bands(scores: DataFrame) -> DataFrame:
-    """G4 (`flows/gold.py:113-122`): normalize country, isin brazil
+    """G4 (`flows/gold.py:113-122`): derived ``country_normalized``
+    column (the original is kept, as in the reference), isin brazil
     variants, sort by avg_score desc. Consumes G2's result
     (`flows/gold.py:161-162`)."""
     return (
-        scores.withColumn("country", normalize_country("country"))
-        .filter(F.col("country").isin(_BRAZIL_VARIANTS))
+        scores.withColumn("country_normalized", normalize_country("country"))
+        .filter(F.col("country_normalized").isin(_BRAZIL_VARIANTS))
         .orderBy(F.desc("avg_score"))
     )
 
 
 def band_album_counts(music: DataFrame) -> DataFrame:
-    """G3 (`flows/gold.py:125-131`): albums per band."""
+    """G3 (`flows/gold.py:125-131`): albums per band, sorted desc."""
     return grouped_stats(
         music, ["band_id", "band_name", "country"], "band_id", {"album_count": "count"}
-    )
+    ).orderBy(F.desc("album_count"))
 
 
 def band_score_ranking(scores: DataFrame) -> DataFrame:

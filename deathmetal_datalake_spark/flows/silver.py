@@ -61,13 +61,18 @@ def transform_bands(df: DataFrame) -> DataFrame:
 def transform_reviews(df: DataFrame) -> DataFrame:
     """Reviews typing (`flows/silver.py:98-115`): embedded-header filter
     (:108), id/album strict Int64, score Float64, content pipe→comma
-    (:113)."""
+    (:113). ``title`` is NOT in the reference's validation set
+    (`flows/silver.py:100-105`) — it is carried through when present
+    (its usage appears only downstream, `main.py:62-64`)."""
     validate_columns(df, REQUIRED_COLUMNS["reviews"], "reviews")
     cleaned = drop_embedded_header_rows(df, "id")
+    title = (
+        F.col("title").cast("string") if "title" in df.columns else F.lit(None).cast("string")
+    )
     return cleaned.select(
         strict_cast("id", "long").alias("id"),
         strict_cast("album", "long").alias("album"),
-        F.col("title").cast("string").alias("title"),
+        title.alias("title"),
         strict_cast("score", "double").alias("score"),
         pipe_to_comma(F.col("content").cast("string")).alias("content"),
     )

@@ -78,7 +78,9 @@ ALBUM_REVIEWS = _st(
 REQUIRED_COLUMNS = {
     "albums": ["id", "title", "band", "year"],
     "bands": ["id", "name", "country", "genre", "theme", "status", "formed_in", "active"],
-    "reviews": ["id", "album", "title", "score", "content"],
+    # `title` intentionally absent: the reference validates reviews on
+    # {id, album, score, content} only (flows/silver.py:100-105).
+    "reviews": ["id", "album", "score", "content"],
 }
 
 DATASETS = ("albums", "bands", "reviews")

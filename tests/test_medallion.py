@@ -187,7 +187,7 @@ def test_gold_band_avg_scores(spark, pipeline):
 
 _BRAZILIAN = f"""
 WITH scores AS ({_BAND_SCORES.strip()})
-SELECT band_id, band_name, LOWER(TRIM(country)) AS country,
+SELECT band_id, band_name, country, LOWER(TRIM(country)) AS country_normalized,
        review_count, avg_score, min_score, max_score, std_score
 FROM scores WHERE LOWER(TRIM(country)) IN ('brazil', 'brasil')
 """
@@ -196,7 +196,7 @@ FROM scores WHERE LOWER(TRIM(country)) IN ('brazil', 'brasil')
 def test_gold_brazilian_bands(spark, pipeline):
     df = spark.read.parquet(pipeline["gold"]["brazilian_bands"])
     _assert_same(
-        df.select("band_id", "band_name", "country", "review_count", "avg_score", "min_score", "max_score", "std_score"),
+        df.select("band_id", "band_name", "country", "country_normalized", "review_count", "avg_score", "min_score", "max_score", "std_score"),
         _BRAZILIAN,
         pipeline["base"],
     )
@@ -230,13 +230,24 @@ def test_top10_truncates(spark, pipeline):
 
 
 def test_analysis_chain(spark, pipeline):
+    from deathmetal_datalake_spark.flows.analysis import albums_reviews
+
     albums = spark.read.parquet(pipeline["silver"]["albums"])
     bands = spark.read.parquet(pipeline["silver"]["bands"])
     reviews = spark.read.parquet(pipeline["silver"]["reviews"])
     result = analysis_chain(albums, bands, reviews)
     rows = result.collect()
     assert len(rows) > 0
-    # P10: the literal 'None' strings are gone.
-    assert all(r["band_name"] != "None" and r["album_title"] != "None" for r in rows)
-    # Right-join path: albums with zero reviews appear with null review_id.
-    assert any(r["review_id"] is None for r in rows)
+    assert result.columns == [
+        "name", "country", "status", "formed_in", "title_album",
+        "year_album", "title_review", "score", "content",
+    ]
+    # P10: the literal 'None' strings (and NULL title_review rows from
+    # unreviewed albums — null-propagating `!=`) are gone.
+    assert all(r["name"] != "None" and r["title_review"] not in (None, "None") for r in rows)
+    # Right-join path: the intermediate mart keeps unreviewed albums.
+    ar = albums_reviews(
+        reviews.withColumnRenamed("album", "album_id"),
+        albums.withColumnRenamed("id", "album_id"),
+    )
+    assert ar.filter("id_review IS NULL").count() > 0
