@@ -29,6 +29,6 @@ def ingest_folder(
     key of ``flows/landing.py:31-35``). Returns dataset → chunk paths."""
     out: dict[str, list[str]] = {}
     for csv_path in list_csv(source_dir):
-        dataset = Path(csv_path).stem
+        dataset = Path(csv_path).stem.lower()  # `flows/landing.py:30`
         out[dataset] = chunk_csv(csv_path, os.path.join(landing_dir, dataset), max_bytes)
     return out

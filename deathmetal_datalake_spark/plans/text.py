@@ -238,3 +238,76 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     return docs.select("doc_id", hash60(normalized).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Composite quality filter: the keep/drop decision an LLM-corpus
+# pipeline applies before training — thresholds over the quality
+# signals, emitted with per-doc reasons for auditability.
+# ---------------------------------------------------------------------------
+
+_FILTER_SQL = rf"""
+WITH tok AS (
+    SELECT doc_id,
+           string_split_regex(TRIM(text), '\s+') AS toks,
+           LENGTH(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
+           LENGTH(text) AS n_chars
+    FROM documents
+),
+scored AS (
+    SELECT doc_id,
+           LENGTH(toks) AS n_tokens,
+           CAST(LENGTH(list_filter(toks, t -> list_contains({_STOP_SQL}, t))) AS DOUBLE)
+               / LENGTH(toks) AS stop_r,
+           CAST(n_punct AS DOUBLE) / n_chars AS punct_r,
+           CAST(list_aggregate(list_transform(toks, t -> LENGTH(t)), 'sum') AS DOUBLE)
+               / LENGTH(toks) AS mean_len
+    FROM tok
+)
+SELECT doc_id,
+       n_tokens,
+       (n_tokens >= 20 AND n_tokens <= 5000
+        AND punct_r <= 0.2 AND mean_len >= 2.0 AND mean_len <= 12.0) AS keep,
+       CASE WHEN n_tokens < 20 THEN 'too_short'
+            WHEN n_tokens > 5000 THEN 'too_long'
+            WHEN punct_r > 0.2 THEN 'too_much_punct'
+            WHEN mean_len < 2.0 OR mean_len > 12.0 THEN 'odd_token_len'
+            ELSE 'ok' END AS reason
+FROM scored
+"""
+
+
+@register("text_quality_filter", oracle=_FILTER_SQL)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    stop = F.array(*[F.lit(s) for s in _STOPWORDS])
+    stop_r = F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast("double") / n_tokens
+    punct_r = F.length(F.regexp_replace("text", r"[^.,!?;:]", "")).cast("double") / F.length("text")
+    mean_len = (
+        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)).cast("double")
+        / n_tokens
+    )
+    scored = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        stop_r.alias("stop_r"),
+        punct_r.alias("punct_r"),
+        mean_len.alias("mean_len"),
+    )
+    keep = (
+        (F.col("n_tokens") >= 20)
+        & (F.col("n_tokens") <= 5000)
+        & (F.col("punct_r") <= 0.2)
+        & (F.col("mean_len") >= 2.0)
+        & (F.col("mean_len") <= 12.0)
+    )
+    reason = (
+        F.when(F.col("n_tokens") < 20, F.lit("too_short"))
+        .when(F.col("n_tokens") > 5000, F.lit("too_long"))
+        .when(F.col("punct_r") > 0.2, F.lit("too_much_punct"))
+        .when((F.col("mean_len") < 2.0) | (F.col("mean_len") > 12.0), F.lit("odd_token_len"))
+        .otherwise(F.lit("ok"))
+    )
+    return scored.select("doc_id", "n_tokens", keep.alias("keep"), reason.alias("reason"))

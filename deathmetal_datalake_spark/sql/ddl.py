@@ -25,15 +25,12 @@ def register_zone_tables(spark: SparkSession, paths: dict[str, str], prefix: str
 
 RANKING_VIEW_SQL = """
 CREATE OR REPLACE TEMPORARY VIEW band_score_ranking AS
-SELECT band_id,
-       band_name,
-       country,
-       review_count,
+SELECT band_name,
        avg_score,
-       min_score,
-       max_score
+       review_count,
+       country
 FROM {scores_view}
-ORDER BY avg_score DESC, band_id ASC
+ORDER BY avg_score DESC, band_name ASC
 LIMIT 100
 """
 

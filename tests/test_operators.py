@@ -140,3 +140,23 @@ def test_chunker_roundtrip_property(tmp_path_factory, rows, max_bytes):
         rebuilt.extend(lines[1:])
     original = Path(src).read_text().splitlines()[1:]
     assert rebuilt == original, "chunking must be lossless and ordered"
+
+
+# ---- the portable 60-bit hash: Spark ≡ DuckDB on arbitrary strings ----
+
+
+@given(st.lists(st.text(min_size=0, max_size=40), min_size=1, max_size=20, unique=True))
+@settings(max_examples=10, deadline=None)
+def test_hash60_cross_engine_property(spark, strings):
+    import duckdb
+
+    from deathmetal_datalake_spark.plans.registry import hash60, sql_hash60
+
+    df = spark.createDataFrame([(s,) for s in strings], ["s"])
+    got = {r["s"]: r["h"] for r in df.select("s", hash60("s").alias("h")).collect()}
+    con = duckdb.connect()
+    want = {}
+    for s in strings:
+        want[s] = con.execute(f"SELECT {sql_hash60('?')}", [s]).fetchone()[0]
+    con.close()
+    assert got == want
