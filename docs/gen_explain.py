@@ -8,6 +8,9 @@ from __future__ import annotations
 import contextlib
 import io
 import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 from deathmetal_datalake_spark.plans import QUERIES
 from deathmetal_datalake_spark.session import get_spark
