@@ -551,3 +551,136 @@ def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select("cust_id", "cust_name", "order_id", "total_price", "total_qty")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q7: volume between two trading nations, split by year.
+# ---------------------------------------------------------------------------
+
+_Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year, {revenue}
+FROM (
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           l_extendedprice * (1 - l_discount) AS volume
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+""".format(revenue=sql_dsum("volume", "revenue"))
+
+
+@register("tpch_q7_nation_volume", oracle=_Q7_SQL)
+def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.alias("n1")
+    n2 = nation.alias("n2")
+    joined = (
+        li.join(broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(broadcast(n1), F.col("s_nationkey") == F.col("n1.n_nationkey"))
+        .join(broadcast(n2), F.col("c_nationkey") == F.col("n2.n_nationkey"))
+        .filter(
+            ((F.col("n1.n_name") == "NATION_1") & (F.col("n2.n_name") == "NATION_2"))
+            | ((F.col("n1.n_name") == "NATION_2") & (F.col("n2.n_name") == "NATION_1"))
+        )
+    )
+    return joined.groupBy(
+        F.col("n1.n_name").alias("supp_nation"),
+        F.col("n2.n_name").alias("cust_nation"),
+        F.year("l_shipdate").cast("long").alias("l_year"),
+    ).agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q15: top supplier(s) by revenue — view + max-match (subquery
+# against an aggregate, exact decimal so the max comparison is safe).
+# ---------------------------------------------------------------------------
+
+_Q15_SQL = """
+WITH revenue_view AS (
+    SELECT l_suppkey AS supplier_no, {rev}
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY supplier_no
+)
+SELECT s_suppkey AS supp_id, s_name AS supp_name, total_revenue
+FROM supplier JOIN revenue_view ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue_view)
+""".format(rev=sql_dsum("l_extendedprice * (1 - l_discount)", "total_revenue"))
+
+
+@register("tpch_q15_top_supplier", oracle=_Q15_SQL)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP_NTZ '1996-04-01 00:00:00'"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue"))
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        revenue.crossJoin(broadcast(top))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(broadcast(supplier), F.col("supplier_no") == supplier.s_suppkey)
+        .select(
+            F.col("s_suppkey").alias("supp_id"),
+            F.col("s_name").alias("supp_name"),
+            "total_revenue",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q19: discounted revenue under OR-of-ANDs predicates (tests
+# complex predicate pushdown / CNF handling).
+# ---------------------------------------------------------------------------
+
+_Q19_SQL = """
+SELECT {revenue}
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+""".format(revenue=sql_dsum("l_extendedprice * (1 - l_discount)", "revenue"))
+
+
+@register("tpch_q19_discounted_revenue", oracle=_Q19_SQL)
+def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 21)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 40)
+    )
+    return (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
