@@ -246,3 +246,63 @@ def events_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval join: view→purchase attribution (last view by the same user
+# within the 30 minutes preceding each purchase). The equi part
+# (user_id) carries the join; the time range is a join residual —
+# the shape Spark executes as a sort-merge join with range condition,
+# and Structured Streaming as a watermarked stream-stream join.
+# ---------------------------------------------------------------------------
+
+_ATTRIBUTION_SQL = """
+WITH purchases AS (
+    SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS pts, value
+    FROM events WHERE event_type = 'purchase'
+),
+views AS (
+    SELECT event_id AS view_id, user_id, CAST(ts AS TIMESTAMP) AS vts
+    FROM events WHERE event_type = 'view'
+),
+matched AS (
+    SELECT p.purchase_id, p.user_id, p.value, v.view_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY p.purchase_id ORDER BY v.vts DESC, v.view_id ASC
+           ) AS rn
+    FROM purchases p JOIN views v
+      ON p.user_id = v.user_id
+     AND v.vts <= p.pts
+     AND v.vts > p.pts - INTERVAL 30 MINUTE
+)
+SELECT purchase_id, user_id, value, view_id AS attributed_view_id
+FROM matched WHERE rn = 1
+"""
+
+
+@register("events_view_purchase_attribution", oracle=_ATTRIBUTION_SQL)
+def events_view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("pts"),
+        F.col("value"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("vts"),
+    )
+    joined = purchases.join(
+        views,
+        (purchases.user_id == views.v_user_id)
+        & (views.vts <= purchases.pts)
+        & (views.vts > purchases.pts - F.expr("INTERVAL 30 MINUTE")),
+    )
+    w = Window.partitionBy("purchase_id").orderBy(F.desc("vts"), F.asc("view_id"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("purchase_id", "user_id", "value", F.col("view_id").alias("attributed_view_id"))
+    )

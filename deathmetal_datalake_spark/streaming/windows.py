@@ -90,3 +90,40 @@ def start_to_memory(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_stream_attribution(
+    purchases: DataFrame,
+    views: DataFrame,
+    window: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: purchases matched to any
+    view by the same user within the preceding ``window``. Both sides
+    carry watermarks so the join state is bounded (views older than
+    purchase-watermark − window are evicted). Batch counterpart:
+    plans.events.events_view_purchase_attribution.
+    """
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("pts"),
+            F.col("value"),
+        )
+    )
+    v = (
+        views.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("vts"),
+        )
+    )
+    return p.join(
+        v,
+        (F.col("p_user_id") == F.col("v_user_id"))
+        & (F.col("vts") <= F.col("pts"))
+        & (F.col("vts") > F.col("pts") - F.expr(f"INTERVAL {window}")),
+    ).select("purchase_id", F.col("p_user_id").alias("user_id"), "value", "view_id")

@@ -82,3 +82,47 @@ def test_streaming_sessionization_runs(spark, tmp_path, event_files):
     rows = spark.table("sessions").collect()
     assert len(rows) > 0
     assert all(r["n_events"] >= 1 for r in rows)
+
+
+def test_stream_stream_attribution_equals_batch(spark, tmp_path, event_files):
+    from deathmetal_datalake_spark.streaming.windows import stream_stream_attribution
+    from pyspark.sql import functions as F
+
+    stream = read_event_stream(spark, event_files)
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    views = stream.filter(F.col("event_type") == "view")
+    joined = stream_stream_attribution(purchases, views)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attr_pairs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["purchase_id"], r["view_id"]) for r in spark.table("attr_pairs").collect()
+    }
+
+    ev = load_table(spark, SF, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), F.col("user_id").alias("vu"), F.col("ts").alias("vts")
+    )
+    want = {
+        (r["purchase_id"], r["view_id"])
+        for r in p.join(
+            v,
+            (F.col("pu") == F.col("vu"))
+            & (F.col("vts") <= F.col("pts"))
+            & (F.col("vts") > F.col("pts") - F.expr("INTERVAL 30 MINUTE")),
+        ).collect()
+    }
+    # Stream-stream inner join with availableNow emits every matched
+    # pair whose both sides fall inside watermark bounds; with a 1h
+    # watermark over a replayed bounded stream the full batch result is
+    # emitted.
+    assert got == want and len(got) > 0
