@@ -306,3 +306,74 @@ def events_view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFr
         .filter(F.col("rn") == 1)
         .select("purchase_id", "user_id", "value", F.col("view_id").alias("attributed_view_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel: earliest view → first click after it → first purchase after
+# that, per user. Sequential-dependency aggregation (each stage's
+# filter depends on the previous stage's timestamp).
+# ---------------------------------------------------------------------------
+
+_FUNNEL_SQL = """
+WITH v AS (
+    SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS first_view
+    FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS first_click
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.first_view
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS first_purchase
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.first_click
+    GROUP BY e.user_id
+)
+SELECT v.user_id,
+       v.first_view,
+       c.first_click,
+       p.first_purchase,
+       (c.first_click IS NOT NULL AND p.first_purchase IS NOT NULL) AS funnel_complete
+FROM v
+LEFT JOIN c ON v.user_id = c.user_id
+LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
+@register("events_funnel_view_click_purchase", oracle=_FUNNEL_SQL)
+def events_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "first_view",
+            "first_click",
+            "first_purchase",
+            (F.col("first_click").isNotNull() & F.col("first_purchase").isNotNull()).alias(
+                "funnel_complete"
+            ),
+        )
+    )
