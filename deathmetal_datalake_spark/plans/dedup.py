@@ -421,3 +421,79 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("simhash")
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components over the MinHash-LSH near-dup graph: the final
+# step of corpus dedup (transitive closure → one canonical doc per
+# cluster, labeled by the cluster's min doc_id). Spark side is iterative
+# min-label propagation (the standard large-graph CC algorithm —
+# converges in O(diameter) joins, lineage cut per iteration); oracle is
+# a recursive CTE over the identical edge set.
+# ---------------------------------------------------------------------------
+
+_CC_SQL = (
+    _SIG_SQL.replace("WITH tok AS", "WITH RECURSIVE tok AS", 1)
+    + f""",
+bands AS (
+    SELECT doc_id,
+           i // {_BAND_ROWS} AS band,
+           {sql_hash60("array_to_string(list(minhash ORDER BY i), '_')")} AS bucket
+    FROM sig
+    GROUP BY doc_id, i // {_BAND_ROWS}
+),
+candidates AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+est AS (
+    SELECT c.doc_a, c.doc_b,
+           CAST(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS DOUBLE)
+               / {_N_HASHES} AS est_jaccard
+    FROM candidates c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+    GROUP BY c.doc_a, c.doc_b
+),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM est WHERE est_jaccard >= {_EST_THRESHOLD}
+),
+und AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+cc(node, label) AS (
+    SELECT a AS node, a AS label FROM und
+    UNION
+    SELECT u.b AS node, cc.label FROM cc JOIN und u ON cc.node = u.a WHERE cc.label < u.b
+)
+SELECT d.doc_id,
+       COALESCE(comp.component, d.doc_id) AS component
+FROM documents d
+LEFT JOIN (SELECT node, MIN(label) AS component FROM cc GROUP BY node) comp
+       ON d.doc_id = comp.node
+"""
+)
+
+
+@register("dedup_connected_components", oracle=_CC_SQL)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    edges = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    und = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).cache()
+    labels = docs.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("label"))
+    # Min-label propagation to a fixed point. The edge graph is the
+    # near-dup graph — diameter is small (dup clusters are cliques-ish),
+    # so few iterations; localCheckpoint truncates lineage each round.
+    for _ in range(15):
+        labels = labels.localCheckpoint(eager=True)
+        prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+        msgs = und.join(labels, und.a == labels.node).select(
+            F.col("b").alias("node"), F.col("label")
+        )
+        labels = labels.union(msgs).groupBy("node").agg(F.min("label").alias("label"))
+        new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if new_sum == prev_sum:
+            break
+    und.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
