@@ -144,3 +144,75 @@ def string_agg_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         F.concat_ws(",", F.array_sort(F.collect_set("o_orderstatus"))).alias("statuses")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function batteries: broad string and datetime surface, each
+# function cross-checked against DuckDB (convention differences mapped
+# explicitly, e.g. dayofweek bases).
+# ---------------------------------------------------------------------------
+
+_STRINGS_SQL = """
+SELECT p_partkey AS part_id,
+       UPPER(p_name) AS name_upper,
+       SUBSTRING(p_name, 1, 8) AS name_prefix,
+       LPAD(p_brand, 12, '*') AS brand_padded,
+       REVERSE(p_type) AS type_rev,
+       REPLACE(p_name, ' ', '-') AS name_dashed,
+       split_part(p_name, ' ', 1) AS first_word,
+       CAST(levenshtein(p_brand, p_type) AS BIGINT) AS brand_type_dist,
+       translate(p_brand, '#', '_') AS brand_t,
+       CONCAT_WS('/', p_brand, p_type) AS brand_type
+FROM part
+"""
+
+
+@register("string_functions_showcase", oracle=_STRINGS_SQL)
+def string_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        F.col("p_partkey").alias("part_id"),
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.lpad("p_brand", 12, "*").alias("brand_padded"),
+        F.reverse("p_type").alias("type_rev"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("-")).alias("name_dashed"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+        F.levenshtein("p_brand", "p_type").cast("long").alias("brand_type_dist"),
+        F.translate("p_brand", "#", "_").alias("brand_t"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+_DATES_SQL = """
+SELECT o_orderkey AS order_id,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(month(o_orderdate) AS BIGINT) AS o_month,
+       CAST(day(o_orderdate) AS BIGINT) AS o_day,
+       CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS o_dow,
+       CAST(quarter(o_orderdate) AS BIGINT) AS o_quarter,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+       CAST(date_diff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS BIGINT) AS days_to_y2k
+FROM orders
+"""
+
+
+@register("date_functions_showcase", oracle=_DATES_SQL)
+def date_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.year(d).cast("long").alias("o_year"),
+        F.month(d).cast("long").alias("o_month"),
+        F.dayofmonth(d).cast("long").alias("o_day"),
+        # Spark dayofweek: 1=Sunday..7; DuckDB dayofweek: 0=Sunday..6.
+        F.dayofweek(d).cast("long").alias("o_dow"),
+        F.quarter(d).cast("long").alias("o_quarter"),
+        F.date_trunc("month", d).alias("month_start"),
+        F.last_day(d).cast("timestamp_ntz").alias("month_end"),
+        F.datediff(F.expr("TIMESTAMP_NTZ '2000-01-01 00:00:00'"), d).cast("long").alias(
+            "days_to_y2k"
+        ),
+    )
