@@ -684,3 +684,34 @@ def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cond)
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS (independent marginals in one pass — distinct
+# from rollup/cube above).
+# ---------------------------------------------------------------------------
+
+_GSETS_SQL = """
+SELECT o_orderstatus AS status,
+       o_orderpriority AS priority,
+       COUNT(*) AS n_orders,
+       {total}
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+""".format(total=sql_dsum("o_totalprice", "total_price"))
+
+
+@register("grouping_sets_marginals", oracle=_GSETS_SQL)
+def grouping_sets_marginals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus AS status,
+               o_orderpriority AS priority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
