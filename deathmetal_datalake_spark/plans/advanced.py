@@ -328,7 +328,7 @@ WITH kv AS (
 )
 SELECT prop_key,
        COUNT(*) AS n_events,
-       SUM(CAST(json_extract_string(props, '$.' || prop_key) AS BIGINT)) AS sum_int_value
+       CAST(SUM(CAST(json_extract_string(props, '$.' || prop_key) AS BIGINT)) AS BIGINT) AS sum_int_value
 FROM kv GROUP BY prop_key
 """
 

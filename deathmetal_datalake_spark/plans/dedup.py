@@ -390,7 +390,7 @@ bits AS (
     GROUP BY doc_id, g.j
 )
 SELECT doc_id,
-       SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+       CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
 FROM bits
 GROUP BY doc_id
 """

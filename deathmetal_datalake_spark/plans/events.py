@@ -102,7 +102,7 @@ WITH flagged AS (
            CAST(ts AS TIMESTAMP) AS ts,
            CASE WHEN CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP)) OVER (
                     PARTITION BY user_id ORDER BY ts
-                ) > INTERVAL 30 MINUTE THEN 1
+                ) >= INTERVAL 30 MINUTE THEN 1
                 WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1
                 ELSE 0 END AS new_session
     FROM events

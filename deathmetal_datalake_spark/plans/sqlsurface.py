@@ -25,7 +25,7 @@ FROM orders
 GROUP BY status
 """.format(
     cols=",\n       ".join(
-        f"SUM(CASE WHEN o_orderpriority = '{p}' THEN 1 ELSE 0 END) AS p{i + 1}"
+        f"CAST(SUM(CASE WHEN o_orderpriority = '{p}' THEN 1 ELSE 0 END) AS BIGINT) AS p{i + 1}"
         for i, p in enumerate(_PRIORITIES)
     )
 )

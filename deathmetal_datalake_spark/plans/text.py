@@ -75,7 +75,7 @@ WITH tok AS (
 )
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(CAST(n_tokens AS BIGINT)) AS total_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        ROUND(CAST(SUM(CAST(n_tokens AS BIGINT)) AS DOUBLE) / COUNT(*), 6) AS avg_tokens
 FROM tok GROUP BY lang
 """
