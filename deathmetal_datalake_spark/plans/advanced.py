@@ -55,7 +55,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         li.filter(F.col("l_returnflag") == "R")
         .join(orders.filter(dates_ok), li.l_orderkey == orders.o_orderkey)
-        .join(broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(broadcast(nation), customer.c_nationkey == nation.n_nationkey)
     )
     return (
@@ -122,7 +122,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = li.filter(
         (F.col("l_shipdate") >= F.expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'"))
         & (F.col("l_shipdate") < F.expr("TIMESTAMP_NTZ '1996-07-01 00:00:00'"))
-    ).join(broadcast(part), li.l_partkey == part.p_partkey)
+    ).join(part, li.l_partkey == part.p_partkey)
     promo = F.sum(
         F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0).cast("decimal(18,6)"))
     ).cast("double")
@@ -150,7 +150,7 @@ def brand_sales_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     return (
-        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(
             F.countDistinct("l_orderkey").alias("n_orders"),
@@ -213,7 +213,7 @@ def window_dense_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
-    joined = orders.join(broadcast(customer), orders.o_custkey == customer.c_custkey).join(
+    joined = orders.join(customer, orders.o_custkey == customer.c_custkey).join(
         broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left"
     )
     stats = joined.groupBy(
@@ -536,7 +536,7 @@ def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         orders.join(big, orders.o_orderkey == big.l_orderkey)
-        .join(broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(li.alias("li2"), F.col("li2.l_orderkey") == orders.o_orderkey)
     )
     return (
@@ -587,9 +587,9 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1 = nation.alias("n1")
     n2 = nation.alias("n2")
     joined = (
-        li.join(broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        li.join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(broadcast(n1), F.col("s_nationkey") == F.col("n1.n_nationkey"))
         .join(broadcast(n2), F.col("c_nationkey") == F.col("n2.n_nationkey"))
         .filter(
@@ -639,7 +639,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(broadcast(top))
         .filter(F.col("total_revenue") == F.col("max_rev"))
-        .join(broadcast(supplier), F.col("supplier_no") == supplier.s_suppkey)
+        .join(supplier, F.col("supplier_no") == supplier.s_suppkey)
         .select(
             F.col("s_suppkey").alias("supp_id"),
             F.col("s_name").alias("supp_name"),
@@ -680,7 +680,7 @@ def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(20, 40)
     )
     return (
-        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
     )

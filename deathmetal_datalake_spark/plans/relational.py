@@ -6,8 +6,13 @@ top-10-customers-per-nation mirrors top10_by_country"). Mapping:
 bands→customer, albums→orders, reviews→lineitem, country→nation.
 
 Scale design notes (100 TB):
-- Dimension joins (nation, region, customer-at-dim-scale, part,
-  supplier) are explicitly ``broadcast()`` — no shuffle of the fact.
+- Only *bounded* dimensions (nation: 25 rows, region: 5 rows) carry an
+  explicit ``broadcast()`` hint. Scale-proportional tables (customer,
+  supplier, part, and customer-derived marts) are left unhinted so
+  AQE/CBO picks broadcast at small SF but falls back to shuffle joins
+  at the 100 TB design point — a pinned hint there overrides AQE's
+  size checks and OOMs the executors. Residual skew is handled by
+  ``operators/skew.salted_join`` and AQE skew-join splitting.
 - Aggregations group on keys with high cardinality relative to
   partitions; Catalyst plans partial aggregation map-side.
 - Top-N per group uses row_number + filter, which Spark rewrites to
@@ -161,7 +166,7 @@ def flagship_multijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     lineitem = load_table(spark, sf_dir, "lineitem")
 
-    cust_orders = orders.join(broadcast(customer), orders.o_custkey == customer.c_custkey, "left").select(
+    cust_orders = orders.join(customer, orders.o_custkey == customer.c_custkey, "left").select(
         F.col("o_orderkey").alias("order_id"),
         F.col("c_custkey").alias("cust_id"),
         F.col("c_name").alias("cust_name"),
@@ -219,7 +224,7 @@ FROM ranked WHERE rn <= 10
 def g1_top10_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     catalog = _customer_catalog(spark, sf_dir)
-    joined = orders.join(broadcast(catalog), orders.o_custkey == catalog.cust_id, "inner")
+    joined = orders.join(catalog, orders.o_custkey == catalog.cust_id, "inner")
     agg = joined.groupBy("nation_name", "cust_id", "cust_name").agg(
         F.count(F.lit(1)).alias("order_count"),
         davg("o_totalprice", "avg_price"),
@@ -262,7 +267,7 @@ GROUP BY cust_id, cust_name, nation_name
 def g2_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     catalog = _customer_catalog(spark, sf_dir)
-    joined = orders.join(broadcast(catalog), orders.o_custkey == catalog.cust_id, "inner")
+    joined = orders.join(catalog, orders.o_custkey == catalog.cust_id, "inner")
     return joined.groupBy(
         F.col("cust_id"), F.col("cust_name"), F.col("nation_name")
     ).agg(
@@ -327,7 +332,7 @@ ORDER BY avg_price DESC, cust_id ASC
 def g4_filtered_nation_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     catalog = _customer_catalog(spark, sf_dir)
-    joined = orders.join(broadcast(catalog), orders.o_custkey == catalog.cust_id, "inner")
+    joined = orders.join(catalog, orders.o_custkey == catalog.cust_id, "inner")
     stats = joined.groupBy(
         "cust_id", "cust_name", normalize_country("nation_name").alias("nation_norm")
     ).agg(
@@ -364,7 +369,7 @@ FROM stats ORDER BY avg_price DESC, cust_id ASC LIMIT 100
 def o6_top100_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
-    joined = orders.join(broadcast(customer), orders.o_custkey == customer.c_custkey, "inner")
+    joined = orders.join(customer, orders.o_custkey == customer.c_custkey, "inner")
     stats = joined.groupBy(
         F.col("c_custkey").alias("cust_id"), F.col("c_name").alias("cust_name")
     ).agg(
@@ -503,7 +508,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             li.l_orderkey == orders.o_orderkey,
         )
         .join(
-            broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),
+            customer.filter(F.col("c_mktsegment") == "BUILDING"),
             orders.o_custkey == customer.c_custkey,
         )
     )
@@ -548,7 +553,8 @@ def tpch_q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'")
     ) & (F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
     # Dim side first: nation ⨝ region('ASIA') is tiny — broadcast it onto
-    # customer, then broadcast the filtered customer set onto the fact.
+    # customer; the filtered customer set scales with SF, so its join onto
+    # the fact is left to AQE (broadcast at small SF, shuffle at scale).
     asia_nations = nation.join(
         broadcast(region.filter(F.col("r_name") == "ASIA")),
         nation.n_regionkey == region.r_regionkey,
@@ -558,8 +564,8 @@ def tpch_q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         li.join(orders.filter(dates_ok), li.l_orderkey == orders.o_orderkey)
-        .join(broadcast(asia_customers), orders.o_custkey == asia_customers.c_custkey)
-        .join(broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(asia_customers, orders.o_custkey == asia_customers.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
     )
     return joined.groupBy(F.col("n_name").alias("nation_name")).agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
