@@ -4,11 +4,13 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is timed as plan-build + execution to completion with results
-drained via a count-style action (``toLocalIterator`` would serialize;
-``count`` after a cache would distort; we use ``collect`` for small
-results and ``count`` for wide ones, matching how the driver consumes
-them).
+Each query is timed as plan-build + execution to completion. Small
+results are drained with ``collect`` (matching how the driver consumes
+them). Large results are drained with an xxhash64-of-every-column
+aggregate: ``count()`` would let Catalyst prune computed columns and
+time little more than the scan, while hashing every output column
+forces the full projection/window/regex work without materializing
+millions of rows on the driver.
 """
 
 from __future__ import annotations
@@ -17,6 +19,8 @@ import json
 import os
 import sys
 import time
+
+from pyspark.sql import functions as F
 
 from deathmetal_datalake_spark.session import get_spark
 from deathmetal_datalake_spark.plans import QUERIES
@@ -45,9 +49,10 @@ BENCH_QUERIES = [
     "multimodal_decode_stats",
 ]
 
-# Queries whose full result is large; drain with count() instead of
-# collect() so driver materialization doesn't dominate the timing.
-_COUNT_DRAIN = {
+# Queries whose full result is large; drain with a hash aggregate
+# instead of collect() so driver materialization doesn't dominate the
+# timing while every computed column is still forced.
+_HASH_DRAIN = {
     "flagship_multijoin",
     "g2_customer_order_stats",
     "window_running_total",
@@ -75,8 +80,8 @@ def main() -> None:
     for name in BENCH_QUERIES:
         start = time.perf_counter()
         df = QUERIES[name](spark, sf_dir)
-        if name in _COUNT_DRAIN:
-            df.count()
+        if name in _HASH_DRAIN:
+            df.agg(F.sum(F.xxhash64(*df.columns))).collect()
         else:
             df.collect()
         timings[name] = round(time.perf_counter() - start, 3)
