@@ -474,26 +474,58 @@ LEFT JOIN (SELECT node, MIN(label) AS component FROM cc GROUP BY node) comp
 )
 
 
+_CC_MAX_ITERS = 50
+
+
+def min_label_propagation(
+    nodes: DataFrame, edges: DataFrame, max_iters: int = _CC_MAX_ITERS
+) -> DataFrame:
+    """Connected components by min-label propagation to a fixed point.
+
+    ``nodes`` must have a ``node`` column, ``edges`` columns ``a``/``b``
+    (one row per edge; symmetrized here). Labels start as the node id and
+    only ever decrease, so the label sum is strictly decreasing until the
+    fixed point — one ``collect()`` per round (carrying the previous sum)
+    detects convergence. ``localCheckpoint`` truncates lineage each round,
+    the standard shape for iterative graph algorithms on Spark. Raises
+    ``RuntimeError`` if ``max_iters`` rounds pass without convergence
+    (graph diameter exceeds the cap) rather than returning a partially
+    converged labeling.
+    """
+    und = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).cache()
+    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    converged = False
+    for _ in range(max_iters):
+        msgs = und.join(labels, und.a == labels.node).select(
+            F.col("b").alias("node"), F.col("label")
+        )
+        labels = (
+            labels.union(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if new_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = new_sum
+    und.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"min_label_propagation did not converge within {max_iters} iterations; "
+            "the graph diameter exceeds the cap — raise max_iters"
+        )
+    return labels
+
+
 @register("dedup_connected_components", oracle=_CC_SQL)
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     edges = dedup_minhash_lsh(spark, sf_dir).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
-    und = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).cache()
-    labels = docs.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("label"))
-    # Min-label propagation to a fixed point. The edge graph is the
-    # near-dup graph — diameter is small (dup clusters are cliques-ish),
-    # so few iterations; localCheckpoint truncates lineage each round.
-    for _ in range(15):
-        labels = labels.localCheckpoint(eager=True)
-        prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-        msgs = und.join(labels, und.a == labels.node).select(
-            F.col("b").alias("node"), F.col("label")
-        )
-        labels = labels.union(msgs).groupBy("node").agg(F.min("label").alias("label"))
-        new_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if new_sum == prev_sum:
-            break
-    und.unpersist()
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    labels = min_label_propagation(nodes, edges)
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))

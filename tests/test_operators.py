@@ -160,3 +160,31 @@ def test_hash60_cross_engine_property(spark, strings):
         want[s] = con.execute(f"SELECT {sql_hash60('?')}", [s]).fetchone()[0]
     con.close()
     assert got == want
+
+
+# ---- connected components: long-chain convergence + loud cap ----
+
+
+def test_min_label_propagation_long_chain(spark):
+    from deathmetal_datalake_spark.plans.dedup import min_label_propagation
+
+    # Path graph 0-1-...-19: diameter 19 exceeds the old silent
+    # 15-iteration cap (labels advance one hop per round). Every node
+    # must end labeled 0, plus an isolated second component.
+    n = 20
+    nodes = spark.createDataFrame([(i,) for i in range(n)] + [(100,), (101,)], ["node"])
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)] + [(100, 101)], ["a", "b"]
+    )
+    labels = {r["node"]: r["label"] for r in min_label_propagation(nodes, edges).collect()}
+    assert all(labels[i] == 0 for i in range(n))
+    assert labels[100] == 100 and labels[101] == 100
+
+
+def test_min_label_propagation_raises_on_cap(spark):
+    from deathmetal_datalake_spark.plans.dedup import min_label_propagation
+
+    nodes = spark.createDataFrame([(i,) for i in range(20)], ["node"])
+    edges = spark.createDataFrame([(i, i + 1) for i in range(19)], ["a", "b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        min_label_propagation(nodes, edges, max_iters=2)
