@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from deathmetal_datalake_spark.session import get_spark
 from deathmetal_datalake_spark.plans import QUERIES
+from deathmetal_datalake_spark.plans.registry import release_caches
 
 # Headline set: the flagship chain, the gold-mart analogs, the TPC-H
 # volume queries, and one representative of each extension family.
@@ -86,6 +87,7 @@ def main() -> None:
             df.collect()
         timings[name] = round(time.perf_counter() - start, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr, flush=True)
+        release_caches()  # free shared-subplan caches between queries
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -13,7 +13,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from deathmetal_datalake_spark.plans.registry import hash60, register, spread, sql_hash60
+from deathmetal_datalake_spark.plans.registry import (
+    hash60,
+    register,
+    session_cache,
+    spread,
+    sql_hash60,
+)
 from deathmetal_datalake_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -159,7 +165,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingled.groupBy("sh")
         .agg(F.collect_list("doc_id").alias("ds"))
         .filter(F.size("ds") <= _MAX_DF)
-    ).cache()
+    )
+    lists = session_cache(lists)
     sizes = (
         lists.select(F.explode("ds").alias("doc_id"))
         .groupBy("doc_id")
@@ -310,7 +317,7 @@ SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= {_EST_THRESHOLD}
 @register("dedup_minhash_lsh", oracle=_LSH_SQL)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sig = _minhash_columns(_hashed_shingles(docs)).cache()
+    sig = session_cache(_minhash_columns(_hashed_shingles(docs)))
     # Band buckets straight from the signature columns (band b covers
     # components [b*_BAND_ROWS, (b+1)*_BAND_ROWS)); no per-component
     # explode/regroup. Bucket string matches the oracle's

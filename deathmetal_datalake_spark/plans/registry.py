@@ -86,6 +86,30 @@ def sql_hash60(expr: str) -> str:
     return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
 
 
+# ---- cache bookkeeping ----
+#
+# Catalog functions return *lazy* plans, so a cache() protecting a
+# shared subplan (minhash signatures, shingle lists) can only be
+# released after the caller's action. Register every such cache here;
+# long-lived callers (bench.py, notebooks) call release_caches()
+# between queries to hand executor storage memory back.
+
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def session_cache(df: DataFrame) -> DataFrame:
+    """``cache()`` with bookkeeping for deferred release."""
+    df = df.cache()
+    _LIVE_CACHES.append(df)
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every cache registered since the last release."""
+    while _LIVE_CACHES:
+        _LIVE_CACHES.pop().unpersist()
+
+
 def spread(df: "DataFrame") -> "DataFrame":
     """Repartition to full parallelism ahead of a row-multiplying or
     compute-heavy stage. Narrow/compressed tables (documents,

@@ -122,3 +122,45 @@ def stream_landing_to_bronze(
             .option("compression", "snappy")
         )
     return writer.trigger(**(trigger or {"availableNow": True})).start()
+
+
+def stream_rate_to_bronze(
+    spark: SparkSession,
+    bronze_dir: str,
+    dataset: str,
+    checkpoint_dir: str,
+    rows_per_second: int = 100,
+) -> StreamingQuery:
+    """Record-stream transport analog of the Kinesis ``put_record`` path
+    (``flows/landing.py:27-53`` + ``infra/main.tf:47-60``): a continuous
+    record source rather than landed files.
+
+    Spark's ``rate`` source is the standard stand-in for a record
+    transport in environments without a broker — it produces
+    ``(timestamp, value)`` at a controlled rate on the executors, which
+    we shape into the landing record envelope (monotonic record id,
+    deterministic partition key, payload) and deliver to the same
+    checkpointed bronze parquet sink the file path uses. Swapping in a
+    real transport (Kafka/Kinesis connector) changes only ``readStream``
+    options, not the sink contract.
+    """
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+    records = src.select(
+        F.col("value").alias("record_id"),
+        F.col("timestamp").alias("arrival_ts"),
+        # Deterministic partition-key analog of flows/landing.py:45.
+        F.pmod(F.col("value"), F.lit(8)).cast("string").alias("partition_key"),
+        F.concat(F.lit(f"{dataset}-payload-"), F.col("value")).alias("payload"),
+    )
+    return (
+        records.writeStream.format("parquet")
+        .option("path", os.path.join(bronze_dir, dataset))
+        .option("checkpointLocation", checkpoint_dir)
+        .option("compression", "snappy")
+        .trigger(processingTime="1 second")
+        .start()
+    )

@@ -44,3 +44,40 @@ def test_ranking_view_top100(spark, zones):
     assert 0 < len(rows) <= 100
     scores = [r["avg_score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_typed_ddl_pins_reference_types(spark):
+    from deathmetal_datalake_spark.sql.ddl import (
+        TRINO_DDL_TABLES,
+        create_typed_tables,
+        drop_typed_tables,
+    )
+
+    create_typed_tables(spark)
+    try:
+        # Every table exists with exactly the DDL-pinned schema — types
+        # come from the CREATE TABLE, not parquet footers.
+        expected_spark_types = {
+            "BIGINT": "bigint",
+            "STRING": "string",
+            "INT": "int",
+            "DOUBLE": "double",
+            "TIMESTAMP_NTZ": "timestamp_ntz",
+        }
+        for qualified, cols in TRINO_DDL_TABLES.items():
+            dtypes = spark.table(qualified).dtypes
+            assert dtypes == [
+                (c, expected_spark_types[t]) for c, t in cols
+            ], qualified
+        # Idempotent like the reference's run-once script.
+        create_typed_tables(spark)
+        # Typed tables accept conforming inserts and serve SQL reads.
+        spark.sql(
+            "INSERT INTO silver.reviews VALUES (1, 10, 4.5), (2, 11, 3.0)"
+        )
+        got = spark.sql(
+            "SELECT COUNT(*) AS n, SUM(score) AS s FROM silver.reviews"
+        ).collect()[0]
+        assert got["n"] == 2 and got["s"] == 7.5
+    finally:
+        drop_typed_tables(spark)

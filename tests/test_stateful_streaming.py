@@ -69,3 +69,67 @@ def test_stateful_running_totals(spark, tmp_path):
         .collect()
     }
     assert final == batch
+
+
+def test_stateful_timeout_evicts_idle_keys(spark, tmp_path):
+    import time
+
+    from deathmetal_datalake_spark.streaming.stateful import (
+        running_user_totals_with_timeout,
+    )
+
+    drops = tmp_path / "evict_drops"
+    drops.mkdir()
+
+    def drop(name, user_ids):
+        with open(drops / name, "w") as f:
+            for i, u in enumerate(user_ids):
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": i,
+                            "ts": "2026-01-01 00:00:00",
+                            "user_id": u,
+                            "event_type": "click",
+                            "value": 1.0,
+                            "props": "{}",
+                        }
+                    )
+                    + "\n"
+                )
+
+    drop("b0.json", [1, 1, 2])
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(str(drops))
+    q = (
+        running_user_totals_with_timeout(stream, idle_timeout_ms=500)
+        .writeStream.format("memory")
+        .queryName("evicting_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "evict_ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        # Batch 1 processes users 1 and 2; then only user 2 stays active.
+        # User 1 must be flushed with evicted=true once its 500 ms idle
+        # timeout lapses on a later batch, and must not re-emit after.
+        deadline = time.time() + 120
+        evicted = []
+        batch = 1
+        while time.time() < deadline and not evicted:
+            time.sleep(2)
+            drop(f"b{batch}.json", [2])  # keep user 2 active, user 1 idle
+            batch += 1
+            evicted = (
+                spark.table("evicting_totals")
+                .filter("evicted AND user_id = 1")
+                .collect()
+            )
+        assert evicted, "idle key was never evicted"
+        assert evicted[0]["n_events"] == 2 and evicted[0]["total_value"] == 2.0
+        live_user2 = spark.table("evicting_totals").filter(
+            "NOT evicted AND user_id = 2"
+        )
+        assert live_user2.count() >= 2  # still updating across batches
+    finally:
+        q.stop()

@@ -83,3 +83,37 @@ def test_stream_diverts_corrupt_records(spark, tmp_path):
     assert good.count() == 1
     bad = spark.read.json(str(tmp_path / "errors" / "reviews"))
     assert bad.count() >= 1
+
+
+def test_rate_source_transport_to_bronze(spark, tmp_path):
+    import time
+
+    from deathmetal_datalake_spark.streaming.landing import stream_rate_to_bronze
+
+    q = stream_rate_to_bronze(
+        spark,
+        str(tmp_path / "bronze"),
+        "ticks",
+        str(tmp_path / "ckpt"),
+        rows_per_second=200,
+    )
+    try:
+        deadline = time.time() + 60
+        written = None
+        while time.time() < deadline:
+            time.sleep(2)
+            try:
+                written = spark.read.parquet(str(tmp_path / "bronze" / "ticks"))
+                if written.count() > 0:
+                    break
+            except Exception:
+                continue
+        assert written is not None and written.count() > 0
+    finally:
+        q.stop()
+    # Stable landing-record envelope, exactly-once ids.
+    assert written.columns == ["record_id", "arrival_ts", "partition_key", "payload"]
+    n = written.count()
+    assert written.select("record_id").distinct().count() == n
+    keys = {r["partition_key"] for r in written.select("partition_key").distinct().collect()}
+    assert keys <= {str(i) for i in range(8)}
