@@ -1,0 +1,241 @@
+"""Training-corpus assembly operators: the step between a cleaned
+document lake and a tokenizer — deterministic sampling, mixture
+weighting, sequence packing, and benchmark-contamination screening.
+
+These extend the reference surface the same way the dedup/similarity
+families do (build mandate: "the operations a large-scale training-data
+pipeline would need"). Everything is expressed as Catalyst-native
+DataFrame ops with exact DuckDB oracles; no data-dependent driver
+logic, so each plan scales by partitioning alone.
+
+Scale notes (100 TB):
+- Sampling is a *stateless hash filter* (keep iff h(doc_id) mod 100 <
+  rate): no shuffle, no global count, embarrassingly parallel, stable
+  under re-runs and late-arriving partitions — the only sane sampler at
+  corpus scale.
+- Quota selection is row_number over (source) — Spark rewrites the
+  rank-filter to WindowGroupLimit, truncating per partition before the
+  final sort.
+- Packing is a prefix-sum window per (lang): one shuffle on the group
+  key; bin ids derive from the *exclusive* running token count, so the
+  assignment is independent of physical row order.
+- Contamination is an inverted-index join on 60-bit shingle hashes
+  (identical shape to dedup_ngram_jaccard): cost is Σ posting-list²,
+  never corpus × benchmark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from deathmetal_datalake_spark.plans.dedup import _SHINGLES_SQL, _hashed_shingles
+from deathmetal_datalake_spark.plans.registry import hash60, register, sql_hash60
+from deathmetal_datalake_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling: per-language keep rates applied as
+# a pure hash filter on the document id.
+# ---------------------------------------------------------------------------
+
+_LANG_RATES = {"en": 80, "de": 50, "fr": 50, "es": 30, "zh": 20}  # percent
+_DEFAULT_RATE = 10
+
+_RATE_CASE = "CASE lang " + " ".join(
+    f"WHEN '{lang}' THEN {rate}" for lang, rate in _LANG_RATES.items()
+) + f" ELSE {_DEFAULT_RATE} END"
+
+_SAMPLE_SQL = f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {sql_hash60("CAST(doc_id AS VARCHAR)")} % 100 < {_RATE_CASE}
+"""
+
+
+@register("sample_stratified_by_lang", oracle=_SAMPLE_SQL)
+def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.lit(_DEFAULT_RATE)
+    for lang, r in _LANG_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    keep = (hash60(F.col("doc_id").cast("string")) % 100) < rate
+    return docs.filter(keep).select("doc_id", "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# Quota sampling: the K longest documents per source (rank filter →
+# WindowGroupLimit), the standard per-domain cap before mixing.
+# ---------------------------------------------------------------------------
+
+_QUOTA_K = 40
+
+_QUOTA_SQL = f"""
+SELECT doc_id, source, n_chars
+FROM (
+    SELECT doc_id, source, n_chars,
+           ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+           ) AS rn
+    FROM documents
+)
+WHERE rn <= {_QUOTA_K}
+"""
+
+
+@register("sample_quota_per_source", oracle=_QUOTA_SQL)
+def sample_quota_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _QUOTA_K)
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mixture weights: per (lang, source) token counts and each cell's share
+# of the corpus token budget — the numbers a data-mixing config is
+# written from.
+# ---------------------------------------------------------------------------
+
+_MIX_SQL = r"""
+WITH per_doc AS (
+    SELECT lang, source,
+           LENGTH(string_split_regex(TRIM(text), '\s+')) AS n_tokens
+    FROM documents
+),
+cells AS (
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM per_doc GROUP BY lang, source
+)
+SELECT lang, source, n_docs, total_tokens,
+       ROUND(CAST(total_tokens AS DOUBLE)
+             / CAST(SUM(total_tokens) OVER () AS DOUBLE), 6) AS token_share
+FROM cells
+"""
+
+
+@register("dataset_mixture_weights", oracle=_MIX_SQL)
+def dataset_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    cells = per_doc.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    w = Window.partitionBy()
+    return cells.select(
+        "lang",
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.round(
+            F.col("total_tokens").cast("double")
+            / F.sum("total_tokens").over(w).cast("double"),
+            6,
+        ).alias("token_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Greedy sequence packing: documents stream into fixed token-budget
+# packs per language in doc_id order. The pack id derives from the
+# EXCLUSIVE prefix sum of token counts (integer window arithmetic —
+# exact in both engines), so assignment depends only on the logical
+# order, never on physical partitioning.
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 2048
+
+_PACK_SQL = rf"""
+WITH per_doc AS (
+    SELECT doc_id, lang,
+           LENGTH(string_split_regex(TRIM(text), '\s+')) AS n_tokens
+    FROM documents
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+       ), 0) // {_PACK_BUDGET} AS BIGINT) AS pack_id
+FROM per_doc
+"""
+
+
+@register("pack_sequences_by_lang", oracle=_PACK_SQL)
+def pack_sequences_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return per_doc.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor(prefix / _PACK_BUDGET).cast("long").alias("pack_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination: count 3-gram shingle overlaps between each
+# training document and a held-out benchmark set (here: every 50th
+# document), flagging docs over the overlap threshold. Same
+# inverted-index join shape as dedup — never corpus × benchmark.
+# ---------------------------------------------------------------------------
+
+_CONTAM_THRESHOLD = 5
+
+_CONTAM_SQL = (
+    _SHINGLES_SQL
+    + f""",
+hashed AS (
+    SELECT doc_id, {sql_hash60('shingle')} AS sh FROM shingled
+),
+bench AS (
+    SELECT doc_id AS bench_id, sh FROM hashed WHERE doc_id % 50 = 0
+),
+train AS (
+    SELECT doc_id, sh FROM hashed WHERE doc_id % 50 <> 0
+)
+SELECT t.doc_id,
+       COUNT(DISTINCT t.sh) AS n_shared_shingles,
+       COUNT(DISTINCT b.bench_id) AS n_bench_docs,
+       COUNT(DISTINCT t.sh) >= {_CONTAM_THRESHOLD} AS contaminated
+FROM train t JOIN bench b ON t.sh = b.sh
+GROUP BY t.doc_id
+"""
+)
+
+
+@register("contamination_ngram_overlap", oracle=_CONTAM_SQL)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = _hashed_shingles(docs)
+    bench = hashed.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"), "sh"
+    )
+    train = hashed.filter(F.col("doc_id") % 50 != 0)
+    return (
+        train.join(bench, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("sh").alias("n_shared_shingles"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+            (F.countDistinct("sh") >= _CONTAM_THRESHOLD).alias("contaminated"),
+        )
+    )
