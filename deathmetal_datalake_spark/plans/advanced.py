@@ -704,14 +704,13 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
 @register("grouping_sets_marginals", oracle=_GSETS_SQL)
 def grouping_sets_marginals(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    orders.createOrReplaceTempView("__gs_orders")
-    return spark.sql(
-        """
-        SELECT o_orderstatus AS status,
-               o_orderpriority AS priority,
-               COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
-        FROM __gs_orders
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
-        """
+    # Spark 4 DataFrame.groupingSets — no temp view, no session-state
+    # mutation (a shared catalog name would collide across sessions).
+    renamed = orders.select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+        "o_totalprice",
     )
+    return renamed.groupingSets(
+        [[F.col("status")], [F.col("priority")]], "status", "priority"
+    ).agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total_price"))
