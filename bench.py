@@ -48,6 +48,12 @@ BENCH_QUERIES = [
     "similarity_ann_lsh_topk",
     "tpch_q10_returned_items",
     "multimodal_decode_stats",
+    # round 2: remaining TPC-H shapes + corpus-assembly family
+    "tpch_q2_min_cost_supplier",
+    "tpch_q21_waiting_supplier",
+    "contamination_ngram_overlap",
+    "pack_sequences_by_lang",
+    "sample_stratified_by_lang",
 ]
 
 # Queries whose full result is large; drain with a hash aggregate
@@ -64,6 +70,9 @@ _HASH_DRAIN = {
     "dedup_exact",
     "dedup_ngram_jaccard",
     "multimodal_decode_stats",
+    "contamination_ngram_overlap",
+    "pack_sequences_by_lang",
+    "sample_stratified_by_lang",
 }
 
 

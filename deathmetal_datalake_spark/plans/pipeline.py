@@ -30,7 +30,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from deathmetal_datalake_spark.plans.dedup import _SHINGLES_SQL, _hashed_shingles
-from deathmetal_datalake_spark.plans.registry import hash60, register, sql_hash60
+from deathmetal_datalake_spark.plans.registry import (
+    hash60,
+    register,
+    session_cache,
+    sql_hash60,
+)
 from deathmetal_datalake_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -225,7 +230,9 @@ GROUP BY t.doc_id
 @register("contamination_ngram_overlap", oracle=_CONTAM_SQL)
 def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    hashed = _hashed_shingles(docs)
+    # Cached: the train and bench branches are disjoint filters of the
+    # same shingle set — one explode+hash pass, not two corpus scans.
+    hashed = session_cache(_hashed_shingles(docs))
     bench = hashed.filter(F.col("doc_id") % 50 == 0).select(
         F.col("doc_id").alias("bench_id"), "sh"
     )

@@ -23,6 +23,10 @@ NAMES = [
     "tpch_q5_regional_revenue",
     "dedup_minhash_lsh",
     "similarity_ann_lsh_topk",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q21_waiting_supplier",
+    "contamination_ngram_overlap",
+    "pack_sequences_by_lang",
 ]
 
 _DETAIL_PREFIXES = (
