@@ -377,3 +377,112 @@ def events_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataF
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join: each purchase matched to the latest click at-or-before its
+# timestamp, per user. Spark has no native ASOF JOIN; the scalable
+# expression is the union-sort-carry trick — tag both sides, one window
+# sort per user, carry the last click timestamp forward. One shuffle on
+# user_id, no range explosion, no per-row probe: the shape that holds
+# when both sides are billions of rows. (A DuckDB ASOF JOIN would be the
+# oracle shortcut; the window formulation below pins identical
+# tie-break semantics in both engines instead.)
+# ---------------------------------------------------------------------------
+
+_ASOF_SQL = """
+WITH tagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS kind
+    FROM events WHERE event_type IN ('click', 'purchase')
+),
+ann AS (
+    SELECT user_id, ts, event_id, kind,
+           MAX(CASE WHEN kind = 0 THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, kind ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS asof_click_ts
+    FROM tagged
+)
+SELECT event_id, user_id, ts AS purchase_ts, asof_click_ts
+FROM ann WHERE kind = 1
+"""
+
+
+@register("events_asof_click_before_purchase", oracle=_ASOF_SQL)
+def events_asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin(["click", "purchase"])).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("kind"),
+    )
+    # Clicks sort before purchases at equal ts (kind ASC), so a click at
+    # exactly the purchase timestamp counts as "at-or-before"; event_id
+    # makes the frame deterministic under full ties.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("kind"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ann = tagged.withColumn(
+        "asof_click_ts",
+        F.max(F.when(F.col("kind") == 0, F.col("ts"))).over(w),
+    )
+    return ann.filter(F.col("kind") == 1).select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts"), "asof_click_ts"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD-2 interval derivation: each user's event_type acts as a mutable
+# attribute; collapse the event log into validity intervals
+# [valid_from, valid_to) per state, NULL valid_to = current state. One
+# window per user (lag to detect changes, lead to close intervals) —
+# the standard change-data-capture → slowly-changing-dimension rollup.
+# ---------------------------------------------------------------------------
+
+_SCD2_SQL = """
+WITH changes AS (
+    SELECT user_id, event_type AS state, ts,
+           LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS prev_state,
+           event_id
+    FROM events
+),
+starts AS (
+    SELECT user_id, state, ts AS valid_from, event_id
+    FROM changes
+    WHERE prev_state IS NULL OR prev_state <> state
+)
+SELECT user_id, state, valid_from,
+       LEAD(valid_from) OVER (
+           PARTITION BY user_id ORDER BY valid_from, event_id
+       ) AS valid_to
+FROM starts
+"""
+
+
+@register("events_user_state_scd2", oracle=_SCD2_SQL)
+def events_user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w_ev = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w_ev).alias("prev_state"),
+    )
+    starts = changes.filter(
+        F.col("prev_state").isNull() | (F.col("prev_state") != F.col("state"))
+    ).select("user_id", "state", F.col("ts").alias("valid_from"), "event_id")
+    w_start = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return starts.select(
+        "user_id",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w_start).alias("valid_to"),
+    )
