@@ -486,3 +486,83 @@ def events_user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_from",
         F.lead("valid_from").over(w_start).alias("valid_to"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Range join: classify facts into value bands from a bounded band
+# dimension via a non-equi join. The band table is tiny by construction
+# (bands are a config artifact), so the right plan is a broadcast
+# nested-loop with the band predicate — no shuffle of the fact, and the
+# fact side streams through whole-stage codegen.
+# ---------------------------------------------------------------------------
+
+_BANDS = [(0.0, 50.0, "low"), (50.0, 200.0, "mid"), (200.0, 1e9, "high")]
+
+_RANGE_JOIN_SQL = """
+WITH bands(lo, hi, band) AS (
+    VALUES {values}
+)
+SELECT band,
+       COUNT(*) AS n_events,
+       {sum_value}
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY band
+""".format(
+    values=", ".join(f"({lo}, {hi}, '{b}')" for lo, hi, b in _BANDS),
+    sum_value=sql_dsum("value", "sum_value"),
+)
+
+
+@register("events_value_band_rollup", oracle=_RANGE_JOIN_SQL)
+def events_value_band_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(_BANDS, ["lo", "hi", "band"])
+    from pyspark.sql.functions import broadcast
+
+    joined = ev.join(
+        broadcast(bands),
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hypertable-style continuous-aggregate rollup: one pass over the event
+# stream producing three time granularities (5 min / 1 hour / 1 day)
+# via GROUPING SETS — the multi-resolution rollup a time-series store
+# materializes, computed as a single Expand + partial-agg shuffle
+# rather than three scans.
+# ---------------------------------------------------------------------------
+
+_ROLLUP_SQL = """
+WITH bucketed AS (
+    SELECT make_timestamp(CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 300) * 300 * 1000000 AS BIGINT)) AS b5,
+           date_trunc('hour', CAST(ts AS TIMESTAMP)) AS b1h,
+           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS b1d,
+           value
+    FROM events
+)
+SELECT b5, b1h, b1d,
+       COUNT(*) AS n_events,
+       {sum_value}
+FROM bucketed
+GROUP BY GROUPING SETS ((b5), (b1h), (b1d))
+""".format(sum_value=sql_dsum("value", "sum_value"))
+
+
+@register("events_multi_granularity_rollup", oracle=_ROLLUP_SQL)
+def events_multi_granularity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # Only one F.window() is allowed per projection; hour/day buckets use
+    # date_trunc, which agrees with DuckDB on naive timestamps.
+    bucketed = ev.select(
+        F.window("ts", "5 minutes").start.alias("b5"),
+        F.date_trunc("hour", F.col("ts")).alias("b1h"),
+        F.date_trunc("day", F.col("ts")).alias("b1d"),
+        "value",
+    )
+    return bucketed.groupingSets(
+        [[F.col("b5")], [F.col("b1h")], [F.col("b1d")]], "b5", "b1h", "b1d"
+    ).agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
