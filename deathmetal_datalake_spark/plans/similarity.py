@@ -376,3 +376,58 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _IVF_TOP_K)
         .select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-label mean centroid — the building block for k-means-style IVF
+# training and class prototypes. Cross-row float sums are normally
+# order-dependent (partition-parallel vs sequential), so each component
+# is summed as DECIMAL(25,12): the double→decimal rounding of arbitrary
+# float data agrees across engines (a tie at the 13th fractional digit
+# would need the double's exact binary expansion to end there — measure
+# zero for real-valued data; verified exact at sf0.01 and sf0.1), and
+# decimal addition is associative, so Spark's parallel aggregation and
+# DuckDB's sequential one agree bit-for-bit. One posexplode + one
+# (label, pos) shuffle; components re-assemble ordered by position.
+# ---------------------------------------------------------------------------
+
+_EMB_DIM = 64
+
+_CENTROID_PL_SQL = f"""
+WITH vecs AS (
+    SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+comps AS (
+    SELECT label, g.i AS pos, CAST(emb[g.i + 1] AS DECIMAL(25,12)) AS x
+    FROM vecs, (SELECT UNNEST(range({_EMB_DIM})) AS i) g
+),
+means AS (
+    SELECT label, pos, ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS m,
+           COUNT(*) AS n
+    FROM comps GROUP BY label, pos
+)
+SELECT label,
+       list(m ORDER BY pos) AS centroid,
+       MIN(n) AS n_vecs
+FROM means GROUP BY label
+"""
+
+
+@register("embedding_centroid_per_label", oracle=_CENTROID_PL_SQL)
+def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = emb.select(
+        "label", F.posexplode(_as_double("embedding")).alias("pos", "x")
+    )
+    means = comps.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.col("x").cast("decimal(25,12)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("m"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return means.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+        ).alias("centroid"),
+        F.min("n").alias("n_vecs"),
+    )
