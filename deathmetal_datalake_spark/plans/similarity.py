@@ -431,3 +431,123 @@ def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("centroid"),
         F.min("n").alias("n_vecs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means, two rounds, exact oracle — the iterative-refinement pattern
+# (assign → recompute centroids → reassign) that underlies IVF training,
+# expressed so BOTH engines agree bit-for-bit at every step:
+# assignment uses ROUND(cosine, 6) with centroid-id tie-break (ties
+# resolved identically), centroid updates use DECIMAL(25,12) component
+# sums rounded to 6 (associative ⇒ partition-order-free), and the next
+# round's distances are computed from those rounded centroids. In
+# production the loop runs via the same driver iteration as
+# dedup_connected_components with localCheckpoint per round; two rounds
+# are unrolled here so the DuckDB oracle can verify the full refinement
+# rather than a rows-only check.
+# ---------------------------------------------------------------------------
+
+_KM_MOD = 125
+_KM_REM = 7
+
+_KM_COS = (
+    "ROUND(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+_KMEANS_SQL = f"""
+WITH vecs AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+c0 AS (
+    SELECT vec_id AS cid, emb AS cemb FROM vecs
+    WHERE vec_id % {_KM_MOD} = {_KM_REM}
+),
+a1 AS (
+    SELECT vec_id, emb, cid FROM (
+        SELECT v.vec_id, v.emb, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {_KM_COS.format(a="v.emb", b="c.cemb")} DESC, c.cid ASC
+               ) AS rn
+        FROM vecs v CROSS JOIN c0 c
+    ) WHERE rn = 1
+),
+comps1 AS (
+    SELECT cid, g.i AS pos, CAST(emb[g.i + 1] AS DECIMAL(25,12)) AS x
+    FROM a1, (SELECT UNNEST(range({_EMB_DIM})) AS i) g
+),
+c1 AS (
+    SELECT cid, list(m ORDER BY pos) AS cemb FROM (
+        SELECT cid, pos, ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS m
+        FROM comps1 GROUP BY cid, pos
+    ) GROUP BY cid
+),
+a2 AS (
+    SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {_KM_COS.format(a="v.emb", b="c.cemb")} DESC, c.cid ASC
+               ) AS rn
+        FROM vecs v CROSS JOIN c1 c
+    ) WHERE rn = 1
+)
+SELECT cid, COUNT(*) AS n_assigned, MIN(vec_id) AS min_member
+FROM a2 GROUP BY cid
+"""
+
+
+def _km_assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Argmax-cosine assignment with the engine-shared tie-break."""
+    sim = F.round(
+        _dot(F.col("emb"), F.col("cemb"))
+        / (
+            F.sqrt(_dot(F.col("emb"), F.col("emb")))
+            * F.sqrt(_dot(F.col("cemb"), F.col("cemb")))
+        ),
+        6,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    return (
+        vecs.crossJoin(broadcast(centroids))
+        .withColumn("sim", sim)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "emb", "cid")
+    )
+
+
+def _km_update(assigned: DataFrame) -> DataFrame:
+    """Decimal-mean centroid recompute (order-free, engine-exact)."""
+    comps = assigned.select("cid", F.posexplode("emb").alias("pos", "x"))
+    means = comps.groupBy("cid", "pos").agg(
+        F.round(
+            F.sum(F.col("x").cast("decimal(25,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("m")
+    )
+    return means.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+        ).alias("cemb")
+    )
+
+
+@register("kmeans_two_rounds", oracle=_KMEANS_SQL)
+def kmeans_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = spread(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", _as_double("embedding").alias("emb")
+        )
+    )
+    c0 = vecs.filter(F.col("vec_id") % _KM_MOD == _KM_REM).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
+    )
+    a1 = _km_assign(vecs, c0)
+    c1 = _km_update(a1)
+    a2 = _km_assign(vecs, c1)
+    return a2.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_assigned"), F.min("vec_id").alias("min_member")
+    )
