@@ -126,3 +126,69 @@ def test_stream_stream_attribution_equals_batch(spark, tmp_path, event_files):
     # watermark over a replayed bounded stream the full batch result is
     # emitted.
     assert got == want and len(got) > 0
+
+
+def test_watermark_drops_late_event(spark, tmp_path):
+    """An event older than (max event time - watermark) arriving in a
+    later micro-batch must not reopen its already-finalized window."""
+    import time as _time
+
+    drops = tmp_path / "late_drops"
+    drops.mkdir()
+
+    def write_drop(name, rows):
+        with open(drops / name, "w") as f:
+            for eid, ts, et in rows:
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": eid,
+                            "ts": ts,
+                            "user_id": 1,
+                            "event_type": et,
+                            "value": 1.0,
+                            "props": "{}",
+                        }
+                    )
+                    + "\n"
+                )
+        # distinct mtimes keep the file-source batch order deterministic
+        _time.sleep(1.1)
+
+    # Batch 0: two events in the 00:00 window, then event time advances
+    # to 01:00 — the watermark (10 min) moves far past the first window.
+    write_drop("a_batch0.json", [
+        (1, "2026-01-01 00:01:00", "click"),
+        (2, "2026-01-01 00:02:00", "click"),
+        (3, "2026-01-01 01:00:00", "click"),
+    ])
+    # Batch 1 advances event time further; its in-effect watermark
+    # (00:50) finalizes and evicts the 00:00 window at batch end. (A
+    # late row arriving in the SAME batch as finalization would still
+    # merge — eviction must strictly precede the straggler.)
+    write_drop("b_batch1.json", [(5, "2026-01-01 02:00:00", "click")])
+    # Batch 2: a straggler for the closed 00:00 window (~105 min late).
+    write_drop("c_batch2.json", [(4, "2026-01-01 00:03:00", "click")])
+
+    stream = (
+        spark.readStream.schema(
+            read_event_stream(spark, str(drops)).schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(drops))
+    )
+    q = start_to_memory(
+        windowed_counts(stream, window="5 minutes", watermark="10 minutes"),
+        "late_counts",
+        str(tmp_path / "late_ckpt"),
+        output_mode="append",
+    )
+    q.awaitTermination(120)
+    first_window = [
+        r["n_events"]
+        for r in spark.table("late_counts").collect()
+        if str(r["window_start"]) == "2026-01-01 00:00:00"
+    ]
+    # The 00:00 window was finalized once, with exactly the 2 on-time
+    # events; the late straggler neither re-emitted nor bumped the count.
+    assert first_window == [2]
