@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     LongType,
     StringType,
@@ -141,3 +142,77 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
         F.encode("text", "utf-8").alias("content"),
         F.col("source").alias("source"),
     )
+
+
+_RESIZE_OUT = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("content", BinaryType(), True),
+        StructField("orig_bytes", LongType(), True),
+        StructField("new_bytes", LongType(), True),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame,
+    target_bytes: int = 256,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Resize stage (image downscale shape): payload in, smaller payload
+    out, sizes reported. The deterministic fake caps the payload at
+    ``target_bytes`` (truncate-only, so the size law is cross-checkable
+    as LEAST(octet_length, target) from SQL); a real deployment replaces
+    the slicer with a PIL thumbnail/ffmpeg scale call."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            raws = pdf[content_col].map(bytes)
+            resized = raws.map(lambda b: b[:target_bytes])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "content": resized,
+                    "orig_bytes": raws.map(len),
+                    "new_bytes": resized.map(len),
+                }
+            )
+
+    spread = df.select(id_col, content_col)
+    spread = spread.repartition(spread.sparkSession.sparkContext.defaultParallelism)
+    return spread.mapInPandas(batches, schema=_RESIZE_OUT)
+
+
+_FEATURE_DIM = 16
+
+_FEATURE_OUT = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("features", ArrayType(LongType()), True),
+    ]
+)
+
+
+def extract_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Feature-extraction stage (CLIP-embedding shape): payload →
+    fixed-dim vector, one Arrow batch per Python call. The deterministic
+    fake embeds the md5 digest's 16 bytes, which SQL reproduces from
+    hex-slicing md5() — so the whole Arrow path is oracle-checkable; a
+    real deployment swaps in a model forward pass over the batch."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = pdf[content_col].map(
+                lambda b: list(hashlib.md5(bytes(b)).digest())
+            )
+            yield pd.DataFrame({"media_id": pdf[id_col], "features": feats})
+
+    spread = df.select(id_col, content_col)
+    spread = spread.repartition(spread.sparkSession.sparkContext.defaultParallelism)
+    return spread.mapInPandas(batches, schema=_FEATURE_OUT)
