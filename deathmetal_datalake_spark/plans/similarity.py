@@ -551,3 +551,69 @@ def kmeans_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a2.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_assigned"), F.min("vec_id").alias("min_member")
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval with metadata: ANN top-k joined back to the documents table
+# — the serving-path shape (vector index hit → payload lookup). The
+# top-k set is tiny relative to the corpus, so the payload join is a
+# broadcast of the *results*, never a shuffle of the document table.
+# ---------------------------------------------------------------------------
+
+_RETRIEVE_K = 5
+
+_RETRIEVE_SQL = f"""
+WITH vecs AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+queries AS (
+    SELECT vec_id AS query_id, emb AS qemb FROM vecs WHERE vec_id % {_QUERY_MOD} = 0
+),
+scored AS (
+    SELECT q.query_id, v.vec_id,
+           ROUND(list_dot_product(q.qemb, v.emb) /
+                 (sqrt(list_dot_product(q.qemb, q.qemb)) * sqrt(list_dot_product(v.emb, v.emb))),
+                 4) AS cosine
+    FROM queries q CROSS JOIN vecs v
+    WHERE q.query_id <> v.vec_id
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+    ) AS rank FROM scored
+)
+SELECT r.query_id, r.vec_id, r.cosine, r.rank, d.lang, d.source
+FROM ranked r JOIN documents d ON r.vec_id = d.doc_id
+WHERE r.rank <= {_RETRIEVE_K}
+"""
+
+
+@register("similarity_retrieval_with_metadata", oracle=_RETRIEVE_SQL)
+def similarity_retrieval_with_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = spread(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", _as_double("embedding").alias("emb")
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    queries = vecs.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    cosine = _dot(F.col("qemb"), F.col("emb")) / (
+        F.sqrt(_dot(F.col("qemb"), F.col("qemb"))) * F.sqrt(_dot(F.col("emb"), F.col("emb")))
+    )
+    scored = (
+        vecs.join(broadcast(queries), F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id", F.round(cosine, 4).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    topk = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _RETRIEVE_K)
+        .select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+    # Payload lookup: broadcast the k·|queries| result set onto documents
+    # (results ≪ corpus by construction), so the doc table never shuffles.
+    return broadcast(topk).join(docs, topk.vec_id == docs.doc_id).select(
+        "query_id", "vec_id", "cosine", "rank", "lang", "source"
+    )
