@@ -23,6 +23,7 @@ from typing import Any
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     BooleanType,
@@ -30,6 +31,7 @@ from pyspark.sql.types import (
     LongType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
 OUTPUT_SCHEMA = StructType(
@@ -138,4 +140,78 @@ def running_user_totals_with_timeout(
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming as-of join: each purchase matched to the latest click
+# at-or-before it, per user, across micro-batches. The batch form is
+# plans/events.events_asof_click_before_purchase (union-sort-carry
+# window); here the carried value IS the state — per-user last click
+# (ts, tie-break id) — so the operator needs O(1) state per key and one
+# state-store lookup per batch, the canonical stateful-join shape for
+# unbounded streams. Rows are processed in (ts, kind, event_id) order
+# inside each batch, matching the batch window's tie-break exactly, so
+# batch ≡ stream holds whenever delivery is event-time ordered across
+# batches (the replay contract of the landing pipeline).
+# ---------------------------------------------------------------------------
+
+ASOF_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), False),
+        StructField("user_id", LongType(), False),
+        StructField("purchase_ts", TimestampNTZType(), True),
+        StructField("asof_click_ts", TimestampNTZType(), True),
+    ]
+)
+
+# state: (last_click_ts_micros,) — -1 = no click seen yet
+ASOF_STATE_SCHEMA = StructType([StructField("last_click_us", LongType(), False)])
+
+_NO_CLICK = -1
+
+
+def _asof_update(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (last_us,) = state.get if state.exists else (_NO_CLICK,)
+    out_eid: list[int] = []
+    out_pts: list[pd.Timestamp] = []
+    out_cts: list[pd.Timestamp | None] = []
+    for pdf in pdfs:
+        # Batch rows replay in the batch query's total order: clicks
+        # sort before purchases at the same timestamp.
+        kind = (pdf["event_type"] == "purchase").astype(int)
+        ordered = pdf.assign(__kind=kind).sort_values(
+            ["ts", "__kind", "event_id"], kind="mergesort"
+        )
+        for _, row in ordered.iterrows():
+            if row["__kind"] == 0:
+                last_us = max(last_us, row["ts"].value // 1000)
+            else:
+                out_eid.append(int(row["event_id"]))
+                out_pts.append(row["ts"])
+                out_cts.append(
+                    None if last_us == _NO_CLICK else pd.Timestamp(last_us * 1000)
+                )
+    state.update((last_us,))
+    yield pd.DataFrame(
+        {
+            "event_id": pd.Series(out_eid, dtype="int64"),
+            "user_id": pd.Series([key[0]] * len(out_eid), dtype="int64"),
+            "purchase_ts": pd.Series(out_pts, dtype="datetime64[us]"),
+            "asof_click_ts": pd.Series(out_cts, dtype="datetime64[us]"),
+        }
+    )
+
+
+def streaming_asof_click_before_purchase(events: DataFrame) -> DataFrame:
+    """Streaming as-of join over (click, purchase) events per user."""
+    filtered = events.filter(F.col("event_type").isin(["click", "purchase"]))
+    return filtered.groupBy("user_id").applyInPandasWithState(
+        _asof_update,
+        outputStructType=ASOF_OUTPUT_SCHEMA,
+        stateStructType=ASOF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

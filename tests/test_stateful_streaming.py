@@ -133,3 +133,64 @@ def test_stateful_timeout_evicts_idle_keys(spark, tmp_path):
         assert live_user2.count() >= 2  # still updating across batches
     finally:
         q.stop()
+
+
+def test_streaming_asof_equals_batch(spark, tmp_path):
+    """The stateful streaming as-of join must equal the batch window
+    formulation when delivery is event-time ordered across batches."""
+    from deathmetal_datalake_spark.plans.events import (
+        events_asof_click_before_purchase,
+    )
+    from deathmetal_datalake_spark.streaming.stateful import (
+        streaming_asof_click_before_purchase,
+    )
+
+    rows = sorted(
+        load_table(spark, SF, "events").collect(),
+        key=lambda r: (r["ts"], 1 if r["event_type"] == "purchase" else 0, r["event_id"]),
+    )
+    drops = tmp_path / "asof_drops"
+    drops.mkdir()
+    n = (len(rows) + 3) // 4
+    for part in range(4):
+        with open(drops / f"d{part}.json", "w") as f:
+            for r in rows[part * n : (part + 1) * n]:
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": r["event_id"],
+                            "ts": r["ts"].isoformat(sep=" "),
+                            "user_id": r["user_id"],
+                            "event_type": r["event_type"],
+                            "value": r["value"],
+                            "props": r["props"],
+                        }
+                    )
+                    + "\n"
+                )
+    from deathmetal_datalake_spark.streaming.windows import EVENT_SCHEMA
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(drops))
+    )
+    q = (
+        streaming_asof_click_before_purchase(stream)
+        .writeStream.format("memory")
+        .queryName("asof_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "asof_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["event_id"]: (r["user_id"], r["purchase_ts"], r["asof_click_ts"])
+        for r in spark.table("asof_stream").collect()
+    }
+    want = {
+        r["event_id"]: (r["user_id"], r["purchase_ts"], r["asof_click_ts"])
+        for r in events_asof_click_before_purchase(spark, SF).collect()
+    }
+    assert got == want and len(got) > 0
