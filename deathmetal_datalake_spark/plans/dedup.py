@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 from deathmetal_datalake_spark.plans.registry import (
     hash60,
@@ -536,3 +537,123 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = docs.select(F.col("doc_id").alias("node"))
     labels = min_label_propagation(nodes, edges)
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the near-dup graph (two unrolled rounds, exact oracle).
+# Rank sums are cross-row float additions, so contributions are cast to
+# DECIMAL(25,12) before summing (associative ⇒ partition-order-free; the
+# double→decimal rounding agrees across engines for real-valued data —
+# same convention as the embedding centroids). Damping 0.85, uniform
+# teleport over all documents; dangling docs receive teleport mass but
+# contribute none (documented simplification — no dangling
+# redistribution). Output is the normalized rank r·N (≈1.0 scale, so
+# rounding to 6 decimals is scale-free).
+# ---------------------------------------------------------------------------
+
+_PR_DAMP = 0.85
+
+_PR_SQL = (
+    _SIG_SQL
+    + f""",
+bands AS (
+    SELECT doc_id,
+           i // {_BAND_ROWS} AS band,
+           {sql_hash60("array_to_string(list(minhash ORDER BY i), '_')")} AS bucket
+    FROM sig
+    GROUP BY doc_id, i // {_BAND_ROWS}
+),
+candidates AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+est AS (
+    SELECT c.doc_a, c.doc_b,
+           CAST(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS DOUBLE)
+               / {_N_HASHES} AS est_jaccard
+    FROM candidates c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+    GROUP BY c.doc_a, c.doc_b
+),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM est WHERE est_jaccard >= {_EST_THRESHOLD}
+),
+und AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+deg AS (SELECT a, COUNT(*) AS deg FROM und GROUP BY a),
+r1 AS (
+    SELECT d.doc_id,
+           (1 - {_PR_DAMP}) / n.n + {_PR_DAMP} * COALESCE(m.s, 0.0) AS r
+    FROM documents d CROSS JOIN n
+    LEFT JOIN (
+        SELECT u.b AS doc_id,
+               CAST(SUM(CAST((1.0 / n.n) / deg.deg AS DECIMAL(25,12))) AS DOUBLE) AS s
+        FROM und u JOIN deg ON deg.a = u.a CROSS JOIN n
+        GROUP BY u.b
+    ) m ON m.doc_id = d.doc_id
+),
+r2 AS (
+    SELECT d.doc_id,
+           (1 - {_PR_DAMP}) / n.n + {_PR_DAMP} * COALESCE(m.s, 0.0) AS r
+    FROM documents d CROSS JOIN n
+    LEFT JOIN (
+        SELECT u.b AS doc_id,
+               CAST(SUM(CAST(r1.r / deg.deg AS DECIMAL(25,12))) AS DOUBLE) AS s
+        FROM und u
+        JOIN deg ON deg.a = u.a
+        JOIN r1 ON r1.doc_id = u.a
+        GROUP BY u.b
+    ) m ON m.doc_id = d.doc_id
+)
+SELECT r2.doc_id, ROUND(r2.r * n.n, 6) AS norm_rank
+FROM r2 CROSS JOIN n
+"""
+)
+
+
+@register("pagerank_neardup_two_rounds", oracle=_PR_SQL)
+def pagerank_neardup_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    und = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # One materialization of the (small) edge list serves degree counts
+    # and both propagation rounds.
+    und = session_cache(und)
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    n_row = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+
+    def one_round(rank_df: DataFrame) -> DataFrame:
+        """rank_df: (doc_id, r) → next (doc_id, r)."""
+        contrib = (
+            und.join(deg, "a")
+            .join(rank_df.withColumnRenamed("doc_id", "a"), "a")
+            .select(
+                F.col("b").alias("doc_id"),
+                (F.col("r") / F.col("deg")).cast("decimal(25,12)").alias("c"),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("c").cast("double").alias("s"))
+        )
+        return (
+            docs.crossJoin(broadcast(n_row))
+            .join(contrib, "doc_id", "left")
+            .select(
+                "doc_id",
+                (
+                    (1 - _PR_DAMP) / F.col("n")
+                    + _PR_DAMP * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+
+    r0 = docs.crossJoin(broadcast(n_row)).select(
+        "doc_id", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    r2 = one_round(one_round(r0))
+    return r2.crossJoin(broadcast(n_row)).select(
+        "doc_id", F.round(F.col("r") * F.col("n"), 6).alias("norm_rank")
+    )
