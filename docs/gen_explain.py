@@ -27,6 +27,8 @@ NAMES = [
     "tpch_q21_waiting_supplier",
     "contamination_ngram_overlap",
     "pack_sequences_by_lang",
+    "events_asof_click_before_purchase",
+    "kmeans_two_rounds",
 ]
 
 _DETAIL_PREFIXES = (
