@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from deathmetal_datalake_spark.plans.registry import hash60, register, sql_hash60
+from deathmetal_datalake_spark.plans.registry import hash60, register, spread, sql_hash60
 from deathmetal_datalake_spark.sources.tables import load_table
 
 _STOPWORDS = ["the", "a", "and", "of", "to", "in"]
@@ -311,3 +311,70 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("ok"))
     )
     return scored.select("doc_id", "n_tokens", keep.alias("keep"), reason.alias("reason"))
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document. IDF is the *rational* variant N/df
+# (exact integer division in doubles), not ln(N/df): both engines agree
+# bit-for-bit on the former, while ln() is not guaranteed correctly
+# rounded and may differ in the last ulp. One tokenize+distinct shuffle
+# for df, one (doc, token) shuffle for tf — both map-side combined.
+# ---------------------------------------------------------------------------
+
+_TFIDF_K = 3
+
+_TFIDF_SQL = r"""
+WITH tok AS (
+    SELECT doc_id, UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS token
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+),
+df AS (
+    SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.token, tf.tf, df.df,
+           ROUND(tf.tf * (n.n / df.df), 6) AS tfidf
+    FROM tf JOIN df USING (token) CROSS JOIN n
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, token ASC
+    ) AS rank FROM scored
+)
+SELECT doc_id, token, tf, df, tfidf, rank FROM ranked WHERE rank <= {k}
+""".replace("{k}", str(_TFIDF_K))
+
+
+@register("text_tfidf_top_terms", oracle=_TFIDF_SQL)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_row = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(F.col("tf") * (F.col("n") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TFIDF_K)
+        .select("doc_id", "token", "tf", "df", "tfidf", F.col("rank").cast("long").alias("rank"))
+    )
