@@ -72,7 +72,9 @@ def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 # WindowGroupLimit), the standard per-domain cap before mixing.
 # ---------------------------------------------------------------------------
 
-_QUOTA_K = 40
+# 15 binds at every SF (sources hold ≥25 docs from sf0.001 up), so the
+# rank filter is actually exercised by the driver gate, not a no-op.
+_QUOTA_K = 15
 
 _QUOTA_SQL = f"""
 SELECT doc_id, source, n_chars
