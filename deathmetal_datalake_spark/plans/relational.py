@@ -633,6 +633,35 @@ def j_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+# The parity query above is truthfully empty on the driver's data (every
+# customer has at least one order), which makes its hash check trivial;
+# this variant anti-joins against *recent* orders so the left_anti path
+# is verified on a non-empty result (615 rows at sf0.01).
+@register(
+    "j_anti_customers_without_recent_orders",
+    oracle="""
+SELECT c_custkey AS cust_id, c_name AS cust_name
+FROM customer c
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+)
+""",
+)
+def j_anti_customers_without_recent_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '2001-01-01 00:00:00'")
+    )
+    return customer.join(recent, customer.c_custkey == recent.o_custkey, "left_anti").select(
+        F.col("c_custkey").alias("cust_id"), F.col("c_name").alias("cust_name")
+    )
+
+
 @register(
     "setop_building_with_open_orders",
     oracle="""

@@ -94,7 +94,11 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NEARDUP_THRESHOLD = 0.9
+# The synthetic embeddings are near-orthogonal (within-label cosine
+# maxes at ~0.47), so a production-style 0.9 threshold can never fire
+# and the filter/verify path would go un-exercised by the driver gate;
+# 0.4 yields a small real pair set at every SF.
+_NEARDUP_THRESHOLD = 0.4
 
 _NEARDUP_SQL = f"""
 WITH vecs AS (
