@@ -566,3 +566,54 @@ def events_multi_granularity_rollup(spark: SparkSession, sf_dir: str) -> DataFra
     return bucketed.groupingSets(
         [[F.col("b5")], [F.col("b1h")], [F.col("b1d")]], "b5", "b1h", "b1d"
     ).agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+
+
+# ---------------------------------------------------------------------------
+# RANGE frame: trailing 1-hour per-user aggregate at every event —
+# value-based window frames (vs the ROWS frames elsewhere). Both sides
+# order by integer epoch seconds so the frame boundary arithmetic is
+# identical; peers at the same timestamp are all included, which RANGE
+# (unlike ROWS) defines unambiguously in both engines.
+# ---------------------------------------------------------------------------
+
+_RANGE_1H_SQL = """
+WITH e AS (
+    SELECT event_id, user_id,
+           CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec, value
+    FROM events
+)
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS n_1h,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+FROM e
+WINDOW w AS (
+    PARTITION BY user_id ORDER BY sec
+    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+)
+"""
+
+
+@register("events_trailing_1h_range_frame", oracle=_RANGE_1H_SQL)
+def events_trailing_1h_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # Floor to whole epoch seconds tz-free (TIMESTAMP_NTZ has no direct
+    # long cast); both engines then frame on identical integer values.
+    e = ev.select(
+        "event_id",
+        "user_id",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("sec"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("sum_1h"),
+    )
