@@ -657,3 +657,84 @@ def pagerank_neardup_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r2.crossJoin(broadcast(n_row)).select(
         "doc_id", F.round(F.col("r") * F.col("n"), 6).alias("norm_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup PAIRS: the second half of the simhash pipeline —
+# candidates from byte-band bucketing (two 32-bit signatures within
+# Hamming distance ≤ 3 must agree on at least one of 4 bytes, the
+# pigeonhole guarantee), verified with bit_count(xor). Never an n²
+# self-join: cost is Σ bucket² over byte-band buckets, the same shape
+# as MinHash-LSH banding.
+# ---------------------------------------------------------------------------
+
+_SIMHASH_HAMMING_MAX = 3
+_SIMHASH_BANDS = 4  # 4 bytes of the 32-bit signature
+
+_SIMHASH_PAIRS_SQL = (
+    _SIMHASH_SQL.replace("WITH tok AS", "WITH tok AS", 1).rstrip()
+    .replace(
+        '''SELECT doc_id,
+       CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits
+GROUP BY doc_id''',
+        '''sig AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits
+    GROUP BY doc_id
+),
+bands AS (
+    SELECT doc_id, simhash, g.b AS band, (simhash >> (8 * g.b)) & 255 AS byte
+    FROM sig, (SELECT UNNEST(range(4)) AS b) g
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.simhash AS sig_a, b.simhash AS sig_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(CAST(xor(sig_a, sig_b) AS BIGINT)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(CAST(xor(sig_a, sig_b) AS BIGINT)) <= 3''',
+    )
+)
+# re-open the WITH: the replace above folded the final SELECT into a
+# sig CTE, so prepend the comma chain correctly.
+_SIMHASH_PAIRS_SQL = _SIMHASH_PAIRS_SQL.replace(
+    ")\nsig AS (", "),\nsig AS (", 1
+)
+
+
+@register("dedup_simhash_pairs", oracle=_SIMHASH_PAIRS_SQL)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = dedup_simhash(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BANDS - 1))).alias("band"),
+    ).withColumn("byte", F.expr("shiftright(simhash, 8 * band)") % 256)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.expr("sig_a ^ sig_b")).cast("long")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= _SIMHASH_HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
