@@ -117,3 +117,55 @@ def test_rate_source_transport_to_bronze(spark, tmp_path):
     assert written.select("record_id").distinct().count() == n
     keys = {r["partition_key"] for r in written.select("partition_key").distinct().collect()}
     assert keys <= {str(i) for i in range(8)}
+
+
+def test_stream_drop_duplicates_exactly_once(spark, tmp_path):
+    """Stateful streaming dedup: re-delivered records (at-least-once
+    transport) must emit exactly once across micro-batches."""
+    import json
+    import time
+
+    from deathmetal_datalake_spark.streaming.windows import EVENT_SCHEMA
+
+    drops = tmp_path / "dup_drops"
+    drops.mkdir()
+
+    def write_drop(name, ids):
+        with open(drops / name, "w") as f:
+            for eid in ids:
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": eid,
+                            "ts": "2026-01-01 00:00:00",
+                            "user_id": eid % 5,
+                            "event_type": "click",
+                            "value": 1.0,
+                            "props": "{}",
+                        }
+                    )
+                    + "\n"
+                )
+        time.sleep(1.1)
+
+    # Batch 2 re-delivers half of batch 1 (simulated transport retry).
+    write_drop("a.json", [1, 2, 3, 4])
+    write_drop("b.json", [3, 4, 5, 6])
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(drops))
+    )
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = [r["event_id"] for r in spark.table("dedup_stream").collect()]
+    assert sorted(ids) == [1, 2, 3, 4, 5, 6], ids  # each exactly once
