@@ -661,67 +661,106 @@ def pagerank_neardup_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # SimHash near-dup PAIRS: the second half of the simhash pipeline —
-# candidates from byte-band bucketing (two 32-bit signatures within
-# Hamming distance ≤ 3 must agree on at least one of 4 bytes, the
-# pigeonhole guarantee), verified with bit_count(xor). Never an n²
-# self-join: cost is Σ bucket² over byte-band buckets, the same shape
-# as MinHash-LSH banding.
+# candidates from band bucketing (two signatures within Hamming
+# distance ≤ 3 must agree on at least one of 4 bands, the pigeonhole
+# guarantee), verified with bit_count(xor). Never an n² self-join: cost
+# is Σ bucket² over band buckets. Band width is the scale knob: the
+# pairs pipeline uses a 48-bit signature with 12-bit bands (4096
+# buckets per band) — measured 16× fewer candidates than 8-bit bands at
+# 50k docs; at larger corpora widen the signature/bands again (the
+# candidate count grows ~n²/buckets_per_band).
 # ---------------------------------------------------------------------------
 
+_SIMHASH_PAIRS_BITS = 48
+_SIMHASH_PAIRS_BAND_BITS = 12
 _SIMHASH_HAMMING_MAX = 3
-_SIMHASH_BANDS = 4  # 4 bytes of the 32-bit signature
+_SIMHASH_BANDS = _SIMHASH_PAIRS_BITS // _SIMHASH_PAIRS_BAND_BITS
+_SIMHASH_BAND_MASK = (1 << _SIMHASH_PAIRS_BAND_BITS) - 1
 
-_SIMHASH_PAIRS_SQL = (
-    _SIMHASH_SQL.replace("WITH tok AS", "WITH tok AS", 1).rstrip()
-    .replace(
-        '''SELECT doc_id,
-       CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
-FROM bits
-GROUP BY doc_id''',
-        '''sig AS (
+_SIMHASH_PAIRS_SQL = rf"""
+WITH tok AS (
+    SELECT doc_id, UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS token
+    FROM documents
+),
+hashed AS (
+    SELECT doc_id, {sql_hash60('token')} AS h FROM tok
+),
+bits AS (
+    SELECT doc_id, g.j,
+           SUM(CASE WHEN (h >> g.j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+    FROM hashed, (SELECT UNNEST(range({_SIMHASH_PAIRS_BITS})) AS j) g
+    GROUP BY doc_id, g.j
+),
+sig AS (
     SELECT doc_id,
            CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
     FROM bits
     GROUP BY doc_id
 ),
 bands AS (
-    SELECT doc_id, simhash, g.b AS band, (simhash >> (8 * g.b)) & 255 AS byte
-    FROM sig, (SELECT UNNEST(range(4)) AS b) g
+    SELECT doc_id, simhash, g.b AS band,
+           (simhash >> ({_SIMHASH_PAIRS_BAND_BITS} * g.b)) & {_SIMHASH_BAND_MASK} AS bucket
+    FROM sig, (SELECT UNNEST(range({_SIMHASH_BANDS})) AS b) g
 ),
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            a.simhash AS sig_a, b.simhash AS sig_b
     FROM bands a JOIN bands b
-      ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b,
        CAST(bit_count(CAST(xor(sig_a, sig_b) AS BIGINT)) AS BIGINT) AS hamming
 FROM cand
-WHERE bit_count(CAST(xor(sig_a, sig_b) AS BIGINT)) <= 3''',
+WHERE bit_count(CAST(xor(sig_a, sig_b) AS BIGINT)) <= {_SIMHASH_HAMMING_MAX}
+"""
+
+
+def _simhash_signatures(spark: SparkSession, sf_dir: str, n_bits: int) -> DataFrame:
+    """Vote-packed simhash of the given width over the 60-bit token hash."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tokens = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
     )
-)
-# re-open the WITH: the replace above folded the final SELECT into a
-# sig CTE, so prepend the comma chain correctly.
-_SIMHASH_PAIRS_SQL = _SIMHASH_PAIRS_SQL.replace(
-    ")\nsig AS (", "),\nsig AS (", 1
-)
+    hashed = tokens.select("doc_id", hash60("token").alias("h"))
+    bits = hashed.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("j"),
+        "h",
+    )
+    votes = bits.groupBy("doc_id", "j").agg(
+        F.sum(
+            F.when(F.expr("shiftright(h, j) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias("vote")
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(
+                F.lit(0)
+            )
+        ).alias("simhash")
+    )
 
 
 @register("dedup_simhash_pairs", oracle=_SIMHASH_PAIRS_SQL)
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = dedup_simhash(spark, sf_dir)
+    sig = _simhash_signatures(spark, sf_dir, _SIMHASH_PAIRS_BITS)
     bands = sig.select(
         "doc_id",
         "simhash",
         F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BANDS - 1))).alias("band"),
-    ).withColumn("byte", F.expr("shiftright(simhash, 8 * band)") % 256)
+    ).withColumn(
+        "bucket",
+        F.expr(f"shiftright(simhash, {_SIMHASH_PAIRS_BAND_BITS} * band)")
+        % (1 << _SIMHASH_PAIRS_BAND_BITS),
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
