@@ -54,6 +54,10 @@ BENCH_QUERIES = [
     "contamination_ngram_overlap",
     "pack_sequences_by_lang",
     "sample_stratified_by_lang",
+    "dedup_simhash_pairs",
+    "kmeans_two_rounds",
+    "events_asof_click_before_purchase",
+    "text_tfidf_top_terms",
 ]
 
 # Queries whose full result is large; drain with a hash aggregate
@@ -73,6 +77,9 @@ _HASH_DRAIN = {
     "contamination_ngram_overlap",
     "pack_sequences_by_lang",
     "sample_stratified_by_lang",
+    "dedup_simhash_pairs",
+    "events_asof_click_before_purchase",
+    "text_tfidf_top_terms",
 }
 
 
