@@ -28,13 +28,15 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from deathmetal_datalake_spark.plans.pipeline import (
+    _DEFAULT_RATE,
+    _LANG_RATES as _SAMPLE_RATES,
+    _PACK_BUDGET,
+)
 from deathmetal_datalake_spark.plans.registry import hash60
 
 _MIN_TOKENS = 5
 _MAX_MEAN_TOKEN_LEN = 12.0
-_SAMPLE_RATES = {"en": 80, "de": 50, "fr": 50, "es": 30, "zh": 20}
-_DEFAULT_RATE = 10
-_PACK_BUDGET = 2048
 
 
 def dedup_stage(docs: DataFrame) -> DataFrame:
@@ -88,17 +90,20 @@ def corpus_flow(spark: SparkSession, docs: DataFrame, corpus_dir: str) -> dict[s
     {stage: path}. Counts are monotonically non-increasing through
     dedup→quality→sample; pack preserves the sampled count."""
     out: dict[str, str] = {}
-    staged = {
-        "deduped": dedup_stage(docs),
-        # quality/sample/pack compose on the previous stage's *plan* —
-        # reading back the written zone would also work (resumable mode)
-        # but a single lazy chain lets Catalyst pipeline the stages.
-    }
-    staged["quality"] = quality_stage(staged["deduped"])
-    staged["sampled"] = sample_stage(staged["quality"])
-    staged["packed"] = pack_stage(staged["sampled"])
-    for name, df in staged.items():
+    spark_local = docs.sparkSession
+
+    def materialize(name: str, df: DataFrame) -> DataFrame:
+        # Each zone is written once and the NEXT stage reads the written
+        # parquet back: one execution per stage. Chaining the lazy plans
+        # instead would re-run every upstream stage per downstream write
+        # (the dedup window would execute four times).
         dest = os.path.join(corpus_dir, name)
         df.write.mode("overwrite").option("compression", "snappy").parquet(dest)
         out[name] = dest
+        return spark_local.read.parquet(dest)
+
+    deduped = materialize("deduped", dedup_stage(docs))
+    quality = materialize("quality", quality_stage(deduped))
+    sampled = materialize("sampled", sample_stage(quality))
+    materialize("packed", pack_stage(sampled))
     return out

@@ -178,11 +178,14 @@ def _asof_update(
     out_eid: list[int] = []
     out_pts: list[pd.Timestamp] = []
     out_cts: list[pd.Timestamp | None] = []
-    for pdf in pdfs:
-        # Batch rows replay in the batch query's total order: clicks
-        # sort before purchases at the same timestamp.
-        kind = (pdf["event_type"] == "purchase").astype(int)
-        ordered = pdf.assign(__kind=kind).sort_values(
+    # A group's micro-batch may arrive as SEVERAL Arrow chunks with no
+    # ordering guarantee between them; concatenate first and sort ONCE
+    # so the carried state is applied in the batch query's total order
+    # (clicks sort before purchases at the same timestamp).
+    whole = pd.concat(list(pdfs), ignore_index=True)
+    if len(whole):
+        kind = (whole["event_type"] == "purchase").astype(int)
+        ordered = whole.assign(__kind=kind).sort_values(
             ["ts", "__kind", "event_id"], kind="mergesort"
         )
         for _, row in ordered.iterrows():

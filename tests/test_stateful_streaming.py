@@ -194,3 +194,64 @@ def test_streaming_asof_equals_batch(spark, tmp_path):
         for r in events_asof_click_before_purchase(spark, SF).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_asof_survives_multi_chunk_batches(spark, tmp_path):
+    """A group's micro-batch can arrive as several Arrow chunks with no
+    inter-chunk ordering; the operator must still apply state in event
+    order (regression: per-chunk sorting let a later click time-travel
+    before an earlier purchase)."""
+    from deathmetal_datalake_spark.plans.events import (
+        events_asof_click_before_purchase,
+    )
+    from deathmetal_datalake_spark.streaming.stateful import (
+        streaming_asof_click_before_purchase,
+    )
+    from deathmetal_datalake_spark.streaming.windows import EVENT_SCHEMA
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        rows = sorted(
+            load_table(spark, SF, "events").collect(),
+            key=lambda r: (r["ts"], 1 if r["event_type"] == "purchase" else 0, r["event_id"]),
+        )
+        drops = tmp_path / "chunk_drops"
+        drops.mkdir()
+        with open(drops / "all.json", "w") as f:
+            for r in rows:
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": r["event_id"],
+                            "ts": r["ts"].isoformat(sep=" "),
+                            "user_id": r["user_id"],
+                            "event_type": r["event_type"],
+                            "value": r["value"],
+                            "props": r["props"],
+                        }
+                    )
+                    + "\n"
+                )
+        stream = spark.readStream.schema(EVENT_SCHEMA).json(str(drops))
+        q = (
+            streaming_asof_click_before_purchase(stream)
+            .writeStream.format("memory")
+            .queryName("asof_chunked")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "chunk_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            r["event_id"]: (r["user_id"], r["purchase_ts"], r["asof_click_ts"])
+            for r in spark.table("asof_chunked").collect()
+        }
+        want = {
+            r["event_id"]: (r["user_id"], r["purchase_ts"], r["asof_click_ts"])
+            for r in events_asof_click_before_purchase(spark, SF).collect()
+        }
+        assert got == want and len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
