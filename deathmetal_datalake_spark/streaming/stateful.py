@@ -182,7 +182,12 @@ def _asof_update(
     # ordering guarantee between them; concatenate first and sort ONCE
     # so the carried state is applied in the batch query's total order
     # (clicks sort before purchases at the same timestamp).
-    whole = pd.concat(list(pdfs), ignore_index=True)
+    chunks = list(pdfs)
+    whole = (
+        pd.concat(chunks, ignore_index=True)
+        if chunks
+        else pd.DataFrame(columns=["event_id", "ts", "event_type"])
+    )
     if len(whole):
         kind = (whole["event_type"] == "purchase").astype(int)
         ordered = whole.assign(__kind=kind).sort_values(
