@@ -714,3 +714,41 @@ def grouping_sets_marginals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return renamed.groupingSets(
         [[F.col("status")], [F.col("priority")]], "status", "priority"
     ).agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total_price"))
+
+
+# ---------------------------------------------------------------------------
+# Distribution-rank battery: percent_rank / cume_dist / nth_value — the
+# remaining analytic window functions. All outputs are ratios of exact
+# integers ((rank-1)/(n-1), peers/n), so double division is
+# bit-identical across engines; nth_value uses the default frame pinned
+# explicitly to RANGE UNBOUNDED PRECEDING..CURRENT ROW in both.
+# ---------------------------------------------------------------------------
+
+_PCTRANK_SQL = """
+SELECT o_orderkey AS order_id,
+       o_orderstatus AS status,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume,
+       NTH_VALUE(o_orderkey, 2) OVER (
+           PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS second_cheapest
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC)
+"""
+
+
+@register("window_rank_battery", oracle=_PCTRANK_SQL)
+def window_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    w_rows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("o_orderkey", 2).over(w_rows).alias("second_cheapest"),
+    )

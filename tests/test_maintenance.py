@@ -49,3 +49,19 @@ def test_schema_evolution_merge(spark, tmp_path):
     assert merged.count() == 50
     # old rows surface the evolved column as NULL
     assert merged.filter(F.col("n_comment").isNull()).count() == 25
+
+
+def test_orc_roundtrip_preserves_values(spark, tmp_path):
+    """Second columnar format (S9 analog): ORC write/read round-trips
+    the exact values and schema of a parquet-sourced table."""
+    from pyspark.sql import functions as F
+
+    from deathmetal_datalake_spark.sources.tables import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    dest = str(tmp_path / "orders_orc")
+    orders.write.mode("overwrite").orc(dest)
+    back = spark.read.orc(dest)
+    assert back.schema == orders.schema
+    h = lambda df: df.agg(F.sum(F.xxhash64(*df.columns))).collect()[0][0]
+    assert back.count() == orders.count() and h(back) == h(orders)
