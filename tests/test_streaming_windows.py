@@ -192,3 +192,40 @@ def test_watermark_drops_late_event(spark, tmp_path):
     # The 00:00 window was finalized once, with exactly the 2 on-time
     # events; the late straggler neither re-emitted nor bumped the count.
     assert first_window == [2]
+
+
+def test_complete_mode_aggregate_equals_batch(spark, tmp_path, event_files):
+    """outputMode('complete') re-emits the full aggregate each batch;
+    after availableNow drains, the final table equals the batch
+    aggregate (third output mode, alongside append/update coverage)."""
+    from pyspark.sql import functions as F
+
+    stream = read_event_stream(spark, event_files)
+    counts = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("s"),
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("complete_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_complete"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_type"]: (r["n"], r["s"])
+        for r in spark.table("complete_counts").collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], r["s"])
+        for r in load_table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("s"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) == 5
