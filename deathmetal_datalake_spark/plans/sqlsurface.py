@@ -216,3 +216,39 @@ def date_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "days_to_y2k"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Higher-order array functions over token arrays: sort, distinct,
+# slice, filter, transform — the Catalyst lambda-expression surface,
+# checked element-by-element (arrays compare as ordered tuples).
+# ---------------------------------------------------------------------------
+
+_ARRAY_SQL = r"""
+WITH tok AS (
+    SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS toks
+    FROM documents
+)
+SELECT doc_id,
+       list_sort(list_distinct(toks)) AS sorted_vocab,
+       toks[1:5] AS first5,
+       list_filter(toks, t -> LENGTH(t) >= 6) AS long_tokens,
+       list_transform(toks[1:5], t -> LENGTH(t)) AS first5_lens,
+       CAST(LENGTH(list_distinct(toks)) AS BIGINT) AS n_distinct
+FROM tok
+"""
+
+
+@register("array_function_battery", oracle=_ARRAY_SQL)
+def array_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    first5 = F.slice(toks, 1, 5)
+    return docs.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(toks)).alias("sorted_vocab"),
+        first5.alias("first5"),
+        F.filter(toks, lambda t: F.length(t) >= 6).alias("long_tokens"),
+        F.transform(first5, lambda t: F.length(t).cast("long")).alias("first5_lens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
