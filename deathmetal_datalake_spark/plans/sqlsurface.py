@@ -252,3 +252,79 @@ def array_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(first5, lambda t: F.length(t).cast("long")).alias("first5_lens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Map-typed column surface: JSON props → MapType, then key/value/size
+# ops. DuckDB 1.0 has no JSON→MAP cast, so the oracle rebuilds the same
+# views from json_keys (sorted) + per-key extraction.
+# ---------------------------------------------------------------------------
+
+_MAP_FN_SQL = """
+WITH kv AS (
+    SELECT event_id, json_keys(props) AS ks, props FROM events
+)
+SELECT event_id,
+       list_sort(ks) AS keys_sorted,
+       list_transform(list_sort(ks), k -> CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS values_by_key,
+       CAST(LENGTH(ks) AS BIGINT) AS map_size
+FROM kv
+"""
+
+
+@register("map_function_battery", oracle=_MAP_FN_SQL)
+def map_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deathmetal_datalake_spark.sources.tables import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    keys_sorted = F.array_sort(F.map_keys(m))
+    return ev.select(
+        "event_id",
+        keys_sorted.alias("keys_sorted"),
+        F.transform(keys_sorted, lambda k: F.element_at(m, k)).alias("values_by_key"),
+        F.size(F.map_keys(m)).cast("long").alias("map_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Null-handling semantics: coalesce / nullif / null-safe equality.
+# Spark's <=> is SQL's IS NOT DISTINCT FROM; the oracle spells it out.
+# ---------------------------------------------------------------------------
+
+_NULLS_SQL = """
+WITH x AS (
+    SELECT o_orderkey AS order_id,
+           NULLIF(o_orderstatus, 'O') AS status_or_null,
+           o_totalprice
+    FROM orders
+)
+SELECT order_id,
+       status_or_null,
+       COALESCE(status_or_null, 'OPEN') AS status_filled,
+       (status_or_null IS NOT DISTINCT FROM NULL) AS is_open,
+       CASE WHEN status_or_null IS NULL THEN 0.0 ELSE o_totalprice END AS closed_value
+FROM x
+"""
+
+
+@register("null_semantics_battery", oracle=_NULLS_SQL)
+def null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deathmetal_datalake_spark.sources.tables import load_table as _lt
+
+    orders = _lt(spark, sf_dir, "orders")
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    x = orders.select(
+        F.col("o_orderkey").alias("order_id"),
+        status_or_null.alias("status_or_null"),
+        "o_totalprice",
+    )
+    return x.select(
+        "order_id",
+        "status_or_null",
+        F.coalesce("status_or_null", F.lit("OPEN")).alias("status_filled"),
+        F.col("status_or_null").eqNullSafe(F.lit(None).cast("string")).alias("is_open"),
+        F.when(F.col("status_or_null").isNull(), F.lit(0.0))
+        .otherwise(F.col("o_totalprice"))
+        .alias("closed_value"),
+    )
