@@ -328,3 +328,69 @@ def null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("o_totalprice"))
         .alias("closed_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bag-semantics set operations (ALL variants preserve duplicates) and
+# explicit NULL ordering. Spark sorts NULLS FIRST ascending by default
+# while DuckDB defaults NULLS LAST — the query pins NULLS FIRST on both
+# sides, the portable form.
+# ---------------------------------------------------------------------------
+
+_SETOP_ALL_SQL = """
+WITH a AS (SELECT o_custkey AS cust_id FROM orders WHERE o_orderstatus = 'O'),
+     b AS (SELECT o_custkey AS cust_id FROM orders WHERE o_orderpriority = '1-URGENT')
+SELECT 'except_all' AS op, cust_id, COUNT(*) AS n FROM (
+    SELECT cust_id FROM a EXCEPT ALL SELECT cust_id FROM b
+) GROUP BY cust_id
+UNION ALL
+SELECT 'intersect_all' AS op, cust_id, COUNT(*) AS n FROM (
+    SELECT cust_id FROM a INTERSECT ALL SELECT cust_id FROM b
+) GROUP BY cust_id
+"""
+
+
+@register("setop_bag_semantics", oracle=_SETOP_ALL_SQL)
+def setop_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("cust_id")
+    )
+    b = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("cust_id")
+    )
+    ex = (
+        a.exceptAll(b)
+        .groupBy("cust_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "cust_id", "n")
+    )
+    inter = (
+        a.intersectAll(b)
+        .groupBy("cust_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "cust_id", "n")
+    )
+    return ex.unionAll(inter)
+
+
+_NULL_ORDER_SQL = """
+SELECT o_orderkey AS order_id,
+       NULLIF(o_orderstatus, 'O') AS status_or_null
+FROM orders
+ORDER BY status_or_null ASC NULLS FIRST, order_id ASC
+LIMIT 50
+"""
+
+
+@register("sort_nulls_first_limit", oracle=_NULL_ORDER_SQL)
+def sort_nulls_first_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.col("o_orderkey").alias("order_id"),
+            F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_or_null"),
+        )
+        .orderBy(F.col("status_or_null").asc_nulls_first(), F.asc("order_id"))
+        .limit(50)
+    )
