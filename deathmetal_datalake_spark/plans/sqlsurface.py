@@ -394,3 +394,37 @@ def sort_nulls_first_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("status_or_null").asc_nulls_first(), F.asc("order_id"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (melt): wide per-status priority counts back to long form —
+# the inverse of pivot_status_by_priority, via DataFrame.unpivot.
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_SQL = """
+WITH wide AS (
+    SELECT o_orderstatus AS status,
+           {cols}
+    FROM orders
+    GROUP BY status
+)
+SELECT status, prio_col, n_orders FROM wide
+UNPIVOT (n_orders FOR prio_col IN ({collist}))
+""".format(
+    cols=",\n           ".join(
+        f"CAST(SUM(CASE WHEN o_orderpriority = '{p}' THEN 1 ELSE 0 END) AS BIGINT) AS p{i + 1}"
+        for i, p in enumerate(_PRIORITIES)
+    ),
+    collist=", ".join(f"p{i + 1}" for i in range(len(_PRIORITIES))),
+)
+
+
+@register("unpivot_status_priorities", oracle=_UNPIVOT_SQL)
+def unpivot_status_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = pivot_status_by_priority(spark, sf_dir)
+    return wide.unpivot(
+        ["status"],
+        [f"p{i + 1}" for i in range(len(_PRIORITIES))],
+        "prio_col",
+        "n_orders",
+    )
