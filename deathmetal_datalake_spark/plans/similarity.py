@@ -621,3 +621,60 @@ def similarity_retrieval_with_metadata(spark: SparkSession, sf_dir: str) -> Data
     return broadcast(topk).join(docs, topk.vec_id == docs.doc_id).select(
         "query_id", "vec_id", "cosine", "rank", "lang", "source"
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means to convergence — the production loop behind the two-round
+# oracle-checked unrolling above: iterate assign → update until no
+# vector changes cluster, lineage cut per round (localCheckpoint), and
+# a loud cap instead of a silent partial result (same contract as
+# dedup.min_label_propagation). Registered WITHOUT an oracle: the
+# fixed-point iteration count is data-dependent, which is exactly the
+# case the driver's weaker rows-only check exists for.
+# ---------------------------------------------------------------------------
+
+_KM_MAX_ITERS = 25
+
+
+def kmeans_converged_assignments(
+    vecs: DataFrame, centroids: DataFrame, max_iters: int = _KM_MAX_ITERS
+) -> DataFrame:
+    """Iterate _km_assign/_km_update to the assignment fixed point.
+
+    ``vecs``: (vec_id, emb); ``centroids``: (cid, cemb) seeds. Returns
+    (vec_id, cid). Convergence = zero vectors changed cluster this
+    round (an exact integer count — no float tolerance needed).
+    """
+    assigned = _km_assign(vecs, centroids).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        nxt = _km_assign(vecs, _km_update(assigned)).localCheckpoint(eager=True)
+        changed = (
+            nxt.alias("n")
+            .join(assigned.alias("p"), F.col("n.vec_id") == F.col("p.vec_id"))
+            .filter(F.col("n.cid") != F.col("p.cid"))
+            .count()
+        )
+        assigned = nxt
+        if changed == 0:
+            return assigned.select("vec_id", "cid")
+    raise RuntimeError(
+        f"kmeans did not converge within {max_iters} rounds; raise max_iters"
+    )
+
+
+@register("kmeans_converged_sizes")
+def kmeans_converged_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster sizes at the k-means fixed point (rows-only driver check;
+    the two-round prefix of the same loop is oracle-verified above)."""
+    vecs = spread(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", _as_double("embedding").alias("emb")
+        )
+    )
+    c0 = vecs.filter(F.col("vec_id") % _KM_MOD == _KM_REM).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
+    )
+    final = kmeans_converged_assignments(vecs, c0)
+    return final.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_assigned"), F.min("vec_id").alias("min_member")
+    )

@@ -28,6 +28,7 @@ _NONEQUI_OK = {
     "similarity_ivf_topk",           # corpus x ~centroids assignment
     "similarity_retrieval_with_metadata",  # brute-force scorer + tiny topk join
     "kmeans_two_rounds",             # corpus x centroids, twice
+    "kmeans_converged_sizes",        # same assignment shape, iterated
     "pagerank_neardup_two_rounds",   # 1-row N frame joined per round
     "text_tfidf_top_terms",          # 1-row N frame for the IDF
 }
