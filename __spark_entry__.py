@@ -24,8 +24,26 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["flagship_multijoin"](spark, _SMOKE_SF_DIR)
 
 
+def _with_cache_release(fn: Callable[[SparkSession, str], DataFrame]):
+    """Release the previous query's session caches before building the
+    next plan: the driver runs the full catalog sequentially in one
+    session, and without this each dedup-family query would pin its
+    cached minhash/shingle subplan in executor storage until shutdown.
+    (Caches can only be unpersisted after the *caller's* action, so the
+    release happens at the next query's build, not at this one's end.)
+    """
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from deathmetal_datalake_spark.plans.registry import release_caches
+
+        release_caches()
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    return {name: _with_cache_release(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

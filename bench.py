@@ -83,16 +83,7 @@ _HASH_DRAIN = {
 }
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = get_spark(app_name="deathmetal-bench", master=f"local[{cpus}]")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    # Warm the JVM/code paths once so the measured numbers reflect
-    # steady-state execution, not first-query classloading.
-    QUERIES["tpch_q6_forecast_revenue"](spark, sf_dir).collect()
-
+def _run_suite(spark, sf_dir: str) -> dict[str, float]:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         start = time.perf_counter()
@@ -104,9 +95,26 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - start, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr, flush=True)
         release_caches()  # free shared-subplan caches between queries
+    return timings
 
-    total = round(sum(timings.values()), 3)
+
+def _sf_tag(sf_dir: str):
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    return float(sf) if sf.replace(".", "").isdigit() else sf
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="deathmetal-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/code paths once so the measured numbers reflect
+    # steady-state execution, not first-query classloading.
+    QUERIES["tpch_q6_forecast_revenue"](spark, sf_dir).collect()
+
+    timings = _run_suite(spark, sf_dir)
+    total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
@@ -114,10 +122,31 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": _sf_tag(sf_dir),
             }
         )
     )
+
+    # Optional second point for the scaling slope: when
+    # SPARK_GRAFT_SCALE_DIR names a larger dataset (e.g. the 10×
+    # scratch copy, docs/SCALING.md §5), run the same suite there and
+    # emit a SECOND JSON line with a distinct metric name. Sub-linear
+    # total growth vs the data-size ratio is the signal that plans
+    # scale by partitioning, not by luck.
+    scale_dir = os.environ.get("SPARK_GRAFT_SCALE_DIR")
+    if scale_dir and os.path.isdir(scale_dir):
+        scale_timings = _run_suite(spark, scale_dir)
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_queries_total_scale",
+                    "value": round(sum(scale_timings.values()), 3),
+                    "unit": "sec",
+                    "queries": scale_timings,
+                    "sf": _sf_tag(scale_dir),
+                }
+            )
+        )
     spark.stop()
 
 

@@ -38,6 +38,32 @@ def cosine_sim(a: pd.Series, b: pd.Series) -> pd.Series:
 
     if len(a) == 0:
         return pd.Series(np.empty(0, dtype=np.float64))
+    # Guard before np.stack: a NULL vector or mixed dimensions inside one
+    # Arrow batch would otherwise surface as an opaque numpy ValueError
+    # from stack(). NULLs propagate per-row (scalar fallback); a genuine
+    # dimension mismatch between the two sides raises a clear error.
+    dims_a = {len(x) for x in a if x is not None}
+    dims_b = {len(y) for y in b if y is not None}
+    if any(x is None for x in a) or any(y is None for y in b) or len(dims_a) > 1 or len(dims_b) > 1:
+        out = []
+        for x, y in zip(a, b):
+            if x is None or y is None:
+                out.append(None)
+                continue
+            if len(x) != len(y):
+                raise ValueError(
+                    f"cosine_sim: dimension mismatch {len(x)} vs {len(y)}"
+                )
+            dot = nx = ny = 0.0
+            for xi, yi in zip(x, y):
+                dot += xi * yi
+                nx += xi * xi
+                ny += yi * yi
+            out.append(dot / ((nx ** 0.5) * (ny ** 0.5)))
+        # Nullable dtype: None rows must reach Spark as NULL, not NaN.
+        return pd.Series(out, dtype="Float64")
+    if dims_a != dims_b:
+        raise ValueError(f"cosine_sim: dimension mismatch {dims_a} vs {dims_b}")
     A = np.stack([np.asarray(x, dtype=np.float64) for x in a])
     B = np.stack([np.asarray(y, dtype=np.float64) for y in b])
     # Vectorized across rows, sequential over components — each row's

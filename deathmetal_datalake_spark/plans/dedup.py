@@ -157,22 +157,26 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Inverted index as per-shingle doc lists (one groupBy on the 60-bit
     # shingle hash); candidate pairs are generated row-locally from each
     # list instead of a self-join — one shuffle replaces two, measured
-    # ~15% faster at sf0.1 with identical pair sets. The df cap is the
-    # list-size filter (a shingle's df == its distinct doc count).
-    shingled = _hashed_shingles(docs)
-    # Cached: consumed by both the sizes branch and the pair branch —
-    # without it the whole shingle pipeline re-executes per consumer.
-    lists = (
+    # ~15% faster at sf0.1 with identical pair sets.
+    # Cached: consumed by the df-count branch, the semi-join probe, and
+    # (via kept) the sizes branch — without it the expensive explode+md5
+    # shingle pipeline re-executes per consumer.
+    shingled = session_cache(_hashed_shingles(docs))
+    # Two-phase hot-key guard: count df per shingle FIRST (count(*) is a
+    # constant-size aggregation buffer), keep only df ≤ cap keys via
+    # semi-join, and only THEN collect_list. Collecting before filtering
+    # would materialize a stop-shingle's full ~n_docs list in a single
+    # reducer buffer at 100 TB — the filter never gets to run. Mirrors
+    # the oracle's HAVING COUNT(*) <= cap → join shape exactly.
+    ok = (
         shingled.groupBy("sh")
-        .agg(F.collect_list("doc_id").alias("ds"))
-        .filter(F.size("ds") <= _MAX_DF)
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _MAX_DF)
+        .select("sh")
     )
-    lists = session_cache(lists)
-    sizes = (
-        lists.select(F.explode("ds").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shingles"))
-    )
+    kept = shingled.join(ok, "sh", "left_semi")
+    lists = session_cache(kept.groupBy("sh").agg(F.collect_list("doc_id").alias("ds")))
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     pair_structs = F.expr(
         """
         filter(
@@ -500,7 +504,15 @@ def min_label_propagation(
     (graph diameter exceeds the cap) rather than returning a partially
     converged labeling.
     """
-    und = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).cache()
+    und = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # Restrict message targets to the declared node set ONCE, before the
+    # loop: without this, a b-node present only in `edges` would enter
+    # via labels.union(msgs) and survive to the output — the result
+    # would not be a labeling of `nodes`. (a-nodes outside `nodes` are
+    # harmless: they never acquire a label, so they send no messages.)
+    und = und.join(
+        nodes.select(F.col("node").alias("b")), "b", "left_semi"
+    ).cache()
     labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     converged = False
@@ -552,6 +564,13 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _PR_DAMP = 0.85
+# The teleport term is computed ONCE in Python and interpolated into both
+# engines: SQL text "(1 - 0.85)" would evaluate in DuckDB's exact DECIMAL
+# arithmetic (0.15 → double 0.1499999999999999944) while Python float
+# 1 - 0.85 = 0.15000000000000002 — a 2-ulp divergence that ROUND(·, 6)
+# only *usually* absorbs. repr() round-trips the exact double and
+# CAST(... AS DOUBLE) re-parses it correctly rounded.
+_PR_TELEPORT = 1 - _PR_DAMP
 
 _PR_SQL = (
     _SIG_SQL
@@ -585,7 +604,7 @@ n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
 deg AS (SELECT a, COUNT(*) AS deg FROM und GROUP BY a),
 r1 AS (
     SELECT d.doc_id,
-           (1 - {_PR_DAMP}) / n.n + {_PR_DAMP} * COALESCE(m.s, 0.0) AS r
+           CAST({_PR_TELEPORT!r} AS DOUBLE) / n.n + {_PR_DAMP} * COALESCE(m.s, 0.0) AS r
     FROM documents d CROSS JOIN n
     LEFT JOIN (
         SELECT u.b AS doc_id,
@@ -596,7 +615,7 @@ r1 AS (
 ),
 r2 AS (
     SELECT d.doc_id,
-           (1 - {_PR_DAMP}) / n.n + {_PR_DAMP} * COALESCE(m.s, 0.0) AS r
+           CAST({_PR_TELEPORT!r} AS DOUBLE) / n.n + {_PR_DAMP} * COALESCE(m.s, 0.0) AS r
     FROM documents d CROSS JOIN n
     LEFT JOIN (
         SELECT u.b AS doc_id,
@@ -644,7 +663,7 @@ def pagerank_neardup_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "doc_id",
                 (
-                    (1 - _PR_DAMP) / F.col("n")
+                    _PR_TELEPORT / F.col("n")
                     + _PR_DAMP * F.coalesce(F.col("s"), F.lit(0.0))
                 ).alias("r"),
             )
@@ -664,18 +683,30 @@ def pagerank_neardup_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 # candidates from band bucketing (two signatures within Hamming
 # distance ≤ 3 must agree on at least one of 4 bands, the pigeonhole
 # guarantee), verified with bit_count(xor). Never an n² self-join: cost
-# is Σ bucket² over band buckets. Band width is the scale knob: the
-# pairs pipeline uses a 48-bit signature with 12-bit bands (4096
-# buckets per band) — measured 16× fewer candidates than 8-bit bands at
-# 50k docs; at larger corpora widen the signature/bands again (the
-# candidate count grows ~n²/buckets_per_band).
+# is Σ bucket² over band buckets.
+#
+# Band width AUTO-SCALES with the corpus (round-2 knob removed): with
+# band_bits ≈ ceil(log2(n)) there are ~n buckets per band, so the
+# expected per-band candidate count stays ~n·(n/2^band_bits) ≈ O(n)
+# instead of growing n²/buckets. Both engines derive it from the SAME
+# integer formula — Python (n-1).bit_length() ≡ SQL LENGTH(bin(n-1))
+# for n ≥ 2 (and both clamp to the floor at n ≤ 1) — clamped to
+# [8, 15]: floor 8 keeps tiny test corpora from degenerating into a
+# few giant buckets; cap 15 keeps the 4-band signature inside a BIGINT
+# (4 × 15 = 60 bits). The Hamming radius (3) and band count (4) are
+# fixed by the pigeonhole guarantee, not by scale.
 # ---------------------------------------------------------------------------
 
-_SIMHASH_PAIRS_BITS = 48
-_SIMHASH_PAIRS_BAND_BITS = 12
 _SIMHASH_HAMMING_MAX = 3
-_SIMHASH_BANDS = _SIMHASH_PAIRS_BITS // _SIMHASH_PAIRS_BAND_BITS
-_SIMHASH_BAND_MASK = (1 << _SIMHASH_PAIRS_BAND_BITS) - 1
+_SIMHASH_BANDS = _SIMHASH_HAMMING_MAX + 1
+_SIMHASH_MIN_BAND_BITS = 8
+_SIMHASH_MAX_BAND_BITS = 15
+
+
+def _auto_band_bits(n_docs: int) -> int:
+    """ceil(log2(n)) clamped to [8, 15]; exact-integer, engine-portable."""
+    raw = (max(n_docs, 1) - 1).bit_length()
+    return min(_SIMHASH_MAX_BAND_BITS, max(_SIMHASH_MIN_BAND_BITS, raw))
 
 _SIMHASH_PAIRS_SQL = rf"""
 WITH tok AS (
@@ -685,10 +716,18 @@ WITH tok AS (
 hashed AS (
     SELECT doc_id, {sql_hash60('token')} AS h FROM tok
 ),
+params AS (
+    SELECT LEAST({_SIMHASH_MAX_BAND_BITS}, GREATEST({_SIMHASH_MIN_BAND_BITS},
+           LENGTH(bin(COUNT(*) - 1)))) AS band_bits
+    FROM documents
+),
 bits AS (
     SELECT doc_id, g.j,
            SUM(CASE WHEN (h >> g.j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
-    FROM hashed, (SELECT UNNEST(range({_SIMHASH_PAIRS_BITS})) AS j) g
+    FROM hashed,
+         (SELECT UNNEST(range({_SIMHASH_BANDS} * {_SIMHASH_MAX_BAND_BITS})) AS j) g,
+         params p
+    WHERE g.j < {_SIMHASH_BANDS} * p.band_bits
     GROUP BY doc_id, g.j
 ),
 sig AS (
@@ -699,8 +738,8 @@ sig AS (
 ),
 bands AS (
     SELECT doc_id, simhash, g.b AS band,
-           (simhash >> ({_SIMHASH_PAIRS_BAND_BITS} * g.b)) & {_SIMHASH_BAND_MASK} AS bucket
-    FROM sig, (SELECT UNNEST(range({_SIMHASH_BANDS})) AS b) g
+           (simhash >> (p.band_bits * g.b)) & ((CAST(1 AS BIGINT) << p.band_bits) - 1) AS bucket
+    FROM sig, (SELECT UNNEST(range({_SIMHASH_BANDS})) AS b) g, params p
 ),
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -715,9 +754,9 @@ WHERE bit_count(CAST(xor(sig_a, sig_b) AS BIGINT)) <= {_SIMHASH_HAMMING_MAX}
 """
 
 
-def _simhash_signatures(spark: SparkSession, sf_dir: str, n_bits: int) -> DataFrame:
+def _simhash_signatures(docs: DataFrame, n_bits: int) -> DataFrame:
     """Vote-packed simhash of the given width over the 60-bit token hash."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread(docs)
     tokens = docs.select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
@@ -742,21 +781,22 @@ def _simhash_signatures(spark: SparkSession, sf_dir: str, n_bits: int) -> DataFr
     )
 
 
-@register("dedup_simhash_pairs", oracle=_SIMHASH_PAIRS_SQL)
-def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = _simhash_signatures(spark, sf_dir, _SIMHASH_PAIRS_BITS)
+def _simhash_band_candidates(docs: DataFrame, band_bits: int) -> DataFrame:
+    """Distinct band-bucket collision pairs (the pre-verify candidate
+    set) — exposed separately so scale tests can assert the candidate
+    count stays bounded as the corpus grows."""
+    sig = _simhash_signatures(docs, _SIMHASH_BANDS * band_bits)
     bands = sig.select(
         "doc_id",
         "simhash",
         F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BANDS - 1))).alias("band"),
     ).withColumn(
         "bucket",
-        F.expr(f"shiftright(simhash, {_SIMHASH_PAIRS_BAND_BITS} * band)")
-        % (1 << _SIMHASH_PAIRS_BAND_BITS),
+        F.expr(f"shiftright(simhash, {band_bits} * band)") % (1 << band_bits),
     )
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -771,12 +811,27 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+def simhash_near_dup_pairs(docs: DataFrame, band_bits: int) -> DataFrame:
+    """Banded simhash near-dup pairs at an explicit band width; the
+    registered query derives ``band_bits`` from the corpus count."""
+    cand = _simhash_band_candidates(docs, band_bits)
     hamming = F.bit_count(F.expr("sig_a ^ sig_b")).cast("long")
     return (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= _SIMHASH_HAMMING_MAX)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+@register("dedup_simhash_pairs", oracle=_SIMHASH_PAIRS_SQL)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # One tiny count action at plan time sets the band width; the
+    # oracle's `params` CTE computes the identical integer.
+    band_bits = _auto_band_bits(docs.count())
+    return simhash_near_dup_pairs(docs, band_bits)
 
 
 # ---------------------------------------------------------------------------

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from deathmetal_datalake_spark.plans.dedup import _SHINGLES_SQL, _hashed_shingles
+from deathmetal_datalake_spark.plans.dedup import _MAX_DF, _SHINGLES_SQL, _hashed_shingles
 from deathmetal_datalake_spark.plans.registry import (
     hash60,
     register,
@@ -133,21 +133,32 @@ def dataset_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
     )
-    cells = per_doc.groupBy("lang", "source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").alias("total_tokens"),
+    # Cached: consumed by both the grand-total branch and the final
+    # projection — without it the corpus scan runs twice.
+    cells = session_cache(
+        per_doc.groupBy("lang", "source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
     )
-    w = Window.partitionBy()
-    return cells.select(
-        "lang",
-        "source",
-        "n_docs",
-        "total_tokens",
-        F.round(
-            F.col("total_tokens").cast("double")
-            / F.sum("total_tokens").over(w).cast("double"),
-            6,
-        ).alias("token_share"),
+    # The corpus total is a 1-row aggregate joined back via broadcast —
+    # the repo's standard idiom for scalar denominators. A global window
+    # (Window.partitionBy()) computes the same value but funnels every
+    # cell through one task and warns `WindowExec: No Partition Defined`.
+    total = cells.agg(F.sum("total_tokens").alias("_grand_total"))
+    return (
+        cells.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.round(
+                F.col("total_tokens").cast("double")
+                / F.col("_grand_total").cast("double"),
+                6,
+            ).alias("token_share"),
+        )
     )
 
 
@@ -178,23 +189,72 @@ FROM per_doc
 
 @register("pack_sequences_by_lang", oracle=_PACK_SQL)
 def pack_sequences_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level (parallel) prefix sum.
+
+    A single ``PARTITION BY lang ORDER BY doc_id`` window puts an entire
+    language's documents in one task — with ~10 languages at 100 TB
+    that's a handful of tasks scanning everything. Instead: slice each
+    language into deterministic, order-preserving ``doc_id``-range
+    buckets, compute the exclusive prefix sum *locally* per
+    (lang, bucket), and add the bucket's starting offset — itself an
+    exclusive prefix sum over the tiny per-bucket totals table, joined
+    back via broadcast. Integer arithmetic throughout, so
+    local + offset ≡ the global prefix sum exactly (same oracle).
+
+    Buckets come from the ``doc_id`` *value range* (min/max collected at
+    plan time — one tiny 2-value action), not ``spark_partition_id()``:
+    physical partition ids are not stable across the two consuming
+    subplans, value ranges are.
+    """
     docs = load_table(spark, sf_dir, "documents")
     per_doc = docs.select(
         "doc_id",
         "lang",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
     )
-    w = (
-        Window.partitionBy("lang")
+    bounds = per_doc.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).collect()[0]
+    if bounds["lo"] is None:
+        return per_doc.withColumn("pack_id", F.lit(0).cast("long"))
+    n_buckets = spark.sparkContext.defaultParallelism * 4
+    width = max(1, -(-(int(bounds["hi"]) - int(bounds["lo"]) + 1) // n_buckets))
+    bucketed = per_doc.withColumn(
+        "_bucket", F.floor((F.col("doc_id") - int(bounds["lo"])) / width)
+    )
+    # Cached: consumed by the per-bucket totals branch and the final
+    # projection — one corpus scan, not two.
+    bucketed = session_cache(bucketed)
+    local_w = (
+        Window.partitionBy("lang", "_bucket")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    prefix = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    return per_doc.select(
-        "doc_id",
+    local_prefix = F.coalesce(F.sum("n_tokens").over(local_w), F.lit(0))
+    totals = bucketed.groupBy("lang", "_bucket").agg(
+        F.sum("n_tokens").alias("_bucket_tokens")
+    )
+    # langs × buckets rows — the offset window runs over a bounded table.
+    off_w = (
+        Window.partitionBy("lang")
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
         "lang",
-        "n_tokens",
-        F.floor(prefix / _PACK_BUDGET).cast("long").alias("pack_id"),
+        "_bucket",
+        F.coalesce(F.sum("_bucket_tokens").over(off_w), F.lit(0)).alias("_offset"),
+    )
+    return (
+        bucketed.join(F.broadcast(offsets), ["lang", "_bucket"])
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.floor((local_prefix + F.col("_offset")) / _PACK_BUDGET)
+            .cast("long")
+            .alias("pack_id"),
+        )
     )
 
 
@@ -213,11 +273,17 @@ _CONTAM_SQL = (
 hashed AS (
     SELECT doc_id, {sql_hash60('shingle')} AS sh FROM shingled
 ),
+df_ok AS (
+    SELECT sh FROM hashed GROUP BY sh HAVING COUNT(*) <= {_MAX_DF}
+),
+capped AS (
+    SELECT h.doc_id, h.sh FROM hashed h JOIN df_ok USING (sh)
+),
 bench AS (
-    SELECT doc_id AS bench_id, sh FROM hashed WHERE doc_id % 50 = 0
+    SELECT doc_id AS bench_id, sh FROM capped WHERE doc_id % 50 = 0
 ),
 train AS (
-    SELECT doc_id, sh FROM hashed WHERE doc_id % 50 <> 0
+    SELECT doc_id, sh FROM capped WHERE doc_id % 50 <> 0
 )
 SELECT t.doc_id,
        COUNT(DISTINCT t.sh) AS n_shared_shingles,
@@ -232,13 +298,26 @@ GROUP BY t.doc_id
 @register("contamination_ngram_overlap", oracle=_CONTAM_SQL)
 def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # Cached: the train and bench branches are disjoint filters of the
-    # same shingle set — one explode+hash pass, not two corpus scans.
+    # Cached: the df-count branch and the train/bench branches are all
+    # filters of the same shingle set — one explode+hash pass, not three
+    # corpus scans.
     hashed = session_cache(_hashed_shingles(docs))
-    bench = hashed.filter(F.col("doc_id") % 50 == 0).select(
+    # Document-frequency cap, same as the dedup path: a stop-gram shingle
+    # present in ~every train doc and many bench docs would contribute
+    # df_train(sh)·df_bench(sh) join rows — quadratic on hot keys at
+    # 100 TB. Ubiquitous shingles carry no contamination signal anyway;
+    # the oracle applies the identical HAVING COUNT(*) <= cap.
+    df_ok = (
+        hashed.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _MAX_DF)
+        .select("sh")
+    )
+    capped = hashed.join(df_ok, "sh", "left_semi")
+    bench = capped.filter(F.col("doc_id") % 50 == 0).select(
         F.col("doc_id").alias("bench_id"), "sh"
     )
-    train = hashed.filter(F.col("doc_id") % 50 != 0)
+    train = capped.filter(F.col("doc_id") % 50 != 0)
     return (
         train.join(bench, "sh")
         .groupBy("doc_id")

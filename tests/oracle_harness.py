@@ -53,10 +53,21 @@ def _normalize(columns: list[str], rows: list[tuple]) -> list[tuple]:
 
 
 def compare_query(spark, name: str, query_fn, oracle: str | None, sf_dir: str) -> dict:
-    """Returns a report dict; 'match' is True when rows+schema+values agree."""
-    sdf = query_fn(spark, sf_dir)
-    s_cols = sdf.columns
-    s_rows = [tuple(r) for r in sdf.collect()]
+    """Returns a report dict; 'match' is True when rows+schema+values agree.
+
+    Releases any session caches the query registered once its result is
+    collected — the harness runs the whole catalog in one session, and
+    without this each dedup-family invocation would pin a cached
+    minhash/shingle subplan in executor storage for the session's life.
+    """
+    from deathmetal_datalake_spark.plans.registry import release_caches
+
+    try:
+        sdf = query_fn(spark, sf_dir)
+        s_cols = sdf.columns
+        s_rows = [tuple(r) for r in sdf.collect()]
+    finally:
+        release_caches()
 
     report = {"name": name, "spark_rows": len(s_rows), "match": None}
     if oracle is None:

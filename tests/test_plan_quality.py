@@ -31,6 +31,7 @@ _NONEQUI_OK = {
     "kmeans_converged_sizes",        # same assignment shape, iterated
     "pagerank_neardup_two_rounds",   # 1-row N frame joined per round
     "text_tfidf_top_terms",          # 1-row N frame for the IDF
+    "dataset_mixture_weights",       # 1-row grand-total frame
 }
 
 
