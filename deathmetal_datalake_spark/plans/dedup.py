@@ -927,3 +927,95 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return est.filter(F.col("est_jaccard") >= _EST_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# Corpus hygiene metric: exact-duplicate rate per source. A doc is a
+# duplicate when its content hash appears more than once corpus-wide;
+# the per-source dup fraction is the number every crawl/ingest report
+# leads with. One groupBy on the 60-bit hash + one hash-keyed join —
+# both map-side combinable, no hot keys beyond genuine dup clusters.
+# ---------------------------------------------------------------------------
+
+_DUP_RATE_SQL = f"""
+WITH h AS (
+    SELECT doc_id, source, {sql_hash60('text')} AS ch FROM documents
+),
+counts AS (
+    SELECT ch, COUNT(*) AS n FROM h GROUP BY ch
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       ROUND(CAST(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS dup_frac
+FROM h JOIN counts c USING (ch)
+GROUP BY source
+"""
+
+
+@register("dedup_rate_by_source", oracle=_DUP_RATE_SQL)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select("doc_id", "source", hash60("text").alias("ch"))
+    counts = h.groupBy("ch").agg(F.count(F.lit(1)).alias("n"))
+    is_dup = F.when(F.col("n") > 1, 1).otherwise(0)
+    return (
+        h.join(counts, "ch")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(is_dup).alias("n_dup_docs"),
+            F.round(F.sum(is_dup).cast("double") / F.count(F.lit(1)), 6).alias(
+                "dup_frac"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Survivorship: dedup_exact tells you WHICH hashes collide; this emits
+# the per-document verdict a pipeline actually writes back — every doc
+# tagged with its cluster, the canonical survivor (longest text, doc_id
+# tie-break), and whether it is kept. One window over the content-hash
+# partition: same single-shuffle cost as the groupBy, but the output is
+# row-aligned with the corpus so the downstream filter is a plain
+# `WHERE kept`.
+# ---------------------------------------------------------------------------
+
+_CANONICAL_SQL = f"""
+WITH h AS (
+    SELECT doc_id, n_chars, {sql_hash60('text')} AS content_hash FROM documents
+)
+SELECT doc_id, content_hash,
+       FIRST_VALUE(doc_id) OVER w AS canonical_doc_id,
+       doc_id = FIRST_VALUE(doc_id) OVER w AS kept,
+       COUNT(*) OVER (PARTITION BY content_hash) AS cluster_size
+FROM h
+WINDOW w AS (
+    PARTITION BY content_hash ORDER BY n_chars DESC, doc_id ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+)
+"""
+
+
+@register("dedup_cluster_canonical", oracle=_CANONICAL_SQL)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select("doc_id", "n_chars", hash60("text").alias("content_hash"))
+    w = (
+        Window.partitionBy("content_hash")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wc = Window.partitionBy("content_hash")
+    canonical = F.first("doc_id").over(w)
+    return h.select(
+        "doc_id",
+        "content_hash",
+        canonical.alias("canonical_doc_id"),
+        (F.col("doc_id") == canonical).alias("kept"),
+        F.count(F.lit(1)).over(wc).alias("cluster_size"),
+    )

@@ -327,3 +327,123 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.countDistinct("sh") >= _CONTAM_THRESHOLD).alias("contaminated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split: the assignment is a pure hash of
+# the document id (salted so it is independent of the sampling filter's
+# hash), so it is stable under re-runs, shard-parallel, and needs no
+# global coordination — the only split strategy that survives 100 TB.
+# Reported as the per-split × language audit table a data card is
+# written from.
+# ---------------------------------------------------------------------------
+
+_SPLIT_TRAIN_PCT = 90
+_SPLIT_VAL_PCT = 5  # val bucket: [90, 95); test: [95, 100)
+
+_SPLIT_SQL = f"""
+WITH assigned AS (
+    SELECT lang, n_chars,
+           {sql_hash60("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+    FROM documents
+)
+SELECT CASE WHEN bucket < {_SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN bucket < {_SPLIT_TRAIN_PCT + _SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM assigned
+GROUP BY split, lang
+"""
+
+
+@register("corpus_split_assignment", oracle=_SPLIT_SQL)
+def corpus_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash60(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    split = (
+        F.when(bucket < _SPLIT_TRAIN_PCT, "train")
+        .when(bucket < _SPLIT_TRAIN_PCT + _SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled language resampling (the multilingual-mixing rule:
+# w_l ∝ p_l^α with α = 0.75): low-resource languages are boosted, high-
+# resource ones damped. p^0.75 is computed as sqrt(p)·sqrt(sqrt(p)) —
+# sqrt and multiply are IEEE correctly-rounded in both engines, unlike
+# pow(), so the weights match bit-for-bit. The cross-language weight
+# sum goes through DECIMAL(25,12) (order-free exact addition); every
+# denominator is a 1-row broadcast, never a global window.
+# ---------------------------------------------------------------------------
+
+_TEMP_SQL = r"""
+WITH per_doc AS (
+    SELECT lang, LENGTH(string_split_regex(TRIM(text), '\s+')) AS n_tokens
+    FROM documents
+),
+cells AS (
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM per_doc GROUP BY lang
+),
+tot AS (SELECT CAST(SUM(total_tokens) AS BIGINT) AS grand FROM cells),
+pw AS (
+    SELECT lang, n_docs, total_tokens,
+           CAST(total_tokens AS DOUBLE) / CAST(grand AS DOUBLE) AS p,
+           SQRT(CAST(total_tokens AS DOUBLE) / CAST(grand AS DOUBLE))
+             * SQRT(SQRT(CAST(total_tokens AS DOUBLE) / CAST(grand AS DOUBLE))) AS p075
+    FROM cells CROSS JOIN tot
+),
+s AS (SELECT CAST(SUM(CAST(p075 AS DECIMAL(25,12))) AS DOUBLE) AS s075 FROM pw)
+SELECT lang, n_docs, total_tokens,
+       ROUND(p, 6) AS token_share,
+       ROUND(p075 / s075, 6) AS temperature_weight,
+       ROUND((p075 / s075) / p, 6) AS boost
+FROM pw CROSS JOIN s
+"""
+
+
+@register("corpus_temperature_resampling", oracle=_TEMP_SQL)
+def corpus_temperature_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    cells = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("total_tokens")
+    )
+    total = cells.agg(F.sum("total_tokens").alias("_grand"))
+    p = F.col("total_tokens").cast("double") / F.col("_grand").cast("double")
+    pw = cells.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        p.alias("p"),
+        (F.sqrt(p) * F.sqrt(F.sqrt(p))).alias("p075"),
+    )
+    # The language grid is bounded (~10 rows), so caching it costs
+    # nothing and saves the second corpus scan the weight-sum branch
+    # would otherwise trigger.
+    pw = session_cache(pw)
+    s = pw.agg(
+        F.sum(F.col("p075").cast("decimal(25,12)")).cast("double").alias("_s075")
+    )
+    return pw.crossJoin(F.broadcast(s)).select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        F.round("p", 6).alias("token_share"),
+        F.round(F.col("p075") / F.col("_s075"), 6).alias("temperature_weight"),
+        F.round((F.col("p075") / F.col("_s075")) / F.col("p"), 6).alias("boost"),
+    )

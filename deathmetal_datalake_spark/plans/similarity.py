@@ -678,3 +678,106 @@ def kmeans_converged_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_assigned"), F.min("vec_id").alias("min_member")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe IVF: identical coarse quantizer to similarity_ivf_topk,
+# but each query searches its NPROBE closest clusters instead of one —
+# the standard recall/latency dial of an IVF index (probing 2 of ~C
+# clusters roughly doubles scanned candidates while recovering most
+# neighbors lost at cluster borders). Corpus vectors stay assigned to
+# exactly one cluster, so the probe join generates no duplicate pairs
+# and needs no post-dedup. The probe table is (queries × NPROBE) rows —
+# broadcast; the corpus side never re-shuffles.
+# ---------------------------------------------------------------------------
+
+_NPROBE = 2
+
+_IVF_MP_SQL = f"""
+WITH vecs AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+centroids AS (
+    SELECT vec_id AS cid, emb AS cemb FROM vecs WHERE vec_id % {_CENTROID_MOD} = {_CENTROID_REM}
+),
+ranked_assign AS (
+    SELECT v.vec_id, v.emb, c.cid,
+           ROW_NUMBER() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY {_IVF_COS.format(a='v.emb', b='c.cemb')} DESC, c.cid ASC
+           ) AS rn
+    FROM vecs v CROSS JOIN centroids c
+),
+assigned AS (
+    SELECT vec_id, emb, cid FROM ranked_assign WHERE rn = 1
+),
+probes AS (
+    SELECT vec_id AS query_id, emb AS qemb, cid AS probe_cid, rn AS probe
+    FROM ranked_assign
+    WHERE rn <= {_NPROBE} AND vec_id % {_QUERY_MOD} = 0
+),
+scored AS (
+    SELECT q.query_id, v.vec_id,
+           ROUND(list_dot_product(q.qemb, v.emb) /
+                 (sqrt(list_dot_product(q.qemb, q.qemb)) * sqrt(list_dot_product(v.emb, v.emb))),
+                 4) AS cosine
+    FROM probes q JOIN assigned v ON q.probe_cid = v.cid AND q.query_id <> v.vec_id
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+    ) AS rank FROM scored
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {_IVF_TOP_K}
+"""
+
+
+@register("similarity_ivf_multiprobe_topk", oracle=_IVF_MP_SQL)
+def similarity_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = spread(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", _as_double("embedding").alias("emb")
+        )
+    )
+    centroids = vecs.filter(
+        F.col("vec_id") % _CENTROID_MOD == _CENTROID_REM
+    ).select(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
+    sim_to_centroid = F.round(
+        _dot(F.col("emb"), F.col("cemb"))
+        / (F.sqrt(_dot(F.col("emb"), F.col("emb"))) * F.sqrt(_dot(F.col("cemb"), F.col("cemb")))),
+        6,
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("centroid_sim"), F.asc("cid"))
+    # Shared subplan: cluster ranking feeds both the corpus assignment
+    # (rn = 1) and the query probe list (rn <= NPROBE).
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    ranked_assign = session_cache(
+        vecs.crossJoin(broadcast(centroids))
+        .withColumn("centroid_sim", sim_to_centroid)
+        .withColumn("rn", F.row_number().over(w_assign))
+    )
+    assigned = ranked_assign.filter(F.col("rn") == 1).select("vec_id", "emb", "cid")
+    probes = (
+        ranked_assign.filter(
+            (F.col("rn") <= _NPROBE) & (F.col("vec_id") % _QUERY_MOD == 0)
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("qemb"),
+            F.col("cid").alias("probe_cid"),
+        )
+    )
+    cosine = _dot(F.col("qemb"), F.col("emb")) / (
+        F.sqrt(_dot(F.col("qemb"), F.col("qemb"))) * F.sqrt(_dot(F.col("emb"), F.col("emb")))
+    )
+    scored = assigned.join(
+        broadcast(probes),
+        (F.col("probe_cid") == F.col("cid")) & (F.col("query_id") != F.col("vec_id")),
+    ).select("query_id", "vec_id", F.round(cosine, 4).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _IVF_TOP_K)
+        .select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )

@@ -183,3 +183,55 @@ def streaming_distinct_user_event_types_replay(
         ["user_id", "event_type"]
     )
     return _drain(distinct, scratch, "append")
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator (applyInPandasWithState), driver-checked:
+# per-user running totals in update mode, folded to a final state table
+# by a foreachBatch sink (last emission per key wins — each emission IS
+# the cumulative state, so the fold is micro-batch-order invariant).
+# This is the replay stand-in for a production keyed upsert sink
+# (Delta MERGE / HBase put); the fold itself is per-batch O(updated
+# keys), not O(corpus). Rounding note: event values are exactly
+# 2-decimal, so the float running total is within ~1e-11 of the true
+# 2-decimal sum and ROUND(·, 6) agrees across engines and fold orders.
+# ---------------------------------------------------------------------------
+
+_STATEFUL_TOTALS_SQL = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("streaming_stateful_user_totals_replay", oracle=_STATEFUL_TOTALS_SQL)
+def streaming_stateful_user_totals_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from deathmetal_datalake_spark.streaming.stateful import (
+        OUTPUT_SCHEMA,
+        running_user_totals,
+    )
+
+    stream, scratch = _replay_events_stream(spark, sf_dir)
+    totals = running_user_totals(stream)
+    final: dict[int, tuple[int, float]] = {}
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        for row in batch_df.collect():
+            final[row["user_id"]] = (row["n_events"], row["total_value"])
+
+    query = (
+        totals.writeStream.foreachBatch(fold)
+        .outputMode("update")
+        .option(
+            "checkpointLocation", os.path.join(scratch, "ckpt", "stateful_totals")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    rows = [(uid, n, total) for uid, (n, total) in final.items()]
+    return spark.createDataFrame(rows, schema=OUTPUT_SCHEMA)

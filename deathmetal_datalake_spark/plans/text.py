@@ -378,3 +378,220 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TFIDF_K)
         .select("doc_id", "token", "tf", "df", "tfidf", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition scores (Gopher-style quality signals): per document, the
+# fraction of distinct tokens, the most-frequent token's share, and the
+# most-frequent bigram's share. Highly repetitive machine-generated
+# text scores low distinct_frac / high top-*-frac and gets filtered
+# before training. Shape: two explode→count→max aggregations keyed by
+# doc_id — map-side combinable, no corpus-wide shuffle key.
+# ---------------------------------------------------------------------------
+
+_REPETITION_SQL = r"""
+WITH tok AS (
+    SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks FROM documents
+),
+tok_counts AS (
+    SELECT doc_id, token, COUNT(*) AS c
+    FROM (SELECT doc_id, UNNEST(toks) AS token FROM tok)
+    GROUP BY doc_id, token
+),
+tok_stats AS (
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_distinct,
+           MAX(c) AS top_c
+    FROM tok_counts GROUP BY doc_id
+),
+big_counts AS (
+    SELECT doc_id, bigram, COUNT(*) AS c
+    FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, LENGTH(toks)),
+                                     i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        FROM tok
+    )
+    GROUP BY doc_id, bigram
+),
+big_stats AS (
+    SELECT doc_id, MAX(c) AS top_b, CAST(SUM(c) AS BIGINT) AS n_bigrams
+    FROM big_counts GROUP BY doc_id
+)
+SELECT t.doc_id,
+       t.n_tokens,
+       t.n_distinct,
+       ROUND(CAST(t.n_distinct AS DOUBLE) / t.n_tokens, 6) AS distinct_frac,
+       ROUND(CAST(t.top_c AS DOUBLE) / t.n_tokens, 6) AS top_token_frac,
+       ROUND(CAST(COALESCE(b.top_b, 0) AS DOUBLE)
+             / GREATEST(COALESCE(b.n_bigrams, 0), 1), 6) AS top_bigram_frac
+FROM tok_stats t LEFT JOIN big_stats b USING (doc_id)
+"""
+
+
+@register("text_repetition_scores", oracle=_REPETITION_SQL)
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    base = docs.select("doc_id", _tokens().alias("t"))
+    tok_counts = (
+        base.select("doc_id", F.explode("t").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tok_stats = tok_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_c"),
+    )
+    # sequence(1, n) descends when n < 1, so gate on size >= 2 instead
+    # of relying on an empty sequence.
+    bigrams = F.expr(
+        """
+        CASE WHEN size(t) >= 2
+             THEN transform(sequence(1, size(t) - 1),
+                            i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1)))
+             ELSE array() END
+        """
+    )
+    big_counts = (
+        base.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    big_stats = big_counts.groupBy("doc_id").agg(
+        F.max("c").alias("top_b"), F.sum("c").alias("n_bigrams")
+    )
+    return (
+        tok_stats.join(big_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            F.round(F.col("n_distinct").cast("double") / F.col("n_tokens"), 6).alias(
+                "distinct_frac"
+            ),
+            F.round(F.col("top_c").cast("double") / F.col("n_tokens"), 6).alias(
+                "top_token_frac"
+            ),
+            F.round(
+                F.coalesce(F.col("top_b"), F.lit(0)).cast("double")
+                / F.greatest(F.coalesce(F.col("n_bigrams"), F.lit(0)), F.lit(1)),
+                6,
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocklist scrubbing: token-exact redaction against a term blocklist
+# (the NSFW/credential-scrub step of a corpus pipeline), with a per-doc
+# audit count and the content hash of the scrubbed text. Token-level
+# CASE inside a higher-order transform — no regex, so the two engines
+# cannot diverge on regex dialect; stays in whole-stage codegen.
+# ---------------------------------------------------------------------------
+
+_BLOCKLIST = ["key", "hash", "secret"]
+_BLOCK_SQL_ARR = "[" + ", ".join(f"'{t}'" for t in _BLOCKLIST) + "]"
+_REDACTED = "[X]"
+
+_SCRUB_SQL = rf"""
+WITH tok AS (
+    SELECT doc_id, lang, string_split_regex(TRIM(text), '\s+') AS toks FROM documents
+),
+scrubbed AS (
+    SELECT doc_id, lang,
+           LENGTH(list_filter(toks, t -> list_contains({_BLOCK_SQL_ARR}, t))) AS n_redacted,
+           array_to_string(
+               list_transform(toks,
+                   t -> CASE WHEN list_contains({_BLOCK_SQL_ARR}, t)
+                             THEN '{_REDACTED}' ELSE t END),
+               ' ') AS red_text
+    FROM tok
+)
+SELECT doc_id, lang, CAST(n_redacted AS BIGINT) AS n_redacted,
+       n_redacted = 0 AS clean,
+       {sql_hash60('red_text')} AS redacted_hash
+FROM scrubbed
+"""
+
+
+@register("text_blocklist_scrub", oracle=_SCRUB_SQL)
+def text_blocklist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    block = F.array(*[F.lit(t) for t in _BLOCKLIST])
+    toks = _tokens()
+    n_red = F.size(F.filter(toks, lambda t: F.array_contains(block, t))).cast("long")
+    red_text = F.concat_ws(
+        " ",
+        F.transform(
+            toks,
+            lambda t: F.when(F.array_contains(block, t), F.lit(_REDACTED)).otherwise(t),
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_red.alias("n_redacted"),
+        (n_red == 0).alias("clean"),
+        hash60(red_text).alias("redacted_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relative quality filter: keep documents whose mean token length beats
+# their language's corpus-wide mean — the per-language adaptive cutoff
+# used when absolute thresholds don't transfer across languages. The
+# language mean goes through the decimal-sum convention (order-free
+# exact), and the cutoff table is a bounded per-lang aggregate joined
+# back by broadcast — no global window, no second corpus shuffle.
+# ---------------------------------------------------------------------------
+
+_MEANFILTER_SQL = r"""
+WITH scored AS (
+    SELECT doc_id, lang,
+           ROUND(
+               CAST(list_aggregate(
+                   list_transform(string_split_regex(TRIM(text), '\s+'), t -> LENGTH(t)),
+                   'sum') AS DOUBLE)
+               / LENGTH(string_split_regex(TRIM(text), '\s+')), 6) AS mean_token_len
+    FROM documents
+),
+cutoffs AS (
+    SELECT lang,
+           ROUND(CAST(SUM(CAST(mean_token_len AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS lang_mean
+    FROM scored GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.mean_token_len, c.lang_mean
+FROM scored s JOIN cutoffs c USING (lang)
+WHERE s.mean_token_len > c.lang_mean
+"""
+
+
+@register("text_quality_mean_filter", oracle=_MEANFILTER_SQL)
+def text_quality_mean_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = _tokens()
+    token_chars = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    scored = session_cache(
+        docs.select(
+            "doc_id",
+            "lang",
+            F.round(token_chars.cast("double") / F.size(toks), 6).alias("mean_token_len"),
+        )
+    )
+    cutoffs = scored.groupBy("lang").agg(
+        F.round(
+            F.sum(F.col("mean_token_len").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("lang_mean")
+    )
+    return (
+        scored.join(F.broadcast(cutoffs), "lang")
+        .filter(F.col("mean_token_len") > F.col("lang_mean"))
+        .select("doc_id", "lang", "mean_token_len", "lang_mean")
+    )
