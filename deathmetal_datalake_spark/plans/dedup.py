@@ -1019,3 +1019,124 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") == canonical).alias("kept"),
         F.count(F.lit(1)).over(wc).alias("cluster_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe simhash (the NEXT.md §4 extension): besides each band's
+# exact bucket, every 1-bit flip of the bucket is probed. Pigeonhole:
+# with 4 bands, a pair within Hamming distance ≤ 2·4−1 = 7 must have
+# some band with ≤ 1 differing bit — caught by a flip probe — so the
+# detection radius grows from 3 to 7 without narrower bands. Cost is a
+# (band_bits+1)× larger PROBE side only; the exact-bucket build side is
+# unchanged, the same asymmetry LSH multi-probe exploits (probe lists
+# are generated, never materialized per bucket). XOR symmetry means
+# probing one side of each pair suffices.
+# ---------------------------------------------------------------------------
+
+_SIMHASH_MP_HAMMING_MAX = 2 * _SIMHASH_BANDS - 1  # detection guarantee
+# Reporting threshold: pairs at Hamming <= 5 are what a near-dup pass
+# acts on; since 5 < the detection radius 7, the reported set is
+# provably COMPLETE (no missed pair), unlike single-probe at radius 3.
+_SIMHASH_MP_REPORT_MAX = 5
+
+_SIMHASH_MP_SQL = rf"""
+WITH tok AS (
+    SELECT doc_id, UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS token
+    FROM documents
+),
+hashed AS (
+    SELECT doc_id, {sql_hash60('token')} AS h FROM tok
+),
+params AS (
+    SELECT LEAST({_SIMHASH_MAX_BAND_BITS}, GREATEST({_SIMHASH_MIN_BAND_BITS},
+           LENGTH(bin(COUNT(*) - 1)))) AS band_bits
+    FROM documents
+),
+bits AS (
+    SELECT doc_id, g.j,
+           SUM(CASE WHEN (h >> g.j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+    FROM hashed,
+         (SELECT UNNEST(range({_SIMHASH_BANDS} * {_SIMHASH_MAX_BAND_BITS})) AS j) g,
+         params p
+    WHERE g.j < {_SIMHASH_BANDS} * p.band_bits
+    GROUP BY doc_id, g.j
+),
+sig AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits
+    GROUP BY doc_id
+),
+bands AS (
+    SELECT doc_id, g.b AS band,
+           (simhash >> (p.band_bits * g.b)) & ((CAST(1 AS BIGINT) << p.band_bits) - 1) AS bucket
+    FROM sig, (SELECT UNNEST(range({_SIMHASH_BANDS})) AS b) g, params p
+),
+probes AS (
+    SELECT doc_id, band, bucket FROM bands
+    UNION ALL
+    SELECT doc_id, band, xor(bucket, CAST(1 AS BIGINT) << g.i) AS bucket
+    FROM bands, (SELECT UNNEST(range({_SIMHASH_MAX_BAND_BITS})) AS i) g, params p
+    WHERE g.i < p.band_bits
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM probes a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(CAST(xor(sa.simhash, sb.simhash) AS BIGINT)) AS BIGINT) AS hamming
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+WHERE bit_count(CAST(xor(sa.simhash, sb.simhash) AS BIGINT)) <= {_SIMHASH_MP_REPORT_MAX}
+"""
+
+
+@register("dedup_simhash_multiprobe", oracle=_SIMHASH_MP_SQL)
+def dedup_simhash_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    band_bits = _auto_band_bits(docs.count())
+    # Signature table is consumed by band build, probe build, and the
+    # two verify joins — cache once, release via the harness.
+    sig = session_cache(_simhash_signatures(docs, _SIMHASH_BANDS * band_bits))
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BANDS - 1))).alias("band"),
+        "simhash",
+    ).select(
+        "doc_id",
+        "band",
+        (
+            F.expr(f"shiftright(simhash, {band_bits} * band)") % (1 << band_bits)
+        ).alias("bucket"),
+    )
+    # band_bits is fixed at plan time, so the probe set (identity + one
+    # flip per bit) is a literal array — generated per row, never stored.
+    probe_set = F.array(
+        F.col("bucket"), *[F.expr(f"bucket ^ {1 << i}") for i in range(band_bits)]
+    )
+    probes = bands.select(
+        "doc_id", "band", F.explode(probe_set).alias("bucket")
+    )
+    a, b = probes.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    hamming = F.bit_count(F.expr("sig_a ^ sig_b")).cast("long")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= _SIMHASH_MP_REPORT_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from deathmetal_datalake_spark.plans.events import (
+    _ASOF_SQL as _ASOF_BATCH_SQL,
     _SESSION_SQL,
     _SLIDING_SQL,
     _TUMBLING_SQL,
@@ -235,3 +236,69 @@ def streaming_stateful_user_totals_replay(
     query.awaitTermination()
     rows = [(uid, n, total) for uid, (n, total) in final.items()]
     return spark.createDataFrame(rows, schema=OUTPUT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Stateful streaming AS-OF join, driver-checked. Unlike the aggregation
+# replays above, an as-of join is order-SENSITIVE across micro-batches:
+# the per-user state is "last click seen", so a click delivered after a
+# later purchase would mis-match. The replay therefore reproduces the
+# landing pipeline's delivery contract (event-time-ordered arrival,
+# streaming/stateful.py:150-156): events are sliced into consecutive
+# half-open ts ranges written SEQUENTIALLY (strictly increasing file
+# mtimes), so the file source replays slices in event-time order while
+# rows *within* a micro-batch still arrive unsorted — exercising the
+# operator's in-batch sort + cross-batch state carry. Oracle: the batch
+# as-of query's SQL verbatim (union-sort-carry window).
+# ---------------------------------------------------------------------------
+
+_ASOF_SLICES = 6
+_ASOF_FILES_PER_TRIGGER = 2
+
+
+def _replay_events_stream_ts_ordered(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, str]:
+    """events → consecutive ts-range parquet slices → file-source stream.
+
+    Slice k holds ts ∈ [lo + k·width, lo + (k+1)·width) (last slice
+    closed above); slices are written one write-job at a time so file
+    modification times — the file source's processing order — strictly
+    increase with event time. Equal-ts rows always share a slice, so
+    the click-before-purchase tie-break stays intra-batch.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    scratch = tempfile.mkdtemp(prefix="dml-stream-asof-")
+    data_dir = os.path.join(scratch, "events")
+    os.makedirs(data_dir, exist_ok=True)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    width = (hi - lo) / _ASOF_SLICES
+    for k in range(_ASOF_SLICES):
+        start = lo + k * width
+        upper = lo + (k + 1) * width
+        cond = (F.col("ts") >= start) & (
+            F.col("ts") < upper if k < _ASOF_SLICES - 1 else F.col("ts") <= hi
+        )
+        # Sequential writes; 2 shuffled parts per slice so a micro-batch
+        # still sees unsorted multi-file input inside the slice.
+        ev.filter(cond).repartition(2).write.mode("append").parquet(data_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", _ASOF_FILES_PER_TRIGGER)
+        .parquet(data_dir)
+    )
+    return stream, scratch
+
+
+@register("streaming_asof_click_before_purchase_replay", oracle=_ASOF_BATCH_SQL)
+def streaming_asof_click_before_purchase_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from deathmetal_datalake_spark.streaming.stateful import (
+        streaming_asof_click_before_purchase,
+    )
+
+    stream, scratch = _replay_events_stream_ts_ordered(spark, sf_dir)
+    matched = streaming_asof_click_before_purchase(stream)
+    out = _drain(matched, scratch, "append")
+    return out.select("event_id", "user_id", "purchase_ts", "asof_click_ts")

@@ -32,6 +32,8 @@ _NONEQUI_OK = {
     "pagerank_neardup_two_rounds",   # 1-row N frame joined per round
     "text_tfidf_top_terms",          # 1-row N frame for the IDF
     "dataset_mixture_weights",       # 1-row grand-total frame
+    "corpus_temperature_resampling",  # 1-row grand-total + weight-sum frames
+    "similarity_ivf_multiprobe_topk",  # corpus x ~centroids assignment
 }
 
 
