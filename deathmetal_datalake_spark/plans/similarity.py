@@ -781,3 +781,149 @@ def similarity_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("rank") <= _IVF_TOP_K)
         .select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation: recall@k of the multi-probe IVF index against
+# exact brute-force ground truth — the metric every vector index is
+# judged by, computed corpus-parallel (both sides are the registered
+# queries' own plans; the comparison is a (query_id, vec_id) join on
+# two k-row-per-query tables, negligible next to the searches). Recall
+# is a count ratio — exact rational arithmetic in both engines.
+# ---------------------------------------------------------------------------
+
+_RECALL_K = _IVF_TOP_K  # ground truth truncated to the ANN's k
+
+_RECALL_SQL = f"""
+WITH truth AS (
+    SELECT query_id, vec_id FROM ({_BRUTE_SQL}) WHERE rank <= {_RECALL_K}
+),
+approx AS (
+    SELECT query_id, vec_id FROM ({_IVF_MP_SQL})
+)
+SELECT t.query_id,
+       COUNT(a.vec_id) AS n_hits,
+       ROUND(COUNT(a.vec_id) / CAST({_RECALL_K} AS DOUBLE), 6) AS recall_at_k
+FROM truth t LEFT JOIN approx a
+  ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+GROUP BY t.query_id
+"""
+
+
+@register("similarity_ann_recall", oracle=_RECALL_SQL)
+def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = (
+        similarity_bruteforce_topk(spark, sf_dir)
+        .filter(F.col("rank") <= _RECALL_K)
+        .select("query_id", "vec_id")
+    )
+    approx = similarity_ivf_multiprobe_topk(spark, sf_dir).select(
+        F.col("query_id").alias("a_query_id"), F.col("vec_id").alias("a_vec_id")
+    )
+    return (
+        truth.join(
+            approx,
+            (F.col("query_id") == F.col("a_query_id"))
+            & (F.col("vec_id") == F.col("a_vec_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("a_vec_id").alias("n_hits"),
+            F.round(F.count("a_vec_id") / F.lit(float(_RECALL_K)), 6).alias(
+                "recall_at_k"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar int8 quantization audit: per-dimension [min, max] → 256-level
+# affine codes, reporting each dimension's range, scale, and mean
+# absolute reconstruction error — the table a vector-index build emits
+# before switching storage to int8 (4× smaller, SIMD-friendly). Shape:
+# one posexplode + a 64-row bounded broadcast join back; the error mean
+# uses the DECIMAL(25,12) order-free sum. The quantizer arithmetic is
+# floor(x + 0.5) in both engines — no ROUND-tie dialect divergence.
+# ---------------------------------------------------------------------------
+
+_QUANT_LEVELS = 255  # codes 0..255
+
+_QUANT_SQL = f"""
+WITH vecs AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+elems AS (
+    SELECT vec_id, g.pos, emb[g.pos + 1] AS val
+    FROM vecs, (SELECT UNNEST(range(64)) AS pos) g
+    WHERE g.pos < LENGTH(emb)
+),
+dims AS (
+    SELECT pos, MIN(val) AS dmin, MAX(val) AS dmax FROM elems GROUP BY pos
+),
+err AS (
+    SELECT e.pos, e.vec_id,
+           ABS(LEAST({_QUANT_LEVELS}, GREATEST(0,
+                   FLOOR((e.val - d.dmin) / ((d.dmax - d.dmin) / {_QUANT_LEVELS}) + 0.5)))
+               * ((d.dmax - d.dmin) / {_QUANT_LEVELS}) + d.dmin - e.val) AS abs_err
+    FROM elems e JOIN dims d USING (pos)
+)
+SELECT e.pos,
+       COUNT(*) AS n_values,
+       ROUND(d.dmin, 6) AS dim_min,
+       ROUND(d.dmax, 6) AS dim_max,
+       ROUND((d.dmax - d.dmin) / {_QUANT_LEVELS}, 9) AS scale,
+       ROUND(CAST(SUM(CAST(e.abs_err AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*), 9)
+           AS avg_abs_err
+FROM err e JOIN dims d USING (pos)
+GROUP BY e.pos, d.dmin, d.dmax
+"""
+
+
+@register("embedding_int8_quantization", oracle=_QUANT_SQL)
+def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    vecs = spread(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", _as_double("embedding").alias("emb")
+        )
+    )
+    # Cached: the per-dim stats branch and the error branch both consume
+    # the exploded elements — one explode pass, not two.
+    elems = session_cache(
+        vecs.select("vec_id", F.posexplode("emb").alias("pos", "val"))
+    )
+    dims = elems.groupBy("pos").agg(
+        F.min("val").alias("dmin"), F.max("val").alias("dmax")
+    )
+    scale = (F.col("dmax") - F.col("dmin")) / _QUANT_LEVELS
+    code = F.least(
+        F.lit(_QUANT_LEVELS),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col("val") - F.col("dmin")) / scale + F.lit(0.5)),
+        ),
+    )
+    abs_err = F.abs(code * scale + F.col("dmin") - F.col("val"))
+    return (
+        elems.join(F.broadcast(dims), "pos")
+        .select("pos", "dmin", "dmax", abs_err.alias("abs_err"))
+        .groupBy("pos", "dmin", "dmax")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.round(
+                F.sum(F.col("abs_err").cast("decimal(25,12)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("avg_abs_err"),
+        )
+        .select(
+            "pos",
+            "n_values",
+            F.round("dmin", 6).alias("dim_min"),
+            F.round("dmax", 6).alias("dim_max"),
+            F.round((F.col("dmax") - F.col("dmin")) / _QUANT_LEVELS, 9).alias("scale"),
+            "avg_abs_err",
+        )
+    )
