@@ -169,3 +169,80 @@ def test_stream_drop_duplicates_exactly_once(spark, tmp_path):
     q.awaitTermination(120)
     ids = [r["event_id"] for r in spark.table("dedup_stream").collect()]
     assert sorted(ids) == [1, 2, 3, 4, 5, 6], ids  # each exactly once
+
+
+def test_socket_transport_to_windowed_counts(spark):
+    """Push-based network transport (the Kinesis ``put_record`` analog,
+    reference flows/landing.py:27-53): a TCP producer pushes CSV event
+    lines into Spark's socket source; the stream is parsed and
+    aggregated, and the complete-mode result must equal the batch
+    groupBy over everything sent. Completes the transport trio:
+    chunked-file replay, rate source, and now a true network push."""
+    import socket
+    import threading
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    n_users, per_user = 20, 5
+    lines = [
+        f"{uid},{'click' if i % 2 == 0 else 'view'}"
+        for uid in range(n_users)
+        for i in range(per_user)
+    ]
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    server.listen(1)
+    port = server.getsockname()[1]
+    done = threading.Event()
+
+    def serve():
+        conn, _ = server.accept()
+        try:
+            for line in lines:
+                conn.sendall((line + "\n").encode())
+            done.wait(60)  # keep the pipe open until the test drained it
+        finally:
+            conn.close()
+            server.close()
+
+    producer = threading.Thread(target=serve, daemon=True)
+    producer.start()
+
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", "127.0.0.1")
+        .option("port", port)
+        .load()
+    )
+    parsed = raw.select(
+        F.split("value", ",")[0].cast("long").alias("user_id"),
+        F.split("value", ",")[1].alias("event_type"),
+    )
+    counts = parsed.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("socket_counts")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        expected = {
+            "click": n_users * ((per_user + 1) // 2),
+            "view": n_users * (per_user // 2),
+        }
+        deadline = _time.time() + 90
+        got: dict[str, int] = {}
+        while _time.time() < deadline:
+            q.processAllAvailable()
+            got = {
+                r["event_type"]: r["n"] for r in spark.table("socket_counts").collect()
+            }
+            if got == expected:
+                break
+            _time.sleep(0.5)
+        assert got == expected, got
+    finally:
+        done.set()
+        q.stop()
