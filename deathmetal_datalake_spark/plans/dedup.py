@@ -319,14 +319,15 @@ SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= {_EST_THRESHOLD}
 )
 
 
-@register("dedup_minhash_lsh", oracle=_LSH_SQL)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    sig = session_cache(_minhash_columns(_hashed_shingles(docs)))
-    # Band buckets straight from the signature columns (band b covers
-    # components [b*_BAND_ROWS, (b+1)*_BAND_ROWS)); no per-component
-    # explode/regroup. Bucket string matches the oracle's
-    # array_to_string(list(minhash ORDER BY i), '_').
+def _minhash_band_candidates(sig: DataFrame) -> DataFrame:
+    """Distinct band-bucket collision pairs (doc_a < doc_b) from a
+    columnar signature table — shared by the LSH query and the
+    calibration audit.
+
+    Band buckets come straight from the signature columns (band b
+    covers components [b*_BAND_ROWS, (b+1)*_BAND_ROWS)); no
+    per-component explode/regroup. Bucket string matches the oracle's
+    array_to_string(list(minhash ORDER BY i), '_')."""
     band_structs = F.array(
         *[
             F.struct(
@@ -349,7 +350,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = bands.alias("a")
     b = bands.alias("b")
-    candidates = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -359,15 +360,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates()
     )
-    # Verify estimated Jaccard from the columnar signatures: two joins on
-    # doc_id, agreement computed row-local — no component-level join.
+
+
+def _minhash_estimates(candidates: DataFrame, sig: DataFrame) -> DataFrame:
+    """Estimated Jaccard per candidate pair from the columnar
+    signatures: two joins on doc_id, agreement computed row-local — no
+    component-level join."""
     sa = sig.alias("sa")
     sb = sig.alias("sb")
     agreement = sum(
         F.when(F.col(f"sa.m{i}") == F.col(f"sb.m{i}"), 1).otherwise(0)
         for i in range(_N_HASHES)
     )
-    est = (
+    return (
         candidates.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .select(
@@ -376,6 +381,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(agreement.cast("double") / _N_HASHES, 6).alias("est_jaccard"),
         )
     )
+
+
+@register("dedup_minhash_lsh", oracle=_LSH_SQL)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sig = session_cache(_minhash_columns(_hashed_shingles(docs)))
+    candidates = _minhash_band_candidates(sig)
+    est = _minhash_estimates(candidates, sig)
     return est.filter(F.col("est_jaccard") >= _EST_THRESHOLD)
 
 
@@ -1139,4 +1152,103 @@ def dedup_simhash_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= _SIMHASH_MP_REPORT_MAX)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash calibration audit: for every LSH candidate pair, the
+# signature-estimated Jaccard NEXT TO the true shingle-set Jaccard and
+# the absolute error — the table you read before trusting a k=8
+# signature at corpus scale (is the estimator biased? how wide is the
+# band-collision noise floor?). True Jaccard is computed only for the
+# banding's candidate pairs, so the exact-set intersection join costs
+# Σ per-pair |shingle set|, never corpus².
+# ---------------------------------------------------------------------------
+
+_CALIB_SQL = (
+    _SIG_SQL
+    + f""",
+bands AS (
+    SELECT doc_id,
+           i // {_BAND_ROWS} AS band,
+           {sql_hash60("array_to_string(list(minhash ORDER BY i), '_')")} AS bucket
+    FROM sig
+    GROUP BY doc_id, i // {_BAND_ROWS}
+),
+candidates AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+hset AS (
+    SELECT DISTINCT doc_id, {sql_hash60('shingle')} AS sh FROM shingled
+),
+sizes AS (
+    SELECT doc_id, COUNT(*) AS sz FROM hset GROUP BY doc_id
+),
+inter AS (
+    SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+    FROM candidates c
+    JOIN hset a ON a.doc_id = c.doc_a
+    JOIN hset b ON b.doc_id = c.doc_b AND b.sh = a.sh
+    GROUP BY c.doc_a, c.doc_b
+),
+est AS (
+    SELECT c.doc_a, c.doc_b,
+           ROUND(CAST(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS DOUBLE)
+                 / {_N_HASHES}, 6) AS est_jaccard
+    FROM candidates c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT e.doc_a, e.doc_b, e.est_jaccard,
+       ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+             / (za.sz + zb.sz - COALESCE(i.n_inter, 0)), 6) AS true_jaccard,
+       ROUND(ABS(e.est_jaccard
+                 - ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                         / (za.sz + zb.sz - COALESCE(i.n_inter, 0)), 6)), 6) AS abs_err
+FROM est e
+LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+JOIN sizes za ON za.doc_id = e.doc_a
+JOIN sizes zb ON zb.doc_id = e.doc_b
+"""
+)
+
+
+@register("dedup_minhash_calibration", oracle=_CALIB_SQL)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hs = session_cache(_hashed_shingles(docs))
+    sig = session_cache(_minhash_columns(hs))
+    candidates = session_cache(_minhash_band_candidates(sig))
+    est = _minhash_estimates(candidates, sig)
+    sizes = hs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        candidates.join(
+            hs.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a"
+        )
+        .join(
+            hs.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"]
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    n_inter = F.coalesce(F.col("n_inter"), F.lit(0))
+    true_j = F.round(
+        n_inter.cast("double") / (F.col("sz_a") + F.col("sz_b") - n_inter), 6
+    )
+    return (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            true_j.alias("true_jaccard"),
+            F.round(F.abs(F.col("est_jaccard") - true_j), 6).alias("abs_err"),
+        )
     )
