@@ -617,3 +617,47 @@ def events_trailing_1h_range_frame(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).over(w).alias("n_1h"),
         F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("sum_1h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: users grouped by first-activity week; for each
+# (cohort, week offset) the count of still-active users — the retention
+# triangle every product-analytics stack computes. Two shuffles (first
+# touch per user, distinct user-week activity) + one join on user_id;
+# all date arithmetic is integer day counts, exact in both engines.
+# ---------------------------------------------------------------------------
+
+_COHORT_SQL = """
+WITH firsts AS (
+    SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+    FROM events GROUP BY user_id
+),
+activity AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS event_week
+    FROM events
+)
+SELECT f.cohort_week,
+       CAST(DATEDIFF('day', f.cohort_week, a.event_week) // 7 AS BIGINT) AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_active
+FROM activity a JOIN firsts f USING (user_id)
+GROUP BY f.cohort_week, week_offset
+"""
+
+
+@register("events_cohort_retention", oracle=_COHORT_SQL)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("event_week")
+    ).distinct()
+    offset = F.floor(
+        F.datediff(F.col("event_week"), F.col("cohort_week")) / 7
+    ).cast("long")
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy("cohort_week", offset.alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )

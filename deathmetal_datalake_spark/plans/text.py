@@ -595,3 +595,54 @@ def text_quality_mean_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("mean_token_len") > F.col("lang_mean"))
         .select("doc_id", "lang", "mean_token_len", "lang_mean")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source language concentration (Gini impurity 1 − Σ share²): the
+# diversity audit of a crawl mix. Impurity is chosen over entropy
+# because it needs no log — shares are single divisions and the share²
+# sum runs through DECIMAL(25,12), so the statistic is engine-exact.
+# ---------------------------------------------------------------------------
+
+_GINI_SQL = """
+WITH cells AS (
+    SELECT source, lang, COUNT(*) AS n
+    FROM documents GROUP BY source, lang
+),
+tot AS (
+    SELECT source, CAST(SUM(n) AS BIGINT) AS n_total
+    FROM cells GROUP BY source
+),
+shares AS (
+    SELECT c.source, t.n_total,
+           (CAST(c.n AS DOUBLE) / CAST(t.n_total AS DOUBLE))
+             * (CAST(c.n AS DOUBLE) / CAST(t.n_total AS DOUBLE)) AS share_sq
+    FROM cells c JOIN tot t USING (source)
+)
+SELECT source,
+       MAX(n_total) AS n_docs,
+       COUNT(*) AS n_langs,
+       ROUND(1.0 - CAST(SUM(CAST(share_sq AS DECIMAL(25,12))) AS DOUBLE), 6)
+           AS lang_gini
+FROM shares
+GROUP BY source
+"""
+
+
+@register("text_source_lang_gini", oracle=_GINI_SQL)
+def text_source_lang_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = cells.groupBy("source").agg(F.sum("n").alias("n_total"))
+    share = F.col("n").cast("double") / F.col("n_total").cast("double")
+    shares = cells.join(tot, "source").select(
+        "source", "n_total", (share * share).alias("share_sq")
+    )
+    return shares.groupBy("source").agg(
+        F.max("n_total").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.round(
+            F.lit(1.0) - F.sum(F.col("share_sq").cast("decimal(25,12)")).cast("double"),
+            6,
+        ).alias("lang_gini"),
+    )
