@@ -58,6 +58,16 @@ BENCH_QUERIES = [
     "kmeans_two_rounds",
     "events_asof_click_before_purchase",
     "text_tfidf_top_terms",
+    # round 3: multi-probe indexes, calibration/eval audits, repetition
+    # scoring, survivorship, versioned-table time travel
+    "dedup_simhash_multiprobe",
+    "similarity_ivf_multiprobe_topk",
+    "similarity_ann_recall",
+    "dedup_minhash_calibration",
+    "text_repetition_scores",
+    "dedup_cluster_canonical",
+    "embedding_int8_quantization",
+    "catalog_snapshot_time_travel",
 ]
 
 # Queries whose full result is large; drain with a hash aggregate
@@ -80,6 +90,10 @@ _HASH_DRAIN = {
     "dedup_simhash_pairs",
     "events_asof_click_before_purchase",
     "text_tfidf_top_terms",
+    "dedup_simhash_multiprobe",
+    "dedup_minhash_calibration",
+    "text_repetition_scores",
+    "dedup_cluster_canonical",
 }
 
 

@@ -18,7 +18,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from deathmetal_datalake_spark.plans.registry import dsum, register, sql_dsum
+from deathmetal_datalake_spark.plans.registry import dsum, register, spread, sql_dsum
 from deathmetal_datalake_spark.sources.snapshots import SnapshotTable
 from deathmetal_datalake_spark.sources.tables import load_table
 
@@ -53,7 +53,11 @@ def catalog_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads of all three versions. v1/v2 are read AFTER the second
     overwrite has moved the branch head — proving historical snapshots
     survive later writes."""
-    orders = load_table(spark, sf_dir, "orders")
+    # spread: the source table arrives as ~1 parquet split, which would
+    # make every snapshot write a single-task job; repartitioning first
+    # parallelizes the write and gives each snapshot a multi-file layout
+    # (what real table maintenance produces).
+    orders = spread(load_table(spark, sf_dir, "orders"))
     with tempfile.TemporaryDirectory(prefix="dml-snapq-") as d:
         tbl = SnapshotTable(spark, os.path.join(d, "orders_versioned"))
         s1 = tbl.write(orders.filter(F.col("o_orderstatus") == "F"), "overwrite")
@@ -83,7 +87,7 @@ def catalog_branch_write_audit_publish(spark: SparkSession, sf_dir: str) -> Data
     verify main is isolated from it (the returned 'main' row is read
     while the staged append exists), then fast-forward-publish and
     verify main now equals the audited state."""
-    orders = load_table(spark, sf_dir, "orders")
+    orders = spread(load_table(spark, sf_dir, "orders"))
     with tempfile.TemporaryDirectory(prefix="dml-snapb-") as d:
         tbl = SnapshotTable(spark, os.path.join(d, "orders_branched"))
         tbl.write(orders.filter(F.col("o_orderstatus") == "F"), "overwrite")

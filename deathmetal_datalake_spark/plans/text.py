@@ -631,8 +631,14 @@ GROUP BY source
 
 @register("text_source_lang_gini", oracle=_GINI_SQL)
 def text_source_lang_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
     docs = load_table(spark, sf_dir, "documents")
-    cells = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    # Cached: the bounded source×lang grid feeds both the per-source
+    # total and the share projection — one corpus scan, not two.
+    cells = session_cache(
+        docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    )
     tot = cells.groupBy("source").agg(F.sum("n").alias("n_total"))
     share = F.col("n").cast("double") / F.col("n_total").cast("double")
     shares = cells.join(tot, "source").select(
