@@ -198,3 +198,48 @@ def test_simhash_auto_band_bounds_candidates(spark):
     # Measured at this SF: stale 1.52M, auto 540k = 31.7x the 1x count.
     assert cand_auto < 0.5 * cand_stale
     assert cand_auto <= 50 * cand_1x
+
+
+# ---- multi-probe simhash: completeness within the probe radius ----
+
+
+def test_simhash_multiprobe_complete_and_superset(spark):
+    """The multi-probe guarantee, checked against ground truth: every
+    pair within the reporting radius (Hamming <= 5 < the pigeonhole
+    detection radius 7) must be found — verified by comparing the
+    banded+probed candidate pipeline against an exhaustive all-pairs
+    scan of the signatures — and the single-probe pair set must be a
+    subset (identity probes included)."""
+    from deathmetal_datalake_spark.plans.dedup import (
+        _SIMHASH_BANDS,
+        _SIMHASH_MP_REPORT_MAX,
+        _auto_band_bits,
+        _simhash_signatures,
+        dedup_simhash_multiprobe,
+        dedup_simhash_pairs,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    band_bits = _auto_band_bits(docs.count())
+    sig = _simhash_signatures(docs, _SIMHASH_BANDS * band_bits).cache()
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    brute = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.expr("sig_a ^ sig_b")).cast("long"))
+        .filter(F.col("hamming") <= _SIMHASH_MP_REPORT_MAX)
+    )
+    truth = {(r["doc_a"], r["doc_b"]) for r in brute.collect()}
+    sig.unpersist()
+
+    multi = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_simhash_multiprobe(spark, SF).collect()
+    }
+    assert multi == truth, (
+        f"multi-probe missed {len(truth - multi)} / extra {len(multi - truth)}"
+    )
+    single = {
+        (r["doc_a"], r["doc_b"]) for r in dedup_simhash_pairs(spark, SF).collect()
+    }
+    assert single <= multi
