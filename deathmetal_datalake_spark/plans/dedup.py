@@ -943,26 +943,42 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Corpus hygiene metric: exact-duplicate rate per source. A doc is a
-# duplicate when its content hash appears more than once corpus-wide;
-# the per-source dup fraction is the number every crawl/ingest report
-# leads with. One groupBy on the 60-bit hash + one hash-keyed join —
-# both map-side combinable, no hot keys beyond genuine dup clusters.
+# Corpus hygiene metric: per-source duplication rates — exact (full
+# content hash) AND boilerplate (shared leading 5-token prefix, the
+# crawl heuristic for template/boilerplate reuse). Two key columns from
+# one scan, two count tables, two hash-keyed joins — all map-side
+# combinable, no hot keys beyond genuine dup clusters. Exact-dup mass
+# only exists from sf0.1 up in the testdata; the prefix rate binds at
+# every SF, so the driver gate always sees live signal in this table.
 # ---------------------------------------------------------------------------
 
-_DUP_RATE_SQL = f"""
+_BOILER_PREFIX_TOKENS = 5
+_BOILER_PREFIX_EXPR = (
+    r"array_to_string(string_split_regex(TRIM(text), '\s+')"
+    + f"[1:{_BOILER_PREFIX_TOKENS}], ' ')"
+)
+
+_DUP_RATE_SQL = rf"""
 WITH h AS (
-    SELECT doc_id, source, {sql_hash60('text')} AS ch FROM documents
+    SELECT doc_id, source, {sql_hash60('text')} AS ch,
+           {sql_hash60(_BOILER_PREFIX_EXPR)} AS ph
+    FROM documents
 ),
 counts AS (
     SELECT ch, COUNT(*) AS n FROM h GROUP BY ch
+),
+pcounts AS (
+    SELECT ph, COUNT(*) AS pn FROM h GROUP BY ph
 )
 SELECT source,
        COUNT(*) AS n_docs,
        CAST(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
        ROUND(CAST(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
-             / COUNT(*), 6) AS dup_frac
-FROM h JOIN counts c USING (ch)
+             / COUNT(*), 6) AS dup_frac,
+       CAST(SUM(CASE WHEN p.pn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler_docs,
+       ROUND(CAST(SUM(CASE WHEN p.pn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS boiler_frac
+FROM h JOIN counts c USING (ch) JOIN pcounts p USING (ph)
 GROUP BY source
 """
 
@@ -970,17 +986,34 @@ GROUP BY source
 @register("dedup_rate_by_source", oracle=_DUP_RATE_SQL)
 def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    h = docs.select("doc_id", "source", hash60("text").alias("ch"))
+    prefix = F.concat_ws(
+        " ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, _BOILER_PREFIX_TOKENS)
+    )
+    h = session_cache(
+        docs.select(
+            "doc_id",
+            "source",
+            hash60("text").alias("ch"),
+            hash60(prefix).alias("ph"),
+        )
+    )
     counts = h.groupBy("ch").agg(F.count(F.lit(1)).alias("n"))
+    pcounts = h.groupBy("ph").agg(F.count(F.lit(1)).alias("pn"))
     is_dup = F.when(F.col("n") > 1, 1).otherwise(0)
+    is_boiler = F.when(F.col("pn") > 1, 1).otherwise(0)
     return (
         h.join(counts, "ch")
+        .join(pcounts, "ph")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(is_dup).alias("n_dup_docs"),
             F.round(F.sum(is_dup).cast("double") / F.count(F.lit(1)), 6).alias(
                 "dup_frac"
+            ),
+            F.sum(is_boiler).alias("n_boiler_docs"),
+            F.round(F.sum(is_boiler).cast("double") / F.count(F.lit(1)), 6).alias(
+                "boiler_frac"
             ),
         )
     )

@@ -47,7 +47,7 @@ from deathmetal_datalake_spark.plans.events import (
     _SLIDING_SQL,
     _TUMBLING_SQL,
 )
-from deathmetal_datalake_spark.plans.registry import davg, dsum, register
+from deathmetal_datalake_spark.plans.registry import davg, dsum, hash60, register, sql_hash60
 from deathmetal_datalake_spark.sources.tables import load_table
 
 # Several input files + a smaller files-per-trigger so every replay
@@ -302,3 +302,35 @@ def streaming_asof_click_before_purchase_replay(
     matched = streaming_asof_click_before_purchase(stream)
     out = _drain(matched, scratch, "append")
     return out.select("event_id", "user_id", "purchase_ts", "asof_click_ts")
+
+
+# ---------------------------------------------------------------------------
+# Streaming ingest-dedup over the DOCUMENT corpus: exactly-once
+# content-hash dedup at the landing edge (the streaming twin of
+# dedup_exact) — each distinct 60-bit content hash is emitted exactly
+# once however the arriving files are batched, so the accumulated sink
+# is the corpus's distinct content set. State is one row per distinct
+# hash, the same bound the batch groupBy has; at 100 TB the state store
+# shards it by key across executors.
+# ---------------------------------------------------------------------------
+
+_STREAM_DEDUP_SQL = f"""
+SELECT DISTINCT {sql_hash60('text')} AS content_hash FROM documents
+"""
+
+
+@register("streaming_dedup_exact_replay", oracle=_STREAM_DEDUP_SQL)
+def streaming_dedup_exact_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scratch = tempfile.mkdtemp(prefix="dml-stream-dedup-")
+    data_dir = os.path.join(scratch, "documents")
+    docs.repartition(_REPLAY_FILES).write.mode("overwrite").parquet(data_dir)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", _FILES_PER_TRIGGER)
+        .parquet(data_dir)
+    )
+    deduped = stream.select(hash60("text").alias("content_hash")).dropDuplicates(
+        ["content_hash"]
+    )
+    return _drain(deduped, scratch, "append")
