@@ -50,6 +50,10 @@ class Snapshot:
     committed_at: float  # epoch seconds
 
 
+class CommitConflict(RuntimeError):
+    """Another writer moved the branch between read and publish."""
+
+
 class SnapshotTable:
     """A versioned parquet table rooted at ``base_path``.
 
@@ -132,18 +136,33 @@ class SnapshotTable:
     # ---- write ----------------------------------------------------------
 
     def write(
-        self, df: DataFrame, mode: str = "overwrite", branch: str = _MAIN
+        self,
+        df: DataFrame,
+        mode: str = "overwrite",
+        branch: str = _MAIN,
+        expected_parent: Optional[int] = None,
     ) -> Snapshot:
         """Commit ``df`` as a new snapshot on ``branch``.
 
         The data write happens BEFORE the ref moves (write-then-publish):
         a failed job leaves an orphan data dir but never a corrupt
         table — the same commit protocol as Iceberg.
+
+        Optimistic concurrency: pass ``expected_parent`` (the snapshot
+        id the caller based its write on) and the commit is refused
+        with :class:`CommitConflict` if another writer moved the branch
+        in between — detection-level CAS; true multi-process atomicity
+        needs a catalog service (Nessie's job), documented in NEXT.md.
         """
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
         refs = self._read_refs()
         parent_id = refs.get(branch)
+        if expected_parent is not None and parent_id != expected_parent:
+            raise CommitConflict(
+                f"branch {branch!r} is at snapshot {parent_id}, "
+                f"expected {expected_parent}"
+            )
         snapshot_id = self._next_snapshot_id()
         new_dir = os.path.join(
             self._data_dir, f"snap-{snapshot_id}-{uuid.uuid4().hex[:8]}"
@@ -244,6 +263,18 @@ class SnapshotTable:
         self._write_refs(refs)
 
     # ---- maintenance ----------------------------------------------------
+
+    def compact(
+        self, branch: str = _MAIN, target_files: int = 8
+    ) -> Snapshot:
+        """Rewrite the branch head's (possibly many small appended)
+        data files into ``target_files`` larger ones, committed as a
+        NEW snapshot with identical rows — history stays intact, and
+        readers of older snapshots are untouched. The small-files
+        compaction every append-heavy table needs periodically."""
+        current = self.read(branch=branch)
+        compacted = current.repartition(target_files)
+        return self.write(compacted, mode="overwrite", branch=branch)
 
     def orphan_data_dirs(self) -> list[str]:
         """Data dirs referenced by NO snapshot manifest — failed-write

@@ -115,3 +115,35 @@ def test_branch_guards(table, orders):
         table.create_branch("b")
     with pytest.raises(ValueError):
         table.drop_branch("main")
+
+
+def test_compaction_preserves_rows_and_history(table, orders):
+    import glob
+
+    for i in range(4):  # append-heavy history -> many small files
+        table.write(orders.limit(25), mode="overwrite" if i == 0 else "append")
+    before = table.read().count()
+    head_before = table.current_snapshot_id()
+    snap = table.compact(target_files=2)
+    assert table.read().count() == before
+    # compacted head has exactly the target file layout
+    files = [
+        f
+        for d in snap.data_dirs
+        for f in glob.glob(os.path.join(d, "part-*.parquet"))
+    ]
+    assert len(files) == 2
+    # the pre-compaction version is still reconstructable
+    assert table.read(snapshot_id=head_before).count() == before
+    assert len(table.history()) == 5
+
+
+def test_optimistic_commit_conflict(table, orders):
+    from deathmetal_datalake_spark.sources.snapshots import CommitConflict
+
+    s1 = table.write(orders.limit(10), mode="overwrite")
+    # writer B commits on top of s1 first
+    table.write(orders.limit(5), mode="append", expected_parent=s1.snapshot_id)
+    # writer A, also based on s1, must now be refused
+    with pytest.raises(CommitConflict):
+        table.write(orders.limit(3), mode="append", expected_parent=s1.snapshot_id)
