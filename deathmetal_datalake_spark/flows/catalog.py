@@ -80,3 +80,38 @@ def write_partitioned_events(df: DataFrame, path: str, partition_col: str = "eve
         .option("compression", "snappy")
         .parquet(path)
     )
+
+
+def merge_upsert(target: "DataFrame", updates: "DataFrame", key: str) -> "DataFrame":
+    """MERGE INTO analog (SCD-1 upsert): rows in ``updates`` replace
+    same-key rows in ``target``; unmatched update rows are inserted.
+
+    Expressed as one full-outer join on the key with column-wise
+    COALESCE(update, target) — a single shuffle on the merge key, the
+    same physical shape Delta/Iceberg MERGE compiles to for the
+    all-columns-update case. At 100 TB the join benefits from both
+    sides being bucketed/partitioned by the key (write_bucketed_fact);
+    AQE handles update-batch skew.
+
+    Caveat: the COALESCE form cannot write an explicit NULL over a
+    non-NULL target value — matched rows take the update's value only
+    where it is non-NULL (the common SCD-1 contract).
+    """
+    from pyspark.sql import functions as F
+
+    if set(updates.columns) != set(target.columns):
+        raise ValueError("merge_upsert requires identical column sets")
+    u = updates.select(
+        F.col(key).alias("_mk"),
+        *[F.col(c).alias(f"_u_{c}") for c in updates.columns if c != key],
+    )
+    joined = target.join(u, target[key] == u["_mk"], "full_outer")
+    merged_cols = [
+        F.coalesce(target[key], u["_mk"]).alias(key),
+        *[
+            F.coalesce(F.col(f"_u_{c}"), target[c]).alias(c)
+            for c in target.columns
+            if c != key
+        ],
+    ]
+    return joined.select(*merged_cols)

@@ -109,3 +109,53 @@ def catalog_branch_write_audit_publish(spark: SparkSession, sf_dir: str) -> Data
         out = main_stats.unionAll(published_stats)
         rows = out.collect()
         return spark.createDataFrame(rows, schema=out.schema)
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO (SCD-1 upsert) against the versioned table: a deterministic
+# update batch (every 3rd order re-priced and flagged 'U') plus an
+# insert batch (cloned keys shifted past the key space) merged into the
+# orders snapshot; the merged state is committed as a new snapshot and
+# read back. Oracle: the merge is a pure function of the source table —
+# CASE for matched updates, UNION ALL for inserts.
+# ---------------------------------------------------------------------------
+
+_MERGE_INSERT_SHIFT = 10_000_000
+
+_MERGE_SQL = f"""
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 3 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+       CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2 ELSE o_totalprice END
+           AS o_totalprice
+FROM orders
+UNION ALL
+SELECT o_orderkey + {_MERGE_INSERT_SHIFT}, 'N', o_totalprice
+FROM orders WHERE o_orderkey % 1000 = 0
+"""
+
+
+@register("catalog_merge_upsert", oracle=_MERGE_SQL)
+def catalog_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deathmetal_datalake_spark.flows.catalog import merge_upsert
+
+    orders = spread(load_table(spark, sf_dir, "orders")).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 1000 == 0).select(
+        (F.col("o_orderkey") + _MERGE_INSERT_SHIFT).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    with tempfile.TemporaryDirectory(prefix="dml-snapm-") as d:
+        tbl = SnapshotTable(spark, os.path.join(d, "orders_merged"))
+        tbl.write(orders, "overwrite")
+        merged = merge_upsert(tbl.read(), updates.unionAll(inserts), "o_orderkey")
+        tbl.write(merged, "overwrite")
+        out = tbl.read()
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)

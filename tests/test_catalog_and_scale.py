@@ -243,3 +243,21 @@ def test_simhash_multiprobe_complete_and_superset(spark):
         (r["doc_a"], r["doc_b"]) for r in dedup_simhash_pairs(spark, SF).collect()
     }
     assert single <= multi
+
+
+# ---- MERGE INTO analog: matched-update / unmatched-insert semantics ----
+
+
+def test_merge_upsert_semantics(spark):
+    from deathmetal_datalake_spark.flows.catalog import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, s string, v double"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", 200.0), (4, "d", 40.0)], "k long, s string, v double"
+    )
+    got = {r["k"]: (r["s"], r["v"]) for r in merge_upsert(target, updates, "k").collect()}
+    assert got == {1: ("a", 10.0), 2: ("B", 200.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+    with pytest.raises(ValueError):
+        merge_upsert(target, updates.drop("v"), "k")
