@@ -652,3 +652,112 @@ def text_source_lang_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lang_gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window document chunking (the RAG / long-context prep step):
+# each document split into 64-token windows with stride 32, emitting
+# per-chunk token counts and content hashes. Pure array arithmetic —
+# the chunk grid derives from the token count, windows are slices, no
+# shuffle at all until a consumer aggregates.
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOKENS = 64
+_CHUNK_STRIDE = 32
+
+_CHUNK_SQL = rf"""
+WITH tok AS (
+    SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks FROM documents
+),
+grid AS (
+    SELECT doc_id, toks,
+           UNNEST(range((LENGTH(toks) - 1) // {_CHUNK_STRIDE} + 1)) AS ci
+    FROM tok
+),
+chunks AS (
+    SELECT doc_id, ci,
+           toks[1 + ci * {_CHUNK_STRIDE} : ci * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}]
+               AS chunk
+    FROM grid
+    WHERE 1 + ci * {_CHUNK_STRIDE} <= LENGTH(toks)
+)
+SELECT doc_id, CAST(ci AS BIGINT) AS chunk_index,
+       LENGTH(chunk) AS chunk_tokens,
+       {sql_hash60("array_to_string(chunk, ' ')")} AS chunk_hash
+FROM chunks
+"""
+
+
+@register("text_chunk_sliding_windows", oracle=_CHUNK_SQL)
+def text_chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    base = docs.select("doc_id", _tokens().alias("toks"))
+    n_chunks = F.floor((F.size("toks") - 1) / _CHUNK_STRIDE) + 1
+    grid = base.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("ci"),
+    ).filter(1 + F.col("ci") * _CHUNK_STRIDE <= F.size("toks"))
+    chunk = F.slice(
+        F.col("toks"), (1 + F.col("ci") * _CHUNK_STRIDE).cast("int"), _CHUNK_TOKENS
+    )
+    return grid.select(
+        "doc_id",
+        F.col("ci").cast("long").alias("chunk_index"),
+        F.size(chunk).alias("chunk_tokens"),
+        hash60(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rare-token ratio (the no-log stand-in for a perplexity filter): the
+# fraction of each document's tokens whose corpus document-frequency is
+# below 10% of the corpus — machine-generated or OCR-garbled text skews
+# high. The threshold is RELATIVE (df·10 < n_docs, integer compare) so
+# the statistic is scale-invariant; the df table is a bounded
+# vocabulary aggregate joined back by broadcast.
+# ---------------------------------------------------------------------------
+
+_RARE_SQL = r"""
+WITH tok AS (
+    SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\s+')) AS token
+    FROM documents
+),
+df AS (
+    SELECT token, COUNT(DISTINCT doc_id) AS dfreq FROM tok GROUP BY token
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN d.dfreq * 10 < n.n_docs THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rare,
+       ROUND(CAST(SUM(CASE WHEN d.dfreq * 10 < n.n_docs THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS rare_frac
+FROM tok t JOIN df d USING (token) CROSS JOIN n
+GROUP BY t.doc_id
+"""
+
+
+@register("text_rare_token_ratio", oracle=_RARE_SQL)
+def text_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = session_cache(
+        docs.select("doc_id", F.explode(_tokens()).alias("token"))
+    )
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("dfreq"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    is_rare = F.when(F.col("dfreq") * 10 < F.col("n_docs"), 1).otherwise(0)
+    return (
+        tok.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(is_rare).alias("n_rare"),
+            F.round(F.sum(is_rare).cast("double") / F.count(F.lit(1)), 6).alias(
+                "rare_frac"
+            ),
+        )
+    )
