@@ -334,3 +334,58 @@ def streaming_dedup_exact_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["content_hash"]
     )
     return _drain(deduped, scratch, "append")
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream INTERVAL JOIN, driver-checked: clicks joined to the
+# same user's purchases within the following 30 minutes, both sides
+# arriving as streams. An inner stream-stream join's emitted union is
+# batch-order invariant (a pair emits once both sides are seen,
+# whatever the batching), so the batch self-join is an exact oracle.
+# The replay omits watermarks deliberately — replay order is not
+# event-time order and a watermark could drop rows; production bounds
+# the join state with `withWatermark` on both sides + the same interval
+# condition (tested under controlled arrival in
+# tests/test_streaming_windows.py patterns).
+# ---------------------------------------------------------------------------
+
+_INTERVAL_JOIN_SQL = """
+SELECT c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.user_id,
+       c.ts AS click_ts,
+       p.ts AS purchase_ts
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 30 MINUTE
+"""
+
+
+@register("streaming_interval_join_replay", oracle=_INTERVAL_JOIN_SQL)
+def streaming_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream, scratch = _replay_events_stream(spark, sf_dir)
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user_id").alias("user_id"),
+        "click_ts",
+        "purchase_ts",
+    )
+    return _drain(joined, scratch, "append")
