@@ -124,8 +124,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM/code paths once so the measured numbers reflect
-    # steady-state execution, not first-query classloading.
+    # steady-state execution, not first-query classloading. The write
+    # path (parquet output committer) is warmed too: the versioned-table
+    # entries are the session's first writers and would otherwise pay
+    # one-time committer classloading inside their measurement.
+    import tempfile
+
     QUERIES["tpch_q6_forecast_revenue"](spark, sf_dir).collect()
+    with tempfile.TemporaryDirectory(prefix="dml-bench-warm-") as d:
+        spark.range(8).write.mode("overwrite").parquet(os.path.join(d, "warm"))
 
     timings = _run_suite(spark, sf_dir)
     total = round(sum(timings.values()), 3)

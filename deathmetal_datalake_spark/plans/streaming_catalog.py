@@ -81,7 +81,14 @@ def _replay_events_stream(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, 
 
 def _drain(df: DataFrame, scratch: str, output_mode: str) -> DataFrame:
     """Run the streaming query to completion (availableNow, checkpointed)
-    and return the memory-sink table."""
+    and return the memory-sink table.
+
+    The scratch dir (replayed input files + checkpoint) is deleted once
+    the query terminates: the memory sink holds the results, so nothing
+    re-reads the files — without this, every catalog run would leave an
+    sf-sized parquet copy per streaming entry in /tmp."""
+    import shutil
+
     name = f"dml_stream_sink_{next(_uid)}"
     query = (
         df.writeStream.format("memory")
@@ -92,6 +99,7 @@ def _drain(df: DataFrame, scratch: str, output_mode: str) -> DataFrame:
         .start()
     )
     query.awaitTermination()
+    shutil.rmtree(scratch, ignore_errors=True)
     return df.sparkSession.table(name)
 
 
@@ -234,6 +242,9 @@ def streaming_stateful_user_totals_replay(
         .start()
     )
     query.awaitTermination()
+    import shutil
+
+    shutil.rmtree(scratch, ignore_errors=True)
     rows = [(uid, n, total) for uid, (n, total) in final.items()]
     return spark.createDataFrame(rows, schema=OUTPUT_SCHEMA)
 
