@@ -17,5 +17,6 @@ from deathmetal_datalake_spark.plans import pipeline  # noqa: E402,F401
 from deathmetal_datalake_spark.plans import sqlsurface  # noqa: E402,F401
 from deathmetal_datalake_spark.plans import streaming_catalog  # noqa: E402,F401
 from deathmetal_datalake_spark.plans import snapshot_queries  # noqa: E402,F401
+from deathmetal_datalake_spark.plans import dq  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "register"]

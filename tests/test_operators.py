@@ -188,3 +188,33 @@ def test_min_label_propagation_raises_on_cap(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(19)], ["a", "b"])
     with pytest.raises(RuntimeError, match="did not converge"):
         min_label_propagation(nodes, edges, max_iters=2)
+
+
+# ---- data-quality expectations engine ----
+
+
+def test_run_expectations_null_and_unique_semantics(spark):
+    from deathmetal_datalake_spark.operators.quality import (
+        expect_between,
+        expect_in_set,
+        expect_not_null,
+        run_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (1, "b", -1.0), (2, None, None), (3, "z", 50.0)],
+        "k long, s string, v double",
+    )
+    rules = [
+        expect_not_null("s"),
+        expect_in_set("s", ["a", "b"]),   # NULL passes; 'z' violates
+        expect_between("v", 0.0, 10.0),   # NULL passes; -1 and 50 violate
+    ]
+    got = {
+        r["rule"]: (r["n_rows"], r["n_violations"], r["pass"])
+        for r in run_expectations(df, rules, unique_key="k").collect()
+    }
+    assert got["s_not_null"] == (4, 1, False)
+    assert got["s_in_set"] == (4, 1, False)
+    assert got["v_between"] == (4, 2, False)
+    assert got["k_unique"] == (4, 1, False)  # key 1 appears twice
