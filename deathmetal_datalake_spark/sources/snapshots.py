@@ -22,23 +22,42 @@ Scale notes (100 TB): the data path is untouched parquet — all reads go
 through ``spark.read.parquet(<dirs of the manifest>)`` and keep
 predicate pushdown, column pruning, and partition-parallel scans.
 Metadata is O(#snapshots) tiny JSON handled driver-side; the refs file
-is updated via atomic rename, giving single-writer-per-table safety
-(multi-writer coordination is a catalog service's job — Nessie's in the
-reference — and out of scope here, as documented in COVERAGE.md).
+is updated via atomic rename, so readers never see a torn ref.
+
+Multi-writer safety (the catalog-service role Nessie plays in the
+reference): the publish step — read refs, validate the expected parent,
+allocate a snapshot id, write the manifest, move the ref — runs inside a
+cross-process commit lock (``metadata/commit.lock``, created with
+``O_CREAT|O_EXCL`` so exactly one process can hold it; stale locks from
+crashed writers are expired by age). The expensive data write stays
+OUTSIDE the lock, so writers serialize only on the O(bytes-of-JSON)
+metadata swap — the same shape as Iceberg's optimistic commit against a
+locking catalog. ``commit_with_retry`` layers the Iceberg-style
+read-modify-write retry loop on top for transactional upserts.
 """
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
+import random
 import time
 import uuid
 from dataclasses import dataclass
-from typing import Optional
+from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
 _MAIN = "main"
+
+# A writer that dies while holding the commit lock must not wedge the
+# table forever: locks older than this are presumed abandoned and broken.
+# Publishes are metadata-only (no Spark job runs under the lock), so a
+# healthy holder is measured in milliseconds — 60 s is ~4 orders of
+# magnitude of headroom.
+_LOCK_STALE_S = 60.0
+_LOCK_POLL_S = 0.02
 
 
 @dataclass(frozen=True)
@@ -96,6 +115,56 @@ class SnapshotTable:
     def branches(self) -> dict[str, int]:
         return self._read_refs()
 
+    # ---- commit lock ----------------------------------------------------
+
+    @property
+    def _lock_path(self) -> str:
+        return os.path.join(self._meta_dir, "commit.lock")
+
+    @contextlib.contextmanager
+    def _commit_lock(self, timeout_s: float = 30.0):
+        """Cross-process mutual exclusion for the metadata swap.
+
+        ``O_CREAT | O_EXCL`` is atomic on POSIX filesystems: exactly one
+        process wins creation. Losers poll with jitter; a lock file older
+        than ``_LOCK_STALE_S`` (crashed holder) is broken by renaming it
+        aside first — the rename is itself atomic, so two breakers cannot
+        both succeed on the same stale file.
+        """
+        deadline = time.monotonic() + timeout_s
+        while True:
+            try:
+                fd = os.open(self._lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, f"pid={os.getpid()}\n".encode())
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(self._lock_path)
+                except OSError:
+                    continue  # holder released between open and stat
+                if age > _LOCK_STALE_S:
+                    stale = self._lock_path + f".stale-{uuid.uuid4().hex[:8]}"
+                    try:
+                        os.rename(self._lock_path, stale)
+                        os.unlink(stale)
+                    except OSError:
+                        pass  # another breaker won the rename race
+                    continue
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"commit lock on {self.base_path} held for >"
+                        f"{timeout_s}s (lock file age {age:.1f}s)"
+                    )
+                time.sleep(_LOCK_POLL_S * (1 + random.random()))
+        try:
+            yield
+        finally:
+            try:
+                os.unlink(self._lock_path)
+            except OSError:
+                pass
+
     # ---- snapshots ------------------------------------------------------
 
     def _snap_path(self, snapshot_id: int) -> str:
@@ -151,49 +220,97 @@ class SnapshotTable:
         Optimistic concurrency: pass ``expected_parent`` (the snapshot
         id the caller based its write on) and the commit is refused
         with :class:`CommitConflict` if another writer moved the branch
-        in between — detection-level CAS; true multi-process atomicity
-        needs a catalog service (Nessie's job), documented in NEXT.md.
+        in between. The check-and-publish runs inside the cross-process
+        commit lock, making it a true CAS — two writers racing the same
+        ``expected_parent`` serialize, and exactly one wins. Without
+        ``expected_parent`` the commit is last-writer-wins on the ref
+        (appends still extend whatever head is current AT COMMIT TIME,
+        re-read under the lock, so no concurrent append is lost).
         """
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
-        refs = self._read_refs()
-        parent_id = refs.get(branch)
-        if expected_parent is not None and parent_id != expected_parent:
-            raise CommitConflict(
-                f"branch {branch!r} is at snapshot {parent_id}, "
-                f"expected {expected_parent}"
-            )
-        snapshot_id = self._next_snapshot_id()
-        new_dir = os.path.join(
-            self._data_dir, f"snap-{snapshot_id}-{uuid.uuid4().hex[:8]}"
-        )
+        if expected_parent is not None:
+            # Fail fast before the expensive data write; re-validated
+            # authoritatively under the lock below.
+            current = self._read_refs().get(branch)
+            if current != expected_parent:
+                raise CommitConflict(
+                    f"branch {branch!r} is at snapshot {current}, "
+                    f"expected {expected_parent}"
+                )
+        # Data lands OUTSIDE the lock (write-then-publish): writers
+        # serialize only on the metadata swap, never on the Spark job.
+        new_dir = os.path.join(self._data_dir, f"snap-{uuid.uuid4().hex[:12]}")
         df.write.mode("errorifexists").parquet(new_dir)
-        if mode == "append" and parent_id is not None:
-            data_dirs = self._load_snapshot(parent_id).data_dirs + (new_dir,)
-        else:
-            data_dirs = (new_dir,)
-        snap = Snapshot(
-            snapshot_id=snapshot_id,
-            parent_id=parent_id,
-            mode=mode,
-            data_dirs=data_dirs,
-            committed_at=time.time(),
-        )
-        with open(self._snap_path(snapshot_id), "w") as f:
-            json.dump(
-                {
-                    "snapshot_id": snap.snapshot_id,
-                    "parent_id": snap.parent_id,
-                    "mode": snap.mode,
-                    "data_dirs": list(snap.data_dirs),
-                    "committed_at": snap.committed_at,
-                },
-                f,
-                indent=1,
+        with self._commit_lock():
+            refs = self._read_refs()
+            parent_id = refs.get(branch)
+            if expected_parent is not None and parent_id != expected_parent:
+                raise CommitConflict(
+                    f"branch {branch!r} is at snapshot {parent_id}, "
+                    f"expected {expected_parent}"
+                )
+            snapshot_id = self._next_snapshot_id()
+            if mode == "append" and parent_id is not None:
+                data_dirs = self._load_snapshot(parent_id).data_dirs + (new_dir,)
+            else:
+                data_dirs = (new_dir,)
+            snap = Snapshot(
+                snapshot_id=snapshot_id,
+                parent_id=parent_id,
+                mode=mode,
+                data_dirs=data_dirs,
+                committed_at=time.time(),
             )
-        refs[branch] = snapshot_id
-        self._write_refs(refs)
+            # 'x' mode: if id allocation ever raced (it cannot, under the
+            # lock), fail loudly rather than overwrite a manifest.
+            with open(self._snap_path(snapshot_id), "x") as f:
+                json.dump(
+                    {
+                        "snapshot_id": snap.snapshot_id,
+                        "parent_id": snap.parent_id,
+                        "mode": snap.mode,
+                        "data_dirs": list(snap.data_dirs),
+                        "committed_at": snap.committed_at,
+                    },
+                    f,
+                    indent=1,
+                )
+            refs[branch] = snapshot_id
+            self._write_refs(refs)
         return snap
+
+    def commit_with_retry(
+        self,
+        build: "Callable[[Optional[DataFrame]], DataFrame]",
+        branch: str = _MAIN,
+        mode: str = "overwrite",
+        max_retries: int = 5,
+    ) -> Snapshot:
+        """Transactional read-modify-write (Iceberg-style commit retry).
+
+        ``build`` receives the branch head as a DataFrame (``None`` if
+        the branch is empty) and returns the DataFrame to commit. On
+        :class:`CommitConflict` — another writer moved the branch between
+        our read and our publish — the transform is REBASED: re-read the
+        new head, re-run ``build``, try again. The data write is redone
+        per attempt (the transform's input changed), the conflict window
+        is only the metadata swap, and each retry backs off with jitter.
+        """
+        last: Optional[CommitConflict] = None
+        for _ in range(max_retries + 1):
+            head = self.current_snapshot_id(branch)
+            base = None if head is None else self.read(branch=branch, snapshot_id=head)
+            try:
+                return self.write(
+                    build(base), mode=mode, branch=branch, expected_parent=head
+                )
+            except CommitConflict as exc:
+                last = exc
+                time.sleep(_LOCK_POLL_S * (1 + random.random()))
+        raise CommitConflict(
+            f"gave up after {max_retries} rebases on branch {branch!r}"
+        ) from last
 
     # ---- read -----------------------------------------------------------
 
@@ -226,41 +343,47 @@ class SnapshotTable:
     # ---- branch ops (all O(1) metadata) ---------------------------------
 
     def create_branch(self, name: str, from_branch: str = _MAIN) -> int:
-        refs = self._read_refs()
-        if name in refs:
-            raise ValueError(f"branch {name!r} already exists")
-        if from_branch not in refs:
-            raise LookupError(f"source branch {from_branch!r} has no snapshots")
-        refs[name] = refs[from_branch]
-        self._write_refs(refs)
-        return refs[name]
+        with self._commit_lock():
+            refs = self._read_refs()
+            if name in refs:
+                raise ValueError(f"branch {name!r} already exists")
+            if from_branch not in refs:
+                raise LookupError(
+                    f"source branch {from_branch!r} has no snapshots"
+                )
+            refs[name] = refs[from_branch]
+            self._write_refs(refs)
+            return refs[name]
 
     def rollback(self, branch: str, snapshot_id: int) -> None:
         """Move ``branch`` back to an ancestor snapshot (data untouched)."""
-        lineage = {s.snapshot_id for s in self.history(branch)}
-        if snapshot_id not in lineage:
-            raise LookupError(
-                f"snapshot {snapshot_id} is not in {branch!r}'s lineage"
-            )
-        refs = self._read_refs()
-        refs[branch] = snapshot_id
-        self._write_refs(refs)
+        with self._commit_lock():
+            lineage = {s.snapshot_id for s in self.history(branch)}
+            if snapshot_id not in lineage:
+                raise LookupError(
+                    f"snapshot {snapshot_id} is not in {branch!r}'s lineage"
+                )
+            refs = self._read_refs()
+            refs[branch] = snapshot_id
+            self._write_refs(refs)
 
     def fast_forward(self, branch: str, to_branch: str) -> None:
         """Publish: point ``branch`` at ``to_branch``'s head (the WAP
         merge step — audit on a staging branch, then fast-forward main)."""
-        refs = self._read_refs()
-        if to_branch not in refs:
-            raise LookupError(f"branch {to_branch!r} has no snapshots")
-        refs[branch] = refs[to_branch]
-        self._write_refs(refs)
+        with self._commit_lock():
+            refs = self._read_refs()
+            if to_branch not in refs:
+                raise LookupError(f"branch {to_branch!r} has no snapshots")
+            refs[branch] = refs[to_branch]
+            self._write_refs(refs)
 
     def drop_branch(self, name: str) -> None:
         if name == _MAIN:
             raise ValueError("refusing to drop 'main'")
-        refs = self._read_refs()
-        refs.pop(name, None)
-        self._write_refs(refs)
+        with self._commit_lock():
+            refs = self._read_refs()
+            refs.pop(name, None)
+            self._write_refs(refs)
 
     # ---- maintenance ----------------------------------------------------
 
@@ -271,10 +394,18 @@ class SnapshotTable:
         data files into ``target_files`` larger ones, committed as a
         NEW snapshot with identical rows — history stays intact, and
         readers of older snapshots are untouched. The small-files
-        compaction every append-heavy table needs periodically."""
-        current = self.read(branch=branch)
+        compaction every append-heavy table needs periodically.
+
+        CAS-guarded on the snapshot it read: if a writer appends while
+        the rewrite runs, the commit raises :class:`CommitConflict`
+        instead of silently dropping the concurrent rows — the janitor
+        retries, it never wins over data."""
+        head = self.current_snapshot_id(branch)
+        current = self.read(branch=branch, snapshot_id=head)
         compacted = current.repartition(target_files)
-        return self.write(compacted, mode="overwrite", branch=branch)
+        return self.write(
+            compacted, mode="overwrite", branch=branch, expected_parent=head
+        )
 
     def orphan_data_dirs(self) -> list[str]:
         """Data dirs referenced by NO snapshot manifest — failed-write

@@ -147,3 +147,154 @@ def test_optimistic_commit_conflict(table, orders):
     # writer A, also based on s1, must now be refused
     with pytest.raises(CommitConflict):
         table.write(orders.limit(3), mode="append", expected_parent=s1.snapshot_id)
+
+
+# ---- multi-writer coordination (the Nessie-catalog role) ----------------
+
+
+def _locked_increment(base_path: str, counter_path: str, iters: int) -> None:
+    """Child-process worker: bump a counter file under the commit lock.
+
+    Runs without Spark — the lock is pure filesystem metadata, which is
+    exactly why it works across processes.
+    """
+    from deathmetal_datalake_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable.__new__(SnapshotTable)
+    t.base_path = base_path
+    t._meta_dir = os.path.join(base_path, "metadata")
+    t._data_dir = os.path.join(base_path, "data")
+    for _ in range(iters):
+        with t._commit_lock():
+            with open(counter_path) as f:
+                n = int(f.read())
+            with open(counter_path, "w") as f:
+                f.write(str(n + 1))
+
+
+def test_commit_lock_excludes_across_processes(table):
+    """The read-modify-write under ``_commit_lock`` must not lose updates
+    even when the writers are separate OS processes."""
+    import multiprocessing as mp
+
+    counter = os.path.join(table.base_path, "counter.txt")
+    os.makedirs(table.base_path, exist_ok=True)
+    with open(counter, "w") as f:
+        f.write("0")
+    ctx = mp.get_context("spawn")
+    procs = [
+        ctx.Process(target=_locked_increment, args=(table.base_path, counter, 25))
+        for _ in range(4)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(timeout=120)
+        assert p.exitcode == 0
+    with open(counter) as f:
+        assert int(f.read()) == 100
+
+
+def test_concurrent_appends_all_survive(table, orders):
+    """N threads appending without CAS: the under-lock re-read of the
+    parent means every append lands — no lost updates, linear history."""
+    import threading
+
+    rows = orders.limit(12).collect()
+    spark = table.spark
+    errs: list[Exception] = []
+
+    def appender(i: int) -> None:
+        try:
+            df = spark.createDataFrame([rows[i]], schema=orders.schema)
+            table.write(df, mode="append")
+        except Exception as exc:  # pragma: no cover - surfaced via assert
+            errs.append(exc)
+
+    threads = [threading.Thread(target=appender, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert table.read().count() == 6
+    hist = table.history()
+    ids = [s.snapshot_id for s in hist]
+    assert len(ids) == len(set(ids)) == 6
+    # Linear chain: each snapshot's parent is its predecessor.
+    for prev, cur in zip(hist, hist[1:]):
+        assert cur.parent_id == prev.snapshot_id
+
+
+def test_commit_with_retry_rebases_read_modify_write(table, spark):
+    """Concurrent transactional increments: every writer's transform is
+    rebased onto the moved head, so all N increments survive."""
+    import threading
+
+    table.write(spark.createDataFrame([(0,)], "n long"), mode="overwrite")
+    errs: list[Exception] = []
+
+    def incr() -> None:
+        try:
+            table.commit_with_retry(
+                lambda head: head.select((F.col("n") + 1).alias("n")),
+                mode="overwrite",
+                max_retries=20,
+            )
+        except Exception as exc:  # pragma: no cover
+            errs.append(exc)
+
+    threads = [threading.Thread(target=incr) for _ in range(5)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert table.read().collect()[0].n == 5
+
+
+def test_stale_lock_is_broken(table, orders):
+    """A lock file left by a crashed writer must not wedge the table."""
+    lock = table._lock_path
+    os.makedirs(os.path.dirname(lock), exist_ok=True)
+    with open(lock, "w") as f:
+        f.write("pid=999999\n")
+    old = os.path.getmtime(lock) - 3600
+    os.utime(lock, (old, old))
+    snap = table.write(orders.limit(3), mode="overwrite")  # must not block
+    assert table.read(snapshot_id=snap.snapshot_id).count() == 3
+
+
+def test_live_lock_times_out(table, orders):
+    """A FRESH lock (healthy holder) is respected until timeout."""
+    with open(table._lock_path, "w") as f:
+        f.write("pid=1\n")
+    try:
+        with pytest.raises(TimeoutError):
+            with table._commit_lock(timeout_s=0.3):
+                pass  # pragma: no cover
+    finally:
+        os.unlink(table._lock_path)
+
+
+def test_compact_refuses_to_drop_concurrent_append(table, orders):
+    """Compaction reads head, a writer appends mid-rewrite, compaction's
+    overwrite must CAS-fail rather than silently drop the new rows."""
+    from deathmetal_datalake_spark.sources.snapshots import CommitConflict
+
+    for i in range(3):
+        table.write(orders.limit(4), mode="append")
+    head = table.current_snapshot_id()
+    # Simulate a concurrent append landing between compact's read and
+    # its publish by appending first, then calling a compaction that
+    # believes head is still the old snapshot.
+    current = table.read(snapshot_id=head)
+    table.write(orders.limit(2), mode="append")
+    with pytest.raises(CommitConflict):
+        table.write(
+            current.repartition(2),
+            mode="overwrite",
+            expected_parent=head,
+        )
+    # Nothing was lost: the concurrent append's rows are all present.
+    assert table.read().count() == 14
