@@ -268,7 +268,7 @@ _ASOF_FILES_PER_TRIGGER = 2
 
 
 def _replay_events_stream_ts_ordered(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, sentinel: bool = False
 ) -> tuple[DataFrame, str]:
     """events → consecutive ts-range parquet slices → file-source stream.
 
@@ -277,6 +277,13 @@ def _replay_events_stream_ts_ordered(
     modification times — the file source's processing order — strictly
     increase with event time. Equal-ts rows always share a slice, so
     the click-before-purchase tie-break stays intra-batch.
+
+    ``sentinel=True`` appends one FINAL slice holding a single far-future
+    row for the reserved key ``user_id = -1``: processing it advances the
+    watermark past every real event's ``ts + gap``, so event-time
+    timeouts for all real keys fire in the wrap-up no-data micro-batch —
+    the replay stand-in for a production stream that simply keeps
+    running. Callers filter ``user_id >= 0``.
     """
     ev = load_table(spark, sf_dir, "events")
     scratch = tempfile.mkdtemp(prefix="dml-stream-asof-")
@@ -293,6 +300,13 @@ def _replay_events_stream_ts_ordered(
         # Sequential writes; 2 shuffled parts per slice so a micro-batch
         # still sees unsorted multi-file input inside the slice.
         ev.filter(cond).repartition(2).write.mode("append").parquet(data_dir)
+    if sentinel:
+        import datetime
+
+        far = hi + datetime.timedelta(days=365)
+        spark.createDataFrame(
+            [(-1, far, -1, "sentinel", 0.0, "{}")], schema=ev.schema
+        ).coalesce(1).write.mode("append").parquet(data_dir)
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", _ASOF_FILES_PER_TRIGGER)
@@ -400,3 +414,32 @@ def streaming_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFram
         "purchase_ts",
     )
     return _drain(joined, scratch, "append")
+
+
+# ---------------------------------------------------------------------------
+# EVENT-TIME EVICTION, driver-checked (closes NEXT.md §2): gap
+# sessionization where closing a session IS the eviction —
+# ``GroupStateTimeout.EventTimeTimeout`` keyed off the watermark, which
+# is a pure function of the data, unlike the processing-time variant
+# (pytest-only, inherently wall-clock). Sessions close either by gap
+# split (a later event ≥ gap after the session's last) or by watermark
+# eviction (state removed); under event-time-ordered replay both paths
+# produce the identical session partition (proof in
+# streaming/stateful.py), so the batch sessionization SQL is an exact
+# oracle for the emitted set. A far-future sentinel row (user_id = -1,
+# filtered out) advances the final watermark so the wrap-up no-data
+# micro-batch fires every pending eviction — the replay stand-in for a
+# stream that keeps running.
+# ---------------------------------------------------------------------------
+
+
+@register("streaming_eviction_sessions_replay", oracle=_SESSION_SQL)
+def streaming_eviction_sessions_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deathmetal_datalake_spark.streaming.stateful import sessionized_user_counts
+
+    stream, scratch = _replay_events_stream_ts_ordered(spark, sf_dir, sentinel=True)
+    sessions = sessionized_user_counts(stream, gap_minutes=30)
+    out = _drain(sessions, scratch, "append")
+    return out.filter(F.col("user_id") >= 0).select(
+        "user_id", "session_start", "last_ts", "n_events"
+    )

@@ -223,3 +223,137 @@ def streaming_asof_click_before_purchase(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# EVENT-TIME eviction: gap-based sessionization where closing a session
+# is the eviction itself (``GroupStateTimeout.EventTimeTimeout``). The
+# processing-time variant above is inherently wall-clock dependent —
+# no deterministic replay can pin when its timeout fires — but an
+# event-time timeout is driven by the WATERMARK, which is a pure
+# function of the data: that makes this the driver-checkable form of
+# state eviction (NEXT.md §2).
+#
+# Two paths close a session, and they provably agree:
+# - gap split inside the update: a new event ``gap`` or more after the
+#   session's last event emits the old session and starts a new one;
+# - timeout eviction: the watermark passing ``last_ts + gap`` proves no
+#   earlier-than-watermark event can arrive, so the session can never
+#   be extended — emit and REMOVE the state (idle keys don't pin the
+#   state store).
+# Under event-time-ordered delivery (the landing contract,
+# ``_replay_events_stream_ts_ordered``), any event that would find its
+# key already evicted has ``ts >= watermark > last_ts + gap``, i.e. it
+# would have gap-split anyway — both paths yield the identical session
+# partition, which is why the batch sessionization SQL is an exact
+# oracle for the emitted set.
+#
+# Scale: state is O(1) per ACTIVE key (three longs); eviction bounds
+# the store at "keys active within the trailing gap", not all keys ever
+# seen — the property that keeps a 100 TB / billions-of-users stream
+# runnable.
+# ---------------------------------------------------------------------------
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("session_start", TimestampNTZType(), False),
+        StructField("last_ts", TimestampNTZType(), False),
+        StructField("n_events", LongType(), False),
+    ]
+)
+
+# (start_us, last_us, n_events) — epoch-micros; micros is the native
+# parquet/pandas resolution so the round-trip is exact.
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType(), False),
+        StructField("last_us", LongType(), False),
+        StructField("n_events", LongType(), False),
+    ]
+)
+
+
+def _make_session_update(gap_us: int):
+    def _update_sessions(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        def emit(start_us: int, last_us: int, n: int) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.to_datetime(start_us, unit="us")],
+                    "last_ts": [pd.to_datetime(last_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield emit(start_us, last_us, n)
+            return
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        # In-batch arrival order is not ts order (multi-file micro
+        # batches); the session partition is defined over ts order.
+        batch = batch.sort_values("ts", kind="mergesort")
+        # Pin resolution before the int cast: pandas may hand the column
+        # over as datetime64[ns] or [us] depending on Arrow version.
+        ts_us = batch["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us = last_us = -1
+            n = 0
+        closed: list[pd.DataFrame] = []
+        for us in ts_us:
+            us = int(us)
+            if n > 0 and us - last_us >= gap_us:
+                closed.append(emit(start_us, last_us, n))
+                n = 0
+            if n == 0:
+                start_us = us
+            last_us = us
+            n += 1
+        state.update((start_us, last_us, n))
+        # Evict once the watermark proves the open session unreachable.
+        # The watermark ticks on wm_ts (an instant; NTZ wall time is not
+        # watermarkable) while session logic runs on NTZ walls — if the
+        # session timezone is not UTC the two scales differ by the tz
+        # offset, so clamp above the current watermark: eviction may then
+        # fire a little later/earlier, but WHICH sessions exist is fixed
+        # by the gap-split rule, so the output is unchanged.
+        state.setTimeoutTimestamp(
+            max((last_us + gap_us) // 1000, state.getCurrentWatermarkMs() + 1)
+        )
+        for df in closed:
+            yield df
+
+    return _update_sessions
+
+
+def sessionized_user_counts(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Gap sessionization with event-time state eviction.
+
+    Emits one row per CLOSED session ``(user_id, session_start,
+    last_ts, n_events)``; a session closes when a later event arrives
+    ``gap_minutes`` or more after its last event, or when the watermark
+    passes ``last_ts + gap`` (eviction — the key is removed from the
+    state store). Requires a watermark on ``ts``; output mode append.
+    """
+    return (
+        events.withColumn("wm_ts", F.col("ts").cast("timestamp"))
+        .withWatermark("wm_ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_session_update(gap_minutes * 60 * 1_000_000),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
