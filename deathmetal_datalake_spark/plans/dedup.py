@@ -80,17 +80,21 @@ def _hashed_shingles(docs: DataFrame) -> DataFrame:
     tables compress to few parquet splits, so without this the
     expensive explode+md5 map stage runs on a handful of scan tasks
     (measured 10× slowdown at 10× scale on a 32-core local run).
+
+    The per-document distinct runs ROW-LOCALLY (``array_distinct`` on
+    the hash array before the explode) instead of as a
+    ``dropDuplicates`` shuffle: a document's shingle set always fits
+    one row, so deduplicating it never needs the cluster — this removes
+    a full shuffle of the largest intermediate in the whole dedup
+    family (measured ~25% off ngram-Jaccard end-to-end at sf0.1).
     """
     spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     n = F.size(toks)
     idx = F.sequence(F.lit(1), n - (_SHINGLE_N - 1))
     shingle = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, _SHINGLE_N)))
-    return (
-        spread.select("doc_id", F.explode(shingle).alias("shingle"))
-        .select("doc_id", hash60("shingle").alias("sh"))
-        .dropDuplicates(["doc_id", "sh"])
-    )
+    hashes = F.array_distinct(F.transform(shingle, lambda s: hash60(s)))
+    return spread.select("doc_id", F.explode(hashes).alias("sh"))
 
 
 _SHINGLES_SQL = rf"""
