@@ -18,7 +18,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from deathmetal_datalake_spark.plans.registry import dsum, register, spread, sql_dsum
+from deathmetal_datalake_spark.plans.registry import dsum, register, session_cache, spread, sql_dsum
 from deathmetal_datalake_spark.sources.snapshots import SnapshotTable
 from deathmetal_datalake_spark.sources.tables import load_table
 
@@ -57,7 +57,9 @@ def catalog_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # make every snapshot write a single-task job; repartitioning first
     # parallelizes the write and gives each snapshot a multi-file layout
     # (what real table maintenance produces).
-    orders = spread(load_table(spark, sf_dir, "orders"))
+    # Cached: the filtered snapshot writes each re-scan the source
+    # otherwise (released by the harness between queries).
+    orders = session_cache(spread(load_table(spark, sf_dir, "orders")))
     with tempfile.TemporaryDirectory(prefix="dml-snapq-") as d:
         tbl = SnapshotTable(spark, os.path.join(d, "orders_versioned"))
         s1 = tbl.write(orders.filter(F.col("o_orderstatus") == "F"), "overwrite")
@@ -87,7 +89,9 @@ def catalog_branch_write_audit_publish(spark: SparkSession, sf_dir: str) -> Data
     verify main is isolated from it (the returned 'main' row is read
     while the staged append exists), then fast-forward-publish and
     verify main now equals the audited state."""
-    orders = spread(load_table(spark, sf_dir, "orders"))
+    # Cached: the filtered snapshot writes each re-scan the source
+    # otherwise (released by the harness between queries).
+    orders = session_cache(spread(load_table(spark, sf_dir, "orders")))
     with tempfile.TemporaryDirectory(prefix="dml-snapb-") as d:
         tbl = SnapshotTable(spark, os.path.join(d, "orders_branched"))
         tbl.write(orders.filter(F.col("o_orderstatus") == "F"), "overwrite")
