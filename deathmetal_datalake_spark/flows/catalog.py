@@ -115,3 +115,51 @@ def merge_upsert(target: "DataFrame", updates: "DataFrame", key: str) -> "DataFr
         ],
     ]
     return joined.select(*merged_cols)
+
+
+def snapshot_diff(v_old: "DataFrame", v_new: "DataFrame", key: str) -> "DataFrame":
+    """Change-data-capture between two versions of a keyed table
+    (the ``table_changes`` / incremental-read analog for the snapshot
+    catalog): emits one row per key whose state differs, labeled
+    ``added`` / ``removed`` / ``changed``, with ``old_<col>`` /
+    ``new_<col>`` value pairs for every non-key column.
+
+    One full-outer join on the key — a single shuffle, NULL-safe
+    comparisons (a NULL→value transition counts as a change). Unchanged
+    keys are filtered before any downstream consumer, so the output is
+    O(churn), not O(table) — the property that makes downstream
+    incremental recomputes viable on a 100 TB table with a 0.1% daily
+    delta.
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    if set(v_old.columns) != set(v_new.columns):
+        raise ValueError("snapshot_diff requires identical column sets")
+    cols = [c for c in v_old.columns if c != key]
+    o = v_old.select(
+        F.col(key).alias("_ok"), *[F.col(c).alias(f"_o_{c}") for c in cols]
+    )
+    n = v_new.select(
+        F.col(key).alias("_nk"), *[F.col(c).alias(f"_n_{c}") for c in cols]
+    )
+    j = o.join(n, o["_ok"] == n["_nk"], "full_outer")
+    value_changed = reduce(
+        lambda a, b: a | b,
+        [~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")) for c in cols],
+    )
+    change = (
+        F.when(F.col("_nk").isNull(), "removed")
+        .when(F.col("_ok").isNull(), "added")
+        .when(value_changed, "changed")
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("_ok"), F.col("_nk")).alias(key),
+            change.alias("change"),
+            *[F.col(f"_o_{c}").alias(f"old_{c}") for c in cols],
+            *[F.col(f"_n_{c}").alias(f"new_{c}") for c in cols],
+        )
+        .filter(F.col("change").isNotNull())
+    )

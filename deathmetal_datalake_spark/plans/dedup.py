@@ -1317,3 +1317,55 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(F.col("est_jaccard") - true_j), 6).alias("abs_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CROSS-METHOD AGREEMENT AUDIT: the MinHash-LSH pair set vs the banded
+# SimHash pair set, full-outer joined on the (doc_a, doc_b) key and
+# rolled up per method label — the acceptance check a production corpus
+# runs before switching dedup methods (or to pick verify thresholds):
+# 'both' is the consensus core, each '_only' bucket is one method's
+# blind spot relative to the other. Jaccard-LSH sees shingle overlap;
+# simhash sees token-multiset proximity — the disagreement rows are
+# exactly where those notions diverge.
+#
+# Scale: both inputs are already bucket-bounded candidate pipelines (no
+# all-pairs anywhere); the audit adds one join keyed on pairs and a
+# 3-group rollup. Oracle: both full CTE chains nested as named
+# subqueries (DuckDB scopes each chain's WITH privately).
+# ---------------------------------------------------------------------------
+
+_AGREEMENT_SQL = f"""
+WITH mh AS ({_LSH_SQL}),
+sh AS ({_SIMHASH_PAIRS_SQL})
+SELECT CASE WHEN sh.doc_a IS NULL THEN 'minhash_only'
+            WHEN mh.doc_a IS NULL THEN 'simhash_only'
+            ELSE 'both' END AS method,
+       COUNT(*) AS n_pairs
+FROM mh FULL OUTER JOIN sh
+  ON mh.doc_a = sh.doc_a AND mh.doc_b = sh.doc_b
+GROUP BY method
+"""
+
+
+@register("dedup_method_agreement", oracle=_AGREEMENT_SQL)
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sig = session_cache(_minhash_columns(_hashed_shingles(docs)))
+    mh = (
+        _minhash_estimates(_minhash_band_candidates(sig), sig)
+        .filter(F.col("est_jaccard") >= _EST_THRESHOLD)
+        .select("doc_a", "doc_b", F.lit(1).alias("in_mh"))
+    )
+    sh = simhash_near_dup_pairs(docs, _auto_band_bits(docs.count())).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_sh")
+    )
+    joined = mh.join(sh, ["doc_a", "doc_b"], "full_outer")
+    method = (
+        F.when(F.col("in_sh").isNull(), "minhash_only")
+        .when(F.col("in_mh").isNull(), "simhash_only")
+        .otherwise("both")
+    )
+    return joined.groupBy(method.alias("method")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )

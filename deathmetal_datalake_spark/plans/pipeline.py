@@ -447,3 +447,58 @@ def corpus_temperature_resampling(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.col("p075") / F.col("_s075"), 6).alias("temperature_weight"),
         F.round((F.col("p075") / F.col("_s075")) / F.col("p"), 6).alias("boost"),
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram NOVELTY: per document, the fraction of its distinct shingles
+# whose FIRST corpus occurrence (min doc_id) is this document — the
+# standard curation signal for "how much genuinely new text does this
+# document add" (near-1 = fresh content, near-0 = recombination of
+# already-seen text; boilerplate-heavy sources score low). doc_id is
+# the ingestion order here, as in an append-only corpus.
+#
+# Scale: min() per shingle is a constant-size, map-side-combinable
+# aggregation buffer (no hot-key list materialization — a stop-shingle
+# costs one long, unlike collect_list), the hashed⋈first join is
+# co-partitioned on sh, and the per-document rollup is a second
+# combinable aggregation. Three bounded shuffles, no caps needed.
+# ---------------------------------------------------------------------------
+
+_NOVELTY_SQL = (
+    _SHINGLES_SQL
+    + f""",
+hashed_nov AS (
+    SELECT doc_id, {sql_hash60('shingle')} AS sh FROM shingled
+),
+first_seen AS (
+    SELECT sh, MIN(doc_id) AS first_doc FROM hashed_nov GROUP BY sh
+)
+SELECT h.doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN h.doc_id = f.first_doc THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel,
+       ROUND(CAST(SUM(CASE WHEN h.doc_id = f.first_doc THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS novelty
+FROM hashed_nov h JOIN first_seen f ON h.sh = f.sh
+GROUP BY h.doc_id
+"""
+)
+
+
+@register("text_ngram_novelty", oracle=_NOVELTY_SQL)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = session_cache(_hashed_shingles(docs))
+    first_seen = hashed.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+    )
+    return (
+        hashed.join(first_seen, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            novel.alias("n_novel"),
+            F.round(novel.cast("double") / F.count(F.lit(1)), 6).alias("novelty"),
+        )
+    )

@@ -163,3 +163,80 @@ def catalog_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = tbl.read()
         rows = out.collect()
         return spark.createDataFrame(rows, schema=out.schema)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot DIFF (CDC between versions): v1 = orders as-is; v2 = every
+# 5th key deleted, every remaining 3rd key re-priced, plus cloned
+# inserts shifted past the key space. Both versions are COMMITTED as
+# snapshots and read back via time travel, then diffed with one
+# full-outer join — the incremental-read pattern (Delta
+# `table_changes`) over the snapshot catalog. The oracle reconstructs
+# both versions as pure functions of `orders`, so every emitted
+# added/removed/changed row is exactly checkable.
+# ---------------------------------------------------------------------------
+
+_DIFF_SQL = f"""
+WITH v1 AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+),
+v2 AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+           CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2 ELSE o_totalprice END
+               AS o_totalprice
+    FROM orders WHERE o_orderkey % 5 <> 0
+    UNION ALL
+    SELECT o_orderkey + {_MERGE_INSERT_SHIFT}, 'N', o_totalprice
+    FROM orders WHERE o_orderkey % 1000 = 0
+)
+SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+       CASE WHEN v2.o_orderkey IS NULL THEN 'removed'
+            WHEN v1.o_orderkey IS NULL THEN 'added'
+            ELSE 'changed' END AS change,
+       v1.o_orderstatus AS old_o_orderstatus,
+       v2.o_orderstatus AS new_o_orderstatus,
+       v1.o_totalprice AS old_o_totalprice,
+       v2.o_totalprice AS new_o_totalprice
+FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+   OR v1.o_orderstatus IS DISTINCT FROM v2.o_orderstatus
+   OR v1.o_totalprice IS DISTINCT FROM v2.o_totalprice
+"""
+
+
+@register("catalog_snapshot_diff", oracle=_DIFF_SQL)
+def catalog_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deathmetal_datalake_spark.flows.catalog import snapshot_diff
+
+    orders = session_cache(
+        spread(load_table(spark, sf_dir, "orders")).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, "U")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") * 2)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    ).unionAll(
+        orders.filter(F.col("o_orderkey") % 1000 == 0).select(
+            (F.col("o_orderkey") + _MERGE_INSERT_SHIFT).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            "o_totalprice",
+        )
+    )
+    with tempfile.TemporaryDirectory(prefix="dml-snapd-") as d:
+        tbl = SnapshotTable(spark, os.path.join(d, "orders_cdc"))
+        s1 = tbl.write(orders, "overwrite")
+        s2 = tbl.write(v2, "overwrite")
+        out = snapshot_diff(
+            tbl.read(snapshot_id=s1.snapshot_id),
+            tbl.read(snapshot_id=s2.snapshot_id),
+            "o_orderkey",
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)

@@ -298,3 +298,25 @@ def test_compact_refuses_to_drop_concurrent_append(table, orders):
         )
     # Nothing was lost: the concurrent append's rows are all present.
     assert table.read().count() == 14
+
+
+def test_snapshot_diff_null_semantics(spark):
+    """CDC diff: NULL→value and value→NULL count as changes; NULL==NULL
+    does not; unchanged keys are absent from the output."""
+    from deathmetal_datalake_spark.flows.catalog import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, "d"), (5, None)],
+        "k long, v string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (5, None), (6, "f")],
+        "k long, v string",
+    )
+    got = {r.k: (r.change, r.old_v, r.new_v) for r in snapshot_diff(old, new, "k").collect()}
+    assert got == {
+        2: ("changed", None, "b"),   # NULL -> value
+        3: ("changed", "c", None),   # value -> NULL
+        4: ("removed", "d", None),
+        6: ("added", None, "f"),
+    }  # 1 (equal) and 5 (NULL == NULL) are not emitted
