@@ -68,6 +68,13 @@ BENCH_QUERIES = [
     "dedup_cluster_canonical",
     "embedding_int8_quantization",
     "catalog_snapshot_time_travel",
+    # round 3 (cont.): CDC diff, novelty, cross-method + graph audits,
+    # truncation recall
+    "catalog_snapshot_diff",
+    "text_ngram_novelty",
+    "dedup_method_agreement",
+    "dedup_graph_triangles",
+    "similarity_dim_truncation_recall",
 ]
 
 # Queries whose full result is large; drain with a hash aggregate
@@ -94,6 +101,8 @@ _HASH_DRAIN = {
     "dedup_minhash_calibration",
     "text_repetition_scores",
     "dedup_cluster_canonical",
+    "catalog_snapshot_diff",
+    "text_ngram_novelty",
 }
 
 

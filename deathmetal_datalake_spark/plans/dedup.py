@@ -1369,3 +1369,88 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(method.alias("method")).agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup graph cohesion audit: edge count, wedge count (open
+# two-paths), triangle count, and the global clustering coefficient of
+# the MinHash-LSH near-dup graph. High clustering = duplicates arrive
+# in tight families (transitive closure is safe); low clustering =
+# chains of marginal matches (closure would over-merge) — the number a
+# corpus team reads before trusting connected-components dedup.
+#
+# Scale: edges are the bucket-bounded LSH pair set (never all-pairs);
+# triangles come from one edge-edge join on the shared endpoint then a
+# semi-check join against the closing edge — both keyed on node ids.
+# Degrees/wedges are constant-size aggregation buffers. Canonical
+# a<b edge orientation makes each triangle counted exactly once
+# (a<b<c), identical in the oracle.
+# ---------------------------------------------------------------------------
+
+_TRIANGLES_SQL = f"""
+WITH mh AS ({_LSH_SQL}),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM mh
+),
+deg AS (
+    SELECT node, COUNT(*) AS d
+    FROM (SELECT a AS node FROM edges UNION ALL SELECT b FROM edges)
+    GROUP BY node
+),
+tri AS (
+    SELECT COUNT(*) AS n_tri
+    FROM edges e1
+    JOIN edges e2 ON e2.a = e1.b
+    JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
+       CAST((SELECT SUM((d * (d - 1)) // 2) FROM deg) AS BIGINT) AS n_wedges,
+       (SELECT n_tri FROM tri) AS n_triangles,
+       ROUND(3.0 * (SELECT n_tri FROM tri)
+             / CAST((SELECT SUM((d * (d - 1)) // 2) FROM deg) AS DOUBLE),
+             6) AS clustering_coeff
+"""
+
+
+@register("dedup_graph_triangles", oracle=_TRIANGLES_SQL)
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sig = session_cache(_minhash_columns(_hashed_shingles(docs)))
+    edges = session_cache(
+        _minhash_estimates(_minhash_band_candidates(sig), sig)
+        .filter(F.col("est_jaccard") >= _EST_THRESHOLD)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    )
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_wedges = deg.agg(
+        F.sum(F.expr("(d * (d - 1)) div 2")).cast("long").alias("n_wedges")
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    n_tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        n_edges.crossJoin(broadcast(n_wedges))
+        .crossJoin(broadcast(n_tri))
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                3.0 * F.col("n_triangles") / F.col("n_wedges").cast("double"), 6
+            ).alias("clustering_coeff"),
+        )
+    )

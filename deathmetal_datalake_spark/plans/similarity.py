@@ -941,3 +941,102 @@ def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_abs_err",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dimension-truncation recall (the Matryoshka-embedding audit): how much
+# of the full-64-dim top-k survives when retrieval uses only the FIRST
+# 16 components — the measurement that decides whether a corpus can
+# serve candidate-generation from truncated vectors (4× less memory and
+# bandwidth) and rerank with full vectors. Same bounded shape as the
+# brute-force baseline: queries broadcast, corpus scanned once per
+# ranking; overlap is a count ratio (exact rational in both engines).
+# ---------------------------------------------------------------------------
+
+_TRUNC_DIMS = 16
+
+_TRUNC_RECALL_SQL = f"""
+WITH truth AS (
+    SELECT query_id, vec_id FROM ({_BRUTE_SQL})
+),
+vecs_t AS (
+    SELECT vec_id, (CAST(embedding AS DOUBLE[]))[1:{_TRUNC_DIMS}] AS emb
+    FROM embeddings
+),
+queries_t AS (
+    SELECT vec_id AS query_id, emb AS qemb FROM vecs_t WHERE vec_id % {_QUERY_MOD} = 0
+),
+scored_t AS (
+    SELECT q.query_id, v.vec_id,
+           ROUND(list_dot_product(q.qemb, v.emb) /
+                 (sqrt(list_dot_product(q.qemb, q.qemb)) * sqrt(list_dot_product(v.emb, v.emb))),
+                 4) AS cosine
+    FROM queries_t q CROSS JOIN vecs_t v
+    WHERE q.query_id <> v.vec_id
+),
+ranked_t AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+    ) AS rank FROM scored_t
+),
+approx_t AS (
+    SELECT query_id, vec_id FROM ranked_t WHERE rank <= {_TOP_K}
+)
+SELECT t.query_id,
+       COUNT(a.vec_id) AS n_kept,
+       ROUND(COUNT(a.vec_id) / CAST({_TOP_K} AS DOUBLE), 6) AS overlap_at_k
+FROM truth t LEFT JOIN approx_t a
+  ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+GROUP BY t.query_id
+"""
+
+
+@register("similarity_dim_truncation_recall", oracle=_TRUNC_RECALL_SQL)
+def similarity_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    truth = similarity_bruteforce_topk(spark, sf_dir).select("query_id", "vec_id")
+    vecs_t = spread(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.slice(_as_double("embedding"), 1, _TRUNC_DIMS).alias("emb")
+        )
+    )
+    queries_t = vecs_t.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    scored = (
+        vecs_t.join(broadcast(queries_t), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _dot(F.col("qemb"), F.col("emb"))
+                / (
+                    F.sqrt(_dot(F.col("qemb"), F.col("qemb")))
+                    * F.sqrt(_dot(F.col("emb"), F.col("emb")))
+                ),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    approx = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select(F.col("query_id").alias("a_query_id"), F.col("vec_id").alias("a_vec_id"))
+    )
+    return (
+        truth.join(
+            approx,
+            (F.col("query_id") == F.col("a_query_id"))
+            & (F.col("vec_id") == F.col("a_vec_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("a_vec_id").alias("n_kept"),
+            F.round(F.count("a_vec_id") / F.lit(float(_TOP_K)), 6).alias(
+                "overlap_at_k"
+            ),
+        )
+    )
