@@ -29,6 +29,8 @@ NAMES = [
     "pack_sequences_by_lang",
     "events_asof_click_before_purchase",
     "kmeans_two_rounds",
+    "text_ngram_novelty",
+    "dedup_graph_triangles",
 ]
 
 _DETAIL_PREFIXES = (

@@ -36,6 +36,8 @@ _NONEQUI_OK = {
     "similarity_ivf_multiprobe_topk",  # corpus x ~centroids assignment
     "similarity_ann_recall",         # brute-force truth + IVF assignment
     "text_rare_token_ratio",         # 1-row corpus-count frame
+    "similarity_dim_truncation_recall",  # brute-force truth + truncated rescan
+    "dedup_graph_triangles",         # three 1-row count frames crossJoined
 }
 
 
