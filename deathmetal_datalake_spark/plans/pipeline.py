@@ -502,3 +502,122 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(novel.cast("double") / F.count(F.lit(1)), 6).alias("novelty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CURATION FUNNEL: the whole-pipeline retention audit — how many
+# documents survive each curation stage, applied SEQUENTIALLY the way a
+# production corpus build runs them:
+#
+#   ingested → quality filter → exact dedup → near-dup removal
+#
+# Exact dedup keeps the min doc_id per content hash AMONG quality
+# survivors; near-dup removal then drops the larger member of every
+# MinHash-LSH pair whose BOTH endpoints are still alive (one pass, not
+# transitive closure — closure's safety is what dedup_graph_triangles
+# measures; CC-based removal is dedup_connected_components' job).
+# One row per stage with absolute and relative retention — the first
+# table any dataset report shows.
+#
+# Scale: each stage is a semi/anti join keyed on doc_id against a
+# bounded survivor set; the only heavyweight input is the LSH pair set,
+# already bucket-bounded. Stage counts are 1-row aggregates unioned.
+# ---------------------------------------------------------------------------
+
+from deathmetal_datalake_spark.plans.dedup import (  # noqa: E402
+    _EST_THRESHOLD,
+    _LSH_SQL,
+    _minhash_band_candidates,
+    _minhash_columns,
+    _minhash_estimates,
+)
+from deathmetal_datalake_spark.plans.text import _FILTER_SQL  # noqa: E402
+
+_FUNNEL_SQL = f"""
+WITH qual AS (
+    SELECT doc_id FROM ({_FILTER_SQL}) WHERE keep
+),
+exact_kept AS (
+    SELECT MIN(d.doc_id) AS doc_id
+    FROM documents d JOIN qual USING (doc_id)
+    GROUP BY {sql_hash60('d.text')}
+),
+mh AS ({_LSH_SQL}),
+near_dropped AS (
+    SELECT DISTINCT p.doc_b AS doc_id
+    FROM mh p
+    JOIN exact_kept a ON p.doc_a = a.doc_id
+    JOIN exact_kept b ON p.doc_b = b.doc_id
+),
+near_kept AS (
+    SELECT doc_id FROM exact_kept
+    EXCEPT
+    SELECT doc_id FROM near_dropped
+),
+stages AS (
+    SELECT 1 AS stage_no, 'ingested' AS stage, COUNT(*) AS n_docs FROM documents
+    UNION ALL
+    SELECT 2, 'quality', COUNT(*) FROM qual
+    UNION ALL
+    SELECT 3, 'exact_dedup', COUNT(*) FROM exact_kept
+    UNION ALL
+    SELECT 4, 'near_dedup', COUNT(*) FROM near_kept
+)
+SELECT stage_no, stage, n_docs,
+       ROUND(CAST(n_docs AS DOUBLE)
+             / (SELECT COUNT(*) FROM documents), 6) AS retained_pct
+FROM stages
+"""
+
+
+@register("corpus_curation_funnel", oracle=_FUNNEL_SQL)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deathmetal_datalake_spark.plans.text import text_quality_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    qual = session_cache(
+        text_quality_filter(spark, sf_dir).filter("keep").select("doc_id")
+    )
+    exact_kept = session_cache(
+        docs.join(qual, "doc_id", "left_semi")
+        .groupBy(hash60("text").alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    sig = session_cache(_minhash_columns(_hashed_shingles(docs)))
+    pairs = _minhash_estimates(_minhash_band_candidates(sig), sig).filter(
+        F.col("est_jaccard") >= _EST_THRESHOLD
+    )
+    near_dropped = (
+        pairs.join(
+            exact_kept.select(F.col("doc_id").alias("doc_a")), "doc_a", "left_semi"
+        )
+        .join(exact_kept.select(F.col("doc_id").alias("doc_b")), "doc_b", "left_semi")
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    near_kept = exact_kept.join(near_dropped, "doc_id", "left_anti")
+    def stage(no: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(no).alias("stage_no"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    stages = (
+        stage(1, "ingested", docs)
+        .unionAll(stage(2, "quality", qual))
+        .unionAll(stage(3, "exact_dedup", exact_kept))
+        .unionAll(stage(4, "near_dedup", near_kept))
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        stages.crossJoin(F.broadcast(total))
+        .select(
+            "stage_no",
+            "stage",
+            "n_docs",
+            F.round(F.col("n_docs").cast("double") / F.col("_total"), 6).alias(
+                "retained_pct"
+            ),
+        )
+    )

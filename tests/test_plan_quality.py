@@ -38,6 +38,7 @@ _NONEQUI_OK = {
     "text_rare_token_ratio",         # 1-row corpus-count frame
     "similarity_dim_truncation_recall",  # brute-force truth + truncated rescan
     "dedup_graph_triangles",         # three 1-row count frames crossJoined
+    "corpus_curation_funnel",        # 1-row corpus-total frame
 }
 
 
