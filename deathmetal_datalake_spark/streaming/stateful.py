@@ -13,6 +13,9 @@ scales horizontally with executors; memory per key is O(1).
 piece: ``GroupStateTimeout.ProcessingTimeTimeout`` eviction, so idle
 keys are flushed (emitted with ``evicted = true``) and their state
 removed instead of accumulating forever.
+:func:`sessionized_user_counts` is the EVENT-TIME form of eviction —
+watermark-driven, hence deterministic and driver-checked
+(``plans/streaming_catalog.streaming_eviction_sessions_replay``).
 """
 
 from __future__ import annotations
