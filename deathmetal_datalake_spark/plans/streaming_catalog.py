@@ -47,7 +47,14 @@ from deathmetal_datalake_spark.plans.events import (
     _SLIDING_SQL,
     _TUMBLING_SQL,
 )
-from deathmetal_datalake_spark.plans.registry import davg, dsum, hash60, register, sql_hash60
+from deathmetal_datalake_spark.plans.registry import (
+    davg,
+    dsum,
+    hash60,
+    register,
+    sql_dsum,
+    sql_hash60,
+)
 from deathmetal_datalake_spark.sources.tables import load_table
 
 # Several input files + a smaller files-per-trigger so every replay
@@ -443,3 +450,124 @@ def streaming_eviction_sessions_replay(spark: SparkSession, sf_dir: str) -> Data
     return out.filter(F.col("user_id") >= 0).select(
         "user_id", "session_start", "last_ts", "n_events"
     )
+
+
+# ---------------------------------------------------------------------------
+# WATERMARK LATE-DATA SEMANTICS, driver-checked: a designated late
+# subset (event_id % 97 == 0) is withheld from the ts-ordered replay
+# and delivered in one final file, AFTER the watermark has advanced to
+# max(on-time ts) − delay. Spark then drops exactly the late rows whose
+# 5-minute window has already been finalized (window_end ≤ watermark)
+# and still merges the ones whose window is open — and because the
+# batch boundaries are pinned (one file per trigger slice, late file
+# written last), that drop set is a PURE FUNCTION OF THE DATA:
+#   dropped  ⇔  late ∧ window_end(ts) ≤ max_ontime_ts − delay
+# which the oracle states in plain SQL. This graduates watermark
+# semantics from pytest-only to the correctness gate.
+# ---------------------------------------------------------------------------
+
+_LATE_MOD = 97          # event_id % 97 == 0 → delivered late
+_LATE_DELAY_S = 1800    # watermark delay: 30 minutes
+_LATE_SLICES = 6
+_WINDOW_S = 300
+
+_LATE_DROP_SQL = f"""
+WITH params AS (
+    SELECT MAX(CAST(ts AS TIMESTAMP)) AS mx FROM events WHERE event_id % {_LATE_MOD} <> 0
+),
+kept AS (
+    -- Spark's watermark is millisecond-truncated (epoch_ms), so the
+    -- drop boundary must compare in ms or a sub-ms max(ts) skews it.
+    SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    WHERE event_id % {_LATE_MOD} <> 0
+       OR (FLOOR(epoch(CAST(ts AS TIMESTAMP)) / {_WINDOW_S}) * {_WINDOW_S} + {_WINDOW_S}) * 1000
+          > epoch_ms((SELECT mx FROM params)) - {_LATE_DELAY_S} * 1000
+)
+SELECT make_timestamp(CAST(FLOOR(epoch(ts) / {_WINDOW_S}) * {_WINDOW_S} * 1000000 AS BIGINT))
+           AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value', 'sum_value')}
+FROM kept
+GROUP BY window_start, event_type
+"""
+
+
+def _replay_events_late_stream(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, str]:
+    """On-time events in ts-ordered one-file slices, then a sentinel,
+    then the late file, then a second sentinel — one file per trigger.
+
+    Spark applies the late-row filter with the watermark as of ONE
+    BATCH BEFORE the current one (the filter predicate is planned from
+    the previous trigger's watermark; state eviction at wrap-up shows
+    the same one-batch lag — both verified empirically on this Spark).
+    The first sentinel absorbs that lag: when the late batch runs, the
+    lagged filter watermark is exactly max(on-time ts) − delay, which
+    is what the oracle states. The second sentinel guarantees the
+    wrap-up no-data batch's (equally lagged) eviction watermark is
+    far-future, so every real window is flushed to the append sink.
+    """
+    import datetime
+
+    ev = load_table(spark, sf_dir, "events")
+    scratch = tempfile.mkdtemp(prefix="dml-stream-late-")
+    data_dir = os.path.join(scratch, "events")
+    os.makedirs(data_dir, exist_ok=True)
+    late = F.col("event_id") % _LATE_MOD == 0
+    ontime = ev.filter(~late)
+    lo, hi = ontime.agg(F.min("ts"), F.max("ts")).collect()[0]
+    width = (hi - lo) / _LATE_SLICES
+    for k in range(_LATE_SLICES):
+        start = lo + k * width
+        upper = lo + (k + 1) * width
+        cond = (F.col("ts") >= start) & (
+            F.col("ts") < upper if k < _LATE_SLICES - 1 else F.col("ts") <= hi
+        )
+        ontime.filter(cond).coalesce(1).write.mode("append").parquet(data_dir)
+
+    def sentinel(days: int) -> None:
+        far = hi + datetime.timedelta(days=days)
+        spark.createDataFrame(
+            [(-1, far, -1, "sentinel", 0.0, "{}")], schema=ev.schema
+        ).coalesce(1).write.mode("append").parquet(data_dir)
+
+    sentinel(365)
+    ev.filter(late).coalesce(1).write.mode("append").parquet(data_dir)
+    sentinel(366)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data_dir)
+    )
+    return stream, scratch
+
+
+@register("streaming_watermark_late_drop_replay", oracle=_LATE_DROP_SQL)
+def streaming_watermark_late_drop_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    stream, scratch = _replay_events_late_stream(spark, sf_dir)
+    agg = (
+        # Watermark needs an instant column (TIMESTAMP_NTZ is not
+        # watermarkable); the session runs UTC so walls are preserved.
+        # The sentinel rows MUST flow through the aggregation — a
+        # pre-aggregation filter on event_type gets pushed below the
+        # watermark node into the scan, and the watermark then never
+        # sees the sentinel's far-future timestamp (verified: the
+        # sentinel batches report 0 input rows and a stuck watermark).
+        # Their window rows are dropped AFTER the drain instead.
+        stream.withColumn("wm_ts", F.col("ts").cast("timestamp"))
+        .withWatermark("wm_ts", f"{_LATE_DELAY_S} seconds")
+        .groupBy(F.window("wm_ts", f"{_WINDOW_S} seconds").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    out = _drain(agg, scratch, "append")
+    return out.filter(F.col("event_type") != "sentinel")
