@@ -571,3 +571,118 @@ def streaming_watermark_late_drop_replay(
     )
     out = _drain(agg, scratch, "append")
     return out.filter(F.col("event_type") != "sentinel")
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream LEFT OUTER interval join, driver-checked — the hardest
+# streaming-join semantics: unmatched left rows must be emitted with
+# NULLs only once their join window has fully expired below the
+# watermark of BOTH sides. Determinism needs three pieces, all learned
+# from the replays above:
+# - ts-ordered one-file slices, so a click's matching purchases are
+#   always processed before the click's window can expire (the same
+#   delivery contract as the as-of replay);
+# - sentinels that PASS each side's event_type filter (one far-future
+#   click and one far-future purchase per sentinel file, >30 min apart
+#   so they never match each other) — the global watermark is the MIN
+#   across both branches, so both need advancing;
+# - TWO sentinel files in separate trigger batches, because eviction at
+#   wrap-up runs one batch behind the watermark tracker.
+# The accumulated sink is then exactly the batch LEFT JOIN, whatever
+# the emission timing. Sentinel rows (user_id = -1) are dropped after
+# the drain.
+# ---------------------------------------------------------------------------
+
+_LOJ_SLICES = 6
+
+_LOJ_SQL = """
+SELECT c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.user_id,
+       c.ts AS click_ts,
+       p.ts AS purchase_ts
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 30 MINUTE
+"""
+
+
+def _replay_events_loj_stream(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, str]:
+    import datetime
+
+    ev = load_table(spark, sf_dir, "events")
+    scratch = tempfile.mkdtemp(prefix="dml-stream-loj-")
+    data_dir = os.path.join(scratch, "events")
+    os.makedirs(data_dir, exist_ok=True)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    width = (hi - lo) / _LOJ_SLICES
+    for k in range(_LOJ_SLICES):
+        start = lo + k * width
+        upper = lo + (k + 1) * width
+        cond = (F.col("ts") >= start) & (
+            F.col("ts") < upper if k < _LOJ_SLICES - 1 else F.col("ts") <= hi
+        )
+        ev.filter(cond).coalesce(1).write.mode("append").parquet(data_dir)
+    for days in (365, 366):
+        far = hi + datetime.timedelta(days=days)
+        far2 = far + datetime.timedelta(minutes=40)
+        spark.createDataFrame(
+            [
+                (-1, far, -1, "click", 0.0, "{}"),
+                (-2, far2, -1, "purchase", 0.0, "{}"),
+            ],
+            schema=ev.schema,
+        ).coalesce(1).write.mode("append").parquet(data_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data_dir)
+    )
+    return stream, scratch
+
+
+@register("streaming_interval_join_left_outer_replay", oracle=_LOJ_SQL)
+def streaming_interval_join_left_outer_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    stream, scratch = _replay_events_loj_stream(spark, sf_dir)
+    wm = stream.withColumn("wm_ts", F.col("ts").cast("timestamp"))
+    clicks = (
+        wm.withWatermark("wm_ts", "0 seconds")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("wm_ts").alias("c_wm"),
+        )
+    )
+    purchases = (
+        wm.withWatermark("wm_ts", "0 seconds")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("wm_ts").alias("p_wm"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user_id") == F.col("p_user_id"))
+        & (F.col("p_wm") >= F.col("c_wm"))
+        & (F.col("p_wm") <= F.col("c_wm") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user_id").alias("user_id"),
+        "click_ts",
+        "purchase_ts",
+    )
+    out = _drain(joined, scratch, "append")
+    return out.filter(F.col("user_id") >= 0)
