@@ -18,14 +18,18 @@ invariant, so it admits the same exact DuckDB oracle as its batch twin:
 - the append-mode entry is a streaming ``dropDuplicates`` whose emitted
   union is exactly the distinct set.
 
-Watermarks are deliberately omitted here: replay order across files is
-not event-time order, and a watermark could drop "late" rows and break
-the oracle. Complete mode is precisely the no-watermark mode; the
-watermarked/late-data semantics are covered by
-``tests/test_streaming_windows.py`` (where arrival order is
-controlled). Memory sinks are the test/replay transport only —
-production drains the identical query object to parquet/kafka
-(``streaming/windows.py:start_to_memory`` docstring).
+The shuffled-file replays omit watermarks (arrival order across files
+is not event-time order, so a watermark would drop rows
+nondeterministically); complete mode is precisely the no-watermark
+mode. WATERMARKED semantics are driver-checked by the ts-ordered
+replays instead — ``streaming_watermark_late_drop_replay`` (late-data
+drop), ``streaming_eviction_sessions_replay`` (event-time state
+eviction), and ``streaming_interval_join_left_outer_replay``
+(outer-join NULL emission on state expiry) — each constructed so the
+watermark trajectory is a pure function of the data. Memory sinks are
+the test/replay transport only — production drains the identical query
+object to parquet/kafka (``streaming/windows.py:start_to_memory``
+docstring).
 
 Scale: the streamed state is per (window × key) / per distinct key —
 the same bound a production run has. The replay rewrite of the input
