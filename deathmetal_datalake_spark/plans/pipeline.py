@@ -621,3 +621,68 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SPLIT LEAKAGE AUDIT: near-duplicate pairs that CROSS train/val/test
+# boundaries — the eval-integrity number (a test document with a train
+# near-twin inflates benchmark scores exactly like verbatim
+# contamination). Counts LSH near-dup pairs per ordered split pair
+# (train→test etc., alphabetical within the pair for a canonical key);
+# the off-diagonal rows are the leaks, and the fix is always the same:
+# dedup BEFORE splitting. Composes two existing bounded pipelines
+# (salted-hash split, LSH pair set) with one broadcast-sized join per
+# side — no new scale surface.
+# ---------------------------------------------------------------------------
+
+_LEAK_SQL = f"""
+WITH assigned AS (
+    SELECT doc_id,
+           CASE WHEN {sql_hash60("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < {_SPLIT_TRAIN_PCT} THEN 'train'
+                WHEN {sql_hash60("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < {_SPLIT_TRAIN_PCT + _SPLIT_VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+),
+mh AS ({_LSH_SQL}),
+labeled AS (
+    SELECT LEAST(sa.split, sb.split) AS split_a,
+           GREATEST(sa.split, sb.split) AS split_b
+    FROM mh p
+    JOIN assigned sa ON p.doc_a = sa.doc_id
+    JOIN assigned sb ON p.doc_b = sb.doc_id
+)
+SELECT split_a, split_b,
+       COUNT(*) AS n_pairs,
+       (split_a <> split_b) AS leaking
+FROM labeled
+GROUP BY split_a, split_b
+"""
+
+
+@register("corpus_split_leakage", oracle=_LEAK_SQL)
+def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash60(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    split = (
+        F.when(bucket < _SPLIT_TRAIN_PCT, "train")
+        .when(bucket < _SPLIT_TRAIN_PCT + _SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    assigned = docs.select("doc_id", split.alias("split"))
+    sig = session_cache(_minhash_columns(_hashed_shingles(docs)))
+    pairs = _minhash_estimates(_minhash_band_candidates(sig), sig).filter(
+        F.col("est_jaccard") >= _EST_THRESHOLD
+    )
+    sa = assigned.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    sb = assigned.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn("leaking", F.col("split_a") != F.col("split_b"))
+    )
