@@ -17,7 +17,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from deathmetal_datalake_spark.plans.registry import davg, dsum, register, sql_davg, sql_dsum
+from deathmetal_datalake_spark.plans.registry import (
+    davg,
+    dsum,
+    hash60,
+    register,
+    sql_davg,
+    sql_dsum,
+    sql_hash60,
+)
 from deathmetal_datalake_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -660,4 +668,59 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         activity.join(firsts, "user_id")
         .groupBy("cohort_week", offset.alias("week_offset"))
         .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic cardinality SKETCH with an exact oracle: hash-rate
+# sampling (keep a user iff hash60(user) mod R == 0, estimate = sampled
+# distinct × R) — the engine-portable complement to the HLL query
+# above, which stays rows-only because HLL internals differ across
+# engines. This sketch is (a) mergeable: the sampled-distinct sets
+# union across partitions/days exactly like any distinct, and (b)
+# bit-for-bit reproducible from SQL, so the driver gate can verify an
+# *approximation* exactly — including its per-group relative error,
+# since the exact distinct rides along in the same scan.
+# Scale: the sampled distinct shuffles ~1/R of the key space; R trades
+# accuracy for shuffle width with a closed-form error (~1/sqrt(n/R)).
+# ---------------------------------------------------------------------------
+
+_CARD_RATE = 16
+
+_SAMPLED_CARD_SQL = f"""
+WITH per_type AS (
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           COUNT(DISTINCT CASE WHEN {sql_hash60("'card:' || CAST(user_id AS VARCHAR)")} % {_CARD_RATE} = 0
+                               THEN user_id END) * {_CARD_RATE} AS est_users
+    FROM events
+    GROUP BY event_type
+)
+SELECT event_type, exact_users, CAST(est_users AS BIGINT) AS est_users,
+       ROUND(ABS(CAST(est_users AS DOUBLE) - exact_users) / exact_users, 6) AS rel_err
+FROM per_type
+"""
+
+
+@register("events_sampled_cardinality", oracle=_SAMPLED_CARD_SQL)
+def events_sampled_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    h = hash60(F.concat(F.lit("card:"), F.col("user_id").cast("string")))
+    sampled_user = F.when(h % _CARD_RATE == 0, F.col("user_id"))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            (F.countDistinct(sampled_user) * _CARD_RATE).alias("est_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            "est_users",
+            F.round(
+                F.abs(F.col("est_users").cast("double") - F.col("exact_users"))
+                / F.col("exact_users"),
+                6,
+            ).alias("rel_err"),
+        )
     )
