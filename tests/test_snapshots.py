@@ -320,3 +320,45 @@ def test_snapshot_diff_null_semantics(spark):
         4: ("removed", "d", None),
         6: ("added", None, "f"),
     }  # 1 (equal) and 5 (NULL == NULL) are not emitted
+
+
+def test_snapshot_diff_roundtrip_property(spark):
+    """CDC invariant: applying the diff to the old version reproduces
+    the new version exactly, for generated key/value tables with
+    overlapping keys, NULLs, adds, drops, and edits."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from deathmetal_datalake_spark.flows.catalog import snapshot_diff
+
+    vals = st.one_of(st.none(), st.integers(min_value=-5, max_value=5))
+    table = st.dictionaries(st.integers(min_value=0, max_value=12), vals, max_size=8)
+
+    @settings(max_examples=15, deadline=None)
+    @given(old=table, new=table)
+    def prop(old, new):
+        schema = "k long, v string"
+        old_df = spark.createDataFrame(
+            [(k, None if v is None else str(v)) for k, v in old.items()], schema
+        )
+        new_df = spark.createDataFrame(
+            [(k, None if v is None else str(v)) for k, v in new.items()], schema
+        )
+        diff = {
+            r.k: (r.change, r.new_v)
+            for r in snapshot_diff(old_df, new_df, "k").collect()
+        }
+        # Apply the patch driver-side.
+        patched = dict(old)
+        for k, (change, new_v) in diff.items():
+            if change == "removed":
+                patched.pop(k, None)
+            else:
+                patched[k] = None if new_v is None else int(new_v)
+        assert patched == new
+        # And every key NOT in the diff was genuinely unchanged.
+        for k in set(old) & set(new):
+            if k not in diff:
+                assert old[k] == new[k]
+
+    prop()
