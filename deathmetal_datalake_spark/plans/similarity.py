@@ -1040,3 +1040,89 @@ def similarity_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFr
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dimension CORRELATION audit (first 16 components): Pearson r per
+# dimension pair from one pass of decimal-exact moments — the table an
+# embedding-pipeline owner reads to find dead dimensions (sd ≈ 0) and
+# redundant pairs (|r| ≈ 1) before spending storage/compute on all 64.
+# Pair products are generated ROW-LOCALLY (one explode of the 120-pair
+# upper triangle per vector, no self-join), and every sum is the
+# DECIMAL(25,12) order-free convention, so a single map-side-combinable
+# aggregation carries the whole audit — the same cost shape at 100 TB.
+# ---------------------------------------------------------------------------
+
+_CORR_DIMS = 16
+
+_DIM_CORR_SQL = f"""
+WITH vecs AS (
+    SELECT (CAST(embedding AS DOUBLE[]))[1:{_CORR_DIMS}] AS emb FROM embeddings
+),
+pairs AS (
+    SELECT g.i, g2.j,
+           emb[g.i + 1] AS vi,
+           emb[g2.j + 1] AS vj
+    FROM vecs,
+         (SELECT UNNEST(range({_CORR_DIMS})) AS i) g,
+         (SELECT UNNEST(range({_CORR_DIMS})) AS j) g2
+    WHERE g.i < g2.j
+),
+moments AS (
+    SELECT i, j,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(vi AS DECIMAL(25,12))) AS DOUBLE) AS si,
+           CAST(SUM(CAST(vj AS DECIMAL(25,12))) AS DOUBLE) AS sj,
+           CAST(SUM(CAST(vi * vj AS DECIMAL(25,12))) AS DOUBLE) AS sij,
+           CAST(SUM(CAST(vi * vi AS DECIMAL(25,12))) AS DOUBLE) AS sii,
+           CAST(SUM(CAST(vj * vj AS DECIMAL(25,12))) AS DOUBLE) AS sjj
+    FROM pairs GROUP BY i, j
+)
+SELECT i, j,
+       ROUND((sij - si * sj / n) /
+             (sqrt(sii - si * si / n) * sqrt(sjj - sj * sj / n)), 6) AS pearson_r
+FROM moments
+"""
+
+
+@register("embedding_dim_correlation", oracle=_DIM_CORR_SQL)
+def embedding_dim_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    t = F.slice(_as_double("embedding"), 1, _CORR_DIMS)
+    pair_structs = F.expr(
+        f"""
+        filter(
+          flatten(transform(sequence(0, {_CORR_DIMS - 1}), i ->
+            transform(sequence(0, {_CORR_DIMS - 1}), j ->
+              struct(i AS i, j AS j, emb[i] AS vi, emb[j] AS vj)))),
+          p -> p.i < p.j)
+        """
+    )
+    dec = lambda c: F.sum(c.cast("decimal(25,12)")).cast("double")  # noqa: E731
+    moments = (
+        emb.select(t.alias("emb"))
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.i", "p.j", "p.vi", "p.vj")
+        .groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dec(F.col("vi")).alias("si"),
+            dec(F.col("vj")).alias("sj"),
+            dec(F.col("vi") * F.col("vj")).alias("sij"),
+            dec(F.col("vi") * F.col("vi")).alias("sii"),
+            dec(F.col("vj") * F.col("vj")).alias("sjj"),
+        )
+    )
+    n = F.col("n")
+    return moments.select(
+        "i",
+        "j",
+        F.round(
+            (F.col("sij") - F.col("si") * F.col("sj") / n)
+            / (
+                F.sqrt(F.col("sii") - F.col("si") * F.col("si") / n)
+                * F.sqrt(F.col("sjj") - F.col("sj") * F.col("sj") / n)
+            ),
+            6,
+        ).alias("pearson_r"),
+    )
