@@ -96,3 +96,65 @@ def multimodal_feature_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame
 
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(documents_as_media(docs))
+
+
+# ---------------------------------------------------------------------------
+# Chained multimodal pipeline, end-to-end: media → frame sampling →
+# per-FRAME feature extraction → per-media mean-pooled embedding (the
+# "video → clip embedding" shape: two Arrow mapInPandas stages back to
+# back, then a pooling aggregation). The per-frame fake feature is the
+# frame's md5 digest bytes, so SQL reproduces the ENTIRE chain —
+# fan-out boundaries, per-frame hashing, exact integer sums — from
+# substr+md5 (the corpus is ASCII, so char slicing ≡ byte slicing,
+# asserted by the oracle matching). Pooling is order-free (mean of
+# exact integer sums), so frame processing order never matters — the
+# property that lets the two Python stages run fully parallel at 100 TB.
+# ---------------------------------------------------------------------------
+
+_POOLED_SQL = """
+WITH frames AS (
+    SELECT doc_id, substr(text, g.i + 1, 64) AS frame
+    FROM documents,
+         LATERAL (SELECT UNNEST(range(0, GREATEST(octet_length(encode(text)), 1), 64)) AS i) g
+),
+feats AS (
+    SELECT doc_id, g2.j,
+           CAST(('0x' || substr(md5(frame), 2 * g2.j + 1, 2)) AS BIGINT) AS v
+    FROM frames, (SELECT UNNEST(range(16)) AS j) g2
+),
+pooled AS (
+    SELECT doc_id, j,
+           ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS m,
+           COUNT(*) AS nf
+    FROM feats GROUP BY doc_id, j
+)
+SELECT doc_id AS media_id,
+       list(m ORDER BY j) AS pooled,
+       MIN(nf) AS n_frames
+FROM pooled
+GROUP BY doc_id
+"""
+
+
+@register("multimodal_pooled_embeddings", oracle=_POOLED_SQL)
+def multimodal_pooled_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deathmetal_datalake_spark.operators.multimodal import (
+        documents_as_media,
+        extract_features,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(documents_as_media(docs), every_n_bytes=64)
+    feats = extract_features(frames, id_col="media_id", content_col="frame")
+    comps = feats.select("media_id", F.posexplode("features").alias("pos", "v"))
+    pooled = comps.groupBy("media_id", "pos").agg(
+        F.round(F.sum("v").cast("double") / F.count(F.lit(1)), 6).alias("m"),
+        F.count(F.lit(1)).alias("nf"),
+    )
+    return pooled.groupBy("media_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+        ).alias("pooled"),
+        F.min("nf").alias("n_frames"),
+    )
