@@ -240,3 +240,34 @@ def catalog_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = out.collect()
         return spark.createDataFrame(rows, schema=out.schema)
+
+
+# ---------------------------------------------------------------------------
+# INCREMENTAL READ (append change feed): three appends land on the
+# versioned table; the consumer reads only what arrived after its
+# anchor snapshot — an O(delta) scan of the two newer append dirs, the
+# base data untouched. Oracle: the appended slices are deterministic
+# filters of `orders`.
+# ---------------------------------------------------------------------------
+
+_INCR_READ_SQL = f"""
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders WHERE o_orderstatus IN ('O', 'P')
+"""
+
+
+@register("catalog_incremental_read", oracle=_INCR_READ_SQL)
+def catalog_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = session_cache(
+        spread(load_table(spark, sf_dir, "orders")).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+    )
+    with tempfile.TemporaryDirectory(prefix="dml-snapi-") as d:
+        tbl = SnapshotTable(spark, os.path.join(d, "orders_feed"))
+        s1 = tbl.write(orders.filter(F.col("o_orderstatus") == "F"), "append")
+        tbl.write(orders.filter(F.col("o_orderstatus") == "O"), "append")
+        tbl.write(orders.filter(F.col("o_orderstatus") == "P"), "append")
+        out = tbl.read_appends(since_snapshot_id=s1.snapshot_id)
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)

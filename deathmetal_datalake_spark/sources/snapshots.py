@@ -421,3 +421,44 @@ class SnapshotTable:
             if full not in referenced:
                 out.append(full)
         return out
+
+
+    # ---- incremental read ------------------------------------------------
+
+    def read_appends(
+        self, since_snapshot_id: int, branch: str = _MAIN
+    ) -> DataFrame:
+        """Incremental read: ONLY the rows appended after
+        ``since_snapshot_id`` on ``branch`` — the append-lineage change
+        feed (Delta CDF / Iceberg incremental-scan analog for the
+        append-only case).
+
+        Cost is O(delta): the scan touches only data dirs committed by
+        the append snapshots after the anchor, never the base table —
+        what makes daily incremental consumers viable on a 100 TB
+        table. Raises if any snapshot after the anchor is an overwrite
+        (the delta is then not expressible as appended files; use
+        ``flows.catalog.snapshot_diff`` for the general case).
+        """
+        lineage = self.history(branch)
+        ids = [s.snapshot_id for s in lineage]
+        if since_snapshot_id not in ids:
+            raise LookupError(
+                f"snapshot {since_snapshot_id} is not in {branch!r}'s lineage"
+            )
+        newer = lineage[ids.index(since_snapshot_id) + 1 :]
+        if not newer:
+            return self.read(
+                branch=branch, snapshot_id=since_snapshot_id
+            ).limit(0)
+        bad = [s.snapshot_id for s in newer if s.mode != "append"]
+        if bad:
+            raise ValueError(
+                f"snapshots {bad} after {since_snapshot_id} are overwrites; "
+                "the delta is not append-only — use snapshot_diff instead"
+            )
+        anchor_dirs = set(
+            self._load_snapshot(since_snapshot_id).data_dirs
+        )
+        new_dirs = [d for d in newer[-1].data_dirs if d not in anchor_dirs]
+        return self.spark.read.parquet(*new_dirs)

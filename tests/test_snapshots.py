@@ -362,3 +362,19 @@ def test_snapshot_diff_roundtrip_property(spark):
                 assert old[k] == new[k]
 
     prop()
+
+
+def test_read_appends_incremental_feed(table, orders):
+    """Incremental read returns exactly the rows appended after the
+    anchor; an overwrite in the delta raises; an empty delta is empty."""
+    s1 = table.write(orders.limit(10), mode="append")
+    assert table.read_appends(s1.snapshot_id).count() == 0
+    table.write(orders.limit(4), mode="append")
+    s3 = table.write(orders.limit(2), mode="append")
+    assert table.read_appends(s1.snapshot_id).count() == 6
+    assert table.read_appends(s3.snapshot_id).count() == 0
+    table.write(orders.limit(3), mode="overwrite")
+    with pytest.raises(ValueError, match="overwrites"):
+        table.read_appends(s1.snapshot_id)
+    with pytest.raises(LookupError):
+        table.read_appends(999)
