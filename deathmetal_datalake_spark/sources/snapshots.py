@@ -193,11 +193,16 @@ class SnapshotTable:
         return self._read_refs().get(branch)
 
     def history(self, branch: str = _MAIN) -> list[Snapshot]:
-        """Snapshot lineage of ``branch``, oldest first."""
+        """Snapshot lineage of ``branch``, oldest first. Stops at the
+        retention horizon: a parent whose manifest was expired ends the
+        walk (the oldest retained snapshot is the lineage root)."""
         out: list[Snapshot] = []
         sid = self.current_snapshot_id(branch)
         while sid is not None:
-            snap = self._load_snapshot(sid)
+            try:
+                snap = self._load_snapshot(sid)
+            except FileNotFoundError:
+                break  # expired by retention
             out.append(snap)
             sid = snap.parent_id
         return list(reversed(out))
@@ -338,7 +343,12 @@ class SnapshotTable:
                 if snapshot_id is None:
                     raise LookupError(f"branch {branch!r} has no snapshots")
         snap = self._load_snapshot(snapshot_id)
-        return self.spark.read.parquet(*snap.data_dirs)
+        # mergeSchema: appended files may carry ADDED columns (schema
+        # evolution); the merged read surfaces the union schema with
+        # NULLs for files written before the column existed — the
+        # Iceberg add-column semantics. Parquet is name-addressed, so
+        # old files never mis-bind to new columns.
+        return self.spark.read.option("mergeSchema", "true").parquet(*snap.data_dirs)
 
     # ---- branch ops (all O(1) metadata) ---------------------------------
 
@@ -462,3 +472,43 @@ class SnapshotTable:
         )
         new_dirs = [d for d in newer[-1].data_dirs if d not in anchor_dirs]
         return self.spark.read.parquet(*new_dirs)
+
+    # ---- retention -------------------------------------------------------
+
+    def expire_snapshots(self, keep_last: int = 5, branch: str = _MAIN) -> list[int]:
+        """Retention: delete manifests (and data dirs no live snapshot
+        references) for snapshots OLDER than the last ``keep_last`` on
+        ``branch`` — Iceberg's ``expireSnapshots`` analog. Snapshots
+        still reachable from ANY branch ref's retained lineage are kept
+        (a rolled-back or side branch pins its history). Runs under the
+        commit lock: concurrent writers never see a half-expired log.
+        Returns the expired snapshot ids.
+        """
+        import shutil
+
+        with self._commit_lock():
+            refs = self._read_refs()
+            keep: set[int] = set()
+            for b, head in refs.items():
+                lineage = self.history(b)
+                tail = lineage[-keep_last:] if b == branch else lineage
+                keep.update(s.snapshot_id for s in tail)
+                # Parents of kept snapshots stay loadable for history()
+                # only if themselves kept; cut the chain cleanly instead:
+                # the oldest kept snapshot becomes a root (parent pruned
+                # lazily by history(), which stops at missing manifests).
+            all_ids = {
+                int(n[len("snap-") : -len(".json")])
+                for n in os.listdir(self._meta_dir)
+                if n.startswith("snap-") and n.endswith(".json")
+            }
+            expired = sorted(all_ids - keep)
+            live_dirs: set[str] = set()
+            for sid in keep:
+                live_dirs.update(self._load_snapshot(sid).data_dirs)
+            for sid in expired:
+                for d in self._load_snapshot(sid).data_dirs:
+                    if d not in live_dirs:
+                        shutil.rmtree(d, ignore_errors=True)
+                os.unlink(self._snap_path(sid))
+            return expired

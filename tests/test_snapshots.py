@@ -378,3 +378,41 @@ def test_read_appends_incremental_feed(table, orders):
         table.read_appends(s1.snapshot_id)
     with pytest.raises(LookupError):
         table.read_appends(999)
+
+
+def test_schema_evolution_on_append(table, orders, spark):
+    """An append may add a column; the merged read surfaces the union
+    schema with NULLs for pre-existing rows, and time travel still
+    returns the old schema's data."""
+    base = orders.limit(5).select("o_orderkey", "o_orderstatus")
+    s1 = table.write(base, mode="overwrite")
+    evolved = orders.limit(3).select(
+        "o_orderkey", "o_orderstatus", F.lit("eu").alias("region_tag")
+    )
+    table.write(evolved, mode="append")
+    head = table.read()
+    assert "region_tag" in head.columns
+    assert head.count() == 8
+    assert head.filter(F.col("region_tag").isNull()).count() == 5
+    # Old snapshot unaffected.
+    assert "region_tag" not in table.read(snapshot_id=s1.snapshot_id).columns
+
+
+def test_expire_snapshots_retention(table, orders):
+    """Only the trailing keep_last snapshots survive; expired data dirs
+    unreferenced by live snapshots are deleted; the head still reads;
+    shared dirs referenced by retained appends are kept."""
+    for i in range(6):
+        table.write(orders.limit(i + 1), mode="overwrite")
+    head_before = table.read().count()
+    expired = table.expire_snapshots(keep_last=2)
+    assert len(expired) == 4
+    hist = table.history()
+    assert len(hist) == 2
+    assert table.read().count() == head_before
+    # Append lineage: appended snapshots share dirs with ancestors —
+    # expiring must not delete dirs the retained appends still reference.
+    for i in range(3):
+        table.write(orders.limit(2), mode="append")
+    table.expire_snapshots(keep_last=2)
+    assert table.read().count() == head_before + 6
