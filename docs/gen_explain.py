@@ -31,6 +31,9 @@ NAMES = [
     "kmeans_two_rounds",
     "text_ngram_novelty",
     "dedup_graph_triangles",
+    "corpus_curation_funnel",
+    "multimodal_pooled_embeddings",
+    "embedding_dim_correlation",
 ]
 
 _DETAIL_PREFIXES = (
