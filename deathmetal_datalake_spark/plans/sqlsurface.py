@@ -428,3 +428,32 @@ def unpivot_status_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prio_col",
         "n_orders",
     )
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated subquery: each BUILDING-segment customer joined to
+# its own top-2 orders by price (LATERAL ... ORDER BY ... LIMIT with
+# deterministic tie-breaks). Exercises Spark's lateral-join
+# decorrelation — the correlated per-row LIMIT becomes a ranked window
+# under the hood, but the USER-facing surface is the SQL-standard
+# LATERAL, which the reference's Trino engine also speaks.
+# ---------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') c,
+LATERAL (
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_custkey = c.c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 2
+) t
+"""
+
+
+@register("lateral_top2_orders_per_customer", oracle=_LATERAL_SQL)
+def lateral_top2_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_LATERAL_SQL)
