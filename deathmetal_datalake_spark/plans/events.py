@@ -724,3 +724,60 @@ def events_sampled_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# GAP-FILLED time series: 5-minute windows over the FULL [min, max]
+# range with empty windows materialized as zero rows — the gap-filling
+# every dashboard/forecasting consumer needs (a plain GROUP BY silently
+# omits empty buckets). Spark-first shape: the window spine is ONE
+# sequence() explode from a 1-row min/max aggregate (no recursion, no
+# driver loop), left-joined to the per-window counts; at 100 TB the
+# spine stays O(#windows) and the join is broadcast-able from either
+# side. Oracle: DuckDB generate_series.
+# ---------------------------------------------------------------------------
+
+_GAPFILL_SQL = """
+WITH bounds AS (
+    SELECT make_timestamp(CAST(FLOOR(epoch(MIN(CAST(ts AS TIMESTAMP))) / 300) * 300 * 1000000 AS BIGINT)) AS lo,
+           make_timestamp(CAST(FLOOR(epoch(MAX(CAST(ts AS TIMESTAMP))) / 300) * 300 * 1000000 AS BIGINT)) AS hi
+    FROM events
+),
+spine AS (
+    SELECT UNNEST(generate_series(lo, hi, INTERVAL 5 MINUTE)) AS window_start FROM bounds
+),
+agg AS (
+    SELECT make_timestamp(CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 300) * 300 * 1000000 AS BIGINT)) AS window_start,
+           COUNT(*) AS n_events
+    FROM events GROUP BY window_start
+)
+SELECT s.window_start,
+       COALESCE(a.n_events, 0) AS n_events,
+       (a.window_start IS NULL) AS is_gap
+FROM spine s LEFT JOIN agg a ON s.window_start = a.window_start
+"""
+
+
+@register("events_gap_filled_5min", oracle=_GAPFILL_SQL)
+def events_gap_filled_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "5 minutes").start
+    bounds = ev.agg(
+        F.min(win).alias("lo"), F.max(win).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 5 MINUTES"))
+        ).alias("window_start")
+    )
+    agg = ev.groupBy(win.alias("window_start")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    a = agg.select(
+        F.col("window_start").alias("a_ws"), F.col("n_events").alias("a_n")
+    )
+    return spine.join(a, spine["window_start"] == a["a_ws"], "left").select(
+        "window_start",
+        F.coalesce("a_n", F.lit(0)).alias("n_events"),
+        F.col("a_ws").isNull().alias("is_gap"),
+    )
