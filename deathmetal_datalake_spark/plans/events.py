@@ -781,3 +781,66 @@ def events_gap_filled_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("a_n", F.lit(0)).alias("n_events"),
         F.col("a_ws").isNull().alias("is_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LOCF (last-observation-carried-forward) over the gap-filled series:
+# empty windows inherit the most recent observed window aggregate — the
+# standard imputation for downstream consumers that cannot handle holes
+# (forecasting features, rate-of-change). One ordered window with
+# IGNORE NULLS last_value; the spine keeps it O(#windows).
+# ---------------------------------------------------------------------------
+
+_LOCF_SQL = """
+WITH bounds AS (
+    SELECT make_timestamp(CAST(FLOOR(epoch(MIN(CAST(ts AS TIMESTAMP))) / 300) * 300 * 1000000 AS BIGINT)) AS lo,
+           make_timestamp(CAST(FLOOR(epoch(MAX(CAST(ts AS TIMESTAMP))) / 300) * 300 * 1000000 AS BIGINT)) AS hi
+    FROM events
+),
+spine AS (
+    SELECT UNNEST(generate_series(lo, hi, INTERVAL 5 MINUTE)) AS window_start FROM bounds
+),
+agg AS (
+    SELECT make_timestamp(CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 300) * 300 * 1000000 AS BIGINT)) AS window_start,
+           {sum_value}
+    FROM events GROUP BY window_start
+),
+joined AS (
+    SELECT s.window_start, a.sum_value
+    FROM spine s LEFT JOIN agg a ON s.window_start = a.window_start
+)
+SELECT window_start,
+       sum_value,
+       last_value(sum_value IGNORE NULLS) OVER (
+           ORDER BY window_start
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS locf_value
+FROM joined
+""".format(sum_value=sql_dsum("value", "sum_value"))
+
+
+@register("events_gap_filled_locf", oracle=_LOCF_SQL)
+def events_gap_filled_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "5 minutes").start
+    bounds = ev.agg(F.min(win).alias("lo"), F.max(win).alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 5 MINUTES"))).alias(
+            "window_start"
+        )
+    )
+    agg = ev.groupBy(win.alias("a_ws")).agg(dsum("value", "a_sum"))
+    joined = spine.join(agg, spine["window_start"] == F.col("a_ws"), "left")
+    # Deliberately UN-partitioned window: the carry is a global ordered
+    # scan of the SPINE, whose row count is #windows (time-range bound,
+    # independent of data volume) — the one case a single-task window
+    # is O(small) by construction. Per-key LOCF would partition by key.
+    w = (
+        Window.orderBy("window_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "window_start",
+        F.col("a_sum").alias("sum_value"),
+        F.last("a_sum", ignorenulls=True).over(w).alias("locf_value"),
+    )
