@@ -145,9 +145,12 @@ def snapshot_diff(v_old: "DataFrame", v_new: "DataFrame", key: str) -> "DataFram
         F.col(key).alias("_nk"), *[F.col(c).alias(f"_n_{c}") for c in cols]
     )
     j = o.join(n, o["_ok"] == n["_nk"], "full_outer")
+    # Initializer matters: a key-only table (membership set) has no
+    # value columns, and its diff is pure added/removed.
     value_changed = reduce(
         lambda a, b: a | b,
         [~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")) for c in cols],
+        F.lit(False),
     )
     change = (
         F.when(F.col("_nk").isNull(), "removed")

@@ -73,6 +73,17 @@ class CommitConflict(RuntimeError):
     """Another writer moved the branch between read and publish."""
 
 
+class _Unset:
+    """Sentinel: 'no CAS check requested' — distinct from ``None``,
+    which means 'expect the branch to be EMPTY' (first-commit CAS)."""
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return "UNSET"
+
+
+UNSET = _Unset()
+
+
 class SnapshotTable:
     """A versioned parquet table rooted at ``base_path``.
 
@@ -128,13 +139,30 @@ class SnapshotTable:
         ``O_CREAT | O_EXCL`` is atomic on POSIX filesystems: exactly one
         process wins creation. Losers poll with jitter; a lock file older
         than ``_LOCK_STALE_S`` (crashed holder) is broken by renaming it
-        aside first — the rename is itself atomic, so two breakers cannot
-        both succeed on the same stale file.
+        aside first. Two safety refinements:
+
+        - **Ownership-verified release**: the holder records its lock
+          file's (dev, inode) at acquisition and unlinks at release only
+          if the path still carries that identity — a holder whose lock
+          was (wrongly or rightly) broken never deletes a NEW holder's
+          lock.
+        - **Re-verified break**: after renaming a presumed-stale lock
+          aside, the breaker re-checks the renamed file's age. If it
+          turns out FRESH (a live holder acquired between the stat and
+          the rename), the breaker restores it via ``os.link`` — which
+          preserves the inode, so the live holder's release check still
+          passes — and backs off. The residual window needs a third
+          writer to acquire within that same microsecond interval right
+          after a 60 s crash; accepted and documented for a
+          filesystem-level lock (a catalog service removes it).
         """
         deadline = time.monotonic() + timeout_s
+        my_ident: Optional[tuple[int, int]] = None
         while True:
             try:
                 fd = os.open(self._lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                st = os.fstat(fd)
+                my_ident = (st.st_dev, st.st_ino)
                 os.write(fd, f"pid={os.getpid()}\n".encode())
                 os.close(fd)
                 break
@@ -142,14 +170,47 @@ class SnapshotTable:
                 try:
                     age = time.time() - os.path.getmtime(self._lock_path)
                 except OSError:
-                    continue  # holder released between open and stat
+                    # Holder likely released between open and stat; any
+                    # persistent stat failure still honors the deadline
+                    # instead of busy-spinning.
+                    if time.monotonic() > deadline:
+                        raise TimeoutError(
+                            f"commit lock on {self.base_path}: cannot stat "
+                            f"lock file for >{timeout_s}s"
+                        )
+                    time.sleep(_LOCK_POLL_S * (1 + random.random()))
+                    continue
                 if age > _LOCK_STALE_S:
                     stale = self._lock_path + f".stale-{uuid.uuid4().hex[:8]}"
                     try:
                         os.rename(self._lock_path, stale)
-                        os.unlink(stale)
                     except OSError:
-                        pass  # another breaker won the rename race
+                        continue  # another breaker won the rename race
+                    try:
+                        broken_fresh = (
+                            time.time() - os.path.getmtime(stale) <= _LOCK_STALE_S
+                        )
+                    except OSError:
+                        broken_fresh = False
+                    if broken_fresh:
+                        # We moved a LIVE holder's lock: put it back with
+                        # its inode intact (link fails if the path was
+                        # re-taken meanwhile — then the orphan is ours to
+                        # drop) and back off.
+                        try:
+                            os.link(stale, self._lock_path)
+                        except OSError:
+                            pass
+                        try:
+                            os.unlink(stale)
+                        except OSError:
+                            pass
+                        time.sleep(_LOCK_POLL_S * (1 + random.random()))
+                    else:
+                        try:
+                            os.unlink(stale)
+                        except OSError:
+                            pass
                     continue
                 if time.monotonic() > deadline:
                     raise TimeoutError(
@@ -161,7 +222,9 @@ class SnapshotTable:
             yield
         finally:
             try:
-                os.unlink(self._lock_path)
+                st = os.stat(self._lock_path)
+                if (st.st_dev, st.st_ino) == my_ident:
+                    os.unlink(self._lock_path)
             except OSError:
                 pass
 
@@ -181,13 +244,33 @@ class SnapshotTable:
             committed_at=d["committed_at"],
         )
 
+    @property
+    def _last_id_path(self) -> str:
+        return os.path.join(self._meta_dir, "last-snapshot-id")
+
     def _next_snapshot_id(self) -> int:
+        # Monotonic across retention: the high-water mark survives in a
+        # counter file even after expire_snapshots deletes the manifests
+        # that carried the highest ids — a recycled snapshot id would
+        # silently rebind old time-travel bookmarks to new data.
         ids = [
             int(name[len("snap-") : -len(".json")])
             for name in os.listdir(self._meta_dir)
             if name.startswith("snap-") and name.endswith(".json")
         ]
-        return max(ids, default=0) + 1
+        last = 0
+        try:
+            with open(self._last_id_path) as f:
+                last = int(f.read().strip() or 0)
+        except (OSError, ValueError):
+            pass
+        return max(max(ids, default=0), last) + 1
+
+    def _record_snapshot_id(self, snapshot_id: int) -> None:
+        tmp = self._last_id_path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(str(snapshot_id))
+        os.replace(tmp, self._last_id_path)
 
     def current_snapshot_id(self, branch: str = _MAIN) -> Optional[int]:
         return self._read_refs().get(branch)
@@ -214,7 +297,7 @@ class SnapshotTable:
         df: DataFrame,
         mode: str = "overwrite",
         branch: str = _MAIN,
-        expected_parent: Optional[int] = None,
+        expected_parent: "Optional[int] | _Unset" = UNSET,
     ) -> Snapshot:
         """Commit ``df`` as a new snapshot on ``branch``.
 
@@ -223,18 +306,21 @@ class SnapshotTable:
         table — the same commit protocol as Iceberg.
 
         Optimistic concurrency: pass ``expected_parent`` (the snapshot
-        id the caller based its write on) and the commit is refused
-        with :class:`CommitConflict` if another writer moved the branch
-        in between. The check-and-publish runs inside the cross-process
-        commit lock, making it a true CAS — two writers racing the same
-        ``expected_parent`` serialize, and exactly one wins. Without
-        ``expected_parent`` the commit is last-writer-wins on the ref
-        (appends still extend whatever head is current AT COMMIT TIME,
-        re-read under the lock, so no concurrent append is lost).
+        id the caller based its write on — ``None`` meaning "I expect
+        the branch to be EMPTY", the first-commit CAS) and the commit is
+        refused with :class:`CommitConflict` if another writer moved the
+        branch in between. The check-and-publish runs inside the
+        cross-process commit lock, making it a true CAS — two writers
+        racing the same ``expected_parent`` serialize, and exactly one
+        wins (including two racing FIRST commits). Omitting
+        ``expected_parent`` entirely makes the commit last-writer-wins
+        on the ref (appends still extend whatever head is current AT
+        COMMIT TIME, re-read under the lock, so no concurrent append is
+        lost).
         """
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
-        if expected_parent is not None:
+        if not isinstance(expected_parent, _Unset):
             # Fail fast before the expensive data write; re-validated
             # authoritatively under the lock below.
             current = self._read_refs().get(branch)
@@ -250,7 +336,7 @@ class SnapshotTable:
         with self._commit_lock():
             refs = self._read_refs()
             parent_id = refs.get(branch)
-            if expected_parent is not None and parent_id != expected_parent:
+            if not isinstance(expected_parent, _Unset) and parent_id != expected_parent:
                 raise CommitConflict(
                     f"branch {branch!r} is at snapshot {parent_id}, "
                     f"expected {expected_parent}"
@@ -281,6 +367,7 @@ class SnapshotTable:
                     f,
                     indent=1,
                 )
+            self._record_snapshot_id(snapshot_id)
             refs[branch] = snapshot_id
             self._write_refs(refs)
         return snap
@@ -471,7 +558,10 @@ class SnapshotTable:
             self._load_snapshot(since_snapshot_id).data_dirs
         )
         new_dirs = [d for d in newer[-1].data_dirs if d not in anchor_dirs]
-        return self.spark.read.parquet(*new_dirs)
+        # mergeSchema, same as read(): appends may have ADDED columns,
+        # and the incremental feed must surface the same union schema
+        # the head read does.
+        return self.spark.read.option("mergeSchema", "true").parquet(*new_dirs)
 
     # ---- retention -------------------------------------------------------
 
@@ -480,12 +570,20 @@ class SnapshotTable:
         references) for snapshots OLDER than the last ``keep_last`` on
         ``branch`` — Iceberg's ``expireSnapshots`` analog. Snapshots
         still reachable from ANY branch ref's retained lineage are kept
-        (a rolled-back or side branch pins its history). Runs under the
-        commit lock: concurrent writers never see a half-expired log.
-        Returns the expired snapshot ids.
+        (a rolled-back or side branch pins its history). The METADATA
+        edit (manifest unlinks) runs under the commit lock; the
+        O(data-bytes) directory deletion happens AFTER release — once a
+        manifest is gone its dirs are unreachable, and holding the lock
+        through a multi-TB rmtree would outlive the stale-lock threshold
+        and invite a live-lock break. A crash mid-delete leaves orphan
+        dirs for :meth:`orphan_data_dirs`' janitor, never a corrupt
+        table. Returns the expired snapshot ids.
         """
         import shutil
 
+        if keep_last < 1:
+            # The branch head must survive (refs would dangle otherwise).
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
         with self._commit_lock():
             refs = self._read_refs()
             keep: set[int] = set()
@@ -506,9 +604,12 @@ class SnapshotTable:
             live_dirs: set[str] = set()
             for sid in keep:
                 live_dirs.update(self._load_snapshot(sid).data_dirs)
+            doomed_dirs: list[str] = []
             for sid in expired:
                 for d in self._load_snapshot(sid).data_dirs:
                     if d not in live_dirs:
-                        shutil.rmtree(d, ignore_errors=True)
+                        doomed_dirs.append(d)
                 os.unlink(self._snap_path(sid))
-            return expired
+        for d in doomed_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        return expired

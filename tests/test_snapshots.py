@@ -416,3 +416,86 @@ def test_expire_snapshots_retention(table, orders):
         table.write(orders.limit(2), mode="append")
     table.expire_snapshots(keep_last=2)
     assert table.read().count() == head_before + 6
+
+
+def test_first_commit_cas_on_empty_branch(table, orders, spark):
+    """expected_parent=None means 'expect the branch EMPTY': once a
+    first commit lands, a second first-commit attempt must CAS-fail —
+    and commit_with_retry rebases instead of losing a transaction."""
+    from deathmetal_datalake_spark.sources.snapshots import CommitConflict
+
+    table.write(orders.limit(2), mode="overwrite", expected_parent=None)
+    with pytest.raises(CommitConflict):
+        table.write(orders.limit(3), mode="overwrite", expected_parent=None)
+    # retry path: two transactional writers starting from empty both land.
+    import threading
+
+    t2 = type(table)(spark, table.base_path + "_empty_cas")
+    errs: list[Exception] = []
+
+    def txn():
+        try:
+            t2.commit_with_retry(
+                lambda head: spark.createDataFrame([(1,)], "n long")
+                if head is None
+                else head.select((F.col("n") + 1).alias("n")),
+                mode="overwrite",
+                max_retries=20,
+            )
+        except Exception as exc:  # pragma: no cover
+            errs.append(exc)
+
+    threads = [threading.Thread(target=txn) for _ in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert t2.read().collect()[0].n == 3
+
+
+def test_snapshot_ids_never_recycled_after_expiry(table, orders):
+    """Expiring the highest-numbered manifests must not let a new commit
+    reuse an old snapshot id (time-travel bookmarks would rebind)."""
+    for i in range(4):
+        table.write(orders.limit(i + 1), mode="overwrite")
+    table.rollback("main", table.history()[0].snapshot_id)
+    table.expire_snapshots(keep_last=1)  # drops ids 2..4
+    snap = table.write(orders.limit(9), mode="overwrite")
+    assert snap.snapshot_id == 5  # not 2
+
+
+def test_expire_keep_last_zero_rejected(table, orders):
+    table.write(orders.limit(1), mode="overwrite")
+    with pytest.raises(ValueError, match="keep_last"):
+        table.expire_snapshots(keep_last=0)
+
+
+def test_read_appends_merges_evolved_schema(table, orders):
+    """The incremental feed surfaces columns added by later appends,
+    same as the head read."""
+    s1 = table.write(
+        orders.limit(3).select("o_orderkey", "o_orderstatus"), mode="append"
+    )
+    table.write(
+        orders.limit(2).select("o_orderkey", "o_orderstatus"), mode="append"
+    )
+    table.write(
+        orders.limit(1).select(
+            "o_orderkey", "o_orderstatus", F.lit("x").alias("tag")
+        ),
+        mode="append",
+    )
+    feed = table.read_appends(s1.snapshot_id)
+    assert "tag" in feed.columns
+    assert feed.count() == 3
+
+
+def test_snapshot_diff_key_only_table(spark):
+    """A keyset table diffs to pure added/removed (no value columns)."""
+    from deathmetal_datalake_spark.flows.catalog import snapshot_diff
+
+    old = spark.createDataFrame([(1,), (2,)], "k long")
+    new = spark.createDataFrame([(2,), (3,)], "k long")
+    got = {r.k: r.change for r in snapshot_diff(old, new, "k").collect()}
+    assert got == {1: "removed", 3: "added"}
