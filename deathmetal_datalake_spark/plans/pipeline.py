@@ -526,16 +526,19 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from deathmetal_datalake_spark.plans.dedup import (  # noqa: E402
     _EST_THRESHOLD,
+    _INCR_SQL,
     _LSH_SQL,
     _minhash_band_candidates,
     _minhash_columns,
     _minhash_estimates,
 )
-from deathmetal_datalake_spark.plans.text import _FILTER_SQL  # noqa: E402
+from deathmetal_datalake_spark.plans.text import (  # noqa: E402
+    _FILTER_SQL as _TQ_FILTER_SQL,
+)
 
 _FUNNEL_SQL = f"""
 WITH qual AS (
-    SELECT doc_id FROM ({_FILTER_SQL}) WHERE keep
+    SELECT doc_id FROM ({_TQ_FILTER_SQL}) WHERE keep
 ),
 exact_kept AS (
     SELECT MIN(d.doc_id) AS doc_id
@@ -685,4 +688,84 @@ def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split_a", "split_b")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .withColumn("leaking", F.col("split_a") != F.col("split_b"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# CAPSTONE COMPOSITION — the daily corpus increment, end-to-end in one
+# driver-checked query: a delta batch (doc_id % 10 == 0, the same delta
+# convention as dedup_minhash_incremental) arrives against the base
+# corpus; it is near-dup-checked THROUGH THE BAND INDEX against the
+# whole corpus (cost ∝ delta, not corpus), quality-gated, and the
+# survivors are APPENDED to a real versioned snapshot table whose head
+# count is read back. One row out: delta size, dup drops, quality
+# drops, appended count, and the resulting table size — the nightly
+# report line of a production corpus build. Dup rule within the delta
+# is keep-first (smaller doc_id wins), matching the dedup family.
+# ---------------------------------------------------------------------------
+
+_DAILY_SQL = f"""
+WITH inc AS ({_INCR_SQL}),
+qual AS (
+    SELECT doc_id FROM ({_TQ_FILTER_SQL}) WHERE keep
+),
+delta AS (
+    SELECT doc_id FROM documents WHERE doc_id % 10 = 0
+),
+dup AS (
+    SELECT DISTINCT new_doc AS doc_id FROM inc
+    WHERE other_doc % 10 <> 0 OR other_doc < new_doc
+),
+surv AS (
+    SELECT doc_id FROM delta EXCEPT SELECT doc_id FROM dup
+),
+appended AS (
+    SELECT s.doc_id FROM surv s JOIN qual q USING (doc_id)
+)
+SELECT (SELECT COUNT(*) FROM delta) AS n_delta,
+       (SELECT COUNT(*) FROM dup) AS n_dup_dropped,
+       (SELECT COUNT(*) FROM surv) - (SELECT COUNT(*) FROM appended)
+           AS n_quality_dropped,
+       (SELECT COUNT(*) FROM appended) AS n_appended,
+       (SELECT COUNT(*) FROM documents WHERE doc_id % 10 <> 0)
+           + (SELECT COUNT(*) FROM appended) AS n_total
+"""
+
+
+@register("pipeline_daily_increment", oracle=_DAILY_SQL)
+def pipeline_daily_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile as _tempfile
+
+    from deathmetal_datalake_spark.plans.dedup import dedup_minhash_incremental
+    from deathmetal_datalake_spark.plans.text import text_quality_filter
+    from deathmetal_datalake_spark.sources.snapshots import SnapshotTable
+
+    docs = load_table(spark, sf_dir, "documents")
+    delta = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id")
+    inc = dedup_minhash_incremental(spark, sf_dir)
+    dup = (
+        inc.filter(
+            (F.col("other_doc") % 10 != 0)
+            | (F.col("other_doc") < F.col("new_doc"))
+        )
+        .select(F.col("new_doc").alias("doc_id"))
+        .distinct()
+    )
+    surv = delta.join(dup, "doc_id", "left_anti")
+    qual = text_quality_filter(spark, sf_dir).filter("keep").select("doc_id")
+    appended = session_cache(surv.join(qual, "doc_id", "left_semi"))
+    n_delta = delta.count()
+    n_dup = dup.count()
+    n_surv = surv.count()
+    n_app = appended.count()
+    with _tempfile.TemporaryDirectory(prefix="dml-daily-") as d:
+        tbl = SnapshotTable(spark, _os.path.join(d, "curated"))
+        tbl.write(docs.filter(F.col("doc_id") % 10 != 0), "append")
+        tbl.write(docs.join(appended, "doc_id", "left_semi"), "append")
+        n_total = tbl.read().count()
+    return spark.createDataFrame(
+        [(n_delta, n_dup, n_surv - n_app, n_app, n_total)],
+        "n_delta long, n_dup_dropped long, n_quality_dropped long, "
+        "n_appended long, n_total long",
     )
