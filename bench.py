@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "dedup_method_agreement",
     "dedup_graph_triangles",
     "similarity_dim_truncation_recall",
+    "pipeline_daily_increment",
+    "events_gap_filled_5min",
 ]
 
 # Queries whose full result is large; drain with a hash aggregate
@@ -103,6 +105,7 @@ _HASH_DRAIN = {
     "dedup_cluster_canonical",
     "catalog_snapshot_diff",
     "text_ngram_novelty",
+    "events_gap_filled_5min",
 }
 
 
