@@ -690,3 +690,69 @@ def streaming_interval_join_left_outer_replay(
     )
     out = _drain(joined, scratch, "append")
     return out.filter(F.col("user_id") >= 0)
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream FULL OUTER interval join — completes the outer family:
+# unmatched CLICKS and unmatched PURCHASES both emit NULL-extended rows
+# on state expiry. Same determinism machinery as the left-outer replay
+# (ts-ordered slices, dual-branch sentinels, two sentinel batches);
+# both sentinel rows are unmatched by construction and are dropped
+# after the drain.
+# ---------------------------------------------------------------------------
+
+_FOJ_SQL = """
+SELECT c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       COALESCE(c.user_id, p.user_id) AS user_id,
+       c.ts AS click_ts,
+       p.ts AS purchase_ts
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+FULL JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 30 MINUTE
+"""
+
+
+@register("streaming_interval_join_full_outer_replay", oracle=_FOJ_SQL)
+def streaming_interval_join_full_outer_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    stream, scratch = _replay_events_loj_stream(spark, sf_dir)
+    wm = stream.withColumn("wm_ts", F.col("ts").cast("timestamp"))
+    clicks = (
+        wm.withWatermark("wm_ts", "0 seconds")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("wm_ts").alias("c_wm"),
+        )
+    )
+    purchases = (
+        wm.withWatermark("wm_ts", "0 seconds")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("wm_ts").alias("p_wm"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user_id") == F.col("p_user_id"))
+        & (F.col("p_wm") >= F.col("c_wm"))
+        & (F.col("p_wm") <= F.col("c_wm") + F.expr("INTERVAL 30 MINUTES")),
+        "full_outer",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.coalesce(F.col("c_user_id"), F.col("p_user_id")).alias("user_id"),
+        "click_ts",
+        "purchase_ts",
+    )
+    out = _drain(joined, scratch, "append")
+    return out.filter(F.col("user_id") >= 0)
