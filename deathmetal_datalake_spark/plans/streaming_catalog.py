@@ -24,9 +24,11 @@ nondeterministically); complete mode is precisely the no-watermark
 mode. WATERMARKED semantics are driver-checked by the ts-ordered
 replays instead — ``streaming_watermark_late_drop_replay`` (late-data
 drop), ``streaming_eviction_sessions_replay`` (event-time state
-eviction), and ``streaming_interval_join_left_outer_replay``
-(outer-join NULL emission on state expiry) — each constructed so the
-watermark trajectory is a pure function of the data. Memory sinks are
+eviction), and the outer interval joins
+``streaming_interval_join_left_outer_replay`` /
+``streaming_interval_join_full_outer_replay`` (NULL emission on state
+expiry, one/both sides) — each constructed so the watermark trajectory
+is a pure function of the data (the playbook is DETERMINISM.md §9). Memory sinks are
 the test/replay transport only — production drains the identical query
 object to parquet/kafka (``streaming/windows.py:start_to_memory``
 docstring).
