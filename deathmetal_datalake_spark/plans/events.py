@@ -844,3 +844,75 @@ def events_gap_filled_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a_sum").alias("sum_value"),
         F.last("a_sum", ignorenulls=True).over(w).alias("locf_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PER-KEY LOCF: hourly per-user series over each user's OWN active
+# range, gaps carried forward per user — the partitioned form of
+# imputation (the global-spine variant above is the single-series
+# case). The spine is row-local: one sequence() per user from a
+# groupBy bounds aggregate, so spine size is Σ user-ranges and the
+# carry window is PARTITIONED BY user — shuffle-parallel at any key
+# cardinality, the shape per-entity feature pipelines need at 100 TB.
+# ---------------------------------------------------------------------------
+
+_LOCF_USER_SQL = """
+WITH bounds AS (
+    SELECT user_id,
+           make_timestamp(CAST(FLOOR(epoch(MIN(CAST(ts AS TIMESTAMP))) / 3600) * 3600 * 1000000 AS BIGINT)) AS lo,
+           make_timestamp(CAST(FLOOR(epoch(MAX(CAST(ts AS TIMESTAMP))) / 3600) * 3600 * 1000000 AS BIGINT)) AS hi
+    FROM events GROUP BY user_id
+),
+spine AS (
+    SELECT user_id, UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS window_start
+    FROM bounds
+),
+agg AS (
+    SELECT user_id,
+           make_timestamp(CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 3600) * 3600 * 1000000 AS BIGINT)) AS window_start,
+           COUNT(*) AS n_events
+    FROM events GROUP BY user_id, window_start
+)
+SELECT s.user_id, s.window_start,
+       COALESCE(a.n_events, 0) AS n_events,
+       last_value(a.n_events IGNORE NULLS) OVER (
+           PARTITION BY s.user_id ORDER BY s.window_start
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS locf_events
+FROM spine s LEFT JOIN agg a
+  ON s.user_id = a.user_id AND s.window_start = a.window_start
+"""
+
+
+@register("events_per_user_locf_hourly", oracle=_LOCF_USER_SQL)
+def events_per_user_locf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour").start
+    bounds = ev.groupBy("user_id").agg(
+        F.min(win).alias("lo"), F.max(win).alias("hi")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+            "window_start"
+        ),
+    )
+    agg = ev.groupBy(
+        F.col("user_id").alias("a_uid"), win.alias("a_ws")
+    ).agg(F.count(F.lit(1)).alias("a_n"))
+    joined = spine.join(
+        agg,
+        (spine["user_id"] == F.col("a_uid")) & (spine["window_start"] == F.col("a_ws")),
+        "left",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("window_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "window_start",
+        F.coalesce("a_n", F.lit(0)).alias("n_events"),
+        F.last("a_n", ignorenulls=True).over(w).alias("locf_events"),
+    )
