@@ -250,7 +250,7 @@ def catalog_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # filters of `orders`.
 # ---------------------------------------------------------------------------
 
-_INCR_READ_SQL = f"""
+_INCR_READ_SQL = """
 SELECT o_orderkey, o_orderstatus, o_totalprice
 FROM orders WHERE o_orderstatus IN ('O', 'P')
 """
@@ -269,5 +269,166 @@ def catalog_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         tbl.write(orders.filter(F.col("o_orderstatus") == "O"), "append")
         tbl.write(orders.filter(F.col("o_orderstatus") == "P"), "append")
         out = tbl.read_appends(since_snapshot_id=s1.snapshot_id)
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)
+
+# ---------------------------------------------------------------------------
+# CROSS-TABLE ATOMIC TRANSACTION (sources/transactions.py): one
+# transaction publishes a `cust` and an `ord` table together; a second
+# transaction — staged against a head a competing writer has since
+# moved — aborts as a WHOLE, including the table whose own CAS was
+# still satisfiable. The returned stats prove both halves: the commit
+# published both tables in one step, and the conflicted transaction
+# published NEITHER. Oracle: every visible state is a pure filter of
+# the source tables.
+# ---------------------------------------------------------------------------
+
+_TXN_STATS_CUST = (
+    "COUNT(*) AS n_rows, MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key, "
+    + sql_dsum("c_acctbal", "total")
+)
+_TXN_STATS_ORD = (
+    "COUNT(*) AS n_rows, MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key, "
+    + sql_dsum("o_totalprice", "total")
+)
+
+_TXN_SQL = f"""
+SELECT 'cust' AS tbl, {_TXN_STATS_CUST} FROM customer WHERE c_acctbal > 0
+UNION ALL
+SELECT 'ord', {_TXN_STATS_ORD} FROM orders WHERE o_orderstatus IN ('F', 'O')
+"""
+
+
+@register("catalog_txn_atomic_publish", oracle=_TXN_SQL)
+def catalog_txn_atomic_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """txn1 atomically publishes cust(c_acctbal>0) + ord('F'); a
+    competing writer appends 'O' to ord; txn2 (built on the stale ord
+    head, staging BOTH tables) must abort all-or-nothing. Final state:
+    cust untouched by txn2, ord = 'F' + the competing append."""
+    from deathmetal_datalake_spark.sources.snapshots import CommitConflict
+    from deathmetal_datalake_spark.sources.transactions import SnapshotCatalog
+
+    customer = spread(load_table(spark, sf_dir, "customer")).select(
+        "c_custkey", "c_acctbal"
+    )
+    orders = session_cache(
+        spread(load_table(spark, sf_dir, "orders")).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+    )
+    with tempfile.TemporaryDirectory(prefix="dml-txn-") as d:
+        cat = SnapshotCatalog(spark, os.path.join(d, "catalog"))
+        with cat.transaction() as txn:
+            txn.write(
+                "cust",
+                customer.filter(F.col("c_acctbal") > 0),
+                expected_parent=None,
+            )
+            txn.write(
+                "ord",
+                orders.filter(F.col("o_orderstatus") == "F"),
+                expected_parent=None,
+            )
+        head_cust = cat.table("cust").current_snapshot_id()
+        head_ord = cat.table("ord").current_snapshot_id()
+        # Competing single-table writer moves `ord` under txn2.
+        cat.table("ord").write(
+            orders.filter(F.col("o_orderstatus") == "O"), "append"
+        )
+        try:
+            with cat.transaction() as txn2:
+                txn2.write("cust", customer, expected_parent=head_cust)
+                txn2.write(
+                    "ord",
+                    orders.filter(F.col("o_orderstatus") == "P"),
+                    expected_parent=head_ord,
+                )
+            raise AssertionError("txn2 must conflict")  # pragma: no cover
+        except CommitConflict:
+            pass
+        cust_stats = cat.table("cust").read().agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+            dsum("c_acctbal", "total"),
+        ).select(F.lit("cust").alias("tbl"), "*")
+        ord_stats = cat.table("ord").read().agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            dsum("o_totalprice", "total"),
+        ).select(F.lit("ord").alias("tbl"), "*")
+        out = cust_stats.unionAll(ord_stats)
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)
+
+
+# ---------------------------------------------------------------------------
+# SNAPSHOT CHANGE FEED (sources/snapshot_stream.py): the snapshot table
+# tailed as a STREAM through the Python Data Source API. Two appends
+# ('F' then 'O') land and run 1 drains them through a checkpointed
+# sink; a third append ('P') lands and run 2 — SAME checkpoint —
+# delivers only the delta. The per-run tag in the output proves
+# incremental delivery; exact row equality with the oracle proves
+# exactly-once (no replay, no loss) across the restart.
+# ---------------------------------------------------------------------------
+
+_FEED_SQL = """
+SELECT CAST(1 AS INT) AS run, o_orderkey, o_orderstatus, o_totalprice
+FROM orders WHERE o_orderstatus IN ('F', 'O')
+UNION ALL
+SELECT CAST(2 AS INT), o_orderkey, o_orderstatus, o_totalprice
+FROM orders WHERE o_orderstatus = 'P'
+"""
+
+
+@register("streaming_snapshot_feed_replay", oracle=_FEED_SQL)
+def streaming_snapshot_feed_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deathmetal_datalake_spark.sources.snapshot_stream import (
+        register_snapshot_feed,
+    )
+    from deathmetal_datalake_spark.sources.snapshots import SnapshotTable
+
+    register_snapshot_feed(spark)
+    orders = session_cache(
+        spread(load_table(spark, sf_dir, "orders")).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+    )
+    with tempfile.TemporaryDirectory(prefix="dml-feed-") as d:
+        tbl = SnapshotTable(spark, os.path.join(d, "orders_feed"))
+        sink = os.path.join(d, "sink")
+        ckpt = os.path.join(d, "ckpt")
+
+        def drain() -> None:
+            q = (
+                spark.readStream.format("snapshot_feed")
+                .schema(tbl.read().schema)
+                .option("path", tbl.base_path)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+
+        tbl.write(orders.filter(F.col("o_orderstatus") == "F"), "append")
+        tbl.write(orders.filter(F.col("o_orderstatus") == "O"), "append")
+        drain()
+        run1_keys = {r[0] for r in spark.read.parquet(sink).select("o_orderkey").collect()}
+        tbl.write(orders.filter(F.col("o_orderstatus") == "P"), "append")
+        drain()
+        drained = spark.read.parquet(sink)
+        out = drained.select(
+            F.when(F.col("o_orderkey").isin(run1_keys), F.lit(1))
+            .otherwise(F.lit(2))
+            .cast("int")
+            .alias("run"),
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+        )
         rows = out.collect()
         return spark.createDataFrame(rows, schema=out.schema)

@@ -1,0 +1,179 @@
+"""Snapshot table as a STREAMING SOURCE — the Delta Change-Data-Feed /
+Iceberg incremental-scan analog (docs/NEXT.md round-3 item #4), built
+on PySpark 4's Python Data Source API (`pyspark.sql.datasource`).
+
+``readStream.format("snapshot_feed")`` tails a
+:class:`~deathmetal_datalake_spark.sources.snapshots.SnapshotTable`'s
+manifest log: each micro-batch delivers exactly the rows APPENDED by
+snapshots committed since the last checkpointed offset. Because the
+offset is a snapshot id and manifests are immutable, replay after any
+failure re-reads the identical file set — the source is exactly-once
+end-to-end with a checkpointed sink.
+
+Commit isolation: the feed reads the MANIFEST LOG, never the data
+directory listing, so in-flight writes (data staged before the refs
+swap, orphans of failed jobs, open transactions of
+``sources/transactions.py``) are invisible until their snapshot is
+published. A plain file-stream over ``data/*/`` could not promise
+that.
+
+Semantics:
+
+- ``path`` (required): the snapshot table root.
+- ``branch`` (default ``main``): which ref to tail.
+- ``anchor`` (default deliver-everything): snapshot id the consumer has
+  already seen; the first batch starts AFTER it (same contract as
+  ``SnapshotTable.read_appends``).
+- Overwrite/compaction snapshots after the anchor RAISE: the delta is
+  then not expressible as appended files — consumers must re-anchor
+  (Delta CDF fails the same way unless the producer logs row-level
+  deletes).
+
+Scale notes: ``latestOffset``/``partitions`` are O(#new snapshots)
+driver-side JSON reads; each input partition is ONE parquet file of an
+appended directory, so a big append fans out across the cluster, and
+executors read with pyarrow straight from shared storage. No listing
+of the base table ever happens — cost is O(delta), which is what makes
+a 100 TB table tailable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
+from pyspark.sql.types import StructType
+
+_MAIN = "main"
+
+
+def _load_manifest(meta_dir: str, snapshot_id: int) -> dict:
+    with open(os.path.join(meta_dir, f"snap-{snapshot_id}.json")) as f:
+        return json.load(f)
+
+
+def _read_refs(meta_dir: str) -> dict[str, int]:
+    path = os.path.join(meta_dir, "refs.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return {k: int(v) for k, v in json.load(f).items()}
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, file_path: str):
+        self.file_path = file_path
+
+
+class SnapshotFeedStreamReader(DataSourceStreamReader):
+    """Offsets are ``{"snapshot_id": N}``; N=anchor means 'delivered
+    through snapshot N'. Micro-batch (start, end] delivers the data
+    dirs that append-snapshots in that id range introduced."""
+
+    def __init__(self, schema: StructType, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("snapshot_feed requires .option('path', <table root>)")
+        self._meta_dir = os.path.join(path, "metadata")
+        self._branch = options.get("branch", _MAIN)
+        self._anchor = int(options.get("anchor", 0))
+        self._schema = schema
+
+    # -- offset bookkeeping (driver side) ---------------------------------
+
+    def initialOffset(self) -> dict:
+        return {"snapshot_id": self._anchor}
+
+    def latestOffset(self) -> dict:
+        head = _read_refs(self._meta_dir).get(self._branch)
+        if head is None:
+            return {"snapshot_id": self._anchor}
+        return {"snapshot_id": head}
+
+    def _lineage(self, head: int) -> list[dict]:
+        """Manifests from oldest retained to ``head``."""
+        out = []
+        sid: int | None = head
+        while sid is not None:
+            try:
+                m = _load_manifest(self._meta_dir, sid)
+            except FileNotFoundError:
+                break  # retention horizon
+            out.append(m)
+            sid = m["parent_id"]
+        return list(reversed(out))
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["snapshot_id"], end["snapshot_id"]
+        if hi <= lo:
+            return []
+        lineage = self._lineage(hi)
+        ids = [m["snapshot_id"] for m in lineage]
+        if lo != 0 and lo not in ids:
+            raise ValueError(
+                f"offset snapshot {lo} is not in branch {self._branch!r}'s "
+                "lineage (expired by retention or rolled back); re-anchor "
+                "the consumer"
+            )
+        newer = [m for m in lineage if m["snapshot_id"] > lo]
+        bad = [m["snapshot_id"] for m in newer if m["mode"] != "append"]
+        if bad:
+            raise ValueError(
+                f"snapshots {bad} after offset {lo} are overwrites; the "
+                "change feed is append-only — re-anchor after compaction "
+                "or use flows.catalog.snapshot_diff"
+            )
+        if not newer:
+            return []
+        seen: set[str] = set()
+        if lo != 0:
+            seen.update(_load_manifest(self._meta_dir, lo)["data_dirs"])
+        new_dirs = [d for d in newer[-1]["data_dirs"] if d not in seen]
+        parts: list[_FilePartition] = []
+        for d in new_dirs:
+            for name in sorted(os.listdir(d)):
+                if name.endswith(".parquet"):
+                    parts.append(_FilePartition(os.path.join(d, name)))
+        return parts
+
+    # -- data plane (executor side) ---------------------------------------
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(
+            partition.file_path, columns=[f.name for f in self._schema.fields]
+        )
+        yield from table.to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # progress lives in the sink checkpoint
+
+
+class SnapshotFeedDataSource(DataSource):
+    """``spark.dataSource.register(SnapshotFeedDataSource)`` then
+    ``spark.readStream.format("snapshot_feed").schema(s)
+    .option("path", root).load()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "snapshot_feed"
+
+    def schema(self):
+        # Schema inference would need a manifest read at plan time; the
+        # table contract is explicit schemas (schemas.py), so require
+        # one rather than guess.
+        raise NotImplementedError(
+            "snapshot_feed requires an explicit .schema(...) — the table "
+            "contract (deathmetal_datalake_spark.schemas) is the source of truth"
+        )
+
+    def streamReader(self, schema: StructType) -> SnapshotFeedStreamReader:
+        return SnapshotFeedStreamReader(schema, dict(self.options))
+
+
+def register_snapshot_feed(spark) -> None:
+    """Idempotent registration of the data source with a session."""
+    spark.dataSource.register(SnapshotFeedDataSource)
