@@ -432,3 +432,108 @@ def streaming_snapshot_feed_replay(spark: SparkSession, sf_dir: str) -> DataFram
         )
         rows = out.collect()
         return spark.createDataFrame(rows, schema=out.schema)
+
+# ---------------------------------------------------------------------------
+# INCREMENTAL MATERIALIZED-VIEW MAINTENANCE (IVM): the lakehouse
+# capstone tying the pieces together — a gold mart (per-status order
+# totals) is maintained INCREMENTALLY from the snapshot change feed.
+# Each drain folds only that run's delta into the mart via a
+# transactional commit_with_retry (never re-reading the base table);
+# the mart state after every fold is tagged and checked against a
+# full-recompute oracle. Counts stay exact because the fold keeps the
+# running total as DECIMAL and only casts to double at the edge.
+# ---------------------------------------------------------------------------
+
+_IVM_STATS = "COUNT(*) AS n_rows, " + sql_dsum("o_totalprice", "total")
+
+_IVM_SQL = f"""
+SELECT CAST(1 AS INT) AS step, o_orderstatus, {_IVM_STATS}
+FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderstatus
+UNION ALL
+SELECT CAST(2 AS INT), o_orderstatus, {_IVM_STATS}
+FROM orders WHERE o_orderstatus IN ('F', 'O') GROUP BY o_orderstatus
+UNION ALL
+SELECT CAST(3 AS INT), o_orderstatus, {_IVM_STATS}
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@register("streaming_ivm_status_mart_replay", oracle=_IVM_SQL)
+def streaming_ivm_status_mart_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three appends land on a versioned orders table; after each, one
+    availableNow drain of the change feed folds the delta into a
+    versioned mart (partial agg + decimal re-sum — the map-side-combine
+    shape that scales: the fold's input is O(delta), never the base).
+    Output = the mart after every fold; oracle = full recompute."""
+    from deathmetal_datalake_spark.sources.snapshot_stream import (
+        register_snapshot_feed,
+    )
+    from deathmetal_datalake_spark.sources.snapshots import SnapshotTable
+
+    register_snapshot_feed(spark)
+    orders = session_cache(
+        spread(load_table(spark, sf_dir, "orders")).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+    )
+    _DEC = "decimal(28,6)"
+    with tempfile.TemporaryDirectory(prefix="dml-ivm-") as d:
+        src = SnapshotTable(spark, os.path.join(d, "orders_src"))
+        mart = SnapshotTable(spark, os.path.join(d, "status_mart"))
+        ckpt = os.path.join(d, "ckpt")
+
+        def fold(batch_df: DataFrame, batch_id: int) -> None:
+            partial = batch_df.groupBy("o_orderstatus").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+                .cast(_DEC)
+                .alias("total"),
+            )
+            def build(cur):
+                if cur is None:
+                    return partial
+                return (
+                    cur.unionByName(partial)
+                    .groupBy("o_orderstatus")
+                    .agg(
+                        F.sum("n_rows").alias("n_rows"),
+                        F.sum("total").cast(_DEC).alias("total"),
+                    )
+                )
+            mart.commit_with_retry(build)
+
+        def drain() -> None:
+            q = (
+                spark.readStream.format("snapshot_feed")
+                .schema(src.read().schema)
+                .option("path", src.base_path)
+                .load()
+                .writeStream.foreachBatch(fold)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+
+        steps = []
+        for i, status_filter in enumerate(
+            (
+                F.col("o_orderstatus") == "F",
+                F.col("o_orderstatus") == "O",
+                F.col("o_orderstatus") == "P",
+            ),
+            start=1,
+        ):
+            src.write(orders.filter(status_filter), "append")
+            drain()
+            steps.append(
+                mart.read().select(
+                    F.lit(i).cast("int").alias("step"),
+                    "o_orderstatus",
+                    "n_rows",
+                    F.col("total").cast("double").alias("total"),
+                )
+            )
+        out = steps[0].unionByName(steps[1]).unionByName(steps[2])
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)
