@@ -24,6 +24,18 @@ Semantics:
 - ``anchor`` (default deliver-everything): snapshot id the consumer has
   already seen; the first batch starts AFTER it (same contract as
   ``SnapshotTable.read_appends``).
+- ``max_snapshots_per_batch`` (default unlimited): admission control —
+  a STEADY-STATE micro-batch advances the offset at most this many
+  snapshots, bounding per-batch work while tailing a live producer
+  (the ``maxFilesPerTrigger`` analog). The first batch after a
+  (re)start is uncapped: Spark probes ``latestOffset()`` before the
+  reader can learn the stream's true position (the Python API passes
+  no start offset), and emitting a capped offset from a guessed
+  position could land BEHIND a restart checkpoint — Spark would then
+  run a backward batch and re-deliver data. The cap therefore engages
+  only from positions learned via ``partitions``/``commit``. Use with
+  a processing-time trigger; ``availableNow`` captures the head once
+  at start and would stop at the first capped batch.
 - Overwrite/compaction snapshots after the anchor RAISE: the delta is
   then not expressible as appended files — consumers must re-anchor
   (Delta CDF fails the same way unless the producer logs row-level
@@ -79,7 +91,14 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
         self._meta_dir = os.path.join(path, "metadata")
         self._branch = options.get("branch", _MAIN)
         self._anchor = int(options.get("anchor", 0))
+        self._max_snaps = int(options.get("max_snapshots_per_batch", 0))  # 0 = off
         self._schema = schema
+        # Admission-control bookkeeping: the last offset this reader
+        # KNOWS the stream has reached, learned ONLY from planned
+        # batches (partitions) and commits — never guessed from the
+        # anchor, which after a restart could sit behind the
+        # checkpoint and make a capped latestOffset go backward.
+        self._known: int | None = None
 
     # -- offset bookkeeping (driver side) ---------------------------------
 
@@ -90,6 +109,13 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
         head = _read_refs(self._meta_dir).get(self._branch)
         if head is None:
             return {"snapshot_id": self._anchor}
+        if self._max_snaps and self._known is not None and self._known < head:
+            # Cap the batch at K snapshots PAST the known position,
+            # walking the real lineage (ids need not be consecutive).
+            ids = [m["snapshot_id"] for m in self._lineage(head)]
+            newer = [i for i in ids if i > self._known]
+            if newer:
+                return {"snapshot_id": newer[: self._max_snaps][-1]}
         return {"snapshot_id": head}
 
     def _lineage(self, head: int) -> list[dict]:
@@ -107,6 +133,7 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start["snapshot_id"], end["snapshot_id"]
+        self._known = max(self._known or 0, hi)  # this batch WILL deliver hi
         if hi <= lo:
             return []
         lineage = self._lineage(hi)
@@ -149,7 +176,9 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
         yield from table.to_batches()
 
     def commit(self, end: dict) -> None:
-        pass  # progress lives in the sink checkpoint
+        # Progress lives in the sink checkpoint; tracking it here only
+        # feeds the admission-control cap.
+        self._known = max(self._known or 0, end["snapshot_id"])
 
 
 class SnapshotFeedDataSource(DataSource):

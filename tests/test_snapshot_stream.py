@@ -104,6 +104,62 @@ def test_overwrite_after_offset_raises(spark, scratch):
         _drain(spark, tbl, scratch, "ow")
 
 
+def test_admission_control_caps_steady_state_batches(spark, scratch):
+    """max_snapshots_per_batch=2 while tailing a live producer: after
+    the (uncapped) first batch, every micro-batch advances at most 2
+    snapshots (≤20 rows here), the backlog drains across several
+    batches, and delivery stays exactly-once."""
+    import time
+
+    tbl = SnapshotTable(spark, os.path.join(scratch, "t"))
+    tbl.write(_df(spark, 0, 10), "append")
+    register_snapshot_feed(spark)
+    out = os.path.join(scratch, "ac-out")
+    q = (
+        spark.readStream.format("snapshot_feed")
+        .schema(tbl.read().schema)
+        .option("path", tbl.base_path)
+        .option("max_snapshots_per_batch", "2")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(scratch, "ac-ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        # Wait for the first (uncapped) batch to establish position,
+        # then land a 6-snapshot backlog for the capped steady state.
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= 10:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+        for i in range(1, 7):
+            tbl.write(_df(spark, i * 10, (i + 1) * 10), "append")
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= 70:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == 70
+    assert got.distinct().count() == 70  # exactly-once across capped batches
+    data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    # 6 backlog snapshots / cap 2 → at least 3 batches after the first.
+    assert len(data_batches) >= 4
+    # Every batch after the first respects the cap (2 snapshots = 20 rows).
+    assert all(p["numInputRows"] <= 20 for p in data_batches[1:])
+
+
 def test_empty_branch_yields_nothing(spark, scratch):
     tbl = SnapshotTable(spark, os.path.join(scratch, "t"))
     tbl.write(_df(spark, 0, 5), "append")
