@@ -537,3 +537,48 @@ def streaming_ivm_status_mart_replay(spark: SparkSession, sf_dir: str) -> DataFr
         out = steps[0].unionByName(steps[1]).unionByName(steps[2])
         rows = out.collect()
         return spark.createDataFrame(rows, schema=out.schema)
+
+# ---------------------------------------------------------------------------
+# ROW-LEVEL DELETE / TAKEDOWN (sources/snapshots.py delete_keys): the
+# right-to-be-forgotten workflow over the versioned table. Every 7th
+# order is deleted by key (an O(keys) metadata commit, no data-file
+# rewrite); a later append re-inserts a SUBSET of the deleted keys,
+# which must stay visible (the delete covers only the files present
+# when it committed — standard DELETE-then-INSERT semantics); then the
+# table is compacted, applying the delete physically. Oracle: the
+# final state is a pure filter-union of the source table.
+# ---------------------------------------------------------------------------
+
+_TAKEDOWN_SQL = """
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders WHERE o_orderkey % 7 <> 0
+UNION ALL
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 3 = 0
+"""
+
+
+@register("catalog_delete_takedown", oracle=_TAKEDOWN_SQL)
+def catalog_delete_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = session_cache(
+        spread(load_table(spark, sf_dir, "orders")).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+    )
+    with tempfile.TemporaryDirectory(prefix="dml-take-") as d:
+        tbl = SnapshotTable(spark, os.path.join(d, "orders_takedown"))
+        tbl.write(orders, "overwrite")
+        tbl.delete_keys(
+            orders.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey"),
+            "o_orderkey",
+        )
+        tbl.write(
+            orders.filter(
+                (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 3 == 0)
+            ),
+            "append",
+        )
+        tbl.compact()
+        out = tbl.read()
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)

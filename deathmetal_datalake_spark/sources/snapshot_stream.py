@@ -148,9 +148,9 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
         bad = [m["snapshot_id"] for m in newer if m["mode"] != "append"]
         if bad:
             raise ValueError(
-                f"snapshots {bad} after offset {lo} are overwrites; the "
-                "change feed is append-only — re-anchor after compaction "
-                "or use flows.catalog.snapshot_diff"
+                f"snapshots {bad} after offset {lo} are overwrites/deletes; "
+                "the change feed is append-only — re-anchor after "
+                "compaction/deletes or use flows.catalog.snapshot_diff"
             )
         if not newer:
             return []

@@ -64,13 +64,34 @@ _LOCK_POLL_S = 0.02
 class Snapshot:
     snapshot_id: int
     parent_id: Optional[int]
-    mode: str            # "overwrite" | "append"
+    mode: str            # "overwrite" | "append" | "delete"
     data_dirs: tuple[str, ...]
     committed_at: float  # epoch seconds
+    # Row-level deletes (the delete-vector analog): each entry is
+    # (parquet dir of deleted keys, key column, covered data dirs) —
+    # a delete applies ONLY to data present when it committed, so rows
+    # appended later under the same key stay visible (standard
+    # DELETE-then-INSERT lakehouse semantics). Readers anti-join each
+    # delete against its covered dirs; compaction applies deletes
+    # physically and resets the list.
+    deletes: tuple[tuple[str, str, tuple[str, ...]], ...] = ()
 
 
 class CommitConflict(RuntimeError):
     """Another writer moved the branch between read and publish."""
+
+
+def _snapshot_to_json(snap: Snapshot) -> dict:
+    return {
+        "snapshot_id": snap.snapshot_id,
+        "parent_id": snap.parent_id,
+        "mode": snap.mode,
+        "data_dirs": list(snap.data_dirs),
+        "committed_at": snap.committed_at,
+        "deletes": [
+            {"dir": d, "key": k, "covers": list(c)} for d, k, c in snap.deletes
+        ],
+    }
 
 
 class _Unset:
@@ -242,6 +263,10 @@ class SnapshotTable:
             mode=d["mode"],
             data_dirs=tuple(d["data_dirs"]),
             committed_at=d["committed_at"],
+            deletes=tuple(
+                (e["dir"], e["key"], tuple(e["covers"]))
+                for e in d.get("deletes", [])
+            ),
         )
 
     @property
@@ -342,8 +367,11 @@ class SnapshotTable:
                     f"expected {expected_parent}"
                 )
             snapshot_id = self._next_snapshot_id()
+            deletes: tuple[tuple[str, str], ...] = ()
             if mode == "append" and parent_id is not None:
-                data_dirs = self._load_snapshot(parent_id).data_dirs + (new_dir,)
+                parent = self._load_snapshot(parent_id)
+                data_dirs = parent.data_dirs + (new_dir,)
+                deletes = parent.deletes  # appends don't resurrect deleted rows
             else:
                 data_dirs = (new_dir,)
             snap = Snapshot(
@@ -352,21 +380,62 @@ class SnapshotTable:
                 mode=mode,
                 data_dirs=data_dirs,
                 committed_at=time.time(),
+                deletes=deletes,
             )
             # 'x' mode: if id allocation ever raced (it cannot, under the
             # lock), fail loudly rather than overwrite a manifest.
             with open(self._snap_path(snapshot_id), "x") as f:
-                json.dump(
-                    {
-                        "snapshot_id": snap.snapshot_id,
-                        "parent_id": snap.parent_id,
-                        "mode": snap.mode,
-                        "data_dirs": list(snap.data_dirs),
-                        "committed_at": snap.committed_at,
-                    },
-                    f,
-                    indent=1,
+                json.dump(_snapshot_to_json(snap), f, indent=1)
+            self._record_snapshot_id(snapshot_id)
+            refs[branch] = snapshot_id
+            self._write_refs(refs)
+        return snap
+
+    def delete_keys(
+        self,
+        keys: DataFrame,
+        key_col: str,
+        branch: str = _MAIN,
+        expected_parent: "Optional[int] | _Unset" = UNSET,
+    ) -> Snapshot:
+        """Row-level DELETE by key — the takedown/right-to-be-forgotten
+        workflow. Commits a ``delete`` snapshot: the key set lands as a
+        small parquet dir, the manifest records it with the data dirs
+        it COVERS (those visible at commit time), and readers anti-join
+        it. O(keys) write — no data-file rewrite; rows appended after
+        the delete are not affected even if they reuse a deleted key
+        (standard DELETE-then-INSERT semantics). ``compact()`` applies
+        accumulated deletes physically and clears them.
+        """
+        if key_col not in keys.columns:
+            raise ValueError(f"keys DataFrame has no column {key_col!r}")
+        del_dir = os.path.join(self._data_dir, f"del-{uuid.uuid4().hex[:12]}")
+        keys.select(key_col).distinct().write.mode("errorifexists").parquet(del_dir)
+        with self._commit_lock():
+            refs = self._read_refs()
+            parent_id = refs.get(branch)
+            if not isinstance(expected_parent, _Unset) and parent_id != expected_parent:
+                raise CommitConflict(
+                    f"branch {branch!r} is at snapshot {parent_id}, "
+                    f"expected {expected_parent}"
                 )
+            if parent_id is None:
+                raise LookupError(
+                    f"branch {branch!r} has no snapshots to delete from"
+                )
+            parent = self._load_snapshot(parent_id)
+            snapshot_id = self._next_snapshot_id()
+            snap = Snapshot(
+                snapshot_id=snapshot_id,
+                parent_id=parent_id,
+                mode="delete",
+                data_dirs=parent.data_dirs,
+                committed_at=time.time(),
+                deletes=parent.deletes
+                + ((del_dir, key_col, parent.data_dirs),),
+            )
+            with open(self._snap_path(snapshot_id), "x") as f:
+                json.dump(_snapshot_to_json(snap), f, indent=1)
             self._record_snapshot_id(snapshot_id)
             refs[branch] = snapshot_id
             self._write_refs(refs)
@@ -435,7 +504,40 @@ class SnapshotTable:
         # NULLs for files written before the column existed — the
         # Iceberg add-column semantics. Parquet is name-addressed, so
         # old files never mis-bind to new columns.
-        return self.spark.read.option("mergeSchema", "true").parquet(*snap.data_dirs)
+        if not snap.deletes:
+            return self.spark.read.option("mergeSchema", "true").parquet(
+                *snap.data_dirs
+            )
+        # Row-level deletes: group data dirs by the exact set of delete
+        # entries covering them (a delete never touches dirs appended
+        # after it committed), anti-join each group against its keys,
+        # union. Typical shape: one group of old dirs with deletes, one
+        # of newer dirs without — two scans, each with full pushdown.
+        # The anti-join builds a broadcast-sized hash of the (small)
+        # key set at scale; Spark picks BroadcastHashJoin on its own.
+        by_cover: dict[tuple[int, ...], list[str]] = {}
+        for d in snap.data_dirs:
+            applicable = tuple(
+                i for i, (_, _, covers) in enumerate(snap.deletes) if d in covers
+            )
+            by_cover.setdefault(applicable, []).append(d)
+        parts: list[DataFrame] = []
+        for applicable, dirs in by_cover.items():
+            df = self.spark.read.option("mergeSchema", "true").parquet(*dirs)
+            # One anti-join per key column: keys of same-column deletes
+            # union into a single build side.
+            by_key: dict[str, list[str]] = {}
+            for i in applicable:
+                del_dir, key_col, _ = snap.deletes[i]
+                by_key.setdefault(key_col, []).append(del_dir)
+            for key_col, del_dirs in by_key.items():
+                keys = self.spark.read.parquet(*del_dirs).select(key_col)
+                df = df.join(keys, on=key_col, how="left_anti")
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
 
     # ---- branch ops (all O(1) metadata) ---------------------------------
 
@@ -511,7 +613,9 @@ class SnapshotTable:
         for name in os.listdir(self._meta_dir):
             if name.startswith("snap-") and name.endswith(".json"):
                 sid = int(name[len("snap-") : -len(".json")])
-                referenced.update(self._load_snapshot(sid).data_dirs)
+                snap = self._load_snapshot(sid)
+                referenced.update(snap.data_dirs)
+                referenced.update(d for d, _, _ in snap.deletes)
         out = []
         for d in sorted(os.listdir(self._data_dir)):
             full = os.path.join(self._data_dir, d)
@@ -551,8 +655,9 @@ class SnapshotTable:
         bad = [s.snapshot_id for s in newer if s.mode != "append"]
         if bad:
             raise ValueError(
-                f"snapshots {bad} after {since_snapshot_id} are overwrites; "
-                "the delta is not append-only — use snapshot_diff instead"
+                f"snapshots {bad} after {since_snapshot_id} are "
+                "overwrites/deletes; the delta is not append-only — "
+                "use snapshot_diff instead"
             )
         anchor_dirs = set(
             self._load_snapshot(since_snapshot_id).data_dirs
@@ -603,10 +708,13 @@ class SnapshotTable:
             expired = sorted(all_ids - keep)
             live_dirs: set[str] = set()
             for sid in keep:
-                live_dirs.update(self._load_snapshot(sid).data_dirs)
+                live = self._load_snapshot(sid)
+                live_dirs.update(live.data_dirs)
+                live_dirs.update(d for d, _, _ in live.deletes)
             doomed_dirs: list[str] = []
             for sid in expired:
-                for d in self._load_snapshot(sid).data_dirs:
+                gone = self._load_snapshot(sid)
+                for d in list(gone.data_dirs) + [d for d, _, _ in gone.deletes]:
                     if d not in live_dirs:
                         doomed_dirs.append(d)
                 os.unlink(self._snap_path(sid))

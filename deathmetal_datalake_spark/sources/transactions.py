@@ -54,6 +54,7 @@ from deathmetal_datalake_spark.sources.snapshots import (
     CommitConflict,
     Snapshot,
     SnapshotTable,
+    _snapshot_to_json,
     _Unset,
 )
 
@@ -175,8 +176,11 @@ class CatalogTransaction:
                 tbl = cat.table(s.table)
                 parent = all_refs.get(s.table + _SEP + s.branch)
                 sid = tbl._next_snapshot_id()
+                deletes: tuple = ()
                 if s.mode == "append" and parent is not None:
-                    dirs = tbl._load_snapshot(parent).data_dirs + (s.data_dir,)
+                    p = tbl._load_snapshot(parent)
+                    dirs = p.data_dirs + (s.data_dir,)
+                    deletes = p.deletes
                 else:
                     dirs = (s.data_dir,)
                 snap = Snapshot(
@@ -185,19 +189,10 @@ class CatalogTransaction:
                     mode=s.mode,
                     data_dirs=dirs,
                     committed_at=time.time(),
+                    deletes=deletes,
                 )
                 with open(tbl._snap_path(sid), "x") as f:
-                    json.dump(
-                        {
-                            "snapshot_id": snap.snapshot_id,
-                            "parent_id": snap.parent_id,
-                            "mode": snap.mode,
-                            "data_dirs": list(snap.data_dirs),
-                            "committed_at": snap.committed_at,
-                        },
-                        f,
-                        indent=1,
-                    )
+                    json.dump(_snapshot_to_json(snap), f, indent=1)
                 tbl._record_snapshot_id(sid)
                 all_refs[s.table + _SEP + s.branch] = sid
                 out[s.table] = snap

@@ -499,3 +499,62 @@ def test_snapshot_diff_key_only_table(spark):
     new = spark.createDataFrame([(2,), (3,)], "k long")
     got = {r.k: r.change for r in snapshot_diff(old, new, "k").collect()}
     assert got == {1: "removed", 3: "added"}
+
+
+# ---- row-level deletes (delete-vector analog) --------------------------
+
+
+def test_delete_keys_basic_and_time_travel(spark, table, orders):
+    s1 = table.write(orders.limit(20), mode="overwrite")
+    keys = table.read().select("o_orderkey").orderBy("o_orderkey").limit(5)
+    s2 = table.delete_keys(keys, "o_orderkey")
+    assert s2.mode == "delete"
+    assert table.read().count() == 15
+    # Time travel: the pre-delete snapshot still shows every row.
+    assert table.read(snapshot_id=s1.snapshot_id).count() == 20
+    # Deleted keys are really gone from the head read.
+    gone = {r[0] for r in keys.collect()}
+    left = {r[0] for r in table.read().select("o_orderkey").collect()}
+    assert gone.isdisjoint(left)
+
+
+def test_delete_then_append_does_not_suppress_new_rows(spark, table, orders):
+    base = orders.limit(10)
+    table.write(base, mode="overwrite")
+    table.delete_keys(base.select("o_orderkey"), "o_orderkey")
+    assert table.read().count() == 0
+    # Re-insert the same keys: the old delete covers only the old
+    # files, so the fresh rows are visible (DELETE-then-INSERT).
+    table.write(base, mode="append")
+    assert table.read().count() == 10
+
+
+def test_compact_applies_deletes_physically(spark, table, orders):
+    table.write(orders.limit(20), mode="overwrite")
+    keys = table.read().select("o_orderkey").orderBy("o_orderkey").limit(5)
+    table.delete_keys(keys, "o_orderkey")
+    snap = table.compact()
+    assert snap.deletes == ()
+    assert table.read().count() == 15
+    # The delete-key dirs stay referenced by HISTORY (time travel to
+    # the delete snapshot still works) until retention expires them.
+    assert table.orphan_data_dirs() == []
+    table.expire_snapshots(keep_last=1)
+    assert table.read().count() == 15
+
+
+def test_delete_requires_existing_snapshot(spark, table, orders):
+    with pytest.raises(LookupError):
+        table.delete_keys(orders.select("o_orderkey").limit(1), "o_orderkey")
+    table.write(orders.limit(5), mode="overwrite")
+    with pytest.raises(ValueError):
+        table.delete_keys(orders.limit(1), "nope")
+
+
+def test_delete_blocks_incremental_read(spark, table, orders):
+    s1 = table.write(orders.limit(10), mode="append")
+    table.delete_keys(
+        table.read().select("o_orderkey").limit(2), "o_orderkey"
+    )
+    with pytest.raises(ValueError, match="append-only"):
+        table.read_appends(since_snapshot_id=s1.snapshot_id)
