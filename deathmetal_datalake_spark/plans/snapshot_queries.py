@@ -582,3 +582,44 @@ def catalog_delete_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = tbl.read()
         rows = out.collect()
         return spark.createDataFrame(rows, schema=out.schema)
+
+# ---------------------------------------------------------------------------
+# ROW-LEVEL CDC (read_changes): the O(delta) change feed INCLUDING
+# deletes — inserts carry full rows from only the appended dirs,
+# deletes carry the key (payload NULL) from only the small key dirs;
+# the base table is never scanned. Anchor = the first append; the
+# feed then sees one append and one delete commit.
+# ---------------------------------------------------------------------------
+
+_CDC_SQL = """
+SELECT 'insert' AS _change_type, CAST(2 AS BIGINT) AS _commit_snapshot_id,
+       o_orderkey, o_orderstatus, o_totalprice
+FROM orders WHERE o_orderstatus = 'O'
+UNION ALL
+SELECT 'delete', CAST(3 AS BIGINT), o_orderkey,
+       CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+FROM orders WHERE o_orderstatus IN ('F', 'O') AND o_orderkey % 7 = 0
+"""
+
+
+@register("catalog_changes_cdc", oracle=_CDC_SQL)
+def catalog_changes_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = session_cache(
+        spread(load_table(spark, sf_dir, "orders")).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+    )
+    with tempfile.TemporaryDirectory(prefix="dml-cdc-") as d:
+        tbl = SnapshotTable(spark, os.path.join(d, "orders_cdcfeed"))
+        s1 = tbl.write(orders.filter(F.col("o_orderstatus") == "F"), "append")
+        tbl.write(orders.filter(F.col("o_orderstatus") == "O"), "append")
+        tbl.delete_keys(
+            orders.filter(
+                F.col("o_orderstatus").isin("F", "O")
+                & (F.col("o_orderkey") % 7 == 0)
+            ).select("o_orderkey"),
+            "o_orderkey",
+        )
+        out = tbl.read_changes(since_snapshot_id=s1.snapshot_id)
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)

@@ -668,6 +668,102 @@ class SnapshotTable:
         # the head read does.
         return self.spark.read.option("mergeSchema", "true").parquet(*new_dirs)
 
+    def read_changes(
+        self, since_snapshot_id: int, branch: str = _MAIN
+    ) -> DataFrame:
+        """Row-level change feed (the Delta CDF analog, deletes
+        included): every snapshot after the anchor contributes either
+        its appended rows (``_change_type='insert'``) or its deleted
+        keys (``_change_type='delete'``, non-key columns NULL), each
+        tagged with ``_commit_snapshot_id``.
+
+        Cost stays O(delta): inserts scan only the dirs the append
+        introduced; deletes scan only the (small) key dirs — the
+        covered data files are never read, which is why a delete event
+        carries the KEY, not the full row image (a full image would
+        cost a scan of every covered file). Overwrites after the
+        anchor raise — that delta is not row-expressible; re-anchor or
+        use ``flows.catalog.snapshot_diff``.
+        """
+        lineage = self.history(branch)
+        ids = [s.snapshot_id for s in lineage]
+        if since_snapshot_id not in ids:
+            raise LookupError(
+                f"snapshot {since_snapshot_id} is not in {branch!r}'s lineage"
+            )
+        newer = lineage[ids.index(since_snapshot_id) + 1 :]
+        bad = [s.snapshot_id for s in newer if s.mode == "overwrite"]
+        if bad:
+            raise ValueError(
+                f"snapshots {bad} after {since_snapshot_id} are overwrites; "
+                "the delta is not row-expressible — use snapshot_diff"
+            )
+        from pyspark.sql import functions as F
+
+        schema = self.read(
+            branch=branch, snapshot_id=since_snapshot_id
+        ).schema
+        parts: list[DataFrame] = []
+        prev_dirs = set(self._load_snapshot(since_snapshot_id).data_dirs)
+        prev_dels: set[str] = {
+            d for d, _, _ in self._load_snapshot(since_snapshot_id).deletes
+        }
+        for snap in newer:
+            if snap.mode == "append":
+                new_dirs = [d for d in snap.data_dirs if d not in prev_dirs]
+                if new_dirs:
+                    df = self.spark.read.option("mergeSchema", "true").parquet(
+                        *new_dirs
+                    )
+                    for f in schema.fields:
+                        if f.name not in df.columns:
+                            df = df.withColumn(
+                                f.name, F.lit(None).cast(f.dataType)
+                            )
+                    parts.append(
+                        df.select(*[f.name for f in schema.fields]).select(
+                            F.lit("insert").alias("_change_type"),
+                            F.lit(snap.snapshot_id)
+                            .cast("long")
+                            .alias("_commit_snapshot_id"),
+                            "*",
+                        )
+                    )
+            elif snap.mode == "delete":
+                new_dels = [
+                    (d, k) for d, k, _ in snap.deletes if d not in prev_dels
+                ]
+                for del_dir, key_col in new_dels:
+                    keys = self.spark.read.parquet(del_dir)
+                    cols = [
+                        F.col(key_col).alias(f.name)
+                        if f.name == key_col
+                        else F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in schema.fields
+                    ]
+                    parts.append(
+                        keys.select(
+                            F.lit("delete").alias("_change_type"),
+                            F.lit(snap.snapshot_id)
+                            .cast("long")
+                            .alias("_commit_snapshot_id"),
+                            *cols,
+                        )
+                    )
+            prev_dirs = set(snap.data_dirs)
+            prev_dels = {d for d, _, _ in snap.deletes}
+        if not parts:
+            empty = self.read(branch=branch, snapshot_id=since_snapshot_id)
+            return empty.select(
+                F.lit("insert").alias("_change_type"),
+                F.lit(0).cast("long").alias("_commit_snapshot_id"),
+                "*",
+            ).limit(0)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     # ---- retention -------------------------------------------------------
 
     def expire_snapshots(self, keep_last: int = 5, branch: str = _MAIN) -> list[int]:

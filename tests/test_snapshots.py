@@ -558,3 +558,32 @@ def test_delete_blocks_incremental_read(spark, table, orders):
     )
     with pytest.raises(ValueError, match="append-only"):
         table.read_appends(since_snapshot_id=s1.snapshot_id)
+
+
+def test_read_changes_inserts_and_deletes(spark, table, orders):
+    base = orders.limit(10)
+    s1 = table.write(base, mode="append")
+    more = orders.limit(15).subtract(base)
+    table.write(more, mode="append")
+    keys = base.select("o_orderkey").limit(3)
+    table.delete_keys(keys, "o_orderkey")
+    ch = table.read_changes(since_snapshot_id=s1.snapshot_id)
+    ins = ch.filter("_change_type = 'insert'")
+    dels = ch.filter("_change_type = 'delete'")
+    assert ins.count() == more.count()
+    assert dels.count() == 3
+    # Delete events carry the key and NULL payloads.
+    row = dels.first()
+    assert row["o_orderstatus"] is None
+    # Commit ids tag which snapshot produced each change.
+    assert ins.select("_commit_snapshot_id").distinct().count() == 1
+    # Empty delta from the head.
+    head = table.current_snapshot_id()
+    assert table.read_changes(since_snapshot_id=head).count() == 0
+
+
+def test_read_changes_rejects_overwrite(spark, table, orders):
+    s1 = table.write(orders.limit(5), mode="append")
+    table.write(orders.limit(3), mode="overwrite")
+    with pytest.raises(ValueError, match="overwrites"):
+        table.read_changes(since_snapshot_id=s1.snapshot_id)
