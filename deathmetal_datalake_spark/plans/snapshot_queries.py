@@ -623,3 +623,74 @@ def catalog_changes_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = tbl.read_changes(since_snapshot_id=s1.snapshot_id)
         rows = out.collect()
         return spark.createDataFrame(rows, schema=out.schema)
+
+# ---------------------------------------------------------------------------
+# STREAMING CDC (change_feed mode of the snapshot_feed source): the
+# row-level change feed as a STREAM. Run 1 drains the two insert
+# commits; a takedown delete lands; run 2 — same checkpoint — delivers
+# ONLY the delete events. Commit-id attribution and exactly-once
+# across the restart are both hash-checked by the oracle.
+# ---------------------------------------------------------------------------
+
+_CDC_FEED_SQL = """
+SELECT 'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_snapshot_id,
+       o_orderkey, o_orderstatus, o_totalprice
+FROM orders WHERE o_orderstatus = 'F'
+UNION ALL
+SELECT 'insert', CAST(2 AS BIGINT), o_orderkey, o_orderstatus, o_totalprice
+FROM orders WHERE o_orderstatus = 'O'
+UNION ALL
+SELECT 'delete', CAST(3 AS BIGINT), o_orderkey,
+       CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+FROM orders WHERE o_orderstatus IN ('F', 'O') AND o_orderkey % 7 = 0
+"""
+
+
+@register("streaming_cdc_feed_replay", oracle=_CDC_FEED_SQL)
+def streaming_cdc_feed_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deathmetal_datalake_spark.sources.snapshot_stream import (
+        cdc_schema,
+        register_snapshot_feed,
+    )
+    from deathmetal_datalake_spark.sources.snapshots import SnapshotTable
+
+    register_snapshot_feed(spark)
+    orders = session_cache(
+        spread(load_table(spark, sf_dir, "orders")).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+    )
+    with tempfile.TemporaryDirectory(prefix="dml-cdcs-") as d:
+        tbl = SnapshotTable(spark, os.path.join(d, "orders_cdcstream"))
+        sink = os.path.join(d, "sink")
+        ckpt = os.path.join(d, "ckpt")
+
+        def drain() -> None:
+            q = (
+                spark.readStream.format("snapshot_feed")
+                .schema(cdc_schema(tbl.read().schema))
+                .option("path", tbl.base_path)
+                .option("change_feed", "true")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+
+        tbl.write(orders.filter(F.col("o_orderstatus") == "F"), "append")
+        tbl.write(orders.filter(F.col("o_orderstatus") == "O"), "append")
+        drain()
+        tbl.delete_keys(
+            orders.filter(
+                F.col("o_orderstatus").isin("F", "O")
+                & (F.col("o_orderkey") % 7 == 0)
+            ).select("o_orderkey"),
+            "o_orderkey",
+        )
+        drain()
+        out = spark.read.parquet(sink)
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)

@@ -36,10 +36,16 @@ Semantics:
   only from positions learned via ``partitions``/``commit``. Use with
   a processing-time trigger; ``availableNow`` captures the head once
   at start and would stop at the first capped batch.
-- Overwrite/compaction snapshots after the anchor RAISE: the delta is
-  then not expressible as appended files — consumers must re-anchor
-  (Delta CDF fails the same way unless the producer logs row-level
-  deletes).
+- ``change_feed`` (default false): CDC mode — stream row-level change
+  EVENTS instead of raw appended rows. Each event carries
+  ``_change_type`` ('insert' | 'delete') and ``_commit_snapshot_id``;
+  insert events are the appended rows of their snapshot, delete
+  events are the deleted KEYS (non-key columns NULL — covered data
+  files are never opened, keeping the feed O(delta)). The user schema
+  must lead with those two columns (see :func:`cdc_schema`).
+- Overwrite/compaction snapshots after the anchor RAISE in both
+  modes: that delta is not row-expressible — consumers must re-anchor
+  (Delta CDF fails the same way when the log is vacuumed past).
 
 Scale notes: ``latestOffset``/``partitions`` are O(#new snapshots)
 driver-side JSON reads; each input partition is ONE parquet file of an
@@ -75,8 +81,21 @@ def _read_refs(meta_dir: str) -> dict[str, int]:
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, file_path: str):
+    """One parquet file to deliver. ``change_type``/``commit_id`` are
+    set only in CDC mode; ``key_col`` only for delete partitions (the
+    file then holds deleted KEYS, and every other column is NULL)."""
+
+    def __init__(
+        self,
+        file_path: str,
+        change_type: str = "insert",
+        commit_id: int = 0,
+        key_col: str | None = None,
+    ):
         self.file_path = file_path
+        self.change_type = change_type
+        self.commit_id = commit_id
+        self.key_col = key_col
 
 
 class SnapshotFeedStreamReader(DataSourceStreamReader):
@@ -92,6 +111,11 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
         self._branch = options.get("branch", _MAIN)
         self._anchor = int(options.get("anchor", 0))
         self._max_snaps = int(options.get("max_snapshots_per_batch", 0))  # 0 = off
+        # CDC mode: stream row-level change events (insert AND delete)
+        # instead of raising on delete snapshots. The user schema must
+        # then lead with _change_type (string) and _commit_snapshot_id
+        # (long) followed by the table columns.
+        self._cdc = str(options.get("change_feed", "false")).lower() == "true"
         self._schema = schema
         # Admission-control bookkeeping: the last offset this reader
         # KNOWS the stream has reached, learned ONLY from planned
@@ -145,15 +169,18 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                 "the consumer"
             )
         newer = [m for m in lineage if m["snapshot_id"] > lo]
+        if not newer:
+            return []
+        if self._cdc:
+            return self._cdc_partitions(lineage, newer, lo)
         bad = [m["snapshot_id"] for m in newer if m["mode"] != "append"]
         if bad:
             raise ValueError(
                 f"snapshots {bad} after offset {lo} are overwrites/deletes; "
                 "the change feed is append-only — re-anchor after "
-                "compaction/deletes or use flows.catalog.snapshot_diff"
+                "compaction/deletes, stream with .option('change_feed', "
+                "'true'), or use flows.catalog.snapshot_diff"
             )
-        if not newer:
-            return []
         seen: set[str] = set()
         if lo != 0:
             seen.update(_load_manifest(self._meta_dir, lo)["data_dirs"])
@@ -165,15 +192,86 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                     parts.append(_FilePartition(os.path.join(d, name)))
         return parts
 
+    def _cdc_partitions(self, lineage: list[dict], newer: list[dict], lo: int):
+        """Row-level change events: each snapshot in (lo, hi] yields
+        its OWN delta — appended files as inserts, new delete-key files
+        as deletes — so events carry the committing snapshot id."""
+        parts: list[_FilePartition] = []
+        idx0 = lineage.index(newer[0])
+        prev: dict | None = lineage[idx0 - 1] if idx0 > 0 else None
+        for m in newer:
+            sid = m["snapshot_id"]
+            if m["mode"] == "overwrite":
+                raise ValueError(
+                    f"snapshot {sid} after offset {lo} is an overwrite; "
+                    "the delta is not row-expressible — re-anchor or use "
+                    "flows.catalog.snapshot_diff"
+                )
+            prev_dirs = set(prev["data_dirs"]) if prev else set()
+            prev_dels = {
+                e["dir"] for e in (prev.get("deletes", []) if prev else [])
+            }
+            if m["mode"] == "append":
+                for d in m["data_dirs"]:
+                    if d in prev_dirs:
+                        continue
+                    for name in sorted(os.listdir(d)):
+                        if name.endswith(".parquet"):
+                            parts.append(
+                                _FilePartition(
+                                    os.path.join(d, name), "insert", sid
+                                )
+                            )
+            elif m["mode"] == "delete":
+                for e in m.get("deletes", []):
+                    if e["dir"] in prev_dels:
+                        continue
+                    for name in sorted(os.listdir(e["dir"])):
+                        if name.endswith(".parquet"):
+                            parts.append(
+                                _FilePartition(
+                                    os.path.join(e["dir"], name),
+                                    "delete",
+                                    sid,
+                                    e["key"],
+                                )
+                            )
+            prev = m
+        return parts
+
     # -- data plane (executor side) ---------------------------------------
 
     def read(self, partition: _FilePartition) -> Iterator:
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        table = pq.read_table(
-            partition.file_path, columns=[f.name for f in self._schema.fields]
-        )
-        yield from table.to_batches()
+        names = [f.name for f in self._schema.fields]
+        if not self._cdc:
+            table = pq.read_table(partition.file_path, columns=names)
+            yield from table.to_batches()
+            return
+        # CDC: synthesize the event envelope around the file's columns.
+        # Delete partitions read a KEY file — every non-key column is a
+        # typed NULL array (the O(delta) contract: covered data files
+        # are never opened).
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        raw = pq.read_table(partition.file_path)
+        n = raw.num_rows
+        cols = []
+        for f in self._schema.fields:
+            at = to_arrow_type(f.dataType)
+            if f.name == "_change_type":
+                cols.append(pa.array([partition.change_type] * n, type=at))
+            elif f.name == "_commit_snapshot_id":
+                cols.append(pa.array([partition.commit_id] * n, type=at))
+            elif f.name in raw.column_names and (
+                partition.key_col is None or f.name == partition.key_col
+            ):
+                cols.append(raw.column(f.name).combine_chunks().cast(at))
+            else:
+                cols.append(pa.nulls(n, type=at))
+        yield from pa.Table.from_arrays(cols, names=names).to_batches()
 
     def commit(self, end: dict) -> None:
         # Progress lives in the sink checkpoint; tracking it here only
@@ -206,3 +304,24 @@ class SnapshotFeedDataSource(DataSource):
 def register_snapshot_feed(spark) -> None:
     """Idempotent registration of the data source with a session."""
     spark.dataSource.register(SnapshotFeedDataSource)
+
+
+def cdc_schema(table_schema: StructType) -> StructType:
+    """The schema a ``change_feed='true'`` stream must declare: the
+    event envelope (_change_type, _commit_snapshot_id) followed by the
+    table's columns."""
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    return StructType(
+        [
+            StructField("_change_type", StringType()),
+            StructField("_commit_snapshot_id", LongType()),
+            # Delete events NULL every non-key column, so the table
+            # fields must be nullable regardless of how they were
+            # declared at write time.
+            *[
+                StructField(f.name, f.dataType, nullable=True)
+                for f in table_schema.fields
+            ],
+        ]
+    )

@@ -186,3 +186,60 @@ def test_empty_branch_yields_nothing(spark, scratch):
     except Exception:
         n = 0  # sink never materialized — equally empty
     assert n == 0
+
+
+def test_cdc_mode_streams_inserts_and_deletes(spark, scratch):
+    """change_feed=true: delete snapshots become key events instead of
+    killing the stream; insert events carry their committing snapshot."""
+    from deathmetal_datalake_spark.sources.snapshot_stream import cdc_schema
+
+    tbl = SnapshotTable(spark, os.path.join(scratch, "t"))
+    s1 = tbl.write(_df(spark, 0, 10), "append")
+    tbl.write(_df(spark, 10, 20), "append")
+    tbl.delete_keys(
+        tbl.read().filter("k < 5").select("k"), "k"
+    )
+    register_snapshot_feed(spark)
+    out = os.path.join(scratch, "cdc-out")
+    q = (
+        spark.readStream.format("snapshot_feed")
+        .schema(cdc_schema(tbl.read().schema))
+        .option("path", tbl.base_path)
+        .option("change_feed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(scratch, "cdc-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 25  # 20 inserts + 5 delete events
+    ins = got.filter("_change_type = 'insert'")
+    dels = got.filter("_change_type = 'delete'")
+    assert ins.count() == 20
+    assert dels.count() == 5
+    assert dels.filter("v IS NOT NULL").count() == 0  # payload NULL
+    assert {r[0] for r in dels.select("k").collect()} == {0, 1, 2, 3, 4}
+    # Events are attributed to their committing snapshots.
+    assert ins.filter(f"_commit_snapshot_id = {s1.snapshot_id}").count() == 10
+    assert dels.select("_commit_snapshot_id").distinct().count() == 1
+    # Restart with the same checkpoint: a fresh delete arrives alone.
+    tbl.delete_keys(tbl.read().filter("k >= 18").select("k"), "k")
+    q2 = (
+        spark.readStream.format("snapshot_feed")
+        .schema(cdc_schema(_df(spark, 0, 1).schema))
+        .option("path", tbl.base_path)
+        .option("change_feed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(scratch, "cdc-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got2 = spark.read.parquet(out)
+    assert got2.count() == 27  # exactly the 2 new delete events arrived
+    assert got2.filter("_change_type = 'delete'").count() == 7
