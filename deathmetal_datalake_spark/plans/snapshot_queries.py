@@ -694,3 +694,106 @@ def streaming_cdc_feed_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = spark.read.parquet(sink)
         rows = out.collect()
         return spark.createDataFrame(rows, schema=out.schema)
+
+# ---------------------------------------------------------------------------
+# CDC REPLICATION (the downstream-replica pattern): a second versioned
+# table is maintained purely by APPLYING the CDC stream — inserts
+# union in, delete events anti-join out, folded in commit order inside
+# foreachBatch. Commits: append 'F', append 'O', takedown-delete every
+# 7th key, append 'P' (which re-uses no deleted files, so it is
+# untouched by the earlier delete). The replica's final state must
+# equal the source head exactly — proving the change feed carries
+# everything needed to reconstruct the table downstream.
+# ---------------------------------------------------------------------------
+
+_CDC_REPLICA_SQL = """
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders WHERE o_orderstatus IN ('F', 'O') AND o_orderkey % 7 <> 0
+UNION ALL
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders WHERE o_orderstatus = 'P'
+"""
+
+
+@register("streaming_cdc_replica_replay", oracle=_CDC_REPLICA_SQL)
+def streaming_cdc_replica_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deathmetal_datalake_spark.sources.snapshot_stream import (
+        cdc_schema,
+        register_snapshot_feed,
+    )
+    from deathmetal_datalake_spark.sources.snapshots import SnapshotTable
+
+    register_snapshot_feed(spark)
+    orders = session_cache(
+        spread(load_table(spark, sf_dir, "orders")).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+    )
+    with tempfile.TemporaryDirectory(prefix="dml-repl-") as d:
+        src = SnapshotTable(spark, os.path.join(d, "orders_src"))
+        replica = SnapshotTable(spark, os.path.join(d, "orders_replica"))
+        ckpt = os.path.join(d, "ckpt")
+
+        def apply_events(batch_df: DataFrame, batch_id: int) -> None:
+            # Fold strictly in commit order: a delete removes only rows
+            # from EARLIER commits; inserts after it land untouched —
+            # the same covered-files semantics the source table has.
+            events = batch_df.cache()
+            try:
+                commit_ids = [
+                    r[0]
+                    for r in events.select("_commit_snapshot_id")
+                    .distinct()
+                    .orderBy("_commit_snapshot_id")
+                    .collect()
+                ]
+
+                def build(cur):
+                    state = cur
+                    for cid in commit_ids:
+                        ev = events.filter(
+                            F.col("_commit_snapshot_id") == cid
+                        )
+                        ins = ev.filter(
+                            F.col("_change_type") == "insert"
+                        ).drop("_change_type", "_commit_snapshot_id")
+                        keys = ev.filter(
+                            F.col("_change_type") == "delete"
+                        ).select("o_orderkey")
+                        if state is None:
+                            state = ins
+                            continue
+                        state = state.join(
+                            keys, on="o_orderkey", how="left_anti"
+                        ).unionByName(ins)
+                    return state
+
+                replica.commit_with_retry(build)
+            finally:
+                events.unpersist()
+
+        src.write(orders.filter(F.col("o_orderstatus") == "F"), "append")
+        src.write(orders.filter(F.col("o_orderstatus") == "O"), "append")
+        src.delete_keys(
+            orders.filter(
+                F.col("o_orderstatus").isin("F", "O")
+                & (F.col("o_orderkey") % 7 == 0)
+            ).select("o_orderkey"),
+            "o_orderkey",
+        )
+        src.write(orders.filter(F.col("o_orderstatus") == "P"), "append")
+        q = (
+            spark.readStream.format("snapshot_feed")
+            .schema(cdc_schema(src.read().schema))
+            .option("path", src.base_path)
+            .option("change_feed", "true")
+            .load()
+            .writeStream.foreachBatch(apply_events)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = replica.read()
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)
