@@ -587,7 +587,10 @@ class SnapshotTable:
     # ---- maintenance ----------------------------------------------------
 
     def compact(
-        self, branch: str = _MAIN, target_files: int = 8
+        self,
+        branch: str = _MAIN,
+        target_files: int = 8,
+        sort_by: Optional[list[str]] = None,
     ) -> Snapshot:
         """Rewrite the branch head's (possibly many small appended)
         data files into ``target_files`` larger ones, committed as a
@@ -595,16 +598,52 @@ class SnapshotTable:
         readers of older snapshots are untouched. The small-files
         compaction every append-heavy table needs periodically.
 
+        ``sort_by`` additionally CLUSTERS the rewrite (range-partition
+        on the columns, sort within files) — the OPTIMIZE ... ZORDER
+        analog for one dimension chain. Each output file then covers a
+        narrow value range, so parquet row-group min/max stats line up
+        with predicates on those columns and scans skip most of the
+        table (data-skipping a random layout cannot give).
+
         CAS-guarded on the snapshot it read: if a writer appends while
         the rewrite runs, the commit raises :class:`CommitConflict`
         instead of silently dropping the concurrent rows — the janitor
         retries, it never wins over data."""
         head = self.current_snapshot_id(branch)
         current = self.read(branch=branch, snapshot_id=head)
-        compacted = current.repartition(target_files)
+        if sort_by:
+            from pyspark.sql import functions as F
+
+            cols = [F.col(c) for c in sort_by]
+            compacted = current.repartitionByRange(
+                target_files, *cols
+            ).sortWithinPartitions(*cols)
+        else:
+            compacted = current.repartition(target_files)
         return self.write(
             compacted, mode="overwrite", branch=branch, expected_parent=head
         )
+
+    def vacuum(self, older_than_s: float = 24 * 3600.0) -> list[str]:
+        """Janitor: DELETE orphan data dirs (failed/aborted writes no
+        manifest references) older than ``older_than_s`` seconds. The
+        age guard keeps in-flight writes safe: a writer stages its dir
+        BEFORE taking the commit lock, so a young orphan may be a
+        commit in progress — Iceberg's remove_orphan_files has the
+        same guard. Returns the removed dirs."""
+        import shutil
+
+        now = time.time()
+        removed = []
+        for d in self.orphan_data_dirs():
+            try:
+                age = now - os.path.getmtime(d)
+            except OSError:
+                continue  # vanished meanwhile
+            if age > older_than_s:
+                shutil.rmtree(d, ignore_errors=True)
+                removed.append(d)
+        return removed
 
     def orphan_data_dirs(self) -> list[str]:
         """Data dirs referenced by NO snapshot manifest — failed-write

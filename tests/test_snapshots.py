@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import time
 
 import pytest
 
@@ -587,3 +588,46 @@ def test_read_changes_rejects_overwrite(spark, table, orders):
     table.write(orders.limit(3), mode="overwrite")
     with pytest.raises(ValueError, match="overwrites"):
         table.read_changes(since_snapshot_id=s1.snapshot_id)
+
+
+def test_sorted_compaction_clusters_files(spark, table, orders):
+    """compact(sort_by=...) range-clusters output files: every file
+    covers a disjoint o_orderkey range (parquet min/max data-skipping
+    lines up with key predicates), and rows are preserved exactly."""
+    import pyarrow.parquet as pq
+
+    table.write(orders.limit(50), mode="append")
+    table.write(orders.limit(200).subtract(orders.limit(50)), mode="append")
+    before = table.read()
+    n_before = before.count()
+    snap = table.compact(target_files=4, sort_by=["o_orderkey"])
+    assert table.read().count() == n_before
+    # File-level key ranges must not overlap.
+    ranges = []
+    for d in snap.data_dirs:
+        for name in sorted(os.listdir(d)):
+            if not name.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(d, name), columns=["o_orderkey"])
+            if t.num_rows:
+                keys = t.column("o_orderkey").to_pylist()
+                ranges.append((min(keys), max(keys)))
+    assert len(ranges) >= 2
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # disjoint → min/max stats skip cleanly
+
+
+def test_vacuum_removes_old_orphans_only(spark, table, orders):
+    table.write(orders.limit(10), mode="overwrite")
+    stray = os.path.join(table._data_dir, "snap-stray000000")
+    orders.limit(3).write.parquet(stray)
+    # Young orphan: protected by the age guard (may be an in-flight commit).
+    assert table.vacuum(older_than_s=3600) == []
+    assert os.path.exists(stray)
+    # Old orphan: reclaimed.
+    old = time.time() - 7200
+    os.utime(stray, (old, old))
+    assert table.vacuum(older_than_s=3600) == [stray]
+    assert not os.path.exists(stray)
+    assert table.read().count() == 10
