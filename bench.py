@@ -77,6 +77,9 @@ BENCH_QUERIES = [
     "similarity_dim_truncation_recall",
     "pipeline_daily_increment",
     "events_gap_filled_5min",
+    # late round 3: row-level deletes + CDC over the versioned table
+    "catalog_delete_takedown",
+    "catalog_changes_cdc",
 ]
 
 # Queries whose full result is large; drain with a hash aggregate
@@ -106,6 +109,8 @@ _HASH_DRAIN = {
     "catalog_snapshot_diff",
     "text_ngram_novelty",
     "events_gap_filled_5min",
+    "catalog_delete_takedown",
+    "catalog_changes_cdc",
 }
 
 

@@ -417,15 +417,17 @@ def streaming_snapshot_feed_replay(spark: SparkSession, sf_dir: str) -> DataFram
         tbl.write(orders.filter(F.col("o_orderstatus") == "F"), "append")
         tbl.write(orders.filter(F.col("o_orderstatus") == "O"), "append")
         drain()
-        run1_keys = {r[0] for r in spark.read.parquet(sink).select("o_orderkey").collect()}
+        # Snapshot run 1's keys to scratch parquet (the sink dir keeps
+        # growing) and tag via JOIN — an isin() literal list of run-1
+        # keys would build a million-element expression tree at scale.
+        run1_dir = os.path.join(d, "run1_keys")
+        spark.read.parquet(sink).select("o_orderkey").write.parquet(run1_dir)
         tbl.write(orders.filter(F.col("o_orderstatus") == "P"), "append")
         drain()
         drained = spark.read.parquet(sink)
-        out = drained.select(
-            F.when(F.col("o_orderkey").isin(run1_keys), F.lit(1))
-            .otherwise(F.lit(2))
-            .cast("int")
-            .alias("run"),
+        run1 = spark.read.parquet(run1_dir).withColumn("_r1", F.lit(1))
+        out = drained.join(run1, on="o_orderkey", how="left").select(
+            F.coalesce(F.col("_r1"), F.lit(2)).cast("int").alias("run"),
             "o_orderkey",
             "o_orderstatus",
             "o_totalprice",
