@@ -21,6 +21,14 @@ Semantics:
 
 - ``path`` (required): the snapshot table root.
 - ``branch`` (default ``main``): which ref to tail.
+- ``catalog`` + ``table`` (optional, together): the table is bound to
+  a :class:`~deathmetal_datalake_spark.sources.transactions.SnapshotCatalog`,
+  whose tables keep ALL branch refs in the shared
+  ``<catalog>/_catalog/refs.json`` (keyed ``table::branch``) instead
+  of a per-table refs file. Pass the catalog root and table name so
+  the feed tails the shared ref — this also means a multi-table
+  transaction's publish becomes visible to the feed atomically with
+  every other table it committed.
 - ``anchor`` (default deliver-everything): snapshot id the consumer has
   already seen; the first batch starts AFTER it (same contract as
   ``SnapshotTable.read_appends``).
@@ -109,6 +117,22 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
             raise ValueError("snapshot_feed requires .option('path', <table root>)")
         self._meta_dir = os.path.join(path, "metadata")
         self._branch = options.get("branch", _MAIN)
+        # Catalog-bound tables (sources/transactions.py) keep refs in
+        # the catalog's shared store keyed "table::branch"; manifests
+        # stay per-table, so only ref resolution changes.
+        catalog = options.get("catalog")
+        table = options.get("table")
+        if bool(catalog) != bool(table):
+            raise ValueError(
+                "snapshot_feed: options 'catalog' and 'table' must be "
+                "provided together"
+            )
+        if catalog:
+            self._refs_dir = os.path.join(catalog, "_catalog")
+            self._refs_key = f"{table}::{self._branch}"
+        else:
+            self._refs_dir = self._meta_dir
+            self._refs_key = self._branch
         self._anchor = int(options.get("anchor", 0))
         self._max_snaps = int(options.get("max_snapshots_per_batch", 0))  # 0 = off
         # CDC mode: stream row-level change events (insert AND delete)
@@ -130,7 +154,7 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
         return {"snapshot_id": self._anchor}
 
     def latestOffset(self) -> dict:
-        head = _read_refs(self._meta_dir).get(self._branch)
+        head = _read_refs(self._refs_dir).get(self._refs_key)
         if head is None:
             return {"snapshot_id": self._anchor}
         if self._max_snaps and self._known is not None and self._known < head:

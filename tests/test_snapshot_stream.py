@@ -243,3 +243,52 @@ def test_cdc_mode_streams_inserts_and_deletes(spark, scratch):
     got2 = spark.read.parquet(out)
     assert got2.count() == 27  # exactly the 2 new delete events arrived
     assert got2.filter("_change_type = 'delete'").count() == 7
+
+
+def test_feed_tails_catalog_bound_table(spark, scratch):
+    """A table whose refs live in a SnapshotCatalog's shared store is
+    tailed via catalog+table options; rows published by a multi-table
+    TRANSACTION reach the feed."""
+    from deathmetal_datalake_spark.sources.transactions import SnapshotCatalog
+
+    cat = SnapshotCatalog(spark, os.path.join(scratch, "cat"))
+    with cat.transaction() as txn:
+        txn.write("docs", _df(spark, 0, 10), mode="append")
+        txn.write("embs", _df(spark, 100, 105), mode="append")
+    with cat.transaction() as txn:
+        txn.write("docs", _df(spark, 10, 30), mode="append")
+    register_snapshot_feed(spark)
+    tbl = cat.table("docs")
+    out = os.path.join(scratch, "cb-out")
+    q = (
+        spark.readStream.format("snapshot_feed")
+        .schema(tbl.read().schema)
+        .option("path", tbl.base_path)
+        .option("catalog", cat.base_path)
+        .option("table", "docs")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(scratch, "cb-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 30  # both transactional commits, docs only
+    assert got.selectExpr("max(k)").first()[0] == 29
+
+
+def test_read_changes_pads_evolved_schema(spark, scratch):
+    """Inserts from files written before a column existed surface it
+    as NULL in the change feed (same union-schema rule as read())."""
+    from pyspark.sql import functions as F
+
+    tbl = SnapshotTable(spark, os.path.join(scratch, "t"))
+    s1 = tbl.write(_df(spark, 0, 5), "append")
+    tbl.write(_df(spark, 5, 8).withColumn("extra", F.lit("x")), "append")
+    # Anchor BEFORE the evolved append; anchor schema lacks `extra`,
+    # so the feed keeps the anchor's stable schema.
+    ch = tbl.read_changes(since_snapshot_id=s1.snapshot_id)
+    assert set(ch.columns) == {"_change_type", "_commit_snapshot_id", "k", "v"}
+    assert ch.count() == 3
