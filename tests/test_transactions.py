@@ -144,3 +144,67 @@ def test_invalid_table_names(catalog):
     for bad in ("", "a::b", "a/b"):
         with pytest.raises(ValueError):
             catalog.table(bad)
+
+
+def test_concurrent_transactions_no_lost_updates(spark, catalog):
+    """N threads each commit a transaction appending to BOTH tables
+    without CAS: the under-lock head re-read means every append lands
+    — both tables end with all N rows and identical history length."""
+    import threading
+
+    errs: list[Exception] = []
+
+    def worker(i: int) -> None:
+        try:
+            with catalog.transaction() as txn:
+                txn.write("docs", _df(spark, i, i + 1), mode="append")
+                txn.write("embs", _df(spark, 100 + i, 101 + i), mode="append")
+        except Exception as e:  # pragma: no cover - surfaced below
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert errs == []
+    assert catalog.table("docs").read().count() == 6
+    assert catalog.table("embs").read().count() == 6
+    assert len(catalog.table("docs").history()) == 6
+    # Every refs version moved both tables together (same txn count).
+    assert (
+        catalog.table("docs").current_snapshot_id()
+        == catalog.table("embs").current_snapshot_id()
+    )
+
+
+def test_racing_cas_transactions_exactly_one_wins(spark, catalog):
+    """Two transactions staged against the SAME expected parent: the
+    commit lock serializes them and exactly one publishes."""
+    import threading
+
+    with catalog.transaction() as txn:
+        txn.write("docs", _df(spark, 0, 5), expected_parent=None)
+    head = catalog.table("docs").current_snapshot_id()
+    results: list[str] = []
+    lock = threading.Lock()
+
+    def racer(tag: str) -> None:
+        try:
+            with catalog.transaction() as txn:
+                txn.write(
+                    "docs", _df(spark, 10, 20), expected_parent=head
+                )
+            with lock:
+                results.append(f"{tag}:won")
+        except CommitConflict:
+            with lock:
+                results.append(f"{tag}:conflict")
+
+    threads = [threading.Thread(target=racer, args=(t,)) for t in ("a", "b")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert sorted(r.split(":")[1] for r in results) == ["conflict", "won"]
+    assert catalog.table("docs").read().count() == 10
