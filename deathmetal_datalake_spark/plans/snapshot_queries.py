@@ -699,13 +699,17 @@ def streaming_cdc_feed_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # CDC REPLICATION (the downstream-replica pattern): a second versioned
-# table is maintained purely by APPLYING the CDC stream — inserts
-# union in, delete events anti-join out, folded in commit order inside
-# foreachBatch. Commits: append 'F', append 'O', takedown-delete every
-# 7th key, append 'P' (which re-uses no deleted files, so it is
-# untouched by the earlier delete). The replica's final state must
-# equal the source head exactly — proving the change feed carries
-# everything needed to reconstruct the table downstream.
+# table is maintained purely by APPLYING the CDC stream with the
+# table's own O(delta) primitives — insert events append, delete
+# events commit delete_keys — in commit order inside foreachBatch. No
+# step ever rewrites or even reads the replica's existing data, so
+# applying a day of changes costs O(changes) regardless of replica
+# size (the property that makes CDC replication of a 100 TB table
+# viable; a union/anti-join fold would rewrite the world each batch).
+# Commits: append 'F', append 'O', takedown-delete every 7th key,
+# append 'P' (untouched by the earlier delete). The replica's final
+# state must equal the source head exactly — proving the change feed
+# carries everything needed to reconstruct the table downstream.
 # ---------------------------------------------------------------------------
 
 _CDC_REPLICA_SQL = """
@@ -737,40 +741,34 @@ def streaming_cdc_replica_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         ckpt = os.path.join(d, "ckpt")
 
         def apply_events(batch_df: DataFrame, batch_id: int) -> None:
-            # Fold strictly in commit order: a delete removes only rows
-            # from EARLIER commits; inserts after it land untouched —
-            # the same covered-files semantics the source table has.
+            # Apply strictly in commit order with the replica's own
+            # O(delta) operations: appends stay appends, deletes stay
+            # delete_keys metadata commits. Ordering preserves the
+            # covered-files semantics — a delete applied before the
+            # next append covers exactly the files that existed, so
+            # re-inserted keys stay visible, same as on the source.
             events = batch_df.cache()
             try:
-                commit_ids = [
-                    r[0]
-                    for r in events.select("_commit_snapshot_id")
+                commits = [
+                    (r[0], r[1])
+                    for r in events.select(
+                        "_commit_snapshot_id", "_change_type"
+                    )
                     .distinct()
                     .orderBy("_commit_snapshot_id")
                     .collect()
                 ]
-
-                def build(cur):
-                    state = cur
-                    for cid in commit_ids:
-                        ev = events.filter(
-                            F.col("_commit_snapshot_id") == cid
+                for cid, change_type in commits:
+                    ev = events.filter(F.col("_commit_snapshot_id") == cid)
+                    if change_type == "insert":
+                        replica.write(
+                            ev.drop("_change_type", "_commit_snapshot_id"),
+                            mode="append",
                         )
-                        ins = ev.filter(
-                            F.col("_change_type") == "insert"
-                        ).drop("_change_type", "_commit_snapshot_id")
-                        keys = ev.filter(
-                            F.col("_change_type") == "delete"
-                        ).select("o_orderkey")
-                        if state is None:
-                            state = ins
-                            continue
-                        state = state.join(
-                            keys, on="o_orderkey", how="left_anti"
-                        ).unionByName(ins)
-                    return state
-
-                replica.commit_with_retry(build)
+                    else:
+                        replica.delete_keys(
+                            ev.select("o_orderkey"), "o_orderkey"
+                        )
             finally:
                 events.unpersist()
 
