@@ -39,12 +39,13 @@ read-modify-write retry loop on top for transactional upserts.
 from __future__ import annotations
 
 import contextlib
+import datetime
 import json
 import os
 import random
 import time
 import uuid
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -75,6 +76,15 @@ class Snapshot:
     # delete against its covered dirs; compaction applies deletes
     # physically and resets the list.
     deletes: tuple[tuple[str, str, tuple[str, ...]], ...] = ()
+    # Manifest-level column statistics (the Iceberg manifest-entry
+    # analog): ``{data_dir: {column: {"min","max","nulls","rows"}}}``,
+    # harvested from parquet FOOTERS at commit time (O(#files) metadata
+    # reads, no data scan). ``read(filters=...)`` uses these to skip
+    # whole data dirs at PLANNING time — before Spark even lists their
+    # files — which is what keeps a selective scan on a 100 TB table
+    # from touching 100 TB of footers. Missing/empty entries simply
+    # disable pruning for that dir (old manifests stay readable).
+    dir_stats: dict = field(default_factory=dict)
 
 
 class CommitConflict(RuntimeError):
@@ -91,7 +101,249 @@ def _snapshot_to_json(snap: Snapshot) -> dict:
         "deletes": [
             {"dir": d, "key": k, "covers": list(c)} for d, k, c in snap.deletes
         ],
+        "dir_stats": snap.dir_stats,
     }
+
+
+# ---------------------------------------------------------------------------
+# Manifest column stats: harvest (write side) and prune (read side).
+# ---------------------------------------------------------------------------
+
+def _stat_value(v):
+    """Normalize a stats/predicate value for manifest storage and
+    comparison. Dates/timestamps become ISO-8601 strings — which order
+    LEXICOGRAPHICALLY the same as the underlying instants (fixed-width
+    date/time fields; a fractional part starts with '.', which sorts
+    below every digit, so '…:00.9' < '…:01' holds). Unsupported types
+    (Decimal, bytes, nested) return ``None`` = "unknown", which simply
+    disables pruning on that column — never wrong, only less pruned."""
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, str):
+        return v
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep="T")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return None
+
+
+def _comparable(a, b) -> bool:
+    """True when two normalized values may be ordered against each
+    other: numbers with numbers, strings with strings. bool is excluded
+    from the numeric class (Python's bool<int subclassing would let
+    ``True < 2`` prune a boolean column against an int predicate)."""
+    num = lambda x: isinstance(x, (int, float)) and not isinstance(x, bool)
+    if num(a) and num(b):
+        return True
+    if isinstance(a, str) and isinstance(b, str):
+        return True
+    if isinstance(a, bool) and isinstance(b, bool):
+        return True
+    return False
+
+
+def _collect_dir_stats(dir_path: str) -> dict:
+    """Per-column {min,max,nulls,rows} for every parquet file under
+    ``dir_path``, merged from ROW-GROUP FOOTER statistics via pyarrow —
+    a pure metadata pass, no data pages are read (the same way Iceberg
+    fills its manifest entries from parquet footers at commit).
+
+    Columns lose their min/max if ANY row group lacks stats for them
+    (conservative: unknown bounds never prune). A file where the column
+    is ABSENT (schema evolution: written before the column existed)
+    contributes all-NULL rows — null count accrues, bounds don't.
+    Any failure returns ``{}``: stats are an optimization, never a
+    correctness dependency."""
+    try:
+        import pyarrow.parquet as pq
+
+        files = []
+        for root, _dirs, names in os.walk(dir_path):
+            for name in names:
+                if name.endswith(".parquet"):
+                    files.append(os.path.join(root, name))
+        if not files:
+            return {}
+        merged: dict[str, dict] = {}
+        total_rows = 0
+        # Columns that appeared in at least one file but whose bounds
+        # are unknowable (a row group without stats).
+        unbounded: set[str] = set()
+        per_file_cols: list[tuple[int, set]] = []
+        for path in files:
+            md = pq.ParquetFile(path).metadata
+            file_rows = md.num_rows
+            total_rows += file_rows
+            file_cols: set[str] = set()
+            for rg_i in range(md.num_row_groups):
+                rg = md.row_group(rg_i)
+                for c_i in range(rg.num_columns):
+                    col = rg.column(c_i)
+                    name = col.path_in_schema
+                    if "." in name:
+                        # Nested leaf: the TOP-LEVEL column still exists
+                        # in this file's schema (matters for the absent-
+                        # column test below), but bounds of a leaf don't
+                        # describe the struct/array value.
+                        file_cols.add(name.split(".", 1)[0])
+                        continue
+                    file_cols.add(name)
+                    st = col.statistics
+                    entry = merged.setdefault(
+                        name, {"min": None, "max": None, "nulls": 0, "rows": 0}
+                    )
+                    entry["rows"] += rg.num_rows
+                    if st is None or st.null_count is None:
+                        # Without a null count the all-null test is
+                        # unsound too — drop the column entirely.
+                        unbounded.add(name)
+                        entry["nulls"] = None
+                        continue
+                    if entry["nulls"] is not None:
+                        entry["nulls"] += st.null_count
+                    if not st.has_min_max:
+                        # Bounds unknown; an ALL-null row group benignly
+                        # has no min/max and constrains nothing.
+                        if st.null_count != rg.num_rows:
+                            unbounded.add(name)
+                        continue
+                    mn, mx = _stat_value(st.min), _stat_value(st.max)
+                    if mn is None or mx is None:
+                        unbounded.add(name)
+                        continue
+                    if entry["min"] is None or mn < entry["min"]:
+                        entry["min"] = mn
+                    if entry["max"] is None or mx > entry["max"]:
+                        entry["max"] = mx
+            per_file_cols.append((file_rows, file_cols))
+        # Schema evolution: a file missing a column = that many NULLs.
+        for name, entry in merged.items():
+            for file_rows, file_cols in per_file_cols:
+                if name not in file_cols:
+                    entry["rows"] += file_rows
+                    if entry["nulls"] is not None:
+                        entry["nulls"] += file_rows
+        out = {}
+        for name, entry in merged.items():
+            if entry["nulls"] is None:
+                continue  # unusable without a null count
+            if name in unbounded:
+                entry["min"] = entry["max"] = None
+            out[name] = entry
+        # The dir's full top-level column set, so a column ABSENT from
+        # every file here (added later by schema evolution) is provably
+        # all-NULL for this dir — prunable under comparison predicates.
+        # Reserved key: "_schema" is not a legal lookup (filters address
+        # real columns; a real column named "_schema" merely loses
+        # pruning, it can never gain it wrongly — see _dir_may_match's
+        # isinstance guard).
+        out["_schema"] = sorted(
+            set().union(*(cols for _r, cols in per_file_cols))
+        )
+        return out
+    except Exception:
+        return {}
+
+
+def _dir_may_match(stats: Optional[dict], filters) -> bool:
+    """Conservative skip test: False ONLY when the stats PROVE no row
+    in the dir can satisfy the (ANDed) filters. Unknown columns, bounds,
+    types, or operators keep the dir."""
+    if not stats:
+        return True
+    schema = stats.get("_schema")
+    for col, op, val in filters:
+        cs = stats.get(col)
+        if not isinstance(cs, dict) or not cs:
+            # No per-column entry. If the dir's schema is recorded and
+            # the column is absent from EVERY file, all its values are
+            # NULL here: comparisons can never match, is_null always
+            # can, not_null never can.
+            if isinstance(schema, list) and col not in schema:
+                if op == "is_null":
+                    continue
+                return False
+            continue
+        rows, nulls = cs.get("rows"), cs.get("nulls")
+        all_null = (
+            rows is not None and nulls is not None and rows > 0 and nulls >= rows
+        )
+        if op == "is_null":
+            if nulls == 0 and rows and rows > 0:
+                return False
+            continue
+        if op == "not_null":
+            if all_null:
+                return False
+            continue
+        # Comparison/equality family: NULL never satisfies them, so an
+        # all-null dir is skippable for every remaining operator.
+        if all_null:
+            return False
+        mn, mx = cs.get("min"), cs.get("max")
+        if mn is None or mx is None:
+            continue
+        if op == "in":
+            nvs = [_stat_value(v) for v in val]
+            if any(v is None or not _comparable(v, mn) for v in nvs):
+                continue
+            if all(v < mn or v > mx for v in nvs):
+                return False
+            continue
+        nv = _stat_value(val)
+        if nv is None or not _comparable(nv, mn):
+            continue
+        if op == "=" and (nv < mn or nv > mx):
+            return False
+        elif op == "<" and not (mn < nv):
+            return False
+        elif op == "<=" and not (mn <= nv):
+            return False
+        elif op == ">" and not (mx > nv):
+            return False
+        elif op == ">=" and not (mx >= nv):
+            return False
+        elif op == "!=" and mn == mx == nv:
+            # Every non-null value equals nv; NULL != nv is NULL, not
+            # true — no row can pass.
+            return False
+    return True
+
+
+def _filters_to_column(filters):
+    """The exact Spark predicate for a filter list — re-applied to the
+    pruned scan so pruning is PURELY an optimization (a dir kept by
+    conservative stats still has its rows filtered row-by-row)."""
+    from pyspark.sql import functions as F
+
+    out = None
+    for col, op, val in filters:
+        c = F.col(col)
+        if op == "=":
+            expr = c == F.lit(val)
+        elif op == "!=":
+            expr = c != F.lit(val)
+        elif op == "<":
+            expr = c < F.lit(val)
+        elif op == "<=":
+            expr = c <= F.lit(val)
+        elif op == ">":
+            expr = c > F.lit(val)
+        elif op == ">=":
+            expr = c >= F.lit(val)
+        elif op == "in":
+            expr = c.isin(list(val))
+        elif op == "is_null":
+            expr = c.isNull()
+        elif op == "not_null":
+            expr = c.isNotNull()
+        else:
+            raise ValueError(f"unknown filter op {op!r}")
+        out = expr if out is None else (out & expr)
+    return out
 
 
 class _Unset:
@@ -267,6 +519,7 @@ class SnapshotTable:
                 (e["dir"], e["key"], tuple(e["covers"]))
                 for e in d.get("deletes", [])
             ),
+            dir_stats=d.get("dir_stats", {}),
         )
 
     @property
@@ -358,6 +611,9 @@ class SnapshotTable:
         # serialize only on the metadata swap, never on the Spark job.
         new_dir = os.path.join(self._data_dir, f"snap-{uuid.uuid4().hex[:12]}")
         df.write.mode("errorifexists").parquet(new_dir)
+        # Stats harvest runs OUTSIDE the lock too: O(#files) footer
+        # reads, no data pages, no Spark job.
+        new_stats = _collect_dir_stats(new_dir)
         with self._commit_lock():
             refs = self._read_refs()
             parent_id = refs.get(branch)
@@ -372,8 +628,10 @@ class SnapshotTable:
                 parent = self._load_snapshot(parent_id)
                 data_dirs = parent.data_dirs + (new_dir,)
                 deletes = parent.deletes  # appends don't resurrect deleted rows
+                dir_stats = {**parent.dir_stats, new_dir: new_stats}
             else:
                 data_dirs = (new_dir,)
+                dir_stats = {new_dir: new_stats}
             snap = Snapshot(
                 snapshot_id=snapshot_id,
                 parent_id=parent_id,
@@ -381,6 +639,7 @@ class SnapshotTable:
                 data_dirs=data_dirs,
                 committed_at=time.time(),
                 deletes=deletes,
+                dir_stats=dir_stats,
             )
             # 'x' mode: if id allocation ever raced (it cannot, under the
             # lock), fail loudly rather than overwrite a manifest.
@@ -433,6 +692,7 @@ class SnapshotTable:
                 committed_at=time.time(),
                 deletes=parent.deletes
                 + ((del_dir, key_col, parent.data_dirs),),
+                dir_stats=parent.dir_stats,
             )
             with open(self._snap_path(snapshot_id), "x") as f:
                 json.dump(_snapshot_to_json(snap), f, indent=1)
@@ -475,15 +735,52 @@ class SnapshotTable:
 
     # ---- read -----------------------------------------------------------
 
+    def scan_dirs(
+        self,
+        filters,
+        branch: str = _MAIN,
+        snapshot_id: Optional[int] = None,
+    ) -> tuple[list[str], list[str]]:
+        """Planning-time file skipping: split a snapshot's data dirs
+        into (kept, pruned) under ``filters`` using the manifest column
+        stats — the observable half of ``read(filters=...)``, exposed so
+        maintenance jobs and tests can measure skip effectiveness."""
+        sid = (
+            snapshot_id
+            if snapshot_id is not None
+            else self.current_snapshot_id(branch)
+        )
+        if sid is None:
+            raise LookupError(f"branch {branch!r} has no snapshots")
+        snap = self._load_snapshot(sid)
+        kept, pruned = [], []
+        for d in snap.data_dirs:
+            if _dir_may_match(snap.dir_stats.get(d), filters):
+                kept.append(d)
+            else:
+                pruned.append(d)
+        return kept, pruned
+
     def read(
         self,
         branch: str = _MAIN,
         snapshot_id: Optional[int] = None,
         as_of: Optional[float] = None,
+        filters=None,
     ) -> DataFrame:
         """Read a version: branch head, an explicit snapshot id (time
         travel), or the latest snapshot on ``branch`` committed at or
-        before epoch-seconds ``as_of``."""
+        before epoch-seconds ``as_of``.
+
+        ``filters`` — an ANDed list of ``(column, op, value)`` with op in
+        ``= != < <= > >= in is_null not_null`` — both PRUNES whole data
+        dirs via the manifest column stats (files Spark never lists) and
+        applies the exact predicate to the surviving scan, so the result
+        is identical to ``read().filter(...)`` with strictly less I/O.
+        On a 100 TB table where appends arrive roughly clustered on the
+        filter column (time, tenant, ingest batch), the manifest pass
+        turns a full-table scan into a few-dirs scan before the parquet
+        layer's own row-group skipping even starts."""
         if snapshot_id is None:
             if as_of is not None:
                 eligible = [
@@ -499,15 +796,42 @@ class SnapshotTable:
                 if snapshot_id is None:
                     raise LookupError(f"branch {branch!r} has no snapshots")
         snap = self._load_snapshot(snapshot_id)
+        if filters:
+            kept = tuple(
+                d
+                for d in snap.data_dirs
+                if _dir_may_match(snap.dir_stats.get(d), filters)
+            )
+            if not kept:
+                # Schema still comes from the real files (a zero-file
+                # read has no schema to offer).
+                empty = self.spark.read.option("mergeSchema", "true").parquet(
+                    *snap.data_dirs
+                )
+                return empty.filter(_filters_to_column(filters)).limit(0)
+            # Re-derive the snapshot view over the surviving dirs only;
+            # delete anti-joins below still apply per covered group.
+            snap = Snapshot(
+                snapshot_id=snap.snapshot_id,
+                parent_id=snap.parent_id,
+                mode=snap.mode,
+                data_dirs=kept,
+                committed_at=snap.committed_at,
+                deletes=snap.deletes,
+                dir_stats=snap.dir_stats,
+            )
         # mergeSchema: appended files may carry ADDED columns (schema
         # evolution); the merged read surfaces the union schema with
         # NULLs for files written before the column existed — the
         # Iceberg add-column semantics. Parquet is name-addressed, so
         # old files never mis-bind to new columns.
         if not snap.deletes:
-            return self.spark.read.option("mergeSchema", "true").parquet(
+            out = self.spark.read.option("mergeSchema", "true").parquet(
                 *snap.data_dirs
             )
+            if filters:
+                out = out.filter(_filters_to_column(filters))
+            return out
         # Row-level deletes: group data dirs by the exact set of delete
         # entries covering them (a delete never touches dirs appended
         # after it committed), anti-join each group against its keys,
@@ -537,6 +861,8 @@ class SnapshotTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
+        if filters:
+            out = out.filter(_filters_to_column(filters))
         return out
 
     # ---- branch ops (all O(1) metadata) ---------------------------------

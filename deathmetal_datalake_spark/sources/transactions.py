@@ -54,6 +54,7 @@ from deathmetal_datalake_spark.sources.snapshots import (
     CommitConflict,
     Snapshot,
     SnapshotTable,
+    _collect_dir_stats,
     _snapshot_to_json,
     _Unset,
 )
@@ -109,6 +110,9 @@ class _StagedWrite:
     mode: str
     data_dir: str
     expected_parent: "Optional[int] | _Unset"
+    # Manifest column stats for data_dir, harvested at staging time
+    # (outside the lock) — same read-side pruning as single-table writes.
+    stats: dict
 
 
 class CatalogTransaction:
@@ -142,7 +146,10 @@ class CatalogTransaction:
         new_dir = os.path.join(tbl._data_dir, f"snap-{uuid.uuid4().hex[:12]}")
         df.write.mode("errorifexists").parquet(new_dir)
         self._staged.append(
-            _StagedWrite(table, branch, mode, new_dir, expected_parent)
+            _StagedWrite(
+                table, branch, mode, new_dir, expected_parent,
+                _collect_dir_stats(new_dir),
+            )
         )
 
     def commit(self) -> dict[str, Snapshot]:
@@ -181,8 +188,10 @@ class CatalogTransaction:
                     p = tbl._load_snapshot(parent)
                     dirs = p.data_dirs + (s.data_dir,)
                     deletes = p.deletes
+                    dir_stats = {**p.dir_stats, s.data_dir: s.stats}
                 else:
                     dirs = (s.data_dir,)
+                    dir_stats = {s.data_dir: s.stats}
                 snap = Snapshot(
                     snapshot_id=sid,
                     parent_id=parent,
@@ -190,6 +199,7 @@ class CatalogTransaction:
                     data_dirs=dirs,
                     committed_at=time.time(),
                     deletes=deletes,
+                    dir_stats=dir_stats,
                 )
                 with open(tbl._snap_path(sid), "x") as f:
                     json.dump(_snapshot_to_json(snap), f, indent=1)
