@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     # late round 3: row-level deletes + CDC over the versioned table
     "catalog_delete_takedown",
     "catalog_changes_cdc",
+    "catalog_stats_pruned_scan",
 ]
 
 # Queries whose full result is large; drain with a hash aggregate

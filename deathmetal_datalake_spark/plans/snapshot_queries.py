@@ -797,3 +797,65 @@ def streaming_cdc_replica_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = replica.read()
         rows = out.collect()
         return spark.createDataFrame(rows, schema=out.schema)
+
+
+# ---------------------------------------------------------------------------
+# Manifest-stats file skipping: the Iceberg manifest-entry analog
+# (sources/snapshots.py dir_stats). The table is built as one append per
+# order YEAR — the clustered-arrival layout real ingest produces — so a
+# date predicate lets the manifest pass skip whole data dirs at PLANNING
+# time. The oracle pins BOTH halves: the pruning arithmetic (total and
+# pruned dir counts, derivable from the year grid) and the scanned
+# data's exact aggregate, proving the pruned read loses no rows.
+# ---------------------------------------------------------------------------
+
+_PRUNE_CUTOFF = "1996-01-01"
+
+_PRUNE_SQL = f"""
+SELECT
+  (SELECT COUNT(DISTINCT YEAR(o_orderdate)) FROM orders) AS total_dirs,
+  (SELECT COUNT(DISTINCT YEAR(o_orderdate)) FROM orders
+    WHERE o_orderdate < DATE '{_PRUNE_CUTOFF}') AS pruned_dirs,
+  COUNT(*) AS n_rows,
+  {sql_dsum("o_totalprice", "total_price")},
+  MIN(o_orderdate) AS min_date,
+  MAX(o_orderdate) AS max_date
+FROM orders
+WHERE o_orderdate >= DATE '{_PRUNE_CUTOFF}'
+"""
+
+
+@register("catalog_stats_pruned_scan", oracle=_PRUNE_SQL)
+def catalog_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One append per order year, then ``read(filters=[o_orderdate >=
+    cutoff])``: the manifest column stats prune every pre-cutoff year's
+    dir before Spark lists a file, and the surviving scan's aggregate
+    equals the plain filtered query exactly. A year-dir is kept iff its
+    stats max >= cutoff iff the year >= 1996 — so the dir counts are
+    pure functions of the year grid, checkable in SQL."""
+    import datetime as _dt
+
+    orders = session_cache(spread(load_table(spark, sf_dir, "orders")))
+    years = sorted(
+        r[0] for r in orders.select(F.year("o_orderdate")).distinct().collect()
+    )
+    cutoff = _dt.date.fromisoformat(_PRUNE_CUTOFF)
+    filters = [("o_orderdate", ">=", cutoff)]
+    with tempfile.TemporaryDirectory(prefix="dml-snapp-") as d:
+        tbl = SnapshotTable(spark, os.path.join(d, "orders_by_year"))
+        for i, y in enumerate(years):
+            tbl.write(
+                orders.filter(F.year("o_orderdate") == y),
+                mode="append" if i else "overwrite",
+            )
+        kept, pruned = tbl.scan_dirs(filters)
+        out = tbl.read(filters=filters).agg(
+            F.lit(len(kept) + len(pruned)).cast("long").alias("total_dirs"),
+            F.lit(len(pruned)).cast("long").alias("pruned_dirs"),
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice", "total_price"),
+            F.min("o_orderdate").alias("min_date"),
+            F.max("o_orderdate").alias("max_date"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)
