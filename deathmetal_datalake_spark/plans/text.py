@@ -761,3 +761,151 @@ def text_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — the scrub pass every LLM training pipeline runs before
+# anything else. The synthetic corpus carries no PII, so both engines
+# INJECT deterministic identifiers (email/phone/IPv4 derived from
+# doc_id; moduli 3/7/11 are coprime with the source grid so every
+# source sees a mixed subset) into the same doc subsets, then redact with the same regexes —
+# an honest cross-engine check of the full scrub plumbing: match,
+# replace-all, count, and the residual-leak audit. Patterns are written
+# in the Java∩RE2 common dialect (classes, bounded quantifiers, \b) so
+# Spark and DuckDB agree byte-for-byte. Pure Catalyst regex — map-only,
+# no shuffle until the per-source rollup.
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+_PII_SQL = rf"""
+WITH injected AS (
+    SELECT source,
+           text
+           || CASE WHEN doc_id % 3 = 0
+                   THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+                   ELSE '' END
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                        || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   ELSE '' END
+           || CASE WHEN doc_id % 11 = 0
+                   THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                        || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                        || '.' || CAST(doc_id % 200 + 1 AS VARCHAR)
+                   ELSE '' END AS t
+    FROM documents
+), scrubbed AS (
+    SELECT source,
+           t,
+           LENGTH(regexp_extract_all(t, '{_EMAIL_RE}')) AS n_emails,
+           LENGTH(regexp_extract_all(t, '{_PHONE_RE}')) AS n_phones,
+           LENGTH(regexp_extract_all(t, '{_IP_RE}')) AS n_ips,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g'),
+             '{_IP_RE}', '<IP>', 'g') AS clean
+    FROM injected
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_emails) AS BIGINT) AS emails_redacted,
+       CAST(SUM(n_phones) AS BIGINT) AS phones_redacted,
+       CAST(SUM(n_ips) AS BIGINT) AS ips_redacted,
+       CAST(SUM(LENGTH(t)) AS BIGINT) AS chars_before,
+       CAST(SUM(LENGTH(clean)) AS BIGINT) AS chars_after,
+       CAST(SUM(CASE WHEN regexp_matches(clean, '{_EMAIL_RE}')
+                       OR regexp_matches(clean, '{_PHONE_RE}')
+                       OR regexp_matches(clean, '{_IP_RE}')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS residual_leaks
+FROM scrubbed
+GROUP BY source
+"""
+
+
+@register("text_pii_redaction", oracle=_PII_SQL)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inject deterministic PII, redact it, and audit the result per
+    source: redaction counts by kind, byte deltas, and a residual-leak
+    scan that must come back zero. At 100 TB this is one codegen'd map
+    stage — three regex passes fused over each row — plus a tiny
+    per-source aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@mail.example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((did % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                ((did * 7) % 256).cast("string"),
+                F.lit("."),
+                (did % 200 + 1).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    t = F.col("t")
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ),
+        _IP_RE,
+        "<IP>",
+    )
+    leak = (
+        t.rlike(_EMAIL_RE) | t.rlike(_PHONE_RE) | t.rlike(_IP_RE)
+    )
+    return (
+        docs.select("source", injected.alias("t"))
+        .select(
+            "source",
+            "t",
+            F.regexp_count(t, F.lit(_EMAIL_RE)).alias("n_emails"),
+            F.regexp_count(t, F.lit(_PHONE_RE)).alias("n_phones"),
+            F.regexp_count(t, F.lit(_IP_RE)).alias("n_ips"),
+            clean.alias("clean"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_emails").cast("long").alias("emails_redacted"),
+            F.sum("n_phones").cast("long").alias("phones_redacted"),
+            F.sum("n_ips").cast("long").alias("ips_redacted"),
+            F.sum(F.length("t")).cast("long").alias("chars_before"),
+            F.sum(F.length("clean")).cast("long").alias("chars_after"),
+            F.sum(
+                F.when(
+                    F.col("clean").rlike(_EMAIL_RE)
+                    | F.col("clean").rlike(_PHONE_RE)
+                    | F.col("clean").rlike(_IP_RE),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("residual_leaks"),
+        )
+    )
