@@ -85,6 +85,12 @@ class Snapshot:
     # from touching 100 TB of footers. Missing/empty entries simply
     # disable pruning for that dir (old manifests stay readable).
     dir_stats: dict = field(default_factory=dict)
+    # Same stats one level finer: ``{data_dir: {relative_file: {col:
+    # ...}}}`` — what keeps skipping alive AFTER compaction folds the
+    # table into one dir: a sorted/z-ordered rewrite gives each FILE a
+    # narrow value range, and the manifest can drop individual files
+    # from the scan list (Iceberg's data-file entries proper).
+    file_stats: dict = field(default_factory=dict)
 
 
 class CommitConflict(RuntimeError):
@@ -102,6 +108,7 @@ def _snapshot_to_json(snap: Snapshot) -> dict:
             {"dir": d, "key": k, "covers": list(c)} for d, k, c in snap.deletes
         ],
         "dir_stats": snap.dir_stats,
+        "file_stats": snap.file_stats,
     }
 
 
@@ -145,107 +152,138 @@ def _comparable(a, b) -> bool:
     return False
 
 
-def _collect_dir_stats(dir_path: str) -> dict:
-    """Per-column {min,max,nulls,rows} for every parquet file under
-    ``dir_path``, merged from ROW-GROUP FOOTER statistics via pyarrow —
-    a pure metadata pass, no data pages are read (the same way Iceberg
-    fills its manifest entries from parquet footers at commit).
+def _harvest_file_stats(path: str) -> tuple[int, dict]:
+    """(row count, per-column {min,max,nulls,rows} + "_schema") for ONE
+    parquet file, merged across its row groups. A column whose bounds
+    are unknowable (a row group without footer stats) keeps min=max=
+    None; a column without a reliable null count is dropped entirely
+    (the all-null test would be unsound)."""
+    import pyarrow.parquet as pq
 
-    Columns lose their min/max if ANY row group lacks stats for them
-    (conservative: unknown bounds never prune). A file where the column
-    is ABSENT (schema evolution: written before the column existed)
-    contributes all-NULL rows — null count accrues, bounds don't.
-    Any failure returns ``{}``: stats are an optimization, never a
-    correctness dependency."""
+    md = pq.ParquetFile(path).metadata
+    stats: dict[str, dict] = {}
+    file_cols: set[str] = set()
+    unbounded: set[str] = set()
+    for rg_i in range(md.num_row_groups):
+        rg = md.row_group(rg_i)
+        for c_i in range(rg.num_columns):
+            col = rg.column(c_i)
+            name = col.path_in_schema
+            if "." in name:
+                # Nested leaf: the TOP-LEVEL column still exists in this
+                # file's schema (matters for the absent-column test),
+                # but leaf bounds don't describe the struct/array value.
+                file_cols.add(name.split(".", 1)[0])
+                continue
+            file_cols.add(name)
+            st = col.statistics
+            entry = stats.setdefault(
+                name, {"min": None, "max": None, "nulls": 0, "rows": 0}
+            )
+            entry["rows"] += rg.num_rows
+            if st is None or st.null_count is None:
+                unbounded.add(name)
+                entry["nulls"] = None
+                continue
+            if entry["nulls"] is not None:
+                entry["nulls"] += st.null_count
+            if not st.has_min_max:
+                # An ALL-null row group benignly has no min/max and
+                # constrains nothing; otherwise bounds are unknowable.
+                if st.null_count != rg.num_rows:
+                    unbounded.add(name)
+                continue
+            mn, mx = _stat_value(st.min), _stat_value(st.max)
+            if mn is None or mx is None:
+                unbounded.add(name)
+                continue
+            if entry["min"] is None or mn < entry["min"]:
+                entry["min"] = mn
+            if entry["max"] is None or mx > entry["max"]:
+                entry["max"] = mx
+    out: dict[str, object] = {}
+    for name, entry in stats.items():
+        if entry["nulls"] is None:
+            continue  # unusable without a null count
+        if name in unbounded:
+            entry["min"] = entry["max"] = None
+        out[name] = entry
+    # Reserved key: "_schema" is not a legal lookup (filters address
+    # real columns; a real column literally named "_schema" merely
+    # loses pruning, never gains it wrongly — _dir_may_match guards
+    # with isinstance).
+    out["_schema"] = sorted(file_cols)
+    return md.num_rows, out
+
+
+def _collect_dir_stats(dir_path: str) -> tuple[dict, dict]:
+    """(dir-level stats, per-file stats) for every parquet file under
+    ``dir_path``, from ROW-GROUP FOOTER statistics via pyarrow — a pure
+    metadata pass, no data pages are read (the same way Iceberg fills
+    its manifest entries from parquet footers at commit).
+
+    The dir-level dict is the merge of the per-file dicts: bounds widen,
+    null/row counts add, and a file where a column is ABSENT (schema
+    evolution: written before the column existed) contributes all-NULL
+    rows — null count accrues, bounds don't. Columns lose min/max if ANY
+    file's bounds are unknown (conservative: never prunes wrongly).
+    Per-file stats are keyed by path RELATIVE to the dir, so manifests
+    stay valid if the table root moves. Any failure returns ``({}, {})``:
+    stats are an optimization, never a correctness dependency."""
     try:
-        import pyarrow.parquet as pq
-
         files = []
         for root, _dirs, names in os.walk(dir_path):
             for name in names:
                 if name.endswith(".parquet"):
                     files.append(os.path.join(root, name))
         if not files:
-            return {}
-        merged: dict[str, dict] = {}
-        total_rows = 0
-        # Columns that appeared in at least one file but whose bounds
-        # are unknowable (a row group without stats).
-        unbounded: set[str] = set()
-        per_file_cols: list[tuple[int, set]] = []
+            return {}, {}
+        file_stats: dict[str, dict] = {}
+        file_rows: dict[str, int] = {}
         for path in files:
-            md = pq.ParquetFile(path).metadata
-            file_rows = md.num_rows
-            total_rows += file_rows
-            file_cols: set[str] = set()
-            for rg_i in range(md.num_row_groups):
-                rg = md.row_group(rg_i)
-                for c_i in range(rg.num_columns):
-                    col = rg.column(c_i)
-                    name = col.path_in_schema
-                    if "." in name:
-                        # Nested leaf: the TOP-LEVEL column still exists
-                        # in this file's schema (matters for the absent-
-                        # column test below), but bounds of a leaf don't
-                        # describe the struct/array value.
-                        file_cols.add(name.split(".", 1)[0])
-                        continue
-                    file_cols.add(name)
-                    st = col.statistics
-                    entry = merged.setdefault(
-                        name, {"min": None, "max": None, "nulls": 0, "rows": 0}
-                    )
-                    entry["rows"] += rg.num_rows
-                    if st is None or st.null_count is None:
-                        # Without a null count the all-null test is
-                        # unsound too — drop the column entirely.
-                        unbounded.add(name)
-                        entry["nulls"] = None
-                        continue
-                    if entry["nulls"] is not None:
-                        entry["nulls"] += st.null_count
-                    if not st.has_min_max:
-                        # Bounds unknown; an ALL-null row group benignly
-                        # has no min/max and constrains nothing.
-                        if st.null_count != rg.num_rows:
-                            unbounded.add(name)
-                        continue
-                    mn, mx = _stat_value(st.min), _stat_value(st.max)
-                    if mn is None or mx is None:
-                        unbounded.add(name)
-                        continue
-                    if entry["min"] is None or mn < entry["min"]:
-                        entry["min"] = mn
-                    if entry["max"] is None or mx > entry["max"]:
-                        entry["max"] = mx
-            per_file_cols.append((file_rows, file_cols))
-        # Schema evolution: a file missing a column = that many NULLs.
-        for name, entry in merged.items():
-            for file_rows, file_cols in per_file_cols:
-                if name not in file_cols:
-                    entry["rows"] += file_rows
-                    if entry["nulls"] is not None:
-                        entry["nulls"] += file_rows
-        out = {}
-        for name, entry in merged.items():
-            if entry["nulls"] is None:
-                continue  # unusable without a null count
-            if name in unbounded:
-                entry["min"] = entry["max"] = None
-            out[name] = entry
-        # The dir's full top-level column set, so a column ABSENT from
-        # every file here (added later by schema evolution) is provably
-        # all-NULL for this dir — prunable under comparison predicates.
-        # Reserved key: "_schema" is not a legal lookup (filters address
-        # real columns; a real column named "_schema" merely loses
-        # pruning, it can never gain it wrongly — see _dir_may_match's
-        # isinstance guard).
-        out["_schema"] = sorted(
-            set().union(*(cols for _r, cols in per_file_cols))
-        )
-        return out
+            rows, st = _harvest_file_stats(path)
+            rel = os.path.relpath(path, dir_path)
+            file_stats[rel] = st
+            file_rows[rel] = rows
+        all_cols: set[str] = set()
+        for st in file_stats.values():
+            all_cols.update(st["_schema"])
+        merged: dict[str, object] = {"_schema": sorted(all_cols)}
+        for col in all_cols:
+            entry = {"min": None, "max": None, "nulls": 0, "rows": 0}
+            usable = True
+            for rel, st in file_stats.items():
+                fe = st.get(col)
+                if not isinstance(fe, dict):
+                    if col in st["_schema"]:
+                        # Present but droppped: no reliable null count.
+                        usable = False
+                        break
+                    # Absent from this file = all NULL here.
+                    entry["rows"] += file_rows[rel]
+                    entry["nulls"] += file_rows[rel]
+                    continue
+                entry["rows"] += fe["rows"]
+                entry["nulls"] += fe["nulls"]
+                if fe["min"] is None:
+                    # Either all-null (benign) or unknown bounds
+                    # (poisons the dir bounds too).
+                    if fe["nulls"] < fe["rows"]:
+                        entry["min"] = entry["max"] = None
+                        entry["_unbounded"] = True
+                    continue
+                if not entry.get("_unbounded"):
+                    if entry["min"] is None or fe["min"] < entry["min"]:
+                        entry["min"] = fe["min"]
+                    if entry["max"] is None or fe["max"] > entry["max"]:
+                        entry["max"] = fe["max"]
+            if not usable:
+                continue
+            entry.pop("_unbounded", None)
+            merged[col] = entry
+        return merged, file_stats
     except Exception:
-        return {}
+        return {}, {}
 
 
 def _dir_may_match(stats: Optional[dict], filters) -> bool:
@@ -311,6 +349,63 @@ def _dir_may_match(stats: Optional[dict], filters) -> bool:
             # true — no row can pass.
             return False
     return True
+
+
+def _zorder_cluster(df: DataFrame, cols: list[str], target_files: int, bits: int = 4) -> DataFrame:
+    """Cluster ``df`` into ``target_files`` files along a Z-curve over
+    ``cols`` (the OPTIMIZE ... ZORDER BY analog, multi-dimensional where
+    ``sort_by`` is one dimension chain).
+
+    Shape: one quantile sketch pass (driver gets 2^bits-1 cut points per
+    column — tiny), then a pure map stage computes each row's bucket per
+    column and INTERLEAVES the bucket bits into a z-value, and a single
+    range-repartition on z writes the files. Every file then covers a
+    narrow hyper-rectangle in ALL the z-ordered dimensions, so manifest
+    file stats can skip files for predicates on ANY of them — a
+    lexicographic sort only ever serves its leading column. Supports
+    numeric/date/timestamp columns (quantile buckets need an ordered
+    numeric image); NULLs land in bucket 0."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if not cols or target_files < 1:
+        raise ValueError("zorder needs columns and target_files >= 1")
+    tmp = {c: f"__z_{i}" for i, c in enumerate(cols)}
+    dfx = df
+    for c in cols:
+        dt = df.schema[c].dataType
+        if isinstance(dt, T.DateType):
+            num = F.col(c).cast("timestamp").cast("double")
+        elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            num = F.col(c).cast("timestamp").cast("double")
+        elif isinstance(dt, T.NumericType):
+            num = F.col(c).cast("double")
+        else:
+            raise ValueError(
+                f"zorder_by column {c!r} has unsupported type {dt}"
+            )
+        dfx = dfx.withColumn(tmp[c], num)
+    nb = 1 << bits
+    probs = [i / nb for i in range(1, nb)]
+    cuts = dfx.stat.approxQuantile(list(tmp.values()), probs, 1.0 / (nb * 8))
+    k = len(cols)
+    z = F.lit(0)
+    for m, c in enumerate(cols):
+        bucket = F.lit(0)
+        for cut in cuts[m]:
+            bucket = bucket + F.when(F.col(tmp[c]) >= F.lit(cut), 1).otherwise(0)
+        bucket = bucket.cast("int")
+        for i in range(bits):
+            # Bit i of column m lands at position i*k + (k-1-m):
+            # same-significance bits group together, earlier columns
+            # more significant within the group.
+            pos = i * k + (k - 1 - m)
+            z = z + F.shiftright(bucket, i).bitwiseAND(F.lit(1)) * F.lit(1 << pos)
+    dfx = dfx.withColumn("__zval", z)
+    clustered = dfx.repartitionByRange(
+        target_files, F.col("__zval")
+    ).sortWithinPartitions("__zval")
+    return clustered.drop("__zval", *tmp.values())
 
 
 def _filters_to_column(filters):
@@ -520,6 +615,7 @@ class SnapshotTable:
                 for e in d.get("deletes", [])
             ),
             dir_stats=d.get("dir_stats", {}),
+            file_stats=d.get("file_stats", {}),
         )
 
     @property
@@ -613,7 +709,7 @@ class SnapshotTable:
         df.write.mode("errorifexists").parquet(new_dir)
         # Stats harvest runs OUTSIDE the lock too: O(#files) footer
         # reads, no data pages, no Spark job.
-        new_stats = _collect_dir_stats(new_dir)
+        new_stats, new_file_stats = _collect_dir_stats(new_dir)
         with self._commit_lock():
             refs = self._read_refs()
             parent_id = refs.get(branch)
@@ -629,9 +725,11 @@ class SnapshotTable:
                 data_dirs = parent.data_dirs + (new_dir,)
                 deletes = parent.deletes  # appends don't resurrect deleted rows
                 dir_stats = {**parent.dir_stats, new_dir: new_stats}
+                file_stats = {**parent.file_stats, new_dir: new_file_stats}
             else:
                 data_dirs = (new_dir,)
                 dir_stats = {new_dir: new_stats}
+                file_stats = {new_dir: new_file_stats}
             snap = Snapshot(
                 snapshot_id=snapshot_id,
                 parent_id=parent_id,
@@ -640,6 +738,7 @@ class SnapshotTable:
                 committed_at=time.time(),
                 deletes=deletes,
                 dir_stats=dir_stats,
+                file_stats=file_stats,
             )
             # 'x' mode: if id allocation ever raced (it cannot, under the
             # lock), fail loudly rather than overwrite a manifest.
@@ -693,6 +792,7 @@ class SnapshotTable:
                 deletes=parent.deletes
                 + ((del_dir, key_col, parent.data_dirs),),
                 dir_stats=parent.dir_stats,
+                file_stats=parent.file_stats,
             )
             with open(self._snap_path(snapshot_id), "x") as f:
                 json.dump(_snapshot_to_json(snap), f, indent=1)
@@ -734,6 +834,52 @@ class SnapshotTable:
         ) from last
 
     # ---- read -----------------------------------------------------------
+
+    def _dir_scan_paths(self, snap: Snapshot, d: str, filters) -> list[str]:
+        """Scan paths for one (dir-stats-surviving) dir: its matching
+        FILES when the manifest has file-level stats, else the whole
+        dir. Empty list = every file provably filtered out."""
+        fs = snap.file_stats.get(d)
+        if not fs:
+            return [d]
+        return [
+            os.path.join(d, rel)
+            for rel in sorted(fs)
+            if _dir_may_match(fs[rel], filters)
+        ]
+
+    def scan_files(
+        self,
+        filters,
+        branch: str = _MAIN,
+        snapshot_id: Optional[int] = None,
+    ) -> tuple[list[str], list[str]]:
+        """File-granular skip report: (kept, pruned) scan paths under
+        ``filters``, after BOTH pruning levels (dir stats, then file
+        stats). A dir without file-level stats appears as a single dir
+        path. The observable half of ``read(filters=...)``."""
+        sid = (
+            snapshot_id
+            if snapshot_id is not None
+            else self.current_snapshot_id(branch)
+        )
+        if sid is None:
+            raise LookupError(f"branch {branch!r} has no snapshots")
+        snap = self._load_snapshot(sid)
+        kept: list[str] = []
+        pruned: list[str] = []
+        for d in snap.data_dirs:
+            fs = snap.file_stats.get(d)
+            all_paths = (
+                [os.path.join(d, rel) for rel in sorted(fs)] if fs else [d]
+            )
+            if not _dir_may_match(snap.dir_stats.get(d), filters):
+                pruned.extend(all_paths)
+                continue
+            kept_here = self._dir_scan_paths(snap, d, filters)
+            kept.extend(kept_here)
+            pruned.extend(p for p in all_paths if p not in set(kept_here))
+        return kept, pruned
 
     def scan_dirs(
         self,
@@ -796,12 +942,18 @@ class SnapshotTable:
                 if snapshot_id is None:
                     raise LookupError(f"branch {branch!r} has no snapshots")
         snap = self._load_snapshot(snapshot_id)
+        scan_paths: Optional[dict[str, list[str]]] = None
         if filters:
-            kept = tuple(
-                d
-                for d in snap.data_dirs
-                if _dir_may_match(snap.dir_stats.get(d), filters)
-            )
+            # Two pruning levels: whole dirs by dir stats, then single
+            # FILES inside surviving dirs by file stats (what keeps
+            # skipping alive after compaction folds everything into one
+            # sorted dir). A dir without file stats scans whole.
+            scan_paths = {}
+            for d in snap.data_dirs:
+                if not _dir_may_match(snap.dir_stats.get(d), filters):
+                    continue
+                scan_paths[d] = self._dir_scan_paths(snap, d, filters)
+            kept = tuple(d for d in snap.data_dirs if scan_paths.get(d))
             if not kept:
                 # Schema still comes from the real files (a zero-file
                 # read has no schema to offer).
@@ -819,16 +971,22 @@ class SnapshotTable:
                 committed_at=snap.committed_at,
                 deletes=snap.deletes,
                 dir_stats=snap.dir_stats,
+                file_stats=snap.file_stats,
             )
+
         # mergeSchema: appended files may carry ADDED columns (schema
         # evolution); the merged read surfaces the union schema with
         # NULLs for files written before the column existed — the
         # Iceberg add-column semantics. Parquet is name-addressed, so
         # old files never mis-bind to new columns.
+        def _read_dirs(dirs) -> DataFrame:
+            paths: list[str] = []
+            for d in dirs:
+                paths.extend(scan_paths[d] if scan_paths else [d])
+            return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+
         if not snap.deletes:
-            out = self.spark.read.option("mergeSchema", "true").parquet(
-                *snap.data_dirs
-            )
+            out = _read_dirs(snap.data_dirs)
             if filters:
                 out = out.filter(_filters_to_column(filters))
             return out
@@ -847,7 +1005,7 @@ class SnapshotTable:
             by_cover.setdefault(applicable, []).append(d)
         parts: list[DataFrame] = []
         for applicable, dirs in by_cover.items():
-            df = self.spark.read.option("mergeSchema", "true").parquet(*dirs)
+            df = _read_dirs(dirs)
             # One anti-join per key column: keys of same-column deletes
             # union into a single build side.
             by_key: dict[str, list[str]] = {}
@@ -917,6 +1075,7 @@ class SnapshotTable:
         branch: str = _MAIN,
         target_files: int = 8,
         sort_by: Optional[list[str]] = None,
+        zorder_by: Optional[list[str]] = None,
     ) -> Snapshot:
         """Rewrite the branch head's (possibly many small appended)
         data files into ``target_files`` larger ones, committed as a
@@ -935,9 +1094,17 @@ class SnapshotTable:
         the rewrite runs, the commit raises :class:`CommitConflict`
         instead of silently dropping the concurrent rows — the janitor
         retries, it never wins over data."""
+        if sort_by and zorder_by:
+            raise ValueError("sort_by and zorder_by are exclusive")
         head = self.current_snapshot_id(branch)
         current = self.read(branch=branch, snapshot_id=head)
-        if sort_by:
+        if zorder_by:
+            # Multi-dimensional clustering: every output file covers a
+            # narrow hyper-rectangle in ALL zorder_by dimensions, so
+            # manifest FILE stats (and parquet row-group stats) can skip
+            # on any of them — see _zorder_cluster.
+            compacted = _zorder_cluster(current, zorder_by, target_files)
+        elif sort_by:
             from pyspark.sql import functions as F
 
             cols = [F.col(c) for c in sort_by]

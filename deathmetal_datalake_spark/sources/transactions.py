@@ -110,9 +110,11 @@ class _StagedWrite:
     mode: str
     data_dir: str
     expected_parent: "Optional[int] | _Unset"
-    # Manifest column stats for data_dir, harvested at staging time
-    # (outside the lock) — same read-side pruning as single-table writes.
+    # Manifest column stats for data_dir (dir-level and per-file),
+    # harvested at staging time (outside the lock) — same read-side
+    # pruning as single-table writes.
     stats: dict
+    file_stats: dict
 
 
 class CatalogTransaction:
@@ -145,10 +147,11 @@ class CatalogTransaction:
         tbl = self._catalog.table(table)
         new_dir = os.path.join(tbl._data_dir, f"snap-{uuid.uuid4().hex[:12]}")
         df.write.mode("errorifexists").parquet(new_dir)
+        stats, file_stats = _collect_dir_stats(new_dir)
         self._staged.append(
             _StagedWrite(
                 table, branch, mode, new_dir, expected_parent,
-                _collect_dir_stats(new_dir),
+                stats, file_stats,
             )
         )
 
@@ -189,9 +192,11 @@ class CatalogTransaction:
                     dirs = p.data_dirs + (s.data_dir,)
                     deletes = p.deletes
                     dir_stats = {**p.dir_stats, s.data_dir: s.stats}
+                    file_stats = {**p.file_stats, s.data_dir: s.file_stats}
                 else:
                     dirs = (s.data_dir,)
                     dir_stats = {s.data_dir: s.stats}
+                    file_stats = {s.data_dir: s.file_stats}
                 snap = Snapshot(
                     snapshot_id=sid,
                     parent_id=parent,
@@ -200,6 +205,7 @@ class CatalogTransaction:
                     committed_at=time.time(),
                     deletes=deletes,
                     dir_stats=dir_stats,
+                    file_stats=file_stats,
                 )
                 with open(tbl._snap_path(sid), "x") as f:
                     json.dump(_snapshot_to_json(snap), f, indent=1)

@@ -187,6 +187,7 @@ def test_pre_stats_manifests_read_unpruned(table, orders):
     with open(path) as f:
         d = json.load(f)
     d.pop("dir_stats")
+    d.pop("file_stats")
     with open(path, "w") as f:
         json.dump(d, f)
     cutoff = orders.agg(F.max("o_orderdate")).first()[0]
@@ -238,3 +239,62 @@ def test_transactional_writes_carry_stats(spark, orders):
         assert lo.read(filters=[("o_orderkey", "<=", 100)]).count() == (
             orders.filter(F.col("o_orderkey") <= 100).count()
         )
+
+
+def test_file_level_pruning_survives_compaction(table, orders):
+    """After compact(sort_by=[date]) the table is ONE dir — dir-level
+    stats can't skip anything. The per-FILE manifest stats still can,
+    because the sorted rewrite gives each file a narrow date range."""
+    _yearly_appends(table, orders)
+    table.compact(target_files=8, sort_by=["o_orderdate"])
+    cutoff = orders.selectExpr(
+        "date_add(max(o_orderdate), -120)"
+    ).first()[0]
+    filters = [("o_orderdate", ">=", cutoff)]
+    kept_dirs, pruned_dirs = table.scan_dirs(filters)
+    assert len(kept_dirs) == 1 and pruned_dirs == []  # dir level: nothing
+    kept_f, pruned_f = table.scan_files(filters)
+    assert len(kept_f) + len(pruned_f) == 8
+    assert len(pruned_f) >= 5  # ~2% of the date range ≥ 6 of 8 files skip
+    got = table.read(filters=filters)
+    want = table.read().filter(F.col("o_orderdate") >= F.lit(cutoff))
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_zorder_compaction_prunes_on_both_dimensions(table, orders):
+    """Z-ordered rewrite: files cover narrow hyper-rectangles in BOTH
+    dimensions, so file skipping works for predicates on either —
+    which a lexicographic sort only gives its leading column."""
+    _yearly_appends(table, orders)
+    table.compact(target_files=16, zorder_by=["o_orderdate", "o_totalprice"])
+    date_med = orders.selectExpr(
+        "cast(to_date(to_timestamp(percentile(cast(cast(o_orderdate as timestamp) as double), 0.55))) as date)"
+    ).first()[0]
+    price_med = orders.approxQuantile("o_totalprice", [0.55], 0.0)[0]
+    for filters in (
+        [("o_orderdate", ">=", date_med)],
+        [("o_totalprice", ">=", price_med)],
+    ):
+        kept_f, pruned_f = table.scan_files(filters)
+        assert len(kept_f) + len(pruned_f) == 16
+        assert len(pruned_f) >= 3, filters
+        assert len(kept_f) >= 1, filters
+        got = table.read(filters=filters)
+        want = table.read().filter(_as_col(filters[0]))
+        assert got.count() == want.count() > 0
+        assert got.exceptAll(want).count() == 0
+
+
+def _as_col(f):
+    col, op, val = f
+    assert op == ">="
+    return F.col(col) >= F.lit(val)
+
+
+def test_zorder_rejects_string_columns(table, orders):
+    table.write(orders, "overwrite")
+    with pytest.raises(ValueError, match="unsupported type"):
+        table.compact(zorder_by=["o_orderpriority"])
+    with pytest.raises(ValueError, match="exclusive"):
+        table.compact(sort_by=["o_orderkey"], zorder_by=["o_orderkey"])
