@@ -137,6 +137,24 @@ def _stat_value(v):
     return None
 
 
+def _stat_kind(v) -> Optional[str]:
+    """Logical-type tag stored next to bounds so readers can decode
+    them unambiguously (an ISO string in the manifest is otherwise
+    indistinguishable from a string column that happens to hold ISO
+    text)."""
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, (int, float)):
+        return "num"
+    if isinstance(v, str):
+        return "str"
+    if isinstance(v, datetime.datetime):
+        return "ts"
+    if isinstance(v, datetime.date):
+        return "date"
+    return None
+
+
 def _comparable(a, b) -> bool:
     """True when two normalized values may be ordered against each
     other: numbers with numbers, strings with strings. bool is excluded
@@ -197,6 +215,7 @@ def _harvest_file_stats(path: str) -> tuple[int, dict]:
             if mn is None or mx is None:
                 unbounded.add(name)
                 continue
+            entry.setdefault("kind", _stat_kind(st.min))
             if entry["min"] is None or mn < entry["min"]:
                 entry["min"] = mn
             if entry["max"] is None or mx > entry["max"]:
@@ -273,6 +292,8 @@ def _collect_dir_stats(dir_path: str) -> tuple[dict, dict]:
                         entry["_unbounded"] = True
                     continue
                 if not entry.get("_unbounded"):
+                    if fe.get("kind") is not None:
+                        entry.setdefault("kind", fe["kind"])
                     if entry["min"] is None or fe["min"] < entry["min"]:
                         entry["min"] = fe["min"]
                     if entry["max"] is None or fe["max"] > entry["max"]:
@@ -880,6 +901,118 @@ class SnapshotTable:
             kept.extend(kept_here)
             pruned.extend(p for p in all_paths if p not in set(kept_here))
         return kept, pruned
+
+    def metadata_count(
+        self, branch: str = _MAIN, snapshot_id: Optional[int] = None
+    ) -> Optional[int]:
+        """Exact ``COUNT(*)`` answered purely from the manifest — zero
+        data I/O, the metadata-only-aggregate shortcut Iceberg/Delta
+        give planners. Returns ``None`` (caller must scan) when the
+        answer isn't provable from metadata: pending row-level deletes
+        (the anti-join outcome isn't recorded) or a dir without stats."""
+        sid = (
+            snapshot_id
+            if snapshot_id is not None
+            else self.current_snapshot_id(branch)
+        )
+        if sid is None:
+            raise LookupError(f"branch {branch!r} has no snapshots")
+        snap = self._load_snapshot(sid)
+        if snap.deletes:
+            return None
+        total = 0
+        for d in snap.data_dirs:
+            stats = snap.dir_stats.get(d)
+            rows = None
+            if isinstance(stats, dict):
+                for col, entry in stats.items():
+                    if isinstance(entry, dict) and "rows" in entry:
+                        rows = entry["rows"]
+                        break
+                else:
+                    # Stats exist but carry no per-column entry (e.g. a
+                    # dir of only unsupported-type columns); fall back
+                    # to summing the per-file row counts if present.
+                    fs = self._file_rows_total(snap, d)
+                    rows = fs
+            if rows is None:
+                return None
+            total += rows
+        return total
+
+    @staticmethod
+    def _file_rows_total(snap: Snapshot, d: str) -> Optional[int]:
+        fs = snap.file_stats.get(d)
+        if not fs:
+            return None
+        total = 0
+        for st in fs.values():
+            rows = None
+            for col, entry in st.items():
+                if isinstance(entry, dict) and "rows" in entry:
+                    rows = entry["rows"]
+                    break
+            if rows is None:
+                return None
+            total += rows
+        return total
+
+    def metadata_min_max(
+        self,
+        column: str,
+        branch: str = _MAIN,
+        snapshot_id: Optional[int] = None,
+    ) -> Optional[tuple]:
+        """Exact ``(MIN, MAX)`` of a NUMERIC/date/timestamp column from
+        the manifest alone. ``None`` when not provable: deletes pending
+        (the extremal row may be deleted), missing stats, or a STRING
+        column — parquet writers may store truncated (still valid, but
+        inexact) string bounds, fine for pruning, wrong as answers.
+        ``(None, None)`` is a real answer: every value is NULL, which is
+        SQL's MIN/MAX over an all-null column."""
+        sid = (
+            snapshot_id
+            if snapshot_id is not None
+            else self.current_snapshot_id(branch)
+        )
+        if sid is None:
+            raise LookupError(f"branch {branch!r} has no snapshots")
+        snap = self._load_snapshot(sid)
+        if snap.deletes:
+            return None
+        lo = hi = None
+        for d in snap.data_dirs:
+            stats = snap.dir_stats.get(d)
+            if not isinstance(stats, dict):
+                return None
+            entry = stats.get(column)
+            if not isinstance(entry, dict):
+                schema = stats.get("_schema")
+                if isinstance(schema, list) and column not in schema:
+                    continue  # absent here = all NULL, contributes nothing
+                return None
+            if entry.get("rows", 0) == entry.get("nulls"):
+                continue  # all NULL in this dir
+            mn, mx = entry.get("min"), entry.get("max")
+            if mn is None or mx is None:
+                return None
+            kind = entry.get("kind")
+            if kind == "str" or kind is None:
+                # Parquet writers may store truncated (still valid, but
+                # inexact) STRING bounds — fine for pruning, wrong as an
+                # answer; and without a kind tag we can't trust decode.
+                return None
+            if kind == "date":
+                mn = datetime.date.fromisoformat(mn)
+                mx = datetime.date.fromisoformat(mx)
+            elif kind == "ts":
+                mn = datetime.datetime.fromisoformat(mn)
+                mx = datetime.datetime.fromisoformat(mx)
+            if lo is None or mn < lo:
+                lo = mn
+            if hi is None or mx > hi:
+                hi = mx
+        return (lo, hi)
 
     def scan_dirs(
         self,

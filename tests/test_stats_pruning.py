@@ -298,3 +298,27 @@ def test_zorder_rejects_string_columns(table, orders):
         table.compact(zorder_by=["o_orderpriority"])
     with pytest.raises(ValueError, match="exclusive"):
         table.compact(sort_by=["o_orderkey"], zorder_by=["o_orderkey"])
+
+
+def test_metadata_only_aggregates(table, orders, spark):
+    """COUNT(*)/MIN/MAX answered from the manifest with zero data I/O —
+    the Iceberg/Delta metadata-only-aggregate shortcut."""
+    _yearly_appends(table, orders)
+    assert table.metadata_count() == orders.count()
+    lo, hi = table.metadata_min_max("o_orderkey")
+    want_lo, want_hi = orders.agg(
+        F.min("o_orderkey"), F.max("o_orderkey")
+    ).first()
+    assert (lo, hi) == (want_lo, want_hi)
+    dlo, dhi = table.metadata_min_max("o_orderdate")
+    wd = orders.agg(F.min("o_orderdate"), F.max("o_orderdate")).first()
+    assert (dlo, dhi) == (wd[0], wd[1])  # decoded back to date objects
+    # String columns refuse (parquet bounds may be truncated).
+    assert table.metadata_min_max("o_orderpriority") is None
+    # Pending deletes make both unknowable — scan required.
+    table.delete_keys(orders.limit(3).select("o_orderkey"), "o_orderkey")
+    assert table.metadata_count() is None
+    assert table.metadata_min_max("o_orderkey") is None
+    # Compaction applies deletes physically; metadata answers return.
+    table.compact()
+    assert table.metadata_count() == orders.count() - 3
