@@ -457,3 +457,39 @@ def lateral_top2_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFr
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_LATERAL_SQL)
+
+
+# One SQL text, two engines: date_trunc + INTERVAL month arithmetic and
+# the DECIMAL-sum idiom are in the Spark∩DuckDB common dialect, so the
+# oracle runs the identical string.
+_RECURSIVE_SQL = """
+WITH RECURSIVE spine(month) AS (
+    SELECT CAST(date_trunc('month', (SELECT MIN(o_orderdate) FROM orders)) AS DATE)
+    UNION ALL
+    SELECT CAST(month + INTERVAL 1 MONTH AS DATE) FROM spine
+    WHERE month < CAST(date_trunc('month', (SELECT MAX(o_orderdate) FROM orders)) AS DATE)
+)
+SELECT s.month,
+       COUNT(o.o_orderkey) AS n_orders,
+       CAST(SUM(CAST((o.o_totalprice) AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+FROM spine s
+LEFT JOIN orders o
+  ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = s.month
+GROUP BY s.month
+"""
+
+
+@register("sql_recursive_month_spine", oracle=_RECURSIVE_SQL)
+def sql_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): generate the month spine
+    between the data's own min and max order months — variable length,
+    derived from the data, which a static sequence() literal can't claim
+    — then LEFT JOIN so empty months still appear with n_orders = 0.
+
+    Scale shape: the recursion builds a ~tens-of-rows spine driver-side
+    (bounded by the calendar span, not the data volume; Spark's
+    cteRecursionLevelLimit defaults to 100 levels — set it higher for
+    century spines), then one broadcast-able join against the fact
+    table. The 100 TB cost is the scan, exactly as it should be."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_RECURSIVE_SQL)
