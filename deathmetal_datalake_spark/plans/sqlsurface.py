@@ -463,11 +463,19 @@ def lateral_top2_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFr
 # the DECIMAL-sum idiom are in the Spark∩DuckDB common dialect, so the
 # oracle runs the identical string.
 _RECURSIVE_SQL = """
-WITH RECURSIVE spine(month) AS (
-    SELECT CAST(date_trunc('month', (SELECT MIN(o_orderdate) FROM orders)) AS DATE)
+WITH RECURSIVE bounds AS (
+    SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
+           CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
+    FROM orders
+),
+spine(month, hi) AS (
+    -- The upper bound rides ALONG the recursion as a column: a scalar
+    -- subquery in the recursive WHERE would re-scan the fact table on
+    -- EVERY iteration (measured 18 s vs 2 s at 10x).
+    SELECT lo, hi FROM bounds
     UNION ALL
-    SELECT CAST(month + INTERVAL 1 MONTH AS DATE) FROM spine
-    WHERE month < CAST(date_trunc('month', (SELECT MAX(o_orderdate) FROM orders)) AS DATE)
+    SELECT CAST(month + INTERVAL 1 MONTH AS DATE), hi FROM spine
+    WHERE month < hi
 )
 SELECT s.month,
        COUNT(o.o_orderkey) AS n_orders,
