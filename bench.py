@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     "catalog_delete_takedown",
     "catalog_changes_cdc",
     "catalog_stats_pruned_scan",
+    # exact-substring (span) dedup — the Lee-et-al pass
+    "dedup_exact_substring",
 ]
 
 # Queries whose full result is large; drain with a hash aggregate
@@ -96,6 +98,7 @@ _HASH_DRAIN = {
     "text_language_id",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_exact_substring",
     "multimodal_decode_stats",
     "contamination_ngram_overlap",
     "pack_sequences_by_lang",

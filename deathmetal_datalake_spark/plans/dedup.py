@@ -1454,3 +1454,366 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring (span) dedup — the "dedup at the substring level" pass
+# of LLM training-data pipelines (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better", arXiv:2107.06499). The
+# published method finds all ≥50-token substrings shared between any two
+# documents with a suffix array; the distributed re-expression below
+# finds all K-token spans (positional n-grams) whose exact text occurs
+# in ≥2 distinct documents, then reports per-document how many token
+# positions are covered by at least one such shared span — the quantity
+# the original uses to cut duplicated text. K=8 here (the fixture docs
+# are ~25-40 tokens; production would use the paper's 50).
+#
+# Scale shape (100 TB): span hashing is one map-only stage (row-local
+# higher-order functions, no Python); "which spans are shared" is ONE
+# count-style aggregation on 8-byte hashes — never a pair join, so a
+# stop-gram span shared by every document costs O(df) counter updates,
+# not O(df²) join rows. Coverage is computed ROW-LOCALLY per document
+# (collect_list of span starts is bounded by document length, then
+# flatten/array_distinct inside the row), so the only shuffles are the
+# two hash-keyed aggregations and the final doc_id join.
+# Extends the family at plans/dedup.py:60-140 (shingle conventions);
+# reference has no analog (its dedup surface is `unique()`,
+# flows/bronze.py:80).
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 8
+
+_EXACT_SUBSTR_SQL = rf"""
+WITH tok AS (
+    SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS toks FROM documents
+),
+base AS (
+    SELECT doc_id,
+           LENGTH(toks) AS n_tokens,
+           GREATEST(LENGTH(toks) - {_SPAN_K - 1}, 0) AS n_spans
+    FROM tok
+),
+spans AS (
+    SELECT doc_id, pos,
+           {sql_hash60(f"array_to_string(toks[pos:pos+{_SPAN_K - 1}], ' ')")} AS h
+    FROM (
+        SELECT doc_id, toks,
+               UNNEST(range(1, GREATEST(LENGTH(toks) - {_SPAN_K - 1}, 0) + 1)) AS pos
+        FROM tok
+    )
+),
+shared AS (
+    SELECT h FROM (SELECT DISTINCT h, doc_id FROM spans)
+    GROUP BY h HAVING COUNT(*) >= 2
+),
+dups AS (
+    SELECT s.doc_id, s.pos FROM spans s JOIN shared USING (h)
+),
+cov AS (
+    SELECT doc_id,
+           COUNT(DISTINCT pos) AS n_dup_spans,
+           COUNT(DISTINCT p) AS n_dup_positions
+    FROM (
+        SELECT doc_id, pos, UNNEST(range(pos, pos + {_SPAN_K})) AS p FROM dups
+    )
+    GROUP BY doc_id
+)
+SELECT b.doc_id,
+       b.n_tokens,
+       b.n_spans,
+       COALESCE(c.n_dup_spans, 0) AS n_dup_spans,
+       COALESCE(c.n_dup_positions, 0) AS n_dup_positions,
+       ROUND(COALESCE(c.n_dup_positions, 0) / CAST(b.n_tokens AS DOUBLE), 6)
+           AS dup_coverage
+FROM base b LEFT JOIN cov c USING (doc_id)
+"""
+
+
+@register("dedup_exact_substring", oracle=_EXACT_SUBSTR_SQL)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = F.size(toks)
+    base = docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.greatest(n - (_SPAN_K - 1), F.lit(0)).cast("long").alias("n_spans"),
+    )
+    # Positional K-gram hashes, one array per document (empty when the
+    # document is shorter than K — the WHEN guard keeps sequence() from
+    # producing a descending range).
+    idx = F.when(n >= _SPAN_K, F.sequence(F.lit(1), n - (_SPAN_K - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    hashes = F.transform(
+        idx, lambda i: hash60(F.concat_ws(" ", F.slice(toks, i, _SPAN_K)))
+    )
+    spans = spread(docs).select(
+        "doc_id", F.posexplode(hashes).alias("pos0", "h")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    # Shared-span keys: ONE aggregation over (h, doc_id) — the per-key
+    # cost of a hot span is linear in its document frequency.
+    shared = (
+        spans.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("h")
+    )
+    dups = spans.join(shared, "h").select("doc_id", "pos")
+    # Row-local interval union: a document's dup-span start list fits one
+    # row (bounded by doc length), so coverage never needs the cluster.
+    cov = dups.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.size(
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        F.collect_list("pos"),
+                        lambda p: F.sequence(p, p + (_SPAN_K - 1)),
+                    )
+                )
+            )
+        )
+        .cast("long")
+        .alias("n_dup_positions"),
+    )
+    return base.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "n_spans",
+        F.coalesce(F.col("n_dup_spans"), F.lit(0).cast("long")).alias("n_dup_spans"),
+        F.coalesce(F.col("n_dup_positions"), F.lit(0).cast("long")).alias(
+            "n_dup_positions"
+        ),
+        F.round(
+            F.coalesce(F.col("n_dup_positions"), F.lit(0).cast("long"))
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("dup_coverage"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment pairs: |A∩B| / |A| (and / |B|) over the same
+# capped shingle inverted index as ngram-Jaccard. Jaccard misses the
+# "small doc quoted inside a big doc" case (the union term drowns it);
+# containment is the standard fix (Broder's resemblance/containment
+# pair). Same scale shape as dedup_ngram_jaccard: candidates only ever
+# come from df≤cap inverted-index lists, never a pair join.
+# ---------------------------------------------------------------------------
+
+_CONTAIN_THRESHOLD = 0.5
+
+_CONTAIN_SQL = (
+    _SHINGLES_SQL
+    + f""",
+hashed AS (
+    SELECT doc_id, {sql_hash60('shingle')} AS sh FROM shingled
+),
+df AS (
+    SELECT sh FROM hashed GROUP BY sh HAVING COUNT(*) <= {_MAX_DF}
+),
+filtered AS (
+    SELECT h.doc_id, h.sh FROM hashed h JOIN df USING (sh)
+),
+sizes AS (
+    SELECT doc_id, COUNT(*) AS n_shingles FROM filtered GROUP BY doc_id
+),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM filtered a JOIN filtered b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b, n_common,
+       ROUND(CAST(n_common AS DOUBLE) / sa.n_shingles, 6) AS containment_a,
+       ROUND(CAST(n_common AS DOUBLE) / sb.n_shingles, 6) AS containment_b
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / sa.n_shingles >= {_CONTAIN_THRESHOLD}
+   OR CAST(n_common AS DOUBLE) / sb.n_shingles >= {_CONTAIN_THRESHOLD}
+"""
+)
+
+
+@register("dedup_containment_pairs", oracle=_CONTAIN_SQL)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs where either direction of shingle-set containment ≥ 0.5."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = session_cache(_hashed_shingles(docs))
+    ok = (
+        shingled.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _MAX_DF)
+        .select("sh")
+    )
+    kept = session_cache(shingled.join(ok, "sh", "left_semi"))
+    lists = kept.groupBy("sh").agg(F.collect_list("doc_id").alias("ds"))
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    pair_structs = F.expr(
+        """
+        filter(
+          flatten(transform(ds, a -> transform(ds, b -> struct(a AS doc_a, b AS doc_b)))),
+          p -> p.doc_a < p.doc_b)
+        """
+    )
+    pairs = (
+        lists.filter(F.size("ds") > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    ca = F.col("n_common").cast("double") / F.col("sa.n_shingles")
+    cb = F.col("n_common").cast("double") / F.col("sb.n_shingles")
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter((ca >= _CONTAIN_THRESHOLD) | (cb >= _CONTAIN_THRESHOLD))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.round(ca, 6).alias("containment_a"),
+            F.round(cb, 6).alias("containment_b"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Longest common token run per near-dup pair: distributed
+# longest-common-substring over positional K-grams. Two positions match
+# when their K-token spans hash equal; consecutive matches lie on the
+# same DIAGONAL (pos_a - pos_b), so the longest shared substring is the
+# longest consecutive island per (pair, diagonal) — a gaps-and-islands
+# window over many tiny groups, fully parallel. Candidates come from
+# span hashes shared by 2..cap docs, with a per-(doc, hash) position cap
+# so self-repetitive text ("a a a a ...") cannot go quadratic.
+# ---------------------------------------------------------------------------
+
+_MAX_POS_PER_DOC = 20
+
+_LCS_SQL = rf"""
+WITH tok AS (
+    SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS toks FROM documents
+),
+spans AS (
+    SELECT doc_id, pos,
+           {sql_hash60(f"array_to_string(toks[pos:pos+{_SPAN_K - 1}], ' ')")} AS h
+    FROM (
+        SELECT doc_id, toks,
+               UNNEST(range(1, GREATEST(LENGTH(toks) - {_SPAN_K - 1}, 0) + 1)) AS pos
+        FROM tok
+    )
+),
+capped AS (
+    SELECT doc_id, pos, h FROM spans
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id, h ORDER BY pos) <= {_MAX_POS_PER_DOC}
+),
+okh AS (
+    SELECT h FROM (SELECT DISTINCT h, doc_id FROM capped)
+    GROUP BY h HAVING COUNT(*) BETWEEN 2 AND {_MAX_DF}
+),
+kept AS (
+    SELECT c.doc_id, c.pos, c.h FROM capped c JOIN okh USING (h)
+),
+matches AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b
+    FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+),
+isl AS (
+    SELECT doc_a, doc_b, pos_a - pos_b AS d, pos_a,
+           pos_a - ROW_NUMBER() OVER (
+               PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a
+           ) AS grp
+    FROM matches
+),
+runs AS (
+    SELECT doc_a, doc_b, COUNT(*) AS run FROM isl GROUP BY doc_a, doc_b, d, grp
+),
+best AS (
+    SELECT doc_a, doc_b, MAX(run) AS max_run FROM runs GROUP BY doc_a, doc_b
+),
+pairstats AS (
+    SELECT doc_a, doc_b, COUNT(*) AS n_shared_spans FROM matches GROUP BY doc_a, doc_b
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(b.max_run + {_SPAN_K - 1} AS BIGINT) AS longest_common_tokens,
+       p.n_shared_spans
+FROM pairstats p JOIN best b USING (doc_a, doc_b)
+"""
+
+
+@register("dedup_longest_common_run", oracle=_LCS_SQL)
+def dedup_longest_common_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = F.size(toks)
+    idx = F.when(n >= _SPAN_K, F.sequence(F.lit(1), n - (_SPAN_K - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    hashes = F.transform(
+        idx, lambda i: hash60(F.concat_ws(" ", F.slice(toks, i, _SPAN_K)))
+    )
+    spans = spread(docs).select(
+        "doc_id", F.posexplode(hashes).alias("pos0", "h")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    # Per-(doc, hash) position cap: row-count window over tiny groups.
+    wcap = Window.partitionBy("doc_id", "h").orderBy("pos")
+    capped = session_cache(
+        spans.withColumn("rp", F.row_number().over(wcap))
+        .filter(F.col("rp") <= _MAX_POS_PER_DOC)
+        .drop("rp")
+    )
+    okh = (
+        capped.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= _MAX_DF))
+        .select("h")
+    )
+    # Row-local pair generation from per-hash (doc,pos) lists — list
+    # size is bounded by cap(df) × cap(positions), so one shuffle
+    # replaces the self-join.
+    lists = (
+        capped.join(okh, "h", "left_semi")
+        .groupBy("h")
+        .agg(F.collect_list(F.struct("doc_id", "pos")).alias("ds"))
+    )
+    pair_structs = F.expr(
+        """
+        filter(
+          flatten(transform(ds, a -> transform(ds, b ->
+            struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.pos AS pos_a, b.pos AS pos_b)))),
+          p -> p.doc_a < p.doc_b)
+        """
+    )
+    matches = session_cache(
+        lists.select(F.explode(pair_structs).alias("p")).select(
+            "p.doc_a", "p.doc_b", "p.pos_a", "p.pos_b"
+        )
+    )
+    d = (F.col("pos_a") - F.col("pos_b")).alias("d")
+    wisl = Window.partitionBy("doc_a", "doc_b", "d").orderBy("pos_a")
+    runs = (
+        matches.select("doc_a", "doc_b", d, "pos_a")
+        .withColumn("grp", F.col("pos_a") - F.row_number().over(wisl))
+        .groupBy("doc_a", "doc_b", "d", "grp")
+        .agg(F.count(F.lit(1)).alias("run"))
+    )
+    best = runs.groupBy("doc_a", "doc_b").agg(
+        (F.max("run") + (_SPAN_K - 1)).cast("long").alias("longest_common_tokens")
+    )
+    pairstats = matches.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("n_shared_spans")
+    )
+    return pairstats.join(best, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "longest_common_tokens", "n_shared_spans"
+    )
