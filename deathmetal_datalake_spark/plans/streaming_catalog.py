@@ -758,3 +758,141 @@ def streaming_interval_join_full_outer_replay(
     )
     out = _drain(joined, scratch, "append")
     return out.filter(F.col("user_id") >= 0)
+
+
+# ---------------------------------------------------------------------------
+# RECORD TRANSPORT REPLAY (streaming/transport.py): the Kinesis-analog
+# ingest edge driven end-to-end — a driver-side producer put_record()s
+# every event row (partition key = user_id, 4 shards), the
+# ``record_feed`` Python Data Source tails the shard logs, and TWO
+# checkpointed drains around a second production round prove
+# incremental offsets + exactly-once delivery. The oracle recomputes
+# shard routing (md5-based, the engine's portable hash60 convention)
+# and per-shard sequence numbers from the batch table: exact equality
+# means routing, ordering, and delivery all match the contract.
+# order_violations counts records whose payload event_id goes backward
+# along a shard's sequence — the producer emits in event_id order, so
+# any reordering in the transport would make it nonzero; the oracle
+# pins it at 0.
+# ---------------------------------------------------------------------------
+
+_TRANSPORT_N_SHARDS = 4
+_TRANSPORT_MAX_ID = 2000
+_TRANSPORT_SPLIT_ID = 1000
+
+_TRANSPORT_SQL = f"""
+WITH produced AS (
+    SELECT event_id, user_id, event_type, value,
+           {sql_hash60("CAST(user_id AS VARCHAR)")} % {_TRANSPORT_N_SHARDS} AS shard_id,
+           CASE WHEN event_id < {_TRANSPORT_SPLIT_ID} THEN 1 ELSE 2 END AS run
+    FROM events WHERE event_id < {_TRANSPORT_MAX_ID}
+),
+seqd AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY shard_id ORDER BY event_id) - 1 AS seq
+    FROM produced
+)
+SELECT run, shard_id,
+       COUNT(*) AS n_records,
+       COUNT(DISTINCT user_id) AS n_users,
+       {sql_dsum("value", "total_value")},
+       MAX(seq) AS max_seq,
+       CAST(0 AS BIGINT) AS order_violations
+FROM seqd GROUP BY run, shard_id
+"""
+
+
+@register("streaming_transport_replay", oracle=_TRANSPORT_SQL)
+def streaming_transport_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from deathmetal_datalake_spark.plans.registry import session_cache
+    from deathmetal_datalake_spark.streaming.transport import (
+        RECORD_FEED_SCHEMA,
+        RecordStreamTransport,
+        register_record_feed,
+    )
+
+    register_record_feed(spark)
+    ev = load_table(spark, sf_dir, "events")
+    rows = (
+        ev.filter(F.col("event_id") < _TRANSPORT_MAX_ID)
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+        .collect()
+    )
+    import shutil
+
+    scratch = tempfile.mkdtemp(prefix="dml-transport-")
+    try:
+        transport = RecordStreamTransport(os.path.join(scratch, "streams"))
+        stream_dir = transport.create_stream("events", n_shards=_TRANSPORT_N_SHARDS)
+        sink = os.path.join(scratch, "sink")
+        ckpt = os.path.join(scratch, "ckpt")
+
+        def produce(lo: int, hi: int) -> None:
+            # The reference's producer is a driver-side boto3 loop
+            # (flows/landing.py:27-53); same shape here.
+            for r in rows:
+                if lo <= r.event_id < hi:
+                    transport.put_record(
+                        "events",
+                        str(r.user_id),
+                        f"{r.event_id},{r.user_id},{r.event_type},{r.value:.2f}",
+                    )
+
+        def drain() -> None:
+            q = (
+                spark.readStream.format("record_feed")
+                .schema(RECORD_FEED_SCHEMA)
+                .option("path", stream_dir)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+
+        produce(0, _TRANSPORT_SPLIT_ID)
+        drain()
+        produce(_TRANSPORT_SPLIT_ID, _TRANSPORT_MAX_ID)
+        drain()  # same checkpoint: only the second round's bytes
+
+        f = F.split(F.col("data"), ",")
+        parsed = session_cache(
+            spark.read.parquet(sink).select(
+                "shard_id",
+                "seq",
+                f.getItem(0).cast("long").alias("event_id"),
+                f.getItem(1).cast("long").alias("user_id"),
+                f.getItem(2).alias("event_type"),
+                f.getItem(3).cast("decimal(18,6)").alias("value"),
+            )
+        )
+        w = Window.partitionBy("shard_id").orderBy("seq")
+        out = (
+            parsed.withColumn("prev_id", F.lag("event_id").over(w))
+            .withColumn(
+                "run",
+                F.when(F.col("event_id") < _TRANSPORT_SPLIT_ID, 1)
+                .otherwise(2)
+                .cast("int"),
+            )
+            .groupBy("run", "shard_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_records"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.sum("value").cast("double").alias("total_value"),
+                F.max("seq").alias("max_seq"),
+                F.sum(
+                    F.when(F.col("prev_id") > F.col("event_id"), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("order_violations"),
+            )
+        )
+        collected = out.collect()
+        return spark.createDataFrame(collected, schema=out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
