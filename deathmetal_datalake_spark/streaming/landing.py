@@ -164,3 +164,59 @@ def stream_rate_to_bronze(
         .trigger(processingTime="1 second")
         .start()
     )
+
+
+def stream_records_to_bronze(
+    spark: SparkSession,
+    stream_dir: str,
+    columns: list[str],
+    bronze_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    trigger_seconds: int = 60,
+) -> StreamingQuery:
+    """Chunked-CSV records from the RECORD TRANSPORT → bronze parquet:
+    the reference's full ingest edge (producer `put_record` of 900 KB
+    header-re-attached CSV chunks, `flows/landing.py:27-53`, delivered
+    by micro-batch, `infra/main.tf:66-124`) as ONE streaming query over
+    the ``record_feed`` source.
+
+    Each record payload is a standalone CSV chunk; the query explodes
+    chunk lines, drops the re-attached header per chunk (operator P11's
+    embedded-header filter applied at the ingest edge), parses columns
+    positionally with ``from_csv``, and appends to a checkpointed
+    bronze sink — exactly-once across restarts, no polling loop.
+    All transformations are built-in expressions: the chunk unpacking
+    runs inside whole-stage codegen, so at scale the cost is the scan.
+    """
+    from deathmetal_datalake_spark.streaming.transport import (
+        RECORD_FEED_SCHEMA,
+        register_record_feed,
+    )
+
+    register_record_feed(spark)
+    raw = (
+        spark.readStream.format("record_feed")
+        .schema(RECORD_FEED_SCHEMA)
+        .option("path", stream_dir)
+        .load()
+    )
+    header = ",".join(columns)
+    ddl = ", ".join(f"`{c}` STRING" for c in columns)
+    rows = (
+        raw.select(F.explode(F.split(F.col("data"), "\n")).alias("line"))
+        .filter((F.col("line") != header) & (F.length("line") > 0))
+        .select(F.from_csv(F.col("line"), ddl).alias("r"))
+        .select("r.*")
+    )
+    writer = (
+        rows.writeStream.format("parquet")
+        .option("path", bronze_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -142,3 +142,30 @@ def test_checkpoint_restart_resumes_without_redelivery(spark, transport, tmp_pat
     got = sorted(r.data for r in spark.read.parquet(sink).collect())
     expect = sorted([f"first-{i}" for i in range(10)] + [f"second-{i}" for i in range(10)])
     assert got == expect
+
+
+def test_chunked_csv_through_transport_to_bronze(spark, transport, tmp_path):
+    # The reference's full ingest edge: chunked CSV put_record -> shard
+    # log -> streaming parse -> bronze parquet, equal to a batch read
+    # of the original CSV.
+    import csv as csvmod
+
+    from deathmetal_datalake_spark.streaming.landing import stream_records_to_bronze
+
+    src = tmp_path / "reviews.csv"
+    with open(src, "w", newline="") as f:
+        w = csvmod.writer(f)
+        w.writerow(["id", "album", "title"])
+        for i in range(1, 501):
+            w.writerow([i, i % 50, f"Review {i}"])
+    d = transport.create_stream("landing", n_shards=2)
+    transport.put_csv_in_chunks("landing", "reviews", src.read_text(), max_bytes=2048)
+    bronze = str(tmp_path / "bronze")
+    q = stream_records_to_bronze(
+        spark, d, ["id", "album", "title"], bronze, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(bronze)
+    expect = spark.read.option("header", True).csv(str(src))
+    assert got.count() == 500
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
