@@ -34,6 +34,9 @@ NAMES = [
     "corpus_curation_funnel",
     "multimodal_pooled_embeddings",
     "embedding_dim_correlation",
+    "dedup_exact_substring",
+    "dedup_containment_pairs",
+    "dedup_longest_common_run",
 ]
 
 _DETAIL_PREFIXES = (
