@@ -117,10 +117,10 @@ shingled AS (
 # on shingle-set sizes; top-3 most similar neighbors per document.
 # ---------------------------------------------------------------------------
 
-_JACCARD_SQL = (
-    _SHINGLES_SQL
-    + f""",
-hashed AS (
+# Shared CTE block: df-capped shingle inverted index → per-doc set
+# sizes + per-pair intersection counts. Consumed by both the Jaccard
+# and the containment oracles (single source for the hot-key guard).
+_PAIR_CTES = f"""hashed AS (
     SELECT doc_id, {sql_hash60('shingle')} AS sh FROM shingled
 ),
 df AS (
@@ -136,7 +136,13 @@ pairs AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
     FROM filtered a JOIN filtered b ON a.sh = b.sh AND a.doc_id < b.doc_id
     GROUP BY doc_a, doc_b
-),
+)"""
+
+_JACCARD_SQL = (
+    _SHINGLES_SQL
+    + ",\n"
+    + _PAIR_CTES
+    + """,
 scored AS (
     SELECT doc_a, doc_b, n_common,
            ROUND(CAST(n_common AS DOUBLE) /
@@ -155,31 +161,37 @@ SELECT doc_a, doc_b, n_common, jaccard FROM ranked WHERE rn <= 3
 )
 
 
-@register("dedup_ngram_jaccard", oracle=_JACCARD_SQL)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    # Inverted index as per-shingle doc lists (one groupBy on the 60-bit
-    # shingle hash); candidate pairs are generated row-locally from each
-    # list instead of a self-join — one shuffle replaces two, measured
-    # ~15% faster at sf0.1 with identical pair sets.
-    # Cached: consumed by the df-count branch, the semi-join probe, and
-    # (via kept) the sizes branch — without it the expensive explode+md5
-    # shingle pipeline re-executes per consumer.
+def _capped_pair_counts(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(pairs, sizes) over the df-capped shingle inverted index — the
+    shared engine of the Jaccard and containment queries (mirrors the
+    oracle-side ``_PAIR_CTES`` exactly).
+
+    Inverted index as per-shingle doc lists (one groupBy on the 60-bit
+    shingle hash); candidate pairs are generated row-locally from each
+    list instead of a self-join — one shuffle replaces two, measured
+    ~15% faster at sf0.1 with identical pair sets.
+
+    Two-phase hot-key guard: count df per shingle FIRST (count(*) is a
+    constant-size aggregation buffer), keep only df ≤ cap keys via
+    semi-join, and only THEN collect_list. Collecting before filtering
+    would materialize a stop-shingle's full ~n_docs list in a single
+    reducer buffer at 100 TB — the filter never gets to run. Mirrors
+    the oracle's HAVING COUNT(*) <= cap → join shape exactly.
+
+    Caches: ``shingled`` (consumed by the df-count branch and the
+    semi-join probe) and ``kept`` (consumed by the lists and sizes
+    branches) — without them the expensive explode+md5 shingle
+    pipeline re-executes per consumer.
+    """
     shingled = session_cache(_hashed_shingles(docs))
-    # Two-phase hot-key guard: count df per shingle FIRST (count(*) is a
-    # constant-size aggregation buffer), keep only df ≤ cap keys via
-    # semi-join, and only THEN collect_list. Collecting before filtering
-    # would materialize a stop-shingle's full ~n_docs list in a single
-    # reducer buffer at 100 TB — the filter never gets to run. Mirrors
-    # the oracle's HAVING COUNT(*) <= cap → join shape exactly.
     ok = (
         shingled.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= _MAX_DF)
         .select("sh")
     )
-    kept = shingled.join(ok, "sh", "left_semi")
-    lists = session_cache(kept.groupBy("sh").agg(F.collect_list("doc_id").alias("ds")))
+    kept = session_cache(shingled.join(ok, "sh", "left_semi"))
+    lists = kept.groupBy("sh").agg(F.collect_list("doc_id").alias("ds"))
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     pair_structs = F.expr(
         """
@@ -194,6 +206,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    return pairs, sizes
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs, sizes = _capped_pair_counts(docs)
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     scored = (
@@ -1483,15 +1502,11 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPAN_K = 8
 
-_EXACT_SUBSTR_SQL = rf"""
-WITH tok AS (
+# Shared CTE block: tokenized docs → positional K-gram hashes
+# (doc_id, pos, h). Consumed by both span-family oracles; the Spark
+# twin is ``_span_hashes``.
+_SPAN_CTES = rf"""tok AS (
     SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS toks FROM documents
-),
-base AS (
-    SELECT doc_id,
-           LENGTH(toks) AS n_tokens,
-           GREATEST(LENGTH(toks) - {_SPAN_K - 1}, 0) AS n_spans
-    FROM tok
 ),
 spans AS (
     SELECT doc_id, pos,
@@ -1501,6 +1516,38 @@ spans AS (
                UNNEST(range(1, GREATEST(LENGTH(toks) - {_SPAN_K - 1}, 0) + 1)) AS pos
         FROM tok
     )
+)"""
+
+
+def _span_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, h): positional K-gram hashes, one row per span —
+    the Spark twin of ``_SPAN_CTES``. Empty for docs shorter than K
+    (the WHEN guard keeps ``sequence()`` from producing a descending
+    range). Map-only: row-local higher-order functions, no shuffle."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = F.size(toks)
+    idx = F.when(n >= _SPAN_K, F.sequence(F.lit(1), n - (_SPAN_K - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    hashes = F.transform(
+        idx, lambda i: hash60(F.concat_ws(" ", F.slice(toks, i, _SPAN_K)))
+    )
+    return (
+        spread(docs)
+        .select("doc_id", F.posexplode(hashes).alias("pos0", "h"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    )
+
+
+_EXACT_SUBSTR_SQL = (
+    "WITH "
+    + _SPAN_CTES
+    + f""",
+base AS (
+    SELECT doc_id,
+           LENGTH(toks) AS n_tokens,
+           GREATEST(LENGTH(toks) - {_SPAN_K - 1}, 0) AS n_spans
+    FROM tok
 ),
 shared AS (
     SELECT h FROM (SELECT DISTINCT h, doc_id FROM spans)
@@ -1527,6 +1574,7 @@ SELECT b.doc_id,
            AS dup_coverage
 FROM base b LEFT JOIN cov c USING (doc_id)
 """
+)
 
 
 @register("dedup_exact_substring", oracle=_EXACT_SUBSTR_SQL)
@@ -1539,18 +1587,7 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n_tokens"),
         F.greatest(n - (_SPAN_K - 1), F.lit(0)).cast("long").alias("n_spans"),
     )
-    # Positional K-gram hashes, one array per document (empty when the
-    # document is shorter than K — the WHEN guard keeps sequence() from
-    # producing a descending range).
-    idx = F.when(n >= _SPAN_K, F.sequence(F.lit(1), n - (_SPAN_K - 1))).otherwise(
-        F.array().cast("array<int>")
-    )
-    hashes = F.transform(
-        idx, lambda i: hash60(F.concat_ws(" ", F.slice(toks, i, _SPAN_K)))
-    )
-    spans = spread(docs).select(
-        "doc_id", F.posexplode(hashes).alias("pos0", "h")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    spans = _span_hashes(docs)
     # Shared-span keys: ONE aggregation over (h, doc_id) — the per-key
     # cost of a hot span is linear in its document frequency.
     shared = (
@@ -1608,24 +1645,9 @@ _CONTAIN_THRESHOLD = 0.5
 
 _CONTAIN_SQL = (
     _SHINGLES_SQL
-    + f""",
-hashed AS (
-    SELECT doc_id, {sql_hash60('shingle')} AS sh FROM shingled
-),
-df AS (
-    SELECT sh FROM hashed GROUP BY sh HAVING COUNT(*) <= {_MAX_DF}
-),
-filtered AS (
-    SELECT h.doc_id, h.sh FROM hashed h JOIN df USING (sh)
-),
-sizes AS (
-    SELECT doc_id, COUNT(*) AS n_shingles FROM filtered GROUP BY doc_id
-),
-pairs AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-    FROM filtered a JOIN filtered b ON a.sh = b.sh AND a.doc_id < b.doc_id
-    GROUP BY doc_a, doc_b
-)
+    + ",\n"
+    + _PAIR_CTES
+    + f"""
 SELECT doc_a, doc_b, n_common,
        ROUND(CAST(n_common AS DOUBLE) / sa.n_shingles, 6) AS containment_a,
        ROUND(CAST(n_common AS DOUBLE) / sb.n_shingles, 6) AS containment_b
@@ -1642,29 +1664,7 @@ WHERE CAST(n_common AS DOUBLE) / sa.n_shingles >= {_CONTAIN_THRESHOLD}
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs where either direction of shingle-set containment ≥ 0.5."""
     docs = load_table(spark, sf_dir, "documents")
-    shingled = session_cache(_hashed_shingles(docs))
-    ok = (
-        shingled.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= _MAX_DF)
-        .select("sh")
-    )
-    kept = session_cache(shingled.join(ok, "sh", "left_semi"))
-    lists = kept.groupBy("sh").agg(F.collect_list("doc_id").alias("ds"))
-    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    pair_structs = F.expr(
-        """
-        filter(
-          flatten(transform(ds, a -> transform(ds, b -> struct(a AS doc_a, b AS doc_b)))),
-          p -> p.doc_a < p.doc_b)
-        """
-    )
-    pairs = (
-        lists.filter(F.size("ds") > 1)
-        .select(F.explode(pair_structs).alias("p"))
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    pairs, sizes = _capped_pair_counts(docs)
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     ca = F.col("n_common").cast("double") / F.col("sa.n_shingles")
@@ -1696,19 +1696,10 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MAX_POS_PER_DOC = 20
 
-_LCS_SQL = rf"""
-WITH tok AS (
-    SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS toks FROM documents
-),
-spans AS (
-    SELECT doc_id, pos,
-           {sql_hash60(f"array_to_string(toks[pos:pos+{_SPAN_K - 1}], ' ')")} AS h
-    FROM (
-        SELECT doc_id, toks,
-               UNNEST(range(1, GREATEST(LENGTH(toks) - {_SPAN_K - 1}, 0) + 1)) AS pos
-        FROM tok
-    )
-),
+_LCS_SQL = (
+    "WITH "
+    + _SPAN_CTES
+    + f""",
 capped AS (
     SELECT doc_id, pos, h FROM spans
     QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id, h ORDER BY pos) <= {_MAX_POS_PER_DOC}
@@ -1745,6 +1736,7 @@ SELECT p.doc_a, p.doc_b,
        p.n_shared_spans
 FROM pairstats p JOIN best b USING (doc_a, doc_b)
 """
+)
 
 
 @register("dedup_longest_common_run", oracle=_LCS_SQL)
@@ -1752,17 +1744,7 @@ def dedup_longest_common_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    n = F.size(toks)
-    idx = F.when(n >= _SPAN_K, F.sequence(F.lit(1), n - (_SPAN_K - 1))).otherwise(
-        F.array().cast("array<int>")
-    )
-    hashes = F.transform(
-        idx, lambda i: hash60(F.concat_ws(" ", F.slice(toks, i, _SPAN_K)))
-    )
-    spans = spread(docs).select(
-        "doc_id", F.posexplode(hashes).alias("pos0", "h")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    spans = _span_hashes(docs)
     # Per-(doc, hash) position cap: row-count window over tiny groups.
     wcap = Window.partitionBy("doc_id", "h").orderBy("pos")
     capped = session_cache(

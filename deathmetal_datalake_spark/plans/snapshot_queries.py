@@ -412,7 +412,9 @@ def streaming_snapshot_feed_replay(spark: SparkSession, sf_dir: str) -> DataFram
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(300)
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError("feed drain did not finish within 300 s")
 
         tbl.write(orders.filter(F.col("o_orderstatus") == "F"), "append")
         tbl.write(orders.filter(F.col("o_orderstatus") == "O"), "append")
@@ -515,7 +517,9 @@ def streaming_ivm_status_mart_replay(spark: SparkSession, sf_dir: str) -> DataFr
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(300)
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError("feed drain did not finish within 300 s")
 
         steps = []
         for i, status_filter in enumerate(
@@ -680,7 +684,9 @@ def streaming_cdc_feed_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(300)
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError("feed drain did not finish within 300 s")
 
         tbl.write(orders.filter(F.col("o_orderstatus") == "F"), "append")
         tbl.write(orders.filter(F.col("o_orderstatus") == "O"), "append")
@@ -793,7 +799,9 @@ def streaming_cdc_replica_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("feed drain did not finish within 300 s")
         out = replica.read()
         rows = out.collect()
         return spark.createDataFrame(rows, schema=out.schema)

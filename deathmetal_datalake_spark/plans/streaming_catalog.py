@@ -805,7 +805,6 @@ FROM seqd GROUP BY run, shard_id
 def streaming_transport_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from deathmetal_datalake_spark.plans.registry import session_cache
     from deathmetal_datalake_spark.streaming.transport import (
         RECORD_FEED_SCHEMA,
         RecordStreamTransport,
@@ -852,7 +851,11 @@ def streaming_transport_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(300)
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError(
+                    "transport replay drain did not finish within 300 s"
+                )
 
         produce(0, _TRANSPORT_SPLIT_ID)
         drain()
@@ -860,15 +863,16 @@ def streaming_transport_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         drain()  # same checkpoint: only the second round's bytes
 
         f = F.split(F.col("data"), ",")
-        parsed = session_cache(
-            spark.read.parquet(sink).select(
-                "shard_id",
-                "seq",
-                f.getItem(0).cast("long").alias("event_id"),
-                f.getItem(1).cast("long").alias("user_id"),
-                f.getItem(2).alias("event_type"),
-                f.getItem(3).cast("decimal(18,6)").alias("value"),
-            )
+        # No cache: this subplan feeds exactly one action (the final
+        # collect), so caching would cost a materialization for zero
+        # reuse.
+        parsed = spark.read.parquet(sink).select(
+            "shard_id",
+            "seq",
+            f.getItem(0).cast("long").alias("event_id"),
+            f.getItem(1).cast("long").alias("user_id"),
+            f.getItem(2).alias("event_type"),
+            f.getItem(3).cast("decimal(18,6)").alias("value"),
         )
         w = Window.partitionBy("shard_id").orderBy("seq")
         out = (

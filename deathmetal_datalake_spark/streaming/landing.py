@@ -172,6 +172,7 @@ def stream_records_to_bronze(
     columns: list[str],
     bronze_dir: str,
     checkpoint_dir: str,
+    errors_dir: str | None = None,
     available_now: bool = True,
     trigger_seconds: int = 60,
 ) -> StreamingQuery:
@@ -181,11 +182,14 @@ def stream_records_to_bronze(
     by micro-batch, `infra/main.tf:66-124`) as ONE streaming query over
     the ``record_feed`` source.
 
-    Each record payload is a standalone CSV chunk; the query explodes
-    chunk lines, drops the re-attached header per chunk (operator P11's
-    embedded-header filter applied at the ingest edge), parses columns
-    positionally with ``from_csv``, and appends to a checkpointed
-    bronze sink — exactly-once across restarts, no polling loop.
+    Each record payload is a standalone CSV chunk; the query strips the
+    re-attached header POSITIONALLY (always line 1 of a chunk — a data
+    row whose text happens to equal the header survives), explodes the
+    remaining lines, parses columns with ``from_csv`` in PERMISSIVE
+    mode, and appends to a checkpointed bronze sink — exactly-once
+    across restarts, no polling loop. Unparseable lines go to
+    ``errors_dir`` (the Firehose error-prefix analog, same channel as
+    ``stream_landing_to_bronze``) when given, else are dropped.
     All transformations are built-in expressions: the chunk unpacking
     runs inside whole-stage codegen, so at scale the cost is the scan.
     """
@@ -201,20 +205,46 @@ def stream_records_to_bronze(
         .option("path", stream_dir)
         .load()
     )
-    header = ",".join(columns)
-    ddl = ", ".join(f"`{c}` STRING" for c in columns)
-    rows = (
-        raw.select(F.explode(F.split(F.col("data"), "\n")).alias("line"))
-        .filter((F.col("line") != header) & (F.length("line") > 0))
-        .select(F.from_csv(F.col("line"), ddl).alias("r"))
+    ddl = ", ".join(f"`{c}` STRING" for c in columns) + ", `_corrupt_record` STRING"
+    lines = F.split(F.col("data"), "\n")
+    body = F.slice(lines, 2, F.greatest(F.size(lines) - 1, F.lit(0)))
+    parsed = (
+        raw.select(F.explode(body).alias("line"))
+        .filter(F.length("line") > 0)
+        .select(
+            "line",
+            F.from_csv(
+                F.col("line"),
+                ddl,
+                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+            ).alias("r"),
+        )
+    )
+    good = (
+        parsed.filter(F.col("r._corrupt_record").isNull())
         .select("r.*")
+        .drop("_corrupt_record")
     )
-    writer = (
-        rows.writeStream.format("parquet")
-        .option("path", bronze_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-    )
+    if errors_dir is not None:
+
+        def _sink(batch_df, batch_id: int) -> None:
+            batch_df.filter(F.col("r._corrupt_record").isNull()).select("r.*").drop(
+                "_corrupt_record"
+            ).write.mode("append").parquet(bronze_dir)
+            bad = batch_df.filter(F.col("r._corrupt_record").isNotNull())
+            if not bad.isEmpty():
+                bad.select("line").write.mode("append").json(errors_dir)
+
+        writer = parsed.writeStream.foreachBatch(_sink).option(
+            "checkpointLocation", checkpoint_dir
+        )
+    else:
+        writer = (
+            good.writeStream.format("parquet")
+            .option("path", bronze_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+        )
     if available_now:
         writer = writer.trigger(availableNow=True)
     else:

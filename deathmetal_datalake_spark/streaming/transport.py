@@ -17,18 +17,19 @@ Spark-first design:
   ``create_stream(name, n_shards)`` + ``put_record(stream, pk, data)``.
   A record lands in shard ``md5_60bit(pk) % n_shards`` (Kinesis routes
   by MD5 of the partition key too), gets a per-shard monotonically
-  increasing sequence number, and is framed as one JSON line appended
-  with a single ``O_APPEND`` write — POSIX guarantees line atomicity,
-  so concurrent producers never interleave bytes.
+  increasing sequence number, and is framed as one JSON line whose
+  append runs under an advisory ``flock`` on the shard file — the lock
+  serializes concurrent producers (no interleaved bytes, no duplicate
+  sequence numbers) on any filesystem with working POSIX locks.
 - ``record_feed`` is a PySpark Python Data Source
   (``pyspark.sql.datasource``) whose offsets are **per-shard byte
   lengths**: ``latestOffset`` is an ``os.path.getsize`` per shard
   (O(1), no scan — the property that makes a hot stream tailable), a
   micro-batch is the byte range (start, end] of each shard, and one
   input partition per shard preserves Kinesis's per-shard ordering
-  guarantee inside every batch. Because appends are line-atomic and
-  the producer flushes per record, a size snapshot always lands on a
-  record boundary.
+  guarantee inside every batch. Because appends are flock-serialized
+  whole-line writes flushed per record, a size snapshot always lands
+  on a record boundary.
 - Exactly-once: offsets live in the sink checkpoint; replaying a byte
   range re-reads identical bytes (the log is append-only), so a
   restarted query re-delivers exactly the unacknowledged records.
@@ -41,6 +42,7 @@ per chunk, ``flows/landing.py:37-47``) is provided as
 
 from __future__ import annotations
 
+import fcntl
 import hashlib
 import json
 import os
@@ -83,8 +85,11 @@ class RecordStreamTransport:
         self.root = root
         os.makedirs(root, exist_ok=True)
         # Per-(stream, shard) next sequence number, lazily recovered
-        # from the log so a restarted producer continues the series.
+        # from the log so a restarted producer continues the series;
+        # _expected_size detects concurrent producers (see put_record).
         self._next_seq: dict[tuple[str, int], int] = {}
+        self._expected_size: dict[tuple[str, int], int] = {}
+        self._stream_shards: dict[str, int] = {}
 
     # -- stream admin ------------------------------------------------------
 
@@ -118,27 +123,41 @@ class RecordStreamTransport:
 
     def put_record(self, stream: str, partition_key: str, data: str) -> tuple[int, int]:
         """Append one record; returns (shard_id, seq) like Kinesis's
-        (ShardId, SequenceNumber) response."""
-        stream_dir = os.path.join(self.root, stream)
-        shard = shard_for_key(partition_key, self.n_shards(stream))
-        path = _shard_path(stream_dir, shard)
+        (ShardId, SequenceNumber) response.
+
+        The append is serialized with an advisory ``flock`` on the shard
+        file, and the cached next-seq is re-recovered whenever another
+        producer grew the file since our last append (detected by file
+        size) — so (shard, seq) pairs stay unique and monotonic even
+        with concurrent producer instances. The lock also makes the
+        write a single critical section, so the per-record line is
+        never interleaved regardless of record size. Assumes a
+        filesystem with working POSIX advisory locks (local disk; NFS
+        needs lockd) — the same assumption the checkpoint sink makes.
+        """
+        if stream not in self._stream_shards:
+            self._stream_shards[stream] = self.n_shards(stream)
+        shard = shard_for_key(partition_key, self._stream_shards[stream])
+        path = _shard_path(os.path.join(self.root, stream), shard)
         key = (stream, shard)
-        if key not in self._next_seq:
-            self._next_seq[key] = self._recover_seq(path)
-        seq = self._next_seq[key]
-        line = (
-            json.dumps(
-                {"seq": seq, "pk": partition_key, "data": data},
-                separators=(",", ":"),
-            )
-            + "\n"
-        )
-        # One write(2) to an O_APPEND fd: atomic line, even with
-        # concurrent producers on the same shard (their seqs may
-        # interleave; per-producer order within a shard still holds).
         with open(path, "a", encoding="utf-8") as f:
+            fcntl.flock(f.fileno(), fcntl.LOCK_EX)
+            size = os.path.getsize(path)
+            if self._expected_size.get(key) != size:
+                # Another producer (or a prior instance) appended since
+                # we last looked: re-derive the next sequence number.
+                self._next_seq[key] = self._recover_seq(path)
+            seq = self._next_seq.setdefault(key, 0)
+            line = (
+                json.dumps(
+                    {"seq": seq, "pk": partition_key, "data": data},
+                    separators=(",", ":"),
+                )
+                + "\n"
+            )
             f.write(line)
             f.flush()
+            self._expected_size[key] = size + len(line.encode("utf-8"))
         self._next_seq[key] = seq + 1
         return shard, seq
 
@@ -161,15 +180,20 @@ class RecordStreamTransport:
         header, body = lines[0], lines[1:]
         out: list[tuple[int, int]] = []
         chunk: list[str] = []
-        size = len(header) + 1
+        # Byte accounting, not character counts: multibyte UTF-8 rows
+        # (the sibling file chunker, landing.chunk_csv, counts the same
+        # way) must not push a chunk past the Kinesis-style record cap.
+        hdr_bytes = len(header.encode("utf-8")) + 1
+        size = hdr_bytes
         for row in body:
-            if chunk and size + len(row) + 1 > max_bytes:
+            row_bytes = len(row.encode("utf-8")) + 1
+            if chunk and size + row_bytes > max_bytes:
                 out.append(
                     self.put_record(stream, dataset, "\n".join([header] + chunk))
                 )
-                chunk, size = [], len(header) + 1
+                chunk, size = [], hdr_bytes
             chunk.append(row)
-            size += len(row) + 1
+            size += row_bytes
         if chunk:
             out.append(self.put_record(stream, dataset, "\n".join([header] + chunk)))
         return out
@@ -196,8 +220,8 @@ class _ShardRangePartition(InputPartition):
 
 class RecordFeedStreamReader(DataSourceStreamReader):
     """Offsets are ``{"shard-0000": n_bytes, ...}`` — delivered-through
-    byte positions per shard. Appends are line-atomic, so any size
-    snapshot is a valid record boundary."""
+    byte positions per shard. Appends are flock-serialized whole-line
+    writes, so any size snapshot is a valid record boundary."""
 
     def __init__(self, schema: StructType, options: dict):
         path = options.get("path")

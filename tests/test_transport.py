@@ -164,8 +164,38 @@ def test_chunked_csv_through_transport_to_bronze(spark, transport, tmp_path):
     q = stream_records_to_bronze(
         spark, d, ["id", "album", "title"], bronze, str(tmp_path / "ckpt")
     )
-    q.awaitTermination(120)
+    q.awaitTermination()
     got = spark.read.parquet(bronze)
     expect = spark.read.option("header", True).csv(str(src))
     assert got.count() == 500
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
+
+
+def test_concurrent_producer_instances_keep_seqs_unique(tmp_path):
+    root = str(tmp_path / "streams")
+    t1 = RecordStreamTransport(root)
+    t1.create_stream("ev", n_shards=1)
+    t2 = RecordStreamTransport(root)  # second live producer, same logs
+    placements = []
+    for i in range(10):
+        placements.append(t1.put_record("ev", "k", f"a-{i}"))
+        placements.append(t2.put_record("ev", "k", f"b-{i}"))
+    seqs = [seq for _, seq in placements]
+    assert sorted(seqs) == list(range(20))  # unique AND gapless
+
+
+def test_bronze_keeps_data_row_that_equals_header(spark, transport, tmp_path):
+    # Header stripping is positional (line 1 of each chunk), so a data
+    # row whose text coincides with the header must survive to bronze.
+    from deathmetal_datalake_spark.streaming.landing import stream_records_to_bronze
+
+    d = transport.create_stream("landing", n_shards=1)
+    chunk = "id,name\n1,alpha\nid,name\n2,beta"
+    transport.put_record("landing", "tricky", chunk)
+    bronze = str(tmp_path / "bronze")
+    q = stream_records_to_bronze(
+        spark, d, ["id", "name"], bronze, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.read.parquet(bronze).collect()))
+    assert got == [("1", "alpha"), ("2", "beta"), ("id", "name")]
