@@ -916,3 +916,71 @@ def events_per_user_locf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("a_n", F.lit(0)).alias("n_events"),
         F.last("a_n", ignorenulls=True).over(w).alias("locf_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trailing z-score anomaly detection: each event's value scored against
+# its user's previous 10 events (frame EXCLUDES the current row — the
+# standard online-anomaly formulation: never score a point against
+# itself). Cross-engine determinism: the frame's sum and sum-of-squares
+# go through DECIMAL (exact for the 2-decimal fixture values), mean and
+# variance are derived from those exact sums in double, and IEEE sqrt
+# is correctly rounded — so the rounded z-scores match bit-for-bit.
+# Scale shape: one shuffle on user_id, per-user frames stream in order;
+# no self-join, no state beyond the 10-row frame.
+# ---------------------------------------------------------------------------
+
+_ZSCORE_MIN_N = 5
+
+_ZSCORE_SQL = f"""
+WITH framed AS (
+    SELECT event_id, user_id, value,
+           COUNT(*) OVER fr AS trail_n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER fr AS DOUBLE) AS s1,
+           CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+                OVER fr AS DOUBLE) AS s2
+    FROM events
+    WINDOW fr AS (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING
+    )
+)
+SELECT event_id, user_id, value, trail_n,
+       ROUND(s1 / trail_n, 6) AS trail_mean,
+       ROUND((value - s1 / trail_n)
+             / sqrt((s2 - s1 * s1 / trail_n) / (trail_n - 1)), 6) AS zscore
+FROM framed
+WHERE trail_n >= {_ZSCORE_MIN_N} AND s2 - s1 * s1 / trail_n > 0
+"""
+
+
+@register("events_trailing_zscore", oracle=_ZSCORE_SQL)
+def events_trailing_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, -1)
+    )
+    dec = F.col("value").cast("decimal(18,6)")
+    framed = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.count(F.lit(1)).over(fr).alias("trail_n"),
+        F.sum(dec).over(fr).cast("double").alias("s1"),
+        F.sum(dec * dec).over(fr).cast("double").alias("s2"),
+    )
+    n = F.col("trail_n")
+    mean = F.col("s1") / n
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - 1)
+    return framed.filter(
+        (n >= _ZSCORE_MIN_N) & (F.col("s2") - F.col("s1") * F.col("s1") / n > 0)
+    ).select(
+        "event_id",
+        "user_id",
+        "value",
+        "trail_n",
+        F.round(mean, 6).alias("trail_mean"),
+        F.round((F.col("value") - mean) / F.sqrt(var), 6).alias("zscore"),
+    )
