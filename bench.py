@@ -83,6 +83,9 @@ BENCH_QUERIES = [
     "catalog_stats_pruned_scan",
     # exact-substring (span) dedup — the Lee-et-al pass
     "dedup_exact_substring",
+    # record-transport replay + trailing-frame anomaly scoring
+    "streaming_transport_replay",
+    "events_trailing_zscore",
 ]
 
 # Queries whose full result is large; drain with a hash aggregate
@@ -99,6 +102,7 @@ _HASH_DRAIN = {
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_exact_substring",
+    "events_trailing_zscore",
     "multimodal_decode_stats",
     "contamination_ngram_overlap",
     "pack_sequences_by_lang",
