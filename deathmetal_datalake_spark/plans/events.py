@@ -984,3 +984,35 @@ def events_trailing_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean, 6).alias("trail_mean"),
         F.round((F.col("value") - mean) / F.sqrt(var), 6).alias("zscore"),
     )
+
+
+# Companion with an EXACT oracle: the HLL estimate itself is
+# engine-specific (hence rows-only above), but its accuracy CONTRACT is
+# checkable — per group, the rsd=0.01 estimate must land within ±5%
+# (~5 sigma) of the exact count. The Spark side computes both the
+# sketch and the exact distinct and emits the verdict; the oracle pins
+# the exact count and a literal TRUE, so an out-of-band sketch fails
+# the driver's hash gate. Same design as events_sampled_cardinality.
+_APPROX_ERR_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_exact,
+       TRUE AS approx_within_5pct
+FROM events GROUP BY event_type
+"""
+
+
+@register("events_approx_distinct_error", oracle=_APPROX_ERR_SQL)
+def events_approx_distinct_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("n_exact"),
+    )
+    return agg.select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("approx_users") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact")
+        ).alias("approx_within_5pct"),
+    )
