@@ -1799,3 +1799,105 @@ def dedup_longest_common_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairstats.join(best, ["doc_a", "doc_b"]).select(
         "doc_a", "doc_b", "longest_common_tokens", "n_shared_spans"
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-dedup as a CURATION FILTER: drop documents whose duplicated-span
+# token coverage exceeds 50% (the action Lee et al. take on flagged
+# spans, lifted to the document level), reporting per-language
+# retention. Composes the shared _span_hashes/_SPAN_CTES machinery; the
+# keep/drop ratio is a double computed identically by both engines from
+# exact integer counts, so the boundary is deterministic.
+# ---------------------------------------------------------------------------
+
+_SPAN_FILTER_MAX_COV = 0.5
+
+_SPAN_FILTER_SQL = (
+    "WITH "
+    + _SPAN_CTES
+    + f""",
+base AS (
+    SELECT doc_id, lang,
+           LENGTH(string_split_regex(LOWER(TRIM(text)), '\\s+')) AS n_tokens
+    FROM documents
+),
+shared AS (
+    SELECT h FROM (SELECT DISTINCT h, doc_id FROM spans)
+    GROUP BY h HAVING COUNT(*) >= 2
+),
+cov AS (
+    SELECT doc_id, COUNT(DISTINCT p) AS n_dup_positions
+    FROM (
+        SELECT s.doc_id, UNNEST(range(s.pos, s.pos + {_SPAN_K})) AS p
+        FROM spans s JOIN shared USING (h)
+    )
+    GROUP BY doc_id
+),
+flagged AS (
+    SELECT b.lang, b.n_tokens,
+           COALESCE(c.n_dup_positions, 0) / CAST(b.n_tokens AS DOUBLE)
+               <= {_SPAN_FILTER_MAX_COV} AS keep
+    FROM base b LEFT JOIN cov c USING (doc_id)
+)
+SELECT lang,
+       COUNT(*) AS n_docs_total,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+       CAST(SUM(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept,
+       ROUND(1.0 - SUM(CASE WHEN keep THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS drop_rate
+FROM flagged GROUP BY lang
+"""
+)
+
+
+@register("corpus_span_dedup_filter", oracle=_SPAN_FILTER_SQL)
+def corpus_span_dedup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    base = docs.select("doc_id", "lang", F.size(toks).cast("long").alias("n_tokens"))
+    spans = _span_hashes(docs)
+    shared = (
+        spans.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("h")
+    )
+    cov = (
+        spans.join(shared, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.size(
+                F.array_distinct(
+                    F.flatten(
+                        F.transform(
+                            F.collect_list("pos"),
+                            lambda p: F.sequence(p, p + (_SPAN_K - 1)),
+                        )
+                    )
+                )
+            )
+            .cast("long")
+            .alias("n_dup_positions")
+        )
+    )
+    keep = (
+        F.coalesce(F.col("n_dup_positions"), F.lit(0)).cast("double")
+        / F.col("n_tokens")
+        <= _SPAN_FILTER_MAX_COV
+    )
+    flagged = base.join(cov, "doc_id", "left").select("lang", "n_tokens", keep.alias("keep"))
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs_total"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_docs_kept"),
+        F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("tokens_kept"),
+        F.round(
+            1.0
+            - F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("drop_rate"),
+    )
