@@ -833,10 +833,14 @@ def streaming_transport_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             # (flows/landing.py:27-53); same shape here.
             for r in rows:
                 if lo <= r.event_id < hi:
+                    # Serialize value at the oracle's DECIMAL(18,6) scale
+                    # so the CSV round-trip is lossless for any fixture
+                    # precision — ':.2f' would silently round the Spark
+                    # path only and diverge total_value from sql_dsum.
                     transport.put_record(
                         "events",
                         str(r.user_id),
-                        f"{r.event_id},{r.user_id},{r.event_type},{r.value:.2f}",
+                        f"{r.event_id},{r.user_id},{r.event_type},{r.value:.6f}",
                     )
 
         def drain() -> None:

@@ -65,6 +65,53 @@ def chunk_csv(csv_path: str, out_dir: str, max_bytes: int = _MAX_BYTES) -> list[
     return chunks
 
 
+def _publish_batch(batch_df, dest_dir: str, batch_id: int, fmt: str = "parquet") -> None:
+    """Idempotent foreachBatch publish — the piece that upgrades
+    foreachBatch's at-least-once contract to exactly-once.
+
+    A replayed batch (the query failed after a partial sink write and
+    restarted from the checkpoint) re-executes with the SAME batch_id
+    over the SAME source offsets, so idempotence per batch_id is
+    sufficient: files are staged to a scratch dir, ``os.replace``d to
+    deterministic batch-derived names (a replay overwrites the same
+    names, never duplicates), and a ``_batch-<id>.done`` marker makes
+    the whole publish a no-op once it exists. Stale files from a prior
+    partial attempt are cleared before the rename pass, so even a retry
+    that plans a different file count cannot leave extras behind.
+    Published files live FLAT in ``dest_dir`` (no per-batch subdirs),
+    so plain ``spark.read.parquet(dest_dir)`` needs no recursive-lookup
+    options and sees no synthetic partition column."""
+    import glob
+    import shutil
+
+    os.makedirs(dest_dir, exist_ok=True)
+    marker = os.path.join(dest_dir, f"_batch-{batch_id:010d}.done")
+    if os.path.exists(marker):
+        return
+    stage = os.path.join(dest_dir, f"_stage-{batch_id:010d}")
+    writer = batch_df.write.mode("overwrite")
+    if fmt == "parquet":
+        writer.option("compression", "snappy").parquet(stage)
+    else:
+        writer.json(stage)
+    for stale in glob.glob(os.path.join(dest_dir, f"batch-{batch_id:010d}-*")):
+        os.remove(stale)
+    parts = sorted(
+        name
+        for name in os.listdir(stage)
+        if name.startswith("part-") and not name.endswith(".crc")
+    )
+    for i, name in enumerate(parts):
+        ext = name[name.find(".") :]  # ".snappy.parquet" / ".json"
+        os.replace(
+            os.path.join(stage, name),
+            os.path.join(dest_dir, f"batch-{batch_id:010d}-{i:04d}{ext}"),
+        )
+    shutil.rmtree(stage, ignore_errors=True)
+    with open(marker, "w"):
+        pass
+
+
 def _string_schema(columns: list[str]) -> StructType:
     """Streaming CSV sources require a declared schema; ingest as
     all-strings (typing happens at silver, matching the reference where
@@ -100,15 +147,25 @@ def stream_landing_to_bronze(
     good = src.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
     if errors_dir is not None:
         # Error channel analog of the Firehose error prefix. Kept in the
-        # same stream via foreachBatch so one checkpoint covers both.
+        # same stream via foreachBatch so one checkpoint covers both;
+        # each write is idempotent per batch_id (_publish_batch), so the
+        # path matches the native sink's exactly-once contract even
+        # though foreachBatch itself is at-least-once.
         def _sink(batch_df, batch_id: int) -> None:
-            batch_df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record").write.mode(
-                "append"
-            ).option("compression", "snappy").parquet(os.path.join(bronze_dir, dataset))
+            _publish_batch(
+                batch_df.filter(F.col("_corrupt_record").isNull()).drop(
+                    "_corrupt_record"
+                ),
+                os.path.join(bronze_dir, dataset),
+                batch_id,
+            )
             bad = batch_df.filter(F.col("_corrupt_record").isNotNull())
             if not bad.isEmpty():
-                bad.select("_corrupt_record").write.mode("append").json(
-                    os.path.join(errors_dir, dataset)
+                _publish_batch(
+                    bad.select("_corrupt_record"),
+                    os.path.join(errors_dir, dataset),
+                    batch_id,
+                    fmt="json",
                 )
 
         writer = src.writeStream.foreachBatch(_sink).option(
@@ -228,12 +285,18 @@ def stream_records_to_bronze(
     if errors_dir is not None:
 
         def _sink(batch_df, batch_id: int) -> None:
-            batch_df.filter(F.col("r._corrupt_record").isNull()).select("r.*").drop(
-                "_corrupt_record"
-            ).write.mode("append").parquet(bronze_dir)
+            # Idempotent per batch_id: foreachBatch replays a failed
+            # batch on restart, so a plain append would duplicate rows.
+            _publish_batch(
+                batch_df.filter(F.col("r._corrupt_record").isNull())
+                .select("r.*")
+                .drop("_corrupt_record"),
+                bronze_dir,
+                batch_id,
+            )
             bad = batch_df.filter(F.col("r._corrupt_record").isNotNull())
             if not bad.isEmpty():
-                bad.select("line").write.mode("append").json(errors_dir)
+                _publish_batch(bad.select("line"), errors_dir, batch_id, fmt="json")
 
         writer = parsed.writeStream.foreachBatch(_sink).option(
             "checkpointLocation", checkpoint_dir

@@ -27,9 +27,10 @@ Spark-first design:
   (O(1), no scan — the property that makes a hot stream tailable), a
   micro-batch is the byte range (start, end] of each shard, and one
   input partition per shard preserves Kinesis's per-shard ordering
-  guarantee inside every batch. Because appends are flock-serialized
-  whole-line writes flushed per record, a size snapshot always lands
-  on a record boundary.
+  guarantee inside every batch. A size snapshot can race a large
+  record's multi-syscall flush, so ``latestOffset`` floors the raw
+  size to the last record terminator before planning it — a committed
+  offset is therefore always a record boundary.
 - Exactly-once: offsets live in the sink checkpoint; replaying a byte
   range re-reads identical bytes (the log is append-only), so a
   restarted query re-delivers exactly the unacknowledged records.
@@ -158,7 +159,11 @@ class RecordStreamTransport:
             f.write(line)
             f.flush()
             self._expected_size[key] = size + len(line.encode("utf-8"))
-        self._next_seq[key] = seq + 1
+            # Inside the lock: two threads sharing one transport instance
+            # must not both read the pre-increment cache (the size check
+            # only detects *other* instances' appends, not a stale cache
+            # within this one).
+            self._next_seq[key] = seq + 1
         return shard, seq
 
     def put_records(
@@ -220,8 +225,9 @@ class _ShardRangePartition(InputPartition):
 
 class RecordFeedStreamReader(DataSourceStreamReader):
     """Offsets are ``{"shard-0000": n_bytes, ...}`` — delivered-through
-    byte positions per shard. Appends are flock-serialized whole-line
-    writes, so any size snapshot is a valid record boundary."""
+    byte positions per shard, floored to the last ``b'\\n'`` so a
+    snapshot never tears a record that is mid-flush (readers take no
+    lock; the boundary scan is their safety)."""
 
     def __init__(self, schema: StructType, options: dict):
         path = options.get("path")
@@ -241,12 +247,39 @@ class RecordFeedStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {name: 0 for name, _ in self._shards()}
 
+    @staticmethod
+    def _floor_to_record_boundary(path: str, size: int, chunk: int = 64 * 1024) -> int:
+        """Round a raw size snapshot DOWN to the last ``b'\\n'`` at or
+        below it. A record larger than the writer's IO buffer is flushed
+        in several syscalls, so an unsynchronized ``getsize`` can land
+        mid-record; committing such an offset to the streaming WAL would
+        wedge the query on a torn line forever. Payloads are JSON
+        (``json.dumps`` escapes newlines), so every raw ``b'\\n'`` is a
+        record terminator — flooring to one is always a valid boundary.
+        O(bytes past the last boundary), i.e. O(1) for quiescent logs."""
+        if size <= 0:
+            return 0
+        with open(path, "rb") as f:
+            pos = size
+            while pos > 0:
+                lo = max(0, pos - chunk)
+                f.seek(lo)
+                buf = f.read(pos - lo)
+                i = buf.rfind(b"\n")
+                if i >= 0:
+                    return lo + i + 1
+                pos = lo
+        return 0
+
     def latestOffset(self) -> dict:
-        # O(1) per shard: the append-only log's length IS the offset.
-        return {
-            name: (os.path.getsize(p) if os.path.exists(p) else 0)
-            for name, p in self._shards()
-        }
+        # O(1) per shard: the append-only log's length IS the offset —
+        # floored to the last newline so a size snapshot taken while a
+        # large record is mid-flush never plans a torn byte range.
+        out = {}
+        for name, p in self._shards():
+            size = os.path.getsize(p) if os.path.exists(p) else 0
+            out[name] = self._floor_to_record_boundary(p, size) if size else 0
+        return out
 
     def partitions(self, start: dict, end: dict):
         parts = []
@@ -261,10 +294,19 @@ class RecordFeedStreamReader(DataSourceStreamReader):
         with open(partition.path, "rb") as f:
             f.seek(partition.start)
             blob = f.read(partition.end - partition.start)
-        for raw in blob.decode("utf-8").splitlines():
+        pieces = blob.split(b"\n")
+        if pieces and pieces[-1]:
+            # Defensive: a trailing fragment without its terminator means
+            # the planned end offset was not on a record boundary.
+            # latestOffset floors offsets to b'\n' so this is unreachable
+            # for offsets we planned; if a foreign writer ever produces
+            # one anyway, skipping the fragment beats wedging the query
+            # on json.loads of a partial line forever.
+            pieces = pieces[:-1]
+        for raw in pieces:
             if not raw:
                 continue
-            rec = json.loads(raw)
+            rec = json.loads(raw.decode("utf-8"))
             yield (partition.shard_id, rec["seq"], rec["pk"], rec["data"])
 
     def commit(self, end: dict) -> None:

@@ -246,3 +246,77 @@ def test_socket_transport_to_windowed_counts(spark):
     finally:
         done.set()
         q.stop()
+
+
+def test_publish_batch_is_idempotent_per_batch_id(spark, tmp_path):
+    # foreachBatch is at-least-once: a batch replayed after a partial
+    # failure must not duplicate rows in the sink.
+    import os
+
+    from deathmetal_datalake_spark.streaming.landing import _publish_batch
+
+    dest = str(tmp_path / "bronze")
+    df = spark.range(100).withColumnRenamed("id", "v")
+    _publish_batch(df, dest, batch_id=7)
+    assert spark.read.parquet(dest).count() == 100
+    # Full replay (marker present): no-op.
+    _publish_batch(df, dest, batch_id=7)
+    assert spark.read.parquet(dest).count() == 100
+    # Partial-publish replay: files landed but the marker write was lost
+    # (crash between rename pass and marker) — replay must overwrite the
+    # deterministic names, not append alongside them.
+    os.remove(os.path.join(dest, "_batch-0000000007.done"))
+    _publish_batch(df, dest, batch_id=7)
+    assert spark.read.parquet(dest).count() == 100
+    # A different batch appends.
+    _publish_batch(spark.range(5).withColumnRenamed("id", "v"), dest, batch_id=8)
+    assert spark.read.parquet(dest).count() == 105
+
+
+def test_errors_path_exactly_once_after_restart(spark, tmp_path):
+    # Corrupt-row diversion runs through foreachBatch; draining the same
+    # landing twice through a FRESH checkpoint replays every batch — the
+    # idempotent publish must keep bronze row counts stable when batch
+    # ids repeat. (Same-checkpoint restarts already skip completed
+    # batches; this exercises the publish-layer guarantee directly.)
+    import csv as _csv
+    import os
+
+    from deathmetal_datalake_spark.streaming.landing import (
+        chunk_csv,
+        stream_landing_to_bronze,
+    )
+
+    src = tmp_path / "s.csv"
+    with open(src, "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["id", "name"])
+        for i in range(200):
+            w.writerow([i, f"n{i}"])
+    chunk_csv(str(src), str(tmp_path / "landing" / "ds"), max_bytes=2048)
+    bronze = str(tmp_path / "bronze")
+    q = stream_landing_to_bronze(
+        spark,
+        str(tmp_path / "landing"),
+        bronze,
+        "ds",
+        ["id", "name"],
+        str(tmp_path / "ckpt1"),
+        errors_dir=str(tmp_path / "errors"),
+    )
+    q.awaitTermination()
+    first = spark.read.parquet(os.path.join(bronze, "ds")).count()
+    assert first == 200
+    # Replay with a fresh checkpoint: batch ids restart at 0, the same
+    # data re-arrives — publishes dedupe on (batch_id, content) names.
+    q2 = stream_landing_to_bronze(
+        spark,
+        str(tmp_path / "landing"),
+        bronze,
+        "ds",
+        ["id", "name"],
+        str(tmp_path / "ckpt2"),
+        errors_dir=str(tmp_path / "errors"),
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(os.path.join(bronze, "ds")).count() == 200

@@ -199,3 +199,68 @@ def test_bronze_keeps_data_row_that_equals_header(spark, transport, tmp_path):
     q.awaitTermination()
     got = sorted(map(tuple, spark.read.parquet(bronze).collect()))
     assert got == [("1", "alpha"), ("2", "beta"), ("id", "name")]
+
+
+def test_latest_offset_floors_torn_record_to_boundary(transport):
+    # A record flushed across multiple syscalls can be half-visible when
+    # latestOffset snapshots the file size; the planned offset must be
+    # the last record terminator, never a mid-record byte (a torn offset
+    # in the WAL wedges the query permanently).
+    from deathmetal_datalake_spark.streaming.transport import (
+        RecordFeedStreamReader,
+        _shard_path,
+    )
+
+    d = transport.create_stream("ev", n_shards=1)
+    transport.put_record("ev", "k", "complete-1")
+    transport.put_record("ev", "k", "complete-2")
+    path = _shard_path(d, 0)
+    boundary = os.path.getsize(path)
+    with open(path, "a", encoding="utf-8") as f:  # torn append, no newline
+        f.write('{"seq":2,"pk":"k","data":"par')
+        f.flush()
+    reader = RecordFeedStreamReader(RECORD_FEED_SCHEMA, {"path": d})
+    assert reader.latestOffset() == {"shard-0000": boundary}
+    # Once the record completes, the offset advances past it.
+    with open(path, "a", encoding="utf-8") as f:
+        f.write('tial"}\n')
+    assert reader.latestOffset() == {"shard-0000": os.path.getsize(path)}
+
+
+def test_read_tolerates_trailing_partial_line(transport):
+    from deathmetal_datalake_spark.streaming.transport import (
+        RecordFeedStreamReader,
+        _ShardRangePartition,
+        _shard_path,
+    )
+
+    d = transport.create_stream("ev", n_shards=1)
+    transport.put_record("ev", "k", "whole")
+    path = _shard_path(d, 0)
+    with open(path, "a", encoding="utf-8") as f:
+        f.write('{"seq":1,"pk":"k","data":"par')
+    reader = RecordFeedStreamReader(RECORD_FEED_SCHEMA, {"path": d})
+    part = _ShardRangePartition(0, path, 0, os.path.getsize(path))
+    rows = list(reader.read(part))
+    assert [r[3] for r in rows] == ["whole"]  # fragment skipped, no crash
+
+
+def test_multi_buffer_record_boundary_scan(transport):
+    # Boundary scan must walk backward across chunk windows when the
+    # torn tail is longer than one scan chunk.
+    from deathmetal_datalake_spark.streaming.transport import RecordFeedStreamReader
+
+    d = transport.create_stream("ev", n_shards=1)
+    transport.put_record("ev", "k", "x" * 10)
+    from deathmetal_datalake_spark.streaming.transport import _shard_path
+
+    path = _shard_path(d, 0)
+    boundary = os.path.getsize(path)
+    with open(path, "a", encoding="utf-8") as f:
+        f.write('{"seq":1,"pk":"k","data":"' + "y" * 200_000)  # > 64 KiB, no \n
+    assert (
+        RecordFeedStreamReader._floor_to_record_boundary(
+            path, os.path.getsize(path)
+        )
+        == boundary
+    )
