@@ -53,10 +53,43 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SHINGLE_N = 3
 # Document-frequency cap on shingles used for candidate generation: a
-# shingle appearing in > MAX_DF docs would contribute O(df²) candidate
-# pairs (the classic hot-key blowup); dropping ubiquitous shingles is the
-# standard skew guard and is applied identically in the oracle.
-_MAX_DF = 100
+# shingle appearing in > cap docs would contribute O(df²) candidate
+# pairs (the classic hot-key blowup); dropping ubiquitous shingles is
+# the standard skew guard and is applied identically in the oracle.
+#
+# The cap AUTO-SCALES with the corpus (the round-3 fixed constant went
+# superlinear exactly in the pre-saturation regime — a shingle at df=10
+# at one scale hits df=100 at 10× and its pair mass grows ~df² until a
+# fixed cap bites). Treating the cap as a CANDIDATE BUDGET instead:
+# total pair mass ≈ cap · postings, so cap ∝ 1/√n keeps the mass's 10×
+# slope at ~√10 ≈ 3× — suite-typical — while small corpora keep the
+# permissive ceiling. Computed with the same exact-integer,
+# engine-portable idiom as the SimHash _auto_band_bits knob:
+# Python ``budget >> (ceil_log2(n) // 2)`` ≡ DuckDB
+# ``budget // (1 << (LENGTH(bin(n-1)) // 2))`` (2^(⌈log2 n⌉/2) ≈ √n in
+# power-of-two steps), clamped to [8, 100]. A shingle ubiquitous at
+# scale is boilerplate with no dedup signal anyway; genuinely similar
+# docs share many RARE shingles, which the cap never touches.
+_DF_BUDGET = 3200
+_DF_CAP_MIN = 8
+_DF_CAP_MAX = 100
+
+
+def _auto_max_df(n_docs: int) -> int:
+    """budget / 2^(⌈log2 n⌉/2) ≈ budget/√n, clamped; exact-integer,
+    engine-portable (mirrored by ``_SQL_MAX_DF``)."""
+    lg = (max(n_docs, 1) - 1).bit_length()
+    return min(_DF_CAP_MAX, max(_DF_CAP_MIN, _DF_BUDGET >> (lg // 2)))
+
+
+# Scalar-subquery form of the same formula for the DuckDB oracles; for
+# n ≥ 2, LENGTH(bin(n-1)) ≡ (n-1).bit_length() (both engines clamp to
+# the ceiling in the n ≤ 1 corner, where the operand differs).
+_SQL_MAX_DF = (
+    f"(SELECT LEAST({_DF_CAP_MAX}, GREATEST({_DF_CAP_MIN}, "
+    f"{_DF_BUDGET} // (1 << (LENGTH(bin(COUNT(*) - 1)) // 2)))) "
+    f"FROM documents)"
+)
 
 
 def _shingles(docs: DataFrame) -> DataFrame:
@@ -124,7 +157,7 @@ _PAIR_CTES = f"""hashed AS (
     SELECT doc_id, {sql_hash60('shingle')} AS sh FROM shingled
 ),
 df AS (
-    SELECT sh FROM hashed GROUP BY sh HAVING COUNT(*) <= {_MAX_DF}
+    SELECT sh FROM hashed GROUP BY sh HAVING COUNT(*) <= {_SQL_MAX_DF}
 ),
 filtered AS (
     SELECT h.doc_id, h.sh FROM hashed h JOIN df USING (sh)
@@ -183,11 +216,14 @@ def _capped_pair_counts(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     branches) — without them the expensive explode+md5 shingle
     pipeline re-executes per consumer.
     """
+    # One cheap metadata-backed count action derives the scale-aware
+    # cap at plan time (the SimHash band-bits pattern).
+    max_df = _auto_max_df(docs.count())
     shingled = session_cache(_hashed_shingles(docs))
     ok = (
         shingled.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= _MAX_DF)
+        .filter(F.col("df") <= max_df)
         .select("sh")
     )
     kept = session_cache(shingled.join(ok, "sh", "left_semi"))
@@ -1108,7 +1144,7 @@ _SIMHASH_MP_HAMMING_MAX = 2 * _SIMHASH_BANDS - 1  # detection guarantee
 # provably COMPLETE (no missed pair), unlike single-probe at radius 3.
 _SIMHASH_MP_REPORT_MAX = 5
 # Bucket-occupancy cap on the BUILD side — the LSH hot-bucket skew
-# guard (same principle as the shingle _MAX_DF): low-entropy corpora
+# guard (same principle as the shingle _auto_max_df cap): low-entropy corpora
 # concentrate signatures, and probing multiplies every over-full
 # bucket's quadratic collision mass by (band_bits+1). Buckets over the
 # cap are excluded from the build side (probes into them find
@@ -1706,7 +1742,7 @@ capped AS (
 ),
 okh AS (
     SELECT h FROM (SELECT DISTINCT h, doc_id FROM capped)
-    GROUP BY h HAVING COUNT(*) BETWEEN 2 AND {_MAX_DF}
+    GROUP BY h HAVING COUNT(*) BETWEEN 2 AND {_SQL_MAX_DF}
 ),
 kept AS (
     SELECT c.doc_id, c.pos, c.h FROM capped c JOIN okh USING (h)
@@ -1752,12 +1788,13 @@ def dedup_longest_common_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rp") <= _MAX_POS_PER_DOC)
         .drop("rp")
     )
+    max_df = _auto_max_df(docs.count())
     okh = (
         capped.select("h", "doc_id")
         .distinct()
         .groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= _MAX_DF))
+        .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
         .select("h")
     )
     # Row-local pair generation from per-hash (doc,pos) lists — list

@@ -29,7 +29,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from deathmetal_datalake_spark.plans.dedup import _MAX_DF, _SHINGLES_SQL, _hashed_shingles
+from deathmetal_datalake_spark.plans.dedup import (
+    _SHINGLES_SQL,
+    _SQL_MAX_DF,
+    _auto_max_df,
+    _hashed_shingles,
+)
 from deathmetal_datalake_spark.plans.registry import (
     hash60,
     register,
@@ -274,7 +279,7 @@ hashed AS (
     SELECT doc_id, {sql_hash60('shingle')} AS sh FROM shingled
 ),
 df_ok AS (
-    SELECT sh FROM hashed GROUP BY sh HAVING COUNT(*) <= {_MAX_DF}
+    SELECT sh FROM hashed GROUP BY sh HAVING COUNT(*) <= {_SQL_MAX_DF}
 ),
 capped AS (
     SELECT h.doc_id, h.sh FROM hashed h JOIN df_ok USING (sh)
@@ -310,7 +315,7 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ok = (
         hashed.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= _MAX_DF)
+        .filter(F.col("df") <= _auto_max_df(docs.count()))
         .select("sh")
     )
     capped = hashed.join(df_ok, "sh", "left_semi")
