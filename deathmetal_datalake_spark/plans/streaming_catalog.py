@@ -212,11 +212,14 @@ def streaming_distinct_user_event_types_replay(
 # per-user running totals in update mode, folded to a final state table
 # by a foreachBatch sink (last emission per key wins — each emission IS
 # the cumulative state, so the fold is micro-batch-order invariant).
-# This is the replay stand-in for a production keyed upsert sink
-# (Delta MERGE / HBase put); the fold itself is per-batch O(updated
-# keys), not O(corpus). Rounding note: event values are exactly
-# 2-decimal, so the float running total is within ~1e-11 of the true
-# 2-decimal sum and ROUND(·, 6) agrees across engines and fold orders.
+# The fold is a keyed upsert into a SnapshotTable using its O(delta)
+# primitives — delete_keys on the batch's keys, append the new state —
+# the production MERGE-sink pattern: per batch it costs O(updated
+# keys), and NO driver-side structure ever holds the full key space
+# (a driver dict would be O(distinct users) — billions at 100 TB).
+# Rounding note: event values are exactly 2-decimal, so the float
+# running total is within ~1e-11 of the true 2-decimal sum and
+# ROUND(·, 6) agrees across engines and fold orders.
 # ---------------------------------------------------------------------------
 
 _STATEFUL_TOTALS_SQL = """
@@ -237,13 +240,24 @@ def streaming_stateful_user_totals_replay(
         running_user_totals,
     )
 
+    from deathmetal_datalake_spark.sources.snapshots import SnapshotTable
+
     stream, scratch = _replay_events_stream(spark, sf_dir)
     totals = running_user_totals(stream)
-    final: dict[int, tuple[int, float]] = {}
+    state = SnapshotTable(spark, os.path.join(scratch, "user_totals_state"))
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        for row in batch_df.collect():
-            final[row["user_id"]] = (row["n_events"], row["total_value"])
+        batch = batch_df.cache()  # two actions below; don't recompute
+        try:
+            if batch.isEmpty():
+                return
+            if state.current_snapshot_id() is not None:
+                # Upsert = retire the updated keys' prior state
+                # (metadata-only delete vector), append the new state.
+                state.delete_keys(batch.select("user_id"), "user_id")
+            state.write(batch, mode="append")
+        finally:
+            batch.unpersist()
 
     query = (
         totals.writeStream.foreachBatch(fold)
@@ -255,10 +269,11 @@ def streaming_stateful_user_totals_replay(
         .start()
     )
     query.awaitTermination()
+    out = state.read().select("user_id", "n_events", "total_value")
+    rows = out.collect()  # materialize before the scratch dir vanishes
     import shutil
 
     shutil.rmtree(scratch, ignore_errors=True)
-    rows = [(uid, n, total) for uid, (n, total) in final.items()]
     return spark.createDataFrame(rows, schema=OUTPUT_SCHEMA)
 
 
