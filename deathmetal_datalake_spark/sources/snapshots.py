@@ -484,6 +484,14 @@ class SnapshotTable:
           metadata/refs.json                     (branch -> snapshot id)
     """
 
+    # Auto-compaction policy: after this many OUTSTANDING delete vectors
+    # on a branch head, delete_keys triggers fold_deletes() so read-plan
+    # anti-join depth stays bounded under repeated takedowns. Class-level
+    # so catalog-managed subclasses inherit it; set to 0/None on an
+    # instance to disable (maintenance then runs only when the operator
+    # calls fold_deletes()/compact() explicitly).
+    DELETE_FOLD_THRESHOLD: Optional[int] = 8
+
     def __init__(self, spark: SparkSession, base_path: str):
         self.spark = spark
         self.base_path = base_path
@@ -783,11 +791,15 @@ class SnapshotTable:
         it COVERS (those visible at commit time), and readers anti-join
         it. O(keys) write — no data-file rewrite; rows appended after
         the delete are not affected even if they reuse a deleted key
-        (standard DELETE-then-INSERT semantics). ``compact()`` applies
-        accumulated deletes physically and clears them.
+        (standard DELETE-then-INSERT semantics). Once
+        ``DELETE_FOLD_THRESHOLD`` vectors are outstanding, the commit
+        auto-triggers :meth:`fold_deletes` so read cost stays bounded
+        under repeated takedowns; ``compact()`` remains the full
+        rewrite-everything maintenance path.
         """
         if key_col not in keys.columns:
             raise ValueError(f"keys DataFrame has no column {key_col!r}")
+        fold_after = self.DELETE_FOLD_THRESHOLD
         del_dir = os.path.join(self._data_dir, f"del-{uuid.uuid4().hex[:12]}")
         keys.select(key_col).distinct().write.mode("errorifexists").parquet(del_dir)
         with self._commit_lock():
@@ -820,7 +832,118 @@ class SnapshotTable:
             self._record_snapshot_id(snapshot_id)
             refs[branch] = snapshot_id
             self._write_refs(refs)
+        if fold_after and len(snap.deletes) >= fold_after:
+            # Auto-compaction trigger: every outstanding delete vector is
+            # an anti-join every subsequent read replays, so unbounded
+            # stacking degrades reads linearly in takedown count. Fold
+            # them physically once the stack hits the threshold; a
+            # concurrent writer beating the fold's CAS just postpones it
+            # to the next delete (janitor semantics — maintenance never
+            # wins over writers).
+            try:
+                self.fold_deletes(branch=branch)
+            except CommitConflict:
+                pass
         return snap
+
+    def fold_deletes(self, branch: str = _MAIN) -> "Optional[Snapshot]":
+        """Physically apply the head's outstanding delete vectors and
+        commit a delete-free snapshot — bounded-read maintenance for
+        takedown-heavy tables (Iceberg's rewrite_position_delete_files
+        analog).
+
+        O(covered data), not O(table): only dirs some delete COVERS are
+        rewritten (per cover group, with the same grouped anti-joins
+        ``read()`` applies); dirs appended after the last delete carry
+        over untouched — files, dir stats, and file stats included — so
+        on an append-mostly 100 TB table the fold touches just the old
+        tail, and manifest-stats pruning on the untouched dirs is
+        preserved. History stays intact: older snapshots still reference
+        the original dirs and replay their own delete stacks.
+
+        CAS-guarded on the head it read (commit mode ``"fold"``): raises
+        :class:`CommitConflict` if a writer moved the branch meanwhile.
+        Row-level change feeds treat a fold as the no-op it is
+        (``read_changes`` emits nothing for it); ``read_appends`` across
+        a fold raises, correctly, because the post-fold file delta is
+        not append-only. Returns ``None`` when there is nothing to fold.
+        """
+        head = self.current_snapshot_id(branch)
+        if head is None:
+            return None
+        snap = self._load_snapshot(head)
+        if not snap.deletes:
+            return None
+        covered_set = {
+            d
+            for d in snap.data_dirs
+            if any(d in covers for (_, _, covers) in snap.deletes)
+        }
+        untouched = tuple(d for d in snap.data_dirs if d not in covered_set)
+        by_cover: dict[tuple[int, ...], list[str]] = {}
+        for d in snap.data_dirs:
+            if d not in covered_set:
+                continue
+            applicable = tuple(
+                i for i, (_, _, covers) in enumerate(snap.deletes) if d in covers
+            )
+            by_cover.setdefault(applicable, []).append(d)
+        parts: list[DataFrame] = []
+        for applicable, dirs in by_cover.items():
+            df = self.spark.read.option("mergeSchema", "true").parquet(*dirs)
+            by_key: dict[str, list[str]] = {}
+            for i in applicable:
+                del_dir, key_col, _ = snap.deletes[i]
+                by_key.setdefault(key_col, []).append(del_dir)
+            for key_col, del_dirs in by_key.items():
+                keys = self.spark.read.parquet(*del_dirs).select(key_col)
+                df = df.join(keys, on=key_col, how="left_anti")
+            parts.append(df)
+        folded = parts[0]
+        for p in parts[1:]:
+            folded = folded.unionByName(p, allowMissingColumns=True)
+        new_dir = os.path.join(self._data_dir, f"fold-{uuid.uuid4().hex[:12]}")
+        folded.write.mode("errorifexists").parquet(new_dir)
+        new_stats, new_file_stats = _collect_dir_stats(new_dir)
+        with self._commit_lock():
+            refs = self._read_refs()
+            parent_id = refs.get(branch)
+            if parent_id != head:
+                raise CommitConflict(
+                    f"branch {branch!r} moved to {parent_id} during fold "
+                    f"(was {head})"
+                )
+            snapshot_id = self._next_snapshot_id()
+            new_snap = Snapshot(
+                snapshot_id=snapshot_id,
+                parent_id=parent_id,
+                mode="fold",
+                data_dirs=untouched + (new_dir,),
+                committed_at=time.time(),
+                deletes=(),
+                dir_stats={
+                    **{
+                        d: snap.dir_stats[d]
+                        for d in untouched
+                        if d in snap.dir_stats
+                    },
+                    new_dir: new_stats,
+                },
+                file_stats={
+                    **{
+                        d: snap.file_stats[d]
+                        for d in untouched
+                        if d in snap.file_stats
+                    },
+                    new_dir: new_file_stats,
+                },
+            )
+            with open(self._snap_path(snapshot_id), "x") as f:
+                json.dump(_snapshot_to_json(new_snap), f, indent=1)
+            self._record_snapshot_id(snapshot_id)
+            refs[branch] = snapshot_id
+            self._write_refs(refs)
+        return new_snap
 
     def commit_with_retry(
         self,

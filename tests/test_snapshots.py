@@ -631,3 +631,73 @@ def test_vacuum_removes_old_orphans_only(spark, table, orders):
     assert table.vacuum(older_than_s=3600) == [stray]
     assert not os.path.exists(stray)
     assert table.read().count() == 10
+
+
+# ---- delete-vector auto-compaction (fold_deletes) ----------------------
+
+
+def test_fold_deletes_applies_and_clears_vectors(spark, table, orders):
+    table.write(orders.limit(40), mode="overwrite")
+    all_keys = [r[0] for r in table.read().select("o_orderkey").orderBy("o_orderkey").collect()]
+    for k in all_keys[:3]:
+        table.delete_keys(spark.createDataFrame([(k,)], "o_orderkey long"), "o_orderkey")
+    pre = sorted(r[0] for r in table.read().select("o_orderkey").collect())
+    folded = table.fold_deletes()
+    assert folded is not None and folded.mode == "fold" and folded.deletes == ()
+    post = sorted(r[0] for r in table.read().select("o_orderkey").collect())
+    assert post == pre  # row-preserving
+    # Nothing left to fold; second call is a no-op.
+    assert table.fold_deletes() is None
+
+
+def test_sequential_takedowns_keep_read_plan_bounded(spark, table, orders):
+    # The round-3 soft spot: N takedowns stacked N anti-joins that every
+    # read replayed. With the auto-fold threshold, outstanding vectors
+    # and the read plan's anti-join count stay bounded for any N.
+    thresh = SnapshotTable.DELETE_FOLD_THRESHOLD
+    table.write(orders.limit(100), mode="overwrite")
+    keys = [r[0] for r in table.read().select("o_orderkey").orderBy("o_orderkey").collect()]
+    for k in keys[:12]:  # 12 sequential takedowns > threshold
+        table.delete_keys(spark.createDataFrame([(k,)], "o_orderkey long"), "o_orderkey")
+    head = table._load_snapshot(table.current_snapshot_id())
+    assert len(head.deletes) < thresh
+    plan = table.read()._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LeftAnti") <= 1  # same-column vectors union into one build side
+    assert table.read().count() == 88
+    left = {r[0] for r in table.read().select("o_orderkey").collect()}
+    assert left.isdisjoint(set(keys[:12]))
+
+
+def test_fold_preserves_untouched_dirs_and_history(spark, table, orders):
+    s1 = table.write(orders.limit(10), mode="overwrite")
+    keys = table.read().select("o_orderkey").limit(4)
+    gone = {r[0] for r in keys.collect()}
+    s2 = table.delete_keys(keys, "o_orderkey")
+    # Rows appended AFTER the delete are not covered by it — the fold
+    # must carry their dir over untouched, not rewrite it.
+    extra = orders.limit(30).subtract(orders.limit(10))
+    s3 = table.write(extra, mode="append")
+    appended_dir = [d for d in s3.data_dirs if d not in s2.data_dirs]
+    folded = table.fold_deletes()
+    assert set(appended_dir) <= set(folded.data_dirs)
+    assert table.read().count() == 6 + 20
+    # Time travel: pre-fold snapshots still replay their own vectors.
+    assert table.read(snapshot_id=s1.snapshot_id).count() == 10
+    assert table.read(snapshot_id=s2.snapshot_id).count() == 6
+    # Change feed across the fold: the fold itself contributes no rows.
+    changes = table.read_changes(s3.snapshot_id)
+    assert changes.count() == 0
+
+
+def test_fold_stats_survive_for_untouched_dirs(spark, table, orders):
+    # Manifest pruning on untouched dirs must still work post-fold.
+    table.write(orders.limit(10), mode="overwrite")
+    table.delete_keys(table.read().select("o_orderkey").limit(2), "o_orderkey")
+    s3 = table.write(
+        orders.filter(F.col("o_orderkey") > 100000).limit(5), mode="append"
+    )
+    appended_dir = [d for d in s3.data_dirs if d in s3.dir_stats][0]
+    folded = table.fold_deletes()
+    for d in s3.data_dirs:
+        if d in folded.data_dirs and d == appended_dir:
+            assert folded.dir_stats.get(d) == s3.dir_stats.get(d)
