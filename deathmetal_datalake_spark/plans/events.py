@@ -245,15 +245,69 @@ def events_lag_value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Approximate distinct: HLL implementations differ across engines, so
-# this is registered without an oracle (driver records rows-only check);
-# the exact-distinct query above is the strong-checked counterpart.
-@register("events_approx_distinct_users")
+# Approximate distinct via a PORTABLE KMV (k-minimum-values) sketch:
+# native HLL implementations differ across engines (so Spark's builtin
+# estimate can never be value-checked — events_approx_distinct_error
+# pins its ±5% accuracy contract instead), but KMV over the engine's
+# shared 60-bit md5 hash is bit-for-bit reproducible in SQL, making the
+# ESTIMATE itself exactly oracle-checkable. Estimator: with k distinct
+# minimum hash values and kth = the k-th smallest (uniform on [0, 2^60)),
+# distinct ≈ (k-1) / (kth / 2^60); fewer than k distinct values
+# degenerates to the exact count. Both branches are two IEEE double ops
+# (one exactly-representable product, one division), so the rounded
+# value is engine-identical — no float sums, no transcendentals.
+#
+# Scale shape: dropDuplicates(event_type, hv) partial-aggregates
+# map-side, and Catalyst rewrites the rn<=k window into WindowGroupLimit
+# (rank-limit pushdown), so each task forwards at most k hashes per
+# group — the few-groups partitionBy never sees the full key stream.
+_KMV_K = 128
+_TWO_60 = float(1 << 60)
+
+_APPROX_KMV_SQL = f"""
+WITH h AS (
+    SELECT DISTINCT event_type,
+           {sql_hash60('CAST(user_id AS VARCHAR)')} AS hv
+    FROM events
+),
+r AS (
+    SELECT event_type, hv,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+    FROM h
+),
+tk AS (
+    SELECT event_type, COUNT(*) AS cnt, MAX(hv) AS kth
+    FROM r WHERE rn <= {_KMV_K} GROUP BY event_type
+)
+SELECT event_type,
+       CAST(CASE WHEN cnt < {_KMV_K} THEN cnt
+                 ELSE ROUND({_KMV_K - 1}.0 * {1 << 60}.0 / kth, 0)
+            END AS BIGINT) AS approx_users
+FROM tk
+"""
+
+
+@register("events_approx_distinct_users", oracle=_APPROX_KMV_SQL)
 def events_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    hashes = ev.select(
+        "event_type", hash60(F.col("user_id").cast("string")).alias("hv")
+    ).dropDuplicates(["event_type", "hv"])
+    w = Window.partitionBy("event_type").orderBy("hv")
+    topk = hashes.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _KMV_K
     )
+    agg = topk.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"), F.max("hv").alias("kth")
+    )
+    est = F.when(F.col("cnt") < _KMV_K, F.col("cnt").cast("double")).otherwise(
+        F.round(
+            F.lit(float(_KMV_K - 1) * _TWO_60) / F.col("kth").cast("double"), 0
+        )
+    )
+    return agg.select("event_type", est.cast("long").alias("approx_users"))
 
 
 # ---------------------------------------------------------------------------

