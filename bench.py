@@ -4,6 +4,20 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
+Noise protocol (docs/SCALING.md documents ±2-3× host noise): each query
+runs $SPARK_GRAFT_REPS times (default 3); ``queries``/``value`` carry
+the per-query MEDIANS and ``queries_min`` the per-query minima, so
+round-over-round deltas are separable from scheduler luck.
+
+Scaling slope: at the default sf0.1 the suite also runs once against a
+10× scratch dataset (built via tools/make_scale10x.build on first use,
+cached at /tmp/dml-scale10x and reused across driver rounds) and the
+result is embedded under the ``scale`` key OF THE SAME JSON LINE — the
+output stays a single line because the driver parses exactly one
+object. Skip with SPARK_GRAFT_SCALE=0, or point SPARK_GRAFT_SCALE_DIR
+at a prebuilt directory. Sub-linear scale/base growth vs the 10× data
+ratio is the signal that plans scale by partitioning, not by luck.
+
 Each query is timed as plan-build + execution to completion. Small
 results are drained with ``collect`` (matching how the driver consumes
 them). Large results are drained with an xxhash64-of-every-column
@@ -122,19 +136,34 @@ _HASH_DRAIN = {
 }
 
 
-def _run_suite(spark, sf_dir: str) -> dict[str, float]:
-    timings: dict[str, float] = {}
+def _run_suite(
+    spark, sf_dir: str, reps: int = 1
+) -> tuple[dict[str, float], dict[str, float]]:
+    """Run every headline query ``reps`` times; returns (median, min)
+    per-query timing dicts."""
+    import statistics
+
+    med: dict[str, float] = {}
+    mins: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        start = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        if name in _HASH_DRAIN:
-            df.agg(F.sum(F.xxhash64(*df.columns))).collect()
-        else:
-            df.collect()
-        timings[name] = round(time.perf_counter() - start, 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr, flush=True)
-        release_caches()  # free shared-subplan caches between queries
-    return timings
+        ts: list[float] = []
+        for _ in range(reps):
+            start = time.perf_counter()
+            df = QUERIES[name](spark, sf_dir)
+            if name in _HASH_DRAIN:
+                df.agg(F.sum(F.xxhash64(*df.columns))).collect()
+            else:
+                df.collect()
+            ts.append(time.perf_counter() - start)
+            release_caches()  # free shared-subplan caches between runs
+        med[name] = round(statistics.median(ts), 3)
+        mins[name] = round(min(ts), 3)
+        print(
+            f"# {name}: median {med[name]:.3f}s min {mins[name]:.3f}s (n={reps})",
+            file=sys.stderr,
+            flush=True,
+        )
+    return med, mins
 
 
 def _sf_tag(sf_dir: str):
@@ -159,40 +188,44 @@ def main() -> None:
     with tempfile.TemporaryDirectory(prefix="dml-bench-warm-") as d:
         spark.range(8).write.mode("overwrite").parquet(os.path.join(d, "warm"))
 
-    timings = _run_suite(spark, sf_dir)
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_tag(sf_dir),
-            }
-        )
-    )
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
+    med, mins = _run_suite(spark, sf_dir, reps=reps)
+    payload = {
+        "metric": "headline_queries_total",
+        "value": round(sum(med.values()), 3),
+        "unit": "sec",
+        "queries": med,
+        "queries_min": mins,
+        "reps": reps,
+        "sf": _sf_tag(sf_dir),
+    }
 
-    # Optional second point for the scaling slope: when
-    # SPARK_GRAFT_SCALE_DIR names a larger dataset (e.g. the 10×
-    # scratch copy, docs/SCALING.md §5), run the same suite there and
-    # emit a SECOND JSON line with a distinct metric name. Sub-linear
-    # total growth vs the data-size ratio is the signal that plans
-    # scale by partitioning, not by luck.
+    # Second point for the scaling slope, embedded in the SAME JSON line
+    # (the driver parses exactly one object). Resolution order:
+    # SPARK_GRAFT_SCALE_DIR if set; else, at the default sf0.1, the
+    # cached-or-built 10× scratch; SPARK_GRAFT_SCALE=0 disables.
     scale_dir = os.environ.get("SPARK_GRAFT_SCALE_DIR")
+    scale_tag = _sf_tag(scale_dir) if scale_dir else None
+    if not scale_dir and os.environ.get("SPARK_GRAFT_SCALE") != "0" and _sf_tag(
+        sf_dir
+    ) == 0.1:
+        from tools import make_scale10x
+
+        scale_dir, scale_tag = "/tmp/dml-scale10x", "0.1x10"
+        if not make_scale10x.is_built(scale_dir):
+            print("# building 10x scale scratch...", file=sys.stderr, flush=True)
+            make_scale10x.build(spark, scale_dir)
     if scale_dir and os.path.isdir(scale_dir):
-        scale_timings = _run_suite(spark, scale_dir)
-        print(
-            json.dumps(
-                {
-                    "metric": "headline_queries_total_scale",
-                    "value": round(sum(scale_timings.values()), 3),
-                    "unit": "sec",
-                    "queries": scale_timings,
-                    "sf": _sf_tag(scale_dir),
-                }
-            )
-        )
+        smed, smins = _run_suite(spark, scale_dir, reps=1)
+        payload["scale"] = {
+            "metric": "headline_queries_total_scale",
+            "value": round(sum(smed.values()), 3),
+            "unit": "sec",
+            "queries": smed,
+            "sf": scale_tag,
+            "ratio_vs_base": round(sum(smed.values()) / max(sum(med.values()), 1e-9), 3),
+        }
+    print(json.dumps(payload))
     spark.stop()
 
 

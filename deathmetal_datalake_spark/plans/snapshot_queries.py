@@ -867,3 +867,72 @@ def catalog_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = out.collect()
         return spark.createDataFrame(rows, schema=out.schema)
+
+
+# ---------------------------------------------------------------------------
+# PARTITION-SPEC pruning (hidden partitioning, the Iceberg spec analog):
+# unlike the stats query above — which needs the clustered-arrival
+# layout ingest happens to produce — the table here DECLARES
+# month(o_orderdate) and ONE overwrite buckets every row into per-month
+# dirs automatically; the user never computes a partition column and the
+# logical schema contains only the source columns. read(filters=...)
+# prunes by applying the declared transform to the filter value and
+# comparing against each dir's recorded partition value — planning-time
+# spec arithmetic, no stats harvest in the loop. The oracle pins BOTH
+# halves: the pruning arithmetic (total month-dirs, months wholly below
+# the cutoff) and the surviving scan's exact aggregate, proving the
+# pruned read loses no rows.
+# ---------------------------------------------------------------------------
+
+_PSPEC_CUTOFF = "1996-07-01"
+
+_PSPEC_SQL = f"""
+SELECT
+  (SELECT COUNT(DISTINCT strftime(o_orderdate, '%Y-%m')) FROM orders)
+      AS total_dirs,
+  (SELECT COUNT(DISTINCT strftime(o_orderdate, '%Y-%m')) FROM orders
+    WHERE strftime(o_orderdate, '%Y-%m') < strftime(DATE '{_PSPEC_CUTOFF}', '%Y-%m'))
+      AS pruned_dirs,
+  COUNT(*) AS n_rows,
+  {sql_dsum("o_totalprice", "total_price")},
+  MIN(o_orderdate) AS min_date,
+  MAX(o_orderdate) AS max_date
+FROM orders
+WHERE o_orderdate >= DATE '{_PSPEC_CUTOFF}'
+"""
+
+
+@register("catalog_partition_pruned_scan", oracle=_PSPEC_SQL)
+def catalog_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``set_partition_spec([("month", "o_orderdate")])`` + one
+    overwrite, then ``read(filters=[o_orderdate >= cutoff])``: a
+    month-dir survives iff its rendered value ``>=`` the transformed
+    cutoff month (the transform floors, so the cutoff's own month is
+    kept and its sub-month rows are handled by the re-applied exact
+    predicate). Dir counts are pure functions of the month grid —
+    checkable in SQL — and the pruned scan's aggregate equals the plain
+    filtered query exactly. Reference parity: the Iceberg flow's hidden
+    partitioning (`flows_iceberg/bronze_iceberg.py` partitioned table
+    DDL), re-expressed natively."""
+    import datetime as _dt
+
+    orders = spread(load_table(spark, sf_dir, "orders")).select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    cutoff = _dt.date.fromisoformat(_PSPEC_CUTOFF)
+    filters = [("o_orderdate", ">=", cutoff)]
+    with tempfile.TemporaryDirectory(prefix="dml-snapps-") as d:
+        tbl = SnapshotTable(spark, os.path.join(d, "orders_by_month"))
+        tbl.set_partition_spec([("month", "o_orderdate")])
+        tbl.write(orders, "overwrite")
+        kept, pruned = tbl.scan_dirs(filters)
+        out = tbl.read(filters=filters).agg(
+            F.lit(len(kept) + len(pruned)).cast("long").alias("total_dirs"),
+            F.lit(len(pruned)).cast("long").alias("pruned_dirs"),
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice", "total_price"),
+            F.min("o_orderdate").alias("min_date"),
+            F.max("o_orderdate").alias("max_date"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)

@@ -91,6 +91,12 @@ class Snapshot:
     # narrow value range, and the manifest can drop individual files
     # from the scan list (Iceberg's data-file entries proper).
     file_stats: dict = field(default_factory=dict)
+    # Hidden-partitioning values (the Iceberg partition-spec analog):
+    # ``{data_dir: {partition_name: rendered_value}}`` for dirs written
+    # under a declared partition spec. Readers prune by evaluating the
+    # spec TRANSFORM of a filter value against these — no stats harvest
+    # needed, and the user never sees or writes the partition column.
+    dir_partitions: dict = field(default_factory=dict)
 
 
 class CommitConflict(RuntimeError):
@@ -109,6 +115,7 @@ def _snapshot_to_json(snap: Snapshot) -> dict:
         ],
         "dir_stats": snap.dir_stats,
         "file_stats": snap.file_stats,
+        "dir_partitions": snap.dir_partitions,
     }
 
 
@@ -462,6 +469,157 @@ def _filters_to_column(filters):
     return out
 
 
+# ---------------------------------------------------------------------------
+# Hidden partitioning (the Iceberg partition-spec analog): a table
+# DECLARES transforms of source columns — year(d) / month(d) / day(d) /
+# identity(c) / bucket[n](c) — and writes bucket rows into per-value
+# subdirectories automatically. The partition column never exists in
+# the logical schema (the source column stays in the data files), and
+# readers prune by applying the TRANSFORM to filter values and
+# comparing against the manifest's recorded partition values — spec
+# arithmetic at planning time, no stats harvest required.
+# ---------------------------------------------------------------------------
+
+# Transforms whose rendered values order lexicographically like the
+# source (fixed-width ISO date prefixes) — eligible for range pruning.
+# identity/bucket render arbitrary values and prune only on = / in.
+_RANGE_SAFE_TRANSFORMS = {"year", "month", "day"}
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _parse_transform(transform: str) -> tuple[str, Optional[int]]:
+    if transform.startswith("bucket[") and transform.endswith("]"):
+        return "bucket", int(transform[len("bucket[") : -1])
+    if transform in ("identity", "year", "month", "day"):
+        return transform, None
+    raise ValueError(f"unknown partition transform {transform!r}")
+
+
+def _transform_column(transform: str, source: str):
+    """The Spark expression deriving the (hidden) partition value."""
+    from pyspark.sql import functions as F
+
+    kind, arg = _parse_transform(transform)
+    c = F.col(source)
+    if kind == "identity":
+        return c.cast("string")
+    if kind == "year":
+        return F.date_format(c, "yyyy")
+    if kind == "month":
+        return F.date_format(c, "yyyy-MM")
+    if kind == "day":
+        return F.date_format(c, "yyyy-MM-dd")
+    # bucket[n]: the engine's portable 60-bit md5 convention (same
+    # arithmetic as plans.registry.hash60 — inlined to avoid a package
+    # cycle), mod n.
+    return F.pmod(
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long"),
+        F.lit(arg),
+    ).cast("string")
+
+
+def _transform_value(transform: str, v) -> Optional[str]:
+    """Python-side twin of :func:`_transform_column` for pruning filter
+    values at planning time. Returns None when the value can't be
+    transformed (pruning then conservatively keeps the dir)."""
+    import datetime as _dt
+    import hashlib as _hl
+
+    kind, arg = _parse_transform(transform)
+    if v is None:
+        return None
+    if kind == "identity":
+        return str(v)
+    if kind == "bucket":
+        return str(int(_hl.md5(str(v).encode()).hexdigest()[:15], 16) % arg)
+    if isinstance(v, str):
+        try:
+            v = _dt.date.fromisoformat(v[:10])
+        except ValueError:
+            return None
+    if isinstance(v, (_dt.date, _dt.datetime)):
+        if kind == "year":
+            return f"{v.year:04d}"
+        if kind == "month":
+            return f"{v.year:04d}-{v.month:02d}"
+        return f"{v.year:04d}-{v.month:02d}-{v.day:02d}"
+    return None
+
+
+def _enumerate_partition_dirs(
+    root: str, pnames: list[str]
+) -> tuple[list[str], dict[str, dict[str, str]]]:
+    """Walk a partitionBy layout: returns the leaf data dirs (one per
+    partition-value combination) and ``{dir: {pname: value}}``. Values
+    are URL-unquoted (Spark percent-encodes special characters in dir
+    names)."""
+    from urllib.parse import unquote
+
+    leaves: list[str] = []
+    partitions: dict[str, dict[str, str]] = {}
+
+    def walk(d: str, depth: int, vals: dict[str, str]) -> None:
+        if depth == len(pnames):
+            leaves.append(d)
+            partitions[d] = vals
+            return
+        prefix = pnames[depth] + "="
+        for name in sorted(os.listdir(d)):
+            full = os.path.join(d, name)
+            if os.path.isdir(full) and name.startswith(prefix):
+                walk(
+                    full,
+                    depth + 1,
+                    {**vals, pnames[depth]: unquote(name[len(prefix) :])},
+                )
+
+    walk(root, 0, {})
+    return leaves, partitions
+
+
+def _partitions_may_match(spec_by_source, pvals, filters) -> bool:
+    """False only when the dir's recorded partition values PROVE no row
+    can satisfy ``filters``. Mirrors ``_dir_may_match``'s conservatism:
+    unknown transforms/values/ops keep the dir, and the exact predicate
+    is re-applied to surviving scans regardless."""
+    if not pvals or not spec_by_source:
+        return True
+    for col, op, val in filters:
+        ent = spec_by_source.get(col)
+        if ent is None:
+            continue
+        pname, transform = ent
+        pv = pvals.get(pname)
+        if pv is None or pv == _HIVE_NULL:
+            # Null-partition dir: only null-ops can match, but stay
+            # conservative (nulls are rare and the exact filter runs).
+            continue
+        if op == "is_null":
+            # A non-null partition value proves every row transforms to
+            # a real value — but the SOURCE could still be null only in
+            # the null dir, so this dir cannot satisfy is_null.
+            return False
+        if op == "in":
+            tvs = {_transform_value(transform, x) for x in val}
+            if None not in tvs and pv not in tvs:
+                return False
+            continue
+        tv = _transform_value(transform, val)
+        if tv is None:
+            continue
+        if op == "=" and pv != tv:
+            return False
+        kind, _ = _parse_transform(transform)
+        if kind in _RANGE_SAFE_TRANSFORMS:
+            # Transforms FLOOR the source, so source < v ⇒ t(source) ≤
+            # t(v) and source > v ⇒ t(source) ≥ t(v).
+            if op in ("<", "<=") and pv > tv:
+                return False
+            if op in (">", ">=") and pv < tv:
+                return False
+    return True
+
+
 class _Unset:
     """Sentinel: 'no CAS check requested' — distinct from ``None``,
     which means 'expect the branch to be EMPTY' (first-commit CAS)."""
@@ -522,6 +680,48 @@ class SnapshotTable:
 
     def branches(self) -> dict[str, int]:
         return self._read_refs()
+
+    # ---- partition spec (hidden partitioning) ---------------------------
+
+    @property
+    def _spec_path(self) -> str:
+        return os.path.join(self._meta_dir, "partition-spec.json")
+
+    def set_partition_spec(self, spec: list[tuple[str, str]]) -> None:
+        """Declare hidden partitioning as ``[(transform, source_col),
+        ...]`` with transforms ``identity | year | month | day |
+        bucket[n]``. Subsequent writes bucket rows into per-value
+        subdirectories automatically (the user never computes or sees a
+        partition column — the source column stays in the data files),
+        and ``read(filters=...)`` prunes dirs by spec arithmetic before
+        stats are even consulted. Must be declared before the first
+        commit; spec evolution is out of scope (Iceberg allows it; here
+        a new table + backfill is the documented path)."""
+        if self._read_refs():
+            raise ValueError(
+                "partition spec must be declared before the first commit"
+            )
+        entries = []
+        for transform, source in spec:
+            kind, arg = _parse_transform(transform)  # validates
+            name = f"{source}_{kind}{arg if arg is not None else ''}"
+            entries.append(
+                {"name": name, "transform": transform, "source": source}
+            )
+        with open(self._spec_path, "w") as f:
+            json.dump(entries, f, indent=1)
+
+    def partition_spec(self) -> list[dict]:
+        if not os.path.exists(self._spec_path):
+            return []
+        with open(self._spec_path) as f:
+            return json.load(f)
+
+    def _spec_by_source(self) -> dict[str, tuple[str, str]]:
+        return {
+            e["source"]: (e["name"], e["transform"])
+            for e in self.partition_spec()
+        }
 
     # ---- commit lock ----------------------------------------------------
 
@@ -645,6 +845,7 @@ class SnapshotTable:
             ),
             dir_stats=d.get("dir_stats", {}),
             file_stats=d.get("file_stats", {}),
+            dir_partitions=d.get("dir_partitions", {}),
         )
 
     @property
@@ -735,10 +936,34 @@ class SnapshotTable:
         # Data lands OUTSIDE the lock (write-then-publish): writers
         # serialize only on the metadata swap, never on the Spark job.
         new_dir = os.path.join(self._data_dir, f"snap-{uuid.uuid4().hex[:12]}")
-        df.write.mode("errorifexists").parquet(new_dir)
+        spec = self.partition_spec()
+        if spec:
+            # Hidden partitioning: derive the partition columns, write
+            # partitionBy (the derived columns live only in dir names —
+            # the logical schema in the files is untouched), and record
+            # each per-value subdir as its own manifest entry with its
+            # partition values, so reads prune by spec arithmetic.
+            staged = df
+            pnames = []
+            for ent in spec:
+                staged = staged.withColumn(
+                    ent["name"], _transform_column(ent["transform"], ent["source"])
+                )
+                pnames.append(ent["name"])
+            staged.write.mode("errorifexists").partitionBy(*pnames).parquet(
+                new_dir
+            )
+            new_dirs, new_partitions = _enumerate_partition_dirs(new_dir, pnames)
+        else:
+            df.write.mode("errorifexists").parquet(new_dir)
+            new_dirs, new_partitions = [new_dir], {}
         # Stats harvest runs OUTSIDE the lock too: O(#files) footer
         # reads, no data pages, no Spark job.
-        new_stats, new_file_stats = _collect_dir_stats(new_dir)
+        new_dir_stats: dict = {}
+        new_file_stats: dict = {}
+        for d in new_dirs:
+            s, fsd = _collect_dir_stats(d)
+            new_dir_stats[d], new_file_stats[d] = s, fsd
         with self._commit_lock():
             refs = self._read_refs()
             parent_id = refs.get(branch)
@@ -751,14 +976,16 @@ class SnapshotTable:
             deletes: tuple[tuple[str, str], ...] = ()
             if mode == "append" and parent_id is not None:
                 parent = self._load_snapshot(parent_id)
-                data_dirs = parent.data_dirs + (new_dir,)
+                data_dirs = parent.data_dirs + tuple(new_dirs)
                 deletes = parent.deletes  # appends don't resurrect deleted rows
-                dir_stats = {**parent.dir_stats, new_dir: new_stats}
-                file_stats = {**parent.file_stats, new_dir: new_file_stats}
+                dir_stats = {**parent.dir_stats, **new_dir_stats}
+                file_stats = {**parent.file_stats, **new_file_stats}
+                dir_partitions = {**parent.dir_partitions, **new_partitions}
             else:
-                data_dirs = (new_dir,)
-                dir_stats = {new_dir: new_stats}
-                file_stats = {new_dir: new_file_stats}
+                data_dirs = tuple(new_dirs)
+                dir_stats = new_dir_stats
+                file_stats = new_file_stats
+                dir_partitions = new_partitions
             snap = Snapshot(
                 snapshot_id=snapshot_id,
                 parent_id=parent_id,
@@ -768,6 +995,7 @@ class SnapshotTable:
                 deletes=deletes,
                 dir_stats=dir_stats,
                 file_stats=file_stats,
+                dir_partitions=dir_partitions,
             )
             # 'x' mode: if id allocation ever raced (it cannot, under the
             # lock), fail loudly rather than overwrite a manifest.
@@ -826,6 +1054,7 @@ class SnapshotTable:
                 + ((del_dir, key_col, parent.data_dirs),),
                 dir_stats=parent.dir_stats,
                 file_stats=parent.file_stats,
+                dir_partitions=parent.dir_partitions,
             )
             with open(self._snap_path(snapshot_id), "x") as f:
                 json.dump(_snapshot_to_json(snap), f, indent=1)
@@ -937,6 +1166,11 @@ class SnapshotTable:
                     },
                     new_dir: new_file_stats,
                 },
+                dir_partitions={
+                    d: snap.dir_partitions[d]
+                    for d in untouched
+                    if d in snap.dir_partitions
+                },
             )
             with open(self._snap_path(snapshot_id), "x") as f:
                 json.dump(_snapshot_to_json(new_snap), f, indent=1)
@@ -1010,6 +1244,7 @@ class SnapshotTable:
         if sid is None:
             raise LookupError(f"branch {branch!r} has no snapshots")
         snap = self._load_snapshot(sid)
+        spec_by_source = self._spec_by_source()
         kept: list[str] = []
         pruned: list[str] = []
         for d in snap.data_dirs:
@@ -1017,7 +1252,9 @@ class SnapshotTable:
             all_paths = (
                 [os.path.join(d, rel) for rel in sorted(fs)] if fs else [d]
             )
-            if not _dir_may_match(snap.dir_stats.get(d), filters):
+            if not _partitions_may_match(
+                spec_by_source, snap.dir_partitions.get(d), filters
+            ) or not _dir_may_match(snap.dir_stats.get(d), filters):
                 pruned.extend(all_paths)
                 continue
             kept_here = self._dir_scan_paths(snap, d, filters)
@@ -1155,9 +1392,12 @@ class SnapshotTable:
         if sid is None:
             raise LookupError(f"branch {branch!r} has no snapshots")
         snap = self._load_snapshot(sid)
+        spec_by_source = self._spec_by_source()
         kept, pruned = [], []
         for d in snap.data_dirs:
-            if _dir_may_match(snap.dir_stats.get(d), filters):
+            if _partitions_may_match(
+                spec_by_source, snap.dir_partitions.get(d), filters
+            ) and _dir_may_match(snap.dir_stats.get(d), filters):
                 kept.append(d)
             else:
                 pruned.append(d)
@@ -1200,12 +1440,20 @@ class SnapshotTable:
         snap = self._load_snapshot(snapshot_id)
         scan_paths: Optional[dict[str, list[str]]] = None
         if filters:
-            # Two pruning levels: whole dirs by dir stats, then single
-            # FILES inside surviving dirs by file stats (what keeps
-            # skipping alive after compaction folds everything into one
-            # sorted dir). A dir without file stats scans whole.
+            # Three pruning levels: whole dirs by PARTITION-SPEC
+            # arithmetic (no stats needed — the declared transform of
+            # the filter value is compared against each dir's recorded
+            # partition value), then whole dirs by dir stats, then
+            # single FILES inside surviving dirs by file stats (what
+            # keeps skipping alive after compaction folds everything
+            # into one sorted dir). A dir without file stats scans whole.
+            spec_by_source = self._spec_by_source()
             scan_paths = {}
             for d in snap.data_dirs:
+                if not _partitions_may_match(
+                    spec_by_source, snap.dir_partitions.get(d), filters
+                ):
+                    continue
                 if not _dir_may_match(snap.dir_stats.get(d), filters):
                     continue
                 scan_paths[d] = self._dir_scan_paths(snap, d, filters)
@@ -1228,6 +1476,7 @@ class SnapshotTable:
                 deletes=snap.deletes,
                 dir_stats=snap.dir_stats,
                 file_stats=snap.file_stats,
+                dir_partitions=snap.dir_partitions,
             )
 
         # mergeSchema: appended files may carry ADDED columns (schema
@@ -1407,7 +1656,12 @@ class SnapshotTable:
         out = []
         for d in sorted(os.listdir(self._data_dir)):
             full = os.path.join(self._data_dir, d)
-            if full not in referenced:
+            # A partitioned snapshot references its per-value SUBDIRS,
+            # not the enclosing snap dir — a top-level dir is live if it
+            # or anything under it is referenced.
+            if full not in referenced and not any(
+                r.startswith(full + os.sep) for r in referenced
+            ):
                 out.append(full)
         return out
 

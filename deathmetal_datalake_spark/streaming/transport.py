@@ -13,24 +13,34 @@ record log a producer writes and a streaming query tails.
 
 Spark-first design:
 
+- :class:`ShardLogBackend` is the TRANSPORT BACKEND PROTOCOL — the five
+  primitives the producer SDK and the streaming source need from any
+  record log: append (atomic, durable), end_offset (monotonic, always a
+  record boundary), read_range (immutable byte replay), last-record
+  recovery, and a producer critical section. :class:`LocalFSShardLog`
+  backs this sandbox with per-shard files and advisory ``flock``; a
+  Kafka/Kinesis backend is a drop-in — append→produce, end_offset→log
+  end offset, read_range→fetch-by-offset, exclusive→no-op (the broker
+  serializes appends). ``tests/test_transport.py`` carries the contract
+  suite any backend must pass.
 - :class:`RecordStreamTransport` is the producer SDK:
   ``create_stream(name, n_shards)`` + ``put_record(stream, pk, data)``.
   A record lands in shard ``md5_60bit(pk) % n_shards`` (Kinesis routes
   by MD5 of the partition key too), gets a per-shard monotonically
   increasing sequence number, and is framed as one JSON line whose
-  append runs under an advisory ``flock`` on the shard file — the lock
-  serializes concurrent producers (no interleaved bytes, no duplicate
-  sequence numbers) on any filesystem with working POSIX locks.
+  append runs inside the backend's exclusive section — serializing
+  concurrent producers (no interleaved bytes, no duplicate sequence
+  numbers).
 - ``record_feed`` is a PySpark Python Data Source
   (``pyspark.sql.datasource``) whose offsets are **per-shard byte
-  lengths**: ``latestOffset`` is an ``os.path.getsize`` per shard
+  lengths**: ``latestOffset`` is the backend's ``end_offset`` per shard
   (O(1), no scan — the property that makes a hot stream tailable), a
   micro-batch is the byte range (start, end] of each shard, and one
   input partition per shard preserves Kinesis's per-shard ordering
-  guarantee inside every batch. A size snapshot can race a large
-  record's multi-syscall flush, so ``latestOffset`` floors the raw
-  size to the last record terminator before planning it — a committed
-  offset is therefore always a record boundary.
+  guarantee inside every batch. A raw size snapshot can race a large
+  record's multi-syscall flush, so ``end_offset`` floors it to the last
+  record terminator before planning — a committed offset is therefore
+  always a record boundary.
 - Exactly-once: offsets live in the sink checkpoint; replaying a byte
   range re-reads identical bytes (the log is append-only), so a
   restarted query re-delivers exactly the unacknowledged records.
@@ -43,11 +53,13 @@ per chunk, ``flows/landing.py:37-47``) is provided as
 
 from __future__ import annotations
 
+import abc
 import fcntl
 import hashlib
 import json
 import os
-from typing import Iterator
+from contextlib import contextmanager
+from typing import Iterator, Optional
 
 from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
 from pyspark.sql.types import LongType, StringType, StructField, StructType
@@ -79,12 +91,192 @@ def _shard_path(stream_dir: str, shard_id: int) -> str:
     return os.path.join(stream_dir, f"shard-{shard_id:04d}.jsonl")
 
 
-class RecordStreamTransport:
-    """Producer-side API over a directory of per-shard append-only logs."""
+# ---------------------------------------------------------------------------
+# Backend protocol
+# ---------------------------------------------------------------------------
+
+
+class ShardAppender(abc.ABC):
+    """Handle yielded by :meth:`ShardLogBackend.exclusive` — the
+    producer's critical section over one shard. Everything here runs
+    serialized against other producers of the same shard."""
+
+    @abc.abstractmethod
+    def size(self) -> int:
+        """Current end of the shard log (raw bytes; inside the critical
+        section this IS a record boundary — no append can be mid-flight)."""
+
+    @abc.abstractmethod
+    def append(self, record: bytes) -> int:
+        """Append one framed record atomically and durably; returns the
+        new end offset."""
+
+    @abc.abstractmethod
+    def last_record(self) -> Optional[bytes]:
+        """The last complete record, or None on an empty shard — the
+        producer's sequence-recovery primitive."""
+
+
+class ShardLogBackend(abc.ABC):
+    """The transport's storage contract. Invariants every implementation
+    must provide (and ``tests/test_transport.py``'s contract suite
+    checks):
+
+    - **Append atomicity**: a record is visible in full or not at all;
+      concurrent appends never interleave bytes.
+    - **Offset monotonicity**: ``end_offset`` never decreases, and a
+      value once returned remains a valid replay start/end forever
+      (the log is append-only; no compaction below a handed-out offset).
+    - **Boundary alignment**: ``end_offset`` always lands on a record
+      boundary, even while a large append is mid-flush.
+    - **Immutable replay**: ``read_range(s, shard, a, b)`` returns the
+      same bytes on every call — what makes checkpoint replay
+      exactly-once.
+
+    Mapping to a broker backend: append→produce, end_offset→log end
+    offset, read_range→fetch by offset, exclusive→no-op context (the
+    broker already serializes appends per partition), last_record→read
+    of the tail offset.
+    """
+
+    @abc.abstractmethod
+    def ensure_stream(self, stream: str, n_shards: int) -> str:
+        """Idempotently provision a stream; returns its locator (the
+        value a reader passes as ``.option('path', ...)``)."""
+
+    @abc.abstractmethod
+    def n_shards(self, stream: str) -> int: ...
+
+    @abc.abstractmethod
+    def end_offset(self, stream: str, shard: int) -> int: ...
+
+    @abc.abstractmethod
+    def read_range(self, stream: str, shard: int, start: int, end: int) -> bytes: ...
+
+    @abc.abstractmethod
+    def exclusive(self, stream: str, shard: int):
+        """Context manager yielding a :class:`ShardAppender`."""
+
+
+def _floor_to_record_boundary(path: str, size: int, chunk: int = 64 * 1024) -> int:
+    """Round a raw size snapshot DOWN to the last ``b'\\n'`` at or below
+    it. A record larger than the writer's IO buffer is flushed in
+    several syscalls, so an unsynchronized ``getsize`` can land
+    mid-record; committing such an offset to the streaming WAL would
+    wedge the query on a torn line forever. Payloads are JSON
+    (``json.dumps`` escapes newlines), so every raw ``b'\\n'`` is a
+    record terminator — flooring to one is always a valid boundary.
+    O(bytes past the last boundary), i.e. O(1) for quiescent logs."""
+    if size <= 0:
+        return 0
+    with open(path, "rb") as f:
+        pos = size
+        while pos > 0:
+            lo = max(0, pos - chunk)
+            f.seek(lo)
+            buf = f.read(pos - lo)
+            i = buf.rfind(b"\n")
+            if i >= 0:
+                return lo + i + 1
+            pos = lo
+    return 0
+
+
+class _LocalShardAppender(ShardAppender):
+    def __init__(self, f, path: str):
+        self._f = f
+        self._path = path
+
+    def size(self) -> int:
+        return os.path.getsize(self._path)
+
+    def append(self, record: bytes) -> int:
+        self._f.write(record)
+        self._f.flush()
+        return os.path.getsize(self._path)
+
+    def last_record(self) -> Optional[bytes]:
+        last: Optional[bytes] = None
+        with open(self._path, "rb") as f:
+            for line in f:
+                if line.strip():
+                    last = line
+        return last
+
+
+class LocalFSShardLog(ShardLogBackend):
+    """POSIX-filesystem backend: one append-only file per shard, producer
+    critical sections via advisory ``flock`` (local disk; NFS needs
+    lockd — the same assumption the checkpoint sink makes). Stream
+    locator = the stream directory; readers need no lock, boundary
+    flooring is their safety."""
 
     def __init__(self, root: str):
         self.root = root
         os.makedirs(root, exist_ok=True)
+
+    def _stream_dir(self, stream: str) -> str:
+        # Accept both bare stream names (producer side) and full stream
+        # dirs (reader side locators).
+        if os.path.isabs(stream) and os.path.isdir(stream):
+            return stream
+        return os.path.join(self.root, stream)
+
+    def ensure_stream(self, stream: str, n_shards: int) -> str:
+        stream_dir = self._stream_dir(stream)
+        os.makedirs(stream_dir, exist_ok=True)
+        marker = os.path.join(stream_dir, "_shards.json")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                existing = json.load(f)["n_shards"]
+            if existing != n_shards:
+                raise ValueError(
+                    f"stream {stream!r} exists with {existing} shards "
+                    f"(requested {n_shards}); resharding is not supported"
+                )
+            return stream_dir
+        with open(marker, "w") as f:
+            json.dump({"n_shards": n_shards}, f)
+        for s in range(n_shards):
+            open(_shard_path(stream_dir, s), "a").close()
+        return stream_dir
+
+    def n_shards(self, stream: str) -> int:
+        with open(os.path.join(self._stream_dir(stream), "_shards.json")) as f:
+            return json.load(f)["n_shards"]
+
+    def end_offset(self, stream: str, shard: int) -> int:
+        path = _shard_path(self._stream_dir(stream), shard)
+        size = os.path.getsize(path) if os.path.exists(path) else 0
+        return _floor_to_record_boundary(path, size) if size else 0
+
+    def read_range(self, stream: str, shard: int, start: int, end: int) -> bytes:
+        path = _shard_path(self._stream_dir(stream), shard)
+        with open(path, "rb") as f:
+            f.seek(start)
+            return f.read(end - start)
+
+    @contextmanager
+    def exclusive(self, stream: str, shard: int):
+        path = _shard_path(self._stream_dir(stream), shard)
+        with open(path, "ab") as f:
+            fcntl.flock(f.fileno(), fcntl.LOCK_EX)
+            yield _LocalShardAppender(f, path)
+            # flock releases with the fd on context exit.
+
+
+# ---------------------------------------------------------------------------
+# Producer SDK
+# ---------------------------------------------------------------------------
+
+
+class RecordStreamTransport:
+    """Producer-side API over a :class:`ShardLogBackend` (local-FS by
+    default — pass any backend implementing the protocol)."""
+
+    def __init__(self, root: str, backend: Optional[ShardLogBackend] = None):
+        self.root = root
+        self.backend = backend if backend is not None else LocalFSShardLog(root)
         # Per-(stream, shard) next sequence number, lazily recovered
         # from the log so a restarted producer continues the series;
         # _expected_size detects concurrent producers (see put_record).
@@ -95,30 +287,13 @@ class RecordStreamTransport:
     # -- stream admin ------------------------------------------------------
 
     def create_stream(self, name: str, n_shards: int = 1) -> str:
-        """Provision a stream (mkdir + shard files + shard-count marker);
-        idempotent, like ``aws kinesis create-stream`` on an existing
-        name with the same shard count."""
-        stream_dir = os.path.join(self.root, name)
-        os.makedirs(stream_dir, exist_ok=True)
-        marker = os.path.join(stream_dir, "_shards.json")
-        if os.path.exists(marker):
-            with open(marker) as f:
-                existing = json.load(f)["n_shards"]
-            if existing != n_shards:
-                raise ValueError(
-                    f"stream {name!r} exists with {existing} shards "
-                    f"(requested {n_shards}); resharding is not supported"
-                )
-            return stream_dir
-        with open(marker, "w") as f:
-            json.dump({"n_shards": n_shards}, f)
-        for s in range(n_shards):
-            open(_shard_path(stream_dir, s), "a").close()
-        return stream_dir
+        """Provision a stream; idempotent, like ``aws kinesis
+        create-stream`` on an existing name with the same shard count.
+        Returns the stream locator for ``.option('path', ...)``."""
+        return self.backend.ensure_stream(name, n_shards)
 
     def n_shards(self, name: str) -> int:
-        with open(os.path.join(self.root, name, "_shards.json")) as f:
-            return json.load(f)["n_shards"]
+        return self.backend.n_shards(name)
 
     # -- producers ---------------------------------------------------------
 
@@ -126,28 +301,27 @@ class RecordStreamTransport:
         """Append one record; returns (shard_id, seq) like Kinesis's
         (ShardId, SequenceNumber) response.
 
-        The append is serialized with an advisory ``flock`` on the shard
-        file, and the cached next-seq is re-recovered whenever another
-        producer grew the file since our last append (detected by file
-        size) — so (shard, seq) pairs stay unique and monotonic even
-        with concurrent producer instances. The lock also makes the
-        write a single critical section, so the per-record line is
-        never interleaved regardless of record size. Assumes a
-        filesystem with working POSIX advisory locks (local disk; NFS
-        needs lockd) — the same assumption the checkpoint sink makes.
+        The append runs inside the backend's exclusive section, and the
+        cached next-seq is re-recovered whenever another producer grew
+        the log since our last append (detected by end offset) — so
+        (shard, seq) pairs stay unique and monotonic even with
+        concurrent producer instances. The whole critical section also
+        covers the cached-seq commit, so two threads sharing one
+        transport instance cannot both read a pre-increment cache.
         """
         if stream not in self._stream_shards:
             self._stream_shards[stream] = self.n_shards(stream)
         shard = shard_for_key(partition_key, self._stream_shards[stream])
-        path = _shard_path(os.path.join(self.root, stream), shard)
         key = (stream, shard)
-        with open(path, "a", encoding="utf-8") as f:
-            fcntl.flock(f.fileno(), fcntl.LOCK_EX)
-            size = os.path.getsize(path)
+        with self.backend.exclusive(stream, shard) as log:
+            size = log.size()
             if self._expected_size.get(key) != size:
                 # Another producer (or a prior instance) appended since
                 # we last looked: re-derive the next sequence number.
-                self._next_seq[key] = self._recover_seq(path)
+                last = log.last_record()
+                self._next_seq[key] = (
+                    0 if last is None else json.loads(last)["seq"] + 1
+                )
             seq = self._next_seq.setdefault(key, 0)
             line = (
                 json.dumps(
@@ -156,13 +330,9 @@ class RecordStreamTransport:
                 )
                 + "\n"
             )
-            f.write(line)
-            f.flush()
-            self._expected_size[key] = size + len(line.encode("utf-8"))
-            # Inside the lock: two threads sharing one transport instance
-            # must not both read the pre-increment cache (the size check
-            # only detects *other* instances' appends, not a stale cache
-            # within this one).
+            self._expected_size[key] = log.append(line.encode("utf-8"))
+            # Inside the critical section: commit the cache before any
+            # other producer thread can observe it.
             self._next_seq[key] = seq + 1
         return shard, seq
 
@@ -203,22 +373,16 @@ class RecordStreamTransport:
             out.append(self.put_record(stream, dataset, "\n".join([header] + chunk)))
         return out
 
-    @staticmethod
-    def _recover_seq(path: str) -> int:
-        if not os.path.exists(path) or os.path.getsize(path) == 0:
-            return 0
-        with open(path, "rb") as f:
-            last = b""
-            for line in f:
-                if line.strip():
-                    last = line
-        return json.loads(last)["seq"] + 1
+
+# ---------------------------------------------------------------------------
+# Streaming source
+# ---------------------------------------------------------------------------
 
 
 class _ShardRangePartition(InputPartition):
     def __init__(self, shard_id: int, path: str, start: int, end: int):
         self.shard_id = shard_id
-        self.path = path
+        self.path = path  # backend-opaque shard locator (local FS: file path)
         self.start = start
         self.end = end
 
@@ -229,13 +393,17 @@ class RecordFeedStreamReader(DataSourceStreamReader):
     snapshot never tears a record that is mid-flush (readers take no
     lock; the boundary scan is their safety)."""
 
+    # Kept as a staticmethod for direct testing; end_offset() is the
+    # backend-facing entry point.
+    _floor_to_record_boundary = staticmethod(_floor_to_record_boundary)
+
     def __init__(self, schema: StructType, options: dict):
         path = options.get("path")
         if not path:
             raise ValueError("record_feed requires .option('path', <stream dir>)")
         self._dir = path
-        with open(os.path.join(path, "_shards.json")) as f:
-            self._n_shards = json.load(f)["n_shards"]
+        self._backend = LocalFSShardLog(os.path.dirname(path) or path)
+        self._n_shards = self._backend.n_shards(path)
         self._schema = schema
 
     def _shards(self) -> list[tuple[str, str]]:
@@ -247,39 +415,13 @@ class RecordFeedStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {name: 0 for name, _ in self._shards()}
 
-    @staticmethod
-    def _floor_to_record_boundary(path: str, size: int, chunk: int = 64 * 1024) -> int:
-        """Round a raw size snapshot DOWN to the last ``b'\\n'`` at or
-        below it. A record larger than the writer's IO buffer is flushed
-        in several syscalls, so an unsynchronized ``getsize`` can land
-        mid-record; committing such an offset to the streaming WAL would
-        wedge the query on a torn line forever. Payloads are JSON
-        (``json.dumps`` escapes newlines), so every raw ``b'\\n'`` is a
-        record terminator — flooring to one is always a valid boundary.
-        O(bytes past the last boundary), i.e. O(1) for quiescent logs."""
-        if size <= 0:
-            return 0
-        with open(path, "rb") as f:
-            pos = size
-            while pos > 0:
-                lo = max(0, pos - chunk)
-                f.seek(lo)
-                buf = f.read(pos - lo)
-                i = buf.rfind(b"\n")
-                if i >= 0:
-                    return lo + i + 1
-                pos = lo
-        return 0
-
     def latestOffset(self) -> dict:
         # O(1) per shard: the append-only log's length IS the offset —
-        # floored to the last newline so a size snapshot taken while a
-        # large record is mid-flush never plans a torn byte range.
-        out = {}
-        for name, p in self._shards():
-            size = os.path.getsize(p) if os.path.exists(p) else 0
-            out[name] = self._floor_to_record_boundary(p, size) if size else 0
-        return out
+        # floored by the backend to a record boundary.
+        return {
+            name: self._backend.end_offset(self._dir, int(name[6:]))
+            for name, _ in self._shards()
+        }
 
     def partitions(self, start: dict, end: dict):
         parts = []
@@ -291,14 +433,14 @@ class RecordFeedStreamReader(DataSourceStreamReader):
         return parts
 
     def read(self, partition: _ShardRangePartition) -> Iterator:
-        with open(partition.path, "rb") as f:
-            f.seek(partition.start)
-            blob = f.read(partition.end - partition.start)
+        blob = self._backend.read_range(
+            self._dir, partition.shard_id, partition.start, partition.end
+        )
         pieces = blob.split(b"\n")
         if pieces and pieces[-1]:
             # Defensive: a trailing fragment without its terminator means
             # the planned end offset was not on a record boundary.
-            # latestOffset floors offsets to b'\n' so this is unreachable
+            # end_offset floors offsets to b'\n' so this is unreachable
             # for offsets we planned; if a foreign writer ever produces
             # one anyway, skipping the fragment beats wedging the query
             # on json.loads of a partial line forever.

@@ -701,3 +701,86 @@ def test_fold_stats_survive_for_untouched_dirs(spark, table, orders):
     for d in s3.data_dirs:
         if d in folded.data_dirs and d == appended_dir:
             assert folded.dir_stats.get(d) == s3.dir_stats.get(d)
+
+
+# ---- hidden partitioning (partition spec) ------------------------------
+
+
+def test_partition_spec_write_read_and_prune(spark, table, orders):
+    import datetime as dt
+
+    table.set_partition_spec([("month", "o_orderdate")])
+    src = orders.select("o_orderkey", "o_orderdate", "o_totalprice")
+    table.write(src, "overwrite")
+    # Logical schema untouched: no partition column leaks.
+    assert table.read().columns == ["o_orderkey", "o_orderdate", "o_totalprice"]
+    assert table.read().count() == src.count()
+    cutoff = dt.date(1996, 7, 1)
+    filters = [("o_orderdate", ">=", cutoff)]
+    kept, pruned = table.scan_dirs(filters)
+    months = {
+        r[0]
+        for r in src.select(F.date_format("o_orderdate", "yyyy-MM")).distinct().collect()
+    }
+    assert len(kept) + len(pruned) == len(months)
+    assert len(pruned) == len([m for m in months if m < "1996-07"])
+    got = table.read(filters=filters).count()
+    want = src.filter(F.col("o_orderdate") >= F.lit(cutoff)).count()
+    assert got == want
+    # Equality prunes to exactly one month-dir.
+    k2, _ = table.scan_dirs([("o_orderdate", "=", dt.date(1996, 3, 15))])
+    assert len(k2) == 1
+
+
+def test_partition_spec_declared_after_commit_refused(table, orders):
+    table.write(orders.limit(5), "overwrite")
+    with pytest.raises(ValueError):
+        table.set_partition_spec([("day", "o_orderdate")])
+
+
+def test_partition_spec_bucket_transform_equality_prune(spark, table, orders):
+    import hashlib
+
+    table.set_partition_spec([("bucket[8]", "o_custkey")])
+    src = orders.select("o_orderkey", "o_custkey").limit(200)
+    table.write(src, "overwrite")
+    key = src.select("o_custkey").first()[0]
+    kept, pruned = table.scan_dirs([("o_custkey", "=", key)])
+    assert len(kept) == 1
+    want_bucket = str(int(hashlib.md5(str(key).encode()).hexdigest()[:15], 16) % 8)
+    snap = table._load_snapshot(table.current_snapshot_id())
+    assert snap.dir_partitions[kept[0]]["o_custkey_bucket8"] == want_bucket
+    # Range ops must NOT prune on a bucket transform (non-monotonic).
+    k2, p2 = table.scan_dirs([("o_custkey", ">=", key)])
+    assert p2 == []
+    # Correctness: pruned read equals plain filtered read.
+    assert (
+        table.read(filters=[("o_custkey", "=", key)]).count()
+        == src.filter(F.col("o_custkey") == key).count()
+    )
+
+
+def test_partition_spec_append_and_time_travel(spark, table, orders):
+    table.set_partition_spec([("year", "o_orderdate")])
+    src = orders.select("o_orderkey", "o_orderdate").limit(100)
+    s1 = table.write(src, "overwrite")
+    extra = orders.select("o_orderkey", "o_orderdate").limit(150).subtract(src)
+    table.write(extra, "append")
+    assert table.read().count() == 100 + extra.count()
+    assert table.read(snapshot_id=s1.snapshot_id).count() == 100
+    # Appended dirs carry partition values too: every data dir of the
+    # head has a recorded year.
+    head = table._load_snapshot(table.current_snapshot_id())
+    assert set(head.data_dirs) == set(head.dir_partitions)
+
+
+def test_partition_spec_delete_and_fold_keep_values(spark, table, orders):
+    table.set_partition_spec([("year", "o_orderdate")])
+    src = orders.select("o_orderkey", "o_orderdate").limit(60)
+    table.write(src, "overwrite")
+    keys = src.select("o_orderkey").limit(10)
+    table.delete_keys(keys, "o_orderkey")
+    assert table.read().count() == 50
+    folded = table.fold_deletes()
+    assert folded.deletes == ()
+    assert table.read().count() == 50

@@ -264,3 +264,99 @@ def test_multi_buffer_record_boundary_scan(transport):
         )
         == boundary
     )
+
+
+# ---- ShardLogBackend contract suite ------------------------------------
+# Any backend (local-FS now; a Kafka/Kinesis adapter later) must pass
+# these by inheriting the mixin and providing make_backend().
+
+
+class ShardLogContract:
+    def make_backend(self, tmp_path):
+        raise NotImplementedError
+
+    def test_ensure_stream_idempotent_and_shard_count(self, tmp_path):
+        b = self.make_backend(tmp_path)
+        b.ensure_stream("s", 4)
+        b.ensure_stream("s", 4)  # idempotent
+        assert b.n_shards("s") == 4
+        with pytest.raises(ValueError):
+            b.ensure_stream("s", 8)  # resharding refused
+
+    def test_append_roundtrip_and_offset_monotonic(self, tmp_path):
+        b = self.make_backend(tmp_path)
+        b.ensure_stream("s", 1)
+        offsets = [b.end_offset("s", 0)]
+        payloads = [f'{{"i":{i}}}\n'.encode() for i in range(20)]
+        for p in payloads:
+            with b.exclusive("s", 0) as log:
+                log.append(p)
+            offsets.append(b.end_offset("s", 0))
+        assert offsets == sorted(offsets)  # never decreases
+        assert b.read_range("s", 0, 0, offsets[-1]) == b"".join(payloads)
+        # Any handed-out offset remains a valid replay boundary.
+        for i in range(1, len(offsets)):
+            assert b.read_range("s", 0, offsets[i - 1], offsets[i]) == payloads[i - 1]
+
+    def test_end_offset_is_record_boundary(self, tmp_path):
+        b = self.make_backend(tmp_path)
+        b.ensure_stream("s", 1)
+        with b.exclusive("s", 0) as log:
+            log.append(b'{"a":1}\n')
+        off = b.end_offset("s", 0)
+        assert b.read_range("s", 0, 0, off).endswith(b"\n")
+
+    def test_concurrent_appends_never_interleave(self, tmp_path):
+        import threading
+
+        b = self.make_backend(tmp_path)
+        b.ensure_stream("s", 1)
+
+        def writer(tag: str):
+            backend = self.make_backend(tmp_path)  # own instance per thread
+            for i in range(50):
+                rec = (json.dumps({"w": tag, "i": i}) + "\n").encode()
+                with backend.exclusive("s", 0) as log:
+                    log.append(rec)
+
+        threads = [threading.Thread(target=writer, args=(f"w{t}",)) for t in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        blob = b.read_range("s", 0, 0, b.end_offset("s", 0))
+        recs = [json.loads(x) for x in blob.decode().splitlines() if x]
+        assert len(recs) == 200  # every append fully visible
+        per = {}
+        for r in recs:
+            per.setdefault(r["w"], []).append(r["i"])
+        assert all(v == list(range(50)) for v in per.values())  # per-writer order
+
+    def test_last_record_recovery(self, tmp_path):
+        b = self.make_backend(tmp_path)
+        b.ensure_stream("s", 1)
+        with b.exclusive("s", 0) as log:
+            assert log.last_record() is None
+        with b.exclusive("s", 0) as log:
+            log.append(b'{"seq":0}\n')
+            log.append(b'{"seq":1}\n')
+        with b.exclusive("s", 0) as log:
+            assert json.loads(log.last_record())["seq"] == 1
+
+    def test_immutable_replay(self, tmp_path):
+        b = self.make_backend(tmp_path)
+        b.ensure_stream("s", 1)
+        with b.exclusive("s", 0) as log:
+            log.append(b'{"x":1}\n')
+        end = b.end_offset("s", 0)
+        first = b.read_range("s", 0, 0, end)
+        with b.exclusive("s", 0) as log:
+            log.append(b'{"x":2}\n')
+        assert b.read_range("s", 0, 0, end) == first  # old range unchanged
+
+
+class TestLocalFSShardLog(ShardLogContract):
+    def make_backend(self, tmp_path):
+        from deathmetal_datalake_spark.streaming.transport import LocalFSShardLog
+
+        return LocalFSShardLog(str(tmp_path / "backend"))

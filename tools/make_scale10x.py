@@ -48,10 +48,10 @@ SHIFTS = {
 COPY_AS_IS = ["region", "nation"]
 
 
-def main() -> None:
-    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale10x"
-    spark = get_spark(app_name="make-scale10x", master="local[32]")
-    spark.sparkContext.setLogLevel("ERROR")
+def build(spark, out: str) -> None:
+    """Build the 10x scratch into ``out`` with the caller's session and
+    drop a ``_scale10x.done`` marker so repeat callers (bench.py runs
+    per driver round) can reuse the scratch instead of rebuilding."""
     os.makedirs(out, exist_ok=True)
     for t in COPY_AS_IS:
         shutil.copyfile(
@@ -100,6 +100,19 @@ def main() -> None:
         os.replace(os.path.join(tmp, part), dest)
         shutil.rmtree(tmp)
         print(f"{t}: wrote {REPLICAS}x")
+    with open(os.path.join(out, "_scale10x.done"), "w") as f:
+        f.write(f"replicas={REPLICAS} src={SRC}\n")
+
+
+def is_built(out: str) -> bool:
+    return os.path.exists(os.path.join(out, "_scale10x.done"))
+
+
+def main() -> None:
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale10x"
+    spark = get_spark(app_name="make-scale10x", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    build(spark, out)
     spark.stop()
 
 
