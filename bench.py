@@ -100,6 +100,8 @@ BENCH_QUERIES = [
     # record-transport replay + trailing-frame anomaly scoring
     "streaming_transport_replay",
     "events_trailing_zscore",
+    # round 4: hidden-partitioning spec pruning
+    "catalog_partition_pruned_scan",
 ]
 
 # Queries whose full result is large; drain with a hash aggregate

@@ -12,8 +12,11 @@ accumulates it, and old snapshots stay exactly reconstructable.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
+from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -21,6 +24,31 @@ from pyspark.sql import functions as F
 from deathmetal_datalake_spark.plans.registry import dsum, register, session_cache, spread, sql_dsum
 from deathmetal_datalake_spark.sources.snapshots import SnapshotTable
 from deathmetal_datalake_spark.sources.tables import load_table
+
+_SCRATCH_ROOT: Optional[str] = None
+
+
+def _scratch(name: str) -> str:
+    """Process-lifetime scratch dir for a versioned-table query.
+
+    The small-aggregate queries use ``TemporaryDirectory`` and freeze
+    their few result rows with ``collect`` before it vanishes — fine.
+    For FULL-TABLE results that pattern materializes millions of rows
+    on the driver and re-uploads them (collect + createDataFrame), and
+    the consumer then pays a second collection; at 10× scale that
+    double pass dominated the query. Queries using ``_scratch`` return
+    LAZY DataFrames instead: the backing table outlives the call
+    (cleaned at process exit), and each query owns a fixed subdir wiped
+    at entry so repeated invocations rebuild from clean state without
+    accumulating."""
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="dml-snapq-")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    d = os.path.join(_SCRATCH_ROOT, name)
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    return d
 
 
 def _version_stats(df: DataFrame, version: int) -> DataFrame:
@@ -155,14 +183,12 @@ def catalog_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("N").alias("o_orderstatus"),
         "o_totalprice",
     )
-    with tempfile.TemporaryDirectory(prefix="dml-snapm-") as d:
-        tbl = SnapshotTable(spark, os.path.join(d, "orders_merged"))
-        tbl.write(orders, "overwrite")
-        merged = merge_upsert(tbl.read(), updates.unionAll(inserts), "o_orderkey")
-        tbl.write(merged, "overwrite")
-        out = tbl.read()
-        rows = out.collect()
-        return spark.createDataFrame(rows, schema=out.schema)
+    d = _scratch("catalog_merge_upsert")
+    tbl = SnapshotTable(spark, os.path.join(d, "orders_merged"))
+    tbl.write(orders, "overwrite")
+    merged = merge_upsert(tbl.read(), updates.unionAll(inserts), "o_orderkey")
+    tbl.write(merged, "overwrite")
+    return tbl.read()  # lazy: full-table result, scratch outlives the call
 
 
 # ---------------------------------------------------------------------------
@@ -229,17 +255,15 @@ def catalog_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice",
         )
     )
-    with tempfile.TemporaryDirectory(prefix="dml-snapd-") as d:
-        tbl = SnapshotTable(spark, os.path.join(d, "orders_cdc"))
-        s1 = tbl.write(orders, "overwrite")
-        s2 = tbl.write(v2, "overwrite")
-        out = snapshot_diff(
-            tbl.read(snapshot_id=s1.snapshot_id),
-            tbl.read(snapshot_id=s2.snapshot_id),
-            "o_orderkey",
-        )
-        rows = out.collect()
-        return spark.createDataFrame(rows, schema=out.schema)
+    d = _scratch("catalog_snapshot_diff")
+    tbl = SnapshotTable(spark, os.path.join(d, "orders_cdc"))
+    s1 = tbl.write(orders, "overwrite")
+    s2 = tbl.write(v2, "overwrite")
+    return snapshot_diff(
+        tbl.read(snapshot_id=s1.snapshot_id),
+        tbl.read(snapshot_id=s2.snapshot_id),
+        "o_orderkey",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -263,14 +287,12 @@ def catalog_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", "o_orderstatus", "o_totalprice"
         )
     )
-    with tempfile.TemporaryDirectory(prefix="dml-snapi-") as d:
-        tbl = SnapshotTable(spark, os.path.join(d, "orders_feed"))
-        s1 = tbl.write(orders.filter(F.col("o_orderstatus") == "F"), "append")
-        tbl.write(orders.filter(F.col("o_orderstatus") == "O"), "append")
-        tbl.write(orders.filter(F.col("o_orderstatus") == "P"), "append")
-        out = tbl.read_appends(since_snapshot_id=s1.snapshot_id)
-        rows = out.collect()
-        return spark.createDataFrame(rows, schema=out.schema)
+    d = _scratch("catalog_incremental_read")
+    tbl = SnapshotTable(spark, os.path.join(d, "orders_feed"))
+    s1 = tbl.write(orders.filter(F.col("o_orderstatus") == "F"), "append")
+    tbl.write(orders.filter(F.col("o_orderstatus") == "O"), "append")
+    tbl.write(orders.filter(F.col("o_orderstatus") == "P"), "append")
+    return tbl.read_appends(since_snapshot_id=s1.snapshot_id)
 
 # ---------------------------------------------------------------------------
 # CROSS-TABLE ATOMIC TRANSACTION (sources/transactions.py): one
@@ -395,47 +417,46 @@ def streaming_snapshot_feed_replay(spark: SparkSession, sf_dir: str) -> DataFram
             "o_orderkey", "o_orderstatus", "o_totalprice"
         )
     )
-    with tempfile.TemporaryDirectory(prefix="dml-feed-") as d:
-        tbl = SnapshotTable(spark, os.path.join(d, "orders_feed"))
-        sink = os.path.join(d, "sink")
-        ckpt = os.path.join(d, "ckpt")
+    d = _scratch("streaming_snapshot_feed_replay")
+    tbl = SnapshotTable(spark, os.path.join(d, "orders_feed"))
+    sink = os.path.join(d, "sink")
+    ckpt = os.path.join(d, "ckpt")
 
-        def drain() -> None:
-            q = (
-                spark.readStream.format("snapshot_feed")
-                .schema(tbl.read().schema)
-                .option("path", tbl.base_path)
-                .load()
-                .writeStream.format("parquet")
-                .option("path", sink)
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            if not q.awaitTermination(300):
-                q.stop()
-                raise RuntimeError("feed drain did not finish within 300 s")
-
-        tbl.write(orders.filter(F.col("o_orderstatus") == "F"), "append")
-        tbl.write(orders.filter(F.col("o_orderstatus") == "O"), "append")
-        drain()
-        # Snapshot run 1's keys to scratch parquet (the sink dir keeps
-        # growing) and tag via JOIN — an isin() literal list of run-1
-        # keys would build a million-element expression tree at scale.
-        run1_dir = os.path.join(d, "run1_keys")
-        spark.read.parquet(sink).select("o_orderkey").write.parquet(run1_dir)
-        tbl.write(orders.filter(F.col("o_orderstatus") == "P"), "append")
-        drain()
-        drained = spark.read.parquet(sink)
-        run1 = spark.read.parquet(run1_dir).withColumn("_r1", F.lit(1))
-        out = drained.join(run1, on="o_orderkey", how="left").select(
-            F.coalesce(F.col("_r1"), F.lit(2)).cast("int").alias("run"),
-            "o_orderkey",
-            "o_orderstatus",
-            "o_totalprice",
+    def drain() -> None:
+        q = (
+            spark.readStream.format("snapshot_feed")
+            .schema(tbl.read().schema)
+            .option("path", tbl.base_path)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, schema=out.schema)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("feed drain did not finish within 300 s")
+
+    tbl.write(orders.filter(F.col("o_orderstatus") == "F"), "append")
+    tbl.write(orders.filter(F.col("o_orderstatus") == "O"), "append")
+    drain()
+    # Snapshot run 1's keys to scratch parquet (the sink dir keeps
+    # growing) and tag via JOIN — an isin() literal list of run-1
+    # keys would build a million-element expression tree at scale.
+    run1_dir = os.path.join(d, "run1_keys")
+    spark.read.parquet(sink).select("o_orderkey").write.parquet(run1_dir)
+    tbl.write(orders.filter(F.col("o_orderstatus") == "P"), "append")
+    drain()
+    drained = spark.read.parquet(sink)
+    run1 = spark.read.parquet(run1_dir).withColumn("_r1", F.lit(1))
+    # Lazy: sink + run1 parquet live in the process-lifetime scratch.
+    return drained.join(run1, on="o_orderkey", how="left").select(
+        F.coalesce(F.col("_r1"), F.lit(2)).cast("int").alias("run"),
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+    )
 
 # ---------------------------------------------------------------------------
 # INCREMENTAL MATERIALIZED-VIEW MAINTENANCE (IVM): the lakehouse
@@ -571,23 +592,21 @@ def catalog_delete_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", "o_orderstatus", "o_totalprice"
         )
     )
-    with tempfile.TemporaryDirectory(prefix="dml-take-") as d:
-        tbl = SnapshotTable(spark, os.path.join(d, "orders_takedown"))
-        tbl.write(orders, "overwrite")
-        tbl.delete_keys(
-            orders.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey"),
-            "o_orderkey",
-        )
-        tbl.write(
-            orders.filter(
-                (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 3 == 0)
-            ),
-            "append",
-        )
-        tbl.compact()
-        out = tbl.read()
-        rows = out.collect()
-        return spark.createDataFrame(rows, schema=out.schema)
+    d = _scratch("catalog_delete_takedown")
+    tbl = SnapshotTable(spark, os.path.join(d, "orders_takedown"))
+    tbl.write(orders, "overwrite")
+    tbl.delete_keys(
+        orders.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey"),
+        "o_orderkey",
+    )
+    tbl.write(
+        orders.filter(
+            (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 3 == 0)
+        ),
+        "append",
+    )
+    tbl.compact()
+    return tbl.read()  # lazy: the scratch table outlives the call
 
 # ---------------------------------------------------------------------------
 # ROW-LEVEL CDC (read_changes): the O(delta) change feed INCLUDING
@@ -615,20 +634,18 @@ def catalog_changes_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", "o_orderstatus", "o_totalprice"
         )
     )
-    with tempfile.TemporaryDirectory(prefix="dml-cdc-") as d:
-        tbl = SnapshotTable(spark, os.path.join(d, "orders_cdcfeed"))
-        s1 = tbl.write(orders.filter(F.col("o_orderstatus") == "F"), "append")
-        tbl.write(orders.filter(F.col("o_orderstatus") == "O"), "append")
-        tbl.delete_keys(
-            orders.filter(
-                F.col("o_orderstatus").isin("F", "O")
-                & (F.col("o_orderkey") % 7 == 0)
-            ).select("o_orderkey"),
-            "o_orderkey",
-        )
-        out = tbl.read_changes(since_snapshot_id=s1.snapshot_id)
-        rows = out.collect()
-        return spark.createDataFrame(rows, schema=out.schema)
+    d = _scratch("catalog_changes_cdc")
+    tbl = SnapshotTable(spark, os.path.join(d, "orders_cdcfeed"))
+    s1 = tbl.write(orders.filter(F.col("o_orderstatus") == "F"), "append")
+    tbl.write(orders.filter(F.col("o_orderstatus") == "O"), "append")
+    tbl.delete_keys(
+        orders.filter(
+            F.col("o_orderstatus").isin("F", "O")
+            & (F.col("o_orderkey") % 7 == 0)
+        ).select("o_orderkey"),
+        "o_orderkey",
+    )
+    return tbl.read_changes(since_snapshot_id=s1.snapshot_id)
 
 # ---------------------------------------------------------------------------
 # STREAMING CDC (change_feed mode of the snapshot_feed source): the
@@ -666,42 +683,40 @@ def streaming_cdc_feed_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", "o_orderstatus", "o_totalprice"
         )
     )
-    with tempfile.TemporaryDirectory(prefix="dml-cdcs-") as d:
-        tbl = SnapshotTable(spark, os.path.join(d, "orders_cdcstream"))
-        sink = os.path.join(d, "sink")
-        ckpt = os.path.join(d, "ckpt")
+    d = _scratch("streaming_cdc_feed_replay")
+    tbl = SnapshotTable(spark, os.path.join(d, "orders_cdcstream"))
+    sink = os.path.join(d, "sink")
+    ckpt = os.path.join(d, "ckpt")
 
-        def drain() -> None:
-            q = (
-                spark.readStream.format("snapshot_feed")
-                .schema(cdc_schema(tbl.read().schema))
-                .option("path", tbl.base_path)
-                .option("change_feed", "true")
-                .load()
-                .writeStream.format("parquet")
-                .option("path", sink)
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            if not q.awaitTermination(300):
-                q.stop()
-                raise RuntimeError("feed drain did not finish within 300 s")
-
-        tbl.write(orders.filter(F.col("o_orderstatus") == "F"), "append")
-        tbl.write(orders.filter(F.col("o_orderstatus") == "O"), "append")
-        drain()
-        tbl.delete_keys(
-            orders.filter(
-                F.col("o_orderstatus").isin("F", "O")
-                & (F.col("o_orderkey") % 7 == 0)
-            ).select("o_orderkey"),
-            "o_orderkey",
+    def drain() -> None:
+        q = (
+            spark.readStream.format("snapshot_feed")
+            .schema(cdc_schema(tbl.read().schema))
+            .option("path", tbl.base_path)
+            .option("change_feed", "true")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
-        drain()
-        out = spark.read.parquet(sink)
-        rows = out.collect()
-        return spark.createDataFrame(rows, schema=out.schema)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("feed drain did not finish within 300 s")
+
+    tbl.write(orders.filter(F.col("o_orderstatus") == "F"), "append")
+    tbl.write(orders.filter(F.col("o_orderstatus") == "O"), "append")
+    drain()
+    tbl.delete_keys(
+        orders.filter(
+            F.col("o_orderstatus").isin("F", "O")
+            & (F.col("o_orderkey") % 7 == 0)
+        ).select("o_orderkey"),
+        "o_orderkey",
+    )
+    drain()
+    return spark.read.parquet(sink)  # lazy: process-lifetime scratch sink
 
 # ---------------------------------------------------------------------------
 # CDC REPLICATION (the downstream-replica pattern): a second versioned
@@ -741,70 +756,68 @@ def streaming_cdc_replica_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", "o_orderstatus", "o_totalprice"
         )
     )
-    with tempfile.TemporaryDirectory(prefix="dml-repl-") as d:
-        src = SnapshotTable(spark, os.path.join(d, "orders_src"))
-        replica = SnapshotTable(spark, os.path.join(d, "orders_replica"))
-        ckpt = os.path.join(d, "ckpt")
+    d = _scratch("streaming_cdc_replica_replay")
+    src = SnapshotTable(spark, os.path.join(d, "orders_src"))
+    replica = SnapshotTable(spark, os.path.join(d, "orders_replica"))
+    ckpt = os.path.join(d, "ckpt")
 
-        def apply_events(batch_df: DataFrame, batch_id: int) -> None:
-            # Apply strictly in commit order with the replica's own
-            # O(delta) operations: appends stay appends, deletes stay
-            # delete_keys metadata commits. Ordering preserves the
-            # covered-files semantics — a delete applied before the
-            # next append covers exactly the files that existed, so
-            # re-inserted keys stay visible, same as on the source.
-            events = batch_df.cache()
-            try:
-                commits = [
-                    (r[0], r[1])
-                    for r in events.select(
-                        "_commit_snapshot_id", "_change_type"
+    def apply_events(batch_df: DataFrame, batch_id: int) -> None:
+        # Apply strictly in commit order with the replica's own
+        # O(delta) operations: appends stay appends, deletes stay
+        # delete_keys metadata commits. Ordering preserves the
+        # covered-files semantics — a delete applied before the
+        # next append covers exactly the files that existed, so
+        # re-inserted keys stay visible, same as on the source.
+        events = batch_df.cache()
+        try:
+            commits = [
+                (r[0], r[1])
+                for r in events.select(
+                    "_commit_snapshot_id", "_change_type"
+                )
+                .distinct()
+                .orderBy("_commit_snapshot_id")
+                .collect()
+            ]
+            for cid, change_type in commits:
+                ev = events.filter(F.col("_commit_snapshot_id") == cid)
+                if change_type == "insert":
+                    replica.write(
+                        ev.drop("_change_type", "_commit_snapshot_id"),
+                        mode="append",
                     )
-                    .distinct()
-                    .orderBy("_commit_snapshot_id")
-                    .collect()
-                ]
-                for cid, change_type in commits:
-                    ev = events.filter(F.col("_commit_snapshot_id") == cid)
-                    if change_type == "insert":
-                        replica.write(
-                            ev.drop("_change_type", "_commit_snapshot_id"),
-                            mode="append",
-                        )
-                    else:
-                        replica.delete_keys(
-                            ev.select("o_orderkey"), "o_orderkey"
-                        )
-            finally:
-                events.unpersist()
+                else:
+                    replica.delete_keys(
+                        ev.select("o_orderkey"), "o_orderkey"
+                    )
+        finally:
+            events.unpersist()
 
-        src.write(orders.filter(F.col("o_orderstatus") == "F"), "append")
-        src.write(orders.filter(F.col("o_orderstatus") == "O"), "append")
-        src.delete_keys(
-            orders.filter(
-                F.col("o_orderstatus").isin("F", "O")
-                & (F.col("o_orderkey") % 7 == 0)
-            ).select("o_orderkey"),
-            "o_orderkey",
-        )
-        src.write(orders.filter(F.col("o_orderstatus") == "P"), "append")
-        q = (
-            spark.readStream.format("snapshot_feed")
-            .schema(cdc_schema(src.read().schema))
-            .option("path", src.base_path)
-            .option("change_feed", "true")
-            .load()
-            .writeStream.foreachBatch(apply_events)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError("feed drain did not finish within 300 s")
-        out = replica.read()
-        rows = out.collect()
-        return spark.createDataFrame(rows, schema=out.schema)
+    src.write(orders.filter(F.col("o_orderstatus") == "F"), "append")
+    src.write(orders.filter(F.col("o_orderstatus") == "O"), "append")
+    src.delete_keys(
+        orders.filter(
+            F.col("o_orderstatus").isin("F", "O")
+            & (F.col("o_orderkey") % 7 == 0)
+        ).select("o_orderkey"),
+        "o_orderkey",
+    )
+    src.write(orders.filter(F.col("o_orderstatus") == "P"), "append")
+    q = (
+        spark.readStream.format("snapshot_feed")
+        .schema(cdc_schema(src.read().schema))
+        .option("path", src.base_path)
+        .option("change_feed", "true")
+        .load()
+        .writeStream.foreachBatch(apply_events)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("feed drain did not finish within 300 s")
+    return replica.read()  # lazy: process-lifetime scratch replica
 
 
 # ---------------------------------------------------------------------------

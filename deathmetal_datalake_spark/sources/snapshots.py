@@ -950,6 +950,17 @@ class SnapshotTable:
                     ent["name"], _transform_column(ent["transform"], ent["source"])
                 )
                 pnames.append(ent["name"])
+            # Cluster by partition value before the write: without this
+            # every task writes a sliver into every value dir (tasks ×
+            # values files — measured 10.6 s of footer harvest for an
+            # 80-month table), with it each value dir gets ~1 file. AQE
+            # coalescing keeps empty shuffle partitions free; a hot
+            # partition value is still splittable downstream by
+            # compact(). Same guidance as Spark's own partitioned-write
+            # docs: repartition on the partition columns first.
+            from pyspark.sql import functions as _F
+
+            staged = staged.repartition(*[_F.col(p) for p in pnames])
             staged.write.mode("errorifexists").partitionBy(*pnames).parquet(
                 new_dir
             )

@@ -37,6 +37,9 @@ NAMES = [
     "dedup_exact_substring",
     "dedup_containment_pairs",
     "dedup_longest_common_run",
+    # round 4: auto-capped jaccard, KMV sketch (WindowGroupLimit proof)
+    "dedup_ngram_jaccard",
+    "events_approx_distinct_users",
 ]
 
 _DETAIL_PREFIXES = (

@@ -57,7 +57,7 @@ def build(spark, out: str) -> None:
         shutil.copyfile(
             os.path.join(SRC, f"{t}.parquet"), os.path.join(out, f"{t}.parquet")
         )
-        print(f"{t}: copied 1x")
+        print(f"{t}: copied 1x", file=sys.stderr)
     for t, shifts in SHIFTS.items():
         base = load_table(spark, SRC, t)
         parts = []
@@ -99,7 +99,7 @@ def build(spark, out: str) -> None:
             os.remove(dest)
         os.replace(os.path.join(tmp, part), dest)
         shutil.rmtree(tmp)
-        print(f"{t}: wrote {REPLICAS}x")
+        print(f"{t}: wrote {REPLICAS}x", file=sys.stderr)
     with open(os.path.join(out, "_scale10x.done"), "w") as f:
         f.write(f"replicas={REPLICAS} src={SRC}\n")
 
