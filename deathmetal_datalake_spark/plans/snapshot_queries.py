@@ -949,3 +949,56 @@ def catalog_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         rows = out.collect()
         return spark.createDataFrame(rows, schema=out.schema)
+
+
+# ---------------------------------------------------------------------------
+# Hidden partitioning on a TIMESTAMP source — day(ts) over the events
+# stream, the canonical ingest layout for time-series fact tables (one
+# commit, 30 day-dirs, clustered write). Complements the month(date)
+# query above by exercising the timestamp-typed transform path end to
+# end: derived day values in dir names only, spec pruning on a ts
+# range predicate, and the surviving scan's aggregate pinned exactly.
+# The oracle mirrors load_table's nanos→micros floor with CAST(ts AS
+# TIMESTAMP) (DuckDB truncates, Spark divides — same floor).
+# ---------------------------------------------------------------------------
+
+_EVDAY_CUTOFF = "2024-01-21"
+
+_EVDAY_SQL = f"""
+SELECT
+  (SELECT COUNT(DISTINCT CAST(ts AS DATE)) FROM events) AS total_dirs,
+  (SELECT COUNT(DISTINCT CAST(ts AS DATE)) FROM events
+    WHERE CAST(ts AS DATE) < DATE '{_EVDAY_CUTOFF}') AS pruned_dirs,
+  COUNT(*) AS n_rows,
+  {sql_dsum("value", "total_value")},
+  MIN(CAST(ts AS TIMESTAMP)) AS min_ts,
+  MAX(CAST(ts AS TIMESTAMP)) AS max_ts
+FROM events
+WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '{_EVDAY_CUTOFF} 00:00:00'
+"""
+
+
+@register("catalog_partitioned_events_scan", oracle=_EVDAY_SQL)
+def catalog_partitioned_events_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as _dt
+
+    ev = spread(load_table(spark, sf_dir, "events")).select(
+        "event_id", "ts", "event_type", "value"
+    )
+    cutoff = _dt.datetime.fromisoformat(f"{_EVDAY_CUTOFF}T00:00:00")
+    filters = [("ts", ">=", cutoff)]
+    with tempfile.TemporaryDirectory(prefix="dml-evday-") as d:
+        tbl = SnapshotTable(spark, os.path.join(d, "events_by_day"))
+        tbl.set_partition_spec([("day", "ts")])
+        tbl.write(ev, "overwrite")
+        kept, pruned = tbl.scan_dirs(filters)
+        out = tbl.read(filters=filters).agg(
+            F.lit(len(kept) + len(pruned)).cast("long").alias("total_dirs"),
+            F.lit(len(pruned)).cast("long").alias("pruned_dirs"),
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("value", "total_value"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)

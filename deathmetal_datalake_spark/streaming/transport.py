@@ -265,6 +265,104 @@ class LocalFSShardLog(ShardLogBackend):
             # flock releases with the fd on context exit.
 
 
+class _MemShard:
+    def __init__(self):
+        import threading
+
+        self.buf = bytearray()
+        self.lock = threading.Lock()
+
+
+class InMemoryShardLog(ShardLogBackend):
+    """Second implementation of the backend protocol — the proof that
+    the seam is a real drop-in (and a zero-IO target for unit tests).
+    Appends serialize on a per-shard ``threading.Lock``; because every
+    append lands atomically, raw byte length IS always a record
+    boundary and no flooring scan is needed — exactly the situation a
+    broker backend is in, where the log-end offset is boundary-aligned
+    by construction.
+
+    Process-local by design: instances sharing a ``root`` share state
+    (like producers sharing a filesystem), which serves the producer
+    SDK and the contract suite; the ``record_feed`` Spark source needs
+    a backend readable from separate worker processes, i.e. the
+    local-FS or a broker implementation."""
+
+    _STORES: dict = {}
+
+    def __init__(self, root: str):
+        import threading
+
+        store = self._STORES.setdefault(
+            root, {"streams": {}, "lock": threading.Lock()}
+        )
+        self._store = store
+
+    def _stream(self, stream: str) -> dict:
+        st = self._store["streams"].get(stream)
+        if st is None:
+            raise FileNotFoundError(f"stream {stream!r} does not exist")
+        return st
+
+    def ensure_stream(self, stream: str, n_shards: int) -> str:
+        with self._store["lock"]:
+            st = self._store["streams"].get(stream)
+            if st is not None:
+                if st["n"] != n_shards:
+                    raise ValueError(
+                        f"stream {stream!r} exists with {st['n']} shards "
+                        f"(requested {n_shards}); resharding is not supported"
+                    )
+            else:
+                self._store["streams"][stream] = {
+                    "n": n_shards,
+                    "shards": [_MemShard() for _ in range(n_shards)],
+                }
+        return f"mem://{stream}"
+
+    def n_shards(self, stream: str) -> int:
+        return self._stream(stream)["n"]
+
+    def end_offset(self, stream: str, shard: int) -> int:
+        sh = self._stream(stream)["shards"][shard]
+        with sh.lock:
+            return len(sh.buf)
+
+    def read_range(self, stream: str, shard: int, start: int, end: int) -> bytes:
+        sh = self._stream(stream)["shards"][shard]
+        with sh.lock:
+            return bytes(sh.buf[start:end])
+
+    @contextmanager
+    def exclusive(self, stream: str, shard: int):
+        sh = self._stream(stream)["shards"][shard]
+        with sh.lock:
+            yield _MemShardAppender(sh)
+
+
+class _MemShardAppender(ShardAppender):
+    def __init__(self, shard: _MemShard):
+        self._shard = shard
+
+    def size(self) -> int:
+        return len(self._shard.buf)
+
+    def append(self, record: bytes) -> int:
+        self._shard.buf.extend(record)
+        return len(self._shard.buf)
+
+    def last_record(self) -> Optional[bytes]:
+        buf = self._shard.buf
+        if not buf:
+            return None
+        # Last complete line (the log always ends with the terminator).
+        end = len(buf)
+        if buf[end - 1 : end] == b"\n":
+            end -= 1
+        start = buf.rfind(b"\n", 0, end) + 1
+        return bytes(buf[start : end + 1])
+
+
 # ---------------------------------------------------------------------------
 # Producer SDK
 # ---------------------------------------------------------------------------
