@@ -140,7 +140,14 @@ def _stat_value(v):
     if isinstance(v, datetime.datetime):
         return v.isoformat(sep="T")
     if isinstance(v, datetime.date):
-        return v.isoformat()
+        # Padded to the midnight-timestamp form so DATE values order
+        # consistently against TIMESTAMP values (Spark compares the two
+        # by casting date → midnight timestamp; an unpadded
+        # "1999-03-03" would sort BELOW "1999-03-03T00:00:00" and a
+        # min-stat exactly at midnight would falsely prune a
+        # `<= date` predicate — caught by the partition-pruning
+        # property test).
+        return v.isoformat() + "T00:00:00"
     return None
 
 
@@ -1374,8 +1381,10 @@ class SnapshotTable:
                 # answer; and without a kind tag we can't trust decode.
                 return None
             if kind == "date":
-                mn = datetime.date.fromisoformat(mn)
-                mx = datetime.date.fromisoformat(mx)
+                # Stored padded to midnight-timestamp form (see
+                # _stat_value); decode back to the date.
+                mn = datetime.datetime.fromisoformat(mn).date()
+                mx = datetime.datetime.fromisoformat(mx).date()
             elif kind == "ts":
                 mn = datetime.datetime.fromisoformat(mn)
                 mx = datetime.datetime.fromisoformat(mx)

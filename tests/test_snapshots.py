@@ -784,3 +784,97 @@ def test_partition_spec_delete_and_fold_keep_values(spark, table, orders):
     folded = table.fold_deletes()
     assert folded.deletes == ()
     assert table.read().count() == 50
+
+
+def test_takedown_sequence_model_property(spark, tmp_path):
+    """Model-based invariant for the delete/append/fold machinery:
+    any sequence of (append batch | delete keys) operations leaves the
+    table equal to a driver-side model applying the same ops — with
+    auto-fold firing mid-sequence at a low threshold, so folds
+    interleave with live traffic rather than running on a quiet table."""
+    import os as _os
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    op = st.one_of(
+        st.tuples(st.just("append"), st.lists(st.integers(0, 30), min_size=1, max_size=5)),
+        st.tuples(st.just("delete"), st.lists(st.integers(0, 30), min_size=1, max_size=5)),
+    )
+
+    counter = [0]
+
+    @settings(max_examples=8, deadline=None)
+    @given(ops=st.lists(op, min_size=2, max_size=8))
+    def prop(ops):
+        counter[0] += 1
+        t = SnapshotTable(spark, _os.path.join(str(tmp_path), f"t{counter[0]}"))
+        t.DELETE_FOLD_THRESHOLD = 2  # force folds mid-sequence
+        model: dict[int, int] = {}  # key -> multiplicity
+        next_tag = [0]
+        written = False
+        for kind, keys in ops:
+            if kind == "append":
+                rows = [(k, next_tag[0] + i) for i, k in enumerate(keys)]
+                next_tag[0] += len(keys)
+                t.write(
+                    spark.createDataFrame(rows, "k long, tag long"),
+                    mode="append" if written else "overwrite",
+                )
+                written = True
+                for k in keys:
+                    model[k] = model.get(k, 0) + 1
+            else:
+                if not written:
+                    continue
+                t.delete_keys(
+                    spark.createDataFrame([(k,) for k in set(keys)], "k long"), "k"
+                )
+                for k in set(keys):
+                    model.pop(k, None)
+        if not written:
+            return
+        got: dict[int, int] = {}
+        for r in t.read().select("k").collect():
+            got[r.k] = got.get(r.k, 0) + 1
+        assert got == model
+
+    prop()
+
+
+def test_partition_pruned_read_equals_plain_filter_property(spark, tmp_path, orders):
+    """read(filters) over a spec table ≡ read().filter(...) for random
+    predicates on the partition source column — pruning is purely an
+    optimization, never a semantics change."""
+    import datetime as dt
+    import os as _os
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    src = orders.select("o_orderkey", "o_orderdate", "o_totalprice").limit(400)
+    t = SnapshotTable(spark, _os.path.join(str(tmp_path), "spec_prop"))
+    t.set_partition_spec([("month", "o_orderdate")])
+    t.write(src, "overwrite")
+    lo, hi = dt.date(1994, 6, 1), dt.date(2002, 3, 1)
+    days = (hi - lo).days
+
+    ops = st.sampled_from(["<", "<=", ">", ">=", "="])
+    datestrat = st.integers(0, days).map(lambda n: lo + dt.timedelta(days=n))
+
+    @settings(max_examples=12, deadline=None)
+    @given(op=ops, d=datestrat)
+    def prop(op, d):
+        filters = [("o_orderdate", op, d)]
+        from deathmetal_datalake_spark.sources.snapshots import _filters_to_column
+
+        got = sorted(
+            r.o_orderkey for r in t.read(filters=filters).select("o_orderkey").collect()
+        )
+        want = sorted(
+            r.o_orderkey
+            for r in t.read().filter(_filters_to_column(filters)).select("o_orderkey").collect()
+        )
+        assert got == want
+
+    prop()

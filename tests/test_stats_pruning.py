@@ -322,3 +322,27 @@ def test_metadata_only_aggregates(table, orders, spark):
     # Compaction applies deletes physically; metadata answers return.
     table.compact()
     assert table.metadata_count() == orders.count() - 3
+
+
+def test_date_predicate_at_midnight_timestamp_stat_not_pruned(spark, tmp_path):
+    # Regression (found by the partition-pruning property test): a
+    # TIMESTAMP column whose dir-min sits exactly at midnight must NOT
+    # be pruned by a `<= date` predicate for that same day — date
+    # bounds/values are normalized to the midnight-timestamp form so
+    # the lexicographic compare matches Spark's own date→timestamp
+    # cast semantics.
+    import datetime as dt
+    import os
+
+    from deathmetal_datalake_spark.sources.snapshots import SnapshotTable
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(1999, 3, 3, 0, 0, 0)), (2, dt.datetime(1999, 3, 10, 5, 0))],
+        "k long, ts timestamp",
+    )
+    t = SnapshotTable(spark, os.path.join(str(tmp_path), "mid"))
+    t.write(df, "overwrite")
+    filters = [("ts", "<=", dt.date(1999, 3, 3))]
+    kept, pruned = t.scan_dirs(filters)
+    assert pruned == []  # the dir holds a satisfying row (k=1)
+    assert [r.k for r in t.read(filters=filters).collect()] == [1]
