@@ -592,38 +592,37 @@ def _partitions_may_match(spec_by_source, pvals, filters) -> bool:
     if not pvals or not spec_by_source:
         return True
     for col, op, val in filters:
-        ent = spec_by_source.get(col)
-        if ent is None:
-            continue
-        pname, transform = ent
-        pv = pvals.get(pname)
-        if pv is None or pv == _HIVE_NULL:
-            # Null-partition dir: only null-ops can match, but stay
-            # conservative (nulls are rare and the exact filter runs).
-            continue
-        if op == "is_null":
-            # A non-null partition value proves every row transforms to
-            # a real value — but the SOURCE could still be null only in
-            # the null dir, so this dir cannot satisfy is_null.
-            return False
-        if op == "in":
-            tvs = {_transform_value(transform, x) for x in val}
-            if None not in tvs and pv not in tvs:
+        for pname, transform in spec_by_source.get(col, ()):
+            pv = pvals.get(pname)
+            if pv is None or pv == _HIVE_NULL:
+                # Not recorded for this dir (older/newer spec version),
+                # or the null-partition dir: stay conservative (nulls
+                # are rare and the exact filter runs regardless).
+                continue
+            if op == "is_null":
+                # A non-null partition value proves every row transforms
+                # to a real value — but the SOURCE could still be null
+                # only in the null dir, so this dir cannot satisfy
+                # is_null.
                 return False
-            continue
-        tv = _transform_value(transform, val)
-        if tv is None:
-            continue
-        if op == "=" and pv != tv:
-            return False
-        kind, _ = _parse_transform(transform)
-        if kind in _RANGE_SAFE_TRANSFORMS:
-            # Transforms FLOOR the source, so source < v ⇒ t(source) ≤
-            # t(v) and source > v ⇒ t(source) ≥ t(v).
-            if op in ("<", "<=") and pv > tv:
+            if op == "in":
+                tvs = {_transform_value(transform, x) for x in val}
+                if None not in tvs and pv not in tvs:
+                    return False
+                continue
+            tv = _transform_value(transform, val)
+            if tv is None:
+                continue
+            if op == "=" and pv != tv:
                 return False
-            if op in (">", ">=") and pv < tv:
-                return False
+            kind, _ = _parse_transform(transform)
+            if kind in _RANGE_SAFE_TRANSFORMS:
+                # Transforms FLOOR the source, so source < v ⇒
+                # t(source) ≤ t(v) and source > v ⇒ t(source) ≥ t(v).
+                if op in ("<", "<=") and pv > tv:
+                    return False
+                if op in (">", ">=") and pv < tv:
+                    return False
     return True
 
 
@@ -701,13 +700,18 @@ class SnapshotTable:
         subdirectories automatically (the user never computes or sees a
         partition column — the source column stays in the data files),
         and ``read(filters=...)`` prunes dirs by spec arithmetic before
-        stats are even consulted. Must be declared before the first
-        commit; spec evolution is out of scope (Iceberg allows it; here
-        a new table + backfill is the documented path)."""
-        if self._read_refs():
-            raise ValueError(
-                "partition spec must be declared before the first commit"
-            )
+        stats are even consulted.
+
+        SPEC EVOLUTION (the Iceberg ``updateSpec`` analog) is allowed:
+        declaring a spec on a table with data — or changing an existing
+        one — applies to writes AFTER the declaration only. Correctness
+        never depends on when the spec changed, because pruning is
+        per-dir: a dir written under an earlier spec keeps its recorded
+        partition values and still prunes under its own transforms
+        (every spec ever declared stays queryable), and a dir with no
+        recorded values (pre-spec writes) is conservatively scanned.
+        No data is rewritten; ``compact()`` rewrites the head under the
+        CURRENT spec, which is the backfill path."""
         entries = []
         for transform, source in spec:
             kind, arg = _parse_transform(transform)  # validates
@@ -715,20 +719,45 @@ class SnapshotTable:
             entries.append(
                 {"name": name, "transform": transform, "source": source}
             )
-        with open(self._spec_path, "w") as f:
-            json.dump(entries, f, indent=1)
+        with self._commit_lock():
+            history = self._read_specs()
+            history.append(entries)
+            tmp = self._spec_path + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump({"specs": history}, f, indent=1)
+            os.replace(tmp, self._spec_path)
 
-    def partition_spec(self) -> list[dict]:
+    def _read_specs(self) -> list[list[dict]]:
+        """All spec versions ever declared, oldest first (legacy
+        single-list files read as one version)."""
         if not os.path.exists(self._spec_path):
             return []
         with open(self._spec_path) as f:
-            return json.load(f)
+            d = json.load(f)
+        return [d] if isinstance(d, list) else d["specs"]
 
-    def _spec_by_source(self) -> dict[str, tuple[str, str]]:
-        return {
-            e["source"]: (e["name"], e["transform"])
-            for e in self.partition_spec()
-        }
+    def partition_spec(self) -> list[dict]:
+        """The CURRENT spec (what the next write buckets by)."""
+        specs = self._read_specs()
+        return specs[-1] if specs else []
+
+    def _spec_by_source(self) -> dict[str, list[tuple[str, str]]]:
+        """source column → every (partition name, transform) any spec
+        version ever derived from it. Pruning consults the entries a
+        dir actually recorded, so old-spec dirs keep pruning after an
+        evolution."""
+        out: dict[str, list[tuple[str, str]]] = {}
+        seen: set[tuple[str, str]] = set()
+        for spec in self._read_specs():
+            for e in spec:
+                key = (e["source"], e["name"])
+                if key in seen:
+                    continue
+                seen.add(key)
+                out.setdefault(e["source"], []).append(
+                    (e["name"], e["transform"])
+                )
+        return out
 
     # ---- commit lock ----------------------------------------------------
 

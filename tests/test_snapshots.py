@@ -732,10 +732,66 @@ def test_partition_spec_write_read_and_prune(spark, table, orders):
     assert len(k2) == 1
 
 
-def test_partition_spec_declared_after_commit_refused(table, orders):
-    table.write(orders.limit(5), "overwrite")
-    with pytest.raises(ValueError):
-        table.set_partition_spec([("day", "o_orderdate")])
+def test_partition_spec_evolution_applies_to_future_writes(spark, table, orders):
+    import datetime as dt
+
+    src = orders.select("o_orderkey", "o_orderdate").limit(100)
+    # Pre-spec write: no partition values recorded for its dir.
+    table.write(src, "overwrite")
+    table.set_partition_spec([("month", "o_orderdate")])
+    extra = orders.select("o_orderkey", "o_orderdate").limit(160).subtract(src)
+    table.write(extra, "append")
+    head = table._load_snapshot(table.current_snapshot_id())
+    with_vals = set(head.dir_partitions)
+    without = set(head.data_dirs) - with_vals
+    assert with_vals and without  # both generations present
+    cutoff = dt.date(1997, 1, 1)
+    filters = [("o_orderdate", ">=", cutoff)]
+    kept, pruned = table.scan_dirs(filters)
+    # Pre-spec dirs have no partition values: spec pruning keeps them
+    # conservatively (stats pruning may still drop one, which is fine).
+    for d in without:
+        if d in pruned:
+            # only stats could have pruned it, never the (absent) spec
+            assert d not in head.dir_partitions
+    # Correctness is exact either way.
+    got = table.read(filters=filters).count()
+    want = (
+        src.unionByName(extra)
+        .filter(F.col("o_orderdate") >= F.lit(cutoff))
+        .count()
+    )
+    assert got == want
+
+
+def test_partition_spec_change_keeps_old_dirs_pruning(spark, table, orders):
+    import datetime as dt
+
+    src = orders.select("o_orderkey", "o_orderdate").limit(120)
+    table.set_partition_spec([("year", "o_orderdate")])
+    table.write(src, "overwrite")
+    table.set_partition_spec([("month", "o_orderdate")])  # evolve
+    extra = orders.select("o_orderkey", "o_orderdate").limit(200).subtract(src)
+    table.write(extra, "append")
+    head = table._load_snapshot(table.current_snapshot_id())
+    names = {n for pv in head.dir_partitions.values() for n in pv}
+    assert {"o_orderdate_year", "o_orderdate_month"} <= names  # both specs live
+    cutoff = dt.date(1997, 6, 1)
+    filters = [("o_orderdate", ">=", cutoff)]
+    kept, pruned = table.scan_dirs(filters)
+    # Old-spec (year) dirs still prune under year arithmetic: any year
+    # dir wholly before 1997 must be pruned.
+    for d, pv in head.dir_partitions.items():
+        if pv.get("o_orderdate_year", "9999") < "1997":
+            assert d in pruned
+    got = sorted(r.o_orderkey for r in table.read(filters=filters).collect())
+    want = sorted(
+        r.o_orderkey
+        for r in src.unionByName(extra)
+        .filter(F.col("o_orderdate") >= F.lit(cutoff))
+        .collect()
+    )
+    assert got == want
 
 
 def test_partition_spec_bucket_transform_equality_prune(spark, table, orders):
