@@ -100,8 +100,9 @@ BENCH_QUERIES = [
     # record-transport replay + trailing-frame anomaly scoring
     "streaming_transport_replay",
     "events_trailing_zscore",
-    # round 4: hidden-partitioning spec pruning
+    # round 4: hidden-partitioning spec pruning + colocated bucket join
     "catalog_partition_pruned_scan",
+    "catalog_bucket_colocated_join",
 ]
 
 # Queries whose full result is large; drain with a hash aggregate
@@ -135,6 +136,7 @@ _HASH_DRAIN = {
     "events_gap_filled_5min",
     "catalog_delete_takedown",
     "catalog_changes_cdc",
+    "catalog_bucket_colocated_join",
 }
 
 

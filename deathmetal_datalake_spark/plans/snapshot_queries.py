@@ -1002,3 +1002,41 @@ def catalog_partitioned_events_scan(spark: SparkSession, sf_dir: str) -> DataFra
         )
         rows = out.collect()
         return spark.createDataFrame(rows, schema=out.schema)
+
+
+# ---------------------------------------------------------------------------
+# BUCKET-COLOCATED JOIN (storage-partitioned join over the hidden
+# bucket[n] spec): both tables declare bucket[8] on their join keys, so
+# equal keys share a bucket value by construction and the join runs as
+# 8 independent per-bucket joins over the pre-bucketed layout — no
+# cluster-wide hash exchange of either table (the plan shape is pinned
+# by tests/test_colocated.py; at 100 TB this converts the join's
+# dominant network cost into bucket-local scans). Oracle: the plain
+# SQL join — colocation must be invisible in the result.
+# ---------------------------------------------------------------------------
+
+_COLOC_SQL = """
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+       c.c_custkey, c.c_nationkey, c.c_acctbal
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+@register("catalog_bucket_colocated_join", oracle=_COLOC_SQL)
+def catalog_bucket_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deathmetal_datalake_spark.operators.colocated import bucket_colocated_join
+
+    orders = spread(load_table(spark, sf_dir, "orders")).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = spread(load_table(spark, sf_dir, "customer")).select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    d = _scratch("catalog_bucket_colocated_join")
+    t_ord = SnapshotTable(spark, os.path.join(d, "orders_b8"))
+    t_ord.set_partition_spec([("bucket[8]", "o_custkey")])
+    t_ord.write(orders, "overwrite")
+    t_cust = SnapshotTable(spark, os.path.join(d, "customer_b8"))
+    t_cust.set_partition_spec([("bucket[8]", "c_custkey")])
+    t_cust.write(cust, "overwrite")
+    return bucket_colocated_join(t_ord, t_cust, "o_custkey", "c_custkey")

@@ -932,46 +932,15 @@ class SnapshotTable:
 
     # ---- write ----------------------------------------------------------
 
-    def write(
-        self,
-        df: DataFrame,
-        mode: str = "overwrite",
-        branch: str = _MAIN,
-        expected_parent: "Optional[int] | _Unset" = UNSET,
-    ) -> Snapshot:
-        """Commit ``df`` as a new snapshot on ``branch``.
-
-        The data write happens BEFORE the ref moves (write-then-publish):
-        a failed job leaves an orphan data dir but never a corrupt
-        table — the same commit protocol as Iceberg.
-
-        Optimistic concurrency: pass ``expected_parent`` (the snapshot
-        id the caller based its write on — ``None`` meaning "I expect
-        the branch to be EMPTY", the first-commit CAS) and the commit is
-        refused with :class:`CommitConflict` if another writer moved the
-        branch in between. The check-and-publish runs inside the
-        cross-process commit lock, making it a true CAS — two writers
-        racing the same ``expected_parent`` serialize, and exactly one
-        wins (including two racing FIRST commits). Omitting
-        ``expected_parent`` entirely makes the commit last-writer-wins
-        on the ref (appends still extend whatever head is current AT
-        COMMIT TIME, re-read under the lock, so no concurrent append is
-        lost).
-        """
-        if mode not in ("overwrite", "append"):
-            raise ValueError(f"mode must be overwrite|append, got {mode!r}")
-        if not isinstance(expected_parent, _Unset):
-            # Fail fast before the expensive data write; re-validated
-            # authoritatively under the lock below.
-            current = self._read_refs().get(branch)
-            if current != expected_parent:
-                raise CommitConflict(
-                    f"branch {branch!r} is at snapshot {current}, "
-                    f"expected {expected_parent}"
-                )
-        # Data lands OUTSIDE the lock (write-then-publish): writers
-        # serialize only on the metadata swap, never on the Spark job.
-        new_dir = os.path.join(self._data_dir, f"snap-{uuid.uuid4().hex[:12]}")
+    def _write_data_dirs(
+        self, df: DataFrame, prefix: str
+    ) -> tuple[list[str], dict, dict, dict]:
+        """Stage ``df`` as new data dirs under the CURRENT partition
+        spec (plain dir when none): returns (dirs, dir_partitions,
+        dir_stats, file_stats) for the commit. Shared by ``write`` and
+        the maintenance rewrites (``fold_deletes``) so every data path
+        honors the declared layout."""
+        new_dir = os.path.join(self._data_dir, f"{prefix}-{uuid.uuid4().hex[:12]}")
         spec = self.partition_spec()
         if spec:
             # Hidden partitioning: derive the partition columns, write
@@ -1011,6 +980,50 @@ class SnapshotTable:
         for d in new_dirs:
             s, fsd = _collect_dir_stats(d)
             new_dir_stats[d], new_file_stats[d] = s, fsd
+        return new_dirs, new_partitions, new_dir_stats, new_file_stats
+
+    def write(
+        self,
+        df: DataFrame,
+        mode: str = "overwrite",
+        branch: str = _MAIN,
+        expected_parent: "Optional[int] | _Unset" = UNSET,
+    ) -> Snapshot:
+        """Commit ``df`` as a new snapshot on ``branch``.
+
+        The data write happens BEFORE the ref moves (write-then-publish):
+        a failed job leaves an orphan data dir but never a corrupt
+        table — the same commit protocol as Iceberg.
+
+        Optimistic concurrency: pass ``expected_parent`` (the snapshot
+        id the caller based its write on — ``None`` meaning "I expect
+        the branch to be EMPTY", the first-commit CAS) and the commit is
+        refused with :class:`CommitConflict` if another writer moved the
+        branch in between. The check-and-publish runs inside the
+        cross-process commit lock, making it a true CAS — two writers
+        racing the same ``expected_parent`` serialize, and exactly one
+        wins (including two racing FIRST commits). Omitting
+        ``expected_parent`` entirely makes the commit last-writer-wins
+        on the ref (appends still extend whatever head is current AT
+        COMMIT TIME, re-read under the lock, so no concurrent append is
+        lost).
+        """
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+        if not isinstance(expected_parent, _Unset):
+            # Fail fast before the expensive data write; re-validated
+            # authoritatively under the lock below.
+            current = self._read_refs().get(branch)
+            if current != expected_parent:
+                raise CommitConflict(
+                    f"branch {branch!r} is at snapshot {current}, "
+                    f"expected {expected_parent}"
+                )
+        # Data lands OUTSIDE the lock (write-then-publish): writers
+        # serialize only on the metadata swap, never on the Spark job.
+        new_dirs, new_partitions, new_dir_stats, new_file_stats = (
+            self._write_data_dirs(df, "snap")
+        )
         with self._commit_lock():
             refs = self._read_refs()
             parent_id = refs.get(branch)
@@ -1178,9 +1191,12 @@ class SnapshotTable:
         folded = parts[0]
         for p in parts[1:]:
             folded = folded.unionByName(p, allowMissingColumns=True)
-        new_dir = os.path.join(self._data_dir, f"fold-{uuid.uuid4().hex[:12]}")
-        folded.write.mode("errorifexists").parquet(new_dir)
-        new_stats, new_file_stats = _collect_dir_stats(new_dir)
+        # Maintenance honors the declared layout: folded rows re-bucket
+        # under the current partition spec (colocated joins and spec
+        # pruning keep working across a fold).
+        new_dirs, new_parts, new_dir_stats, new_file_stats_map = (
+            self._write_data_dirs(folded, "fold")
+        )
         with self._commit_lock():
             refs = self._read_refs()
             parent_id = refs.get(branch)
@@ -1194,7 +1210,7 @@ class SnapshotTable:
                 snapshot_id=snapshot_id,
                 parent_id=parent_id,
                 mode="fold",
-                data_dirs=untouched + (new_dir,),
+                data_dirs=untouched + tuple(new_dirs),
                 committed_at=time.time(),
                 deletes=(),
                 dir_stats={
@@ -1203,7 +1219,7 @@ class SnapshotTable:
                         for d in untouched
                         if d in snap.dir_stats
                     },
-                    new_dir: new_stats,
+                    **new_dir_stats,
                 },
                 file_stats={
                     **{
@@ -1211,12 +1227,15 @@ class SnapshotTable:
                         for d in untouched
                         if d in snap.file_stats
                     },
-                    new_dir: new_file_stats,
+                    **new_file_stats_map,
                 },
                 dir_partitions={
-                    d: snap.dir_partitions[d]
-                    for d in untouched
-                    if d in snap.dir_partitions
+                    **{
+                        d: snap.dir_partitions[d]
+                        for d in untouched
+                        if d in snap.dir_partitions
+                    },
+                    **new_parts,
                 },
             )
             with open(self._snap_path(snapshot_id), "x") as f:
