@@ -103,6 +103,9 @@ BENCH_QUERIES = [
     # round 4: hidden-partitioning spec pruning + colocated bucket join
     "catalog_partition_pruned_scan",
     "catalog_bucket_colocated_join",
+    # round 4 (cont.): corpus-gate operators + schema evolution
+    "dedup_bloom_prefilter",
+    "text_bpe_merge_step",
 ]
 
 # Queries whose full result is large; drain with a hash aggregate

@@ -1938,3 +1938,154 @@ def corpus_span_dedup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("drop_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership prefilter: drop corpus documents whose
+# normalized content may belong to a reference blocklist (held-out
+# benchmark fingerprints, takedown set, already-ingested shard) WITHOUT
+# joining the full corpus against the full reference — the standard
+# first gate before an exact semi-join at 100 TB.
+#
+# The filter is modeled as its SET OF SET BITS: k=2 positions per
+# reference fingerprint in an m-bit address space, m auto-scaled to
+# 8-16 bits per reference entry so the false-positive rate
+# (1 - e^(-kn/m))^k stays ~2-5 % at every corpus scale. Candidates
+# probe via a broadcast join on position and hit only when ALL their
+# positions are set. The query then audits the filter against the
+# exact semi-join: per candidate source, bloom hits vs true members vs
+# false positives — the accuracy contract is part of the result, so
+# the oracle pins the filter's behavior bit-for-bit, not just its
+# happy path.
+#
+# Scale shape: the reference side reduces to ≤ m distinct 8-byte
+# positions (a broadcast, like any blocklist); the corpus side is one
+# narrow projection + k-way position explode + broadcast probe — no
+# corpus-side shuffle at all until the final tiny per-source rollup.
+# On a real cluster the position set would pack into a byte-array
+# broadcast variable; the position-set join used here is semantically
+# identical and lets DuckDB verify every bit.
+# ---------------------------------------------------------------------------
+
+_BLOOM_K = 2
+_BLOOM_SHIFT = 3  # m = 2^(ceil_log2(n_ref) + 3): 8-16 bits/entry
+_BLOOM_REF_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+_BLOOM_FP_NORM = r"regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')"
+
+
+def _bloom_m(n_ref: int) -> int:
+    """m = 2^(⌈log2 n⌉ + 3), exact-integer and engine-portable
+    (mirrored by the oracle's ``params`` CTE)."""
+    return 1 << ((max(n_ref, 2) - 1).bit_length() + _BLOOM_SHIFT)
+
+
+_BLOOM_REF_IN = ", ".join(f"'{s}'" for s in _BLOOM_REF_SOURCES)
+_BLOOM_POS = sql_hash60("CAST(fp AS VARCHAR) || ':' || CAST(i AS VARCHAR)")
+_BLOOM_SQL = f"""
+WITH ref AS (
+    SELECT DISTINCT {sql_hash60(_BLOOM_FP_NORM)} AS fp
+    FROM documents WHERE source IN ({_BLOOM_REF_IN})
+),
+params AS (
+    SELECT 1 << (LENGTH(bin(GREATEST(COUNT(*), 2) - 1)) + {_BLOOM_SHIFT}) AS m
+    FROM ref
+),
+bits AS (
+    SELECT DISTINCT {_BLOOM_POS} % m AS pos
+    FROM ref, params, (VALUES (0), (1)) AS ks(i)
+),
+cand AS (
+    SELECT doc_id, source, {sql_hash60(_BLOOM_FP_NORM)} AS fp
+    FROM documents WHERE source NOT IN ({_BLOOM_REF_IN})
+),
+cpos AS (
+    SELECT doc_id, source, fp, {_BLOOM_POS} % m AS pos
+    FROM cand, params, (VALUES (0), (1)) AS ks(i)
+),
+per_doc AS (
+    SELECT c.doc_id, c.source, c.fp,
+           SUM(CASE WHEN b.pos IS NULL THEN 1 ELSE 0 END) = 0 AS bloom_hit
+    FROM cpos c LEFT JOIN bits b USING (pos)
+    GROUP BY 1, 2, 3
+),
+flagged AS (
+    SELECT p.source, p.bloom_hit, (r.fp IS NOT NULL) AS is_member
+    FROM per_doc p LEFT JOIN ref r USING (fp)
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+       CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+       CAST(SUM(CASE WHEN bloom_hit AND NOT is_member THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_false_pos,
+       ROUND(CAST(SUM(CASE WHEN bloom_hit AND NOT is_member THEN 1 ELSE 0 END) AS DOUBLE)
+             / NULLIF(COUNT(*) - SUM(CASE WHEN is_member THEN 1 ELSE 0 END), 0), 6)
+           AS fp_rate
+FROM flagged
+GROUP BY source
+"""
+
+
+@register("dedup_bloom_prefilter", oracle=_BLOOM_SQL)
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    fp = hash60(normalized)
+    ref = (
+        docs.filter(F.col("source").isin(*_BLOOM_REF_SOURCES))
+        .select(fp.alias("fp"))
+        .distinct()
+    )
+    # One tiny count action at plan time sizes the filter (the SimHash
+    # band-bits / jaccard DF-cap calibration pattern); the reference
+    # fingerprint set is reused by position build and the exact audit.
+    ref = session_cache(ref)
+    m = _bloom_m(ref.count())
+
+    def positions(fp_col: Column) -> Column:
+        return F.array(
+            *[
+                F.pmod(
+                    hash60(F.concat(fp_col.cast("string"), F.lit(f":{i}"))),
+                    F.lit(m),
+                )
+                for i in range(_BLOOM_K)
+            ]
+        )
+
+    bits = ref.select(F.explode(positions(F.col("fp"))).alias("pos")).distinct()
+    cand = docs.filter(~F.col("source").isin(*_BLOOM_REF_SOURCES)).select(
+        "doc_id", "source", fp.alias("fp")
+    )
+    cpos = cand.select(
+        "doc_id", "source", "fp", F.explode(positions(F.col("fp"))).alias("pos")
+    )
+    probed = cpos.join(broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
+    per_doc = probed.groupBy("doc_id", "source", "fp").agg(
+        (F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0)) == 0).alias("bloom_hit")
+    )
+    flagged = per_doc.join(
+        broadcast(ref.withColumn("is_member", F.lit(True))), "fp", "left"
+    ).select(
+        "source", "bloom_hit", F.coalesce(F.col("is_member"), F.lit(False)).alias("is_member")
+    )
+    agg = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0)).cast("long").alias("n_bloom_hits"),
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0)).cast("long").alias("n_members"),
+        F.sum(F.when(F.col("bloom_hit") & ~F.col("is_member"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_pos"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_bloom_hits",
+        "n_members",
+        "n_false_pos",
+        F.round(
+            F.col("n_false_pos").cast("double")
+            / F.expr("nullif(n_docs - n_members, 0)"),
+            6,
+        ).alias("fp_rate"),
+    )

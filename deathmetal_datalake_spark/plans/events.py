@@ -1070,3 +1070,50 @@ def events_approx_distinct_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("n_exact")
         ).alias("approx_within_5pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted hot-key rollup: the skew-mitigation operator
+# (operators/skew.salted_aggregate) as an oracle-checked catalog entry.
+# A per-user rollup where one user holds a disproportionate share of a
+# 100 TB fact would hot-spot a single reducer under a plain groupBy;
+# the salted two-phase plan spreads each key over n_salts partial
+# aggregates and merges — semantics IDENTICAL to the direct groupBy,
+# which is exactly what the oracle pins (count is salt-invariant;
+# the value sum goes through decimal so partial-merge order can't
+# perturb the result).
+# ---------------------------------------------------------------------------
+
+_SALTED_SQL = f"""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       {sql_dsum('value', 'total_value')},
+       MAX(value) AS max_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("events_salted_user_rollup", oracle=_SALTED_SQL)
+def events_salted_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deathmetal_datalake_spark.operators.skew import salted_aggregate
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(18,6)")
+    )
+    out = salted_aggregate(
+        events,
+        keys=["user_id"],
+        aggs={
+            "n_events": ("count", "event_id"),
+            "total_value": ("sum", "value_dec"),
+            "max_value": ("max", "value"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+        "max_value",
+    )

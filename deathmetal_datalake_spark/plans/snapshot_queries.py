@@ -1040,3 +1040,89 @@ def catalog_bucket_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame
     t_cust.set_partition_spec([("bucket[8]", "c_custkey")])
     t_cust.write(cust, "overwrite")
     return bucket_colocated_join(t_ord, t_cust, "o_custkey", "c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution: appended files may ADD columns; reads surface the
+# union schema with NULLs for pre-evolution rows, while time-travel
+# reads of pre-evolution snapshots keep the ORIGINAL schema. Both
+# contracts are pinned: the v1 read must have exactly the old column
+# count (the added column is invisible in history), the current read
+# must have the union schema and NULL-fill exactly the v1 rows.
+# Iceberg analog: schema evolution is metadata-only — no rewrite of
+# existing files — which is what makes it O(1) at 100 TB; the reader's
+# mergeSchema union is the per-file projection Iceberg does by
+# field-id.
+# ---------------------------------------------------------------------------
+
+_EVOLVE_SQL = f"""
+WITH v1 AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderstatus = 'F'
+),
+v2_added AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderstatus = 'O'
+),
+current_read AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority FROM v1
+    UNION ALL
+    SELECT * FROM v2_added
+)
+SELECT CAST(1 AS BIGINT) AS version, CAST(3 AS INTEGER) AS n_cols,
+       COUNT(*) AS n_rows, CAST(0 AS BIGINT) AS n_with_priority,
+       {sql_dsum('o_totalprice', 'total_price')}
+FROM v1
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(4 AS INTEGER),
+       COUNT(*), CAST(COUNT(o_orderpriority) AS BIGINT),
+       {sql_dsum('o_totalprice', 'total_price')}
+FROM current_read
+"""
+
+
+@register("catalog_schema_evolution_read", oracle=_EVOLVE_SQL)
+def catalog_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """write(v1: 3 columns) → append(v2: +o_orderpriority) → read both.
+
+    The time-travel read of v1 reports its REAL column count (the
+    evolved column must not leak into history) and the current read
+    reports the union schema with exact NULL accounting — both sides
+    of the evolution contract in one driver-checkable result.
+    """
+    import tempfile
+
+    orders = session_cache(spread(load_table(spark, sf_dir, "orders")))
+    with tempfile.TemporaryDirectory(prefix="dml-snapq-") as d:
+        tbl = SnapshotTable(spark, os.path.join(d, "orders_evolving"))
+        s1 = tbl.write(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderstatus", "o_totalprice"
+            ),
+            "overwrite",
+        )
+        tbl.write(
+            orders.filter(F.col("o_orderstatus") == "O").select(
+                "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+            ),
+            "append",
+        )
+        v1 = tbl.read(snapshot_id=s1.snapshot_id)
+        cur = tbl.read()
+        out = v1.agg(
+            F.lit(1).cast("long").alias("version"),
+            F.lit(len(v1.columns)).cast("int").alias("n_cols"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.lit(0).cast("long").alias("n_with_priority"),
+            dsum("o_totalprice", "total_price"),
+        ).unionAll(
+            cur.agg(
+                F.lit(2).cast("long").alias("version"),
+                F.lit(len(cur.columns)).cast("int").alias("n_cols"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count("o_orderpriority").alias("n_with_priority"),
+                dsum("o_totalprice", "total_price"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)

@@ -909,3 +909,67 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("residual_leaks"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-step: the first iteration of byte-pair-encoding tokenizer
+# training — count adjacent symbol pairs across the corpus vocabulary,
+# weighted by word frequency, and emit the top merge candidates. A
+# tokenizer-training pipeline runs exactly this aggregation (then
+# merges the winner and repeats); at 100 TB the word-count rollup is
+# the only corpus-wide shuffle — the pair explosion runs over the
+# (much smaller) DISTINCT vocabulary, which is the same two-level
+# split BPE trainers use (count words once, iterate on the vocab).
+#
+# Shape: explode→groupBy(word) [corpus shuffle on word] →
+# per-word char-pair explode [narrow, vocab-sized] → groupBy(pair)
+# [tiny shuffle] → global top-N with full tie-break.
+# ---------------------------------------------------------------------------
+
+_BPE_TOP_N = 50
+
+_BPE_MERGE_SQL = r"""
+WITH words AS (
+    SELECT UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS word
+    FROM documents
+),
+vocab AS (
+    SELECT word, COUNT(*) AS n
+    FROM words
+    WHERE word <> '' AND LENGTH(word) >= 2
+    GROUP BY word
+),
+pairs AS (
+    SELECT substr(word, CAST(i AS INTEGER), 1) AS left_sym,
+           substr(word, CAST(i AS INTEGER) + 1, 1) AS right_sym,
+           n
+    FROM (SELECT word, n, UNNEST(range(1, LENGTH(word))) AS i FROM vocab)
+)
+SELECT left_sym, right_sym, CAST(SUM(n) AS BIGINT) AS pair_count
+FROM pairs
+GROUP BY left_sym, right_sym
+ORDER BY pair_count DESC, left_sym, right_sym
+LIMIT 50
+"""
+
+
+@register("text_bpe_merge_step", oracle=_BPE_MERGE_SQL)
+def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    words = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
+    ).filter((F.col("word") != "") & (F.length("word") >= 2))
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    pairs = vocab.select(
+        "word", "n", F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i")
+    ).select(
+        F.col("word").substr(F.col("i"), F.lit(1)).alias("left_sym"),
+        F.col("word").substr(F.col("i") + F.lit(1), F.lit(1)).alias("right_sym"),
+        "n",
+    )
+    return (
+        pairs.groupBy("left_sym", "right_sym")
+        .agg(F.sum("n").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+        .limit(_BPE_TOP_N)
+    )
