@@ -1117,3 +1117,73 @@ def events_salted_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_value").cast("double").alias("total_value"),
         "max_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# Online EWMA smoothing (alpha = 1/2, 4-tap truncation): the standard
+# per-entity exponential smoother for telemetry/anomaly baselines,
+# expressed so both engines agree BIT-FOR-BIT: the weights 1, 0.5,
+# 0.25, 0.125 are exact binary fractions, the taps go through
+# DECIMAL(18,6) (values are 2-decimal, products at the 3-decimal
+# weights stay within scale 6 — exact), and the final normalization is
+# one double division of identical exact operands. Truncating the
+# (infinite) EWMA recursion to 4 taps bounds per-row state, keeps the
+# operator a pure window expression (no recursion), and renormalizes
+# at sequence starts where fewer taps exist.
+#
+# Scale shape: one window over (user_id; ts) — the same single
+# repartition-by-entity every per-user operator here shares; no second
+# shuffle, no state beyond 3 lags.
+# ---------------------------------------------------------------------------
+
+_EWMA_SQL = """
+WITH lagged AS (
+    SELECT event_id, user_id, ts,
+           CAST(value AS DECIMAL(18,6)) AS v0,
+           LAG(CAST(value AS DECIMAL(18,6)), 1) OVER w AS v1,
+           LAG(CAST(value AS DECIMAL(18,6)), 2) OVER w AS v2,
+           LAG(CAST(value AS DECIMAL(18,6)), 3) OVER w AS v3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id,
+       CAST((v0 + COALESCE(v1, 0) * 0.5 + COALESCE(v2, 0) * 0.25
+             + COALESCE(v3, 0) * 0.125) AS DOUBLE)
+       / CAST((1.0 + CASE WHEN v1 IS NULL THEN 0 ELSE 0.5 END
+                   + CASE WHEN v2 IS NULL THEN 0 ELSE 0.25 END
+                   + CASE WHEN v3 IS NULL THEN 0 ELSE 0.125 END) AS DOUBLE)
+           AS ewma_value
+FROM lagged
+"""
+
+
+@register("events_ewma_smoothed", oracle=_EWMA_SQL)
+def events_ewma_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    dec = F.col("value").cast("decimal(18,6)")
+    lagged = ev.select(
+        "event_id",
+        "user_id",
+        dec.alias("v0"),
+        F.lag(dec, 1).over(w).alias("v1"),
+        F.lag(dec, 2).over(w).alias("v2"),
+        F.lag(dec, 3).over(w).alias("v3"),
+    )
+    num = (
+        F.col("v0")
+        + F.coalesce(F.col("v1"), F.lit(0).cast("decimal(18,6)")) * F.lit("0.5").cast("decimal(2,1)")
+        + F.coalesce(F.col("v2"), F.lit(0).cast("decimal(18,6)")) * F.lit("0.25").cast("decimal(3,2)")
+        + F.coalesce(F.col("v3"), F.lit(0).cast("decimal(18,6)")) * F.lit("0.125").cast("decimal(4,3)")
+    )
+    den = (
+        F.lit(1.0)
+        + F.when(F.col("v1").isNull(), 0.0).otherwise(0.5)
+        + F.when(F.col("v2").isNull(), 0.0).otherwise(0.25)
+        + F.when(F.col("v3").isNull(), 0.0).otherwise(0.125)
+    )
+    return lagged.select(
+        "event_id",
+        "user_id",
+        (num.cast("double") / den.cast("double")).alias("ewma_value"),
+    )
