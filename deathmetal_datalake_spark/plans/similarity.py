@@ -1151,3 +1151,109 @@ def embedding_dim_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pearson_r"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining for contrastive training: for each query vector,
+# the nearest SAME-label neighbor (the positive) and the top-3 nearest
+# DIFFERENT-label neighbors (the hard negatives) — the pair set an
+# embedding-model trainer feeds to a contrastive loss. Mining runs
+# inside the query's IVF cell (the ANN accelerator shared with
+# similarity_ivf_topk): candidates are cell-bounded, never the full
+# corpus, so the scan is Σ cell² not n² — at 100 TB the cell join is
+# the same shape the IVF index already pays. One scoring pass, two
+# rankings split by pair type.
+# ---------------------------------------------------------------------------
+
+_HN_POS_K = 1
+_HN_NEG_K = 3
+
+_HARD_NEG_SQL = f"""
+WITH vecs AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+centroids AS (
+    SELECT vec_id AS cid, emb AS cemb FROM vecs WHERE vec_id % {_CENTROID_MOD} = {_CENTROID_REM}
+),
+assigned AS (
+    SELECT vec_id, label, emb, cid FROM (
+        SELECT v.vec_id, v.label, v.emb, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {_IVF_COS.format(a='v.emb', b='c.cemb')} DESC, c.cid ASC
+               ) AS rn
+        FROM vecs v CROSS JOIN centroids c
+    ) WHERE rn = 1
+),
+queries AS (
+    SELECT vec_id AS query_id, label AS qlabel, emb AS qemb, cid
+    FROM assigned WHERE vec_id % {_QUERY_MOD} = 0
+),
+scored AS (
+    SELECT q.query_id, v.vec_id,
+           CASE WHEN v.label = q.qlabel THEN 'pos' ELSE 'neg' END AS pair_type,
+           ROUND(list_dot_product(q.qemb, v.emb) /
+                 (sqrt(list_dot_product(q.qemb, q.qemb)) * sqrt(list_dot_product(v.emb, v.emb))),
+                 4) AS cosine
+    FROM queries q JOIN assigned v ON q.cid = v.cid AND q.query_id <> v.vec_id
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id, pair_type ORDER BY cosine DESC, vec_id ASC
+    ) AS rank FROM scored
+)
+SELECT query_id, pair_type, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked
+WHERE (pair_type = 'pos' AND rank <= {_HN_POS_K})
+   OR (pair_type = 'neg' AND rank <= {_HN_NEG_K})
+"""
+
+
+@register("similarity_hard_negatives", oracle=_HARD_NEG_SQL)
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = spread(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", _as_double("embedding").alias("emb")
+        )
+    )
+    centroids = vecs.filter(
+        F.col("vec_id") % _CENTROID_MOD == _CENTROID_REM
+    ).select(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
+    sim_to_centroid = F.round(
+        _dot(F.col("emb"), F.col("cemb"))
+        / (F.sqrt(_dot(F.col("emb"), F.col("emb"))) * F.sqrt(_dot(F.col("cemb"), F.col("cemb")))),
+        6,
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("centroid_sim"), F.asc("cid"))
+    assigned = (
+        vecs.crossJoin(broadcast(centroids))
+        .select("vec_id", "cid", sim_to_centroid.alias("centroid_sim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+        .join(vecs, "vec_id")
+    )
+    queries = assigned.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("emb").alias("qemb"),
+        F.col("cid").alias("qcid"),
+    )
+    cosine = _dot(F.col("qemb"), F.col("emb")) / (
+        F.sqrt(_dot(F.col("qemb"), F.col("qemb"))) * F.sqrt(_dot(F.col("emb"), F.col("emb")))
+    )
+    scored = assigned.join(
+        broadcast(queries),
+        (F.col("qcid") == F.col("cid")) & (F.col("query_id") != F.col("vec_id")),
+    ).select(
+        "query_id",
+        "vec_id",
+        F.when(F.col("label") == F.col("qlabel"), "pos").otherwise("neg").alias("pair_type"),
+        F.round(cosine, 4).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id", "pair_type").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    return ranked.filter(
+        ((F.col("pair_type") == "pos") & (F.col("rank") <= _HN_POS_K))
+        | ((F.col("pair_type") == "neg") & (F.col("rank") <= _HN_NEG_K))
+    ).select("query_id", "pair_type", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
