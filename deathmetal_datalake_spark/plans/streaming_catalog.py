@@ -919,3 +919,62 @@ def streaming_transport_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(collected, schema=out.schema)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming EWMA replay, driver-checked: the exact (untruncated)
+# per-user EWMA recursion folded across micro-batches under the
+# ts-ordered delivery contract, final state assembled by the same
+# SnapshotTable keyed-upsert sink the totals replay uses (no driver
+# dict — O(updated keys) per batch). Oracle: DuckDB's sequential
+# list_reduce over the ts-ordered value list per user — the same IEEE
+# add/halve sequence, so equality is bit-exact with no tolerance.
+# ---------------------------------------------------------------------------
+
+_EWMA_STREAM_SQL = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       list_reduce(list(value ORDER BY ts, event_id), (acc, x) -> (acc + x) / 2)
+           AS ewma_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("streaming_ewma_replay", oracle=_EWMA_STREAM_SQL)
+def streaming_ewma_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deathmetal_datalake_spark.sources.snapshots import SnapshotTable
+    from deathmetal_datalake_spark.streaming.stateful import (
+        EWMA_OUTPUT_SCHEMA,
+        running_user_ewma,
+    )
+
+    stream, scratch = _replay_events_stream_ts_ordered(spark, sf_dir)
+    ewma = running_user_ewma(stream)
+    state = SnapshotTable(spark, os.path.join(scratch, "user_ewma_state"))
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.cache()
+        try:
+            if batch.isEmpty():
+                return
+            if state.current_snapshot_id() is not None:
+                state.delete_keys(batch.select("user_id"), "user_id")
+            state.write(batch, mode="append")
+        finally:
+            batch.unpersist()
+
+    query = (
+        ewma.writeStream.foreachBatch(fold)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(scratch, "ckpt", "ewma"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    out = state.read().select("user_id", "n_events", "ewma_value")
+    rows = out.collect()
+    import shutil
+
+    shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, schema=EWMA_OUTPUT_SCHEMA)

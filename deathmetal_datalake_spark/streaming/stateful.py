@@ -360,3 +360,71 @@ def sessionized_user_counts(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming EWMA (alpha = 1/2, FULL recursion): the online form of the
+# batch smoother (plans/events.events_ewma_smoothed truncates to 4
+# taps to stay a pure window expression; the stream carries the exact
+# recursion because state is free here). Order-sensitive like the
+# as-of join: ewma_j = (ewma_{j-1} + v_j) / 2 must fold in event-time
+# order, so the replay uses the ts-ordered delivery contract and each
+# batch sorts by (ts, event_id) before folding. Every step is one IEEE
+# double add + an exact halving — the identical op sequence DuckDB's
+# sequential list_reduce performs, so batch ≡ stream holds bit-for-bit
+# with NO rounding tolerance.
+#
+# Scale: O(1) state per key (two fields); the smoother every online
+# feature store runs per entity.
+# ---------------------------------------------------------------------------
+
+EWMA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("n_events", LongType(), False),
+        StructField("ewma_value", DoubleType(), True),
+    ]
+)
+
+EWMA_STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType(), False),
+        StructField("ewma", DoubleType(), False),
+    ]
+)
+
+
+def _ewma_update(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, e = state.get if state.exists else (0, 0.0)
+    chunks = list(pdfs)
+    whole = (
+        pd.concat(chunks, ignore_index=True)
+        if chunks
+        else pd.DataFrame(columns=["ts", "event_id", "value"])
+    )
+    if len(whole):
+        # Arrow chunks carry no mutual order; sort ONCE per batch so the
+        # recursion consumes the batch in the oracle's total order.
+        ordered = whole.sort_values(["ts", "event_id"], kind="mergesort")
+        for v in ordered["value"]:
+            v = float(v)
+            e = v if n == 0 else (e + v) / 2.0
+            n += 1
+    state.update((n, e))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "ewma_value": [e]}
+    )
+
+
+def running_user_ewma(events: DataFrame) -> DataFrame:
+    """Streaming DataFrame → per-user exact EWMA (alpha=1/2), updated
+    per batch; requires event-time-ordered delivery across batches."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _ewma_update,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
