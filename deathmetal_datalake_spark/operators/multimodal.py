@@ -216,3 +216,84 @@ def extract_features(
     spread = df.select(id_col, content_col)
     spread = spread.repartition(spread.sparkSession.sparkContext.defaultParallelism)
     return spread.mapInPandas(batches, schema=_FEATURE_OUT)
+
+
+# ---------------------------------------------------------------------------
+# Audio path: PCM decode → windowed energy. The codec call site
+# (librosa/ffmpeg resample) is stubbed like the image path; the
+# deterministic fake reads the payload as unsigned 8-bit PCM, which
+# makes the windowed energy (sum of squared samples) an EXACT integer
+# law DuckDB can replay byte-for-byte via hex().
+# ---------------------------------------------------------------------------
+
+_AUDIO_ENERGY_OUT = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("window_id", LongType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("energy", LongType(), False),
+    ]
+)
+
+
+def _real_pcm_decode(content: bytes):
+    """Codec call site: a real deployment decodes compressed audio to a
+    PCM sample array here (ffmpeg/librosa)."""
+    raise NotImplementedError(
+        "audio codecs are not available in this environment; "
+        "use deterministic_pcm_decode for tests"
+    )
+
+
+def deterministic_pcm_decode(content: bytes):
+    """Deterministic fake: payload bytes AS unsigned 8-bit samples."""
+    import numpy as np
+
+    return np.frombuffer(bytes(content), dtype=np.uint8).astype(np.int64)
+
+
+def audio_energy_windows(
+    df: DataFrame,
+    window_samples: int = 64,
+    decoder: Callable[[bytes], "object"] = _real_pcm_decode,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """(id, binary) → per-window (n_samples, energy) rows, vectorized.
+
+    Energy is the sum of squared samples per fixed-size window — the
+    standard VAD / silence-trim feature. The window reduction runs as
+    one numpy ``reduceat`` per payload (no Python loop over samples);
+    fan-out and batching go through the same Arrow ``mapInPandas``
+    shape as the frame sampler.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, wins, counts, energies = [], [], [], []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                samples = decoder(content)
+                n = len(samples)
+                if n == 0:
+                    continue
+                edges = np.arange(0, n, window_samples)
+                sq = samples * samples
+                e = np.add.reduceat(sq, edges)
+                c = np.diff(np.append(edges, n))
+                ids.extend([mid] * len(edges))
+                wins.extend(range(len(edges)))
+                counts.extend(int(x) for x in c)
+                energies.extend(int(x) for x in e)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "window_id": pd.Series(wins, dtype="int64"),
+                    "n_samples": pd.Series(counts, dtype="int64"),
+                    "energy": pd.Series(energies, dtype="int64"),
+                }
+            )
+
+    spread = df.select(id_col, content_col)
+    spread = spread.repartition(spread.sparkSession.sparkContext.defaultParallelism)
+    return spread.mapInPandas(batches, schema=_AUDIO_ENERGY_OUT)

@@ -158,3 +158,43 @@ def multimodal_pooled_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pooled"),
         F.min("nf").alias("n_frames"),
     )
+
+
+# The PCM fake reads payload bytes as unsigned 8-bit samples, so the
+# windowed energy is an exact integer law: DuckDB replays it from
+# hex(encode(text)) byte-for-byte — verifying decode, window fan-out,
+# and the vectorized reduction end-to-end.
+_AUDIO_ENERGY_SQL = """
+WITH hexed AS (
+    SELECT doc_id, hex(encode(text)) AS h,
+           octet_length(encode(text)) AS n
+    FROM documents
+),
+bytes AS (
+    SELECT doc_id,
+           CAST(i // 64 AS BIGINT) AS window_id,
+           CAST(('0x' || substr(h, CAST(2 * i + 1 AS INTEGER), 2)) AS BIGINT) AS b
+    FROM hexed, UNNEST(range(0, n)) AS g(i)
+)
+SELECT doc_id AS media_id,
+       window_id,
+       COUNT(*) AS n_samples,
+       CAST(SUM(b * b) AS BIGINT) AS energy
+FROM bytes
+GROUP BY doc_id, window_id
+"""
+
+
+@register("multimodal_audio_energy", oracle=_AUDIO_ENERGY_SQL)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed PCM energy (VAD feature) through the Arrow batch path,
+    oracle-checked sample-for-sample."""
+    from deathmetal_datalake_spark.operators.multimodal import (
+        audio_energy_windows,
+        deterministic_pcm_decode,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_energy_windows(
+        documents_as_media(docs), decoder=deterministic_pcm_decode
+    )
