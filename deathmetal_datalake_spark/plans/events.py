@@ -1187,3 +1187,97 @@ def events_ewma_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (num.cast("double") / den.cast("double")).alias("ewma_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch over per-user event frequencies: the mergeable
+# FREQUENCY sketch (the KMV/HLL entries cover cardinality) — d=2 hash
+# rows x w=1024 counters, engine-portable md5 positions, estimate =
+# min over rows of the addressed counter. CMS guarantees
+# estimate >= exact (collisions only ever ADD), and the query audits
+# that contract exactly: per user, exact count, sketch estimate, and
+# the (always non-negative) overestimate. At 100 TB the sketch build
+# is one (row, position) rollup — 2,048 counters total regardless of
+# key cardinality — and estimation is a broadcast join; this is the
+# heavy-hitter / frequency-cap primitive that never shuffles the key
+# space.
+# ---------------------------------------------------------------------------
+
+_CMS_D = 2
+_CMS_W = 1024
+
+_CMS_POS = sql_hash60("CAST(user_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)")
+_CMS_SQL = f"""
+WITH cells AS (
+    SELECT j, {_CMS_POS} % {_CMS_W} AS pos, COUNT(*) AS c
+    FROM events, (VALUES (0), (1)) AS rows_(j)
+    GROUP BY 1, 2
+),
+users AS (
+    SELECT user_id, COUNT(*) AS n_exact FROM events GROUP BY user_id
+),
+probes AS (
+    SELECT u.user_id, u.n_exact, cl.c
+    FROM (SELECT user_id, n_exact, j, {_CMS_POS} % {_CMS_W} AS pos
+          FROM users, (VALUES (0), (1)) AS rows_(j)) u
+    JOIN cells cl ON u.j = cl.j AND u.pos = cl.pos
+)
+SELECT user_id,
+       n_exact,
+       MIN(c) AS n_est,
+       MIN(c) - n_exact AS overestimate
+FROM probes
+GROUP BY user_id, n_exact
+"""
+
+
+@register("events_countmin_user_freq", oracle=_CMS_SQL)
+def events_countmin_user_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def pos(j: int):
+        return F.pmod(
+            hash60(F.concat(F.col("user_id").cast("string"), F.lit(f":{j}"))),
+            F.lit(_CMS_W),
+        )
+
+    # Sketch build: explode each event into its d cells, one tiny rollup.
+    cells = (
+        ev.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(j).alias("j"), pos(j).alias("pos"))
+                        for j in range(_CMS_D)
+                    ]
+                )
+            ).alias("cell")
+        )
+        .select("cell.j", "cell.pos")
+        .groupBy("j", "pos")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    users = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    probes = users.select(
+        "user_id",
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), pos(j).alias("pos"))
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("cell"),
+    ).select("user_id", "n_exact", "cell.j", "cell.pos")
+    est = probes.join(broadcast(cells), ["j", "pos"]).groupBy("user_id", "n_exact").agg(
+        F.min("c").alias("n_est")
+    )
+    return est.select(
+        "user_id",
+        "n_exact",
+        "n_est",
+        (F.col("n_est") - F.col("n_exact")).alias("overestimate"),
+    )
