@@ -40,6 +40,12 @@ NAMES = [
     # round 4: auto-capped jaccard, KMV sketch (WindowGroupLimit proof)
     "dedup_ngram_jaccard",
     "events_approx_distinct_users",
+    # round 4 (cont.): corpus gates, contrastive mining, freq sketch
+    "dedup_bloom_prefilter",
+    "text_bpe_merge_step",
+    "similarity_hard_negatives",
+    "events_countmin_user_freq",
+    "multimodal_audio_energy",
 ]
 
 _DETAIL_PREFIXES = (
