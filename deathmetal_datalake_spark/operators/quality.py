@@ -87,3 +87,11 @@ def run_expectations(
         )
         per_rule = uniq if per_rule is None else per_rule.unionAll(uniq)
     return per_rule
+
+
+def expect_expr(name: str, predicate: Column) -> Expectation:
+    """Generic expectation from any Catalyst boolean expression —
+    cross-column invariants (`n_chars == length(text)`), conditional
+    rules, anything a single-row predicate can express. Same one-pass
+    evaluation as the built-in rules."""
+    return Expectation(name, predicate)

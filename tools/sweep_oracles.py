@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Full-catalog oracle sweep: run every registered query AND its DuckDB
+oracle on the same parquet tables and compare exactly — the local
+replica of the driver's correctness gate, as a repo tool.
+
+Usage:
+    python tools/sweep_oracles.py [sf_dir] [name_substring ...]
+
+Defaults to /root/testdata/sf0.01 (the driver's scale). Positional
+substrings filter the query set (OR-matched). Exit code 0 iff every
+selected query matches. A vanilla SparkSession is used deliberately —
+vanilla-session compatibility is part of the driver contract.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
+    filters = [a for a in args if "/" not in a]
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.master("local[16]").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+    from tests.oracle_harness import compare_query
+
+    names = sorted(
+        n for n in QUERIES if not filters or any(f in n for f in filters)
+    )
+    t0 = time.time()
+    failed: list[tuple[str, dict]] = []
+    for i, name in enumerate(names):
+        r = compare_query(spark, name, QUERIES[name], ORACLES.get(name), sf_dir)
+        ok = r["match"] is True
+        if not ok:
+            failed.append((name, r))
+        print(f"{i + 1}/{len(names)} {name} {'OK' if ok else 'FAIL'}", flush=True)
+    print(
+        json.dumps(
+            {
+                "sf_dir": sf_dir,
+                "total": len(names),
+                "failed": [n for n, _ in failed],
+                "secs": round(time.time() - t0, 1),
+            }
+        )
+    )
+    for name, r in failed:
+        print(name, str(r)[:500])
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
