@@ -157,6 +157,27 @@ class ShardLogBackend(abc.ABC):
     def exclusive(self, stream: str, shard: int):
         """Context manager yielding a :class:`ShardAppender`."""
 
+    # -- consumer-group offsets (broker-shaped; Kafka __consumer_offsets
+    # analog). Spark readers do NOT use these — Structured Streaming
+    # owns its offsets in the sink checkpoint; group offsets serve the
+    # OTHER consumers a shared transport always grows (lambdas, audit
+    # tailers, cross-pipeline handoffs) so their progress survives
+    # restarts without a Spark checkpoint. Contract: last-write-wins
+    # (rewind allowed, as in Kafka), per-shard values must lie in
+    # [0, end_offset], groups are isolated, and a committed value is
+    # durable for the backend's lifetime (process for mem, disk for FS).
+
+    @abc.abstractmethod
+    def committed_offsets(self, stream: str, group: str) -> dict[int, int]:
+        """Per-shard committed offsets for ``group`` ({} if none)."""
+
+    @abc.abstractmethod
+    def commit_offsets(self, stream: str, group: str, offsets: dict[int, int]) -> None:
+        """Atomically record ``offsets`` for ``group``; raises
+        ``ValueError`` on a shard out of range or an offset beyond the
+        current log end (committing past data that does not exist would
+        silently skip future records)."""
+
 
 def _floor_to_record_boundary(path: str, size: int, chunk: int = 64 * 1024) -> int:
     """Round a raw size snapshot DOWN to the last ``b'\\n'`` at or below
@@ -180,6 +201,21 @@ def _floor_to_record_boundary(path: str, size: int, chunk: int = 64 * 1024) -> i
                 return lo + i + 1
             pos = lo
     return 0
+
+
+def _validate_group_offsets(
+    backend: "ShardLogBackend", stream: str, offsets: dict[int, int]
+) -> None:
+    n = backend.n_shards(stream)
+    for shard, off in offsets.items():
+        if not (0 <= shard < n):
+            raise ValueError(f"shard {shard} out of range for {n}-shard stream")
+        end = backend.end_offset(stream, shard)
+        if not (0 <= off <= end):
+            raise ValueError(
+                f"offset {off} for shard {shard} outside [0, {end}] — "
+                "committing past the log end would skip future records"
+            )
 
 
 class _LocalShardAppender(ShardAppender):
@@ -264,6 +300,37 @@ class LocalFSShardLog(ShardLogBackend):
             yield _LocalShardAppender(f, path)
             # flock releases with the fd on context exit.
 
+    def _group_path(self, stream: str, group: str) -> str:
+        d = os.path.join(self._stream_dir(stream), "_groups")
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, f"{group}.json")
+
+    def committed_offsets(self, stream: str, group: str) -> dict[int, int]:
+        path = self._group_path(stream, group)
+        if not os.path.exists(path):
+            return {}
+        with open(path) as f:
+            return {int(k): v for k, v in json.load(f).items()}
+
+    def commit_offsets(self, stream: str, group: str, offsets: dict[int, int]) -> None:
+        _validate_group_offsets(self, stream, offsets)
+        path = self._group_path(stream, group)
+        # Serialize committers of the same group on a stable lock file
+        # (the data file is replaced, so it can't be the lock itself),
+        # then publish atomically via rename — a reader never sees a
+        # torn commit and a crash leaves the previous commit in place.
+        lock_path = path + ".lock"
+        with open(lock_path, "w") as lk:
+            fcntl.flock(lk.fileno(), fcntl.LOCK_EX)
+            merged = self.committed_offsets(stream, group)
+            merged.update(offsets)
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({str(k): v for k, v in merged.items()}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, path)
+
 
 class _MemShard:
     def __init__(self):
@@ -338,6 +405,16 @@ class InMemoryShardLog(ShardLogBackend):
         sh = self._stream(stream)["shards"][shard]
         with sh.lock:
             yield _MemShardAppender(sh)
+
+    def committed_offsets(self, stream: str, group: str) -> dict[int, int]:
+        with self._store["lock"]:
+            return dict(self._stream(stream).setdefault("groups", {}).get(group, {}))
+
+    def commit_offsets(self, stream: str, group: str, offsets: dict[int, int]) -> None:
+        _validate_group_offsets(self, stream, offsets)
+        with self._store["lock"]:
+            groups = self._stream(stream).setdefault("groups", {})
+            groups.setdefault(group, {}).update(offsets)
 
 
 class _MemShardAppender(ShardAppender):
@@ -575,3 +652,52 @@ class RecordFeedDataSource(DataSource):
 def register_record_feed(spark) -> None:
     """Idempotent registration of the data source with a session."""
     spark.dataSource.register(RecordFeedDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Consumer-group SDK: the at-least-once NON-streaming consumer over
+# group-committed offsets (Kafka consumer analog) — for the lambdas /
+# audit tailers / cross-pipeline handoffs that read a shared transport
+# without a Spark checkpoint. poll() delivers everything past the
+# group's committed offsets; commit() publishes the polled ends. Crash
+# between the two ⇒ the next consumer re-reads the batch (at-least-
+# once, the standard group contract); processing must be idempotent or
+# keyed, exactly as with a broker.
+# ---------------------------------------------------------------------------
+
+
+class GroupConsumer:
+    def __init__(self, backend: ShardLogBackend, stream: str, group: str):
+        self.backend = backend
+        self.stream = stream
+        self.group = group
+        self._pending: Optional[dict[int, int]] = None
+
+    def poll(self) -> list[dict]:
+        """All records appended since the group's committed offsets, in
+        (shard, log-order). Remembers the observed log ends for
+        :meth:`commit`; records include their shard id."""
+        committed = self.backend.committed_offsets(self.stream, self.group)
+        out: list[dict] = []
+        ends: dict[int, int] = {}
+        for shard in range(self.backend.n_shards(self.stream)):
+            start = committed.get(shard, 0)
+            end = self.backend.end_offset(self.stream, shard)
+            ends[shard] = end
+            if end > start:
+                raw = self.backend.read_range(self.stream, shard, start, end)
+                for line in raw.decode("utf-8").splitlines():
+                    if not line:
+                        continue
+                    rec = json.loads(line)
+                    rec["shard"] = shard
+                    out.append(rec)
+        self._pending = ends
+        return out
+
+    def commit(self) -> None:
+        """Publish the last poll's log ends as the group's offsets."""
+        if self._pending is None:
+            raise RuntimeError("commit() before any poll()")
+        self.backend.commit_offsets(self.stream, self.group, self._pending)
+        self._pending = None

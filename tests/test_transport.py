@@ -354,6 +354,38 @@ class ShardLogContract:
             log.append(b'{"x":2}\n')
         assert b.read_range("s", 0, 0, end) == first  # old range unchanged
 
+    def test_group_offsets_roundtrip_isolation_and_merge(self, tmp_path):
+        b = self.make_backend(tmp_path)
+        b.ensure_stream("s", 2)
+        for shard in (0, 1):
+            with b.exclusive("s", shard) as log:
+                log.append(b'{"x":1}\n')
+        assert b.committed_offsets("s", "g1") == {}
+        e0, e1 = b.end_offset("s", 0), b.end_offset("s", 1)
+        b.commit_offsets("s", "g1", {0: e0})
+        assert b.committed_offsets("s", "g1") == {0: e0}
+        # Per-shard merge: committing shard 1 keeps shard 0's value.
+        b.commit_offsets("s", "g1", {1: e1})
+        assert b.committed_offsets("s", "g1") == {0: e0, 1: e1}
+        # Group isolation.
+        assert b.committed_offsets("s", "g2") == {}
+        # Rewind (last-write-wins) is allowed, like a Kafka seek.
+        b.commit_offsets("s", "g1", {0: 0})
+        assert b.committed_offsets("s", "g1")[0] == 0
+
+    def test_group_commit_rejects_invalid_offsets(self, tmp_path):
+        b = self.make_backend(tmp_path)
+        b.ensure_stream("s", 1)
+        with b.exclusive("s", 0) as log:
+            log.append(b'{"x":1}\n')
+        end = b.end_offset("s", 0)
+        with pytest.raises(ValueError):
+            b.commit_offsets("s", "g", {0: end + 1})  # beyond log end
+        with pytest.raises(ValueError):
+            b.commit_offsets("s", "g", {0: -1})
+        with pytest.raises(ValueError):
+            b.commit_offsets("s", "g", {5: 0})  # shard out of range
+
 
 class TestLocalFSShardLog(ShardLogContract):
     def make_backend(self, tmp_path):
@@ -392,3 +424,51 @@ def test_producer_sdk_runs_on_memory_backend(tmp_path):
     for raw in backend.read_range("ev", shard, 0, end).decode().splitlines():
         recs.append(json.loads(raw))
     assert [r["seq"] for r in recs] == list(range(len(recs)))
+
+
+def test_group_offsets_survive_backend_reopen(tmp_path):
+    # FS-specific durability: a fresh backend instance over the same
+    # root sees the committed offsets (process restart survival).
+    from deathmetal_datalake_spark.streaming.transport import LocalFSShardLog
+
+    root = str(tmp_path / "b")
+    b = LocalFSShardLog(root)
+    b.ensure_stream("s", 1)
+    with b.exclusive("s", 0) as log:
+        log.append(b'{"x":1}\n')
+    end = b.end_offset("s", 0)
+    b.commit_offsets("s", "grp", {0: end})
+    reopened = LocalFSShardLog(root)
+    assert reopened.committed_offsets("s", "grp") == {0: end}
+
+
+def test_group_consumer_at_least_once_and_progress(tmp_path):
+    # The consumer-group contract end-to-end: redelivery until commit,
+    # only-new after commit, independent groups.
+    from deathmetal_datalake_spark.streaming.transport import (
+        GroupConsumer,
+        RecordStreamTransport,
+    )
+
+    t = RecordStreamTransport(str(tmp_path))
+    t.create_stream("s", 2)
+    for i in range(5):
+        t.put_record("s", f"k{i}", f"v{i}")
+
+    c = GroupConsumer(t.backend, "s", "g1")
+    first = c.poll()
+    assert sorted(r["data"] for r in first) == [f"v{i}" for i in range(5)]
+    # Crash before commit: a fresh consumer re-reads the whole batch.
+    assert len(GroupConsumer(t.backend, "s", "g1").poll()) == 5
+    c.commit()
+    assert GroupConsumer(t.backend, "s", "g1").poll() == []
+    t.put_record("s", "k9", "v9")
+    only_new = GroupConsumer(t.backend, "s", "g1").poll()
+    assert [r["data"] for r in only_new] == ["v9"]
+    # Another group is unaffected by g1's progress.
+    assert len(GroupConsumer(t.backend, "s", "g2").poll()) == 6
+    # commit() before poll() is a misuse, not a silent no-op.
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        GroupConsumer(t.backend, "s", "g3").commit()
