@@ -667,31 +667,64 @@ def register_record_feed(spark) -> None:
 
 
 class GroupConsumer:
-    def __init__(self, backend: ShardLogBackend, stream: str, group: str):
+    def __init__(
+        self,
+        backend: ShardLogBackend,
+        stream: str,
+        group: str,
+        max_bytes_per_shard: int = 4 * 1024 * 1024,
+    ):
         self.backend = backend
         self.stream = stream
         self.group = group
+        # Per-poll admission control (Kafka's fetch.max.bytes analog):
+        # without a cap, a consumer far behind a 100 TB stream would
+        # materialize the whole backlog in one poll. Capped polls make
+        # catch-up a sequence of bounded batches; commit() after each
+        # keeps progress durable.
+        self.max_bytes_per_shard = max_bytes_per_shard
         self._pending: Optional[dict[int, int]] = None
 
     def poll(self) -> list[dict]:
-        """All records appended since the group's committed offsets, in
-        (shard, log-order). Remembers the observed log ends for
-        :meth:`commit`; records include their shard id."""
+        """Records appended since the group's committed offsets, in
+        (shard, log-order), capped at ``max_bytes_per_shard`` per shard
+        (floored to a record boundary; an oversized single record is
+        still delivered whole so progress is guaranteed). Remembers the
+        consumed ends for :meth:`commit`; records include their shard
+        id. An empty return with uncommitted progress is impossible:
+        the cap always admits at least one full record when any exist."""
         committed = self.backend.committed_offsets(self.stream, self.group)
         out: list[dict] = []
         ends: dict[int, int] = {}
         for shard in range(self.backend.n_shards(self.stream)):
             start = committed.get(shard, 0)
-            end = self.backend.end_offset(self.stream, shard)
-            ends[shard] = end
+            log_end = self.backend.end_offset(self.stream, shard)
+            end = min(log_end, start + self.max_bytes_per_shard)
+            raw = b""
             if end > start:
                 raw = self.backend.read_range(self.stream, shard, start, end)
-                for line in raw.decode("utf-8").splitlines():
-                    if not line:
-                        continue
-                    rec = json.loads(line)
-                    rec["shard"] = shard
-                    out.append(rec)
+                if end < log_end:
+                    # The cap can land mid-record; floor to the last
+                    # terminator inside the fetched window.
+                    cut = raw.rfind(b"\n") + 1
+                    if cut == 0:
+                        # Single record larger than the cap: fetch to
+                        # the log end and take exactly its first record.
+                        raw = self.backend.read_range(
+                            self.stream, shard, start, log_end
+                        )
+                        cut = raw.find(b"\n") + 1
+                        if cut == 0:
+                            cut = len(raw)
+                    raw = raw[:cut]
+                    end = start + cut
+            ends[shard] = end
+            for line in raw.decode("utf-8").splitlines():
+                if not line:
+                    continue
+                rec = json.loads(line)
+                rec["shard"] = shard
+                out.append(rec)
         self._pending = ends
         return out
 

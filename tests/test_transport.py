@@ -472,3 +472,35 @@ def test_group_consumer_at_least_once_and_progress(tmp_path):
 
     with _pytest.raises(RuntimeError):
         GroupConsumer(t.backend, "s", "g3").commit()
+
+
+def test_group_consumer_bounded_polls_catch_up(tmp_path):
+    # fetch.max.bytes analog: a far-behind consumer catches up in
+    # bounded record-aligned batches, never one giant poll; an
+    # oversized single record still makes progress.
+    from deathmetal_datalake_spark.streaming.transport import (
+        GroupConsumer,
+        RecordStreamTransport,
+    )
+
+    t = RecordStreamTransport(str(tmp_path))
+    t.create_stream("s", 1)
+    for i in range(20):
+        t.put_record("s", "k", f"v{i:03d}")
+    c = GroupConsumer(t.backend, "s", "g", max_bytes_per_shard=120)
+    seen = []
+    polls = 0
+    while True:
+        batch = c.poll()
+        if not batch:
+            break
+        assert len(batch) < 20  # genuinely bounded
+        seen.extend(r["data"] for r in batch)
+        c.commit()
+        polls += 1
+    assert seen == [f"v{i:03d}" for i in range(20)]  # order preserved
+    assert polls > 3
+    # Oversized single record: cap smaller than one record.
+    t.put_record("s", "k", "x" * 500)
+    big = GroupConsumer(t.backend, "s", "g", max_bytes_per_shard=64).poll()
+    assert len(big) == 1 and big[0]["data"] == "x" * 500
