@@ -1201,6 +1201,14 @@ def events_ewma_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # key cardinality — and estimation is a broadcast join; this is the
 # heavy-hitter / frequency-cap primitive that never shuffles the key
 # space.
+#
+# The width is deliberately FIXED (unlike the auto-scaled jaccard DF
+# cap / bloom m): CMS's guarantee is RELATIVE — overestimate <= (e/w)·N
+# with probability 1-exp(-d) for total stream count N — so a fixed w
+# keeps the same relative error at every scale by design; there is no
+# pre-saturation blowup regime to guard against. Tightening absolute
+# error is a caller-side ε choice (w = e/ε), not a corpus-size
+# function.
 # ---------------------------------------------------------------------------
 
 _CMS_D = 2
