@@ -1126,3 +1126,101 @@ def catalog_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         rows = out.collect()
         return spark.createDataFrame(rows, schema=out.schema)
+
+
+# ---------------------------------------------------------------------------
+# Manifest-bloom point lookup: the pruning dimension range stats CANNOT
+# provide. Orders arrive as one append per year, but order KEYS
+# interleave across years — every year-dir's [min, max] overlaps every
+# other's, so a key lookup keeps ~all dirs under range stats alone.
+# With a declared bloom on o_orderkey the lookup prunes to the dir(s)
+# whose filter (auto-scaled m, k=2 md5 positions — the same portable
+# formula as the corpus Bloom prefilter) may contain the key. The
+# oracle replays the ENTIRE pruning arithmetic — per-year distinct
+# counts → m → position sets → range ∧ bloom verdict — plus the looked
+# -up row's aggregate, so both the skip decision and the no-lost-rows
+# guarantee are pinned bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_BLOOM_POS60 = (
+    "CAST('0x' || substr(md5(CAST({v} AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 15)"
+    " AS BIGINT)"
+)
+
+_BLOOM_LOOKUP_SQL = f"""
+WITH probe AS (
+    SELECT MIN(o_orderkey) AS k FROM orders
+    WHERE YEAR(o_orderdate) = (SELECT MAX(YEAR(o_orderdate)) FROM orders)
+),
+dirs AS (
+    SELECT YEAR(o_orderdate) AS y,
+           COUNT(DISTINCT o_orderkey) AS nd,
+           MIN(o_orderkey) AS mn,
+           MAX(o_orderkey) AS mx
+    FROM orders GROUP BY 1
+),
+params AS (
+    SELECT y, mn, mx,
+           1 << (LENGTH(bin(GREATEST(nd, 2) - 1)) + 3) AS m
+    FROM dirs
+),
+pos AS (
+    SELECT DISTINCT p.y,
+           {_BLOOM_POS60.format(v='o.o_orderkey')} % p.m AS ppos
+    FROM orders o
+    JOIN params p ON YEAR(o.o_orderdate) = p.y,
+         (VALUES (0), (1)) AS ks(j)
+),
+probe_pos AS (
+    SELECT p.y, p.mn, p.mx,
+           {_BLOOM_POS60.format(v='probe.k')} % p.m AS ppos
+    FROM probe, params p, (VALUES (0), (1)) AS ks(j)
+),
+kept AS (
+    SELECT pp.y
+    FROM probe_pos pp
+    LEFT JOIN pos ON pos.y = pp.y AND pos.ppos = pp.ppos
+    CROSS JOIN probe
+    WHERE pp.mn <= probe.k AND probe.k <= pp.mx
+    GROUP BY pp.y
+    HAVING SUM(CASE WHEN pos.ppos IS NULL THEN 1 ELSE 0 END) = 0
+)
+SELECT (SELECT COUNT(*) FROM dirs) AS total_dirs,
+       (SELECT COUNT(*) FROM kept) AS kept_dirs,
+       COUNT(*) AS n_rows,
+       {sql_dsum("o_totalprice", "total_price")}
+FROM orders, probe WHERE o_orderkey = probe.k
+"""
+
+
+@register("catalog_bloom_point_lookup", oracle=_BLOOM_LOOKUP_SQL)
+def catalog_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One append per order year with a declared o_orderkey bloom, then
+    a point lookup of a mid-range key: range stats keep every
+    overlapping year-dir, the manifest blooms prune to the true
+    holder(s), and the read still returns the exact row."""
+    orders = session_cache(spread(load_table(spark, sf_dir, "orders")))
+    years = sorted(
+        r[0] for r in orders.select(F.year("o_orderdate")).distinct().collect()
+    )
+    probe = orders.filter(F.year("o_orderdate") == years[-1]).agg(
+        F.min("o_orderkey")
+    ).collect()[0][0]
+    with tempfile.TemporaryDirectory(prefix="dml-snapb-") as d:
+        tbl = SnapshotTable(spark, os.path.join(d, "orders_bloomed"))
+        tbl.set_bloom_columns(["o_orderkey"])
+        for i, y in enumerate(years):
+            tbl.write(
+                orders.filter(F.year("o_orderdate") == y),
+                mode="append" if i else "overwrite",
+            )
+        filters = [("o_orderkey", "=", int(probe))]
+        kept, pruned = tbl.scan_dirs(filters)
+        out = tbl.read(filters=filters).agg(
+            F.lit(len(kept) + len(pruned)).cast("long").alias("total_dirs"),
+            F.lit(len(kept)).cast("long").alias("kept_dirs"),
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice", "total_price"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)

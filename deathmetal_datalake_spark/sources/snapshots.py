@@ -321,6 +321,89 @@ def _collect_dir_stats(dir_path: str) -> tuple[dict, dict]:
         return {}, {}
 
 
+# ---------------------------------------------------------------------------
+# Manifest Bloom filters (the Iceberg puffin / parquet bloom analog):
+# per-dir, per-column position sets that let a POINT LOOKUP skip dirs
+# whose [min, max] ranges all overlap (interleaved keys — the case
+# range stats cannot prune). Opt-in via ``set_bloom_columns`` because
+# the harvest is one extra columnar read of the just-written dir
+# (range stats stay footer-only). k=2 md5-derived positions per value
+# in an m-bit space auto-scaled to 8-16 bits per distinct value — the
+# same engine-portable formula as the corpus Bloom prefilter, so an
+# oracle can replay membership bit-for-bit. Stored here as a sorted
+# int list in the manifest JSON; a production deployment would pack
+# the same positions into a bitset blob (puffin-style) — identical
+# semantics, smaller metadata.
+# ---------------------------------------------------------------------------
+
+_BLOOM_K = 2
+_BLOOM_SHIFT = 3  # m = 2^(ceil_log2(n_distinct) + 3)
+_BLOOM_MAX_DISTINCT = 500_000  # beyond this, skip the bloom (dense col)
+
+
+def _bloom_positions(value, m: int) -> list[int]:
+    """k positions for one value; value is canonicalized via str() —
+    only int/str columns are bloom-eligible, where str() matches SQL's
+    CAST(x AS VARCHAR) exactly."""
+    import hashlib as _hashlib
+
+    s = str(value)
+    return [
+        int(_hashlib.md5(f"{s}:{j}".encode()).hexdigest()[:15], 16) % m
+        for j in range(_BLOOM_K)
+    ]
+
+
+def _harvest_dir_bloom(dir_path: str, col: str) -> Optional[dict]:
+    """Distinct-value Bloom for ``col`` over every parquet file under
+    ``dir_path``; None when the column is absent, non-int/str, or too
+    dense to be worth a filter. Failure is never fatal — a missing
+    bloom only disables this pruning dimension."""
+    try:
+        import pyarrow.parquet as pq
+
+        distinct: set = set()
+        for root, _dirs, names in os.walk(dir_path):
+            for name in names:
+                if not name.endswith(".parquet"):
+                    continue
+                path = os.path.join(root, name)
+                pf = pq.ParquetFile(path)
+                if col not in pf.schema_arrow.names:
+                    continue
+                for vals in pf.read(columns=[col]).column(0).to_pylist():
+                    if vals is None:
+                        continue
+                    if not isinstance(vals, (int, str)) or isinstance(vals, bool):
+                        return None
+                    distinct.add(vals)
+                    if len(distinct) > _BLOOM_MAX_DISTINCT:
+                        return None
+        if not distinct:
+            return None
+        m = 1 << ((max(len(distinct), 2) - 1).bit_length() + _BLOOM_SHIFT)
+        pos: set[int] = set()
+        for v in distinct:
+            pos.update(_bloom_positions(v, m))
+        return {"m": m, "k": _BLOOM_K, "pos": sorted(pos)}
+    except Exception:
+        return None
+
+
+def _bloom_may_contain(bloom: dict, value) -> bool:
+    """True unless the bloom PROVES absence (any probe position unset).
+    Malformed entries are conservative."""
+    try:
+        m, pos = bloom["m"], bloom["pos"]
+        if not isinstance(value, (int, str)) or isinstance(value, bool):
+            return True
+        probe = _bloom_positions(value, m)
+        ps = set(pos)
+        return all(p in ps for p in probe)
+    except Exception:
+        return True
+
+
 def _dir_may_match(stats: Optional[dict], filters) -> bool:
     """Conservative skip test: False ONLY when the stats PROVE no row
     in the dir can satisfy the (ANDed) filters. Unknown columns, bounds,
@@ -356,6 +439,21 @@ def _dir_may_match(stats: Optional[dict], filters) -> bool:
         # all-null dir is skippable for every remaining operator.
         if all_null:
             return False
+        # Bloom membership (point lookups / IN lists): runs before the
+        # range check because it prunes even when bounds are unknown.
+        bloom = cs.get("bloom")
+        if isinstance(bloom, dict) and op in ("=", "in"):
+            vals = list(val) if op == "in" else [val]
+            eligible = [
+                v
+                for v in vals
+                if isinstance(v, (int, str)) and not isinstance(v, bool)
+            ]
+            # Only decisive when EVERY probed value is bloom-eligible
+            # (an uncheckable value might still be present).
+            if eligible and len(eligible) == len(vals):
+                if not any(_bloom_may_contain(bloom, v) for v in eligible):
+                    return False
         mn, mx = cs.get("min"), cs.get("max")
         if mn is None or mx is None:
             continue
@@ -693,6 +791,28 @@ class SnapshotTable:
     def _spec_path(self) -> str:
         return os.path.join(self._meta_dir, "partition-spec.json")
 
+    @property
+    def _bloom_cols_path(self) -> str:
+        return os.path.join(self._meta_dir, "bloom-columns.json")
+
+    def set_bloom_columns(self, cols: list[str]) -> None:
+        """Declare manifest Bloom filters for point-lookup pruning on
+        ``cols`` (int/str columns). Applies to writes AFTER the
+        declaration — like spec evolution, earlier dirs simply carry no
+        bloom and are scanned conservatively; ``compact()`` rewrites
+        the head with blooms (the backfill path). Costs one extra
+        columnar read of each newly written dir at commit time."""
+        tmp = self._bloom_cols_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"columns": list(cols)}, f)
+        os.replace(tmp, self._bloom_cols_path)
+
+    def bloom_columns(self) -> list[str]:
+        if not os.path.exists(self._bloom_cols_path):
+            return []
+        with open(self._bloom_cols_path) as f:
+            return list(json.load(f).get("columns", []))
+
     def set_partition_spec(self, spec: list[tuple[str, str]]) -> None:
         """Declare hidden partitioning as ``[(transform, source_col),
         ...]`` with transforms ``identity | year | month | day |
@@ -980,6 +1100,16 @@ class SnapshotTable:
         for d in new_dirs:
             s, fsd = _collect_dir_stats(d)
             new_dir_stats[d], new_file_stats[d] = s, fsd
+        # Manifest blooms for declared columns (opt-in; one columnar
+        # read per new dir). A failed/dense/ineligible harvest just
+        # leaves the per-column entry bloomless — conservative scan.
+        for col in self.bloom_columns():
+            for d in new_dirs:
+                entry = new_dir_stats.get(d, {}).get(col)
+                if isinstance(entry, dict):
+                    bloom = _harvest_dir_bloom(d, col)
+                    if bloom is not None:
+                        entry["bloom"] = bloom
         return new_dirs, new_partitions, new_dir_stats, new_file_stats
 
     def write(

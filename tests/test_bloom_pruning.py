@@ -1,0 +1,129 @@
+"""Manifest Bloom filters: point-lookup dir skipping where range stats
+can't prune (fully interleaved keys), with the no-false-negative
+guarantee that makes the skip safe."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import Row
+
+from deathmetal_datalake_spark.sources.snapshots import (
+    SnapshotTable,
+    _bloom_may_contain,
+)
+
+
+def _mk(spark, tmp_path, name="t"):
+    return SnapshotTable(spark, str(tmp_path / name))
+
+
+def _rows(spark, keys, tag):
+    return spark.createDataFrame([Row(k=int(k), tag=tag) for k in keys])
+
+
+def test_point_lookup_prunes_interleaved_dirs(spark, tmp_path):
+    # Two dirs with fully overlapping [min, max] ranges (even/odd keys):
+    # range stats alone keep both for every lookup; blooms must prune.
+    tbl = _mk(spark, tmp_path)
+    tbl.set_bloom_columns(["k"])
+    evens = list(range(0, 100, 2))
+    odds = list(range(1, 100, 2))
+    tbl.write(_rows(spark, evens, "even"), "overwrite")
+    tbl.write(_rows(spark, odds, "odd"), "append")
+
+    snap = tbl._load_snapshot(tbl.current_snapshot_id())
+    assert len(snap.data_dirs) == 2
+    blooms = {
+        d: snap.dir_stats[d]["k"]["bloom"] for d in snap.data_dirs
+    }  # harvested for every dir
+
+    pruned_any = 0
+    for key in range(100):
+        kept, pruned = tbl.scan_dirs([("k", "=", key)])
+        # No false negative: the dir truly holding the key is kept.
+        holder = snap.data_dirs[key % 2 == 1]  # write order: even, odd
+        assert holder in kept
+        # scan_dirs honors exactly the stored bloom's verdict.
+        expect_kept = {
+            d for d in snap.data_dirs if _bloom_may_contain(blooms[d], key)
+        }
+        assert set(kept) == expect_kept
+        pruned_any += len(pruned)
+    # The filter genuinely prunes (interleaved keys defeat range stats,
+    # so every pruned dir here is the bloom's work).
+    assert pruned_any > 50
+
+
+def test_bloom_pruned_read_equals_plain_filter(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    tbl.set_bloom_columns(["k"])
+    tbl.write(_rows(spark, range(0, 60, 2), "even"), "overwrite")
+    tbl.write(_rows(spark, range(1, 60, 2), "odd"), "append")
+    full = tbl.read()
+    for key in (0, 1, 17, 58, 999):  # incl. a key present nowhere
+        got = sorted(map(tuple, tbl.read(filters=[("k", "=", key)]).collect()))
+        want = sorted(map(tuple, full.filter(full.k == key).collect()))
+        assert got == want
+
+
+def test_in_list_uses_bloom(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    tbl.set_bloom_columns(["k"])
+    tbl.write(_rows(spark, range(0, 50, 2), "even"), "overwrite")
+    tbl.write(_rows(spark, range(1, 50, 2), "odd"), "append")
+    # IN over keys from one dir only: the other dir may be pruned, and
+    # the result must still be exact.
+    got = sorted(
+        r.k for r in tbl.read(filters=[("k", "in", [2, 4, 6])]).collect()
+    )
+    assert got == [2, 4, 6]
+    kept, _pruned = tbl.scan_dirs([("k", "in", [2, 4, 6])])
+    snap = tbl._load_snapshot(tbl.current_snapshot_id())
+    assert snap.data_dirs[0] in kept  # the even dir always survives
+
+
+def test_pre_declaration_dirs_scan_conservatively(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    tbl.write(_rows(spark, range(0, 60, 3), "mod0"), "overwrite")  # no bloom
+    tbl.set_bloom_columns(["k"])
+    tbl.write(_rows(spark, range(1, 60, 3), "mod1"), "append")
+    snap = tbl._load_snapshot(tbl.current_snapshot_id())
+    pre, post = snap.data_dirs
+    assert "bloom" not in snap.dir_stats[pre]["k"]
+    assert "bloom" in snap.dir_stats[post]["k"]
+    # Key 20 (≡ 2 mod 3) lies INSIDE both dirs' [min, max] but exists
+    # in neither: range stats keep both; the bloomless pre dir must be
+    # kept (conservative) while the bloomed dir is free to prune. The
+    # read is exact either way.
+    kept, _ = tbl.scan_dirs([("k", "=", 20)])
+    assert pre in kept
+    assert tbl.read(filters=[("k", "=", 20)]).count() == 0
+
+
+def test_string_column_eligible_float_column_not(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    tbl.set_bloom_columns(["name", "score"])
+    df = spark.createDataFrame(
+        [Row(name=f"user-{i}", score=i + 0.5) for i in range(20)]
+    )
+    tbl.write(df, "overwrite")
+    snap = tbl._load_snapshot(tbl.current_snapshot_id())
+    st = snap.dir_stats[snap.data_dirs[0]]
+    assert "bloom" in st["name"]
+    assert "bloom" not in st["score"]  # float: not bloom-eligible
+    got = tbl.read(filters=[("name", "=", "user-7")]).collect()
+    assert [r.name for r in got] == ["user-7"]
+
+
+def test_bloom_survives_manifest_reload(spark, tmp_path):
+    # The bloom must round-trip through the manifest JSON: a FRESH
+    # table handle (new process analog) prunes identically.
+    tbl = _mk(spark, tmp_path)
+    tbl.set_bloom_columns(["k"])
+    tbl.write(_rows(spark, range(0, 30, 2), "even"), "overwrite")
+    tbl.write(_rows(spark, range(1, 30, 2), "odd"), "append")
+    fresh = SnapshotTable(spark, tbl.base_path)
+    kept_a, pruned_a = tbl.scan_dirs([("k", "=", 4)])
+    kept_b, pruned_b = fresh.scan_dirs([("k", "=", 4)])
+    assert (sorted(kept_a), sorted(pruned_a)) == (sorted(kept_b), sorted(pruned_b))
