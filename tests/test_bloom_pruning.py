@@ -127,3 +127,22 @@ def test_bloom_survives_manifest_reload(spark, tmp_path):
     kept_a, pruned_a = tbl.scan_dirs([("k", "=", 4)])
     kept_b, pruned_b = fresh.scan_dirs([("k", "=", 4)])
     assert (sorted(kept_a), sorted(pruned_a)) == (sorted(kept_b), sorted(pruned_b))
+
+
+def test_compact_backfills_blooms(spark, tmp_path):
+    # Dirs written before the declaration carry no bloom; compact()
+    # rewrites the head through the normal write path, which harvests
+    # blooms for the declared column — the backfill path.
+    tbl = _mk(spark, tmp_path)
+    tbl.write(_rows(spark, range(0, 40, 2), "even"), "overwrite")
+    tbl.write(_rows(spark, range(1, 40, 2), "odd"), "append")
+    tbl.set_bloom_columns(["k"])
+    snap = tbl._load_snapshot(tbl.current_snapshot_id())
+    assert all("bloom" not in snap.dir_stats[d]["k"] for d in snap.data_dirs)
+    tbl.compact(target_files=2)
+    snap2 = tbl._load_snapshot(tbl.current_snapshot_id())
+    assert all("bloom" in snap2.dir_stats[d]["k"] for d in snap2.data_dirs)
+    # And the backfilled blooms are live: exact read + real pruning
+    # machinery on the compacted layout.
+    got = sorted(r.k for r in tbl.read(filters=[("k", "=", 8)]).collect())
+    assert got == [8]
