@@ -785,6 +785,67 @@ class SnapshotTable:
     def branches(self) -> dict[str, int]:
         return self._read_refs()
 
+    # ---- tags (named immutable refs, the Iceberg tag analog) ------------
+
+    @property
+    def _tags_path(self) -> str:
+        return os.path.join(self._meta_dir, "tags.json")
+
+    def _read_tags(self) -> dict[str, int]:
+        if not os.path.exists(self._tags_path):
+            return {}
+        with open(self._tags_path) as f:
+            return {k: int(v) for k, v in json.load(f).items()}
+
+    def _write_tags(self, tags: dict[str, int]) -> None:
+        tmp = self._tags_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(tags, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._tags_path)
+
+    def create_tag(
+        self,
+        name: str,
+        snapshot_id: Optional[int] = None,
+        branch: str = _MAIN,
+    ) -> int:
+        """Pin a snapshot under an IMMUTABLE name (default: ``branch``'s
+        current head) — 'release-2024-01', 'training-set-v3'. Unlike a
+        branch, a tag never moves: re-creating an existing name is
+        refused, and ``expire_snapshots`` keeps every tagged snapshot
+        alive regardless of branch retention — the property that makes
+        a tag a durable reproducibility handle for a training run."""
+        with self._commit_lock():
+            tags = self._read_tags()
+            if name in tags:
+                raise ValueError(
+                    f"tag {name!r} already exists (tags are immutable; "
+                    "drop_tag first to rename deliberately)"
+                )
+            sid = (
+                snapshot_id
+                if snapshot_id is not None
+                else self.current_snapshot_id(branch)
+            )
+            if sid is None:
+                raise LookupError(f"branch {branch!r} has no snapshots")
+            if not os.path.exists(self._snap_path(sid)):
+                raise LookupError(f"snapshot {sid} does not exist")
+            tags[name] = sid
+            self._write_tags(tags)
+            return sid
+
+    def tags(self) -> dict[str, int]:
+        return self._read_tags()
+
+    def drop_tag(self, name: str) -> None:
+        with self._commit_lock():
+            tags = self._read_tags()
+            if name not in tags:
+                raise LookupError(f"tag {name!r} does not exist")
+            tags.pop(name)
+            self._write_tags(tags)
+
     # ---- partition spec (hidden partitioning) ---------------------------
 
     @property
@@ -1607,10 +1668,11 @@ class SnapshotTable:
         snapshot_id: Optional[int] = None,
         as_of: Optional[float] = None,
         filters=None,
+        tag: Optional[str] = None,
     ) -> DataFrame:
         """Read a version: branch head, an explicit snapshot id (time
-        travel), or the latest snapshot on ``branch`` committed at or
-        before epoch-seconds ``as_of``.
+        travel), the latest snapshot on ``branch`` committed at or
+        before epoch-seconds ``as_of``, or a named immutable ``tag``.
 
         ``filters`` — an ANDed list of ``(column, op, value)`` with op in
         ``= != < <= > >= in is_null not_null`` — both PRUNES whole data
@@ -1621,6 +1683,13 @@ class SnapshotTable:
         filter column (time, tenant, ingest batch), the manifest pass
         turns a full-table scan into a few-dirs scan before the parquet
         layer's own row-group skipping even starts."""
+        if tag is not None:
+            if snapshot_id is not None or as_of is not None:
+                raise ValueError("tag is exclusive with snapshot_id/as_of")
+            tags = self._read_tags()
+            if tag not in tags:
+                raise LookupError(f"tag {tag!r} does not exist")
+            snapshot_id = tags[tag]
         if snapshot_id is None:
             if as_of is not None:
                 eligible = [
@@ -2028,6 +2097,10 @@ class SnapshotTable:
         with self._commit_lock():
             refs = self._read_refs()
             keep: set[int] = set()
+            # Tagged snapshots are pinned unconditionally: a tag is a
+            # durable reproducibility handle, never subject to branch
+            # retention (dropping the tag releases it).
+            keep.update(self._read_tags().values())
             for b, head in refs.items():
                 lineage = self.history(b)
                 tail = lineage[-keep_last:] if b == branch else lineage

@@ -934,3 +934,46 @@ def test_partition_pruned_read_equals_plain_filter_property(spark, tmp_path, ord
         assert got == want
 
     prop()
+
+
+# ---- tags: named immutable refs (Iceberg tag analog) ----------------------
+
+
+def test_tag_pins_snapshot_through_later_writes(spark, tmp_path):
+    from pyspark.sql import Row
+
+    tbl = SnapshotTable(spark, str(tmp_path / "t"))
+    tbl.write(spark.createDataFrame([Row(v=1)]), "overwrite")
+    tbl.create_tag("release-1")
+    tbl.write(spark.createDataFrame([Row(v=2)]), "overwrite")
+    assert [r.v for r in tbl.read(tag="release-1").collect()] == [1]
+    assert [r.v for r in tbl.read().collect()] == [2]
+    # Immutable: re-creating is refused; explicit ids are validated.
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="immutable"):
+        tbl.create_tag("release-1")
+    with _pytest.raises(LookupError):
+        tbl.create_tag("ghost", snapshot_id=999)
+    with _pytest.raises(ValueError):
+        tbl.read(tag="release-1", snapshot_id=1)
+    with _pytest.raises(LookupError):
+        tbl.read(tag="nope")
+
+
+def test_expire_keeps_tagged_snapshots(spark, tmp_path):
+    from pyspark.sql import Row
+
+    tbl = SnapshotTable(spark, str(tmp_path / "t"))
+    first = tbl.write(spark.createDataFrame([Row(v=0)]), "overwrite")
+    tbl.create_tag("training-set-v1", snapshot_id=first.snapshot_id)
+    for v in range(1, 8):
+        tbl.write(spark.createDataFrame([Row(v=v)]), "overwrite")
+    expired = tbl.expire_snapshots(keep_last=2)
+    # The tagged snapshot survived retention and still reads exactly.
+    assert first.snapshot_id not in expired
+    assert [r.v for r in tbl.read(tag="training-set-v1").collect()] == [0]
+    # Dropping the tag releases it on the next expiry.
+    tbl.drop_tag("training-set-v1")
+    expired2 = tbl.expire_snapshots(keep_last=2)
+    assert first.snapshot_id in expired2
