@@ -973,3 +973,100 @@ def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
         .limit(_BPE_TOP_N)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge coverage: the evaluation half of the tokenizer loop — what
+# fraction of the corpus's adjacent-pair OCCURRENCES the top-N merge
+# candidates cover, per language. Trainers use exactly this to decide
+# when more merges stop paying (coverage saturates); per-language
+# coverage also exposes scripts the merge table underserves (CJK pairs
+# rarely enter a latin-dominated top-N). Shape: the same vocab-bounded
+# pair explosion as the merge step, a broadcast semi-join against the
+# tiny top-N table, one rollup per language.
+# ---------------------------------------------------------------------------
+
+_BPE_COVERAGE_SQL = rf"""
+WITH words AS (
+    SELECT lang,
+           UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS word
+    FROM documents
+),
+vocab AS (
+    SELECT lang, word, COUNT(*) AS n
+    FROM words
+    WHERE word <> '' AND LENGTH(word) >= 2
+    GROUP BY lang, word
+),
+pairs AS (
+    SELECT lang,
+           substr(word, CAST(i AS INTEGER), 1) AS left_sym,
+           substr(word, CAST(i AS INTEGER) + 1, 1) AS right_sym,
+           n
+    FROM (SELECT lang, word, n, UNNEST(range(1, LENGTH(word))) AS i FROM vocab)
+),
+top_merges AS (
+    SELECT left_sym, right_sym
+    FROM (
+        SELECT left_sym, right_sym, SUM(n) AS pair_count
+        FROM pairs GROUP BY left_sym, right_sym
+        ORDER BY pair_count DESC, left_sym, right_sym
+        LIMIT {_BPE_TOP_N}
+    )
+)
+SELECT p.lang,
+       CAST(SUM(p.n) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN t.left_sym IS NOT NULL THEN p.n ELSE 0 END) AS BIGINT)
+           AS n_covered,
+       ROUND(CAST(SUM(CASE WHEN t.left_sym IS NOT NULL THEN p.n ELSE 0 END) AS DOUBLE)
+             / SUM(p.n), 6) AS coverage
+FROM pairs p
+LEFT JOIN top_merges t
+  ON p.left_sym = t.left_sym AND p.right_sym = t.right_sym
+GROUP BY p.lang
+"""
+
+
+@register("text_bpe_merge_coverage", oracle=_BPE_COVERAGE_SQL)
+def text_bpe_merge_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    words = docs.select(
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"),
+    ).filter((F.col("word") != "") & (F.length("word") >= 2))
+    vocab = words.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        vocab.select(
+            "lang", "word", "n",
+            F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
+        )
+        .select(
+            "lang",
+            "n",
+            F.col("word").substr(F.col("i"), F.lit(1)).alias("left_sym"),
+            F.col("word").substr(F.col("i") + F.lit(1), F.lit(1)).alias("right_sym"),
+        )
+    )
+    top = (
+        pairs.groupBy("left_sym", "right_sym")
+        .agg(F.sum("n").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+        .limit(_BPE_TOP_N)
+        .select("left_sym", "right_sym", F.lit(1).alias("covered"))
+    )
+    joined = pairs.join(broadcast(top), ["left_sym", "right_sym"], "left")
+    return joined.groupBy("lang").agg(
+        F.sum("n").alias("n_pairs"),
+        F.sum(F.when(F.col("covered").isNotNull(), F.col("n")).otherwise(0)).alias(
+            "n_covered"
+        ),
+        F.round(
+            F.sum(F.when(F.col("covered").isNotNull(), F.col("n")).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum("n"),
+            6,
+        ).alias("coverage"),
+    )
