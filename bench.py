@@ -106,6 +106,8 @@ BENCH_QUERIES = [
     # round 4 (cont.): corpus-gate operators + schema evolution
     "dedup_bloom_prefilter",
     "text_bpe_merge_step",
+    # round 4 (cont. 2): manifest-bloom point lookup
+    "catalog_bloom_point_lookup",
 ]
 
 # Queries whose full result is large; drain with a hash aggregate

@@ -1142,9 +1142,10 @@ def catalog_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame
 # guarantee are pinned bit-for-bit.
 # ---------------------------------------------------------------------------
 
+# Double-hashing: position j = bits [30j, 30j+30) of ONE 60-bit md5
+# digest, mod m — mirrors sources/snapshots._bloom_positions exactly.
 _BLOOM_POS60 = (
-    "CAST('0x' || substr(md5(CAST({v} AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 15)"
-    " AS BIGINT)"
+    "(CAST('0x' || substr(md5(CAST({v} AS VARCHAR)), 1, 15) AS BIGINT) >> (30 * j))"
 )
 
 _BLOOM_LOOKUP_SQL = f"""

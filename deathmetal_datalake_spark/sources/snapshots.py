@@ -342,16 +342,16 @@ _BLOOM_MAX_DISTINCT = 500_000  # beyond this, skip the bloom (dense col)
 
 
 def _bloom_positions(value, m: int) -> list[int]:
-    """k positions for one value; value is canonicalized via str() —
-    only int/str columns are bloom-eligible, where str() matches SQL's
-    CAST(x AS VARCHAR) exactly."""
+    """k positions for one value via double-hashing from ONE 60-bit md5
+    digest (position j = bits [30j, 30j+30) mod m — m never exceeds
+    2^22, so the two halves are independent address draws). One digest
+    per value instead of k halves the dominant harvest cost. Values
+    canonicalize via str() — only int/str columns are bloom-eligible,
+    where str() matches SQL's CAST(x AS VARCHAR) exactly."""
     import hashlib as _hashlib
 
-    s = str(value)
-    return [
-        int(_hashlib.md5(f"{s}:{j}".encode()).hexdigest()[:15], 16) % m
-        for j in range(_BLOOM_K)
-    ]
+    h = int(_hashlib.md5(str(value).encode()).hexdigest()[:15], 16)
+    return [(h >> (30 * j)) % m for j in range(_BLOOM_K)]
 
 
 def _harvest_dir_bloom(dir_path: str, col: str) -> Optional[dict]:
@@ -360,6 +360,8 @@ def _harvest_dir_bloom(dir_path: str, col: str) -> Optional[dict]:
     dense to be worth a filter. Failure is never fatal — a missing
     bloom only disables this pruning dimension."""
     try:
+        import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         distinct: set = set()
@@ -371,20 +373,33 @@ def _harvest_dir_bloom(dir_path: str, col: str) -> Optional[dict]:
                 pf = pq.ParquetFile(path)
                 if col not in pf.schema_arrow.names:
                     continue
-                for vals in pf.read(columns=[col]).column(0).to_pylist():
-                    if vals is None:
-                        continue
-                    if not isinstance(vals, (int, str)) or isinstance(vals, bool):
-                        return None
-                    distinct.add(vals)
-                    if len(distinct) > _BLOOM_MAX_DISTINCT:
-                        return None
+                arr = pf.read(columns=[col]).column(0)
+                t = arr.type
+                if not (
+                    pa.types.is_integer(t)
+                    or pa.types.is_string(t)
+                    or pa.types.is_large_string(t)
+                ):
+                    return None
+                # Deduplicate in Arrow (C++) before touching Python —
+                # the per-file distinct set is what crosses the
+                # boundary, not every row.
+                for v in pc.unique(arr.combine_chunks()).to_pylist():
+                    if v is not None:
+                        distinct.add(v)
+                if len(distinct) > _BLOOM_MAX_DISTINCT:
+                    return None
         if not distinct:
             return None
+        import hashlib as _hashlib
+
         m = 1 << ((max(len(distinct), 2) - 1).bit_length() + _BLOOM_SHIFT)
         pos: set[int] = set()
+        md5 = _hashlib.md5  # tight loop: bind locally
         for v in distinct:
-            pos.update(_bloom_positions(v, m))
+            h = int(md5(str(v).encode()).hexdigest()[:15], 16)
+            pos.add(h % m)
+            pos.add((h >> 30) % m)
         return {"m": m, "k": _BLOOM_K, "pos": sorted(pos)}
     except Exception:
         return None
