@@ -1225,3 +1225,53 @@ def catalog_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = out.collect()
         return spark.createDataFrame(rows, schema=out.schema)
+
+
+# ---------------------------------------------------------------------------
+# Tag-pinned read: tags are the IMMUTABLE refs a training run records
+# ('training-set-v1' → exact snapshot) — this entry proves the pin
+# survives both later writes AND retention. The table takes a tagged
+# base write, six more overwrites, then expire_snapshots(keep_last=2):
+# every untagged historical snapshot is gone, yet the tag still reads
+# the original rows exactly, while the branch head reads the final
+# version. Oracle: both versions are deterministic slices of orders.
+# ---------------------------------------------------------------------------
+
+_TAG_SQL = f"""
+SELECT 'training-set-v1' AS ref, {_TT_STATS} FROM orders WHERE o_orderstatus = 'F'
+UNION ALL
+SELECT 'main', {_TT_STATS} FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+@register("catalog_tag_pinned_read", oracle=_TAG_SQL)
+def catalog_tag_pinned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    orders = session_cache(spread(load_table(spark, sf_dir, "orders")))
+    with tempfile.TemporaryDirectory(prefix="dml-snapt-") as d:
+        tbl = SnapshotTable(spark, os.path.join(d, "orders_tagged"))
+        tbl.write(orders.filter(F.col("o_orderstatus") == "F"), "overwrite")
+        tbl.create_tag("training-set-v1")
+        # Churn: six further versions, then retention far below the
+        # tagged snapshot's age — only the tag keeps it alive.
+        for _ in range(3):
+            tbl.write(orders.filter(F.col("o_orderstatus") == "P"), "overwrite")
+            tbl.write(orders.filter(F.col("o_orderstatus") == "O"), "overwrite")
+        expired = tbl.expire_snapshots(keep_last=2)
+        assert expired, "retention must actually expire churn snapshots"
+
+        def stats(df: DataFrame, ref: str) -> DataFrame:
+            return df.agg(
+                F.lit(ref).alias("ref"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+                dsum("o_totalprice", "total_price"),
+            )
+
+        out = stats(tbl.read(tag="training-set-v1"), "training-set-v1").unionAll(
+            stats(tbl.read(), "main")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)
