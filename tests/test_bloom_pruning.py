@@ -146,3 +146,40 @@ def test_compact_backfills_blooms(spark, tmp_path):
     # machinery on the compacted layout.
     got = sorted(r.k for r in tbl.read(filters=[("k", "=", 8)]).collect())
     assert got == [8]
+
+
+# ---- property: blooms never false-negative, across types ------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from deathmetal_datalake_spark.sources.snapshots import _bloom_positions
+
+_key = st.one_of(
+    st.integers(min_value=-(2**40), max_value=2**40),
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=24
+    ),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(keys=st.sets(_key, min_size=1, max_size=200), probe=_key)
+def test_bloom_membership_property(keys, probe):
+    """Pure-layer property behind the filesystem tests: build the
+    position set exactly as the harvest does, then (a) every inserted
+    key is always contained (no false negative — the correctness side
+    of pruning), and (b) containment is str()-canonical, so an int and
+    a string with the same rendering collide only in the SAFE
+    direction (kept, never pruned)."""
+    m = 1 << ((max(len(keys), 2) - 1).bit_length() + 3)
+    pos: set[int] = set()
+    for k in keys:
+        pos.update(_bloom_positions(k, m))
+    bloom = {"m": m, "k": 2, "pos": sorted(pos)}
+    for k in keys:
+        assert _bloom_may_contain(bloom, k)
+    # A probe whose str() matches an inserted key's str() must be
+    # contained (the type-collision safety direction).
+    if any(str(probe) == str(k) for k in keys):
+        assert _bloom_may_contain(bloom, probe)
