@@ -978,3 +978,113 @@ def streaming_ewma_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(rows, schema=EWMA_OUTPUT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# CONSUMER-GROUP REPLAY: the transport's NON-Spark consumer leg driven
+# end-to-end — the same two production rounds as the transport replay,
+# but consumed through GroupConsumer's bounded poll/commit loop
+# instead of the record_feed source. Cycle 1 drains round 1 in
+# byte-capped polls (committing after each); cycle 2 must deliver
+# EXACTLY round 2 (committed offsets resume, nothing redelivered,
+# nothing lost) — the same run split the oracle already pins for the
+# Spark path, so one SQL text verifies both consumer models.
+# Redelivery determinism is asserted in-line: an independent group
+# polling twice WITHOUT commit sees byte-identical batches.
+# ---------------------------------------------------------------------------
+
+
+@register("streaming_consumer_group_replay", oracle=_TRANSPORT_SQL)
+def streaming_consumer_group_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from deathmetal_datalake_spark.streaming.transport import (
+        GroupConsumer,
+        RecordStreamTransport,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = (
+        ev.filter(F.col("event_id") < _TRANSPORT_MAX_ID)
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+        .collect()
+    )
+    import shutil
+
+    scratch = tempfile.mkdtemp(prefix="dml-cgroup-")
+    try:
+        transport = RecordStreamTransport(os.path.join(scratch, "streams"))
+        transport.create_stream("events", n_shards=_TRANSPORT_N_SHARDS)
+
+        def produce(lo: int, hi: int) -> None:
+            for r in rows:
+                if lo <= r.event_id < hi:
+                    transport.put_record(
+                        "events",
+                        str(r.user_id),
+                        f"{r.event_id},{r.user_id},{r.event_type},{r.value:.6f}",
+                    )
+
+        def consume(run: int) -> list[tuple]:
+            # Fresh consumer instance per cycle (process-restart shape);
+            # progress lives only in the group's committed offsets.
+            c = GroupConsumer(
+                transport.backend, "events", "replica",
+                max_bytes_per_shard=16_384,
+            )
+            out = []
+            while True:
+                batch = c.poll()
+                if not batch:
+                    break
+                out.extend(
+                    (run, r["shard"], r["seq"], r["data"]) for r in batch
+                )
+                c.commit()
+            return out
+
+        produce(0, _TRANSPORT_SPLIT_ID)
+        consumed = consume(1)
+        # Independent group, no commits: two polls must be identical
+        # (immutable replay through the consumer API).
+        audit = GroupConsumer(transport.backend, "events", "audit")
+        first = audit.poll()
+        again = GroupConsumer(transport.backend, "events", "audit").poll()
+        assert first == again, "uncommitted redelivery must be byte-identical"
+        produce(_TRANSPORT_SPLIT_ID, _TRANSPORT_MAX_ID)
+        consumed += consume(2)  # committed offsets: round 2 only
+
+        df = spark.createDataFrame(
+            consumed, schema="run int, shard_id long, seq long, data string"
+        )
+        f = F.split(F.col("data"), ",")
+        parsed = df.select(
+            F.col("run").cast("long").alias("run"),
+            "shard_id",
+            "seq",
+            f.getItem(0).cast("long").alias("event_id"),
+            f.getItem(1).cast("long").alias("user_id"),
+            f.getItem(2).alias("event_type"),
+            f.getItem(3).cast("decimal(18,6)").alias("value"),
+        )
+        w = Window.partitionBy("shard_id").orderBy("seq")
+        out = (
+            parsed.withColumn("prev_id", F.lag("event_id").over(w))
+            .groupBy("run", "shard_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_records"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.sum("value").cast("double").alias("total_value"),
+                F.max("seq").alias("max_seq"),
+                F.sum(
+                    F.when(F.col("prev_id") > F.col("event_id"), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("order_violations"),
+            )
+        )
+        result = out.collect()
+        return spark.createDataFrame(result, schema=out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
