@@ -354,17 +354,40 @@ def _bloom_positions(value, m: int) -> list[int]:
     return [(h >> (30 * j)) % m for j in range(_BLOOM_K)]
 
 
-def _harvest_dir_bloom(dir_path: str, col: str) -> Optional[dict]:
-    """Distinct-value Bloom for ``col`` over every parquet file under
-    ``dir_path``; None when the column is absent, non-int/str, or too
-    dense to be worth a filter. Failure is never fatal — a missing
-    bloom only disables this pruning dimension."""
+def _bloom_from_distinct(distinct: set) -> Optional[dict]:
+    """Self-describing bloom entry for one distinct-value set."""
+    if not distinct:
+        return None
+    import hashlib as _hashlib
+
+    m = 1 << ((max(len(distinct), 2) - 1).bit_length() + _BLOOM_SHIFT)
+    pos: set[int] = set()
+    md5 = _hashlib.md5  # tight loop: bind locally
+    for v in distinct:
+        h = int(md5(str(v).encode()).hexdigest()[:15], 16)
+        pos.add(h % m)
+        pos.add((h >> 30) % m)
+    return {"m": m, "k": _BLOOM_K, "pos": sorted(pos)}
+
+
+def _harvest_blooms(
+    dir_path: str, col: str
+) -> tuple[Optional[dict], dict[str, dict]]:
+    """(dir-level bloom, {relative file path: file-level bloom}) for
+    ``col`` over every parquet file under ``dir_path`` — one columnar
+    read per file feeds BOTH granularities (each entry self-describes
+    its m, sized to its own distinct count, so file blooms stay tight
+    inside a wide dir — the parquet/puffin row-group analog). (None,
+    {}) when the column is absent, non-int/str, or too dense; failure
+    is never fatal — a missing bloom only disables this pruning
+    dimension."""
     try:
         import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         distinct: set = set()
+        per_file: dict[str, dict] = {}
         for root, _dirs, names in os.walk(dir_path):
             for name in names:
                 if not name.endswith(".parquet"):
@@ -380,29 +403,30 @@ def _harvest_dir_bloom(dir_path: str, col: str) -> Optional[dict]:
                     or pa.types.is_string(t)
                     or pa.types.is_large_string(t)
                 ):
-                    return None
+                    return None, {}
                 # Deduplicate in Arrow (C++) before touching Python —
                 # the per-file distinct set is what crosses the
                 # boundary, not every row.
-                for v in pc.unique(arr.combine_chunks()).to_pylist():
-                    if v is not None:
-                        distinct.add(v)
+                file_distinct = {
+                    v
+                    for v in pc.unique(arr.combine_chunks()).to_pylist()
+                    if v is not None
+                }
+                distinct.update(file_distinct)
                 if len(distinct) > _BLOOM_MAX_DISTINCT:
-                    return None
-        if not distinct:
-            return None
-        import hashlib as _hashlib
-
-        m = 1 << ((max(len(distinct), 2) - 1).bit_length() + _BLOOM_SHIFT)
-        pos: set[int] = set()
-        md5 = _hashlib.md5  # tight loop: bind locally
-        for v in distinct:
-            h = int(md5(str(v).encode()).hexdigest()[:15], 16)
-            pos.add(h % m)
-            pos.add((h >> 30) % m)
-        return {"m": m, "k": _BLOOM_K, "pos": sorted(pos)}
+                    return None, {}
+                fb = _bloom_from_distinct(file_distinct)
+                if fb is not None:
+                    per_file[os.path.relpath(path, dir_path)] = fb
+        return _bloom_from_distinct(distinct), per_file
     except Exception:
-        return None
+        return None, {}
+
+
+def _harvest_dir_bloom(dir_path: str, col: str) -> Optional[dict]:
+    """Dir-level-only convenience wrapper over :func:`_harvest_blooms`."""
+    bloom, _files = _harvest_blooms(dir_path, col)
+    return bloom
 
 
 def _bloom_may_contain(bloom: dict, value) -> bool:
@@ -1177,15 +1201,21 @@ class SnapshotTable:
             s, fsd = _collect_dir_stats(d)
             new_dir_stats[d], new_file_stats[d] = s, fsd
         # Manifest blooms for declared columns (opt-in; one columnar
-        # read per new dir). A failed/dense/ineligible harvest just
-        # leaves the per-column entry bloomless — conservative scan.
+        # read per new dir feeds BOTH the dir-level and the per-file
+        # blooms). A failed/dense/ineligible harvest just leaves the
+        # per-column entries bloomless — conservative scan.
         for col in self.bloom_columns():
             for d in new_dirs:
                 entry = new_dir_stats.get(d, {}).get(col)
-                if isinstance(entry, dict):
-                    bloom = _harvest_dir_bloom(d, col)
-                    if bloom is not None:
-                        entry["bloom"] = bloom
+                if not isinstance(entry, dict):
+                    continue
+                bloom, file_blooms = _harvest_blooms(d, col)
+                if bloom is not None:
+                    entry["bloom"] = bloom
+                for rel, fb in file_blooms.items():
+                    fentry = new_file_stats.get(d, {}).get(rel, {}).get(col)
+                    if isinstance(fentry, dict):
+                        fentry["bloom"] = fb
         return new_dirs, new_partitions, new_dir_stats, new_file_stats
 
     def write(

@@ -4,6 +4,8 @@ guarantee that makes the skip safe."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from pyspark.sql import Row
@@ -183,3 +185,35 @@ def test_bloom_membership_property(keys, probe):
     # contained (the type-collision safety direction).
     if any(str(probe) == str(k) for k in keys):
         assert _bloom_may_contain(bloom, probe)
+
+
+def test_per_file_blooms_prune_within_a_dir(spark, tmp_path):
+    # File-level blooms: inside ONE surviving dir, scan_files consults
+    # each file's own bloom — the parquet/puffin row-group analog that
+    # keeps skipping alive after appends land as multi-file dirs.
+    tbl = _mk(spark, tmp_path)
+    tbl.set_bloom_columns(["k"])
+    # One write, several files (shuffled partitions).
+    tbl.write(_rows(spark, range(200), "x").repartition(4), "overwrite")
+    snap = tbl._load_snapshot(tbl.current_snapshot_id())
+    (d,) = snap.data_dirs
+    fs = snap.file_stats[d]
+    with_bloom = [rel for rel in fs if "bloom" in fs[rel].get("k", {})]
+    assert with_bloom, "per-file blooms must be harvested"
+    # Every key's true file is always kept; scan_files equals the
+    # stored file blooms' own verdict (wiring, not luck).
+    from deathmetal_datalake_spark.sources.snapshots import _dir_may_match
+
+    pruned_total = 0
+    for key in range(0, 200, 17):
+        kept, pruned = tbl.scan_files([("k", "=", key)])
+        expect = {
+            os.path.join(d, rel)
+            for rel in fs
+            if _dir_may_match(fs[rel], [("k", "=", key)])
+        }
+        assert set(kept) == expect
+        pruned_total += len(pruned)
+        got = [r.k for r in tbl.read(filters=[("k", "=", key)]).collect()]
+        assert got == [key]
+    assert pruned_total > 0  # file-level skipping genuinely happens
