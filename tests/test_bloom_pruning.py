@@ -217,3 +217,25 @@ def test_per_file_blooms_prune_within_a_dir(spark, tmp_path):
         got = [r.k for r in tbl.read(filters=[("k", "=", key)]).collect()]
         assert got == [key]
     assert pruned_total > 0  # file-level skipping genuinely happens
+
+
+def test_blooms_compose_with_hidden_partitioning(spark, tmp_path):
+    # A declared partition spec writes per-value subdirs; blooms must
+    # be harvested per PARTITION dir and compose with spec pruning —
+    # a lookup first prunes by spec arithmetic, then by bloom, and the
+    # read stays exact.
+    from pyspark.sql import Row as R
+
+    tbl = _mk(spark, tmp_path)
+    tbl.set_partition_spec([("bucket[2]", "grp")])
+    tbl.set_bloom_columns(["k"])
+    rows = [R(grp=i % 4, k=int(i), tag="x") for i in range(80)]
+    tbl.write(spark.createDataFrame(rows), "overwrite")
+    snap = tbl._load_snapshot(tbl.current_snapshot_id())
+    assert len(snap.data_dirs) >= 2  # per-bucket dirs
+    assert all(
+        "bloom" in snap.dir_stats[d]["k"] for d in snap.data_dirs
+    )  # every partition dir harvested
+    for key in (0, 7, 33, 79, 555):
+        got = sorted(r.k for r in tbl.read(filters=[("k", "=", key)]).collect())
+        assert got == ([key] if key < 80 else [])
