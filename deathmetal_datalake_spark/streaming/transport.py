@@ -580,6 +580,14 @@ class RecordFeedStreamReader(DataSourceStreamReader):
         self._backend = LocalFSShardLog(os.path.dirname(path) or path)
         self._n_shards = self._backend.n_shards(path)
         self._schema = schema
+        # startingOffsets='group:<name>' — begin from a consumer
+        # group's committed offsets instead of the log start: the
+        # handoff primitive between a batch backfill (GroupConsumer
+        # poll/commit) and a live stream sharing ONE progress store.
+        # Only consulted at initialOffset (a FRESH stream); a restarted
+        # query keeps its checkpoint, exactly like Kafka's
+        # startingOffsets.
+        self._starting = options.get("startingoffsets", options.get("startingOffsets", "earliest"))
 
     def _shards(self) -> list[tuple[str, str]]:
         return [
@@ -588,6 +596,21 @@ class RecordFeedStreamReader(DataSourceStreamReader):
         ]
 
     def initialOffset(self) -> dict:
+        start = str(self._starting)
+        if start.startswith("group:"):
+            committed = self._backend.committed_offsets(
+                self._dir, start[len("group:") :]
+            )
+            return {
+                name: int(committed.get(int(name[6:]), 0))
+                for name, _ in self._shards()
+            }
+        if start == "latest":
+            return self.latestOffset()
+        if start != "earliest":
+            raise ValueError(
+                f"startingOffsets must be earliest|latest|group:<name>, got {start!r}"
+            )
         return {name: 0 for name, _ in self._shards()}
 
     def latestOffset(self) -> dict:

@@ -504,3 +504,63 @@ def test_group_consumer_bounded_polls_catch_up(tmp_path):
     t.put_record("s", "k", "x" * 500)
     big = GroupConsumer(t.backend, "s", "g", max_bytes_per_shard=64).poll()
     assert len(big) == 1 and big[0]["data"] == "x" * 500
+
+
+def test_record_feed_starts_from_group_offsets(spark, transport, tmp_path):
+    # Batch → stream handoff: a GroupConsumer backfill commits its
+    # progress, then a FRESH streaming query with
+    # startingOffsets='group:<name>' begins exactly there — only
+    # post-handoff records are delivered.
+    from deathmetal_datalake_spark.streaming.transport import GroupConsumer
+
+    d = transport.create_stream("ev", n_shards=2)
+    transport.put_records("ev", [(f"a-{i}", f"backfill-{i}") for i in range(10)])
+    backfill = GroupConsumer(transport.backend, d, "handoff")
+    assert len(backfill.poll()) == 10
+    backfill.commit()
+    transport.put_records("ev", [(f"b-{i}", f"live-{i}") for i in range(10)])
+
+    register_record_feed(spark)
+    stream = (
+        spark.readStream.format("record_feed")
+        .schema(RECORD_FEED_SCHEMA)
+        .option("path", d)
+        .option("startingOffsets", "group:handoff")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("group_start_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r.data for r in spark.table("group_start_sink").collect())
+    assert got == sorted(f"live-{i}" for i in range(10))
+
+
+def test_record_feed_rejects_bad_starting_offsets(spark, transport, tmp_path):
+    d = transport.create_stream("ev2", n_shards=1)
+    transport.put_record("ev2", "k", "v")
+    register_record_feed(spark)
+    stream = (
+        spark.readStream.format("record_feed")
+        .schema(RECORD_FEED_SCHEMA)
+        .option("path", d)
+        .option("startingOffsets", "bogus")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("bad_start_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    import pyspark.errors
+
+    with pytest.raises(Exception, match="startingOffsets|STREAM_FAILED"):
+        q.awaitTermination()
