@@ -239,3 +239,43 @@ def test_blooms_compose_with_hidden_partitioning(spark, tmp_path):
     for key in (0, 7, 33, 79, 555):
         got = sorted(r.k for r in tbl.read(filters=[("k", "=", key)]).collect())
         assert got == ([key] if key < 80 else [])
+
+
+def test_bitset_representation_equivalence():
+    # Dense filters auto-pack into base64 bitsets; the membership
+    # verdict must be identical to the list form for every key and
+    # for absent probes.
+    import base64
+
+    from deathmetal_datalake_spark.sources.snapshots import _bloom_from_distinct
+
+    keys = set(range(5000))
+    bloom = _bloom_from_distinct(keys)
+    assert "bits" in bloom and "pos" not in bloom  # packed by default
+    # Rebuild the equivalent list form from the bitset and compare
+    # verdicts across inserted keys and a band of absent probes.
+    raw = base64.b64decode(bloom["bits"])
+    pos = [
+        i * 8 + b for i, byte in enumerate(raw) for b in range(8) if byte >> b & 1
+    ]
+    as_list = {"m": bloom["m"], "k": bloom["k"], "pos": pos}
+    for probe in list(keys)[:500] + list(range(100000, 100200)):
+        assert _bloom_may_contain(bloom, probe) == _bloom_may_contain(
+            as_list, probe
+        )
+    for k in keys:
+        assert _bloom_may_contain(bloom, k)  # never a false negative
+
+
+def test_legacy_list_form_still_honored():
+    # Manifests written before packing landed carry position LISTS;
+    # the membership check must keep honoring them forever (old
+    # snapshots stay time-travelable).
+    from deathmetal_datalake_spark.sources.snapshots import _bloom_positions
+
+    m = 256
+    pos = sorted({p for k in (1, 2, 3) for p in _bloom_positions(k, m)})
+    legacy = {"m": m, "k": 2, "pos": pos}
+    for k in (1, 2, 3):
+        assert _bloom_may_contain(legacy, k)
+    assert not all(_bloom_may_contain(legacy, k) for k in range(50, 90))
