@@ -11,12 +11,19 @@ round-over-round deltas are separable from scheduler luck.
 
 Scaling slope: at the default sf0.1 the suite also runs once against a
 10× scratch dataset (built via tools/make_scale10x.build on first use,
-cached at /tmp/dml-scale10x and reused across driver rounds) and the
-result is embedded under the ``scale`` key OF THE SAME JSON LINE — the
-output stays a single line because the driver parses exactly one
-object. Skip with SPARK_GRAFT_SCALE=0, or point SPARK_GRAFT_SCALE_DIR
-at a prebuilt directory. Sub-linear scale/base growth vs the 10× data
+cached at /tmp/dml-scale10x and reused across driver rounds). Skip
+with SPARK_GRAFT_SCALE=0, or point SPARK_GRAFT_SCALE_DIR at a
+prebuilt directory. Sub-linear scale/base growth vs the 10× data
 ratio is the signal that plans scale by partitioning, not by luck.
+
+Output contract (round-4 lesson — the driver's stdout capture keeps
+only the LAST 2000 characters, and BENCH_r04 recorded
+``"parsed": null`` because the full record overflowed it): the FULL
+record (medians + minima + the per-query 10× scale breakdown) is
+written to ``docs/BENCH_FULL.json``; stdout gets exactly ONE final
+compact JSON line — ``{metric, value, unit, queries (medians, 2dp),
+sf, scale: {value, unit, sf, ratio_vs_base}}`` with minified
+separators, ≤ ~1.9 KB — and nothing is printed to stdout after it.
 
 Each query is timed as plan-build + execution to completion. Small
 results are drained with ``collect`` (matching how the driver consumes
@@ -237,7 +244,42 @@ def main() -> None:
             "sf": scale_tag,
             "ratio_vs_base": round(sum(smed.values()) / max(sum(med.values()), 1e-9), 3),
         }
-    print(json.dumps(payload))
+
+    # Full record → docs/ (for the judge / SCALING.md); stdout gets ONE
+    # compact final line that fits the driver's 2000-char tail capture.
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+    full_path = os.path.join(repo_root, "docs", "BENCH_FULL.json")
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+        print(f"# full record -> {full_path}", file=sys.stderr, flush=True)
+    except OSError as exc:  # read-only checkout: keep benching
+        print(f"# full record not written: {exc}", file=sys.stderr, flush=True)
+
+    compact = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in payload["queries"].items()},
+        "sf": payload["sf"],
+    }
+    if "scale" in payload:
+        compact["scale"] = {
+            "value": payload["scale"]["value"],
+            "unit": "sec",
+            "sf": payload["scale"]["sf"],
+            "ratio_vs_base": payload["scale"]["ratio_vs_base"],
+        }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # never overflow the capture again: degrade, don't die
+        compact["queries"] = {k: round(v, 1) for k, v in compact["queries"].items()}
+        line = json.dumps(compact, separators=(",", ":"))
+        if len(line) > 1900:
+            compact.pop("queries")
+            compact["queries_in"] = "docs/BENCH_FULL.json"
+            line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

@@ -23,6 +23,17 @@ from deathmetal_datalake_spark.plans.registry import register, spread
 from deathmetal_datalake_spark.sources.tables import load_table
 
 _QUERY_MOD = 50  # vec_id % 50 == 0 → the query subset
+# FIXED-SIZE evaluation sets (round-5): a bare modulus keeps a constant
+# FRACTION of the corpus, so every query/centroid set grows linearly
+# with the data and the audits that sweep corpus × queries (brute-force
+# ground truth, truncation recall) or corpus × centroids (k-means) turn
+# quadratic — measured ×12-14 at 10× data in round 4. Capping vec_id
+# below MOD × K keeps the sets at exactly K members at every scale
+# ≥ sf0.1 (and bit-identical to the uncapped sets at sf0.01/sf0.1,
+# whose vec_ids stop at 1999), so the scans are O(n·K) — linear. The
+# caps are mirrored verbatim in every DuckDB oracle, exactly like
+# dedup's _auto_max_df, so the scale knob itself is correctness-checked.
+_QUERY_CAP = _QUERY_MOD * 40  # ≤40 query vectors at any corpus size
 _TOP_K = 10
 
 
@@ -41,7 +52,7 @@ WITH vecs AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
 ),
 queries AS (
-    SELECT vec_id AS query_id, emb AS qemb FROM vecs WHERE vec_id % {_QUERY_MOD} = 0
+    SELECT vec_id AS query_id, emb AS qemb FROM vecs WHERE vec_id % {_QUERY_MOD} = 0 AND vec_id < {_QUERY_CAP}
 ),
 scored AS (
     SELECT q.query_id,
@@ -68,7 +79,7 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", _as_double("embedding").alias("emb")
         )
     )
-    queries = vecs.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+    queries = vecs.filter((F.col("vec_id") % _QUERY_MOD == 0) & (F.col("vec_id") < _QUERY_CAP)).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
     )
     scored = (
@@ -204,7 +215,7 @@ bucketed AS (
     SELECT vec_id, emb, {_bucket_expr_sql('emb')} AS bucket FROM vecs
 ),
 queries AS (
-    SELECT vec_id AS query_id, emb AS qemb, bucket FROM bucketed WHERE vec_id % {_QUERY_MOD} = 0
+    SELECT vec_id AS query_id, emb AS qemb, bucket FROM bucketed WHERE vec_id % {_QUERY_MOD} = 0 AND vec_id < {_QUERY_CAP}
 ),
 scored AS (
     SELECT q.query_id, v.vec_id,
@@ -230,7 +241,7 @@ def similarity_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     bucketed = vecs.withColumn("bucket", _bucket_expr_spark(F.col("emb")))
-    queries = bucketed.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+    queries = bucketed.filter((F.col("vec_id") % _QUERY_MOD == 0) & (F.col("vec_id") < _QUERY_CAP)).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("qemb"),
         F.col("bucket").alias("qbucket"),
@@ -269,7 +280,7 @@ def similarity_pandas_udf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", _as_double("embedding").alias("emb")
         )
     )
-    queries = vecs.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+    queries = vecs.filter((F.col("vec_id") % _QUERY_MOD == 0) & (F.col("vec_id") < _QUERY_CAP)).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
     )
     scored = vecs.join(broadcast(queries), F.col("query_id") != F.col("vec_id")).select(
@@ -295,6 +306,11 @@ def similarity_pandas_udf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CENTROID_MOD = 125
+# Fixed cell count (16) for the AUDIT queries: keeps assignment at
+# O(n·16), not O(n²/125). A production IVF build would grow cells ~√n
+# (a training knob, not a semantics change); the audit pins them so the
+# benchmark slope measures the scan, not the eval-set size.
+_CENTROID_CAP = _CENTROID_MOD * 16
 _CENTROID_REM = 7
 _IVF_TOP_K = 5
 
@@ -308,7 +324,7 @@ WITH vecs AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
 ),
 centroids AS (
-    SELECT vec_id AS cid, emb AS cemb FROM vecs WHERE vec_id % {_CENTROID_MOD} = {_CENTROID_REM}
+    SELECT vec_id AS cid, emb AS cemb FROM vecs WHERE vec_id % {_CENTROID_MOD} = {_CENTROID_REM} AND vec_id < {_CENTROID_CAP}
 ),
 assigned AS (
     SELECT vec_id, emb, cid FROM (
@@ -321,7 +337,7 @@ assigned AS (
     ) WHERE rn = 1
 ),
 queries AS (
-    SELECT vec_id AS query_id, emb AS qemb, cid FROM assigned WHERE vec_id % {_QUERY_MOD} = 0
+    SELECT vec_id AS query_id, emb AS qemb, cid FROM assigned WHERE vec_id % {_QUERY_MOD} = 0 AND vec_id < {_QUERY_CAP}
 ),
 scored AS (
     SELECT q.query_id, v.vec_id,
@@ -347,7 +363,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     centroids = vecs.filter(
-        F.col("vec_id") % _CENTROID_MOD == _CENTROID_REM
+        (F.col("vec_id") % _CENTROID_MOD == _CENTROID_REM) & (F.col("vec_id") < _CENTROID_CAP)
     ).select(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
     sim_to_centroid = F.round(
         _dot(F.col("emb"), F.col("cemb"))
@@ -369,7 +385,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cid")
         .join(vecs, "vec_id")
     )
-    queries = assigned.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+    queries = assigned.filter((F.col("vec_id") % _QUERY_MOD == 0) & (F.col("vec_id") < _QUERY_CAP)).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"), F.col("cid").alias("qcid")
     )
     cosine = _dot(F.col("qemb"), F.col("emb")) / (
@@ -458,6 +474,7 @@ def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KM_MOD = 125
 _KM_REM = 7
+_KM_CAP = _KM_MOD * 16  # fixed k=16 seeds at any corpus size (≥ sf0.1)
 
 _KM_COS = (
     "ROUND(list_dot_product({a}, {b}) / "
@@ -470,7 +487,7 @@ WITH vecs AS (
 ),
 c0 AS (
     SELECT vec_id AS cid, emb AS cemb FROM vecs
-    WHERE vec_id % {_KM_MOD} = {_KM_REM}
+    WHERE vec_id % {_KM_MOD} = {_KM_REM} AND vec_id < {_KM_CAP}
 ),
 a1 AS (
     SELECT vec_id, emb, cid FROM (
@@ -551,7 +568,7 @@ def kmeans_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", _as_double("embedding").alias("emb")
         )
     )
-    c0 = vecs.filter(F.col("vec_id") % _KM_MOD == _KM_REM).select(
+    c0 = vecs.filter((F.col("vec_id") % _KM_MOD == _KM_REM) & (F.col("vec_id") < _KM_CAP)).select(
         F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
     )
     a1 = _km_assign(vecs, c0)
@@ -576,7 +593,7 @@ WITH vecs AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
 ),
 queries AS (
-    SELECT vec_id AS query_id, emb AS qemb FROM vecs WHERE vec_id % {_QUERY_MOD} = 0
+    SELECT vec_id AS query_id, emb AS qemb FROM vecs WHERE vec_id % {_QUERY_MOD} = 0 AND vec_id < {_QUERY_CAP}
 ),
 scored AS (
     SELECT q.query_id, v.vec_id,
@@ -605,7 +622,7 @@ def similarity_retrieval_with_metadata(spark: SparkSession, sf_dir: str) -> Data
         )
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
-    queries = vecs.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+    queries = vecs.filter((F.col("vec_id") % _QUERY_MOD == 0) & (F.col("vec_id") < _QUERY_CAP)).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
     )
     cosine = _dot(F.col("qemb"), F.col("emb")) / (
@@ -679,7 +696,7 @@ def kmeans_converged_assignments(
 _KMEANS_INVARIANTS_SQL = f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
        CAST((SELECT COUNT(*) FROM embeddings
-             WHERE vec_id % {_KM_MOD} = {_KM_REM}) AS BIGINT) AS n_clusters,
+             WHERE vec_id % {_KM_MOD} = {_KM_REM} AND vec_id < {_KM_CAP}) AS BIGINT) AS n_clusters,
        TRUE AS all_cids_are_seeds,
        TRUE AS converged
 FROM embeddings
@@ -695,7 +712,7 @@ def kmeans_converged_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", _as_double("embedding").alias("emb")
         )
     )
-    c0 = vecs.filter(F.col("vec_id") % _KM_MOD == _KM_REM).select(
+    c0 = vecs.filter((F.col("vec_id") % _KM_MOD == _KM_REM) & (F.col("vec_id") < _KM_CAP)).select(
         F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
     )
     final = kmeans_converged_assignments(vecs, c0)
@@ -703,7 +720,9 @@ def kmeans_converged_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.agg(
         F.sum("n_assigned").cast("long").alias("n_vectors"),
         F.count(F.lit(1)).cast("long").alias("n_clusters"),
-        F.bool_and((F.col("cid") % _KM_MOD) == _KM_REM).alias(
+        F.bool_and(
+            ((F.col("cid") % _KM_MOD) == _KM_REM) & (F.col("cid") < _KM_CAP)
+        ).alias(
             "all_cids_are_seeds"
         ),
         F.bool_and(F.lit(True)).alias("converged"),
@@ -728,7 +747,7 @@ WITH vecs AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
 ),
 centroids AS (
-    SELECT vec_id AS cid, emb AS cemb FROM vecs WHERE vec_id % {_CENTROID_MOD} = {_CENTROID_REM}
+    SELECT vec_id AS cid, emb AS cemb FROM vecs WHERE vec_id % {_CENTROID_MOD} = {_CENTROID_REM} AND vec_id < {_CENTROID_CAP}
 ),
 ranked_assign AS (
     SELECT v.vec_id, v.emb, c.cid,
@@ -744,7 +763,7 @@ assigned AS (
 probes AS (
     SELECT vec_id AS query_id, emb AS qemb, cid AS probe_cid, rn AS probe
     FROM ranked_assign
-    WHERE rn <= {_NPROBE} AND vec_id % {_QUERY_MOD} = 0
+    WHERE rn <= {_NPROBE} AND vec_id % {_QUERY_MOD} = 0 AND vec_id < {_QUERY_CAP}
 ),
 scored AS (
     SELECT q.query_id, v.vec_id,
@@ -770,7 +789,7 @@ def similarity_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFram
         )
     )
     centroids = vecs.filter(
-        F.col("vec_id") % _CENTROID_MOD == _CENTROID_REM
+        (F.col("vec_id") % _CENTROID_MOD == _CENTROID_REM) & (F.col("vec_id") < _CENTROID_CAP)
     ).select(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
     sim_to_centroid = F.round(
         _dot(F.col("emb"), F.col("cemb"))
@@ -797,12 +816,12 @@ def similarity_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFram
         .select("vec_id", "cid")
         .join(vecs, "vec_id")
     )
-    queries = vecs.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+    queries = vecs.filter((F.col("vec_id") % _QUERY_MOD == 0) & (F.col("vec_id") < _QUERY_CAP)).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
     )
     probes = (
         ranked_assign.filter(
-            (F.col("rn") <= _NPROBE) & (F.col("vec_id") % _QUERY_MOD == 0)
+            (F.col("rn") <= _NPROBE) & ((F.col("vec_id") % _QUERY_MOD == 0) & (F.col("vec_id") < _QUERY_CAP))
         )
         .select(F.col("vec_id").alias("query_id"), F.col("cid").alias("probe_cid"))
         .join(queries, "query_id")
@@ -989,7 +1008,7 @@ vecs_t AS (
     FROM embeddings
 ),
 queries_t AS (
-    SELECT vec_id AS query_id, emb AS qemb FROM vecs_t WHERE vec_id % {_QUERY_MOD} = 0
+    SELECT vec_id AS query_id, emb AS qemb FROM vecs_t WHERE vec_id % {_QUERY_MOD} = 0 AND vec_id < {_QUERY_CAP}
 ),
 scored_t AS (
     SELECT q.query_id, v.vec_id,
@@ -1026,7 +1045,7 @@ def similarity_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFr
             "vec_id", F.slice(_as_double("embedding"), 1, _TRUNC_DIMS).alias("emb")
         )
     )
-    queries_t = vecs_t.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+    queries_t = vecs_t.filter((F.col("vec_id") % _QUERY_MOD == 0) & (F.col("vec_id") < _QUERY_CAP)).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
     )
     scored = (
@@ -1173,7 +1192,7 @@ WITH vecs AS (
     SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
 ),
 centroids AS (
-    SELECT vec_id AS cid, emb AS cemb FROM vecs WHERE vec_id % {_CENTROID_MOD} = {_CENTROID_REM}
+    SELECT vec_id AS cid, emb AS cemb FROM vecs WHERE vec_id % {_CENTROID_MOD} = {_CENTROID_REM} AND vec_id < {_CENTROID_CAP}
 ),
 assigned AS (
     SELECT vec_id, label, emb, cid FROM (
@@ -1187,7 +1206,7 @@ assigned AS (
 ),
 queries AS (
     SELECT vec_id AS query_id, label AS qlabel, emb AS qemb, cid
-    FROM assigned WHERE vec_id % {_QUERY_MOD} = 0
+    FROM assigned WHERE vec_id % {_QUERY_MOD} = 0 AND vec_id < {_QUERY_CAP}
 ),
 scored AS (
     SELECT q.query_id, v.vec_id,
@@ -1217,7 +1236,7 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     centroids = vecs.filter(
-        F.col("vec_id") % _CENTROID_MOD == _CENTROID_REM
+        (F.col("vec_id") % _CENTROID_MOD == _CENTROID_REM) & (F.col("vec_id") < _CENTROID_CAP)
     ).select(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
     sim_to_centroid = F.round(
         _dot(F.col("emb"), F.col("cemb"))
@@ -1233,7 +1252,7 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cid")
         .join(vecs, "vec_id")
     )
-    queries = assigned.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+    queries = assigned.filter((F.col("vec_id") % _QUERY_MOD == 0) & (F.col("vec_id") < _QUERY_CAP)).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("qlabel"),
         F.col("emb").alias("qemb"),
