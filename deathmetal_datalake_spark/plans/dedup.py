@@ -10,7 +10,7 @@ verify the full pipeline, not just row counts.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -296,6 +296,18 @@ _MINHASH_AB = [
 _N_HASHES = len(_MINHASH_AB)
 _BAND_ROWS = 2  # 4 bands × 2 rows
 _EST_THRESHOLD = 0.5
+# Bucket-anchor candidate cap (round-5): every candidate pair must
+# include one of the bucket's _BAND_ANCHORS smallest doc_ids. A clique
+# of s near-identical docs sharing a band bucket otherwise emits C(s,2)
+# pairs — quadratic in clique size, the mass that melts a 100 TB job
+# when boilerplate text goes viral. With the anchor rule the per-bucket
+# pair mass is ~2·A·s (linear) while every member still pairs with the
+# anchors, so cluster connectivity (connected components, canonical
+# pick) is preserved. A=8 exceeds the max observed bucket size at every
+# test SF (3 at sf0.01, 9 at sf0.1), so results there are bit-identical
+# to the uncapped plan; the cap is mirrored verbatim in every oracle
+# (the _auto_max_df convention), so the knob itself is corr.-checked.
+_BAND_ANCHORS = 8
 
 
 def _minhash_columns(shingled: DataFrame) -> DataFrame:
@@ -359,10 +371,16 @@ bands AS (
     FROM sig
     GROUP BY doc_id, i // {_BAND_ROWS}
 ),
+bands_rn AS (
+    SELECT doc_id, band, bucket,
+           ROW_NUMBER() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS rn
+    FROM bands
+),
 candidates AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
+    FROM bands_rn a JOIN bands_rn b
       ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE a.rn <= {_BAND_ANCHORS} OR b.rn <= {_BAND_ANCHORS}
 ),
 est AS (
     SELECT c.doc_a, c.doc_b,
@@ -404,8 +422,13 @@ def _minhash_band_candidates(sig: DataFrame) -> DataFrame:
             for b in range(_N_HASHES // _BAND_ROWS)
         ]
     )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    w_rn = Window.partitionBy("band", "bucket").orderBy("doc_id")
+    bands = (
+        sig.select("doc_id", F.explode(band_structs).alias("bb"))
+        .select(
+            "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+        .withColumn("rn", F.row_number().over(w_rn))
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -414,7 +437,8 @@ def _minhash_band_candidates(sig: DataFrame) -> DataFrame:
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & ((F.col("a.rn") <= _BAND_ANCHORS) | (F.col("b.rn") <= _BAND_ANCHORS)),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates()
@@ -526,10 +550,16 @@ bands AS (
     FROM sig
     GROUP BY doc_id, i // {_BAND_ROWS}
 ),
+bands_rn AS (
+    SELECT doc_id, band, bucket,
+           ROW_NUMBER() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS rn
+    FROM bands
+),
 candidates AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
+    FROM bands_rn a JOIN bands_rn b
       ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE a.rn <= {_BAND_ANCHORS} OR b.rn <= {_BAND_ANCHORS}
 ),
 est AS (
     SELECT c.doc_a, c.doc_b,
@@ -654,10 +684,16 @@ bands AS (
     FROM sig
     GROUP BY doc_id, i // {_BAND_ROWS}
 ),
+bands_rn AS (
+    SELECT doc_id, band, bucket,
+           ROW_NUMBER() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS rn
+    FROM bands
+),
 candidates AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
+    FROM bands_rn a JOIN bands_rn b
       ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE a.rn <= {_BAND_ANCHORS} OR b.rn <= {_BAND_ANCHORS}
 ),
 est AS (
     SELECT c.doc_a, c.doc_b,
@@ -926,11 +962,17 @@ bands AS (
     FROM sig
     GROUP BY doc_id, i // {_BAND_ROWS}
 ),
+bands_rn AS (
+    SELECT doc_id, band, bucket,
+           ROW_NUMBER() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS rn
+    FROM bands
+),
 candidates AS (
     SELECT DISTINCT n.doc_id AS new_doc, o.doc_id AS other_doc
-    FROM bands n JOIN bands o
+    FROM bands_rn n JOIN bands_rn o
       ON n.band = o.band AND n.bucket = o.bucket AND n.doc_id <> o.doc_id
     WHERE n.doc_id % 10 = 0
+      AND (n.rn <= {_BAND_ANCHORS} OR o.rn <= {_BAND_ANCHORS})
 ),
 est AS (
     SELECT c.new_doc, c.other_doc,
@@ -968,8 +1010,13 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(_N_HASHES // _BAND_ROWS)
         ]
     )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    w_rn = Window.partitionBy("band", "bucket").orderBy("doc_id")
+    bands = (
+        sig.select("doc_id", F.explode(band_structs).alias("bb"))
+        .select(
+            "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+        .withColumn("rn", F.row_number().over(w_rn))
     )
     new_bands = bands.filter(F.col("doc_id") % 10 == 0).alias("n")
     all_bands = bands.alias("o")
@@ -978,7 +1025,8 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             all_bands,
             (F.col("n.band") == F.col("o.band"))
             & (F.col("n.bucket") == F.col("o.bucket"))
-            & (F.col("n.doc_id") != F.col("o.doc_id")),
+            & (F.col("n.doc_id") != F.col("o.doc_id"))
+            & ((F.col("n.rn") <= _BAND_ANCHORS) | (F.col("o.rn") <= _BAND_ANCHORS)),
         )
         .select(F.col("n.doc_id").alias("new_doc"), F.col("o.doc_id").alias("other_doc"))
         .dropDuplicates()
@@ -1295,10 +1343,16 @@ bands AS (
     FROM sig
     GROUP BY doc_id, i // {_BAND_ROWS}
 ),
+bands_rn AS (
+    SELECT doc_id, band, bucket,
+           ROW_NUMBER() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS rn
+    FROM bands
+),
 candidates AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
+    FROM bands_rn a JOIN bands_rn b
       ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE a.rn <= {_BAND_ANCHORS} OR b.rn <= {_BAND_ANCHORS}
 ),
 hset AS (
     SELECT DISTINCT doc_id, {sql_hash60('shingle')} AS sh FROM shingled
