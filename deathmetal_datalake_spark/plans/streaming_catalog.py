@@ -922,6 +922,150 @@ def streaming_transport_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# REMOTE transport replay: the same produce → checkpointed-drain →
+# replay contract as streaming_transport_replay, but the shard log
+# lives behind a subprocess HTTP server
+# (streaming/shardlog_remote.py) — every producer append crosses a
+# process boundary under a server-held lock lease, and the Spark
+# ``record_feed`` reader tasks fetch ranges over HTTP from their worker
+# processes, exactly how executors consume a broker (reference:
+# infra/main.tf:47-124 provisions Kinesis for this role). The oracle is
+# the same portable routing+sequencing recomputation: exact equality
+# proves the remote protocol loses, duplicates, and reorders nothing.
+# A smaller id window than the local replay keeps the per-record HTTP
+# round-trips (the honest cost of a remote log) within bench scale.
+# ---------------------------------------------------------------------------
+
+_RTRANSPORT_N_SHARDS = 4
+_RTRANSPORT_MAX_ID = 800
+_RTRANSPORT_SPLIT_ID = 400
+
+_RTRANSPORT_SQL = f"""
+WITH produced AS (
+    SELECT event_id, user_id, event_type, value,
+           {sql_hash60("CAST(user_id AS VARCHAR)")} % {_RTRANSPORT_N_SHARDS} AS shard_id,
+           CASE WHEN event_id < {_RTRANSPORT_SPLIT_ID} THEN 1 ELSE 2 END AS run
+    FROM events WHERE event_id < {_RTRANSPORT_MAX_ID}
+),
+seqd AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY shard_id ORDER BY event_id) - 1 AS seq
+    FROM produced
+)
+SELECT run, shard_id,
+       COUNT(*) AS n_records,
+       COUNT(DISTINCT user_id) AS n_users,
+       {sql_dsum("value", "total_value")},
+       MAX(seq) AS max_seq,
+       CAST(0 AS BIGINT) AS order_violations
+FROM seqd GROUP BY run, shard_id
+"""
+
+
+@register("streaming_remote_transport_replay", oracle=_RTRANSPORT_SQL)
+def streaming_remote_transport_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from deathmetal_datalake_spark.streaming.shardlog_remote import (
+        RemoteShardLog,
+        ShardLogServerProcess,
+    )
+    from deathmetal_datalake_spark.streaming.transport import (
+        RECORD_FEED_SCHEMA,
+        RecordStreamTransport,
+        register_record_feed,
+    )
+
+    register_record_feed(spark)
+    ev = load_table(spark, sf_dir, "events")
+    rows = (
+        ev.filter(F.col("event_id") < _RTRANSPORT_MAX_ID)
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+        .collect()
+    )
+    import shutil
+
+    scratch = tempfile.mkdtemp(prefix="dml-rtransport-")
+    try:
+        with ShardLogServerProcess(os.path.join(scratch, "broker")) as srv:
+            backend = RemoteShardLog(srv.base_url)
+            transport = RecordStreamTransport(srv.base_url, backend=backend)
+            locator = transport.create_stream(
+                "events", n_shards=_RTRANSPORT_N_SHARDS
+            )
+            sink = os.path.join(scratch, "sink")
+            ckpt = os.path.join(scratch, "ckpt")
+
+            def produce(lo: int, hi: int) -> None:
+                for r in rows:
+                    if lo <= r.event_id < hi:
+                        transport.put_record(
+                            "events",
+                            str(r.user_id),
+                            f"{r.event_id},{r.user_id},{r.event_type},{r.value:.6f}",
+                        )
+
+            def drain() -> None:
+                q = (
+                    spark.readStream.format("record_feed")
+                    .schema(RECORD_FEED_SCHEMA)
+                    .option("path", locator)
+                    .load()
+                    .writeStream.format("parquet")
+                    .option("path", sink)
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                if not q.awaitTermination(300):
+                    q.stop()
+                    raise RuntimeError(
+                        "remote transport drain did not finish within 300 s"
+                    )
+
+            produce(0, _RTRANSPORT_SPLIT_ID)
+            drain()
+            produce(_RTRANSPORT_SPLIT_ID, _RTRANSPORT_MAX_ID)
+            drain()  # same checkpoint: only the second round's bytes
+
+            f = F.split(F.col("data"), ",")
+            parsed = spark.read.parquet(sink).select(
+                "shard_id",
+                "seq",
+                f.getItem(0).cast("long").alias("event_id"),
+                f.getItem(1).cast("long").alias("user_id"),
+                f.getItem(2).alias("event_type"),
+                f.getItem(3).cast("decimal(18,6)").alias("value"),
+            )
+            w = Window.partitionBy("shard_id").orderBy("seq")
+            out = (
+                parsed.withColumn("prev_id", F.lag("event_id").over(w))
+                .withColumn(
+                    "run",
+                    F.when(F.col("event_id") < _RTRANSPORT_SPLIT_ID, 1)
+                    .otherwise(2)
+                    .cast("int"),
+                )
+                .groupBy("run", "shard_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n_records"),
+                    F.countDistinct("user_id").alias("n_users"),
+                    F.sum("value").cast("double").alias("total_value"),
+                    F.max("seq").alias("max_seq"),
+                    F.sum(
+                        F.when(F.col("prev_id") > F.col("event_id"), 1).otherwise(0)
+                    )
+                    .cast("long")
+                    .alias("order_violations"),
+                )
+            )
+            collected = out.collect()
+            return spark.createDataFrame(collected, schema=out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # Streaming EWMA replay, driver-checked: the exact (untruncated)
 # per-user EWMA recursion folded across micro-batches under the
 # ts-ordered delivery contract, final state assembled by the same

@@ -440,6 +440,24 @@ class _MemShardAppender(ShardAppender):
         return bytes(buf[start : end + 1])
 
 
+def backend_for_locator(path: str) -> "ShardLogBackend":
+    """Resolve a stream locator to its backend: ``http(s)://…`` locators
+    come from :class:`~.shardlog_remote.RemoteShardLog.ensure_stream`
+    (a broker-shaped server), anything else is a local-FS stream dir.
+    Used by the ``record_feed`` reader, whose instances are pickled into
+    separate worker processes — both backends carry only plain strings."""
+    if path.startswith("http://") or path.startswith("https://"):
+        import urllib.parse
+
+        from deathmetal_datalake_spark.streaming.shardlog_remote import (
+            RemoteShardLog,
+        )
+
+        parsed = urllib.parse.urlparse(path)
+        return RemoteShardLog(f"{parsed.scheme}://{parsed.netloc}")
+    return LocalFSShardLog(os.path.dirname(path) or path)
+
+
 # ---------------------------------------------------------------------------
 # Producer SDK
 # ---------------------------------------------------------------------------
@@ -577,7 +595,7 @@ class RecordFeedStreamReader(DataSourceStreamReader):
         if not path:
             raise ValueError("record_feed requires .option('path', <stream dir>)")
         self._dir = path
-        self._backend = LocalFSShardLog(os.path.dirname(path) or path)
+        self._backend = backend_for_locator(path)
         self._n_shards = self._backend.n_shards(path)
         self._schema = schema
         # startingOffsets='group:<name>' — begin from a consumer
