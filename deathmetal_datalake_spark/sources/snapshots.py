@@ -2147,6 +2147,21 @@ class SnapshotTable:
 
     # ---- retention -------------------------------------------------------
 
+    def export_iceberg_metadata(self, branch: str = _MAIN) -> str:
+        """Write an Iceberg-v2-shaped metadata tree (metadata.json +
+        manifest lists + shared per-dir manifests, JSON-serialized) for
+        ``branch``'s lineage under ``metadata/`` so external engines can
+        mount the lake one-way — see
+        :mod:`deathmetal_datalake_spark.sources.iceberg_export` for the
+        layout and the documented Avro/bounds deviations. Read-only over
+        the native manifests; returns the new ``v<N>.metadata.json``
+        path."""
+        from deathmetal_datalake_spark.sources.iceberg_export import (
+            export_iceberg_metadata,
+        )
+
+        return export_iceberg_metadata(self, branch)
+
     def expire_snapshots(self, keep_last: int = 5, branch: str = _MAIN) -> list[int]:
         """Retention: delete manifests (and data dirs no live snapshot
         references) for snapshots OLDER than the last ``keep_last`` on

@@ -1,0 +1,147 @@
+"""Iceberg-metadata export: layout assertions over a real table.
+
+Builds a SnapshotTable with a hidden partition spec, an append, a
+row-level delete, and a tag, then asserts the exported tree walks like
+an Iceberg v2 table: metadata.json fields, preorder field-ids, the
+1000+ partition-field-id convention, per-snapshot manifest lists with
+monotonic sequence numbers, shared data manifests whose record counts
+sum to the table count, equality-delete manifests (content=2), and
+typed refs for branches and tags — the pyiceberg-style structural
+round-trip the export promises (no pyiceberg runtime needed; files are
+JSON by documented deviation, marked ``file-codec: json``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from deathmetal_datalake_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.set_partition_spec([("bucket[4]", "user_id")])
+    df = spark.range(100).select(
+        F.col("id").alias("user_id"),
+        (F.col("id") % 10).alias("grp"),
+        F.concat(F.lit("u"), F.col("id")).alias("name"),
+    )
+    t.write(df, mode="overwrite")
+    t.write(df.filter(F.col("user_id") < 10), mode="append")
+    t.delete_keys(df.filter(F.col("user_id").isin(3, 7)).select("user_id"), "user_id")
+    t.create_tag("v1")
+    return t
+
+
+def _load(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def test_export_layout_walks_like_iceberg(table):
+    meta_path = table.export_iceberg_metadata()
+    assert os.path.basename(meta_path).startswith("v")
+    meta = _load(meta_path)
+
+    # Top-level v2 metadata fields.
+    assert meta["format-version"] == 2
+    assert meta["current-snapshot-id"] == table.current_snapshot_id()
+    assert meta["last-sequence-number"] == len(meta["snapshots"])
+    assert meta["file-codec"] == "json"  # documented Avro deviation
+
+    # Schema: preorder field-ids, 1..last-column-id, names intact.
+    fields = meta["schemas"][0]["fields"]
+    assert [f["name"] for f in fields] == ["user_id", "grp", "name"]
+    assert [f["id"] for f in fields] == [1, 2, 3]
+    assert meta["last-column-id"] == 3
+    assert fields[0]["type"] == "long" and fields[2]["type"] == "string"
+
+    # Partition spec: iceberg transform vocabulary, field-ids from 1000,
+    # source-id resolves to the schema field.
+    spec = meta["partition-specs"][0]["fields"]
+    assert spec == [
+        {
+            "field-id": 1000,
+            "name": spec[0]["name"],
+            "transform": "bucket[4]",
+            "source-id": 1,
+        }
+    ]
+    assert meta["last-partition-id"] == 1000
+
+    # Snapshots: one per commit (overwrite, append, delete), sequence
+    # numbers monotonic from 1, operations mapped, lineage linked.
+    snaps = meta["snapshots"]
+    assert [s["sequence-number"] for s in snaps] == [1, 2, 3]
+    assert [s["summary"]["operation"] for s in snaps] == [
+        "overwrite",
+        "append",
+        "delete",
+    ]
+    for prev, cur in zip(snaps, snaps[1:]):
+        assert cur["parent-snapshot-id"] == prev["snapshot-id"]
+
+    # Refs: main branch + the tag, typed.
+    assert meta["refs"]["main"] == {
+        "snapshot-id": meta["current-snapshot-id"],
+        "type": "branch",
+    }
+    assert meta["refs"]["v1"]["type"] == "tag"
+
+    # snapshot-log mirrors the lineage timestamps.
+    assert [e["snapshot-id"] for e in meta["snapshot-log"]] == [
+        s["snapshot-id"] for s in snaps
+    ]
+
+
+def test_manifest_lists_and_manifests_resolve(table):
+    meta = _load(table.export_iceberg_metadata())
+    head = meta["snapshots"][-1]
+    ml = _load(head["manifest-list"])
+    assert ml["manifests"], "head manifest list is empty"
+
+    data_rows = 0
+    saw_delete = False
+    for m in ml["manifests"]:
+        mf = _load(m["manifest_path"])
+        assert m["manifest_length"] == os.path.getsize(m["manifest_path"])
+        assert m["sequence_number"] >= 1
+        for entry in mf["entries"]:
+            df = entry["data_file"]
+            assert os.path.exists(df["file_path"])  # every path resolves
+            assert df["file_format"] == "PARQUET"
+            assert df["bounds-encoding"] == "json"  # documented deviation
+            if df["content"] == 0:
+                data_rows += df["record_count"]
+                # Hidden-partition value recorded per file.
+                assert set(df["partition"]) == {"user_id_bucket4"} or df[
+                    "partition"
+                ], "partition values missing"
+                # Bounds keyed by FIELD-ID strings.
+                assert "1" in df["lower_bounds"]
+            elif df["content"] == 2:
+                saw_delete = True
+                assert df["equality_ids"] == [1]  # user_id's field id
+    assert saw_delete, "equality-delete manifest missing from head"
+    # Record counts in the manifests sum to the PRE-delete physical rows
+    # (100 overwrite + 10 append); the delete manifest is what external
+    # readers apply on top, exactly like Iceberg v2 merge-on-read.
+    assert data_rows == 110
+    # And the native reader agrees post-delete: 110 - 2*2 deleted keys.
+    assert table.read().count() == 106
+
+
+def test_reexport_bumps_version_and_is_stable(table):
+    p1 = table.export_iceberg_metadata()
+    p2 = table.export_iceberg_metadata()
+    v1 = int(os.path.basename(p1)[1:].split(".")[0])
+    v2 = int(os.path.basename(p2)[1:].split(".")[0])
+    assert v2 == v1 + 1
+    a, b = _load(p1), _load(p2)
+    assert a["table-uuid"] == b["table-uuid"]  # deterministic identity
+    assert a["snapshots"] == b["snapshots"]  # same lineage, same export
