@@ -1276,3 +1276,110 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("pair_type") == "pos") & (F.col("rank") <= _HN_POS_K))
         | ((F.col("pair_type") == "neg") & (F.col("rank") <= _HN_NEG_K))
     ).select("query_id", "pair_type", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+# embedding — cluster the corpus (the IVF coarse quantizer above),
+# then inside each cluster DROP every vector that has a lower-id
+# neighbor above the cosine threshold (the paper keeps one exemplar
+# per epsilon-ball; lowest vec_id is the deterministic exemplar rule,
+# matching dedup_cluster_canonical's min-id convention). Candidates
+# are cell-bounded — the pair scan is sum(cell^2) like the paper's
+# within-cluster pass, never corpus^2 — and the threshold test uses
+# ROUND(cosine, 6) so both engines make identical keep/drop calls.
+# Output: the DROPPED vectors with their cell, their exemplar witness
+# (the smallest qualifying lower id), witness count, and the max
+# cosine that condemned them — the audit table a curation pipeline
+# reviews before discarding data. The synthetic embeddings cap
+# within-label cosine at ~0.47, so the production-style 0.9+ threshold
+# would never fire; 0.35 exercises the full path at every SF.
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.35
+
+_SEMDEDUP_SQL = f"""
+WITH vecs AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+centroids AS (
+    SELECT vec_id AS cid, emb AS cemb FROM vecs WHERE vec_id % {_CENTROID_MOD} = {_CENTROID_REM} AND vec_id < {_CENTROID_CAP}
+),
+assigned AS (
+    SELECT vec_id, emb, cid FROM (
+        SELECT v.vec_id, v.emb, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {_IVF_COS.format(a='v.emb', b='c.cemb')} DESC, c.cid ASC
+               ) AS rn
+        FROM vecs v CROSS JOIN centroids c
+    ) WHERE rn = 1
+),
+pairs AS (
+    SELECT b.vec_id, b.cid, a.vec_id AS witness_id,
+           ROUND(list_dot_product(a.emb, b.emb) /
+                 (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))),
+                 6) AS cosine
+    FROM assigned a JOIN assigned b
+      ON a.cid = b.cid AND a.vec_id < b.vec_id
+)
+SELECT vec_id, cid,
+       MIN(witness_id) AS exemplar_id,
+       CAST(COUNT(*) AS BIGINT) AS n_witnesses,
+       MAX(cosine) AS max_cosine
+FROM pairs
+WHERE cosine >= {_SEMDEDUP_TAU}
+GROUP BY vec_id, cid
+"""
+
+
+@register("dedup_semdedup_ivf", oracle=_SEMDEDUP_SQL)
+def dedup_semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = spread(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", _as_double("embedding").alias("emb")
+        )
+    )
+    centroids = vecs.filter(
+        (F.col("vec_id") % _CENTROID_MOD == _CENTROID_REM) & (F.col("vec_id") < _CENTROID_CAP)
+    ).select(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
+    sim_to_centroid = F.round(
+        _dot(F.col("emb"), F.col("cemb"))
+        / (F.sqrt(_dot(F.col("emb"), F.col("emb"))) * F.sqrt(_dot(F.col("cemb"), F.col("cemb")))),
+        6,
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("centroid_sim"), F.asc("cid"))
+    # Skinny assignment ranking (the IVF convention in this module),
+    # embeddings re-attached by a narrow vec_id join.
+    assigned = (
+        vecs.crossJoin(broadcast(centroids))
+        .select("vec_id", "cid", sim_to_centroid.alias("centroid_sim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+        .join(vecs, "vec_id")
+    )
+    a = assigned.select(
+        F.col("cid").alias("a_cid"),
+        F.col("vec_id").alias("witness_id"),
+        F.col("emb").alias("a_emb"),
+    )
+    cosine = F.round(
+        _dot(F.col("a_emb"), F.col("emb"))
+        / (F.sqrt(_dot(F.col("a_emb"), F.col("a_emb"))) * F.sqrt(_dot(F.col("emb"), F.col("emb")))),
+        6,
+    )
+    pairs = (
+        assigned.join(
+            a,
+            (F.col("a_cid") == F.col("cid"))
+            & (F.col("witness_id") < F.col("vec_id")),
+        )
+        .select("vec_id", "cid", "witness_id", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= _SEMDEDUP_TAU)
+    )
+    return pairs.groupBy("vec_id", "cid").agg(
+        F.min("witness_id").alias("exemplar_id"),
+        F.count(F.lit(1)).cast("long").alias("n_witnesses"),
+        F.max("cosine").alias("max_cosine"),
+    )

@@ -97,6 +97,12 @@ class Snapshot:
     # spec TRANSFORM of a filter value against these — no stats harvest
     # needed, and the user never sees or writes the partition column.
     dir_partitions: dict = field(default_factory=dict)
+    # Column-registry epoch each data dir was written under (rename/
+    # drop schema evolution — see SnapshotTable.rename_column). A dir's
+    # files carry the PHYSICAL column names of their epoch; readers
+    # re-alias them to the current logical names by field-id. Missing
+    # entries (pre-registry dirs, legacy manifests) default to epoch 0.
+    dir_epochs: dict = field(default_factory=dict)
 
 
 class CommitConflict(RuntimeError):
@@ -116,6 +122,7 @@ def _snapshot_to_json(snap: Snapshot) -> dict:
         "dir_stats": snap.dir_stats,
         "file_stats": snap.file_stats,
         "dir_partitions": snap.dir_partitions,
+        "dir_epochs": snap.dir_epochs,
     }
 
 
@@ -940,6 +947,140 @@ class SnapshotTable:
         with open(self._bloom_cols_path) as f:
             return list(json.load(f).get("columns", []))
 
+    # ---- column registry: rename/drop schema evolution -------------------
+    #
+    # The Iceberg field-id mechanism: metadata/columns.json assigns every
+    # column a permanent integer id and records EPOCHS of id->physical-
+    # name mappings. A data dir's files carry the physical names of the
+    # epoch they were written under (stamped in the manifest as
+    # dir_epochs); read() re-aliases each epoch group to the CURRENT
+    # logical names by field id, so a rename is an O(1) metadata commit
+    # — no data rewrite — and a re-added name gets a FRESH id, which is
+    # exactly why dropped values never resurrect (reference behavior:
+    # flows_iceberg/bronze_iceberg.py relies on Iceberg for this).
+    # Without a registry (no rename/drop ever declared) every path is
+    # byte-identical to the legacy name-addressed behavior.
+
+    @property
+    def _columns_path(self) -> str:
+        return os.path.join(self._meta_dir, "columns.json")
+
+    def _read_column_registry(self) -> Optional[dict]:
+        if not os.path.exists(self._columns_path):
+            return None
+        with open(self._columns_path) as f:
+            return json.load(f)
+
+    def _write_column_registry(self, reg: dict) -> None:
+        tmp = self._columns_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(reg, f, indent=1)
+        os.replace(tmp, self._columns_path)
+
+    def _bootstrap_registry(self, branch: str = _MAIN) -> dict:
+        """First rename/drop on a table: derive epoch 0 from the head's
+        merged schema (ids 1..n in schema order). Pre-existing dirs have
+        no dir_epochs entry and default to epoch 0 — correct by
+        construction, because epoch 0 IS their physical naming."""
+        head = self.current_snapshot_id(branch)
+        if head is None:
+            raise LookupError(f"branch {branch!r} has no snapshots")
+        snap = self._load_snapshot(head)
+        cols = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*snap.data_dirs)
+            .columns
+        )
+        return {
+            "last_field_id": len(cols),
+            "epochs": [
+                {"columns": [{"id": i + 1, "name": c} for i, c in enumerate(cols)]}
+            ],
+        }
+
+    def current_columns(self) -> Optional[list[str]]:
+        """Current logical column names, or None when no registry exists
+        (then the schema is whatever the files say, as before)."""
+        reg = self._read_column_registry()
+        if reg is None:
+            return None
+        return [c["name"] for c in reg["epochs"][-1]["columns"]]
+
+    def _registry_epoch_for_write(self, df: DataFrame) -> Optional[int]:
+        """Epoch to stamp on dirs written from ``df`` — reconciling any
+        NEW columns into the current epoch with fresh field ids (the
+        add-column path once a registry exists). No registry: None."""
+        reg = self._read_column_registry()
+        if reg is None:
+            return None
+        with self._commit_lock():
+            reg = self._read_column_registry()  # re-read under the lock
+            cur = reg["epochs"][-1]
+            known = {c["name"] for c in cur["columns"]}
+            added = [c for c in df.columns if c not in known]
+            if added:
+                for name in added:
+                    reg["last_field_id"] += 1
+                    cur["columns"].append(
+                        {"id": reg["last_field_id"], "name": name}
+                    )
+                self._write_column_registry(reg)
+            return len(reg["epochs"]) - 1
+
+    def _guard_column_change(self, name: str, branch: str) -> None:
+        for ent in self.partition_spec():
+            if ent["source"] == name:
+                raise ValueError(
+                    f"column {name!r} is a partition-spec source; "
+                    "evolve the spec first (set_partition_spec)"
+                )
+        head = self.current_snapshot_id(branch)
+        if head is not None:
+            snap = self._load_snapshot(head)
+            if any(key == name for _, key, _ in snap.deletes):
+                raise ValueError(
+                    f"column {name!r} has outstanding delete vectors keyed "
+                    "on it; run fold_deletes() first"
+                )
+
+    def rename_column(self, old: str, new: str, branch: str = _MAIN) -> None:
+        """Rename a column — O(1) metadata, no data rewrite. Reads of
+        dirs written before the rename re-alias the old physical name to
+        ``new`` by field id; reads after see ``new`` everywhere. Writers
+        must produce ``new`` from now on (the old name would register as
+        a brand-new column, the Iceberg behavior)."""
+        self._guard_column_change(old, branch)
+        with self._commit_lock():
+            reg = self._read_column_registry() or self._bootstrap_registry(branch)
+            cur = reg["epochs"][-1]["columns"]
+            names = [c["name"] for c in cur]
+            if old not in names:
+                raise LookupError(f"no column {old!r} (have {names})")
+            if new in names:
+                raise ValueError(f"column {new!r} already exists")
+            nxt = [
+                {"id": c["id"], "name": new if c["name"] == old else c["name"]}
+                for c in cur
+            ]
+            reg["epochs"].append({"columns": nxt})
+            self._write_column_registry(reg)
+
+    def drop_column(self, name: str, branch: str = _MAIN) -> None:
+        """Drop a column — O(1) metadata. Old files keep the bytes, but
+        the field id leaves the current epoch, so readers exclude it
+        everywhere; a later re-add of the same NAME gets a fresh id and
+        old values do NOT resurrect (they surface as NULL)."""
+        self._guard_column_change(name, branch)
+        with self._commit_lock():
+            reg = self._read_column_registry() or self._bootstrap_registry(branch)
+            cur = reg["epochs"][-1]["columns"]
+            if name not in [c["name"] for c in cur]:
+                raise LookupError(f"no column {name!r}")
+            reg["epochs"].append(
+                {"columns": [c for c in cur if c["name"] != name]}
+            )
+            self._write_column_registry(reg)
+
     def set_partition_spec(self, spec: list[tuple[str, str]]) -> None:
         """Declare hidden partitioning as ``[(transform, source_col),
         ...]`` with transforms ``identity | year | month | day |
@@ -1129,6 +1270,7 @@ class SnapshotTable:
             dir_stats=d.get("dir_stats", {}),
             file_stats=d.get("file_stats", {}),
             dir_partitions=d.get("dir_partitions", {}),
+            dir_epochs=d.get("dir_epochs", {}),
         )
 
     @property
@@ -1287,6 +1429,10 @@ class SnapshotTable:
         new_dirs, new_partitions, new_dir_stats, new_file_stats = (
             self._write_data_dirs(df, "snap")
         )
+        write_epoch = self._registry_epoch_for_write(df)
+        new_epochs = (
+            {d: write_epoch for d in new_dirs} if write_epoch is not None else {}
+        )
         with self._commit_lock():
             refs = self._read_refs()
             parent_id = refs.get(branch)
@@ -1304,11 +1450,13 @@ class SnapshotTable:
                 dir_stats = {**parent.dir_stats, **new_dir_stats}
                 file_stats = {**parent.file_stats, **new_file_stats}
                 dir_partitions = {**parent.dir_partitions, **new_partitions}
+                dir_epochs = {**parent.dir_epochs, **new_epochs}
             else:
                 data_dirs = tuple(new_dirs)
                 dir_stats = new_dir_stats
                 file_stats = new_file_stats
                 dir_partitions = new_partitions
+                dir_epochs = new_epochs
             snap = Snapshot(
                 snapshot_id=snapshot_id,
                 parent_id=parent_id,
@@ -1319,6 +1467,7 @@ class SnapshotTable:
                 dir_stats=dir_stats,
                 file_stats=file_stats,
                 dir_partitions=dir_partitions,
+                dir_epochs=dir_epochs,
             )
             # 'x' mode: if id allocation ever raced (it cannot, under the
             # lock), fail loudly rather than overwrite a manifest.
@@ -1378,6 +1527,7 @@ class SnapshotTable:
                 dir_stats=parent.dir_stats,
                 file_stats=parent.file_stats,
                 dir_partitions=parent.dir_partitions,
+                dir_epochs=parent.dir_epochs,
             )
             with open(self._snap_path(snapshot_id), "x") as f:
                 json.dump(_snapshot_to_json(snap), f, indent=1)
@@ -1460,6 +1610,10 @@ class SnapshotTable:
         new_dirs, new_parts, new_dir_stats, new_file_stats_map = (
             self._write_data_dirs(folded, "fold")
         )
+        fold_epoch = self._registry_epoch_for_write(folded)
+        fold_epochs = (
+            {d: fold_epoch for d in new_dirs} if fold_epoch is not None else {}
+        )
         with self._commit_lock():
             refs = self._read_refs()
             parent_id = refs.get(branch)
@@ -1499,6 +1653,14 @@ class SnapshotTable:
                         if d in snap.dir_partitions
                     },
                     **new_parts,
+                },
+                dir_epochs={
+                    **{
+                        d: snap.dir_epochs[d]
+                        for d in untouched
+                        if d in snap.dir_epochs
+                    },
+                    **fold_epochs,
                 },
             )
             with open(self._snap_path(snapshot_id), "x") as f:
@@ -1816,6 +1978,7 @@ class SnapshotTable:
                 dir_stats=snap.dir_stats,
                 file_stats=snap.file_stats,
                 dir_partitions=snap.dir_partitions,
+                dir_epochs=snap.dir_epochs,
             )
 
         # mergeSchema: appended files may carry ADDED columns (schema
@@ -1823,11 +1986,55 @@ class SnapshotTable:
         # NULLs for files written before the column existed — the
         # Iceberg add-column semantics. Parquet is name-addressed, so
         # old files never mis-bind to new columns.
-        def _read_dirs(dirs) -> DataFrame:
+        registry = self._read_column_registry()
+
+        def _read_raw(dirs) -> DataFrame:
             paths: list[str] = []
             for d in dirs:
                 paths.extend(scan_paths[d] if scan_paths else [d])
             return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+
+        def _read_dirs(dirs) -> DataFrame:
+            if registry is None:
+                return _read_raw(dirs)
+            # Rename/drop evolution: group dirs by write epoch, re-alias
+            # each group's PHYSICAL names to the current LOGICAL names by
+            # field id in ONE select (sequential renames could collide on
+            # swap chains), drop ids absent from the current epoch, then
+            # union by name — added columns NULL-extend, dropped values
+            # never resurface. Stats keyed under old physical names stop
+            # pruning for pre-rename dirs (conservative scan, still
+            # correct); compact() re-keys them under the current names.
+            from pyspark.sql import functions as F
+
+            epochs = registry["epochs"]
+            current_by_id = {
+                c["id"]: c["name"] for c in epochs[-1]["columns"]
+            }
+            groups: dict[int, list[str]] = {}
+            for d in dirs:
+                e = int(snap.dir_epochs.get(d, 0))
+                groups.setdefault(min(e, len(epochs) - 1), []).append(d)
+            parts: list[DataFrame] = []
+            for e, ds in sorted(groups.items()):
+                df = _read_raw(ds)
+                name_to_id = {
+                    c["name"]: c["id"] for c in epochs[e]["columns"]
+                }
+                sel = []
+                for col in df.columns:
+                    fid = name_to_id.get(col)
+                    if fid is None:
+                        sel.append(F.col(col))  # unregistered/legacy
+                    elif fid not in current_by_id:
+                        continue  # dropped field id
+                    else:
+                        sel.append(F.col(col).alias(current_by_id[fid]))
+                parts.append(df.select(*sel))
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p, allowMissingColumns=True)
+            return out
 
         if not snap.deletes:
             out = _read_dirs(snap.data_dirs)

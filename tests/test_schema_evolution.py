@@ -1,0 +1,116 @@
+"""Rename/drop schema evolution via the field-id column registry.
+
+Iceberg's mechanism (field ids in metadata, physical names per write
+epoch, readers re-alias): rename is O(1) metadata with old dirs
+re-aliased at read time; drop removes the id everywhere; re-adding a
+dropped name mints a FRESH id so old values never resurrect. Guards:
+partition-spec sources and outstanding delete-vector keys refuse
+rename/drop. A table that never evolves has no registry and reads
+byte-identically to before.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    from deathmetal_datalake_spark.sources.snapshots import SnapshotTable
+
+    return SnapshotTable(spark, str(tmp_path / "tbl"))
+
+
+def _df(spark, lo, hi, value_col="amount"):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias(value_col)
+    )
+
+
+def test_rename_realiases_old_dirs_and_reads_new(table, spark):
+    table.write(_df(spark, 0, 50), mode="overwrite")
+    table.rename_column("amount", "amount_usd")
+    table.write(_df(spark, 50, 80, "amount_usd"), mode="append")
+
+    out = table.read()
+    assert sorted(out.columns) == ["amount_usd", "k"]
+    rows = {r.k: r.amount_usd for r in out.collect()}
+    assert len(rows) == 80
+    assert rows[7] == 70 and rows[60] == 600  # old + new dirs both aliased
+
+    # Filters bind to the logical name across epochs.
+    assert table.read(filters=[("amount_usd", ">=", 700)]).count() == 10
+
+
+def test_rename_chain_and_swap_do_not_collide(table, spark):
+    # a->b while a column literally named b exists in the old files:
+    # the one-select re-alias must not collide mid-rename.
+    df = spark.range(10).select(
+        F.col("id").alias("a"), (F.col("id") + 100).alias("b")
+    )
+    table.write(df, mode="overwrite")
+    table.rename_column("b", "c")
+    table.rename_column("a", "b")
+    out = table.read()
+    assert sorted(out.columns) == ["b", "c"]
+    r = {row.b: row.c for row in out.collect()}
+    assert r[3] == 103  # b carries old a's values, c carries old b's
+
+
+def test_drop_then_readd_gets_fresh_id_no_resurrection(table, spark):
+    table.write(_df(spark, 0, 20), mode="overwrite")
+    table.drop_column("amount")
+    assert table.read().columns == ["k"]
+
+    # Re-add the NAME via an append: fresh field id — old bytes stay
+    # invisible, old rows surface NULL (Iceberg no-resurrection).
+    table.write(_df(spark, 20, 30), mode="append")
+    out = table.read()
+    assert sorted(out.columns) == ["amount", "k"]
+    vals = {r.k: r.amount for r in out.collect()}
+    assert vals[5] is None  # pre-drop row did NOT resurrect its value
+    assert vals[25] == 250
+
+
+def test_time_travel_renders_current_schema(table, spark):
+    s1 = table.write(_df(spark, 0, 10), mode="overwrite")
+    table.rename_column("amount", "amt")
+    old = table.read(snapshot_id=s1.snapshot_id)
+    # Chosen semantics (documented): reads render under the CURRENT
+    # logical schema regardless of snapshot — same data, new name.
+    assert sorted(old.columns) == ["amt", "k"]
+    assert old.count() == 10
+
+
+def test_guards_spec_source_and_delete_keys(table, spark):
+    table.set_partition_spec([("bucket[2]", "k")])
+    table.write(_df(spark, 0, 30), mode="overwrite")
+    with pytest.raises(ValueError, match="partition-spec source"):
+        table.rename_column("k", "key")
+
+    table.delete_keys(_df(spark, 0, 2).select("amount"), "amount")
+    with pytest.raises(ValueError, match="outstanding delete vectors"):
+        table.rename_column("amount", "amount_usd")
+    table.fold_deletes()
+    table.rename_column("amount", "amount_usd")  # folds cleared the guard
+    assert sorted(table.read().columns) == ["amount_usd", "k"]
+
+
+def test_maintenance_rewrites_under_current_names(table, spark):
+    table.write(_df(spark, 0, 40), mode="overwrite")
+    table.rename_column("amount", "amt")
+    table.write(_df(spark, 40, 60, "amt"), mode="append")
+    table.compact(target_files=2)
+    out = table.read()
+    assert sorted(out.columns) == ["amt", "k"]
+    assert out.count() == 60
+    # Post-compaction stats are keyed under the CURRENT name again, so
+    # manifest pruning works for the renamed column.
+    assert table.read(filters=[("amt", ">=", 590)]).count() == 1
+
+
+def test_no_registry_means_legacy_behavior(table, spark):
+    table.write(_df(spark, 0, 10), mode="overwrite")
+    assert table.current_columns() is None  # no registry until evolution
+    assert sorted(table.read().columns) == ["amount", "k"]
