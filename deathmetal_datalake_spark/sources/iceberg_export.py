@@ -102,12 +102,20 @@ def _arrow_to_iceberg_type(t, next_id) -> object:
     raise ValueError(f"cannot map arrow type {t} to an Iceberg type")
 
 
-def _schema_from_parquet(path: str) -> tuple[dict, dict[str, int], int]:
-    """(iceberg schema dict, top-level name->field-id, last-column-id)."""
+def _schema_from_parquet(
+    path: str, preassigned: Optional[dict[str, int]] = None
+) -> tuple[dict, dict[str, int], int]:
+    """(iceberg schema dict, top-level name->field-id, last-column-id).
+
+    ``preassigned`` — the table's column registry (rename/drop schema
+    evolution): its permanent field ids take precedence for top-level
+    columns, and fresh ids (nested element/struct fields, unregistered
+    columns) are minted ABOVE its last id so the two series never
+    collide."""
     import pyarrow.parquet as pq
 
     arrow = pq.read_schema(path)
-    counter = {"v": 0}
+    counter = {"v": max(preassigned.values(), default=0) if preassigned else 0}
 
     def next_id() -> int:
         counter["v"] += 1
@@ -115,7 +123,7 @@ def _schema_from_parquet(path: str) -> tuple[dict, dict[str, int], int]:
 
     fields, name_to_id = [], {}
     for f in arrow:
-        fid = next_id()
+        fid = (preassigned or {}).get(f.name) or next_id()
         name_to_id[f.name] = fid
         fields.append(
             {
@@ -193,7 +201,17 @@ def export_iceberg_metadata(table, branch: str = "main") -> str:
             break
     if sample is None:
         raise ValueError("no parquet files in the head snapshot")
-    schema, name_to_id, last_column_id = _schema_from_parquet(sample)
+    registry = (
+        table._read_column_registry()
+        if hasattr(table, "_read_column_registry")
+        else None
+    )
+    preassigned = (
+        {c["name"]: c["id"] for c in registry["epochs"][-1]["columns"]}
+        if registry
+        else None
+    )
+    schema, name_to_id, last_column_id = _schema_from_parquet(sample, preassigned)
 
     # Partition spec (field-ids from 1000, Iceberg's convention).
     spec_fields = []

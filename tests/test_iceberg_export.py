@@ -136,6 +136,31 @@ def test_manifest_lists_and_manifests_resolve(table):
     assert table.read().count() == 106
 
 
+def test_export_uses_registry_field_ids_after_rename(spark, tmp_path):
+    # Rename evolution: the exported schema shows the NEW name under the
+    # ORIGINAL field id (Iceberg's id permanence), not a re-numbered one.
+    from pyspark.sql import functions as F
+
+    from deathmetal_datalake_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl2"))
+    df = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.write(df, mode="overwrite")
+    t.rename_column("v", "value")
+    t.write(
+        spark.range(10, 15).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("value")
+        ),
+        mode="append",
+    )
+    meta = _load(t.export_iceberg_metadata())
+    fields = {f["name"]: f["id"] for f in meta["schemas"][0]["fields"]}
+    assert fields == {"k": 1, "value": 2}  # renamed, id preserved
+    assert meta["last-column-id"] == 2
+
+
 def test_reexport_bumps_version_and_is_stable(table):
     p1 = table.export_iceberg_metadata()
     p2 = table.export_iceberg_metadata()
