@@ -113,11 +113,19 @@ BENCH_QUERIES = [
     # round 4 (cont.): corpus-gate operators + schema evolution
     "dedup_bloom_prefilter",
     "text_bpe_merge_step",
+    # round 5: semantic dedup over embeddings (IVF-cell SemDeDup)
+    "dedup_semdedup_ivf",
     # NOT here: catalog_bloom_point_lookup — its runtime is ~80%
     # deliberate 7-write table construction + opt-in bloom harvest
     # (write-side costs the catalog family already represents via
     # catalog_stats_pruned_scan); its two-scale profile is recorded in
     # docs/SCALING.md instead, and CORRECTNESS covers it every round.
+    # NOT here: streaming_remote_transport_replay — per-record HTTP
+    # round-trips to a subprocess broker dominate (protocol-bound by
+    # design, like its local twin streaming_transport_replay at ~6 s,
+    # which IS benched); CORRECTNESS covers it every round.
+    # NOT here: catalog_rename_evolution_read — runtime is deliberate
+    # multi-write table construction like bloom_point_lookup.
 ]
 
 # Queries whose full result is large; drain with a hash aggregate

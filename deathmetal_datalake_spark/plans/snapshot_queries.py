@@ -1275,3 +1275,87 @@ def catalog_tag_pinned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = out.collect()
         return spark.createDataFrame(rows, schema=out.schema)
+
+
+# ---------------------------------------------------------------------------
+# RENAME/DROP schema evolution, driver-checked: the field-id registry
+# (sources/snapshots.rename_column — the Iceberg mechanism the
+# reference's flows_iceberg tables rely on) exercised end-to-end.
+# Phase 1: write v1 under the old name, rename, append v2 under the
+# new name → the read must unify BOTH epochs under the new name with
+# no value loss (the old dirs are re-aliased by field id at read
+# time, no rewrite). Phase 2: drop the column, then re-ADD the same
+# NAME in a later append → the re-added name carries a FRESH field id,
+# so pre-drop values must NOT resurrect: only the re-append's rows may
+# be non-NULL. The oracle recomputes both phases from the orders
+# table; exact equality pins the alias mapping, the NULL-extension,
+# and the no-resurrection rule bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_RENAME_EVOLVE_SQL = f"""
+WITH f AS (
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+),
+o AS (
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+),
+p AS (
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'P'
+)
+SELECT CAST(1 AS BIGINT) AS phase,
+       COUNT(*) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_with_value,
+       {sql_dsum('o_totalprice', 'total_value')}
+FROM (SELECT * FROM f UNION ALL SELECT * FROM o)
+UNION ALL
+SELECT CAST(2 AS BIGINT),
+       (SELECT COUNT(*) FROM f) + (SELECT COUNT(*) FROM o) + (SELECT COUNT(*) FROM p),
+       CAST(COUNT(*) AS BIGINT),
+       {sql_dsum('o_totalprice', 'total_value')}
+FROM p
+"""
+
+
+@register("catalog_rename_evolution_read", oracle=_RENAME_EVOLVE_SQL)
+def catalog_rename_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = session_cache(spread(load_table(spark, sf_dir, "orders")))
+    with tempfile.TemporaryDirectory(prefix="dml-snapq-") as d:
+        tbl = SnapshotTable(spark, os.path.join(d, "orders_renaming"))
+        tbl.write(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", F.col("o_totalprice").alias("price")
+            ),
+            "overwrite",
+        )
+        tbl.rename_column("price", "total_price")
+        tbl.write(
+            orders.filter(F.col("o_orderstatus") == "O").select(
+                "o_orderkey", F.col("o_totalprice").alias("total_price")
+            ),
+            "append",
+        )
+        merged = tbl.read()
+        phase1 = merged.agg(
+            F.lit(1).cast("long").alias("phase"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("total_price").cast("long").alias("n_with_value"),
+            dsum("total_price", "total_value"),
+        )
+        p1_rows = phase1.collect()
+
+        tbl.drop_column("total_price")
+        tbl.write(
+            orders.filter(F.col("o_orderstatus") == "P").select(
+                "o_orderkey", F.col("o_totalprice").alias("total_price")
+            ),
+            "append",
+        )
+        readd = tbl.read()
+        phase2 = readd.agg(
+            F.lit(2).cast("long").alias("phase"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("total_price").cast("long").alias("n_with_value"),
+            dsum("total_price", "total_value"),
+        )
+        rows = p1_rows + phase2.collect()
+        return spark.createDataFrame(rows, schema=phase2.schema)

@@ -1896,6 +1896,59 @@ class SnapshotTable:
                 pruned.append(d)
         return kept, pruned
 
+    def _read_dirs_evolved(
+        self, snap: Snapshot, dirs, paths_for=None
+    ) -> DataFrame:
+        """mergeSchema read of ``dirs`` with rename/drop evolution
+        applied: group dirs by write epoch, re-alias each group's
+        PHYSICAL names to the current LOGICAL names by field id in ONE
+        select (sequential renames could collide on swap chains), drop
+        ids absent from the current epoch, then union by name — added
+        columns NULL-extend, dropped values never resurface. Shared by
+        read() (with per-dir pruned file lists via ``paths_for``) and
+        the incremental feeds (read_appends / read_changes inserts).
+        Stats keyed under old physical names stop pruning for
+        pre-rename dirs (conservative scan, still correct); compact()
+        re-keys them under the current names. No registry: one plain
+        merged read, byte-identical to the legacy behavior."""
+        paths_for = paths_for or (lambda d: [d])
+
+        def _read_raw(ds) -> DataFrame:
+            paths: list[str] = []
+            for d in ds:
+                paths.extend(paths_for(d))
+            return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+
+        registry = self._read_column_registry()
+        if registry is None:
+            return _read_raw(dirs)
+        from pyspark.sql import functions as F
+
+        epochs = registry["epochs"]
+        current_by_id = {c["id"]: c["name"] for c in epochs[-1]["columns"]}
+        groups: dict[int, list[str]] = {}
+        for d in dirs:
+            e = int(snap.dir_epochs.get(d, 0))
+            groups.setdefault(min(e, len(epochs) - 1), []).append(d)
+        parts: list[DataFrame] = []
+        for e, ds in sorted(groups.items()):
+            df = _read_raw(ds)
+            name_to_id = {c["name"]: c["id"] for c in epochs[e]["columns"]}
+            sel = []
+            for col in df.columns:
+                fid = name_to_id.get(col)
+                if fid is None:
+                    sel.append(F.col(col))  # unregistered/legacy
+                elif fid not in current_by_id:
+                    continue  # dropped field id
+                else:
+                    sel.append(F.col(col).alias(current_by_id[fid]))
+            parts.append(df.select(*sel))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
+
     def read(
         self,
         branch: str = _MAIN,
@@ -1986,55 +2039,12 @@ class SnapshotTable:
         # NULLs for files written before the column existed — the
         # Iceberg add-column semantics. Parquet is name-addressed, so
         # old files never mis-bind to new columns.
-        registry = self._read_column_registry()
-
-        def _read_raw(dirs) -> DataFrame:
-            paths: list[str] = []
-            for d in dirs:
-                paths.extend(scan_paths[d] if scan_paths else [d])
-            return self.spark.read.option("mergeSchema", "true").parquet(*paths)
-
         def _read_dirs(dirs) -> DataFrame:
-            if registry is None:
-                return _read_raw(dirs)
-            # Rename/drop evolution: group dirs by write epoch, re-alias
-            # each group's PHYSICAL names to the current LOGICAL names by
-            # field id in ONE select (sequential renames could collide on
-            # swap chains), drop ids absent from the current epoch, then
-            # union by name — added columns NULL-extend, dropped values
-            # never resurface. Stats keyed under old physical names stop
-            # pruning for pre-rename dirs (conservative scan, still
-            # correct); compact() re-keys them under the current names.
-            from pyspark.sql import functions as F
-
-            epochs = registry["epochs"]
-            current_by_id = {
-                c["id"]: c["name"] for c in epochs[-1]["columns"]
-            }
-            groups: dict[int, list[str]] = {}
-            for d in dirs:
-                e = int(snap.dir_epochs.get(d, 0))
-                groups.setdefault(min(e, len(epochs) - 1), []).append(d)
-            parts: list[DataFrame] = []
-            for e, ds in sorted(groups.items()):
-                df = _read_raw(ds)
-                name_to_id = {
-                    c["name"]: c["id"] for c in epochs[e]["columns"]
-                }
-                sel = []
-                for col in df.columns:
-                    fid = name_to_id.get(col)
-                    if fid is None:
-                        sel.append(F.col(col))  # unregistered/legacy
-                    elif fid not in current_by_id:
-                        continue  # dropped field id
-                    else:
-                        sel.append(F.col(col).alias(current_by_id[fid]))
-                parts.append(df.select(*sel))
-            out = parts[0]
-            for p in parts[1:]:
-                out = out.unionByName(p, allowMissingColumns=True)
-            return out
+            return self._read_dirs_evolved(
+                snap,
+                dirs,
+                paths_for=lambda d: scan_paths[d] if scan_paths else [d],
+            )
 
         if not snap.deletes:
             out = _read_dirs(snap.data_dirs)
@@ -2251,10 +2261,11 @@ class SnapshotTable:
             self._load_snapshot(since_snapshot_id).data_dirs
         )
         new_dirs = [d for d in newer[-1].data_dirs if d not in anchor_dirs]
-        # mergeSchema, same as read(): appends may have ADDED columns,
-        # and the incremental feed must surface the same union schema
-        # the head read does.
-        return self.spark.read.option("mergeSchema", "true").parquet(*new_dirs)
+        # Same evolution-aware merged read as read(): appends may have
+        # ADDED columns, and dirs may span rename/drop epochs — the
+        # incremental feed must surface the same union schema under the
+        # same logical names the head read does.
+        return self._read_dirs_evolved(newer[-1], new_dirs)
 
     def read_changes(
         self, since_snapshot_id: int, branch: str = _MAIN
@@ -2300,9 +2311,7 @@ class SnapshotTable:
             if snap.mode == "append":
                 new_dirs = [d for d in snap.data_dirs if d not in prev_dirs]
                 if new_dirs:
-                    df = self.spark.read.option("mergeSchema", "true").parquet(
-                        *new_dirs
-                    )
+                    df = self._read_dirs_evolved(snap, new_dirs)
                     for f in schema.fields:
                         if f.name not in df.columns:
                             df = df.withColumn(

@@ -114,3 +114,22 @@ def test_no_registry_means_legacy_behavior(table, spark):
     table.write(_df(spark, 0, 10), mode="overwrite")
     assert table.current_columns() is None  # no registry until evolution
     assert sorted(table.read().columns) == ["amount", "k"]
+
+
+def test_incremental_feeds_rename_aware(table, spark):
+    # read_appends / read_changes must render the CURRENT logical names
+    # even when the delta spans a rename epoch.
+    s1 = table.write(_df(spark, 0, 10), mode="overwrite")
+    table.write(_df(spark, 10, 20), mode="append")
+    table.rename_column("amount", "amt")
+    table.write(_df(spark, 20, 30, "amt"), mode="append")
+
+    inc = table.read_appends(s1.snapshot_id)
+    assert sorted(inc.columns) == ["amt", "k"]
+    vals = {r.k: r.amt for r in inc.collect()}
+    assert len(vals) == 20  # both post-anchor appends, none of the base
+    assert vals[15] == 150 and vals[25] == 250  # pre- and post-rename dirs
+
+    changes = table.read_changes(s1.snapshot_id)
+    assert "amt" in changes.columns and "amount" not in changes.columns
+    assert changes.filter(changes._change_type == "insert").count() == 20
