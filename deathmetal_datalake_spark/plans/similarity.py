@@ -1294,9 +1294,18 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reviews before discarding data. The synthetic embeddings cap
 # within-label cosine at ~0.47, so the production-style 0.9+ threshold
 # would never fire; 0.35 exercises the full path at every SF.
+#
+# CANDIDATE BUDGET (the _BAND_ANCHORS / _auto_max_df house pattern,
+# mirrored in the oracle): a witness must be one of its cell's
+# _SEMDEDUP_ANCHORS smallest vec_ids. All-pairs within a cell is
+# sum(cell^2) — with the audit's FIXED cell count that is O(n^2/16)
+# and measured x17 at 10x data; the anchor shortlist bounds it at
+# O(anchors * n), and matches the paper's practice of comparing
+# against cluster exemplars rather than every member.
 # ---------------------------------------------------------------------------
 
 _SEMDEDUP_TAU = 0.35
+_SEMDEDUP_ANCHORS = 16
 
 _SEMDEDUP_SQL = f"""
 WITH vecs AS (
@@ -1315,12 +1324,19 @@ assigned AS (
         FROM vecs v CROSS JOIN centroids c
     ) WHERE rn = 1
 ),
+anchors AS (
+    SELECT vec_id, cid, emb FROM (
+        SELECT vec_id, cid, emb,
+               ROW_NUMBER() OVER (PARTITION BY cid ORDER BY vec_id) AS arn
+        FROM assigned
+    ) WHERE arn <= {_SEMDEDUP_ANCHORS}
+),
 pairs AS (
     SELECT b.vec_id, b.cid, a.vec_id AS witness_id,
            ROUND(list_dot_product(a.emb, b.emb) /
                  (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))),
                  6) AS cosine
-    FROM assigned a JOIN assigned b
+    FROM anchors a JOIN assigned b
       ON a.cid = b.cid AND a.vec_id < b.vec_id
 )
 SELECT vec_id, cid,
@@ -1359,10 +1375,15 @@ def dedup_semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cid")
         .join(vecs, "vec_id")
     )
-    a = assigned.select(
-        F.col("cid").alias("a_cid"),
-        F.col("vec_id").alias("witness_id"),
-        F.col("emb").alias("a_emb"),
+    w_anchor = Window.partitionBy("cid").orderBy("vec_id")
+    a = (
+        assigned.withColumn("arn", F.row_number().over(w_anchor))
+        .filter(F.col("arn") <= _SEMDEDUP_ANCHORS)
+        .select(
+            F.col("cid").alias("a_cid"),
+            F.col("vec_id").alias("witness_id"),
+            F.col("emb").alias("a_emb"),
+        )
     )
     cosine = F.round(
         _dot(F.col("a_emb"), F.col("emb"))
