@@ -1738,17 +1738,21 @@ class SnapshotTable:
         spec_by_source = self._spec_by_source()
         kept: list[str] = []
         pruned: list[str] = []
+        scan_registry = self._read_column_registry()
         for d in snap.data_dirs:
             fs = snap.file_stats.get(d)
             all_paths = (
                 [os.path.join(d, rel) for rel in sorted(fs)] if fs else [d]
             )
+            efilters = self._filters_for_epoch(
+                scan_registry, filters, snap.dir_epochs.get(d, 0)
+            )
             if not _partitions_may_match(
                 spec_by_source, snap.dir_partitions.get(d), filters
-            ) or not _dir_may_match(snap.dir_stats.get(d), filters):
+            ) or not _dir_may_match(snap.dir_stats.get(d), efilters):
                 pruned.extend(all_paths)
                 continue
-            kept_here = self._dir_scan_paths(snap, d, filters)
+            kept_here = self._dir_scan_paths(snap, d, efilters)
             kept.extend(kept_here)
             pruned.extend(p for p in all_paths if p not in set(kept_here))
         return kept, pruned
@@ -1896,6 +1900,28 @@ class SnapshotTable:
                 pruned.append(d)
         return kept, pruned
 
+    def _filters_for_epoch(
+        self, registry: Optional[dict], filters, epoch: int
+    ):
+        """Remap logical filter column names to the PHYSICAL names a
+        dir of ``epoch`` was written under, so manifest-stats pruning
+        keeps working for pre-rename dirs (their stats are keyed by the
+        old names). A column whose field id did not exist in that epoch
+        keeps its logical name — the stats lookup then misses and the
+        schema-absent path applies (all values NULL there). No registry
+        or no filters: unchanged."""
+        if registry is None or not filters:
+            return filters
+        epochs = registry["epochs"]
+        cur_id_by_name = {c["name"]: c["id"] for c in epochs[-1]["columns"]}
+        e = min(int(epoch), len(epochs) - 1)
+        phys_by_id = {c["id"]: c["name"] for c in epochs[e]["columns"]}
+        out = []
+        for col, op, val in filters:
+            phys = phys_by_id.get(cur_id_by_name.get(col))
+            out.append((phys if phys is not None else col, op, val))
+        return out
+
     def _read_dirs_evolved(
         self, snap: Snapshot, dirs, paths_for=None
     ) -> DataFrame:
@@ -2002,15 +2028,22 @@ class SnapshotTable:
             # keeps skipping alive after compaction folds everything
             # into one sorted dir). A dir without file stats scans whole.
             spec_by_source = self._spec_by_source()
+            pruning_registry = self._read_column_registry()
             scan_paths = {}
             for d in snap.data_dirs:
+                # Filter names remap to the dir's write-epoch physical
+                # names so stats pruning survives renames (spec sources
+                # cannot be renamed, so partition pruning needs no map).
+                efilters = self._filters_for_epoch(
+                    pruning_registry, filters, snap.dir_epochs.get(d, 0)
+                )
                 if not _partitions_may_match(
                     spec_by_source, snap.dir_partitions.get(d), filters
                 ):
                     continue
-                if not _dir_may_match(snap.dir_stats.get(d), filters):
+                if not _dir_may_match(snap.dir_stats.get(d), efilters):
                     continue
-                scan_paths[d] = self._dir_scan_paths(snap, d, filters)
+                scan_paths[d] = self._dir_scan_paths(snap, d, efilters)
             kept = tuple(d for d in snap.data_dirs if scan_paths.get(d))
             if not kept:
                 # Schema still comes from the real files (a zero-file

@@ -133,3 +133,23 @@ def test_incremental_feeds_rename_aware(table, spark):
     changes = table.read_changes(s1.snapshot_id)
     assert "amt" in changes.columns and "amount" not in changes.columns
     assert changes.filter(changes._change_type == "insert").count() == 20
+
+
+def test_stats_pruning_survives_rename(table, spark):
+    # Two well-separated value ranges in separate dirs, then a rename:
+    # a filter on the NEW name must still PRUNE the pre-rename dir
+    # (its stats are keyed under the old physical name — the per-epoch
+    # filter remap makes them addressable again).
+    table.write(_df(spark, 0, 50), mode="overwrite")        # amount 0..490
+    table.rename_column("amount", "amt")
+    table.write(_df(spark, 1000, 1050, "amt"), mode="append")  # amt 10000..
+
+    kept, pruned = table.scan_files(filters=[("amt", ">=", 9000)])
+    assert kept and pruned  # old dir pruned, new dir kept
+    assert all("snap-" in p for p in kept)
+    # And the pruned read is still exactly correct.
+    assert table.read(filters=[("amt", ">=", 9000)]).count() == 50
+    # The reverse filter prunes the post-rename dir instead.
+    kept2, pruned2 = table.scan_files(filters=[("amt", "<=", 400)])
+    assert kept2 and pruned2
+    assert set(kept2).isdisjoint(kept)

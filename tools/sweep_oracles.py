@@ -15,6 +15,7 @@ vanilla-session compatibility is part of the driver contract.
 from __future__ import annotations
 
 import json
+import os
 import pathlib
 import sys
 import time
@@ -40,22 +41,31 @@ def main() -> int:
     )
     t0 = time.time()
     failed: list[tuple[str, dict]] = []
+    per_query: dict[str, dict] = {}
     for i, name in enumerate(names):
+        q0 = time.time()
         r = compare_query(spark, name, QUERIES[name], ORACLES.get(name), sf_dir)
         ok = r["match"] is True
+        per_query[name] = {"match": ok, "secs": round(time.time() - q0, 2)}
         if not ok:
             failed.append((name, r))
         print(f"{i + 1}/{len(names)} {name} {'OK' if ok else 'FAIL'}", flush=True)
-    print(
-        json.dumps(
-            {
-                "sf_dir": sf_dir,
-                "total": len(names),
-                "failed": [n for n, _ in failed],
-                "secs": round(time.time() - t0, 1),
-            }
-        )
-    )
+    record = {
+        "sf_dir": sf_dir,
+        "total": len(names),
+        "matched": len(names) - len(failed),
+        "failed": [n for n, _ in failed],
+        "secs": round(time.time() - t0, 1),
+        "queries": per_query,
+    }
+    print(json.dumps({k: v for k, v in record.items() if k != "queries"}))
+    out = os.environ.get("SPARK_GRAFT_SWEEP_OUT")
+    if out:
+        # Full per-query record (match + secs) for the committed
+        # round artifact (docs/SWEEP_r{N}.json).
+        with open(out, "w") as f:
+            json.dump(record, f, indent=1, sort_keys=True)
+        print(f"# record -> {out}", flush=True)
     for name, r in failed:
         print(name, str(r)[:500])
     return 1 if failed else 0
