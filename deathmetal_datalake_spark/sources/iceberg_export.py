@@ -440,7 +440,22 @@ def export_iceberg_metadata(table, branch: str = "main") -> str:
         "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
         "default-spec-id": 0,
         "last-partition-id": last_partition_id,
-        "sort-orders": [{"order-id": 0, "fields": []}],
+        "sort-orders": [
+            {
+                "order-id": 0,
+                "fields": [
+                    {
+                        "transform": "identity",
+                        "source-id": name_to_id.get(c, -1),
+                        "direction": "asc",
+                        "null-order": "nulls-first",
+                    }
+                    for c in (
+                        table.sort_order() if hasattr(table, "sort_order") else []
+                    )
+                ],
+            }
+        ],
         "default-sort-order-id": 0,
         "snapshots": snap_entries,
         "current-snapshot-id": head.snapshot_id,

@@ -1059,7 +1059,7 @@ class SnapshotTable:
             if new in names:
                 raise ValueError(f"column {new!r} already exists")
             nxt = [
-                {"id": c["id"], "name": new if c["name"] == old else c["name"]}
+                {**c, "name": new if c["name"] == old else c["name"]}
                 for c in cur
             ]
             reg["epochs"].append({"columns": nxt})
@@ -1079,6 +1079,76 @@ class SnapshotTable:
             reg["epochs"].append(
                 {"columns": [c for c in cur if c["name"] != name]}
             )
+            self._write_column_registry(reg)
+
+    # ---- sort order (Iceberg sort-order metadata analog) -----------------
+
+    @property
+    def _sort_order_path(self) -> str:
+        return os.path.join(self._meta_dir, "sort-order.json")
+
+    def set_sort_order(self, cols: list[str]) -> None:
+        """Declare the table's write sort order — the Iceberg
+        ``replaceSortOrder`` analog. Declarative only at write time
+        (appends need not be sorted), but ``compact()`` with no
+        explicit clustering uses it as the default rewrite layout, so
+        periodic maintenance converges the table to the declared order
+        and manifest/file stats line up with predicates on these
+        columns. Exported as Iceberg sort-orders metadata."""
+        tmp = self._sort_order_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"columns": list(cols)}, f)
+        os.replace(tmp, self._sort_order_path)
+
+    def sort_order(self) -> list[str]:
+        if not os.path.exists(self._sort_order_path):
+            return []
+        with open(self._sort_order_path) as f:
+            return list(json.load(f).get("columns", []))
+
+    _WIDENINGS = {"int": "long", "float": "double"}
+
+    def widen_column(self, name: str, to_type: str, branch: str = _MAIN) -> None:
+        """Type promotion — int→long or float→double (the Iceberg
+        allowed widenings), O(1) metadata. The current epoch records
+        the declared type; readers cast every epoch group to it, so
+        dirs written narrow and dirs written wide union cleanly (a
+        single mergeSchema read would refuse to merge int with long —
+        the epoch-group split is what makes this safe). Writers should
+        produce the wide type from now on; narrow appends still read
+        back wide. Narrowing or unrelated conversions are refused."""
+        if to_type not in self._WIDENINGS.values():
+            raise ValueError(
+                f"unsupported target type {to_type!r}; allowed: "
+                f"{sorted(set(self._WIDENINGS.values()))}"
+            )
+        head = self.current_snapshot_id(branch)
+        if head is None:
+            raise LookupError(f"branch {branch!r} has no snapshots")
+        cur_field = self.spark.read.option("mergeSchema", "true").parquet(
+            *self._load_snapshot(head).data_dirs
+        ).schema
+        by_name = {f.name: f.dataType.simpleString() for f in cur_field.fields}
+        with self._commit_lock():
+            reg = self._read_column_registry() or self._bootstrap_registry(branch)
+            cur = reg["epochs"][-1]["columns"]
+            names = [c["name"] for c in cur]
+            if name not in names:
+                raise LookupError(f"no column {name!r} (have {names})")
+            ent = next(c for c in cur if c["name"] == name)
+            cur_type = ent.get("type") or by_name.get(name)
+            if cur_type != to_type and self._WIDENINGS.get(cur_type) != to_type:
+                raise ValueError(
+                    f"cannot widen {name!r} from {cur_type!r} to {to_type!r}; "
+                    f"allowed promotions: {self._WIDENINGS}"
+                )
+            nxt = [
+                {k: v for k, v in c.items()} for c in cur
+            ]
+            for c in nxt:
+                if c["name"] == name:
+                    c["type"] = to_type
+            reg["epochs"].append({"columns": nxt})
             self._write_column_registry(reg)
 
     def set_partition_spec(self, spec: list[tuple[str, str]]) -> None:
@@ -1952,6 +2022,11 @@ class SnapshotTable:
 
         epochs = registry["epochs"]
         current_by_id = {c["id"]: c["name"] for c in epochs[-1]["columns"]}
+        # Declared widened types (int→long / float→double): every epoch
+        # group casts to them, so narrow and wide dirs union cleanly.
+        type_by_id = {
+            c["id"]: c["type"] for c in epochs[-1]["columns"] if c.get("type")
+        }
         groups: dict[int, list[str]] = {}
         for d in dirs:
             e = int(snap.dir_epochs.get(d, 0))
@@ -1968,7 +2043,10 @@ class SnapshotTable:
                 elif fid not in current_by_id:
                     continue  # dropped field id
                 else:
-                    sel.append(F.col(col).alias(current_by_id[fid]))
+                    expr = F.col(col)
+                    if fid in type_by_id:
+                        expr = expr.cast(type_by_id[fid])
+                    sel.append(expr.alias(current_by_id[fid]))
             parts.append(df.select(*sel))
         out = parts[0]
         for p in parts[1:]:
@@ -2190,6 +2268,11 @@ class SnapshotTable:
         retries, it never wins over data."""
         if sort_by and zorder_by:
             raise ValueError("sort_by and zorder_by are exclusive")
+        if not sort_by and not zorder_by:
+            # Declared table sort order (set_sort_order) is the default
+            # maintenance layout — Iceberg's OPTIMIZE honoring the
+            # table's sort-order metadata.
+            sort_by = self.sort_order() or None
         head = self.current_snapshot_id(branch)
         current = self.read(branch=branch, snapshot_id=head)
         if zorder_by:

@@ -170,3 +170,35 @@ def test_reexport_bumps_version_and_is_stable(table):
     a, b = _load(p1), _load(p2)
     assert a["table-uuid"] == b["table-uuid"]  # deterministic identity
     assert a["snapshots"] == b["snapshots"]  # same lineage, same export
+
+
+def test_sort_order_declared_compacted_and_exported(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from deathmetal_datalake_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl3"))
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+    )
+    # Unsorted-ish writes, then a declared order: compact() with no
+    # explicit clustering must use it, giving each output file a narrow
+    # k-range (file stats line up with k predicates).
+    t.write(df.orderBy(F.rand(seed=7)), mode="overwrite")
+    t.set_sort_order(["k"])
+    assert t.sort_order() == ["k"]
+    t.compact(target_files=4)
+    kept, pruned = t.scan_files(filters=[("k", ">=", 900)])
+    assert pruned, "sorted compaction should let file stats prune"
+    assert t.read(filters=[("k", ">=", 900)]).count() == 100
+
+    meta = _load(t.export_iceberg_metadata())
+    so = meta["sort-orders"][0]
+    assert so["fields"] == [
+        {
+            "transform": "identity",
+            "source-id": 1,
+            "direction": "asc",
+            "null-order": "nulls-first",
+        }
+    ]

@@ -153,3 +153,57 @@ def test_stats_pruning_survives_rename(table, spark):
     kept2, pruned2 = table.scan_files(filters=[("amt", "<=", 400)])
     assert kept2 and pruned2
     assert set(kept2).isdisjoint(kept)
+
+
+def test_widen_int_to_long_across_epochs(table, spark):
+    # v1 dir written as INT; widen; v2 dir appends LONG values beyond
+    # the int range. A single mergeSchema read would refuse to merge
+    # int with bigint — the epoch-group cast is what unifies them.
+    table.write(
+        spark.range(10).select(
+            F.col("id").alias("k"), (F.col("id") * 10).cast("int").alias("qty")
+        ),
+        mode="overwrite",
+    )
+    table.widen_column("qty", "long")
+    table.write(
+        spark.range(10, 13).select(
+            F.col("id").alias("k"),
+            (F.col("id") + 4_000_000_000).cast("long").alias("qty"),
+        ),
+        mode="append",
+    )
+    out = table.read()
+    assert dict(out.dtypes)["qty"] == "bigint"
+    vals = {r.k: r.qty for r in out.collect()}
+    assert vals[3] == 30 and vals[12] == 4_000_000_012  # beyond int range
+    assert len(vals) == 13
+
+
+def test_widen_guards(table, spark):
+    table.write(
+        spark.range(5).select(
+            F.col("id").alias("k"), F.col("id").cast("double").alias("score")
+        ),
+        mode="overwrite",
+    )
+    with pytest.raises(ValueError, match="cannot widen"):
+        table.widen_column("k", "double")  # long -> double: not a promotion
+    with pytest.raises(ValueError, match="unsupported target"):
+        table.widen_column("score", "int")
+    table.widen_column("score", "double")  # no-op widen of an already-wide col
+    assert dict(table.read().dtypes)["score"] == "double"
+
+
+def test_widen_composes_with_rename(table, spark):
+    table.write(
+        spark.range(5).select(
+            F.col("id").alias("k"), (F.col("id") * 2).cast("int").alias("qty")
+        ),
+        mode="overwrite",
+    )
+    table.widen_column("qty", "long")
+    table.rename_column("qty", "quantity")
+    out = table.read()
+    assert dict(out.dtypes)["quantity"] == "bigint"
+    assert {r.k: r.quantity for r in out.collect()}[4] == 8
