@@ -1359,3 +1359,64 @@ def catalog_rename_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         rows = p1_rows + phase2.collect()
         return spark.createDataFrame(rows, schema=phase2.schema)
+
+
+# ---------------------------------------------------------------------------
+# TYPE-WIDENING evolution, driver-checked: write an INT column, widen
+# to LONG (sources/snapshots.widen_column — the Iceberg int→long
+# promotion), append values beyond the int range, read back unified.
+# The epoch-group cast is what makes this work: a single mergeSchema
+# read refuses to merge int with bigint, while the evolved read casts
+# each epoch to the declared type and unions — the oracle recomputes
+# both phases' aggregates from the orders table, so the unified sum
+# (which only fits in 64 bits) pins the promotion bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_WIDEN_OFFSET = 3_000_000_000  # beyond int32: forces real widening
+
+_WIDEN_EVOLVE_SQL = f"""
+WITH v1 AS (
+    SELECT o_orderkey, CAST(o_custkey AS INTEGER) AS qty
+    FROM orders WHERE o_orderstatus = 'F'
+),
+v2 AS (
+    SELECT o_orderkey, CAST(o_custkey + {_WIDEN_OFFSET} AS BIGINT) AS qty
+    FROM orders WHERE o_orderstatus = 'O'
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(qty) AS BIGINT) AS total_qty,
+       CAST(MIN(qty) AS BIGINT) AS min_qty,
+       CAST(MAX(qty) AS BIGINT) AS max_qty
+FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+"""
+
+
+@register("catalog_type_widening_read", oracle=_WIDEN_EVOLVE_SQL)
+def catalog_type_widening_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = session_cache(spread(load_table(spark, sf_dir, "orders")))
+    with tempfile.TemporaryDirectory(prefix="dml-snapq-") as d:
+        tbl = SnapshotTable(spark, os.path.join(d, "orders_widening"))
+        tbl.write(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", F.col("o_custkey").cast("int").alias("qty")
+            ),
+            "overwrite",
+        )
+        tbl.widen_column("qty", "long")
+        tbl.write(
+            orders.filter(F.col("o_orderstatus") == "O").select(
+                "o_orderkey",
+                (F.col("o_custkey") + F.lit(_WIDEN_OFFSET)).cast("long").alias("qty"),
+            ),
+            "append",
+        )
+        merged = tbl.read()
+        assert dict(merged.dtypes)["qty"] == "bigint", "widening did not apply"
+        out = merged.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("qty").cast("long").alias("total_qty"),
+            F.min("qty").cast("long").alias("min_qty"),
+            F.max("qty").cast("long").alias("max_qty"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)

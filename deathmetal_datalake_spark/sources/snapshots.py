@@ -42,6 +42,7 @@ import contextlib
 import datetime
 import json
 import os
+import re
 import random
 import time
 import uuid
@@ -1108,19 +1109,35 @@ class SnapshotTable:
 
     _WIDENINGS = {"int": "long", "float": "double"}
 
+    @staticmethod
+    def _decimal_parts(t: Optional[str]) -> Optional[tuple[int, int]]:
+        m = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", t or "")
+        return (int(m.group(1)), int(m.group(2))) if m else None
+
+    def _is_widening(self, cur: Optional[str], to: str) -> bool:
+        if cur == to or self._WIDENINGS.get(cur) == to:
+            return True
+        cd, td = self._decimal_parts(cur), self._decimal_parts(to)
+        # decimal(P,S) -> decimal(P',S) with P' > P: same scale, more
+        # precision — the third Iceberg-allowed promotion.
+        return bool(cd and td and cd[1] == td[1] and td[0] > cd[0])
+
     def widen_column(self, name: str, to_type: str, branch: str = _MAIN) -> None:
-        """Type promotion — int→long or float→double (the Iceberg
-        allowed widenings), O(1) metadata. The current epoch records
-        the declared type; readers cast every epoch group to it, so
-        dirs written narrow and dirs written wide union cleanly (a
-        single mergeSchema read would refuse to merge int with long —
-        the epoch-group split is what makes this safe). Writers should
+        """Type promotion — int→long, float→double, or
+        decimal(P,S)→decimal(P',S) with P'>P (the Iceberg allowed
+        widenings), O(1) metadata. The current epoch records the
+        declared type; readers cast every epoch group to it, so dirs
+        written narrow and dirs written wide union cleanly (a single
+        mergeSchema read would refuse to merge int with long — the
+        epoch-group split is what makes this safe). Writers should
         produce the wide type from now on; narrow appends still read
         back wide. Narrowing or unrelated conversions are refused."""
-        if to_type not in self._WIDENINGS.values():
+        if to_type not in self._WIDENINGS.values() and not self._decimal_parts(
+            to_type
+        ):
             raise ValueError(
                 f"unsupported target type {to_type!r}; allowed: "
-                f"{sorted(set(self._WIDENINGS.values()))}"
+                f"{sorted(set(self._WIDENINGS.values()))} or decimal(P,S)"
             )
         head = self.current_snapshot_id(branch)
         if head is None:
@@ -1137,10 +1154,10 @@ class SnapshotTable:
                 raise LookupError(f"no column {name!r} (have {names})")
             ent = next(c for c in cur if c["name"] == name)
             cur_type = ent.get("type") or by_name.get(name)
-            if cur_type != to_type and self._WIDENINGS.get(cur_type) != to_type:
+            if not self._is_widening(cur_type, to_type):
                 raise ValueError(
                     f"cannot widen {name!r} from {cur_type!r} to {to_type!r}; "
-                    f"allowed promotions: {self._WIDENINGS}"
+                    f"allowed: {self._WIDENINGS} and decimal precision growth"
                 )
             nxt = [
                 {k: v for k, v in c.items()} for c in cur

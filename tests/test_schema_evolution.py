@@ -207,3 +207,29 @@ def test_widen_composes_with_rename(table, spark):
     out = table.read()
     assert dict(out.dtypes)["quantity"] == "bigint"
     assert {r.k: r.quantity for r in out.collect()}[4] == 8
+
+
+def test_widen_decimal_precision(table, spark):
+    table.write(
+        spark.range(5).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 100).cast("decimal(10,2)").alias("amount"),
+        ),
+        mode="overwrite",
+    )
+    table.widen_column("amount", "decimal(20,2)")
+    table.write(
+        spark.range(5, 8).select(
+            F.col("id").alias("k"),
+            (F.col("id") * F.lit(10) ** 15).cast("decimal(20,2)").alias("amount"),
+        ),
+        mode="append",
+    )
+    out = table.read()
+    assert dict(out.dtypes)["amount"] == "decimal(20,2)"
+    vals = {r.k: r.amount for r in out.collect()}
+    assert len(vals) == 8 and int(vals[6]) == 6 * 10**15
+    with pytest.raises(ValueError, match="cannot widen"):
+        table.widen_column("amount", "decimal(12,2)")  # narrowing refused
+    with pytest.raises(ValueError, match="cannot widen"):
+        table.widen_column("amount", "decimal(22,4)")  # scale change refused
