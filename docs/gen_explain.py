@@ -46,6 +46,8 @@ NAMES = [
     "similarity_hard_negatives",
     "events_countmin_user_freq",
     "multimodal_audio_energy",
+    # round 5: anchor-capped minhash LSH, SemDeDup, evolved-table read
+    "dedup_semdedup_ivf",
 ]
 
 _DETAIL_PREFIXES = (
