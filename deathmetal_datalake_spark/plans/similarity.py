@@ -1404,3 +1404,60 @@ def dedup_semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_witnesses"),
         F.max("cosine").alias("max_cosine"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup label-precision eval: of the vectors SemDeDup drops, how
+# many share their exemplar's LABEL? The synthetic embeddings cluster
+# by label, so exemplar-label agreement is the ground-truth proxy for
+# "the drop was a genuine semantic duplicate" — the audit a curation
+# owner reads before trusting the dedup at scale, exactly as
+# similarity_ann_recall audits the ANN index. Cost: the semdedup
+# result (small) joined twice against the (vec_id, label) projection —
+# broadcast-sized; counts and the precision ratio are exact rational
+# arithmetic in both engines.
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_EVAL_SQL = f"""
+WITH drops AS ({_SEMDEDUP_SQL}),
+labeled AS (
+    SELECT d.vec_id, d.exemplar_id,
+           v.label AS drop_label, e.label AS exemplar_label
+    FROM drops d
+    JOIN embeddings v ON v.vec_id = d.vec_id
+    JOIN embeddings e ON e.vec_id = d.exemplar_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN drop_label = exemplar_label THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_same_label,
+       ROUND(SUM(CASE WHEN drop_label = exemplar_label THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS label_precision
+FROM labeled
+"""
+
+
+@register("dedup_semdedup_eval", oracle=_SEMDEDUP_EVAL_SQL)
+def dedup_semdedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    drops = dedup_semdedup_ivf(spark, sf_dir).select("vec_id", "exemplar_id")
+    labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    labeled = (
+        broadcast(drops)
+        .join(labels.withColumnRenamed("label", "drop_label"), "vec_id")
+        .join(
+            broadcast(
+                labels.select(
+                    F.col("vec_id").alias("exemplar_id"),
+                    F.col("label").alias("exemplar_label"),
+                )
+            ),
+            "exemplar_id",
+        )
+    )
+    same = F.sum(
+        F.when(F.col("drop_label") == F.col("exemplar_label"), 1).otherwise(0)
+    )
+    return labeled.agg(
+        F.count(F.lit(1)).cast("long").alias("n_dropped"),
+        same.cast("long").alias("n_same_label"),
+        F.round(same / F.count(F.lit(1)).cast("double"), 6).alias("label_precision"),
+    )

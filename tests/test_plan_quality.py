@@ -36,6 +36,7 @@ _NONEQUI_OK = {
     "similarity_ivf_multiprobe_topk",  # corpus x ~centroids assignment
     "similarity_hard_negatives",     # corpus x ~centroids assignment
     "dedup_semdedup_ivf",            # corpus x 16-centroid assignment
+    "dedup_semdedup_eval",           # composes the semdedup assignment
     "similarity_ann_recall",         # brute-force truth + IVF assignment
     "text_rare_token_ratio",         # 1-row corpus-count frame
     "similarity_dim_truncation_recall",  # brute-force truth + truncated rescan
