@@ -1070,3 +1070,130 @@ def text_bpe_merge_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("coverage"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval over the corpus for a fixed query-term set — the IR
+# scorer behind quality-filter "looks like a search hit" features and
+# eval-set retrieval. House determinism convention (same reason the
+# TF-IDF entry uses N/df): ln() is not guaranteed correctly rounded
+# across libms, so the IDF keeps Robertson's RATIONAL argument
+# (N - df + 0.5)/(df + 0.5) without the log — every factor is exact
+# integers (or halves) in doubles and both engines evaluate the
+# IDENTICAL correctly-rounded IEEE expression tree, so equality is
+# bit-for-bit. Saturation uses the standard k1/b length normalization.
+# Shape: one tokenize pass, tf filtered to the 3 query terms (tiny),
+# df/avgdl as 1-row broadcast frames — corpus-linear, no shuffle
+# beyond the tf groupBy.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["table", "scan", "join"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOP = 20
+
+_BM25_SQL = rf"""
+WITH tok AS (
+    SELECT doc_id, UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS token
+    FROM documents
+),
+dl AS (
+    SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id
+),
+stats AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           (SELECT CAST(COUNT(*) AS DOUBLE) FROM tok)
+           / CAST(COUNT(*) AS DOUBLE) AS avgdl
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf
+    FROM tok
+    WHERE token IN ({", ".join(repr(t) for t in _BM25_TERMS)})
+    GROUP BY doc_id, token
+),
+df AS (
+    SELECT token, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+    FROM tok
+    WHERE token IN ({", ".join(repr(t) for t in _BM25_TERMS)})
+    GROUP BY token
+),
+scored AS (
+    SELECT tf.doc_id,
+           ((stats.n - df.df + 0.5) / (df.df + 0.5))
+           * ((tf.tf * ({_BM25_K1} + 1.0))
+              / (tf.tf + {_BM25_K1}
+                 * ((1.0 - {_BM25_B}) + {_BM25_B} * (dl.dl / stats.avgdl))))
+               AS term_score
+    FROM tf
+    JOIN df USING (token)
+    JOIN dl USING (doc_id)
+    CROSS JOIN stats
+),
+totals AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+           ROUND(SUM(CAST(term_score AS DECIMAL(25,12))), 6) AS bm25
+    FROM scored GROUP BY doc_id
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+    FROM totals
+)
+SELECT doc_id, n_terms_hit, CAST(bm25 AS DOUBLE) AS bm25, rank
+FROM ranked WHERE rank <= {_BM25_TOP}
+"""
+
+
+@register("text_bm25_retrieval", oracle=_BM25_SQL)
+def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("dl"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    n_toks = toks.agg(F.count(F.lit(1)).cast("double").alias("tot"))
+    stats = F.broadcast(
+        n_docs.crossJoin(F.broadcast(n_toks)).select(
+            "n", (F.col("tot") / F.col("n")).alias("avgdl")
+        )
+    )
+    qt = toks.filter(F.col("token").isin(_BM25_TERMS))
+    tf = qt.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    df = qt.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+    term_score = (
+        (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    ) * (
+        (F.col("tf") * (k1 + F.lit(1.0)))
+        / (
+            F.col("tf")
+            + k1 * ((F.lit(1.0) - b) + b * (F.col("dl") / F.col("avgdl")))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(stats)
+        .select("doc_id", term_score.alias("term_score"))
+    )
+    totals = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+        F.round(F.sum(F.col("term_score").cast("decimal(25,12)")), 6).alias("bm25"),
+    )
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        totals.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _BM25_TOP)
+        .select(
+            "doc_id", "n_terms_hit", F.col("bm25").cast("double").alias("bm25"), "rank"
+        )
+    )

@@ -31,6 +31,7 @@ _NONEQUI_OK = {
     "kmeans_converged_sizes",        # same assignment shape, iterated
     "pagerank_neardup_two_rounds",   # 1-row N frame joined per round
     "text_tfidf_top_terms",          # 1-row N frame for the IDF
+    "text_bm25_retrieval",           # 1-row N/avgdl stats frame
     "dataset_mixture_weights",       # 1-row grand-total frame
     "corpus_temperature_resampling",  # 1-row grand-total + weight-sum frames
     "similarity_ivf_multiprobe_topk",  # corpus x ~centroids assignment
