@@ -2311,6 +2311,57 @@ class SnapshotTable:
             compacted, mode="overwrite", branch=branch, expected_parent=head
         )
 
+    def maintain(
+        self,
+        branch: str = _MAIN,
+        max_files: int = 16,
+        keep_last: int = 20,
+        vacuum_older_than_s: float = 24 * 3600.0,
+    ) -> dict:
+        """One-call maintenance policy — the OPTIMIZE/janitor entry
+        point a table owner schedules instead of hand-sequencing the
+        primitives. In order: fold outstanding delete vectors, compact
+        when the head has more than ``max_files`` data files (under the
+        declared sort order, so stats line up again), expire snapshots
+        beyond ``keep_last``, vacuum orphan dirs older than
+        ``vacuum_older_than_s``. Janitor semantics throughout: a
+        :class:`CommitConflict` from a concurrent writer skips that
+        step (reported, never retried here — maintenance never wins
+        over writers). Returns a report dict of what each step did."""
+        report: dict = {}
+        try:
+            folded = self.fold_deletes(branch=branch)
+            report["folded"] = folded.snapshot_id if folded else None
+        except CommitConflict as exc:
+            report["folded"] = f"conflict: {exc}"
+        head = self.current_snapshot_id(branch)
+        n_files = 0
+        if head is not None:
+            snap = self._load_snapshot(head)
+            for d in snap.data_dirs:
+                fs = snap.file_stats.get(d)
+                if fs:
+                    n_files += len(fs)
+                elif os.path.isdir(d):
+                    n_files += sum(
+                        1 for f in os.listdir(d) if f.endswith(".parquet")
+                    )
+        report["head_files"] = n_files
+        if n_files > max_files:
+            try:
+                report["compacted"] = self.compact(
+                    branch=branch, target_files=max_files
+                ).snapshot_id
+            except CommitConflict as exc:
+                report["compacted"] = f"conflict: {exc}"
+        else:
+            report["compacted"] = None
+        report["expired"] = self.expire_snapshots(
+            keep_last=keep_last, branch=branch
+        )
+        report["vacuumed"] = self.vacuum(older_than_s=vacuum_older_than_s)
+        return report
+
     def vacuum(self, older_than_s: float = 24 * 3600.0) -> list[str]:
         """Janitor: DELETE orphan data dirs (failed/aborted writes no
         manifest references) older than ``older_than_s`` seconds. The

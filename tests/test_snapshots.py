@@ -977,3 +977,39 @@ def test_expire_keeps_tagged_snapshots(spark, tmp_path):
     tbl.drop_tag("training-set-v1")
     expired2 = tbl.expire_snapshots(keep_last=2)
     assert first.snapshot_id in expired2
+
+
+def test_maintain_one_call_policy(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from deathmetal_datalake_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "maintained"))
+    t.set_sort_order(["k"])
+    base = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    t.write(base.repartition(12), mode="overwrite")  # many small files
+    t.write(
+        spark.range(500, 600).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+        ).repartition(8),
+        mode="append",
+    )
+    t.delete_keys(base.filter(F.col("k") < 5).select("k"), "k")
+
+    report = t.maintain(max_files=4, keep_last=2, vacuum_older_than_s=0.0)
+    # Fold may have auto-run at delete time (DELETE_FOLD_THRESHOLD);
+    # either way the head must be delete-free and compacted.
+    assert report["head_files"] > 4
+    assert isinstance(report["compacted"], int)
+    head = t._load_snapshot(t.current_snapshot_id())
+    assert not head.deletes
+    n_files = sum(len(v) for v in head.file_stats.values())
+    assert n_files <= 4
+    assert t.read().count() == 595  # 600 - 5 deleted
+    # Retention kept only the last 2 snapshots.
+    assert len(t.history()) <= 2
+    # Sorted compaction (declared order) restores pruning.
+    kept, pruned = t.scan_files(filters=[("k", ">=", 590)])
+    assert pruned
