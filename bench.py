@@ -113,8 +113,10 @@ BENCH_QUERIES = [
     # round 4 (cont.): corpus-gate operators + schema evolution
     "dedup_bloom_prefilter",
     "text_bpe_merge_step",
-    # round 5: semantic dedup over embeddings (IVF-cell SemDeDup)
+    # round 5: semantic dedup over embeddings (IVF-cell SemDeDup) +
+    # BM25 retrieval (rational-IDF, corpus-linear)
     "dedup_semdedup_ivf",
+    "text_bm25_retrieval",
     # NOT here: catalog_bloom_point_lookup — its runtime is ~80%
     # deliberate 7-write table construction + opt-in bloom harvest
     # (write-side costs the catalog family already represents via
