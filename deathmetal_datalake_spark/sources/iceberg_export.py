@@ -26,13 +26,18 @@ Iceberg-v2-SHAPED metadata tree for a branch's lineage under
   lower/upper bounds keyed by field-id. Delete commits export as
   content=2 (equality-delete) manifests with ``equality_ids``.
 
-DOCUMENTED DEVIATIONS (each marked in the emitted JSON):
-
-- Files are JSON, not Avro — this environment ships no Avro writer.
-  The logical content matches field-for-field; a production deployment
-  swaps the serializer (``"file-codec": "json"`` marks every file).
-- Bounds are plain JSON values (``"bounds-encoding": "json"``), not
-  Iceberg's binary single-value serialization, for the same reason.
+SERIALIZATION: ``codec="json"`` (default) writes every file as JSON —
+hermetically inspectable, marked ``"file-codec": "json"``.
+``codec="avro"`` writes manifest lists and manifests as REAL Avro
+object container files through the JVM's org.apache.avro (the
+avro-1.12 jar Spark ships, reached via py4j — no Python Avro package
+needed), with Iceberg-style ``field-id`` props on every Avro field,
+content-specific entry schemas (delete manifests carry a required
+``equality_ids``), and manifest-level key/values in the OCF file
+metadata — metadata.json itself stays JSON, as in Iceberg proper.
+Remaining deviation in both codecs (marked in the emitted files):
+bounds are JSON-encoded values (``bounds-encoding``), not Iceberg's
+binary single-value serialization.
 
 The export is read-only over the native manifests: it never moves a
 ref or touches data files, so it can run against a live table
@@ -180,9 +185,238 @@ def _write_json(path: str, payload: dict) -> int:
     return os.path.getsize(path)
 
 
-def export_iceberg_metadata(table, branch: str = "main") -> str:
+
+
+# ---------------------------------------------------------------------------
+# Avro serialization (opt-in codec="avro"): real Apache Avro object
+# container files written through the JVM's org.apache.avro (the
+# avro-1.12 jar Spark ships), reached via py4j — no Python Avro
+# package needed. metadata.json stays JSON (it IS JSON in Iceberg);
+# manifest lists and manifests become .avro OCF with Iceberg-style
+# "field-id" props on every field and manifest-level key/values in
+# the OCF file metadata (how Iceberg stores "content", "schema", …).
+# Bound values stay JSON-encoded strings (map<string,string>, declared
+# by the bounds-encoding file-meta key) — the one remaining deviation
+# from Iceberg's binary single-value bounds.
+# ---------------------------------------------------------------------------
+
+_AVRO_DATA_FILE_FIELDS = [
+    {"name": "content", "type": "int", "field-id": 134},
+    {"name": "file_path", "type": "string", "field-id": 100},
+    {"name": "file_format", "type": "string", "field-id": 101},
+    {
+        "name": "partition",
+        "type": {"type": "map", "values": "string"},
+        "field-id": 102,
+    },
+    {"name": "record_count", "type": "long", "field-id": 103},
+    {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+    {
+        "name": "lower_bounds",
+        "type": {"type": "map", "values": "string"},
+        "field-id": 125,
+    },
+    {
+        "name": "upper_bounds",
+        "type": {"type": "map", "values": "string"},
+        "field-id": 128,
+    },
+    {
+        "name": "null_value_counts",
+        "type": {"type": "map", "values": "long"},
+        "field-id": 110,
+    },
+]
+
+# Two content-specific entry schemas (as Iceberg manifests are per
+# content kind): delete entries carry a REQUIRED equality_ids array.
+# No unions anywhere — py4j auto-unboxes java.lang.Long back to Python
+# ints, and Avro's union resolution is strict by class while plain
+# long fields accept any Number; required fields sidestep the strict
+# path entirely (and match Iceberg, where record_count/file_size are
+# required).
+
+
+def _entry_schema(with_equality: bool) -> str:
+    fields = list(_AVRO_DATA_FILE_FIELDS)
+    if with_equality:
+        fields = fields + [
+            {
+                "name": "equality_ids",
+                "type": {"type": "array", "items": "int"},
+                "field-id": 135,
+            }
+        ]
+    return json.dumps(
+        {
+            "type": "record",
+            "name": "manifest_entry",
+            "fields": [
+                {"name": "status", "type": "int", "field-id": 0},
+                {"name": "snapshot_id", "type": "long", "field-id": 1},
+                {"name": "sequence_number", "type": "long", "field-id": 3},
+                {
+                    "name": "data_file",
+                    "type": {"type": "record", "name": "r2", "fields": fields},
+                    "field-id": 2,
+                },
+            ],
+        }
+    )
+
+
+_AVRO_MANIFEST_ENTRY_SCHEMA = _entry_schema(False)
+_AVRO_DELETE_ENTRY_SCHEMA = _entry_schema(True)
+
+_AVRO_MANIFEST_FILE_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string", "field-id": 500},
+            {"name": "manifest_length", "type": "long", "field-id": 501},
+            {"name": "partition_spec_id", "type": "int", "field-id": 502},
+            {"name": "content", "type": "int", "field-id": 517},
+            {"name": "sequence_number", "type": "long", "field-id": 515},
+            {"name": "min_sequence_number", "type": "long", "field-id": 516},
+            {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+            {"name": "added_files_count", "type": "long", "field-id": 504},
+            {"name": "existing_files_count", "type": "long", "field-id": 505},
+            {"name": "added_rows_count", "type": "long", "field-id": 512},
+        ],
+    }
+)
+
+
+def _jvm(table):
+    spark = getattr(table, "spark", None)
+    if spark is None:
+        raise ValueError("codec='avro' needs the table's SparkSession (JVM avro)")
+    return spark._jvm
+
+
+def _parquet_rows(path: str) -> int:
+    """Row count straight from the parquet footer (no data read)."""
+    import pyarrow.parquet as pq
+
+    try:
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return 0
+
+
+def _jmap(jvm, d):
+    m = jvm.java.util.HashMap()
+    for k, v in (d or {}).items():
+        m.put(str(k), v if isinstance(v, int) and not isinstance(v, bool) else str(v))
+    return m
+
+
+def _avro_write(jvm, path: str, schema_json: str, records, meta: dict, build) -> int:
+    """Write one Avro OCF of ``records`` (python dicts) at ``path``;
+    ``build(jvm, schema, d)`` produces the GenericRecord; ``meta`` goes
+    into the OCF file metadata. Returns the byte length."""
+    schema = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    writer = jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+    dfw = jvm.org.apache.avro.file.DataFileWriter(writer)
+    for k, v in meta.items():
+        dfw.setMeta(str(k), str(v))
+    dfw.create(schema, jvm.java.io.File(path))
+    try:
+        for d in records:
+            dfw.append(build(jvm, schema, d))
+    finally:
+        dfw.close()
+    return os.path.getsize(path)
+
+
+def _build_manifest_entry(jvm, schema, d) -> object:
+    rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+    rec.put("status", int(d["status"]))
+    rec.put("snapshot_id", int(d["snapshot_id"]))
+    rec.put("sequence_number", int(d["sequence_number"]))
+    df_schema = schema.getField("data_file").schema()
+    f = d["data_file"]
+    sub = jvm.org.apache.avro.generic.GenericData.Record(df_schema)
+    sub.put("content", int(f["content"]))
+    sub.put("file_path", str(f["file_path"]))
+    sub.put("file_format", str(f["file_format"]))
+    sub.put("partition", _jmap(jvm, {k: str(v) for k, v in (f.get("partition") or {}).items()}))
+    rows = f.get("record_count")
+    if rows is None:
+        rows = _parquet_rows(f["file_path"])
+    sub.put("record_count", int(rows))
+    size = f.get("file_size_in_bytes")
+    if size is None:
+        size = os.path.getsize(f["file_path"]) if os.path.exists(f["file_path"]) else 0
+    sub.put("file_size_in_bytes", int(size))
+    sub.put(
+        "lower_bounds",
+        _jmap(jvm, {k: json.dumps(v) for k, v in (f.get("lower_bounds") or {}).items()}),
+    )
+    sub.put(
+        "upper_bounds",
+        _jmap(jvm, {k: json.dumps(v) for k, v in (f.get("upper_bounds") or {}).items()}),
+    )
+    sub.put(
+        "null_value_counts",
+        _jmap(jvm, {k: int(v) for k, v in (f.get("null_value_counts") or {}).items()}),
+    )
+    if df_schema.getField("equality_ids") is not None:
+        arr = jvm.java.util.ArrayList()
+        for x in f.get("equality_ids") or []:
+            arr.add(int(x))
+        sub.put("equality_ids", arr)
+    rec.put("data_file", sub)
+    return rec
+
+
+def _build_manifest_file(jvm, schema, d) -> object:
+    rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+    rec.put("manifest_path", str(d["manifest_path"]))
+    rec.put("manifest_length", int(d["manifest_length"]))
+    rec.put("partition_spec_id", int(d["partition_spec_id"]))
+    rec.put("content", int(d["content"]))
+    rec.put("sequence_number", int(d["sequence_number"]))
+    rec.put("min_sequence_number", int(d["min_sequence_number"]))
+    rec.put("added_snapshot_id", int(d["added_snapshot_id"]))
+    for k in ("added_files_count", "existing_files_count", "added_rows_count"):
+        rec.put(k, int(d.get(k) or 0))
+    return rec
+
+
+def read_avro_records(spark, path: str) -> tuple[list[dict], dict]:
+    """Read back an exported .avro file (validation/tests): returns
+    (records as JSON-parsed dicts via Avro's own toString, file meta)."""
+    jvm = spark._jvm
+    reader = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(path), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    try:
+        out = []
+        while reader.hasNext():
+            out.append(json.loads(reader.next().toString()))
+        meta = {}
+        for k in ("content", "bounds-encoding", "sequence-number"):
+            v = reader.getMetaString(k)
+            if v is not None:
+                meta[k] = v
+        return out, meta
+    finally:
+        reader.close()
+
+
+def export_iceberg_metadata(
+    table, branch: str = "main", codec: str = "json"
+) -> str:
     """Write the Iceberg-shaped metadata tree for ``branch``'s lineage;
-    returns the path of the new ``v<N>.metadata.json``."""
+    returns the path of the new ``v<N>.metadata.json``. ``codec``:
+    ``"json"`` (hermetically inspectable, the default) or ``"avro"``
+    (real Avro OCF manifests via the JVM's org.apache.avro — the
+    serialization Iceberg itself uses for manifests)."""
+    if codec not in ("json", "avro"):
+        raise ValueError(f"codec must be json|avro, got {codec!r}")
+    jvm = _jvm(table) if codec == "avro" else None
     head_id = table.current_snapshot_id(branch)
     if head_id is None:
         raise ValueError(f"branch {branch!r} has no snapshots to export")
@@ -280,16 +514,32 @@ def export_iceberg_metadata(table, branch: str = "main") -> str:
                     }
                 )
             mpath = os.path.join(meta_dir, _dir_manifest_name(d))
-            length = _write_json(
-                mpath,
-                {
-                    "file-codec": "json",
-                    "content": "data",
-                    "added-snapshot-id": adder,
-                    "sequence-number": seq_of[adder],
-                    "entries": entries,
-                },
-            )
+            if codec == "avro":
+                mpath = mpath[: -len(".json")] + ".avro"
+                length = _avro_write(
+                    jvm,
+                    mpath,
+                    _AVRO_MANIFEST_ENTRY_SCHEMA,
+                    entries,
+                    {
+                        "content": "data",
+                        "added-snapshot-id": adder,
+                        "sequence-number": seq_of[adder],
+                        "bounds-encoding": "json-string",
+                    },
+                    _build_manifest_entry,
+                )
+            else:
+                length = _write_json(
+                    mpath,
+                    {
+                        "file-codec": "json",
+                        "content": "data",
+                        "added-snapshot-id": adder,
+                        "sequence-number": seq_of[adder],
+                        "entries": entries,
+                    },
+                )
             manifest_meta[d] = {
                 "path": mpath,
                 "length": length,
@@ -328,21 +578,37 @@ def export_iceberg_metadata(table, branch: str = "main") -> str:
                 }
                 for rel in files
             ]
+            ext = "avro" if codec == "avro" else "json"
             mpath = os.path.join(
-                meta_dir, f"delete-{hashlib.md5(ddir.encode()).hexdigest()[:16]}.json"
+                meta_dir, f"delete-{hashlib.md5(ddir.encode()).hexdigest()[:16]}.{ext}"
             )
-            length = _write_json(
-                mpath,
-                {
-                    "file-codec": "json",
-                    "content": "deletes",
-                    "added-snapshot-id": s.snapshot_id,
-                    "sequence-number": seq_of[s.snapshot_id],
-                    "equality-key": key,
-                    "covers": list(covers),
-                    "entries": entries,
-                },
-            )
+            if codec == "avro":
+                length = _avro_write(
+                    jvm,
+                    mpath,
+                    _AVRO_DELETE_ENTRY_SCHEMA,
+                    entries,
+                    {
+                        "content": "deletes",
+                        "added-snapshot-id": s.snapshot_id,
+                        "sequence-number": seq_of[s.snapshot_id],
+                        "equality-key": key,
+                    },
+                    _build_manifest_entry,
+                )
+            else:
+                length = _write_json(
+                    mpath,
+                    {
+                        "file-codec": "json",
+                        "content": "deletes",
+                        "added-snapshot-id": s.snapshot_id,
+                        "sequence-number": seq_of[s.snapshot_id],
+                        "equality-key": key,
+                        "covers": list(covers),
+                        "entries": entries,
+                    },
+                )
             delete_manifests[k] = {
                 "path": mpath,
                 "length": length,
@@ -388,11 +654,24 @@ def export_iceberg_metadata(table, branch: str = "main") -> str:
                         "added_snapshot_id": dm["adder"],
                     }
                 )
-        ml_path = os.path.join(meta_dir, f"snap-{s.snapshot_id}.manifest-list.json")
-        _write_json(
-            ml_path,
-            {"file-codec": "json", "manifests": manifests},
+        ext = "avro" if codec == "avro" else "json"
+        ml_path = os.path.join(
+            meta_dir, f"snap-{s.snapshot_id}.manifest-list.{ext}"
         )
+        if codec == "avro":
+            _avro_write(
+                jvm,
+                ml_path,
+                _AVRO_MANIFEST_FILE_SCHEMA,
+                manifests,
+                {"snapshot-id": s.snapshot_id},
+                _build_manifest_file,
+            )
+        else:
+            _write_json(
+                ml_path,
+                {"file-codec": "json", "manifests": manifests},
+            )
         snap_entries.append(
             {
                 "snapshot-id": s.snapshot_id,
@@ -429,7 +708,7 @@ def export_iceberg_metadata(table, branch: str = "main") -> str:
 
     metadata = {
         "format-version": 2,
-        "file-codec": "json",
+        "file-codec": codec,
         "table-uuid": str(uuid.uuid5(_ICEBERG_NS, os.path.abspath(table.base_path))),
         "location": os.path.abspath(table.base_path),
         "last-sequence-number": seq_of[head.snapshot_id],

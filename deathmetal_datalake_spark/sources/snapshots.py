@@ -2547,7 +2547,7 @@ class SnapshotTable:
 
     # ---- retention -------------------------------------------------------
 
-    def export_iceberg_metadata(self, branch: str = _MAIN) -> str:
+    def export_iceberg_metadata(self, branch: str = _MAIN, codec: str = "json") -> str:
         """Write an Iceberg-v2-shaped metadata tree (metadata.json +
         manifest lists + shared per-dir manifests, JSON-serialized) for
         ``branch``'s lineage under ``metadata/`` so external engines can
@@ -2560,7 +2560,7 @@ class SnapshotTable:
             export_iceberg_metadata,
         )
 
-        return export_iceberg_metadata(self, branch)
+        return export_iceberg_metadata(self, branch, codec=codec)
 
     def expire_snapshots(self, keep_last: int = 5, branch: str = _MAIN) -> list[int]:
         """Retention: delete manifests (and data dirs no live snapshot
