@@ -664,3 +664,50 @@ def test_record_feed_rejects_bad_starting_offsets(spark, transport, tmp_path):
 
     with pytest.raises(Exception, match="startingOffsets|STREAM_FAILED"):
         q.awaitTermination()
+
+
+def test_record_feed_group_start_over_remote_backend(spark, tmp_path):
+    # The batch -> stream handoff ACROSS the process boundary: backfill
+    # committed via the HTTP backend, then a fresh streaming query with
+    # startingOffsets='group:<name>' against the http:// locator — the
+    # reader resolves the group's offsets over the wire and delivers
+    # only post-handoff records.
+    from deathmetal_datalake_spark.streaming.shardlog_remote import (
+        RemoteShardLog,
+        ShardLogServerProcess,
+    )
+    from deathmetal_datalake_spark.streaming.transport import (
+        GroupConsumer,
+        RecordStreamTransport,
+    )
+
+    with ShardLogServerProcess(str(tmp_path / "broker")) as srv:
+        backend = RemoteShardLog(srv.base_url)
+        t = RecordStreamTransport(srv.base_url, backend=backend)
+        locator = t.create_stream("ev", n_shards=2)
+        assert locator.startswith("http://")
+        t.put_records("ev", [(f"a-{i}", f"backfill-{i}") for i in range(8)])
+        backfill = GroupConsumer(backend, "ev", "handoff")
+        assert len(backfill.poll()) == 8
+        backfill.commit()
+        t.put_records("ev", [(f"b-{i}", f"live-{i}") for i in range(8)])
+
+        register_record_feed(spark)
+        stream = (
+            spark.readStream.format("record_feed")
+            .schema(RECORD_FEED_SCHEMA)
+            .option("path", locator)
+            .option("startingOffsets", "group:handoff")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("remote_group_start_sink")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(r.data for r in spark.table("remote_group_start_sink").collect())
+        assert got == sorted(f"live-{i}" for i in range(8))
