@@ -798,6 +798,41 @@ def _partitions_may_match(spec_by_source, pvals, filters) -> bool:
     return True
 
 
+def _first_parquet_file(d: str) -> Optional[str]:
+    try:
+        names = sorted(os.listdir(d))
+    except (FileNotFoundError, NotADirectoryError):
+        return None
+    for n in names:
+        if n.endswith(".parquet"):
+            return os.path.join(d, n)
+    # Hidden-partitioned dirs nest one level of value subdirs.
+    for n in names:
+        sub = os.path.join(d, n)
+        if os.path.isdir(sub):
+            for m in sorted(os.listdir(sub)):
+                if m.endswith(".parquet"):
+                    return os.path.join(sub, m)
+    return None
+
+
+def _arrow_simple_type(t) -> str:
+    """Arrow type -> Spark simpleString name (the widening vocabulary)."""
+    import pyarrow as pa
+
+    if pa.types.is_int64(t):
+        return "long"
+    if pa.types.is_int32(t):
+        return "int"
+    if pa.types.is_float64(t):
+        return "double"
+    if pa.types.is_float32(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    return str(t)
+
+
 class _Unset:
     """Sentinel: 'no CAS check requested' — distinct from ``None``,
     which means 'expect the branch to be EMPTY' (first-commit CAS)."""
@@ -1142,10 +1177,19 @@ class SnapshotTable:
         head = self.current_snapshot_id(branch)
         if head is None:
             raise LookupError(f"branch {branch!r} has no snapshots")
-        cur_field = self.spark.read.option("mergeSchema", "true").parquet(
-            *self._load_snapshot(head).data_dirs
-        ).schema
-        by_name = {f.name: f.dataType.simpleString() for f in cur_field.fields}
+        # Physical types from parquet FOOTERS, newest dir first (first
+        # occurrence wins = the widest epoch). A merged Spark read
+        # would THROW here once dirs span widths (int vs bigint is not
+        # schema-mergeable) — exactly the state a second widen runs in.
+        by_name: dict[str, str] = {}
+        for d in reversed(self._load_snapshot(head).data_dirs):
+            f0 = _first_parquet_file(d)
+            if not f0:
+                continue
+            import pyarrow.parquet as _pq
+
+            for fld in _pq.read_schema(f0):
+                by_name.setdefault(fld.name, _arrow_simple_type(fld.type))
         with self._commit_lock():
             reg = self._read_column_registry() or self._bootstrap_registry(branch)
             cur = reg["epochs"][-1]["columns"]

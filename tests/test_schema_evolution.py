@@ -233,3 +233,30 @@ def test_widen_decimal_precision(table, spark):
         table.widen_column("amount", "decimal(12,2)")  # narrowing refused
     with pytest.raises(ValueError, match="cannot widen"):
         table.widen_column("amount", "decimal(22,4)")  # scale change refused
+
+
+def test_second_widen_over_mixed_width_dirs(table, spark):
+    # Regression: widen q, append wide, then widen ANOTHER column —
+    # the schema probe must not merge int with bigint across epochs
+    # (footer walk, newest dir wins), and the final read unifies all.
+    table.write(
+        spark.range(5).select(
+            F.col("id").alias("k"),
+            F.col("id").cast("int").alias("q"),
+            F.col("id").cast("int").alias("r"),
+        ),
+        mode="overwrite",
+    )
+    table.widen_column("q", "long")
+    table.write(
+        spark.range(5, 8).select(
+            F.col("id").alias("k"),
+            F.col("id").cast("long").alias("q"),
+            F.col("id").cast("int").alias("r"),
+        ),
+        mode="append",
+    )
+    table.widen_column("r", "long")  # over mixed-width dirs
+    out = table.read()
+    assert dict(out.dtypes) == {"k": "bigint", "q": "bigint", "r": "bigint"}
+    assert out.count() == 8
