@@ -1723,7 +1723,9 @@ class SnapshotTable:
             by_cover.setdefault(applicable, []).append(d)
         parts: list[DataFrame] = []
         for applicable, dirs in by_cover.items():
-            df = self.spark.read.option("mergeSchema", "true").parquet(*dirs)
+            # Evolution-aware: a cover group can span rename/widen
+            # epochs (a plain merged read would refuse int vs bigint).
+            df = self._read_dirs_evolved(snap, dirs)
             by_key: dict[str, list[str]] = {}
             for i in applicable:
                 del_dir, key_col, _ = snap.deletes[i]
@@ -2186,10 +2188,10 @@ class SnapshotTable:
             kept = tuple(d for d in snap.data_dirs if scan_paths.get(d))
             if not kept:
                 # Schema still comes from the real files (a zero-file
-                # read has no schema to offer).
-                empty = self.spark.read.option("mergeSchema", "true").parquet(
-                    *snap.data_dirs
-                )
+                # read has no schema to offer) — through the evolved
+                # read, so mixed rename/widen epochs don't refuse to
+                # merge and the filter binds to logical names.
+                empty = self._read_dirs_evolved(snap, list(snap.data_dirs))
                 return empty.filter(_filters_to_column(filters)).limit(0)
             # Re-derive the snapshot view over the surviving dirs only;
             # delete anti-joins below still apply per covered group.

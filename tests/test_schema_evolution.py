@@ -260,3 +260,33 @@ def test_second_widen_over_mixed_width_dirs(table, spark):
     out = table.read()
     assert dict(out.dtypes) == {"k": "bigint", "q": "bigint", "r": "bigint"}
     assert out.count() == 8
+
+
+def test_fold_deletes_and_pruned_empty_read_across_widen(table, spark):
+    # fold_deletes' per-cover-group read and read()'s all-pruned empty
+    # path both cross widen epochs — neither may hit the int/bigint
+    # merge refusal, and results must stay exact.
+    table.write(
+        spark.range(20).select(
+            F.col("id").alias("k"), (F.col("id") * 10).cast("int").alias("qty")
+        ),
+        mode="overwrite",
+    )
+    table.widen_column("qty", "long")
+    table.write(
+        spark.range(20, 30).select(
+            F.col("id").alias("k"), (F.col("id") * 10).cast("long").alias("qty")
+        ),
+        mode="append",
+    )
+    table.delete_keys(
+        spark.range(2).select(F.col("id").alias("k")), "k"
+    )
+    folded = table.fold_deletes()
+    assert folded is not None and not folded.deletes
+    out = table.read()
+    assert dict(out.dtypes)["qty"] == "bigint"
+    assert out.count() == 28
+    # All-pruned path: an impossible filter leaves zero dirs.
+    empty = table.read(filters=[("qty", ">", 10_000_000)])
+    assert empty.count() == 0 and dict(empty.dtypes)["qty"] == "bigint"
