@@ -278,7 +278,9 @@ class RemoteShardLog(ShardLogBackend):
     # -- plumbing ----------------------------------------------------------
 
     def _split(self, stream: str) -> str:
-        """Locator URL → bare stream name (validating the host matches)."""
+        """Locator URL → bare stream name (the client always talks to
+        its own base_url; a locator from another server resolves to the
+        same-named stream here, as with broker bootstrap lists)."""
         if stream.startswith("http://") or stream.startswith("https://"):
             parsed = urllib.parse.urlparse(stream)
             return parsed.path.strip("/")
