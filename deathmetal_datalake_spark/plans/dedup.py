@@ -303,11 +303,39 @@ _EST_THRESHOLD = 0.5
 # when boilerplate text goes viral. With the anchor rule the per-bucket
 # pair mass is ~2·A·s (linear) while every member still pairs with the
 # anchors, so cluster connectivity (connected components, canonical
-# pick) is preserved. A=8 exceeds the max observed bucket size at every
-# test SF (3 at sf0.01, 9 at sf0.1), so results there are bit-identical
-# to the uncapped plan; the cap is mirrored verbatim in every oracle
-# (the _auto_max_df convention), so the knob itself is corr.-checked.
+# pick) is preserved.
+#
+# Invariant (round-6, corrected): a pair is EXCLUDED only when BOTH
+# members rank past the anchors (rn > A), which requires bucket size
+# >= A + 2. Results are therefore bit-identical to the uncapped plan
+# whenever every bucket has <= _BAND_ANCHORS + 1 members — true at all
+# test SFs (max observed 3 at sf0.01, 9 at sf0.1 with A = 8). The cap
+# is mirrored verbatim in every oracle (the _auto_max_df convention),
+# so the knob itself is correctness-checked.
+#
+# Execution note (round-6 reconciliation, docs/SCALING.md §minhash):
+# the rank is ONE sort-window over the bands frame, shuffled on the
+# same (band, bucket) keys the candidate self-join needs — the join
+# reuses the window's exchange and sort order, so the cap's marginal
+# cost is the in-partition sort + rank projection only. Two
+# count-first alternatives (split the frame around a broadcast hot-
+# bucket set; driver-probe `isEmpty` to skip the rank entirely) were
+# built and measured this round and BOTH lose to the window at sf0.1
+# AND at 10× (extra jobs / lost exchange reuse dominate); receipts in
+# docs/SCALING.md. The cap's value is the worst-case bound on viral
+# cliques, not a test-scale speedup — at 10× it already binds (buckets
+# past A + 1 exist) at flat cost vs the uncapped r4 plan.
 _BAND_ANCHORS = 8
+
+
+def _bands_with_anchor_rank(bands: DataFrame) -> DataFrame:
+    """Attach the anchor rank ``rn`` to a (doc_id, band, bucket) frame:
+    row_number over (band, bucket) ordered by doc_id. The downstream
+    candidate self-join keys on (band, bucket), so the window's
+    exchange and sort are reused — see the _BAND_ANCHORS note above
+    for why this beats count-first formulations at both scales."""
+    w_rn = Window.partitionBy("band", "bucket").orderBy("doc_id")
+    return bands.withColumn("rn", F.row_number().over(w_rn))
 
 
 def _minhash_columns(shingled: DataFrame) -> DataFrame:
@@ -422,13 +450,10 @@ def _minhash_band_candidates(sig: DataFrame) -> DataFrame:
             for b in range(_N_HASHES // _BAND_ROWS)
         ]
     )
-    w_rn = Window.partitionBy("band", "bucket").orderBy("doc_id")
-    bands = (
-        sig.select("doc_id", F.explode(band_structs).alias("bb"))
-        .select(
+    bands = _bands_with_anchor_rank(
+        sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
             "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
         )
-        .withColumn("rn", F.row_number().over(w_rn))
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -1010,13 +1035,10 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(_N_HASHES // _BAND_ROWS)
         ]
     )
-    w_rn = Window.partitionBy("band", "bucket").orderBy("doc_id")
-    bands = (
-        sig.select("doc_id", F.explode(band_structs).alias("bb"))
-        .select(
+    bands = _bands_with_anchor_rank(
+        sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
             "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
         )
-        .withColumn("rn", F.row_number().over(w_rn))
     )
     new_bands = bands.filter(F.col("doc_id") % 10 == 0).alias("n")
     all_bands = bands.alias("o")

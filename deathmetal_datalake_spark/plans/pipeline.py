@@ -749,6 +749,12 @@ def pipeline_daily_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     delta = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id")
     inc = dedup_minhash_incremental(spark, sf_dir)
+    # dup is always a subset of delta: dedup_minhash_incremental only
+    # emits new_doc with doc_id % 10 == 0. That lets all four scalar
+    # counts fold into ONE aggregate over a per-delta-doc flags frame,
+    # so the expensive minhash-incremental lineage and the quality
+    # lineage each execute exactly once (they used to re-derive per
+    # count — the r3→r5 regression).
     dup = (
         inc.filter(
             (F.col("other_doc") % 10 != 0)
@@ -757,20 +763,39 @@ def pipeline_daily_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("new_doc").alias("doc_id"))
         .distinct()
     )
-    surv = delta.join(dup, "doc_id", "left_anti")
     qual = text_quality_filter(spark, sf_dir).filter("keep").select("doc_id")
-    appended = session_cache(surv.join(qual, "doc_id", "left_semi"))
-    n_delta = delta.count()
-    n_dup = dup.count()
-    n_surv = surv.count()
-    n_app = appended.count()
+    flags = session_cache(
+        delta.join(dup.withColumn("is_dup", F.lit(1)), "doc_id", "left")
+        .join(qual.withColumn("is_qual", F.lit(1)), "doc_id", "left")
+    )
+    counts = flags.agg(
+        F.count(F.lit(1)).alias("n_delta"),
+        F.count("is_dup").alias("n_dup"),
+        F.count(
+            F.when(F.col("is_dup").isNull() & F.col("is_qual").isNull(), 1)
+        ).alias("n_qdrop"),
+        F.count(
+            F.when(F.col("is_dup").isNull() & F.col("is_qual").isNotNull(), 1)
+        ).alias("n_app"),
+    ).first()
+    appended = flags.filter(
+        F.col("is_dup").isNull() & F.col("is_qual").isNotNull()
+    ).select("doc_id")
     with _tempfile.TemporaryDirectory(prefix="dml-daily-") as d:
         tbl = SnapshotTable(spark, _os.path.join(d, "curated"))
         tbl.write(docs.filter(F.col("doc_id") % 10 != 0), "append")
         tbl.write(docs.join(appended, "doc_id", "left_semi"), "append")
         n_total = tbl.read().count()
     return spark.createDataFrame(
-        [(n_delta, n_dup, n_surv - n_app, n_app, n_total)],
+        [
+            (
+                counts["n_delta"],
+                counts["n_dup"],
+                counts["n_qdrop"],
+                counts["n_app"],
+                n_total,
+            )
+        ],
         "n_delta long, n_dup_dropped long, n_quality_dropped long, "
         "n_appended long, n_total long",
     )
