@@ -1420,3 +1420,75 @@ def catalog_type_widening_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = out.collect()
         return spark.createDataFrame(rows, schema=out.schema)
+
+
+# ---------------------------------------------------------------------------
+# DECIMAL-PRECISION widening, driver-checked (the round-5 declared
+# residual, docs/NEXT.md #3): write amounts as DECIMAL(12,2), widen to
+# DECIMAL(22,2) (sources/snapshots.widen_column — same-scale precision
+# growth, the third Iceberg-allowed promotion), append values that
+# exceed DECIMAL(12,2)'s range, read back unified. The epoch-group
+# cast unions narrow and wide dirs cleanly; the oracle recomputes both
+# phases from orders, so the exact decimal sum (beyond the narrow
+# precision) pins the promotion bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_DEC_WIDEN_OFFSET = 10**12  # needs precision 15 > 12: forces real widening
+
+_DEC_WIDEN_SQL = f"""
+WITH v1 AS (
+    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS amount
+    FROM orders WHERE o_orderstatus = 'F'
+),
+v2 AS (
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(22,2))
+                + CAST({_DEC_WIDEN_OFFSET} AS DECIMAL(22,2)) AS DECIMAL(22,2))
+               AS amount
+    FROM orders WHERE o_orderstatus = 'O'
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(amount) AS DECIMAL(38,2)) AS total_amount,
+       CAST(MIN(amount) AS DECIMAL(22,2)) AS min_amount,
+       CAST(MAX(amount) AS DECIMAL(22,2)) AS max_amount
+FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+"""
+
+
+@register("catalog_decimal_widening_read", oracle=_DEC_WIDEN_SQL)
+def catalog_decimal_widening_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = session_cache(spread(load_table(spark, sf_dir, "orders")))
+    with tempfile.TemporaryDirectory(prefix="dml-snapq-") as d:
+        tbl = SnapshotTable(spark, os.path.join(d, "orders_dec_widening"))
+        tbl.write(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                "o_orderkey",
+                F.col("o_totalprice").cast("decimal(12,2)").alias("amount"),
+            ),
+            "overwrite",
+        )
+        tbl.widen_column("amount", "decimal(22,2)")
+        tbl.write(
+            orders.filter(F.col("o_orderstatus") == "O").select(
+                "o_orderkey",
+                (
+                    F.col("o_totalprice").cast("decimal(22,2)")
+                    + F.lit(_DEC_WIDEN_OFFSET).cast("decimal(22,2)")
+                )
+                .cast("decimal(22,2)")
+                .alias("amount"),
+            ),
+            "append",
+        )
+        merged = tbl.read()
+        assert (
+            dict(merged.dtypes)["amount"] == "decimal(22,2)"
+        ), "decimal widening did not apply"
+        out = merged.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("amount").cast("decimal(38,2)").alias("total_amount"),
+            F.min("amount").cast("decimal(22,2)").alias("min_amount"),
+            F.max("amount").cast("decimal(22,2)").alias("max_amount"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)

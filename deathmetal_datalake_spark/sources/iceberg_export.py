@@ -142,6 +142,108 @@ def _schema_from_parquet(
     return schema, name_to_id, counter["v"]
 
 
+_SIMPLE_TO_ICEBERG = {
+    "boolean": "boolean",
+    "int": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "binary": "binary",
+    "date": "date",
+    "timestamp": "timestamp",
+}
+
+
+def _declared_to_iceberg_type(s: str) -> Optional[str]:
+    """Registry-declared simple type (widen_column vocabulary) to the
+    Iceberg type string; None when unknown."""
+    import re as _re
+
+    if s in _SIMPLE_TO_ICEBERG:
+        return _SIMPLE_TO_ICEBERG[s]
+    m = _re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", s)
+    if m:
+        return f"decimal({m.group(1)}, {m.group(2)})"
+    return None
+
+
+def _physical_name(epochs: list[dict], epoch_idx: int, fid: int) -> Optional[str]:
+    """The name field ``fid`` had at registry epoch ``epoch_idx`` (what
+    a dir stamped with that epoch physically stores), or None when the
+    field did not exist yet at that epoch."""
+    if not 0 <= epoch_idx < len(epochs):
+        epoch_idx = min(max(epoch_idx, 0), len(epochs) - 1)
+    for c in epochs[epoch_idx]["columns"]:
+        if c["id"] == fid:
+            return c["name"]
+    return None
+
+
+def _schema_from_registry(head, registry) -> tuple[dict, dict[str, int], int]:
+    """(iceberg schema dict, top-level logical name->field-id,
+    last-column-id) built from the registry's CURRENT epoch — permanent
+    ids + logical names. A rename/drop with no subsequent data write is
+    pure metadata, so the head's newest footer still carries the OLD
+    physical names; sampling it (the pre-round-6 behavior) exported a
+    stale name under a fresh id, omitted the current logical name, and
+    resurfaced dropped columns. Types resolve per column: the declared
+    registry type (widen_column) wins; otherwise the newest dir whose
+    write-epoch mapping contains the field id supplies its physical
+    arrow field."""
+    import pyarrow.parquet as pq
+
+    epochs = registry["epochs"]
+    current = epochs[-1]["columns"]
+    dir_schemas = []  # newest first: (epoch_idx, arrow schema)
+    for d in reversed(head.data_dirs):
+        f0 = _first_parquet(d)
+        if f0:
+            dir_schemas.append(
+                (int(head.dir_epochs.get(d, 0)), pq.read_schema(f0))
+            )
+    counter = {
+        "v": int(
+            registry.get("last_field_id")
+            or max((c["id"] for c in current), default=0)
+        )
+    }
+
+    def next_id() -> int:
+        counter["v"] += 1
+        return counter["v"]
+
+    fields, name_to_id = [], {}
+    for c in current:
+        fid, name = int(c["id"]), c["name"]
+        name_to_id[name] = fid
+        itype, required = None, False
+        declared = c.get("type")
+        if declared:
+            itype = _declared_to_iceberg_type(declared)
+        if itype is None:
+            for epoch_idx, sch in dir_schemas:
+                phys = _physical_name(epochs, epoch_idx, fid)
+                if phys is None:
+                    continue
+                i = sch.get_field_index(phys)
+                if i >= 0:
+                    f = sch.field(i)
+                    itype = _arrow_to_iceberg_type(f.type, next_id)
+                    required = not f.nullable
+                    break
+        if itype is None:
+            raise ValueError(
+                f"column {name!r} (field id {fid}) has no declared type and "
+                "no data dir materializes it; cannot export its schema"
+            )
+        fields.append(
+            {"id": fid, "name": name, "required": required, "type": itype}
+        )
+    schema = {"type": "struct", "schema-id": 0, "fields": fields}
+    return schema, name_to_id, counter["v"]
+
+
 def _first_parquet(d: str) -> Optional[str]:
     try:
         names = sorted(os.listdir(d))
@@ -426,26 +528,30 @@ def export_iceberg_metadata(
     meta_dir = os.path.join(table.base_path, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
 
-    # Schema from the head snapshot's newest data dir (schema evolution
-    # is add-column; the newest dir carries the widest schema).
-    sample = None
-    for d in reversed(head.data_dirs):
-        sample = _first_parquet(d)
-        if sample:
-            break
-    if sample is None:
-        raise ValueError("no parquet files in the head snapshot")
     registry = (
         table._read_column_registry()
         if hasattr(table, "_read_column_registry")
         else None
     )
-    preassigned = (
-        {c["name"]: c["id"] for c in registry["epochs"][-1]["columns"]}
-        if registry
-        else None
-    )
-    schema, name_to_id, last_column_id = _schema_from_parquet(sample, preassigned)
+    if registry:
+        # Registry-honoring schema (ADVICE r5): current epoch's
+        # permanent ids + LOGICAL names — correct even when the last
+        # commit was a pure-metadata rename/drop/widen with no data
+        # write (the footer still carries old physical names then).
+        schema, name_to_id, last_column_id = _schema_from_registry(head, registry)
+    else:
+        # No registry (no evolution ever declared): schema from the
+        # head snapshot's newest data dir (schema evolution without a
+        # registry is add-column; the newest dir carries the widest
+        # schema).
+        sample = None
+        for d in reversed(head.data_dirs):
+            sample = _first_parquet(d)
+            if sample:
+                break
+        if sample is None:
+            raise ValueError("no parquet files in the head snapshot")
+        schema, name_to_id, last_column_id = _schema_from_parquet(sample, None)
 
     # Partition spec (field-ids from 1000, Iceberg's convention).
     spec_fields = []
@@ -468,7 +574,25 @@ def export_iceberg_metadata(
         for d in s.data_dirs:
             added_by.setdefault(d, s.snapshot_id)
 
-    # Shared per-dir data manifests.
+    # Shared per-dir data manifests. Harvested stats are keyed by each
+    # dir's PHYSICAL column names (its write epoch), so bounds for
+    # pre-rename dirs must map through that epoch's naming — the
+    # current-name map would silently drop them.
+    current_ids = set(name_to_id.values())
+
+    def _ids_for_dir(snap, d: str) -> dict[str, int]:
+        if not registry:
+            return name_to_id
+        epochs = registry["epochs"]
+        ep = int((snap.dir_epochs or {}).get(d, 0))
+        if not 0 <= ep < len(epochs):
+            ep = len(epochs) - 1
+        return {
+            c["name"]: int(c["id"])
+            for c in epochs[ep]["columns"]
+            if int(c["id"]) in current_ids
+        }
+
     manifest_meta: dict[str, dict] = {}  # dir -> {"path", "length", ...}
     for s in lineage:
         for d in s.data_dirs:
@@ -484,7 +608,7 @@ def export_iceberg_metadata(
             for rel in files:
                 fpath = os.path.join(d, rel)
                 st = fstats.get(rel, {})
-                lower, upper, nulls = _bounds_for(st or dstats, name_to_id)
+                lower, upper, nulls = _bounds_for(st or dstats, _ids_for_dir(s, d))
                 rows = None
                 for ent in (st or dstats).values():
                     if isinstance(ent, dict) and ent.get("rows") is not None:

@@ -1178,26 +1178,48 @@ class SnapshotTable:
         if head is None:
             raise LookupError(f"branch {branch!r} has no snapshots")
         # Physical types from parquet FOOTERS, newest dir first (first
-        # occurrence wins = the widest epoch). A merged Spark read
-        # would THROW here once dirs span widths (int vs bigint is not
-        # schema-mergeable) — exactly the state a second widen runs in.
-        by_name: dict[str, str] = {}
-        for d in reversed(self._load_snapshot(head).data_dirs):
+        # occurrence wins = the widest epoch), kept alongside each
+        # dir's write epoch so the lookup below can resolve the
+        # column's PHYSICAL name per epoch (after a rename the logical
+        # name no longer appears in older footers). A merged Spark
+        # read would THROW here once dirs span widths (int vs bigint
+        # is not schema-mergeable) — exactly the state a second widen
+        # runs in.
+        snap = self._load_snapshot(head)
+        dir_schemas: list[tuple[int, object]] = []  # newest first
+        for d in reversed(snap.data_dirs):
             f0 = _first_parquet_file(d)
             if not f0:
                 continue
             import pyarrow.parquet as _pq
 
-            for fld in _pq.read_schema(f0):
-                by_name.setdefault(fld.name, _arrow_simple_type(fld.type))
+            dir_schemas.append(
+                (int((snap.dir_epochs or {}).get(d, 0)), _pq.read_schema(f0))
+            )
         with self._commit_lock():
             reg = self._read_column_registry() or self._bootstrap_registry(branch)
-            cur = reg["epochs"][-1]["columns"]
+            epochs = reg["epochs"]
+            cur = epochs[-1]["columns"]
             names = [c["name"] for c in cur]
             if name not in names:
                 raise LookupError(f"no column {name!r} (have {names})")
             ent = next(c for c in cur if c["name"] == name)
-            cur_type = ent.get("type") or by_name.get(name)
+            cur_type = ent.get("type")
+            if cur_type is None:
+                for ep, sch in dir_schemas:
+                    ep = min(max(ep, 0), len(epochs) - 1)
+                    phys = next(
+                        (
+                            c["name"]
+                            for c in epochs[ep]["columns"]
+                            if c["id"] == ent["id"]
+                        ),
+                        None,
+                    )
+                    i = sch.get_field_index(phys) if phys else -1
+                    if i >= 0:
+                        cur_type = _arrow_simple_type(sch.field(i).type)
+                        break
             if not self._is_widening(cur_type, to_type):
                 raise ValueError(
                     f"cannot widen {name!r} from {cur_type!r} to {to_type!r}; "
@@ -1555,12 +1577,20 @@ class SnapshotTable:
                     f"branch {branch!r} is at snapshot {current}, "
                     f"expected {expected_parent}"
                 )
+        # Capture the registry epoch (and reconcile any new columns)
+        # BEFORE staging data: the df's column names were authored
+        # against the registry state at write start, so a rename/drop
+        # that commits DURING the (long) data write must not re-label
+        # this dir — stamping the pre-change epoch keeps the re-alias
+        # read correct, whereas stamping afterwards would register the
+        # old physical names as brand-new columns with fresh ids
+        # (silently splitting a renamed column's values on read).
+        write_epoch = self._registry_epoch_for_write(df)
         # Data lands OUTSIDE the lock (write-then-publish): writers
         # serialize only on the metadata swap, never on the Spark job.
         new_dirs, new_partitions, new_dir_stats, new_file_stats = (
             self._write_data_dirs(df, "snap")
         )
-        write_epoch = self._registry_epoch_for_write(df)
         new_epochs = (
             {d: write_epoch for d in new_dirs} if write_epoch is not None else {}
         )
@@ -1740,10 +1770,13 @@ class SnapshotTable:
         # Maintenance honors the declared layout: folded rows re-bucket
         # under the current partition spec (colocated joins and spec
         # pruning keep working across a fold).
+        # Epoch captured before staging for the same reason as write():
+        # the folded frame's names reflect the registry state now; a
+        # rename committing during the rewrite must not re-label it.
+        fold_epoch = self._registry_epoch_for_write(folded)
         new_dirs, new_parts, new_dir_stats, new_file_stats_map = (
             self._write_data_dirs(folded, "fold")
         )
-        fold_epoch = self._registry_epoch_for_write(folded)
         fold_epochs = (
             {d: fold_epoch for d in new_dirs} if fold_epoch is not None else {}
         )

@@ -188,11 +188,22 @@ class _Handler(BaseHTTPRequestHandler):
             return {}
         if path in ("/size", "/append", "/last_record"):
             stream, shard = req["stream"], int(req["shard"])
+            # Fast-fail before taking the flock (cheap rejection of
+            # stale tokens without contending on the file lock).
             leases.validate(stream, shard, req["token"])
             # Each call takes the local flock for its own duration: the
             # lease provides cross-client exclusion, the flock protects
             # against non-HTTP writers sharing the same directory.
             with inner.exclusive(stream, shard) as log:
+                # FENCING (ADVICE r5): re-validate while HOLDING the
+                # flock, immediately before the mutation. A request
+                # stalled past its lease (e.g. blocked on this very
+                # flock) would otherwise append after another client
+                # legitimately took the lease over — the takeover's own
+                # appends serialize through the same flock, so the
+                # stale holder always observes its replaced/expired
+                # token here and is rejected at write time.
+                leases.validate(stream, shard, req["token"])
                 if path == "/size":
                     return {"size": log.size()}
                 if path == "/append":

@@ -48,6 +48,8 @@ NAMES = [
     "multimodal_audio_energy",
     # round 5: anchor-capped minhash LSH, SemDeDup, evolved-table read
     "dedup_semdedup_ivf",
+    # round 6: explicit top-k BM25 (TakeOrderedAndProject proof)
+    "text_bm25_retrieval",
 ]
 
 _DETAIL_PREFIXES = (

@@ -241,3 +241,45 @@ def test_avro_codec_writes_real_ocf_manifests(table, spark):
             assert json.loads(df["lower_bounds"]["1"]) is not None
     assert saw_delete
     assert data_rows == 110  # same physical rows as the JSON export
+
+
+def test_export_honors_registry_without_subsequent_write(spark, tmp_path):
+    # ADVICE r5 (medium): a rename/drop/widen with NO data write after it
+    # is a pure-metadata commit — the newest footer still carries the old
+    # physical names. The export must follow the registry's current
+    # epoch: new logical name under the ORIGINAL field id, dropped
+    # column absent, declared widened type honored — and the pre-rename
+    # dir's bounds still keyed to the permanent field id.
+    from pyspark.sql import functions as F
+
+    from deathmetal_datalake_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl3"))
+    df = spark.range(10).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).cast("int").alias("v"),
+        F.lit("x").alias("junk"),
+    )
+    t.write(df, mode="overwrite")
+    t.rename_column("v", "value")
+    t.drop_column("junk")
+    t.widen_column("value", "long")
+    # NO write after the evolution: export must not sample the footer.
+    meta = _load(t.export_iceberg_metadata())
+    fields = {f["name"]: f for f in meta["schemas"][0]["fields"]}
+    assert set(fields) == {"k", "value"}  # logical names; junk gone
+    assert fields["value"]["id"] == 2  # permanent id preserved
+    assert fields["value"]["type"] == "long"  # declared widening wins
+    assert fields["k"]["type"] == "long"
+    # Bounds in the (pre-rename) dir's manifest resolve via the write
+    # epoch's physical naming to the permanent id of `value` (2).
+    mdir = os.path.join(t.base_path, "metadata")
+    manifests = [f for f in os.listdir(mdir) if f.startswith("manifest-")]
+    assert manifests
+    saw_value_bound = False
+    for m in manifests:
+        doc = _load(os.path.join(mdir, m))
+        for e in doc.get("entries", []):
+            lb = e["data_file"].get("lower_bounds") or {}
+            saw_value_bound = saw_value_bound or "2" in {str(k) for k in lb}
+    assert saw_value_bound, "pre-rename dir bounds lost their field-id mapping"

@@ -7,12 +7,47 @@ new operators honest by construction."""
 
 from __future__ import annotations
 
+import pyarrow.parquet as _pq
 import pytest
 
 from deathmetal_datalake_spark.plans import QUERIES
 from deathmetal_datalake_spark.plans.registry import release_caches
 
 SF = "/root/testdata/sf0.001"
+
+# Full physical schemas of the testdata tables, read once from the
+# parquet footers (pyarrow — avoids the events TIMESTAMP(NANOS) read
+# restriction). The pruning gate applies to tables wide enough that an
+# all-columns scan is distinguishable from a projecting one.
+_TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+_FULL_SCHEMA = {
+    t: frozenset(_pq.read_schema(f"{SF}/{t}.parquet").names) for t in _TABLES
+}
+_PRUNE_GATED = {t for t, s in _FULL_SCHEMA.items() if len(s) >= 5}
+
+# Queries allowed to read EVERY column of a gated table (none today:
+# full-row materializations in the catalog happen inside eager write
+# paths, not in the returned plan).
+_FULL_SCAN_OK: set[str] = set()
+
+
+def _parquet_scans(df):
+    """(rootPaths, requiredSchema column set) for every parquet file
+    scan in the executed plan, via the JVM plan tree — the plan's
+    toString truncates wide ReadSchemas, so string parsing would
+    under-count columns."""
+    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+    out = []
+    for i in range(leaves.size()):
+        node = leaves.apply(i)
+        if node.getClass().getSimpleName() == "FileSourceScanExec":
+            fields = frozenset(node.requiredSchema().fieldNames())
+            paths = node.relation().location().rootPaths().mkString(",")
+            out.append((paths, fields))
+    return out
 
 # Queries whose plan legitimately contains a broadcast nested-loop or
 # cross join: scalar-subquery frames (1 row), bounded band dims, and
@@ -50,6 +85,7 @@ _NONEQUI_OK = {
 def test_plan_is_scale_sane(spark, name):
     df = QUERIES[name](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = _parquet_scans(df)
     release_caches()
     # 1. No unbounded cartesian products outside the whitelist.
     if name not in _NONEQUI_OK:
@@ -58,3 +94,16 @@ def test_plan_is_scale_sane(spark, name):
     # 2. No row-at-a-time Python UDFs anywhere (Arrow batch ops show up
     #    as ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas).
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    # 3. Column pruning reaches every parquet scan: a scan over a gated
+    #    (>= 5 column) testdata table must read a STRICT subset of the
+    #    table's physical schema — an all-columns scan under a
+    #    projecting query means pruning broke.
+    if name in _FULL_SCAN_OK:
+        return
+    for paths, fields in scans:
+        for t in _PRUNE_GATED:
+            if f"{SF}/{t}.parquet" in paths:
+                assert not fields >= _FULL_SCHEMA[t], (
+                    f"{name}: scan of {t} reads all {len(fields)} columns "
+                    "(no column pruning)"
+                )

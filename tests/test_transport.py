@@ -711,3 +711,22 @@ def test_record_feed_group_start_over_remote_backend(spark, tmp_path):
         q.awaitTermination()
         got = sorted(r.data for r in spark.table("remote_group_start_sink").collect())
         assert got == sorted(f"live-{i}" for i in range(8))
+
+
+def test_lease_table_fences_stale_holder_at_write_time(tmp_path):
+    # ADVICE r5: validation happens both before AND while holding the
+    # append flock. A holder that validated, then stalled past its
+    # lease while another client took over, must fail the write-time
+    # re-check — its token was replaced.
+    import time as _time
+
+    from deathmetal_datalake_spark.streaming.shardlog_remote import _LeaseTable
+
+    lt = _LeaseTable(lease_s=0.2)
+    t1 = lt.acquire("s", 0)
+    lt.validate("s", 0, t1)  # the pre-flock check passes
+    _time.sleep(0.25)  # stall past the lease (e.g. blocked on the flock)
+    t2 = lt.acquire("s", 0)  # legitimate takeover
+    with pytest.raises(PermissionError):
+        lt.validate("s", 0, t1)  # write-time re-check rejects the stale holder
+    lt.validate("s", 0, t2)  # the new holder is unaffected
