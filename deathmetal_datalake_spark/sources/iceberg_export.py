@@ -27,17 +27,20 @@ Iceberg-v2-SHAPED metadata tree for a branch's lineage under
   content=2 (equality-delete) manifests with ``equality_ids``.
 
 SERIALIZATION: ``codec="json"`` (default) writes every file as JSON —
-hermetically inspectable, marked ``"file-codec": "json"``.
+hermetically inspectable, marked ``"file-codec": "json"`` (bounds stay
+JSON values there, a documented deviation of the inspection format).
 ``codec="avro"`` writes manifest lists and manifests as REAL Avro
 object container files through the JVM's org.apache.avro (the
 avro-1.12 jar Spark ships, reached via py4j — no Python Avro package
-needed), with Iceberg-style ``field-id`` props on every Avro field,
-content-specific entry schemas (delete manifests carry a required
-``equality_ids``), and manifest-level key/values in the OCF file
-metadata — metadata.json itself stays JSON, as in Iceberg proper.
-Remaining deviation in both codecs (marked in the emitted files):
-bounds are JSON-encoded values (``bounds-encoding``), not Iceberg's
-binary single-value serialization.
+needed) with the ICEBERG-SPEC schemas: spec field names and field-ids
+(manifest_entry 0/1/3/4/2; data_file 134/100/101/102/103/104/110/125/
+128/135; manifest_file 500-517), the key/value-record array encoding
+for non-string-key maps, the typed r102 partition struct with 1000+
+ids, and BINARY single-value bounds per spec Appendix D. The only
+Avro-codec deviations are spec-cited optional-field omissions (see
+the serialization section comment) — readers fill defaults via
+standard Avro schema resolution. metadata.json itself stays JSON, as
+in Iceberg proper.
 
 The export is read-only over the native manifests: it never moves a
 ref or touches data files, so it can run against a live table
@@ -46,9 +49,12 @@ ref or touches data files, so it can run against a live table
 
 from __future__ import annotations
 
+import datetime
 import hashlib
 import json
 import os
+import re
+import struct
 import uuid
 from typing import Optional
 
@@ -293,59 +299,95 @@ def _write_json(path: str, payload: dict) -> int:
 # Avro serialization (opt-in codec="avro"): real Apache Avro object
 # container files written through the JVM's org.apache.avro (the
 # avro-1.12 jar Spark ships), reached via py4j — no Python Avro
-# package needed. metadata.json stays JSON (it IS JSON in Iceberg);
-# manifest lists and manifests become .avro OCF with Iceberg-style
-# "field-id" props on every field and manifest-level key/values in
-# the OCF file metadata (how Iceberg stores "content", "schema", …).
-# Bound values stay JSON-encoded strings (map<string,string>, declared
-# by the bounds-encoding file-meta key) — the one remaining deviation
-# from Iceberg's binary single-value bounds.
+# package needed. metadata.json stays JSON (it IS JSON in Iceberg).
+#
+# SPEC-EXACT (round 6): field names, Iceberg "field-id" props, the
+# key/value-record array encoding for non-string-key maps
+# (logicalType "map", the spec's Avro representation of
+# map<int, binary>), the r102 typed partition struct with the 1000+
+# partition field ids, file_sequence_number, the full v2
+# manifest_file field set (ids 500-517), and BINARY single-value
+# bounds per the spec's Appendix D serialization (little-endian
+# ints/longs/floats/doubles, UTF-8 strings, date as days-from-epoch
+# int, timestamp as micros-from-epoch long, decimal as minimal
+# big-endian two's-complement unscaled value). Remaining deviations,
+# spec-cited: OPTIONAL data_file fields we have no source for are
+# omitted from the writer schema (column_sizes 108, value_counts 109,
+# nan_value_counts 137, key_metadata 131, split_offsets 132,
+# sort_order_id 140; likewise manifest_file partitions 507 and
+# key_metadata 519) — Avro schema resolution fills reader defaults
+# for writer-absent optional fields, the evolution rule Iceberg
+# itself relies on.
 # ---------------------------------------------------------------------------
 
-_AVRO_DATA_FILE_FIELDS = [
-    {"name": "content", "type": "int", "field-id": 134},
-    {"name": "file_path", "type": "string", "field-id": 100},
-    {"name": "file_format", "type": "string", "field-id": 101},
-    {
-        "name": "partition",
-        "type": {"type": "map", "values": "string"},
-        "field-id": 102,
-    },
-    {"name": "record_count", "type": "long", "field-id": 103},
-    {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
-    {
-        "name": "lower_bounds",
-        "type": {"type": "map", "values": "string"},
-        "field-id": 125,
-    },
-    {
-        "name": "upper_bounds",
-        "type": {"type": "map", "values": "string"},
-        "field-id": 128,
-    },
-    {
-        "name": "null_value_counts",
-        "type": {"type": "map", "values": "long"},
-        "field-id": 110,
-    },
-]
+
+def _kv_map(record_name: str, key_id: int, value_type, value_id: int) -> dict:
+    """Iceberg's Avro encoding of a non-string-key map: an array of
+    key/value records with logicalType "map" (spec: Avro schemas for
+    map<int, ...>)."""
+    return {
+        "type": "array",
+        "logicalType": "map",
+        "items": {
+            "type": "record",
+            "name": record_name,
+            "fields": [
+                {"name": "key", "type": "int", "field-id": key_id},
+                {"name": "value", "type": value_type, "field-id": value_id},
+            ],
+        },
+    }
+
+
+def _data_file_fields(partition_fields: list[dict]) -> list[dict]:
+    return [
+        {"name": "content", "type": "int", "field-id": 134},
+        {"name": "file_path", "type": "string", "field-id": 100},
+        {"name": "file_format", "type": "string", "field-id": 101},
+        {
+            "name": "partition",
+            "type": {"type": "record", "name": "r102", "fields": partition_fields},
+            "field-id": 102,
+        },
+        {"name": "record_count", "type": "long", "field-id": 103},
+        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        {
+            "name": "null_value_counts",
+            "type": _kv_map("k121_v122", 121, "long", 122),
+            "field-id": 110,
+        },
+        {
+            "name": "lower_bounds",
+            "type": _kv_map("k126_v127", 126, "bytes", 127),
+            "field-id": 125,
+        },
+        {
+            "name": "upper_bounds",
+            "type": _kv_map("k129_v130", 129, "bytes", 130),
+            "field-id": 128,
+        },
+    ]
+
 
 # Two content-specific entry schemas (as Iceberg manifests are per
 # content kind): delete entries carry a REQUIRED equality_ids array.
-# No unions anywhere — py4j auto-unboxes java.lang.Long back to Python
-# ints, and Avro's union resolution is strict by class while plain
-# long fields accept any Number; required fields sidestep the strict
-# path entirely (and match Iceberg, where record_count/file_size are
-# required).
+# Top-level scalar fields avoid unions — py4j auto-unboxes
+# java.lang.Long back to Python ints, and Avro's union resolution is
+# strict by class while plain numeric fields accept any Number.
+# (Iceberg's optional long fields accept a writer-required long via
+# standard schema resolution, so required-with-value stays mountable.)
+# The one union is the nullable partition value, where null is a real
+# state (__HIVE_DEFAULT_PARTITION__) and class-based resolution is
+# unambiguous.
 
 
-def _entry_schema(with_equality: bool) -> str:
-    fields = list(_AVRO_DATA_FILE_FIELDS)
+def _entry_schema(partition_fields: list[dict], with_equality: bool) -> str:
+    fields = _data_file_fields(partition_fields)
     if with_equality:
         fields = fields + [
             {
                 "name": "equality_ids",
-                "type": {"type": "array", "items": "int"},
+                "type": {"type": "array", "items": "int", "element-id": 136},
                 "field-id": 135,
             }
         ]
@@ -357,6 +399,7 @@ def _entry_schema(with_equality: bool) -> str:
                 {"name": "status", "type": "int", "field-id": 0},
                 {"name": "snapshot_id", "type": "long", "field-id": 1},
                 {"name": "sequence_number", "type": "long", "field-id": 3},
+                {"name": "file_sequence_number", "type": "long", "field-id": 4},
                 {
                     "name": "data_file",
                     "type": {"type": "record", "name": "r2", "fields": fields},
@@ -366,9 +409,6 @@ def _entry_schema(with_equality: bool) -> str:
         }
     )
 
-
-_AVRO_MANIFEST_ENTRY_SCHEMA = _entry_schema(False)
-_AVRO_DELETE_ENTRY_SCHEMA = _entry_schema(True)
 
 _AVRO_MANIFEST_FILE_SCHEMA = json.dumps(
     {
@@ -382,12 +422,116 @@ _AVRO_MANIFEST_FILE_SCHEMA = json.dumps(
             {"name": "sequence_number", "type": "long", "field-id": 515},
             {"name": "min_sequence_number", "type": "long", "field-id": 516},
             {"name": "added_snapshot_id", "type": "long", "field-id": 503},
-            {"name": "added_files_count", "type": "long", "field-id": 504},
-            {"name": "existing_files_count", "type": "long", "field-id": 505},
+            {"name": "added_files_count", "type": "int", "field-id": 504},
+            {"name": "existing_files_count", "type": "int", "field-id": 505},
+            {"name": "deleted_files_count", "type": "int", "field-id": 506},
             {"name": "added_rows_count", "type": "long", "field-id": 512},
+            {"name": "existing_rows_count", "type": "long", "field-id": 513},
+            {"name": "deleted_rows_count", "type": "long", "field-id": 514},
         ],
     }
 )
+
+
+def _avro_partition_fields(
+    spec_fields: list[dict], schema: dict
+) -> list[dict]:
+    """The r102 partition-struct Avro fields for the table's spec:
+    spec result types (bucket/year/month/day → int; identity → the
+    source column's primitive), nullable (__HIVE_DEFAULT_PARTITION__
+    is a real state), carrying the 1000+ partition field ids."""
+    by_id = {f["id"]: f for f in schema["fields"]}
+    out = []
+    for sf in spec_fields:
+        transform = sf["transform"]
+        if transform.startswith("bucket") or transform in ("year", "month", "day"):
+            avro_t: object = "int"
+        else:  # identity
+            src = by_id.get(sf["source-id"], {})
+            itype = src.get("type")
+            avro_t = {
+                "boolean": "boolean",
+                "int": "int",
+                "long": "long",
+                "float": "float",
+                "double": "double",
+                "string": "string",
+                "date": {"type": "int", "logicalType": "date"},
+            }.get(itype if isinstance(itype, str) else None, "string")
+        out.append(
+            {
+                "name": sf["name"],
+                "type": ["null", avro_t],
+                "default": None,
+                "field-id": sf["field-id"],
+            }
+        )
+    return out
+
+
+def _partition_java_value(avro_field: dict, raw):
+    """Convert a dir-name partition value (always a string, possibly
+    Hive's null sentinel) to the typed value its Avro field expects."""
+    if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    t = [x for x in avro_field["type"] if x != "null"][0]
+    logical = t.get("logicalType") if isinstance(t, dict) else None
+    base = t["type"] if isinstance(t, dict) else t
+    if logical == "date":
+        d = datetime.date.fromisoformat(str(raw)[:10])
+        return (d - datetime.date(1970, 1, 1)).days
+    if base in ("int", "long"):
+        return int(raw)
+    if base in ("float", "double"):
+        return float(raw)
+    if base == "boolean":
+        return str(raw).lower() in ("true", "1")
+    return str(raw)
+
+
+def _single_value_bytes(itype: Optional[str], v) -> Optional[bytes]:
+    """Iceberg single-value serialization (spec Appendix D) for the
+    bound value ``v`` of column type ``itype``; None = not encodable
+    (bounds are optional, omitting is always safe)."""
+    if v is None or itype is None or not isinstance(itype, str):
+        return None
+    try:
+        if itype == "boolean":
+            return b"\x01" if v in (True, "true", "True", 1) else b"\x00"
+        if itype == "int":
+            return struct.pack("<i", int(v))
+        if itype == "long":
+            return struct.pack("<q", int(v))
+        if itype == "float":
+            return struct.pack("<f", float(v))
+        if itype == "double":
+            return struct.pack("<d", float(v))
+        if itype == "date":
+            d = datetime.date.fromisoformat(str(v)[:10])
+            return struct.pack("<i", (d - datetime.date(1970, 1, 1)).days)
+        if itype.startswith("timestamp"):
+            s = str(v).replace("Z", "+00:00")
+            dt = datetime.datetime.fromisoformat(s)
+            if dt.tzinfo is not None:
+                dt = dt.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+            micros = (dt - datetime.datetime(1970, 1, 1)) // datetime.timedelta(
+                microseconds=1
+            )
+            return struct.pack("<q", micros)
+        if itype == "string":
+            return str(v).encode("utf-8")
+        m = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", itype)
+        if m:
+            from decimal import Decimal
+
+            unscaled = int(
+                Decimal(str(v)).scaleb(int(m.group(2))).to_integral_value()
+            )
+            n = max(1, (unscaled.bit_length() + 8) // 8)
+            return unscaled.to_bytes(n, "big", signed=True)
+    except (ValueError, OverflowError, ArithmeticError):
+        return None
+    return None
 
 
 def _jvm(table):
@@ -405,13 +549,6 @@ def _parquet_rows(path: str) -> int:
         return pq.ParquetFile(path).metadata.num_rows
     except Exception:
         return 0
-
-
-def _jmap(jvm, d):
-    m = jvm.java.util.HashMap()
-    for k, v in (d or {}).items():
-        m.put(str(k), v if isinstance(v, int) and not isinstance(v, bool) else str(v))
-    return m
 
 
 def _avro_write(jvm, path: str, schema_json: str, records, meta: dict, build) -> int:
@@ -432,18 +569,42 @@ def _avro_write(jvm, path: str, schema_json: str, records, meta: dict, build) ->
     return os.path.getsize(path)
 
 
-def _build_manifest_entry(jvm, schema, d) -> object:
+def _kv_list(jvm, item_schema, pairs) -> object:
+    """ArrayList of key/value GenericRecords — the Avro value for a
+    _kv_map field. ``pairs``: iterable of (int key, java-ready value);
+    pairs whose value is None are omitted."""
+    arr = jvm.java.util.ArrayList()
+    for k, v in pairs:
+        if v is None:
+            continue
+        kv = jvm.org.apache.avro.generic.GenericData.Record(item_schema)
+        kv.put("key", int(k))
+        kv.put("value", v)
+        arr.add(kv)
+    return arr
+
+
+def _build_manifest_entry(jvm, schema, d, fid_types: dict, part_fields: list) -> object:
     rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
     rec.put("status", int(d["status"]))
     rec.put("snapshot_id", int(d["snapshot_id"]))
     rec.put("sequence_number", int(d["sequence_number"]))
+    # Entries are written by their adding snapshot, so the data
+    # sequence number IS the file sequence number (spec: inherited
+    # from the manifest's sequence number at ADDED status).
+    rec.put("file_sequence_number", int(d["sequence_number"]))
     df_schema = schema.getField("data_file").schema()
     f = d["data_file"]
     sub = jvm.org.apache.avro.generic.GenericData.Record(df_schema)
     sub.put("content", int(f["content"]))
     sub.put("file_path", str(f["file_path"]))
     sub.put("file_format", str(f["file_format"]))
-    sub.put("partition", _jmap(jvm, {k: str(v) for k, v in (f.get("partition") or {}).items()}))
+    part_schema = df_schema.getField("partition").schema()
+    part = jvm.org.apache.avro.generic.GenericData.Record(part_schema)
+    raw_part = f.get("partition") or {}
+    for pf in part_fields:
+        part.put(pf["name"], _partition_java_value(pf, raw_part.get(pf["name"])))
+    sub.put("partition", part)
     rows = f.get("record_count")
     if rows is None:
         rows = _parquet_rows(f["file_path"])
@@ -452,18 +613,23 @@ def _build_manifest_entry(jvm, schema, d) -> object:
     if size is None:
         size = os.path.getsize(f["file_path"]) if os.path.exists(f["file_path"]) else 0
     sub.put("file_size_in_bytes", int(size))
-    sub.put(
-        "lower_bounds",
-        _jmap(jvm, {k: json.dumps(v) for k, v in (f.get("lower_bounds") or {}).items()}),
-    )
-    sub.put(
-        "upper_bounds",
-        _jmap(jvm, {k: json.dumps(v) for k, v in (f.get("upper_bounds") or {}).items()}),
-    )
+    nvc_item = df_schema.getField("null_value_counts").schema().getElementType()
     sub.put(
         "null_value_counts",
-        _jmap(jvm, {k: int(v) for k, v in (f.get("null_value_counts") or {}).items()}),
+        _kv_list(
+            jvm,
+            nvc_item,
+            ((int(k), int(v)) for k, v in (f.get("null_value_counts") or {}).items()),
+        ),
     )
+    for fld, src in (("lower_bounds", "lower_bounds"), ("upper_bounds", "upper_bounds")):
+        item = df_schema.getField(fld).schema().getElementType()
+        pairs = []
+        for k, v in (f.get(src) or {}).items():
+            b = _single_value_bytes(fid_types.get(int(k)), v)
+            if b is not None:
+                pairs.append((int(k), jvm.java.nio.ByteBuffer.wrap(b)))
+        sub.put(fld, _kv_list(jvm, item, pairs))
     if df_schema.getField("equality_ids") is not None:
         arr = jvm.java.util.ArrayList()
         for x in f.get("equality_ids") or []:
@@ -482,7 +648,14 @@ def _build_manifest_file(jvm, schema, d) -> object:
     rec.put("sequence_number", int(d["sequence_number"]))
     rec.put("min_sequence_number", int(d["min_sequence_number"]))
     rec.put("added_snapshot_id", int(d["added_snapshot_id"]))
-    for k in ("added_files_count", "existing_files_count", "added_rows_count"):
+    for k in (
+        "added_files_count",
+        "existing_files_count",
+        "deleted_files_count",
+        "added_rows_count",
+        "existing_rows_count",
+        "deleted_rows_count",
+    ):
         rec.put(k, int(d.get(k) or 0))
     return rec
 
@@ -499,10 +672,20 @@ def read_avro_records(spark, path: str) -> tuple[list[dict], dict]:
         while reader.hasNext():
             out.append(json.loads(reader.next().toString()))
         meta = {}
-        for k in ("content", "bounds-encoding", "sequence-number"):
+        for k in (
+            "content",
+            "sequence-number",
+            "format-version",
+            "partition-spec-id",
+            "snapshot-id",
+        ):
             v = reader.getMetaString(k)
             if v is not None:
                 meta[k] = v
+        # The writer schema (Avro stores it in the OCF header) — what a
+        # mounting engine actually resolves against; the structural
+        # spec test asserts its field names/ids.
+        meta["avro.schema"] = json.loads(reader.getSchema().toString())
         return out, meta
     finally:
         reader.close()
@@ -565,6 +748,19 @@ def export_iceberg_metadata(
             }
         )
     last_partition_id = 1000 + len(spec_fields) - 1 if spec_fields else 999
+
+    # Avro-codec machinery: per-export entry schemas (the partition
+    # struct is table-specific) and the field-id→type map that drives
+    # binary single-value bound serialization.
+    fid_types = {
+        f["id"]: f["type"] for f in schema["fields"] if isinstance(f["type"], str)
+    }
+    part_avro_fields = _avro_partition_fields(spec_fields, schema)
+    entry_schema_json = _entry_schema(part_avro_fields, False)
+    delete_entry_schema_json = _entry_schema(part_avro_fields, True)
+
+    def _entry_builder(jvm_, sch, d):
+        return _build_manifest_entry(jvm_, sch, d, fid_types, part_avro_fields)
 
     seq_of = {s.snapshot_id: i + 1 for i, s in enumerate(lineage)}
     # Which snapshot first ADDED each dir (for manifest added_snapshot_id
@@ -643,15 +839,20 @@ def export_iceberg_metadata(
                 length = _avro_write(
                     jvm,
                     mpath,
-                    _AVRO_MANIFEST_ENTRY_SCHEMA,
+                    entry_schema_json,
                     entries,
                     {
+                        # The OCF metadata keys Iceberg itself writes
+                        # on manifests, plus lineage breadcrumbs.
+                        "schema": json.dumps(schema),
+                        "partition-spec": json.dumps(spec_fields),
+                        "partition-spec-id": 0,
+                        "format-version": 2,
                         "content": "data",
                         "added-snapshot-id": adder,
                         "sequence-number": seq_of[adder],
-                        "bounds-encoding": "json-string",
                     },
-                    _build_manifest_entry,
+                    _entry_builder,
                 )
             else:
                 length = _write_json(
@@ -710,15 +911,19 @@ def export_iceberg_metadata(
                 length = _avro_write(
                     jvm,
                     mpath,
-                    _AVRO_DELETE_ENTRY_SCHEMA,
+                    delete_entry_schema_json,
                     entries,
                     {
+                        "schema": json.dumps(schema),
+                        "partition-spec": json.dumps(spec_fields),
+                        "partition-spec-id": 0,
+                        "format-version": 2,
                         "content": "deletes",
                         "added-snapshot-id": s.snapshot_id,
                         "sequence-number": seq_of[s.snapshot_id],
                         "equality-key": key,
                     },
-                    _build_manifest_entry,
+                    _entry_builder,
                 )
             else:
                 length = _write_json(
@@ -760,9 +965,14 @@ def export_iceberg_metadata(
                     "existing_files_count": 0
                     if mm["adder"] == s.snapshot_id
                     else mm["n_files"],
+                    "deleted_files_count": 0,
                     "added_rows_count": mm["n_rows"]
                     if mm["adder"] == s.snapshot_id
                     else 0,
+                    "existing_rows_count": 0
+                    if mm["adder"] == s.snapshot_id
+                    else mm["n_rows"],
+                    "deleted_rows_count": 0,
                 }
             )
         for (ddir, key), dm in delete_manifests.items():
@@ -788,7 +998,14 @@ def export_iceberg_metadata(
                 ml_path,
                 _AVRO_MANIFEST_FILE_SCHEMA,
                 manifests,
-                {"snapshot-id": s.snapshot_id},
+                {
+                    "format-version": 2,
+                    "snapshot-id": s.snapshot_id,
+                    "sequence-number": seq_of[s.snapshot_id],
+                    "parent-snapshot-id": s.parent_id
+                    if s.parent_id is not None
+                    else "null",
+                },
                 _build_manifest_file,
             )
         else:

@@ -232,15 +232,113 @@ def test_avro_codec_writes_real_ocf_manifests(table, spark):
             )
             continue
         assert fmeta.get("content") == "data"
-        assert fmeta.get("bounds-encoding") == "json-string"
         for e in entries:
             df = e["data_file"]
             assert os.path.exists(df["file_path"])
             data_rows += df["record_count"]
-            # Bounds survive the json-string map round-trip.
-            assert json.loads(df["lower_bounds"]["1"]) is not None
+            # Bounds are the spec's k/v-record arrays with BINARY
+            # single-value payloads; user_id (field id 1) is a long —
+            # 8 bytes little-endian (Avro's toString renders bytes as
+            # an ISO-8859-1-escaped JSON string).
+            lb = {kv["key"]: kv["value"] for kv in df["lower_bounds"]}
+            assert 1 in lb
+            import struct as _struct
+
+            lo = _struct.unpack("<q", lb[1].encode("latin-1"))[0]
+            assert 0 <= lo < 100  # user_id range in the fixture
     assert saw_delete
     assert data_rows == 110  # same physical rows as the JSON export
+
+
+_SPEC_ENTRY_IDS = {
+    "status": 0,
+    "snapshot_id": 1,
+    "sequence_number": 3,
+    "file_sequence_number": 4,
+    "data_file": 2,
+}
+_SPEC_DATA_FILE_IDS = {
+    "content": 134,
+    "file_path": 100,
+    "file_format": 101,
+    "partition": 102,
+    "record_count": 103,
+    "file_size_in_bytes": 104,
+    "null_value_counts": 110,
+    "lower_bounds": 125,
+    "upper_bounds": 128,
+}
+_SPEC_MANIFEST_FILE_IDS = {
+    "manifest_path": 500,
+    "manifest_length": 501,
+    "partition_spec_id": 502,
+    "content": 517,
+    "sequence_number": 515,
+    "min_sequence_number": 516,
+    "added_snapshot_id": 503,
+    "added_files_count": 504,
+    "existing_files_count": 505,
+    "deleted_files_count": 506,
+    "added_rows_count": 512,
+    "existing_rows_count": 513,
+    "deleted_rows_count": 514,
+}
+
+
+def test_avro_schemas_match_iceberg_spec_field_ids(table, spark):
+    # VERDICT r5 #3 done-criterion: structural validation of the Avro
+    # export against the Iceberg spec's record/field names and ids (no
+    # pyiceberg runtime needed — the writer schemas embedded in the OCF
+    # headers are what a mounting engine resolves against).
+    from deathmetal_datalake_spark.sources.iceberg_export import read_avro_records
+
+    meta = _load(table.export_iceberg_metadata(codec="avro"))
+    head_ml = meta["snapshots"][-1]["manifest-list"]
+    _, ml_meta = read_avro_records(spark, head_ml)
+    ml_schema = ml_meta["avro.schema"]
+    assert ml_schema["name"] == "manifest_file"
+    got = {f["name"]: f["field-id"] for f in ml_schema["fields"]}
+    assert got == _SPEC_MANIFEST_FILE_IDS
+
+    manifests, _ = read_avro_records(spark, head_ml)
+    data_m = [m for m in manifests if m["content"] == 0][0]
+    del_m = [m for m in manifests if m["content"] == 1][0]
+    _, fmeta = read_avro_records(spark, data_m["manifest_path"])
+    entry = fmeta["avro.schema"]
+    assert entry["name"] == "manifest_entry"
+    got = {f["name"]: f["field-id"] for f in entry["fields"]}
+    assert got == _SPEC_ENTRY_IDS
+    df_schema = next(f for f in entry["fields"] if f["name"] == "data_file")["type"]
+    assert df_schema["name"] == "r2"
+    got = {f["name"]: f["field-id"] for f in df_schema["fields"]}
+    assert got == _SPEC_DATA_FILE_IDS
+
+    # Non-string-key maps use the spec's k/v-record array encoding.
+    by_name = {f["name"]: f["type"] for f in df_schema["fields"]}
+    for fld, (kid, vid, vtype) in {
+        "null_value_counts": (121, 122, "long"),
+        "lower_bounds": (126, 127, "bytes"),
+        "upper_bounds": (129, 130, "bytes"),
+    }.items():
+        t = by_name[fld]
+        assert t["type"] == "array" and t.get("logicalType") == "map"
+        kv = {f["name"]: (f["field-id"], f["type"]) for f in t["items"]["fields"]}
+        assert kv["key"] == (kid, "int") and kv["value"] == (vid, vtype)
+
+    # Partition struct r102: typed fields carrying the 1000+ spec ids.
+    part = by_name["partition"]
+    assert part["name"] == "r102"
+    pf = part["fields"][0]
+    assert pf["field-id"] == 1000 and pf["type"] == ["null", "int"]  # bucket[4]
+
+    # Delete manifests: equality_ids with spec ids 135/136.
+    _, dmeta = read_avro_records(spark, del_m["manifest_path"])
+    ddf = next(
+        f for f in dmeta["avro.schema"]["fields"] if f["name"] == "data_file"
+    )["type"]
+    eq = next(f for f in ddf["fields"] if f["name"] == "equality_ids")
+    assert eq["field-id"] == 135
+    assert eq["type"]["items"] == "int" and eq["type"]["element-id"] == 136
 
 
 def test_export_honors_registry_without_subsequent_write(spark, tmp_path):

