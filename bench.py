@@ -117,6 +117,12 @@ BENCH_QUERIES = [
     # BM25 retrieval (rational-IDF, corpus-linear)
     "dedup_semdedup_ivf",
     "text_bm25_retrieval",
+    # round 6: broker-adapter group-consume replay (Kafka mapping with
+    # byte<->record offset translation; the fake broker is in-process,
+    # so unlike the HTTP twin this times the adapter itself)
+    "streaming_kafka_group_replay",
+    # round 6 (cont.): decimal-precision widening read (evolved epochs)
+    "catalog_decimal_widening_read",
     # NOT here: catalog_bloom_point_lookup — its runtime is ~80%
     # deliberate 7-write table construction + opt-in bloom harvest
     # (write-side costs the catalog family already represents via

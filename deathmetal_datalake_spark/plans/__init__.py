@@ -20,3 +20,17 @@ from deathmetal_datalake_spark.plans import snapshot_queries  # noqa: E402,F401
 from deathmetal_datalake_spark.plans import dq  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "register"]
+
+# Driver-sample freshness (r5 verdict #8): the per-round correctness
+# gate samples a PREFIX of this dict, and registration order is
+# chronological (oldest modules first) — two rounds running it sampled
+# the same 50 early names. Reverse in place so the newest operators
+# are driver-checked first; every reference shares these dict objects,
+# and the full catalog is still swept each round (docs/SWEEP_r0N.json).
+_rev_q = list(reversed(QUERIES.items()))
+QUERIES.clear()
+QUERIES.update(_rev_q)
+_rev_o = list(reversed(ORACLES.items()))
+ORACLES.clear()
+ORACLES.update(_rev_o)
+del _rev_q, _rev_o

@@ -1232,3 +1232,121 @@ def streaming_consumer_group_replay(spark: SparkSession, sf_dir: str) -> DataFra
         return spark.createDataFrame(result, schema=out.schema)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# BROKER-ADAPTER group-consume replay, driver-checked (round 6): the
+# same two-round production/consumption contract as the remote-HTTP
+# replay, but through the Kafka ShardLogBackend adapter — produce maps
+# to producer.send+ack, consumption is the GroupConsumer poll/commit
+# loop whose progress lands in the broker's NATIVE consumer-group
+# offset store (record indexes, translated back to byte offsets by the
+# adapter's boundary index). Round 2 must see only round-2 records
+# (committed offsets, not a Spark checkpoint, carry the progress) and
+# per-shard producer sequencing must survive the byte<->record
+# translation intact. Oracle: routing (md5-based shard hash), per-shard
+# sequencing, and per-run aggregates recomputed relationally.
+# ---------------------------------------------------------------------------
+
+_KTRANSPORT_N_SHARDS = 4
+_KTRANSPORT_MAX_ID = 800
+_KTRANSPORT_SPLIT_ID = 400
+
+_KTRANSPORT_SQL = f"""
+WITH produced AS (
+    SELECT event_id, user_id, event_type, value,
+           {sql_hash60("CAST(user_id AS VARCHAR)")} % {_KTRANSPORT_N_SHARDS} AS shard_id,
+           CASE WHEN event_id < {_KTRANSPORT_SPLIT_ID} THEN 1 ELSE 2 END AS run
+    FROM events WHERE event_id < {_KTRANSPORT_MAX_ID}
+),
+seqd AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY shard_id ORDER BY event_id) - 1 AS seq
+    FROM produced
+)
+SELECT run, shard_id,
+       COUNT(*) AS n_records,
+       COUNT(DISTINCT user_id) AS n_users,
+       {sql_dsum("value", "total_value")},
+       MAX(seq) AS max_seq,
+       CAST(0 AS BIGINT) AS order_violations
+FROM seqd GROUP BY run, shard_id
+"""
+
+
+@register("streaming_kafka_group_replay", oracle=_KTRANSPORT_SQL)
+def streaming_kafka_group_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from deathmetal_datalake_spark.streaming.kafka_fake import FakeKafkaCluster
+    from deathmetal_datalake_spark.streaming.shardlog_kafka import KafkaShardLog
+    from deathmetal_datalake_spark.streaming.transport import (
+        GroupConsumer,
+        RecordStreamTransport,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = (
+        ev.filter(F.col("event_id") < _KTRANSPORT_MAX_ID)
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+        .collect()
+    )
+    cluster = FakeKafkaCluster()
+    backend = KafkaShardLog(cluster)
+    transport = RecordStreamTransport("kafka://", backend=backend)
+    transport.create_stream("events", n_shards=_KTRANSPORT_N_SHARDS)
+    consumer = GroupConsumer(backend, "events", "replay")
+    consumed: list[tuple] = []
+    for lo, hi in (
+        (0, _KTRANSPORT_SPLIT_ID),
+        (_KTRANSPORT_SPLIT_ID, _KTRANSPORT_MAX_ID),
+    ):
+        for r in rows:
+            if lo <= r.event_id < hi:
+                transport.put_record(
+                    "events",
+                    str(r.user_id),
+                    f"{r.event_id},{r.user_id},{r.event_type},{r.value:.6f}",
+                )
+        # Drain the group's lag completely (the cap can split a drain
+        # into several polls at scale); each commit parks progress in
+        # the broker's group-offset store.
+        while True:
+            polled = consumer.poll()
+            consumer.commit()
+            if not polled:
+                break
+            for rec in polled:
+                consumed.append((rec["shard"], rec["seq"], rec["data"]))
+    raw = spark.createDataFrame(consumed, "shard_id int, seq long, data string")
+    f = F.split(F.col("data"), ",")
+    parsed = raw.select(
+        "shard_id",
+        "seq",
+        f.getItem(0).cast("long").alias("event_id"),
+        f.getItem(1).cast("long").alias("user_id"),
+        f.getItem(2).alias("event_type"),
+        f.getItem(3).cast("decimal(18,6)").alias("value"),
+    )
+    w = Window.partitionBy("shard_id").orderBy("seq")
+    out = (
+        parsed.withColumn("prev_id", F.lag("event_id").over(w))
+        .withColumn(
+            "run",
+            F.when(F.col("event_id") < _KTRANSPORT_SPLIT_ID, 1)
+            .otherwise(2)
+            .cast("int"),
+        )
+        .groupBy("run", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("value").cast("double").alias("total_value"),
+            F.max("seq").alias("max_seq"),
+            F.sum(F.when(F.col("prev_id") > F.col("event_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("order_violations"),
+        )
+    )
+    collected = out.collect()
+    return spark.createDataFrame(collected, schema=out.schema)

@@ -285,10 +285,18 @@ def _bounds_for(stats: dict, name_to_id: dict[str, int]) -> tuple[dict, dict, di
     return lower, upper, nulls
 
 
+def _json_default(o):
+    if isinstance(o, (bytes, bytearray)):
+        import base64
+
+        return {"b64": base64.b64encode(bytes(o)).decode()}
+    raise TypeError(f"not JSON-serializable: {type(o)}")
+
+
 def _write_json(path: str, payload: dict) -> int:
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
-        json.dump(payload, f, indent=1, sort_keys=True)
+        json.dump(payload, f, indent=1, sort_keys=True, default=_json_default)
     os.replace(tmp, path)
     return os.path.getsize(path)
 
@@ -314,8 +322,8 @@ def _write_json(path: str, payload: dict) -> int:
 # spec-cited: OPTIONAL data_file fields we have no source for are
 # omitted from the writer schema (column_sizes 108, value_counts 109,
 # nan_value_counts 137, key_metadata 131, split_offsets 132,
-# sort_order_id 140; likewise manifest_file partitions 507 and
-# key_metadata 519) — Avro schema resolution fills reader defaults
+# sort_order_id 140 — manifest_file key_metadata 519) — Avro schema
+# resolution fills reader defaults
 # for writer-absent optional fields, the evolution rule Iceberg
 # itself relies on.
 # ---------------------------------------------------------------------------
@@ -428,9 +436,91 @@ _AVRO_MANIFEST_FILE_SCHEMA = json.dumps(
             {"name": "added_rows_count", "type": "long", "field-id": 512},
             {"name": "existing_rows_count", "type": "long", "field-id": 513},
             {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+            {
+                # Per-partition-field summaries (spec field_summary):
+                # lets an external planner prune manifests without
+                # opening them. One manifest = one partition-value dir
+                # here, so lower == upper == that dir's value.
+                "name": "partitions",
+                "type": [
+                    "null",
+                    {
+                        "type": "array",
+                        "element-id": 508,
+                        "items": {
+                            "type": "record",
+                            "name": "r508",
+                            "fields": [
+                                {
+                                    "name": "contains_null",
+                                    "type": "boolean",
+                                    "field-id": 509,
+                                },
+                                {
+                                    "name": "contains_nan",
+                                    "type": ["null", "boolean"],
+                                    "default": None,
+                                    "field-id": 518,
+                                },
+                                {
+                                    "name": "lower_bound",
+                                    "type": ["null", "bytes"],
+                                    "default": None,
+                                    "field-id": 510,
+                                },
+                                {
+                                    "name": "upper_bound",
+                                    "type": ["null", "bytes"],
+                                    "default": None,
+                                    "field-id": 511,
+                                },
+                            ],
+                        },
+                    },
+                ],
+                "default": None,
+                "field-id": 507,
+            },
         ],
     }
 )
+
+
+def _spec_result_type(sf: dict, schema: dict) -> Optional[str]:
+    """Iceberg result type of a partition-spec field (what its
+    field_summary bounds encode as): bucket/year/month/day -> int,
+    identity -> the source column's primitive type."""
+    t = sf["transform"]
+    if t.startswith("bucket") or t in ("year", "month", "day"):
+        return "int"
+    src = next(
+        (f for f in schema["fields"] if f["id"] == sf["source-id"]), None
+    )
+    ty = src.get("type") if src else None
+    return ty if isinstance(ty, str) else None
+
+
+def _partition_summaries(
+    spec_fields: list[dict], schema: dict, raw_part: dict
+) -> list[dict]:
+    """field_summary rows for ONE dir's partition values (raw strings
+    from the dir name; Hive's sentinel means null)."""
+    out = []
+    for sf in spec_fields:
+        raw = (raw_part or {}).get(sf["name"])
+        is_null = raw is None or raw == "__HIVE_DEFAULT_PARTITION__"
+        b = None
+        if not is_null:
+            b = _single_value_bytes(_spec_result_type(sf, schema), raw)
+        out.append(
+            {
+                "contains_null": bool(is_null),
+                "contains_nan": None,
+                "lower_bound": b,
+                "upper_bound": b,
+            }
+        )
+    return out
 
 
 def _avro_partition_fields(
@@ -657,6 +747,25 @@ def _build_manifest_file(jvm, schema, d) -> object:
         "deleted_rows_count",
     ):
         rec.put(k, int(d.get(k) or 0))
+    summaries = d.get("partitions")
+    if summaries is not None and schema.getField("partitions") is not None:
+        # ["null", array<r508>] union: take the array branch's element.
+        arr_schema = [
+            s
+            for s in schema.getField("partitions").schema().getTypes()
+            if s.getType().getName() == "array"
+        ][0]
+        item = arr_schema.getElementType()
+        arr = jvm.java.util.ArrayList()
+        for s in summaries:
+            r = jvm.org.apache.avro.generic.GenericData.Record(item)
+            r.put("contains_null", bool(s["contains_null"]))
+            r.put("contains_nan", s.get("contains_nan"))
+            for b in ("lower_bound", "upper_bound"):
+                v = s.get(b)
+                r.put(b, None if v is None else jvm.java.nio.ByteBuffer.wrap(v))
+            arr.add(r)
+        rec.put("partitions", arr)
     return rec
 
 
@@ -870,6 +979,11 @@ def export_iceberg_metadata(
                 "length": length,
                 "adder": adder,
                 "n_files": len(entries),
+                "partitions": _partition_summaries(
+                    spec_fields, schema, (s.dir_partitions or {}).get(d, {})
+                )
+                if spec_fields
+                else None,
                 "n_rows": sum(e["data_file"]["record_count"] or 0 for e in entries),
             }
 
@@ -973,6 +1087,7 @@ def export_iceberg_metadata(
                     if mm["adder"] == s.snapshot_id
                     else mm["n_rows"],
                     "deleted_rows_count": 0,
+                    "partitions": mm["partitions"],
                 }
             )
         for (ddir, key), dm in delete_manifests.items():

@@ -1,4 +1,6 @@
-"""In-memory fake of the ``kafka-python`` client surface, call-exact.
+"""In-memory fake of the ``kafka-python`` client surface, call-exact —
+the broker stand-in for environments without a broker (this one), the
+Kafka sibling of :class:`transport.InMemoryShardLog`.
 
 The :class:`deathmetal_datalake_spark.streaming.shardlog_kafka.KafkaShardLog`
 adapter is written against exactly the names and signatures below —

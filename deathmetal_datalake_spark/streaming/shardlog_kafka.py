@@ -29,7 +29,7 @@ values) and translate back to bytes on read.
 NO BROKER SHIPS IN THIS ENVIRONMENT: construct with any object
 exposing ``.admin()``, ``.producer()``, ``.consumer(group_id=)``
 returning clients with the exact ``kafka-python`` call surface —
-``tests/fake_kafka.py`` provides the contract-suite fake, and
+``streaming/kafka_fake.py`` provides the contract-suite fake, and
 :func:`kafka_python_clients` builds the same trio from the real
 ``kafka`` package when it is installed (pure configuration swap).
 """
@@ -57,7 +57,7 @@ def kafka_python_clients(bootstrap_servers: str):
     except ImportError as exc:  # pragma: no cover - environment-bound
         raise ImportError(
             "kafka-python is not installed; pass a client factory with "
-            "the same call surface (see tests/fake_kafka.py)"
+            "the same call surface (see streaming/kafka_fake.py)"
         ) from exc
 
     from kafka import TopicPartition

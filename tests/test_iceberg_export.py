@@ -282,6 +282,7 @@ _SPEC_MANIFEST_FILE_IDS = {
     "added_rows_count": 512,
     "existing_rows_count": 513,
     "deleted_rows_count": 514,
+    "partitions": 507,
 }
 
 
@@ -300,8 +301,31 @@ def test_avro_schemas_match_iceberg_spec_field_ids(table, spark):
     got = {f["name"]: f["field-id"] for f in ml_schema["fields"]}
     assert got == _SPEC_MANIFEST_FILE_IDS
 
+    # field_summary (r508): spec ids 509/518/510/511 under partitions.
+    part_field = next(f for f in ml_schema["fields"] if f["name"] == "partitions")
+    arr = [t for t in part_field["type"] if isinstance(t, dict)][0]
+    assert arr["element-id"] == 508
+    fs = {f["name"]: f["field-id"] for f in arr["items"]["fields"]}
+    assert fs == {
+        "contains_null": 509,
+        "contains_nan": 518,
+        "lower_bound": 510,
+        "upper_bound": 511,
+    }
+
     manifests, _ = read_avro_records(spark, head_ml)
     data_m = [m for m in manifests if m["content"] == 0][0]
+    # The summary VALUE: one bucket[4] field, lower == upper == the
+    # dir's bucket, int32 little-endian.
+    summ = data_m["partitions"][0]
+    assert summ["contains_null"] is False
+    import struct as _struct2
+
+    bucket = _struct2.unpack("<i", summ["lower_bound"]["bytes"].encode("latin-1"))[0] \
+        if isinstance(summ["lower_bound"], dict) else \
+        _struct2.unpack("<i", summ["lower_bound"].encode("latin-1"))[0]
+    assert 0 <= bucket < 4
+    assert summ["lower_bound"] == summ["upper_bound"]
     del_m = [m for m in manifests if m["content"] == 1][0]
     _, fmeta = read_avro_records(spark, data_m["manifest_path"])
     entry = fmeta["avro.schema"]

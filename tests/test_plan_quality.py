@@ -107,3 +107,19 @@ def test_plan_is_scale_sane(spark, name):
                     f"{name}: scan of {t} reads all {len(fields)} columns "
                     "(no column pruning)"
                 )
+
+
+def test_catalog_index_is_current():
+    # docs/CATALOG.md is generated from the registry
+    # (tools/gen_catalog_index.py); this pins doc/code drift — if a
+    # query is added/moved without regenerating, the diff shows here.
+    import pathlib
+
+    from tools.gen_catalog_index import render
+
+    committed = (
+        pathlib.Path(__file__).resolve().parent.parent / "docs" / "CATALOG.md"
+    ).read_text()
+    assert committed == render(), (
+        "docs/CATALOG.md is stale — run `python tools/gen_catalog_index.py`"
+    )

@@ -747,7 +747,7 @@ class TestKafkaShardLog(ShardLogContract):
         from deathmetal_datalake_spark.streaming.shardlog_kafka import (
             KafkaShardLog,
         )
-        from tests.fake_kafka import FakeKafkaCluster
+        from deathmetal_datalake_spark.streaming.kafka_fake import FakeKafkaCluster
 
         cluster = _FAKE_CLUSTERS.setdefault(str(tmp_path), FakeKafkaCluster())
         return KafkaShardLog(cluster)
@@ -763,7 +763,7 @@ def test_producer_sdk_and_group_consumer_over_kafka_adapter(tmp_path):
         GroupConsumer,
         RecordStreamTransport,
     )
-    from tests.fake_kafka import FakeKafkaCluster
+    from deathmetal_datalake_spark.streaming.kafka_fake import FakeKafkaCluster
 
     cluster = FakeKafkaCluster()
     backend = KafkaShardLog(cluster)
