@@ -122,7 +122,10 @@ BENCH_QUERIES = [
     # so unlike the HTTP twin this times the adapter itself)
     "streaming_kafka_group_replay",
     # round 6 (cont.): decimal-precision widening read (evolved epochs)
+    # + unigram log-frequency fluency scoring (CCNet-style perplexity
+    # proxy, integer-exact floor-log2 buckets)
     "catalog_decimal_widening_read",
+    "text_unigram_logfreq_score",
     # NOT here: catalog_bloom_point_lookup — its runtime is ~80%
     # deliberate 7-write table construction + opt-in bloom harvest
     # (write-side costs the catalog family already represents via
@@ -168,6 +171,7 @@ _HASH_DRAIN = {
     "catalog_delete_takedown",
     "catalog_changes_cdc",
     "catalog_bucket_colocated_join",
+    "text_unigram_logfreq_score",
 }
 
 

@@ -15,10 +15,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from deathmetal_datalake_spark.plans.registry import (
+    davg,
     hash60,
     register,
     session_cache,
     spread,
+    sql_davg,
     sql_hash60,
 )
 from deathmetal_datalake_spark.sources.tables import load_table
@@ -2164,4 +2166,68 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.expr("nullif(n_docs - n_members, 0)"),
             6,
         ).alias("fp_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication matrix (round 6) — corpus forensics: which
+# SOURCES duplicate each other? Every MinHash-LSH near-dup pair is
+# labeled with its endpoints' sources (canonical ordering so (a,b) and
+# (b,a) are one cell) and rolled up to a source x source matrix with
+# the mean estimated Jaccard per cell. Off-diagonal mass = mirror
+# sites / syndication / cross-posting; diagonal mass = within-source
+# boilerplate. The number a crawl team reads before deciding which
+# feed to drop.
+#
+# Scale: O(near-dup pairs) on top of the existing bucket-bounded LSH
+# pipeline, plus two joins against a (doc_id, source) projection —
+# narrow build side, map-side combinable rollup. Never all-pairs.
+# ---------------------------------------------------------------------------
+
+_SOURCE_CROSSRATE_SQL = f"""
+WITH mh AS ({_LSH_SQL}),
+src AS (
+    SELECT doc_id, source FROM documents
+),
+labeled AS (
+    SELECT LEAST(sa.source, sb.source) AS source_a,
+           GREATEST(sa.source, sb.source) AS source_b,
+           m.est_jaccard
+    FROM mh m
+    JOIN src sa ON sa.doc_id = m.doc_a
+    JOIN src sb ON sb.doc_id = m.doc_b
+)
+SELECT source_a, source_b,
+       COUNT(*) AS n_pairs,
+       {sql_davg("est_jaccard", "mean_est_jaccard")}
+FROM labeled GROUP BY source_a, source_b
+"""
+
+
+@register("dedup_source_crossrate", oracle=_SOURCE_CROSSRATE_SQL)
+def dedup_source_crossrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sig = session_cache(_minhash_columns(_hashed_shingles(docs)))
+    pairs = _minhash_estimates(_minhash_band_candidates(sig), sig).filter(
+        F.col("est_jaccard") >= _EST_THRESHOLD
+    )
+    src = docs.select("doc_id", "source")
+    labeled = (
+        pairs.join(src.withColumnRenamed("source", "sa"), pairs.doc_a == src.doc_id)
+        .drop("doc_id")
+        .join(
+            src.withColumnRenamed("source", "sb").withColumnRenamed(
+                "doc_id", "doc_id_b"
+            ),
+            F.col("doc_b") == F.col("doc_id_b"),
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "est_jaccard",
+        )
+    )
+    return labeled.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        davg("est_jaccard", "mean_est_jaccard"),
     )

@@ -1289,3 +1289,103 @@ def events_countmin_user_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_est",
         (F.col("n_est") - F.col("n_exact")).alias("overestimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hash-sampled quantile audit (round 6) — the quantile sibling of
+# events_sampled_cardinality: per event type, the EXACT p50/p90 of
+# `value` against the p50/p90 of a DETERMINISTIC hash sample
+# (hash60(event_id) % rate == 0 — reproducible in any engine, unlike
+# random sampling or Spark's approx_percentile whose result depends on
+# partitioning). Quantile = k-th smallest with k = ceil(p·n) (the
+# discrete lower quantile): NO interpolation arithmetic, so both
+# engines pick the identical stored 2-decimal value and equality is
+# bit-exact.
+#
+# Scale role: the exact side is the AUDIT baseline (a per-group sort —
+# affordable offline, not something you run on 100 TB hourly); the
+# production path is the sampled side, whose input is rate× smaller.
+# This op exists to CALIBRATE the rate: the emitted abs/rel errors are
+# themselves oracle-checked, so a rate change that degrades quantile
+# fidelity shows up as data, not vibes.
+# ---------------------------------------------------------------------------
+
+_QS_RATE = 4  # keep 1/4 of events — deterministic by event-id hash
+
+_SAMPLED_QUANTILE_SQL = f"""
+WITH ranked AS (
+    SELECT event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+),
+exact_q AS (
+    SELECT event_type, MAX(n) AS n,
+           MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN value END) AS exact_p50,
+           MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT) THEN value END) AS exact_p90
+    FROM ranked GROUP BY event_type
+),
+sranked AS (
+    SELECT event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+    WHERE {sql_hash60("'q:' || CAST(event_id AS VARCHAR)")} % {_QS_RATE} = 0
+),
+sample_q AS (
+    SELECT event_type, MAX(n) AS n_sampled,
+           MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN value END) AS est_p50,
+           MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT) THEN value END) AS est_p90
+    FROM sranked GROUP BY event_type
+)
+SELECT e.event_type,
+       e.n, s.n_sampled,
+       e.exact_p50, s.est_p50,
+       ROUND(ABS(s.est_p50 - e.exact_p50), 6) AS abs_err_p50,
+       e.exact_p90, s.est_p90,
+       ROUND(ABS(s.est_p90 - e.exact_p90), 6) AS abs_err_p90
+FROM exact_q e LEFT JOIN sample_q s USING (event_type)
+"""
+
+
+def _discrete_quantiles(ev: DataFrame, label_n: str, l50: str, l90: str) -> DataFrame:
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    pick = lambda p: F.max(  # noqa: E731
+        F.when(
+            F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("long"),
+            F.col("value"),
+        )
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("n").alias(label_n),
+        pick(0.5).alias(l50),
+        pick(0.9).alias(l90),
+    )
+
+
+@register("events_sampled_quantile_error", oracle=_SAMPLED_QUANTILE_SQL)
+def events_sampled_quantile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    exact = _discrete_quantiles(ev, "n", "exact_p50", "exact_p90")
+    h = hash60(F.concat(F.lit("q:"), F.col("event_id").cast("string")))
+    sample = _discrete_quantiles(
+        ev.filter(h % _QS_RATE == 0), "n_sampled", "est_p50", "est_p90"
+    )
+    return exact.join(sample, "event_type", "left").select(
+        "event_type",
+        "n",
+        "n_sampled",
+        "exact_p50",
+        "est_p50",
+        F.round(F.abs(F.col("est_p50") - F.col("exact_p50")), 6).alias("abs_err_p50"),
+        "exact_p90",
+        "est_p90",
+        F.round(F.abs(F.col("est_p90") - F.col("exact_p90")), 6).alias("abs_err_p90"),
+    )

@@ -13,7 +13,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from deathmetal_datalake_spark.plans.registry import hash60, register, spread, sql_hash60
+from deathmetal_datalake_spark.plans.registry import (
+    davg,
+    hash60,
+    register,
+    spread,
+    sql_davg,
+    sql_hash60,
+)
 from deathmetal_datalake_spark.sources.tables import load_table
 
 _STOPWORDS = ["the", "a", "and", "of", "to", "in"]
@@ -1199,4 +1206,61 @@ def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
     return top.withColumn("rank", F.row_number().over(w)).select(
         "doc_id", "n_terms_hit", F.col("bm25").cast("double").alias("bm25"), "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram log-frequency fluency score (round 6) — the CCNet-style
+# perplexity-proxy quality signal: score each document by the average
+# corpus log-frequency of its tokens. Fluent text is built from common
+# tokens (high mean), gibberish/boilerplate-noise from rare ones (low
+# mean, many hapaxes). Transcendental log() is NOT correctly rounded
+# across libms (the BM25 lesson), so the "log" here is the INTEGER
+# floor(log2(count)) computed as binary-digit count minus one —
+# bit-exact in both engines (Spark `bin()`, DuckDB `printf('%b')`).
+#
+# 100 TB shape: one map-side-combinable shuffle builds the vocabulary
+# frequency table; the token->frequency join shuffles on token — the
+# build side has ONE row per token, so stopword-skew lands on the
+# probe side only (AQE skew-split handles it; no C(s,2) blowup is
+# possible on a 1:N join). No broadcast: a web-scale vocabulary does
+# not fit an executor.
+# ---------------------------------------------------------------------------
+
+_LOGFREQ_SQL = rf"""
+WITH tok AS (
+    SELECT doc_id, UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS token
+    FROM documents
+),
+freq AS (
+    SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       {sql_davg("LENGTH(printf('%b', cnt)) - 1", "mean_logfreq")},
+       CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+FROM tok JOIN freq USING (token)
+GROUP BY doc_id
+"""
+
+
+@register("text_unigram_logfreq_score", oracle=_LOGFREQ_SQL)
+def text_unigram_logfreq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    bucket = F.length(F.expr("bin(cnt)")) - 1
+    return (
+        toks.join(freq, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            davg(bucket, "mean_logfreq"),
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hapax"),
+        )
     )
