@@ -97,7 +97,11 @@ BENCH_QUERIES = [
     "dedup_graph_triangles",
     "similarity_dim_truncation_recall",
     "pipeline_daily_increment",
-    "events_gap_filled_5min",
+    # (events_gap_filled_5min rotated out in round 6 to keep the
+    # compact stdout line under the driver's 2000-char tail capture
+    # with per-query medians intact — the events family keeps four
+    # representatives and the gap-fill two-scale history lives in
+    # docs/BENCH_FULL.json through r5.)
     # late round 3: row-level deletes + CDC over the versioned table
     "catalog_delete_takedown",
     "catalog_changes_cdc",
@@ -292,10 +296,10 @@ def main() -> None:
             "ratio_vs_base": payload["scale"]["ratio_vs_base"],
         }
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:  # never overflow the capture again: degrade, don't die
+    if len(line) > 1950:  # never overflow the capture again: degrade, don't die
         compact["queries"] = {k: round(v, 1) for k, v in compact["queries"].items()}
         line = json.dumps(compact, separators=(",", ":"))
-        if len(line) > 1900:
+        if len(line) > 1950:
             compact.pop("queries")
             compact["queries_in"] = "docs/BENCH_FULL.json"
             line = json.dumps(compact, separators=(",", ":"))
