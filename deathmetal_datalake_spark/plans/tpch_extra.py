@@ -536,3 +536,109 @@ def tpch_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal", "totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q12: shipping-mode line counts — conditional two-bucket counts per
+# categorical, gated on a lateness predicate. The driver schema has no
+# l_shipmode/l_commitdate/l_receiptdate, so the shape is preserved with
+# l_returnflag as the mode axis (restricted to two values, as the
+# canonical query binds two modes) and "shipped more than 60 days after
+# the order date" as the lateness condition (commit < receipt analog).
+# Reference parity: scripts/trino_create_tables.sql exposes the same
+# star schema for exactly this class of ad-hoc ops query.
+# ---------------------------------------------------------------------------
+
+_Q12_SQL = """
+SELECT l_returnflag AS ship_class,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_returnflag IN ('A', 'N')
+  AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY ship_class
+"""
+
+
+@register("tpch_q12_shipmode_priority", oracle=_Q12_SQL)
+def tpch_q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    # Both date bounds on l_shipdate push to the parquet scan; the
+    # lateness predicate (column-vs-column) applies post-join. One
+    # shuffle on orderkey, then a partial-agg shuffle on the 2-value
+    # mode axis.
+    lines = li.filter(
+        F.col("l_returnflag").isin("A", "N")
+        & (F.col("l_shipdate") >= F.expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
+    )
+    joined = lines.join(orders, lines.l_orderkey == orders.o_orderkey).filter(
+        F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return joined.groupBy(F.col("l_returnflag").alias("ship_class")).agg(
+        F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q14: promotion revenue share — conditional share of an exact decimal
+# sum over a one-year ship window (p_type carries the promo axis
+# directly in the driver schema; the canonical LIKE 'PROMO%' reduces to
+# equality on its single-token types). Double division only at the end,
+# per the q8 convention.
+# ---------------------------------------------------------------------------
+
+_Q14_SQL = """
+WITH joined AS (
+    SELECT CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS volume,
+           p_type
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+)
+SELECT ROUND(
+         100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN volume
+                               ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+         / CAST(SUM(volume) AS DOUBLE), 6) AS promo_revenue_pct
+FROM joined
+"""
+
+
+@register("tpch_q14_promo_effect", oracle=_Q14_SQL)
+def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    # part is scale-proportional: no pinned broadcast (AQE broadcasts it
+    # at small SF, falls back to a shuffle join at the 100 TB point).
+    vol = (
+        li.filter(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
+        )
+        .join(part, li.l_partkey == part.p_partkey)
+        .select(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(18,6)")
+            .alias("volume"),
+            "p_type",
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    return vol.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type").like("PROMO%"), F.col("volume")).otherwise(zero))
+            .cast("double")
+            / F.sum("volume").cast("double"),
+            6,
+        ).alias("promo_revenue_pct")
+    )
