@@ -1461,3 +1461,307 @@ def dedup_semdedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         same.cast("long").alias("n_same_label"),
         F.round(same / F.count(F.lit(1)).cast("double"), 6).alias("label_precision"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-bound ANN compression used at
+# the 100 TB design point (Jégou et al., "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011): split each vector into M
+# subvectors, quantize each against a per-subspace codebook of K
+# codewords, and answer queries with asymmetric distance computation
+# (ADC) — a per-query lookup table of exact subspace distances, summed
+# over the stored codes. A 64-dim float vector compresses to M=4 bytes;
+# the query scan touches ONLY the codes, never the raw vectors.
+#
+# Codebooks here are seeded from corpus exemplars (the kmeans-family
+# _KM_MOD/_KM_REM/_KM_CAP subset — 16 codewords per subspace at every
+# scale); refining them with Lloyd rounds is the already-implemented
+# kmeans_converged_assignments loop and is orthogonal to the PQ
+# encode/ADC machinery verified here.
+#
+# Cross-engine determinism: subspace L2² is the sequential
+# zip-diff-square sum (Spark zip_with+aggregate ≡ DuckDB
+# list_zip+list_transform+list_dot_product), rounded to 6dp before any
+# comparison; code assignment ties break on codeword id; ADC sums the
+# rounded per-subspace distances as DECIMAL(18,6) (associative ⇒
+# partition-order-free); top-k carries the vec_id tie-break.
+#
+# Scale shape: the codebook (M·K = 64 rows) and the per-query LUT
+# (|queries|·M·K ≤ 2,560 rows) are broadcast; encode is one linear
+# scan producing n·M code rows; ADC is a broadcast hash join of codes
+# against the LUT followed by a partial-agg shuffle on (query_id,
+# vec_id) — no pairwise vector math at query time and no shuffle of
+# the embedding table itself.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4  # subspaces
+_PQ_SUB = _EMB_DIM // _PQ_M  # dims per subspace (16)
+_PQ_TOP = 10
+
+_PQ_L2 = (
+    "ROUND(list_dot_product("
+    "list_transform(list_zip({a}, {b}), p -> p[1] - p[2]), "
+    "list_transform(list_zip({a}, {b}), p -> p[1] - p[2])), 6)"
+)
+
+_PQ_BASE_SQL = f"""
+vecs AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+ms AS (SELECT UNNEST(range({_PQ_M})) AS m),
+subs AS (
+    SELECT vec_id, ms.m,
+           emb[ms.m * {_PQ_SUB} + 1 : ms.m * {_PQ_SUB} + {_PQ_SUB}] AS sub
+    FROM vecs, ms
+),
+cw AS (
+    SELECT vec_id AS cid, ms.m,
+           emb[ms.m * {_PQ_SUB} + 1 : ms.m * {_PQ_SUB} + {_PQ_SUB}] AS cwsub
+    FROM vecs, ms
+    WHERE vec_id % {_KM_MOD} = {_KM_REM} AND vec_id < {_KM_CAP}
+),
+codes AS (
+    SELECT vec_id, m, cid AS code, d FROM (
+        SELECT s.vec_id, s.m, c.cid,
+               {_PQ_L2.format(a="s.sub", b="c.cwsub")} AS d,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.vec_id, s.m
+                   ORDER BY {_PQ_L2.format(a="s.sub", b="c.cwsub")} ASC, c.cid ASC
+               ) AS rn
+        FROM subs s JOIN cw c ON s.m = c.m
+    ) WHERE rn = 1
+)
+"""
+
+_PQ_ADC_SQL = f"""
+WITH {_PQ_BASE_SQL},
+queries AS (
+    SELECT vec_id AS query_id, m, sub AS qsub FROM subs
+    WHERE vec_id % {_QUERY_MOD} = 0 AND vec_id < {_QUERY_CAP}
+),
+lut AS (
+    SELECT q.query_id, q.m, c.cid,
+           {_PQ_L2.format(a="q.qsub", b="c.cwsub")} AS d
+    FROM queries q JOIN cw c ON q.m = c.m
+),
+adc AS (
+    SELECT l.query_id, k.vec_id,
+           CAST(SUM(CAST(l.d AS DECIMAL(18,6))) AS DOUBLE) AS approx_dist
+    FROM codes k JOIN lut l ON k.m = l.m AND k.code = l.cid
+    WHERE l.query_id <> k.vec_id
+    GROUP BY l.query_id, k.vec_id
+)
+SELECT query_id, vec_id, approx_dist, rank FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY approx_dist ASC, vec_id ASC
+    ) AS rank FROM adc
+) WHERE rank <= {_PQ_TOP}
+"""
+
+
+def _pq_l2(a: Column, b: Column) -> Column:
+    """Sequential zip-diff-square L2², rounded — engine-shared."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+
+def _pq_subspaces(vecs: DataFrame, id_col: str, out: str) -> DataFrame:
+    """(id, emb) → (id, m, sub): M contiguous subvector slices."""
+    ms = F.sequence(F.lit(0), F.lit(_PQ_M - 1))
+    return vecs.select(
+        id_col, F.explode(ms).alias("m"), F.col("emb")
+    ).select(
+        id_col,
+        "m",
+        F.slice(F.col("emb"), F.col("m") * _PQ_SUB + 1, _PQ_SUB).alias(out),
+    )
+
+
+def _pq_codebook(vecs: DataFrame) -> DataFrame:
+    """Per-subspace codewords from the kmeans-family exemplar seeds."""
+    seeds = vecs.filter(
+        (F.col("vec_id") % _KM_MOD == _KM_REM) & (F.col("vec_id") < _KM_CAP)
+    ).select(F.col("vec_id").alias("cid"), "emb")
+    return _pq_subspaces(seeds, "cid", "cwsub")
+
+
+def _pq_codes(vecs: DataFrame) -> DataFrame:
+    """Encode: nearest codeword per (vector, subspace) — keeps d for
+    the distortion audit. One linear scan; the codebook is broadcast."""
+    subs = _pq_subspaces(vecs, "vec_id", "sub")
+    cb = _pq_codebook(vecs)
+    scored = subs.join(broadcast(cb), "m").withColumn(
+        "d", _pq_l2(F.col("sub"), F.col("cwsub"))
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(F.asc("d"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("cid").alias("code"), "d")
+    )
+
+
+@register("similarity_pq_adc_topk", oracle=_PQ_ADC_SQL)
+def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = spread(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", _as_double("embedding").alias("emb")
+        )
+    )
+    codes = _pq_codes(vecs)
+    qsubs = _pq_subspaces(
+        vecs.filter(
+            (F.col("vec_id") % _QUERY_MOD == 0) & (F.col("vec_id") < _QUERY_CAP)
+        ).select(F.col("vec_id").alias("query_id"), "emb"),
+        "query_id",
+        "qsub",
+    )
+    lut = qsubs.join(broadcast(_pq_codebook(vecs)), "m").select(
+        "query_id", "m", "cid", _pq_l2(F.col("qsub"), F.col("cwsub")).alias("qd")
+    )
+    adc = (
+        codes.join(
+            broadcast(lut),
+            (codes.m == lut.m)
+            & (codes.code == lut.cid)
+            & (lut.query_id != codes.vec_id),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum(F.col("qd").cast("decimal(18,6)")).cast("double").alias("approx_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("vec_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _PQ_TOP)
+        .select("query_id", "vec_id", "approx_dist", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+_PQ_DISTORTION_SQL = f"""
+WITH {_PQ_BASE_SQL}
+SELECT m,
+       ROUND(CAST(SUM(CAST(d AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+           AS mean_sq_err,
+       CAST(COUNT(DISTINCT code) AS BIGINT) AS n_codes_used,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM codes GROUP BY m
+"""
+
+
+@register("embedding_pq_distortion", oracle=_PQ_DISTORTION_SQL)
+def embedding_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization-quality audit: per-subspace mean squared error of
+    the PQ encoding and codebook utilization — the numbers that decide
+    whether M/K need retuning before a corpus-wide rollout."""
+    vecs = spread(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", _as_double("embedding").alias("emb")
+        )
+    )
+    return _pq_codes(vecs).groupBy("m").agg(
+        F.round(
+            F.sum(F.col("d").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_sq_err"),
+        F.countDistinct("code").alias("n_codes_used"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PQ quality evaluation: recall@k of ADC top-k against exact L2 ground
+# truth (PQ approximates L2, so the truth side is the exact full-vector
+# L2 top-k, not the cosine baseline). Same count-ratio recall shape as
+# similarity_ann_recall; the brute-force truth is the fixed-size query
+# set × corpus linear scan, the ADC side reuses the codes plan.
+# ---------------------------------------------------------------------------
+
+_PQ_TRUTH_SQL = f"""
+SELECT query_id, vec_id FROM (
+    SELECT q.query_id, v.vec_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY q.query_id
+               ORDER BY {_PQ_L2.format(a="q.qemb", b="v.emb")} ASC, v.vec_id ASC
+           ) AS rank
+    FROM (SELECT vec_id AS query_id, emb AS qemb FROM vecs
+          WHERE vec_id % {_QUERY_MOD} = 0 AND vec_id < {_QUERY_CAP}) q
+    CROSS JOIN vecs v
+    WHERE q.query_id <> v.vec_id
+) WHERE rank <= {_PQ_TOP}
+"""
+
+_PQ_RECALL_SQL = f"""
+WITH {_PQ_BASE_SQL},
+queries AS (
+    SELECT vec_id AS query_id, m, sub AS qsub FROM subs
+    WHERE vec_id % {_QUERY_MOD} = 0 AND vec_id < {_QUERY_CAP}
+),
+lut AS (
+    SELECT q.query_id, q.m, c.cid,
+           {_PQ_L2.format(a="q.qsub", b="c.cwsub")} AS d
+    FROM queries q JOIN cw c ON q.m = c.m
+),
+approx AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY approx_dist ASC, vec_id ASC
+               ) AS rank
+        FROM (
+            SELECT l.query_id, k.vec_id,
+                   CAST(SUM(CAST(l.d AS DECIMAL(18,6))) AS DOUBLE) AS approx_dist
+            FROM codes k JOIN lut l ON k.m = l.m AND k.code = l.cid
+            WHERE l.query_id <> k.vec_id
+            GROUP BY l.query_id, k.vec_id
+        )
+    ) WHERE rank <= {_PQ_TOP}
+),
+truth AS ({_PQ_TRUTH_SQL})
+SELECT t.query_id,
+       COUNT(a.vec_id) AS n_hits,
+       ROUND(COUNT(a.vec_id) / CAST({_PQ_TOP} AS DOUBLE), 6) AS recall_at_k
+FROM truth t LEFT JOIN approx a
+  ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+GROUP BY t.query_id
+"""
+
+
+@register("similarity_pq_recall", oracle=_PQ_RECALL_SQL)
+def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = spread(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", _as_double("embedding").alias("emb")
+        )
+    )
+    queries = vecs.filter(
+        (F.col("vec_id") % _QUERY_MOD == 0) & (F.col("vec_id") < _QUERY_CAP)
+    ).select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("vec_id"))
+    truth = (
+        vecs.join(broadcast(queries), F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id", _pq_l2(F.col("qemb"), F.col("emb")).alias("dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _PQ_TOP)
+        .select("query_id", "vec_id")
+    )
+    approx = similarity_pq_adc_topk(spark, sf_dir).select(
+        F.col("query_id").alias("a_query_id"), F.col("vec_id").alias("a_vec_id")
+    )
+    return (
+        truth.join(
+            approx,
+            (F.col("query_id") == F.col("a_query_id"))
+            & (F.col("vec_id") == F.col("a_vec_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("a_vec_id").alias("n_hits"),
+            F.round(F.count("a_vec_id") / F.lit(float(_PQ_TOP)), 6).alias("recall_at_k"),
+        )
+    )

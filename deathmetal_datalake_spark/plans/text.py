@@ -1264,3 +1264,84 @@ def text_unigram_logfreq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_hapax"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust per-source length outliers — median/MAD instead of mean/stddev,
+# the filter that survives the heavy-tailed length distributions real
+# corpora have (a few giant concatenated docs inflate a mean+3σ gate
+# until it passes everything; the median absolute deviation does not
+# move). Flag: |len − median| > 3 · 1.4826 · MAD (1.4826 scales MAD to
+# σ under normality).
+#
+# Scale notes: median/MAD here are the exact interpolated percentile —
+# correct for the bounded source dimension (sources are a curated
+# registry, not data-derived); for an unbounded grouping key the
+# approx twin is percentile_approx, the same trade the
+# events_sampled_quantile_error audit quantifies. The doc scan is a
+# skinny 2-column projection, cached once and read by the three
+# passes (median → MAD → flag); the per-source stats frames are
+# bounded-broadcast back onto it.
+# ---------------------------------------------------------------------------
+
+_MAD_K = "4.4478"  # 3 * 1.4826
+
+_MAD_SQL = f"""
+WITH lens AS (
+    SELECT source, n_chars FROM documents
+),
+med AS (
+    SELECT source, median(n_chars) AS med_chars FROM lens GROUP BY source
+),
+mad AS (
+    SELECT l.source, median(ABS(l.n_chars - m.med_chars)) AS mad_chars
+    FROM lens l JOIN med m USING (source) GROUP BY l.source
+)
+SELECT l.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(m.med_chars, 6) AS med_chars,
+       ROUND(d.mad_chars, 6) AS mad_chars,
+       CAST(SUM(CASE WHEN ABS(l.n_chars - m.med_chars) > {_MAD_K} * d.mad_chars
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       ROUND(SUM(CASE WHEN ABS(l.n_chars - m.med_chars) > {_MAD_K} * d.mad_chars
+                      THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
+           AS outlier_rate
+FROM lens l JOIN med m USING (source) JOIN mad d USING (source)
+GROUP BY l.source, m.med_chars, d.mad_chars
+"""
+
+
+@register("text_robust_length_outliers", oracle=_MAD_SQL)
+def text_robust_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    lens = session_cache(
+        load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    )
+    med = lens.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("med_chars")
+    )
+    with_med = lens.join(broadcast(med), "source").withColumn(
+        "absdev", F.abs(F.col("n_chars") - F.col("med_chars"))
+    )
+    mad = with_med.groupBy("source").agg(
+        F.expr("percentile(absdev, 0.5)").alias("mad_chars")
+    )
+    flagged = with_med.join(broadcast(mad), "source")
+    is_out = F.col("absdev") > F.lit(float(_MAD_K)) * F.col("mad_chars")
+    return flagged.groupBy("source", "med_chars", "mad_chars").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(is_out, 1).otherwise(0)).cast("long").alias("n_outliers"),
+        F.round(
+            F.sum(F.when(is_out, 1).otherwise(0)) / F.count(F.lit(1)).cast("double"), 6
+        ).alias("outlier_rate"),
+    ).select(
+        "source",
+        "n_docs",
+        F.round("med_chars", 6).alias("med_chars"),
+        F.round("mad_chars", 6).alias("mad_chars"),
+        "n_outliers",
+        "outlier_rate",
+    )

@@ -78,6 +78,7 @@ _NONEQUI_OK = {
     "similarity_dim_truncation_recall",  # brute-force truth + truncated rescan
     "dedup_graph_triangles",         # three 1-row count frames crossJoined
     "corpus_curation_funnel",        # 1-row corpus-total frame
+    "similarity_pq_recall",          # brute-force L2 truth side (≤40-query broadcast)
 }
 
 
