@@ -2231,3 +2231,96 @@ def dedup_source_crossrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         davg("est_jaccard", "mean_est_jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy (edit-distance) self-join on the part-name dimension — the
+# entity-resolution shape: block on discriminative character 3-grams,
+# verify candidates with exact Levenshtein ≤ 2. The blocking trade is
+# explicit and oracle-checked: a pair is found iff it shares at least
+# one 3-gram whose document frequency is ≤ _FUZZY_MAX_DF distinct
+# names (hot grams like a ubiquitous suffix are useless as blocking
+# keys AND are what makes naive gram-joins quadratic — dropping them
+# bounds pair mass at O(names · df_cap), the same principle as the
+# shingle _auto_max_df cap). The length-difference ≤ k prefilter is a
+# lower bound on edit distance, applied before the O(len²) verify.
+#
+# Scale notes: the join runs on the DEDUPLICATED name dimension
+# (name vocabulary ≪ part rows — groupBy collapses the fact table
+# first), grams shuffle as short strings, and the final Levenshtein
+# verify touches only surviving candidates.
+# ---------------------------------------------------------------------------
+
+_FUZZY_MAX_DF = 32
+_FUZZY_MAX_DIST = 2
+
+_FUZZY_SQL = f"""
+WITH names AS (
+    SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM part GROUP BY p_name
+),
+grams AS (
+    SELECT DISTINCT name,
+           UNNEST(list_transform(range(1, LENGTH(name) - 1),
+                                 i -> substr(name, CAST(i AS INT), 3))) AS g
+    FROM names
+),
+keep AS (
+    SELECT g FROM grams GROUP BY g
+    HAVING COUNT(DISTINCT name) <= {_FUZZY_MAX_DF}
+),
+cand AS (
+    SELECT DISTINCT a.name AS name_a, b.name AS name_b
+    FROM grams a
+    JOIN keep USING (g)
+    JOIN grams b USING (g)
+    WHERE a.name < b.name
+      AND ABS(LENGTH(a.name) - LENGTH(b.name)) <= {_FUZZY_MAX_DIST}
+)
+SELECT c.name_a, c.name_b,
+       CAST(levenshtein(c.name_a, c.name_b) AS BIGINT) AS edit_dist,
+       na.n_parts AS n_parts_a,
+       nb.n_parts AS n_parts_b
+FROM cand c
+JOIN names na ON na.name = c.name_a
+JOIN names nb ON nb.name = c.name_b
+WHERE levenshtein(c.name_a, c.name_b) <= {_FUZZY_MAX_DIST}
+"""
+
+
+@register("dedup_fuzzy_name_join", oracle=_FUZZY_SQL)
+def dedup_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    names = part.groupBy(F.col("p_name").alias("name")).agg(
+        F.count(F.lit(1)).alias("n_parts")
+    )
+    grams = names.select(
+        "name",
+        F.explode(
+            F.expr("transform(sequence(1, length(name) - 2), i -> substring(name, i, 3))")
+        ).alias("g"),
+    ).dropDuplicates(["name", "g"])
+    keep = grams.groupBy("g").agg(F.countDistinct("name").alias("df")).filter(
+        F.col("df") <= _FUZZY_MAX_DF
+    ).select("g")
+    ga = grams.join(keep, "g").select("g", F.col("name").alias("name_a"))
+    gb = grams.select("g", F.col("name").alias("name_b"))
+    cand = (
+        ga.join(gb, "g")
+        .filter(
+            (F.col("name_a") < F.col("name_b"))
+            & (
+                F.abs(F.length("name_a") - F.length("name_b")) <= _FUZZY_MAX_DIST
+            )
+        )
+        .select("name_a", "name_b")
+        .dropDuplicates()
+    )
+    verified = cand.withColumn(
+        "edit_dist", F.levenshtein("name_a", "name_b").cast("long")
+    ).filter(F.col("edit_dist") <= _FUZZY_MAX_DIST)
+    na = names.select(F.col("name").alias("name_a"), F.col("n_parts").alias("n_parts_a"))
+    nb = names.select(F.col("name").alias("name_b"), F.col("n_parts").alias("n_parts_b"))
+    return verified.join(na, "name_a").join(nb, "name_b").select(
+        "name_a", "name_b", "edit_dist", "n_parts_a", "n_parts_b"
+    )

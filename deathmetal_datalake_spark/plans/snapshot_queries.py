@@ -1492,3 +1492,81 @@ def catalog_decimal_widening_read(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         rows = out.collect()
         return spark.createDataFrame(rows, schema=out.schema)
+
+
+# ---------------------------------------------------------------------------
+# Partition-spec EVOLUTION (Iceberg updateSpec): three write epochs —
+# pre-spec (no partitioning), year(o_orderdate), then an evolution to
+# month(o_orderdate) — and one pruned read across all three. Each dir
+# prunes under the spec it was WRITTEN with (year dirs by year
+# arithmetic, month dirs by month arithmetic), the pre-spec dir has no
+# partition values AND full-range date stats so it is genuinely
+# scanned, and no data is rewritten at evolution time. Epochs split by
+# o_orderkey % 3 so every epoch spans the whole date range. Dir counts
+# are pure functions of the year/month grids, so the oracle pins the
+# pruning bookkeeping as well as the surviving aggregate.
+# ---------------------------------------------------------------------------
+
+_SPECEV_CUTOFF = "2000-07-01"
+
+_SPECEV_SQL = f"""
+SELECT
+  (SELECT 1 + COUNT(DISTINCT EXTRACT(year FROM o_orderdate)) FROM orders
+    WHERE o_orderkey % 3 = 1)
+  + (SELECT COUNT(DISTINCT strftime(o_orderdate, '%Y-%m')) FROM orders
+      WHERE o_orderkey % 3 = 2) AS total_dirs,
+  (SELECT COUNT(DISTINCT EXTRACT(year FROM o_orderdate)) FROM orders
+    WHERE o_orderkey % 3 = 1
+      AND EXTRACT(year FROM o_orderdate) < EXTRACT(year FROM DATE '{_SPECEV_CUTOFF}'))
+  + (SELECT COUNT(DISTINCT strftime(o_orderdate, '%Y-%m')) FROM orders
+      WHERE o_orderkey % 3 = 2
+        AND strftime(o_orderdate, '%Y-%m') < strftime(DATE '{_SPECEV_CUTOFF}', '%Y-%m'))
+      AS pruned_dirs,
+  COUNT(*) AS n_rows,
+  {sql_dsum("o_totalprice", "total_price")},
+  MIN(o_orderdate) AS min_date,
+  MAX(o_orderdate) AS max_date
+FROM orders
+WHERE o_orderdate >= DATE '{_SPECEV_CUTOFF}'
+"""
+
+
+@register("catalog_spec_evolution_pruned_read", oracle=_SPECEV_SQL)
+def catalog_spec_evolution_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write epoch 1 (o_orderkey % 3 == 0) unpartitioned, declare
+    ``year(o_orderdate)`` and append epoch 2 (% 3 == 1), evolve to
+    ``month(o_orderdate)`` and append epoch 3 (% 3 == 2), then
+    ``read(filters=[o_orderdate >= cutoff])``. Every epoch spans the
+    full date range, so the year dirs prune by year arithmetic, the
+    month dirs by month arithmetic, and the value-less pre-spec dir
+    can be pruned by NEITHER spec values NOR column stats — the
+    conservative-scan path — while the row aggregate still equals the
+    plain filtered query exactly. Reference parity: Iceberg partition
+    spec evolution (`flows_iceberg/bronze_iceberg.py` partitioned DDL;
+    spec changes are metadata-only there too)."""
+    import datetime as _dt
+
+    orders = spread(load_table(spark, sf_dir, "orders")).select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    cutoff = _dt.date.fromisoformat(_SPECEV_CUTOFF)
+    filters = [("o_orderdate", ">=", cutoff)]
+    epoch = F.col("o_orderkey") % 3
+    with tempfile.TemporaryDirectory(prefix="dml-specev-") as d:
+        tbl = SnapshotTable(spark, os.path.join(d, "orders_spec_evolution"))
+        tbl.write(orders.filter(epoch == 0), "overwrite")
+        tbl.set_partition_spec([("year", "o_orderdate")])
+        tbl.write(orders.filter(epoch == 1), "append")
+        tbl.set_partition_spec([("month", "o_orderdate")])
+        tbl.write(orders.filter(epoch == 2), "append")
+        kept, pruned = tbl.scan_dirs(filters)
+        out = tbl.read(filters=filters).agg(
+            F.lit(len(kept) + len(pruned)).cast("long").alias("total_dirs"),
+            F.lit(len(pruned)).cast("long").alias("pruned_dirs"),
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice", "total_price"),
+            F.min("o_orderdate").alias("min_date"),
+            F.max("o_orderdate").alias("max_date"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)
