@@ -66,7 +66,11 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "similarity_bruteforce_topk",
-    "similarity_ann_lsh_topk",
+    # (similarity_ann_lsh_topk rotated out late round 6 for the new PQ
+    # family's ADC query — the ANN-LSH two-scale history lives in
+    # docs/BENCH_FULL.json through r6, and the family keeps ivf_multiprobe
+    # + ann_recall representatives.)
+    "similarity_pq_adc_topk",
     "tpch_q10_returned_items",
     "multimodal_decode_stats",
     # round 2: remaining TPC-H shapes + corpus-assembly family

@@ -34,3 +34,30 @@ _rev_o = list(reversed(ORACLES.items()))
 ORACLES.clear()
 ORACLES.update(_rev_o)
 del _rev_q, _rev_o
+
+# Within-module additions land mid-dict after the reversal (module
+# order, not recency, dominates), so the operators added THIS round are
+# promoted to the head explicitly — the driver's prefix sample then
+# always covers the newest, least-battle-tested surface first.
+_NEWEST_FIRST = [
+    "catalog_spec_evolution_pruned_read",
+    "dedup_fuzzy_name_join",
+    "similarity_pq_adc_topk",
+    "similarity_pq_recall",
+    "embedding_pq_distortion",
+    "text_robust_length_outliers",
+    "tpch_q12_shipmode_priority",
+    "tpch_q14_promo_effect",
+]
+
+
+def _promote(front: list[str]) -> None:
+    for reg in (QUERIES, ORACLES):
+        head = {n: reg[n] for n in front if n in reg}
+        rest = {n: v for n, v in reg.items() if n not in head}
+        reg.clear()
+        reg.update(head)
+        reg.update(rest)
+
+
+_promote(_NEWEST_FIRST)

@@ -50,6 +50,11 @@ NAMES = [
     "dedup_semdedup_ivf",
     # round 6: explicit top-k BM25 (TakeOrderedAndProject proof)
     "text_bm25_retrieval",
+    # round 6 (cont.): PQ ANN (broadcast codebook + LUT join over codes),
+    # fuzzy gram-blocked join, robust MAD gate
+    "similarity_pq_adc_topk",
+    "dedup_fuzzy_name_join",
+    "text_robust_length_outliers",
 ]
 
 _DETAIL_PREFIXES = (
