@@ -1570,3 +1570,80 @@ def catalog_spec_evolution_pruned_read(spark: SparkSession, sf_dir: str) -> Data
         )
         rows = out.collect()
         return spark.createDataFrame(rows, schema=out.schema)
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustered rewrite (the OPTIMIZE ZORDER BY analog): compact the
+# table into 16 files clustered on the interleaved bits of
+# (o_orderdate, o_totalprice), then scan with a predicate on EACH
+# dimension. Every file covers a narrow hyper-rectangle in both
+# dimensions, so file-level min/max stats skip files for either
+# predicate — which a lexicographic sort only gives its leading column.
+# The pruning EFFECTIVENESS itself is oracle-checked: the Spark side
+# emits booleans computed from the actual kept/pruned file counts and
+# the oracle pins them TRUE, so a silent stats/clustering regression
+# fails the hash gate rather than just slowing down.
+# ---------------------------------------------------------------------------
+
+_ZORD_DATE = "2000-01-01"
+_ZORD_PRICE = 400000.0
+_ZORD_FILES = 16
+
+_ZORD_SQL = f"""
+SELECT
+  CAST({_ZORD_FILES} AS BIGINT) AS n_files,
+  (SELECT COUNT(*) FROM orders WHERE o_orderdate >= DATE '{_ZORD_DATE}')
+      AS n_rows_by_date,
+  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) FROM orders
+    WHERE o_orderdate >= DATE '{_ZORD_DATE}') AS total_by_date,
+  (SELECT COUNT(*) FROM orders WHERE o_totalprice >= {_ZORD_PRICE})
+      AS n_rows_by_price,
+  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) FROM orders
+    WHERE o_totalprice >= {_ZORD_PRICE}) AS total_by_price,
+  TRUE AS date_prunes_files,
+  TRUE AS price_prunes_files
+"""
+
+
+@register("catalog_zorder_clustered_scan", oracle=_ZORD_SQL)
+def catalog_zorder_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``compact(target_files=16, zorder_by=[date, price])`` then one
+    filtered read per dimension. Booleans assert BOTH predicates skip
+    at least one file AND keep at least one (i.e. the clustering
+    actually localized both dimensions); aggregates pin the surviving
+    rows exactly. Reference parity: the reference's Trino layer leaves
+    physical layout to the engine — this is the engine-side layout
+    optimization a 100 TB deployment runs nightly."""
+    import datetime as _dt
+
+    orders = spread(load_table(spark, sf_dir, "orders")).select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    date_cut = _dt.date.fromisoformat(_ZORD_DATE)
+    f_date = [("o_orderdate", ">=", date_cut)]
+    f_price = [("o_totalprice", ">=", _ZORD_PRICE)]
+    with tempfile.TemporaryDirectory(prefix="dml-zorder-") as d:
+        tbl = SnapshotTable(spark, os.path.join(d, "orders_zorder"))
+        tbl.write(orders, "overwrite")
+        tbl.compact(target_files=_ZORD_FILES, zorder_by=["o_orderdate", "o_totalprice"])
+        kept_d, pruned_d = tbl.scan_files(f_date)
+        kept_p, pruned_p = tbl.scan_files(f_price)
+        by_date = tbl.read(filters=f_date).agg(
+            F.count(F.lit(1)).alias("n_rows_by_date"),
+            dsum("o_totalprice", "total_by_date"),
+        )
+        by_price = tbl.read(filters=f_price).agg(
+            F.count(F.lit(1)).alias("n_rows_by_price"),
+            dsum("o_totalprice", "total_by_price"),
+        )
+        out = by_date.crossJoin(by_price).select(
+            F.lit(len(kept_d) + len(pruned_d)).cast("long").alias("n_files"),
+            "n_rows_by_date",
+            "total_by_date",
+            "n_rows_by_price",
+            "total_by_price",
+            F.lit(len(pruned_d) > 0 and len(kept_d) > 0).alias("date_prunes_files"),
+            F.lit(len(pruned_p) > 0 and len(kept_p) > 0).alias("price_prunes_files"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)
