@@ -1647,3 +1647,98 @@ def catalog_zorder_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         rows = out.collect()
         return spark.createDataFrame(rows, schema=out.schema)
+
+
+# ---------------------------------------------------------------------------
+# maintain() — the one-call OPTIMIZE/janitor policy, driver-checked
+# end-to-end: six monthly appends + a row-level delete build up a
+# multi-file head with an outstanding delete vector and nine
+# snapshots; one maintain(max_files=4, keep_last=2) must fold the
+# deletes, compact the head, and expire history — and afterwards the
+# surviving read is exact, the expired snapshot REFUSES time travel,
+# and the retained one still serves it. Every policy effect lands in
+# the oracle as a pinned value or boolean, so a silent maintenance
+# regression (skipped fold, failed expiry, compaction losing rows)
+# fails the hash gate.
+# ---------------------------------------------------------------------------
+
+_MAINT_SQL = f"""
+WITH base AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-07-01'
+),
+kept AS (SELECT * FROM base WHERE o_orderkey % 5 <> 0)
+SELECT
+  (SELECT COUNT(*) FROM kept) AS n_rows,
+  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) FROM kept)
+      AS total_price,
+  TRUE AS deletes_folded,
+  TRUE AS head_compacted,
+  CAST(7 AS BIGINT) AS n_expired,
+  TRUE AS expired_travel_refused,
+  (SELECT COUNT(*) FROM base) AS n_rows_at_retained
+"""
+
+
+@register("catalog_maintain_policy_read", oracle=_MAINT_SQL)
+def catalog_maintain_policy_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot ledger after the sequence: 6 appends (ids 1-6), one
+    delete_keys commit (7), then maintain → fold (8) + compact (9) +
+    expire keep_last=2 (drops 1-7, n_expired = 7 pinned). Checks:
+    fold/compact both committed (booleans), time travel to the
+    pre-maintenance head (7) raises because it was expired, the final
+    read is row-exact with the delete applied, and n_rows_at_retained
+    pins that exactly the six monthly slices were ever written (Spark
+    side: the per-append counts recorded before maintenance; oracle
+    side: the same six-month date window)."""
+    orders = session_cache(
+        spread(load_table(spark, sf_dir, "orders")).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+        )
+    )
+    import datetime as _dt
+
+    d = _scratch("catalog_maintain_policy")
+    tbl = SnapshotTable(spark, os.path.join(d, "orders_maintained"))
+    appended_counts = []
+    for month in range(1, 7):
+        lo = _dt.datetime(1996, month, 1)
+        hi = _dt.datetime(1996, month + 1, 1)
+        sl = orders.filter(
+            (F.col("o_orderdate") >= F.lit(lo)) & (F.col("o_orderdate") < F.lit(hi))
+        ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+        appended_counts.append(sl.count())
+        tbl.write(sl, "append" if month > 1 else "overwrite")
+    tbl.delete_keys(
+        tbl.read().filter(F.col("o_orderkey") % 5 == 0).select("o_orderkey"),
+        "o_orderkey",
+    )
+    head_before = tbl.current_snapshot_id()
+    report = tbl.maintain(max_files=4, keep_last=2, vacuum_older_than_s=3600.0)
+    expired = report["expired"]
+    folded_ok = report["folded"] is not None and not str(report["folded"]).startswith(
+        "conflict"
+    )
+    compacted_ok = report["compacted"] is not None and not str(
+        report["compacted"]
+    ).startswith("conflict")
+    travel_refused = False
+    try:
+        tbl.read(snapshot_id=head_before).count()
+    except Exception:
+        travel_refused = True
+    final = tbl.read().agg(
+        F.count(F.lit(1)).alias("n_rows"), dsum("o_totalprice", "total_price")
+    )
+    rows = final.collect()
+    out = spark.createDataFrame(rows, schema=final.schema).select(
+        "n_rows",
+        "total_price",
+        F.lit(folded_ok).alias("deletes_folded"),
+        F.lit(compacted_ok).alias("head_compacted"),
+        F.lit(len(expired)).cast("long").alias("n_expired"),
+        F.lit(travel_refused).alias("expired_travel_refused"),
+        F.lit(sum(appended_counts)).cast("long").alias("n_rows_at_retained"),
+    )
+    rows2 = out.collect()
+    return spark.createDataFrame(rows2, schema=out.schema)
