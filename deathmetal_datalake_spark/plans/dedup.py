@@ -2324,3 +2324,120 @@ def dedup_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.join(na, "name_a").join(nb, "name_b").select(
         "name_a", "name_b", "edit_dist", "n_parts_a", "n_parts_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) dedup audit — the rsync/LBFS/FastCDC
+# primitive: chunk boundaries are set where a rolling content hash
+# hits a modulus (here: 60-bit md5 hash of each 8-char window, divisor
+# 64 → ~64-char expected chunks), so an insertion shifts ONE chunk's
+# boundaries instead of re-aligning every fixed-width block — the
+# property that makes chunk-hash stores (CAS, backup dedup, blob
+# tiering) byte-shift-robust. The audit chunks the corpus, hashes
+# chunk contents, and reports the storage win exact-arithmetically:
+# bytes_dedup / bytes_total if every duplicate chunk were stored once.
+#
+# Scale shape: boundary detection and chunk hashing are one map-only
+# stage inside whole-stage codegen (per-position md5 over higher-order
+# array functions — no explode until chunks exist, no Python); the
+# only shuffle is the chunk-hash aggregate, keyed on 60-bit hashes.
+# Production CDC uses a Gear/Rabin rolling hash for O(1) per-position
+# updates; md5-per-window is the engine-portable stand-in with the
+# identical boundary statistics (the oracle shares it verbatim).
+# ---------------------------------------------------------------------------
+
+_CDC_WIN = 8      # rolling window (chars)
+_CDC_DIV = 64     # boundary divisor → expected chunk length
+
+_CDC_CHUNK_SQL = f"""
+WITH pos AS (
+    SELECT doc_id, text,
+           list_prepend(CAST(1 AS BIGINT),
+             list_append(
+               list_filter(range(1, GREATEST(LENGTH(text) - {_CDC_WIN - 2}, 2)),
+                 i -> (CAST('0x' || substr(md5(substr(text, CAST(i AS INT), {_CDC_WIN})), 1, 15)
+                            AS BIGINT) % {_CDC_DIV}) = 0),
+               CAST(LENGTH(text) + 1 AS BIGINT))) AS b
+    FROM documents
+),
+spans AS (
+    SELECT doc_id, text,
+           UNNEST(list_transform(range(len(b) - 1),
+                  j -> {{'st': b[CAST(j AS INT) + 1],
+                         'ln': b[CAST(j AS INT) + 2] - b[CAST(j AS INT) + 1]}})) AS s
+    FROM pos
+),
+chunks AS (
+    SELECT doc_id, s.ln AS ln,
+           CAST('0x' || substr(md5(substr(text, CAST(s.st AS INT), CAST(s.ln AS INT))), 1, 15)
+                AS BIGINT) AS ch
+    FROM spans WHERE s.ln > 0
+),
+per_hash AS (
+    SELECT ch, MIN(ln) AS ln1, COUNT(DISTINCT doc_id) AS ndocs
+    FROM chunks GROUP BY ch
+)
+SELECT
+  (SELECT COUNT(DISTINCT doc_id) FROM chunks) AS n_docs,
+  (SELECT COUNT(*) FROM chunks) AS n_chunks,
+  (SELECT COUNT(*) FROM per_hash) AS n_distinct_chunks,
+  (SELECT COUNT(*) FROM per_hash WHERE ndocs > 1) AS n_shared_chunks,
+  (SELECT SUM(ln) FROM chunks) AS bytes_total,
+  (SELECT SUM(ln1) FROM per_hash) AS bytes_dedup,
+  (SELECT ROUND(SUM(ln1) / (SELECT CAST(SUM(ln) AS DOUBLE) FROM chunks), 6)
+     FROM per_hash) AS dedup_ratio
+"""
+
+
+@register("dedup_content_chunks", oracle=_CDC_CHUNK_SQL)
+def dedup_content_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    win, div = _CDC_WIN, _CDC_DIV
+    bounds = (
+        f"concat(array(1), "
+        # sequence() is end-INCLUSIVE where the oracle's range() is
+        # exclusive: stop one earlier so both scan full windows 1..len-7.
+        f"filter(sequence(1, greatest(length(text) - {win - 1}, 1)), "
+        f"i -> cast(conv(substring(md5(substring(text, i, {win})), 1, 15), 16, 10) as bigint) "
+        f"% {div} = 0), array(length(text) + 1))"
+    )
+    spans = (
+        "filter(transform(sequence(0, size(b) - 2), "
+        "j -> struct(element_at(b, j + 1) as st, "
+        "element_at(b, j + 2) - element_at(b, j + 1) as ln)), s -> s.ln > 0)"
+    )
+    chunks = (
+        docs.withColumn("b", F.expr(bounds))
+        .select("doc_id", "text", F.explode(F.expr(spans)).alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.ln").cast("long").alias("ln"),
+            hash60(F.expr("substring(text, s.st, s.ln)")).alias("ch"),
+        )
+    )
+    per_hash = chunks.groupBy("ch").agg(
+        F.min("ln").alias("ln1"), F.countDistinct("doc_id").alias("ndocs")
+    )
+    tot = chunks.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("ln").alias("bytes_total"),
+    )
+    ded = per_hash.agg(
+        F.count(F.lit(1)).alias("n_distinct_chunks"),
+        F.sum(F.when(F.col("ndocs") > 1, 1).otherwise(0)).cast("long").alias(
+            "n_shared_chunks"
+        ),
+        F.sum("ln1").alias("bytes_dedup"),
+    )
+    return (
+        tot.crossJoin(broadcast(ded))
+        .withColumn(
+            "dedup_ratio",
+            F.round(F.col("bytes_dedup") / F.col("bytes_total").cast("double"), 6),
+        )
+        .select(
+            "n_docs", "n_chunks", "n_distinct_chunks", "n_shared_chunks",
+            "bytes_total", "bytes_dedup", "dedup_ratio",
+        )
+    )
