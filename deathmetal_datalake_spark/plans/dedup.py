@@ -2389,9 +2389,11 @@ SELECT
 """
 
 
-@register("dedup_content_chunks", oracle=_CDC_CHUNK_SQL)
-def dedup_content_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+def _cdc_chunks(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, ln, ch): content-defined chunk spans
+    hashed to 60 bits. Shared by the corpus audit and the incremental
+    ingest audit; all expression-level (codegen), explode only after
+    spans exist."""
     win, div = _CDC_WIN, _CDC_DIV
     bounds = (
         f"concat(array(1), "
@@ -2406,7 +2408,7 @@ def dedup_content_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "j -> struct(element_at(b, j + 1) as st, "
         "element_at(b, j + 2) - element_at(b, j + 1) as ln)), s -> s.ln > 0)"
     )
-    chunks = (
+    return (
         docs.withColumn("b", F.expr(bounds))
         .select("doc_id", "text", F.explode(F.expr(spans)).alias("s"))
         .select(
@@ -2415,6 +2417,12 @@ def dedup_content_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             hash60(F.expr("substring(text, s.st, s.ln)")).alias("ch"),
         )
     )
+
+
+@register("dedup_content_chunks", oracle=_CDC_CHUNK_SQL)
+def dedup_content_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    chunks = _cdc_chunks(docs)
     per_hash = chunks.groupBy("ch").agg(
         F.min("ln").alias("ln1"), F.countDistinct("doc_id").alias("ndocs")
     )
@@ -2439,5 +2447,101 @@ def dedup_content_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_docs", "n_chunks", "n_distinct_chunks", "n_shared_chunks",
             "bytes_total", "bytes_dedup", "dedup_ratio",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (daily-ingest) CDC audit: yesterday's corpus is the chunk
+# store; today's arrivals chunk with the SAME boundary rule, and every
+# chunk whose hash already exists in the store costs zero new bytes —
+# the blob-tier twin of pipeline_daily_increment's document-level pass.
+# Split: doc_id % 10 ≥ 8 is today's delta (same convention family as
+# the minhash incremental). The store probe is a broadcast-friendly
+# semi-join on 60-bit hashes; nothing rescans yesterday's text.
+# ---------------------------------------------------------------------------
+
+_CDC_BNDS_SQL = f"""
+    list_prepend(CAST(1 AS BIGINT),
+      list_append(
+        list_filter(range(1, GREATEST(LENGTH(text) - {_CDC_WIN - 2}, 2)),
+          i -> (CAST('0x' || substr(md5(substr(text, CAST(i AS INT), {_CDC_WIN})), 1, 15)
+                     AS BIGINT) % {_CDC_DIV}) = 0),
+        CAST(LENGTH(text) + 1 AS BIGINT)))
+"""
+
+_CDC_INCR_SQL = f"""
+WITH pos AS (
+    SELECT doc_id, text, {_CDC_BNDS_SQL} AS b FROM documents
+),
+spans AS (
+    SELECT doc_id, text,
+           UNNEST(list_transform(range(len(b) - 1),
+                  j -> {{'st': b[CAST(j AS INT) + 1],
+                         'ln': b[CAST(j AS INT) + 2] - b[CAST(j AS INT) + 1]}})) AS s
+    FROM pos
+),
+chunks AS (
+    SELECT doc_id, s.ln AS ln,
+           CAST('0x' || substr(md5(substr(text, CAST(s.st AS INT), CAST(s.ln AS INT))), 1, 15)
+                AS BIGINT) AS ch
+    FROM spans WHERE s.ln > 0
+),
+store AS (SELECT DISTINCT ch FROM chunks WHERE doc_id % 10 < 8),
+delta AS (SELECT * FROM chunks WHERE doc_id % 10 >= 8),
+fresh AS (
+    SELECT ch, MIN(ln) AS ln1 FROM delta
+    WHERE ch NOT IN (SELECT ch FROM store) GROUP BY ch
+)
+SELECT
+  (SELECT COUNT(DISTINCT doc_id) FROM delta) AS n_delta_docs,
+  (SELECT COUNT(*) FROM delta) AS n_delta_chunks,
+  (SELECT COUNT(*) FROM delta WHERE ch IN (SELECT ch FROM store))
+      AS n_reused_chunks,
+  (SELECT COUNT(*) FROM fresh) AS n_new_unique_chunks,
+  (SELECT SUM(ln) FROM delta) AS bytes_delta,
+  (SELECT COALESCE(SUM(ln1), 0) FROM fresh) AS bytes_new,
+  (SELECT ROUND(1.0 - COALESCE((SELECT SUM(ln1) FROM fresh), 0)
+                      / (SELECT CAST(SUM(ln) AS DOUBLE) FROM delta), 6))
+      AS ingest_savings
+"""
+
+
+@register("dedup_cdc_incremental", oracle=_CDC_INCR_SQL)
+def dedup_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    chunks = session_cache(_cdc_chunks(docs))
+    store = chunks.filter(F.col("doc_id") % 10 < 8).select("ch").distinct()
+    delta = chunks.filter(F.col("doc_id") % 10 >= 8)
+    reused = delta.join(store, "ch", "left_semi")
+    fresh = (
+        delta.join(store, "ch", "left_anti")
+        .groupBy("ch")
+        .agg(F.min("ln").alias("ln1"))
+    )
+    d_tot = delta.agg(
+        F.countDistinct("doc_id").alias("n_delta_docs"),
+        F.count(F.lit(1)).alias("n_delta_chunks"),
+        F.sum("ln").alias("bytes_delta"),
+    )
+    r_tot = reused.agg(F.count(F.lit(1)).alias("n_reused_chunks"))
+    f_tot = fresh.agg(
+        F.count(F.lit(1)).alias("n_new_unique_chunks"),
+        F.coalesce(F.sum("ln1"), F.lit(0)).cast("long").alias("bytes_new"),
+    )
+    return (
+        d_tot.crossJoin(broadcast(r_tot))
+        .crossJoin(broadcast(f_tot))
+        .withColumn(
+            "ingest_savings",
+            F.round(
+                F.lit(1.0) - F.col("bytes_new") / F.col("bytes_delta").cast("double"), 6
+            ),
+        )
+        .select(
+            "n_delta_docs", "n_delta_chunks", "n_reused_chunks",
+            "n_new_unique_chunks", "bytes_delta", "bytes_new", "ingest_savings",
         )
     )

@@ -80,6 +80,7 @@ _NONEQUI_OK = {
     "corpus_curation_funnel",        # 1-row corpus-total frame
     "similarity_pq_recall",          # brute-force L2 truth side (≤40-query broadcast)
     "dedup_content_chunks",          # two 1-row stats frames crossJoined
+    "dedup_cdc_incremental",         # three 1-row stats frames crossJoined
 }
 
 
