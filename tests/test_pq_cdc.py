@@ -118,3 +118,81 @@ def test_cdc_chunks_tile_documents_exactly(spark):
     assert row.bytes_dedup <= row.bytes_total
     assert row.n_distinct_chunks <= row.n_chunks
     assert 0.0 < row.dedup_ratio <= 1.0
+
+
+# ---- CDC reference implementation + the byte-shift-locality property ----
+
+import hashlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_WIN, _DIV = 8, 64
+
+
+def _ref_bounds(text: str) -> list[int]:
+    """Interior boundary positions (1-based), the Python mirror of the
+    Spark/DuckDB expression in plans.dedup._cdc_chunks."""
+    n = len(text)
+    out = []
+    for i in range(1, max(n - (_WIN - 1), 1) + 1):
+        h = int(hashlib.md5(text[i - 1 : i - 1 + _WIN].encode()).hexdigest()[:15], 16)
+        if h % _DIV == 0:
+            out.append(i)
+    return out
+
+
+def _ref_chunks(text: str) -> list[tuple[int, int]]:
+    b = [1] + _ref_bounds(text) + [len(text) + 1]
+    return [(b[j], b[j + 1] - b[j]) for j in range(len(b) - 1) if b[j + 1] > b[j]]
+
+
+def test_cdc_spark_matches_python_reference(spark):
+    """Pin the Spark expression chunker to the reference byte-for-byte
+    on real documents, so the hypothesis properties below transfer."""
+    from deathmetal_datalake_spark.plans.dedup import _cdc_chunks
+    from deathmetal_datalake_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").limit(20)
+    got = {
+        (r.doc_id, r.ln, r.ch)
+        for r in _cdc_chunks(docs).collect()
+    }
+    want = set()
+    for r in docs.collect():
+        for st_, ln in _ref_chunks(r.text):
+            chunk = r.text[st_ - 1 : st_ - 1 + ln]
+            ch = int(hashlib.md5(chunk.encode()).hexdigest()[:15], 16)
+            want.add((r.doc_id, ln, ch))
+    assert got == want
+
+
+@given(
+    st.text(alphabet="abcdefgh ", min_size=_WIN, max_size=300),
+    st.data(),
+)
+@settings(max_examples=200, deadline=None)
+def test_cdc_boundary_locality_under_insertion(text, data):
+    """The defining CDC property: inserting one character only disturbs
+    boundaries whose hash window overlaps the insertion point —
+    everything before shifts not at all, everything after shifts by
+    exactly one. (Fixed-width blocks fail this: one insert realigns
+    every later block.)"""
+    p = data.draw(st.integers(min_value=0, max_value=len(text)))
+    c = data.draw(st.sampled_from("abcdefgh "))
+    text2 = text[:p] + c + text[p:]
+    b1, b2 = set(_ref_bounds(text)), set(_ref_bounds(text2))
+    lo = p - _WIN + 1  # windows entirely before the insert
+    assert {b for b in b1 if b <= lo} == {b for b in b2 if b <= lo}
+    assert {b + 1 for b in b1 if b >= p + 1} == {b for b in b2 if b >= p + 2}
+
+
+@given(st.text(alphabet="abcdefgh ", min_size=1, max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_cdc_chunks_tile_any_string(text):
+    chunks = _ref_chunks(text)
+    assert sum(ln for _, ln in chunks) == len(text)
+    pos = 1
+    for st_, ln in chunks:
+        assert st_ == pos and ln > 0
+        pos += ln
