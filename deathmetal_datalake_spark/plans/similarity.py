@@ -1765,3 +1765,140 @@ def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("a_vec_id") / F.lit(float(_PQ_TOP)), 6).alias("recall_at_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — the production ANN index architecture (FAISS IVFPQ; Jégou et
+# al. 2011 §V): a coarse IVF quantizer routes each query to its nearest
+# NPROBE cells, and candidates inside those cells are scored by PQ
+# asymmetric distance over their 4-byte codes — so query cost is
+# (corpus/cells · nprobe) LUT lookups, never a full scan and never raw
+# vectors. Composes the two oracle-checked building blocks verbatim:
+# the coarse assignment is similarity_ivf_multiprobe's (cosine-ranked
+# exemplar centroids), the fine scorer is similarity_pq_adc's
+# (codes + broadcast per-query LUT, DECIMAL-summed).
+#
+# Scale shape: one corpus × 16-centroid broadcast assignment (skinny
+# rows), one broadcast LUT hash join over the probed cells' codes, one
+# partial-agg shuffle on (query_id, vec_id). The cell routing bounds
+# the ADC row count at |probed cells| · cell size.
+# ---------------------------------------------------------------------------
+
+_IVFPQ_SQL = f"""
+WITH {_PQ_BASE_SQL},
+centroids AS (
+    SELECT vec_id AS ccid, emb AS cemb FROM vecs
+    WHERE vec_id % {_CENTROID_MOD} = {_CENTROID_REM} AND vec_id < {_CENTROID_CAP}
+),
+ranked_assign AS (
+    SELECT v.vec_id, c.ccid,
+           ROW_NUMBER() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY {_IVF_COS.format(a='v.emb', b='c.cemb')} DESC, c.ccid ASC
+           ) AS rn
+    FROM vecs v CROSS JOIN centroids c
+),
+assigned AS (SELECT vec_id, ccid FROM ranked_assign WHERE rn = 1),
+probes AS (
+    SELECT vec_id AS query_id, ccid AS probe_cid
+    FROM ranked_assign
+    WHERE rn <= {_NPROBE} AND vec_id % {_QUERY_MOD} = 0 AND vec_id < {_QUERY_CAP}
+),
+queries AS (
+    SELECT vec_id AS query_id, m, sub AS qsub FROM subs
+    WHERE vec_id % {_QUERY_MOD} = 0 AND vec_id < {_QUERY_CAP}
+),
+lut AS (
+    SELECT q.query_id, q.m, c.cid,
+           {_PQ_L2.format(a="q.qsub", b="c.cwsub")} AS d
+    FROM queries q JOIN cw c ON q.m = c.m
+),
+cand AS (
+    SELECT p.query_id, a.vec_id
+    FROM probes p JOIN assigned a ON p.probe_cid = a.ccid AND p.query_id <> a.vec_id
+),
+adc AS (
+    SELECT n.query_id, n.vec_id,
+           CAST(SUM(CAST(l.d AS DECIMAL(18,6))) AS DOUBLE) AS approx_dist
+    FROM cand n
+    JOIN codes k ON k.vec_id = n.vec_id
+    JOIN lut l ON l.query_id = n.query_id AND l.m = k.m AND l.cid = k.code
+    GROUP BY n.query_id, n.vec_id
+)
+SELECT query_id, vec_id, approx_dist, rank FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY approx_dist ASC, vec_id ASC
+    ) AS rank FROM adc
+) WHERE rank <= {_PQ_TOP}
+"""
+
+
+@register("similarity_ivfpq_topk", oracle=_IVFPQ_SQL)
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    vecs = spread(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", _as_double("embedding").alias("emb")
+        )
+    )
+    centroids = vecs.filter(
+        (F.col("vec_id") % _CENTROID_MOD == _CENTROID_REM)
+        & (F.col("vec_id") < _CENTROID_CAP)
+    ).select(F.col("vec_id").alias("ccid"), F.col("emb").alias("cemb"))
+    sim = F.round(
+        _dot(F.col("emb"), F.col("cemb"))
+        / (
+            F.sqrt(_dot(F.col("emb"), F.col("emb")))
+            * F.sqrt(_dot(F.col("cemb"), F.col("cemb")))
+        ),
+        6,
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("ccid"))
+    # Skinny assignment rows (vec_id, ccid, rn) — embeddings projected
+    # away before the window shuffle, re-attached never (the fine
+    # scorer reads codes, not vectors).
+    ranked_assign = session_cache(
+        vecs.crossJoin(broadcast(centroids))
+        .select("vec_id", "ccid", sim.alias("csim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .select("vec_id", "ccid", "rn")
+    )
+    assigned = ranked_assign.filter(F.col("rn") == 1).select("vec_id", "ccid")
+    probes = ranked_assign.filter(
+        (F.col("rn") <= _NPROBE)
+        & (F.col("vec_id") % _QUERY_MOD == 0)
+        & (F.col("vec_id") < _QUERY_CAP)
+    ).select(F.col("vec_id").alias("query_id"), F.col("ccid").alias("probe_cid"))
+    codes = _pq_codes(vecs)
+    qsubs = _pq_subspaces(
+        vecs.filter(
+            (F.col("vec_id") % _QUERY_MOD == 0) & (F.col("vec_id") < _QUERY_CAP)
+        ).select(F.col("vec_id").alias("query_id"), "emb"),
+        "query_id",
+        "qsub",
+    )
+    lut = qsubs.join(broadcast(_pq_codebook(vecs)), "m").select(
+        "query_id", "m", "cid", _pq_l2(F.col("qsub"), F.col("cwsub")).alias("qd")
+    )
+    cand = assigned.join(
+        broadcast(probes),
+        (F.col("probe_cid") == F.col("ccid")) & (F.col("query_id") != F.col("vec_id")),
+    ).select("query_id", "vec_id")
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(
+            broadcast(lut.withColumnRenamed("query_id", "l_query_id")),
+            (F.col("l_query_id") == F.col("query_id"))
+            & (lut.m == codes.m)
+            & (F.col("cid") == F.col("code")),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum(F.col("qd").cast("decimal(18,6)")).cast("double").alias("approx_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("vec_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _PQ_TOP)
+        .select("query_id", "vec_id", "approx_dist", F.col("rank").cast("long").alias("rank"))
+    )

@@ -81,6 +81,7 @@ _NONEQUI_OK = {
     "similarity_pq_recall",          # brute-force L2 truth side (≤40-query broadcast)
     "dedup_content_chunks",          # two 1-row stats frames crossJoined
     "dedup_cdc_incremental",         # three 1-row stats frames crossJoined
+    "similarity_ivfpq_topk",         # corpus x 16-centroid coarse assignment
 }
 
 
