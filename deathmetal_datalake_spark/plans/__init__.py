@@ -40,6 +40,7 @@ del _rev_q, _rev_o
 # promoted to the head explicitly — the driver's prefix sample then
 # always covers the newest, least-battle-tested surface first.
 _NEWEST_FIRST = [
+    "text_gopher_rules_audit",
     "similarity_ivfpq_topk",
     "dedup_cdc_incremental",
     "dedup_content_chunks",

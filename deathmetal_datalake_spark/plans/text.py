@@ -1345,3 +1345,130 @@ def text_robust_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_outliers",
         "outlier_rate",
     )
+
+
+# ---------------------------------------------------------------------------
+# Named-rules quality battery — the Gopher-style document filters
+# (Rae et al. 2021, §A1.1) as an auditable rules frame: each published
+# rule is a named row with its exact failure count and rate, plus an
+# `any_rule` roll-up — the form a pipeline owner reviews before
+# enabling a gate corpus-wide (per-doc scores live in
+# text_quality_scores; this is the corpus-level rule audit). Bounds
+# are adapted to this corpus's scale and mirrored verbatim in the
+# oracle. One map stage computes all flags; one aggregate; no joins.
+# ---------------------------------------------------------------------------
+
+_GOPHER_WC_LO, _GOPHER_WC_HI = 20, 10000
+_GOPHER_MWL_LO, _GOPHER_MWL_HI = 3.0, 10.0
+_GOPHER_SYM = "#@*"
+_GOPHER_SYM_MAX = 0.1
+_GOPHER_STOP_MIN = 2
+_GOPHER_ALPHA_MIN = 0.8
+
+_GOPHER_SQL = rf"""
+WITH feats AS (
+    SELECT doc_id,
+           LENGTH(string_split_regex(TRIM(text), '\s+')) AS n_words,
+           CAST(list_aggregate(list_transform(string_split_regex(TRIM(text), '\s+'),
+                t -> LENGTH(t)), 'sum') AS DOUBLE)
+               / LENGTH(string_split_regex(TRIM(text), '\s+')) AS mean_wl,
+           CAST(LENGTH(regexp_replace(text, '[^{_GOPHER_SYM}]', '', 'g')) AS DOUBLE)
+               / LENGTH(string_split_regex(TRIM(text), '\s+')) AS sym_per_word,
+           LENGTH(list_filter({_STOP_SQL},
+                s -> list_contains(string_split_regex(TRIM(text), '\s+'), s)))
+               AS stop_hits,
+           CAST(LENGTH(list_filter(string_split_regex(TRIM(text), '\s+'),
+                t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE)
+               / LENGTH(string_split_regex(TRIM(text), '\s+')) AS alpha_ratio
+    FROM documents
+),
+flags AS (
+    SELECT doc_id,
+           CASE WHEN n_words < {_GOPHER_WC_LO} OR n_words > {_GOPHER_WC_HI}
+                THEN 1 ELSE 0 END AS f_word_count,
+           CASE WHEN mean_wl < {_GOPHER_MWL_LO} OR mean_wl > {_GOPHER_MWL_HI}
+                THEN 1 ELSE 0 END AS f_mean_word_len,
+           CASE WHEN sym_per_word > {_GOPHER_SYM_MAX} THEN 1 ELSE 0 END AS f_symbol_ratio,
+           CASE WHEN stop_hits < {_GOPHER_STOP_MIN} THEN 1 ELSE 0 END AS f_stopwords,
+           CASE WHEN alpha_ratio < {_GOPHER_ALPHA_MIN} THEN 1 ELSE 0 END AS f_alpha_words
+    FROM feats
+),
+agg AS (
+    SELECT COUNT(*) AS n_docs,
+           SUM(f_word_count) AS c1, SUM(f_mean_word_len) AS c2,
+           SUM(f_symbol_ratio) AS c3, SUM(f_stopwords) AS c4,
+           SUM(f_alpha_words) AS c5,
+           SUM(CASE WHEN f_word_count + f_mean_word_len + f_symbol_ratio
+                       + f_stopwords + f_alpha_words > 0 THEN 1 ELSE 0 END) AS c_any
+    FROM flags
+)
+SELECT rule, CAST(n_fail AS BIGINT) AS n_fail,
+       ROUND(n_fail / CAST(n_docs AS DOUBLE), 6) AS fail_rate
+FROM (
+    SELECT 'word_count' AS rule, c1 AS n_fail, n_docs FROM agg
+    UNION ALL SELECT 'mean_word_len', c2, n_docs FROM agg
+    UNION ALL SELECT 'symbol_ratio', c3, n_docs FROM agg
+    UNION ALL SELECT 'stopwords', c4, n_docs FROM agg
+    UNION ALL SELECT 'alpha_words', c5, n_docs FROM agg
+    UNION ALL SELECT 'any_rule', c_any, n_docs FROM agg
+)
+"""
+
+
+@register("text_gopher_rules_audit", oracle=_GOPHER_SQL)
+def text_gopher_rules_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_words = F.size(toks)
+    mean_wl = (
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).cast(
+            "double"
+        )
+        / n_words
+    )
+    sym_per_word = (
+        F.length(F.regexp_replace("text", f"[^{_GOPHER_SYM}]", "")).cast("double")
+        / n_words
+    )
+    stop = F.array(*[F.lit(s) for s in _STOPWORDS])
+    stop_hits = F.size(F.filter(stop, lambda s: F.array_contains(toks, s)))
+    alpha_ratio = (
+        F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))).cast("double") / n_words
+    )
+    flags = docs.select(
+        F.when((n_words < _GOPHER_WC_LO) | (n_words > _GOPHER_WC_HI), 1)
+        .otherwise(0)
+        .alias("f1"),
+        F.when((mean_wl < _GOPHER_MWL_LO) | (mean_wl > _GOPHER_MWL_HI), 1)
+        .otherwise(0)
+        .alias("f2"),
+        F.when(sym_per_word > _GOPHER_SYM_MAX, 1).otherwise(0).alias("f3"),
+        F.when(stop_hits < _GOPHER_STOP_MIN, 1).otherwise(0).alias("f4"),
+        F.when(alpha_ratio < _GOPHER_ALPHA_MIN, 1).otherwise(0).alias("f5"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("f1").alias("c1"),
+        F.sum("f2").alias("c2"),
+        F.sum("f3").alias("c3"),
+        F.sum("f4").alias("c4"),
+        F.sum("f5").alias("c5"),
+        F.sum(
+            F.when(
+                F.col("f1") + F.col("f2") + F.col("f3") + F.col("f4") + F.col("f5") > 0,
+                1,
+            ).otherwise(0)
+        ).alias("c_any"),
+    )
+    rows = agg.select(
+        F.expr(
+            "stack(6, 'word_count', c1, 'mean_word_len', c2, 'symbol_ratio', c3, "
+            "'stopwords', c4, 'alpha_words', c5, 'any_rule', c_any) AS (rule, n_fail)"
+        ),
+        "n_docs",
+    )
+    return rows.select(
+        "rule",
+        F.col("n_fail").cast("long").alias("n_fail"),
+        F.round(F.col("n_fail") / F.col("n_docs").cast("double"), 6).alias("fail_rate"),
+    )
