@@ -40,6 +40,12 @@ del _rev_q, _rev_o
 # promoted to the head explicitly — the driver's prefix sample then
 # always covers the newest, least-battle-tested surface first.
 _NEWEST_FIRST = [
+    "corpus_dsir_importance",
+    "similarity_mutual_topk",
+    "similarity_mmr_rerank",
+    "events_interval_overlap_join",
+    "events_session_features",
+    "text_tokenizer_fertility",
     "text_gopher_rules_audit",
     "similarity_ivfpq_topk",
     "dedup_cdc_incremental",

@@ -1389,3 +1389,191 @@ def events_sampled_quantile_error(spark: SparkSession, sf_dir: str) -> DataFrame
         "est_p90",
         F.round(F.abs(F.col("est_p90") - F.col("exact_p90")), 6).alias("abs_err_p90"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch interval-overlap join via bin bucketing — the range-join
+# pattern Spark lacks as a primitive: derive "hot" 30-minute view
+# windows (count ≥ threshold), pad them ±5 minutes into real intervals
+# that are NOT bin-aligned, then join purchase events falling inside
+# any interval. A naive range join is a BroadcastNestedLoopJoin over
+# points × intervals; the scalable form maps each interval to the 1–2
+# fixed-width bins it touches (explode(sequence(...))) and each point
+# to its bin, turning the join into an EQUI-join on bin plus a cheap
+# residual range filter — the standard bin-bucketed range-join rewrite
+# (cf. Databricks' range-join optimization). Oracle: the plain range
+# predicate join, so the rewrite itself is correctness-checked.
+#
+# Scale notes (100 TB): the interval side grows with TIME SPAN, not
+# event density (one row per 30-min window over the corpus's history —
+# ~18k/year), so it stays broadcastable; the point scan is linear with
+# an equi-join key, no shuffle of the big side beyond the final
+# bounded-key aggregate. Residual comparisons are exact integer
+# seconds in both engines.
+# ---------------------------------------------------------------------------
+
+_IVAL_WIN = 1800     # 30-minute hot windows
+_IVAL_PAD = 300      # ±5-minute interval padding (breaks bin alignment)
+_IVAL_MIN_VIEWS = 4  # hot threshold
+
+_IVAL_SQL = f"""
+WITH ev AS (
+    SELECT event_type, user_id,
+           CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+    FROM events
+),
+hot AS (
+    SELECT CAST(FLOOR(sec / {_IVAL_WIN}) * {_IVAL_WIN} AS BIGINT) AS wstart,
+           COUNT(*) AS n_view
+    FROM ev WHERE event_type = 'view'
+    GROUP BY 1 HAVING COUNT(*) >= {_IVAL_MIN_VIEWS}
+),
+iv AS (
+    SELECT wstart, n_view,
+           wstart - {_IVAL_PAD} AS lo,
+           wstart + {_IVAL_WIN} + {_IVAL_PAD} AS hi
+    FROM hot
+),
+p AS (SELECT user_id, sec FROM ev WHERE event_type = 'purchase')
+SELECT make_timestamp(wstart * 1000000) AS window_start,
+       CAST(n_view AS BIGINT) AS n_view,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_buyers
+FROM iv JOIN p ON p.sec >= iv.lo AND p.sec < iv.hi
+GROUP BY wstart, n_view
+"""
+
+
+@register("events_interval_overlap_join", oracle=_IVAL_SQL)
+def events_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("sec"),
+    )
+    hot = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(
+            (F.floor(F.col("sec") / _IVAL_WIN) * _IVAL_WIN).cast("long").alias("wstart")
+        )
+        .agg(F.count(F.lit(1)).alias("n_view"))
+        .filter(F.col("n_view") >= _IVAL_MIN_VIEWS)
+    )
+    iv = hot.select(
+        "wstart",
+        "n_view",
+        (F.col("wstart") - _IVAL_PAD).alias("lo"),
+        (F.col("wstart") + _IVAL_WIN + _IVAL_PAD).alias("hi"),
+    ).withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / _IVAL_WIN).cast("long"),
+                F.floor((F.col("hi") - 1) / _IVAL_WIN).cast("long"),
+            )
+        ),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "sec", F.floor(F.col("sec") / _IVAL_WIN).cast("long").alias("bin")
+    )
+    joined = p.join(
+        broadcast(iv),
+        (p["bin"] == iv["bin"]) & (F.col("sec") >= F.col("lo")) & (F.col("sec") < F.col("hi")),
+    )
+    return joined.groupBy("wstart", "n_view").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.countDistinct("user_id").cast("long").alias("n_buyers"),
+    ).select(
+        F.expr(
+            "timestampadd(SECOND, wstart, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        ).alias("window_start"),
+        F.col("n_view").cast("long").alias("n_view"),
+        "n_purchases",
+        "n_buyers",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session-relative feature extraction — the per-event features a
+# behavioral model trains on: which session the event belongs to
+# (30-minute inactivity gap, same rule as events_sessionization_30min),
+# its position within the session, seconds since the session started,
+# and the session's total length. Sessionization-as-aggregate answers
+# "how many sessions"; this is the row-level twin that keeps every
+# event and annotates it, the shape a feature store materializes.
+#
+# Scale notes: one shuffle on user_id; every window (lag, running
+# session counter, min/count over session) shares the same
+# partitioning, so Catalyst evaluates them in a single Window stage
+# chain without re-shuffling. All arithmetic is exact integer seconds;
+# ordering ties broken by the unique event_id.
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_S = 1800
+
+_SESSFEAT_SQL = f"""
+WITH e AS (
+    SELECT event_id, user_id,
+           CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+    FROM events
+),
+g AS (
+    SELECT *, CASE WHEN LAG(sec) OVER w IS NULL
+                     OR sec - LAG(sec) OVER w > {_SESSION_GAP_S}
+                   THEN 1 ELSE 0 END AS is_start
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+),
+s AS (
+    SELECT *, SUM(is_start) OVER (
+        PARTITION BY user_id ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING
+    ) AS session_seq FROM g
+)
+SELECT event_id, user_id,
+       CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY user_id, session_seq ORDER BY sec, event_id
+       ) AS BIGINT) AS pos_in_session,
+       CAST(sec - MIN(sec) OVER (PARTITION BY user_id, session_seq) AS BIGINT)
+           AS secs_into_session,
+       CAST(COUNT(*) OVER (PARTITION BY user_id, session_seq) AS BIGINT)
+           AS n_in_session
+FROM s
+"""
+
+
+@register("events_session_features", oracle=_SESSFEAT_SQL)
+def events_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("sec"),
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    g = e.withColumn(
+        "is_start",
+        F.when(
+            F.lag("sec").over(w).isNull()
+            | (F.col("sec") - F.lag("sec").over(w) > _SESSION_GAP_S),
+            1,
+        ).otherwise(0),
+    )
+    s = g.withColumn(
+        "session_seq",
+        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "session_seq").orderBy("sec", "event_id")
+    wsa = Window.partitionBy("user_id", "session_seq")
+    return s.select(
+        "event_id",
+        "user_id",
+        F.col("session_seq").cast("long").alias("session_seq"),
+        F.row_number().over(ws).cast("long").alias("pos_in_session"),
+        (F.col("sec") - F.min("sec").over(wsa)).cast("long").alias("secs_into_session"),
+        F.count(F.lit(1)).over(wsa).cast("long").alias("n_in_session"),
+    )

@@ -799,3 +799,108 @@ def pipeline_daily_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_delta long, n_dup_dropped long, n_quality_dropped long, "
         "n_appended long, n_total long",
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style data selection with importance resampling (Xie et al. 2023,
+# "Data Selection for Language Models via Importance Resampling"): score
+# every raw document by how target-domain-like its hashed-unigram
+# feature distribution is, then keep the top slice. The published
+# method trains bag-of-hashed-ngram models on target vs raw and ranks
+# by the importance log-ratio Σ_f count_f · log(p_target(f)/p_raw(f));
+# this catalog ranks by the monotone likelihood-ratio form
+# Σ_f count_f · (p̂_target(f)/p̂_raw(f)) with add-½ smoothing over the
+# 256 hash buckets, because ln() is not correctly rounded across
+# engines (docs/DETERMINISM.md) while +,×,÷ are — every per-bucket
+# weight is a chain of exact-integer-valued doubles and one division,
+# bit-identical in Spark and DuckDB, then rounded and decimal-summed.
+# Target domain here: source 'src0'; raw: the whole corpus.
+#
+# Scale notes (100 TB): the bucket model is a ≤256-row frame — one
+# map-side-combinable aggregate over the token explode, broadcast back
+# onto the same explode. Two shuffles total (bucket agg is tiny;
+# per-doc agg shuffles on doc_id) and a global top-50, which Spark
+# executes as TakeOrderedAndProject. Nothing grows with corpus size
+# except the linear scans; the model stays 256 rows at any scale.
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 256
+_DSIR_TARGET = "src0"
+_DSIR_TOP = 50
+
+_DSIR_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id, source,
+           unnest(string_split_regex(TRIM(text), '\s+')) AS token
+    FROM documents
+),
+b AS (
+    SELECT doc_id, source,
+           {sql_hash60('token')} % {_DSIR_BUCKETS} AS bucket
+    FROM toks
+),
+bc AS (
+    SELECT bucket,
+           COUNT(*) AS rc,
+           SUM(CASE WHEN source = '{_DSIR_TARGET}' THEN 1 ELSE 0 END) AS tc
+    FROM b GROUP BY bucket
+),
+tot AS (SELECT SUM(rc) AS rt, SUM(tc) AS tt FROM bc),
+w AS (
+    SELECT bucket,
+           ROUND(((2.0 * tc + 1.0) * (2.0 * rt + {_DSIR_BUCKETS}.0))
+                 / ((2.0 * tt + {_DSIR_BUCKETS}.0) * (2.0 * rc + 1.0)), 6) AS wt
+    FROM bc CROSS JOIN tot
+),
+scored AS (
+    SELECT b.doc_id, b.source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(wt AS DECIMAL(18,6))) AS DOUBLE) AS importance
+    FROM b JOIN w USING (bucket)
+    GROUP BY b.doc_id, b.source
+)
+SELECT doc_id, source, n_tokens, importance
+FROM scored
+ORDER BY importance DESC, doc_id ASC
+LIMIT {_DSIR_TOP}
+"""
+
+
+@register("corpus_dsir_importance", oracle=_DSIR_SQL)
+def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+    )
+    b = session_cache(
+        toks.select(
+            "doc_id", "source", (hash60("token") % _DSIR_BUCKETS).alias("bucket")
+        )
+    )
+    bc = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("rc"),
+        F.sum(F.when(F.col("source") == _DSIR_TARGET, 1).otherwise(0)).alias("tc"),
+    )
+    tot = bc.agg(F.sum("rc").alias("rt"), F.sum("tc").alias("tt"))
+    nb = float(_DSIR_BUCKETS)
+    w = bc.crossJoin(broadcast(tot)).select(
+        "bucket",
+        F.round(
+            ((2.0 * F.col("tc") + 1.0) * (2.0 * F.col("rt") + nb))
+            / ((2.0 * F.col("tt") + nb) * (2.0 * F.col("rc") + 1.0)),
+            6,
+        ).alias("wt"),
+    )
+    scored = (
+        b.join(broadcast(w), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.col("wt").cast("decimal(18,6)")).cast("double").alias("importance"),
+        )
+    )
+    return scored.orderBy(F.desc("importance"), F.asc("doc_id")).limit(_DSIR_TOP)

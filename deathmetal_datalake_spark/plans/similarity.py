@@ -1902,3 +1902,246 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _PQ_TOP)
         .select("query_id", "vec_id", "approx_dist", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Mutual (reciprocal) k-NN pairs over the fixed evaluation set — the
+# symmetric-neighbor criterion used for near-duplicate graph edges and
+# diversity filtering: keep (a, b) only if b is in a's top-k AND a is
+# in b's top-k. One-directional kNN keeps hub vectors that everything
+# points at; the reciprocal test removes them, which is why mutual-kNN
+# is the standard edge rule for dedup clustering over embeddings.
+#
+# Scale notes: the eval set is FIXED-size by the same cap convention as
+# every similarity audit (vec_id % MOD with an absolute cap → ≤200
+# vectors at any corpus size), so the pairwise pass is O(200²) however
+# big the corpus is — at production scale the same reciprocal-join step
+# runs over each query's ANN candidate list instead of a dense set. The
+# kNN frame is computed once, cached, and self-joined on the reversed
+# key pair (an equi-join, not a second scoring pass).
+# ---------------------------------------------------------------------------
+
+_MUTUAL_MOD = 10
+_MUTUAL_CAP = _MUTUAL_MOD * 200  # ≤200 eval vectors at any corpus size
+_MUTUAL_K = 5
+
+_MUTUAL_SQL = f"""
+WITH vecs AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    WHERE vec_id % {_MUTUAL_MOD} = 0 AND vec_id < {_MUTUAL_CAP}
+),
+scored AS (
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           ROUND(list_dot_product(a.emb, b.emb) /
+                 (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))),
+                 4) AS cosine
+    FROM vecs a JOIN vecs b ON a.vec_id <> b.vec_id
+),
+knn AS (
+    SELECT * FROM (
+        SELECT a_id, b_id, cosine, ROW_NUMBER() OVER (
+            PARTITION BY a_id ORDER BY cosine DESC, b_id ASC
+        ) AS rnk FROM scored
+    ) WHERE rnk <= {_MUTUAL_K}
+)
+SELECT x.a_id AS a_id, x.b_id AS b_id, x.cosine AS cosine,
+       CAST(x.rnk AS BIGINT) AS rank_ab, CAST(y.rnk AS BIGINT) AS rank_ba
+FROM knn x JOIN knn y ON x.a_id = y.b_id AND x.b_id = y.a_id
+WHERE x.a_id < x.b_id
+"""
+
+
+@register("similarity_mutual_topk", oracle=_MUTUAL_SQL)
+def similarity_mutual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    vecs = load_table(spark, sf_dir, "embeddings").filter(
+        (F.col("vec_id") % _MUTUAL_MOD == 0) & (F.col("vec_id") < _MUTUAL_CAP)
+    ).select("vec_id", _as_double("embedding").alias("emb"))
+    a = vecs.select(F.col("vec_id").alias("a_id"), F.col("emb").alias("aemb"))
+    b = vecs.select(F.col("vec_id").alias("b_id"), F.col("emb").alias("bemb"))
+    scored = a.join(broadcast(b), F.col("a_id") != F.col("b_id")).select(
+        "a_id",
+        "b_id",
+        F.round(
+            _dot(F.col("aemb"), F.col("bemb"))
+            / (
+                F.sqrt(_dot(F.col("aemb"), F.col("aemb")))
+                * F.sqrt(_dot(F.col("bemb"), F.col("bemb")))
+            ),
+            4,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("a_id").orderBy(F.desc("cosine"), F.asc("b_id"))
+    knn = session_cache(
+        scored.withColumn("rnk", F.row_number().over(w)).filter(
+            F.col("rnk") <= _MUTUAL_K
+        )
+    )
+    x, y = knn.alias("x"), knn.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.a_id") == F.col("y.b_id")) & (F.col("x.b_id") == F.col("y.a_id")),
+        )
+        .filter(F.col("x.a_id") < F.col("x.b_id"))
+        .select(
+            F.col("x.a_id").alias("a_id"),
+            F.col("x.b_id").alias("b_id"),
+            F.col("x.cosine").alias("cosine"),
+            F.col("x.rnk").cast("long").alias("rank_ab"),
+            F.col("y.rnk").cast("long").alias("rank_ba"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MMR (maximal marginal relevance, Carbonell & Goldstein 1998)
+# diversified rerank: retrieval that penalizes returning ten copies of
+# the same near-duplicate — score = λ·rel(q,d) − (1−λ)·sim(d, selected).
+# Full MMR is a sequential greedy loop; the distributed form used in
+# practice (and here) is the one-step variant: take the top-R relevance
+# shortlist, fix the top-1 as the selected anchor, rerank the remainder
+# by λ·rel − (1−λ)·sim(d, top1), and emit top-K. That removes the
+# dominant duplicate cluster around the best hit in one shuffle-free
+# rescoring pass instead of K sequential passes.
+#
+# Scale notes: the query set is the fixed-cap eval convention (≤10
+# queries at any scale); relevance scoring is the broadcast corpus scan
+# every retrieval query here uses; the rerank operates on R=20 rows per
+# query — driver-free, bounded, one broadcast join against the 1-row-
+# per-query anchor frame. λ·rel arithmetic: products/divisions of
+# rounded doubles are correctly rounded IEEE in both engines.
+# ---------------------------------------------------------------------------
+
+_MMR_QUERY_MOD = 200
+_MMR_QUERY_CAP = 2000   # ≤10 query vectors at any corpus size
+_MMR_SHORTLIST = 20
+_MMR_TOP = 10
+_MMR_LAMBDA = "0.7"
+
+_MMR_SQL = f"""
+WITH vecs AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+queries AS (
+    SELECT vec_id AS query_id, emb AS qemb FROM vecs
+    WHERE vec_id % {_MMR_QUERY_MOD} = 0 AND vec_id < {_MMR_QUERY_CAP}
+),
+scored AS (
+    SELECT q.query_id, v.vec_id, v.emb,
+           ROUND(list_dot_product(q.qemb, v.emb) /
+                 (sqrt(list_dot_product(q.qemb, q.qemb)) * sqrt(list_dot_product(v.emb, v.emb))),
+                 4) AS rel
+    FROM queries q JOIN vecs v ON q.query_id <> v.vec_id
+),
+short AS (
+    SELECT * FROM (
+        SELECT query_id, vec_id, emb, rel, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY rel DESC, vec_id ASC
+        ) AS rn FROM scored
+    ) WHERE rn <= {_MMR_SHORTLIST}
+),
+anchor AS (SELECT query_id, vec_id AS a_id, emb AS a_emb, rel AS a_rel FROM short WHERE rn = 1),
+rerank AS (
+    SELECT s.query_id, s.vec_id, s.rel,
+           ROUND({_MMR_LAMBDA} * s.rel - (1 - {_MMR_LAMBDA}) *
+                 ROUND(list_dot_product(s.emb, a.a_emb) /
+                       (sqrt(list_dot_product(s.emb, s.emb)) * sqrt(list_dot_product(a.a_emb, a.a_emb))),
+                       4), 6) AS mmr_score
+    FROM short s JOIN anchor a USING (query_id)
+    WHERE s.rn > 1
+),
+picked AS (
+    SELECT * FROM (
+        SELECT query_id, vec_id, rel, mmr_score, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY mmr_score DESC, vec_id ASC
+        ) AS rn2 FROM rerank
+    ) WHERE rn2 <= {_MMR_TOP} - 1
+)
+SELECT query_id, a_id AS vec_id, a_rel AS rel_cosine,
+       ROUND({_MMR_LAMBDA} * a_rel, 6) AS mmr_score,
+       CAST(1 AS BIGINT) AS final_rank
+FROM anchor
+UNION ALL
+SELECT query_id, vec_id, rel AS rel_cosine, mmr_score,
+       CAST(rn2 + 1 AS BIGINT) AS final_rank
+FROM picked
+"""
+
+
+@register("similarity_mmr_rerank", oracle=_MMR_SQL)
+def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    lam = float(_MMR_LAMBDA)
+    vecs = spread(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", _as_double("embedding").alias("emb")
+        )
+    )
+    queries = vecs.filter(
+        (F.col("vec_id") % _MMR_QUERY_MOD == 0) & (F.col("vec_id") < _MMR_QUERY_CAP)
+    ).select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"))
+    scored = vecs.join(broadcast(queries), F.col("query_id") != F.col("vec_id")).select(
+        "query_id",
+        "vec_id",
+        "emb",
+        F.round(
+            _dot(F.col("qemb"), F.col("emb"))
+            / (
+                F.sqrt(_dot(F.col("qemb"), F.col("qemb")))
+                * F.sqrt(_dot(F.col("emb"), F.col("emb")))
+            ),
+            4,
+        ).alias("rel"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("vec_id"))
+    short = session_cache(
+        scored.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") <= _MMR_SHORTLIST
+        )
+    )
+    anchor = short.filter(F.col("rn") == 1).select(
+        "query_id",
+        F.col("vec_id").alias("a_id"),
+        F.col("emb").alias("a_emb"),
+        F.col("rel").alias("a_rel"),
+    )
+    div = F.round(
+        _dot(F.col("emb"), F.col("a_emb"))
+        / (
+            F.sqrt(_dot(F.col("emb"), F.col("emb")))
+            * F.sqrt(_dot(F.col("a_emb"), F.col("a_emb")))
+        ),
+        4,
+    )
+    rerank = (
+        short.filter(F.col("rn") > 1)
+        .join(broadcast(anchor), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "rel",
+            F.round(lam * F.col("rel") - (1 - lam) * div, 6).alias("mmr_score"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("mmr_score"), F.asc("vec_id"))
+    picked = rerank.withColumn("rn2", F.row_number().over(w2)).filter(
+        F.col("rn2") <= _MMR_TOP - 1
+    )
+    first = anchor.select(
+        "query_id",
+        F.col("a_id").alias("vec_id"),
+        F.col("a_rel").alias("rel_cosine"),
+        F.round(lam * F.col("a_rel"), 6).alias("mmr_score"),
+        F.lit(1).cast("long").alias("final_rank"),
+    )
+    rest = picked.select(
+        "query_id",
+        "vec_id",
+        F.col("rel").alias("rel_cosine"),
+        "mmr_score",
+        (F.col("rn2") + 1).cast("long").alias("final_rank"),
+    )
+    return first.unionByName(rest)

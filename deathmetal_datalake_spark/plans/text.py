@@ -1472,3 +1472,59 @@ def text_gopher_rules_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_fail").cast("long").alias("n_fail"),
         F.round(F.col("n_fail") / F.col("n_docs").cast("double"), 6).alias("fail_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility per language — the metric that decides how many
+# *model* tokens a corpus actually costs: fertility = subword tokens
+# per whitespace word (≥1; higher = the tokenizer fragments this
+# language more) and chars-per-subword-token (compression proxy).
+# Budgeting a multilingual pretraining mix by raw bytes or by words
+# misestimates languages with high fertility; this audit is the
+# standard correction (cf. SentencePiece/BPE fertility reporting).
+# Uses the catalog's _BPE_RE pretokenizer as the subword stand-in.
+#
+# Scale notes: one map stage (two regex passes per doc, no explode —
+# counts come from array lengths) + one shuffle on the bounded lang
+# dimension. All sums are exact integers; the two divisions are single
+# correctly-rounded IEEE ops, so ROUND(...,6) is cross-engine safe.
+# ---------------------------------------------------------------------------
+
+_FERTILITY_SQL = rf"""
+WITH tok AS (
+    SELECT lang,
+           LENGTH(string_split_regex(TRIM(text), '\s+')) AS n_words,
+           LENGTH(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe,
+           LENGTH(text) AS n_chars
+    FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS n_words,
+       CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens,
+       ROUND(CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_words), 6) AS fertility,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_bpe), 6) AS chars_per_token
+FROM tok GROUP BY lang
+"""
+
+
+@register("text_tokenizer_fertility", oracle=_FERTILITY_SQL)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        F.size(_tokens()).cast("long").alias("n_words"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_bpe").alias("n_bpe_tokens"),
+        F.round(F.sum("n_bpe").cast("double") / F.sum("n_words"), 6).alias("fertility"),
+        F.round(F.sum("n_chars").cast("double") / F.sum("n_bpe"), 6).alias(
+            "chars_per_token"
+        ),
+    )

@@ -59,6 +59,8 @@ _NONEQUI_OK = {
     "tpch_q22_sales_opportunity",    # 1-row avg-balance frame
     "events_value_band_rollup",      # 3-row band dim
     "similarity_bruteforce_topk",    # deliberate full-scan baseline
+    "similarity_mutual_topk",        # fixed ≤200-vector eval-set pairwise pass
+    "similarity_mmr_rerank",         # broadcast query-set relevance scan
     "similarity_pandas_udf_topk",    # same baseline, Arrow path
     "similarity_ivf_topk",           # corpus x ~centroids assignment
     "similarity_retrieval_with_metadata",  # brute-force scorer + tiny topk join
@@ -68,6 +70,7 @@ _NONEQUI_OK = {
     "text_tfidf_top_terms",          # 1-row N frame for the IDF
     "text_bm25_retrieval",           # 1-row N/avgdl stats frame
     "dataset_mixture_weights",       # 1-row grand-total frame
+    "corpus_dsir_importance",        # 1-row token-totals frame for smoothing
     "corpus_temperature_resampling",  # 1-row grand-total + weight-sum frames
     "similarity_ivf_multiprobe_topk",  # corpus x ~centroids assignment
     "similarity_hard_negatives",     # corpus x ~centroids assignment
