@@ -297,3 +297,66 @@ def audio_energy_windows(
     spread = df.select(id_col, content_col)
     spread = spread.repartition(spread.sparkSession.sparkContext.defaultParallelism)
     return spread.mapInPandas(batches, schema=_AUDIO_ENERGY_OUT)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing: payload → compact bit signature whose Hamming
+# distance tracks perceptual similarity (pHash/aHash family). The real
+# image pipeline decodes pixels, downsamples, and thresholds a DCT /
+# mean grid; that codec step is stubbed like every decode here, and the
+# deterministic fake applies the SAME mean-threshold law to 60 evenly
+# sampled payload bytes — an exact integer rule SQL replays from
+# hex(), so the Arrow stage is oracle-checkable end-to-end.
+# ---------------------------------------------------------------------------
+
+_PHASH_BITS = 60
+
+_PHASH_OUT = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("phash", LongType(), False),
+    ]
+)
+
+
+def _real_phash(content: bytes) -> int:
+    """Codec call site: a real deployment decodes the image and
+    computes a DCT-based pHash here (PIL + scipy / imagehash)."""
+    raise NotImplementedError(
+        "image codecs are not available in this environment; "
+        "use deterministic_phash for tests"
+    )
+
+
+def deterministic_phash(content: bytes) -> int:
+    """Mean-threshold hash over 60 evenly sampled payload bytes:
+    bit_i = 1 iff 60·byte[i·n//60] > sum(sampled bytes). Exact integer
+    arithmetic — no floats — so DuckDB reproduces it bit-for-bit."""
+    import numpy as np
+
+    arr = np.frombuffer(bytes(content), dtype=np.uint8).astype(np.int64)
+    n = arr.shape[0]
+    idx = (np.arange(_PHASH_BITS, dtype=np.int64) * n) // _PHASH_BITS
+    sample = arr[idx]
+    total = int(sample.sum())
+    bits = (_PHASH_BITS * sample > total).astype(np.int64)
+    return int((bits << np.arange(_PHASH_BITS, dtype=np.int64)).sum())
+
+
+def perceptual_hashes(
+    df: DataFrame,
+    hasher: Callable[[bytes], int] = _real_phash,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Arrow-batched perceptual-hash stage: (id, binary) → (id, phash).
+    One Python call per Arrow batch; payloads stay in Arrow buffers."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes = pdf[content_col].map(lambda b: hasher(bytes(b)))
+            yield pd.DataFrame({"media_id": pdf[id_col], "phash": hashes})
+
+    spread = df.select(id_col, content_col)
+    spread = spread.repartition(spread.sparkSession.sparkContext.defaultParallelism)
+    return spread.mapInPandas(batches, schema=_PHASH_OUT)

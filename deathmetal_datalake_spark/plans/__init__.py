@@ -40,6 +40,9 @@ del _rev_q, _rev_o
 # promoted to the head explicitly — the driver's prefix sample then
 # always covers the newest, least-battle-tested surface first.
 _NEWEST_FIRST = [
+    "multimodal_phash_neardup",
+    "corpus_epoch_repeats",
+    "catalog_rollback_read",
     "corpus_dsir_importance",
     "similarity_mutual_topk",
     "similarity_mmr_rerank",

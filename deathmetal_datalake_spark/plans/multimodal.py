@@ -198,3 +198,107 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_energy_windows(
         documents_as_media(docs), decoder=deterministic_pcm_decode
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-duplicate candidates — image-style near-dup for
+# binary media: Arrow-batched pHash (mean-threshold bit signature, the
+# aHash/pHash family), then banded LSH over the 60-bit signature
+# (4 bands × 15 bits — the dedup_simhash banding scheme applied to
+# media) and a Hamming verify on the collided pairs. The deterministic
+# fake hasher applies an exact integer law to sampled payload bytes, so
+# the WHOLE path — Arrow decode stage, banding, Hamming distances — is
+# replayed byte-for-byte by the oracle from hex().
+#
+# Scale notes (100 TB): band buckets bound the candidate set exactly
+# like dedup_simhash_pairs (collision probability 2^-15 per band for
+# unrelated media); corpora with billions of images widen the bands or
+# add the count-first hot-bucket guard — the documented trade in
+# plans/dedup.py. The verify join is equi on media_id; no all-pairs
+# path exists.
+# ---------------------------------------------------------------------------
+
+_PHASH_BANDS = 4
+_PHASH_BAND_BITS = 15
+_PHASH_NEAR = 16  # Hamming threshold on the 60-bit signature
+
+_PHASH_SQL = f"""
+WITH hexed AS (
+    SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+    FROM documents
+),
+sampled AS (
+    SELECT doc_id, i,
+           CAST(('0x' || substr(h, CAST(2 * ((i * n) // 60) + 1 AS INTEGER), 2)) AS BIGINT) AS b
+    FROM hexed, UNNEST(range(0, 60)) AS g(i)
+),
+tot AS (SELECT doc_id, SUM(b) AS t FROM sampled GROUP BY doc_id),
+ph AS (
+    SELECT s.doc_id,
+           CAST(SUM(CASE WHEN 60 * s.b > t.t
+                         THEN (CAST(1 AS BIGINT) << CAST(s.i AS INTEGER))
+                         ELSE 0 END) AS BIGINT) AS phash
+    FROM sampled s JOIN tot t USING (doc_id) GROUP BY s.doc_id
+),
+bands AS (
+    SELECT doc_id, phash, k,
+           (phash >> CAST({_PHASH_BAND_BITS} * k AS INTEGER)) & {2**_PHASH_BAND_BITS - 1} AS key
+    FROM ph, UNNEST(range(0, {_PHASH_BANDS})) AS g(k)
+),
+cand AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           a.phash AS pa, b.phash AS pb,
+           COUNT(*) AS n_shared_bands
+    FROM bands a JOIN bands b
+      ON a.k = b.k AND a.key = b.key AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+)
+SELECT a_id AS media_a, b_id AS media_b,
+       CAST(n_shared_bands AS BIGINT) AS n_shared_bands,
+       CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming,
+       CASE WHEN bit_count(xor(pa, pb)) <= {_PHASH_NEAR} THEN true ELSE false END
+           AS is_neardup
+FROM cand
+"""
+
+
+@register("multimodal_phash_neardup", oracle=_PHASH_SQL)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deathmetal_datalake_spark.operators.multimodal import (
+        deterministic_phash,
+        perceptual_hashes,
+    )
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    docs = load_table(spark, sf_dir, "documents")
+    ph = session_cache(
+        perceptual_hashes(documents_as_media(docs), hasher=deterministic_phash)
+    )
+    ks = F.array(*[F.lit(k) for k in range(_PHASH_BANDS)])
+    mask = 2**_PHASH_BAND_BITS - 1
+    bands = ph.select(
+        "media_id", "phash", F.explode(ks).alias("k")
+    ).withColumn(
+        "key",
+        F.expr(f"shiftright(phash, {_PHASH_BAND_BITS} * k)").bitwiseAND(F.lit(mask)),
+    )
+    a = bands.select(
+        F.col("media_id").alias("a_id"), F.col("phash").alias("pa"), "k", "key"
+    )
+    b = bands.select(
+        F.col("media_id").alias("b_id"), F.col("phash").alias("pb"), "k", "key"
+    )
+    cand = (
+        a.join(b, ["k", "key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id", "pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_bands"))
+    )
+    hamming = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+    return cand.select(
+        F.col("a_id").alias("media_a"),
+        F.col("b_id").alias("media_b"),
+        "n_shared_bands",
+        hamming.cast("long").alias("hamming"),
+        (hamming <= _PHASH_NEAR).alias("is_neardup"),
+    )

@@ -904,3 +904,120 @@ def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("importance"), F.asc("doc_id")).limit(_DSIR_TOP)
+
+
+# ---------------------------------------------------------------------------
+# Epoch-repeat scheduling — the "how many passes over each source"
+# question every pretraining mix answers after weights are chosen
+# (cf. the repeated-epoch schedules in Gopher/LLaMA data tables and
+# the diminishing-returns analysis of Muennighoff et al. 2023): given
+# a per-source token budget (equal share here), each source is
+# scheduled for floor(budget/available) full copies plus a fractional
+# epoch realized as a deterministic hash gate over doc_ids — the same
+# stateless hash-filter sampler used everywhere in this catalog, so
+# the fractional epoch is reproducible and shuffle-free.
+#
+# Determinism: every quantity is exact BIGINT arithmetic — integer
+# division for the per-mille repeat factor, md5-derived doc gates —
+# no floating point anywhere.
+#
+# Scale notes (100 TB): one token-count aggregate over the corpus
+# (map-side combinable), a ≤|sources| model frame broadcast back, and
+# one more bounded aggregate. The realized schedule (doc_id × copy)
+# is never materialized here — the audit emits the per-source plan,
+# which is what a training-data loader consumes.
+# ---------------------------------------------------------------------------
+
+_EPOCH_SQL = rf"""
+WITH d AS (
+    SELECT doc_id, source,
+           LENGTH(string_split_regex(TRIM(text), '\s+')) AS n_toks,
+           {sql_hash60('CAST(doc_id AS VARCHAR)')} % 1000 AS gate
+    FROM documents
+),
+s AS (
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS source_tokens
+    FROM d GROUP BY source
+),
+tot AS (
+    SELECT CAST(SUM(source_tokens) AS BIGINT) // COUNT(*) AS target_tokens FROM s
+),
+plan AS (
+    SELECT s.source, s.n_docs, s.source_tokens, t.target_tokens,
+           (t.target_tokens * 1000) // s.source_tokens AS r_permille
+    FROM s CROSS JOIN tot t
+),
+extra AS (
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_extra_docs,
+           CAST(COALESCE(SUM(d.n_toks), 0) AS BIGINT) AS extra_tokens
+    FROM d JOIN plan p USING (source)
+    WHERE d.gate < p.r_permille % 1000
+    GROUP BY d.source
+)
+SELECT p.source,
+       CAST(p.n_docs AS BIGINT) AS n_docs,
+       p.source_tokens,
+       p.target_tokens,
+       CAST(p.r_permille // 1000 AS BIGINT) AS full_copies,
+       CAST(p.r_permille % 1000 AS BIGINT) AS extra_permille,
+       CAST(COALESCE(e.n_extra_docs, 0) AS BIGINT) AS n_extra_docs,
+       CAST(COALESCE(e.extra_tokens, 0) AS BIGINT) AS extra_tokens,
+       CAST((p.r_permille // 1000) * p.source_tokens
+            + COALESCE(e.extra_tokens, 0) AS BIGINT) AS scheduled_tokens
+FROM plan p LEFT JOIN extra e USING (source)
+"""
+
+
+@register("corpus_epoch_repeats", oracle=_EPOCH_SQL)
+def corpus_epoch_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = session_cache(
+        docs.select(
+            "source",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_toks"),
+            (hash60(F.col("doc_id").cast("string")) % 1000).alias("gate"),
+        )
+    )
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("source_tokens"),
+    )
+    tot = s.agg(
+        F.expr("sum(source_tokens) div count(*)").cast("long").alias("target_tokens")
+    )
+    plan = s.crossJoin(broadcast(tot)).withColumn(
+        "r_permille", F.expr("(target_tokens * 1000) div source_tokens")
+    )
+    extra = (
+        d.join(
+            broadcast(plan.select("source", "r_permille")),
+            "source",
+        )
+        .filter(F.col("gate") < F.col("r_permille") % 1000)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_extra_docs"),
+            F.sum("n_toks").cast("long").alias("extra_tokens"),
+        )
+    )
+    return (
+        plan.join(broadcast(extra), "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "source_tokens",
+            "target_tokens",
+            F.expr("r_permille div 1000").cast("long").alias("full_copies"),
+            (F.col("r_permille") % 1000).cast("long").alias("extra_permille"),
+            F.coalesce("n_extra_docs", F.lit(0)).cast("long").alias("n_extra_docs"),
+            F.coalesce("extra_tokens", F.lit(0)).cast("long").alias("extra_tokens"),
+            (
+                F.expr("r_permille div 1000") * F.col("source_tokens")
+                + F.coalesce("extra_tokens", F.lit(0))
+            ).cast("long").alias("scheduled_tokens"),
+        )
+    )

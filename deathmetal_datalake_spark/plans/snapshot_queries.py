@@ -1742,3 +1742,60 @@ def catalog_maintain_policy_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows2 = out.collect()
     return spark.createDataFrame(rows2, schema=out.schema)
+
+
+# ---------------------------------------------------------------------------
+# Rollback semantics (Iceberg `rollback_to_snapshot` analog,
+# sources/snapshots.py:rollback): move the branch ref back to an
+# ancestor WITHOUT touching data files, then prove (a) the head reads
+# as the ancestor state, and (b) a write on the rolled-back head forks
+# a NEW lineage — the orphaned newer snapshot's rows never reappear.
+# This is the operational "bad load landed, un-publish it" path; the
+# oracle pins all three phases as plain filters of the source table.
+# ---------------------------------------------------------------------------
+
+_ROLLBACK_SQL = f"""
+SELECT 'pre_rollback' AS phase, {_TT_STATS} FROM orders
+WHERE o_orderstatus IN ('F', 'O', 'P')
+UNION ALL
+SELECT 'post_rollback', {_TT_STATS} FROM orders WHERE o_orderstatus IN ('F', 'O')
+UNION ALL
+SELECT 'after_rewrite', {_TT_STATS} FROM orders
+WHERE o_orderstatus IN ('F', 'O') OR (o_orderstatus = 'P' AND o_orderkey % 2 = 0)
+"""
+
+
+@register("catalog_rollback_read", oracle=_ROLLBACK_SQL)
+def catalog_rollback_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """overwrite('F') → append('O') [= s2] → append('P'), rollback to
+    s2, then append only the even-keyed 'P' rows: the rolled-back head
+    must read F+O, and the rewrite must NOT resurrect the odd-keyed 'P'
+    rows from the orphaned third snapshot."""
+    orders = session_cache(spread(load_table(spark, sf_dir, "orders")))
+
+    def stats(df: DataFrame, phase: str) -> DataFrame:
+        return df.agg(
+            F.lit(phase).alias("phase"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            dsum("o_totalprice", "total_price"),
+        )
+
+    with tempfile.TemporaryDirectory(prefix="dml-snapr-") as d:
+        tbl = SnapshotTable(spark, os.path.join(d, "orders_rollback"))
+        tbl.write(orders.filter(F.col("o_orderstatus") == "F"), "overwrite")
+        s2 = tbl.write(orders.filter(F.col("o_orderstatus") == "O"), "append")
+        tbl.write(orders.filter(F.col("o_orderstatus") == "P"), "append")
+        pre = stats(tbl.read(), "pre_rollback")
+        tbl.rollback("main", s2.snapshot_id)
+        post = stats(tbl.read(), "post_rollback")
+        tbl.write(
+            orders.filter(
+                (F.col("o_orderstatus") == "P") & (F.col("o_orderkey") % 2 == 0)
+            ),
+            "append",
+        )
+        out = pre.unionAll(post).unionAll(stats(tbl.read(), "after_rewrite"))
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)

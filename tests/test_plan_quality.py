@@ -71,6 +71,7 @@ _NONEQUI_OK = {
     "text_bm25_retrieval",           # 1-row N/avgdl stats frame
     "dataset_mixture_weights",       # 1-row grand-total frame
     "corpus_dsir_importance",        # 1-row token-totals frame for smoothing
+    "corpus_epoch_repeats",          # 1-row target-budget frame
     "corpus_temperature_resampling",  # 1-row grand-total + weight-sum frames
     "similarity_ivf_multiprobe_topk",  # corpus x ~centroids assignment
     "similarity_hard_negatives",     # corpus x ~centroids assignment
