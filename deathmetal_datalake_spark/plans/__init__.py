@@ -40,6 +40,9 @@ del _rev_q, _rev_o
 # promoted to the head explicitly — the driver's prefix sample then
 # always covers the newest, least-battle-tested surface first.
 _NEWEST_FIRST = [
+    "similarity_filtered_ann",
+    "events_hourly_top_types",
+    "distinct_on_latest_order",
     "multimodal_phash_neardup",
     "corpus_epoch_repeats",
     "catalog_rollback_read",

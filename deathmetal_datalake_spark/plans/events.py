@@ -1577,3 +1577,53 @@ def events_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sec") - F.min("sec").over(wsa)).cast("long").alias("secs_into_session"),
         F.count(F.lit(1)).over(wsa).cast("long").alias("n_in_session"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Top-k per time window — the "trending items per hour" shape every
+# analytics stack materializes: hourly counts per event type, ranked
+# within the hour, top 3 kept. Spark rewrites the rank-filter into
+# WindowGroupLimit, so each shuffle partition truncates to 3 rows
+# before the final exchange — the plan property that makes per-window
+# top-k safe at any cardinality of the ranked dimension.
+# ---------------------------------------------------------------------------
+
+_HOURLY_TOP_SQL = """
+WITH h AS (
+    SELECT make_timestamp(CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 3600) * 3600 * 1000000 AS BIGINT)) AS hour_start,
+           event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1, 2
+)
+SELECT hour_start, event_type,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_users AS BIGINT) AS n_users,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY hour_start ORDER BY n_events DESC, event_type ASC
+    ) AS rnk FROM h
+) WHERE rnk <= 3
+"""
+
+
+@register("events_hourly_top_types", oracle=_HOURLY_TOP_SQL)
+def events_hourly_top_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    w = Window.partitionBy("w").orderBy(F.desc("n_events"), F.asc("event_type"))
+    return (
+        h.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "n_users",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

@@ -21,7 +21,7 @@ Scale design notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -765,4 +765,39 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double"), 4).alias(
             "running_total"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DISTINCT ON — the Postgres idiom (SELECT DISTINCT ON (key) ... ORDER
+# BY key, sort) Spark lacks as syntax: latest order per customer,
+# expressed as the canonical row_number-rank-1 rewrite. Plan: one
+# shuffle on the key; the rank filter compiles to WindowGroupLimit, so
+# each partition keeps one row per customer before the exchange.
+# ---------------------------------------------------------------------------
+
+_DISTINCT_ON_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+FROM (
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+           ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC
+           ) AS rn
+    FROM orders
+) WHERE rn = 1
+"""
+
+
+@register("distinct_on_latest_order", oracle=_DISTINCT_ON_SQL)
+def distinct_on_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        orders.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
     )

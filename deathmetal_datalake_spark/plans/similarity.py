@@ -2145,3 +2145,222 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rn2") + 1).cast("long").alias("final_rank"),
     )
     return first.unionByName(rest)
+
+
+# ---------------------------------------------------------------------------
+# Filtered vector search — ANN under a metadata predicate (label IN
+# (0,1,2)), the query shape every production vector store added after
+# plain top-k (Qdrant/Vespa/Milvus "filtered search"): the index is
+# built on the FULL corpus, the filter applies at probe time
+# (pre-filtering inside the cell), and the audit reports recall against
+# the filtered brute-force truth plus the per-query surviving candidate
+# count — the number that explains WHY filtered recall drops (a
+# selective filter empties the probed cell; the production fix is more
+# probes or a filter-aware index).
+#
+# Scale notes: same fixed 16-cell coarse quantizer and ≤40-query eval
+# cap as every IVF audit here (O(n·16) assignment, O(n) probe); the
+# label filter prunes the probe scan BEFORE scoring, so selectivity
+# directly reduces work — the plan the predicate-pushdown gate checks.
+# ---------------------------------------------------------------------------
+
+_FILT_LABELS = "(0, 1, 2)"
+_FILT_K = 5
+
+_FILTERED_ANN_SQL = f"""
+WITH vecs AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+filt AS (SELECT * FROM vecs WHERE label IN {_FILT_LABELS}),
+queries AS (
+    SELECT vec_id AS query_id, emb AS qemb FROM vecs
+    WHERE vec_id % {_QUERY_MOD} = 0 AND vec_id < {_QUERY_CAP}
+),
+truth AS (
+    SELECT query_id, vec_id FROM (
+        SELECT q.query_id, v.vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY ROUND(list_dot_product(q.qemb, v.emb) /
+                       (sqrt(list_dot_product(q.qemb, q.qemb)) * sqrt(list_dot_product(v.emb, v.emb))), 4) DESC,
+                       v.vec_id ASC
+               ) AS rank
+        FROM queries q JOIN filt v ON q.query_id <> v.vec_id
+    ) WHERE rank <= {_FILT_K}
+),
+centroids AS (
+    SELECT vec_id AS cid, emb AS cemb FROM vecs
+    WHERE vec_id % {_CENTROID_MOD} = {_CENTROID_REM} AND vec_id < {_CENTROID_CAP}
+),
+fassigned AS (
+    SELECT vec_id, emb, cid FROM (
+        SELECT v.vec_id, v.emb, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {_IVF_COS.format(a='v.emb', b='c.cemb')} DESC, c.cid ASC
+               ) AS rn
+        FROM filt v CROSS JOIN centroids c
+    ) WHERE rn = 1
+),
+qassigned AS (
+    SELECT query_id, qemb, cid FROM (
+        SELECT q.query_id, q.qemb, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_IVF_COS.format(a='q.qemb', b='c.cemb')} DESC, c.cid ASC
+               ) AS rn
+        FROM queries q CROSS JOIN centroids c
+    ) WHERE rn = 1
+),
+cand AS (
+    SELECT q.query_id, v.vec_id,
+           ROUND(list_dot_product(q.qemb, v.emb) /
+                 (sqrt(list_dot_product(q.qemb, q.qemb)) * sqrt(list_dot_product(v.emb, v.emb))), 4) AS cosine
+    FROM qassigned q JOIN fassigned v ON q.cid = v.cid AND q.query_id <> v.vec_id
+),
+approx AS (
+    SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+        ) AS rank FROM cand
+    ) WHERE rank <= {_FILT_K}
+),
+counts AS (
+    SELECT q.query_id, COUNT(c.vec_id) AS n_candidates
+    FROM queries q LEFT JOIN cand c USING (query_id) GROUP BY q.query_id
+),
+hits AS (
+    SELECT t.query_id, COUNT(a.vec_id) AS n_hits
+    FROM truth t LEFT JOIN approx a
+      ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+    GROUP BY t.query_id
+)
+SELECT c.query_id,
+       CAST(c.n_candidates AS BIGINT) AS n_candidates,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(COALESCE(h.n_hits, 0) / CAST({_FILT_K} AS DOUBLE), 6) AS recall_at_k
+FROM counts c LEFT JOIN hits h USING (query_id)
+"""
+
+
+@register("similarity_filtered_ann", oracle=_FILTERED_ANN_SQL)
+def similarity_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    labels = [0, 1, 2]
+    vecs = spread(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", _as_double("embedding").alias("emb")
+        )
+    )
+    filt = vecs.filter(F.col("label").isin(labels)).select("vec_id", "emb")
+    queries = session_cache(
+        vecs.filter(
+            (F.col("vec_id") % _QUERY_MOD == 0) & (F.col("vec_id") < _QUERY_CAP)
+        ).select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"))
+    )
+    cos_qv = F.round(
+        _dot(F.col("qemb"), F.col("emb"))
+        / (
+            F.sqrt(_dot(F.col("qemb"), F.col("qemb")))
+            * F.sqrt(_dot(F.col("emb"), F.col("emb")))
+        ),
+        4,
+    )
+    w_q = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    truth = (
+        filt.join(broadcast(queries), F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id", cos_qv.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w_q))
+        .filter(F.col("rank") <= _FILT_K)
+        .select("query_id", "vec_id")
+    )
+    centroids = vecs.filter(
+        (F.col("vec_id") % _CENTROID_MOD == _CENTROID_REM)
+        & (F.col("vec_id") < _CENTROID_CAP)
+    ).select(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
+    cos_vc = F.round(
+        _dot(F.col("emb"), F.col("cemb"))
+        / (
+            F.sqrt(_dot(F.col("emb"), F.col("emb")))
+            * F.sqrt(_dot(F.col("cemb"), F.col("cemb")))
+        ),
+        6,
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
+    fassigned = (
+        filt.crossJoin(broadcast(centroids))
+        .select("vec_id", "cid", cos_vc.alias("csim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+        .join(filt, "vec_id")
+    )
+    cos_qc = F.round(
+        _dot(F.col("qemb"), F.col("cemb"))
+        / (
+            F.sqrt(_dot(F.col("qemb"), F.col("qemb")))
+            * F.sqrt(_dot(F.col("cemb"), F.col("cemb")))
+        ),
+        6,
+    )
+    w_qassign = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cid"))
+    qassigned = (
+        queries.crossJoin(broadcast(centroids))
+        .select("query_id", "cid", cos_qc.alias("csim"))
+        .withColumn("rn", F.row_number().over(w_qassign))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "cid")
+        .join(queries, "query_id")
+    )
+    cand = session_cache(
+        fassigned.alias("v")
+        .join(
+            broadcast(qassigned.alias("q")),
+            (F.col("q.cid") == F.col("v.cid"))
+            & (F.col("q.query_id") != F.col("v.vec_id")),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _dot(F.col("q.qemb"), F.col("v.emb"))
+                / (
+                    F.sqrt(_dot(F.col("q.qemb"), F.col("q.qemb")))
+                    * F.sqrt(_dot(F.col("v.emb"), F.col("v.emb")))
+                ),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    approx = (
+        cand.withColumn("rank", F.row_number().over(w_q))
+        .filter(F.col("rank") <= _FILT_K)
+        .select("query_id", "vec_id")
+    )
+    counts = (
+        queries.select("query_id")
+        .join(cand.select("query_id", "vec_id"), "query_id", "left")
+        .groupBy("query_id")
+        .agg(F.count("vec_id").cast("long").alias("n_candidates"))
+    )
+    hits = (
+        truth.join(
+            approx.select(
+                F.col("query_id").alias("a_query_id"), F.col("vec_id").alias("a_vec_id")
+            ),
+            (F.col("query_id") == F.col("a_query_id"))
+            & (F.col("vec_id") == F.col("a_vec_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("a_vec_id").alias("n_hits"))
+    )
+    return counts.join(hits, "query_id", "left").select(
+        "query_id",
+        "n_candidates",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(float(_FILT_K)), 6).alias(
+            "recall_at_k"
+        ),
+    )

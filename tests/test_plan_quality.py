@@ -78,6 +78,7 @@ _NONEQUI_OK = {
     "dedup_semdedup_ivf",            # corpus x 16-centroid assignment
     "dedup_semdedup_eval",           # composes the semdedup assignment
     "similarity_ann_recall",         # brute-force truth + IVF assignment
+    "similarity_filtered_ann",       # filtered brute-force truth + IVF assignment
     "text_rare_token_ratio",         # 1-row corpus-count frame
     "similarity_dim_truncation_recall",  # brute-force truth + truncated rescan
     "dedup_graph_triangles",         # three 1-row count frames crossJoined
