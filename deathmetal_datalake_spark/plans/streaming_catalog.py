@@ -1350,3 +1350,54 @@ def streaming_kafka_group_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     collected = out.collect()
     return spark.createDataFrame(collected, schema=out.schema)
+
+
+# ---------------------------------------------------------------------------
+# Windowed top-k, streamed — the "trending per hour" mart: Structured
+# Streaming cannot rank inside a streaming aggregation (non-time
+# windows are unsupported on streaming frames, and count(DISTINCT) is
+# likewise rejected), so the production shape is exactly what this
+# replay does: stream the hourly counts into a materialized aggregate
+# (complete mode), then rank the materialized table as a batch
+# transform — the incremental-view-maintenance split used by every
+# streaming mart here. The oracle is the batch law minus the distinct-
+# user column the streaming engine cannot maintain.
+# ---------------------------------------------------------------------------
+
+_HOURLY_TOP_STREAM_SQL = """
+WITH h AS (
+    SELECT make_timestamp(CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 3600) * 3600 * 1000000 AS BIGINT)) AS hour_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2
+)
+SELECT hour_start, event_type,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY hour_start ORDER BY n_events DESC, event_type ASC
+    ) AS rnk FROM h
+) WHERE rnk <= 3
+"""
+
+
+@register("streaming_hourly_top_replay", oracle=_HOURLY_TOP_STREAM_SQL)
+def streaming_hourly_top_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    stream, scratch = _replay_events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n_events")
+    )
+    tbl = _drain(agg, scratch, "complete")
+    w = Window.partitionBy("hour_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        tbl.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("hour_start", "event_type", "n_events", F.col("rnk").cast("long").alias("rnk"))
+    )
