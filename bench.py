@@ -87,9 +87,12 @@ BENCH_QUERIES = [
     # scoring, survivorship, versioned-table time travel
     "dedup_simhash_multiprobe",
     "similarity_ivf_multiprobe_topk",
-    "similarity_ann_recall",
+    # (similarity_ann_recall rotated out late round 6 for
+    # similarity_filtered_ann — the recall-audit shape stays covered by
+    # the filtered variant; two-scale history in docs/BENCH_FULL.json.)
     "dedup_minhash_calibration",
-    "text_repetition_scores",
+    # (text_repetition_scores rotated out late round 6 for
+    # corpus_dsir_importance — text kept 7 other representatives.)
     "dedup_cluster_canonical",
     "embedding_int8_quantization",
     "catalog_snapshot_time_travel",
@@ -98,7 +101,8 @@ BENCH_QUERIES = [
     "catalog_snapshot_diff",
     "text_ngram_novelty",
     "dedup_method_agreement",
-    "dedup_graph_triangles",
+    # (dedup_graph_triangles rotated out late round 6 for
+    # multimodal_phash_neardup — dedup kept 10 other representatives.)
     "similarity_dim_truncation_recall",
     "pipeline_daily_increment",
     # (events_gap_filled_5min rotated out in round 6 to keep the
@@ -134,6 +138,12 @@ BENCH_QUERIES = [
     # proxy, integer-exact floor-log2 buckets)
     "catalog_decimal_widening_read",
     "text_unigram_logfreq_score",
+    # late round 6: Arrow pHash + banded-LSH media near-dup, DSIR
+    # hashed-unigram importance selection, and filtered vector search
+    # (metadata predicate inside the IVF probe, recall audited)
+    "multimodal_phash_neardup",
+    "corpus_dsir_importance",
+    "similarity_filtered_ann",
     # NOT here: catalog_bloom_point_lookup — its runtime is ~80%
     # deliberate 7-write table construction + opt-in bloom harvest
     # (write-side costs the catalog family already represents via

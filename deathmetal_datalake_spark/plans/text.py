@@ -1528,3 +1528,108 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_token"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Collocation extraction by lift — the PMI family (pointwise mutual
+# information ranks pairs by log lift; ranking by the LIFT itself is
+# order-identical since log is monotone, and avoids ln(), which is not
+# correctly rounded across engines): lift(a,b) = P(ab) / (P(a)·P(b))
+# = c_ab·U² / (B·c_a·c_b), with a min-support gate — the standard
+# phrase/collocation miner a tokenizer-training pipeline runs before
+# merging multiword units. All counts are exact integers; the score is
+# a fixed-parenthesization chain of correctly-rounded IEEE ops, so
+# both engines agree bit-for-bit before the ROUND.
+#
+# Scale notes (100 TB): two explode+count aggregates (map-side
+# combinable), a join of bigrams to the unigram frame on each side
+# (vocab-bounded), two 1-row totals frames broadcast, and a global
+# top-30 (TakeOrderedAndProject). No all-pairs path: only OBSERVED
+# bigrams are scored.
+# ---------------------------------------------------------------------------
+
+_LIFT_MIN_SUPPORT = 5
+_LIFT_TOP = 30
+
+_LIFT_SQL = r"""
+WITH tok AS (
+    SELECT string_split_regex(LOWER(TRIM(text)), '\s+') AS toks FROM documents
+),
+uc AS (
+    SELECT w, COUNT(*) AS cw FROM (SELECT UNNEST(toks) AS w FROM tok) GROUP BY w
+),
+ut AS (SELECT CAST(SUM(cw) AS BIGINT) AS u FROM uc),
+bg AS (
+    SELECT bigram, COUNT(*) AS cab FROM (
+        SELECT UNNEST(list_transform(
+            range(1, LENGTH(toks)), i -> toks[i] || ' ' || toks[i+1]
+        )) AS bigram FROM tok
+    ) GROUP BY bigram
+),
+bt AS (SELECT CAST(SUM(cab) AS BIGINT) AS btot FROM bg)
+SELECT string_split(bigram, ' ')[1] AS w_a,
+       string_split(bigram, ' ')[2] AS w_b,
+       CAST(cab AS BIGINT) AS n_pair,
+       CAST(ca.cw AS BIGINT) AS n_a,
+       CAST(cb.cw AS BIGINT) AS n_b,
+       ROUND(((CAST(cab AS DOUBLE) * u) * u)
+             / ((CAST(btot AS DOUBLE) * ca.cw) * cb.cw), 6) AS lift
+FROM bg
+JOIN uc ca ON string_split(bigram, ' ')[1] = ca.w
+JOIN uc cb ON string_split(bigram, ' ')[2] = cb.w
+CROSS JOIN ut CROSS JOIN bt
+WHERE cab >= {ms}
+ORDER BY lift DESC, w_a ASC, w_b ASC
+LIMIT {top}
+""".replace("{ms}", str(_LIFT_MIN_SUPPORT)).replace("{top}", str(_LIFT_TOP))
+
+
+@register("text_bigram_lift", oracle=_LIFT_SQL)
+def text_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks_df = session_cache(docs.select(toks.alias("toks")))
+    uc = toks_df.select(F.explode("toks").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("cw")
+    )
+    ut = uc.agg(F.sum("cw").cast("long").alias("u"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("toks")) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("toks"), i), F.element_at(F.col("toks"), i + 1)
+        ),
+    )
+    bg = (
+        toks_df.select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cab"))
+    )
+    bt = bg.agg(F.sum("cab").cast("long").alias("btot"))
+    w_a = F.split(F.col("bigram"), " ").getItem(0)
+    w_b = F.split(F.col("bigram"), " ").getItem(1)
+    scored = (
+        bg.filter(F.col("cab") >= _LIFT_MIN_SUPPORT)
+        .withColumn("w_a", w_a)
+        .withColumn("w_b", w_b)
+        .join(uc.select(F.col("w").alias("w_a"), F.col("cw").alias("ca")), "w_a")
+        .join(uc.select(F.col("w").alias("w_b"), F.col("cw").alias("cb")), "w_b")
+        .crossJoin(broadcast(ut))
+        .crossJoin(broadcast(bt))
+        .select(
+            "w_a",
+            "w_b",
+            F.col("cab").cast("long").alias("n_pair"),
+            F.col("ca").cast("long").alias("n_a"),
+            F.col("cb").cast("long").alias("n_b"),
+            F.round(
+                ((F.col("cab").cast("double") * F.col("u")) * F.col("u"))
+                / ((F.col("btot").cast("double") * F.col("ca")) * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.desc("lift"), F.asc("w_a"), F.asc("w_b")).limit(_LIFT_TOP)

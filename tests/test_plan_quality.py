@@ -72,6 +72,7 @@ _NONEQUI_OK = {
     "dataset_mixture_weights",       # 1-row grand-total frame
     "corpus_dsir_importance",        # 1-row token-totals frame for smoothing
     "corpus_epoch_repeats",          # 1-row target-budget frame
+    "text_bigram_lift",              # two 1-row totals frames
     "corpus_temperature_resampling",  # 1-row grand-total + weight-sum frames
     "similarity_ivf_multiprobe_topk",  # corpus x ~centroids assignment
     "similarity_hard_negatives",     # corpus x ~centroids assignment
