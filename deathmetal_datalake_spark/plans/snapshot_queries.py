@@ -1799,3 +1799,83 @@ def catalog_rollback_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = pre.unionAll(post).unionAll(stats(tbl.read(), "after_rewrite"))
         rows = out.collect()
         return spark.createDataFrame(rows, schema=out.schema)
+
+
+# ---------------------------------------------------------------------------
+# Orphan-file audit + janitor (Iceberg `remove_orphan_files` analog,
+# sources/snapshots.py:orphan_data_dirs): an aborted catalog
+# transaction leaves its staged data dirs on disk but referenced by no
+# snapshot manifest — the failure debris every object-store table
+# format accumulates. The audit proves (a) the orphan scan finds
+# exactly the aborted write's dirs and can count the stranded rows
+# WITHOUT any snapshot referencing them, (b) the live table read never
+# sees them, and (c) after the janitor delete the orphan list is empty
+# and the live read is unchanged. The pinned 1/0 dir counts encode the
+# protocol law (one staged dir per aborted single-write txn; janitor
+# leaves zero); row counts are data-derived.
+# ---------------------------------------------------------------------------
+
+_ORPHAN_SQL = """
+SELECT CAST(SUM(CASE WHEN o_orderstatus IN ('F', 'O') THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_live_rows,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT)
+           AS orphan_rows,
+       CAST(1 AS BIGINT) AS n_orphan_dirs,
+       CAST(0 AS BIGINT) AS n_orphan_dirs_after,
+       CAST(SUM(CASE WHEN o_orderstatus IN ('F', 'O') THEN 1 ELSE 0 END) AS BIGINT)
+           AS live_rows_after
+FROM orders
+"""
+
+
+@register("catalog_orphan_audit", oracle=_ORPHAN_SQL)
+def catalog_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deathmetal_datalake_spark.sources.transactions import SnapshotCatalog
+
+    orders = session_cache(spread(load_table(spark, sf_dir, "orders")))
+    with tempfile.TemporaryDirectory(prefix="dml-snapo-") as d:
+        catalog = SnapshotCatalog(spark, os.path.join(d, "warehouse"))
+        with catalog.transaction() as txn:
+            txn.write("orders_t", orders.filter(F.col("o_orderstatus") == "F"))
+        with catalog.transaction() as txn:
+            txn.write(
+                "orders_t",
+                orders.filter(F.col("o_orderstatus") == "O"),
+                mode="append",
+            )
+        tbl = catalog.table("orders_t")
+        # Simulate the failed load: stage 'P' rows, then abort.
+        try:
+            with catalog.transaction() as txn:
+                txn.write(
+                    "orders_t",
+                    orders.filter(F.col("o_orderstatus") == "P"),
+                    mode="append",
+                )
+                raise RuntimeError("simulated loader crash before commit")
+        except RuntimeError:
+            pass
+        orphans = tbl.orphan_data_dirs()
+        # The stranded rows are countable straight off the orphan dirs —
+        # no snapshot references them.
+        orphan_rows = (
+            spark.read.parquet(*orphans).count() if orphans else 0
+        )
+        n_live = tbl.read().count()
+        for o in orphans:
+            shutil.rmtree(o, ignore_errors=True)
+        orphans_after = tbl.orphan_data_dirs()
+        live_after = tbl.read().count()
+        return spark.createDataFrame(
+            [
+                (
+                    n_live,
+                    orphan_rows,
+                    len(orphans),
+                    len(orphans_after),
+                    live_after,
+                )
+            ],
+            "n_live_rows long, orphan_rows long, n_orphan_dirs long, "
+            "n_orphan_dirs_after long, live_rows_after long",
+        )
