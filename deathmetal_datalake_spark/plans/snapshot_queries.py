@@ -1879,3 +1879,73 @@ def catalog_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_live_rows long, orphan_rows long, n_orphan_dirs long, "
             "n_orphan_dirs_after long, live_rows_after long",
         )
+
+
+# ---------------------------------------------------------------------------
+# Queryable snapshots-metadata table (Iceberg's `db.table.snapshots` /
+# `.files` metadata relations): per-snapshot operation, dirs added,
+# rows added, and total visible rows — computed ENTIRELY from manifest
+# dir_stats (footer row counts harvested at commit), no data scan.
+# This is the surface an operator dashboards: which load added what,
+# when the table grew, where an overwrite reset it. The oracle pins
+# each version's row math to plain filters of the source table, so the
+# manifest row accounting itself is correctness-gated.
+# ---------------------------------------------------------------------------
+
+_SNAPMETA_SQL = """
+WITH c AS (
+    SELECT SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS f,
+           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS o,
+           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS p
+    FROM orders
+)
+SELECT * FROM (
+    SELECT CAST(1 AS BIGINT) AS version, 'overwrite' AS operation,
+           CAST(1 AS BIGINT) AS n_dirs_added,
+           CAST(f AS BIGINT) AS rows_added, CAST(f AS BIGINT) AS total_rows
+    FROM c
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'append', CAST(1 AS BIGINT),
+           CAST(o AS BIGINT), CAST(f + o AS BIGINT) FROM c
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'append', CAST(1 AS BIGINT),
+           CAST(p AS BIGINT), CAST(f + o + p AS BIGINT) FROM c
+)
+"""
+
+
+def _dir_rows(snap, d: str) -> int:
+    stats = snap.dir_stats.get(d) or {}
+    for col_stats in stats.values():
+        if "rows" in col_stats:
+            return int(col_stats["rows"])
+    return 0
+
+
+@register("catalog_snapshots_metadata_read", oracle=_SNAPMETA_SQL)
+def catalog_snapshots_metadata_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = session_cache(spread(load_table(spark, sf_dir, "orders")))
+    with tempfile.TemporaryDirectory(prefix="dml-snapm-") as d:
+        tbl = SnapshotTable(spark, os.path.join(d, "orders_meta"))
+        tbl.write(orders.filter(F.col("o_orderstatus") == "F"), "overwrite")
+        tbl.write(orders.filter(F.col("o_orderstatus") == "O"), "append")
+        tbl.write(orders.filter(F.col("o_orderstatus") == "P"), "append")
+        rows = []
+        prev_dirs: set = set()
+        for i, snap in enumerate(tbl.history(), start=1):
+            new_dirs = [x for x in snap.data_dirs if x not in prev_dirs]
+            rows.append(
+                (
+                    i,
+                    snap.mode,
+                    len(new_dirs),
+                    sum(_dir_rows(snap, x) for x in new_dirs),
+                    sum(_dir_rows(snap, x) for x in snap.data_dirs),
+                )
+            )
+            prev_dirs = set(snap.data_dirs)
+        return spark.createDataFrame(
+            rows,
+            "version long, operation string, n_dirs_added long, "
+            "rows_added long, total_rows long",
+        )
