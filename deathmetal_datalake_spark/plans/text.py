@@ -1633,3 +1633,44 @@ def text_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("lift"), F.asc("w_a"), F.asc("w_b")).limit(_LIFT_TOP)
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix — the classifier EVAL the corpus's true
+# `lang` labels make possible: true × predicted counts with per-true-
+# class share (row-normalized recall view). This is the acceptance
+# artifact for any lang-ID heuristic before it gates a multilingual
+# corpus — which mistakes it makes, and at what rate, per language.
+# Composes the per-doc classifier (text_language_id) unchanged; one
+# bounded (true, predicted) aggregate + a lang-partition window on the
+# ≤|langs|² result.
+# ---------------------------------------------------------------------------
+
+_LANGID_CONF_SQL = f"""
+WITH preds AS ({_LANGID_SQL})
+SELECT lang AS true_lang, predicted_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(COUNT(*) / CAST(SUM(COUNT(*)) OVER (PARTITION BY lang) AS DOUBLE), 6)
+           AS share_of_true
+FROM preds
+GROUP BY lang, predicted_lang
+"""
+
+
+@register("text_langid_confusion", oracle=_LANGID_CONF_SQL)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    preds = text_language_id(spark, sf_dir).select("lang", "predicted_lang")
+    counts = preds.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    w = Window.partitionBy("lang")
+    return counts.select(
+        F.col("lang").alias("true_lang"),
+        "predicted_lang",
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w).cast("double"), 6).alias(
+            "share_of_true"
+        ),
+    )
