@@ -221,6 +221,13 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PHASH_BANDS = 4
 _PHASH_BAND_BITS = 15
 _PHASH_NEAR = 16  # Hamming threshold on the 60-bit signature
+# Anchor cap (the dedup-family _BAND_ANCHORS idiom): a collided pair
+# is kept only if at least one member is among the bucket\'s first
+# _PHASH_ANCHORS media_ids — bit-identical to the uncapped join
+# whenever every bucket has <= _PHASH_ANCHORS + 1 members, and bounds
+# pair mass at ~2*A*s per bucket (vs C(s,2)) on corpora whose byte
+# distributions collide heavily, which this synthetic one does.
+_PHASH_ANCHORS = 8
 
 _PHASH_SQL = f"""
 WITH hexed AS (
@@ -245,12 +252,18 @@ bands AS (
            (phash >> CAST({_PHASH_BAND_BITS} * k AS INTEGER)) & {2**_PHASH_BAND_BITS - 1} AS key
     FROM ph, UNNEST(range(0, {_PHASH_BANDS})) AS g(k)
 ),
+ranked AS (
+    SELECT doc_id, phash, k, key,
+           ROW_NUMBER() OVER (PARTITION BY k, key ORDER BY doc_id) AS rn
+    FROM bands
+),
 cand AS (
     SELECT a.doc_id AS a_id, b.doc_id AS b_id,
            a.phash AS pa, b.phash AS pb,
            COUNT(*) AS n_shared_bands
-    FROM bands a JOIN bands b
+    FROM ranked a JOIN ranked b
       ON a.k = b.k AND a.key = b.key AND a.doc_id < b.doc_id
+    WHERE a.rn <= {_PHASH_ANCHORS} OR b.rn <= {_PHASH_ANCHORS}
     GROUP BY 1, 2, 3, 4
 )
 SELECT a_id AS media_a, b_id AS media_b,
@@ -282,15 +295,22 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key",
         F.expr(f"shiftright(phash, {_PHASH_BAND_BITS} * k)").bitwiseAND(F.lit(mask)),
     )
-    a = bands.select(
-        F.col("media_id").alias("a_id"), F.col("phash").alias("pa"), "k", "key"
+    from pyspark.sql import Window
+
+    w_rn = Window.partitionBy("k", "key").orderBy("media_id")
+    ranked = bands.withColumn("rn", F.row_number().over(w_rn))
+    a = ranked.select(
+        F.col("media_id").alias("a_id"), F.col("phash").alias("pa"), "k", "key",
+        F.col("rn").alias("rn_a"),
     )
-    b = bands.select(
-        F.col("media_id").alias("b_id"), F.col("phash").alias("pb"), "k", "key"
+    b = ranked.select(
+        F.col("media_id").alias("b_id"), F.col("phash").alias("pb"), "k", "key",
+        F.col("rn").alias("rn_b"),
     )
     cand = (
         a.join(b, ["k", "key"])
         .filter(F.col("a_id") < F.col("b_id"))
+        .filter((F.col("rn_a") <= _PHASH_ANCHORS) | (F.col("rn_b") <= _PHASH_ANCHORS))
         .groupBy("a_id", "b_id", "pa", "pb")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_bands"))
     )

@@ -72,12 +72,23 @@ def hash60(col: Column | str) -> Column:
 # Matching oracle-side SQL fragments (DuckDB dialect).
 
 def sql_dsum(expr: str, alias: str) -> str:
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE) AS {alias}"
+    # The decimal → double cast goes through VARCHAR deliberately:
+    # DuckDB's direct decimal128→double conversion multiplies the
+    # unscaled int by 10^-scale in floating point, which stops being
+    # correctly rounded once the unscaled value exceeds 2^53 (observed
+    # at the 10× scale: sum 312195134605.100000 → ...605.10004, one
+    # ulp above the correctly-rounded double). String → double parsing
+    # IS correctly rounded in both engines, and Spark's decimal cast
+    # (BigDecimal.doubleValue, which falls back to parseDouble beyond
+    # 2^52) is too — so this form agrees bit-for-bit at every scale,
+    # not just while sums stay under 2^53/10^6.
+    return f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS {alias}"
 
 
 def sql_davg(expr: str, alias: str, scale: int = 6) -> str:
+    # Same VARCHAR round-trip as sql_dsum (see note there).
     return (
-        f"ROUND(CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE)"
+        f"ROUND(CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)"
         f" / COUNT(*), {scale}) AS {alias}"
     )
 
