@@ -40,6 +40,8 @@ del _rev_q, _rev_o
 # promoted to the head explicitly — the driver's prefix sample then
 # always covers the newest, least-battle-tested surface first.
 _NEWEST_FIRST = [
+    "events_bitmap_distinct_rollup",
+    "events_histogram_numeric",
     "text_langid_confusion",
     "catalog_snapshots_metadata_read",
     "catalog_orphan_audit",

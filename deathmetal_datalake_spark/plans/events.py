@@ -1627,3 +1627,100 @@ def events_hourly_top_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitmap-rollup exact distinct counting — the roaring-bitmap pattern
+# (Spark 3.5's bitmap_* functions): user ids are bucketed into 32k-bit
+# bitmap segments, each (day, type, bucket) group ORs its members into
+# one bitmap, and the distinct count is the SUM of per-bucket popcounts
+# — exact, mergeable, and O(distinct/32768) state per group instead of
+# a hash set per group. This is how exact distinct survives reaggregation
+# at 100 TB: the per-bucket bitmaps are reusable partial state (a
+# daily mart can OR them into weekly/monthly rollups without touching
+# raw events — the property approx sketches give up exactness for).
+# The oracle is plain COUNT(DISTINCT), so the bitmap algebra itself is
+# correctness-gated.
+# ---------------------------------------------------------------------------
+
+_BITMAP_SQL = """
+SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+       event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("events_bitmap_distinct_rollup", oracle=_BITMAP_SQL)
+def events_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type", "user_id"
+    )
+    segs = ev.groupBy(
+        "day",
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm"),
+        F.count(F.lit(1)).alias("n_ev"),
+    )
+    return segs.groupBy("day", "event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_users"),
+        F.sum("n_ev").cast("long").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin numeric histogram per event type — the profiling primitive
+# every DQ/drift monitor computes: equal-width bins over a declared
+# range with explicit under/overflow buckets. Bin assignment is
+# floor((v - lo)/width) on doubles — subtraction and division are
+# correctly rounded IEEE in both engines, and floor of the shared
+# result is identical, so bin edges need no epsilon fudging. One
+# map + one bounded (type × bins) aggregate.
+# ---------------------------------------------------------------------------
+
+_HIST_LO = 0.0
+_HIST_HI = 100.0
+_HIST_BINS = 20
+
+_HIST_SQL = f"""
+WITH binned AS (
+    SELECT event_type,
+           CASE WHEN value < {_HIST_LO} THEN -1
+                WHEN value >= {_HIST_HI} THEN {_HIST_BINS}
+                ELSE CAST(FLOOR((value - {_HIST_LO})
+                     / (({_HIST_HI} - {_HIST_LO}) / {_HIST_BINS})) AS BIGINT)
+           END AS bin,
+           value
+    FROM events
+)
+SELECT event_type, CAST(bin AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(MIN(value), 6) AS min_value,
+       ROUND(MAX(value), 6) AS max_value
+FROM binned GROUP BY event_type, bin
+"""
+
+
+@register("events_histogram_numeric", oracle=_HIST_SQL)
+def events_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    width = (_HIST_HI - _HIST_LO) / _HIST_BINS
+    bin_col = (
+        F.when(F.col("value") < _HIST_LO, F.lit(-1))
+        .when(F.col("value") >= _HIST_HI, F.lit(_HIST_BINS))
+        .otherwise(F.floor((F.col("value") - _HIST_LO) / width))
+        .cast("long")
+    )
+    return (
+        ev.select("event_type", bin_col.alias("bin"), "value")
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+    )

@@ -55,6 +55,12 @@ NAMES = [
     "similarity_pq_adc_topk",
     "dedup_fuzzy_name_join",
     "text_robust_length_outliers",
+    # late round 6: new pipeline/retrieval/range-join shapes
+    "multimodal_phash_neardup",
+    "corpus_dsir_importance",
+    "similarity_filtered_ann",
+    "events_interval_overlap_join",
+    "text_bigram_lift",
 ]
 
 _DETAIL_PREFIXES = (
