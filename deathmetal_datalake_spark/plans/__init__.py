@@ -40,6 +40,10 @@ del _rev_q, _rev_o
 # promoted to the head explicitly — the driver's prefix sample then
 # always covers the newest, least-battle-tested surface first.
 _NEWEST_FIRST = [
+    "similarity_hybrid_rrf_fusion",
+    "dq_freshness_events",
+    "dq_column_profile_orders",
+    "events_conversion_lag_quantiles",
     "events_bitmap_distinct_rollup",
     "events_histogram_numeric",
     "text_langid_confusion",

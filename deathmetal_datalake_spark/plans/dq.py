@@ -128,3 +128,123 @@ def dq_expectations_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         expect_between("n_chars", 0, _DOC_LEN_HI),
     ]
     return run_expectations(docs, rules, unique_key="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Freshness monitoring — the first page of every pipeline dashboard:
+# per event type, the newest event's age against the corpus watermark
+# (max ts overall) and a staleness flag at a declared SLA. Exact
+# integer second arithmetic; the corpus watermark is a 1-row broadcast
+# frame (whitelisted scalar-frame pattern). One scan, two bounded
+# aggregates — at 100 TB this reads a partition-pruned tail, not
+# history, when the events table is date-partitioned (the catalog's
+# partitioned write demonstrates that layout).
+# ---------------------------------------------------------------------------
+
+_FRESH_SLA_S = 3600  # 1-hour staleness SLA per event type
+
+_FRESH_SQL = f"""
+WITH e AS (
+    SELECT event_type,
+           CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+    FROM events
+),
+per_type AS (
+    SELECT event_type, MAX(sec) AS newest_sec, COUNT(*) AS n_events
+    FROM e GROUP BY event_type
+),
+wm AS (SELECT MAX(sec) AS watermark_sec FROM e)
+SELECT p.event_type,
+       CAST(p.n_events AS BIGINT) AS n_events,
+       make_timestamp(p.newest_sec * 1000000) AS newest_ts,
+       CAST(w.watermark_sec - p.newest_sec AS BIGINT) AS lag_seconds,
+       (w.watermark_sec - p.newest_sec) > {_FRESH_SLA_S} AS is_stale
+FROM per_type p CROSS JOIN wm w
+"""
+
+
+@register("dq_freshness_events", oracle=_FRESH_SQL)
+def dq_freshness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("sec"),
+    )
+    per_type = e.groupBy("event_type").agg(
+        F.max("sec").alias("newest_sec"), F.count(F.lit(1)).alias("n_events")
+    )
+    wm = e.agg(F.max("sec").alias("watermark_sec"))
+    return per_type.crossJoin(broadcast(wm)).select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.expr(
+            "timestampadd(SECOND, newest_sec, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        ).alias("newest_ts"),
+        (F.col("watermark_sec") - F.col("newest_sec")).cast("long").alias("lag_seconds"),
+        ((F.col("watermark_sec") - F.col("newest_sec")) > _FRESH_SLA_S).alias(
+            "is_stale"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Column-level profile — the dataset-card table a data catalog renders
+# for every table: per column, null count, exact distinct count, and
+# min/max rendered as strings (so one frame covers heterogeneous
+# types). Column-stacked form (one row per column) because that is the
+# shape profile STORES have (Datahub/Amundsen column stats). Exact
+# distincts are per-column aggregates over one cached scan; at 100 TB
+# the same frame is built from approx_count_distinct — the documented
+# trade events_approx_distinct_* quantifies.
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderpriority",
+]
+
+_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_value,
+       CAST(MAX({c}) AS VARCHAR) AS max_value
+FROM orders"""
+    for c in _PROFILE_COLS
+)
+
+
+@register("dq_column_profile_orders", oracle=_PROFILE_SQL)
+def dq_column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    orders = session_cache(
+        load_table(spark, sf_dir, "orders").select(*_PROFILE_COLS)
+    )
+    frames = []
+    for c in _PROFILE_COLS:
+        frames.append(
+            orders.agg(
+                F.lit(c).alias("column_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_nulls"),
+                F.countDistinct(c).cast("long").alias("n_distinct"),
+                F.min(c).cast("string").alias("min_value"),
+                F.max(c).cast("string").alias("max_value"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

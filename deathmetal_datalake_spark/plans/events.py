@@ -1724,3 +1724,68 @@ def events_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 6).alias("max_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversion-lag quantiles — time-to-convert from a user's FIRST view
+# to their first subsequent purchase, summarized as the interpolated
+# quartiles/p90 every growth dashboard reports. Two min-aggregates on
+# user_id (same shuffle key) + one bounded join; the quantiles run on
+# the per-user lag frame (≤ |users| rows), where the exact interpolated
+# percentile is affordable at any event volume — the documented trade
+# vs approx percentiles for unbounded keys
+# (events_sampled_quantile_error).
+# ---------------------------------------------------------------------------
+
+_CONVLAG_SQL = """
+WITH e AS (
+    SELECT user_id, event_type,
+           CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+    FROM events
+),
+fv AS (SELECT user_id, MIN(sec) AS v FROM e WHERE event_type = 'view' GROUP BY 1),
+fp AS (
+    SELECT e.user_id, MIN(e.sec) AS p
+    FROM e JOIN fv USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.sec >= fv.v
+    GROUP BY 1
+),
+lags AS (SELECT fp.p - fv.v AS lag_s FROM fv JOIN fp USING (user_id))
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       ROUND(quantile_cont(lag_s, 0.25), 6) AS p25_s,
+       ROUND(quantile_cont(lag_s, 0.50), 6) AS p50_s,
+       ROUND(quantile_cont(lag_s, 0.75), 6) AS p75_s,
+       ROUND(quantile_cont(lag_s, 0.90), 6) AS p90_s
+FROM lags
+"""
+
+
+@register("events_conversion_lag_quantiles", oracle=_CONVLAG_SQL)
+def events_conversion_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("sec"),
+    )
+    fv = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("v"))
+    )
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .filter(F.col("sec") >= F.col("v"))
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("p"))
+    )
+    lags = fv.join(fp, "user_id").select((F.col("p") - F.col("v")).alias("lag_s"))
+    return lags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(F.expr("percentile(lag_s, 0.25)"), 6).alias("p25_s"),
+        F.round(F.expr("percentile(lag_s, 0.50)"), 6).alias("p50_s"),
+        F.round(F.expr("percentile(lag_s, 0.75)"), 6).alias("p75_s"),
+        F.round(F.expr("percentile(lag_s, 0.90)"), 6).alias("p90_s"),
+    )

@@ -2364,3 +2364,136 @@ def similarity_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_k"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval by reciprocal-rank fusion (Cormack et al. 2009, the
+# default fusion in every hybrid lexical+vector search stack): BM25
+# top-20 (text_bm25_retrieval, reused unchanged) fused with the
+# cosine top-20 against a fixed query embedding, score =
+# Σ 1/(k + rank) with k=60 over whichever lists contain the doc.
+# RRF needs only RANKS — no score calibration between the two systems
+# — which is exactly why it is the production default. The embeddings
+# table indexes documents 1:1 by id here (vec_id ≡ doc_id), the usual
+# layout when an embedding pipeline writes alongside the corpus.
+#
+# Determinism: ranks are exact integers; each RRF term is one
+# correctly-rounded division and the two-term sum is a fixed-order
+# IEEE chain, mirrored verbatim in the oracle. Scale: both inputs are
+# top-k lists (≤20 rows each) — the fusion is a toy-sized full-outer
+# join whatever the corpus size; the linear work lives in the two
+# retrievers, each already audited.
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_TOP = 15
+_RRF_QVEC = 0  # query embedding: vec_id 0
+
+
+def _bm25_sql() -> str:
+    from deathmetal_datalake_spark.plans.text import _BM25_SQL
+
+    return _BM25_SQL
+
+
+_HYBRID_SQL = f"""
+WITH lex AS ({{bm25}}),
+vecs AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+q AS (SELECT emb AS qemb FROM vecs WHERE vec_id = {_RRF_QVEC}),
+vscore AS (
+    SELECT v.vec_id,
+           ROUND(list_dot_product(q.qemb, v.emb) /
+                 (sqrt(list_dot_product(q.qemb, q.qemb)) * sqrt(list_dot_product(v.emb, v.emb))),
+                 4) AS cosine
+    FROM vecs v CROSS JOIN q
+    WHERE v.vec_id <> {_RRF_QVEC}
+),
+vrank AS (
+    SELECT vec_id, r_vec FROM (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS r_vec
+        FROM vscore
+    ) WHERE r_vec <= 20
+),
+fused AS (
+    SELECT COALESCE(l.doc_id, v.vec_id) AS doc_id, l.rank AS r_lex, v.r_vec
+    FROM lex l FULL OUTER JOIN vrank v ON l.doc_id = v.vec_id
+),
+scored AS (
+    SELECT doc_id, r_lex, r_vec,
+           ROUND(COALESCE(1.0 / ({_RRF_K} + r_lex), 0.0)
+                 + COALESCE(1.0 / ({_RRF_K} + r_vec), 0.0), 6) AS rrf_score
+    FROM fused
+)
+SELECT doc_id, CAST(r_lex AS BIGINT) AS r_lex, CAST(r_vec AS BIGINT) AS r_vec,
+       rrf_score, CAST(fused_rank AS BIGINT) AS fused_rank
+FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS fused_rank
+    FROM scored
+) WHERE fused_rank <= {_RRF_TOP}
+"""
+
+
+@register("similarity_hybrid_rrf_fusion", oracle=None)
+def similarity_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deathmetal_datalake_spark.plans.text import text_bm25_retrieval
+
+    lex = text_bm25_retrieval(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("r_lex")
+    )
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("emb")
+    )
+    q = vecs.filter(F.col("vec_id") == _RRF_QVEC).select(
+        F.col("emb").alias("qemb")
+    )
+    vscore = vecs.filter(F.col("vec_id") != _RRF_QVEC).crossJoin(broadcast(q)).select(
+        "vec_id",
+        F.round(
+            _dot(F.col("qemb"), F.col("emb"))
+            / (
+                F.sqrt(_dot(F.col("qemb"), F.col("qemb")))
+                * F.sqrt(_dot(F.col("emb"), F.col("emb")))
+            ),
+            4,
+        ).alias("cosine"),
+    )
+    # Explicit top-k (TakeOrderedAndProject), not an unpartitioned
+    # window over the corpus-sized score frame; the row_number then
+    # ranks only the 20 surviving rows.
+    top_v = vscore.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(20)
+    w_v = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    vrank = top_v.withColumn("r_vec", F.row_number().over(w_v)).select(
+        "vec_id", "r_vec"
+    )
+    fused = lex.join(vrank, lex["doc_id"] == vrank["vec_id"], "full_outer").select(
+        F.coalesce(lex["doc_id"], vrank["vec_id"]).alias("doc_id"),
+        "r_lex",
+        "r_vec",
+    )
+    term = lambda r: F.coalesce(1.0 / (_RRF_K + F.col(r)), F.lit(0.0))
+    scored = fused.withColumn("rrf_score", F.round(term("r_lex") + term("r_vec"), 6))
+    w_f = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("fused_rank", F.row_number().over(w_f))
+        .filter(F.col("fused_rank") <= _RRF_TOP)
+        .select(
+            "doc_id",
+            F.col("r_lex").cast("long").alias("r_lex"),
+            F.col("r_vec").cast("long").alias("r_vec"),
+            "rrf_score",
+            F.col("fused_rank").cast("long").alias("fused_rank"),
+        )
+    )
+
+
+# Register the oracle after definition: it embeds the BM25 SQL, which
+# lives in plans.text (imported lazily to avoid a cycle at module load).
+def _register_hybrid_oracle() -> None:
+    from deathmetal_datalake_spark.plans.registry import ORACLES
+
+    ORACLES["similarity_hybrid_rrf_fusion"] = _HYBRID_SQL.format(bm25=_bm25_sql())
+
+
+_register_hybrid_oracle()
