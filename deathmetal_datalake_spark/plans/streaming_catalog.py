@@ -1401,3 +1401,43 @@ def streaming_hourly_top_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("hour_start", "event_type", "n_events", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitmap-distinct rollup, streamed — exact distinct users per (day,
+# type) maintained INCREMENTALLY: the streaming aggregation keeps one
+# roaring-style bitmap segment per (day, type, 32k-bucket) group
+# (bitmap_construct_agg is a regular mergeable agg, so state merges
+# across micro-batches), and the final popcount+sum runs post-drain as
+# a batch transform — Structured Streaming allows a single aggregation
+# per query, so the two-level rollup is exactly the IVM split every
+# streaming mart here uses. This is how EXACT distinct (not HLL)
+# survives a streaming deployment: bounded mergeable state, no
+# per-user hash set.
+# ---------------------------------------------------------------------------
+
+_BITMAP_STREAM_SQL = """
+SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+       event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("streaming_bitmap_distinct_replay", oracle=_BITMAP_STREAM_SQL)
+def streaming_bitmap_distinct_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream, scratch = _replay_events_stream(spark, sf_dir)
+    segs = (
+        stream.select(F.to_date("ts").alias("day"), "event_type", "user_id")
+        .groupBy(
+            "day",
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+        )
+        .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm"))
+    )
+    tbl = _drain(segs, scratch, "complete")
+    return tbl.groupBy("day", "event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_users")
+    )
