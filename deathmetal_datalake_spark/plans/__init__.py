@@ -40,6 +40,8 @@ del _rev_q, _rev_o
 # promoted to the head explicitly — the driver's prefix sample then
 # always covers the newest, least-battle-tested surface first.
 _NEWEST_FIRST = [
+    "corpus_quality_weighted_sample",
+    "events_new_vs_returning",
     "streaming_bitmap_distinct_replay",
     "similarity_hybrid_rrf_fusion",
     "dq_freshness_events",

@@ -1789,3 +1789,52 @@ def events_conversion_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFra
         F.round(F.expr("percentile(lag_s, 0.75)"), 6).alias("p75_s"),
         F.round(F.expr("percentile(lag_s, 0.90)"), 6).alias("p90_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# New vs returning users per day — the growth-accounting split every
+# product mart materializes: a user's first-ever event day marks them
+# NEW; on later active days they count as RETURNING. One user_id
+# shuffle for the first-touch min, one broadcast-scale join back onto
+# the bounded (day, user) activity frame, one day-level aggregate.
+# Exact integer date arithmetic in both engines.
+# ---------------------------------------------------------------------------
+
+_NEWRET_SQL = """
+WITH act AS (
+    SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+    FROM events
+),
+first_touch AS (SELECT user_id, MIN(day) AS first_day FROM act GROUP BY user_id)
+SELECT a.day,
+       CAST(SUM(CASE WHEN a.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new,
+       CAST(SUM(CASE WHEN a.day > f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_returning,
+       CAST(COUNT(*) AS BIGINT) AS n_active
+FROM act a JOIN first_touch f USING (user_id)
+GROUP BY a.day
+"""
+
+
+@register("events_new_vs_returning", oracle=_NEWRET_SQL)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    act = (
+        load_table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    first_touch = act.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        act.join(first_touch, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+            F.sum(F.when(F.col("day") > F.col("first_day"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_returning"),
+            F.count(F.lit(1)).cast("long").alias("n_active"),
+        )
+    )

@@ -1021,3 +1021,84 @@ def corpus_epoch_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("scheduled_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted sampling — keep a document with probability equal
+# to its quality signal (the FineWeb-Edu-style "sample by classifier
+# score" selection, here with the catalog's stopword-ratio signal):
+# keep iff h(doc_id) mod 1e6 < round(score·1e6). Same stateless hash
+# gate as every sampler in this catalog — reproducible, shuffle-free,
+# and the realized keep rate converges to the mean score per stratum,
+# which the audit verifies side by side (mean score of ALL docs vs
+# realized rate vs mean score of the KEPT docs — the kept mean runs
+# higher, since keeping ∝ score reweights the distribution; that
+# visible upweighting is the point of score-proportional sampling).
+# Determinism: the score is a rounded-6 double, so score·1e6 is
+# integer-valued up to one ulp — ROUND(...,0) recovers the exact
+# integer in both engines before the comparison.
+# ---------------------------------------------------------------------------
+
+_QWS_SQL = rf"""
+WITH scored AS (
+    SELECT doc_id, source,
+           ROUND(CAST(LENGTH(list_filter(string_split_regex(TRIM(text), '\s+'),
+                    t -> list_contains({{stop}}, t))) AS DOUBLE)
+                 / LENGTH(string_split_regex(TRIM(text), '\s+')), 6) AS score,
+           {sql_hash60('CAST(doc_id AS VARCHAR)')} % 1000000 AS gate
+    FROM documents
+),
+flagged AS (
+    SELECT *, CASE WHEN gate < CAST(ROUND(score * 1000000, 0) AS BIGINT)
+                   THEN 1 ELSE 0 END AS kept
+    FROM scored
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       ROUND(SUM(kept) / CAST(COUNT(*) AS DOUBLE), 6) AS kept_rate,
+       ROUND(CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+           AS mean_score_all,
+       ROUND(CAST(SUM(CASE WHEN kept = 1 THEN CAST(score AS DECIMAL(18,6))
+                           ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / NULLIF(SUM(kept), 0), 6) AS mean_score_kept
+FROM flagged
+GROUP BY source
+""".replace("{stop}", "['the', 'a', 'and', 'of', 'to', 'in']")
+
+
+@register("corpus_quality_weighted_sample", oracle=_QWS_SQL)
+def corpus_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stopwords = ["the", "a", "and", "of", "to", "in"]
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    stop = F.array(*[F.lit(s) for s in stopwords])
+    score = F.round(
+        F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast("double")
+        / F.size(toks),
+        6,
+    )
+    scored = docs.select(
+        "source",
+        score.alias("score"),
+        (hash60(F.col("doc_id").cast("string")) % 1000000).alias("gate"),
+    )
+    kept = F.when(
+        F.col("gate") < F.round(F.col("score") * 1000000, 0).cast("long"), 1
+    ).otherwise(0)
+    flagged = scored.withColumn("kept", kept)
+    dec = F.col("score").cast("decimal(18,6)")
+    zero = F.lit(0).cast("decimal(18,6)")
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("kept").cast("long").alias("n_kept"),
+        F.round(F.sum("kept") / F.count(F.lit(1)).cast("double"), 6).alias("kept_rate"),
+        F.round(F.sum(dec).cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_score_all"
+        ),
+        F.round(
+            F.sum(F.when(F.col("kept") == 1, dec).otherwise(zero)).cast("double")
+            / F.nullif(F.sum("kept"), F.lit(0)),
+            6,
+        ).alias("mean_score_kept"),
+    )
