@@ -336,6 +336,10 @@ def deterministic_phash(content: bytes) -> int:
 
     arr = np.frombuffer(bytes(content), dtype=np.uint8).astype(np.int64)
     n = arr.shape[0]
+    if n == 0:
+        # Empty payload: defined as 0 (no sampled byte exceeds the
+        # mean). The oracle mirrors this rule (n = 0 branch).
+        return 0
     idx = (np.arange(_PHASH_BITS, dtype=np.int64) * n) // _PHASH_BITS
     sample = arr[idx]
     total = int(sample.sum())

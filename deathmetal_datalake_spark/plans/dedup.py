@@ -2382,8 +2382,8 @@ SELECT
   (SELECT COUNT(*) FROM chunks) AS n_chunks,
   (SELECT COUNT(*) FROM per_hash) AS n_distinct_chunks,
   (SELECT COUNT(*) FROM per_hash WHERE ndocs > 1) AS n_shared_chunks,
-  (SELECT SUM(ln) FROM chunks) AS bytes_total,
-  (SELECT SUM(ln1) FROM per_hash) AS bytes_dedup,
+  (SELECT CAST(SUM(ln) AS BIGINT) FROM chunks) AS bytes_total,
+  (SELECT CAST(SUM(ln1) AS BIGINT) FROM per_hash) AS bytes_dedup,
   (SELECT ROUND(SUM(ln1) / (SELECT CAST(SUM(ln) AS DOUBLE) FROM chunks), 6)
      FROM per_hash) AS dedup_ratio
 """
@@ -2499,8 +2499,8 @@ SELECT
   (SELECT COUNT(*) FROM delta WHERE ch IN (SELECT ch FROM store))
       AS n_reused_chunks,
   (SELECT COUNT(*) FROM fresh) AS n_new_unique_chunks,
-  (SELECT SUM(ln) FROM delta) AS bytes_delta,
-  (SELECT COALESCE(SUM(ln1), 0) FROM fresh) AS bytes_new,
+  (SELECT CAST(SUM(ln) AS BIGINT) FROM delta) AS bytes_delta,
+  (SELECT CAST(COALESCE(SUM(ln1), 0) AS BIGINT) FROM fresh) AS bytes_new,
   (SELECT ROUND(1.0 - COALESCE((SELECT SUM(ln1) FROM fresh), 0)
                       / (SELECT CAST(SUM(ln) AS DOUBLE) FROM delta), 6))
       AS ingest_savings

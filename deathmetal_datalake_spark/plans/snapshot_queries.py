@@ -1448,11 +1448,16 @@ v2 AS (
     FROM orders WHERE o_orderstatus = 'O'
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(amount) AS DECIMAL(38,2)) AS total_amount,
-       CAST(MIN(amount) AS DECIMAL(22,2)) AS min_amount,
-       CAST(MAX(amount) AS DECIMAL(22,2)) AS max_amount
+       CAST(CAST(SUM(amount) AS DECIMAL(38,2)) AS VARCHAR) AS total_amount,
+       CAST(CAST(MIN(amount) AS DECIMAL(22,2)) AS VARCHAR) AS min_amount,
+       CAST(CAST(MAX(amount) AS DECIMAL(22,2)) AS VARCHAR) AS max_amount
 FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
 """
+# The decimal outputs go out as VARCHAR (fixed scale 2, so the decimal
+# string rendering is identical on both engines): raw DECIMAL outputs
+# are the one representation the driver's value-hasher types
+# differently from Spark's, and a DOUBLE cast is unsafe here — the 10×
+# twin's total crosses 2^53 (see plans/registry.py sql_dsum note).
 
 
 @register("catalog_decimal_widening_read", oracle=_DEC_WIDEN_SQL)
@@ -1486,9 +1491,9 @@ def catalog_decimal_widening_read(spark: SparkSession, sf_dir: str) -> DataFrame
         ), "decimal widening did not apply"
         out = merged.agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum("amount").cast("decimal(38,2)").alias("total_amount"),
-            F.min("amount").cast("decimal(22,2)").alias("min_amount"),
-            F.max("amount").cast("decimal(22,2)").alias("max_amount"),
+            F.sum("amount").cast("decimal(38,2)").cast("string").alias("total_amount"),
+            F.min("amount").cast("decimal(22,2)").cast("string").alias("min_amount"),
+            F.max("amount").cast("decimal(22,2)").cast("string").alias("max_amount"),
         )
         rows = out.collect()
         return spark.createDataFrame(rows, schema=out.schema)

@@ -1597,12 +1597,20 @@ def text_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cw")
     )
     ut = uc.agg(F.sum("cw").cast("long").alias("u"))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(F.col("toks")) - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(F.col("toks"), i), F.element_at(F.col("toks"), i + 1)
+    # Guarded on size >= 2: for a single-token doc the unguarded
+    # sequence(1, size-1) would DESCEND ([1, 0] — Spark's sequence
+    # defaults to step -1 when start > stop) and element_at(toks, 0)
+    # aborts the query, where the oracle's end-exclusive range(1, len)
+    # is simply empty. The empty-array branch matches the oracle.
+    grams = F.when(
+        F.size(F.col("toks")) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("toks")) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("toks"), i), F.element_at(F.col("toks"), i + 1)
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     bg = (
         toks_df.select(F.explode(grams).alias("bigram"))
         .groupBy("bigram")

@@ -551,10 +551,10 @@ def tpch_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q12_SQL = """
 SELECT l_returnflag AS ship_class,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders
 JOIN lineitem ON o_orderkey = l_orderkey
 WHERE l_returnflag IN ('A', 'N')
@@ -562,6 +562,7 @@ WHERE l_returnflag IN ('A', 'N')
   AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY ship_class
+ORDER BY ship_class
 """
 
 
@@ -582,9 +583,13 @@ def tpch_q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     )
     is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return joined.groupBy(F.col("l_returnflag").alias("ship_class")).agg(
-        F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
-        F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+    return (
+        joined.groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("ship_class")
     )
 
 
@@ -606,11 +611,16 @@ WITH joined AS (
       AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
 )
 SELECT ROUND(
-         100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN volume
-                               ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
-         / CAST(SUM(volume) AS DOUBLE), 6) AS promo_revenue_pct
+         100.0 * CAST(CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN volume
+                                    ELSE CAST(0 AS DECIMAL(18,6)) END)
+                      AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(SUM(volume) AS VARCHAR) AS DOUBLE), 6) AS promo_revenue_pct
 FROM joined
 """
+# Both decimal sums take the VARCHAR round-trip before the DOUBLE cast
+# (registry.sql_dsum convention): DuckDB's direct decimal128 → double
+# cast stops being correctly rounded once the unscaled sum crosses
+# 2^53, which a year of lineitem revenue does at larger scales.
 
 
 @register("tpch_q14_promo_effect", oracle=_Q14_SQL)

@@ -28,28 +28,72 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+# Oracle output types the driver's value-hasher represents identically
+# to Spark's collect() output. HUGEINT (un-CAST integer SUMs) and raw
+# DECIMAL outputs are deliberately NOT here: values can be bit-equal
+# while the typed representations hash differently — exactly the
+# round-6 driver failures. Arrays of allowed types are allowed.
+ALLOWED_ORACLE_TYPES = {
+    "BIGINT",
+    "INTEGER",
+    "DOUBLE",
+    "VARCHAR",
+    "BOOLEAN",
+    "DATE",
+    "TIMESTAMP",
+}
+
+
+def oracle_type_violations(con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
+    """DuckDB result-column types of `sql` outside ALLOWED_ORACLE_TYPES
+    (array element types are unwrapped). Planning-only: the query is
+    not executed."""
+    out = []
+    for t in con.sql(sql).types:
+        s = str(t)
+        elem = s[:-2] if s.endswith("[]") else s
+        if elem not in ALLOWED_ORACLE_TYPES:
+            out.append(s)
+    return out
+
+
 def _norm_value(v):
+    # Type-strict on purpose: the driver hashes typed representations,
+    # so a Decimal must NOT compare equal to the float of the same
+    # value, nor an int to a float (Python's 1 == 1.0 would otherwise
+    # hide exactly the daylight the driver sees). Every non-null value
+    # is tagged with a coarse type class.
+    if v is None:
+        return None
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return ("bool", v)
+    if isinstance(v, int):
+        return ("int", v)
     if isinstance(v, Decimal):
-        return float(v)
-    if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, datetime.date):
-        return v.isoformat()
+        return ("decimal", str(v))
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            return ("float", "NaN")
         if v == 0.0:
-            return 0.0  # collapse -0.0
-        return v
+            return ("float", 0.0)  # collapse -0.0
+        return ("float", v)
+    if isinstance(v, datetime.datetime):  # before date: datetime is a date
+        return ("timestamp", v.replace(tzinfo=None).isoformat())
+    if isinstance(v, datetime.date):
+        return ("date", v.isoformat())
+    if isinstance(v, str):
+        return ("str", v)
+    if isinstance(v, (bytes, bytearray)):
+        return ("bytes", bytes(v))
     if isinstance(v, list):
-        return tuple(_norm_value(x) for x in v)
-    return v
+        return ("list", tuple(_norm_value(x) for x in v))
+    return (type(v).__name__, v)
 
 
 def _normalize(columns: list[str], rows: list[tuple]) -> list[tuple]:
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     out = [tuple(_norm_value(row[i]) for i in order) for row in rows]
-    return sorted(out, key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
+    return sorted(out, key=lambda r: tuple((x is None, str(x)) for x in r))
 
 
 def compare_query(spark, name: str, query_fn, oracle: str | None, sf_dir: str) -> dict:
@@ -76,6 +120,15 @@ def compare_query(spark, name: str, query_fn, oracle: str | None, sf_dir: str) -
 
     con = duckdb_connection(sf_dir)
     try:
+        offenders = oracle_type_violations(con, oracle)
+        if offenders:
+            report["match"] = False
+            report["why"] = (
+                f"oracle emits hasher-unsafe types {offenders}; "
+                "CAST to one of "
+                f"{sorted(ALLOWED_ORACLE_TYPES)} (VARCHAR round-trip for decimals)"
+            )
+            return report
         cur = con.execute(oracle)
         d_cols = [d[0] for d in cur.description]
         d_rows = cur.fetchall()

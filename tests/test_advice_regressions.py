@@ -1,0 +1,97 @@
+"""Regression tests for the round-6 ADVICE findings: inputs the stock
+test corpus never exercises (single-token documents, empty payloads)
+must not abort the plan, and the Spark/DuckDB semantics must agree on
+the degenerate branch, not just avoid crashing.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from tests.oracle_harness import compare_query
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _corpus_with(tmp_path, docs_rows, spark):
+    """A sibling of sf0.001 whose documents table is replaced by
+    crafted rows (other tables are linked in unchanged)."""
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    for name in os.listdir(SF_DIR):
+        if name != "documents.parquet":
+            os.symlink(os.path.join(SF_DIR, name), os.path.join(d, name))
+    base = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    crafted = spark.createDataFrame(docs_rows, base.schema)
+    crafted.coalesce(1).write.parquet(str(tmp_path / "docs_tmp"))
+    part = [
+        f for f in os.listdir(tmp_path / "docs_tmp") if f.endswith(".parquet")
+    ][0]
+    shutil.copyfile(
+        str(tmp_path / "docs_tmp" / part), os.path.join(d, "documents.parquet")
+    )
+    return d
+
+
+def _doc_rows(spark, texts):
+    base = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    template = base.limit(1).collect()[0].asDict()
+    rows = []
+    for i, t in enumerate(texts):
+        r = dict(template)
+        r["doc_id"] = i + 1
+        r["text"] = t
+        rows.append(tuple(r[f.name] for f in base.schema.fields))
+    return rows
+
+
+def test_phash_empty_payload_is_zero():
+    from deathmetal_datalake_spark.operators.multimodal import deterministic_phash
+
+    assert deterministic_phash(b"") == 0
+    assert deterministic_phash(b"\x00") == 0  # all-equal bytes: no bit set
+    assert deterministic_phash(b"abcxyz") != 0
+
+
+def test_bigram_lift_survives_single_token_and_empty_docs(spark, tmp_path):
+    # Single-token doc: Spark's unguarded sequence(1, size-1) would
+    # descend to [1, 0] and element_at(toks, 0) aborts; the oracle's
+    # end-exclusive range is empty. Both sides must agree: no bigrams.
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    texts = [
+        "solo",
+        "",
+        "alpha beta alpha beta",
+        "alpha beta gamma alpha beta gamma",
+        "beta gamma beta gamma beta gamma",
+    ]
+    d = _corpus_with(tmp_path, _doc_rows(spark, texts), spark)
+    report = compare_query(
+        spark,
+        "text_bigram_lift",
+        QUERIES["text_bigram_lift"],
+        ORACLES["text_bigram_lift"],
+        d,
+    )
+    assert report["match"] is True, report
+
+
+def test_phash_neardup_survives_empty_document(spark, tmp_path):
+    # One empty payload used to abort the whole plan on both engines
+    # (IndexError in the hasher; '0x' cast failure in the oracle).
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    texts = ["", "same bytes here", "same bytes here", "other content x"]
+    d = _corpus_with(tmp_path, _doc_rows(spark, texts), spark)
+    report = compare_query(
+        spark,
+        "multimodal_phash_neardup",
+        QUERIES["multimodal_phash_neardup"],
+        ORACLES["multimodal_phash_neardup"],
+        d,
+    )
+    assert report["match"] is True, report
