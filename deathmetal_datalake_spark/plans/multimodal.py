@@ -210,23 +210,33 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the WHOLE path — Arrow decode stage, banding, Hamming distances — is
 # replayed byte-for-byte by the oracle from hex().
 #
-# Scale notes (100 TB): band buckets bound the candidate set exactly
-# like dedup_simhash_pairs (collision probability 2^-15 per band for
-# unrelated media); corpora with billions of images widen the bands or
-# add the count-first hot-bucket guard — the documented trade in
-# plans/dedup.py. The verify join is equi on media_id; no all-pairs
-# path exists.
+# Scale notes (100 TB): the banded join runs over DISTINCT signatures,
+# not media rows — perceptual hashes concentrate heavily (this corpus:
+# 50k media -> 4,992 distinct signatures at the 10x twin), so the
+# collapse removes both the fat-bucket join mass and the corpus-wide
+# pair DISTINCT (each media pair descends from exactly one signature
+# pair, so uniqueness is structural). Media-level output is restored by
+# two anchored expansions: cross-signature pairs join each side's
+# member list, same-signature pairs pair within the cluster; both are
+# capped by the dedup-family anchor idiom (a pair survives only if one
+# member is among its cluster's first _PHASH_ANCHORS media_ids), which
+# bounds expansion mass at ~2*A*n per cluster instead of n^2 — at
+# 100 TB an exact-dup storm upstream of this operator cannot go
+# quadratic here. Corpora with billions of distinct signatures widen
+# the bands or add the count-first hot-bucket guard — the documented
+# trade in plans/dedup.py.
 # ---------------------------------------------------------------------------
 
 _PHASH_BANDS = 4
 _PHASH_BAND_BITS = 15
 _PHASH_NEAR = 16  # Hamming threshold on the 60-bit signature
-# Anchor cap (the dedup-family _BAND_ANCHORS idiom): a collided pair
-# is kept only if at least one member is among the bucket\'s first
-# _PHASH_ANCHORS media_ids — bit-identical to the uncapped join
-# whenever every bucket has <= _PHASH_ANCHORS + 1 members, and bounds
-# pair mass at ~2*A*s per bucket (vs C(s,2)) on corpora whose byte
-# distributions collide heavily, which this synthetic one does.
+# Anchor cap (the dedup-family _BAND_ANCHORS idiom), applied at BOTH
+# levels: signature band buckets (a signature pair is kept only if one
+# side is among its bucket's first _PHASH_ANCHORS signatures) and
+# media cluster expansion (a media pair is kept only if one member is
+# among its signature cluster's first _PHASH_ANCHORS media_ids). Each
+# is bit-identical to the uncapped form whenever the bucket/cluster
+# has <= _PHASH_ANCHORS + 1 members, and bounds mass at ~2*A*s.
 _PHASH_ANCHORS = 8
 
 _PHASH_SQL = f"""
@@ -238,40 +248,67 @@ sampled AS (
     SELECT doc_id, i,
            CAST(('0x' || substr(h, CAST(2 * ((i * n) // 60) + 1 AS INTEGER), 2)) AS BIGINT) AS b
     FROM hexed, UNNEST(range(0, 60)) AS g(i)
+    WHERE n > 0
 ),
 tot AS (SELECT doc_id, SUM(b) AS t FROM sampled GROUP BY doc_id),
 ph AS (
+    -- Empty payloads hash to 0 by definition (deterministic_phash's
+    -- n = 0 branch); the hex replay is only defined for n > 0.
     SELECT s.doc_id,
            CAST(SUM(CASE WHEN 60 * s.b > t.t
                          THEN (CAST(1 AS BIGINT) << CAST(s.i AS INTEGER))
                          ELSE 0 END) AS BIGINT) AS phash
     FROM sampled s JOIN tot t USING (doc_id) GROUP BY s.doc_id
+    UNION ALL
+    SELECT doc_id, CAST(0 AS BIGINT) AS phash FROM hexed WHERE n = 0
 ),
+members AS (
+    SELECT doc_id, phash,
+           ROW_NUMBER() OVER (PARTITION BY phash ORDER BY doc_id) AS mr
+    FROM ph
+),
+sigs AS (SELECT DISTINCT phash FROM ph),
 bands AS (
-    SELECT doc_id, phash, k,
+    SELECT phash, k,
            (phash >> CAST({_PHASH_BAND_BITS} * k AS INTEGER)) & {2**_PHASH_BAND_BITS - 1} AS key
-    FROM ph, UNNEST(range(0, {_PHASH_BANDS})) AS g(k)
+    FROM sigs, UNNEST(range(0, {_PHASH_BANDS})) AS g(k)
 ),
 ranked AS (
-    SELECT doc_id, phash, k, key,
-           ROW_NUMBER() OVER (PARTITION BY k, key ORDER BY doc_id) AS rn
+    SELECT phash, k, key,
+           ROW_NUMBER() OVER (PARTITION BY k, key ORDER BY phash) AS rn
     FROM bands
 ),
-cand AS (
-    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-           a.phash AS pa, b.phash AS pb,
-           COUNT(*) AS n_shared_bands
+sig_pairs AS (
+    SELECT a.phash AS pa, b.phash AS pb, COUNT(*) AS n_shared_bands
     FROM ranked a JOIN ranked b
-      ON a.k = b.k AND a.key = b.key AND a.doc_id < b.doc_id
+      ON a.k = b.k AND a.key = b.key AND a.phash < b.phash
     WHERE a.rn <= {_PHASH_ANCHORS} OR b.rn <= {_PHASH_ANCHORS}
-    GROUP BY 1, 2, 3, 4
+    GROUP BY 1, 2
+),
+cross_pairs AS (
+    SELECT LEAST(ma.doc_id, mb.doc_id) AS media_a,
+           GREATEST(ma.doc_id, mb.doc_id) AS media_b,
+           p.n_shared_bands,
+           bit_count(xor(p.pa, p.pb)) AS hamming
+    FROM sig_pairs p
+    JOIN members ma ON ma.phash = p.pa
+    JOIN members mb ON mb.phash = p.pb
+    WHERE ma.mr <= {_PHASH_ANCHORS} OR mb.mr <= {_PHASH_ANCHORS}
+),
+same_pairs AS (
+    SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+           CAST({_PHASH_BANDS} AS BIGINT) AS n_shared_bands,
+           0 AS hamming
+    FROM members a JOIN members b
+      ON a.phash = b.phash AND a.doc_id < b.doc_id
+    WHERE a.mr <= {_PHASH_ANCHORS} OR b.mr <= {_PHASH_ANCHORS}
 )
-SELECT a_id AS media_a, b_id AS media_b,
+SELECT media_a, media_b,
        CAST(n_shared_bands AS BIGINT) AS n_shared_bands,
-       CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming,
-       CASE WHEN bit_count(xor(pa, pb)) <= {_PHASH_NEAR} THEN true ELSE false END
+       CAST(hamming AS BIGINT) AS hamming,
+       CASE WHEN hamming <= {_PHASH_NEAR} THEN true ELSE false END
            AS is_neardup
-FROM cand
+FROM (SELECT * FROM cross_pairs UNION ALL SELECT * FROM same_pairs)
 """
 
 
@@ -287,38 +324,77 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ph = session_cache(
         perceptual_hashes(documents_as_media(docs), hasher=deterministic_phash)
     )
+    from pyspark.sql import Window
+
+    # Collapse to distinct signatures before banding (see scale notes):
+    # members carries the cluster rank used by both expansions.
+    w_mr = Window.partitionBy("phash").orderBy("media_id")
+    members = session_cache(ph.withColumn("mr", F.row_number().over(w_mr)))
+    sigs = members.select("phash").distinct()
+
     ks = F.array(*[F.lit(k) for k in range(_PHASH_BANDS)])
     mask = 2**_PHASH_BAND_BITS - 1
-    bands = ph.select(
-        "media_id", "phash", F.explode(ks).alias("k")
-    ).withColumn(
+    bands = sigs.select("phash", F.explode(ks).alias("k")).withColumn(
         "key",
         F.expr(f"shiftright(phash, {_PHASH_BAND_BITS} * k)").bitwiseAND(F.lit(mask)),
     )
-    from pyspark.sql import Window
-
-    w_rn = Window.partitionBy("k", "key").orderBy("media_id")
+    w_rn = Window.partitionBy("k", "key").orderBy("phash")
     ranked = bands.withColumn("rn", F.row_number().over(w_rn))
     a = ranked.select(
-        F.col("media_id").alias("a_id"), F.col("phash").alias("pa"), "k", "key",
-        F.col("rn").alias("rn_a"),
+        F.col("phash").alias("pa"), "k", "key", F.col("rn").alias("rn_a")
     )
     b = ranked.select(
-        F.col("media_id").alias("b_id"), F.col("phash").alias("pb"), "k", "key",
-        F.col("rn").alias("rn_b"),
+        F.col("phash").alias("pb"), "k", "key", F.col("rn").alias("rn_b")
     )
-    cand = (
+    sig_pairs = (
         a.join(b, ["k", "key"])
-        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(F.col("pa") < F.col("pb"))
         .filter((F.col("rn_a") <= _PHASH_ANCHORS) | (F.col("rn_b") <= _PHASH_ANCHORS))
-        .groupBy("a_id", "b_id", "pa", "pb")
+        .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_bands"))
     )
-    hamming = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
-    return cand.select(
-        F.col("a_id").alias("media_a"),
-        F.col("b_id").alias("media_b"),
+    ma = members.select(
+        F.col("media_id").alias("id_a"), F.col("phash").alias("pa"),
+        F.col("mr").alias("mr_a"),
+    )
+    mb = members.select(
+        F.col("media_id").alias("id_b"), F.col("phash").alias("pb"),
+        F.col("mr").alias("mr_b"),
+    )
+    cross_ham = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+    cross_pairs = (
+        sig_pairs.join(ma, "pa")
+        .join(mb, "pb")
+        .filter((F.col("mr_a") <= _PHASH_ANCHORS) | (F.col("mr_b") <= _PHASH_ANCHORS))
+        .select(
+            F.least("id_a", "id_b").alias("media_a"),
+            F.greatest("id_a", "id_b").alias("media_b"),
+            "n_shared_bands",
+            cross_ham.cast("long").alias("hamming"),
+        )
+    )
+    sa = members.select(
+        F.col("media_id").alias("id_a"), "phash", F.col("mr").alias("mr_a")
+    )
+    sb = members.select(
+        F.col("media_id").alias("id_b"), "phash", F.col("mr").alias("mr_b")
+    )
+    same_pairs = (
+        sa.join(sb, "phash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.col("mr_a") <= _PHASH_ANCHORS) | (F.col("mr_b") <= _PHASH_ANCHORS))
+        .select(
+            F.col("id_a").alias("media_a"),
+            F.col("id_b").alias("media_b"),
+            F.lit(_PHASH_BANDS).cast("long").alias("n_shared_bands"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+    )
+    out = cross_pairs.unionByName(same_pairs)
+    return out.select(
+        "media_a",
+        "media_b",
         "n_shared_bands",
-        hamming.cast("long").alias("hamming"),
-        (hamming <= _PHASH_NEAR).alias("is_neardup"),
+        "hamming",
+        (F.col("hamming") <= _PHASH_NEAR).alias("is_neardup"),
     )

@@ -1,0 +1,142 @@
+"""External-planner acceptance for the Iceberg export (VERDICT r6 #5):
+an engine-shaped reader that consumes ONLY the exported metadata tree
+(vN.metadata.json + Avro manifest list + Avro manifests) must be able
+to plan a pruned scan — manifest pruning from field_summaries, file
+pruning from typed partition values and Appendix-D bounds — WITHOUT
+opening any data file, and then execute the plan to the same rows the
+native reader produces (equality deletes applied, snapshots pinnable).
+
+The no-data-files-at-plan-time claim is proven mechanically: the data
+directories are renamed away while planning runs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pytest
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from deathmetal_datalake_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.set_partition_spec([("bucket[4]", "user_id")])
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("user_id"),
+        (F.col("id") % 10).alias("grp"),
+        F.concat(F.lit("u"), F.col("id")).alias("name"),
+    )
+    t.write(mk(0, 100), mode="overwrite")
+    t.write(mk(100, 200), mode="append")  # disjoint user_id range: bounds differ
+    t.delete_keys(
+        mk(0, 200).filter(F.col("user_id").isin(3, 7, 150)).select("user_id"),
+        "user_id",
+    )
+    return t
+
+
+def _planner(spark, table):
+    from deathmetal_datalake_spark.sources.iceberg_planner import IcebergScanPlanner
+
+    meta_path = table.export_iceberg_metadata(codec="avro")
+    return IcebergScanPlanner(spark, meta_path)
+
+
+def _hide_data_dirs(base_path):
+    moved = []
+    for name in os.listdir(base_path):
+        p = os.path.join(base_path, name)
+        if name != "metadata" and os.path.isdir(p):
+            os.rename(p, p + ".hidden")
+            moved.append(p)
+    return moved
+
+
+def _restore(moved):
+    for p in moved:
+        os.rename(p + ".hidden", p)
+
+
+def _bucket4(v) -> int:
+    return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16) % 4
+
+
+def test_partition_eq_prunes_manifests_without_opening_data(spark, table):
+    planner = _planner(spark, table)
+    moved = _hide_data_dirs(table.base_path)
+    try:
+        plan = planner.plan_scan({"user_id": ("eq", 42)})
+    finally:
+        _restore(moved)
+
+    # Planning succeeded while every data file was unreachable.
+    assert plan.data_files, "plan kept no files"
+    # field_summaries pruned whole manifests: 2 writes x 4 buckets = 8
+    # data manifests, only the target bucket's 2 survive.
+    assert plan.n_manifests_total == 8
+    assert plan.n_manifests_pruned == 6
+    want_bucket = _bucket4(42)
+    for f in plan.data_files:
+        assert str(f.partition["user_id_bucket4"]) == str(want_bucket)
+
+    got = {r["user_id"] for r in planner.execute(plan).collect()}
+    assert 42 in got
+    # Everything planned-in shares the bucket (superset of the exact
+    # answer, as partition pruning should be), nothing outside it.
+    assert all(_bucket4(u) == want_bucket for u in got)
+
+
+def test_column_bounds_prune_files(spark, table):
+    planner = _planner(spark, table)
+    moved = _hide_data_dirs(table.base_path)
+    try:
+        plan = planner.plan_scan({"user_id": ("range", 150, 199)})
+    finally:
+        _restore(moved)
+    # The first write's files (user_id 0-99) are excluded by their
+    # Appendix-D upper bounds without being opened.
+    assert plan.n_files_pruned > 0
+    assert plan.data_files
+    for f in plan.data_files:
+        from deathmetal_datalake_spark.sources.iceberg_planner import (
+            decode_single_value,
+        )
+
+        hi = decode_single_value("long", f.upper_bounds.get(1))
+        assert hi is None or hi >= 150
+
+    rows = planner.execute(plan)
+    got = {r["user_id"] for r in rows.filter(rows.user_id >= 150).collect()}
+    native = {
+        r["user_id"]
+        for r in table.read().filter("user_id >= 150 and user_id <= 199").collect()
+    }
+    assert got == native  # 150 was deleted; the delete manifests apply
+
+
+def test_full_scan_matches_native_reader(spark, table):
+    planner = _planner(spark, table)
+    plan = planner.plan_scan()
+    assert plan.deletes, "equality-delete manifests missing from the plan"
+    got = sorted(
+        (r["user_id"], r["grp"], r["name"]) for r in planner.execute(plan).collect()
+    )
+    native = sorted(
+        (r["user_id"], r["grp"], r["name"]) for r in table.read().collect()
+    )
+    assert got == native
+    assert len(got) == 197  # 200 minus 3 deleted keys
+
+
+def test_snapshot_pinned_plan_time_travels(spark, table):
+    planner = _planner(spark, table)
+    first = planner.meta["snapshots"][0]["snapshot-id"]
+    plan = planner.plan_scan(snapshot_id=first)
+    assert plan.snapshot_id == first
+    assert not plan.deletes  # the delete commit is after this snapshot
+    assert planner.execute(plan).count() == 100
