@@ -273,12 +273,19 @@ def main() -> None:
             print("# building 10x scale scratch...", file=sys.stderr, flush=True)
             make_scale10x.build(spark, scale_dir)
     if scale_dir and os.path.isdir(scale_dir):
-        smed, smins = _run_suite(spark, scale_dir, reps=1)
+        # Per-rep receipts at 10x too (round-6 lesson: a single-rep 10x
+        # record left a 21s-vs-3s g2 conflict unresolvable — with
+        # median+min recorded, session interference shows up as
+        # median >> min instead of poisoning round-over-round deltas).
+        sreps = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2")))
+        smed, smins = _run_suite(spark, scale_dir, reps=sreps)
         payload["scale"] = {
             "metric": "headline_queries_total_scale",
             "value": round(sum(smed.values()), 3),
             "unit": "sec",
             "queries": smed,
+            "queries_min": smins,
+            "reps": sreps,
             "sf": scale_tag,
             "ratio_vs_base": round(sum(smed.values()) / max(sum(med.values()), 1e-9), 3),
         }

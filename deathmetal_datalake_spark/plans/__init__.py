@@ -40,6 +40,16 @@ del _rev_q, _rev_o
 # promoted to the head explicitly — the driver's prefix sample then
 # always covers the newest, least-battle-tested surface first.
 _NEWEST_FIRST = [
+    # round 7
+    "events_type_transition_matrix",
+    "events_top_session_paths",
+    "events_ab_cuped_adjusted_lift",
+    "text_hashed_linear_quality_score",
+    "text_winnowing_fingerprint",
+    "similarity_binary_sign_quant",
+    "multimodal_scene_changes",
+    "dq_k_anonymity_customer",
+    # round 6
     "corpus_quality_weighted_sample",
     "events_new_vs_returning",
     "streaming_bitmap_distinct_replay",

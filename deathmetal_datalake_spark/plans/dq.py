@@ -248,3 +248,52 @@ def dq_column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit — the privacy gate a training-data pipeline runs
+# before releasing user-derived tables: group sizes over a declared
+# quasi-identifier set, the table's k (smallest group), and the
+# re-identification risk mass (rows in groups below the policy
+# threshold). One aggregate over the QI key, one bounded summary —
+# the QI-group frame is the only shuffle, and |QI groups| << rows at
+# any scale (here 5 segments x 25 nations).
+# ---------------------------------------------------------------------------
+
+_KANON_THRESHOLD = 10  # groups smaller than this are at-risk
+
+_KANON_SQL = f"""
+WITH groups AS (
+    SELECT c_mktsegment, c_nationkey, COUNT(*) AS sz
+    FROM customer
+    GROUP BY 1, 2
+)
+SELECT CAST(MIN(sz) AS BIGINT) AS k_anonymity,
+       CAST(COUNT(*) AS BIGINT) AS n_qi_groups,
+       CAST(SUM(sz) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN sz < {_KANON_THRESHOLD} THEN sz ELSE 0 END) AS BIGINT)
+           AS n_rows_at_risk,
+       ROUND(CAST(SUM(CASE WHEN sz < {_KANON_THRESHOLD} THEN sz ELSE 0 END)
+                  AS DOUBLE) / SUM(sz), 6) AS at_risk_share
+FROM groups
+"""
+
+
+@register("dq_k_anonymity_customer", oracle=_KANON_SQL)
+def dq_k_anonymity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    cust = load_table(spark, sf_dir, "customer")
+    groups = cust.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    risk = F.sum(
+        F.when(F.col("sz") < _KANON_THRESHOLD, F.col("sz")).otherwise(F.lit(0))
+    )
+    return groups.agg(
+        F.min("sz").cast("long").alias("k_anonymity"),
+        F.count(F.lit(1)).cast("long").alias("n_qi_groups"),
+        F.sum("sz").cast("long").alias("n_rows"),
+        risk.cast("long").alias("n_rows_at_risk"),
+        F.round(risk.cast("double") / F.sum("sz"), 6).alias("at_risk_share"),
+    )

@@ -1838,3 +1838,263 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_active"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition matrix — first-order Markov view of user
+# behavior (the input to next-event prediction features and to bot
+# detection): per user ordered by (ts, event_id), count (prev -> next)
+# transitions and each row's share of its prev-type mass. One window
+# pass for the lag (partitioned by user: Spark shuffles once on
+# user_id) and one bounded aggregate (|types|^2 <= 25 rows out); at
+# 100 TB the only corpus-sized stage is the lag window, which shares
+# the sessionization family's partitioning.
+# ---------------------------------------------------------------------------
+
+_TRANSITION_SQL = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+           ) AS prev_type
+    FROM events
+),
+trans AS (
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n_trans
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+)
+SELECT prev_type, next_type, CAST(n_trans AS BIGINT) AS n_trans,
+       ROUND(CAST(n_trans AS DOUBLE)
+             / SUM(n_trans) OVER (PARTITION BY prev_type), 6) AS share
+FROM trans
+ORDER BY prev_type, next_type
+"""
+
+
+@register("events_type_transition_matrix", oracle=_TRANSITION_SQL)
+def events_type_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_trans"))
+    )
+    w_prev = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        F.round(
+            F.col("n_trans").cast("double") / F.sum("n_trans").over(w_prev), 6
+        ).alias("share"),
+    ).orderBy("prev_type", "next_type")
+
+
+# ---------------------------------------------------------------------------
+# Top session paths — the first three event types of each session
+# (30-minute gap rule, events_session_features' exact session law),
+# joined into a path string, counted, top 15. The funnel view's
+# exploratory sibling: which entry sequences actually happen. Session
+# assembly shares the one user-partitioned window chain; the path
+# aggregate is bounded by |types|^3.
+# ---------------------------------------------------------------------------
+
+_TOP_PATHS = 15
+
+_PATHS_SQL = f"""
+WITH e AS (
+    SELECT event_id, user_id, event_type,
+           CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+    FROM events
+),
+g AS (
+    SELECT *, CASE WHEN LAG(sec) OVER w IS NULL
+                     OR sec - LAG(sec) OVER w > {_SESSION_GAP_S}
+                   THEN 1 ELSE 0 END AS is_start
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+),
+s AS (
+    SELECT *, SUM(is_start) OVER (
+        PARTITION BY user_id ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING
+    ) AS session_seq FROM g
+),
+pos AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id, session_seq ORDER BY sec, event_id
+    ) AS pos_in_session FROM s
+),
+paths AS (
+    SELECT user_id, session_seq,
+           string_agg(event_type, '>' ORDER BY pos_in_session) AS path
+    FROM pos WHERE pos_in_session <= 3
+    GROUP BY user_id, session_seq
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT {_TOP_PATHS}
+"""
+
+
+@register("events_top_session_paths", oracle=_PATHS_SQL)
+def events_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("sec"),
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    g = e.withColumn(
+        "is_start",
+        F.when(
+            F.lag("sec").over(w).isNull()
+            | (F.col("sec") - F.lag("sec").over(w) > _SESSION_GAP_S),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    s = g.withColumn(
+        "session_seq",
+        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    w_sess = Window.partitionBy("user_id", "session_seq").orderBy("sec", "event_id")
+    pos = s.withColumn("pos_in_session", F.row_number().over(w_sess))
+    # Order-stable path join: sort (pos, type) structs, then project
+    # the types (collect_list alone has no ordering contract).
+    paths = (
+        pos.filter(F.col("pos_in_session") <= 3)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos_in_session", "event_type"))
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(_TOP_PATHS)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout with CUPED variance reduction — the canonical
+# online-experimentation adjustment (Deng et al., WSDM'13): variant by
+# deterministic user hash, pre-period spend as the covariate, theta =
+# cov(X,Y)/var(X), adjusted lift = raw lift - theta * covariate lift
+# (the mean(X) recentering term cancels in the A/B difference).
+#
+# Determinism: spend is folded to integer CENTS per event
+# (ROUND(value*100) — the 2-decimal columns land within 1e-10 of an
+# integer, so both engines round identically), all per-user and global
+# moments are exact BIGINT sums, and doubles appear only in the final
+# one-row ratio arithmetic (identical expression trees both sides).
+# 100 TB shape: one shuffle on user_id for the per-user frame, then a
+# single partial-aggregated scalar frame; moment sums stay < 2^63 by
+# orders of magnitude at any plausible scale (documented: cents^2 per
+# user ~1e12, users ~1e9 -> ~1e21 would overflow — at that scale fold
+# the moments per-partition into DOUBLE, trading exactness for range).
+# ---------------------------------------------------------------------------
+
+_CUPED_CUTOFF = "2024-01-16 00:00:00"
+
+_CUPED_SQL = f"""
+WITH per_user AS (
+    SELECT user_id,
+           {sql_hash60('CAST(user_id AS VARCHAR)')} % 2 AS variant,
+           CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '{_CUPED_CUTOFF}'
+                    THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+           CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '{_CUPED_CUTOFF}'
+                    THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+    FROM events
+    GROUP BY user_id
+),
+m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+           CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+           CAST(SUM(CASE WHEN variant = 0 THEN x ELSE 0 END) AS BIGINT) AS sxa,
+           CAST(SUM(CASE WHEN variant = 1 THEN x ELSE 0 END) AS BIGINT) AS sxb,
+           CAST(SUM(CASE WHEN variant = 0 THEN y ELSE 0 END) AS BIGINT) AS sya,
+           CAST(SUM(CASE WHEN variant = 1 THEN y ELSE 0 END) AS BIGINT) AS syb
+    FROM per_user
+)
+SELECT na AS n_users_a, nb AS n_users_b,
+       ROUND(CAST(syb AS DOUBLE) / nb - CAST(sya AS DOUBLE) / na, 6)
+           AS raw_lift_cents,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS theta,
+       ROUND((CAST(syb AS DOUBLE) / nb - CAST(sya AS DOUBLE) / na)
+             - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+               * (CAST(sxb AS DOUBLE) / nb - CAST(sxa AS DOUBLE) / na), 6)
+           AS cuped_lift_cents
+FROM m
+"""
+
+
+@register("events_ab_cuped_adjusted_lift", oracle=_CUPED_SQL)
+def events_ab_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    is_pre = F.col("ts") < F.expr(f"TIMESTAMP_NTZ '{_CUPED_CUTOFF}'")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(is_pre, cents).otherwise(F.lit(0))).cast("long").alias("x"),
+        F.sum(F.when(~is_pre, cents).otherwise(F.lit(0))).cast("long").alias("y"),
+    ).withColumn(
+        "variant", F.pmod(hash60(F.col("user_id").cast("string")), F.lit(2))
+    )
+    m = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).cast("long").alias("nb"),
+        F.sum(F.when(F.col("variant") == 0, F.col("x")).otherwise(F.lit(0)))
+        .cast("long").alias("sxa"),
+        F.sum(F.when(F.col("variant") == 1, F.col("x")).otherwise(F.lit(0)))
+        .cast("long").alias("sxb"),
+        F.sum(F.when(F.col("variant") == 0, F.col("y")).otherwise(F.lit(0)))
+        .cast("long").alias("sya"),
+        F.sum(F.when(F.col("variant") == 1, F.col("y")).otherwise(F.lit(0)))
+        .cast("long").alias("syb"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    raw = d("syb") / F.col("nb") - d("sya") / F.col("na")
+    theta = (d("n") * d("sxy") - d("sx") * d("sy")) / (
+        d("n") * d("sxx") - d("sx") * d("sx")
+    )
+    cov_lift = d("sxb") / F.col("nb") - d("sxa") / F.col("na")
+    return m.select(
+        F.col("na").alias("n_users_a"),
+        F.col("nb").alias("n_users_b"),
+        F.round(raw, 6).alias("raw_lift_cents"),
+        F.round(theta, 6).alias("theta"),
+        F.round(raw - theta * cov_lift, 6).alias("cuped_lift_cents"),
+    )

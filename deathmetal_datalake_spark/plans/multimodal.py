@@ -214,29 +214,26 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # not media rows — perceptual hashes concentrate heavily (this corpus:
 # 50k media -> 4,992 distinct signatures at the 10x twin), so the
 # collapse removes both the fat-bucket join mass and the corpus-wide
-# pair DISTINCT (each media pair descends from exactly one signature
-# pair, so uniqueness is structural). Media-level output is restored by
-# two anchored expansions: cross-signature pairs join each side's
-# member list, same-signature pairs pair within the cluster; both are
-# capped by the dedup-family anchor idiom (a pair survives only if one
-# member is among its cluster's first _PHASH_ANCHORS media_ids), which
-# bounds expansion mass at ~2*A*n per cluster instead of n^2 — at
-# 100 TB an exact-dup storm upstream of this operator cannot go
-# quadratic here. Corpora with billions of distinct signatures widen
-# the bands or add the count-first hot-bucket guard — the documented
-# trade in plans/dedup.py.
+# pair DISTINCT. The OUTPUT is cluster-level on purpose: one row per
+# near-dup signature pair carrying both clusters' representative media,
+# sizes, and the implied media-pair count (n_a*n_b, or C(n,2) for the
+# within-cluster row) — the full media-pair expansion is a one-join
+# denormalization the caller can do, but materializing it is
+# inherently quadratic in cluster sizes (measured 5.1M rows at the 10x
+# twin vs 56k cluster-level rows) and is exactly what a 100 TB dedup
+# report must NOT do. Corpora with billions of distinct signatures
+# widen the bands or add the count-first hot-bucket guard — the
+# documented trade in plans/dedup.py.
 # ---------------------------------------------------------------------------
 
 _PHASH_BANDS = 4
 _PHASH_BAND_BITS = 15
 _PHASH_NEAR = 16  # Hamming threshold on the 60-bit signature
-# Anchor cap (the dedup-family _BAND_ANCHORS idiom), applied at BOTH
-# levels: signature band buckets (a signature pair is kept only if one
-# side is among its bucket's first _PHASH_ANCHORS signatures) and
-# media cluster expansion (a media pair is kept only if one member is
-# among its signature cluster's first _PHASH_ANCHORS media_ids). Each
-# is bit-identical to the uncapped form whenever the bucket/cluster
-# has <= _PHASH_ANCHORS + 1 members, and bounds mass at ~2*A*s.
+# Anchor cap (the dedup-family _BAND_ANCHORS idiom) on signature band
+# buckets: a signature pair is kept only if one side is among its
+# bucket's first _PHASH_ANCHORS signatures — bit-identical to the
+# uncapped join whenever every bucket has <= _PHASH_ANCHORS + 1
+# distinct signatures, and bounds pair mass at ~2*A*s per bucket.
 _PHASH_ANCHORS = 8
 
 _PHASH_SQL = f"""
@@ -262,16 +259,16 @@ ph AS (
     UNION ALL
     SELECT doc_id, CAST(0 AS BIGINT) AS phash FROM hexed WHERE n = 0
 ),
-members AS (
-    SELECT doc_id, phash,
-           ROW_NUMBER() OVER (PARTITION BY phash ORDER BY doc_id) AS mr
-    FROM ph
+clusters AS (
+    SELECT phash,
+           CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(MIN(doc_id) AS BIGINT) AS rep_media
+    FROM ph GROUP BY phash
 ),
-sigs AS (SELECT DISTINCT phash FROM ph),
 bands AS (
     SELECT phash, k,
            (phash >> CAST({_PHASH_BAND_BITS} * k AS INTEGER)) & {2**_PHASH_BAND_BITS - 1} AS key
-    FROM sigs, UNNEST(range(0, {_PHASH_BANDS})) AS g(k)
+    FROM clusters, UNNEST(range(0, {_PHASH_BANDS})) AS g(k)
 ),
 ranked AS (
     SELECT phash, k, key,
@@ -286,28 +283,29 @@ sig_pairs AS (
     GROUP BY 1, 2
 ),
 cross_pairs AS (
-    SELECT LEAST(ma.doc_id, mb.doc_id) AS media_a,
-           GREATEST(ma.doc_id, mb.doc_id) AS media_b,
+    SELECT ca.rep_media AS rep_media_a, cb.rep_media AS rep_media_b,
+           ca.n_media AS n_media_a, cb.n_media AS n_media_b,
            p.n_shared_bands,
-           bit_count(xor(p.pa, p.pb)) AS hamming
+           bit_count(xor(p.pa, p.pb)) AS hamming,
+           ca.n_media * cb.n_media AS n_pairs
     FROM sig_pairs p
-    JOIN members ma ON ma.phash = p.pa
-    JOIN members mb ON mb.phash = p.pb
-    WHERE ma.mr <= {_PHASH_ANCHORS} OR mb.mr <= {_PHASH_ANCHORS}
+    JOIN clusters ca ON ca.phash = p.pa
+    JOIN clusters cb ON cb.phash = p.pb
 ),
 same_pairs AS (
-    SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+    SELECT rep_media AS rep_media_a, rep_media AS rep_media_b,
+           n_media AS n_media_a, n_media AS n_media_b,
            CAST({_PHASH_BANDS} AS BIGINT) AS n_shared_bands,
-           0 AS hamming
-    FROM members a JOIN members b
-      ON a.phash = b.phash AND a.doc_id < b.doc_id
-    WHERE a.mr <= {_PHASH_ANCHORS} OR b.mr <= {_PHASH_ANCHORS}
+           0 AS hamming,
+           CAST((n_media * (n_media - 1)) / 2 AS BIGINT) AS n_pairs
+    FROM clusters WHERE n_media >= 2
 )
-SELECT media_a, media_b,
+SELECT rep_media_a, rep_media_b, n_media_a, n_media_b,
        CAST(n_shared_bands AS BIGINT) AS n_shared_bands,
        CAST(hamming AS BIGINT) AS hamming,
        CASE WHEN hamming <= {_PHASH_NEAR} THEN true ELSE false END
-           AS is_neardup
+           AS is_neardup,
+       CAST(n_pairs AS BIGINT) AS n_pairs
 FROM (SELECT * FROM cross_pairs UNION ALL SELECT * FROM same_pairs)
 """
 
@@ -325,16 +323,19 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         perceptual_hashes(documents_as_media(docs), hasher=deterministic_phash)
     )
     from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
 
-    # Collapse to distinct signatures before banding (see scale notes):
-    # members carries the cluster rank used by both expansions.
-    w_mr = Window.partitionBy("phash").orderBy("media_id")
-    members = session_cache(ph.withColumn("mr", F.row_number().over(w_mr)))
-    sigs = members.select("phash").distinct()
-
+    # Collapse to clusters before banding (see scale notes): one row
+    # per distinct signature with its size and representative media.
+    clusters = session_cache(
+        ph.groupBy("phash").agg(
+            F.count(F.lit(1)).cast("long").alias("n_media"),
+            F.min("media_id").cast("long").alias("rep_media"),
+        )
+    )
     ks = F.array(*[F.lit(k) for k in range(_PHASH_BANDS)])
     mask = 2**_PHASH_BAND_BITS - 1
-    bands = sigs.select("phash", F.explode(ks).alias("k")).withColumn(
+    bands = clusters.select("phash", F.explode(ks).alias("k")).withColumn(
         "key",
         F.expr(f"shiftright(phash, {_PHASH_BAND_BITS} * k)").bitwiseAND(F.lit(mask)),
     )
@@ -353,48 +354,148 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_bands"))
     )
-    ma = members.select(
-        F.col("media_id").alias("id_a"), F.col("phash").alias("pa"),
-        F.col("mr").alias("mr_a"),
+    ca = clusters.select(
+        F.col("phash").alias("pa"),
+        F.col("rep_media").alias("rep_media_a"),
+        F.col("n_media").alias("n_media_a"),
     )
-    mb = members.select(
-        F.col("media_id").alias("id_b"), F.col("phash").alias("pb"),
-        F.col("mr").alias("mr_b"),
+    cb = clusters.select(
+        F.col("phash").alias("pb"),
+        F.col("rep_media").alias("rep_media_b"),
+        F.col("n_media").alias("n_media_b"),
     )
     cross_ham = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
     cross_pairs = (
-        sig_pairs.join(ma, "pa")
-        .join(mb, "pb")
-        .filter((F.col("mr_a") <= _PHASH_ANCHORS) | (F.col("mr_b") <= _PHASH_ANCHORS))
+        sig_pairs.join(broadcast(ca), "pa")
+        .join(broadcast(cb), "pb")
         .select(
-            F.least("id_a", "id_b").alias("media_a"),
-            F.greatest("id_a", "id_b").alias("media_b"),
+            "rep_media_a",
+            "rep_media_b",
+            "n_media_a",
+            "n_media_b",
             "n_shared_bands",
             cross_ham.cast("long").alias("hamming"),
+            (F.col("n_media_a") * F.col("n_media_b")).alias("n_pairs"),
         )
     )
-    sa = members.select(
-        F.col("media_id").alias("id_a"), "phash", F.col("mr").alias("mr_a")
-    )
-    sb = members.select(
-        F.col("media_id").alias("id_b"), "phash", F.col("mr").alias("mr_b")
-    )
-    same_pairs = (
-        sa.join(sb, "phash")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter((F.col("mr_a") <= _PHASH_ANCHORS) | (F.col("mr_b") <= _PHASH_ANCHORS))
-        .select(
-            F.col("id_a").alias("media_a"),
-            F.col("id_b").alias("media_b"),
-            F.lit(_PHASH_BANDS).cast("long").alias("n_shared_bands"),
-            F.lit(0).cast("long").alias("hamming"),
-        )
+    same_pairs = clusters.filter(F.col("n_media") >= 2).select(
+        F.col("rep_media").alias("rep_media_a"),
+        F.col("rep_media").alias("rep_media_b"),
+        F.col("n_media").alias("n_media_a"),
+        F.col("n_media").alias("n_media_b"),
+        F.lit(_PHASH_BANDS).cast("long").alias("n_shared_bands"),
+        F.lit(0).cast("long").alias("hamming"),
+        ((F.col("n_media") * (F.col("n_media") - 1)) / 2)
+        .cast("long")
+        .alias("n_pairs"),
     )
     out = cross_pairs.unionByName(same_pairs)
     return out.select(
-        "media_a",
-        "media_b",
+        "rep_media_a",
+        "rep_media_b",
+        "n_media_a",
+        "n_media_b",
         "n_shared_bands",
         "hamming",
         (F.col("hamming") <= _PHASH_NEAR).alias("is_neardup"),
+        "n_pairs",
     )
+
+
+# ---------------------------------------------------------------------------
+# Scene-change detection — the video-pipeline pass that samples frames
+# and cuts where inter-frame difference spikes (here: the deterministic
+# PCM fake's 64-byte frame energies stand in for decoded frame
+# features, same seam as every codec stub). The boundary rule is
+# integer-exact by cross-multiplication — |Δenergy| · n_frames >
+# total_energy, i.e. the jump exceeds the media's mean frame energy —
+# so DuckDB replays it bit-for-bit from hex(). 100 TB: Arrow decode is
+# map-only; the lag window and the aggregate share one media_id
+# partitioning (single shuffle).
+# ---------------------------------------------------------------------------
+
+_SCENE_SQL = """
+WITH hexed AS (
+    SELECT doc_id, hex(encode(text)) AS h,
+           octet_length(encode(text)) AS n
+    FROM documents
+),
+bytes AS (
+    SELECT doc_id,
+           CAST(i // 64 AS BIGINT) AS window_id,
+           CAST(('0x' || substr(h, CAST(2 * i + 1 AS INTEGER), 2)) AS BIGINT) AS b
+    FROM hexed, UNNEST(range(0, n)) AS g(i)
+),
+frames AS (
+    SELECT doc_id, window_id, CAST(SUM(b * b) AS BIGINT) AS energy
+    FROM bytes GROUP BY doc_id, window_id
+),
+tot AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(energy) AS BIGINT) AS total_energy
+    FROM frames GROUP BY doc_id
+),
+deltas AS (
+    SELECT f.doc_id,
+           ABS(f.energy - LAG(f.energy) OVER (
+               PARTITION BY f.doc_id ORDER BY f.window_id
+           )) AS jump
+    FROM frames f
+)
+SELECT t.doc_id AS media_id,
+       t.n_frames,
+       CAST(COALESCE(SUM(CASE WHEN d.jump * t.n_frames > t.total_energy
+                              THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_scene_changes,
+       ROUND(CAST(t.n_frames AS DOUBLE)
+             / (COALESCE(SUM(CASE WHEN d.jump * t.n_frames > t.total_energy
+                                  THEN 1 ELSE 0 END), 0) + 1), 6)
+           AS mean_scene_frames
+FROM tot t
+LEFT JOIN deltas d ON d.doc_id = t.doc_id AND d.jump IS NOT NULL
+GROUP BY t.doc_id, t.n_frames
+"""
+
+
+@register("multimodal_scene_changes", oracle=_SCENE_SQL)
+def multimodal_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-energy scene cuts through the Arrow batch path.
+
+    Reference parity: the reference treats media as opaque payloads in
+    object storage (flows/ingest boto3 puts); frame-level analytics is
+    the mandated multimodal extension, stubbed at the codec seam like
+    every decode here."""
+    from pyspark.sql import Window
+
+    from deathmetal_datalake_spark.operators.multimodal import (
+        audio_energy_windows,
+        deterministic_pcm_decode,
+    )
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = session_cache(
+        audio_energy_windows(
+            documents_as_media(docs), decoder=deterministic_pcm_decode
+        ).select("media_id", "window_id", "energy")
+    )
+    tot = frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.sum("energy").cast("long").alias("total_energy"),
+    )
+    w = Window.partitionBy("media_id").orderBy("window_id")
+    deltas = frames.select(
+        "media_id",
+        F.abs(F.col("energy") - F.lag("energy").over(w)).alias("jump"),
+    ).filter(F.col("jump").isNotNull())
+    joined = tot.join(deltas, "media_id", "left")
+    is_cut = F.when(
+        F.col("jump") * F.col("n_frames") > F.col("total_energy"), 1
+    ).otherwise(0)
+    return joined.groupBy("media_id", "n_frames").agg(
+        F.coalesce(F.sum(is_cut), F.lit(0)).cast("long").alias("n_scene_changes"),
+        F.round(
+            F.col("n_frames").cast("double")
+            / (F.coalesce(F.sum(is_cut), F.lit(0)) + 1),
+            6,
+        ).alias("mean_scene_frames"),
+    ).select("media_id", "n_frames", "n_scene_changes", "mean_scene_frames")

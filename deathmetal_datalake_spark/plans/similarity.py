@@ -2497,3 +2497,158 @@ def _register_hybrid_oracle() -> None:
 
 
 _register_hybrid_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Binary sign quantization (1 bit/dim) + Hamming retrieval recall — the
+# cheapest embedding compression that still retrieves (64 dims -> one
+# 64-bit signature, 256x smaller than float32): pack sign bits into two
+# BIGINT words (60+4, keeping both non-negative for engine-portable
+# xor/bit_count), rank the eval queries' neighbors by Hamming distance,
+# and audit recall@k against exact cosine. The quantize+rank path is
+# the 100 TB shape (signatures fit executor memory where floats never
+# would); the exact-cosine side stays bounded by the _QUERY_CAP eval
+# protocol shared with the rest of the family.
+# ---------------------------------------------------------------------------
+
+def _sign_pack_sql(lo: int, hi: int) -> str:
+    """Σ_{i in [lo,hi)} (emb[i+1] > 0) << (i-lo) — DuckDB side."""
+    return (
+        f"list_aggregate(list_transform(range({lo}, {hi}), i -> "
+        f"CASE WHEN emb[i + 1] > 0 THEN (CAST(1 AS BIGINT) << (i - {lo})) "
+        f"ELSE CAST(0 AS BIGINT) END), 'sum')"
+    )
+
+
+def _sign_pack_col(lo: int, hi: int):
+    return F.expr(
+        f"aggregate(sequence({lo}, {hi - 1}), CAST(0 AS BIGINT), (acc, i) -> "
+        f"acc + IF(element_at(emb, i + 1) > CAST(0 AS DOUBLE), "
+        f"shiftleft(CAST(1 AS BIGINT), i - {lo}), CAST(0 AS BIGINT)))"
+    )
+
+
+_SIGNQ_SQL = f"""
+WITH vecs AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+packed AS (
+    SELECT vec_id, emb,
+           {_sign_pack_sql(0, 60)} AS b0,
+           {_sign_pack_sql(60, 64)} AS b1
+    FROM vecs
+),
+queries AS (
+    SELECT vec_id AS query_id, emb AS qemb, b0 AS qb0, b1 AS qb1
+    FROM packed WHERE vec_id % {_QUERY_MOD} = 0 AND vec_id < {_QUERY_CAP}
+),
+ham AS (
+    SELECT q.query_id, v.vec_id,
+           bit_count(CAST(xor(q.qb0, v.b0) AS BIGINT))
+           + bit_count(CAST(xor(q.qb1, v.b1) AS BIGINT)) AS hamming
+    FROM queries q CROSS JOIN packed v
+    WHERE q.query_id <> v.vec_id
+),
+bin_top AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY hamming ASC, vec_id ASC
+        ) AS rank FROM ham
+    ) WHERE rank <= {_TOP_K}
+),
+cos AS (
+    SELECT q.query_id, v.vec_id,
+           ROUND(list_dot_product(q.qemb, v.emb) /
+                 (sqrt(list_dot_product(q.qemb, q.qemb)) * sqrt(list_dot_product(v.emb, v.emb))),
+                 4) AS cosine
+    FROM queries q CROSS JOIN vecs v
+    WHERE q.query_id <> v.vec_id
+),
+cos_top AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+        ) AS rank FROM cos
+    ) WHERE rank <= {_TOP_K}
+)
+SELECT b.query_id,
+       CAST(COUNT(c.vec_id) AS BIGINT) AS n_overlap,
+       ROUND(CAST(COUNT(c.vec_id) AS DOUBLE) / {_TOP_K}, 6) AS recall_at_k,
+       ROUND(CAST(SUM(b.hamming) AS DOUBLE) / {_TOP_K}, 6) AS mean_hamming_top
+FROM bin_top b
+LEFT JOIN cos_top c ON b.query_id = c.query_id AND b.vec_id = c.vec_id
+GROUP BY b.query_id
+"""
+
+
+@register("similarity_binary_sign_quant", oracle=_SIGNQ_SQL)
+def similarity_binary_sign_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("emb")
+    )
+    packed = session_cache(
+        spread(vecs).select(
+            "vec_id", "emb",
+            _sign_pack_col(0, 60).alias("b0"),
+            _sign_pack_col(60, 64).alias("b1"),
+        )
+    )
+    queries = packed.filter(
+        (F.col("vec_id") % _QUERY_MOD == 0) & (F.col("vec_id") < _QUERY_CAP)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("b0").alias("qb0"),
+        F.col("b1").alias("qb1"),
+    )
+    ham = (
+        packed.join(broadcast(queries), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                F.bit_count(F.col("qb0").bitwiseXOR(F.col("b0")))
+                + F.bit_count(F.col("qb1").bitwiseXOR(F.col("b1")))
+            ).cast("long").alias("hamming"),
+        )
+    )
+    w_ham = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("vec_id"))
+    bin_top = ham.withColumn("rank", F.row_number().over(w_ham)).filter(
+        F.col("rank") <= _TOP_K
+    )
+    cos = (
+        packed.join(broadcast(queries), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _dot(F.col("qemb"), F.col("emb"))
+                / (
+                    F.sqrt(_dot(F.col("qemb"), F.col("qemb")))
+                    * F.sqrt(_dot(F.col("emb"), F.col("emb")))
+                ),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    cos_top = (
+        cos.withColumn("rank", F.row_number().over(w_cos))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", F.col("vec_id").alias("c_vec_id"))
+    )
+    joined = bin_top.join(
+        cos_top,
+        (bin_top.query_id == cos_top.query_id)
+        & (bin_top.vec_id == cos_top.c_vec_id),
+        "left",
+    ).select(bin_top.query_id, bin_top.hamming, cos_top.c_vec_id)
+    return joined.groupBy("query_id").agg(
+        F.count("c_vec_id").cast("long").alias("n_overlap"),
+        F.round(F.count("c_vec_id").cast("double") / _TOP_K, 6).alias("recall_at_k"),
+        F.round(F.sum("hamming").cast("double") / _TOP_K, 6).alias(
+            "mean_hamming_top"
+        ),
+    )

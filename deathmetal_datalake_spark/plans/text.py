@@ -1682,3 +1682,144 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_of_true"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed-linear quality classifier — the fasttext-style filtering shape
+# (hashing-trick features, linear scorer, threshold gate) used for
+# "classifier quality filtering" in web-corpus pipelines, with a
+# deterministic weight table both engines derive inline (Knuth
+# multiplicative mix of the bucket id) instead of a model file: bucket
+# = hash60(token) % D, weight = ((bucket * 2654435761) % 1001) - 500,
+# score = mean token weight. Integer sums are exact; the single double
+# division happens once per doc. 100 TB: map-only until the per-doc
+# aggregate (one shuffle on doc_id) — the classic classifier-filter
+# pass is exactly this shape with learned weights broadcast instead.
+# ---------------------------------------------------------------------------
+
+_HLQ_BUCKETS = 4096
+_HLQ_MIX = 2654435761  # Knuth's 2^32 golden-ratio multiplier
+
+_HLQ_SQL = rf"""
+WITH tok AS (
+    SELECT doc_id, UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS token
+    FROM documents
+),
+feat AS (
+    SELECT doc_id,
+           (({sql_hash60('token')} % {_HLQ_BUCKETS}) * {_HLQ_MIX}) % 1001 - 500
+               AS w
+    FROM tok
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(w) AS BIGINT) AS weight_sum,
+       ROUND(CAST(SUM(w) AS DOUBLE) / COUNT(*), 6) AS score,
+       CASE WHEN CAST(SUM(w) AS DOUBLE) / COUNT(*) > 0 THEN true ELSE false END
+           AS keep
+FROM feat
+GROUP BY doc_id
+"""
+
+
+@register("text_hashed_linear_quality_score", oracle=_HLQ_SQL)
+def text_hashed_linear_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+    )
+    w = (hash60("token") % _HLQ_BUCKETS) * _HLQ_MIX % 1001 - 500
+    scored = tok.select("doc_id", w.alias("w")).groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("w").cast("long").alias("weight_sum"),
+    )
+    score = F.col("weight_sum").cast("double") / F.col("n_tokens")
+    return scored.select(
+        "doc_id", "n_tokens", "weight_sum",
+        F.round(score, 6).alias("score"),
+        (score > 0).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+# MOSS algorithm): k-gram rolling hashes, then the minimum hash of
+# every w-length window is a selected fingerprint. Guarantees any
+# shared substring of length >= k + w - 1 yields a shared fingerprint,
+# at ~2/(w+1) selection density — the standard local document
+# fingerprint for near-dup/plagiarism detection. Everything stays in
+# codegen: positions via sequence(), k-gram hash via substring+md5,
+# window MIN via a bounded ROWS frame, then a per-doc distinct count.
+# 100 TB: map + one window partitioned by doc_id + one aggregate —
+# the doc_id partitioning is shared across all three stages (one
+# shuffle).
+# ---------------------------------------------------------------------------
+
+_WINNOW_K = 5  # k-gram width (chars)
+_WINNOW_W = 4  # winnowing window (k-grams)
+
+_WINNOW_SQL = f"""
+WITH grams AS (
+    SELECT doc_id, g.p AS pos,
+           {sql_hash60("substr(text, CAST(g.p AS INTEGER), {k})")} AS h
+    FROM documents, UNNEST(range(1, LENGTH(text) - {_WINNOW_K} + 2)) AS g(p)
+    WHERE LENGTH(text) >= {_WINNOW_K}
+),
+winmin AS (
+    SELECT doc_id, pos, h,
+           MIN(h) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN {_WINNOW_W - 1} PRECEDING AND CURRENT ROW
+           ) AS wmin
+    FROM grams
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(COUNT(DISTINCT CASE WHEN pos >= {_WINNOW_W} THEN wmin END) AS BIGINT)
+           AS n_fingerprints,
+       ROUND(CAST(COUNT(DISTINCT CASE WHEN pos >= {_WINNOW_W} THEN wmin END)
+                  AS DOUBLE)
+             / COUNT(*), 6) AS density
+FROM winmin
+GROUP BY doc_id
+""".replace("{k}", str(_WINNOW_K))
+
+
+@register("text_winnowing_fingerprint", oracle=_WINNOW_SQL)
+def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= _WINNOW_K
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - _WINNOW_K + 1)
+        ).alias("pos"),
+        "text",
+    ).select(
+        "doc_id",
+        "pos",
+        hash60(F.expr(f"substring(text, pos, {_WINNOW_K})")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(_WINNOW_W - 1), 0)
+    )
+    winmin = grams.withColumn("wmin", F.min("h").over(w))
+    sel = F.when(F.col("pos") >= _WINNOW_W, F.col("wmin"))
+    out = winmin.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.countDistinct(sel).cast("long").alias("n_fingerprints"),
+    )
+    return out.select(
+        "doc_id",
+        "n_grams",
+        "n_fingerprints",
+        F.round(
+            F.col("n_fingerprints").cast("double") / F.col("n_grams"), 6
+        ).alias("density"),
+    )

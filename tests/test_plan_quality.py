@@ -87,6 +87,7 @@ _NONEQUI_OK = {
     "dedup_graph_triangles",         # three 1-row count frames crossJoined
     "corpus_curation_funnel",        # 1-row corpus-total frame
     "similarity_pq_recall",          # brute-force L2 truth side (≤40-query broadcast)
+    "similarity_binary_sign_quant",  # Hamming scan + brute-force cosine truth (≤40-query broadcast)
     "dedup_content_chunks",          # two 1-row stats frames crossJoined
     "dedup_cdc_incremental",         # three 1-row stats frames crossJoined
     "similarity_ivfpq_topk",         # corpus x 16-centroid coarse assignment
