@@ -890,30 +890,37 @@ WHERE bit_count(CAST(xor(sig_a, sig_b) AS BIGINT)) <= {_SIMHASH_HAMMING_MAX}
 
 
 def _simhash_signatures(docs: DataFrame, n_bits: int) -> DataFrame:
-    """Vote-packed simhash of the given width over the 60-bit token hash."""
+    """Vote-packed simhash of the given width over the 60-bit token hash.
+
+    One aggregate with n_bits set-bit-count columns instead of an
+    explode over (token × bit) rows: the explode form multiplied token
+    rows by n_bits (measured 6.8 s of dedup_simhash_pairs' 8.1 s at
+    the 10x twin just building signatures); this form keeps the token
+    frame at its natural size, shuffles once on doc_id, and packs the
+    majority votes in a single projection. The vote law is unchanged
+    (vote_j > 0  ⟺  2·set_count_j > n_tokens), so signatures are
+    bit-identical to the oracle's explode formulation.
+    """
     docs = spread(docs)
     tokens = docs.select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
     )
     hashed = tokens.select("doc_id", hash60("token").alias("h"))
-    bits = hashed.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("j"),
-        "h",
+    counts = hashed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(F.expr(f"shiftright(h, {j}) & 1")).alias(f"_c{j}")
+            for j in range(n_bits)
+        ],
     )
-    votes = bits.groupBy("doc_id", "j").agg(
-        F.sum(
-            F.when(F.expr("shiftright(h, j) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
-        ).alias("vote")
-    )
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("vote") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(
-                F.lit(0)
-            )
-        ).alias("simhash")
-    )
+    packed = None
+    for j in range(n_bits):
+        bit = F.when(
+            F.col(f"_c{j}") * 2 > F.col("_n"), F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        packed = bit if packed is None else packed + bit
+    return counts.select("doc_id", packed.alias("simhash"))
 
 
 def _simhash_band_candidates(docs: DataFrame, band_bits: int) -> DataFrame:

@@ -30,7 +30,17 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
-    spark = SparkSession.builder.master("local[16]").getOrCreate()
+    builder = SparkSession.builder.master("local[16]")
+    # Driver-gate parity wants a vanilla session (no engine defaults),
+    # but 10x-receipt runs of the heavy dedup pair queries need more
+    # than the 1g default driver heap (26M+ candidate pairs at
+    # /tmp/dml-scale10x OOM it — measured round 7, old and new
+    # signature forms alike). Opt-in only, so the default sf0.01 run
+    # stays bit-for-bit the driver's environment.
+    mem = os.environ.get("SWEEP_DRIVER_MEMORY")
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     from deathmetal_datalake_spark.plans import ORACLES, QUERIES
