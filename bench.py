@@ -144,6 +144,13 @@ BENCH_QUERIES = [
     "multimodal_phash_neardup",
     "corpus_dsir_importance",
     "similarity_filtered_ann",
+    # round 7: char-level winnowing (the suite's heaviest per-byte text
+    # probe: one gram per character through a window min), 1-bit
+    # quantized retrieval with its brute-force recall audit, and the
+    # Markov transition rollup (lag window + bounded aggregate)
+    "text_winnowing_fingerprint",
+    "similarity_binary_sign_quant",
+    "events_type_transition_matrix",
     # NOT here: catalog_bloom_point_lookup — its runtime is ~80%
     # deliberate 7-write table construction + opt-in bloom harvest
     # (write-side costs the catalog family already represents via
@@ -190,6 +197,7 @@ _HASH_DRAIN = {
     "catalog_changes_cdc",
     "catalog_bucket_colocated_join",
     "text_unigram_logfreq_score",
+    "text_winnowing_fingerprint",
 }
 
 

@@ -1724,7 +1724,9 @@ GROUP BY doc_id
 
 @register("text_hashed_linear_quality_score", oracle=_HLQ_SQL)
 def text_hashed_linear_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # spread(): the token hashing runs pre-shuffle, so it would
+    # otherwise be capped at documents' 1-2 scan tasks.
+    docs = spread(load_table(spark, sf_dir, "documents"))
     tok = docs.select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
@@ -1788,32 +1790,45 @@ GROUP BY doc_id
 
 @register("text_winnowing_fingerprint", oracle=_WINNOW_SQL)
 def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.length("text") >= _WINNOW_K
+    # Entirely expression-level (the CDC-chunker idiom): per-doc gram
+    # hashes as ONE array column, window minima via slice() inside a
+    # transform, distinct count inline — no explode, no window sort.
+    # The first cut exploded one row per character and put 50M rows
+    # through a doc-partitioned window at the 10x twin (34 s, the
+    # suite's worst — a shuffle+sort whose input is recomputable
+    # per-row); this form is map-only until nothing (zero shuffles),
+    # at the cost of O(w) slice work per gram, w = 4.
+    # spread(): documents scans as 1-2 parquet splits — without the
+    # repartition the per-gram hashing runs at scan-task parallelism
+    # (measured 37 s vs 4.4 s at the 10x twin on local[32]).
+    docs = spread(
+        load_table(spark, sf_dir, "documents").filter(
+            F.length("text") >= _WINNOW_K
+        )
     )
-    grams = docs.select(
+    m = F.length("text") - _WINNOW_K + 1  # gram count
+    hs = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda p: F.conv(
+            F.substring(F.md5(F.col("text").substr(p, F.lit(_WINNOW_K))), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+    )
+    with_hashes = docs.select("doc_id", m.alias("n_grams"), hs.alias("hs"))
+    wmins = F.when(
+        F.col("n_grams") >= _WINNOW_W,
+        F.transform(
+            F.sequence(F.lit(_WINNOW_W), F.col("n_grams")),
+            lambda p: F.array_min(
+                F.slice(F.col("hs"), p - (_WINNOW_W - 1), _WINNOW_W)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    out = with_hashes.select(
         "doc_id",
-        F.explode(
-            F.sequence(F.lit(1), F.length("text") - _WINNOW_K + 1)
-        ).alias("pos"),
-        "text",
-    ).select(
-        "doc_id",
-        "pos",
-        hash60(F.expr(f"substring(text, pos, {_WINNOW_K})")).alias("h"),
-    )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(-(_WINNOW_W - 1), 0)
-    )
-    winmin = grams.withColumn("wmin", F.min("h").over(w))
-    sel = F.when(F.col("pos") >= _WINNOW_W, F.col("wmin"))
-    out = winmin.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_grams"),
-        F.countDistinct(sel).cast("long").alias("n_fingerprints"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.size(F.array_distinct(wmins)).cast("long").alias("n_fingerprints"),
     )
     return out.select(
         "doc_id",
