@@ -40,6 +40,10 @@ del _rev_q, _rev_o
 # promoted to the head explicitly — the driver's prefix sample then
 # always covers the newest, least-battle-tested surface first.
 _NEWEST_FIRST = [
+    # round 7 (session 2)
+    "dedup_simhash_wide_pairs",
+    "corpus_heaps_vocab_growth",
+    "text_zipf_rank_frequency",
     # round 7
     "events_type_transition_matrix",
     "events_top_session_paths",

@@ -2552,3 +2552,150 @@ def dedup_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_new_unique_chunks", "bytes_delta", "bytes_new", "ingest_savings",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wide-band SimHash pairs — the documented escape hatch beyond the
+# 15-bit band cap (NEXT.md r7 #1): a 120-bit signature from two salted
+# 60-bit token hashes, packed into TWO BIGINT words, banded 4 × 30
+# bits. With 2^30 buckets per band the banding stays unsaturated to
+# ~10^9 docs per shuffle partition-space — band collisions are true
+# near-identicals (Hamming ≤ 3 over 120 bits by the pigeonhole rule),
+# so no anchor cap is needed where the 60-bit variant's 15-bit bands
+# degenerate on >32k-doc near-dup neighborhoods (SCALING.md Round 7
+# §3). Costs 2× the signature arithmetic of dedup_simhash_pairs and
+# nothing else.
+# ---------------------------------------------------------------------------
+
+_SIMHASH2_BITS = 120
+_SIMHASH2_BAND_BITS = 30
+_SIMHASH2_SALT = "#w2"
+
+_SIMHASH2_PAIRS_SQL = rf"""
+WITH tok AS (
+    SELECT doc_id, UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS token
+    FROM documents
+),
+hashed AS (
+    SELECT doc_id, {sql_hash60('token')} AS h1,
+           {sql_hash60("token || '" + _SIMHASH2_SALT + "'")} AS h2
+    FROM tok
+),
+bits AS (
+    SELECT doc_id, g.j,
+           SUM(CASE WHEN (CASE WHEN g.j < 60 THEN (h1 >> g.j) & 1
+                          ELSE (h2 >> (g.j - 60)) & 1 END) = 1
+                    THEN 1 ELSE -1 END) AS vote
+    FROM hashed, (SELECT UNNEST(range({_SIMHASH2_BITS})) AS j) g
+    GROUP BY doc_id, g.j
+),
+sig AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN vote > 0 AND j < 60
+                         THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS w0,
+           CAST(SUM(CASE WHEN vote > 0 AND j >= 60
+                         THEN (CAST(1 AS BIGINT) << (j - 60)) ELSE 0 END) AS BIGINT) AS w1
+    FROM bits GROUP BY doc_id
+),
+bands AS (
+    SELECT doc_id, w0, w1, g.k,
+           CASE WHEN g.k < 2
+                THEN (w0 >> ({_SIMHASH2_BAND_BITS} * g.k)) & {2**_SIMHASH2_BAND_BITS - 1}
+                ELSE (w1 >> ({_SIMHASH2_BAND_BITS} * (g.k - 2))) & {2**_SIMHASH2_BAND_BITS - 1}
+           END AS bucket
+    FROM sig, (SELECT UNNEST(range(4)) AS k) g
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.w0 AS a0, a.w1 AS a1, b.w0 AS b0, b.w1 AS b1
+    FROM bands a JOIN bands b
+      ON a.k = b.k AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(CAST(xor(a0, b0) AS BIGINT))
+            + bit_count(CAST(xor(a1, b1) AS BIGINT)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(CAST(xor(a0, b0) AS BIGINT))
+      + bit_count(CAST(xor(a1, b1) AS BIGINT)) <= {_SIMHASH_HAMMING_MAX}
+"""
+
+
+@register("dedup_simhash_wide_pairs", oracle=_SIMHASH2_PAIRS_SQL)
+def dedup_simhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tokens = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+    )
+    hashed = tokens.select(
+        "doc_id",
+        hash60("token").alias("h1"),
+        hash60(F.concat(F.col("token"), F.lit(_SIMHASH2_SALT))).alias("h2"),
+    )
+    # Same agg-form build as _simhash_signatures: 120 set-bit counters
+    # in one aggregate, no (token x bit) explode.
+    counts = hashed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(F.expr(f"shiftright(h1, {j}) & 1")).alias(f"_c{j}")
+            for j in range(60)
+        ],
+        *[
+            F.sum(F.expr(f"shiftright(h2, {j - 60}) & 1")).alias(f"_c{j}")
+            for j in range(60, 120)
+        ],
+    )
+    w0 = None
+    w1 = None
+    for j in range(60):
+        bit = F.when(
+            F.col(f"_c{j}") * 2 > F.col("_n"), F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        w0 = bit if w0 is None else w0 + bit
+    for j in range(60, 120):
+        bit = F.when(
+            F.col(f"_c{j}") * 2 > F.col("_n"), F.lit(1 << (j - 60)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        w1 = bit if w1 is None else w1 + bit
+    sig = counts.select("doc_id", w0.alias("w0"), w1.alias("w1"))
+    mask = 2**_SIMHASH2_BAND_BITS - 1
+    bands = sig.select(
+        "doc_id",
+        "w0",
+        "w1",
+        F.explode(F.array(*[F.lit(k) for k in range(4)])).alias("k"),
+    ).withColumn(
+        "bucket",
+        F.when(
+            F.col("k") < 2,
+            F.expr(f"shiftright(w0, {_SIMHASH2_BAND_BITS} * k)"),
+        )
+        .otherwise(F.expr(f"shiftright(w1, {_SIMHASH2_BAND_BITS} * (k - 2))"))
+        .bitwiseAND(F.lit(mask)),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.w0").alias("a0"),
+            F.col("a.w1").alias("a1"),
+            F.col("b.w0").alias("b0"),
+            F.col("b.w1").alias("b1"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = (
+        F.bit_count(F.expr("a0 ^ b0")) + F.bit_count(F.expr("a1 ^ b1"))
+    ).cast("long")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= _SIMHASH_HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1838,3 +1838,174 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_fingerprints").cast("double") / F.col("n_grams"), 6
         ).alias("density"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary growth — the corpus-composition audit behind
+# "is more data still adding vocabulary?": cumulative distinct types
+# vs cumulative tokens at ten document checkpoints (docs ordered by
+# doc_id). Computed without re-scanning per checkpoint: each type
+# contributes from its FIRST occurrence rank, each doc's token count
+# from its own rank, so both cumulatives are one aggregate joined to a
+# 10-row checkpoint frame. The doc-rank window is a single-partition
+# exchange over one row per DOCUMENT (not per token) — at 100 TB you'd
+# derive the rank from the id's zone map instead; the token-side work
+# stays fully distributed.
+# ---------------------------------------------------------------------------
+
+_HEAPS_CHECKPOINTS = 10
+
+_HEAPS_SQL = rf"""
+WITH ranks AS (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS r,
+           COUNT(*) OVER () AS n_docs
+    FROM documents
+),
+tok AS (
+    SELECT doc_id, UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS token
+    FROM documents
+),
+tokr AS (
+    SELECT t.token, k.r FROM tok t JOIN ranks k USING (doc_id)
+),
+first_seen AS (
+    SELECT token, MIN(r) AS first_r FROM tokr GROUP BY token
+),
+doc_tokens AS (
+    SELECT r, COUNT(*) AS n_tok FROM tokr GROUP BY r
+),
+cps AS (
+    SELECT g.d, (SELECT MAX(n_docs) FROM ranks) * g.d // {_HEAPS_CHECKPOINTS} AS cp
+    FROM (SELECT UNNEST(range(1, {_HEAPS_CHECKPOINTS} + 1)) AS d) g
+)
+SELECT CAST(c.d AS BIGINT) AS checkpoint,
+       CAST(c.cp AS BIGINT) AS n_docs,
+       CAST((SELECT SUM(n_tok) FROM doc_tokens WHERE r <= c.cp) AS BIGINT)
+           AS n_tokens_cum,
+       CAST((SELECT COUNT(*) FROM first_seen WHERE first_r <= c.cp) AS BIGINT)
+           AS n_types_cum,
+       ROUND(CAST((SELECT COUNT(*) FROM first_seen WHERE first_r <= c.cp) AS DOUBLE)
+             / (SELECT SUM(n_tok) FROM doc_tokens WHERE r <= c.cp), 6)
+           AS type_token_ratio
+FROM cps c
+ORDER BY checkpoint
+"""
+
+
+@register("corpus_heaps_vocab_growth", oracle=_HEAPS_SQL)
+def corpus_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id")
+    ranks = docs.select("doc_id").withColumn("r", F.row_number().over(w))
+    n_docs = docs.count()  # one scalar action; mirrors the oracle's MAX(n_docs)
+    tokr = (
+        spread(docs)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+        )
+        .join(broadcast(ranks), "doc_id")
+    )
+    first_seen = tokr.groupBy("token").agg(F.min("r").alias("first_r"))
+    doc_tokens = tokr.groupBy("r").agg(F.count(F.lit(1)).alias("n_tok"))
+    cps = spark.range(1, _HEAPS_CHECKPOINTS + 1).select(
+        F.col("id").alias("d"),
+        (F.lit(n_docs) * F.col("id") / _HEAPS_CHECKPOINTS)
+        .cast("long")
+        .alias("cp"),
+    )
+    types_cum = (
+        first_seen.crossJoin(broadcast(cps))
+        .filter(F.col("first_r") <= F.col("cp"))
+        .groupBy("d", "cp")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_types_cum"))
+    )
+    tokens_cum = (
+        doc_tokens.crossJoin(broadcast(cps))
+        .filter(F.col("r") <= F.col("cp"))
+        .groupBy("d", "cp")
+        .agg(F.sum("n_tok").cast("long").alias("n_tokens_cum"))
+    )
+    return (
+        types_cum.join(tokens_cum, ["d", "cp"])
+        .select(
+            F.col("d").cast("long").alias("checkpoint"),
+            F.col("cp").cast("long").alias("n_docs"),
+            "n_tokens_cum",
+            "n_types_cum",
+            F.round(
+                F.col("n_types_cum").cast("double") / F.col("n_tokens_cum"), 6
+            ).alias("type_token_ratio"),
+        )
+        .orderBy("checkpoint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency audit — the distributional sanity check on a
+# corpus's token frequencies (a synthetic or template-heavy corpus
+# shows a broken rank-frequency curve): types ranked by count, rolled
+# into floor(log2 rank) buckets with exact integer stats. floor-log2
+# via the bit-length trick (LENGTH(bin(r)) - 1 ≡ r.bit_length() - 1),
+# the same engine-portable form as text_unigram_logfreq_score — ln()
+# remains banned (not correctly rounded across engines). Vocabulary is
+# corpus-sublinear, so the global rank window is over the TYPE frame,
+# not the corpus.
+# ---------------------------------------------------------------------------
+
+_ZIPF_SQL = rf"""
+WITH tok AS (
+    SELECT UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS token
+    FROM documents
+),
+counts AS (
+    SELECT token, COUNT(*) AS c FROM tok GROUP BY token
+),
+ranked AS (
+    SELECT token, c,
+           ROW_NUMBER() OVER (ORDER BY c DESC, token ASC) AS rnk
+    FROM counts
+)
+SELECT CAST(LENGTH(bin(rnk)) - 1 AS BIGINT) AS log2_rank_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(MAX(c) AS BIGINT) AS c_max,
+       CAST(MIN(c) AS BIGINT) AS c_min,
+       CAST(SUM(c) AS BIGINT) AS total_count,
+       ROUND(CAST(SUM(c) AS DOUBLE) / COUNT(*), 6) AS mean_count
+FROM ranked
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("text_zipf_rank_frequency", oracle=_ZIPF_SQL)
+def text_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    counts = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("token"))
+    ranked = counts.withColumn("rnk", F.row_number().over(w))
+    bucket = (F.length(F.bin(F.col("rnk"))) - 1).cast("long")
+    return (
+        ranked.groupBy(bucket.alias("log2_rank_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.max("c").cast("long").alias("c_max"),
+            F.min("c").cast("long").alias("c_min"),
+            F.sum("c").cast("long").alias("total_count"),
+            F.round(F.sum("c").cast("double") / F.count(F.lit(1)), 6).alias(
+                "mean_count"
+            ),
+        )
+        .orderBy("log2_rank_bucket")
+    )

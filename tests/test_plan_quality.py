@@ -88,6 +88,7 @@ _NONEQUI_OK = {
     "corpus_curation_funnel",        # 1-row corpus-total frame
     "similarity_pq_recall",          # brute-force L2 truth side (≤40-query broadcast)
     "similarity_binary_sign_quant",  # Hamming scan + brute-force cosine truth (≤40-query broadcast)
+    "corpus_heaps_vocab_growth",     # 10-row checkpoint frame crossJoined (bounded)
     "dedup_content_chunks",          # two 1-row stats frames crossJoined
     "dedup_cdc_incremental",         # three 1-row stats frames crossJoined
     "similarity_ivfpq_topk",         # corpus x 16-centroid coarse assignment
