@@ -1441,3 +1441,46 @@ def streaming_bitmap_distinct_replay(spark: SparkSession, sf_dir: str) -> DataFr
     return tbl.groupBy("day", "event_type").agg(
         F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# Transition matrix, streamed — the 24th replay, and the one IVM split
+# not yet demonstrated: a custom ORDER-SENSITIVE stateful stage
+# (last-event-type per user, in-batch sort, cross-batch state carry —
+# the as-of operator's delivery contract) emitting append-only COUNT
+# INCREMENTS, rolled up to the matrix as a batch transform over the
+# drained sink. Increments are mergeable, so exactly-once of the sink
+# (file sink + checkpoint) makes the rollup exact however the slices
+# are batched. Oracle: the batch transition law verbatim.
+# ---------------------------------------------------------------------------
+
+from deathmetal_datalake_spark.plans.events import _TRANSITION_SQL
+
+
+@register("streaming_transition_matrix_replay", oracle=_TRANSITION_SQL)
+def streaming_transition_matrix_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from deathmetal_datalake_spark.streaming.stateful import (
+        type_transition_increments,
+    )
+
+    from pyspark.sql import Window
+
+    stream, scratch = _replay_events_stream_ts_ordered(spark, sf_dir)
+    incs = type_transition_increments(stream)
+    sink = _drain(incs, scratch, "append")
+    trans = sink.groupBy("prev_type", "next_type").agg(
+        F.sum("n_inc").cast("long").alias("n_trans")
+    )
+    w_prev = Window.partitionBy("prev_type")
+    out = trans.select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        F.round(
+            F.col("n_trans").cast("double") / F.sum("n_trans").over(w_prev), 6
+        ).alias("share"),
+    ).orderBy("prev_type", "next_type")
+    rows = out.collect()
+    return spark.createDataFrame(rows, schema=out.schema)

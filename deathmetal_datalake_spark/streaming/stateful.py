@@ -32,6 +32,7 @@ from pyspark.sql.types import (
     BooleanType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampNTZType,
@@ -426,5 +427,82 @@ def running_user_ewma(events: DataFrame) -> DataFrame:
         outputStructType=EWMA_OUTPUT_SCHEMA,
         stateStructType=EWMA_STATE_SCHEMA,
         outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-type TRANSITION counting — the streaming form of the Markov
+# transition matrix (plans/events.events_type_transition_matrix). Like
+# the as-of operator this is order-SENSITIVE: the transition (prev →
+# next) depends on per-user event order, so the state is the user's
+# LAST event type and each batch is sorted in-batch before pairing —
+# correct under the landing pipeline's event-time-ordered delivery
+# contract (the ts-ordered slice replay). The operator emits per-batch
+# (prev, next) COUNT INCREMENTS, not totals — increments are
+# append-only and mergeable, so the downstream rollup is a plain sum
+# (the IVM split: stateful pairing in the stream, rollup as a batch
+# transform over the sink).
+# ---------------------------------------------------------------------------
+
+TRANSITIONS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("prev_type", StringType(), False),
+        StructField("next_type", StringType(), False),
+        StructField("n_inc", LongType(), False),
+    ]
+)
+
+
+def _transition_update(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    from collections import Counter
+
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    if rows.empty:
+        yield pd.DataFrame(
+            {"user_id": [], "prev_type": [], "next_type": [], "n_inc": []}
+        ).astype(
+            {"user_id": "int64", "prev_type": "object",
+             "next_type": "object", "n_inc": "int64"}
+        )
+        return
+    rows = rows.sort_values(["micros", "event_id"])
+    types = rows["event_type"].tolist()
+    seq = ([state.get[0]] if state.exists else []) + types
+    state.update((types[-1],))
+    counts = Counter(zip(seq, seq[1:]))
+    yield pd.DataFrame(
+        {
+            "user_id": [int(key[0])] * len(counts),
+            "prev_type": [a for (a, _b) in counts],
+            "next_type": [b for (_a, b) in counts],
+            "n_inc": [int(n) for n in counts.values()],
+        }
+    )
+
+
+def type_transition_increments(events: DataFrame) -> DataFrame:
+    """Streaming events → per-batch (prev_type, next_type) increments.
+
+    Requires event-time-ordered batch delivery across batches (rows
+    within a batch may arrive unsorted; the operator sorts in-batch by
+    (ts, event_id) at full microsecond precision).
+    """
+    ev = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("micros"),
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _transition_update,
+        outputStructType=TRANSITIONS_SCHEMA,
+        stateStructType="last_type string",
+        outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

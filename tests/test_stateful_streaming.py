@@ -255,3 +255,65 @@ def test_streaming_asof_survives_multi_chunk_batches(spark, tmp_path):
         assert got == want and len(got) > 0
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_transition_increments_carry_state_across_batches(spark, tmp_path):
+    # Order-sensitive operator: two ts-ordered micro-batches whose rows
+    # arrive UNSORTED inside each batch; the cross-batch transition
+    # (batch 1's last event -> batch 2's first) must come from state.
+    from deathmetal_datalake_spark.streaming.stateful import (
+        type_transition_increments,
+    )
+
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    # user 1: click(t1) view(t2) | purchase(t3); user 2: view(t1) | view(t4)
+    batches = [
+        [  # batch 0, deliberately out of in-batch order
+            (2, "2024-01-01 00:02:00", 1, "view", 0.0, "{}"),
+            (1, "2024-01-01 00:01:00", 1, "click", 0.0, "{}"),
+            (3, "2024-01-01 00:01:30", 2, "view", 0.0, "{}"),
+        ],
+        [
+            (4, "2024-01-01 00:03:00", 1, "purchase", 0.0, "{}"),
+            (5, "2024-01-01 00:04:00", 2, "view", 0.0, "{}"),
+        ],
+    ]
+    import json as _json
+
+    for i, rows in enumerate(batches):
+        with open(drops / f"d{i}.json", "w") as f:
+            for e, ts, u, t, v, p in rows:
+                f.write(
+                    _json.dumps(
+                        {"event_id": e, "ts": ts, "user_id": u,
+                         "event_type": t, "value": v, "props": p}
+                    )
+                    + "\n"
+                )
+    from deathmetal_datalake_spark.streaming.windows import EVENT_SCHEMA
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(drops))
+    )
+    q = (
+        type_transition_increments(stream)
+        .writeStream.format("memory")
+        .queryName("transition_incs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_trans"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["prev_type"], r["next_type"]): r["n_inc"]
+        for r in spark.table("transition_incs").collect()
+    }
+    assert got == {
+        (1, "click", "view"): 1,       # in-batch, needed the sort
+        (1, "view", "purchase"): 1,    # cross-batch, needed the state
+        (2, "view", "view"): 1,        # cross-batch for user 2
+    }
