@@ -41,6 +41,9 @@ del _rev_q, _rev_o
 # always covers the newest, least-battle-tested surface first.
 _NEWEST_FIRST = [
     # round 7 (session 2)
+    "dq_referential_integrity",
+    "dq_distribution_drift_orders",
+    "corpus_token_budget_fill",
     "streaming_transition_matrix_replay",
     "dedup_simhash_wide_pairs",
     "corpus_heaps_vocab_growth",

@@ -297,3 +297,145 @@ def dq_k_anonymity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         risk.cast("long").alias("n_rows_at_risk"),
         F.round(risk.cast("double") / F.sum("sz"), 6).alias("at_risk_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit — orphan foreign keys across the star
+# schema (the DQ gate before any join-based mart is trusted): child
+# rows whose FK has no parent, per declared relationship. Each check
+# is one LEFT ANTI join on the key — the exact shape the gate costs at
+# 100 TB (broadcast for small parents, shuffle otherwise, chosen by
+# AQE) — folded to a bounded per-relationship summary.
+# ---------------------------------------------------------------------------
+
+_RI_SQL = """
+SELECT 'orders.o_custkey -> customer' AS relationship,
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_child_rows,
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+           AS n_orphans
+UNION ALL
+SELECT 'lineitem.l_orderkey -> orders',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))
+UNION ALL
+SELECT 'lineitem.l_partkey -> part',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM part p
+                          WHERE p.p_partkey = l.l_partkey))
+UNION ALL
+SELECT 'lineitem.l_suppkey -> supplier',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                          WHERE s.s_suppkey = l.l_suppkey))
+ORDER BY relationship
+"""
+
+
+@register("dq_referential_integrity", oracle=_RI_SQL)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    checks = [
+        ("orders.o_custkey -> customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey -> part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey -> supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ]
+    out = None
+    for name, child, fk, parent, pk in checks:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(F.col(pk).alias(fk))
+        orphans = c.select(fk).join(p, fk, "left_anti")
+        row = c.agg(F.count(F.lit(1)).cast("long").alias("n_child_rows")).crossJoin(
+            orphans.agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+        ).select(F.lit(name).alias("relationship"), "n_child_rows", "n_orphans")
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("relationship")
+
+
+# ---------------------------------------------------------------------------
+# Distribution-drift audit (total-variation distance) — the monitoring
+# check between a reference window and the current one, on fixed price
+# bins so shares are exact count ratios. TV = Σ|p_ref − p_cur|/2 needs
+# no logarithms (PSI's ln() is not correctly rounded across engines —
+# the repo-wide transcendental ban), and fixed bins mean the whole
+# audit is two bounded aggregates however large the windows are.
+# ---------------------------------------------------------------------------
+
+_DRIFT_CUTOFF = "1998-01-01 00:00:00"
+_DRIFT_BIN = 50_000  # o_totalprice in [1k, 500k): 10 fixed bins
+
+_DRIFT_SQL = f"""
+WITH binned AS (
+    SELECT CAST(FLOOR(o_totalprice / {_DRIFT_BIN}) AS BIGINT) AS bin,
+           CASE WHEN o_orderdate < TIMESTAMP '{_DRIFT_CUTOFF}' THEN 0 ELSE 1 END AS era
+    FROM orders
+),
+tot AS (
+    SELECT CAST(SUM(CASE WHEN era = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+           CAST(SUM(CASE WHEN era = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+    FROM binned
+)
+SELECT b.bin,
+       CAST(SUM(CASE WHEN era = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref_bin,
+       CAST(SUM(CASE WHEN era = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur_bin,
+       ROUND(CAST(SUM(CASE WHEN era = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / MAX(t.n_ref), 6) AS share_ref,
+       ROUND(CAST(SUM(CASE WHEN era = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / MAX(t.n_cur), 6) AS share_cur,
+       ROUND(ABS(CAST(SUM(CASE WHEN era = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / MAX(t.n_ref)
+                 - CAST(SUM(CASE WHEN era = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / MAX(t.n_cur)), 6) AS abs_share_diff
+FROM binned b CROSS JOIN tot t
+GROUP BY b.bin
+ORDER BY b.bin
+"""
+
+
+@register("dq_distribution_drift_orders", oracle=_DRIFT_SQL)
+def dq_distribution_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    orders = load_table(spark, sf_dir, "orders")
+    binned = orders.select(
+        F.floor(F.col("o_totalprice") / _DRIFT_BIN).cast("long").alias("bin"),
+        F.when(
+            F.col("o_orderdate") < F.expr(f"TIMESTAMP_NTZ '{_DRIFT_CUTOFF}'"), 0
+        )
+        .otherwise(1)
+        .alias("era"),
+    )
+    tot = binned.agg(
+        F.sum(F.when(F.col("era") == 0, 1).otherwise(0)).cast("long").alias("n_ref"),
+        F.sum(F.when(F.col("era") == 1, 1).otherwise(0)).cast("long").alias("n_cur"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("era") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_ref_bin"),
+        F.sum(F.when(F.col("era") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_cur_bin"),
+    )
+    share_ref = F.col("n_ref_bin").cast("double") / F.col("n_ref")
+    share_cur = F.col("n_cur_bin").cast("double") / F.col("n_cur")
+    return (
+        per_bin.crossJoin(broadcast(tot))
+        .select(
+            "bin",
+            "n_ref_bin",
+            "n_cur_bin",
+            F.round(share_ref, 6).alias("share_ref"),
+            F.round(share_cur, 6).alias("share_cur"),
+            F.round(F.abs(share_ref - share_cur), 6).alias("abs_share_diff"),
+        )
+        .orderBy("bin")
+    )

@@ -39,6 +39,7 @@ from deathmetal_datalake_spark.plans.registry import (
     hash60,
     register,
     session_cache,
+    spread,
     sql_hash60,
 )
 from deathmetal_datalake_spark.sources.tables import load_table
@@ -1101,4 +1102,93 @@ def corpus_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFram
             / F.nullif(F.sum("kept"), F.lit(0)),
             6,
         ).alias("mean_score_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget fill — the deterministic "take the best documents until
+# the budget is spent" selection every pretraining data build runs
+# (the greedy counterpart of corpus_quality_weighted_sample's
+# probabilistic draw): docs ranked by a quality key (stopword ratio
+# ascending — cleaner docs first — with doc_id tie-break), cumulative
+# token prefix-sum, keep while the RUNNING total fits the budget
+# (whole docs; first overflowing doc is excluded, scan continues — the
+# standard best-fit-greedy simplification). Budget = 50% of corpus
+# tokens, so the query is scale-free. One global ordering over the
+# per-doc stats frame (one row per doc, not per token); at 100 TB the
+# same selection runs per-shard with per-shard budgets.
+# ---------------------------------------------------------------------------
+
+from deathmetal_datalake_spark.plans.text import (  # noqa: E402
+    _STOP_SQL as _STOP_LIST_SQL,
+    _STOPWORDS as _STOP_LIST,
+)
+
+_BUDGET_PCT_NUM, _BUDGET_PCT_DEN = 1, 2  # keep 50% of corpus tokens
+
+_BUDGET_SQL = rf"""
+WITH stats AS (
+    SELECT doc_id,
+           LENGTH(string_split_regex(LOWER(TRIM(text)), '\s+')) AS n_tokens,
+           LENGTH(list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+                              t -> list_contains({_STOP_LIST_SQL}, t))) AS n_stop
+    FROM documents
+),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS corpus_tokens FROM stats),
+ranked AS (
+    SELECT s.*, t.corpus_tokens,
+           t.corpus_tokens * {_BUDGET_PCT_NUM} // {_BUDGET_PCT_DEN} AS budget,
+           SUM(s.n_tokens) OVER (
+               ORDER BY CAST(s.n_stop AS DOUBLE) / s.n_tokens ASC, s.doc_id ASC
+               ROWS UNBOUNDED PRECEDING
+           ) AS cum_tokens
+    FROM stats s CROSS JOIN tot t
+),
+kept AS (SELECT * FROM ranked WHERE cum_tokens <= budget)
+SELECT CAST(MAX(budget) AS BIGINT) AS budget_tokens,
+       CAST(MAX(corpus_tokens) AS BIGINT) AS corpus_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_kept,
+       CAST(MAX(cum_tokens) AS BIGINT) AS last_cum,
+       ROUND(CAST(SUM(n_tokens) AS DOUBLE) / MAX(budget), 6) AS budget_utilization
+FROM kept
+"""
+
+
+@register("corpus_token_budget_fill", oracle=_BUDGET_SQL)
+def corpus_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    stats = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: t.isin(*_STOP_LIST))).alias("n_stop"),
+    )
+    tot = stats.agg(F.sum("n_tokens").cast("long").alias("corpus_tokens"))
+    w = Window.orderBy(
+        (F.col("n_stop").cast("double") / F.col("n_tokens")).asc(),
+        F.col("doc_id").asc(),
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    ranked = (
+        stats.crossJoin(broadcast(tot))
+        .withColumn(
+            "budget",
+            (F.col("corpus_tokens") * _BUDGET_PCT_NUM / _BUDGET_PCT_DEN).cast(
+                "long"
+            ),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    )
+    kept = ranked.filter(F.col("cum_tokens") <= F.col("budget"))
+    return kept.agg(
+        F.max("budget").cast("long").alias("budget_tokens"),
+        F.max("corpus_tokens").cast("long").alias("corpus_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
+        F.sum("n_tokens").cast("long").alias("n_tokens_kept"),
+        F.max("cum_tokens").cast("long").alias("last_cum"),
+        F.round(
+            F.sum("n_tokens").cast("double") / F.max("budget"), 6
+        ).alias("budget_utilization"),
     )

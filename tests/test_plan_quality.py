@@ -89,6 +89,9 @@ _NONEQUI_OK = {
     "similarity_pq_recall",          # brute-force L2 truth side (≤40-query broadcast)
     "similarity_binary_sign_quant",  # Hamming scan + brute-force cosine truth (≤40-query broadcast)
     "corpus_heaps_vocab_growth",     # 10-row checkpoint frame crossJoined (bounded)
+    "corpus_token_budget_fill",      # 1-row corpus-total frame crossJoined
+    "dq_distribution_drift_orders",  # 1-row era-totals frame crossJoined
+    "dq_referential_integrity",      # per-relationship 1-row count frames crossJoined
     "dedup_content_chunks",          # two 1-row stats frames crossJoined
     "dedup_cdc_incremental",         # three 1-row stats frames crossJoined
     "similarity_ivfpq_topk",         # corpus x 16-centroid coarse assignment
