@@ -281,8 +281,13 @@ def test_transition_increments_carry_state_across_batches(spark, tmp_path):
     ]
     import json as _json
 
+    import os as _os
+    import time as _time
+
+    now = _time.time()
     for i, rows in enumerate(batches):
-        with open(drops / f"d{i}.json", "w") as f:
+        path = drops / f"d{i}.json"
+        with open(path, "w") as f:
             for e, ts, u, t, v, p in rows:
                 f.write(
                     _json.dumps(
@@ -291,6 +296,11 @@ def test_transition_increments_carry_state_across_batches(spark, tmp_path):
                     )
                     + "\n"
                 )
+        # The operator's contract is event-time-ordered batch delivery
+        # (strictly increasing file mtimes, like the slice replay's
+        # sequential write jobs); two quick writes can tie at the file
+        # source's ms resolution, so pin the order explicitly.
+        _os.utime(path, (now + i, now + i))
     from deathmetal_datalake_spark.streaming.windows import EVENT_SCHEMA
 
     stream = (
