@@ -488,8 +488,10 @@ _AVRO_MANIFEST_FILE_SCHEMA = json.dumps(
 
 def _spec_result_type(sf: dict, schema: dict) -> Optional[str]:
     """Iceberg result type of a partition-spec field (what its
-    field_summary bounds encode as): bucket/year/month/day -> int,
-    identity -> the source column's primitive type."""
+    field_summary bounds encode as): bucket/year/month/day -> int
+    (day's spec type is `date`, whose Appendix-D encoding is the same
+    4-byte LE days-since-epoch int), identity -> the source column's
+    primitive type."""
     t = sf["transform"]
     if t.startswith("bucket") or t in ("year", "month", "day"):
         return "int"
@@ -498,6 +500,33 @@ def _spec_result_type(sf: dict, schema: dict) -> Optional[str]:
     )
     ty = src.get("type") if src else None
     return ty if isinstance(ty, str) else None
+
+
+def _spec_partition_value(transform: str, raw):
+    """Dir-name partition render → Iceberg spec partition VALUE.
+
+    The table format renders date transforms as ISO prefixes in dir
+    names ("2024" / "2024-01" / "2024-01-05") but the spec encodes
+    their partition values as ints: years/months SINCE EPOCH, days as
+    the date ordinal. bucket/identity renders pass through. Round-7
+    find: without this conversion the avro export crashed on any
+    year/month/day-partitioned table (int("2024-01")) and summaries
+    silently omitted bounds — only bucket specs had test coverage."""
+    if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+        return raw
+    s = str(raw)
+    try:
+        if transform == "year":
+            return int(s) - 1970
+        if transform == "month":
+            y, m = s.split("-")
+            return (int(y) - 1970) * 12 + int(m) - 1
+        if transform == "day":
+            d = datetime.date.fromisoformat(s[:10])
+            return (d - datetime.date(1970, 1, 1)).days
+    except (ValueError, TypeError):
+        return raw
+    return raw
 
 
 def _partition_summaries(
@@ -511,7 +540,10 @@ def _partition_summaries(
         is_null = raw is None or raw == "__HIVE_DEFAULT_PARTITION__"
         b = None
         if not is_null:
-            b = _single_value_bytes(_spec_result_type(sf, schema), raw)
+            b = _single_value_bytes(
+                _spec_result_type(sf, schema),
+                _spec_partition_value(sf["transform"], raw),
+            )
         out.append(
             {
                 "contains_null": bool(is_null),
@@ -534,8 +566,11 @@ def _avro_partition_fields(
     out = []
     for sf in spec_fields:
         transform = sf["transform"]
-        if transform.startswith("bucket") or transform in ("year", "month", "day"):
-            avro_t: object = "int"
+        if transform == "day":
+            # Spec result type `date`: int days with the date logical.
+            avro_t: object = {"type": "int", "logicalType": "date"}
+        elif transform.startswith("bucket") or transform in ("year", "month"):
+            avro_t = "int"
         else:  # identity
             src = by_id.get(sf["source-id"], {})
             itype = src.get("type")
@@ -568,6 +603,8 @@ def _partition_java_value(avro_field: dict, raw):
     logical = t.get("logicalType") if isinstance(t, dict) else None
     base = t["type"] if isinstance(t, dict) else t
     if logical == "date":
+        if isinstance(raw, int):  # already spec-converted (day transform)
+            return raw
         d = datetime.date.fromisoformat(str(raw)[:10])
         return (d - datetime.date(1970, 1, 1)).days
     if base in ("int", "long"):
@@ -858,6 +895,10 @@ def export_iceberg_metadata(
         )
     last_partition_id = 1000 + len(spec_fields) - 1 if spec_fields else 999
 
+    # Dir-name partition renders → spec values per field (date
+    # transforms encode as ints; see _spec_partition_value).
+    _transform_by_name = {f["name"]: f["transform"] for f in spec_fields}
+
     # Avro-codec machinery: per-export entry schemas (the partition
     # struct is table-specific) and the field-id→type map that drives
     # binary single-value bound serialization.
@@ -928,9 +969,14 @@ def export_iceberg_metadata(
                             "content": 0,
                             "file_path": fpath,
                             "file_format": "PARQUET",
-                            "partition": dict(
-                                (s.dir_partitions or {}).get(d, {})
-                            ),
+                            "partition": {
+                                pn: _spec_partition_value(
+                                    _transform_by_name.get(pn, "identity"), pv
+                                )
+                                for pn, pv in (
+                                    (s.dir_partitions or {}).get(d, {})
+                                ).items()
+                            },
                             "record_count": rows,
                             "file_size_in_bytes": os.path.getsize(fpath)
                             if os.path.exists(fpath)

@@ -228,6 +228,11 @@ class ScanPlan:
 
 
 def _transform_value(transform: str, v):
+    """Predicate value → Iceberg SPEC partition value (the encoding
+    field_summaries and manifest partition structs carry): bucket →
+    the engine's 60-bit md5 bucket, year/month → ints since epoch,
+    day → the date ordinal (all ordered ints, so range pruning on date
+    transforms is plain integer comparison)."""
     import hashlib
 
     if transform == "identity":
@@ -239,24 +244,24 @@ def _transform_value(transform: str, v):
         if isinstance(v, str):
             v = datetime.date.fromisoformat(v[:10])
         if transform == "year":
-            return f"{v.year:04d}"
+            return v.year - 1970
         if transform == "month":
-            return f"{v.year:04d}-{v.month:02d}"
-        return f"{v.year:04d}-{v.month:02d}-{v.day:02d}"
+            return (v.year - 1970) * 12 + v.month - 1
+        return (
+            datetime.date(v.year, v.month, v.day) - datetime.date(1970, 1, 1)
+        ).days
     return None
 
 
 def _partition_field_itype(transform: str, source_itype: Optional[str]) -> Optional[str]:
-    """Iceberg result type of a partition field (spec: Partition
-    Transforms result types)."""
+    """Appendix-D decode type of a partition field's summary bounds:
+    bucket/year/month/day all encode as 4-byte LE ints (day's spec
+    type is `date`, same physical encoding); identity follows the
+    source column."""
     if transform == "identity":
         return source_itype
-    if transform.startswith("bucket["):
+    if transform.startswith("bucket[") or transform in ("year", "month", "day"):
         return "int"
-    if transform in ("year", "month", "day"):
-        # The export renders these as formatted strings (documented in
-        # sources.snapshots); summaries were encoded from those strings.
-        return "string"
     return None
 
 
@@ -310,25 +315,36 @@ class IcebergScanPlanner:
 
     def _manifest_survives(self, mf: ManifestFile, part_preds: list[tuple]) -> bool:
         """field_summaries check: prune only when a summary range
-        provably excludes the predicate's transformed value."""
+        provably excludes the predicate's transformed interval."""
         if mf.partitions is None:
             return True
-        for idx, itype, tval in part_preds:
+        for idx, itype, t_lo, t_hi in part_preds:
             if idx >= len(mf.partitions):
                 continue
             s = mf.partitions[idx]
             lo = decode_single_value(itype, s.lower_bound)
             hi = decode_single_value(itype, s.upper_bound)
-            if lo is not None and hi is not None and not (lo <= tval <= hi):
+            if lo is not None and t_hi is not None and lo > t_hi:
+                return False
+            if hi is not None and t_lo is not None and hi < t_lo:
                 return False
         return True
 
     def _file_survives(self, df: DataFile, part_preds, bound_preds) -> bool:
-        for pname, tval in part_preds:
+        for pname, t_lo, t_hi in part_preds:
             got = df.partition.get(pname)
             if got is None:
                 continue
-            if str(got) != str(tval):
+            if isinstance(t_lo if t_lo is not None else t_hi, int):
+                try:
+                    g = int(got)
+                except (TypeError, ValueError):
+                    continue  # unknown rendering: keep (pruning is optional)
+                if t_lo is not None and g < t_lo:
+                    return False
+                if t_hi is not None and g > t_hi:
+                    return False
+            elif t_lo is not None and t_lo == t_hi and str(got) != str(t_lo):
                 return False
         for fid, itype, lo_p, hi_p in bound_preds:
             f_lo = decode_single_value(itype, df.lower_bounds.get(fid))
@@ -349,24 +365,67 @@ class IcebergScanPlanner:
         manifests = self.manifest_list(snap["snapshot-id"])
 
         # Partition-level terms: (summary index, result itype,
-        # transformed value) per spec field whose source has an eq term.
+        # transformed lo, transformed hi) per spec field whose source
+        # has an applicable term. Equality applies to every transform;
+        # RANGE terms apply only to order-preserving transforms —
+        # year/month/day render fixed-width ISO prefixes that order
+        # lexicographically like the source. bucket scrambles order and
+        # identity renders numerics as unpadded strings ("9" > "10"
+        # lexicographically), so both stay eq-only.
+        _RANGE_SAFE = ("year", "month", "day")
         mf_part_preds: list[tuple] = []
         file_part_preds: list[tuple] = []
         for idx, sf in enumerate(self.spec_fields):
             src = self.id_to_name.get(sf["source-id"])
             term = predicates.get(src)
-            if not term or term[0] != "eq":
-                continue
-            tval = _transform_value(sf["transform"], term[1])
-            if tval is None:
+            if not term:
                 continue
             itype = _partition_field_itype(
                 sf["transform"], self.id_to_itype.get(sf["source-id"])
             )
-            mf_part_preds.append((idx, itype, tval))
-            file_part_preds.append((sf["name"], tval))
+            if term[0] == "eq":
+                tval = _transform_value(sf["transform"], term[1])
+                if tval is None:
+                    continue
+                mf_part_preds.append((idx, itype, tval, tval))
+                file_part_preds.append((sf["name"], tval, tval))
+            elif term[0] == "range" and sf["transform"] in _RANGE_SAFE:
+                t_lo = (
+                    _transform_value(sf["transform"], term[1])
+                    if term[1] is not None
+                    else None
+                )
+                t_hi = (
+                    _transform_value(sf["transform"], term[2])
+                    if term[2] is not None
+                    else None
+                )
+                if t_lo is None and t_hi is None:
+                    continue
+                mf_part_preds.append((idx, itype, t_lo, t_hi))
+                file_part_preds.append((sf["name"], t_lo, t_hi))
 
-        # File-level bound terms: (field id, itype, lo, hi).
+        # File-level bound terms: (field id, itype, lo, hi) — predicate
+        # values coerced to the column's type so they compare against
+        # Appendix-D-decoded bounds.
+        def _coerce(itype: str, v):
+            if v is None:
+                return None
+            try:
+                if itype in ("int", "long"):
+                    return int(v)
+                if itype in ("float", "double"):
+                    return float(v)
+                if itype == "date" and not isinstance(v, datetime.date):
+                    return datetime.date.fromisoformat(str(v)[:10])
+                if itype.startswith("timestamp") and not isinstance(
+                    v, datetime.datetime
+                ):
+                    return datetime.datetime.fromisoformat(str(v))
+            except (TypeError, ValueError):
+                return None  # un-coercible: no bound pruning on this term
+            return v
+
         bound_preds = []
         for col, term in predicates.items():
             fid = self.name_to_id.get(col)
@@ -374,9 +433,12 @@ class IcebergScanPlanner:
             if fid is None or itype is None:
                 continue
             if term[0] == "eq":
-                bound_preds.append((fid, itype, term[1], term[1]))
+                v = _coerce(itype, term[1])
+                bound_preds.append((fid, itype, v, v))
             elif term[0] == "range":
-                bound_preds.append((fid, itype, term[1], term[2]))
+                bound_preds.append(
+                    (fid, itype, _coerce(itype, term[1]), _coerce(itype, term[2]))
+                )
 
         plan = ScanPlan(data_files=[], deletes=[], snapshot_id=snap["snapshot-id"])
         plan.n_manifests_total = sum(1 for m in manifests if m.content == 0)

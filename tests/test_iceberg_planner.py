@@ -140,3 +140,52 @@ def test_snapshot_pinned_plan_time_travels(spark, table):
     assert plan.snapshot_id == first
     assert not plan.deletes  # the delete commit is after this snapshot
     assert planner.execute(plan).count() == 100
+
+
+def test_month_transform_range_prunes_manifests(spark, tmp_path):
+    # Date-transform partition values render as fixed-width ISO
+    # prefixes, so a RANGE predicate on the source column prunes
+    # manifests/files lexicographically — the planner's range path.
+    from pyspark.sql import functions as F
+
+    from deathmetal_datalake_spark.sources.iceberg_planner import IcebergScanPlanner
+    from deathmetal_datalake_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl_month"))
+    t.set_partition_spec([("month", "event_date")])
+    df = spark.range(180).select(
+        F.col("id").alias("row_id"),
+        F.expr("date_add(DATE '2024-01-01', CAST(id AS INT))").alias("event_date"),
+        (F.col("id") % 7).alias("grp"),
+    )
+    t.write(df, mode="overwrite")
+
+    planner = IcebergScanPlanner(spark, t.export_iceberg_metadata(codec="avro"))
+    moved = _hide_data_dirs(t.base_path)
+    try:
+        plan = planner.plan_scan(
+            {"event_date": ("range", "2024-02-10", "2024-03-20")}
+        )
+    finally:
+        _restore(moved)
+    # 6 months of data; only Feb and Mar manifests may survive. The
+    # spec encodes month partition values as months since epoch.
+    assert plan.n_manifests_total == 6
+    assert plan.n_manifests_pruned == 4
+    months = {int(f.partition["event_date_month"]) for f in plan.data_files}
+    assert months == {(2024 - 1970) * 12 + 1, (2024 - 1970) * 12 + 2}
+
+    rows = planner.execute(plan)
+    got = {
+        r["row_id"]
+        for r in rows.filter(
+            "event_date >= DATE '2024-02-10' AND event_date <= DATE '2024-03-20'"
+        ).collect()
+    }
+    native = {
+        r["row_id"]
+        for r in t.read()
+        .filter("event_date >= DATE '2024-02-10' AND event_date <= DATE '2024-03-20'")
+        .collect()
+    }
+    assert got == native and len(got) == 40
