@@ -61,6 +61,12 @@ NAMES = [
     "similarity_filtered_ann",
     "events_interval_overlap_join",
     "text_bigram_lift",
+    # round 7: zero-shuffle winnowing (map-only proof), cluster-level
+    # pHash (distinct-signature banding), 1-bit Hamming retrieval,
+    # transition matrix (single lag window + bounded agg)
+    "text_winnowing_fingerprint",
+    "similarity_binary_sign_quant",
+    "events_type_transition_matrix",
 ]
 
 _DETAIL_PREFIXES = (
