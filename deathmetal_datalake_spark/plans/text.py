@@ -1929,15 +1929,24 @@ def corpus_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d", "cp")
         .agg(F.sum("n_tok").cast("long").alias("n_tokens_cum"))
     )
+    # LEFT-join both cumulatives onto the checkpoint frame so empty-
+    # prefix checkpoints (cp=0 on corpora with <10 docs) still emit a
+    # row, matching the oracle's scalar-subquery semantics: COUNT over
+    # an empty set is 0, SUM is NULL (round-8 ADVICE fix).
     return (
-        types_cum.join(tokens_cum, ["d", "cp"])
+        cps.join(types_cum, ["d", "cp"], "left")
+        .join(tokens_cum, ["d", "cp"], "left")
         .select(
             F.col("d").cast("long").alias("checkpoint"),
             F.col("cp").cast("long").alias("n_docs"),
             "n_tokens_cum",
-            "n_types_cum",
+            F.coalesce(F.col("n_types_cum"), F.lit(0).cast("long")).alias(
+                "n_types_cum"
+            ),
             F.round(
-                F.col("n_types_cum").cast("double") / F.col("n_tokens_cum"), 6
+                F.coalesce(F.col("n_types_cum"), F.lit(0)).cast("double")
+                / F.col("n_tokens_cum"),
+                6,
             ).alias("type_token_ratio"),
         )
         .orderBy("checkpoint")

@@ -161,6 +161,12 @@ class DataFile:  # r2: 134 content, 100 path, 101 format, 102 partition, ...
     upper_bounds: dict  # 128
     null_value_counts: dict  # 110
     equality_ids: Optional[list[int]]  # 135
+    # Data sequence number (entry field 3, inherited from the manifest
+    # when null — spec §"Sequence number inheritance"). Carried onto the
+    # planned file so execute() can scope equality deletes: a v2
+    # equality delete applies only to data files with data sequence
+    # number STRICTLY LESS than the delete's.
+    sequence_number: int = 0
 
 
 @dataclass
@@ -227,16 +233,39 @@ class ScanPlan:
 # engine's portable hash).
 
 
-def _transform_value(transform: str, v):
+def _coerce_value(itype: Optional[str], v):
+    """Coerce a user predicate value to the column's Iceberg type so it
+    compares against Appendix-D-decoded bounds; None = un-coercible
+    (no pruning on that term — pruning is optional, never a filter)."""
+    if v is None or itype is None:
+        return None
+    try:
+        if itype in ("int", "long"):
+            return int(v)
+        if itype in ("float", "double"):
+            return float(v)
+        if itype == "date" and not isinstance(v, datetime.date):
+            return datetime.date.fromisoformat(str(v)[:10])
+        if itype.startswith("timestamp") and not isinstance(v, datetime.datetime):
+            return datetime.datetime.fromisoformat(str(v))
+    except (TypeError, ValueError):
+        return None
+    return v
+
+
+def _transform_value(transform: str, v, source_itype: Optional[str] = None):
     """Predicate value → Iceberg SPEC partition value (the encoding
     field_summaries and manifest partition structs carry): bucket →
     the engine's 60-bit md5 bucket, year/month → ints since epoch,
     day → the date ordinal (all ordered ints, so range pruning on date
-    transforms is plain integer comparison)."""
+    transforms is plain integer comparison). identity → the SOURCE
+    type (field summaries encode identity bounds in the source type,
+    so a str(v) here would compare int-vs-str and crash planning —
+    round-8 ADVICE fix)."""
     import hashlib
 
     if transform == "identity":
-        return str(v)
+        return _coerce_value(source_itype, v)
     m = re.fullmatch(r"bucket\[(\d+)\]", transform)
     if m:
         return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16) % int(m.group(1))
@@ -251,6 +280,21 @@ def _transform_value(transform: str, v):
             datetime.date(v.year, v.month, v.day) - datetime.date(1970, 1, 1)
         ).days
     return None
+
+
+def _identity_file_value(tv):
+    """Manifest r102 partition-struct rendering of an identity value
+    (the Avro-typed form ``iceberg_export._avro_partition_fields``
+    writes): dates as epoch-day ints; numerics/strings/booleans as
+    themselves. Identity timestamps are rendered as raw strings by the
+    export, so no file-level term (summary-level pruning still runs)."""
+    if tv is None:
+        return None
+    if isinstance(tv, datetime.datetime):
+        return None
+    if isinstance(tv, datetime.date):
+        return (tv - datetime.date(1970, 1, 1)).days
+    return tv
 
 
 def _partition_field_itype(transform: str, source_itype: Optional[str]) -> Optional[str]:
@@ -324,10 +368,13 @@ class IcebergScanPlanner:
             s = mf.partitions[idx]
             lo = decode_single_value(itype, s.lower_bound)
             hi = decode_single_value(itype, s.upper_bound)
-            if lo is not None and t_hi is not None and lo > t_hi:
-                return False
-            if hi is not None and t_lo is not None and hi < t_lo:
-                return False
+            try:
+                if lo is not None and t_hi is not None and lo > t_hi:
+                    return False
+                if hi is not None and t_lo is not None and hi < t_lo:
+                    return False
+            except TypeError:
+                continue  # incomparable rendering: keep (pruning never filters)
         return True
 
     def _file_survives(self, df: DataFile, part_preds, bound_preds) -> bool:
@@ -335,24 +382,43 @@ class IcebergScanPlanner:
             got = df.partition.get(pname)
             if got is None:
                 continue
-            if isinstance(t_lo if t_lo is not None else t_hi, int):
-                try:
+            ref = t_lo if t_lo is not None else t_hi
+            try:
+                if isinstance(ref, bool):  # eq-only
+                    if t_lo == t_hi and str(got).lower() != str(t_lo).lower():
+                        return False
+                elif isinstance(ref, int):
                     g = int(got)
-                except (TypeError, ValueError):
-                    continue  # unknown rendering: keep (pruning is optional)
-                if t_lo is not None and g < t_lo:
+                    if t_lo is not None and g < t_lo:
+                        return False
+                    if t_hi is not None and g > t_hi:
+                        return False
+                elif isinstance(ref, float):
+                    g = float(got)
+                    if t_lo is not None and g < t_lo:
+                        return False
+                    if t_hi is not None and g > t_hi:
+                        return False
+                elif isinstance(ref, str):
+                    g = str(got)
+                    if t_lo is not None and g < t_lo:
+                        return False
+                    if t_hi is not None and g > t_hi:
+                        return False
+                elif t_lo is not None and t_lo == t_hi and str(got) != str(t_lo):
                     return False
-                if t_hi is not None and g > t_hi:
-                    return False
-            elif t_lo is not None and t_lo == t_hi and str(got) != str(t_lo):
-                return False
+            except (TypeError, ValueError):
+                continue  # unknown rendering: keep (pruning is optional)
         for fid, itype, lo_p, hi_p in bound_preds:
             f_lo = decode_single_value(itype, df.lower_bounds.get(fid))
             f_hi = decode_single_value(itype, df.upper_bounds.get(fid))
-            if f_lo is not None and hi_p is not None and f_lo > hi_p:
-                return False
-            if f_hi is not None and lo_p is not None and f_hi < lo_p:
-                return False
+            try:
+                if f_lo is not None and hi_p is not None and f_lo > hi_p:
+                    return False
+                if f_hi is not None and lo_p is not None and f_hi < lo_p:
+                    return False
+            except TypeError:
+                continue  # incomparable: keep
         return True
 
     def plan_scan(
@@ -367,12 +433,12 @@ class IcebergScanPlanner:
         # Partition-level terms: (summary index, result itype,
         # transformed lo, transformed hi) per spec field whose source
         # has an applicable term. Equality applies to every transform;
-        # RANGE terms apply only to order-preserving transforms —
-        # year/month/day render fixed-width ISO prefixes that order
-        # lexicographically like the source. bucket scrambles order and
-        # identity renders numerics as unpadded strings ("9" > "10"
-        # lexicographically), so both stay eq-only.
-        _RANGE_SAFE = ("year", "month", "day")
+        # RANGE terms apply to order-preserving transforms —
+        # year/month/day (spec ints since epoch) and identity (typed
+        # source values after the round-8 coercion fix; string identity
+        # orders lexicographically like the source). bucket scrambles
+        # order and stays eq-only.
+        _RANGE_SAFE = ("year", "month", "day", "identity")
         mf_part_preds: list[tuple] = []
         file_part_preds: list[tuple] = []
         for idx, sf in enumerate(self.spec_fields):
@@ -380,30 +446,35 @@ class IcebergScanPlanner:
             term = predicates.get(src)
             if not term:
                 continue
-            itype = _partition_field_itype(
-                sf["transform"], self.id_to_itype.get(sf["source-id"])
-            )
+            src_itype = self.id_to_itype.get(sf["source-id"])
+            itype = _partition_field_itype(sf["transform"], src_itype)
+            is_identity = sf["transform"] == "identity"
             if term[0] == "eq":
-                tval = _transform_value(sf["transform"], term[1])
+                tval = _transform_value(sf["transform"], term[1], src_itype)
                 if tval is None:
                     continue
                 mf_part_preds.append((idx, itype, tval, tval))
-                file_part_preds.append((sf["name"], tval, tval))
+                fval = _identity_file_value(tval) if is_identity else tval
+                if fval is not None:
+                    file_part_preds.append((sf["name"], fval, fval))
             elif term[0] == "range" and sf["transform"] in _RANGE_SAFE:
                 t_lo = (
-                    _transform_value(sf["transform"], term[1])
+                    _transform_value(sf["transform"], term[1], src_itype)
                     if term[1] is not None
                     else None
                 )
                 t_hi = (
-                    _transform_value(sf["transform"], term[2])
+                    _transform_value(sf["transform"], term[2], src_itype)
                     if term[2] is not None
                     else None
                 )
                 if t_lo is None and t_hi is None:
                     continue
                 mf_part_preds.append((idx, itype, t_lo, t_hi))
-                file_part_preds.append((sf["name"], t_lo, t_hi))
+                f_lo = _identity_file_value(t_lo) if is_identity else t_lo
+                f_hi = _identity_file_value(t_hi) if is_identity else t_hi
+                if f_lo is not None or f_hi is not None:
+                    file_part_preds.append((sf["name"], f_lo, f_hi))
 
         # File-level bound terms: (field id, itype, lo, hi) — predicate
         # values coerced to the column's type so they compare against
@@ -462,6 +533,14 @@ class IcebergScanPlanner:
             for e in (ManifestEntry.from_record(r) for r in entries):
                 if e.data_file.content != 0:
                     continue
+                # Sequence-number inheritance (spec): an entry with a
+                # null seq inherits its manifest's. Carried so execute()
+                # can scope equality deletes by data sequence number.
+                e.data_file.sequence_number = (
+                    e.sequence_number
+                    if e.sequence_number is not None
+                    else mf.sequence_number
+                )
                 plan.n_files_total += 1
                 if self._file_survives(e.data_file, file_part_preds, bound_preds):
                     plan.data_files.append(e.data_file)
@@ -473,15 +552,42 @@ class IcebergScanPlanner:
 
     def execute(self, plan: ScanPlan):
         """Run the planned scan: plain parquet read of the surviving
-        files, then equality-delete anti-joins (v2 merge-on-read)."""
+        files, then SEQUENCE-SCOPED equality-delete anti-joins (v2
+        merge-on-read). Spec: an equality delete applies only to data
+        files whose data sequence number is STRICTLY LESS than the
+        delete's — a key re-inserted after a delete must survive
+        (round-8 ADVICE fix; same DELETE-then-INSERT semantics as the
+        native reader's ``snapshots.delete_keys``)."""
         if not plan.data_files:
             raise ValueError("empty scan plan (all files pruned)")
-        df = self.spark.read.parquet(*[f.file_path for f in plan.data_files])
+        from pyspark.sql import functions as F
+
+        # Group the planned files by data sequence number and tag each
+        # group with a literal __seq column (a handful of groups — one
+        # per appending snapshot — so the union stays shallow).
+        by_seq: dict[int, list[str]] = {}
+        for f in plan.data_files:
+            by_seq.setdefault(f.sequence_number or 0, []).append(f.file_path)
+        parts = [
+            self.spark.read.parquet(*paths).withColumn("__seq", F.lit(seq))
+            for seq, paths in sorted(by_seq.items())
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        # One anti-join per (key-columns, delete sequence) group,
+        # applied only to the strictly-older slice of the scan.
         by_key: dict[tuple, list[str]] = {}
         for d in plan.deletes:
             cols = tuple(self.id_to_name[i] for i in d.equality_ids)
-            by_key.setdefault(cols, []).append(d.file_path)
-        for cols, paths in by_key.items():
+            by_key.setdefault((cols, d.sequence_number), []).append(d.file_path)
+        for (cols, dseq), paths in sorted(by_key.items(), key=lambda kv: kv[0][1]):
+            if not any(seq < dseq for seq in by_seq):
+                continue  # no planned file is older than this delete
             dels = self.spark.read.parquet(*paths).select(*cols).distinct()
-            df = df.join(dels, on=list(cols), how="left_anti")
-        return df
+            older = df.filter(F.col("__seq") < F.lit(dseq)).join(
+                dels, on=list(cols), how="left_anti"
+            )
+            newer = df.filter(F.col("__seq") >= F.lit(dseq))
+            df = older.unionByName(newer)
+        return df.drop("__seq")

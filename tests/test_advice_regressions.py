@@ -95,3 +95,22 @@ def test_phash_neardup_survives_empty_document(spark, tmp_path):
         d,
     )
     assert report["match"] is True, report
+
+
+def test_heaps_vocab_growth_tiny_corpus_emits_all_checkpoints(spark, tmp_path):
+    # Round-8 ADVICE (low): with fewer than 10 documents some
+    # checkpoints have an EMPTY doc prefix (cp=0); the old inner join
+    # dropped those rows while the oracle's scalar subqueries emit them
+    # with NULL SUM / zero COUNT. Both engines must agree on all 10.
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    texts = ["alpha beta", "beta gamma delta", "alpha alpha"]
+    d = _corpus_with(tmp_path, _doc_rows(spark, texts), spark)
+    report = compare_query(
+        spark,
+        "corpus_heaps_vocab_growth",
+        QUERIES["corpus_heaps_vocab_growth"],
+        ORACLES["corpus_heaps_vocab_growth"],
+        d,
+    )
+    assert report["match"] is True, report

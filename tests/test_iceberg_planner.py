@@ -189,3 +189,77 @@ def test_month_transform_range_prunes_manifests(spark, tmp_path):
         .collect()
     }
     assert got == native and len(got) == 40
+
+
+def test_identity_partition_eq_plans_typed(spark, tmp_path):
+    # Round-8 ADVICE (medium): an eq predicate on an identity-
+    # partitioned int column used to crash planning with a TypeError
+    # (str(v) predicate vs int-decoded field-summary bounds). Identity
+    # values are now coerced to the source type, and incomparable
+    # renderings keep the manifest instead of crashing.
+    from pyspark.sql import functions as F
+
+    from deathmetal_datalake_spark.sources.iceberg_planner import IcebergScanPlanner
+    from deathmetal_datalake_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl_ident"))
+    t.set_partition_spec([("identity", "grp")])
+    df = spark.range(50).select(
+        F.col("id").alias("row_id"), (F.col("id") % 5).cast("int").alias("grp")
+    )
+    t.write(df, mode="overwrite")
+
+    planner = IcebergScanPlanner(spark, t.export_iceberg_metadata(codec="avro"))
+    moved = _hide_data_dirs(t.base_path)
+    try:
+        plan = planner.plan_scan({"grp": ("eq", 3)})
+        range_plan = planner.plan_scan({"grp": ("range", 1, 2)})
+    finally:
+        _restore(moved)
+
+    # 5 identity partitions -> 5 data manifests; only grp=3 survives eq.
+    assert plan.n_manifests_total == 5
+    assert plan.n_manifests_pruned == 4
+    # identity is order-preserving, so typed RANGE pruning applies too.
+    assert range_plan.n_manifests_pruned == 3
+
+    got = sorted(r["row_id"] for r in planner.execute(plan).collect())
+    native = sorted(
+        r["row_id"] for r in t.read().filter("grp = 3").collect()
+    )
+    assert got == native and len(got) == 10
+
+
+def test_equality_delete_is_sequence_scoped(spark, tmp_path):
+    # Round-8 ADVICE (high): an equality delete applies only to data
+    # files with data sequence number STRICTLY LESS than the delete's.
+    # A key deleted and then re-inserted in a later snapshot must
+    # survive the planner's execute() exactly as it survives the
+    # native reader (snapshots.delete_keys DELETE-then-INSERT).
+    from pyspark.sql import functions as F
+
+    from deathmetal_datalake_spark.sources.iceberg_planner import IcebergScanPlanner
+    from deathmetal_datalake_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl_seqscope"))
+    mk = lambda lo, hi, tag: spark.range(lo, hi).select(
+        F.col("id").alias("user_id"),
+        F.concat(F.lit(tag), F.col("id")).alias("name"),
+    )
+    t.write(mk(0, 20, "old"), mode="overwrite")
+    t.delete_keys(
+        mk(0, 20, "x").filter(F.col("user_id").isin(3, 7)).select("user_id"),
+        "user_id",
+    )
+    # Re-insert key 3 AFTER the delete: it must come back.
+    t.write(mk(3, 4, "new"), mode="append")
+
+    planner = IcebergScanPlanner(spark, t.export_iceberg_metadata(codec="avro"))
+    plan = planner.plan_scan()
+    assert plan.deletes, "delete manifest missing"
+
+    got = sorted((r["user_id"], r["name"]) for r in planner.execute(plan).collect())
+    native = sorted((r["user_id"], r["name"]) for r in t.read().collect())
+    assert got == native
+    assert (3, "new3") in got, "re-inserted key was dropped by an older delete"
+    assert all(u != 7 for u, _ in got), "deleted key leaked back"
