@@ -171,6 +171,51 @@ BENCH_QUERIES = [
     # multi-write table construction like bloom_point_lookup.
 ]
 
+# Governance (round-8, VERDICT r7 #2): the headline set may rotate —
+# additions land newest-first, rotations out require (a) the family
+# keeps ≥2 representatives, (b) the two-scale history is preserved in
+# docs/BENCH_FULL.json (git), (c) a dated comment above names the
+# reason. The CORE set below NEVER rotates: 30 queries present since
+# their family landed, one-per-shape across the relational, window,
+# streaming, text, dedup, similarity, multimodal, catalog, and corpus
+# families. Its subtotal (core30_total) is reported every round at both
+# scales so round-over-round totals stay comparable even when the full
+# headline set's membership changes. Policy: docs/BENCH_GOVERNANCE.md.
+CORE_QUERIES = [
+    "flagship_multijoin",
+    "g1_top10_customers_per_nation",
+    "g2_customer_order_stats",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_regional_revenue",
+    "tpch_q6_forecast_revenue",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q10_returned_items",
+    "tpch_q21_waiting_supplier",
+    "window_running_total",
+    "events_sessionization_30min",
+    "events_tumbling_5min",
+    "events_trailing_zscore",
+    "text_quality_scores",
+    "text_language_id",
+    "text_tfidf_top_terms",
+    "text_ngram_novelty",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "dedup_method_agreement",
+    "dedup_exact_substring",
+    "similarity_bruteforce_topk",
+    "similarity_ivf_multiprobe_topk",
+    "multimodal_decode_stats",
+    "contamination_ngram_overlap",
+    "pack_sequences_by_lang",
+    "catalog_snapshot_time_travel",
+]
+assert set(CORE_QUERIES) <= set(BENCH_QUERIES), "core must stay benched"
+assert len(CORE_QUERIES) == 30
+
 # Queries whose full result is large; drain with a hash aggregate
 # instead of collect() so driver materialization doesn't dominate the
 # timing while every computed column is still forced.
@@ -266,6 +311,9 @@ def main() -> None:
     payload = {
         "metric": "headline_queries_total",
         "value": round(sum(med.values()), 3),
+        "value_min": round(sum(mins.values()), 3),
+        "core30_total": round(sum(med[q] for q in CORE_QUERIES), 3),
+        "core30_min": round(sum(mins[q] for q in CORE_QUERIES), 3),
         "unit": "sec",
         "queries": med,
         "queries_min": mins,
@@ -298,6 +346,9 @@ def main() -> None:
         payload["scale"] = {
             "metric": "headline_queries_total_scale",
             "value": round(sum(smed.values()), 3),
+            "value_min": round(sum(smins.values()), 3),
+            "core30_total": round(sum(smed[q] for q in CORE_QUERIES), 3),
+            "core30_min": round(sum(smins[q] for q in CORE_QUERIES), 3),
             "unit": "sec",
             "queries": smed,
             "queries_min": smins,
@@ -321,6 +372,8 @@ def main() -> None:
     compact = {
         "metric": payload["metric"],
         "value": payload["value"],
+        "value_min": payload["value_min"],
+        "core30": payload["core30_total"],
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in payload["queries"].items()},
         "sf": payload["sf"],
@@ -328,6 +381,8 @@ def main() -> None:
     if "scale" in payload:
         compact["scale"] = {
             "value": payload["scale"]["value"],
+            "value_min": payload["scale"]["value_min"],
+            "core30": payload["scale"]["core30_total"],
             "unit": "sec",
             "sf": payload["scale"]["sf"],
             "ratio_vs_base": payload["scale"]["ratio_vs_base"],

@@ -10,6 +10,8 @@ verify the full pipeline, not just row counts.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
@@ -889,17 +891,35 @@ WHERE bit_count(CAST(xor(sig_a, sig_b) AS BIGINT)) <= {_SIMHASH_HAMMING_MAX}
 """
 
 
-def _simhash_signatures(docs: DataFrame, n_bits: int) -> DataFrame:
+# Below this corpus size the per-bit explode signature form wins: the
+# n_bits-column aggregate pays a fixed whole-stage-codegen compile cost
+# (a 61-wide generated aggregate class) that dominates small corpora
+# (round-8 reconciliation of the r7 base-scale regression: 5k docs
+# benched 1.42 s explode vs 2.85 s agg; the 50k-doc 10× twin benched
+# 8.1 s explode vs 6.4 s agg). Both forms are bit-identical — the vote
+# law is vote_j > 0 ⟺ 2·set_count_j > n_tokens — so this is a pure
+# plan-time physical choice, same precedent as _auto_band_bits.
+_SIMHASH_AGG_FORM_MIN_DOCS = 20_000
+
+
+def _simhash_signatures(
+    docs: DataFrame, n_bits: int, n_docs: Optional[int] = None
+) -> DataFrame:
     """Vote-packed simhash of the given width over the 60-bit token hash.
 
-    One aggregate with n_bits set-bit-count columns instead of an
-    explode over (token × bit) rows: the explode form multiplied token
-    rows by n_bits (measured 6.8 s of dedup_simhash_pairs' 8.1 s at
-    the 10x twin just building signatures); this form keeps the token
-    frame at its natural size, shuffles once on doc_id, and packs the
-    majority votes in a single projection. The vote law is unchanged
-    (vote_j > 0  ⟺  2·set_count_j > n_tokens), so signatures are
-    bit-identical to the oracle's explode formulation.
+    Two bit-identical physical forms, selected by corpus size when the
+    caller passes ``n_docs`` (every registered caller already counts the
+    corpus for ``_auto_band_bits``):
+
+    - **agg form** (large corpora, the 100 TB path): one aggregate with
+      n_bits set-bit-count columns — keeps the token frame at its
+      natural size, shuffles once on doc_id, packs the majority votes
+      in a single projection. The explode form multiplied token rows by
+      n_bits (measured 6.8 s of dedup_simhash_pairs' 8.1 s at the 10x
+      twin just building signatures).
+    - **explode form** (small corpora): (token × bit) explode with a
+      two-stage vote aggregate — 60× the rows, but trivial per-row work
+      and none of the wide aggregate's fixed codegen cost.
     """
     docs = spread(docs)
     tokens = docs.select(
@@ -907,6 +927,26 @@ def _simhash_signatures(docs: DataFrame, n_bits: int) -> DataFrame:
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
     )
     hashed = tokens.select("doc_id", hash60("token").alias("h"))
+    if n_docs is not None and n_docs < _SIMHASH_AGG_FORM_MIN_DOCS:
+        bits = hashed.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("j"),
+            "h",
+        )
+        votes = bits.groupBy("doc_id", "j").agg(
+            F.sum(
+                F.when(F.expr("shiftright(h, j) & 1") == 1, F.lit(1)).otherwise(
+                    F.lit(-1)
+                )
+            ).alias("vote")
+        )
+        return votes.groupBy("doc_id").agg(
+            F.sum(
+                F.when(
+                    F.col("vote") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")
+                ).otherwise(F.lit(0))
+            ).alias("simhash")
+        )
     counts = hashed.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("_n"),
         *[
@@ -923,11 +963,13 @@ def _simhash_signatures(docs: DataFrame, n_bits: int) -> DataFrame:
     return counts.select("doc_id", packed.alias("simhash"))
 
 
-def _simhash_band_candidates(docs: DataFrame, band_bits: int) -> DataFrame:
+def _simhash_band_candidates(
+    docs: DataFrame, band_bits: int, n_docs: Optional[int] = None
+) -> DataFrame:
     """Distinct band-bucket collision pairs (the pre-verify candidate
     set) — exposed separately so scale tests can assert the candidate
     count stays bounded as the corpus grows."""
-    sig = _simhash_signatures(docs, _SIMHASH_BANDS * band_bits)
+    sig = _simhash_signatures(docs, _SIMHASH_BANDS * band_bits, n_docs)
     bands = sig.select(
         "doc_id",
         "simhash",
@@ -955,10 +997,12 @@ def _simhash_band_candidates(docs: DataFrame, band_bits: int) -> DataFrame:
     )
 
 
-def simhash_near_dup_pairs(docs: DataFrame, band_bits: int) -> DataFrame:
+def simhash_near_dup_pairs(
+    docs: DataFrame, band_bits: int, n_docs: Optional[int] = None
+) -> DataFrame:
     """Banded simhash near-dup pairs at an explicit band width; the
     registered query derives ``band_bits`` from the corpus count."""
-    cand = _simhash_band_candidates(docs, band_bits)
+    cand = _simhash_band_candidates(docs, band_bits, n_docs)
     hamming = F.bit_count(F.expr("sig_a ^ sig_b")).cast("long")
     return (
         cand.withColumn("hamming", hamming)
@@ -970,10 +1014,12 @@ def simhash_near_dup_pairs(docs: DataFrame, band_bits: int) -> DataFrame:
 @register("dedup_simhash_pairs", oracle=_SIMHASH_PAIRS_SQL)
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # One tiny count action at plan time sets the band width; the
-    # oracle's `params` CTE computes the identical integer.
-    band_bits = _auto_band_bits(docs.count())
-    return simhash_near_dup_pairs(docs, band_bits)
+    # One tiny count action at plan time sets the band width (and the
+    # signature physical form); the oracle's `params` CTE computes the
+    # identical band integer.
+    n_docs = docs.count()
+    band_bits = _auto_band_bits(n_docs)
+    return simhash_near_dup_pairs(docs, band_bits, n_docs)
 
 
 # ---------------------------------------------------------------------------
@@ -1299,10 +1345,13 @@ WHERE bit_count(CAST(xor(sa.simhash, sb.simhash) AS BIGINT)) <= {_SIMHASH_MP_REP
 @register("dedup_simhash_multiprobe", oracle=_SIMHASH_MP_SQL)
 def dedup_simhash_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    band_bits = _auto_band_bits(docs.count())
+    n_docs = docs.count()
+    band_bits = _auto_band_bits(n_docs)
     # Signature table is consumed by band build, probe build, and the
     # two verify joins — cache once, release via the harness.
-    sig = session_cache(_simhash_signatures(docs, _SIMHASH_BANDS * band_bits))
+    sig = session_cache(
+        _simhash_signatures(docs, _SIMHASH_BANDS * band_bits, n_docs)
+    )
     bands = sig.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BANDS - 1))).alias("band"),
@@ -1497,7 +1546,8 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("est_jaccard") >= _EST_THRESHOLD)
         .select("doc_a", "doc_b", F.lit(1).alias("in_mh"))
     )
-    sh = simhash_near_dup_pairs(docs, _auto_band_bits(docs.count())).select(
+    _n = docs.count()
+    sh = simhash_near_dup_pairs(docs, _auto_band_bits(_n), _n).select(
         "doc_a", "doc_b", F.lit(1).alias("in_sh")
     )
     joined = mh.join(sh, ["doc_a", "doc_b"], "full_outer")

@@ -261,3 +261,24 @@ def test_merge_upsert_semantics(spark):
     assert got == {1: ("a", 10.0), 2: ("B", 200.0), 3: ("c", 30.0), 4: ("d", 40.0)}
     with pytest.raises(ValueError):
         merge_upsert(target, updates.drop("v"), "k")
+
+
+def test_simhash_signature_forms_bit_identical(spark):
+    """The plan-time signature-form switch (round-8: the wide-aggregate
+    form pays a fixed codegen cost that dominates small corpora, the
+    explode form multiplies rows by n_bits and loses at scale) must be
+    a PURE physical choice: both forms produce identical signatures on
+    the same corpus."""
+    from deathmetal_datalake_spark.plans.dedup import (
+        _SIMHASH_AGG_FORM_MIN_DOCS,
+        _simhash_signatures,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    n = docs.count()
+    assert n < _SIMHASH_AGG_FORM_MIN_DOCS  # sf0.001: the switch is live
+    explode_form = _simhash_signatures(docs, 24, n_docs=n)
+    agg_form = _simhash_signatures(docs, 24, n_docs=_SIMHASH_AGG_FORM_MIN_DOCS)
+    a = {r["doc_id"]: r["simhash"] for r in explode_form.collect()}
+    b = {r["doc_id"]: r["simhash"] for r in agg_form.collect()}
+    assert a == b
