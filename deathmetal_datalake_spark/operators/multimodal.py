@@ -4,11 +4,13 @@ Design for image/audio/video at 100 TB (per the build mandate): the
 payload is an opaque ``binary`` column carried next to typed metadata;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages so bytes never round-trip through Python row by
-row. The actual codec work (PIL/ffmpeg/librosa) is NOT available in
-this environment, so the codec call sites are stubbed behind
-``NotImplementedError`` with a deterministic fake used by tests and the
-oracle-checked query — the Spark-side plumbing (schema, batching,
-partitioning, UDF signatures) is real.
+row. The compressed-media codec work (PIL/ffmpeg/librosa) is NOT
+available in this environment, so those codec call sites are stubbed
+behind ``NotImplementedError`` with a deterministic fake used by tests
+and the oracle-checked query — the Spark-side plumbing (schema,
+batching, partitioning, UDF signatures) is real. One codec IS real:
+``wav_pcm_decode`` parses RIFF/WAVE integer PCM with the stdlib alone
+and plugs into the same decoder protocol (round 8).
 """
 
 from __future__ import annotations
@@ -250,6 +252,63 @@ def deterministic_pcm_decode(content: bytes):
     import numpy as np
 
     return np.frombuffer(bytes(content), dtype=np.uint8).astype(np.int64)
+
+
+def wav_pcm_decode(content: bytes):
+    """REAL decoder for RIFF/WAVE integer-PCM payloads — pure-stdlib
+    chunk parsing, no external codec libs (round 8: the first genuine
+    codec behind the decoder protocol; the deterministic fake stays the
+    default for oracle-checked queries).
+
+    Walks the RIFF chunk list (word-aligned), reads ``fmt `` (format
+    tag, channels, bit depth) and ``data``, and returns the first
+    channel's samples as int64: 8-bit PCM is unsigned-biased per spec
+    (centered by -128), 16/24/32-bit are little-endian signed (24-bit
+    sign-extended manually — numpy has no 3-byte dtype). Raises
+    ``ValueError`` on non-WAVE payloads and non-integer-PCM format tags
+    so a mis-tagged corpus fails loudly instead of yielding garbage
+    energies.
+    """
+    import struct
+
+    import numpy as np
+
+    b = bytes(content)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, _rate, _byte_rate, _block_align, bits = fmt
+    if audio_format != 1:
+        raise ValueError(f"unsupported WAVE format tag {audio_format} (PCM only)")
+    if n_channels < 1:
+        raise ValueError("zero-channel WAVE")
+    if bits == 8:
+        arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
+    elif bits == 16:
+        arr = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2").astype(np.int64)
+    elif bits == 32:
+        arr = np.frombuffer(data[: len(data) // 4 * 4], dtype="<i4").astype(np.int64)
+    elif bits == 24:
+        raw = np.frombuffer(data[: len(data) // 3 * 3], dtype=np.uint8)
+        raw = raw.reshape(-1, 3).astype(np.int64)
+        arr = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+        arr = (arr ^ 0x800000) - 0x800000  # sign-extend bit 23
+    else:
+        raise ValueError(f"unsupported PCM bit depth {bits}")
+    frames = arr.shape[0] // n_channels
+    return arr[: frames * n_channels].reshape(-1, n_channels)[:, 0]
 
 
 def audio_energy_windows(

@@ -2670,9 +2670,13 @@ WHERE bit_count(CAST(xor(a0, b0) AS BIGINT))
 """
 
 
-@register("dedup_simhash_wide_pairs", oracle=_SIMHASH2_PAIRS_SQL)
-def dedup_simhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(load_table(spark, sf_dir, "documents"))
+def _simhash_wide_band_candidates(docs: DataFrame) -> DataFrame:
+    """Distinct 30-bit-band collision pairs of the 120-bit wide-band
+    path (pre-verify candidate set) — exposed separately so the scale
+    test can pin the candidate count under the quadratic envelope at
+    the 10x twin, the same contract as _simhash_band_candidates
+    (round-8, VERDICT r7 #6)."""
+    docs = spread(docs)
     tokens = docs.select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
@@ -2741,6 +2745,12 @@ def dedup_simhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    return cand
+
+
+@register("dedup_simhash_wide_pairs", oracle=_SIMHASH2_PAIRS_SQL)
+def dedup_simhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = _simhash_wide_band_candidates(load_table(spark, sf_dir, "documents"))
     hamming = (
         F.bit_count(F.expr("a0 ^ b0")) + F.bit_count(F.expr("a1 ^ b1"))
     ).cast("long")

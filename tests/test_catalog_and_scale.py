@@ -282,3 +282,47 @@ def test_simhash_signature_forms_bit_identical(spark):
     a = {r["doc_id"]: r["simhash"] for r in explode_form.collect()}
     b = {r["doc_id"]: r["simhash"] for r in agg_form.collect()}
     assert a == b
+
+
+def test_simhash_wide_band_bounds_candidates_at_10x(spark):
+    """The 120-bit wide-band path (the documented escape past the
+    15-bit band cap) must keep its candidate set bounded as the corpus
+    grows: its four 30-bit bands give ~1e9 buckets each, so candidate
+    mass at the 10x twin should track TRUE near-dup mass (the replica
+    neighborhoods), never the quadratic all-pairs envelope."""
+    import functools
+
+    from pyspark.sql import DataFrame
+
+    from deathmetal_datalake_spark.plans.dedup import _simhash_wide_band_candidates
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    n1 = docs.count()
+    copies = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+            F.concat(
+                F.col("text"), F.lit(f" replica {i} tag "), F.col("doc_id").cast("string")
+            ).alias("text"),
+        )
+        for i in range(10)
+    ]
+    big = functools.reduce(DataFrame.union, copies).cache()
+    n10 = big.count()
+    assert n10 == 10 * n1
+
+    cand_1x = _simhash_wide_band_candidates(docs).count()
+    cand_10x = _simhash_wide_band_candidates(big).count()
+    big.unpersist()
+    # The 1x corpus has almost no near-dups (measured 47 pairs at 500
+    # docs), while every replicated doc becomes a ~10-strong near-dup
+    # neighborhood (~(10 choose 2)·n genuine pairs ≈ 22.5k) — so a
+    # ratio-vs-1x bound would only measure the synthetic dup mass. The
+    # scale contract is the PER-DOC candidate rate: the quadratic
+    # envelope is n10/2 = 2 500 candidates per doc; the 30-bit bands
+    # must hold it to the neighborhood size (measured 4.2).
+    assert cand_1x < n1  # 1x: near-dup-sparse, sub-linear candidates
+    assert cand_10x / n10 <= 12  # bounded per-doc rate, ⋘ n10/2 envelope
+    # and the mass is explained by the replica neighborhoods, not by
+    # bucket saturation: strictly under 2× the (10 choose 2)·n1 bound.
+    assert cand_10x <= 2 * 45 * n1 + 100 * max(cand_1x, 1)
