@@ -40,6 +40,15 @@ del _rev_q, _rev_o
 # promoted to the head explicitly — the driver's prefix sample then
 # always covers the newest, least-battle-tested surface first.
 _NEWEST_FIRST = [
+    # round 8
+    "dq_benford_first_digit",
+    "dq_candidate_key_uniqueness",
+    "events_rfm_quintiles",
+    "events_peak_concurrency",
+    "text_readability_scores",
+    "text_boilerplate_lines",
+    "similarity_radius_search",
+    "multimodal_silence_trim",
     # round 7 (session 2)
     "dq_referential_integrity",
     "dq_distribution_drift_orders",

@@ -439,3 +439,155 @@ def dq_distribution_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit — the classic synthetic-data / fraud smell
+# test: the leading digit of a naturally-occurring amount column should
+# follow log10(1+1/d); a flat or spiked distribution flags generated or
+# truncated data. The expected shares are COMPILE-TIME constants (both
+# engines receive the identical literal), so no transcendental is ever
+# evaluated in-engine — the repo-wide ln() ban holds. One scan, one
+# 9-group aggregate: bounded output at any scale.
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d) for d = 1..9, rounded to 10 decimals at authoring time.
+_BENFORD_EXPECTED = {
+    1: 0.3010299957,
+    2: 0.1760912591,
+    3: 0.1249387366,
+    4: 0.0969100130,
+    5: 0.0791812460,
+    6: 0.0669467896,
+    7: 0.0579919470,
+    8: 0.0511525224,
+    9: 0.0457574906,
+}
+
+_BENFORD_CASE = "CASE first_digit " + " ".join(
+    f"WHEN {d} THEN {v!r}" for d, v in _BENFORD_EXPECTED.items()
+) + " END"
+
+_BENFORD_SQL = f"""
+WITH digits AS (
+    SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                AS BIGINT) AS first_digit
+    FROM orders
+    WHERE o_totalprice >= 1
+),
+counts AS (
+    SELECT first_digit, COUNT(*) AS n FROM digits GROUP BY first_digit
+),
+tot AS (SELECT SUM(n) AS total FROM counts)
+SELECT c.first_digit,
+       CAST(c.n AS BIGINT) AS n_orders,
+       ROUND(CAST(c.n AS DOUBLE) / t.total, 6) AS observed_share,
+       CAST({_BENFORD_CASE} AS DOUBLE) AS expected_share,
+       ROUND(ABS(CAST(c.n AS DOUBLE) / t.total
+                 - CAST({_BENFORD_CASE} AS DOUBLE)), 6) AS abs_deviation
+FROM counts c CROSS JOIN tot t
+ORDER BY c.first_digit
+"""
+
+
+@register("dq_benford_first_digit", oracle=_BENFORD_SQL)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    orders = load_table(spark, sf_dir, "orders")
+    digits = orders.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("first_digit")
+    )
+    counts = digits.groupBy("first_digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("total"))
+    expected = F.coalesce(
+        *[
+            F.when(F.col("first_digit") == d, F.lit(v))
+            for d, v in _BENFORD_EXPECTED.items()
+        ]
+    )
+    obs = F.col("n").cast("double") / F.col("total")
+    return (
+        counts.crossJoin(broadcast(tot))
+        .select(
+            "first_digit",
+            F.col("n").cast("long").alias("n_orders"),
+            F.round(obs, 6).alias("observed_share"),
+            expected.alias("expected_share"),
+            F.round(F.abs(obs - expected), 6).alias("abs_deviation"),
+        )
+        .orderBy("first_digit")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Candidate-key uniqueness discovery — the profiling pass that tells a
+# catalog which column sets actually identify rows (and how close the
+# near-keys are): per declared candidate set, exact distinct-combination
+# count vs row count. Each check is one distinct-aggregate over its key
+# columns — the same shuffle a dedup on that key would pay, folded to a
+# one-row summary, so the audit is join-free and bounded-output at any
+# scale.
+# ---------------------------------------------------------------------------
+
+_CK_SETS = [
+    ("o_orderkey", ["o_orderkey"]),
+    ("o_custkey", ["o_custkey"]),
+    ("o_custkey+o_orderdate", ["o_custkey", "o_orderdate"]),
+    ("o_orderstatus+o_orderpriority", ["o_orderstatus", "o_orderpriority"]),
+]
+
+_CK_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{name}' AS candidate_key,
+       (SELECT COUNT(*) FROM orders) AS n_rows,
+       (SELECT COUNT(*) FROM (SELECT DISTINCT {", ".join(cols)} FROM orders))
+           AS n_distinct,
+       (SELECT COUNT(*) FROM orders)
+         - (SELECT COUNT(*) FROM (SELECT DISTINCT {", ".join(cols)} FROM orders))
+           AS n_duplicate_rows,
+       (SELECT COUNT(*) FROM (SELECT DISTINCT {", ".join(cols)} FROM orders))
+         = (SELECT COUNT(*) FROM orders) AS is_unique_key,
+       ROUND(CAST((SELECT COUNT(*) FROM (SELECT DISTINCT {", ".join(cols)}
+                                         FROM orders)) AS DOUBLE)
+             / (SELECT COUNT(*) FROM orders), 6) AS uniqueness_ratio"""
+    for name, cols in _CK_SETS
+) + "\nORDER BY candidate_key"
+
+
+@register("dq_candidate_key_uniqueness", oracle=_CK_SQL)
+def dq_candidate_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    orders = session_cache(load_table(spark, sf_dir, "orders"))
+    n_rows = orders.agg(F.count(F.lit(1)).alias("n_rows"))
+    out = None
+    for name, cols in _CK_SETS:
+        nd = (
+            orders.select(*cols)
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("n_distinct"))
+        )
+        row = (
+            n_rows.crossJoin(nd)
+            .select(
+                F.lit(name).alias("candidate_key"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.col("n_distinct").cast("long").alias("n_distinct"),
+                (F.col("n_rows") - F.col("n_distinct"))
+                .cast("long")
+                .alias("n_duplicate_rows"),
+                (F.col("n_distinct") == F.col("n_rows")).alias("is_unique_key"),
+                F.round(
+                    F.col("n_distinct").cast("double") / F.col("n_rows"), 6
+                ).alias("uniqueness_ratio"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("candidate_key")

@@ -2098,3 +2098,197 @@ def events_ab_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(theta, 6).alias("theta"),
         F.round(raw - theta * cov_lift, 6).alias("cuped_lift_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM quintile segmentation — the classic customer-value matrix over
+# orders: per customer, Recency (days since last order vs the corpus
+# watermark), Frequency (order count), Monetary (exact decimal revenue
+# sum), each NTILE(5)-scored with a unique tie-break so bucket
+# assignment is engine-deterministic, folded to the 125-cell segment
+# summary. The NTILE windows run over the per-CUSTOMER aggregate —
+# already |customers| ≪ |orders| — but are still global sorts; the
+# documented 100 TB form replaces exact NTILE with fixed quantile
+# boundaries from approx_percentile (one pass, no global sort), the
+# same trade events_approx_distinct_* quantifies for distincts.
+# ---------------------------------------------------------------------------
+
+_RFM_SQL = f"""
+WITH per_cust AS (
+    SELECT o_custkey,
+           date_diff('day', CAST(MAX(o_orderdate) AS TIMESTAMP),
+                     (SELECT CAST(MAX(o_orderdate) AS TIMESTAMP) FROM orders))
+               AS recency_days,
+           COUNT(*) AS frequency,
+           {sql_dsum("o_totalprice", "monetary")}
+    FROM orders GROUP BY o_custkey
+),
+scored AS (
+    SELECT NTILE(5) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS r_quintile,
+           NTILE(5) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_quintile,
+           NTILE(5) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m_quintile,
+           monetary
+    FROM per_cust
+)
+SELECT CAST(r_quintile AS BIGINT) AS r_quintile,
+       CAST(f_quintile AS BIGINT) AS f_quintile,
+       CAST(m_quintile AS BIGINT) AS m_quintile,
+       COUNT(*) AS n_customers,
+       {sql_davg("monetary", "avg_monetary", 6)}
+FROM scored
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+@register("events_rfm_quintiles", oracle=_RFM_SQL)
+def events_rfm_quintiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    orders = load_table(spark, sf_dir, "orders")
+    wm = orders.agg(F.max("o_orderdate").alias("watermark"))
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            dsum("o_totalprice", "monetary"),
+        )
+        .crossJoin(broadcast(wm))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("watermark"), F.col("last_order")).alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary",
+        )
+    )
+    scored = per_cust.select(
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("recency_days"), F.asc("o_custkey")))
+        .alias("r_quintile"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
+        .alias("f_quintile"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
+        .alias("m_quintile"),
+        "monetary",
+    )
+    return (
+        scored.groupBy("r_quintile", "f_quintile", "m_quintile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            davg("monetary", "avg_monetary", 6),
+        )
+        .select(
+            F.col("r_quintile").cast("long"),
+            F.col("f_quintile").cast("long"),
+            F.col("m_quintile").cast("long"),
+            "n_customers",
+            "avg_monetary",
+        )
+        .orderBy("r_quintile", "f_quintile", "m_quintile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrency (sweep line) — the interval-analytics staple: each
+# event opens an interval [start, start + ceil(value) seconds) and the
+# audit reports, per event type, the maximum number of simultaneously
+# open intervals and when it first occurs. Classic +1/−1 boundary-point
+# sweep: net deltas grouped per second, one running-sum window
+# PARTITIONED BY event type (never global), then a join-back for the
+# argmax second. Half-open semantics make the per-second net exact:
+# concurrency at second t = Σ starts≤t − Σ ends≤t.
+# ---------------------------------------------------------------------------
+
+_CONCURRENCY_SQL = """
+WITH iv AS (
+    SELECT event_type,
+           CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s,
+           CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+             + GREATEST(CAST(CEIL(COALESCE(value, 0)) AS BIGINT), 1) AS e
+    FROM events
+),
+pts AS (
+    SELECT event_type, s AS sec, 1 AS delta FROM iv
+    UNION ALL
+    SELECT event_type, e AS sec, -1 AS delta FROM iv
+),
+net AS (
+    SELECT event_type, sec, SUM(delta) AS net
+    FROM pts GROUP BY event_type, sec
+),
+cum AS (
+    SELECT event_type, sec,
+           SUM(net) OVER (PARTITION BY event_type ORDER BY sec
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS concurrency
+    FROM net
+),
+peaks AS (
+    SELECT event_type, MAX(concurrency) AS peak FROM cum GROUP BY event_type
+)
+SELECT p.event_type,
+       CAST((SELECT COUNT(*) FROM iv i WHERE i.event_type = p.event_type)
+            AS BIGINT) AS n_intervals,
+       CAST(p.peak AS BIGINT) AS peak_concurrency,
+       make_timestamp(MIN(c.sec) * 1000000) AS first_peak_ts
+FROM peaks p
+JOIN cum c ON c.event_type = p.event_type AND c.concurrency = p.peak
+GROUP BY p.event_type, p.peak
+ORDER BY p.event_type
+"""
+
+
+@register("events_peak_concurrency", oracle=_CONCURRENCY_SQL)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("s"),
+        F.greatest(
+            F.ceil(F.coalesce(F.col("value"), F.lit(0.0))).cast("long"), F.lit(1)
+        ).alias("dur"),
+    )
+    iv = ev.select("event_type", "s", (F.col("s") + F.col("dur")).alias("e"))
+    pts = iv.select(
+        "event_type", F.col("s").alias("sec"), F.lit(1).alias("delta")
+    ).unionByName(
+        iv.select("event_type", F.col("e").alias("sec"), F.lit(-1).alias("delta"))
+    )
+    net = pts.groupBy("event_type", "sec").agg(F.sum("delta").alias("net"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("sec")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = net.select(
+        "event_type", "sec", F.sum("net").over(w).alias("concurrency")
+    )
+    peaks = cum.groupBy("event_type").agg(F.max("concurrency").alias("peak"))
+    n_iv = iv.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals")
+    )
+    return (
+        cum.join(broadcast(peaks), "event_type")
+        .filter(F.col("concurrency") == F.col("peak"))
+        .groupBy("event_type", "peak")
+        .agg(F.min("sec").alias("first_peak_sec"))
+        .join(broadcast(n_iv), "event_type")
+        .select(
+            "event_type",
+            "n_intervals",
+            F.col("peak").cast("long").alias("peak_concurrency"),
+            F.expr(
+                "timestampadd(SECOND, first_peak_sec,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ).alias("first_peak_ts"),
+        )
+        .orderBy("event_type")
+    )

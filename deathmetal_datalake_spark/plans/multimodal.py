@@ -499,3 +499,127 @@ def multimodal_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_scene_frames"),
     ).select("media_id", "n_frames", "n_scene_changes", "mean_scene_frames")
+
+
+# ---------------------------------------------------------------------------
+# Silence trimming — the audio-preprocessing staple built ON the
+# windowed-energy stage: windows whose mean-square sample energy falls
+# below a threshold are "silent"; the trim keeps the span from the
+# first to the last ACTIVE window and reports what was cut. The
+# silent test is exact integer arithmetic (energy < τ·n_samples — no
+# division), the trim bounds are min/max conditional aggregates per
+# media, and the kept-sample mass is one join-back against the window
+# frame — every stage bounded by windows-per-media, which is
+# payload-length/64, never corpus-quadratic. The oracle replays the
+# identical law from hex() bytes through the same window fan-out.
+# ---------------------------------------------------------------------------
+
+_SILENCE_MS_THRESHOLD = 6400  # mean-square per sample (rms 80 of uint8)
+
+_SILENCE_TRIM_SQL = f"""
+WITH hexed AS (
+    SELECT doc_id, hex(encode(text)) AS h,
+           octet_length(encode(text)) AS n
+    FROM documents
+),
+bytes AS (
+    SELECT doc_id,
+           CAST(i // 64 AS BIGINT) AS window_id,
+           CAST(('0x' || substr(h, CAST(2 * i + 1 AS INTEGER), 2)) AS BIGINT) AS b
+    FROM hexed, UNNEST(range(0, n)) AS g(i)
+),
+windows AS (
+    SELECT doc_id AS media_id, window_id,
+           COUNT(*) AS n_samples,
+           SUM(b * b) AS energy
+    FROM bytes GROUP BY doc_id, window_id
+),
+flagged AS (
+    SELECT media_id, window_id, n_samples,
+           energy >= {_SILENCE_MS_THRESHOLD} * n_samples AS active
+    FROM windows
+),
+bounds AS (
+    SELECT media_id,
+           COUNT(*) AS n_windows,
+           CAST(SUM(CASE WHEN active THEN 0 ELSE 1 END) AS BIGINT) AS n_silent,
+           MIN(CASE WHEN active THEN window_id END) AS first_active,
+           MAX(CASE WHEN active THEN window_id END) AS last_active
+    FROM flagged GROUP BY media_id
+)
+SELECT b.media_id,
+       CAST(b.n_windows AS BIGINT) AS n_windows,
+       b.n_silent,
+       b.first_active,
+       b.last_active,
+       CAST(COALESCE(b.first_active, b.n_windows) AS BIGINT) AS n_lead_trimmed,
+       CAST(CASE WHEN b.last_active IS NULL THEN 0
+                 ELSE b.n_windows - 1 - b.last_active END AS BIGINT)
+           AS n_trail_trimmed,
+       CAST(COALESCE((SELECT SUM(f.n_samples) FROM flagged f
+                      WHERE f.media_id = b.media_id
+                        AND f.window_id >= b.first_active
+                        AND f.window_id <= b.last_active), 0) AS BIGINT)
+           AS kept_samples
+FROM bounds b
+ORDER BY b.media_id
+"""
+
+
+@register("multimodal_silence_trim", oracle=_SILENCE_TRIM_SQL)
+def multimodal_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    from deathmetal_datalake_spark.operators.multimodal import (
+        audio_energy_windows,
+        deterministic_pcm_decode,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    windows = audio_energy_windows(
+        documents_as_media(docs), decoder=deterministic_pcm_decode
+    )
+    flagged = windows.select(
+        "media_id",
+        "window_id",
+        "n_samples",
+        (F.col("energy") >= _SILENCE_MS_THRESHOLD * F.col("n_samples")).alias(
+            "active"
+        ),
+    )
+    bounds = flagged.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.sum(F.when(F.col("active"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_silent"),
+        F.min(F.when(F.col("active"), F.col("window_id"))).alias("first_active"),
+        F.max(F.when(F.col("active"), F.col("window_id"))).alias("last_active"),
+    )
+    kept = (
+        flagged.join(broadcast(bounds.select("media_id", "first_active", "last_active")), "media_id")
+        .filter(
+            (F.col("window_id") >= F.col("first_active"))
+            & (F.col("window_id") <= F.col("last_active"))
+        )
+        .groupBy("media_id")
+        .agg(F.sum("n_samples").cast("long").alias("kept"))
+    )
+    return (
+        bounds.join(kept, "media_id", "left")
+        .select(
+            "media_id",
+            "n_windows",
+            "n_silent",
+            "first_active",
+            "last_active",
+            F.coalesce(F.col("first_active"), F.col("n_windows"))
+            .cast("long")
+            .alias("n_lead_trimmed"),
+            F.when(F.col("last_active").isNull(), F.lit(0))
+            .otherwise(F.col("n_windows") - 1 - F.col("last_active"))
+            .cast("long")
+            .alias("n_trail_trimmed"),
+            F.coalesce(F.col("kept"), F.lit(0)).cast("long").alias("kept_samples"),
+        )
+        .orderBy("media_id")
+    )

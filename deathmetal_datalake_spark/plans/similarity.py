@@ -2652,3 +2652,93 @@ def similarity_binary_sign_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_hamming_top"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Radius (range) search — the THRESHOLD-based retrieval twin of top-k:
+# for each query vector, every corpus vector within a cosine radius,
+# folded to per-query neighborhood stats (count, max similarity, the
+# argmax neighbor with a total-order tie-break). Top-k answers "best k
+# whatever the quality"; range search answers "everything at least
+# this similar" — the primitive behind near-dup thresholds and recall
+# floors. Cosines are ROUNDED BEFORE the threshold compare and before
+# the argmax (the repo's rounded-before-compare rule), so both engines
+# classify borderline neighbors identically. Scale: the fixed-size
+# query set (_QUERY_CAP ≤ 40) is broadcast against the corpus scan —
+# O(n·40), same linear shape as the brute-force baseline; a bucketed
+# corpus reuses the IVF cells exactly as the top-k variants do.
+# ---------------------------------------------------------------------------
+
+_RADIUS = 0.2  # cosine threshold (the synthetic corpus peaks at ~0.47)
+
+_RADIUS_SQL = f"""
+WITH vecs AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+queries AS (
+    SELECT vec_id AS query_id, emb AS qemb FROM vecs
+    WHERE vec_id % {_QUERY_MOD} = 0 AND vec_id < {_QUERY_CAP}
+),
+scored AS (
+    SELECT q.query_id, v.vec_id,
+           ROUND(list_dot_product(q.qemb, v.emb) /
+                 (sqrt(list_dot_product(q.qemb, q.qemb))
+                  * sqrt(list_dot_product(v.emb, v.emb))), 4) AS cosine
+    FROM queries q CROSS JOIN vecs v
+    WHERE q.query_id <> v.vec_id
+),
+hits AS (
+    SELECT query_id, vec_id, cosine FROM scored WHERE cosine >= {_RADIUS}
+),
+stats AS (
+    SELECT query_id, COUNT(*) AS n_within, MAX(cosine) AS max_cosine
+    FROM hits GROUP BY query_id
+)
+SELECT s.query_id,
+       CAST(s.n_within AS BIGINT) AS n_within,
+       s.max_cosine,
+       MIN(h.vec_id) AS nearest_vec_id
+FROM stats s
+JOIN hits h ON h.query_id = s.query_id AND h.cosine = s.max_cosine
+GROUP BY s.query_id, s.n_within, s.max_cosine
+ORDER BY s.query_id
+"""
+
+
+@register("similarity_radius_search", oracle=_RADIUS_SQL)
+def similarity_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = spread(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", _as_double("embedding").alias("emb")
+        )
+    )
+    queries = vecs.filter(
+        (F.col("vec_id") % _QUERY_MOD == 0) & (F.col("vec_id") < _QUERY_CAP)
+    ).select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"))
+    scored = vecs.join(
+        broadcast(queries), F.col("query_id") != F.col("vec_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        F.round(
+            _dot(F.col("qemb"), F.col("emb"))
+            / (
+                F.sqrt(_dot(F.col("qemb"), F.col("qemb")))
+                * F.sqrt(_dot(F.col("emb"), F.col("emb")))
+            ),
+            4,
+        ).alias("cosine"),
+    )
+    hits = scored.filter(F.col("cosine") >= _RADIUS)
+    stats = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_within"),
+        F.max("cosine").alias("max_cosine"),
+    )
+    return (
+        hits.join(broadcast(stats), "query_id")
+        .filter(F.col("cosine") == F.col("max_cosine"))
+        .groupBy("query_id", "n_within", "max_cosine")
+        .agg(F.min("vec_id").alias("nearest_vec_id"))
+        .select("query_id", "n_within", "max_cosine", "nearest_vec_id")
+        .orderBy("query_id")
+    )

@@ -2018,3 +2018,138 @@ def text_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("log2_rank_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Readability scoring (Flesch reading ease) — the corpus-filtering
+# signal next to the Gopher rules: words per sentence and vowel-group
+# "syllables" per word, combined with the standard constants. Counts
+# are pure split/filter expressions (sentence segments on [.!?]+,
+# vowel groups via split on [aeiouy]+ — both engines keep trailing
+# empty segments, so size−1 is the group count); the formula is only
+# *, /, − on identical integer inputs with identical parenthesization,
+# so the rounded double agrees bit-for-bit (no transcendental — the
+# standard constants are literals). One scan, no shuffle before the
+# per-doc projection.
+# ---------------------------------------------------------------------------
+
+_READABILITY_SQL = r"""
+WITH counted AS (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+                                x -> LENGTH(TRIM(x)) > 0)) AS BIGINT) AS n_sentences,
+           CAST(len(list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+                                x -> x <> '')) AS BIGINT) AS n_words,
+           CAST(len(string_split_regex(LOWER(text), '[aeiouy]+')) - 1 AS BIGINT)
+               AS n_syllables
+    FROM documents
+)
+SELECT doc_id, n_sentences, n_words, n_syllables,
+       ROUND(206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / NULLIF(n_sentences, 0))
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / NULLIF(n_words, 0)),
+             4) AS flesch_score
+FROM counted
+ORDER BY doc_id
+"""
+
+
+@register("text_readability_scores", oracle=_READABILITY_SQL)
+def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_sentences = F.size(
+        F.filter(
+            F.split(F.col("text"), r"[.!?]+"),
+            lambda x: F.length(F.trim(x)) > 0,
+        )
+    ).cast("long")
+    n_words = F.size(
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+        )
+    ).cast("long")
+    n_syllables = (
+        F.size(F.split(F.lower(F.col("text")), r"[aeiouy]+")) - 1
+    ).cast("long")
+    counted = docs.select(
+        "doc_id",
+        n_sentences.alias("n_sentences"),
+        n_words.alias("n_words"),
+        n_syllables.alias("n_syllables"),
+    )
+    return counted.select(
+        "doc_id",
+        "n_sentences",
+        "n_words",
+        "n_syllables",
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (
+                F.col("n_words").cast("double")
+                / F.nullif(F.col("n_sentences"), F.lit(0))
+            )
+            - F.lit(84.6)
+            * (
+                F.col("n_syllables").cast("double")
+                / F.nullif(F.col("n_words"), F.lit(0))
+            ),
+            4,
+        ).alias("flesch_score"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate-line detection — the pre-dedup pass that finds sentences
+# repeated across many documents (navigation chrome, disclaimers,
+# template text) so they can be stripped before near-dup scoring:
+# sentence-split, normalize, count distinct docs per sentence, report
+# the top shared sentences. Scale: the group key is the normalized
+# sentence (hash-partitioned aggregate, map-side combinable); output
+# is a bounded top-K with a total-order tie-break.
+# ---------------------------------------------------------------------------
+
+_BOILERPLATE_MIN_CHARS = 15
+_BOILERPLATE_MIN_DOCS = 3
+_BOILERPLATE_TOP = 20
+
+_BOILERPLATE_SQL = f"""
+WITH sent AS (
+    SELECT doc_id, LOWER(TRIM(s)) AS sentence
+    FROM documents, UNNEST(string_split_regex(text, '[.!?]+')) AS g(s)
+    WHERE LENGTH(TRIM(s)) >= {_BOILERPLATE_MIN_CHARS}
+),
+counts AS (
+    SELECT sentence,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occurrences
+    FROM sent GROUP BY sentence
+)
+SELECT sentence, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_occurrences AS BIGINT) AS n_occurrences
+FROM counts
+WHERE n_docs >= {_BOILERPLATE_MIN_DOCS}
+ORDER BY n_docs DESC, sentence ASC
+LIMIT {_BOILERPLATE_TOP}
+"""
+
+
+@register("text_boilerplate_lines", oracle=_BOILERPLATE_SQL)
+def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sent = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), r"[.!?]+")).alias("s")
+        )
+        .filter(F.length(F.trim(F.col("s"))) >= _BOILERPLATE_MIN_CHARS)
+        .select("doc_id", F.lower(F.trim(F.col("s"))).alias("sentence"))
+    )
+    counts = sent.groupBy("sentence").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+    )
+    return (
+        counts.filter(F.col("n_docs") >= _BOILERPLATE_MIN_DOCS)
+        .orderBy(F.desc("n_docs"), F.asc("sentence"))
+        .limit(_BOILERPLATE_TOP)
+    )

@@ -95,6 +95,10 @@ _NONEQUI_OK = {
     "dedup_content_chunks",          # two 1-row stats frames crossJoined
     "dedup_cdc_incremental",         # three 1-row stats frames crossJoined
     "similarity_ivfpq_topk",         # corpus x 16-centroid coarse assignment
+    "events_rfm_quintiles",          # 1-row watermark frame crossJoined
+    "similarity_radius_search",      # brute-force radius scan (≤40-query broadcast)
+    "dq_benford_first_digit",        # 1-row digit-total frame crossJoined
+    "dq_candidate_key_uniqueness",   # per-key 1-row count frames crossJoined
 }
 
 
