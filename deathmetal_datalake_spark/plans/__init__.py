@@ -40,6 +40,12 @@ del _rev_q, _rev_o
 # promoted to the head explicitly — the driver's prefix sample then
 # always covers the newest, least-battle-tested surface first.
 _NEWEST_FIRST = [
+    # round 8 (batch 2)
+    "orders_yoy_revenue_growth",
+    "dedup_shingle_df_profile",
+    "dedup_cluster_size_histogram",
+    "similarity_label_centroid_drift",
+    "embedding_norm_outliers",
     # round 8
     "dq_benford_first_digit",
     "dq_candidate_key_uniqueness",

@@ -2759,3 +2759,99 @@ def dedup_simhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _SIMHASH_HAMMING_MAX)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Shingle document-frequency profile — the audit BEHIND the `_MAX_DF`
+# hot-shingle guard: the df distribution of the shingle inverted index
+# in floor-log2 buckets, with each bucket's postings mass and the exact
+# postings the active cap drops. A corpus team reads this before
+# trusting the cap (is the dropped mass boilerplate or signal?); the
+# cap itself is the same plan-time integer every dedup oracle mirrors.
+# Floor-log2 via the LENGTH(bin(df))-1 bit-length identity (ln()
+# remains banned). One shingle pass, one bounded aggregate.
+# ---------------------------------------------------------------------------
+
+_DF_PROFILE_SQL = rf"""
+{_SHINGLES_SQL},
+hashed AS (
+    SELECT doc_id, {sql_hash60('shingle')} AS sh FROM shingled
+),
+df AS (
+    SELECT sh, COUNT(*) AS df FROM hashed GROUP BY sh
+)
+SELECT CAST(LENGTH(bin(df)) - 1 AS BIGINT) AS log2_df_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(df) AS BIGINT) AS n_postings,
+       CAST(SUM(CASE WHEN df > {_SQL_MAX_DF} THEN df ELSE 0 END) AS BIGINT)
+           AS n_postings_capped,
+       CAST(MAX(df) AS BIGINT) AS df_max
+FROM df
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("dedup_shingle_df_profile", oracle=_DF_PROFILE_SQL)
+def dedup_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    max_df = _auto_max_df(docs.count())
+    df = _hashed_shingles(docs).groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    bucket = (F.length(F.bin(F.col("df"))) - 1).cast("long")
+    return (
+        df.groupBy(bucket.alias("log2_df_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum("df").cast("long").alias("n_postings"),
+            F.sum(F.when(F.col("df") > max_df, F.col("df")).otherwise(0))
+            .cast("long")
+            .alias("n_postings_capped"),
+            F.max("df").cast("long").alias("df_max"),
+        )
+        .orderBy("log2_df_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster size histogram — the first chart of every dedup
+# report: exact-duplicate cluster sizes (full-content hash groups) in
+# floor-log2 buckets with the removable-excess mass (size − 1 per
+# cluster: the rows a keep-one dedup deletes). Cluster-level output by
+# design (the output-mass-is-plan-mass rule) — cluster count per
+# bucket, never expanded pairs. One hash aggregate + one bounded
+# rollup; the content hash shuffles 8-byte keys, not text.
+# ---------------------------------------------------------------------------
+
+_CLUSTER_HIST_SQL = f"""
+WITH clusters AS (
+    SELECT {sql_hash60('text')} AS content_hash, COUNT(*) AS sz
+    FROM documents GROUP BY 1
+)
+SELECT CAST(LENGTH(bin(sz)) - 1 AS BIGINT) AS log2_size_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(sz) AS BIGINT) AS n_docs,
+       CAST(SUM(sz - 1) AS BIGINT) AS n_removable,
+       CAST(MAX(sz) AS BIGINT) AS max_cluster_size
+FROM clusters
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("dedup_cluster_size_histogram", oracle=_CLUSTER_HIST_SQL)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = docs.groupBy(hash60("text").alias("content_hash")).agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    bucket = (F.length(F.bin(F.col("sz"))) - 1).cast("long")
+    return (
+        clusters.groupBy(bucket.alias("log2_size_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("sz").cast("long").alias("n_docs"),
+            F.sum(F.col("sz") - 1).cast("long").alias("n_removable"),
+            F.max("sz").cast("long").alias("max_cluster_size"),
+        )
+        .orderBy("log2_size_bucket")
+    )

@@ -801,3 +801,52 @@ def distinct_on_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Year-over-year revenue growth — the finance-dashboard staple: yearly
+# exact-decimal revenue with the previous year's ratio attached via a
+# lag window. The window runs over the YEAR frame (bounded rows at any
+# scale: one per year), so the only data-proportional work is the
+# map-side-combinable yearly aggregate; the growth ratio divides two
+# identical exact-decimal doubles, so the rounded value is
+# engine-deterministic.
+# ---------------------------------------------------------------------------
+
+_YOY_SQL = f"""
+WITH yearly AS (
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+           COUNT(*) AS n_orders,
+           {sql_dsum("o_totalprice", "revenue")}
+    FROM orders GROUP BY 1
+)
+SELECT order_year,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       revenue,
+       ROUND(revenue / LAG(revenue) OVER (ORDER BY order_year), 6)
+           AS yoy_ratio
+FROM yearly
+ORDER BY order_year
+"""
+
+
+@register("orders_yoy_revenue_growth", oracle=_YOY_SQL)
+def orders_yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    yearly = orders.groupBy(
+        F.year("o_orderdate").cast("long").alias("order_year")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        dsum("o_totalprice", "revenue"),
+    )
+    w = Window.orderBy("order_year")
+    return yearly.select(
+        "order_year",
+        "n_orders",
+        "revenue",
+        F.round(F.col("revenue") / F.lag("revenue").over(w), 6).alias(
+            "yoy_ratio"
+        ),
+    ).orderBy("order_year")

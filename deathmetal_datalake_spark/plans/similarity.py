@@ -2742,3 +2742,194 @@ def similarity_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "n_within", "max_cosine", "nearest_vec_id")
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-centroid drift — the embedding-space monitoring check run when
+# a corpus (or encoder) changes: per label, the L2 distance between
+# the centroids of two cohorts (even/odd vec_id here; in production,
+# yesterday's snapshot vs today's). Per-dimension means use the exact
+# DECIMAL sum convention and are ROUNDED BEFORE differencing, and the
+# squared diffs are decimal-summed (order-free), so the rounded drift
+# agrees bit-for-bit. Cost: one posexplode aggregate — (n·64 rows,
+# map-side combinable) — then label×64 tiny frames; linear at any
+# corpus size.
+# ---------------------------------------------------------------------------
+
+_DRIFT_DIMS = 64
+
+_CENTROID_DRIFT_SQL = f"""
+WITH vecs AS (
+    SELECT label, vec_id % 2 AS cohort, CAST(embedding AS DOUBLE[]) AS emb
+    FROM embeddings
+),
+comps AS (
+    SELECT label, cohort, g.i AS dim, emb[g.i + 1] AS v
+    FROM vecs, (SELECT UNNEST(range({_DRIFT_DIMS})) AS i) g
+),
+cents AS (
+    SELECT label, cohort, dim,
+           ROUND(CAST(SUM(CAST(v AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*), 6)
+               AS c
+    FROM comps GROUP BY label, cohort, dim
+),
+sizes AS (
+    SELECT label,
+           CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) / {_DRIFT_DIMS}
+                AS BIGINT) AS n_even,
+           CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) / {_DRIFT_DIMS}
+                AS BIGINT) AS n_odd
+    FROM comps GROUP BY label
+),
+drift AS (
+    SELECT a.label,
+           ROUND(sqrt(CAST(SUM(CAST((a.c - b.c) * (a.c - b.c)
+                                    AS DECIMAL(25,12))) AS DOUBLE)), 6)
+               AS centroid_l2_drift
+    FROM cents a JOIN cents b
+      ON a.label = b.label AND a.dim = b.dim AND a.cohort = 0 AND b.cohort = 1
+    GROUP BY a.label
+)
+SELECT s.label, s.n_even, s.n_odd, d.centroid_l2_drift
+FROM sizes s JOIN drift d USING (label)
+ORDER BY s.label
+"""
+
+
+@register("similarity_label_centroid_drift", oracle=_CENTROID_DRIFT_SQL)
+def similarity_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(
+        load_table(spark, sf_dir, "embeddings").select(
+            "label",
+            (F.col("vec_id") % 2).alias("cohort"),
+            _as_double("embedding").alias("emb"),
+        )
+    )
+    comps = emb.select("label", "cohort", F.posexplode("emb").alias("dim", "v"))
+    cents = comps.groupBy("label", "cohort", "dim").agg(
+        F.round(
+            F.sum(F.col("v").cast("decimal(25,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("c")
+    )
+    sizes = comps.groupBy("label").agg(
+        (
+            F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0)) / _DRIFT_DIMS
+        )
+        .cast("long")
+        .alias("n_even"),
+        (
+            F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0)) / _DRIFT_DIMS
+        )
+        .cast("long")
+        .alias("n_odd"),
+    )
+    a = cents.filter(F.col("cohort") == 0).select(
+        "label", "dim", F.col("c").alias("ca")
+    )
+    b = cents.filter(F.col("cohort") == 1).select(
+        "label", "dim", F.col("c").alias("cb")
+    )
+    sq = (F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb"))
+    drift = (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.round(
+                F.sqrt(F.sum(sq.cast("decimal(25,12)")).cast("double")), 6
+            ).alias("centroid_l2_drift")
+        )
+    )
+    return sizes.join(drift, "label").orderBy("label")
+
+
+# ---------------------------------------------------------------------------
+# Embedding-norm outlier audit — the vector-quality gate before any
+# cosine index is trusted: per label, robust (median/MAD) profiling of
+# L2 norms, flagging vectors whose norm deviates > 3σ-equivalent. A
+# zero-centered or truncated encoder batch shows up here before it
+# poisons retrieval. Norms are ROUNDED BEFORE the median (the
+# rounded-before-compare rule); the MAD scheme mirrors
+# text_robust_length_outliers. One norm projection (no explode — the
+# dot product is a per-row array fold), two bounded per-label
+# aggregates.
+# ---------------------------------------------------------------------------
+
+_NORM_MAD_K = "4.4478"  # 3 * 1.4826, the text_robust_length_outliers constant
+
+_NORM_OUTLIERS_SQL = f"""
+WITH norms AS (
+    SELECT label, vec_id,
+           ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))), 4) AS nrm
+    FROM embeddings
+),
+med AS (
+    SELECT label, median(nrm) AS med_norm FROM norms GROUP BY label
+),
+mad AS (
+    SELECT n.label, median(ABS(n.nrm - m.med_norm)) AS mad_norm
+    FROM norms n JOIN med m USING (label) GROUP BY n.label
+)
+SELECT n.label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       ROUND(m.med_norm, 6) AS med_norm,
+       ROUND(d.mad_norm, 6) AS mad_norm,
+       CAST(SUM(CASE WHEN ABS(n.nrm - m.med_norm) > {_NORM_MAD_K} * d.mad_norm
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       ROUND(SUM(CASE WHEN ABS(n.nrm - m.med_norm) > {_NORM_MAD_K} * d.mad_norm
+                      THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
+           AS outlier_rate
+FROM norms n JOIN med m USING (label) JOIN mad d USING (label)
+GROUP BY n.label, m.med_norm, d.mad_norm
+ORDER BY n.label
+"""
+
+
+@register("embedding_norm_outliers", oracle=_NORM_OUTLIERS_SQL)
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", "vec_id", _as_double("embedding").alias("emb")
+    )
+    norms = session_cache(
+        emb.select(
+            "label",
+            "vec_id",
+            F.round(F.sqrt(_dot(F.col("emb"), F.col("emb"))), 4).alias("nrm"),
+        )
+    )
+    med = norms.groupBy("label").agg(
+        F.expr("percentile(nrm, 0.5)").alias("med_norm")
+    )
+    with_med = norms.join(broadcast(med), "label").withColumn(
+        "absdev", F.abs(F.col("nrm") - F.col("med_norm"))
+    )
+    mad = with_med.groupBy("label").agg(
+        F.expr("percentile(absdev, 0.5)").alias("mad_norm")
+    )
+    flagged = with_med.join(broadcast(mad), "label")
+    is_out = F.col("absdev") > F.lit(float(_NORM_MAD_K)) * F.col("mad_norm")
+    return (
+        flagged.groupBy("label", "med_norm", "mad_norm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum(F.when(is_out, 1).otherwise(0)).cast("long").alias("n_outliers"),
+            F.round(
+                F.sum(F.when(is_out, 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("outlier_rate"),
+        )
+        .select(
+            "label",
+            "n_vectors",
+            F.round("med_norm", 6).alias("med_norm"),
+            F.round("mad_norm", 6).alias("mad_norm"),
+            "n_outliers",
+            "outlier_rate",
+        )
+        .orderBy("label")
+    )
