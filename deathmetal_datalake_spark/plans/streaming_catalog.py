@@ -1484,3 +1484,90 @@ def streaming_transition_matrix_replay(
     ).orderBy("prev_type", "next_type")
     rows = out.collect()
     return spark.createDataFrame(rows, schema=out.schema)
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrency, streamed — the 25th replay: the sweep-line audit
+# maintained incrementally. The stream stage is STATELESS point
+# generation (each event explodes to its +1/−1 boundary points) plus
+# one mergeable aggregation (net delta per (type, second) — complete
+# mode, so the final table equals the batch net frame however the
+# files were batched); the order-DEPENDENT running sum and argmax fold
+# run post-drain as a batch transform over the bounded net frame. Same
+# IVM split as the bitmap rollup: commutative state in the stream,
+# order-sensitive analytics as a batch view over the sink. Oracle: the
+# batch sweep-line law verbatim.
+# ---------------------------------------------------------------------------
+
+from deathmetal_datalake_spark.plans.events import _CONCURRENCY_SQL
+
+
+@register("streaming_peak_concurrency_replay", oracle=_CONCURRENCY_SQL)
+def streaming_peak_concurrency_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    stream, scratch = _replay_events_stream(spark, sf_dir)
+    s = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    dur = F.greatest(
+        F.ceil(F.coalesce(F.col("value"), F.lit(0.0))).cast("long"), F.lit(1)
+    )
+    pts = stream.select(
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(s.alias("sec"), F.lit(1).alias("delta")),
+                F.struct((s + dur).alias("sec"), F.lit(-1).alias("delta")),
+            )
+        ).alias("pt"),
+    ).select("event_type", F.col("pt.sec").alias("sec"), F.col("pt.delta").alias("delta"))
+    net_stream = pts.groupBy("event_type", "sec").agg(
+        F.sum("delta").alias("net"),
+        F.sum(F.when(F.col("delta") > 0, 1).otherwise(0)).alias("starts"),
+    )
+    net = _drain(net_stream, scratch, "complete")
+
+    # The fold is window-only (running sum, full-partition max / start
+    # mass) — no self-join of the sink view, whose shared attribute ids
+    # a join cannot disambiguate.
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("sec")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_full = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ann = net.select(
+        "event_type",
+        "sec",
+        "starts",
+        F.sum("net").over(w).alias("concurrency"),
+    ).select(
+        "event_type",
+        "sec",
+        "concurrency",
+        F.max("concurrency").over(w_full).alias("peak"),
+        F.sum("starts").over(w_full).cast("long").alias("n_starts"),
+    )
+    out = (
+        ann.filter(F.col("concurrency") == F.col("peak"))
+        .groupBy("event_type", "peak", "n_starts")
+        .agg(F.min("sec").alias("first_peak_sec"))
+        .select(
+            "event_type",
+            F.col("n_starts").alias("n_intervals"),
+            F.col("peak").cast("long").alias("peak_concurrency"),
+            F.expr(
+                "timestampadd(SECOND, first_peak_sec,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ).alias("first_peak_ts"),
+        )
+        .orderBy("event_type")
+    )
+    rows = out.collect()
+    return spark.createDataFrame(rows, schema=out.schema)
