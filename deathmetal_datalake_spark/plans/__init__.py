@@ -41,6 +41,7 @@ del _rev_q, _rev_o
 # always covers the newest, least-battle-tested surface first.
 _NEWEST_FIRST = [
     # round 8 (batch 2)
+    "corpus_dedup_token_savings",
     "streaming_peak_concurrency_replay",
     "orders_yoy_revenue_growth",
     "dedup_shingle_df_profile",

@@ -1192,3 +1192,85 @@ def corpus_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("double") / F.max("budget"), 6
         ).alias("budget_utilization"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup token savings — the number a training-data owner actually asks
+# for when approving a dedup pass: per source, how many TOKENS does
+# keep-one-per-exact-cluster save against the training budget?
+# Clusters are content-hash groups within a source; the kept token
+# mass counts each cluster's canonical doc once (min doc_id — the
+# deterministic keep rule). One hash aggregate per (source, cluster),
+# one bounded per-source rollup; token counts are whitespace splits,
+# exact integers end-to-end.
+# ---------------------------------------------------------------------------
+
+_TOKEN_SAVINGS_SQL = rf"""
+WITH toks AS (
+    SELECT source, doc_id,
+           {sql_hash60('text')} AS content_hash,
+           CAST(len(list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+                                x -> x <> '')) AS BIGINT) AS n_tok
+    FROM documents
+),
+clusters AS (
+    SELECT source, content_hash,
+           COUNT(*) AS sz,
+           SUM(n_tok) AS tok_all,
+           MIN(doc_id) AS canonical_doc_id
+    FROM toks GROUP BY source, content_hash
+),
+kept AS (
+    SELECT c.source, c.content_hash, c.sz, c.tok_all, t.n_tok AS tok_kept
+    FROM clusters c
+    JOIN toks t ON t.source = c.source AND t.doc_id = c.canonical_doc_id
+)
+SELECT source,
+       CAST(SUM(sz) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_unique_docs,
+       CAST(SUM(tok_all) AS BIGINT) AS tokens_total,
+       CAST(SUM(tok_kept) AS BIGINT) AS tokens_kept,
+       ROUND(CAST(SUM(tok_all) - SUM(tok_kept) AS DOUBLE)
+             / NULLIF(SUM(tok_all), 0), 6) AS savings_share
+FROM kept
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("corpus_dedup_token_savings", oracle=_TOKEN_SAVINGS_SQL)
+def corpus_dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        "doc_id",
+        hash60("text").alias("content_hash"),
+        F.size(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda x: x != "",
+            )
+        )
+        .cast("long")
+        .alias("n_tok"),
+    )
+    clusters = toks.groupBy("source", "content_hash").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.sum("n_tok").alias("tok_all"),
+        F.min(F.struct("doc_id", "n_tok")).alias("canon"),
+    )
+    return (
+        clusters.groupBy("source")
+        .agg(
+            F.sum("sz").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_unique_docs"),
+            F.sum("tok_all").cast("long").alias("tokens_total"),
+            F.sum("canon.n_tok").cast("long").alias("tokens_kept"),
+            F.round(
+                (F.sum("tok_all") - F.sum("canon.n_tok")).cast("double")
+                / F.nullif(F.sum("tok_all"), F.lit(0)),
+                6,
+            ).alias("savings_share"),
+        )
+        .orderBy("source")
+    )
