@@ -109,8 +109,9 @@ BENCH_QUERIES = [
     "text_ngram_novelty",
     "dedup_method_agreement",
     # (dedup_graph_triangles rotated out late round 6 for
-    # multimodal_phash_neardup — dedup kept 10 other representatives.)
-    "similarity_dim_truncation_recall",
+    # multimodal_phash_neardup — dedup kept 10 other representatives.
+    # similarity_dim_truncation_recall rotated out round 8, stdout
+    # budget — similarity keeps 6 benched representatives.)
     "pipeline_daily_increment",
     # (events_gap_filled_5min rotated out in round 6 to keep the
     # compact stdout line under the driver's 2000-char tail capture
@@ -130,7 +131,9 @@ BENCH_QUERIES = [
     "catalog_partition_pruned_scan",
     "catalog_bucket_colocated_join",
     # round 4 (cont.): corpus-gate operators + schema evolution
-    "dedup_bloom_prefilter",
+    # (dedup_bloom_prefilter rotated out round 8, stdout budget — dedup
+    # keeps 8 benched representatives; two-scale history in
+    # docs/BENCH_FULL.json through r7.)
     "text_bpe_merge_step",
     # round 5: semantic dedup over embeddings (IVF-cell SemDeDup) +
     # BM25 retrieval (rational-IDF, corpus-linear)
@@ -140,11 +143,11 @@ BENCH_QUERIES = [
     # byte<->record offset translation; the fake broker is in-process,
     # so unlike the HTTP twin this times the adapter itself)
     "streaming_kafka_group_replay",
-    # round 6 (cont.): decimal-precision widening read (evolved epochs)
-    # + unigram log-frequency fluency scoring (CCNet-style perplexity
-    # proxy, integer-exact floor-log2 buckets)
-    "catalog_decimal_widening_read",
-    "text_unigram_logfreq_score",
+    # (catalog_decimal_widening_read and text_unigram_logfreq_score
+    # rotated out round 8, stdout budget: the widening read was rotated
+    # in to watch the r6 hash failure and has been green for two rounds
+    # (r7 driver pass + sweeps); the catalog family keeps 7 and text 7
+    # benched representatives. Two-scale histories in BENCH_FULL.json.)
     # late round 6: Arrow pHash + banded-LSH media near-dup, DSIR
     # hashed-unigram importance selection, and filtered vector search
     # (metadata predicate inside the IVF probe, recall audited)
@@ -158,6 +161,12 @@ BENCH_QUERIES = [
     "text_winnowing_fingerprint",
     "similarity_binary_sign_quant",
     "events_type_transition_matrix",
+    # round 8: the sweep-line concurrency audit (new window shape), the
+    # shingle-df audit behind the _MAX_DF cap (one full shingle pass),
+    # and threshold-based range retrieval (O(n*40) broadcast scan)
+    "events_peak_concurrency",
+    "dedup_shingle_df_profile",
+    "similarity_radius_search",
     # NOT here: catalog_bloom_point_lookup — its runtime is ~80%
     # deliberate 7-write table construction + opt-in bloom harvest
     # (write-side costs the catalog family already represents via
