@@ -2245,8 +2245,11 @@ ORDER BY p.event_type
 
 @register("events_peak_concurrency", oracle=_CONCURRENCY_SQL)
 def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.functions import broadcast
-
+    # Single-scan, window-only form (the first cut unioned two scans
+    # and re-executed the running-sum subtree once per join branch —
+    # 4+ scans of events; this explodes each event to its two boundary
+    # points in one pass and folds peak/argmax/start-mass with windows
+    # over the bounded per-(type, second) net frame).
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.expr(
@@ -2256,34 +2259,51 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ceil(F.coalesce(F.col("value"), F.lit(0.0))).cast("long"), F.lit(1)
         ).alias("dur"),
     )
-    iv = ev.select("event_type", "s", (F.col("s") + F.col("dur")).alias("e"))
-    pts = iv.select(
-        "event_type", F.col("s").alias("sec"), F.lit(1).alias("delta")
-    ).unionByName(
-        iv.select("event_type", F.col("e").alias("sec"), F.lit(-1).alias("delta"))
+    pts = ev.select(
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("sec"), F.lit(1).alias("delta")),
+                F.struct(
+                    (F.col("s") + F.col("dur")).alias("sec"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("pt"),
+    ).select(
+        "event_type", F.col("pt.sec").alias("sec"), F.col("pt.delta").alias("delta")
     )
-    net = pts.groupBy("event_type", "sec").agg(F.sum("delta").alias("net"))
+    net = pts.groupBy("event_type", "sec").agg(
+        F.sum("delta").alias("net"),
+        F.sum(F.when(F.col("delta") > 0, 1).otherwise(0)).alias("starts"),
+    )
     w = (
         Window.partitionBy("event_type")
         .orderBy("sec")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = net.select(
-        "event_type", "sec", F.sum("net").over(w).alias("concurrency")
+    w_full = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    peaks = cum.groupBy("event_type").agg(F.max("concurrency").alias("peak"))
-    n_iv = iv.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n_intervals")
+    ann = net.select(
+        "event_type",
+        "sec",
+        "starts",
+        F.sum("net").over(w).alias("concurrency"),
+    ).select(
+        "event_type",
+        "sec",
+        "concurrency",
+        F.max("concurrency").over(w_full).alias("peak"),
+        F.sum("starts").over(w_full).cast("long").alias("n_starts"),
     )
     return (
-        cum.join(broadcast(peaks), "event_type")
-        .filter(F.col("concurrency") == F.col("peak"))
-        .groupBy("event_type", "peak")
+        ann.filter(F.col("concurrency") == F.col("peak"))
+        .groupBy("event_type", "peak", "n_starts")
         .agg(F.min("sec").alias("first_peak_sec"))
-        .join(broadcast(n_iv), "event_type")
         .select(
             "event_type",
-            "n_intervals",
+            F.col("n_starts").alias("n_intervals"),
             F.col("peak").cast("long").alias("peak_concurrency"),
             F.expr(
                 "timestampadd(SECOND, first_peak_sec,"

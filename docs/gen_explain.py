@@ -67,6 +67,15 @@ NAMES = [
     "text_winnowing_fingerprint",
     "similarity_binary_sign_quant",
     "events_type_transition_matrix",
+    # round 8: sweep-line concurrency (per-type running-sum window),
+    # shingle-df audit (one shingle pass + bounded rollup), radius
+    # retrieval (broadcast query set), RFM (bounded NTILE frame),
+    # centroid drift (posexplode agg + label×dim fold)
+    "events_peak_concurrency",
+    "dedup_shingle_df_profile",
+    "similarity_radius_search",
+    "events_rfm_quintiles",
+    "similarity_label_centroid_drift",
 ]
 
 _DETAIL_PREFIXES = (
