@@ -387,6 +387,97 @@ def _real_phash(content: bytes) -> int:
     )
 
 
+def bmp_decode(content: bytes):
+    """REAL decoder for uncompressed BMP (BI_RGB) payloads — pure
+    stdlib struct parsing, no codec libs (round 8: the image twin of
+    ``wav_pcm_decode``). Returns the image as an (H, W) int64 GRAYSCALE
+    array via the integer ITU-R 601 luma ((299·R + 587·G + 114·B) //
+    1000 — exact, no floats). Supports 24-bit true color and 8-bit
+    paletted pixels, bottom-up (positive height) and top-down rows,
+    and the spec's 4-byte row padding. Raises ``ValueError`` on
+    non-BMP payloads and compressed/unsupported variants so a
+    mis-tagged corpus fails loudly.
+    """
+    import struct
+
+    import numpy as np
+
+    b = bytes(content)
+    if len(b) < 54 or b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pixel_offset,) = struct.unpack_from("<I", b, 10)
+    (hdr_size,) = struct.unpack_from("<I", b, 14)
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    width, height = struct.unpack_from("<ii", b, 18)
+    (bpp,) = struct.unpack_from("<H", b, 28)
+    (compression,) = struct.unpack_from("<I", b, 30)
+    if compression != 0:
+        raise ValueError(f"unsupported BMP compression {compression} (BI_RGB only)")
+    if width <= 0 or height == 0:
+        raise ValueError("degenerate BMP dimensions")
+    top_down = height < 0
+    h = abs(height)
+    if bpp == 24:
+        stride = (width * 3 + 3) & ~3
+        rows = []
+        for r in range(h):
+            off = pixel_offset + r * stride
+            row = np.frombuffer(b[off : off + width * 3], dtype=np.uint8)
+            if row.shape[0] < width * 3:
+                raise ValueError("truncated BMP pixel data")
+            px = row.reshape(-1, 3).astype(np.int64)  # spec order: B, G, R
+            rows.append((299 * px[:, 2] + 587 * px[:, 1] + 114 * px[:, 0]) // 1000)
+        img = np.stack(rows)
+    elif bpp == 8:
+        (colors_used,) = struct.unpack_from("<I", b, 46)
+        n_colors = colors_used or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(
+            b[pal_off : pal_off + 4 * n_colors], dtype=np.uint8
+        ).reshape(-1, 4).astype(np.int64)  # B, G, R, reserved
+        gray_lut = (299 * pal[:, 2] + 587 * pal[:, 1] + 114 * pal[:, 0]) // 1000
+        stride = (width + 3) & ~3
+        rows = []
+        for r in range(h):
+            off = pixel_offset + r * stride
+            idx = np.frombuffer(b[off : off + width], dtype=np.uint8)
+            if idx.shape[0] < width:
+                raise ValueError("truncated BMP pixel data")
+            rows.append(gray_lut[idx.astype(np.int64)])
+        img = np.stack(rows)
+    else:
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    return img if top_down else img[::-1]
+
+
+def bmp_average_hash(content: bytes) -> int:
+    """REAL perceptual hash for BMP payloads: decode (``bmp_decode``),
+    area-average onto an 8×8 grid with exact integer block sums, and
+    mean-threshold — the classic aHash, masked to the low 60 bits so
+    it rides the same banded-LSH/Hamming machinery as the
+    deterministic fake (``_PHASH_BITS`` positive-BIGINT convention)."""
+    import numpy as np
+
+    img = bmp_decode(content)
+    h, w = img.shape
+    # Integer area pooling: cell (i, j) averages rows [i*h//8, (i+1)*h//8).
+    re = (np.arange(9, dtype=np.int64) * h) // 8
+    ce = (np.arange(9, dtype=np.int64) * w) // 8
+    cells = np.empty((8, 8), dtype=np.int64)
+    for i in range(8):
+        for j in range(8):
+            blk = img[re[i] : max(re[i + 1], re[i] + 1),
+                      ce[j] : max(ce[j + 1], ce[j] + 1)]
+            cells[i, j] = int(blk.sum()) // blk.size
+    flat = cells.ravel()
+    mean = int(flat.sum()) // 64
+    # Pack the first 60 of the 64 grid bits (≡ masking the full hash
+    # to the low 60 — and bit 59 is the widest int64-safe shift).
+    bits = (flat > mean).astype(np.int64)[:_PHASH_BITS]
+    return int((bits << np.arange(_PHASH_BITS, dtype=np.int64)).sum())
+
+
 def deterministic_phash(content: bytes) -> int:
     """Mean-threshold hash over 60 evenly sampled payload bytes:
     bit_i = 1 iff 60·byte[i·n//60] > sum(sampled bytes). Exact integer
