@@ -239,11 +239,13 @@ _AUDIO_ENERGY_OUT = StructType(
 
 
 def _real_pcm_decode(content: bytes):
-    """Codec call site: a real deployment decodes compressed audio to a
-    PCM sample array here (ffmpeg/librosa)."""
+    """Codec call site: a real deployment decodes COMPRESSED audio to a
+    PCM sample array here (ffmpeg/librosa). Uncompressed RIFF/WAVE is
+    already a real path — plug ``wav_pcm_decode`` (stdlib, below)."""
     raise NotImplementedError(
-        "audio codecs are not available in this environment; "
-        "use deterministic_pcm_decode for tests"
+        "compressed-audio codecs are not available in this environment; "
+        "use wav_pcm_decode for RIFF/WAVE PCM or deterministic_pcm_decode "
+        "for oracle-checked tests"
     )
 
 
@@ -380,10 +382,12 @@ _PHASH_OUT = StructType(
 
 def _real_phash(content: bytes) -> int:
     """Codec call site: a real deployment decodes the image and
-    computes a DCT-based pHash here (PIL + scipy / imagehash)."""
+    computes a DCT-based pHash here (PIL + scipy / imagehash).
+    Uncompressed BMP is already a real path — ``bmp_average_hash``."""
     raise NotImplementedError(
-        "image codecs are not available in this environment; "
-        "use deterministic_phash for tests"
+        "compressed-image codecs are not available in this environment; "
+        "use bmp_average_hash for BMP payloads or deterministic_phash "
+        "for oracle-checked tests"
     )
 
 
