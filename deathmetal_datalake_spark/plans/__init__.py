@@ -40,6 +40,9 @@ del _rev_q, _rev_o
 # promoted to the head explicitly — the driver's prefix sample then
 # always covers the newest, least-battle-tested surface first.
 _NEWEST_FIRST = [
+    # round 8 (batch 3)
+    "events_outage_gaps",
+    "corpus_anneal_apportionment",
     # round 8 (batch 2)
     "corpus_dedup_token_savings",
     "streaming_peak_concurrency_replay",

@@ -2312,3 +2312,76 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Outage-gap detection (gaps and islands) — the monitoring query that
+# finds windows where a feed went SILENT: per event type, contiguous
+# runs of minutes with no events, reported when the run is at least
+# the alert threshold. Classic lag-window islands: distinct active
+# minutes, the lag gap, one row per qualifying gap with a total-order
+# tie-break. The window runs over the DISTINCT-minute frame (bounded
+# by the time span, not the event count), so the audit costs one
+# distinct aggregate + one per-type window at any scale.
+# ---------------------------------------------------------------------------
+
+_OUTAGE_MIN_GAP_MIN = 3  # report gaps of >= 3 silent minutes
+
+_OUTAGE_SQL = f"""
+WITH minutes AS (
+    SELECT DISTINCT event_type,
+           CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 60) AS BIGINT) AS m
+    FROM events
+),
+gaps AS (
+    SELECT event_type, m,
+           LAG(m) OVER (PARTITION BY event_type ORDER BY m) AS prev_m
+    FROM minutes
+)
+SELECT event_type,
+       make_timestamp((prev_m + 1) * 60 * 1000000) AS gap_start_ts,
+       make_timestamp(m * 60 * 1000000) AS gap_end_ts,
+       CAST(m - prev_m - 1 AS BIGINT) AS silent_minutes
+FROM gaps
+WHERE prev_m IS NOT NULL AND m - prev_m - 1 >= {_OUTAGE_MIN_GAP_MIN}
+ORDER BY silent_minutes DESC, event_type ASC, gap_start_ts ASC
+LIMIT 20
+"""
+
+
+@register("events_outage_gaps", oracle=_OUTAGE_SQL)
+def events_outage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            F.floor(
+                F.expr(
+                    "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                )
+                / 60
+            )
+        )
+        .cast("long")
+        .alias("m"),
+    )
+    minutes = ev.distinct()
+    w = Window.partitionBy("event_type").orderBy("m")
+    gaps = minutes.withColumn("prev_m", F.lag("m").over(w))
+    silent = F.col("m") - F.col("prev_m") - 1
+    return (
+        gaps.filter(F.col("prev_m").isNotNull() & (silent >= _OUTAGE_MIN_GAP_MIN))
+        .select(
+            "event_type",
+            F.expr(
+                "timestampadd(MINUTE, CAST(prev_m + 1 AS INT),"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ).alias("gap_start_ts"),
+            F.expr(
+                "timestampadd(MINUTE, CAST(m AS INT),"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ).alias("gap_end_ts"),
+            silent.cast("long").alias("silent_minutes"),
+        )
+        .orderBy(F.desc("silent_minutes"), F.asc("event_type"), F.asc("gap_start_ts"))
+        .limit(20)
+    )

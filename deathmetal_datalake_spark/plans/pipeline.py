@@ -1274,3 +1274,136 @@ def corpus_dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Annealing-phase apportionment (largest remainder) — the two-phase
+# training-mix allocator: the MAIN phase spreads its token budget over
+# sources in proportion to their full token mass, the ANNEAL phase
+# re-weights toward each source's high-quality half (docs at or above
+# the global median length — the Llama-style end-of-training upsample).
+# Budgets are apportioned with the largest-remainder method, so every
+# phase's integer allocations sum EXACTLY to its budget — floor quotas
+# plus one extra token-block to the sources with the largest
+# remainders (rank window with a total-order tie-break). All integer
+# arithmetic (quota numerators stay ≤ budget × corpus tokens ≪ 2^63);
+# the only corpus-proportional work is one token-count aggregate.
+# ---------------------------------------------------------------------------
+
+_ANNEAL_BUDGETS = {"main": 1_000_000, "anneal": 100_000}
+
+_ANNEAL_SQL = rf"""
+WITH toks AS (
+    SELECT source, n_chars,
+           CAST(len(list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+                                x -> x <> '')) AS BIGINT) AS n_tok
+    FROM documents
+),
+med AS (SELECT median(n_chars) AS med_chars FROM toks),
+weights AS (
+    SELECT 'main' AS phase, source, SUM(n_tok) AS w FROM toks GROUP BY source
+    UNION ALL
+    SELECT 'anneal', t.source, SUM(t.n_tok)
+    FROM toks t, med m WHERE t.n_chars >= m.med_chars GROUP BY t.source
+),
+budgeted AS (
+    SELECT phase, source, w,
+           CASE phase WHEN 'main' THEN {_ANNEAL_BUDGETS["main"]}
+                      ELSE {_ANNEAL_BUDGETS["anneal"]} END AS budget,
+           SUM(w) OVER (PARTITION BY phase) AS tot
+    FROM weights
+),
+quotas AS (
+    SELECT phase, source, w, budget,
+           (budget * w) // tot AS base_alloc,
+           (budget * w) % tot AS remainder,
+           budget - SUM((budget * w) // tot) OVER (PARTITION BY phase)
+               AS leftover,
+           ROW_NUMBER() OVER (PARTITION BY phase
+                              ORDER BY (budget * w) % tot DESC, source ASC)
+               AS rem_rank
+    FROM budgeted
+)
+SELECT phase, source,
+       CAST(w AS BIGINT) AS weight_tokens,
+       CAST(base_alloc AS BIGINT) AS base_alloc,
+       CAST(base_alloc + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc_tokens,
+       ROUND(CAST(base_alloc + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END
+                  AS DOUBLE) / budget, 6) AS alloc_share
+FROM quotas
+ORDER BY phase, source
+"""
+
+
+@register("corpus_anneal_apportionment", oracle=_ANNEAL_SQL)
+def corpus_anneal_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = session_cache(
+        docs.select(
+            "source",
+            "n_chars",
+            F.size(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                    lambda x: x != "",
+                )
+            )
+            .cast("long")
+            .alias("n_tok"),
+        )
+    )
+    med = toks.agg(F.expr("percentile(n_chars, 0.5)").alias("med_chars"))
+    main_w = toks.groupBy("source").agg(F.sum("n_tok").alias("w")).select(
+        F.lit("main").alias("phase"), "source", "w"
+    )
+    anneal_w = (
+        toks.crossJoin(broadcast(med))
+        .filter(F.col("n_chars") >= F.col("med_chars"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").alias("w"))
+        .select(F.lit("anneal").alias("phase"), "source", "w")
+    )
+    budget = (
+        F.when(F.col("phase") == "main", F.lit(_ANNEAL_BUDGETS["main"]))
+        .otherwise(F.lit(_ANNEAL_BUDGETS["anneal"]))
+        .cast("long")
+    )
+    w_phase = Window.partitionBy("phase")
+    budgeted = main_w.unionByName(anneal_w).select(
+        "phase",
+        "source",
+        "w",
+        budget.alias("budget"),
+        F.sum("w").over(w_phase).alias("tot"),
+    )
+    base = F.floor(F.col("budget") * F.col("w") / F.col("tot")).cast("long")
+    quotas = budgeted.select(
+        "phase",
+        "source",
+        "w",
+        "budget",
+        base.alias("base_alloc"),
+        ((F.col("budget") * F.col("w")) % F.col("tot")).alias("remainder"),
+    ).select(
+        "*",
+        (F.col("budget") - F.sum("base_alloc").over(w_phase)).alias("leftover"),
+        F.row_number()
+        .over(w_phase.orderBy(F.desc("remainder"), F.asc("source")))
+        .alias("rem_rank"),
+    )
+    alloc = F.col("base_alloc") + F.when(
+        F.col("rem_rank") <= F.col("leftover"), 1
+    ).otherwise(0)
+    return quotas.select(
+        "phase",
+        "source",
+        F.col("w").cast("long").alias("weight_tokens"),
+        F.col("base_alloc").cast("long").alias("base_alloc"),
+        alloc.cast("long").alias("alloc_tokens"),
+        F.round(alloc.cast("double") / F.col("budget"), 6).alias("alloc_share"),
+    ).orderBy("phase", "source")

@@ -99,6 +99,7 @@ _NONEQUI_OK = {
     "similarity_radius_search",      # brute-force radius scan (≤40-query broadcast)
     "dq_benford_first_digit",        # 1-row digit-total frame crossJoined
     "dq_candidate_key_uniqueness",   # per-key 1-row count frames crossJoined
+    "corpus_anneal_apportionment",   # 1-row median frame crossJoined
 }
 
 
