@@ -370,10 +370,19 @@ LIMIT 20
 def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-    )
+    # Single-token docs contribute no bigrams: unguarded, Spark
+    # sequence(1, 0) descends and element_at(toks, 0) aborts the job
+    # (round-8 degenerate-corpus find — the r7 bigram-lift guard was
+    # missing here). DuckDB's end-exclusive range() is already empty.
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         docs.select(F.explode(grams).alias("bigram"))
         .groupBy("bigram")

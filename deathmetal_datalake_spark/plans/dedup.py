@@ -99,7 +99,14 @@ _SQL_MAX_DF = (
 def _shingles(docs: DataFrame) -> DataFrame:
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), n - (_SHINGLE_N - 1))
+    # Docs shorter than the shingle width contribute NO shingles — the
+    # guard is required, not cosmetic: Spark sequence(1, n-2) DESCENDS
+    # for n < 3 (step defaults to -1) and slice(toks, 0, k) aborts the
+    # job. DuckDB's end-exclusive range() is already empty (round-8
+    # degenerate-corpus find; same class as the bigram-lift r7 fix).
+    idx = F.when(
+        n >= _SHINGLE_N, F.sequence(F.lit(1), n - (_SHINGLE_N - 1))
+    ).otherwise(F.array().cast("array<int>"))
     shingle = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, _SHINGLE_N)))
     return (
         docs.select("doc_id", F.explode(shingle).alias("shingle"))
@@ -128,7 +135,10 @@ def _hashed_shingles(docs: DataFrame) -> DataFrame:
     spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), n - (_SHINGLE_N - 1))
+    # Same short-doc guard as _shingles (descending-sequence crash).
+    idx = F.when(
+        n >= _SHINGLE_N, F.sequence(F.lit(1), n - (_SHINGLE_N - 1))
+    ).otherwise(F.array().cast("array<int>"))
     shingle = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, _SHINGLE_N)))
     hashes = F.array_distinct(F.transform(shingle, lambda s: hash60(s)))
     return spread.select("doc_id", F.explode(hashes).alias("sh"))

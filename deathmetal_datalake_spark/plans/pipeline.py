@@ -1301,10 +1301,15 @@ WITH toks AS (
 ),
 med AS (SELECT median(n_chars) AS med_chars FROM toks),
 weights AS (
-    SELECT 'main' AS phase, source, SUM(n_tok) AS w FROM toks GROUP BY source
+    -- zero-token sources are excluded (they can receive no allocation,
+    -- and dropping them keeps the per-phase total strictly positive so
+    -- the quota division is defined on any non-empty corpus)
+    SELECT 'main' AS phase, source, SUM(n_tok) AS w FROM toks
+    GROUP BY source HAVING SUM(n_tok) > 0
     UNION ALL
     SELECT 'anneal', t.source, SUM(t.n_tok)
-    FROM toks t, med m WHERE t.n_chars >= m.med_chars GROUP BY t.source
+    FROM toks t, med m WHERE t.n_chars >= m.med_chars
+    GROUP BY t.source HAVING SUM(t.n_tok) > 0
 ),
 budgeted AS (
     SELECT phase, source, w,
@@ -1358,14 +1363,18 @@ def corpus_anneal_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     med = toks.agg(F.expr("percentile(n_chars, 0.5)").alias("med_chars"))
-    main_w = toks.groupBy("source").agg(F.sum("n_tok").alias("w")).select(
-        F.lit("main").alias("phase"), "source", "w"
+    main_w = (
+        toks.groupBy("source")
+        .agg(F.sum("n_tok").alias("w"))
+        .filter(F.col("w") > 0)
+        .select(F.lit("main").alias("phase"), "source", "w")
     )
     anneal_w = (
         toks.crossJoin(broadcast(med))
         .filter(F.col("n_chars") >= F.col("med_chars"))
         .groupBy("source")
         .agg(F.sum("n_tok").alias("w"))
+        .filter(F.col("w") > 0)
         .select(F.lit("anneal").alias("phase"), "source", "w")
     )
     budget = (

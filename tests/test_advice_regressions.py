@@ -114,3 +114,52 @@ def test_heaps_vocab_growth_tiny_corpus_emits_all_checkpoints(spark, tmp_path):
         d,
     )
     assert report["match"] is True, report
+
+
+# ---------------------------------------------------------------------------
+# Round-8 hardening: the seventeen round-8 operators are the newest
+# surface — drive the text/corpus ones through a crafted DEGENERATE
+# corpus (empty docs, single-token docs, punctuation-only docs, a
+# whole source with zero tokens) on BOTH engines before any external
+# review finds the edge. This is the corpus_heaps lesson generalized.
+# ---------------------------------------------------------------------------
+
+_DEGENERATE_TEXTS = [
+    "",                     # empty payload
+    "   ",                  # whitespace-only (zero tokens after filter)
+    "solo",                 # one token, no sentence terminator
+    "...!?.",               # punctuation only: sentences split to nothing
+    "a b. c d! e f? g h.",  # regular multi-sentence doc
+    "xyz " * 30,            # repetitive doc
+    "shared boilerplate sentence here. unique tail one.",
+    "shared boilerplate sentence here. unique tail two.",
+    "shared boilerplate sentence here. unique tail three.",
+]
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "text_readability_scores",
+        "text_boilerplate_lines",
+        "corpus_dedup_token_savings",
+        "corpus_anneal_apportionment",
+        "dedup_cluster_size_histogram",
+        "dedup_shingle_df_profile",
+        "text_zipf_rank_frequency",
+        "corpus_heaps_vocab_growth",
+        # the round-8 find: the shingle family crashed on sub-3-token
+        # docs (descending sequence -> slice start 0); pin the guard
+        # across the whole family plus the unguarded top-bigrams twin
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "text_top_bigrams",
+        "contamination_ngram_overlap",
+    ],
+)
+def test_round8_text_ops_survive_degenerate_corpus(spark, tmp_path, name):
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    d = _corpus_with(tmp_path, _doc_rows(spark, _DEGENERATE_TEXTS), spark)
+    report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+    assert report["match"] is True, report
