@@ -47,6 +47,20 @@ def _as_double(col: str) -> Column:
     return F.col(col).cast("array<double>")
 
 
+def _normprod(a: str, b: str) -> Column:
+    """Cosine denominator ‖a‖·‖b‖, NULLed when zero: Spark 4 runs ANSI
+    mode by default, so a zero-norm vector (an all-zero embedding — a
+    realistic padding/dead-row input) would abort every cosine query
+    with DIVIDE_BY_ZERO, while the DuckDB oracles return NULL (x/0)
+    and drop the row at the threshold/rank. NULLIF makes the engines
+    agree: NULL cosine, filtered wherever a threshold or top-k applies
+    (round-8 degenerate-embeddings find)."""
+    return F.nullif(
+        F.sqrt(_dot(F.col(a), F.col(a))) * F.sqrt(_dot(F.col(b), F.col(b))),
+        F.lit(0.0),
+    )
+
+
 _BRUTE_SQL = f"""
 WITH vecs AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
@@ -90,8 +104,7 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 _dot(F.col("qemb"), F.col("emb"))
                 / (
-                    F.sqrt(_dot(F.col("qemb"), F.col("qemb")))
-                    * F.sqrt(_dot(F.col("emb"), F.col("emb")))
+                    _normprod("qemb", "emb")
                 ),
                 4,
             ).alias("cosine"),
@@ -140,8 +153,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = vecs.alias("a")
     b = vecs.alias("b")
     cosine = _dot(F.col("a.emb"), F.col("b.emb")) / (
-        F.sqrt(_dot(F.col("a.emb"), F.col("a.emb")))
-        * F.sqrt(_dot(F.col("b.emb"), F.col("b.emb")))
+        _normprod("a.emb", "b.emb")
     )
     return (
         a.join(
@@ -247,7 +259,7 @@ def similarity_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").alias("qbucket"),
     )
     cosine = _dot(F.col("qemb"), F.col("emb")) / (
-        F.sqrt(_dot(F.col("qemb"), F.col("qemb"))) * F.sqrt(_dot(F.col("emb"), F.col("emb")))
+        _normprod("qemb", "emb")
     )
     scored = (
         bucketed.join(
@@ -367,7 +379,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
     sim_to_centroid = F.round(
         _dot(F.col("emb"), F.col("cemb"))
-        / (F.sqrt(_dot(F.col("emb"), F.col("emb"))) * F.sqrt(_dot(F.col("cemb"), F.col("cemb")))),
+        / (_normprod("emb", "cemb")),
         6,
     )
     w_assign = Window.partitionBy("vec_id").orderBy(
@@ -389,7 +401,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"), F.col("cid").alias("qcid")
     )
     cosine = _dot(F.col("qemb"), F.col("emb")) / (
-        F.sqrt(_dot(F.col("qemb"), F.col("qemb"))) * F.sqrt(_dot(F.col("emb"), F.col("emb")))
+        _normprod("qemb", "emb")
     )
     scored = assigned.join(
         broadcast(queries),
@@ -529,8 +541,7 @@ def _km_assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
     sim = F.round(
         _dot(F.col("emb"), F.col("cemb"))
         / (
-            F.sqrt(_dot(F.col("emb"), F.col("emb")))
-            * F.sqrt(_dot(F.col("cemb"), F.col("cemb")))
+            _normprod("emb", "cemb")
         ),
         6,
     )
@@ -626,7 +637,7 @@ def similarity_retrieval_with_metadata(spark: SparkSession, sf_dir: str) -> Data
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
     )
     cosine = _dot(F.col("qemb"), F.col("emb")) / (
-        F.sqrt(_dot(F.col("qemb"), F.col("qemb"))) * F.sqrt(_dot(F.col("emb"), F.col("emb")))
+        _normprod("qemb", "emb")
     )
     scored = (
         vecs.join(broadcast(queries), F.col("query_id") != F.col("vec_id"))
@@ -793,7 +804,7 @@ def similarity_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFram
     ).select(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
     sim_to_centroid = F.round(
         _dot(F.col("emb"), F.col("cemb"))
-        / (F.sqrt(_dot(F.col("emb"), F.col("emb"))) * F.sqrt(_dot(F.col("cemb"), F.col("cemb")))),
+        / (_normprod("emb", "cemb")),
         6,
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("centroid_sim"), F.asc("cid"))
@@ -827,7 +838,7 @@ def similarity_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFram
         .join(queries, "query_id")
     )
     cosine = _dot(F.col("qemb"), F.col("emb")) / (
-        F.sqrt(_dot(F.col("qemb"), F.col("qemb"))) * F.sqrt(_dot(F.col("emb"), F.col("emb")))
+        _normprod("qemb", "emb")
     )
     scored = assigned.join(
         broadcast(probes),
@@ -1056,8 +1067,7 @@ def similarity_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFr
             F.round(
                 _dot(F.col("qemb"), F.col("emb"))
                 / (
-                    F.sqrt(_dot(F.col("qemb"), F.col("qemb")))
-                    * F.sqrt(_dot(F.col("emb"), F.col("emb")))
+                    _normprod("qemb", "emb")
                 ),
                 4,
             ).alias("cosine"),
@@ -1240,7 +1250,7 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
     sim_to_centroid = F.round(
         _dot(F.col("emb"), F.col("cemb"))
-        / (F.sqrt(_dot(F.col("emb"), F.col("emb"))) * F.sqrt(_dot(F.col("cemb"), F.col("cemb")))),
+        / (_normprod("emb", "cemb")),
         6,
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("centroid_sim"), F.asc("cid"))
@@ -1259,7 +1269,7 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cid").alias("qcid"),
     )
     cosine = _dot(F.col("qemb"), F.col("emb")) / (
-        F.sqrt(_dot(F.col("qemb"), F.col("qemb"))) * F.sqrt(_dot(F.col("emb"), F.col("emb")))
+        _normprod("qemb", "emb")
     )
     scored = assigned.join(
         broadcast(queries),
@@ -1361,7 +1371,7 @@ def dedup_semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
     sim_to_centroid = F.round(
         _dot(F.col("emb"), F.col("cemb"))
-        / (F.sqrt(_dot(F.col("emb"), F.col("emb"))) * F.sqrt(_dot(F.col("cemb"), F.col("cemb")))),
+        / (_normprod("emb", "cemb")),
         6,
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("centroid_sim"), F.asc("cid"))
@@ -1387,7 +1397,7 @@ def dedup_semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cosine = F.round(
         _dot(F.col("a_emb"), F.col("emb"))
-        / (F.sqrt(_dot(F.col("a_emb"), F.col("a_emb"))) * F.sqrt(_dot(F.col("emb"), F.col("emb")))),
+        / (_normprod("a_emb", "emb")),
         6,
     )
     pairs = (
@@ -1849,8 +1859,7 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = F.round(
         _dot(F.col("emb"), F.col("cemb"))
         / (
-            F.sqrt(_dot(F.col("emb"), F.col("emb")))
-            * F.sqrt(_dot(F.col("cemb"), F.col("cemb")))
+            _normprod("emb", "cemb")
         ),
         6,
     )
@@ -1966,8 +1975,7 @@ def similarity_mutual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             _dot(F.col("aemb"), F.col("bemb"))
             / (
-                F.sqrt(_dot(F.col("aemb"), F.col("aemb")))
-                * F.sqrt(_dot(F.col("bemb"), F.col("bemb")))
+                _normprod("aemb", "bemb")
             ),
             4,
         ).alias("cosine"),
@@ -2090,8 +2098,7 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             _dot(F.col("qemb"), F.col("emb"))
             / (
-                F.sqrt(_dot(F.col("qemb"), F.col("qemb")))
-                * F.sqrt(_dot(F.col("emb"), F.col("emb")))
+                _normprod("qemb", "emb")
             ),
             4,
         ).alias("rel"),
@@ -2111,8 +2118,7 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     div = F.round(
         _dot(F.col("emb"), F.col("a_emb"))
         / (
-            F.sqrt(_dot(F.col("emb"), F.col("emb")))
-            * F.sqrt(_dot(F.col("a_emb"), F.col("a_emb")))
+            _normprod("emb", "a_emb")
         ),
         4,
     )
@@ -2262,8 +2268,7 @@ def similarity_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos_qv = F.round(
         _dot(F.col("qemb"), F.col("emb"))
         / (
-            F.sqrt(_dot(F.col("qemb"), F.col("qemb")))
-            * F.sqrt(_dot(F.col("emb"), F.col("emb")))
+            _normprod("qemb", "emb")
         ),
         4,
     )
@@ -2282,8 +2287,7 @@ def similarity_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos_vc = F.round(
         _dot(F.col("emb"), F.col("cemb"))
         / (
-            F.sqrt(_dot(F.col("emb"), F.col("emb")))
-            * F.sqrt(_dot(F.col("cemb"), F.col("cemb")))
+            _normprod("emb", "cemb")
         ),
         6,
     )
@@ -2299,8 +2303,7 @@ def similarity_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos_qc = F.round(
         _dot(F.col("qemb"), F.col("cemb"))
         / (
-            F.sqrt(_dot(F.col("qemb"), F.col("qemb")))
-            * F.sqrt(_dot(F.col("cemb"), F.col("cemb")))
+            _normprod("qemb", "cemb")
         ),
         6,
     )
@@ -2326,8 +2329,7 @@ def similarity_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 _dot(F.col("q.qemb"), F.col("v.emb"))
                 / (
-                    F.sqrt(_dot(F.col("q.qemb"), F.col("q.qemb")))
-                    * F.sqrt(_dot(F.col("v.emb"), F.col("v.emb")))
+                    _normprod("q.qemb", "v.emb")
                 ),
                 4,
             ).alias("cosine"),
@@ -2453,8 +2455,7 @@ def similarity_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             _dot(F.col("qemb"), F.col("emb"))
             / (
-                F.sqrt(_dot(F.col("qemb"), F.col("qemb")))
-                * F.sqrt(_dot(F.col("emb"), F.col("emb")))
+                _normprod("qemb", "emb")
             ),
             4,
         ).alias("cosine"),
@@ -2626,8 +2627,7 @@ def similarity_binary_sign_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 _dot(F.col("qemb"), F.col("emb"))
                 / (
-                    F.sqrt(_dot(F.col("qemb"), F.col("qemb")))
-                    * F.sqrt(_dot(F.col("emb"), F.col("emb")))
+                    _normprod("qemb", "emb")
                 ),
                 4,
             ).alias("cosine"),
@@ -2723,8 +2723,7 @@ def similarity_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             _dot(F.col("qemb"), F.col("emb"))
             / (
-                F.sqrt(_dot(F.col("qemb"), F.col("qemb")))
-                * F.sqrt(_dot(F.col("emb"), F.col("emb")))
+                _normprod("qemb", "emb")
             ),
             4,
         ).alias("cosine"),

@@ -163,3 +163,56 @@ def test_round8_text_ops_survive_degenerate_corpus(spark, tmp_path, name):
     d = _corpus_with(tmp_path, _doc_rows(spark, _DEGENERATE_TEXTS), spark)
     report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
     assert report["match"] is True, report
+
+
+# ---------------------------------------------------------------------------
+# Degenerate EMBEDDINGS: a zero-norm vector (all-zero embedding — a
+# realistic padding/dead-row artifact) must not abort the cosine
+# family. Spark 4 runs ANSI mode, so the unguarded ‖a‖·‖b‖ divisor
+# raised DIVIDE_BY_ZERO while the DuckDB oracle returned NULL and
+# dropped the row — _normprod's NULLIF makes both engines agree.
+# ---------------------------------------------------------------------------
+
+
+def _embeddings_with(tmp_path, spark, rows):
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    for name in os.listdir(SF_DIR):
+        if name != "embeddings.parquet":
+            os.symlink(os.path.join(SF_DIR, name), os.path.join(d, name))
+    base = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    crafted = spark.createDataFrame(rows, base.schema)
+    crafted.coalesce(1).write.parquet(str(tmp_path / "emb_tmp"))
+    part = [f for f in os.listdir(tmp_path / "emb_tmp") if f.endswith(".parquet")][0]
+    shutil.copyfile(
+        str(tmp_path / "emb_tmp" / part), os.path.join(d, "embeddings.parquet")
+    )
+    return d
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "similarity_bruteforce_topk",
+        "similarity_radius_search",
+        "dedup_embedding_cosine",
+        "embedding_norm_outliers",
+        "similarity_mutual_topk",
+    ],
+)
+def test_cosine_family_survives_zero_norm_vector(spark, tmp_path, name):
+    import math
+
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    rng_rows = []
+    for i in range(60):
+        # deterministic pseudo-embedding; vec 7 (corpus side) AND
+        # vec 50 (a query vector) are all-zero rows
+        emb = [0.0] * 64 if i in (7, 50) else [
+            math.sin(0.1 * i + 0.01 * j) for j in range(64)
+        ]
+        rng_rows.append((i, emb, i % 3))
+    d = _embeddings_with(tmp_path, spark, rng_rows)
+    report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+    assert report["match"] is True, report
