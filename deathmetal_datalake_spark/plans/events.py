@@ -2086,11 +2086,19 @@ def events_ab_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("long").alias("syb"),
     )
     d = lambda c: F.col(c).cast("double")  # noqa: E731
-    raw = d("syb") / F.col("nb") - d("sya") / F.col("na")
-    theta = (d("n") * d("sxy") - d("sx") * d("sy")) / (
-        d("n") * d("sxx") - d("sx") * d("sx")
+    # NULLIF guards (round-8 degenerate-events find): an experiment with
+    # NO pre-period data has every per-user x = 0, so theta's variance
+    # denominator is exactly 0 — and a tiny corpus can hash every user
+    # into one variant (na or nb = 0). Spark's default ANSI mode aborts
+    # on those divisions; the oracle yields NULL (x/0). NULLIF makes
+    # both engines report NULL lifts instead of crashing the readout.
+    nb = F.nullif(d("nb"), F.lit(0.0))
+    na = F.nullif(d("na"), F.lit(0.0))
+    raw = d("syb") / nb - d("sya") / na
+    theta = (d("n") * d("sxy") - d("sx") * d("sy")) / F.nullif(
+        d("n") * d("sxx") - d("sx") * d("sx"), F.lit(0.0)
     )
-    cov_lift = d("sxb") / F.col("nb") - d("sxa") / F.col("na")
+    cov_lift = d("sxb") / nb - d("sxa") / na
     return m.select(
         F.col("na").alias("n_users_a"),
         F.col("nb").alias("n_users_b"),

@@ -136,7 +136,12 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n_tokens.alias("n_tokens"),
         F.round(n_stop.cast("double") / n_tokens, 6).alias("stopword_ratio"),
-        F.round(n_punct.cast("double") / F.length("text"), 6).alias("punct_ratio"),
+        # NULLIF: an empty doc has zero chars, and Spark's default ANSI
+        # mode would abort the scan where the oracle yields NULL (x/0)
+        # — round-8 degenerate-corpus find.
+        F.round(
+            n_punct.cast("double") / F.nullif(F.length("text"), F.lit(0)), 6
+        ).alias("punct_ratio"),
         F.round(token_chars.cast("double") / n_tokens, 6).alias("mean_token_len"),
     )
 
@@ -291,7 +296,10 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens = F.size(toks)
     stop = F.array(*[F.lit(s) for s in _STOPWORDS])
     stop_r = F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast("double") / n_tokens
-    punct_r = F.length(F.regexp_replace("text", r"[^.,!?;:]", "")).cast("double") / F.length("text")
+    # NULLIF mirrors the oracle's x/0 -> NULL on empty docs (ANSI guard).
+    punct_r = F.length(F.regexp_replace("text", r"[^.,!?;:]", "")).cast(
+        "double"
+    ) / F.nullif(F.length("text"), F.lit(0))
     mean_len = (
         F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)).cast("double")
         / n_tokens

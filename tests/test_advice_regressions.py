@@ -155,6 +155,10 @@ _DEGENERATE_TEXTS = [
         "dedup_minhash_lsh",
         "text_top_bigrams",
         "contamination_ngram_overlap",
+        # round-8 ANSI-division finds: empty docs crashed the quality
+        # scorer's punct ratio (zero chars) on the Spark side only
+        "text_quality_scores",
+        "text_quality_filter",
     ],
 )
 def test_round8_text_ops_survive_degenerate_corpus(spark, tmp_path, name):
@@ -215,4 +219,94 @@ def test_cosine_family_survives_zero_norm_vector(spark, tmp_path, name):
         rng_rows.append((i, emb, i % 3))
     d = _embeddings_with(tmp_path, spark, rng_rows)
     report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+    assert report["match"] is True, report
+
+
+# ---------------------------------------------------------------------------
+# Degenerate EVENTS: constant-value users (zero variance), single-event
+# users, null values/props, identical timestamps (tie-break stress),
+# and — the round-8 ANSI find — an experiment window with NO pre-period
+# data (every per-user covariate sums to 0, so CUPED's variance
+# denominator is exactly zero; Spark's default ANSI mode aborted while
+# the oracle yielded NULL).
+# ---------------------------------------------------------------------------
+
+
+def _events_with(tmp_path, spark, rows):
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    for name in os.listdir(SF_DIR):
+        if name != "events.parquet":
+            os.symlink(os.path.join(SF_DIR, name), os.path.join(d, name))
+    crafted = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    crafted.coalesce(1).write.parquet(str(tmp_path / "ev_tmp"))
+    part = [f for f in os.listdir(tmp_path / "ev_tmp") if f.endswith(".parquet")][0]
+    shutil.copyfile(
+        str(tmp_path / "ev_tmp" / part), os.path.join(d, "events.parquet")
+    )
+    return d
+
+
+def _degenerate_event_rows():
+    import datetime
+
+    T0 = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for k in range(40):  # constant value: zero variance windows
+        rows.append((eid, T0 + datetime.timedelta(minutes=10 * k), 1, "click", 5.0, '{"k": 1}'))
+        eid += 1
+    rows.append((eid, T0 + datetime.timedelta(hours=3), 2, "view", 1.0, '{"k": 2}'))
+    eid += 1
+    for k in range(5):  # null value + props
+        rows.append((eid, T0 + datetime.timedelta(hours=k), 3, "purchase", None, None))
+        eid += 1
+    for k in range(4):  # identical timestamps
+        rows.append((eid, T0 + datetime.timedelta(hours=1), 4, "click", float(k), '{"k":4}'))
+        eid += 1
+    return rows
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "events_ab_cuped_adjusted_lift",
+        "events_trailing_zscore",
+        "events_sessionization_30min",
+        "events_peak_concurrency",
+        "events_type_transition_matrix",
+        "events_asof_click_before_purchase",
+        "events_session_features",
+        "events_outage_gaps",
+    ],
+)
+def test_events_ops_survive_degenerate_events(spark, tmp_path, name):
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    d = _events_with(tmp_path, spark, _degenerate_event_rows())
+    report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+    assert report["match"] is True, report
+
+
+def test_cuped_survives_empty_pre_period(spark, tmp_path):
+    import datetime
+
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    T0 = datetime.datetime(2025, 6, 1)  # entirely after _CUPED_CUTOFF
+    rows = [
+        (i, T0 + datetime.timedelta(hours=i), i % 7, "click", 2.5, None)
+        for i in range(50)
+    ]
+    d = _events_with(tmp_path, spark, rows)
+    report = compare_query(
+        spark,
+        "events_ab_cuped_adjusted_lift",
+        QUERIES["events_ab_cuped_adjusted_lift"],
+        ORACLES["events_ab_cuped_adjusted_lift"],
+        d,
+    )
     assert report["match"] is True, report
