@@ -425,8 +425,17 @@ def dq_distribution_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_cur_bin"),
     )
-    share_ref = F.col("n_ref_bin").cast("double") / F.col("n_ref")
-    share_cur = F.col("n_cur_bin").cast("double") / F.col("n_cur")
+    # NULLIF: an entirely-one-era table (a fresh feed with no reference
+    # window, or a frozen reference with no current rows) zeroes one
+    # denominator — Spark's default ANSI mode would abort the audit
+    # where the oracle yields NULL shares (round-8 degenerate-orders
+    # find).
+    share_ref = F.col("n_ref_bin").cast("double") / F.nullif(
+        F.col("n_ref"), F.lit(0)
+    )
+    share_cur = F.col("n_cur_bin").cast("double") / F.nullif(
+        F.col("n_cur"), F.lit(0)
+    )
     return (
         per_bin.crossJoin(broadcast(tot))
         .select(

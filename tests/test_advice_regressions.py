@@ -310,3 +310,58 @@ def test_cuped_survives_empty_pre_period(spark, tmp_path):
         d,
     )
     assert report["match"] is True, report
+
+
+# ---------------------------------------------------------------------------
+# Degenerate ORDERS: all rows in one drift era (a fresh feed has no
+# reference window — n_ref = 0 zeroed the share denominator and
+# Spark's ANSI mode aborted the audit where the oracle yields NULL),
+# plus sub-1 prices (Benford filter edge), a single-order customer,
+# and flat prices (quintile tie stress).
+# ---------------------------------------------------------------------------
+
+
+def _orders_with(tmp_path, spark, rows):
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    for name in os.listdir(SF_DIR):
+        if name != "orders.parquet":
+            os.symlink(os.path.join(SF_DIR, name), os.path.join(d, name))
+    crafted = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string",
+    )
+    crafted.coalesce(1).write.parquet(str(tmp_path / "o_tmp"))
+    part = [f for f in os.listdir(tmp_path / "o_tmp") if f.endswith(".parquet")][0]
+    shutil.copyfile(
+        str(tmp_path / "o_tmp" / part), os.path.join(d, "orders.parquet")
+    )
+    return d
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dq_distribution_drift_orders",
+        "dq_benford_first_digit",
+        "dq_candidate_key_uniqueness",
+        "events_rfm_quintiles",
+        "orders_yoy_revenue_growth",
+    ],
+)
+def test_orders_ops_survive_single_era_orders(spark, tmp_path, name):
+    import datetime
+
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    T1 = datetime.datetime(1998, 6, 1)  # entirely after the drift cutoff
+    rows = [
+        (i, 1, "O", 100.0, T1 + datetime.timedelta(days=i), "1-URGENT")
+        for i in range(30)
+    ]
+    rows.append((30, 2, "F", 0.5, T1, "2-HIGH"))
+    rows.append((31, 3, "P", 250000.0, T1, "3-MEDIUM"))
+    d = _orders_with(tmp_path, spark, rows)
+    report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+    assert report["match"] is True, report
