@@ -574,7 +574,11 @@ class IcebergScanPlanner:
         ]
         df = parts[0]
         for p in parts[1:]:
-            df = df.unionByName(p)
+            # allowMissingColumns: sequence groups may span a schema
+            # evolution (columns added in a later snapshot read NULL
+            # from older files — the same semantics one mixed
+            # read.parquet(*all) call gave before seq-grouping).
+            df = df.unionByName(p, allowMissingColumns=True)
         # One anti-join per (key-columns, delete sequence) group,
         # applied only to the strictly-older slice of the scan.
         by_key: dict[tuple, list[str]] = {}
