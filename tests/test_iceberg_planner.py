@@ -263,3 +263,40 @@ def test_equality_delete_is_sequence_scoped(spark, tmp_path):
     assert got == native
     assert (3, "new3") in got, "re-inserted key was dropped by an older delete"
     assert all(u != 7 for u, _ in got), "deleted key leaked back"
+
+
+def test_sequence_scoped_deletes_across_schema_evolution(spark, tmp_path):
+    # Round-8 robustness: execute() groups planned files by data
+    # sequence number; when those groups span a schema evolution
+    # (a column added in a later snapshot), the union must read NULL
+    # for the new column from older files — the same semantics one
+    # mixed parquet read gives — while the delete still applies only
+    # to strictly-older files.
+    from pyspark.sql import functions as F
+
+    from deathmetal_datalake_spark.sources.iceberg_planner import IcebergScanPlanner
+    from deathmetal_datalake_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl_evo"))
+    v1 = spark.range(10).select(
+        F.col("id").alias("user_id"),
+        F.concat(F.lit("old"), F.col("id")).alias("name"),
+    )
+    t.write(v1, mode="overwrite")
+    t.delete_keys(v1.filter(F.col("user_id") == 4).select("user_id"), "user_id")
+    # re-insert key 4 WITH an added column (schema evolution + newer seq)
+    v2 = spark.range(4, 5).select(
+        F.col("id").alias("user_id"),
+        F.lit("new4").alias("name"),
+        F.lit("extra").alias("tag"),
+    )
+    t.write(v2, mode="append")
+
+    planner = IcebergScanPlanner(spark, t.export_iceberg_metadata(codec="avro"))
+    plan = planner.plan_scan()
+    got = {
+        (r["user_id"], r["name"]) for r in planner.execute(plan).collect()
+    }
+    assert (4, "new4") in got, "re-inserted evolved row dropped"
+    assert (4, "old4") not in got, "deleted pre-evolution row leaked"
+    assert len(got) == 10  # 10 originals - 1 deleted + 1 re-inserted
