@@ -1390,7 +1390,9 @@ def corpus_anneal_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget.alias("budget"),
         F.sum("w").over(w_phase).alias("tot"),
     )
-    base = F.floor(F.col("budget") * F.col("w") / F.col("tot")).cast("long")
+    # Integer `div`, not floor(double /): budget*w can exceed 2^53, where a
+    # double floor diverges from the exact quotient the oracle's // computes.
+    base = F.expr("(budget * w) div tot").cast("long")
     quotas = budgeted.select(
         "phase",
         "source",

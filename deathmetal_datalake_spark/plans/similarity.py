@@ -2755,7 +2755,9 @@ def similarity_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus size.
 # ---------------------------------------------------------------------------
 
-_DRIFT_DIMS = 64
+# Single source of truth for embedding width (ADVICE r8): reuse _EMB_DIM
+# rather than a parallel constant that could drift.
+_DRIFT_DIMS = _EMB_DIM
 
 _CENTROID_DRIFT_SQL = f"""
 WITH vecs AS (

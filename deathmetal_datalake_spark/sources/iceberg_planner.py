@@ -522,7 +522,14 @@ class IcebergScanPlanner:
                             EqualityDelete(
                                 file_path=e.data_file.file_path,
                                 equality_ids=list(e.data_file.equality_ids or []),
-                                sequence_number=e.sequence_number or mf.sequence_number,
+                                # Same inheritance rule as the data-file path:
+                                # an EXPLICIT 0 is a real sequence number, only
+                                # null inherits the manifest's.
+                                sequence_number=(
+                                    e.sequence_number
+                                    if e.sequence_number is not None
+                                    else mf.sequence_number
+                                ),
                             )
                         )
                 continue
@@ -568,10 +575,17 @@ class IcebergScanPlanner:
         by_seq: dict[int, list[str]] = {}
         for f in plan.data_files:
             by_seq.setdefault(f.sequence_number or 0, []).append(f.file_path)
-        parts = [
-            self.spark.read.parquet(*paths).withColumn("__seq", F.lit(seq))
+        raw_parts = [
+            (seq, self.spark.read.parquet(*paths))
             for seq, paths in sorted(by_seq.items())
         ]
+        # Collision-checked tag name: a table may legitimately own a
+        # "__seq" data column; never overwrite user data with the tag.
+        data_cols = {c for _, p in raw_parts for c in p.columns}
+        seq_col = "__seq"
+        while seq_col in data_cols:
+            seq_col = "_" + seq_col
+        parts = [p.withColumn(seq_col, F.lit(seq)) for seq, p in raw_parts]
         df = parts[0]
         for p in parts[1:]:
             # allowMissingColumns: sequence groups may span a schema
@@ -589,9 +603,9 @@ class IcebergScanPlanner:
             if not any(seq < dseq for seq in by_seq):
                 continue  # no planned file is older than this delete
             dels = self.spark.read.parquet(*paths).select(*cols).distinct()
-            older = df.filter(F.col("__seq") < F.lit(dseq)).join(
+            older = df.filter(F.col(seq_col) < F.lit(dseq)).join(
                 dels, on=list(cols), how="left_anti"
             )
-            newer = df.filter(F.col("__seq") >= F.lit(dseq))
+            newer = df.filter(F.col(seq_col) >= F.lit(dseq))
             df = older.unionByName(newer)
-        return df.drop("__seq")
+        return df.drop(seq_col)

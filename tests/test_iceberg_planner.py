@@ -300,3 +300,36 @@ def test_sequence_scoped_deletes_across_schema_evolution(spark, tmp_path):
     assert (4, "new4") in got, "re-inserted evolved row dropped"
     assert (4, "old4") not in got, "deleted pre-evolution row leaked"
     assert len(got) == 10  # 10 originals - 1 deleted + 1 re-inserted
+
+
+def test_seq_tag_name_avoids_user_column_collision(spark, tmp_path):
+    # Round-9 ADVICE: execute() tags sequence groups with a helper
+    # column; a table that legitimately owns a "__seq" data column must
+    # not have it overwritten by the tag (and it must survive in the
+    # output).
+    from pyspark.sql import functions as F
+
+    from deathmetal_datalake_spark.sources.iceberg_planner import IcebergScanPlanner
+    from deathmetal_datalake_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl_seqcol"))
+    df = spark.range(8).select(
+        F.col("id").alias("user_id"),
+        (F.col("id") * 100).alias("__seq"),  # user-owned column, real data
+    )
+    t.write(df, mode="overwrite")
+    t.delete_keys(df.filter(F.col("user_id") == 2).select("user_id"), "user_id")
+    t.write(
+        spark.range(2, 3).select(
+            F.col("id").alias("user_id"), F.lit(999).alias("__seq")
+        ),
+        mode="append",
+    )
+
+    planner = IcebergScanPlanner(spark, t.export_iceberg_metadata(codec="avro"))
+    out = planner.execute(planner.plan_scan())
+    assert "__seq" in out.columns, "user __seq column dropped by the tag"
+    got = sorted((r["user_id"], r["__seq"]) for r in out.collect())
+    native = sorted((r["user_id"], r["__seq"]) for r in t.read().collect())
+    assert got == native
+    assert (2, 999) in got and (2, 200) not in got
