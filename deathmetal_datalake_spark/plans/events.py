@@ -2114,11 +2114,12 @@ def events_ab_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame
 # watermark), Frequency (order count), Monetary (exact decimal revenue
 # sum), each NTILE(5)-scored with a unique tie-break so bucket
 # assignment is engine-deterministic, folded to the 125-cell segment
-# summary. The NTILE windows run over the per-CUSTOMER aggregate —
-# already |customers| ≪ |orders| — but are still global sorts; the
-# documented 100 TB form replaces exact NTILE with fixed quantile
-# boundaries from approx_percentile (one pass, no global sort), the
-# same trade events_approx_distinct_* quantifies for distincts.
+# summary. The three quintile scores are EXACT NTILE semantics computed
+# scale-safely (round-9): a two-phase distributed rank per dimension
+# (operators/ordering.two_phase_order) plus closed-form bucket sizing
+# (ntile_from_rank), bit-identical to the oracle's NTILE windows with
+# no single-task sort anywhere — exactness without the approx trade
+# the docstring used to defer to.
 # ---------------------------------------------------------------------------
 
 _RFM_SQL = f"""
@@ -2172,16 +2173,33 @@ def events_rfm_quintiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    scored = per_cust.select(
-        F.ntile(5)
-        .over(Window.orderBy(F.asc("recency_days"), F.asc("o_custkey")))
-        .alias("r_quintile"),
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
-        .alias("f_quintile"),
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
-        .alias("m_quintile"),
+    # Three distributed two-phase ranks replace the three global NTILE
+    # windows (round-9: each was a sequential single-task sort of the
+    # whole customer frame at scale). ntile_from_rank reproduces SQL
+    # NTILE bucket sizing exactly from (rank, N), so the result is
+    # bit-identical to the windowed form the oracle still runs.
+    from deathmetal_datalake_spark.operators.ordering import (
+        ntile_from_rank,
+        two_phase_order,
+    )
+
+    ranked = two_phase_order(
+        per_cust,
+        [F.asc("recency_days"), F.asc("o_custkey")],
+        rank_col="r_rank",
+        n_total_col="n_cust",
+    )
+    ranked = two_phase_order(
+        ranked, [F.desc("frequency"), F.asc("o_custkey")], rank_col="f_rank"
+    )
+    ranked = two_phase_order(
+        ranked, [F.desc("monetary"), F.asc("o_custkey")], rank_col="m_rank"
+    )
+    n = F.col("n_cust")
+    scored = ranked.select(
+        ntile_from_rank(F.col("r_rank"), n, 5).alias("r_quintile"),
+        ntile_from_rank(F.col("f_rank"), n, 5).alias("f_quintile"),
+        ntile_from_rank(F.col("m_rank"), n, 5).alias("m_quintile"),
         "monetary",
     )
     return (

@@ -1114,9 +1114,10 @@ def corpus_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFram
 # token prefix-sum, keep while the RUNNING total fits the budget
 # (whole docs; first overflowing doc is excluded, scan continues — the
 # standard best-fit-greedy simplification). Budget = 50% of corpus
-# tokens, so the query is scale-free. One global ordering over the
-# per-doc stats frame (one row per doc, not per token); at 100 TB the
-# same selection runs per-shard with per-shard budgets.
+# tokens, so the query is scale-free. The cumulative prefix sum is a
+# two-phase distributed ordering (operators/ordering.two_phase_order:
+# range shuffle on the quality key + per-range prefix sums + broadcast
+# range offsets) — no single task ever holds the per-doc frame.
 # ---------------------------------------------------------------------------
 
 from deathmetal_datalake_spark.plans.text import (  # noqa: E402
@@ -1167,19 +1168,24 @@ def corpus_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(toks, lambda t: t.isin(*_STOP_LIST))).alias("n_stop"),
     )
     tot = stats.agg(F.sum("n_tokens").cast("long").alias("corpus_tokens"))
-    w = Window.orderBy(
-        (F.col("n_stop").cast("double") / F.col("n_tokens")).asc(),
-        F.col("doc_id").asc(),
-    ).rowsBetween(Window.unboundedPreceding, 0)
-    ranked = (
-        stats.crossJoin(broadcast(tot))
-        .withColumn(
-            "budget",
-            (F.col("corpus_tokens") * _BUDGET_PCT_NUM / _BUDGET_PCT_DEN).cast(
-                "long"
-            ),
-        )
-        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    # Two-phase distributed running sum (round-9: replaces a global
+    # window that single-task-sorted the whole per-doc frame): range
+    # shuffle on the quality key, per-range prefix sums, broadcast
+    # cumulative range offsets. Integer token counts, so the sum is
+    # exactly the sequential one.
+    from deathmetal_datalake_spark.operators.ordering import two_phase_order
+
+    summed = two_phase_order(
+        stats,
+        [
+            (F.col("n_stop").cast("double") / F.col("n_tokens")).asc(),
+            F.col("doc_id").asc(),
+        ],
+        cumsum=("n_tokens", "cum_tokens"),
+    )
+    ranked = summed.crossJoin(broadcast(tot)).withColumn(
+        "budget",
+        (F.col("corpus_tokens") * _BUDGET_PCT_NUM / _BUDGET_PCT_DEN).cast("long"),
     )
     kept = ranked.filter(F.col("cum_tokens") <= F.col("budget"))
     return kept.agg(

@@ -1855,10 +1855,10 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # doc_id). Computed without re-scanning per checkpoint: each type
 # contributes from its FIRST occurrence rank, each doc's token count
 # from its own rank, so both cumulatives are one aggregate joined to a
-# 10-row checkpoint frame. The doc-rank window is a single-partition
-# exchange over one row per DOCUMENT (not per token) — at 100 TB you'd
-# derive the rank from the id's zone map instead; the token-side work
-# stays fully distributed.
+# 10-row checkpoint frame. The doc rank is a two-phase distributed
+# rank (operators/ordering.two_phase_order — range shuffle +
+# per-partition row_number + broadcast offsets), so no stage holds the
+# whole document frame; the token-side work stays fully distributed.
 # ---------------------------------------------------------------------------
 
 _HEAPS_CHECKPOINTS = 10
@@ -1902,12 +1902,16 @@ ORDER BY checkpoint
 
 @register("corpus_heaps_vocab_growth", oracle=_HEAPS_SQL)
 def corpus_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
     from pyspark.sql.functions import broadcast
 
+    from deathmetal_datalake_spark.operators.ordering import two_phase_order
+
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.orderBy("doc_id")
-    ranks = docs.select("doc_id").withColumn("r", F.row_number().over(w))
+    # Two-phase distributed rank over the per-document frame (round-9:
+    # replaces a single-task global row_number window); no broadcast
+    # hint on the join back — the rank frame is doc-proportional, so
+    # AQE picks broadcast at small scale and a shuffle join at 100 TB.
+    ranks = two_phase_order(docs.select("doc_id"), [F.asc("doc_id")], rank_col="r")
     n_docs = docs.count()  # one scalar action; mirrors the oracle's MAX(n_docs)
     tokr = (
         spread(docs)
@@ -1915,7 +1919,7 @@ def corpus_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
         )
-        .join(broadcast(ranks), "doc_id")
+        .join(ranks, "doc_id")
     )
     first_seen = tokr.groupBy("token").agg(F.min("r").alias("first_r"))
     doc_tokens = tokr.groupBy("r").agg(F.count(F.lit(1)).alias("n_tok"))
@@ -2000,7 +2004,7 @@ ORDER BY 1
 
 @register("text_zipf_rank_frequency", oracle=_ZIPF_SQL)
 def text_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from deathmetal_datalake_spark.operators.ordering import two_phase_order
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     counts = (
@@ -2010,8 +2014,14 @@ def text_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    w = Window.orderBy(F.desc("c"), F.asc("token"))
-    ranked = counts.withColumn("rnk", F.row_number().over(w))
+    # Two-phase distributed rank (round-9): the round-6 unigram scorer
+    # in this file refuses to broadcast the vocabulary because
+    # web-scale vocabularies don't fit one executor — the same frame
+    # must not be sorted in one task either. Bit-identical to the old
+    # global row_number window (unique tie-break on token).
+    ranked = two_phase_order(
+        counts, [F.desc("c"), F.asc("token")], rank_col="rnk"
+    )
     bucket = (F.length(F.bin(F.col("rnk"))) - 1).cast("long")
     return (
         ranked.groupBy(bucket.alias("log2_rank_bucket"))

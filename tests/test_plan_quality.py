@@ -49,6 +49,56 @@ def _parquet_scans(df):
             out.append((paths, fields))
     return out
 
+def _empty_partition_windows(plan: str) -> list[str]:
+    """windowspecdefinition(...) snippets whose PARTITION spec is empty.
+
+    Spark executes such windows as one task holding the whole frame
+    (Exchange SinglePartition → sort → window) — the round-8 verdict's
+    scale-killer class. In the spec's printed args, partition columns
+    come before the sort orders, and sort orders always carry ASC/DESC,
+    so an empty partition spec ⇔ the FIRST top-level argument is a sort
+    spec. Top-level split tolerates nested parens (CASE WHEN keys)."""
+    out = []
+    pos = 0
+    while True:
+        i = plan.find("windowspecdefinition(", pos)
+        if i < 0:
+            return out
+        j = i + len("windowspecdefinition(")
+        depth, args, cur = 1, [], []
+        while j < len(plan) and depth:
+            ch = plan[j]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            if ch == "," and depth == 1:
+                args.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+            j += 1
+        args.append("".join(cur))
+        pos = j
+        first = args[0] if args else ""
+        if " ASC" in first or " DESC" in first:
+            out.append(plan[i : min(j + 1, i + 300)])
+
+
+# Queries whose plan legitimately contains an EMPTY-partition window
+# spec: audited bounded frames (never data-proportional), each with the
+# reason its row count is bounded by construction.
+_GLOBAL_WINDOW_OK = {
+    "orders_yoy_revenue_growth",   # per-YEAR frame (time-range bound, ~7 rows)
+    "text_bm25_retrieval",         # rank over the post-limit top-k frame
+    "events_gap_filled_locf",      # LOCF carry over the 5-min window SPINE
+                                   # (time-range bound, not event-count bound)
+    "similarity_hybrid_rrf_fusion",  # ranks over two post-limit top-20 frames
+}
+
+
 # Queries whose plan legitimately contains a broadcast nested-loop or
 # cross join: scalar-subquery frames (1 row), bounded band dims, and
 # the IVF/k-means corpus x centroids assignment (the algorithm).
@@ -99,6 +149,7 @@ _NONEQUI_OK = {
     "similarity_radius_search",      # brute-force radius scan (≤40-query broadcast)
     "dq_benford_first_digit",        # 1-row digit-total frame crossJoined
     "dq_candidate_key_uniqueness",   # per-key 1-row count frames crossJoined
+    "dq_candidate_key_multitable",   # per-key 1-row exact+KMV frames crossJoined
     "corpus_anneal_apportionment",   # 1-row median frame crossJoined
 }
 
@@ -116,6 +167,19 @@ def test_plan_is_scale_sane(spark, name):
     # 2. No row-at-a-time Python UDFs anywhere (Arrow batch ops show up
     #    as ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas).
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    # 2b. No single-partition window over a data-proportional frame: an
+    #     empty-partition window spec is allowed only on the audited
+    #     bounded frames above, or when ordered by a __bounded marker
+    #     column (operators/ordering.two_phase_order's #partitions-row
+    #     offsets frame — bounded by construction).
+    if name not in _GLOBAL_WINDOW_OK:
+        offenders = [
+            s for s in _empty_partition_windows(plan) if "__bounded" not in s
+        ]
+        assert not offenders, (
+            f"{name}: window with EMPTY partition spec over an unbounded "
+            f"frame (single-task sort at scale): {offenders[0]}"
+        )
     # 3. Column pruning reaches every parquet scan: a scan over a gated
     #    (>= 5 column) testdata table must read a STRICT subset of the
     #    table's physical schema — an all-columns scan under a
