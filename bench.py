@@ -21,9 +21,13 @@ only the LAST 2000 characters, and BENCH_r04 recorded
 ``"parsed": null`` because the full record overflowed it): the FULL
 record (medians + minima + the per-query 10× scale breakdown) is
 written to ``docs/BENCH_FULL.json``; stdout gets exactly ONE final
-compact JSON line — ``{metric, value, unit, queries (medians, 2dp),
-sf, scale: {value, unit, sf, ratio_vs_base}}`` with minified
-separators, ≤ ~1.9 KB — and nothing is printed to stdout after it.
+compact JSON line — ``{metric, value, value_min, core30, canary,
+unit, queries (medians, 2dp), sf, scale: {value, value_min, core30,
+canary, sf, ratio_vs_base}}`` with minified separators, ≤ ~1.9 KB —
+and nothing is printed to stdout after it. ``canary`` (round-9) is a
+pinned data-independent CPU burn timed right before each suite: two
+records are comparable only after normalizing by their canary ratio
+(docs/BENCH_GOVERNANCE.md "Cross-record normalization").
 
 Each query is timed as plan-build + execution to completion. Small
 results are drained with ``collect`` (matching how the driver consumes
@@ -293,6 +297,24 @@ def _run_suite(
     return med, mins
 
 
+def _canary(spark, reps: int = 5) -> tuple[float, float]:
+    """Noise canary (round-9 verdict #2): a pinned, data-independent,
+    IO-free CPU burn — sum of xxhash64 over a generated 4M range —
+    whose runtime moves ONLY with host load / JVM state, never with
+    catalog changes. Recorded on the compact stdout line at both
+    scales so any two bench records (driver vs builder, round N vs
+    N+1) can be normalized mechanically: query-time deltas that track
+    the canary delta are environment, not regressions."""
+    import statistics
+
+    ts = []
+    for _ in range(reps):
+        start = time.perf_counter()
+        spark.range(4_000_000).agg(F.sum(F.xxhash64("id"))).collect()
+        ts.append(time.perf_counter() - start)
+    return round(statistics.median(ts), 3), round(min(ts), 3)
+
+
 def _sf_tag(sf_dir: str):
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     return float(sf) if sf.replace(".", "").isdigit() else sf
@@ -316,6 +338,7 @@ def main() -> None:
         spark.range(8).write.mode("overwrite").parquet(os.path.join(d, "warm"))
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
+    canary_med, canary_min = _canary(spark)
     med, mins = _run_suite(spark, sf_dir, reps=reps)
     payload = {
         "metric": "headline_queries_total",
@@ -323,6 +346,8 @@ def main() -> None:
         "value_min": round(sum(mins.values()), 3),
         "core30_total": round(sum(med[q] for q in CORE_QUERIES), 3),
         "core30_min": round(sum(mins[q] for q in CORE_QUERIES), 3),
+        "canary": canary_med,
+        "canary_min": canary_min,
         "unit": "sec",
         "queries": med,
         "queries_min": mins,
@@ -351,6 +376,7 @@ def main() -> None:
         # median+min recorded, session interference shows up as
         # median >> min instead of poisoning round-over-round deltas).
         sreps = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2")))
+        scanary_med, scanary_min = _canary(spark)
         smed, smins = _run_suite(spark, scale_dir, reps=sreps)
         payload["scale"] = {
             "metric": "headline_queries_total_scale",
@@ -358,6 +384,8 @@ def main() -> None:
             "value_min": round(sum(smins.values()), 3),
             "core30_total": round(sum(smed[q] for q in CORE_QUERIES), 3),
             "core30_min": round(sum(smins[q] for q in CORE_QUERIES), 3),
+            "canary": scanary_med,
+            "canary_min": scanary_min,
             "unit": "sec",
             "queries": smed,
             "queries_min": smins,
@@ -383,6 +411,9 @@ def main() -> None:
         "value": payload["value"],
         "value_min": payload["value_min"],
         "core30": payload["core30_total"],
+        # canary median at 2dp (stdout-budget — full med+min in the
+        # BENCH_FULL record): the cross-record normalizer.
+        "canary": round(payload["canary"], 2),
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in payload["queries"].items()},
         "sf": payload["sf"],
@@ -392,7 +423,7 @@ def main() -> None:
             "value": payload["scale"]["value"],
             "value_min": payload["scale"]["value_min"],
             "core30": payload["scale"]["core30_total"],
-            "unit": "sec",
+            "canary": round(payload["scale"]["canary"], 2),
             "sf": payload["scale"]["sf"],
             "ratio_vs_base": payload["scale"]["ratio_vs_base"],
         }
