@@ -40,6 +40,8 @@ del _rev_q, _rev_o
 # promoted to the head explicitly — the driver's prefix sample then
 # always covers the newest, least-battle-tested surface first.
 _NEWEST_FIRST = [
+    # round 9
+    "dq_candidate_key_multitable",
     # round 8 (batch 3)
     "events_outage_gaps",
     "corpus_anneal_apportionment",
