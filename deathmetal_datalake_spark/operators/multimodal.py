@@ -8,9 +8,12 @@ row. The compressed-media codec work (PIL/ffmpeg/librosa) is NOT
 available in this environment, so those codec call sites are stubbed
 behind ``NotImplementedError`` with a deterministic fake used by tests
 and the oracle-checked query — the Spark-side plumbing (schema,
-batching, partitioning, UDF signatures) is real. One codec IS real:
-``wav_pcm_decode`` parses RIFF/WAVE integer PCM with the stdlib alone
-and plugs into the same decoder protocol (round 8).
+batching, partitioning, UDF signatures) is real. Three codecs ARE
+real, stdlib-only, behind the same decoder protocol: ``wav_pcm_decode``
+(RIFF/WAVE integer PCM + µ-law/A-law, rounds 8-9), ``bmp_decode``
+(uncompressed BMP, round 8), and ``png_decode`` (zlib inflate +
+per-row unfilter incl. Paeth, round 9). JPEG/MP3/H.264 remain
+environment-bound stubs.
 """
 
 from __future__ import annotations
@@ -260,7 +263,10 @@ def wav_pcm_decode(content: bytes):
     """REAL decoder for RIFF/WAVE integer-PCM payloads — pure-stdlib
     chunk parsing, no external codec libs (round 8: the first genuine
     codec behind the decoder protocol; the deterministic fake stays the
-    default for oracle-checked queries).
+    default for oracle-checked queries). Round 9 widens it to the
+    G.711 companded telephony formats (tag 7 mu-law, tag 6 A-law) via
+    table-free bit arithmetic, so a real-world telephony corpus no
+    longer degrades to the loud ValueError.
 
     Walks the RIFF chunk list (word-aligned), reads ``fmt `` (format
     tag, channels, bit depth) and ``data``, and returns the first
@@ -292,10 +298,38 @@ def wav_pcm_decode(content: bytes):
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_format, n_channels, _rate, _byte_rate, _block_align, bits = fmt
-    if audio_format != 1:
-        raise ValueError(f"unsupported WAVE format tag {audio_format} (PCM only)")
+    if audio_format not in (1, 6, 7):
+        raise ValueError(
+            f"unsupported WAVE format tag {audio_format} "
+            "(integer PCM, A-law, mu-law only)"
+        )
     if n_channels < 1:
         raise ValueError("zero-channel WAVE")
+    if audio_format in (6, 7):
+        # G.711 companded telephony audio (round 9): table-free stdlib
+        # expansion to 16-bit linear PCM. Format tag 7 = mu-law
+        # (complement, then mag = ((m<<3)+0x84)<<e - 0x84, sign bit set
+        # means negative); tag 6 = A-law (XOR 0x55; seg 0 is linear,
+        # segs >= 1 add the 0x100 leading bit then shift; sign bit SET
+        # means POSITIVE — the convention difference that bites every
+        # hand-rolled decoder). Both are 8-bit by spec.
+        if bits != 8:
+            raise ValueError(f"G.711 WAVE must be 8-bit, got {bits}")
+        u = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+        if audio_format == 7:
+            u = (~u) & 0xFF
+            mag = ((((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)) - 0x84
+            arr = np.where(u & 0x80, -mag, mag)
+        else:
+            a = u ^ 0x55
+            e = (a >> 4) & 0x07
+            m = a & 0x0F
+            mag = np.where(
+                e == 0, (m << 4) + 8, ((m << 4) + 0x108) << np.maximum(e - 1, 0)
+            )
+            arr = np.where(a & 0x80, mag, -mag)
+        frames = arr.shape[0] // n_channels
+        return arr[: frames * n_channels].reshape(-1, n_channels)[:, 0]
     if bits == 8:
         arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
     elif bits == 16:
@@ -455,15 +489,14 @@ def bmp_decode(content: bytes):
     return img if top_down else img[::-1]
 
 
-def bmp_average_hash(content: bytes) -> int:
-    """REAL perceptual hash for BMP payloads: decode (``bmp_decode``),
-    area-average onto an 8×8 grid with exact integer block sums, and
-    mean-threshold — the classic aHash, masked to the low 60 bits so
-    it rides the same banded-LSH/Hamming machinery as the
-    deterministic fake (``_PHASH_BITS`` positive-BIGINT convention)."""
+def _ahash_from_gray(img) -> int:
+    """Classic 8×8 average hash over an (H, W) int64 grayscale array:
+    exact integer area pooling, mean-threshold, packed to the low 60
+    bits (``_PHASH_BITS`` positive-BIGINT convention) so every real
+    decoder (BMP, PNG, ...) rides the same banded-LSH/Hamming
+    machinery as the deterministic fake."""
     import numpy as np
 
-    img = bmp_decode(content)
     h, w = img.shape
     # Integer area pooling: cell (i, j) averages rows [i*h//8, (i+1)*h//8).
     re = (np.arange(9, dtype=np.int64) * h) // 8
@@ -480,6 +513,132 @@ def bmp_average_hash(content: bytes) -> int:
     # to the low 60 — and bit 59 is the widest int64-safe shift).
     bits = (flat > mean).astype(np.int64)[:_PHASH_BITS]
     return int((bits << np.arange(_PHASH_BITS, dtype=np.int64)).sum())
+
+
+def bmp_average_hash(content: bytes) -> int:
+    """REAL perceptual hash for BMP payloads: ``bmp_decode`` +
+    :func:`_ahash_from_gray` (round 8)."""
+    return _ahash_from_gray(bmp_decode(content))
+
+
+def png_decode(content: bytes):
+    """REAL decoder for PNG payloads — pure stdlib (zlib inflate +
+    struct chunk walk + per-row unfilter), no codec libs (round 9:
+    PNG is the one compressed image format decodable without external
+    libraries). Returns the image as an (H, W) int64 GRAYSCALE array
+    via the same integer ITU-R 601 luma as ``bmp_decode``.
+
+    Supports 8-bit-depth images of every PNG color type — grayscale
+    (0), truecolor (2), palette (3, via PLTE), gray+alpha (4) and
+    RGBA (6, alpha dropped: luma only) — and all five row filters
+    (None/Sub/Up/Average/Paeth). Raises ``ValueError`` on non-PNG
+    payloads, non-8-bit depths, and Adam7 interlacing so a mis-tagged
+    corpus fails loudly instead of yielding garbage hashes.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    b = bytes(content)
+    if len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack_from(">I", b, pos)
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data[:13])
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    width, height, depth, color_type, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("unsupported PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("Adam7 interlacing not supported")
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth} (8 only)")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"unknown PNG color type {color_type}")
+    if width == 0 or height == 0:
+        raise ValueError("degenerate PNG dimensions")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) < height * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+
+    # Per-row unfiltering (spec §6): Up/None vectorize; Sub/Average/
+    # Paeth recur on the previous pixel, so those rows run a per-byte
+    # loop — fine for the decode sizes this stage batches (an Arrow
+    # batch of thumbnails), and exactness beats cleverness here.
+    def _paeth(a, p, c):
+        q = a + p - c
+        pa, pb, pc = abs(q - a), abs(q - p), abs(q - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return p if pb <= pc else c
+
+    prior = np.zeros(stride, dtype=np.int64)
+    out_rows = []
+    for r in range(height):
+        off = r * (stride + 1)
+        ftype = raw[off]
+        row = np.frombuffer(raw[off + 1 : off + 1 + stride], dtype=np.uint8).astype(
+            np.int64
+        )
+        if ftype == 0:
+            recon = row
+        elif ftype == 2:
+            recon = (row + prior) & 0xFF
+        elif ftype in (1, 3, 4):
+            recon = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                a = recon[x - channels] if x >= channels else 0
+                p = prior[x]
+                c = prior[x - channels] if x >= channels else 0
+                if ftype == 1:
+                    recon[x] = (row[x] + a) & 0xFF
+                elif ftype == 3:
+                    recon[x] = (row[x] + (a + p) // 2) & 0xFF
+                else:
+                    recon[x] = (row[x] + _paeth(a, p, c)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG row filter {ftype}")
+        prior = recon
+        out_rows.append(recon)
+    px = np.stack(out_rows).reshape(height, width, channels)
+    if color_type == 0:
+        return px[:, :, 0]
+    if color_type == 4:
+        return px[:, :, 0]  # gray + alpha: luma is the gray channel
+    if color_type == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("paletted PNG without a valid PLTE chunk")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+        lut = (299 * pal[:, 0] + 587 * pal[:, 1] + 114 * pal[:, 2]) // 1000
+        return lut[px[:, :, 0]]
+    # truecolor (2) / RGBA (6): integer ITU-R 601 luma, alpha dropped.
+    return (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]) // 1000
+
+
+def png_average_hash(content: bytes) -> int:
+    """REAL perceptual hash for PNG payloads: ``png_decode`` +
+    :func:`_ahash_from_gray` — the same 60-bit aHash convention as
+    ``bmp_average_hash``, so PNG payloads ride the identical
+    banded-LSH/Hamming machinery (round 9)."""
+    return _ahash_from_gray(png_decode(content))
 
 
 def deterministic_phash(content: bytes) -> int:

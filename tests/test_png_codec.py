@@ -1,0 +1,199 @@
+"""Real PNG codec seam closure (round 9): ``png_decode`` — pure stdlib
+zlib inflate + per-row unfiltering including Paeth — checked against an
+independent minimal spec-following encoder written HERE (the
+WAV-vs-stdlib-``wave`` pattern: the test encoder applies the filter
+equations forward, the decoder must invert them), plus the 60-bit
+``png_average_hash`` driven end-to-end through the Arrow
+``perceptual_hashes`` stage."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a, b, c):
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _encode_png(px: np.ndarray, color_type: int, filters=None,
+                palette: bytes | None = None) -> bytes:
+    """Minimal spec-following PNG encoder (independent of the parser):
+    8-bit depth, no interlace, one IDAT. ``px`` is (H, W, C) for color
+    types 2/4/6, (H, W) for 0/3. ``filters`` picks the row filter type
+    (default 0), exercising the decoder's unfilter paths."""
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, channels = px.shape
+    filters = filters or [0] * h
+    stride = w * channels
+    raw = bytearray()
+    prior = np.zeros(stride, dtype=np.int64)
+    for r in range(h):
+        row = px[r].reshape(-1).astype(np.int64)
+        f = filters[r]
+        raw.append(f)
+        filt = np.empty(stride, dtype=np.int64)
+        for x in range(stride):
+            a = int(row[x - channels]) if x >= channels else 0
+            b = int(prior[x])
+            c = int(prior[x - channels]) if x >= channels else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                pred = _paeth(a, b, c)
+            filt[x] = (int(row[x]) - pred) & 0xFF
+        raw += bytes(int(v) for v in filt)
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _chunk(b"PLTE", palette)
+    out += _chunk(b"IDAT", zlib.compress(bytes(raw)))
+    return out + _chunk(b"IEND", b"")
+
+
+def _luma(rgb: np.ndarray) -> np.ndarray:
+    r = rgb[:, :, 0].astype(np.int64)
+    g = rgb[:, :, 1].astype(np.int64)
+    b = rgb[:, :, 2].astype(np.int64)
+    return (299 * r + 587 * g + 114 * b) // 1000
+
+
+def _gradient_rgb(h, w, seed=0):
+    rng = np.random.RandomState(seed)
+    base = np.linspace(0, 255, w, dtype=np.int64)[None, :].repeat(h, axis=0)
+    img = np.stack([base, base, base], axis=-1)
+    return (img + rng.randint(0, 4, img.shape)).clip(0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_decode_rgb_each_filter_type(ftype):
+    from deathmetal_datalake_spark.operators.multimodal import png_decode
+
+    img = _gradient_rgb(6, 9, seed=ftype)
+    got = png_decode(_encode_png(img, 2, filters=[ftype] * 6))
+    np.testing.assert_array_equal(got, _luma(img))
+
+
+def test_png_decode_mixed_filters_and_gray():
+    from deathmetal_datalake_spark.operators.multimodal import png_decode
+
+    rng = np.random.RandomState(7)
+    gray = rng.randint(0, 256, (10, 13), dtype=np.uint8)
+    got = png_decode(_encode_png(gray, 0, filters=[0, 1, 2, 3, 4, 4, 3, 2, 1, 0]))
+    np.testing.assert_array_equal(got, gray.astype(np.int64))
+
+
+def test_png_decode_rgba_and_gray_alpha_drop_alpha():
+    from deathmetal_datalake_spark.operators.multimodal import png_decode
+
+    rng = np.random.RandomState(11)
+    rgb = _gradient_rgb(5, 7, seed=11)
+    alpha = rng.randint(0, 256, (5, 7, 1), dtype=np.uint8)
+    rgba = np.concatenate([rgb, alpha], axis=-1)
+    np.testing.assert_array_equal(png_decode(_encode_png(rgba, 6)), _luma(rgb))
+    ga = np.concatenate(
+        [rgb[:, :, :1], alpha], axis=-1
+    )  # gray = R channel, random alpha
+    np.testing.assert_array_equal(
+        png_decode(_encode_png(ga, 4)), rgb[:, :, 0].astype(np.int64)
+    )
+
+
+def test_png_decode_paletted():
+    from deathmetal_datalake_spark.operators.multimodal import png_decode
+
+    palette = np.array(
+        [[0, 0, 0], [255, 255, 255], [255, 0, 0], [0, 255, 0]], dtype=np.uint8
+    )
+    idx = np.array([[0, 1, 2], [3, 0, 1]], dtype=np.uint8)
+    got = png_decode(
+        _encode_png(idx, 3, filters=[4, 4], palette=palette.tobytes())
+    )
+    lut = (
+        299 * palette[:, 0].astype(np.int64)
+        + 587 * palette[:, 1].astype(np.int64)
+        + 114 * palette[:, 2].astype(np.int64)
+    ) // 1000
+    np.testing.assert_array_equal(got, lut[idx.astype(np.int64)])
+
+
+def test_png_decode_rejects_garbage_interlace_and_16bit():
+    from deathmetal_datalake_spark.operators.multimodal import png_decode
+
+    with pytest.raises(ValueError):
+        png_decode(b"BM not a png ..........................")
+    img = _gradient_rgb(4, 4)
+    good = _encode_png(img, 2)
+    # Flip the interlace byte inside IHDR (offset: 8 sig + 8 hdr + 12th byte)
+    interlaced = bytearray(good)
+    interlaced[8 + 8 + 12] = 1
+    with pytest.raises(ValueError):
+        png_decode(bytes(interlaced))
+    sixteen = bytearray(good)
+    sixteen[8 + 8 + 8] = 16  # bit-depth byte
+    with pytest.raises(ValueError):
+        png_decode(bytes(sixteen))
+
+
+def test_png_and_bmp_hashes_agree_on_identical_pixels():
+    # The SAME image encoded as PNG and BMP must produce the IDENTICAL
+    # 60-bit aHash: the hash is over decoded pixels, not payload bytes.
+    from deathmetal_datalake_spark.operators.multimodal import (
+        bmp_average_hash,
+        png_average_hash,
+    )
+    from tests.test_bmp_codec import _encode_bmp24
+
+    img = _gradient_rgb(32, 48, seed=5)
+    assert png_average_hash(_encode_png(img, 2, filters=[4] * 32)) == \
+        bmp_average_hash(_encode_bmp24(img))
+
+
+def test_perceptual_hashes_arrow_stage_with_real_png_hasher(spark):
+    from deathmetal_datalake_spark.operators.multimodal import (
+        perceptual_hashes,
+        png_average_hash,
+    )
+
+    payloads = {
+        1: _encode_png(_gradient_rgb(16, 24, seed=3), 2, filters=[1] * 16),
+        2: _encode_png(_gradient_rgb(16, 24, seed=4), 2),  # near-dup of 1
+        3: _encode_png(
+            np.ascontiguousarray(_gradient_rgb(16, 24, seed=3)[:, ::-1]), 2
+        ),
+    }
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in payloads.items()],
+        "media_id long, content binary",
+    )
+    got = {
+        r["media_id"]: r["phash"]
+        for r in perceptual_hashes(df, hasher=png_average_hash).collect()
+    }
+    assert got == {k: png_average_hash(v) for k, v in payloads.items()}
+    ham = lambda x, y: bin(x ^ y).count("1")
+    assert ham(got[1], got[2]) <= 6 < ham(got[1], got[3])

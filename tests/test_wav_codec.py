@@ -105,3 +105,118 @@ def test_audio_energy_windows_on_real_wav_end_to_end(spark):
             chunk = s[w0 : w0 + win]
             want[(mid, w0 // win)] = (len(chunk), int((chunk * chunk).sum()))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# G.711 companded formats (round 9): mu-law (tag 7) and A-law (tag 6).
+# The reference decoders below are INDEPENDENT branchy transcriptions of
+# the published G.711 piecewise expansion (the classic sun-audio
+# switch/case form); the production decoder is vectorized bit
+# arithmetic — structural independence in the WAV-vs-`wave` pattern.
+# ---------------------------------------------------------------------------
+
+import struct as _struct
+
+
+def _make_g711_wav(payload: bytes, fmt_tag: int, n_channels: int = 1) -> bytes:
+    fmt = _struct.pack("<HHIIHH", fmt_tag, n_channels, 8000,
+                       8000 * n_channels, n_channels, 8)
+    chunks = (
+        b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        + b"data" + _struct.pack("<I", len(payload)) + payload
+        + (b"\x00" if len(payload) & 1 else b"")
+    )
+    return b"RIFF" + _struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _ulaw_ref(b: int) -> int:
+    exp_lut = [0, 132, 396, 924, 1980, 4092, 8316, 16764]
+    b = ~b & 0xFF
+    sign = b & 0x80
+    exponent = (b >> 4) & 0x07
+    mantissa = b & 0x0F
+    sample = exp_lut[exponent] + (mantissa << (exponent + 3))
+    return -sample if sign else sample
+
+
+def _alaw_ref(b: int) -> int:
+    b ^= 0x55
+    t = (b & 0x0F) << 4
+    seg = (b & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t += 0x108
+        t <<= seg - 1
+    return t if b & 0x80 else -t
+
+
+def test_wav_ulaw_decode_matches_reference_on_all_256_bytes():
+    from deathmetal_datalake_spark.operators.multimodal import wav_pcm_decode
+
+    payload = bytes(range(256))
+    got = wav_pcm_decode(_make_g711_wav(payload, 7))
+    want = np.array([_ulaw_ref(b) for b in payload], dtype=np.int64)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_wav_alaw_decode_matches_reference_on_all_256_bytes():
+    from deathmetal_datalake_spark.operators.multimodal import wav_pcm_decode
+
+    payload = bytes(range(256))
+    got = wav_pcm_decode(_make_g711_wav(payload, 6))
+    want = np.array([_alaw_ref(b) for b in payload], dtype=np.int64)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_wav_g711_multichannel_takes_first_channel():
+    from deathmetal_datalake_spark.operators.multimodal import wav_pcm_decode
+
+    # Interleaved stereo: channel 0 = bytes 0..9, channel 1 = 200..209.
+    inter = bytes(x for pair in zip(range(10), range(200, 210)) for x in pair)
+    got = wav_pcm_decode(_make_g711_wav(inter, 7, n_channels=2))
+    want = np.array([_ulaw_ref(b) for b in range(10)], dtype=np.int64)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_wav_g711_rejects_nonstandard_bit_depth():
+    from deathmetal_datalake_spark.operators.multimodal import wav_pcm_decode
+
+    fmt = _struct.pack("<HHIIHH", 7, 1, 8000, 16000, 2, 16)  # 16-bit mu-law: invalid
+    bad = (b"RIFF" + _struct.pack("<I", 36) + b"WAVE"
+           + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+           + b"data" + _struct.pack("<I", 4) + b"\x00\x01\x02\x03")
+    with pytest.raises(ValueError):
+        wav_pcm_decode(bad)
+
+
+def test_audio_energy_windows_with_ulaw_wav_end_to_end(spark):
+    from deathmetal_datalake_spark.operators.multimodal import (
+        audio_energy_windows,
+        wav_pcm_decode,
+    )
+
+    rng = np.random.RandomState(9)
+    payloads = {
+        1: _make_g711_wav(bytes(rng.randint(0, 256, 300, dtype=np.uint8).tolist()), 7),
+        2: _make_g711_wav(bytes(rng.randint(0, 256, 128, dtype=np.uint8).tolist()), 6),
+    }
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in payloads.items()],
+        "media_id long, content binary",
+    )
+    got = audio_energy_windows(df, window_samples=64, decoder=wav_pcm_decode)
+    rows = got.collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], 0)
+        by_media[r["media_id"]] += r["n_samples"]
+    assert by_media == {1: 300, 2: 128}
+    # Energies must equal the reference decode's windowed squares.
+    # 300 data bytes (even → no RIFF pad), so the chunk tail IS the data.
+    ref = {1: [_ulaw_ref(b) for b in payloads[1][-300:]]}
+    w1 = [r for r in rows if r["media_id"] == 1 and r["window_id"] == 0][0]
+    expect = sum(s * s for s in ref[1][:64])
+    assert w1["energy"] == expect
