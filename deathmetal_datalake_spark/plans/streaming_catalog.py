@@ -69,49 +69,114 @@ from deathmetal_datalake_spark.sources.tables import load_table
 _REPLAY_FILES = 8
 _FILES_PER_TRIGGER = 3
 
+# State-store partition count for drained replays. A vanilla session
+# defaults spark.sql.shuffle.partitions to 200, and every stateful
+# micro-batch schedules that many state-store tasks — the r8 sweep
+# spent 355 s of its 991 s on four interval-join/eviction replays for
+# exactly this reason. Replay state at test SF is tiny; production
+# sizes state partitions to key cardinality (the checkpoint pins the
+# count at the stream's first batch). Never affects results.
+_REPLAY_STATE_PARTITIONS = "8"
+
 _uid = itertools.count()
+
+# Replayed inputs are pure functions of (flavor, sf_dir) — build each
+# multi-file copy ONCE per process and share it across replays (r8
+# verdict #6: the per-query rewrite of identical bytes was the other
+# big slice of sweep streaming time). Directories are immutable after
+# build (streams only read them; checkpoints live elsewhere) and are
+# removed at interpreter exit.
+_REPLAY_INPUT_CACHE: dict[tuple, str] = {}
+
+
+def _cached_input(flavor: str, sf_dir: str, build) -> str:
+    key = (flavor, sf_dir)
+    if key not in _REPLAY_INPUT_CACHE:
+        d = tempfile.mkdtemp(prefix=f"dml-replay-{flavor}-")
+        build(os.path.join(d, "data"))
+        _REPLAY_INPUT_CACHE[key] = d
+    return os.path.join(_REPLAY_INPUT_CACHE[key], "data")
+
+
+def _evict_replay_inputs() -> None:
+    import shutil
+
+    while _REPLAY_INPUT_CACHE:
+        _, d = _REPLAY_INPUT_CACHE.popitem()
+        shutil.rmtree(d, ignore_errors=True)
+
+
+import atexit  # noqa: E402
+
+atexit.register(_evict_replay_inputs)
+
+
+def _ckpt_scratch(prefix: str = "dml-stream-ckpt-") -> str:
+    """Per-query scratch for the CHECKPOINT only (inputs are cached)."""
+    return tempfile.mkdtemp(prefix=prefix)
+
+
+import contextlib  # noqa: E402
+
+
+@contextlib.contextmanager
+def _replay_shuffle(spark: SparkSession):
+    """Pin shuffle partitions to the replay state-partition count for
+    the duration of a drained streaming run; restore after."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", _REPLAY_STATE_PARTITIONS)
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def _replay_events_stream(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
-    """events table → fresh multi-file parquet copy → file-source stream.
+    """events table → multi-file parquet copy (cached per sf_dir) →
+    file-source stream.
 
-    Returns (stream, scratch_dir). The copy goes through
+    Returns (stream, checkpoint_scratch). The copy goes through
     ``sources.tables.load_table`` so the TIMESTAMP(NANOS) column is
     already rebuilt at micro precision — the streamed schema is
     identical to what every batch query sees.
     """
     ev = load_table(spark, sf_dir, "events")
-    scratch = tempfile.mkdtemp(prefix="dml-stream-replay-")
-    data_dir = os.path.join(scratch, "events")
-    ev.repartition(_REPLAY_FILES).write.mode("overwrite").parquet(data_dir)
+    data_dir = _cached_input(
+        "events",
+        sf_dir,
+        lambda d: ev.repartition(_REPLAY_FILES).write.mode("overwrite").parquet(d),
+    )
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", _FILES_PER_TRIGGER)
         .parquet(data_dir)
     )
-    return stream, scratch
+    return stream, _ckpt_scratch()
 
 
 def _drain(df: DataFrame, scratch: str, output_mode: str) -> DataFrame:
     """Run the streaming query to completion (availableNow, checkpointed)
     and return the memory-sink table.
 
-    The scratch dir (replayed input files + checkpoint) is deleted once
-    the query terminates: the memory sink holds the results, so nothing
-    re-reads the files — without this, every catalog run would leave an
-    sf-sized parquet copy per streaming entry in /tmp."""
+    The scratch dir (the query's checkpoint) is deleted once the query
+    terminates: the memory sink holds the results, so nothing re-reads
+    it. Shuffle partitions are pinned to ``_REPLAY_STATE_PARTITIONS``
+    for the drain (state partition count, see note above) and restored
+    after."""
     import shutil
 
+    spark = df.sparkSession
     name = f"dml_stream_sink_{next(_uid)}"
-    query = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", os.path.join(scratch, "ckpt", name))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with _replay_shuffle(spark):
+        query = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", os.path.join(scratch, "ckpt", name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     shutil.rmtree(scratch, ignore_errors=True)
     return df.sparkSession.table(name)
 
@@ -259,16 +324,17 @@ def streaming_stateful_user_totals_replay(
         finally:
             batch.unpersist()
 
-    query = (
-        totals.writeStream.foreachBatch(fold)
-        .outputMode("update")
-        .option(
-            "checkpointLocation", os.path.join(scratch, "ckpt", "stateful_totals")
+    with _replay_shuffle(spark):
+        query = (
+            totals.writeStream.foreachBatch(fold)
+            .outputMode("update")
+            .option(
+                "checkpointLocation", os.path.join(scratch, "ckpt", "stateful_totals")
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+        query.awaitTermination()
     out = state.read().select("user_id", "n_events", "total_value")
     rows = out.collect()  # materialize before the scratch dir vanishes
     import shutil
@@ -314,33 +380,36 @@ def _replay_events_stream_ts_ordered(
     running. Callers filter ``user_id >= 0``.
     """
     ev = load_table(spark, sf_dir, "events")
-    scratch = tempfile.mkdtemp(prefix="dml-stream-asof-")
-    data_dir = os.path.join(scratch, "events")
-    os.makedirs(data_dir, exist_ok=True)
-    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
-    width = (hi - lo) / _ASOF_SLICES
-    for k in range(_ASOF_SLICES):
-        start = lo + k * width
-        upper = lo + (k + 1) * width
-        cond = (F.col("ts") >= start) & (
-            F.col("ts") < upper if k < _ASOF_SLICES - 1 else F.col("ts") <= hi
-        )
-        # Sequential writes; 2 shuffled parts per slice so a micro-batch
-        # still sees unsorted multi-file input inside the slice.
-        ev.filter(cond).repartition(2).write.mode("append").parquet(data_dir)
-    if sentinel:
-        import datetime
 
-        far = hi + datetime.timedelta(days=365)
-        spark.createDataFrame(
-            [(-1, far, -1, "sentinel", 0.0, "{}")], schema=ev.schema
-        ).coalesce(1).write.mode("append").parquet(data_dir)
+    def build(data_dir: str) -> None:
+        os.makedirs(data_dir, exist_ok=True)
+        lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+        width = (hi - lo) / _ASOF_SLICES
+        for k in range(_ASOF_SLICES):
+            start = lo + k * width
+            upper = lo + (k + 1) * width
+            cond = (F.col("ts") >= start) & (
+                F.col("ts") < upper if k < _ASOF_SLICES - 1 else F.col("ts") <= hi
+            )
+            # Sequential writes; 2 shuffled parts per slice so a micro-batch
+            # still sees unsorted multi-file input inside the slice.
+            ev.filter(cond).repartition(2).write.mode("append").parquet(data_dir)
+        if sentinel:
+            import datetime
+
+            far = hi + datetime.timedelta(days=365)
+            spark.createDataFrame(
+                [(-1, far, -1, "sentinel", 0.0, "{}")], schema=ev.schema
+            ).coalesce(1).write.mode("append").parquet(data_dir)
+
+    flavor = "asof-sentinel" if sentinel else "asof"
+    data_dir = _cached_input(flavor, sf_dir, build)
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", _ASOF_FILES_PER_TRIGGER)
         .parquet(data_dir)
     )
-    return stream, scratch
+    return stream, _ckpt_scratch()
 
 
 @register("streaming_asof_click_before_purchase_replay", oracle=_ASOF_BATCH_SQL)
@@ -375,9 +444,11 @@ SELECT DISTINCT {sql_hash60('text')} AS content_hash FROM documents
 @register("streaming_dedup_exact_replay", oracle=_STREAM_DEDUP_SQL)
 def streaming_dedup_exact_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    scratch = tempfile.mkdtemp(prefix="dml-stream-dedup-")
-    data_dir = os.path.join(scratch, "documents")
-    docs.repartition(_REPLAY_FILES).write.mode("overwrite").parquet(data_dir)
+    data_dir = _cached_input(
+        "docs",
+        sf_dir,
+        lambda d: docs.repartition(_REPLAY_FILES).write.mode("overwrite").parquet(d),
+    )
     stream = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", _FILES_PER_TRIGGER)
@@ -386,7 +457,7 @@ def streaming_dedup_exact_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = stream.select(hash60("text").alias("content_hash")).dropDuplicates(
         ["content_hash"]
     )
-    return _drain(deduped, scratch, "append")
+    return _drain(deduped, _ckpt_scratch(), "append")
 
 
 # ---------------------------------------------------------------------------
@@ -533,36 +604,38 @@ def _replay_events_late_stream(
     import datetime
 
     ev = load_table(spark, sf_dir, "events")
-    scratch = tempfile.mkdtemp(prefix="dml-stream-late-")
-    data_dir = os.path.join(scratch, "events")
-    os.makedirs(data_dir, exist_ok=True)
-    late = F.col("event_id") % _LATE_MOD == 0
-    ontime = ev.filter(~late)
-    lo, hi = ontime.agg(F.min("ts"), F.max("ts")).collect()[0]
-    width = (hi - lo) / _LATE_SLICES
-    for k in range(_LATE_SLICES):
-        start = lo + k * width
-        upper = lo + (k + 1) * width
-        cond = (F.col("ts") >= start) & (
-            F.col("ts") < upper if k < _LATE_SLICES - 1 else F.col("ts") <= hi
-        )
-        ontime.filter(cond).coalesce(1).write.mode("append").parquet(data_dir)
 
-    def sentinel(days: int) -> None:
-        far = hi + datetime.timedelta(days=days)
-        spark.createDataFrame(
-            [(-1, far, -1, "sentinel", 0.0, "{}")], schema=ev.schema
-        ).coalesce(1).write.mode("append").parquet(data_dir)
+    def build(data_dir: str) -> None:
+        os.makedirs(data_dir, exist_ok=True)
+        late = F.col("event_id") % _LATE_MOD == 0
+        ontime = ev.filter(~late)
+        lo, hi = ontime.agg(F.min("ts"), F.max("ts")).collect()[0]
+        width = (hi - lo) / _LATE_SLICES
+        for k in range(_LATE_SLICES):
+            start = lo + k * width
+            upper = lo + (k + 1) * width
+            cond = (F.col("ts") >= start) & (
+                F.col("ts") < upper if k < _LATE_SLICES - 1 else F.col("ts") <= hi
+            )
+            ontime.filter(cond).coalesce(1).write.mode("append").parquet(data_dir)
 
-    sentinel(365)
-    ev.filter(late).coalesce(1).write.mode("append").parquet(data_dir)
-    sentinel(366)
+        def sentinel(days: int) -> None:
+            far = hi + datetime.timedelta(days=days)
+            spark.createDataFrame(
+                [(-1, far, -1, "sentinel", 0.0, "{}")], schema=ev.schema
+            ).coalesce(1).write.mode("append").parquet(data_dir)
+
+        sentinel(365)
+        ev.filter(late).coalesce(1).write.mode("append").parquet(data_dir)
+        sentinel(366)
+
+    data_dir = _cached_input("late", sf_dir, build)
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(data_dir)
     )
-    return stream, scratch
+    return stream, _ckpt_scratch()
 
 
 @register("streaming_watermark_late_drop_replay", oracle=_LATE_DROP_SQL)
@@ -636,34 +709,37 @@ def _replay_events_loj_stream(
     import datetime
 
     ev = load_table(spark, sf_dir, "events")
-    scratch = tempfile.mkdtemp(prefix="dml-stream-loj-")
-    data_dir = os.path.join(scratch, "events")
-    os.makedirs(data_dir, exist_ok=True)
-    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
-    width = (hi - lo) / _LOJ_SLICES
-    for k in range(_LOJ_SLICES):
-        start = lo + k * width
-        upper = lo + (k + 1) * width
-        cond = (F.col("ts") >= start) & (
-            F.col("ts") < upper if k < _LOJ_SLICES - 1 else F.col("ts") <= hi
-        )
-        ev.filter(cond).coalesce(1).write.mode("append").parquet(data_dir)
-    for days in (365, 366):
-        far = hi + datetime.timedelta(days=days)
-        far2 = far + datetime.timedelta(minutes=40)
-        spark.createDataFrame(
-            [
-                (-1, far, -1, "click", 0.0, "{}"),
-                (-2, far2, -1, "purchase", 0.0, "{}"),
-            ],
-            schema=ev.schema,
-        ).coalesce(1).write.mode("append").parquet(data_dir)
+
+    def build(data_dir: str) -> None:
+        os.makedirs(data_dir, exist_ok=True)
+        lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+        width = (hi - lo) / _LOJ_SLICES
+        for k in range(_LOJ_SLICES):
+            start = lo + k * width
+            upper = lo + (k + 1) * width
+            cond = (F.col("ts") >= start) & (
+                F.col("ts") < upper if k < _LOJ_SLICES - 1 else F.col("ts") <= hi
+            )
+            ev.filter(cond).coalesce(1).write.mode("append").parquet(data_dir)
+        for days in (365, 366):
+            far = hi + datetime.timedelta(days=days)
+            far2 = far + datetime.timedelta(minutes=40)
+            spark.createDataFrame(
+                [
+                    (-1, far, -1, "click", 0.0, "{}"),
+                    (-2, far2, -1, "purchase", 0.0, "{}"),
+                ],
+                schema=ev.schema,
+            ).coalesce(1).write.mode("append").parquet(data_dir)
+
+    # Shared by the LEFT and FULL outer replays (same input contract).
+    data_dir = _cached_input("loj", sf_dir, build)
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(data_dir)
     )
-    return stream, scratch
+    return stream, _ckpt_scratch()
 
 
 @register("streaming_interval_join_left_outer_replay", oracle=_LOJ_SQL)
@@ -1108,14 +1184,15 @@ def streaming_ewma_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             batch.unpersist()
 
-    query = (
-        ewma.writeStream.foreachBatch(fold)
-        .outputMode("update")
-        .option("checkpointLocation", os.path.join(scratch, "ckpt", "ewma"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with _replay_shuffle(spark):
+        query = (
+            ewma.writeStream.foreachBatch(fold)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(scratch, "ckpt", "ewma"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     out = state.read().select("user_id", "n_events", "ewma_value")
     rows = out.collect()
     import shutil
