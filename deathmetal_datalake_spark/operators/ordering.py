@@ -8,28 +8,44 @@ is data-proportional: at 100 TB that one task sorts billions of rows.
 ``two_phase_order`` produces bit-identical ``row_number`` / inclusive
 running-sum results with every phase distributed:
 
-1. ``repartitionByRange`` on the ordering key — a sampled range
-   shuffle; partition *i* holds keys strictly before partition *i+1*'s
-   (ties stay together, and callers must include a unique tie-break so
-   the order is total — the same requirement the global window had).
-2. A window PARTITIONED by ``spark_partition_id()`` computes the local
-   rank / local running sum — parallel, one task per range.
-3. Per-partition totals (one hash aggregate over the reused range
-   exchange) become cumulative offsets via a window over the totals
-   frame — **#partitions rows, bounded by construction, never
+1. Bucket every row by LITERAL quantile boundaries of the leading sort
+   key (collected once at plan-build time — one tiny action), so the
+   bucket is a **pure function of the row's values**. This is the
+   load-bearing design decision: a ``repartitionByRange`` +
+   ``spark_partition_id()`` formulation is wrong in general, because
+   the offsets branch gets its own column-pruned copy of the range
+   exchange — no reuse — and the two RangePartitioners sample
+   boundaries independently, assigning the same row different
+   partition ids in each branch (observed at 10×; AQE hides it at
+   test scale by coalescing to one partition). A value-derived bucket
+   cannot disagree with itself.
+2. A window PARTITIONED by the bucket computes the local rank / local
+   running sum — parallel, one task per bucket.
+3. Per-bucket totals become cumulative offsets via a window over the
+   totals frame — **#buckets rows, bounded by construction, never
    data-proportional** — broadcast-joined back and added to the local
    values.
 
-The offsets window orders by the ``__bounded_pid`` marker column; the
-plan-quality gate (tests/test_plan_quality.py) allows empty-partition
-window specs only when they order by ``__bounded``-prefixed columns,
-so this helper passes mechanically while accidental global windows
-over real data still fail the gate.
+The offsets window orders by the ``__bounded``-prefixed bucket column;
+the plan-quality gate (tests/test_plan_quality.py) allows
+empty-partition window specs only on such columns, so this helper
+passes mechanically while accidental global windows over real data
+still fail the gate.
 
-Exactness: ranks are pure integer arithmetic. Running sums are exact
-for integer/decimal value columns (addition is associative); plain
-DOUBLE columns would pick up partitioning-dependent ulps — cast to
-decimal first (the ``registry.dsum`` convention).
+Exactness: ranks depend only on the total order, not on where the
+boundaries land (boundaries affect balance, never results). Running
+sums are exact for integer/decimal value columns; plain DOUBLE columns
+would pick up partitioning-dependent ulps — cast to decimal first (the
+``registry.dsum`` convention).
+
+Skew note: rows tying on the leading key share a bucket, so the worst
+task holds the largest tie group — acceptable for the catalog's keys
+(aggregated counts, ids, ratios). A tie-heavy leading key at extreme
+scale wants a composite numeric key instead.
+
+Callers re-evaluate ``df`` three times (boundary action, totals, main
+branch) — ``session_cache`` the input when it is itself expensive to
+compute.
 
 Reference parity: the reference's analytics notebooks rank with
 Polars' ``rank``/``cum_sum`` on a single node (e.g. top-list builds in
@@ -42,10 +58,10 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Marker prefix the plan gate recognizes as "this global window's frame
-# is bounded by construction" (here: one row per shuffle partition).
+# is bounded by construction" (here: one row per bucket).
 BOUNDED_MARKER = "__bounded"
 
-_PID = f"{BOUNDED_MARKER}_pid"
+_BKT = f"{BOUNDED_MARKER}_bkt"
 _CNT = f"{BOUNDED_MARKER}_cnt"
 _SUM = f"{BOUNDED_MARKER}_sum"
 _CNT_OFF = f"{BOUNDED_MARKER}_cnt_off"
@@ -55,7 +71,9 @@ _SUM_OFF = f"{BOUNDED_MARKER}_sum_off"
 def two_phase_order(
     df: DataFrame,
     order_by: list[Column],
+    key: Column,
     *,
+    key_desc: bool = False,
     rank_col: str | None = None,
     cumsum: tuple[str, str] | None = None,
     n_total_col: str | None = None,
@@ -67,6 +85,9 @@ def two_phase_order(
     ``order_by``   sort Columns defining a total order (include a
                    unique tie-break, exactly as the global window
                    required for determinism).
+    ``key``        plain (non-sort) Column expression of the LEADING
+                   ``order_by`` entry — numeric, used for bucketing.
+    ``key_desc``   True when the leading sort entry is descending.
     ``rank_col``   output name for the global row number (optional).
     ``cumsum``     ``(value_col, out_col)`` for an inclusive running
                    sum of an integer/decimal column (optional).
@@ -75,36 +96,60 @@ def two_phase_order(
     """
     if rank_col is None and cumsum is None and n_total_col is None:
         raise ValueError("nothing to compute")
-    pid = _PID
-    while pid in df.columns:
-        pid = "_" + pid
+    bkt = _BKT
+    while bkt in df.columns:
+        bkt = "_" + bkt
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n_parts, *order_by).withColumn(
-        pid, F.spark_partition_id()
-    )
 
+    # Literal boundaries: one tiny plan-time action. Dedup keeps the
+    # bucket assignment strictly monotone when quantiles collapse.
+    kd = key.cast("double")
+    fracs = [i / n_parts for i in range(1, n_parts)]
+    bounds: list[float] = []
+    if fracs:
+        row = df.select(F.percentile_approx(kd, fracs, 1000).alias("bs")).first()
+        got = row["bs"] if row is not None else None
+        bounds = sorted(
+            {float(b) for b in (got or []) if b is not None}, reverse=key_desc
+        )
+    if bounds:
+        arr = F.lit(bounds)
+        hit = (lambda b: kd <= b) if key_desc else (lambda b: kd >= b)
+        bucket = F.size(F.filter(arr, hit)).cast("long")
+        # NULL keys: Spark sorts them FIRST under asc (bucket 0 is
+        # already right) and LAST under desc (force the last bucket).
+        if key_desc:
+            bucket = F.when(kd.isNull(), F.lit(len(bounds)).cast("long")).otherwise(
+                bucket
+            )
+        else:
+            bucket = F.coalesce(bucket, F.lit(0).cast("long"))
+    else:
+        bucket = F.lit(0).cast("long")
+
+    tagged = df.withColumn(bkt, bucket)
     aggs = [F.count(F.lit(1)).alias(_CNT)]
     if cumsum is not None:
         aggs.append(F.sum(cumsum[0]).alias(_SUM))
-    totals = ranged.groupBy(pid).agg(*aggs)
-    # Offsets over the totals frame: #partitions rows — the one global
+    totals = tagged.groupBy(bkt).agg(*aggs)
+    # Offsets over the totals frame: #buckets rows — the one global
     # window here is bounded by construction (see module docstring).
-    w_off = Window.orderBy(pid).rowsBetween(Window.unboundedPreceding, -1)
+    w_off = Window.orderBy(bkt).rowsBetween(Window.unboundedPreceding, -1)
     off_cols = [
-        F.col(pid),
+        F.col(bkt),
         F.coalesce(F.sum(_CNT).over(w_off), F.lit(0).cast("long")).alias(_CNT_OFF),
     ]
     if cumsum is not None:
         off_cols.append(F.sum(_SUM).over(w_off).alias(_SUM_OFF))
     if n_total_col is not None:
-        w_all = Window.orderBy(pid).rowsBetween(
+        w_all = Window.orderBy(bkt).rowsBetween(
             Window.unboundedPreceding, Window.unboundedFollowing
         )
         off_cols.append(F.sum(_CNT).over(w_all).cast("long").alias(n_total_col))
     offsets = totals.select(*off_cols)
 
-    w_local = Window.partitionBy(pid).orderBy(*order_by)
-    out = ranged.join(F.broadcast(offsets), pid)
+    w_local = Window.partitionBy(bkt).orderBy(*order_by)
+    out = tagged.join(F.broadcast(offsets), bkt)
     if rank_col is not None:
         out = out.withColumn(
             rank_col,
@@ -117,7 +162,7 @@ def two_phase_order(
         out = out.withColumn(
             cumsum[1], F.coalesce(F.col(_SUM_OFF), F.lit(0)) + local
         )
-    return out.drop(pid, _CNT_OFF, _SUM_OFF)
+    return out.drop(bkt, _CNT_OFF, _SUM_OFF)
 
 
 def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:

@@ -2177,23 +2177,36 @@ def events_rfm_quintiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # windows (round-9: each was a sequential single-task sort of the
     # whole customer frame at scale). ntile_from_rank reproduces SQL
     # NTILE bucket sizing exactly from (rank, N), so the result is
-    # bit-identical to the windowed form the oracle still runs.
+    # bit-identical to the windowed form the oracle still runs. The
+    # per-customer frame is cached: each rank pass evaluates it for
+    # boundaries/totals/ranks, and it is |customers| ≪ |orders|.
     from deathmetal_datalake_spark.operators.ordering import (
         ntile_from_rank,
         two_phase_order,
     )
+    from deathmetal_datalake_spark.plans.registry import session_cache
 
+    per_cust = session_cache(per_cust)
     ranked = two_phase_order(
         per_cust,
         [F.asc("recency_days"), F.asc("o_custkey")],
+        F.col("recency_days"),
         rank_col="r_rank",
         n_total_col="n_cust",
     )
     ranked = two_phase_order(
-        ranked, [F.desc("frequency"), F.asc("o_custkey")], rank_col="f_rank"
+        ranked,
+        [F.desc("frequency"), F.asc("o_custkey")],
+        F.col("frequency"),
+        key_desc=True,
+        rank_col="f_rank",
     )
     ranked = two_phase_order(
-        ranked, [F.desc("monetary"), F.asc("o_custkey")], rank_col="m_rank"
+        ranked,
+        [F.desc("monetary"), F.asc("o_custkey")],
+        F.col("monetary"),
+        key_desc=True,
+        rank_col="m_rank",
     )
     n = F.col("n_cust")
     scored = ranked.select(

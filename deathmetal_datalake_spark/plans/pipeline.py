@@ -1169,18 +1169,21 @@ def corpus_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = stats.agg(F.sum("n_tokens").cast("long").alias("corpus_tokens"))
     # Two-phase distributed running sum (round-9: replaces a global
-    # window that single-task-sorted the whole per-doc frame): range
-    # shuffle on the quality key, per-range prefix sums, broadcast
-    # cumulative range offsets. Integer token counts, so the sum is
-    # exactly the sequential one.
+    # window that single-task-sorted the whole per-doc frame): bucket
+    # by literal quality-score quantiles, per-bucket prefix sums,
+    # broadcast cumulative bucket offsets. Integer token counts, so
+    # the sum is exactly the sequential one. Cached: the helper
+    # evaluates its input for boundaries/totals/prefix sums, and the
+    # per-doc split/filter is the expensive part.
     from deathmetal_datalake_spark.operators.ordering import two_phase_order
+    from deathmetal_datalake_spark.plans.registry import session_cache
 
+    stats = session_cache(stats)
+    quality = F.col("n_stop").cast("double") / F.col("n_tokens")
     summed = two_phase_order(
         stats,
-        [
-            (F.col("n_stop").cast("double") / F.col("n_tokens")).asc(),
-            F.col("doc_id").asc(),
-        ],
+        [quality.asc(), F.col("doc_id").asc()],
+        quality,
         cumsum=("n_tokens", "cum_tokens"),
     )
     ranked = summed.crossJoin(broadcast(tot)).withColumn(

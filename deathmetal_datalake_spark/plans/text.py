@@ -1911,7 +1911,9 @@ def corpus_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     # replaces a single-task global row_number window); no broadcast
     # hint on the join back — the rank frame is doc-proportional, so
     # AQE picks broadcast at small scale and a shuffle join at 100 TB.
-    ranks = two_phase_order(docs.select("doc_id"), [F.asc("doc_id")], rank_col="r")
+    ranks = two_phase_order(
+        docs.select("doc_id"), [F.asc("doc_id")], F.col("doc_id"), rank_col="r"
+    )
     n_docs = docs.count()  # one scalar action; mirrors the oracle's MAX(n_docs)
     tokr = (
         spread(docs)
@@ -2018,9 +2020,14 @@ def text_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in this file refuses to broadcast the vocabulary because
     # web-scale vocabularies don't fit one executor — the same frame
     # must not be sorted in one task either. Bit-identical to the old
-    # global row_number window (unique tie-break on token).
+    # global row_number window (unique tie-break on token). Cached:
+    # the helper evaluates its input for boundaries/totals/ranks.
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    counts = session_cache(counts)
     ranked = two_phase_order(
-        counts, [F.desc("c"), F.asc("token")], rank_col="rnk"
+        counts, [F.desc("c"), F.asc("token")], F.col("c"),
+        key_desc=True, rank_col="rnk",
     )
     bucket = (F.length(F.bin(F.col("rnk"))) - 1).cast("long")
     return (

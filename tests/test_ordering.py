@@ -1,5 +1,13 @@
 """two_phase_order / ntile_from_rank parity vs the single-partition
-global window they replace (round-9 verdict item #1)."""
+global window they replace (round-9 verdict item #1).
+
+The 10× lesson baked into these tests: the bucket must be a pure
+function of row VALUES (literal boundaries), never of physical
+partition ids — a spark_partition_id() formulation diverged between
+the offsets branch and the main branch once inputs were big enough
+that AQE stopped coalescing to one partition. Parity is therefore
+asserted at several forced bucket counts, including many more buckets
+than rows."""
 
 from __future__ import annotations
 
@@ -28,7 +36,8 @@ def test_rank_and_cumsum_match_global_window(spark, parts):
     df = _frame(spark)
     order = [F.desc("k"), F.asc("id")]
     got = two_phase_order(
-        df, order, rank_col="r", cumsum=("v", "cv"), num_partitions=parts
+        df, order, F.col("k"), key_desc=True,
+        rank_col="r", cumsum=("v", "cv"), num_partitions=parts,
     )
     w = Window.orderBy(*order)
     want = df.withColumn("r", F.row_number().over(w)).withColumn(
@@ -39,10 +48,42 @@ def test_rank_and_cumsum_match_global_window(spark, parts):
     assert lhs == rhs
 
 
+@pytest.mark.parametrize("parts", [4, 32])
+def test_rank_matches_on_unique_ascending_key(spark, parts):
+    df = _frame(spark, 500)
+    got = two_phase_order(
+        df, [F.asc("id")], F.col("id"), rank_col="r", num_partitions=parts
+    )
+    rows = got.collect()
+    assert {(x["id"], x["r"]) for x in rows} == {(i, i + 1) for i in range(500)}
+
+
+def test_parity_survives_branch_reevaluation_of_an_aggregate_input(spark):
+    # Regression shape for the 10× divergence: the input is itself an
+    # AGGREGATE (each branch re-plans and re-prunes it); with
+    # value-derived buckets the offsets and main branches must still
+    # agree exactly.
+    df = (
+        _frame(spark, 2000)
+        .groupBy("k")
+        .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("c"))
+    )
+    order = [F.desc("sv"), F.asc("k")]
+    got = two_phase_order(
+        df, order, F.col("sv"), key_desc=True, rank_col="r", num_partitions=8
+    )
+    w = Window.orderBy(*order)
+    want = df.withColumn("r", F.row_number().over(w))
+    assert {(x["k"], x["r"]) for x in got.collect()} == {
+        (x["k"], x["r"]) for x in want.collect()
+    }
+
+
 def test_n_total_col_and_no_helper_columns_leak(spark):
     df = _frame(spark, 100)
     got = two_phase_order(
-        df, [F.asc("id")], rank_col="r", n_total_col="n", num_partitions=7
+        df, [F.asc("id")], F.col("id"),
+        rank_col="r", n_total_col="n", num_partitions=7,
     )
     rows = got.collect()
     assert {r["n"] for r in rows} == {100}
@@ -50,10 +91,27 @@ def test_n_total_col_and_no_helper_columns_leak(spark):
 
 
 def test_user_column_named_like_marker_survives(spark):
-    df = _frame(spark, 50).withColumn("__bounded_pid", F.col("id") * 2)
-    got = two_phase_order(df, [F.asc("id")], rank_col="r", num_partitions=4)
+    df = _frame(spark, 50).withColumn("__bounded_bkt", F.col("id") * 2)
+    got = two_phase_order(
+        df, [F.asc("id")], F.col("id"), rank_col="r", num_partitions=4
+    )
     rows = got.collect()
-    assert all(r["__bounded_pid"] == 2 * r["id"] for r in rows)
+    assert all(r["__bounded_bkt"] == 2 * r["id"] for r in rows)
+
+
+def test_null_keys_sort_like_the_global_window(spark):
+    df = _frame(spark, 60).withColumn(
+        "nk", F.when(F.col("id") % 7 == 0, None).otherwise(F.col("v"))
+    )
+    for desc in (False, True):
+        order = [F.desc("nk") if desc else F.asc("nk"), F.asc("id")]
+        got = two_phase_order(
+            df, order, F.col("nk"), key_desc=desc, rank_col="r", num_partitions=5
+        )
+        want = df.withColumn("r", F.row_number().over(Window.orderBy(*order)))
+        assert {(x["id"], x["r"]) for x in got.collect()} == {
+            (x["id"], x["r"]) for x in want.collect()
+        }
 
 
 @pytest.mark.parametrize("n,k", [(1, 5), (4, 5), (5, 5), (23, 5), (100, 5), (101, 7)])
@@ -61,7 +119,8 @@ def test_ntile_from_rank_matches_sql_ntile(spark, n, k):
     df = spark.range(n).select(F.col("id"), ((F.col("id") * 13) % 29).alias("s"))
     order = [F.desc("s"), F.asc("id")]
     ranked = two_phase_order(
-        df, order, rank_col="r", n_total_col="nn", num_partitions=4
+        df, order, F.col("s"), key_desc=True,
+        rank_col="r", n_total_col="nn", num_partitions=4,
     ).withColumn("bucket", ntile_from_rank(F.col("r"), F.col("nn"), k))
     w = Window.orderBy(*order)
     want = df.withColumn("bucket", F.ntile(k).over(w))
@@ -71,12 +130,14 @@ def test_ntile_from_rank_matches_sql_ntile(spark, n, k):
 
 
 def test_plan_has_no_empty_partition_window_over_data(spark):
-    # The helper's ONLY global window is over the per-partition totals
+    # The helper's ONLY global window is over the per-bucket totals
     # frame, ordered by the __bounded marker column — the shape the
     # plan gate whitelists. Every data-proportional window must be
     # partitioned.
     df = _frame(spark, 500)
-    got = two_phase_order(df, [F.asc("id")], rank_col="r", num_partitions=8)
+    got = two_phase_order(
+        df, [F.asc("id")], F.col("id"), rank_col="r", num_partitions=8
+    )
     plan = got._jdf.queryExecution().executedPlan().toString()
     from tests.test_plan_quality import _empty_partition_windows
 
