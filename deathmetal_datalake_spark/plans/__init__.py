@@ -41,6 +41,10 @@ del _rev_q, _rev_o
 # always covers the newest, least-battle-tested surface first.
 _NEWEST_FIRST = [
     # round 9
+    "similarity_triplet_margin_audit",
+    "text_vocab_mass_coverage",
+    "dedup_crosslingual_exact",
+    "orders_pareto_concentration",
     "dq_candidate_key_multitable",
     # round 8 (batch 3)
     "events_outage_gaps",

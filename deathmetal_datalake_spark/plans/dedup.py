@@ -2865,3 +2865,63 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("log2_size_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-lingual exact-duplicate audit (round 9) — the translation-
+# pipeline leak check: exact-content clusters (60-bit hash) whose
+# members claim MULTIPLE language tags. A multilingual training mix
+# that machine-translates or mirrors sources ends up with byte-equal
+# text under different lang labels; deduplicating per-language then
+# misses them, and language-balanced sampling double counts them.
+# Rollup by the cluster's language spread: one hash aggregate over
+# (hash, lang), one bounded fold — no pairs, no joins, linear at any
+# corpus size.
+# ---------------------------------------------------------------------------
+
+_XLING_SQL = f"""
+WITH h AS (
+    SELECT {sql_hash60('text')} AS ch, lang FROM documents
+),
+cl AS (
+    SELECT ch,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT lang) AS n_langs,
+           MIN(lang) AS first_lang
+    FROM h GROUP BY ch
+)
+SELECT CAST(n_langs AS BIGINT) AS n_langs,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(n_docs - 1) AS BIGINT) AS n_redundant_docs,
+       MIN(first_lang) AS sample_lang
+FROM cl
+WHERE n_docs > 1
+GROUP BY n_langs
+ORDER BY n_langs
+"""
+
+
+@register("dedup_crosslingual_exact", oracle=_XLING_SQL)
+def dedup_crosslingual_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = (
+        docs.select(hash60("text").alias("ch"), "lang")
+        .groupBy("ch")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("lang").alias("first_lang"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+    return (
+        clusters.groupBy(F.col("n_langs").cast("long").alias("n_langs"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum(F.col("n_docs") - 1).cast("long").alias("n_redundant_docs"),
+            F.min("first_lang").alias("sample_lang"),
+        )
+        .orderBy("n_langs")
+    )

@@ -850,3 +850,94 @@ def orders_yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yoy_ratio"
         ),
     ).orderBy("order_year")
+
+
+# ---------------------------------------------------------------------------
+# Pareto revenue concentration (round 9) — the 80/20 audit every
+# revenue owner asks for: customers ranked by exact decimal revenue,
+# cut into NTILE(10) deciles, each decile reporting its revenue share
+# and the CUMULATIVE share (the Lorenz curve's ten points). Both the
+# rank and the running revenue sum come from the distributed two-phase
+# ordering (operators/ordering.two_phase_order — value-derived buckets,
+# broadcast offsets), so no stage ever holds the customer frame in one
+# task; the cumulative share at a decile boundary is just MAX(cum_rev)
+# inside the decile (the running sum is monotone along the rank).
+# Decimal arithmetic end-to-end; shares divide as doubles after the
+# exact sums (correctly-rounded single division in both engines).
+# ---------------------------------------------------------------------------
+
+_PARETO_SQL = """
+WITH per_cust AS (
+    SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+    FROM orders GROUP BY o_custkey
+),
+ranked AS (
+    SELECT o_custkey, rev,
+           NTILE(10) OVER (ORDER BY rev DESC, o_custkey ASC) AS decile,
+           SUM(rev) OVER (ORDER BY rev DESC, o_custkey ASC
+                          ROWS UNBOUNDED PRECEDING) AS cum_rev
+    FROM per_cust
+),
+tot AS (SELECT SUM(rev) AS total FROM per_cust)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE) AS decile_revenue,
+       ROUND(CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST((SELECT total FROM tot) AS VARCHAR) AS DOUBLE), 6)
+           AS revenue_share,
+       ROUND(CAST(CAST(MAX(cum_rev) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST((SELECT total FROM tot) AS VARCHAR) AS DOUBLE), 6)
+           AS cum_revenue_share
+FROM ranked
+GROUP BY decile
+ORDER BY decile
+"""
+
+
+@register("orders_pareto_concentration", oracle=_PARETO_SQL)
+def orders_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deathmetal_datalake_spark.operators.ordering import (
+        ntile_from_rank,
+        two_phase_order,
+    )
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = session_cache(
+        orders.groupBy("o_custkey").agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev")
+        )
+    )
+    ranked = two_phase_order(
+        per_cust,
+        [F.desc("rev"), F.asc("o_custkey")],
+        F.col("rev"),
+        key_desc=True,
+        rank_col="rnk",
+        cumsum=("rev", "cum_rev"),
+        n_total_col="n_cust",
+    ).withColumn(
+        "decile", ntile_from_rank(F.col("rnk"), F.col("n_cust"), 10)
+    )
+    tot = per_cust.agg(F.sum("rev").cast("double").alias("total"))
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("rev").cast("double").alias("decile_revenue"),
+            F.max("cum_rev").cast("double").alias("cum_at_decile"),
+        )
+        .crossJoin(broadcast(tot))
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "n_customers",
+            "decile_revenue",
+            F.round(F.col("decile_revenue") / F.col("total"), 6).alias(
+                "revenue_share"
+            ),
+            F.round(F.col("cum_at_decile") / F.col("total"), 6).alias(
+                "cum_revenue_share"
+            ),
+        )
+        .orderBy("decile")
+    )

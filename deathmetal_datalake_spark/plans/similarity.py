@@ -2934,3 +2934,93 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Triplet-margin audit (round 9) — the metric-learning data check run
+# before training retrieval/contrastive models on labeled embeddings:
+# for each anchor in the fixed eval set, the nearest SAME-label
+# neighbor's cosine (hardest positive proxy) vs the nearest
+# OTHER-label neighbor's (hardest negative); margin = pos − neg, and a
+# violated margin (negative closer than any positive) flags label
+# noise or collapsed clusters. One broadcast eval-set scan over the
+# corpus (the ≤40-anchor convention every truth side here uses), two
+# grouped maxima — linear at any corpus size. Cosines are rounded
+# before comparing/differencing, so both engines agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_TRIPLET_SQL = f"""
+WITH vecs AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+anchors AS (
+    SELECT vec_id AS anchor_id, label AS a_label, emb AS aemb FROM vecs
+    WHERE vec_id % {_QUERY_MOD} = 0 AND vec_id < {_QUERY_CAP}
+),
+scored AS (
+    SELECT a.anchor_id, a.a_label,
+           v.label = a.a_label AS same_label,
+           ROUND(list_dot_product(a.aemb, v.emb) /
+                 (sqrt(list_dot_product(a.aemb, a.aemb))
+                  * sqrt(list_dot_product(v.emb, v.emb))), 4) AS cosine
+    FROM anchors a CROSS JOIN vecs v
+    WHERE a.anchor_id <> v.vec_id
+)
+SELECT anchor_id,
+       CAST(a_label AS BIGINT) AS label,
+       MAX(CASE WHEN same_label THEN cosine END) AS pos_cosine,
+       MAX(CASE WHEN NOT same_label THEN cosine END) AS neg_cosine,
+       ROUND(MAX(CASE WHEN same_label THEN cosine END)
+             - MAX(CASE WHEN NOT same_label THEN cosine END), 4) AS margin,
+       MAX(CASE WHEN same_label THEN cosine END)
+         < MAX(CASE WHEN NOT same_label THEN cosine END) AS violated
+FROM scored
+GROUP BY anchor_id, a_label
+ORDER BY anchor_id
+"""
+
+
+@register("similarity_triplet_margin_audit", oracle=_TRIPLET_SQL)
+def similarity_triplet_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = spread(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", _as_double("embedding").alias("emb")
+        )
+    )
+    anchors = vecs.filter(
+        (F.col("vec_id") % _QUERY_MOD == 0) & (F.col("vec_id") < _QUERY_CAP)
+    ).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("a_label"),
+        F.col("emb").alias("aemb"),
+    )
+    scored = vecs.join(
+        broadcast(anchors), F.col("anchor_id") != F.col("vec_id")
+    ).select(
+        "anchor_id",
+        "a_label",
+        (F.col("label") == F.col("a_label")).alias("same_label"),
+        F.round(
+            _dot(F.col("aemb"), F.col("emb")) / (_normprod("aemb", "emb")), 4
+        ).alias("cosine"),
+    )
+    pos = F.max(F.when(F.col("same_label"), F.col("cosine")))
+    neg = F.max(F.when(~F.col("same_label"), F.col("cosine")))
+    return (
+        scored.groupBy("anchor_id", "a_label")
+        .agg(
+            pos.alias("pos_cosine"),
+            neg.alias("neg_cosine"),
+            F.round(pos - neg, 4).alias("margin"),
+            (pos < neg).alias("violated"),
+        )
+        .select(
+            "anchor_id",
+            F.col("a_label").cast("long").alias("label"),
+            "pos_cosine",
+            "neg_cosine",
+            "margin",
+            "violated",
+        )
+        .orderBy("anchor_id")
+    )

@@ -2178,3 +2178,92 @@ def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), F.asc("sentence"))
         .limit(_BOILERPLATE_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary mass-coverage curve (round 9) — the tokenizer-budget
+# question Zipf buckets don't answer directly: what fraction of the
+# corpus's TOKEN MASS do the top-k most frequent types cover, for
+# doubling k? (The curve that decides vocab size for a BPE budget and
+# flags template-heavy corpora whose top-64 covers 90%.) Rank and
+# running mass come from the distributed two-phase ordering — the same
+# machinery as the Zipf audit, but reporting cumulative coverage at
+# literal k checkpoints instead of per-bucket stats. k beyond the
+# vocabulary covers everything (LEFT join + coalesce to the total).
+# ---------------------------------------------------------------------------
+
+_COVERAGE_KS = [1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384]
+
+_VOCAB_COVERAGE_SQL = rf"""
+WITH tok AS (
+    SELECT UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS token
+    FROM documents
+),
+counts AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+ranked AS (
+    SELECT c,
+           ROW_NUMBER() OVER (ORDER BY c DESC, token ASC) AS rnk,
+           SUM(c) OVER (ORDER BY c DESC, token ASC ROWS UNBOUNDED PRECEDING)
+               AS cum_c
+    FROM counts
+),
+tot AS (SELECT SUM(c) AS total, COUNT(*) AS n_types FROM counts),
+ks AS (SELECT UNNEST({_COVERAGE_KS}) AS k)
+SELECT CAST(ks.k AS BIGINT) AS k,
+       CAST(LEAST(ks.k, (SELECT n_types FROM tot)) AS BIGINT) AS covered_types,
+       CAST(COALESCE(r.cum_c, (SELECT total FROM tot)) AS BIGINT)
+           AS covered_tokens,
+       ROUND(CAST(COALESCE(r.cum_c, (SELECT total FROM tot)) AS DOUBLE)
+             / (SELECT total FROM tot), 6) AS coverage_ratio
+FROM ks LEFT JOIN ranked r ON r.rnk = ks.k
+ORDER BY k
+"""
+
+
+@register("text_vocab_mass_coverage", oracle=_VOCAB_COVERAGE_SQL)
+def text_vocab_mass_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    from deathmetal_datalake_spark.operators.ordering import two_phase_order
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    counts = session_cache(
+        docs.select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = two_phase_order(
+        counts,
+        [F.desc("c"), F.asc("token")],
+        F.col("c"),
+        key_desc=True,
+        rank_col="rnk",
+        cumsum=("c", "cum_c"),
+    )
+    tot = counts.agg(
+        F.sum("c").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    ks = spark.createDataFrame([(k,) for k in _COVERAGE_KS], "k long")
+    return (
+        ks.join(ranked.select("rnk", "cum_c"), ks["k"] == F.col("rnk"), "left")
+        .crossJoin(broadcast(tot))
+        .select(
+            F.col("k").cast("long").alias("k"),
+            F.least(F.col("k"), F.col("n_types")).cast("long").alias(
+                "covered_types"
+            ),
+            F.coalesce(F.col("cum_c"), F.col("total"))
+            .cast("long")
+            .alias("covered_tokens"),
+            F.round(
+                F.coalesce(F.col("cum_c"), F.col("total")).cast("double")
+                / F.col("total"),
+                6,
+            ).alias("coverage_ratio"),
+        )
+        .orderBy("k")
+    )
