@@ -365,3 +365,65 @@ def test_orders_ops_survive_single_era_orders(spark, tmp_path, name):
     d = _orders_with(tmp_path, spark, rows)
     report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
     assert report["match"] is True, report
+
+
+# ---------------------------------------------------------------------------
+# Round-9 additions: the new operators against the same degenerate
+# batteries — tiny frames (fewer customers than deciles / fewer types
+# than coverage checkpoints), duplicate-free corpora (empty crosslingual
+# rollup), zero-norm anchors in the triplet audit.
+# ---------------------------------------------------------------------------
+
+
+def test_pareto_concentration_with_fewer_customers_than_deciles(spark, tmp_path):
+    import datetime
+
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    T1 = datetime.datetime(1998, 6, 1)
+    # 3 customers -> NTILE(10) degenerates to one bucket per customer.
+    rows = [
+        (i, i % 3, "O", 100.0 * (i + 1), T1, "1-URGENT") for i in range(9)
+    ]
+    d = _orders_with(tmp_path, spark, rows)
+    name = "orders_pareto_concentration"
+    report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+    assert report["match"] is True, report
+
+
+@pytest.mark.parametrize(
+    "name", ["text_vocab_mass_coverage", "dedup_crosslingual_exact"]
+)
+def test_round9_text_ops_survive_degenerate_corpus(spark, tmp_path, name):
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    # Tiny duplicate-free corpus: vocab smaller than most coverage
+    # checkpoints (LEFT-join coalesce path), and ZERO duplicate
+    # clusters (the crosslingual rollup must emit an empty frame in
+    # both engines, not crash).
+    d = _corpus_with(
+        tmp_path, _doc_rows(spark, ["alpha beta", "gamma", "", "delta epsilon"]),
+        spark,
+    )
+    report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+    assert report["match"] is True, report
+
+
+def test_triplet_margin_survives_zero_norm_and_single_label(spark, tmp_path):
+    import math
+
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    rows = []
+    for i in range(60):
+        # anchor 0 (vec_id 0) is all-zero; label 2 has exactly one
+        # member (vec 50 — also an anchor), so its pos_cosine side has
+        # no same-label candidates -> NULL margin in both engines.
+        emb = [0.0] * 64 if i == 0 else [
+            math.sin(0.1 * i + 0.01 * j) for j in range(64)
+        ]
+        rows.append((i, emb, 2 if i == 50 else i % 2))
+    d = _embeddings_with(tmp_path, spark, rows)
+    name = "similarity_triplet_margin_audit"
+    report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+    assert report["match"] is True, report
