@@ -41,6 +41,7 @@ del _rev_q, _rev_o
 # always covers the newest, least-battle-tested surface first.
 _NEWEST_FIRST = [
     # round 9
+    "streaming_static_enrich_replay",
     "similarity_triplet_margin_audit",
     "text_vocab_mass_coverage",
     "dedup_crosslingual_exact",

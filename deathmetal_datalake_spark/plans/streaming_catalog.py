@@ -1648,3 +1648,47 @@ def streaming_peak_concurrency_replay(
     )
     rows = out.collect()
     return spark.createDataFrame(rows, schema=out.schema)
+
+
+# ---------------------------------------------------------------------------
+# STREAM-STATIC JOIN, driver-checked (round 9 — the 26th replay, and
+# the one core Structured Streaming join shape no other replay covers):
+# the event stream enriched against the STATIC customer dimension
+# (user_id = c_custkey) inside the micro-batch plan, then a
+# complete-mode rollup per (market segment, event type). Spark plans
+# the static side as a per-batch broadcast — the canonical dimension-
+# enrichment topology at 100 TB (stream shuffles, dim broadcasts).
+# A stream-static inner join is stateless and batch-order invariant,
+# so the batch join is an exact oracle.
+# ---------------------------------------------------------------------------
+
+_STATIC_ENRICH_SQL = f"""
+SELECT c.c_mktsegment AS segment,
+       e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {sql_dsum("e.value", "sum_value")}
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("streaming_static_enrich_replay", oracle=_STATIC_ENRICH_SQL)
+def streaming_static_enrich_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream, scratch = _replay_events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = stream.join(dim, stream["user_id"] == dim["c_custkey"])
+    agg = (
+        enriched.groupBy(
+            F.col("c_mktsegment").alias("segment"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            dsum("value", "sum_value"),
+        )
+    )
+    tbl = _drain(agg, scratch, "complete")
+    return tbl.orderBy("segment", "event_type")
