@@ -186,3 +186,75 @@ def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
     q_safe = F.nullif(q, F.lit(0))
     tail = (rem + F.floor((rank - cut + q_safe - 1) / q_safe)).cast("long")
     return F.when(rank <= cut, head).otherwise(tail)
+
+
+def exact_global_quantiles(
+    df: DataFrame,
+    value: Column,
+    fracs: list[float],
+    *,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact linear-interpolated global quantiles, scale-safely.
+
+    Spark's ``percentile()`` aggregate buffers EVERY value of the frame
+    in one aggregation buffer (partials merge whole value maps; the
+    final reducer holds the full column) — the same
+    data-proportional-single-task class as an unpartitioned window,
+    just hidden inside an aggregate. This helper computes the identical
+    result by distributed selection instead: a two-phase global rank
+    over the values, the bracketing rows joined to a literal fraction
+    frame, and Spark's exact interpolation formula applied explicitly —
+    0-indexed ``pos = (n-1)·f``, result =
+    ``v_lo·(ceil(pos) − pos) + v_hi·(pos − floor(pos))`` (Percentile
+    .scala's two-sided weighted form, reproduced term for term so the
+    floating-point result is bit-identical to the aggregate's).
+
+    Returns one row per fraction: ``(frac DOUBLE, q DOUBLE)``. Callers
+    pivot with a conditional aggregate. NULL values are excluded first
+    (the aggregate's semantics); an EMPTY frame yields zero rows —
+    callers that must emit a row anyway (aggregate semantics) LEFT-join
+    these quantiles onto an always-one-row count frame.
+
+    Ties need no tie-break column here: the value at a global rank is
+    invariant under any permutation of equal values.
+    """
+    spark = df.sparkSession
+    vals = df.select(value.cast("double").alias("__q_v")).filter(
+        F.col("__q_v").isNotNull()
+    )
+    ranked = two_phase_order(
+        vals,
+        [F.asc("__q_v")],
+        F.col("__q_v"),
+        rank_col="__q_rnk",
+        n_total_col="__q_n",
+        num_partitions=num_partitions,
+    )
+    fr = spark.createDataFrame([(float(f),) for f in fracs], "frac double")
+    # pos is 0-indexed; row_number ranks are 1-indexed.
+    pos = (F.col("__q_n") - 1) * F.col("frac")
+    targets = fr.crossJoin(
+        F.broadcast(ranked.select("__q_n").limit(1))
+    ).select(
+        "frac",
+        (F.floor(pos) + 1).cast("long").alias("__q_lo"),
+        (F.ceil(pos) + 1).cast("long").alias("__q_hi"),
+        pos.alias("__q_pos"),
+    )
+    lo = ranked.select(
+        F.col("__q_rnk").alias("__q_lo"), F.col("__q_v").alias("__q_vlo")
+    )
+    hi = ranked.select(
+        F.col("__q_rnk").alias("__q_hi"), F.col("__q_v").alias("__q_vhi")
+    )
+    # targets is tiny (one row per fraction); lo/hi are value frames —
+    # never broadcast those, AQE turns these into broadcast joins from
+    # the targets side.
+    joined = targets.join(lo, "__q_lo", "left").join(hi, "__q_hi", "left")
+    posf = F.col("__q_pos")
+    q = F.when(F.col("__q_lo") == F.col("__q_hi"), F.col("__q_vlo")).otherwise(
+        F.col("__q_vlo") * (F.ceil(posf) - posf)
+        + F.col("__q_vhi") * (posf - F.floor(posf))
+    )
+    return joined.select("frac", q.alias("q"))

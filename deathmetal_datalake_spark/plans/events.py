@@ -1781,13 +1781,30 @@ def events_conversion_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFra
         .groupBy("user_id")
         .agg(F.min("sec").alias("p"))
     )
-    lags = fv.join(fp, "user_id").select((F.col("p") - F.col("v")).alias("lag_s"))
-    return lags.agg(
-        F.count(F.lit(1)).cast("long").alias("n_converted"),
-        F.round(F.expr("percentile(lag_s, 0.25)"), 6).alias("p25_s"),
-        F.round(F.expr("percentile(lag_s, 0.50)"), 6).alias("p50_s"),
-        F.round(F.expr("percentile(lag_s, 0.75)"), 6).alias("p75_s"),
-        F.round(F.expr("percentile(lag_s, 0.90)"), 6).alias("p90_s"),
+    # Distributed exact quantiles (round 9): percentile() buffers the
+    # whole converted-user lag column in one aggregation buffer; the
+    # two-phase selection computes bit-identical values scale-safely.
+    # LEFT join keeps the aggregate's always-one-row semantics (an
+    # empty lag frame yields NULL quantiles, n_converted = 0).
+    from pyspark.sql.functions import broadcast
+
+    from deathmetal_datalake_spark.operators.ordering import exact_global_quantiles
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    lags = session_cache(
+        fv.join(fp, "user_id").select((F.col("p") - F.col("v")).alias("lag_s"))
+    )
+    qs = exact_global_quantiles(lags, F.col("lag_s"), [0.25, 0.50, 0.75, 0.90])
+    pivot = qs.agg(
+        *[
+            F.round(F.max(F.when(F.col("frac") == f, F.col("q"))), 6).alias(a)
+            for f, a in [(0.25, "p25_s"), (0.50, "p50_s"),
+                         (0.75, "p75_s"), (0.90, "p90_s")]
+        ]
+    )
+    n = lags.agg(F.count(F.lit(1)).cast("long").alias("n_converted"))
+    return n.crossJoin(broadcast(pivot)).select(
+        "n_converted", "p25_s", "p50_s", "p75_s", "p90_s"
     )
 
 

@@ -1371,7 +1371,14 @@ def corpus_anneal_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_tok"),
         )
     )
-    med = toks.agg(F.expr("percentile(n_chars, 0.5)").alias("med_chars"))
+    # Distributed exact median (round 9): percentile() buffers every
+    # n_chars in one aggregation buffer; the two-phase selection is
+    # bit-identical and scale-safe (toks is already session_cached).
+    from deathmetal_datalake_spark.operators.ordering import exact_global_quantiles
+
+    med = exact_global_quantiles(toks, F.col("n_chars"), [0.5]).select(
+        F.col("q").alias("med_chars")
+    )
     main_w = (
         toks.groupBy("source")
         .agg(F.sum("n_tok").alias("w"))

@@ -143,3 +143,37 @@ def test_plan_has_no_empty_partition_window_over_data(spark):
 
     offenders = _empty_partition_windows(plan)
     assert offenders == [] or all("__bounded" in o for o in offenders)
+
+
+@pytest.mark.parametrize("n", [1, 2, 7, 100, 997])
+def test_exact_global_quantiles_match_percentile_aggregate(spark, n):
+    from deathmetal_datalake_spark.operators.ordering import exact_global_quantiles
+
+    df = spark.range(n).select(((F.col("id") * 37) % 101).cast("double").alias("x"))
+    fracs = [0.25, 0.5, 0.75, 0.9]
+    got = {
+        r["frac"]: r["q"]
+        for r in exact_global_quantiles(df, F.col("x"), fracs, num_partitions=5)
+        .collect()
+    }
+    want_row = df.agg(
+        *[F.expr(f"percentile(x, {f})").alias(f"p{i}") for i, f in enumerate(fracs)]
+    ).collect()[0]
+    want = {f: want_row[f"p{i}"] for i, f in enumerate(fracs)}
+    assert got == want  # bit-identical doubles, not approximately
+
+
+def test_exact_global_quantiles_skip_nulls_and_empty_frame(spark):
+    from deathmetal_datalake_spark.operators.ordering import exact_global_quantiles
+
+    df = spark.range(10).select(
+        F.when(F.col("id") % 2 == 0, F.col("id").cast("double")).alias("x")
+    )
+    got = {
+        r["frac"]: r["q"]
+        for r in exact_global_quantiles(df, F.col("x"), [0.5]).collect()
+    }
+    want = df.agg(F.expr("percentile(x, 0.5)").alias("p")).collect()[0]["p"]
+    assert got == {0.5: want}
+    empty = df.filter(F.col("x") < -1)
+    assert exact_global_quantiles(empty, F.col("x"), [0.5]).collect() == []

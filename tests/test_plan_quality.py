@@ -154,6 +154,7 @@ _NONEQUI_OK = {
     "text_vocab_mass_coverage",      # 1-row corpus-total frame crossJoined
     "similarity_triplet_margin_audit",  # ≤40-anchor broadcast eval-set scan
     "corpus_anneal_apportionment",   # 1-row median frame crossJoined
+    "events_conversion_lag_quantiles",  # 1-row quantile pivot crossJoined
 }
 
 
