@@ -258,3 +258,111 @@ def exact_global_quantiles(
         + F.col("__q_vhi") * (posf - F.floor(posf))
     )
     return joined.select("frac", q.alias("q"))
+
+
+def exact_grouped_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value: Column,
+    fracs: list[float],
+    *,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact per-group quantiles for a BOUNDED-ENUM group column
+    (order status, source, label — a handful of huge groups), without
+    the per-group full-column aggregation buffer ``percentile()`` pays.
+
+    Few-huge-groups is the grouped twin of the global-percentile
+    problem: ``groupBy(g).agg(percentile(...))`` still materializes
+    each group's entire value column in one task's buffer at the final
+    merge. With G known-small, the honest distributed form is G
+    applications of :func:`exact_global_quantiles` (one tiny
+    plan-time action to enumerate groups, then G boundary actions —
+    ``session_cache`` the input upstream). NULL groups are carried
+    like any other group value.
+
+    Returns ``(<group_col>, frac DOUBLE, q DOUBLE)`` rows; groups whose
+    value column is entirely NULL/empty contribute no rows (callers
+    LEFT-join, matching the aggregate's NULL for such groups).
+    """
+    groups = [
+        r[0] for r in df.select(group_col).distinct().collect()
+    ]  # bounded-enum contract: G small by design
+    parts = []
+    for g in groups:
+        member = (
+            F.col(group_col).isNull() if g is None else F.col(group_col) == F.lit(g)
+        )
+        q = exact_global_quantiles(
+            df.filter(member), value, fracs, num_partitions=num_partitions
+        )
+        parts.append(q.select(F.lit(g).alias(group_col), "frac", "q"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def grouped_quantiles_lowcard(
+    df: DataFrame,
+    group_col: str,
+    value: Column,
+    fracs: list[float],
+) -> DataFrame:
+    """Exact per-group linear-interpolated quantiles for values of
+    BOUNDED CARDINALITY (integers, fixed-decimal roundings — document
+    lengths, 4-dp norms, absolute deviations of either): the
+    per-(group, value) HISTOGRAM is domain-bounded, never
+    corpus-proportional, so per-group windows over it are scale-safe
+    where a grouped ``percentile()`` aggregate (whole column in one
+    buffer) and even per-group selection machinery are not. One
+    aggregate + one windowed cumulative count; everything stays lazy
+    (no plan-time actions), so nested uses — a MAD that re-enters with
+    ``|x − median|`` — stay cheap.
+
+    Interpolation reproduces ``percentile()`` term for term:
+    0-indexed ``pos = (n−1)·f``, ``q = v_lo·(ceil(pos) − pos) +
+    v_hi·(pos − floor(pos))``. NULL values are excluded (aggregate
+    semantics); a group with no non-NULL values contributes no rows.
+
+    Returns ``(<group_col>, frac DOUBLE, q DOUBLE)``.
+    """
+    spark = df.sparkSession
+    hist = (
+        df.select(F.col(group_col).alias("__g"), value.cast("double").alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .groupBy("__g", "__v")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = Window.partitionBy("__g").orderBy("__v")
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = hist.select(
+        "__g",
+        "__v",
+        F.sum("__c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("__cum"),
+        F.sum("__c").over(w_all).alias("__n"),
+    )
+    fr = spark.createDataFrame([(float(f),) for f in fracs], "frac double")
+    # Target 0-indexed positions per (group, frac): the histogram row
+    # count per group is domain-bounded, so the crossJoin fan-out is
+    # #fracs, not data-proportional.
+    pos = (F.col("__n") - 1) * F.col("frac")
+    targets = cum.crossJoin(F.broadcast(fr)).select(
+        "__g", "__v", "__cum", "frac", pos.alias("__pos")
+    )
+    v_lo = (
+        targets.filter(F.col("__cum") >= F.floor(F.col("__pos")) + 1)
+        .groupBy("__g", "frac")
+        .agg(F.min("__v").alias("__vlo"), F.min("__pos").alias("__pos"))
+    )
+    v_hi = (
+        targets.filter(F.col("__cum") >= F.ceil(F.col("__pos")) + 1)
+        .groupBy("__g", "frac")
+        .agg(F.min("__v").alias("__vhi"))
+    )
+    joined = v_lo.join(v_hi, ["__g", "frac"])
+    p = F.col("__pos")
+    q = F.when(F.ceil(p) == F.floor(p), F.col("__vlo")).otherwise(
+        F.col("__vlo") * (F.ceil(p) - p) + F.col("__vhi") * (p - F.floor(p))
+    )
+    return joined.select(F.col("__g").alias(group_col), "frac", q.alias("q"))

@@ -2902,15 +2902,27 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sqrt(_dot(F.col("emb"), F.col("emb"))), 4).alias("nrm"),
         )
     )
-    med = norms.groupBy("label").agg(
-        F.expr("percentile(nrm, 0.5)").alias("med_norm")
+    # Distributed exact per-label medians (round 9): grouped
+    # percentile() buffers each label's whole norm column in one task
+    # at the final merge. Norms are rounded to 4 dp (domain-bounded),
+    # so the histogram form is exact and scale-safe — and lazy, so the
+    # MAD's nested re-entry with |nrm − median| stays cheap.
+    from deathmetal_datalake_spark.operators.ordering import (
+        grouped_quantiles_lowcard,
     )
-    with_med = norms.join(broadcast(med), "label").withColumn(
-        "absdev", F.abs(F.col("nrm") - F.col("med_norm"))
+    from deathmetal_datalake_spark.plans.registry import session_cache as _cache
+
+    med = grouped_quantiles_lowcard(norms, "label", F.col("nrm"), [0.5]).select(
+        "label", F.col("q").alias("med_norm")
     )
-    mad = with_med.groupBy("label").agg(
-        F.expr("percentile(absdev, 0.5)").alias("mad_norm")
+    with_med = _cache(
+        norms.join(broadcast(med), "label").withColumn(
+            "absdev", F.abs(F.col("nrm") - F.col("med_norm"))
+        )
     )
+    mad = grouped_quantiles_lowcard(
+        with_med, "label", F.col("absdev"), [0.5]
+    ).select("label", F.col("q").alias("mad_norm"))
     flagged = with_med.join(broadcast(mad), "label")
     is_out = F.col("absdev") > F.lit(float(_NORM_MAD_K)) * F.col("mad_norm")
     return (

@@ -61,11 +61,27 @@ FROM orders GROUP BY status
 
 @register("percentile_prices_by_status", oracle=_PCT_SQL)
 def percentile_prices_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy(F.col("o_orderstatus").alias("status")).agg(
-        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
-        F.round(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("p50"),
-        F.round(F.expr("percentile(o_totalprice, 0.90)"), 4).alias("p90"),
+    # Distributed exact per-group quantiles (round 9): the grouped
+    # percentile() aggregate buffers each status's ENTIRE price column
+    # in one task at the final merge — the few-huge-groups twin of the
+    # unpartitioned-window class. Status is a bounded enum (3 values),
+    # so exact_grouped_quantiles runs one two-phase selection per group.
+    from deathmetal_datalake_spark.operators.ordering import exact_grouped_quantiles
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    orders = session_cache(
+        load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderstatus").alias("status"), "o_totalprice"
+        )
+    )
+    qs = exact_grouped_quantiles(
+        orders, "status", F.col("o_totalprice"), [0.25, 0.50, 0.90]
+    )
+    return qs.groupBy("status").agg(
+        *[
+            F.round(F.max(F.when(F.col("frac") == f, F.col("q"))), 4).alias(a)
+            for f, a in [(0.25, "p25"), (0.50, "p50"), (0.90, "p90")]
+        ]
     )
 
 

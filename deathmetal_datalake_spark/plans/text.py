@@ -1328,15 +1328,26 @@ def text_robust_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     lens = session_cache(
         load_table(spark, sf_dir, "documents").select("source", "n_chars")
     )
-    med = lens.groupBy("source").agg(
-        F.expr("percentile(n_chars, 0.5)").alias("med_chars")
+    # Distributed exact per-source medians (round 9): grouped
+    # percentile() buffers each source's whole column in one task —
+    # the few-huge-groups twin of the unpartitioned-window class.
+    # n_chars (and the absolute deviations, integer ± x.5) are
+    # domain-bounded, so the histogram form is exact AND scale-safe.
+    from deathmetal_datalake_spark.operators.ordering import (
+        grouped_quantiles_lowcard,
     )
-    with_med = lens.join(broadcast(med), "source").withColumn(
-        "absdev", F.abs(F.col("n_chars") - F.col("med_chars"))
+
+    med = grouped_quantiles_lowcard(lens, "source", F.col("n_chars"), [0.5]).select(
+        "source", F.col("q").alias("med_chars")
     )
-    mad = with_med.groupBy("source").agg(
-        F.expr("percentile(absdev, 0.5)").alias("mad_chars")
+    with_med = session_cache(
+        lens.join(broadcast(med), "source").withColumn(
+            "absdev", F.abs(F.col("n_chars") - F.col("med_chars"))
+        )
     )
+    mad = grouped_quantiles_lowcard(
+        with_med, "source", F.col("absdev"), [0.5]
+    ).select("source", F.col("q").alias("mad_chars"))
     flagged = with_med.join(broadcast(mad), "source")
     is_out = F.col("absdev") > F.lit(float(_MAD_K)) * F.col("mad_chars")
     return flagged.groupBy("source", "med_chars", "mad_chars").agg(

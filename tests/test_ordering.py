@@ -177,3 +177,41 @@ def test_exact_global_quantiles_skip_nulls_and_empty_frame(spark):
     assert got == {0.5: want}
     empty = df.filter(F.col("x") < -1)
     assert exact_global_quantiles(empty, F.col("x"), [0.5]).collect() == []
+
+
+def test_grouped_quantiles_lowcard_match_grouped_percentile(spark):
+    from deathmetal_datalake_spark.operators.ordering import grouped_quantiles_lowcard
+
+    df = spark.range(500).select(
+        (F.col("id") % 4).alias("g"),
+        F.when(F.col("id") % 11 == 0, None)
+        .otherwise((F.col("id") * 7) % 23)
+        .cast("double")
+        .alias("x"),
+    )
+    fracs = [0.25, 0.5, 0.9]
+    got = {
+        (r["g"], r["frac"]): r["q"]
+        for r in grouped_quantiles_lowcard(df, "g", F.col("x"), fracs).collect()
+    }
+    want_rows = df.groupBy("g").agg(
+        *[F.expr(f"percentile(x, {f})").alias(f"p{i}") for i, f in enumerate(fracs)]
+    ).collect()
+    want = {
+        (r["g"], f): r[f"p{i}"] for r in want_rows for i, f in enumerate(fracs)
+    }
+    assert got == want  # bit-identical doubles
+
+
+def test_grouped_quantiles_lowcard_single_row_groups_and_all_null_group(spark):
+    from deathmetal_datalake_spark.operators.ordering import grouped_quantiles_lowcard
+
+    df = spark.createDataFrame(
+        [("a", 5.0), ("b", 1.0), ("b", 2.0), ("c", None)],
+        "g string, x double",
+    )
+    got = {
+        (r["g"], r["frac"]): r["q"]
+        for r in grouped_quantiles_lowcard(df, "g", F.col("x"), [0.5]).collect()
+    }
+    assert got == {("a", 0.5): 5.0, ("b", 0.5): 1.5}  # c: no non-null values

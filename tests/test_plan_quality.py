@@ -155,6 +155,9 @@ _NONEQUI_OK = {
     "similarity_triplet_margin_audit",  # ≤40-anchor broadcast eval-set scan
     "corpus_anneal_apportionment",   # 1-row median frame crossJoined
     "events_conversion_lag_quantiles",  # 1-row quantile pivot crossJoined
+    "percentile_prices_by_status",   # ≤3-row literal fraction frame crossJoined
+    "text_robust_length_outliers",   # 1-row fraction frame crossJoined (median+MAD)
+    "embedding_norm_outliers",       # 1-row fraction frame crossJoined (median+MAD)
 }
 
 
