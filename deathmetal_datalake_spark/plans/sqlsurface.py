@@ -10,7 +10,7 @@ collects fix the element order on both sides.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from deathmetal_datalake_spark.plans.registry import register
@@ -135,12 +135,29 @@ GROUP BY nation_name
 
 @register("array_agg_first_names", oracle=_ARRAY_AGG_SQL)
 def array_agg_first_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round 9: collect_list-then-slice buffered EVERY name per nation
+    # in one aggregation buffer (data-proportional per group). The
+    # rn <= 3 window compiles to WindowGroupLimit — each map task
+    # forwards at most 3 names per nation before the shuffle — then
+    # the list aggregate sees ≤ 3 rows per group. Ties on equal names
+    # need no tie-break: the top-3 MULTISET is value-determined.
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
-    joined = customer.join(nation, customer.c_nationkey == nation.n_nationkey)
-    return joined.groupBy(F.col("n_name").alias("nation_name")).agg(
-        F.slice(F.array_sort(F.collect_list("c_name")), 1, 3).alias("top_names"),
-        F.count(F.lit(1)).alias("n_customers"),
+    joined = customer.join(nation, customer.c_nationkey == nation.n_nationkey).select(
+        F.col("n_name").alias("nation_name"), "c_name"
+    )
+    w = Window.partitionBy("nation_name").orderBy("c_name")
+    top3 = (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .groupBy("nation_name")
+        .agg(F.array_sort(F.collect_list("c_name")).alias("top_names"))
+    )
+    counts = joined.groupBy("nation_name").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    return counts.join(top3, "nation_name").select(
+        "nation_name", "top_names", "n_customers"
     )
 
 
