@@ -125,7 +125,10 @@ BENCH_QUERIES = [
     # late round 3: row-level deletes + CDC over the versioned table
     "catalog_delete_takedown",
     "catalog_changes_cdc",
-    "catalog_stats_pruned_scan",
+    # (catalog_stats_pruned_scan rotated out round 9, stdout budget —
+    # its runtime is ~write-construction-bound like bloom_point_lookup,
+    # the catalog family keeps 6 benched representatives, and the
+    # two-scale history is in docs/BENCH_FULL.json through r8.)
     # exact-substring (span) dedup — the Lee-et-al pass
     "dedup_exact_substring",
     # record-transport replay + trailing-frame anomaly scoring
@@ -164,13 +167,25 @@ BENCH_QUERIES = [
     # Markov transition rollup (lag window + bounded aggregate)
     "text_winnowing_fingerprint",
     "similarity_binary_sign_quant",
-    "events_type_transition_matrix",
+    # (events_type_transition_matrix rotated out round 9, stdout
+    # budget — the events family keeps 4 benched representatives incl.
+    # peak_concurrency, which exercises the same lag-window shape;
+    # two-scale history in docs/BENCH_FULL.json through r8.)
     # round 8: the sweep-line concurrency audit (new window shape), the
     # shingle-df audit behind the _MAX_DF cap (one full shingle pass),
     # and threshold-based range retrieval (O(n*40) broadcast scan)
     "events_peak_concurrency",
     "dedup_shingle_df_profile",
     "similarity_radius_search",
+    # round 9: the Lorenz-decile audit (distributed two-phase rank +
+    # decimal running sum — the new ordering helper's showcase) and the
+    # stream-static broadcast enrichment (the 26th replay's join shape)
+    "orders_pareto_concentration",
+    "streaming_static_enrich_replay",
+    # NOT here: dq_candidate_key_multitable — five-table scan whose
+    # runtime is dominated by lineitem distincts the TPC-H family
+    # already times; two-scale profile in docs/SCALING.md §Round 9,
+    # CORRECTNESS covers it every round.
     # NOT here: catalog_bloom_point_lookup — its runtime is ~80%
     # deliberate 7-write table construction + opt-in bloom harvest
     # (write-side costs the catalog family already represents via
