@@ -168,6 +168,17 @@ def test_streaming_asof_equals_batch(spark, tmp_path):
                     )
                     + "\n"
                 )
+    # Pin strictly increasing mtimes: the file source delivers in mtime
+    # order at MILLISECOND resolution, and on a loaded machine two
+    # sequential writes can share an ms — flipping the delivery order
+    # this order-SENSITIVE as-of state depends on (observed once as a
+    # full-suite-only flake, round 9).
+    import os
+    import time as _time
+
+    _base = _time.time()
+    for part in range(4):
+        os.utime(drops / f"d{part}.json", (_base + part, _base + part))
     from deathmetal_datalake_spark.streaming.windows import EVENT_SCHEMA
 
     stream = (
