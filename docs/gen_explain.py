@@ -76,6 +76,17 @@ NAMES = [
     "similarity_radius_search",
     "events_rfm_quintiles",
     "similarity_label_centroid_drift",
+    # round 9: the two-phase distributed ordering (value-bucketed rank +
+    # running sum, broadcast offsets — no SinglePartition exchange over
+    # data), its Lorenz-decile showcase, the vocab mass-coverage curve,
+    # the multi-table key audit (TakeOrderedAndProject KMV proof), and
+    # the distributed-selection quantiles
+    "text_zipf_rank_frequency",
+    "corpus_token_budget_fill",
+    "orders_pareto_concentration",
+    "text_vocab_mass_coverage",
+    "dq_candidate_key_multitable",
+    "events_conversion_lag_quantiles",
 ]
 
 _DETAIL_PREFIXES = (
