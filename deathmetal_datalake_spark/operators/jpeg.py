@@ -1,0 +1,320 @@
+"""Baseline JPEG (SOF0) decoder — pure stdlib + numpy, no codec libs.
+
+Round 9 closes most of the compressed-image seam from first principles:
+marker parse (DQT/DHT/SOF0/SOS/DRI), Huffman-coded MCU entropy decode
+with byte unstuffing and restart markers, dequantization, inverse
+zigzag, orthonormal 2-D IDCT (numpy matrix form), chroma upsampling
+for 4:2:0/4:2:2, and output as the same (H, W) int64 grayscale grid
+every decoder here produces. JFIF's Y channel IS the BT.601 luma, so
+the grayscale output needs no color conversion — Cb/Cr blocks are
+entropy-decoded (the interleaved bitstream demands it) but not
+IDCT'd.
+
+Scope (loud ValueError outside it, the corpus-mis-tag convention):
+baseline sequential DCT, 8-bit precision, Huffman coding. Progressive
+(SOF2), arithmetic coding, 12-bit, and hierarchical modes are
+rejected, not garbled.
+
+Exactness: JPEG is lossy, but a block whose quantization table is all
+ones and whose content is constant round-trips EXACTLY through
+DCT→round→IDCT (only the DC coefficient is nonzero and it is an
+integer multiple of 1/8 scaled exactly); the test suite pins that, and
+bounds the error on smooth content against an independent
+spec-following encoder written in the tests (the WAV-vs-``wave`` /
+PNG-encoder pattern).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+ZIGZAG = np.array(
+    [
+        0,  1,  8, 16,  9,  2,  3, 10,
+       17, 24, 32, 25, 18, 11,  4,  5,
+       12, 19, 26, 33, 40, 48, 41, 34,
+       27, 20, 13,  6,  7, 14, 21, 28,
+       35, 42, 49, 56, 57, 50, 43, 36,
+       29, 22, 15, 23, 30, 37, 44, 51,
+       58, 59, 52, 45, 38, 31, 39, 46,
+       53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Orthonormal 8x8 DCT-II basis: IDCT(coef) = C.T @ coef @ C with
+# C[u, x] = a(u) * cos((2x+1) u pi / 16), a(0)=sqrt(1/8), else sqrt(2/8).
+_C = np.zeros((8, 8))
+for _u in range(8):
+    _a = np.sqrt(0.125) if _u == 0 else np.sqrt(0.25)
+    for _x in range(8):
+        _C[_u, _x] = _a * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+
+class _Huff:
+    """Canonical JPEG Huffman table: (bits[1..16], values) → fast
+    per-length first-code/first-index lookup (the F.16 FIGURE 23
+    algorithm, table-driven)."""
+
+    def __init__(self, bits: list[int], values: bytes) -> None:
+        self.min_code = [0] * 17
+        self.max_code = [-1] * 17
+        self.val_ptr = [0] * 17
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            n = bits[ln - 1]
+            if n:
+                self.val_ptr[ln] = k
+                self.min_code[ln] = code
+                code += n
+                k += n
+                self.max_code[ln] = code - 1
+            code <<= 1
+        self.values = values
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment with 0xFF00
+    unstuffing; RSTn markers are surfaced to the caller."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise _RestartMarker(nxt)
+            else:
+                raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
+        else:
+            self.pos += 1
+        self.bitbuf = (self.bitbuf << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_past_restart(self, marker: int) -> None:
+        # Consume the FFDx marker bytes and reset bit state.
+        d = self.data
+        # self.pos currently points AT the 0xFF byte (via _fill raise)
+        assert d[self.pos] == 0xFF and d[self.pos + 1] == marker
+        self.pos += 2
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def decode_huff(self, tab: _Huff) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.bit()
+            if tab.max_code[ln] >= 0 and code <= tab.max_code[ln]:
+                return tab.values[tab.val_ptr[ln] + code - tab.min_code[ln]]
+        raise ValueError("invalid Huffman code in scan")
+
+
+class _RestartMarker(Exception):
+    def __init__(self, marker: int) -> None:
+        self.marker = marker
+
+
+def _extend(v: int, t: int) -> int:
+    """JPEG EXTEND (F.12): map t raw bits to the signed value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def jpeg_decode(content: bytes):
+    """Decode a baseline JPEG payload to an (H, W) int64 grayscale
+    array (the JFIF Y channel — already BT.601 luma)."""
+    b = bytes(content)
+    if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _Huff] = {}
+    huff_ac: dict[int, _Huff] = {}
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("marker desync")
+        marker = b[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", b, pos + 2)
+        seg = b[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                i += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg[i : i + 64], dtype=np.uint8).astype(
+                        np.int64
+                    )
+                    i += 64
+                else:  # 16-bit table
+                    tbl = np.frombuffer(seg[i : i + 128], dtype=">u2").astype(
+                        np.int64
+                    )
+                    i += 128
+                qt[tq] = tbl
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                values = seg[i + 17 : i + 17 + n]
+                (huff_dc if tc == 0 else huff_ac)[th] = _Huff(bits, values)
+                i += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/SOF1 baseline
+            precision = seg[0]
+            if precision != 8:
+                raise ValueError(f"unsupported JPEG precision {precision}")
+            h, w = struct.unpack_from(">HH", seg, 1)
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid = seg[6 + 3 * c]
+                hv = seg[7 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": seg[8 + 3 * c]}
+                )
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG mode (SOF marker 0xFF{marker:02X}; "
+                "baseline sequential Huffman only)"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS — entropy-coded data follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scan_tabs = {}
+            for c in range(ns):
+                cs = seg[1 + 2 * c]
+                td_ta = seg[2 + 2 * c]
+                scan_tabs[cs] = (td_ta >> 4, td_ta & 0x0F)
+            return _decode_scan(
+                b, pos + 2 + seglen, frame, scan_tabs, qt, huff_dc, huff_ac,
+                restart_interval,
+            )
+        pos += 2 + seglen
+    raise ValueError("no SOS scan found")
+
+
+def _decode_scan(b, pos, frame, scan_tabs, qt, huff_dc, huff_ac, dri):
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    if h == 0 or w == 0:
+        raise ValueError("degenerate JPEG dimensions")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # Per-component coefficient planes (only Y is IDCT'd at the end,
+    # but every block must be entropy-decoded to advance the stream).
+    planes = {}
+    for c in comps:
+        planes[c["id"]] = np.zeros(
+            (mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64
+        )
+    pred = {c["id"]: 0 for c in comps}
+    reader = _BitReader(b, pos)
+
+    def idct(block):
+        return _C.T @ block @ _C
+
+    mcu_count = 0
+    next_rst = 0xD0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and mcu_count and mcu_count % dri == 0:
+                # Expect a restart marker; the reader raises when it
+                # meets it mid-fill, or it may already be positioned.
+                try:
+                    # Drain to the marker: any remaining bits are pad.
+                    while True:
+                        reader.bit()
+                except _RestartMarker as rm:
+                    reader.align_past_restart(rm.marker)
+                    if rm.marker != next_rst:
+                        raise ValueError("restart marker out of sequence")
+                    next_rst = 0xD0 + ((next_rst - 0xD0 + 1) & 7)
+                    for k in pred:
+                        pred[k] = 0
+            mcu_count += 1
+            for c in comps:
+                td, ta = scan_tabs[c["id"]]
+                dc_tab, ac_tab = huff_dc[td], huff_ac[ta]
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coef = np.zeros(64, dtype=np.int64)
+                        t = reader.decode_huff(dc_tab)
+                        diff = _extend(reader.bits(t), t)
+                        pred[c["id"]] += diff
+                        coef[0] = pred[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode_huff(ac_tab)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            coef[k] = _extend(reader.bits(s), s)
+                            k += 1
+                        # Inverse zigzag: coef is in zigzag order;
+                        # natural[ZIGZAG[i]] = coef[i].
+                        nat = np.zeros(64, dtype=np.float64)
+                        nat[ZIGZAG] = (coef * q).astype(np.float64)
+                        blk = idct(nat.reshape(8, 8))
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = blk
+    # Grayscale output = the FIRST component (Y), upsampled to full
+    # resolution when subsampled, +128 level shift, clipped.
+    y = comps[0]
+    plane = planes[y["id"]]
+    ry, rx = vmax // y["v"], hmax // y["h"]
+    if ry > 1 or rx > 1:
+        plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+    img = np.round(plane[:h, :w] + 128.0)
+    return np.clip(img, 0, 255).astype(np.int64)
+
+
+def jpeg_average_hash(content: bytes) -> int:
+    """60-bit aHash over the decoded JPEG luma — same convention as
+    ``bmp_average_hash``/``png_average_hash``."""
+    from deathmetal_datalake_spark.operators.multimodal import _ahash_from_gray
+
+    return _ahash_from_gray(jpeg_decode(content))

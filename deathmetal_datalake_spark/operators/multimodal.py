@@ -8,12 +8,14 @@ row. The compressed-media codec work (PIL/ffmpeg/librosa) is NOT
 available in this environment, so those codec call sites are stubbed
 behind ``NotImplementedError`` with a deterministic fake used by tests
 and the oracle-checked query — the Spark-side plumbing (schema,
-batching, partitioning, UDF signatures) is real. Three codecs ARE
+batching, partitioning, UDF signatures) is real. Four codecs ARE
 real, stdlib-only, behind the same decoder protocol: ``wav_pcm_decode``
 (RIFF/WAVE integer PCM + µ-law/A-law, rounds 8-9), ``bmp_decode``
-(uncompressed BMP, round 8), and ``png_decode`` (zlib inflate +
-per-row unfilter incl. Paeth, round 9). JPEG/MP3/H.264 remain
-environment-bound stubs.
+(uncompressed BMP, round 8), ``png_decode`` (zlib inflate + per-row
+unfilter incl. Paeth, round 9), and ``operators/jpeg.jpeg_decode``
+(baseline sequential JPEG from first principles — Huffman entropy
+decode, dequant, orthonormal IDCT, 4:2:0 upsampling, round 9).
+MP3/H.264 remain environment-bound stubs.
 """
 
 from __future__ import annotations
@@ -415,13 +417,14 @@ _PHASH_OUT = StructType(
 
 
 def _real_phash(content: bytes) -> int:
-    """Codec call site: a real deployment decodes the image and
-    computes a DCT-based pHash here (PIL + scipy / imagehash).
-    Uncompressed BMP is already a real path — ``bmp_average_hash``."""
+    """Codec call site: a real deployment plugs its preferred library
+    decoder here. BMP, PNG, and baseline JPEG already have REAL
+    stdlib paths — ``bmp_average_hash``, ``png_average_hash``, and
+    ``operators/jpeg.jpeg_average_hash``."""
     raise NotImplementedError(
-        "compressed-image codecs are not available in this environment; "
-        "use bmp_average_hash for BMP payloads or deterministic_phash "
-        "for oracle-checked tests"
+        "no library codecs in this environment; use bmp_average_hash / "
+        "png_average_hash / jpeg.jpeg_average_hash for those formats, "
+        "or deterministic_phash for oracle-checked tests"
     )
 
 
