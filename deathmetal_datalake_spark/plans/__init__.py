@@ -40,6 +40,10 @@ del _rev_q, _rev_o
 # promoted to the head explicitly — the driver's prefix sample then
 # always covers the newest, least-battle-tested surface first.
 _NEWEST_FIRST = [
+    # round 9 (batch 2)
+    "events_dau_wau_stickiness",
+    "lineitem_market_basket_lift",
+    "text_code_detection",
     # round 9
     "streaming_static_enrich_replay",
     "similarity_triplet_margin_audit",

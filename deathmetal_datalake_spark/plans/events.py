@@ -2441,3 +2441,75 @@ def events_outage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("silent_minutes"), F.asc("event_type"), F.asc("gap_start_ts"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# DAU/WAU stickiness (round 9) — the growth-accounting ratio next to
+# new-vs-returning: per day, distinct active users that day (DAU) and
+# distinct users active in the trailing 7-day window (WAU), ratio
+# rounded. Cross-day distincts can't slide cheaply, so the exact form
+# joins the BOUNDED day grid to the per-(day, user) distinct pairs
+# with a 7-day band — the fan-out is ≤ 7 rows per active (day, user),
+# then one distinct aggregate per grid day. Everything shuffles on
+# (day, user); no global structure anywhere.
+# ---------------------------------------------------------------------------
+
+_STICKINESS_SQL = """
+WITH du AS (
+    SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, user_id
+    FROM events
+),
+grid AS (SELECT DISTINCT d FROM du),
+wau AS (
+    SELECT g.d, COUNT(DISTINCT u.user_id) AS wau
+    FROM grid g
+    JOIN du u ON u.d <= g.d AND u.d >= g.d - INTERVAL 6 DAY
+    GROUP BY g.d
+),
+dau AS (SELECT d, COUNT(*) AS dau FROM du GROUP BY d)
+SELECT CAST(dau.d AS DATE) AS day,
+       CAST(dau.dau AS BIGINT) AS dau,
+       CAST(wau.wau AS BIGINT) AS wau,
+       ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+FROM dau JOIN wau ON dau.d = wau.d
+ORDER BY day
+"""
+
+
+@register("events_dau_wau_stickiness", oracle=_STICKINESS_SQL)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    ev = load_table(spark, sf_dir, "events")
+    du = session_cache(
+        ev.select(F.col("ts").cast("date").alias("d"), "user_id").distinct()
+    )
+    grid = du.select("d").distinct()
+    # Day grid is time-range bound (hundreds of rows at any data
+    # volume) — broadcast it; the band join fans each (day, user) pair
+    # out to at most 7 grid days.
+    wau = (
+        du.alias("u")
+        .join(
+            broadcast(grid.alias("g")),
+            (F.col("u.d") <= F.col("g.d"))
+            & (F.col("u.d") >= F.date_sub(F.col("g.d"), 6)),
+        )
+        .groupBy(F.col("g.d").alias("d"))
+        .agg(F.countDistinct("u.user_id").alias("wau"))
+    )
+    dau = du.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    return (
+        dau.join(wau, "d")
+        .select(
+            F.col("d").alias("day"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )

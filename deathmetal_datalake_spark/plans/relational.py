@@ -941,3 +941,101 @@ def orders_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket pair lift (round 9) — the classic co-occurrence audit
+# over lineitem: for part pairs bought together in one order, support
+# and LIFT (pair frequency over the independence expectation). Pair
+# generation is a self-join WITHIN the order key (p1 < p2 dedups the
+# unordered pair) — each order holds a handful of lineitems, so the
+# fan-out is Σ k_i², bounded by the max basket size, never corpus².
+# Lift is a ratio of exact integer counts over the order total —
+# single correctly-rounded double division in both engines. Top-20 by
+# lift with full tie-break; minimum pair support 3 keeps the tail from
+# flooding ties.
+# ---------------------------------------------------------------------------
+
+_BASKET_SQL = """
+WITH items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM lineitem),
+part_freq AS (
+    SELECT l_partkey, COUNT(*) AS cnt FROM items GROUP BY l_partkey
+),
+pairs AS (
+    SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS together
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT p.p1, p.p2, p.together,
+           f1.cnt AS cnt1, f2.cnt AS cnt2,
+           ROUND(CAST(p.together AS DOUBLE) * (SELECT n FROM n_orders)
+                 / (CAST(f1.cnt AS DOUBLE) * f2.cnt), 6) AS lift
+    FROM pairs p
+    JOIN part_freq f1 ON f1.l_partkey = p.p1
+    JOIN part_freq f2 ON f2.l_partkey = p.p2
+    WHERE p.together >= 3
+)
+SELECT p1, p2,
+       CAST(together AS BIGINT) AS together,
+       CAST(cnt1 AS BIGINT) AS cnt1,
+       CAST(cnt2 AS BIGINT) AS cnt2,
+       lift
+FROM scored
+ORDER BY lift DESC, p1 ASC, p2 ASC
+LIMIT 20
+"""
+
+
+@register("lineitem_market_basket_lift", oracle=_BASKET_SQL)
+def lineitem_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = session_cache(li.select("l_orderkey", "l_partkey").distinct())
+    n_orders = items.select("l_orderkey").distinct().count()  # one scalar
+    part_freq = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("together"))
+        .filter(F.col("together") >= 3)
+    )
+    f1 = part_freq.select(
+        F.col("l_partkey").alias("p1"), F.col("cnt").alias("cnt1")
+    )
+    f2 = part_freq.select(
+        F.col("l_partkey").alias("p2"), F.col("cnt").alias("cnt2")
+    )
+    scored = (
+        pairs.join(f1, "p1")
+        .join(f2, "p2")
+        .select(
+            "p1",
+            "p2",
+            F.col("together").cast("long").alias("together"),
+            F.col("cnt1").cast("long").alias("cnt1"),
+            F.col("cnt2").cast("long").alias("cnt2"),
+            F.round(
+                F.col("together").cast("double")
+                * F.lit(n_orders)
+                / (F.col("cnt1").cast("double") * F.col("cnt2")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift"), F.asc("p1"), F.asc("p2")
+    ).limit(20)

@@ -2278,3 +2278,103 @@ def text_vocab_mass_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# ---------------------------------------------------------------------------
+# Code-vs-prose detection (round 9) — the filtering signal a training
+# mix needs before routing documents to code vs natural-language
+# pipelines: per doc, symbol density (brackets/operators per char),
+# indented-line ratio, and semicolon-terminated-line ratio, folded into
+# a deterministic rule. Pure char-class counts via regexp_replace
+# length deltas (identical semantics in both engines — no \d/\w
+# class-shorthand differences), one scan, no shuffle before the
+# bounded per-source rollup.
+# ---------------------------------------------------------------------------
+
+_CODE_CHARS = r"[{}\[\]();<>=+*/&|#]"
+
+_CODE_DETECT_SQL = rf"""
+WITH feats AS (
+    SELECT source,
+           doc_id,
+           LENGTH(text) AS n_chars,
+           LENGTH(text) - LENGTH(regexp_replace(text, '{_CODE_CHARS}', '', 'g'))
+               AS n_sym,
+           len(list_filter(string_split(text, chr(10)),
+                           x -> x LIKE '    %' OR x LIKE chr(9) || '%'))
+               AS n_indented,
+           len(list_filter(string_split(text, chr(10)),
+                           x -> LENGTH(TRIM(x)) > 0)) AS n_lines
+    FROM documents
+),
+scored AS (
+    SELECT source, doc_id,
+           ROUND(CAST(n_sym AS DOUBLE) / NULLIF(n_chars, 0), 6) AS sym_density,
+           ROUND(CAST(n_indented AS DOUBLE) / NULLIF(n_lines, 0), 6)
+               AS indent_ratio,
+           (CAST(n_sym AS DOUBLE) / NULLIF(n_chars, 0)) > 0.03
+             AND n_lines > 0 AS looks_code
+    FROM feats
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN looks_code THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_code_docs,
+       ROUND(SUM(CASE WHEN looks_code THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS code_rate,
+       {sql_davg("sym_density", "avg_sym_density")},
+       {sql_davg("indent_ratio", "avg_indent_ratio")}
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("text_code_detection", oracle=_CODE_DETECT_SQL)
+def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deathmetal_datalake_spark.plans.registry import davg
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_sym = n_chars - F.length(F.regexp_replace("text", _CODE_CHARS, ""))
+    lines = F.split(F.col("text"), "\n")
+    n_indented = F.size(
+        F.filter(
+            lines,
+            lambda x: x.startswith("    ") | x.startswith("\t"),
+        )
+    )
+    n_lines = F.size(F.filter(lines, lambda x: F.length(F.trim(x)) > 0))
+    sym_density = F.round(
+        n_sym.cast("double") / F.nullif(n_chars, F.lit(0)), 6
+    )
+    indent_ratio = F.round(
+        n_indented.cast("double") / F.nullif(n_lines, F.lit(0)), 6
+    )
+    looks_code = (
+        (n_sym.cast("double") / F.nullif(n_chars, F.lit(0)) > 0.03)
+        & (n_lines > 0)
+    )
+    scored = docs.select(
+        "source",
+        sym_density.alias("sym_density"),
+        indent_ratio.alias("indent_ratio"),
+        looks_code.alias("looks_code"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("looks_code"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_code_docs"),
+            F.round(
+                F.sum(F.when(F.col("looks_code"), 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("code_rate"),
+            davg("sym_density", "avg_sym_density"),
+            davg("indent_ratio", "avg_indent_ratio"),
+        )
+        .orderBy("source")
+    )
