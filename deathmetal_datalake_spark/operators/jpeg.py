@@ -318,3 +318,55 @@ def jpeg_average_hash(content: bytes) -> int:
     from deathmetal_datalake_spark.operators.multimodal import _ahash_from_gray
 
     return _ahash_from_gray(jpeg_decode(content))
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-in-AVI — the REAL video path (round 9): MJPEG is a genuine
+# production format (webcams, capture cards, intermediate editing), and
+# its container is a plain RIFF chunk walk — the same stdlib parsing
+# discipline as the WAV decoder — with each frame an independent
+# baseline JPEG that ``jpeg_decode`` already handles. This replaces the
+# byte-slicing fake as the decoder behind the frame-sampling plumbing:
+# container parse → per-frame entropy decode → luma grid per frame.
+# ---------------------------------------------------------------------------
+
+
+def avi_mjpeg_frames(content: bytes):
+    """Yield (frame_no, jpeg_bytes) for every video frame in an
+    AVI/MJPEG payload. Walks RIFF('AVI ') → LIST('movi') → '..dc'/
+    '..db' chunks (word-aligned); raises ``ValueError`` on non-AVI
+    payloads or a movi list with no video chunks."""
+    b = bytes(content)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    frames = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            cid = b[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", b, pos + 4)
+            body_start = pos + 8
+            if cid == b"LIST":
+                ltype = b[body_start : body_start + 4]
+                if ltype in (b"movi", b"hdrl", b"strl", b"rec "):
+                    walk(body_start + 4, body_start + size)
+            elif cid[2:4] in (b"dc", b"db"):
+                frames.append(b[body_start : body_start + size])
+            pos = body_start + size + (size & 1)  # word alignment
+
+    walk(12, len(b))
+    if not frames:
+        raise ValueError("AVI payload contains no video frame chunks")
+    for i, f in enumerate(frames):
+        yield i, f
+
+
+def avi_mjpeg_frame_luma(content: bytes, every_n: int = 1):
+    """Decode every ``every_n``-th MJPEG frame to its (H, W) int64 luma
+    grid — the real replacement for the byte-slicing frame-sample
+    fake. Returns a list of (frame_no, gray_array)."""
+    out = []
+    for i, jb in avi_mjpeg_frames(content):
+        if i % every_n == 0:
+            out.append((i, jpeg_decode(jb)))
+    return out
