@@ -14,8 +14,9 @@ real, stdlib-only, behind the same decoder protocol: ``wav_pcm_decode``
 (uncompressed BMP, round 8), ``png_decode`` (zlib inflate + per-row
 unfilter incl. Paeth, round 9), and ``operators/jpeg.jpeg_decode``
 (baseline sequential JPEG from first principles — Huffman entropy
-decode, dequant, orthonormal IDCT, 4:2:0 upsampling, round 9).
-MP3/H.264 remain environment-bound stubs.
+decode, dequant, orthonormal IDCT, 4:2:0 upsampling, round 9) plus
+``jpeg.avi_mjpeg_frames`` (MJPEG-in-AVI container walk — REAL video
+frame sampling, round 9). MP3/H.264 remain environment-bound stubs.
 """
 
 from __future__ import annotations
