@@ -2487,18 +2487,21 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(F.col("ts").cast("date").alias("d"), "user_id").distinct()
     )
     grid = du.select("d").distinct()
-    # Day grid is time-range bound (hundreds of rows at any data
-    # volume) — broadcast it; the band join fans each (day, user) pair
-    # out to at most 7 grid days.
+    # Fan each (day, user) pair to the EXACTLY 7 grid days it covers
+    # (explode of a 7-date sequence), then an EQUI semi-restriction to
+    # real grid days — a broadcast hash join against the time-range-
+    # bound grid, never a nested-loop band join (a ≤-band BNLJ would
+    # evaluate |pairs| × |grid| at scale; this stays 7 × |pairs|).
+    cov = du.select(
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("gd"),
+        "user_id",
+    )
     wau = (
-        du.alias("u")
-        .join(
-            broadcast(grid.alias("g")),
-            (F.col("u.d") <= F.col("g.d"))
-            & (F.col("u.d") >= F.date_sub(F.col("g.d"), 6)),
-        )
-        .groupBy(F.col("g.d").alias("d"))
-        .agg(F.countDistinct("u.user_id").alias("wau"))
+        cov.join(broadcast(grid.withColumnRenamed("d", "gd")), "gd")
+        .groupBy(F.col("gd").alias("d"))
+        .agg(F.countDistinct("user_id").alias("wau"))
     )
     dau = du.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
     return (

@@ -153,7 +153,6 @@ _NONEQUI_OK = {
     "orders_pareto_concentration",   # 1-row revenue-total frame crossJoined
     "text_vocab_mass_coverage",      # 1-row corpus-total frame crossJoined
     "similarity_triplet_margin_audit",  # ≤40-anchor broadcast eval-set scan
-    "events_dau_wau_stickiness",     # time-range-bound day grid, 7-day band join
     "corpus_anneal_apportionment",   # 1-row median frame crossJoined
     "events_conversion_lag_quantiles",  # 1-row quantile pivot crossJoined
     "percentile_prices_by_status",   # ≤3-row literal fraction frame crossJoined
