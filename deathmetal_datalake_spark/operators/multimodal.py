@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -681,3 +682,179 @@ def perceptual_hashes(
     spread = df.select(id_col, content_col)
     spread = spread.repartition(spread.sparkSession.sparkContext.defaultParallelism)
     return spread.mapInPandas(batches, schema=_PHASH_OUT)
+
+
+def png_encode_gray(img) -> bytes:
+    """Minimal lossless PNG ENCODER for (H, W) uint8/int grayscale
+    arrays — stdlib zlib + struct, filter type 0 every row (round 9:
+    the write half that makes the resize stage REAL for images; the
+    decoder round-trips it bit-exactly, and the decoder itself is
+    validated against an independent encoder in the tests)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(img)
+    if a.ndim != 2:
+        raise ValueError("png_encode_gray expects an (H, W) array")
+    a = np.clip(a, 0, 255).astype(np.uint8)
+    h, w = a.shape
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(b"\x00" + a[r].tobytes() for r in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_resize_gray(content: bytes, max_side: int) -> bytes:
+    """REAL image resize: ``png_decode`` → exact integer box-average
+    downscale to ``max_side`` on the longer edge (area pooling over an
+    integer-boundary grid, the aHash pooling law) → ``png_encode_gray``.
+    Images already within bounds are re-encoded unchanged (lossless)."""
+    import numpy as np
+
+    img = png_decode(content)
+    h, w = img.shape
+    if max(h, w) > max_side:
+        if h >= w:
+            nh = max_side
+            nw = max(1, (w * max_side) // h)
+        else:
+            nw = max_side
+            nh = max(1, (h * max_side) // w)
+        re = (np.arange(nh + 1, dtype=np.int64) * h) // nh
+        ce = (np.arange(nw + 1, dtype=np.int64) * w) // nw
+        out = np.empty((nh, nw), dtype=np.int64)
+        for i in range(nh):
+            for j in range(nw):
+                blk = img[re[i] : max(re[i + 1], re[i] + 1),
+                          ce[j] : max(ce[j + 1], ce[j] + 1)]
+                out[i, j] = int(blk.sum()) // blk.size
+        img = out
+    return png_encode_gray(img)
+
+
+def resize_media_png(
+    df: DataFrame,
+    max_side: int = 64,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """The REAL twin of ``resize_media`` for PNG payloads: decode,
+    integer box downscale, lossless re-encode — same Arrow
+    ``mapInPandas`` shape and output schema as the byte-cap fake."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            raws = pdf[content_col].map(bytes)
+            resized = raws.map(lambda b: png_resize_gray(b, max_side))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "content": resized,
+                    "orig_bytes": raws.map(len),
+                    "new_bytes": resized.map(len),
+                }
+            )
+
+    spread = df.select(id_col, content_col)
+    spread = spread.repartition(spread.sparkSession.sparkContext.defaultParallelism)
+    return spread.mapInPandas(batches, schema=_RESIZE_OUT)
+
+
+_SPECTRAL_OUT = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("window_id", LongType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("centroid", DoubleType(), True),
+        StructField("rolloff85", DoubleType(), True),
+        StructField("peak_bin", LongType(), True),
+    ]
+)
+
+
+def audio_spectral_windows(
+    df: DataFrame,
+    window_samples: int = 64,
+    decoder: Callable[[bytes], "object"] = _real_pcm_decode,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """REAL frequency-domain audio features (round 9): per fixed-size
+    window, the rFFT magnitude spectrum's CENTROID (energy-weighted
+    mean normalized frequency, cycles/sample ∈ [0, 0.5]), 85% energy
+    ROLLOFF frequency, and the peak bin — the classic VAD/music-vs-
+    speech feature set one tier above time-domain energy. One batched
+    ``numpy.fft.rfft`` per payload (windows stacked into a matrix —
+    no Python loop over windows), Arrow ``mapInPandas`` shape as the
+    energy stage. DC is excluded from the spectrum statistics so a
+    constant (silent-offset) window reports NULL centroid instead of
+    calling bias "frequency content"."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, wins, counts, cents, rolls, peaks = [], [], [], [], [], []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                samples = np.asarray(decoder(content), dtype=np.float64)
+                n = samples.shape[0]
+                if n == 0:
+                    continue
+                nwin = (n + window_samples - 1) // window_samples
+                # Edge-pad the ragged last window: zero-padding would
+                # inject a step (artificial spectrum) into constant
+                # signals; repeating the final sample keeps a constant
+                # window constant (DC-only -> NULL features).
+                padded = np.full(nwin * window_samples, samples[-1], dtype=np.float64)
+                padded[:n] = samples
+                mat = padded.reshape(nwin, window_samples)
+                spec = np.abs(np.fft.rfft(mat, axis=1))
+                spec[:, 0] = 0.0  # drop DC from the statistics
+                power = spec * spec
+                tot = power.sum(axis=1)
+                nbins = spec.shape[1]
+                freqs = np.arange(nbins) / float(window_samples)
+                for wid in range(nwin):
+                    ids.append(mid)
+                    wins.append(wid)
+                    counts.append(
+                        int(min(window_samples, n - wid * window_samples))
+                    )
+                    if tot[wid] <= 0.0:
+                        cents.append(None)
+                        rolls.append(None)
+                        peaks.append(None)
+                        continue
+                    p = power[wid]
+                    cents.append(round(float((freqs * p).sum() / tot[wid]), 6))
+                    cum = np.cumsum(p)
+                    k = int(np.searchsorted(cum, 0.85 * tot[wid]))
+                    rolls.append(round(float(freqs[min(k, nbins - 1)]), 6))
+                    peaks.append(int(p.argmax()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "window_id": pd.Series(wins, dtype="int64"),
+                    "n_samples": pd.Series(counts, dtype="int64"),
+                    "centroid": pd.Series(cents, dtype="float64"),
+                    "rolloff85": pd.Series(rolls, dtype="float64"),
+                    "peak_bin": pd.Series(peaks, dtype="Int64"),
+                }
+            )
+
+    spread = df.select(id_col, content_col)
+    spread = spread.repartition(spread.sparkSession.sparkContext.defaultParallelism)
+    return spread.mapInPandas(batches, schema=_SPECTRAL_OUT)

@@ -197,3 +197,65 @@ def test_perceptual_hashes_arrow_stage_with_real_png_hasher(spark):
     assert got == {k: png_average_hash(v) for k, v in payloads.items()}
     ham = lambda x, y: bin(x ^ y).count("1")
     assert ham(got[1], got[2]) <= 6 < ham(got[1], got[3])
+
+
+def test_png_encode_gray_roundtrips_bit_exactly():
+    from deathmetal_datalake_spark.operators.multimodal import (
+        png_decode,
+        png_encode_gray,
+    )
+
+    rng = np.random.RandomState(21)
+    img = rng.randint(0, 256, (17, 29), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        png_decode(png_encode_gray(img)), img.astype(np.int64)
+    )
+
+
+def test_png_resize_gray_box_average_is_exact_integer_pooling():
+    from deathmetal_datalake_spark.operators.multimodal import (
+        png_decode,
+        png_resize_gray,
+    )
+
+    # 8x8 blocks of constant value: downscale to 4 on the long side
+    # must produce exactly those block values.
+    img = np.kron(
+        np.array([[10, 60, 110, 160], [210, 10, 60, 110]], dtype=np.uint8),
+        np.ones((8, 8), dtype=np.uint8),
+    )  # 16 x 32
+    small = png_decode(png_resize_gray(_to_png(img), max_side=4))
+    np.testing.assert_array_equal(
+        small, np.array([[10, 60, 110, 160], [210, 10, 60, 110]], dtype=np.int64)
+    )
+
+
+def _to_png(img):
+    from deathmetal_datalake_spark.operators.multimodal import png_encode_gray
+
+    return png_encode_gray(img)
+
+
+def test_resize_media_png_arrow_stage(spark):
+    from deathmetal_datalake_spark.operators.multimodal import (
+        png_decode,
+        resize_media_png,
+    )
+
+    rng = np.random.RandomState(22)
+    big = rng.randint(0, 256, (64, 96), dtype=np.uint8)
+    small = rng.randint(0, 256, (8, 8), dtype=np.uint8)  # within bounds
+    payloads = {1: _to_png(big), 2: _to_png(small)}
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in payloads.items()],
+        "media_id long, content binary",
+    )
+    rows = {r["media_id"]: r for r in resize_media_png(df, max_side=16).collect()}
+    out_big = png_decode(bytes(rows[1]["content"]))
+    assert max(out_big.shape) == 16 and out_big.shape == (10, 16)
+    # small image passes through losslessly
+    np.testing.assert_array_equal(
+        png_decode(bytes(rows[2]["content"])), small.astype(np.int64)
+    )
+    assert rows[1]["orig_bytes"] == len(payloads[1])
+    assert rows[1]["new_bytes"] == len(bytes(rows[1]["content"]))

@@ -220,3 +220,59 @@ def test_audio_energy_windows_with_ulaw_wav_end_to_end(spark):
     w1 = [r for r in rows if r["media_id"] == 1 and r["window_id"] == 0][0]
     expect = sum(s * s for s in ref[1][:64])
     assert w1["energy"] == expect
+
+
+def test_audio_spectral_windows_pure_tone_centroid(spark):
+    # A pure cosine at k cycles per 64-sample window concentrates ALL
+    # non-DC energy in bin k: centroid == peak == k/64 exactly (up to
+    # float rounding), rolloff at the same bin.
+    import wave as _wave
+    from io import BytesIO
+
+    from deathmetal_datalake_spark.operators.multimodal import (
+        audio_spectral_windows,
+        wav_pcm_decode,
+    )
+
+    k = 5
+    n = 256  # 4 windows of 64
+    t = np.arange(n)
+    tone = (10000 * np.cos(2 * np.pi * k * t / 64)).astype("<i2")
+    buf = BytesIO()
+    with _wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(8000)
+        wv.writeframes(tone.tobytes())
+    payload = buf.getvalue()
+
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, content binary"
+    )
+    rows = audio_spectral_windows(
+        df, window_samples=64, decoder=wav_pcm_decode
+    ).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["peak_bin"] == k
+        assert abs(r["centroid"] - k / 64) < 1e-3
+        assert abs(r["rolloff85"] - k / 64) < 1e-9
+        assert r["n_samples"] == 64
+
+
+def test_audio_spectral_windows_silence_yields_nulls(spark):
+    from deathmetal_datalake_spark.operators.multimodal import (
+        audio_spectral_windows,
+        deterministic_pcm_decode,
+    )
+
+    df = spark.createDataFrame(
+        [(7, bytearray(b"\x80" * 100))], "media_id long, content binary"
+    )
+    rows = audio_spectral_windows(
+        df, window_samples=64, decoder=deterministic_pcm_decode
+    ).collect()
+    # Constant signal = DC only; DC is excluded -> NULL features.
+    assert {r["window_id"] for r in rows} == {0, 1}
+    assert all(r["centroid"] is None and r["peak_bin"] is None for r in rows)
+    assert [r["n_samples"] for r in sorted(rows, key=lambda x: x["window_id"])] == [64, 36]
