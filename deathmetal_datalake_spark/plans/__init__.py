@@ -40,6 +40,10 @@ del _rev_q, _rev_o
 # promoted to the head explicitly — the driver's prefix sample then
 # always covers the newest, least-battle-tested surface first.
 _NEWEST_FIRST = [
+    # round 9 (batch 3)
+    "dq_embedding_coverage",
+    "similarity_centroid_separation",
+    "events_audience_overlap_jaccard",
     # round 9 (batch 2)
     "events_dau_wau_stickiness",
     "lineitem_market_basket_lift",

@@ -722,3 +722,70 @@ def dq_candidate_key_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("table_name", "candidate_key")
+
+
+# ---------------------------------------------------------------------------
+# Document↔embedding coverage (round 9) — the pipeline-completeness
+# check every retrieval corpus needs before serving: which documents
+# lack an embedding row, which embeddings are orphaned (no document),
+# and the id-space agreement rate. Two anti-join counts + one inner
+# count over pruned single-column scans — join-key-only shuffles,
+# bounded one-row output.
+# ---------------------------------------------------------------------------
+
+_EMB_COVERAGE_SQL = """
+SELECT
+  (SELECT COUNT(*) FROM documents) AS n_docs,
+  (SELECT COUNT(*) FROM embeddings) AS n_embeddings,
+  (SELECT COUNT(*) FROM documents d
+   JOIN embeddings e ON e.vec_id = d.doc_id) AS n_covered,
+  (SELECT COUNT(*) FROM documents d
+   WHERE NOT EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id))
+      AS n_docs_unembedded,
+  (SELECT COUNT(*) FROM embeddings e
+   WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id))
+      AS n_orphan_embeddings,
+  ROUND((SELECT COUNT(*) FROM documents d
+         JOIN embeddings e ON e.vec_id = d.doc_id)
+        / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE), 6)
+      AS coverage_rate
+"""
+
+
+@register("dq_embedding_coverage", oracle=_EMB_COVERAGE_SQL)
+def dq_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    embs = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_emb = embs.agg(F.count(F.lit(1)).alias("n_embeddings"))
+    covered = (
+        docs.join(embs, docs["doc_id"] == embs["vec_id"])
+        .agg(F.count(F.lit(1)).alias("n_covered"))
+    )
+    unemb = (
+        docs.join(embs, docs["doc_id"] == embs["vec_id"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_docs_unembedded"))
+    )
+    orphan = (
+        embs.join(docs, embs["vec_id"] == docs["doc_id"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_orphan_embeddings"))
+    )
+    return (
+        n_docs.crossJoin(broadcast(n_emb))
+        .crossJoin(broadcast(covered))
+        .crossJoin(broadcast(unemb))
+        .crossJoin(broadcast(orphan))
+        .select(
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_embeddings").cast("long").alias("n_embeddings"),
+            F.col("n_covered").cast("long").alias("n_covered"),
+            F.col("n_docs_unembedded").cast("long").alias("n_docs_unembedded"),
+            F.col("n_orphan_embeddings").cast("long").alias("n_orphan_embeddings"),
+            F.round(
+                F.col("n_covered").cast("double") / F.col("n_docs"), 6
+            ).alias("coverage_rate"),
+        )
+    )

@@ -2516,3 +2516,78 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Audience overlap (round 9) — pairwise Jaccard between event types'
+# USER SETS: do clickers also purchase? Type pairs are a bounded enum
+# (T² for a handful of types), per-type distincts and pair
+# intersections are hash aggregates over (type, user); the only join
+# keys on user_id. Jaccard = |A∩B| / (|A| + |B| − |A∩B|), exact
+# integers into one correctly-rounded division.
+# ---------------------------------------------------------------------------
+
+_AUDIENCE_SQL = """
+WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+sizes AS (SELECT event_type, COUNT(*) AS n FROM tu GROUP BY event_type),
+inter AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_both
+    FROM tu a JOIN tu b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT i.type_a, i.type_b,
+       CAST(sa.n AS BIGINT) AS n_a,
+       CAST(sb.n AS BIGINT) AS n_b,
+       CAST(i.n_both AS BIGINT) AS n_both,
+       ROUND(CAST(i.n_both AS DOUBLE) / (sa.n + sb.n - i.n_both), 6)
+           AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.event_type = i.type_a
+JOIN sizes sb ON sb.event_type = i.type_b
+ORDER BY type_a, type_b
+"""
+
+
+@register("events_audience_overlap_jaccard", oracle=_AUDIENCE_SQL)
+def events_audience_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    ev = load_table(spark, sf_dir, "events")
+    tu = session_cache(ev.select("event_type", "user_id").distinct())
+    sizes = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = tu.alias("a")
+    b = tu.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(broadcast(sa), "type_a")
+        .join(broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n_both").cast("long").alias("n_both"),
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -3036,3 +3036,106 @@ def similarity_triplet_margin_audit(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("anchor_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-centroid SEPARATION matrix (round 9) — the between-class
+# companion to the within-label drift audit above: pairwise L2 between
+# label centroids. Well-separated centroids mean the labels carry
+# geometric signal; a near-zero pair flags label redundancy before a
+# classifier is trained on them. Same exact conventions as the drift
+# audit (decimal per-dimension means ROUNDED before differencing,
+# decimal-summed squared diffs, one sqrt) — the pair frame is labels²,
+# a bounded enum square, never data-proportional.
+# ---------------------------------------------------------------------------
+
+_SEPARATION_SQL = f"""
+WITH vecs AS (
+    SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+comps AS (
+    SELECT label, g.i AS dim, emb[g.i + 1] AS v
+    FROM vecs, (SELECT UNNEST(range({_DRIFT_DIMS})) AS i) g
+),
+cents AS (
+    SELECT label, dim,
+           ROUND(CAST(SUM(CAST(v AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*), 6)
+               AS c
+    FROM comps GROUP BY label, dim
+),
+sizes AS (
+    SELECT label, CAST(COUNT(*) / {_DRIFT_DIMS} AS BIGINT) AS n_vectors
+    FROM comps GROUP BY label
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       sa.n_vectors AS n_a, sb.n_vectors AS n_b,
+       ROUND(sqrt(CAST(SUM(CAST((a.c - b.c) * (a.c - b.c)
+                                AS DECIMAL(25,12))) AS DOUBLE)), 6)
+           AS centroid_l2
+FROM cents a
+JOIN cents b ON a.dim = b.dim AND a.label < b.label
+JOIN sizes sa ON sa.label = a.label
+JOIN sizes sb ON sb.label = b.label
+GROUP BY a.label, b.label, sa.n_vectors, sb.n_vectors
+ORDER BY label_a, label_b
+"""
+
+
+@register("similarity_centroid_separation", oracle=_SEPARATION_SQL)
+def similarity_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", _as_double("embedding").alias("emb")
+    )
+    comps = emb.select(
+        "label", F.posexplode("emb").alias("dim", "v")
+    )
+    cents = session_cache(
+        comps.groupBy("label", "dim").agg(
+            F.round(
+                F.sum(F.col("v").cast("decimal(25,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("c"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )
+    sizes = cents.groupBy("label").agg(
+        F.max("n_vectors").cast("long").alias("n_vectors")
+    )
+    a = cents.alias("a")
+    b = cents.alias("b")
+    diff = F.col("a.c") - F.col("b.c")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.dim") == F.col("b.dim"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
+        )
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum((diff * diff).cast("decimal(25,12)")).cast("double")
+                ),
+                6,
+            ).alias("centroid_l2")
+        )
+    )
+    sa = sizes.select(F.col("label").alias("label_a"), F.col("n_vectors").alias("n_a"))
+    sb = sizes.select(F.col("label").alias("label_b"), F.col("n_vectors").alias("n_b"))
+    return (
+        pairs.join(broadcast(sa), "label_a")
+        .join(broadcast(sb), "label_b")
+        .select(
+            F.col("label_a").cast("long").alias("label_a"),
+            F.col("label_b").cast("long").alias("label_b"),
+            "n_a",
+            "n_b",
+            "centroid_l2",
+        )
+        .orderBy("label_a", "label_b")
+    )

@@ -150,6 +150,7 @@ _NONEQUI_OK = {
     "dq_benford_first_digit",        # 1-row digit-total frame crossJoined
     "dq_candidate_key_uniqueness",   # per-key 1-row count frames crossJoined
     "dq_candidate_key_multitable",   # per-key 1-row exact+KMV frames crossJoined
+    "dq_embedding_coverage",         # five 1-row count frames crossJoined
     "orders_pareto_concentration",   # 1-row revenue-total frame crossJoined
     "text_vocab_mass_coverage",      # 1-row corpus-total frame crossJoined
     "similarity_triplet_margin_audit",  # ≤40-anchor broadcast eval-set scan
