@@ -8,7 +8,7 @@ row. The compressed-media codec work (PIL/ffmpeg/librosa) is NOT
 available in this environment, so those codec call sites are stubbed
 behind ``NotImplementedError`` with a deterministic fake used by tests
 and the oracle-checked query — the Spark-side plumbing (schema,
-batching, partitioning, UDF signatures) is real. Four codecs ARE
+batching, partitioning, UDF signatures) is real. Five codecs ARE
 real, stdlib-only, behind the same decoder protocol: ``wav_pcm_decode``
 (RIFF/WAVE integer PCM + µ-law/A-law, rounds 8-9), ``bmp_decode``
 (uncompressed BMP, round 8), ``png_decode`` (zlib inflate + per-row
@@ -16,7 +16,8 @@ unfilter incl. Paeth, round 9), and ``operators/jpeg.jpeg_decode``
 (baseline sequential JPEG from first principles — Huffman entropy
 decode, dequant, orthonormal IDCT, 4:2:0 upsampling, round 9) plus
 ``jpeg.avi_mjpeg_frames`` (MJPEG-in-AVI container walk — REAL video
-frame sampling, round 9). MP3/H.264 remain environment-bound stubs.
+frame sampling, round 9) and ``gif_decode`` (stdlib LZW incl. KwKwK +
+interlacing, round 9). MP3/H.264 remain environment-bound stubs.
 """
 
 from __future__ import annotations
@@ -858,3 +859,129 @@ def audio_spectral_windows(
     spread = df.select(id_col, content_col)
     spread = spread.repartition(spread.sparkSession.sparkContext.defaultParallelism)
     return spread.mapInPandas(batches, schema=_SPECTRAL_OUT)
+
+
+def gif_decode(content: bytes):
+    """REAL decoder for GIF87a/GIF89a payloads — pure stdlib LZW
+    decompression (variable-width LSB-first codes, clear/EOI handling,
+    dictionary growth to 4096 incl. the KwKwK case), global/local
+    color tables, Adam-style 4-pass interlacing, first frame only
+    (round 9: the last stdlib-reachable mainstream image format).
+    Returns the usual (H, W) int64 grayscale grid via the integer
+    ITU-R 601 luma of the palette. Raises ``ValueError`` on non-GIF
+    payloads or truncated/invalid LZW streams."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(content)
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", b, 6)
+    pos = 13
+    global_pal = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        global_pal = np.frombuffer(b[pos : pos + 3 * n], dtype=np.uint8).reshape(
+            -1, 3
+        )
+        pos += 3 * n
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02X}")
+        _lx, _ly, w, h, iflags = struct.unpack_from("<HHHHB", b, pos + 1)
+        pos += 10
+        pal = global_pal
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            pal = np.frombuffer(b[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF image without a color table")
+        interlaced = bool(iflags & 0x40)
+        mcs = b[pos]
+        pos += 1
+        data = bytearray()
+        while pos < len(b) and b[pos] != 0:
+            ln = b[pos]
+            data += b[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1  # sub-block terminator
+
+        # --- LZW decompression ---
+        clear = 1 << mcs
+        eoi = clear + 1
+        width = mcs + 1
+        dict_init = [(i,) for i in range(clear)] + [None, None]
+        table = list(dict_init)
+        out: list[int] = []
+        prev = None
+        acc = 0
+        nbits = 0
+        di = 0
+        finished = False
+        while not finished:
+            while nbits < width:
+                if di >= len(data):
+                    raise ValueError("truncated GIF LZW stream")
+                acc |= data[di] << nbits
+                nbits += 8
+                di += 1
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = list(dict_init)
+                width = mcs + 1
+                prev = None
+                continue
+            if code == eoi:
+                finished = True
+                continue
+            if code < len(table) and table[code] is not None:
+                entry = table[code]
+                if prev is not None:
+                    table.append(prev + (entry[0],))
+            elif code == len(table) and prev is not None:
+                entry = prev + (prev[0],)  # the KwKwK case
+                table.append(entry)
+            else:
+                raise ValueError("invalid GIF LZW code")
+            out.extend(entry)
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        idx = np.array(out[: w * h], dtype=np.int64)
+        if idx.shape[0] < w * h:
+            raise ValueError("GIF pixel data short of the frame size")
+        img = idx.reshape(h, w)
+        if interlaced:
+            deinter = np.empty_like(img)
+            rows = (
+                list(range(0, h, 8))
+                + list(range(4, h, 8))
+                + list(range(2, h, 4))
+                + list(range(1, h, 2))
+            )
+            for src, dst in enumerate(rows):
+                deinter[dst] = img[src]
+            img = deinter
+        p = pal.astype(np.int64)
+        lut = (299 * p[:, 0] + 587 * p[:, 1] + 114 * p[:, 2]) // 1000
+        return lut[img]
+    raise ValueError("GIF payload contains no image block")
+
+
+def gif_average_hash(content: bytes) -> int:
+    """60-bit aHash over the decoded GIF luma — same convention as the
+    BMP/PNG/JPEG hashes."""
+    return _ahash_from_gray(gif_decode(content))
