@@ -40,6 +40,9 @@ del _rev_q, _rev_o
 # promoted to the head explicitly — the driver's prefix sample then
 # always covers the newest, least-battle-tested surface first.
 _NEWEST_FIRST = [
+    # round 9 (batch 4)
+    "corpus_sentence_dedup",
+    "orders_repeat_interval_profile",
     # round 9 (batch 3)
     "dq_embedding_coverage",
     "similarity_centroid_separation",

@@ -1434,3 +1434,63 @@ def corpus_anneal_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
         alloc.cast("long").alias("alloc_tokens"),
         F.round(alloc.cast("double") / F.col("budget"), 6).alias("alloc_share"),
     ).orderBy("phase", "source")
+
+
+# ---------------------------------------------------------------------------
+# Sentence-level exact dedup (round 9) — the finer-grained boilerplate
+# pass document-level dedup misses: legal footers and cookie banners
+# repeat across otherwise-distinct documents. Explode sentences (the
+# readability scorer's [.!?]+ segmentation, trimmed, non-empty), hash,
+# and report per source the duplicated-sentence mass — occurrences
+# beyond each sentence's first — as the de-boilerplate savings. Hash
+# aggregates only; the explode is corpus-linear in sentence count.
+# ---------------------------------------------------------------------------
+
+_SENT_DEDUP_SQL = rf"""
+WITH sents AS (
+    SELECT source,
+           {sql_hash60("TRIM(s)")} AS sh
+    FROM documents,
+         UNNEST(string_split_regex(text, '[.!?]+')) AS t(s)
+    WHERE LENGTH(TRIM(s)) > 0
+),
+per_hash AS (
+    SELECT source, sh, COUNT(*) AS cnt FROM sents GROUP BY source, sh
+)
+SELECT source,
+       CAST(SUM(cnt) AS BIGINT) AS n_sentences,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_sentences,
+       CAST(SUM(cnt - 1) AS BIGINT) AS n_duplicate_occurrences,
+       ROUND(SUM(cnt - 1) / CAST(SUM(cnt) AS DOUBLE), 6) AS dup_rate
+FROM per_hash
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("corpus_sentence_dedup", oracle=_SENT_DEDUP_SQL)
+def corpus_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deathmetal_datalake_spark.plans.registry import hash60, spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sents = docs.select(
+        "source",
+        F.explode(F.split(F.col("text"), r"[.!?]+")).alias("s"),
+    ).filter(F.length(F.trim("s")) > 0)
+    per_hash = (
+        sents.select("source", hash60(F.trim(F.col("s"))).alias("sh"))
+        .groupBy("source", "sh")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        per_hash.groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_sentences"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_sentences"),
+            F.sum(F.col("cnt") - 1).cast("long").alias("n_duplicate_occurrences"),
+            F.round(
+                F.sum(F.col("cnt") - 1) / F.sum("cnt").cast("double"), 6
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )

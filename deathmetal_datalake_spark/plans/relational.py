@@ -1039,3 +1039,65 @@ def lineitem_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("lift"), F.asc("p1"), F.asc("p2")
     ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Repeat-purchase interval profile (round 9) — the retention
+# distribution behind RFM's recency score: per customer, the gaps in
+# days between CONSECUTIVE orders (a lag window PARTITIONED by
+# customer — never global), rolled into floor-log2 day buckets with
+# exact integer stats (ln() stays banned; LENGTH(bin(x)) − 1 is the
+# engine-portable floor-log2, gap 0 pinned to bucket −1 for same-day
+# repeat orders).
+# ---------------------------------------------------------------------------
+
+_REPEAT_INTERVAL_SQL = """
+WITH gaps AS (
+    SELECT o_custkey,
+           date_diff('day',
+                     CAST(lag(o_orderdate) OVER w AS TIMESTAMP),
+                     CAST(o_orderdate AS TIMESTAMP)) AS gap_days
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+buckets AS (
+    SELECT CASE WHEN gap_days = 0 THEN -1
+                ELSE LENGTH(bin(gap_days)) - 1 END AS log2_gap_bucket,
+           gap_days
+    FROM gaps WHERE gap_days IS NOT NULL
+)
+SELECT CAST(log2_gap_bucket AS BIGINT) AS log2_gap_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(MIN(gap_days) AS BIGINT) AS min_days,
+       CAST(MAX(gap_days) AS BIGINT) AS max_days,
+       ROUND(CAST(SUM(gap_days) AS DOUBLE) / COUNT(*), 6) AS mean_days
+FROM buckets
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("orders_repeat_interval_profile", oracle=_REPEAT_INTERVAL_SQL)
+def orders_repeat_interval_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    bucket = F.when(F.col("gap_days") == 0, F.lit(-1)).otherwise(
+        F.length(F.bin(F.col("gap_days"))) - 1
+    )
+    return (
+        gaps.groupBy(bucket.cast("long").alias("log2_gap_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.min("gap_days").cast("long").alias("min_days"),
+            F.max("gap_days").cast("long").alias("max_days"),
+            F.round(F.sum("gap_days").cast("double") / F.count(F.lit(1)), 6).alias(
+                "mean_days"
+            ),
+        )
+        .orderBy("log2_gap_bucket")
+    )
