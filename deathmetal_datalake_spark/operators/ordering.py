@@ -38,10 +38,20 @@ sums are exact for integer/decimal value columns; plain DOUBLE columns
 would pick up partitioning-dependent ulps — cast to decimal first (the
 ``registry.dsum`` convention).
 
-Skew note: rows tying on the leading key share a bucket, so the worst
-task holds the largest tie group — acceptable for the catalog's keys
-(aggregated counts, ids, ratios). A tie-heavy leading key at extreme
-scale wants a composite numeric key instead.
+Skew note (tie-heavy leading keys): rows tying on the leading key can
+never be separated by boundaries OF that key, so without further help
+the worst task holds the largest tie group — fatal when the key is a
+small-domain count (an RFM "frequency" of 1..20 over 1.5 B customers
+puts ~all rows in ~20 buckets). ``sub_key`` closes this: pass the
+numeric form of the SECOND ``order_by`` entry and heavy tie groups —
+detected at plan time as boundary values hit by ≥2 quantile fractions,
+i.e. holding ≥ ~1/n_parts of the frame — are SUB-bucketed by literal
+quantile boundaries of ``sub_key`` computed within each tie group (one
+extra batched action, skipped entirely when no heavy value exists).
+The flattened (bucket, sub) pair stays a pure function of the row's
+values and lexicographically monotone in the total order, so results
+remain bit-identical; only balance changes. String tie-breaks go
+through :func:`string_order_key`.
 
 Callers re-evaluate ``df`` three times (boundary action, totals, main
 branch) — ``session_cache`` the input when it is itself expensive to
@@ -68,6 +78,125 @@ _CNT_OFF = f"{BOUNDED_MARKER}_cnt_off"
 _SUM_OFF = f"{BOUNDED_MARKER}_sum_off"
 
 
+def string_order_key(col: Column, *, nbytes: int = 7) -> Column:
+    """Monotone numeric surrogate for a STRING tie-break: the first
+    ``nbytes`` UTF-8 bytes as a big-endian integer (zero-padded).
+
+    Spark compares strings byte-wise on their UTF-8 encoding
+    (``UTF8String.compareTo``), and a zero-padded fixed-width prefix
+    preserves that order: ``a < b`` ⇒ ``prefix(a) <= prefix(b)``.
+    Monotone-not-injective is exactly what sub-bucketing needs —
+    strings sharing a 7-byte prefix merely share a sub-bucket. 7 bytes
+    keep the value under 2^56, exactly representable in the DOUBLE the
+    bucketing casts to.
+    """
+    hexed = F.hex(F.substring(F.encode(col, "UTF-8"), 1, nbytes))
+    return F.conv(F.rpad(hexed, 2 * nbytes, "0"), 16, 10).cast("double")
+
+
+def _bucket_expr(
+    df: DataFrame,
+    key: Column,
+    key_desc: bool,
+    n_parts: int,
+    sub_key: Column | None,
+    sub_desc: bool,
+) -> Column:
+    """Value-derived bucket Column for :func:`two_phase_order` — the
+    plan-time boundary actions live here. Lexicographically monotone in
+    the (key, sub_key) order by construction; see the module docstring
+    for why value-derived (not partition-id-derived) is load-bearing
+    and the skew note for the sub-bucket design.
+    """
+    kd = key.cast("double")
+    fracs = [i / n_parts for i in range(1, n_parts)]
+    raw: list[float] = []
+    if fracs:
+        row = df.select(F.percentile_approx(kd, fracs, 1000).alias("bs")).first()
+        got = row["bs"] if row is not None else None
+        raw = [float(b) for b in (got or []) if b is not None]
+    # Dedup keeps the bucket assignment strictly monotone when
+    # quantiles collapse.
+    bounds = sorted(set(raw), reverse=key_desc)
+    if not bounds:
+        return F.lit(0).cast("long")
+
+    arr = F.lit(bounds)
+    hit = (lambda b: kd <= b) if key_desc else (lambda b: kd >= b)
+    bucket = F.size(F.filter(arr, hit)).cast("long")
+    # NULL keys: Spark sorts them FIRST under asc (bucket 0 is
+    # already right) and LAST under desc (force the last bucket).
+    if key_desc:
+        bucket = F.when(kd.isNull(), F.lit(len(bounds)).cast("long")).otherwise(
+            bucket
+        )
+    else:
+        bucket = F.coalesce(bucket, F.lit(0).cast("long"))
+
+    if sub_key is None:
+        return bucket
+    # Heavy tie groups: a boundary value hit by m >= 2 quantile
+    # fractions holds >= ~(m-1)/n_parts of the frame and can never be
+    # split by boundaries of the key itself. Sub-bucket those rows by
+    # literal quantile boundaries of sub_key WITHIN the tie group (one
+    # batched action for all heavy values). Every heavy value is a
+    # deduped boundary, so (a) rows with key strictly before it in sort
+    # order land in a strictly lower primary bucket, and (b) two heavy
+    # values never share a primary bucket — the only cohabitants are
+    # rows sorting strictly AFTER the tie group, which get the sentinel
+    # sub-bucket nsub+2.
+    from collections import Counter
+
+    heavy = sorted(v for v, c in Counter(raw).items() if c >= 2)
+    if not heavy:
+        return bucket
+    sd = sub_key.cast("double")
+    mult = Counter(raw)
+    aggs = []
+    for i, v in enumerate(heavy):
+        m = mult[v]
+        sub_fracs = [j / (m + 1) for j in range(1, m + 1)]
+        aggs.append(
+            F.percentile_approx(
+                F.when(kd == F.lit(v), sd), sub_fracs, 1000
+            ).alias(f"h{i}")
+        )
+    row = df.select(*aggs).first()
+    sub_bounds: dict[float, list[float]] = {}
+    for i, v in enumerate(heavy):
+        got = row[f"h{i}"] if row is not None else None
+        sub_bounds[v] = sorted(
+            {float(b) for b in (got or []) if b is not None}, reverse=sub_desc
+        )
+    stride = max(len(sb) for sb in sub_bounds.values()) + 3
+    s_expr = F.lit(0).cast("long")
+    for v, sb in sub_bounds.items():
+        nsub = len(sb)
+        if key_desc:
+            b_of_v = sum(1 for b in bounds if b >= v)
+        else:
+            b_of_v = sum(1 for b in bounds if b <= v)
+        if sb:
+            sarr = F.lit(sb)
+            shit = (lambda b: sd <= b) if sub_desc else (lambda b: sd >= b)
+            # NULL sub keys inside a tie group: first under asc (a NULL
+            # predicate drops the element, size 0 -> sub-bucket 1),
+            # forced last under desc.
+            in_tie = (F.lit(1) + F.size(F.filter(sarr, shit))).cast("long")
+            if sub_desc:
+                in_tie = F.when(
+                    sd.isNull(), F.lit(nsub + 1).cast("long")
+                ).otherwise(in_tie)
+        else:
+            in_tie = F.lit(1).cast("long")
+        s_expr = (
+            F.when(kd == F.lit(v), in_tie)
+            .when(bucket == F.lit(b_of_v), F.lit(nsub + 2).cast("long"))
+            .otherwise(s_expr)
+        )
+    return bucket * F.lit(stride).cast("long") + s_expr
+
+
 def two_phase_order(
     df: DataFrame,
     order_by: list[Column],
@@ -78,6 +207,8 @@ def two_phase_order(
     cumsum: tuple[str, str] | None = None,
     n_total_col: str | None = None,
     num_partitions: int | None = None,
+    sub_key: Column | None = None,
+    sub_desc: bool = False,
 ) -> DataFrame:
     """Attach a global 1-based ``row_number`` and/or inclusive running
     sum over a TOTAL order, without a single-partition sort.
@@ -93,6 +224,13 @@ def two_phase_order(
                    sum of an integer/decimal column (optional).
     ``n_total_col``  optional output name for the grand row count
                    (saves callers a separate count scan).
+    ``sub_key``    numeric form of the SECOND ``order_by`` entry, used
+                   to sub-bucket heavy tie groups of the leading key
+                   (see the skew note). Pass it whenever the leading
+                   key is a count / small-domain value; costs nothing
+                   when the key turns out well-distributed. Strings go
+                   through :func:`string_order_key`.
+    ``sub_desc``   True when that second sort entry is descending.
     """
     if rank_col is None and cumsum is None and n_total_col is None:
         raise ValueError("nothing to compute")
@@ -101,32 +239,7 @@ def two_phase_order(
         bkt = "_" + bkt
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
 
-    # Literal boundaries: one tiny plan-time action. Dedup keeps the
-    # bucket assignment strictly monotone when quantiles collapse.
-    kd = key.cast("double")
-    fracs = [i / n_parts for i in range(1, n_parts)]
-    bounds: list[float] = []
-    if fracs:
-        row = df.select(F.percentile_approx(kd, fracs, 1000).alias("bs")).first()
-        got = row["bs"] if row is not None else None
-        bounds = sorted(
-            {float(b) for b in (got or []) if b is not None}, reverse=key_desc
-        )
-    if bounds:
-        arr = F.lit(bounds)
-        hit = (lambda b: kd <= b) if key_desc else (lambda b: kd >= b)
-        bucket = F.size(F.filter(arr, hit)).cast("long")
-        # NULL keys: Spark sorts them FIRST under asc (bucket 0 is
-        # already right) and LAST under desc (force the last bucket).
-        if key_desc:
-            bucket = F.when(kd.isNull(), F.lit(len(bounds)).cast("long")).otherwise(
-                bucket
-            )
-        else:
-            bucket = F.coalesce(bucket, F.lit(0).cast("long"))
-    else:
-        bucket = F.lit(0).cast("long")
-
+    bucket = _bucket_expr(df, key, key_desc, n_parts, sub_key, sub_desc)
     tagged = df.withColumn(bkt, bucket)
     aggs = [F.count(F.lit(1)).alias(_CNT)]
     if cumsum is not None:

@@ -2204,12 +2204,17 @@ def events_rfm_quintiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deathmetal_datalake_spark.plans.registry import session_cache
 
     per_cust = session_cache(per_cust)
+    # recency_days and frequency are SMALL-DOMAIN values (days, order
+    # counts) — massive tie groups at scale. sub_key=o_custkey (the
+    # tie-break) lets two_phase_order split heavy tie groups into
+    # balanced sub-buckets; the ranks stay bit-identical.
     ranked = two_phase_order(
         per_cust,
         [F.asc("recency_days"), F.asc("o_custkey")],
         F.col("recency_days"),
         rank_col="r_rank",
         n_total_col="n_cust",
+        sub_key=F.col("o_custkey"),
     )
     ranked = two_phase_order(
         ranked,
@@ -2217,6 +2222,7 @@ def events_rfm_quintiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frequency"),
         key_desc=True,
         rank_col="f_rank",
+        sub_key=F.col("o_custkey"),
     )
     ranked = two_phase_order(
         ranked,
@@ -2224,6 +2230,7 @@ def events_rfm_quintiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("monetary"),
         key_desc=True,
         rank_col="m_rank",
+        sub_key=F.col("o_custkey"),
     )
     n = F.col("n_cust")
     scored = ranked.select(

@@ -1180,11 +1180,14 @@ def corpus_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stats = session_cache(stats)
     quality = F.col("n_stop").cast("double") / F.col("n_tokens")
+    # sub_key: the stopword ratio piles up on a few exact values (0.0
+    # for stopword-free docs), so heavy ties sub-bucket by doc_id.
     summed = two_phase_order(
         stats,
         [quality.asc(), F.col("doc_id").asc()],
         quality,
         cumsum=("n_tokens", "cum_tokens"),
+        sub_key=F.col("doc_id"),
     )
     ranked = summed.crossJoin(broadcast(tot)).withColumn(
         "budget",

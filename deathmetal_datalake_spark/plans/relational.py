@@ -916,6 +916,7 @@ def orders_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_col="rnk",
         cumsum=("rev", "cum_rev"),
         n_total_col="n_cust",
+        sub_key=F.col("o_custkey"),
     ).withColumn(
         "decile", ntile_from_rank(F.col("rnk"), F.col("n_cust"), 10)
     )

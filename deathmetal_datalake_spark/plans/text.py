@@ -2017,7 +2017,10 @@ ORDER BY 1
 
 @register("text_zipf_rank_frequency", oracle=_ZIPF_SQL)
 def text_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from deathmetal_datalake_spark.operators.ordering import two_phase_order
+    from deathmetal_datalake_spark.operators.ordering import (
+        string_order_key,
+        two_phase_order,
+    )
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     counts = (
@@ -2036,9 +2039,13 @@ def text_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deathmetal_datalake_spark.plans.registry import session_cache
 
     counts = session_cache(counts)
+    # sub_key: token counts are EXTREMELY tie-heavy (the count=1 long
+    # tail is ~half the vocabulary), so heavy tie groups sub-bucket by
+    # a monotone numeric prefix of the token tie-break.
     ranked = two_phase_order(
         counts, [F.desc("c"), F.asc("token")], F.col("c"),
         key_desc=True, rank_col="rnk",
+        sub_key=string_order_key(F.col("token")),
     )
     bucket = (F.length(F.bin(F.col("rnk"))) - 1).cast("long")
     return (
@@ -2235,7 +2242,10 @@ ORDER BY k
 def text_vocab_mass_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import broadcast
 
-    from deathmetal_datalake_spark.operators.ordering import two_phase_order
+    from deathmetal_datalake_spark.operators.ordering import (
+        string_order_key,
+        two_phase_order,
+    )
     from deathmetal_datalake_spark.plans.registry import session_cache
 
     docs = spread(load_table(spark, sf_dir, "documents"))
@@ -2246,6 +2256,7 @@ def text_vocab_mass_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # sub_key: same tie-heavy count key as text_zipf_rank_frequency.
     ranked = two_phase_order(
         counts,
         [F.desc("c"), F.asc("token")],
@@ -2253,6 +2264,7 @@ def text_vocab_mass_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_desc=True,
         rank_col="rnk",
         cumsum=("c", "cum_c"),
+        sub_key=string_order_key(F.col("token")),
     )
     tot = counts.agg(
         F.sum("c").cast("long").alias("total"),

@@ -215,3 +215,127 @@ def test_grouped_quantiles_lowcard_single_row_groups_and_all_null_group(spark):
         for r in grouped_quantiles_lowcard(df, "g", F.col("x"), [0.5]).collect()
     }
     assert got == {("a", 0.5): 5.0, ("b", 0.5): 1.5}  # c: no non-null values
+
+
+# ---------------------------------------------------------------------------
+# Tie-heavy sub-bucketing (round-9 continuation, NEXT #3): a leading
+# key with a dominant value can never be split by boundaries of the key
+# itself — sub_key splits heavy tie groups by the tie-break instead.
+# Results must stay bit-identical; balance must actually improve.
+# ---------------------------------------------------------------------------
+
+
+def _tie_heavy(spark, n=3000):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(n):
+        r = rng.random()
+        k = 3 if r < 0.6 else (7 if r < 0.8 else rng.randint(0, 40))
+        if rng.random() < 0.02:
+            k = None
+        s = None if rng.random() < 0.02 else rng.randint(0, 10**6)
+        rows.append((i, k, s, rng.randint(1, 100)))
+    return spark.createDataFrame(rows, "id long, k long, s long, v long")
+
+
+@pytest.mark.parametrize("key_desc,sub_desc", [
+    (False, False), (False, True), (True, False), (True, True),
+])
+def test_sub_key_tie_heavy_matches_global_window(spark, key_desc, sub_desc):
+    df = _tie_heavy(spark)
+    order = [
+        F.col("k").desc() if key_desc else F.col("k").asc(),
+        F.col("s").desc_nulls_last() if sub_desc else F.col("s").asc_nulls_first(),
+        F.col("id").asc(),
+    ]
+    got = two_phase_order(
+        df, order, F.col("k"), key_desc=key_desc,
+        rank_col="r", cumsum=("v", "cv"), n_total_col="nt",
+        num_partitions=8, sub_key=F.col("s"), sub_desc=sub_desc,
+    ).select("id", "r", "cv", "nt")
+    w = Window.orderBy(*order)
+    want = df.select(
+        "id",
+        F.row_number().over(w).alias("r"),
+        F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cv"),
+        F.count("*").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("nt"),
+    )
+    assert got.exceptAll(want).count() + want.exceptAll(got).count() == 0
+
+
+def test_sub_key_actually_splits_the_heavy_tie_group(spark):
+    from deathmetal_datalake_spark.operators.ordering import _bucket_expr
+
+    df = _tie_heavy(spark)
+    b = _bucket_expr(df, F.col("k"), False, 8, F.col("s"), False)
+    n_buckets = (
+        df.withColumn("b", b).filter(F.col("k") == 3).select("b").distinct().count()
+    )
+    assert n_buckets > 1  # without sub_key this is exactly 1 by construction
+    b0 = _bucket_expr(df, F.col("k"), False, 8, None, False)
+    n0 = (
+        df.withColumn("b", b0).filter(F.col("k") == 3).select("b").distinct().count()
+    )
+    assert n0 == 1
+
+
+def test_string_order_key_is_monotone_in_spark_string_order(spark):
+    from deathmetal_datalake_spark.operators.ordering import string_order_key
+
+    words = [
+        "", "a", "ab", "abc", "abcdefg", "abcdefgh", "ananas", "banana~!",
+        "zebra", "Zebra", "\x01", "\x7f\x7f", "ümlaut", "日本語テキスト",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    ks = [
+        r["k"]
+        for r in df.select(
+            "s", string_order_key(F.col("s")).alias("k")
+        ).orderBy("s").collect()
+    ]
+    assert all(ks[i] <= ks[i + 1] for i in range(len(ks) - 1))
+
+
+def test_sub_key_with_string_tie_break_zipf_shape(spark):
+    import random
+
+    from deathmetal_datalake_spark.operators.ordering import string_order_key
+
+    rng = random.Random(11)
+    toks = [
+        (
+            "tok_" + "".join(rng.choice("abcdefghij") for _ in range(rng.randint(1, 10))),
+            1 if rng.random() < 0.7 else rng.randint(1, 30),
+        )
+        for _ in range(2500)
+    ]
+    df = (
+        spark.createDataFrame(toks, "token string, c long")
+        .groupBy("token")
+        .agg(F.max("c").alias("c"))
+    )
+    order = [F.desc("c"), F.asc("token")]
+    got = two_phase_order(
+        df, order, F.col("c"), key_desc=True, rank_col="r",
+        num_partitions=8, sub_key=string_order_key(F.col("token")),
+    ).select("token", "r")
+    want = df.select("token", F.row_number().over(Window.orderBy(*order)).alias("r"))
+    assert got.exceptAll(want).count() + want.exceptAll(got).count() == 0
+
+
+def test_sub_key_is_free_when_no_heavy_ties(spark):
+    # Unique keys -> no raw boundary duplicates -> the sub action is
+    # skipped and results match the plain path.
+    df = spark.range(800).select(F.col("id"), (F.col("id") * 3).alias("k"))
+    got = two_phase_order(
+        df, [F.asc("k")], F.col("k"), rank_col="r",
+        num_partitions=8, sub_key=F.col("id"),
+    ).select("id", "r")
+    plain = two_phase_order(
+        df, [F.asc("k")], F.col("k"), rank_col="r", num_partitions=8
+    ).select("id", "r")
+    assert got.exceptAll(plain).count() + plain.exceptAll(got).count() == 0
