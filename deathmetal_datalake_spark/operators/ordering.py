@@ -416,6 +416,125 @@ def exact_grouped_quantiles(
     return out
 
 
+def grouped_quantiles_general(
+    df: DataFrame,
+    group_col: str,
+    value: Column,
+    fracs: list[float],
+    *,
+    buckets: int = 32,
+) -> DataFrame:
+    """Exact per-group linear-interpolated quantiles for CONTINUOUS
+    (unbounded-domain) values over a BOUNDED set of groups — the
+    general case neither sibling covers: :func:`exact_grouped_quantiles`
+    pays one boundary action PER group (fine for a handful, not for 64
+    embedding dimensions), and :func:`grouped_quantiles_lowcard`
+    requires a domain-bounded value column.
+
+    Two bounded plan-time actions total, regardless of G:
+
+    1. Per-group approx boundaries in ONE distributed aggregate
+       (``groupBy(g).agg(percentile_approx(v, fracs_P))`` — bounded
+       state per group), collected as G×(P−1) literals.
+    2. Per-(group, bucket) counts — G×P rows — collected once; pure
+       Python then locates, for every requested fraction, the bucket
+       holding each bracketing rank and its LOCAL rank within that
+       bucket.
+    3. A broadcast spec joins rows in TARGET buckets only; a window
+       partitioned by (group, bucket) — each ~n_g/P rows by
+       construction — reads the bracketing values; Spark's exact
+       interpolation formula (``v_lo·(ceil(pos)−pos) +
+       v_hi·(pos−floor(pos))``, 0-indexed ``pos=(n−1)·f``) is applied
+       term for term.
+
+    Boundary quality affects only balance, never results. NULL values
+    are excluded (aggregate semantics); groups with no non-NULL values
+    contribute no rows. Caveat: a bucket whose boundaries collapsed
+    onto one heavy tie value is held by one task — tie-heavy domains
+    belong to :func:`grouped_quantiles_lowcard` instead.
+
+    Returns ``(<group_col>, frac DOUBLE, q DOUBLE)``.
+    """
+    import math
+
+    spark = df.sparkSession
+    vals = df.select(
+        F.col(group_col).alias("__g"), value.cast("double").alias("__v")
+    ).filter(F.col("__v").isNotNull())
+
+    bfracs = [i / buckets for i in range(1, buckets)]
+    brows = (
+        vals.groupBy("__g")
+        .agg(F.percentile_approx("__v", bfracs, 1000).alias("bs"))
+        .collect()
+    )
+    if not brows:
+        return spark.createDataFrame(
+            [], f"__g double, frac double, q double"
+        ).select(F.col("__g").alias(group_col), "frac", "q")
+    gtype = df.select(F.col(group_col).alias("__g")).schema[0].dataType.simpleString()
+    bounds_df = spark.createDataFrame(
+        [(r["__g"], sorted({float(b) for b in (r["bs"] or []) if b is not None}))
+         for r in brows],
+        f"__g {gtype}, barr array<double>",
+    )
+    tagged = vals.join(F.broadcast(bounds_df), "__g").withColumn(
+        "__b",
+        F.size(F.filter(F.col("barr"), lambda b: F.col("__v") >= b)).cast("long"),
+    ).drop("barr")
+
+    counts = {
+        (r["__g"], r["__b"]): r["c"]
+        for r in tagged.groupBy("__g", "__b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    # Per group: cumulative bucket counts -> (bucket, local_rank) for
+    # every bracketing global rank of every fraction.
+    per_group: dict = {}
+    for (g, b), c in counts.items():
+        per_group.setdefault(g, {})[b] = c
+    spec_rows = []  # (g, bucket, local_rank, frac, pos, role)
+    for g, bks in per_group.items():
+        n = sum(bks.values())
+        order = sorted(bks)
+        cum_before = {}
+        run = 0
+        for b in order:
+            cum_before[b] = run
+            run += bks[b]
+        for f in fracs:
+            pos = (n - 1) * float(f)
+            for role, r in (("lo", math.floor(pos) + 1), ("hi", math.ceil(pos) + 1)):
+                for b in order:
+                    if cum_before[b] < r <= cum_before[b] + bks[b]:
+                        spec_rows.append(
+                            (g, b, r - cum_before[b], float(f), pos, role)
+                        )
+                        break
+    spec = spark.createDataFrame(
+        spec_rows,
+        f"__g {gtype}, __b long, __lr long, "
+        "frac double, __pos double, __role string",
+    )
+    w = Window.partitionBy("__g", "__b").orderBy("__v")
+    picked = (
+        tagged.join(F.broadcast(spec.select("__g", "__b").distinct()), ["__g", "__b"])
+        .withColumn("__lr", F.row_number().over(w))
+        .join(F.broadcast(spec), ["__g", "__b", "__lr"])
+        .select("__g", "frac", "__pos", "__role", "__v")
+    )
+    piv = picked.groupBy("__g", "frac", "__pos").agg(
+        F.max(F.when(F.col("__role") == "lo", F.col("__v"))).alias("__vlo"),
+        F.max(F.when(F.col("__role") == "hi", F.col("__v"))).alias("__vhi"),
+    )
+    p = F.col("__pos")
+    q = F.when(F.ceil(p) == F.floor(p), F.col("__vlo")).otherwise(
+        F.col("__vlo") * (F.ceil(p) - p) + F.col("__vhi") * (p - F.floor(p))
+    )
+    return piv.select(F.col("__g").alias(group_col), "frac", q.alias("q"))
+
+
 def grouped_quantiles_lowcard(
     df: DataFrame,
     group_col: str,

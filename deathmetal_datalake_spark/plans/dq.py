@@ -789,3 +789,98 @@ def dq_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust price-outlier audit (round-9 continuation) — the
+# median/MAD-based anomaly screen a curation pipeline runs before
+# trusting a numeric column: per order priority, the median price, the
+# median absolute deviation, and how many orders sit more than K MADs
+# from the median (fat-finger entries, unit mix-ups). Mean/stddev
+# screens drown in the very outliers they hunt; median/MAD do not.
+# Prices are CONTINUOUS-domain, so both exact-selection passes run on
+# operators/ordering.grouped_quantiles_general (two bounded plan-time
+# actions per pass for ALL groups; no per-group full-column buffers,
+# no single-task sorts). K follows the classic 3-sigma-equivalent
+# 1.4826-scaled convention, folded into one literal.
+# ---------------------------------------------------------------------------
+
+_PRICE_MAD_K = 4.4478  # 3 * 1.4826 (MAD -> sigma consistency factor)
+
+_PRICE_ROBUST_SQL = f"""
+WITH med AS (
+    SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med_price
+    FROM orders GROUP BY 1
+),
+dev AS (
+    SELECT o.o_orderpriority, o.o_totalprice, m.med_price,
+           ABS(o.o_totalprice - m.med_price) AS absdev
+    FROM orders o JOIN med m USING (o_orderpriority)
+),
+mad AS (
+    SELECT o_orderpriority, quantile_cont(absdev, 0.5) AS mad_price
+    FROM dev GROUP BY 1
+)
+SELECT d.o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(d.med_price, 6) AS med_price,
+       ROUND(a.mad_price, 6) AS mad_price,
+       CAST(SUM(CASE WHEN d.absdev > {_PRICE_MAD_K} * a.mad_price
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       ROUND(SUM(CASE WHEN d.absdev > {_PRICE_MAD_K} * a.mad_price
+                      THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS outlier_rate
+FROM dev d JOIN mad a USING (o_orderpriority)
+GROUP BY d.o_orderpriority, d.med_price, a.mad_price
+ORDER BY priority
+"""
+
+
+@register("dq_price_robust_outliers", oracle=_PRICE_ROBUST_SQL)
+def dq_price_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    from deathmetal_datalake_spark.operators.ordering import (
+        grouped_quantiles_general,
+    )
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    orders = session_cache(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderpriority", F.col("o_totalprice").cast("double").alias("price")
+        )
+    )
+    med = grouped_quantiles_general(
+        orders, "o_orderpriority", F.col("price"), [0.5]
+    ).select("o_orderpriority", F.col("q").alias("med_price"))
+    dev = session_cache(
+        orders.join(broadcast(med), "o_orderpriority").withColumn(
+            "absdev", F.abs(F.col("price") - F.col("med_price"))
+        )
+    )
+    mad = grouped_quantiles_general(
+        dev, "o_orderpriority", F.col("absdev"), [0.5]
+    ).select("o_orderpriority", F.col("q").alias("mad_price"))
+    is_out = F.col("absdev") > F.lit(float(_PRICE_MAD_K)) * F.col("mad_price")
+    return (
+        dev.join(broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority", "med_price", "mad_price")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.when(is_out, 1).otherwise(0)).cast("long").alias("n_outliers"),
+            F.round(
+                F.sum(F.when(is_out, 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("outlier_rate"),
+        )
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            "n_orders",
+            F.round("med_price", 6).alias("med_price"),
+            F.round("mad_price", 6).alias("mad_price"),
+            "n_outliers",
+            "outlier_rate",
+        )
+        .orderBy("priority")
+    )

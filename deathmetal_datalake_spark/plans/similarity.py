@@ -3139,3 +3139,75 @@ def similarity_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("label_a", "label_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension robust stats (round-9 continuation) — the embedding
+# health check run before whitening/robust-scaling a corpus: per
+# dimension, the median and interquartile range of the raw (continuous,
+# unbounded-domain) component values. Dead dimensions (IQR ~ 0) and
+# scale-divergent dimensions surface immediately. This is the first
+# consumer of operators/ordering.grouped_quantiles_general — exact
+# per-group selection with TWO bounded plan-time actions total for all
+# 64 groups, where exact_grouped_quantiles would pay one boundary
+# action per group and grouped_quantiles_lowcard cannot take a
+# continuous domain. Reference parity: the reference's notebooks would
+# run df.describe()-style column stats on a single node; this is the
+# multi-executor exact-quantile equivalent.
+# ---------------------------------------------------------------------------
+
+_DIM_ROBUST_SQL = f"""
+WITH vals AS (
+    SELECT g.i AS dim, CAST(e.embedding[g.i + 1] AS DOUBLE) AS v
+    FROM embeddings e, (SELECT UNNEST(range({_EMB_DIM})) AS i) g
+    WHERE e.embedding IS NOT NULL
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(COUNT(v) AS BIGINT) AS n_vals,
+       ROUND(quantile_cont(v, 0.25), 6) AS q25,
+       ROUND(quantile_cont(v, 0.50), 6) AS median,
+       ROUND(quantile_cont(v, 0.75), 6) AS q75,
+       ROUND(quantile_cont(v, 0.75) - quantile_cont(v, 0.25), 6) AS iqr
+FROM vals
+GROUP BY dim
+ORDER BY dim
+"""
+
+
+@register("embedding_dimension_robust_stats", oracle=_DIM_ROBUST_SQL)
+def embedding_dimension_robust_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from deathmetal_datalake_spark.operators.ordering import (
+        grouped_quantiles_general,
+    )
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    vals = session_cache(
+        emb.select(F.posexplode(_as_double("embedding")).alias("dim", "v"))
+    )
+    qs = grouped_quantiles_general(
+        vals, "dim", F.col("v"), [0.25, 0.50, 0.75], buckets=32
+    )
+    piv = qs.groupBy("dim").agg(
+        *[
+            F.max(F.when(F.col("frac") == f, F.col("q"))).alias(a)
+            for f, a in [(0.25, "_q25"), (0.50, "_med"), (0.75, "_q75")]
+        ]
+    )
+    n = vals.groupBy("dim").agg(F.count("v").cast("long").alias("n_vals"))
+    return (
+        n.join(piv, "dim")
+        .select(
+            F.col("dim").cast("long"),
+            "n_vals",
+            F.round("_q25", 6).alias("q25"),
+            F.round("_med", 6).alias("median"),
+            F.round("_q75", 6).alias("q75"),
+            F.round(F.col("_q75") - F.col("_q25"), 6).alias("iqr"),
+        )
+        .orderBy("dim")
+    )

@@ -339,3 +339,55 @@ def test_sub_key_is_free_when_no_heavy_ties(spark):
         df, [F.asc("k")], F.col("k"), rank_col="r", num_partitions=8
     ).select("id", "r")
     assert got.exceptAll(plain).count() + plain.exceptAll(got).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# grouped_quantiles_general: continuous-domain per-group selection with
+# two bounded plan-time actions for ALL groups (round-9 continuation,
+# NEXT #5).
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_quantiles_general_matches_percentile_aggregate(spark):
+    import random
+
+    from deathmetal_datalake_spark.operators.ordering import (
+        grouped_quantiles_general,
+    )
+
+    rng = random.Random(3)
+    rows = []
+    for _ in range(8000):
+        g = rng.randint(0, 31)
+        v = None if rng.random() < 0.01 else rng.gauss(g * 0.1, 1.0)
+        rows.append((g, v))
+    rows += [(100, None)] * 5 + [(101, 3.25)]  # all-NULL group, singleton
+    df = spark.createDataFrame(rows, "g int, v double")
+    fracs = [0.25, 0.5, 0.75, 0.9]
+    got = grouped_quantiles_general(df, "g", F.col("v"), fracs, buckets=8)
+    exp = (
+        df.groupBy("g")
+        .agg(F.expr("percentile(v, array(0.25,0.5,0.75,0.9))").alias("qs"))
+        .select("g", F.posexplode("qs").alias("i", "qe"))
+        .filter(F.col("qe").isNotNull())
+        .select(
+            "g",
+            F.element_at(F.lit(fracs), F.col("i") + 1).alias("frac"),
+            "qe",
+        )
+    )
+    j = got.join(exp, ["g", "frac"], "full").collect()
+    assert all(r["q"] == r["qe"] for r in j), [
+        r for r in j if r["q"] != r["qe"]
+    ][:5]
+    assert not [r for r in j if r["g"] == 100]  # all-NULL group: no rows
+    assert all(r["q"] == 3.25 for r in j if r["g"] == 101)
+
+
+def test_grouped_quantiles_general_empty_frame(spark):
+    from deathmetal_datalake_spark.operators.ordering import (
+        grouped_quantiles_general,
+    )
+
+    df = spark.createDataFrame([], "g int, v double")
+    assert grouped_quantiles_general(df, "g", F.col("v"), [0.5]).count() == 0
