@@ -884,3 +884,95 @@ def dq_price_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Daily-volume anomaly screen (round-9 continuation) — the freshness
+# sibling every ingestion pipeline needs: per event type, compare each
+# day's event count against that type's MEDIAN daily volume and flag
+# days more than K MADs away (collector outages, bot floods, replayed
+# backfills). Median/MAD instead of mean/stddev: a single outage day
+# drags a stddev threshold toward itself; it cannot move a median.
+# Counts are integers, so the interpolated median/MAD are exact halves
+# and every comparison below is bit-deterministic cross-engine WITHOUT
+# rounding tricks. Third consumer of grouped_quantiles_general (two
+# bounded plan-time actions for all types per pass).
+# ---------------------------------------------------------------------------
+
+_DAILY_MAD_K = 3.0
+
+_DAILY_ANOMALY_SQL = f"""
+WITH daily AS (
+    SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+           COUNT(*) AS c
+    FROM events GROUP BY 1, 2
+),
+med AS (
+    SELECT event_type, quantile_cont(c, 0.5) AS med_c FROM daily GROUP BY 1
+),
+dev AS (
+    SELECT d.event_type, d.c, m.med_c, ABS(d.c - m.med_c) AS absdev
+    FROM daily d JOIN med m USING (event_type)
+),
+mad AS (
+    SELECT event_type, quantile_cont(absdev, 0.5) AS mad_c FROM dev GROUP BY 1
+)
+SELECT v.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(v.med_c, 6) AS med_daily,
+       ROUND(a.mad_c, 6) AS mad_daily,
+       CAST(SUM(CASE WHEN v.absdev > {_DAILY_MAD_K} * a.mad_c
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous_days
+FROM dev v JOIN mad a USING (event_type)
+GROUP BY v.event_type, v.med_c, a.mad_c
+ORDER BY v.event_type
+"""
+
+
+@register("dq_daily_volume_anomaly", oracle=_DAILY_ANOMALY_SQL)
+def dq_daily_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    from deathmetal_datalake_spark.operators.ordering import (
+        grouped_quantiles_general,
+    )
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    daily = session_cache(
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    med = grouped_quantiles_general(
+        daily, "event_type", F.col("c"), [0.5]
+    ).select("event_type", F.col("q").alias("med_c"))
+    dev = session_cache(
+        daily.join(broadcast(med), "event_type").withColumn(
+            "absdev", F.abs(F.col("c") - F.col("med_c"))
+        )
+    )
+    mad = grouped_quantiles_general(
+        dev, "event_type", F.col("absdev"), [0.5]
+    ).select("event_type", F.col("q").alias("mad_c"))
+    is_anom = F.col("absdev") > F.lit(float(_DAILY_MAD_K)) * F.col("mad_c")
+    return (
+        dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type", "med_c", "mad_c")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum(F.when(is_anom, 1).otherwise(0))
+            .cast("long")
+            .alias("n_anomalous_days"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            F.round("med_c", 6).alias("med_daily"),
+            F.round("mad_c", 6).alias("mad_daily"),
+            "n_anomalous_days",
+        )
+        .orderBy("event_type")
+    )

@@ -2598,3 +2598,137 @@ def events_audience_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival (round-9 continuation) — the retention curve a
+# product team actually trusts: time from a user's FIRST event to
+# churn, with users still active near the corpus watermark treated as
+# CENSORED (alive at last sight), not as churned — the mistake naive
+# retention queries make. Churn = last activity more than
+# _KM_CENSOR_DAYS before the watermark; death time = last − first in
+# days, censor time = watermark − first. Classic estimator:
+# S(t) = Π_{u<=t} (n_u − d_u)/n_u over the day-granular time frame.
+#
+# Cross-engine exactness without transcendentals (the BM25 lesson):
+# the cumulative product is a SEQUENTIAL LEFT-TO-RIGHT fold of
+# identical IEEE ops on both sides — Spark folds with the aggregate()
+# higher-order function over the sorted bounded frame; the oracle uses
+# a RECURSIVE CTE stepping row-by-row in the same order with the same
+# cast-subtract-divide-multiply sequence, so the doubles are
+# bit-identical (ROUND 6 is belt-and-braces). A windowed product()
+# would NOT be safe: segment-tree evaluation regroups the
+# multiplication.
+#
+# 100 TB shape: one user_id shuffle for first/last, one groupBy on the
+# DAY-BOUNDED time value; the fold runs on one row of ≤ span-in-days
+# structs — bounded by construction, never data-proportional (the
+# O(T²) prefix folds are ~13M lambda steps even at a 10-year span).
+# ---------------------------------------------------------------------------
+
+_KM_CENSOR_DAYS = 7
+
+_KM_SQL = f"""
+WITH RECURSIVE bounds AS (
+    SELECT CAST(date_trunc('day', MAX(CAST(ts AS TIMESTAMP))) AS DATE) AS w
+    FROM events
+),
+per_user AS (
+    SELECT user_id,
+           CAST(date_trunc('day', MIN(CAST(ts AS TIMESTAMP))) AS DATE) AS f,
+           CAST(date_trunc('day', MAX(CAST(ts AS TIMESTAMP))) AS DATE) AS l
+    FROM events GROUP BY 1
+),
+obs AS (
+    SELECT CASE WHEN l <= w - {_KM_CENSOR_DAYS} THEN date_diff('day', f, l)
+                ELSE date_diff('day', f, w) END AS t,
+           CASE WHEN l <= w - {_KM_CENSOR_DAYS} THEN 1 ELSE 0 END AS death
+    FROM per_user, bounds
+),
+tf AS (
+    SELECT t, SUM(death) AS d, SUM(1 - death) AS cz
+    FROM obs GROUP BY t
+),
+ranked AS (
+    SELECT t, d, cz,
+           SUM(d + cz) OVER () - COALESCE(
+               SUM(d + cz) OVER (ORDER BY t
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS n,
+           ROW_NUMBER() OVER (ORDER BY t) AS rn
+    FROM tf
+),
+km AS (
+    SELECT rn, t, d, cz, n,
+           CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE) AS s
+    FROM ranked WHERE rn = 1
+    UNION ALL
+    SELECT r.rn, r.t, r.d, r.cz, r.n,
+           km.s * (CAST(r.n - r.d AS DOUBLE) / CAST(r.n AS DOUBLE))
+    FROM km JOIN ranked r ON r.rn = km.rn + 1
+)
+SELECT CAST(t AS BIGINT) AS t_days,
+       CAST(n AS BIGINT) AS n_at_risk,
+       CAST(d AS BIGINT) AS n_deaths,
+       CAST(cz AS BIGINT) AS n_censored,
+       ROUND(s, 6) AS survival
+FROM km
+ORDER BY t_days
+"""
+
+
+@register("events_survival_kaplan_meier", oracle=_KM_SQL)
+def events_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    )
+    wm = ev.agg(F.max("day").alias("w"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(F.min("day").alias("f"), F.max("day").alias("l"))
+        .crossJoin(broadcast(wm))
+    )
+    death = F.col("l") <= F.date_sub(F.col("w"), _KM_CENSOR_DAYS)
+    obs = per_user.select(
+        F.when(death, F.datediff(F.col("l"), F.col("f")))
+        .otherwise(F.datediff(F.col("w"), F.col("f")))
+        .cast("long")
+        .alias("t"),
+        F.when(death, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("death"),
+    )
+    tf = obs.groupBy("t").agg(
+        F.sum("death").alias("d"), F.sum(F.lit(1) - F.col("death")).alias("cz")
+    )
+    # One row holding the whole DAY-BOUNDED frame; prefix folds give
+    # the risk set and the sequential survival product (see header).
+    row = tf.agg(
+        F.sort_array(F.collect_list(F.struct("t", "d", "cz"))).alias("a")
+    ).withColumn("tot", F.expr("aggregate(a, 0L, (acc, x) -> acc + x.d + x.cz)"))
+    curve = row.select(
+        F.explode(
+            F.expr(
+                """
+                transform(a, (x, i) -> named_struct(
+                    't_days', x.t,
+                    'n_at_risk',
+                        tot - aggregate(slice(a, 1, i), 0L,
+                                        (acc, y) -> acc + y.d + y.cz),
+                    'n_deaths', x.d,
+                    'n_censored', x.cz,
+                    'survival', round(
+                        aggregate(slice(a, 1, i + 1),
+                                  named_struct('rem', tot,
+                                               'sv', cast(1.0 as double)),
+                                  (acc, y) -> named_struct(
+                                      'rem', acc.rem - y.d - y.cz,
+                                      'sv', acc.sv *
+                                          (cast(acc.rem - y.d as double)
+                                           / cast(acc.rem as double)))).sv,
+                        6)))
+                """
+            )
+        ).alias("r")
+    ).select("r.*")
+    return curve.orderBy("t_days")

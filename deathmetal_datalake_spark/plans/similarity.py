@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from deathmetal_datalake_spark.plans.registry import register, spread
+from deathmetal_datalake_spark.plans.registry import register, spread, sql_davg
 from deathmetal_datalake_spark.sources.tables import load_table
 
 _QUERY_MOD = 50  # vec_id % 50 == 0 → the query subset
@@ -3210,4 +3210,108 @@ def embedding_dimension_robust_stats(
             F.round(F.col("_q75") - F.col("_q25"), 6).alias("iqr"),
         )
         .orderBy("dim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Silhouette audit (round-9 continuation) — the standard cluster-
+# quality score, computed against label centroids (the "simplified
+# silhouette"): a = distance to own centroid, b = distance to the
+# nearest OTHER centroid, s = (b − a)/max(a, b) ∈ [−1, 1]. Mean s per
+# label grades label coherence; s < 0 marks vectors closer to a
+# foreign centroid (mislabeled or boundary data) — the audit run
+# before trusting labels for supervised filtering. Determinism: same
+# recipe as the k-means/centroid entries — centroid components and
+# per-(vector, centroid) squared sums accumulate in DECIMAL(25,12)
+# (associative, partition-order-free), centroids round to 6 dp, and
+# the only double ops after that (sqrt, subtract, divide, min/max)
+# are IEEE-exact single operations in both engines. 100 TB shape:
+# one posexplode + a broadcast of the L×64 centroid frame; cost is
+# linear in vectors with a constant L×dim multiplier — no pairwise
+# anything.
+# ---------------------------------------------------------------------------
+
+_SILHOUETTE_SQL = f"""
+WITH comps AS (
+    SELECT e.vec_id, e.label, g.i AS pos,
+           CAST(e.embedding[g.i + 1] AS DOUBLE) AS x
+    FROM embeddings e, (SELECT UNNEST(range({_EMB_DIM})) AS i) g
+),
+cent AS (
+    SELECT label AS clabel, pos,
+           ROUND(CAST(SUM(CAST(x AS DECIMAL(25,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS m
+    FROM comps GROUP BY 1, 2
+),
+ssd AS (
+    SELECT c.vec_id, c.label, ct.clabel,
+           CAST(SUM(CAST((c.x - ct.m) * (c.x - ct.m) AS DECIMAL(25,12)))
+                AS DOUBLE) AS v
+    FROM comps c JOIN cent ct USING (pos)
+    GROUP BY 1, 2, 3
+),
+per_vec AS (
+    SELECT vec_id, label,
+           MAX(CASE WHEN clabel = label THEN sqrt(v) END) AS a,
+           MIN(CASE WHEN clabel <> label THEN sqrt(v) END) AS b
+    FROM ssd GROUP BY 1, 2
+),
+sil AS (
+    SELECT label,
+           CASE WHEN GREATEST(a, b) = 0 THEN 0.0
+                ELSE (b - a) / GREATEST(a, b) END AS s
+    FROM per_vec
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       {sql_davg("s", "mean_silhouette")},
+       CAST(SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_misplaced
+FROM sil
+GROUP BY label
+ORDER BY label
+"""
+
+
+@register("embedding_silhouette_by_label", oracle=_SILHOUETTE_SQL)
+def embedding_silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deathmetal_datalake_spark.plans.registry import davg, session_cache
+
+    comps = session_cache(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            "label",
+            F.posexplode(_as_double("embedding")).alias("pos", "x"),
+        )
+    )
+    cent = comps.groupBy(F.col("label").alias("clabel"), "pos").agg(
+        F.round(
+            F.sum(F.col("x").cast("decimal(25,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("m")
+    )
+    diff = F.col("x") - F.col("m")
+    ssd = (
+        comps.join(broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum((diff * diff).cast("decimal(25,12)")).cast("double").alias("v"))
+    )
+    per_vec = ssd.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("clabel") == F.col("label"), F.sqrt("v"))).alias("a"),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.sqrt("v"))).alias("b"),
+    )
+    s = F.when(F.greatest("a", "b") == 0, F.lit(0.0)).otherwise(
+        (F.col("b") - F.col("a")) / F.greatest("a", "b")
+    )
+    return (
+        per_vec.select("label", s.alias("s"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            davg("s", "mean_silhouette"),
+            F.sum(F.when(F.col("s") < 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_misplaced"),
+        )
+        .orderBy("label")
     )

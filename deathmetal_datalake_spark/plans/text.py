@@ -2390,3 +2390,114 @@ def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM surprisal scoring (round-9 continuation) — the KenLM-style
+# quality filter every pretraining pipeline runs: score each document
+# by how surprising its word sequences are under a language model
+# trained on the corpus itself (here an add-one-smoothed bigram model).
+# Gibberish and boilerplate-free natural text separate cleanly; highly
+# repetitive spam scores near zero. Per the BM25/logfreq lesson,
+# NO transcendentals cross the engine boundary: the per-bigram
+# surprisal is the INTEGER floor(log2(1/P)) computed bit-exactly via
+# floor(log2(den/num)) = bit_length(den div num) − 1 (valid whenever
+# den >= num, which add-one smoothing guarantees: num = c12+1 <=
+# c1+V = den). 100 TB shape: two map-side-combinable count shuffles
+# (unigrams, bigrams), one 1:N probe-side join per table — the build
+# sides have one row per (bi)gram type, so stopword skew lands on the
+# probe side where AQE skew-split handles it; no broadcast of the
+# vocabulary (web-scale vocabularies don't fit an executor).
+# ---------------------------------------------------------------------------
+
+_BIGRAM_SURPRISAL_SQL = rf"""
+WITH tok AS (
+    SELECT doc_id, lang,
+           string_split_regex(LOWER(TRIM(text)), '\s+') AS toks
+    FROM documents
+),
+uni AS (SELECT UNNEST(toks) AS w1 FROM tok),
+c1 AS (SELECT w1, COUNT(*) AS cw FROM uni GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT w1) AS vsz FROM uni),
+bg AS (
+    SELECT t.doc_id, t.lang, t.toks[g.i] AS w1, t.toks[g.i + 1] AS w2
+    FROM tok t, UNNEST(range(1, len(t.toks))) AS g(i)
+),
+cb AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+bits AS (
+    SELECT b.doc_id, b.lang,
+           LENGTH(printf('%b', (c1.cw + v.vsz) // (cb.c12 + 1))) - 1 AS s
+    FROM bg b JOIN cb USING (w1, w2) JOIN c1 USING (w1), v
+),
+perdoc AS (
+    SELECT doc_id, lang, COUNT(*) AS n_bigrams,
+           {sql_davg("s", "mean_bits")}
+    FROM bits GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs_scored,
+       CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
+       {sql_davg("mean_bits", "mean_surprisal_bits")}
+FROM perdoc
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("text_bigram_surprisal_score", oracle=_BIGRAM_SURPRISAL_SQL)
+def text_bigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "lang",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
+    )
+    uni = docs.select(F.explode("toks").alias("w1"))
+    c1 = uni.groupBy("w1").agg(F.count(F.lit(1)).alias("cw"))
+    vocab = uni.agg(F.countDistinct("w1").alias("vsz"))
+    # Adjacent pairs without a self-join: slice off the last token and
+    # pair each remaining token with its successor by index.
+    bg = session_cache(
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+                    " (w, i) -> struct(w AS w1, toks[i + 1] AS w2))"
+                )
+            ).alias("p"),
+        ).select("doc_id", "lang", "p.w1", "p.w2")
+    )
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    bits = (
+        bg.join(cb, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "lang",
+            (F.col("c12") + F.lit(1)).cast("long").alias("num"),
+            (F.col("cw") + F.col("vsz")).cast("long").alias("den"),
+        )
+        # floor(log2(den/num)) == bit_length(den div num) - 1 for
+        # den >= num — integer-exact in both engines, no libm.
+        .select(
+            "doc_id",
+            "lang",
+            (F.length(F.bin(F.expr("den div num"))) - 1).cast("long").alias("s"),
+        )
+    )
+    perdoc = bits.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_bigrams"), davg("s", "mean_bits")
+    )
+    return (
+        perdoc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_scored"),
+            F.sum("n_bigrams").cast("long").alias("n_bigrams"),
+            davg("mean_bits", "mean_surprisal_bits"),
+        )
+        .orderBy("lang")
+    )

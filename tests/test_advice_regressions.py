@@ -427,3 +427,108 @@ def test_triplet_margin_survives_zero_norm_and_single_label(spark, tmp_path):
     name = "similarity_triplet_margin_audit"
     report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
     assert report["match"] is True, report
+
+
+# ---------------------------------------------------------------------------
+# Round-9-continuation battery: the four newest operators (bigram
+# surprisal, Kaplan-Meier, daily-volume anomaly, silhouette) through
+# the same degenerate inputs as their predecessors — BOTH engines via
+# compare_query, before any external review finds the edge.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("name", ["text_bigram_surprisal_score"])
+def test_bigram_surprisal_survives_degenerate_corpus(spark, tmp_path, name):
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    d = _corpus_with(tmp_path, _doc_rows(spark, _DEGENERATE_TEXTS), spark)
+    report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+    assert report["match"] is True, report
+
+
+@pytest.mark.parametrize(
+    "name", ["events_survival_kaplan_meier", "dq_daily_volume_anomaly"]
+)
+def test_survival_and_anomaly_survive_degenerate_events(spark, tmp_path, name):
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    d = _events_with(tmp_path, spark, _degenerate_event_rows())
+    report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+    assert report["match"] is True, report
+
+
+def test_kaplan_meier_all_users_censored(spark, tmp_path):
+    # Every user active at the watermark: zero deaths, survival == 1.0
+    # at every time point, and no division anywhere goes degenerate.
+    import datetime
+
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    T0 = datetime.datetime(2024, 3, 1)
+    rows = [
+        (i, T0 + datetime.timedelta(days=i % 3), i % 5, "view", 1.0, None)
+        for i in range(30)
+    ]
+    # everyone's last event within the censor horizon of the watermark
+    d = _events_with(tmp_path, spark, rows)
+    name = "events_survival_kaplan_meier"
+    report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+    assert report["match"] is True, report
+
+
+def test_kaplan_meier_single_day_corpus(spark, tmp_path):
+    # All events on ONE day: a single t=0 row, all censored.
+    import datetime
+
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    T0 = datetime.datetime(2024, 3, 1)
+    rows = [
+        (i, T0 + datetime.timedelta(minutes=i), i % 4, "click", 1.0, None)
+        for i in range(12)
+    ]
+    d = _events_with(tmp_path, spark, rows)
+    name = "events_survival_kaplan_meier"
+    report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+    assert report["match"] is True, report
+
+
+@pytest.mark.parametrize(
+    "name", ["embedding_silhouette_by_label", "embedding_dimension_robust_stats"]
+)
+def test_embedding_audits_survive_zero_and_single_label(spark, tmp_path, name):
+    # Zero vectors (a == 0 against own centroid when a label holds only
+    # zeros) and the general zero-norm artifact rows.
+    import math
+
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    rows = []
+    for i in range(60):
+        emb = [0.0] * 64 if i in (7, 50) else [
+            math.sin(0.1 * i + 0.01 * j) for j in range(64)
+        ]
+        rows.append((i, emb, i % 3))
+    d = _embeddings_with(tmp_path, spark, rows)
+    report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+    assert report["match"] is True, report
+
+
+@pytest.mark.parametrize(
+    "name", ["embedding_silhouette_by_label", "embedding_dimension_robust_stats"]
+)
+def test_embedding_audits_survive_one_label_corpus(spark, tmp_path, name):
+    # ONE label in the whole corpus: silhouette's b (nearest OTHER
+    # centroid) is NULL for every vector — both engines must agree on
+    # the NULL propagation, not crash.
+    import math
+
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    rows = [
+        (i, [math.cos(0.05 * i + 0.02 * j) for j in range(64)], 1)
+        for i in range(20)
+    ]
+    d = _embeddings_with(tmp_path, spark, rows)
+    report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+    assert report["match"] is True, report
