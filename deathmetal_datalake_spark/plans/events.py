@@ -2732,3 +2732,81 @@ def events_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r")
     ).select("r.*")
     return curve.orderBy("t_days")
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (round-9 continuation) — the TWAP-style rollup
+# for irregularly sampled measurements: a value that held for 50
+# minutes must weigh 50× one that held for a minute, which the plain
+# mean gets wrong on event-driven data. Each event's value is weighted
+# by the seconds until that type's NEXT event (last event carries no
+# interval and is excluded, standard step-function convention).
+# Windows are PARTITIONED by event type; the (ts, event_id) tie-break
+# pins the lead() pairing when timestamps collide, so the weighted
+# multiset is engine-deterministic. value·dur terms go through the
+# DECIMAL(18,6) cast (Spark widens the sum to DECIMAL(28,6), DuckDB to
+# DECIMAL(38,6) — both exact); NULLIF guards the all-simultaneous
+# degenerate type (zero total duration) where ANSI Spark would abort.
+# ---------------------------------------------------------------------------
+
+_TWA_SQL = f"""
+WITH e AS (
+    SELECT event_type, event_id, value,
+           CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+    FROM events
+),
+seq AS (
+    SELECT event_type, value, sec,
+           LEAD(sec) OVER (PARTITION BY event_type
+                           ORDER BY sec, event_id) - sec AS dur
+    FROM e
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(dur) AS BIGINT) AS total_seconds,
+       ROUND(CAST(CAST(SUM(CAST(value * dur AS DECIMAL(18,6))) AS VARCHAR)
+                  AS DOUBLE) / NULLIF(SUM(dur), 0), 6) AS twa_value,
+       {sql_davg("value", "mean_value")}
+FROM seq
+WHERE dur IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("events_time_weighted_average", oracle=_TWA_SQL)
+def events_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deathmetal_datalake_spark.plans.registry import davg
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "value",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("sec"),
+    )
+    w = Window.partitionBy("event_type").orderBy("sec", "event_id")
+    seq = e.select(
+        "event_type",
+        "value",
+        "sec",
+        (F.lead("sec").over(w) - F.col("sec")).alias("dur"),
+    ).filter(F.col("dur").isNotNull())
+    wsum = (
+        F.sum((F.col("value") * F.col("dur")).cast("decimal(18,6)"))
+        .cast("string")
+        .cast("double")
+    )
+    return (
+        seq.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+            F.sum("dur").cast("long").alias("total_seconds"),
+            F.round(
+                wsum / F.nullif(F.sum("dur"), F.lit(0)), 6
+            ).alias("twa_value"),
+            davg("value", "mean_value"),
+        )
+        .orderBy("event_type")
+    )

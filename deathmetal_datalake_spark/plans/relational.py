@@ -1102,3 +1102,109 @@ def orders_repeat_interval_profile(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("log2_gap_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curve (round-9 continuation) — the finance-grade twin of
+# events_cohort_retention: customers grouped by FIRST-ORDER month,
+# revenue tracked by months-since-acquisition, cumulated into the
+# lifetime-value-per-customer curve that acquisition spend is judged
+# against. Month index is INTEGER arithmetic (year·12 + month), the
+# per-cell and cumulative revenue stay in DECIMAL(18,6) (windowed sums
+# of decimals are associative — partition-order-free in both engines;
+# Spark widens to DECIMAL(28,6), DuckDB to DECIMAL(38,6), both exact),
+# and LTV divides by the FIXED acquisition-cohort size, not by
+# currently-active customers — the classic cohort-table mistake this
+# query exists to avoid. Window is PARTITIONED by cohort; the frame
+# per cohort is bounded by the corpus month span.
+# ---------------------------------------------------------------------------
+
+_COHORT_LTV_SQL = """
+WITH first_order AS (
+    SELECT o_custkey,
+           CAST(date_trunc('month', MIN(CAST(o_orderdate AS TIMESTAMP)))
+                AS DATE) AS cohort_month
+    FROM orders GROUP BY 1
+),
+sized AS (
+    SELECT cohort_month, COUNT(*) AS cohort_size
+    FROM first_order GROUP BY 1
+),
+cells AS (
+    SELECT f.cohort_month,
+           (YEAR(o.o_orderdate) * 12 + MONTH(o.o_orderdate))
+           - (YEAR(f.cohort_month) * 12 + MONTH(f.cohort_month)) AS month_k,
+           SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS dec_rev,
+           COUNT(DISTINCT o.o_custkey) AS n_active
+    FROM orders o JOIN first_order f USING (o_custkey)
+    GROUP BY 1, 2
+),
+cum AS (
+    SELECT cohort_month, month_k, n_active, dec_rev,
+           SUM(dec_rev) OVER (PARTITION BY cohort_month ORDER BY month_k
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS dec_cum
+    FROM cells
+)
+SELECT c.cohort_month,
+       CAST(c.month_k AS BIGINT) AS month_k,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       CAST(c.n_active AS BIGINT) AS n_active_customers,
+       CAST(CAST(c.dec_rev AS VARCHAR) AS DOUBLE) AS revenue,
+       CAST(CAST(c.dec_cum AS VARCHAR) AS DOUBLE) AS cum_revenue,
+       ROUND(CAST(CAST(c.dec_cum AS VARCHAR) AS DOUBLE) / s.cohort_size, 6)
+           AS ltv_per_customer
+FROM cum c JOIN sized s USING (cohort_month)
+ORDER BY cohort_month, month_k
+"""
+
+
+@register("orders_cohort_ltv", oracle=_COHORT_LTV_SQL)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    first = orders.groupBy("o_custkey").agg(
+        F.trunc(F.to_date(F.min("o_orderdate")), "month").alias("cohort_month")
+    )
+    sized = first.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    midx = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    cells = (
+        orders.join(first, "o_custkey")
+        .groupBy(
+            "cohort_month",
+            (midx(F.col("o_orderdate")) - midx(F.col("cohort_month"))).alias(
+                "month_k"
+            ),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("dec_rev"),
+            F.countDistinct("o_custkey").cast("long").alias("n_active"),
+        )
+    )
+    w = Window.partitionBy("cohort_month").orderBy("month_k").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = cells.withColumn("dec_cum", F.sum("dec_rev").over(w))
+    return (
+        cum.join(broadcast(sized), "cohort_month")
+        .select(
+            "cohort_month",
+            F.col("month_k").cast("long"),
+            "cohort_size",
+            F.col("n_active").alias("n_active_customers"),
+            F.col("dec_rev").cast("string").cast("double").alias("revenue"),
+            F.col("dec_cum").cast("string").cast("double").alias("cum_revenue"),
+            F.round(
+                F.col("dec_cum").cast("string").cast("double")
+                / F.col("cohort_size"),
+                6,
+            ).alias("ltv_per_customer"),
+        )
+        .orderBy("cohort_month", "month_k")
+    )

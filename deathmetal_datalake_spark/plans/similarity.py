@@ -3315,3 +3315,124 @@ def embedding_silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Top principal component by power iteration (round-9 continuation) —
+# the dominant variance direction of the (mean-centered) embedding
+# corpus via two fixed power-iteration rounds: s = Yv (per-vector
+# projection), w = Yᵀs (per-dimension reconstruction), v' = w/‖w‖.
+# The classic embedding-health check: a top PC that eats most of the
+# norm means a rogue feature (uncentered corpus, dominant dimension) —
+# the "anisotropy" audit run before cosine retrieval is trusted.
+# Engine-exactness follows the kmeans_two_rounds recipe: every
+# data-proportional sum accumulates in DECIMAL(25,12) (associative ⇒
+# partition-order-free) and crosses to DOUBLE through the VARCHAR
+# round-trip (correctly-rounded parse on both engines — the direct
+# decimal→double cast stops being correctly rounded past 2^53
+# unscaled), v is re-rounded to 6 dp at each round boundary, and v0 is
+# the exactly-representable 0.125·1 (= 1/√64). λ is estimated by ‖w₂‖
+# (v₁ is unit). 100 TB shape: two vec_id-shuffle joins + bounded
+# 64-row broadcast frames per round; no pairwise anything.
+# ---------------------------------------------------------------------------
+
+def _sql_dec_sum(expr: str) -> str:
+    return (
+        f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(25,12))) AS VARCHAR) AS DOUBLE)"
+    )
+
+
+_TOP_PC_SQL = f"""
+WITH comps AS (
+    SELECT e.vec_id, g.i AS pos, CAST(e.embedding[g.i + 1] AS DOUBLE) AS x
+    FROM embeddings e, (SELECT UNNEST(range({_EMB_DIM})) AS i) g
+),
+means AS (
+    SELECT pos, ROUND({_sql_dec_sum("x")} / COUNT(*), 6) AS m
+    FROM comps GROUP BY pos
+),
+cent AS (
+    SELECT c.vec_id, c.pos, c.x - m.m AS y
+    FROM comps c JOIN means m USING (pos)
+),
+s1 AS (
+    SELECT vec_id, {_sql_dec_sum("y * 0.125")} AS s FROM cent GROUP BY vec_id
+),
+w1 AS (
+    SELECT c.pos, {_sql_dec_sum("c.y * s1.s")} AS w
+    FROM cent c JOIN s1 USING (vec_id) GROUP BY c.pos
+),
+n1 AS (SELECT sqrt({_sql_dec_sum("w * w")}) AS nrm FROM w1),
+v1 AS (SELECT pos, ROUND(w / nrm, 6) AS vd FROM w1, n1),
+s2 AS (
+    SELECT c.vec_id, {_sql_dec_sum("c.y * v1.vd")} AS s
+    FROM cent c JOIN v1 USING (pos) GROUP BY c.vec_id
+),
+w2 AS (
+    SELECT c.pos, {_sql_dec_sum("c.y * s2.s")} AS w
+    FROM cent c JOIN s2 USING (vec_id) GROUP BY c.pos
+),
+n2 AS (SELECT sqrt({_sql_dec_sum("w * w")}) AS nrm FROM w2)
+SELECT CAST(w2.pos AS BIGINT) AS pos,
+       ROUND(w2.w / n2.nrm, 6) AS loading,
+       ROUND(n2.nrm, 6) AS lambda_proxy
+FROM w2, n2
+ORDER BY pos
+"""
+
+
+def _dec_sum(col):
+    return (
+        F.sum(col.cast("decimal(25,12)")).cast("string").cast("double")
+    )
+
+
+@register("embedding_top_pc_power_iteration", oracle=_TOP_PC_SQL)
+def embedding_top_pc_power_iteration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    comps = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode(_as_double("embedding")).alias("pos", "x")
+    )
+    means = comps.groupBy("pos").agg(
+        F.round(_dec_sum(F.col("x")) / F.count(F.lit(1)), 6).alias("m")
+    )
+    cent = session_cache(
+        comps.join(broadcast(means), "pos").select(
+            "vec_id", "pos", (F.col("x") - F.col("m")).alias("y")
+        )
+    )
+
+    def power_round(v_frame: DataFrame):
+        s = (
+            cent.join(broadcast(v_frame), "pos")
+            .groupBy("vec_id")
+            .agg(_dec_sum(F.col("y") * F.col("vd")).alias("s"))
+        )
+        w = (
+            cent.join(s, "vec_id")
+            .groupBy("pos")
+            .agg(_dec_sum(F.col("y") * F.col("s")).alias("w"))
+        )
+        n = w.agg(F.sqrt(_dec_sum(F.col("w") * F.col("w"))).alias("nrm"))
+        return w, n
+
+    v0 = spark.range(_EMB_DIM).select(
+        F.col("id").alias("pos"), F.lit(0.125).alias("vd")
+    )
+    w1, n1 = power_round(v0)
+    v1 = w1.crossJoin(broadcast(n1)).select(
+        "pos", F.round(F.col("w") / F.col("nrm"), 6).alias("vd")
+    )
+    w2, n2 = power_round(v1)
+    return (
+        w2.crossJoin(broadcast(n2))
+        .select(
+            F.col("pos").cast("long"),
+            F.round(F.col("w") / F.col("nrm"), 6).alias("loading"),
+            F.round("nrm", 6).alias("lambda_proxy"),
+        )
+        .orderBy("pos")
+    )

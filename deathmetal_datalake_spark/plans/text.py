@@ -2501,3 +2501,132 @@ def text_bigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyphrase extraction (round-9 continuation) — the classic
+# unsupervised keyword extractor (Rose et al. 2010): candidate phrases
+# are maximal runs between stopwords/punctuation; each word scores
+# degree/frequency (degree = summed length of phrases it appears in —
+# rewarding words that travel in long collocations), and a phrase
+# scores the sum of its words. Corpus-level top-20 keyphrases.
+# Cross-engine determinism: the stopword split uses zero-width \b
+# boundaries (consecutive stopwords both match — a \s-delimited regex
+# would consume the separator and miss every other one), word scores
+# are exact integer ratios rounded through DECIMAL(18,6) before the
+# associative phrase sum, and the top-20 tie-breaks on the phrase
+# text. 100 TB shape: two map-side-combinable aggregates (word stats,
+# phrase counts) + one 1:N word-stats probe join; the only global sort
+# is the top-20 TakeOrdered.
+# ---------------------------------------------------------------------------
+
+_RAKE_STOP_RE = r"\b(the|a|and|of|to|in)\b"
+_RAKE_SPLIT_RE = r"[|.,;:!?]+"
+
+_RAKE_SQL = rf"""
+WITH phr AS (
+    SELECT TRIM(p) AS phrase_raw
+    FROM documents,
+         UNNEST(string_split_regex(
+             regexp_replace(LOWER(TRIM(text)), '{_RAKE_STOP_RE}', '|', 'g'),
+             '{_RAKE_SPLIT_RE}')) AS t(p)
+    WHERE TRIM(p) <> ''
+),
+occ AS (
+    SELECT list_filter(string_split_regex(phrase_raw, '\s+'),
+                       w -> w <> '') AS words
+    FROM phr
+),
+occ_k AS (
+    SELECT array_to_string(words, ' ') AS phrase, words, len(words) AS plen
+    FROM occ WHERE len(words) > 0
+),
+wstat AS (
+    SELECT w, COUNT(*) AS freq, SUM(plen) AS deg
+    FROM occ_k, UNNEST(words) AS u(w)
+    GROUP BY w
+),
+pcount AS (
+    SELECT phrase, COUNT(*) AS n_occurrences FROM occ_k GROUP BY phrase
+),
+pwords AS (
+    SELECT DISTINCT phrase, w
+    FROM (SELECT phrase, UNNEST(words) AS w FROM occ_k) z
+),
+pscore AS (
+    SELECT p.phrase,
+           CAST(CAST(SUM(CAST(s.deg * 1.0 / s.freq AS DECIMAL(18,6)))
+                     AS VARCHAR) AS DOUBLE) AS score
+    FROM pwords p JOIN wstat s ON p.w = s.w
+    GROUP BY p.phrase
+)
+SELECT c.phrase,
+       CAST(c.n_occurrences AS BIGINT) AS n_occurrences,
+       ROUND(s.score, 6) AS rake_score
+FROM pcount c JOIN pscore s USING (phrase)
+ORDER BY rake_score DESC, phrase ASC
+LIMIT 20
+"""
+
+
+@register("text_keyphrase_rake", oracle=_RAKE_SQL)
+def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    phr = docs.select(
+        F.explode(
+            F.split(
+                F.regexp_replace(
+                    F.lower(F.trim(F.col("text"))), _RAKE_STOP_RE, "|"
+                ),
+                _RAKE_SPLIT_RE,
+            )
+        ).alias("p")
+    ).select(F.trim(F.col("p")).alias("phrase_raw")).filter(
+        F.col("phrase_raw") != ""
+    )
+    occ = session_cache(
+        phr.select(
+            F.filter(
+                F.split(F.col("phrase_raw"), r"\s+"), lambda w: w != ""
+            ).alias("words")
+        )
+        .filter(F.size("words") > 0)
+        .select(
+            F.array_join("words", " ").alias("phrase"),
+            "words",
+            F.size("words").cast("long").alias("plen"),
+        )
+    )
+    wstat = (
+        occ.select(F.explode("words").alias("w"), "plen")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg"))
+    )
+    pcount = occ.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    pwords = (
+        occ.select("phrase", F.explode("words").alias("w")).distinct()
+    )
+    pscore = (
+        pwords.join(wstat, "w")
+        .groupBy("phrase")
+        .agg(
+            F.sum(
+                (F.col("deg") * F.lit(1.0) / F.col("freq")).cast("decimal(18,6)")
+            )
+            .cast("string")
+            .cast("double")
+            .alias("score")
+        )
+    )
+    return (
+        pcount.join(pscore, "phrase")
+        .select(
+            "phrase", "n_occurrences", F.round("score", 6).alias("rake_score")
+        )
+        .orderBy(F.desc("rake_score"), F.asc("phrase"))
+        .limit(20)
+    )

@@ -532,3 +532,100 @@ def test_embedding_audits_survive_one_label_corpus(spark, tmp_path, name):
     d = _embeddings_with(tmp_path, spark, rows)
     report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
     assert report["match"] is True, report
+
+
+@pytest.mark.parametrize("name", ["text_keyphrase_rake"])
+def test_rake_survives_degenerate_corpus(spark, tmp_path, name):
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    d = _corpus_with(tmp_path, _doc_rows(spark, _DEGENERATE_TEXTS), spark)
+    report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+    assert report["match"] is True, report
+
+
+def test_rake_stopword_only_corpus(spark, tmp_path):
+    # Every token is a stopword: zero candidate phrases on both sides.
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    d = _corpus_with(
+        tmp_path,
+        _doc_rows(spark, ["the a and of to in", "the the the", "of and a"]),
+        spark,
+    )
+    name = "text_keyphrase_rake"
+    report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+    assert report["match"] is True, report
+
+
+@pytest.mark.parametrize("name", ["events_time_weighted_average"])
+def test_twa_survives_degenerate_events(spark, tmp_path, name):
+    # Includes the 4 identical-timestamp rows (zero-duration intervals,
+    # lead() pairing pinned by the event_id tie-break) and a
+    # single-event user/type shape.
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    d = _events_with(tmp_path, spark, _degenerate_event_rows())
+    report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+    assert report["match"] is True, report
+
+
+def test_twa_all_simultaneous_type(spark, tmp_path):
+    # One type whose events ALL share a timestamp: total duration 0 —
+    # NULLIF must yield NULL on both engines, not an ANSI abort.
+    import datetime
+
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    T0 = datetime.datetime(2024, 5, 1)
+    rows = [(i, T0, 1, "burst", float(i), None) for i in range(6)]
+    rows += [
+        (10 + k, T0 + datetime.timedelta(minutes=k), 2, "steady", 2.0, None)
+        for k in range(5)
+    ]
+    d = _events_with(tmp_path, spark, rows)
+    name = "events_time_weighted_average"
+    report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+    assert report["match"] is True, report
+
+
+@pytest.mark.parametrize(
+    "name", ["embedding_top_pc_power_iteration"]
+)
+def test_top_pc_survives_zero_vectors(spark, tmp_path, name):
+    import math
+
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    rows = []
+    for i in range(60):
+        emb = [0.0] * 64 if i in (7, 50) else [
+            math.sin(0.1 * i + 0.01 * j) for j in range(64)
+        ]
+        rows.append((i, emb, i % 3))
+    d = _embeddings_with(tmp_path, spark, rows)
+    report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+    assert report["match"] is True, report
+
+
+@pytest.mark.parametrize(
+    "name", ["orders_cohort_ltv", "dq_price_robust_outliers"]
+)
+def test_cohort_ltv_and_price_mad_survive_single_era_orders(
+    spark, tmp_path, name
+):
+    # Single-customer-dominated corpus, one cohort month, flat prices
+    # (median == every value, MAD == 0), sub-1 and 250k price extremes.
+    import datetime
+
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    T1 = datetime.datetime(1998, 6, 1)
+    rows = [
+        (i, 1, "O", 100.0, T1 + datetime.timedelta(days=i), "1-URGENT")
+        for i in range(30)
+    ]
+    rows.append((30, 2, "F", 0.5, T1, "2-HIGH"))
+    rows.append((31, 3, "P", 250000.0, T1, "3-MEDIUM"))
+    d = _orders_with(tmp_path, spark, rows)
+    report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+    assert report["match"] is True, report
