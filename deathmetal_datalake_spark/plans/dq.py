@@ -976,3 +976,204 @@ def dq_daily_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit (round-9 continuation) — k-anonymity's necessary
+# complement: a QI group can be large (k-safe) yet expose everyone in
+# it when they all share one SENSITIVE value (homogeneity attack).
+# Same quasi-identifiers as dq_k_anonymity_customer
+# (c_mktsegment × c_nationkey); the sensitive attribute is the
+# account-balance band (floor(acctbal/1000) — the monetary fact a
+# re-identification would leak). Distinct l-diversity only: the
+# entropy variant needs ln(), which never crosses the engine boundary
+# here. One combinable aggregate — the same 100 TB shape as the
+# k-anonymity audit.
+# ---------------------------------------------------------------------------
+
+_LDIV_THRESHOLD = 3  # groups with fewer distinct sensitive values are at risk
+
+_LDIV_SQL = f"""
+WITH groups AS (
+    SELECT c_mktsegment, c_nationkey,
+           COUNT(*) AS sz,
+           COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)) AS l
+    FROM customer
+    GROUP BY 1, 2
+)
+SELECT CAST(MIN(l) AS BIGINT) AS l_diversity,
+       CAST(COUNT(*) AS BIGINT) AS n_qi_groups,
+       CAST(SUM(CASE WHEN l < {_LDIV_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_groups_below_l,
+       CAST(SUM(CASE WHEN l < {_LDIV_THRESHOLD} THEN sz ELSE 0 END) AS BIGINT)
+           AS n_rows_at_risk,
+       ROUND(CAST(SUM(CASE WHEN l < {_LDIV_THRESHOLD} THEN sz ELSE 0 END)
+                  AS DOUBLE) / SUM(sz), 6) AS at_risk_share
+FROM groups
+"""
+
+
+@register("dq_l_diversity_customer", oracle=_LDIV_SQL)
+def dq_l_diversity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    band = F.floor(F.col("c_acctbal") / 1000.0).cast("long")
+    groups = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("sz"),
+            F.countDistinct(band).alias("l"),
+        )
+    )
+    below = F.col("l") < _LDIV_THRESHOLD
+    return groups.agg(
+        F.min("l").cast("long").alias("l_diversity"),
+        F.count(F.lit(1)).cast("long").alias("n_qi_groups"),
+        F.sum(F.when(below, 1).otherwise(0)).cast("long").alias("n_groups_below_l"),
+        F.sum(F.when(below, F.col("sz")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+        F.round(
+            F.sum(F.when(below, F.col("sz")).otherwise(0)).cast("double")
+            / F.sum("sz"),
+            6,
+        ).alias("at_risk_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square drift on event values (round-9 continuation) — the
+# classic two-sample distribution test between the first and second
+# half of the observation window, per event type: values bucketed into
+# fixed bands, expected counts from the pooled distribution, and the
+# chi-square statistic Σ (observed − expected)²/expected summed over
+# (band × era) cells. Everything is a ratio of integers — no ln() (a
+# PSI would need it), so the statistic is engine-exact without
+# rounding tricks beyond the final display ROUND. Complements
+# dq_distribution_drift_orders (share deltas on orders) with the
+# actual test statistic on events. One pass to band + era, one
+# combinable aggregate, bounded band×type cells.
+# ---------------------------------------------------------------------------
+
+_CHI2_SQL = """
+WITH bounds AS (
+    SELECT CAST(FLOOR(epoch(CAST(MIN(ts) AS TIMESTAMP))) AS BIGINT) AS lo,
+           CAST(FLOOR(epoch(CAST(MAX(ts) AS TIMESTAMP))) AS BIGINT) AS hi
+    FROM events
+),
+binned AS (
+    SELECT event_type,
+           CASE WHEN CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) * 2
+                     <= lo + hi THEN 0 ELSE 1 END AS era,
+           LEAST(CAST(FLOOR(value / 20.0) AS BIGINT), 5) AS band
+    FROM events, bounds
+    WHERE value IS NOT NULL AND value >= 0
+),
+cells AS (
+    SELECT event_type, era, band, COUNT(*) AS o FROM binned GROUP BY 1, 2, 3
+),
+era_tot AS (
+    SELECT event_type, era, SUM(o) AS n_era FROM cells GROUP BY 1, 2
+),
+band_tot AS (
+    SELECT event_type, band, SUM(o) AS n_band FROM cells GROUP BY 1, 2
+),
+typ_tot AS (
+    SELECT event_type, SUM(o) AS n FROM cells GROUP BY 1
+),
+grid AS (
+    SELECT b.event_type, e.era, b.band,
+           COALESCE(c.o, 0) AS o,
+           CAST(e.n_era AS DOUBLE) * b.n_band / t.n AS exp_c
+    FROM band_tot b
+    JOIN era_tot e USING (event_type)
+    JOIN typ_tot t USING (event_type)
+    LEFT JOIN cells c
+           ON c.event_type = b.event_type AND c.band = b.band AND c.era = e.era
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       ROUND(CAST(CAST(SUM(CAST((o - exp_c) * (o - exp_c) / exp_c
+                              AS DECIMAL(25,12))) AS VARCHAR) AS DOUBLE), 6)
+           AS chi_square
+FROM grid JOIN typ_tot USING (event_type)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("dq_chisquare_value_drift", oracle=_CHI2_SQL)
+def dq_chisquare_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("sec"),
+    )
+    bounds = ev.agg(F.min("sec").alias("lo"), F.max("sec").alias("hi"))
+    binned = (
+        ev.filter(F.col("value").isNotNull() & (F.col("value") >= 0))
+        .crossJoin(broadcast(bounds))
+        .select(
+            "event_type",
+            F.when(
+                F.col("sec") * 2 <= F.col("lo") + F.col("hi"), F.lit(0)
+            ).otherwise(F.lit(1)).alias("era"),
+            F.least(
+                F.floor(F.col("value") / 20.0).cast("long"), F.lit(5).cast("long")
+            ).alias("band"),
+        )
+    )
+    cells = session_cache(
+        binned.groupBy("event_type", "era", "band").agg(
+            F.count(F.lit(1)).alias("o")
+        )
+    )
+    era_tot = cells.groupBy("event_type", "era").agg(F.sum("o").alias("n_era"))
+    band_tot = cells.groupBy("event_type", "band").agg(
+        F.sum("o").alias("n_band")
+    )
+    typ_tot = cells.groupBy("event_type").agg(F.sum("o").alias("n"))
+    grid = (
+        band_tot.join(era_tot, "event_type")
+        .join(typ_tot, "event_type")
+        .join(cells, ["event_type", "band", "era"], "left")
+        .select(
+            "event_type",
+            "era",
+            "band",
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+            (F.col("n_era").cast("double") * F.col("n_band") / F.col("n")).alias(
+                "exp_c"
+            ),
+            "n",
+        )
+    )
+    diff = F.col("o") - F.col("exp_c")
+    return (
+        grid.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            # each term's quotient is one deterministic IEEE divide,
+            # then the DECIMAL cast makes the sum associative
+            # (partition-order-free) before the VARCHAR double crossing
+            F.round(
+                F.sum(
+                    (diff * diff / F.col("exp_c")).cast("decimal(25,12)")
+                )
+                .cast("string")
+                .cast("double"),
+                6,
+            ).alias("chi_square"),
+        )
+        .orderBy("event_type")
+    )

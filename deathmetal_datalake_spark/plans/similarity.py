@@ -3436,3 +3436,124 @@ def embedding_top_pc_power_iteration(
         )
         .orderBy("pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN label agreement (round-9 continuation) — the leave-one-out
+# k-nearest-neighbor classifier run as a LABEL-QUALITY audit: for each
+# eval anchor (the ≤40-anchor convention), take its 5 nearest
+# neighbors by cosine (excluding itself), majority-vote their labels,
+# and check the vote against the anchor's own label. Low agreement
+# for a label means its region is contaminated — the cheap smell test
+# before training on the labels. Determinism: ROUND(cosine, 4) with
+# vec_id tie-break orders neighbors identically in both engines;
+# majority ties break on label ASC. Linear: one broadcast anchor scan,
+# per-anchor windows over ≤ corpus rows — WindowGroupLimit truncates
+# to k=5 map-side.
+# ---------------------------------------------------------------------------
+
+_KNN_AGREE_K = 5
+
+_KNN_AGREE_SQL = f"""
+WITH vecs AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+anchors AS (
+    SELECT vec_id AS anchor_id, label AS a_label, emb AS aemb FROM vecs
+    WHERE vec_id % {_QUERY_MOD} = 0 AND vec_id < {_QUERY_CAP}
+),
+scored AS (
+    SELECT a.anchor_id, a.a_label, v.vec_id, v.label,
+           ROUND(list_dot_product(a.aemb, v.emb) /
+                 (sqrt(list_dot_product(a.aemb, a.aemb))
+                  * sqrt(list_dot_product(v.emb, v.emb))), 4) AS cosine
+    FROM anchors a CROSS JOIN vecs v
+    WHERE a.anchor_id <> v.vec_id
+),
+topk AS (
+    SELECT * FROM (
+        SELECT anchor_id, a_label, label,
+               ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                  ORDER BY cosine DESC, vec_id ASC) AS rn
+        FROM scored
+    ) z WHERE rn <= {_KNN_AGREE_K}
+),
+votes AS (
+    SELECT anchor_id, a_label, label, COUNT(*) AS c
+    FROM topk GROUP BY 1, 2, 3
+),
+winner AS (
+    SELECT anchor_id, a_label, label AS pred FROM (
+        SELECT anchor_id, a_label, label, c,
+               ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                  ORDER BY c DESC, label ASC) AS wr
+        FROM votes
+    ) z WHERE wr = 1
+)
+SELECT CAST(a_label AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_anchors,
+       CAST(SUM(CASE WHEN pred = a_label THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_agree,
+       ROUND(SUM(CASE WHEN pred = a_label THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS agreement_rate
+FROM winner
+GROUP BY a_label
+ORDER BY label
+"""
+
+
+@register("embedding_knn_label_agreement", oracle=_KNN_AGREE_SQL)
+def embedding_knn_label_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    vecs = spread(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", _as_double("embedding").alias("emb")
+        )
+    )
+    anchors = vecs.filter(
+        (F.col("vec_id") % _QUERY_MOD == 0) & (F.col("vec_id") < _QUERY_CAP)
+    ).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("a_label"),
+        F.col("emb").alias("aemb"),
+    )
+    scored = vecs.join(
+        broadcast(anchors), F.col("anchor_id") != F.col("vec_id")
+    ).select(
+        "anchor_id",
+        "a_label",
+        "vec_id",
+        "label",
+        F.round(
+            _dot(F.col("aemb"), F.col("emb")) / (_normprod("aemb", "emb")), 4
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    topk = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KNN_AGREE_K)
+    )
+    votes = topk.groupBy("anchor_id", "a_label", "label").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ww = Window.partitionBy("anchor_id").orderBy(F.desc("c"), F.asc("label"))
+    winner = (
+        votes.withColumn("wr", F.row_number().over(ww))
+        .filter(F.col("wr") == 1)
+        .select("anchor_id", "a_label", F.col("label").alias("pred"))
+    )
+    agree = F.sum(F.when(F.col("pred") == F.col("a_label"), 1).otherwise(0))
+    return (
+        winner.groupBy(F.col("a_label").cast("long").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_anchors"),
+            agree.cast("long").alias("n_agree"),
+            F.round(agree * F.lit(1.0) / F.count(F.lit(1)), 6).alias(
+                "agreement_rate"
+            ),
+        )
+        .orderBy("label")
+    )

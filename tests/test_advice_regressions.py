@@ -629,3 +629,33 @@ def test_cohort_ltv_and_price_mad_survive_single_era_orders(
     d = _orders_with(tmp_path, spark, rows)
     report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
     assert report["match"] is True, report
+
+
+@pytest.mark.parametrize("name", ["embedding_knn_label_agreement"])
+def test_knn_agreement_survives_zero_vectors(spark, tmp_path, name):
+    # Zero-norm anchor AND corpus rows: NULL cosines must rank and
+    # vote identically on both engines.
+    import math
+
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    rows = []
+    for i in range(60):
+        emb = [0.0] * 64 if i in (7, 50) else [
+            math.sin(0.1 * i + 0.01 * j) for j in range(64)
+        ]
+        rows.append((i, emb, i % 3))
+    d = _embeddings_with(tmp_path, spark, rows)
+    report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+    assert report["match"] is True, report
+
+
+@pytest.mark.parametrize(
+    "name", ["dq_chisquare_value_drift", "dq_daily_volume_anomaly"]
+)
+def test_dq_event_audits_survive_degenerate_events(spark, tmp_path, name):
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    d = _events_with(tmp_path, spark, _degenerate_event_rows())
+    report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+    assert report["match"] is True, report

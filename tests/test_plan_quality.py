@@ -126,6 +126,8 @@ _NONEQUI_OK = {
     "text_bigram_surprisal_score",   # 1-row vocabulary-size frame
     "events_survival_kaplan_meier",  # 1-row watermark frame
     "embedding_top_pc_power_iteration",  # 1-row norm frames per round
+    "dq_chisquare_value_drift",      # 1-row era-bounds frame
+    "embedding_knn_label_agreement",  # ≤40-anchor broadcast scan
     "similarity_hybrid_rrf_fusion",  # 1-row query-vector + BM25 stats frames
     "dq_freshness_events",           # 1-row corpus-watermark frame
     "corpus_temperature_resampling",  # 1-row grand-total + weight-sum frames
