@@ -421,12 +421,13 @@ _PHASH_OUT = StructType(
 
 def _real_phash(content: bytes) -> int:
     """Codec call site: a real deployment plugs its preferred library
-    decoder here. BMP, PNG, and baseline JPEG already have REAL
-    stdlib paths — ``bmp_average_hash``, ``png_average_hash``, and
+    decoder here. BMP, PNG, TIFF, GIF, and baseline JPEG already have
+    REAL stdlib paths — ``bmp_average_hash``, ``png_average_hash``,
+    ``tiff_average_hash``, ``gif_average_hash``, and
     ``operators/jpeg.jpeg_average_hash``."""
     raise NotImplementedError(
-        "no library codecs in this environment; use bmp_average_hash / "
-        "png_average_hash / jpeg.jpeg_average_hash for those formats, "
+        "no library codecs in this environment; use bmp/png/tiff/gif"
+        "_average_hash or jpeg.jpeg_average_hash for those formats, "
         "or deterministic_phash for oracle-checked tests"
     )
 
@@ -985,3 +986,129 @@ def gif_average_hash(content: bytes) -> int:
     """60-bit aHash over the decoded GIF luma — same convention as the
     BMP/PNG/JPEG hashes."""
     return _ahash_from_gray(gif_decode(content))
+
+
+def _packbits_decode(b: bytes) -> bytes:
+    """Apple PackBits (TIFF compression 32773), pure stdlib: n in
+    0..127 copies n+1 literal bytes; n in 129..255 repeats the next
+    byte 257−n times; n == 128 is a no-op."""
+    out = bytearray()
+    i, n = 0, len(b)
+    while i < n:
+        c = b[i]
+        i += 1
+        if c < 128:
+            j = i + c + 1
+            if j > n:
+                raise ValueError("truncated PackBits literal run")
+            out += b[i:j]
+            i = j
+        elif c > 128:
+            if i >= n:
+                raise ValueError("truncated PackBits repeat run")
+            out += bytes([b[i]]) * (257 - c)
+            i += 1
+        # c == 128: no-op
+    return bytes(out)
+
+
+def tiff_decode(content: bytes):
+    """REAL decoder for baseline TIFF payloads — pure stdlib IFD walk,
+    no codec libs (the strip-organized sibling of ``bmp_decode``).
+    Supports both byte orders (II/MM), 8-bit grayscale
+    (PhotometricInterpretation 0/1 — WhiteIsZero inverts) and 8-bit
+    RGB, uncompressed (1) and PackBits (32773) strips, and multi-strip
+    images. Returns (H, W) int64 grayscale via the same exact integer
+    ITU-R 601 luma as BMP/PNG. Raises ``ValueError`` on non-TIFF
+    payloads and unsupported variants (tiles, LZW, sub-8-bit) so a
+    mis-tagged corpus fails loudly.
+    """
+    import struct
+
+    import numpy as np
+
+    b = bytes(content)
+    if len(b) < 8 or b[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF payload")
+    bo = "<" if b[:2] == b"II" else ">"
+    (magic,) = struct.unpack_from(bo + "H", b, 2)
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    (ifd_off,) = struct.unpack_from(bo + "I", b, 4)
+    if ifd_off + 2 > len(b):
+        raise ValueError("truncated TIFF IFD offset")
+    (n_entries,) = struct.unpack_from(bo + "H", b, ifd_off)
+
+    _TYPE_SIZE = {1: 1, 3: 2, 4: 4}
+
+    def entry_values(pos: int):
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", b, pos)
+        if typ not in _TYPE_SIZE:
+            return tag, None
+        size = _TYPE_SIZE[typ] * cnt
+        off = pos + 8 if size <= 4 else struct.unpack_from(bo + "I", b, pos + 8)[0]
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        vals = struct.unpack_from(bo + str(cnt) + fmt, b, off)
+        return tag, list(vals)
+
+    tags: dict = {}
+    for k in range(n_entries):
+        tag, vals = entry_values(ifd_off + 2 + 12 * k)
+        if vals is not None:
+            tags[tag] = vals
+
+    def one(tag, default=None):
+        v = tags.get(tag)
+        if v is None:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        return v[0]
+
+    width, height = one(256), one(257)
+    spp = one(277, 1)
+    bits = tags.get(258, [8])
+    compression = one(259, 1)
+    photometric = one(262, 1)
+    if any(x != 8 for x in bits):
+        raise ValueError(f"unsupported TIFF BitsPerSample {bits} (8-bit only)")
+    if spp not in (1, 3):
+        raise ValueError(f"unsupported TIFF SamplesPerPixel {spp}")
+    if compression not in (1, 32773):
+        raise ValueError(
+            f"unsupported TIFF compression {compression} (none/PackBits only)"
+        )
+    if photometric not in (0, 1, 2):
+        raise ValueError(f"unsupported TIFF photometric {photometric}")
+    if width <= 0 or height <= 0:
+        raise ValueError("degenerate TIFF dimensions")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF strip tables missing or inconsistent")
+
+    data = bytearray()
+    for off, cnt in zip(offsets, counts):
+        strip = b[off : off + cnt]
+        if len(strip) < cnt:
+            raise ValueError("truncated TIFF strip")
+        data += _packbits_decode(strip) if compression == 32773 else strip
+    need = width * height * spp
+    if len(data) < need:
+        raise ValueError("TIFF pixel data shorter than dimensions require")
+    px = np.frombuffer(bytes(data[:need]), dtype=np.uint8).astype(np.int64)
+    if spp == 3:
+        px = px.reshape(height, width, 3)
+        img = (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]) // 1000
+    else:
+        img = px.reshape(height, width)
+        if photometric == 0:  # WhiteIsZero
+            img = 255 - img
+    return img
+
+
+def tiff_average_hash(content: bytes) -> int:
+    """REAL perceptual hash for TIFF payloads: ``tiff_decode`` +
+    :func:`_ahash_from_gray` — same 60-bit convention as BMP/PNG/GIF/
+    JPEG, so TIFF corpora ride the identical near-dup machinery."""
+    return _ahash_from_gray(tiff_decode(content))
