@@ -2810,3 +2810,233 @@ def events_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-residual anomaly (round-9 continuation) — the day-of-week-
+# aware upgrade of dq_daily_volume_anomaly: raw daily counts flag every
+# weekend as an outage when traffic is weekly-seasonal, so the screen
+# first removes the per-(type, weekday) mean and applies the
+# median/MAD rule to the RESIDUALS. Arithmetic stays engine-exact:
+# the dow mean is a ROUND-6 decimal average (one deterministic value),
+# the residual is one IEEE subtraction, and the residual median/MAD
+# run on grouped_quantiles_general (continuous domain). No
+# transcendentals; a real STL would need them.
+# ---------------------------------------------------------------------------
+
+_SEAS_MAD_K = 3.0
+
+_SEASONAL_ANOMALY_SQL = f"""
+WITH daily AS (
+    SELECT event_type,
+           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+           COUNT(*) AS c
+    FROM events GROUP BY 1, 2
+),
+dow AS (
+    SELECT event_type, dayofweek(d) AS wd,
+           ROUND(CAST(CAST(SUM(CAST(c AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+                 / COUNT(*), 6) AS dow_mean
+    FROM daily GROUP BY 1, 2
+),
+resid AS (
+    SELECT dl.event_type, dl.c - w.dow_mean AS r
+    FROM daily dl JOIN dow w
+      ON dl.event_type = w.event_type AND dayofweek(dl.d) = w.wd
+),
+med AS (
+    SELECT event_type, quantile_cont(r, 0.5) AS med_r FROM resid GROUP BY 1
+),
+dev AS (
+    SELECT s.event_type, s.r, m.med_r, ABS(s.r - m.med_r) AS absdev
+    FROM resid s JOIN med m USING (event_type)
+),
+mad AS (
+    SELECT event_type, quantile_cont(absdev, 0.5) AS mad_r FROM dev GROUP BY 1
+)
+SELECT v.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(v.med_r, 6) AS med_residual,
+       ROUND(a.mad_r, 6) AS mad_residual,
+       CAST(SUM(CASE WHEN v.absdev > {_SEAS_MAD_K} * a.mad_r
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous_days
+FROM dev v JOIN mad a USING (event_type)
+GROUP BY v.event_type, v.med_r, a.mad_r
+ORDER BY v.event_type
+"""
+
+
+@register("events_seasonal_residual_anomaly", oracle=_SEASONAL_ANOMALY_SQL)
+def events_seasonal_residual_anomaly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    from deathmetal_datalake_spark.operators.ordering import (
+        grouped_quantiles_general,
+    )
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    daily = session_cache(
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # Spark dayofweek == DuckDB dayofweek + 1 (Sun=1 vs Sun=0); the
+    # bucket IDENTITY is all that matters, and each side is internally
+    # consistent, so no shift is needed on the join keys it feeds.
+    dow = (
+        daily.groupBy(
+            F.col("event_type").alias("et"), F.dayofweek("d").alias("wd")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("c").cast("decimal(18,6)"))
+                .cast("string")
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dow_mean")
+        )
+    )
+    resid = session_cache(
+        daily.join(
+            broadcast(dow),
+            (F.col("event_type") == F.col("et"))
+            & (F.dayofweek(F.col("d")) == F.col("wd")),
+        ).select("event_type", (F.col("c") - F.col("dow_mean")).alias("r"))
+    )
+    med = grouped_quantiles_general(
+        resid, "event_type", F.col("r"), [0.5]
+    ).select("event_type", F.col("q").alias("med_r"))
+    dev = session_cache(
+        resid.join(broadcast(med), "event_type").withColumn(
+            "absdev", F.abs(F.col("r") - F.col("med_r"))
+        )
+    )
+    mad = grouped_quantiles_general(
+        dev, "event_type", F.col("absdev"), [0.5]
+    ).select("event_type", F.col("q").alias("mad_r"))
+    is_anom = F.col("absdev") > F.lit(float(_SEAS_MAD_K)) * F.col("mad_r")
+    return (
+        dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type", "med_r", "mad_r")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum(F.when(is_anom, 1).otherwise(0))
+            .cast("long")
+            .alias("n_anomalous_days"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            F.round("med_r", 6).alias("med_residual"),
+            F.round("mad_r", 6).alias("mad_residual"),
+            "n_anomalous_days",
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-user feature vector (round-9 continuation) — the feature-store
+# build every churn/LTV model trains on: one row per user with
+# tenure, recency, activity density, type diversity, value totals, and
+# the mean inter-event gap. One user_id shuffle covers everything: the
+# aggregate features come from a single groupBy, the gap feature from
+# a lag window PARTITIONED by user over the same shuffle key (Spark
+# reuses the exchange). All exact: day/second arithmetic is integer,
+# money goes through dsum/davg decimals. The 1-row watermark frame
+# (recency needs "days since last vs corpus end") is the only
+# broadcast.
+# ---------------------------------------------------------------------------
+
+_USER_FEATURES_SQL = f"""
+WITH e AS (
+    SELECT user_id, event_type, value,
+           CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec,
+           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+           event_id
+    FROM events
+),
+wm AS (SELECT MAX(d) AS w FROM e),
+gaps AS (
+    SELECT user_id,
+           sec - LAG(sec) OVER (PARTITION BY user_id
+                                ORDER BY sec, event_id) AS gap
+    FROM e
+),
+gapagg AS (
+    SELECT user_id, {sql_davg("gap", "mean_gap_s")}
+    FROM gaps WHERE gap IS NOT NULL GROUP BY user_id
+)
+SELECT a.user_id,
+       CAST(date_diff('day', MIN(a.d), MAX(a.d)) AS BIGINT) AS tenure_days,
+       CAST(date_diff('day', MAX(a.d), MAX(w.w)) AS BIGINT) AS days_since_last,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT a.d) AS BIGINT) AS n_active_days,
+       CAST(COUNT(DISTINCT a.event_type) AS BIGINT) AS n_event_types,
+       {sql_dsum("a.value", "sum_value")},
+       {sql_davg("a.value", "avg_value")},
+       MAX(g.mean_gap_s) AS mean_gap_s
+FROM e a CROSS JOIN wm w
+LEFT JOIN gapagg g ON g.user_id = a.user_id
+GROUP BY a.user_id
+ORDER BY a.user_id
+"""
+
+
+@register("events_user_features", oracle=_USER_FEATURES_SQL)
+def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "value",
+        "event_id",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("sec"),
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"),
+    )
+    wm = e.agg(F.max("d").alias("w"))
+    gw = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    gaps = (
+        e.select("user_id", (F.col("sec") - F.lag("sec").over(gw)).alias("gap"))
+        .filter(F.col("gap").isNotNull())
+        .groupBy("user_id")
+        .agg(davg("gap", "mean_gap_s"))
+    )
+    base = (
+        e.crossJoin(broadcast(wm))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.max("d"), F.min("d")).cast("long").alias("tenure_days"),
+            F.datediff(F.max("w"), F.max("d"))
+            .cast("long")
+            .alias("days_since_last"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("d").cast("long").alias("n_active_days"),
+            F.countDistinct("event_type").cast("long").alias("n_event_types"),
+            dsum("value", "sum_value"),
+            davg("value", "avg_value"),
+        )
+    )
+    return (
+        base.join(gaps, "user_id", "left")
+        .select(
+            "user_id",
+            "tenure_days",
+            "days_since_last",
+            "n_events",
+            "n_active_days",
+            "n_event_types",
+            "sum_value",
+            "avg_value",
+            "mean_gap_s",
+        )
+        .orderBy("user_id")
+    )

@@ -1208,3 +1208,74 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_month", "month_k")
     )
+
+
+# ---------------------------------------------------------------------------
+# Order→ship lag quantiles (round-9 continuation) — the fulfillment
+# SLA report: per order priority, exact interpolated p50/p90/max of
+# the days between order placement and line shipment. Lag is an
+# INTEGER day count with a spec-bounded domain (0..~125 days), so the
+# per-(group, value) histogram form (grouped_quantiles_lowcard) is the
+# right selection machinery: fully lazy, frames bounded by the value
+# DOMAIN, no per-group buffers, no plan-time actions. Urgent orders
+# shipping slower than low-priority ones is the inversion this audit
+# exists to catch.
+# ---------------------------------------------------------------------------
+
+_SHIPLAG_SQL = """
+WITH lags AS (
+    SELECT o.o_orderpriority AS priority,
+           date_diff('day', CAST(o.o_orderdate AS TIMESTAMP),
+                     CAST(l.l_shipdate AS TIMESTAMP)) AS lag_days
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT priority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(quantile_cont(lag_days, 0.50), 6) AS p50_days,
+       ROUND(quantile_cont(lag_days, 0.90), 6) AS p90_days,
+       CAST(MAX(lag_days) AS BIGINT) AS max_days
+FROM lags
+GROUP BY priority
+ORDER BY priority
+"""
+
+
+@register("orders_ship_lag_quantiles", oracle=_SHIPLAG_SQL)
+def orders_ship_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deathmetal_datalake_spark.operators.ordering import (
+        grouped_quantiles_lowcard,
+    )
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lags = session_cache(
+        li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+            .cast("long")
+            .alias("lag_days"),
+        )
+    )
+    qs = grouped_quantiles_lowcard(
+        lags, "priority", F.col("lag_days"), [0.50, 0.90]
+    )
+    piv = qs.groupBy("priority").agg(
+        F.round(F.max(F.when(F.col("frac") == 0.50, F.col("q"))), 6).alias(
+            "p50_days"
+        ),
+        F.round(F.max(F.when(F.col("frac") == 0.90, F.col("q"))), 6).alias(
+            "p90_days"
+        ),
+    )
+    stats = lags.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.max("lag_days").cast("long").alias("max_days"),
+    )
+    return (
+        stats.join(piv, "priority")
+        .select("priority", "n_lines", "p50_days", "p90_days", "max_days")
+        .orderBy("priority")
+    )

@@ -659,3 +659,39 @@ def test_dq_event_audits_survive_degenerate_events(spark, tmp_path, name):
     d = _events_with(tmp_path, spark, _degenerate_event_rows())
     report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
     assert report["match"] is True, report
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "events_seasonal_residual_anomaly",
+        "events_user_features",
+        "events_survival_kaplan_meier",
+    ],
+)
+def test_batch4_event_ops_survive_degenerate_events(spark, tmp_path, name):
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    d = _events_with(tmp_path, spark, _degenerate_event_rows())
+    report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+    assert report["match"] is True, report
+
+
+def test_ship_lag_single_priority_flat_lag(spark, tmp_path):
+    # One priority, every line shipping the same day as ordered: lag 0
+    # everywhere — histogram selection must interpolate trivially.
+    import datetime
+
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    T1 = datetime.datetime(1998, 6, 1)
+    rows = [
+        (i, 1, "O", 100.0, T1 + datetime.timedelta(days=i), "1-URGENT")
+        for i in range(10)
+    ]
+    d = _orders_with(tmp_path, spark, rows)
+    # lineitem keeps its real payload; orders shrink to 10 keys, so
+    # most lines drop out of the inner join — the thin-join edge.
+    name = "orders_ship_lag_quantiles"
+    report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+    assert report["match"] is True, report

@@ -164,6 +164,8 @@ _NONEQUI_OK = {
     "percentile_prices_by_status",   # ≤3-row literal fraction frame crossJoined
     "text_robust_length_outliers",   # 1-row fraction frame crossJoined (median+MAD)
     "embedding_norm_outliers",       # 1-row fraction frame crossJoined (median+MAD)
+    "orders_ship_lag_quantiles",     # ≤2-row literal fraction frame crossJoined
+    "events_user_features",          # 1-row watermark frame
 }
 
 
