@@ -1112,3 +1112,55 @@ def tiff_average_hash(content: bytes) -> int:
     :func:`_ahash_from_gray` — same 60-bit convention as BMP/PNG/GIF/
     JPEG, so TIFF corpora ride the identical near-dup machinery."""
     return _ahash_from_gray(tiff_decode(content))
+
+
+# ---------------------------------------------------------------------------
+# Format sniffing + auto-dispatch: a real ingestion corpus is a bag of
+# mixed payloads, so the decode stage first classifies by MAGIC BYTES
+# (never by file extension — the thing mis-tagged corpora lie about)
+# and routes each payload to its REAL stdlib decoder. Unknown formats
+# stay unknown — the caller decides whether to quarantine or fall back
+# to the deterministic fake; nothing silently guesses.
+# ---------------------------------------------------------------------------
+
+
+def sniff_format(content: bytes) -> str:
+    """Classify a payload by magic bytes: one of 'bmp', 'png', 'gif',
+    'tiff', 'jpeg', 'wav', 'avi', or 'unknown'."""
+    b = bytes(content[:16])
+    if b[:2] == b"BM":
+        return "bmp"
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
+    if b[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return "wav"
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        return "avi"
+    return "unknown"
+
+
+def media_average_hash(content: bytes) -> int:
+    """Sniff the payload format and route to the matching REAL decoder
+    + the shared 60-bit aHash. Raises ``ValueError`` on formats with
+    no visual-hash path here (wav/unknown) so mixed corpora fail
+    loudly instead of hashing noise."""
+    fmt = sniff_format(content)
+    if fmt == "bmp":
+        return bmp_average_hash(content)
+    if fmt == "png":
+        return png_average_hash(content)
+    if fmt == "gif":
+        return gif_average_hash(content)
+    if fmt == "tiff":
+        return tiff_average_hash(content)
+    if fmt == "jpeg":
+        from deathmetal_datalake_spark.operators.jpeg import jpeg_average_hash
+
+        return jpeg_average_hash(content)
+    raise ValueError(f"no average-hash path for sniffed format '{fmt}'")

@@ -1177,3 +1177,65 @@ def dq_chisquare_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Config-driven column profile across the star schema (round-9
+# continuation) — the multitable generalization of
+# dq_column_profile_orders, the same pattern the candidate-key audit
+# followed when it went config-driven: ONE declared table→columns map
+# drives both engines, so adding a table to the catalog is a one-line
+# config change, not a new query. Output is column-stacked
+# (table, column) rows — the shape profile stores ingest. Exact
+# distincts per column over one cached scan per table; the 100 TB
+# variant swaps in approx_count_distinct (the documented
+# events_approx_distinct_* trade).
+# ---------------------------------------------------------------------------
+
+_PROFILE_TABLES: dict[str, list[str]] = {
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    "supplier": ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    "part": ["p_partkey", "p_brand", "p_type", "p_size", "p_retailprice"],
+    "documents": ["doc_id", "lang", "source", "n_chars"],
+    "events": ["event_id", "user_id", "event_type", "value"],
+}
+
+_PROFILE_MT_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{t}' AS table_name, '{c}' AS column_name, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_value,
+       CAST(MAX({c}) AS VARCHAR) AS max_value
+FROM {t}"""
+    for t, cols in _PROFILE_TABLES.items()
+    for c in cols
+) + "\nORDER BY table_name, column_name"
+
+
+@register("dq_column_profile_multitable", oracle=_PROFILE_MT_SQL)
+def dq_column_profile_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    frames = []
+    for t, cols in _PROFILE_TABLES.items():
+        tbl = session_cache(load_table(spark, sf_dir, t).select(*cols))
+        for c in cols:
+            frames.append(
+                tbl.agg(
+                    F.lit(t).alias("table_name"),
+                    F.lit(c).alias("column_name"),
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                    .cast("long")
+                    .alias("n_nulls"),
+                    F.countDistinct(c).cast("long").alias("n_distinct"),
+                    F.min(c).cast("string").alias("min_value"),
+                    F.max(c).cast("string").alias("max_value"),
+                )
+            )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("table_name", "column_name")

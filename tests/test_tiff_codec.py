@@ -250,3 +250,56 @@ def test_tiff_hash_rides_the_arrow_perceptual_stage(spark):
         for r in perceptual_hashes(df, hasher=tiff_average_hash).collect()
     }
     assert got == {k: tiff_average_hash(v) for k, v in payloads.items()}
+
+
+# ---------------------------------------------------------------------------
+# Format sniffing + auto-dispatch (round-9 continuation): the mixed-
+# corpus entry point routes payloads by MAGIC BYTES to the real
+# decoders; the dispatched hash must equal the format-specific one.
+# ---------------------------------------------------------------------------
+
+
+def test_sniff_format_magic_bytes():
+    from deathmetal_datalake_spark.operators.multimodal import sniff_format
+    from tests.test_bmp_codec import _encode_bmp24
+
+    img = _gradient(8, 8)
+    assert sniff_format(_encode_bmp24(img)) == "bmp"
+    assert sniff_format(_encode_tiff(img)) == "tiff"
+    assert sniff_format(_encode_tiff(img, big_endian=True)) == "tiff"
+    assert sniff_format(b"\x89PNG\r\n\x1a\nrest") == "png"
+    assert sniff_format(b"GIF89a....") == "gif"
+    assert sniff_format(b"\xff\xd8\xff\xe0JFIF") == "jpeg"
+    assert sniff_format(b"RIFF\x00\x00\x00\x00WAVEfmt ") == "wav"
+    assert sniff_format(b"RIFF\x00\x00\x00\x00AVI LIST") == "avi"
+    assert sniff_format(b"plain text payload") == "unknown"
+    assert sniff_format(b"") == "unknown"
+
+
+def test_media_average_hash_dispatch_matches_specific_decoders(spark):
+    from deathmetal_datalake_spark.operators.multimodal import (
+        bmp_average_hash,
+        media_average_hash,
+        perceptual_hashes,
+        tiff_average_hash,
+    )
+    from tests.test_bmp_codec import _encode_bmp24
+
+    img = _gradient(16, 24, seed=4)
+    bmp, tif = _encode_bmp24(img), _encode_tiff(img, packbits=True)
+    assert media_average_hash(bmp) == bmp_average_hash(bmp)
+    assert media_average_hash(tif) == tiff_average_hash(tif)
+    assert media_average_hash(bmp) == media_average_hash(tif)  # same pixels
+    with pytest.raises(ValueError):
+        media_average_hash(b"not an image at all")
+    # mixed-format corpus through the Arrow stage with ONE hasher
+    payloads = {0: bmp, 1: tif, 2: _encode_tiff(img, big_endian=True)}
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in payloads.items()],
+        "media_id long, content binary",
+    )
+    got = {
+        r["media_id"]: r["phash"]
+        for r in perceptual_hashes(df, hasher=media_average_hash).collect()
+    }
+    assert got == {k: media_average_hash(v) for k, v in payloads.items()}
