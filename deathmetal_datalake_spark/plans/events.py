@@ -3040,3 +3040,70 @@ def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Burst episodes (round-9 continuation) — the gaps-and-islands pattern
+# no other entry exercises: minutes whose event count clears a
+# threshold are "hot", and CONSECUTIVE hot minutes merge into one
+# burst episode (alerting pages once per episode, not once per
+# minute). Island id = minute_index − row_number() within the type —
+# constant exactly while minutes are consecutive; both windows are
+# PARTITIONED by event type. Output: one row per episode with start,
+# duration, and event mass — everything integer.
+# ---------------------------------------------------------------------------
+
+_BURST_MIN_COUNT = 2
+
+_BURST_SQL = f"""
+WITH per_min AS (
+    SELECT event_type,
+           CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 60 AS m,
+           COUNT(*) AS c
+    FROM events GROUP BY 1, 2
+),
+hot AS (
+    SELECT event_type, m, c,
+           m - ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY m)
+               AS island
+    FROM per_min WHERE c >= {_BURST_MIN_COUNT}
+)
+SELECT event_type,
+       CAST(MIN(m) * 60 AS BIGINT) AS start_sec,
+       CAST(COUNT(*) AS BIGINT) AS n_minutes,
+       CAST(SUM(c) AS BIGINT) AS n_events,
+       CAST(MAX(c) AS BIGINT) AS peak_minute_count
+FROM hot
+GROUP BY event_type, island
+ORDER BY event_type, start_sec
+"""
+
+
+@register("events_burst_episodes", oracle=_BURST_SQL)
+def events_burst_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_min = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr(
+                "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                " div 60"
+            ).alias("m"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("m")
+    hot = per_min.filter(F.col("c") >= _BURST_MIN_COUNT).withColumn(
+        "island", F.col("m") - F.row_number().over(w)
+    )
+    return (
+        hot.groupBy("event_type", "island")
+        .agg(
+            (F.min("m") * 60).cast("long").alias("start_sec"),
+            F.count(F.lit(1)).cast("long").alias("n_minutes"),
+            F.sum("c").cast("long").alias("n_events"),
+            F.max("c").cast("long").alias("peak_minute_count"),
+        )
+        .drop("island")
+        .orderBy("event_type", "start_sec")
+    )

@@ -1279,3 +1279,90 @@ def orders_ship_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("priority", "n_lines", "p50_days", "p90_days", "max_days")
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Discount→quantity OLS (round-9 continuation) — the closed-form
+# simple regression every pricing team runs: per part brand, the OLS
+# slope/intercept/R² of line quantity on discount (does discounting
+# move volume, and where). Everything is the textbook moment form
+# slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²): the moment sums accumulate in
+# DECIMAL (x, y are 2-dp data, so products are 4-dp-exact terms) and
+# cross to DOUBLE via the VARCHAR round-trip; the remaining ops are
+# single IEEE multiplies/subtractions/divides — deterministic in both
+# engines with no rounding tricks before the display ROUND. NULLIF
+# guards zero-variance brands (every line same discount). R² needs no
+# sqrt: it is the squared covariance over the variance product.
+# ---------------------------------------------------------------------------
+
+def _sql_msum(expr: str) -> str:
+    return (
+        f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(25,8))) AS VARCHAR) AS DOUBLE)"
+    )
+
+
+_OLS_SQL = f"""
+WITH pairs AS (
+    SELECT p.p_brand AS brand, l.l_discount AS x, l.l_quantity AS y
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+mom AS (
+    SELECT brand,
+           COUNT(*) AS n,
+           {_sql_msum("x")} AS sx,
+           {_sql_msum("y")} AS sy,
+           {_sql_msum("x * x")} AS sxx,
+           {_sql_msum("x * y")} AS sxy,
+           {_sql_msum("y * y")} AS syy
+    FROM pairs GROUP BY brand
+)
+SELECT brand,
+       CAST(n AS BIGINT) AS n_lines,
+       ROUND((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 6) AS slope,
+       ROUND((sy - (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0) * sx)
+             / n, 6) AS intercept,
+       ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6) AS r2
+FROM mom
+ORDER BY brand
+"""
+
+
+def _msum(col):
+    return F.sum(col.cast("decimal(25,8)")).cast("string").cast("double")
+
+
+@register("lineitem_discount_qty_ols", oracle=_OLS_SQL)
+def lineitem_discount_qty_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_discount", "l_quantity"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pairs = li.join(part, li.l_partkey == part.p_partkey).select(
+        F.col("p_brand").alias("brand"),
+        F.col("l_discount").alias("x"),
+        F.col("l_quantity").alias("y"),
+    )
+    x, y = F.col("x"), F.col("y")
+    mom = pairs.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        _msum(x).alias("sx"),
+        _msum(y).alias("sy"),
+        _msum(x * x).alias("sxx"),
+        _msum(x * y).alias("sxy"),
+        _msum(y * y).alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    cov = n * sxy - sx * sy
+    varx = F.nullif(n * sxx - sx * sx, F.lit(0.0))
+    vary = F.nullif(n * syy - sy * sy, F.lit(0.0))
+    slope = cov / varx
+    return mom.select(
+        "brand",
+        n.cast("long").alias("n_lines"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(cov * cov / F.nullif(varx * vary, F.lit(0.0)), 6).alias("r2"),
+    ).orderBy("brand")

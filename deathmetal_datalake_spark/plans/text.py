@@ -2630,3 +2630,96 @@ def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rake_score"), F.asc("phrase"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# MATTR lexical diversity (round-9 continuation) — the moving-average
+# type-token ratio (Covington & McFall 2010): plain TTR collapses as
+# documents grow (types saturate, tokens don't), so the robust form
+# averages the TTR of fixed 50-token windows stepped by 25. Low MATTR
+# flags the repetitive/templated text a quality filter should
+# down-weight even when plain token stats look fine. Every window's
+# TTR is an exact integer ratio (one IEEE divide) averaged through
+# the davg decimal; windows are generated per document with
+# sequence/explode — fan-out ≈ tokens/25, linear, no shuffle until the
+# per-language rollup.
+# ---------------------------------------------------------------------------
+
+_MATTR_W = 50
+_MATTR_STEP = 25
+
+_MATTR_SQL = rf"""
+WITH tok AS (
+    SELECT doc_id, lang,
+           string_split_regex(LOWER(TRIM(text)), '\s+') AS toks
+    FROM documents
+),
+wins AS (
+    SELECT t.doc_id, t.lang,
+           list_slice(t.toks, g.s,
+                      LEAST(g.s + {_MATTR_W} - 1, len(t.toks))) AS win
+    FROM tok t,
+         UNNEST(range(1, GREATEST(len(t.toks) - {_MATTR_W} + 1, 1) + 1,
+                      {_MATTR_STEP})) AS g(s)
+),
+ttr AS (
+    SELECT doc_id, lang,
+           len(list_distinct(win)) * 1.0 / len(win) AS r
+    FROM wins WHERE len(win) > 0
+),
+perdoc AS (
+    SELECT doc_id, lang, COUNT(*) AS n_windows, {sql_davg("r", "mattr")}
+    FROM ttr GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_windows) AS BIGINT) AS n_windows,
+       {sql_davg("mattr", "mean_mattr")}
+FROM perdoc
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("text_mattr_lexical_diversity", oracle=_MATTR_SQL)
+def text_mattr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "lang",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
+    )
+    wins = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size("toks") - F.lit(_MATTR_W - 1), F.lit(1)),
+                F.lit(_MATTR_STEP),
+            )
+        ).alias("s"),
+        "toks",
+    ).select(
+        "doc_id",
+        "lang",
+        F.slice(F.col("toks"), F.col("s"), F.lit(_MATTR_W)).alias("win"),
+    )
+    ttr = wins.filter(F.size("win") > 0).select(
+        "doc_id",
+        "lang",
+        (
+            F.size(F.array_distinct("win")) * F.lit(1.0) / F.size("win")
+        ).alias("r"),
+    )
+    perdoc = ttr.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_windows"), davg("r", "mattr")
+    )
+    return (
+        perdoc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_windows").cast("long").alias("n_windows"),
+            davg("mattr", "mean_mattr"),
+        )
+        .orderBy("lang")
+    )

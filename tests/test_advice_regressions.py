@@ -695,3 +695,102 @@ def test_ship_lag_single_priority_flat_lag(spark, tmp_path):
     name = "orders_ship_lag_quantiles"
     report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
     assert report["match"] is True, report
+
+
+def test_burst_episodes_merge_consecutive_hot_minutes(spark, tmp_path):
+    # Crafted bursts: minutes 0-3 hot (one 4-minute episode), minute 6
+    # hot (singleton), minute 10 cold — the island merge itself, which
+    # the driver corpus never exercises at base scale (no consecutive
+    # hot minutes there).
+    import datetime
+
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    T0 = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for minute, n in [(0, 3), (1, 4), (2, 2), (3, 5), (6, 2), (10, 1)]:
+        for k in range(n):
+            rows.append(
+                (eid, T0 + datetime.timedelta(minutes=minute, seconds=k),
+                 1, "click", 1.0, None)
+            )
+            eid += 1
+    d = _events_with(tmp_path, spark, rows)
+    name = "events_burst_episodes"
+    report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+    assert report["match"] is True, report
+    got = QUERIES[name](spark, d).collect()
+    clicks = [r for r in got if r["event_type"] == "click"]
+    assert [(r["n_minutes"], r["n_events"]) for r in clicks] == [(4, 14), (1, 2)]
+
+
+@pytest.mark.parametrize("name", ["text_mattr_lexical_diversity"])
+def test_mattr_survives_degenerate_corpus(spark, tmp_path, name):
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    d = _corpus_with(tmp_path, _doc_rows(spark, _DEGENERATE_TEXTS), spark)
+    report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+    assert report["match"] is True, report
+
+
+def _tables_with(tmp_path, spark, crafted: dict):
+    """Symlink the sf dir, replacing the named tables with crafted
+    frames (generalizes _orders_with/_events_with to several tables)."""
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    for name in os.listdir(SF_DIR):
+        if name[:-8] not in crafted:  # strip .parquet
+            os.symlink(os.path.join(SF_DIR, name), os.path.join(d, name))
+    for t, (rows, schema) in crafted.items():
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(tmp_path / f"{t}_tmp")
+        )
+        part = [
+            f for f in os.listdir(tmp_path / f"{t}_tmp") if f.endswith(".parquet")
+        ][0]
+        shutil.copyfile(
+            str(tmp_path / f"{t}_tmp" / part), os.path.join(d, f"{t}.parquet")
+        )
+    return d
+
+
+def test_ols_zero_variance_brand(spark, tmp_path):
+    # Brand A: every line the SAME discount (variance 0 -> slope and
+    # r2 NULL via NULLIF on both engines, no ANSI abort). Brand B: a
+    # perfect line (r2 == 1). Brand C: a single line.
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    li_rows = []
+    for i in range(8):  # brand A: flat discount
+        li_rows.append((1, 100 + 0, 1, i, float(10 + i), 100.0, 0.05, 0.0,
+                        "N", "O", None))
+    for i in range(6):  # brand B: qty = 100*discount + 1 exactly
+        disc = round(0.01 * i, 2)
+        li_rows.append((2, 101, 1, i, 100.0 * disc + 1.0, 100.0, disc, 0.0,
+                        "N", "O", None))
+    li_rows.append((3, 102, 1, 0, 7.0, 100.0, 0.03, 0.0, "N", "O", None))
+    part_rows = [(100, "pa", "BRAND#A", "t", 1, 1.0),
+                 (101, "pb", "BRAND#B", "t", 1, 1.0),
+                 (102, "pc", "BRAND#C", "t", 1, 1.0)]
+    d = _tables_with(tmp_path, spark, {
+        "lineitem": (li_rows,
+                     "l_orderkey long, l_partkey long, l_suppkey long,"
+                     " l_linenumber int, l_quantity double,"
+                     " l_extendedprice double, l_discount double,"
+                     " l_tax double, l_returnflag string,"
+                     " l_linestatus string, l_shipdate timestamp_ntz"),
+        "part": (part_rows,
+                 "p_partkey long, p_name string, p_brand string,"
+                 " p_type string, p_size int, p_retailprice double"),
+    })
+    name = "lineitem_discount_qty_ols"
+    report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+    assert report["match"] is True, report
+    rows = {r["brand"]: r for r in QUERIES[name](spark, d).collect()}
+    # Brand A's flat discount leaves only fp residue in the variance;
+    # both engines agree bit-for-bit (parity above) whether that
+    # residue is exactly 0 (-> NULL via NULLIF) or a harmless ~1e-17
+    # (-> degenerate 0.0 slope). Brand C (single point) is exactly 0.
+    assert rows["BRAND#A"]["slope"] in (None, 0.0)
+    assert rows["BRAND#B"]["slope"] == 100.0 and rows["BRAND#B"]["r2"] == 1.0
+    assert rows["BRAND#C"]["slope"] is None
