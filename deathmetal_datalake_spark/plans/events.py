@@ -3107,3 +3107,95 @@ def events_burst_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("island")
         .orderBy("event_type", "start_sec")
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear smoothing (round-9 continuation) — double exponential
+# smoothing per event type over the daily-count series: level l and
+# trend b update recursively (α=0.5, β=0.25 — both exactly
+# representable in binary, chosen so the recursion is pure IEEE
+# arithmetic), and the 7-day-ahead forecast is l + 7b. The EWMA entry
+# smooths level only; Holt adds the trend every capacity forecast
+# needs. Same cross-engine recipe as the Kaplan-Meier fold: the
+# recursion is a SEQUENTIAL left-to-right fold over the day-bounded
+# frame (aggregate() HOF one side, per-type recursive CTE the other,
+# identical op order inside), so the doubles agree bit-for-bit before
+# the display ROUND. One shuffle to daily counts; the fold runs on
+# one bounded row per type.
+# ---------------------------------------------------------------------------
+
+_HOLT_SQL = """
+WITH RECURSIVE daily AS (
+    SELECT event_type,
+           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+           COUNT(*) AS c
+    FROM events GROUP BY 1, 2
+),
+ranked AS (
+    SELECT event_type, CAST(c AS DOUBLE) AS c,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn
+    FROM daily
+),
+holt AS (
+    SELECT event_type, rn, c AS l, CAST(0.0 AS DOUBLE) AS b
+    FROM ranked WHERE rn = 1
+    UNION ALL
+    SELECT r.event_type, r.rn,
+           0.5 * r.c + 0.5 * (h.l + h.b),
+           0.25 * ((0.5 * r.c + 0.5 * (h.l + h.b)) - h.l) + 0.75 * h.b
+    FROM holt h JOIN ranked r
+      ON r.event_type = h.event_type AND r.rn = h.rn + 1
+),
+final AS (
+    SELECT event_type, rn, l, b,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY rn DESC) AS rr
+    FROM holt
+)
+SELECT event_type,
+       CAST(rn AS BIGINT) AS n_days,
+       ROUND(l, 6) AS level,
+       ROUND(b, 6) AS trend,
+       ROUND(l + 7.0 * b, 6) AS forecast_7d
+FROM final WHERE rr = 1
+ORDER BY event_type
+"""
+
+
+@register("events_holt_linear_forecast", oracle=_HOLT_SQL)
+def events_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("d", "c"))).alias("a")
+    )
+    folded = series.select(
+        "event_type",
+        F.size("a").cast("long").alias("n_days"),
+        F.expr(
+            """
+            aggregate(a,
+                named_struct('n', 0L, 'l', cast(0.0 as double),
+                             'b', cast(0.0 as double)),
+                (acc, x) -> IF(acc.n = 0,
+                    named_struct('n', 1L, 'l', x.c, 'b', cast(0.0 as double)),
+                    named_struct('n', acc.n + 1L,
+                                 'l', 0.5 * x.c + 0.5 * (acc.l + acc.b),
+                                 'b', 0.25 * ((0.5 * x.c + 0.5 * (acc.l + acc.b))
+                                              - acc.l) + 0.75 * acc.b)))
+            """
+        ).alias("st"),
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.round(F.col("st.l"), 6).alias("level"),
+        F.round(F.col("st.b"), 6).alias("trend"),
+        F.round(F.col("st.l") + F.lit(7.0) * F.col("st.b"), 6).alias(
+            "forecast_7d"
+        ),
+    ).orderBy("event_type")

@@ -1366,3 +1366,94 @@ def lineitem_discount_qty_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
         F.round(cov * cov / F.nullif(varx * vary, F.lit(0.0)), 6).alias("r2"),
     ).orderBy("brand")
+
+
+# ---------------------------------------------------------------------------
+# Supplier-concentration HHI (round-9 continuation) — the
+# Herfindahl–Hirschman index per supplier nation: Σ (revenue share)²
+# over that nation's suppliers, the standard concentration metric
+# (10000 ≡ monopoly when shares are percentages; here raw 0–1 scale).
+# A nation whose parts flow through one dominant supplier is a supply
+# risk no mean/top-1 stat expresses as directly. Shares are ratios of
+# DECIMAL revenue sums (exact), each share² is one IEEE multiply, and
+# the per-nation Σ share² re-enters DECIMAL so the final sum is
+# partition-order-free.
+# ---------------------------------------------------------------------------
+
+_HHI_SQL = """
+WITH sup_rev AS (
+    SELECT s.s_nationkey, l.l_suppkey,
+           SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS dec_rev
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1, 2
+),
+nat AS (
+    SELECT s_nationkey, SUM(dec_rev) AS dec_tot, COUNT(*) AS n_suppliers
+    FROM sup_rev GROUP BY 1
+),
+shares AS (
+    SELECT r.s_nationkey, n.n_suppliers,
+           CAST(CAST(r.dec_rev AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(n.dec_tot AS VARCHAR) AS DOUBLE) AS share
+    FROM sup_rev r JOIN nat n USING (s_nationkey)
+)
+SELECT nn.n_name AS nation,
+       CAST(MAX(s.n_suppliers) AS BIGINT) AS n_suppliers,
+       ROUND(CAST(CAST(SUM(CAST(s.share * s.share AS DECIMAL(25,12)))
+                       AS VARCHAR) AS DOUBLE), 6) AS hhi,
+       ROUND(MAX(s.share), 6) AS top_share
+FROM shares s JOIN nation nn ON s.s_nationkey = nn.n_nationkey
+GROUP BY nn.n_name
+ORDER BY nation
+"""
+
+
+@register("supplier_revenue_hhi", oracle=_HHI_SQL)
+def supplier_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    sup_rev = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias(
+                "dec_rev"
+            )
+        )
+    )
+    nat = sup_rev.groupBy("s_nationkey").agg(
+        F.sum("dec_rev").alias("dec_tot"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    shares = sup_rev.join(nat, "s_nationkey").select(
+        "s_nationkey",
+        "n_suppliers",
+        (
+            F.col("dec_rev").cast("string").cast("double")
+            / F.col("dec_tot").cast("string").cast("double")
+        ).alias("share"),
+    )
+    return (
+        shares.join(
+            broadcast(nation), shares.s_nationkey == nation.n_nationkey
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.max("n_suppliers").cast("long").alias("n_suppliers"),
+            F.round(
+                F.sum((F.col("share") * F.col("share")).cast("decimal(25,12)"))
+                .cast("string")
+                .cast("double"),
+                6,
+            ).alias("hhi"),
+            F.round(F.max("share"), 6).alias("top_share"),
+        )
+        .orderBy("nation")
+    )

@@ -794,3 +794,31 @@ def test_ols_zero_variance_brand(spark, tmp_path):
     assert rows["BRAND#A"]["slope"] in (None, 0.0)
     assert rows["BRAND#B"]["slope"] == 100.0 and rows["BRAND#B"]["r2"] == 1.0
     assert rows["BRAND#C"]["slope"] is None
+
+
+@pytest.mark.parametrize(
+    "name", ["events_holt_linear_forecast", "events_burst_episodes"]
+)
+def test_holt_and_burst_survive_degenerate_events(spark, tmp_path, name):
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    d = _events_with(tmp_path, spark, _degenerate_event_rows())
+    report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+    assert report["match"] is True, report
+
+
+def test_holt_single_day_series(spark, tmp_path):
+    # One day per type: level = first count, trend 0, forecast = level.
+    import datetime
+
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    T0 = datetime.datetime(2024, 2, 1)
+    rows = [(i, T0 + datetime.timedelta(minutes=i), 1, "view", 1.0, None)
+            for i in range(9)]
+    d = _events_with(tmp_path, spark, rows)
+    name = "events_holt_linear_forecast"
+    report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+    assert report["match"] is True, report
+    r = QUERIES[name](spark, d).collect()[0]
+    assert (r["n_days"], r["level"], r["trend"], r["forecast_7d"]) == (1, 9.0, 0.0, 9.0)
