@@ -36,10 +36,12 @@ from deathmetal_datalake_spark.plans.dedup import (
     _hashed_shingles,
 )
 from deathmetal_datalake_spark.plans.registry import (
+    davg,
     hash60,
     register,
     session_cache,
     spread,
+    sql_davg,
     sql_hash60,
 )
 from deathmetal_datalake_spark.sources.tables import load_table
@@ -1496,4 +1498,133 @@ def corpus_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_rate"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Perplexity-quartile mix (round-9 continuation) — the CCNet-style
+# corpus split: score every document with the add-one bigram LM
+# (text_bigram_surprisal_score's integer floor-log2 surprisal — no
+# libm), rank documents by mean surprisal, and report the
+# head/middle/tail mix as NTILE(4) quartiles with each bucket's doc
+# and token mass. Pretraining pipelines keep the head, mine the
+# middle, and drop the tail. Bucketing is BY RANK, not by a float
+# threshold against an interpolated quantile value — rank + closed-
+# form NTILE (two_phase_order + ntile_from_rank, sub_key on the doc
+# tie-break) is integer-exact on both engines, so there is no
+# boundary-ulp class to defend.
+# ---------------------------------------------------------------------------
+
+_PPLMIX_SQL = rf"""
+WITH tok AS (
+    SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS toks
+    FROM documents
+),
+uni AS (SELECT UNNEST(toks) AS w1 FROM tok),
+c1 AS (SELECT w1, COUNT(*) AS cw FROM uni GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT w1) AS vsz FROM uni),
+bg AS (
+    SELECT t.doc_id, t.toks[g.i] AS w1, t.toks[g.i + 1] AS w2
+    FROM tok t, UNNEST(range(1, len(t.toks))) AS g(i)
+),
+cb AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+bits AS (
+    SELECT b.doc_id,
+           LENGTH(printf('%b', (c1.cw + v.vsz) // (cb.c12 + 1))) - 1 AS s
+    FROM bg b JOIN cb USING (w1, w2) JOIN c1 USING (w1), v
+),
+perdoc AS (
+    SELECT b.doc_id, COUNT(*) AS n_bigrams, {sql_davg("s", "mean_bits")},
+           MAX(len(t.toks)) AS n_tokens
+    FROM bits b JOIN tok t USING (doc_id)
+    GROUP BY b.doc_id
+),
+scored AS (
+    SELECT NTILE(4) OVER (ORDER BY mean_bits ASC, doc_id ASC) AS quartile,
+           n_tokens, mean_bits
+    FROM perdoc
+)
+SELECT CAST(quartile AS BIGINT) AS quartile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       {sql_davg("mean_bits", "mean_surprisal_bits")}
+FROM scored
+GROUP BY quartile
+ORDER BY quartile
+"""
+
+
+@register("corpus_perplexity_quartile_mix", oracle=_PPLMIX_SQL)
+def corpus_perplexity_quartile_mix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from deathmetal_datalake_spark.operators.ordering import (
+        ntile_from_rank,
+        two_phase_order,
+    )
+    from deathmetal_datalake_spark.plans.registry import session_cache
+    from deathmetal_datalake_spark.sources.tables import load_table
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
+    )
+    uni = docs.select(F.explode("toks").alias("w1"))
+    c1 = uni.groupBy("w1").agg(F.count(F.lit(1)).alias("cw"))
+    vocab = uni.agg(F.countDistinct("w1").alias("vsz"))
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+                " (w, i) -> struct(w AS w1, toks[i + 1] AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    bits = (
+        bg.join(cb, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (F.col("c12") + F.lit(1)).cast("long").alias("num"),
+            (F.col("cw") + F.col("vsz")).cast("long").alias("den"),
+        )
+        .select(
+            "doc_id",
+            (F.length(F.bin(F.expr("den div num"))) - 1)
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    ntok = docs.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+    perdoc = session_cache(
+        bits.groupBy("doc_id")
+        .agg(davg("s", "mean_bits"))
+        .join(ntok, "doc_id")
+    )
+    ranked = two_phase_order(
+        perdoc,
+        [F.asc("mean_bits"), F.asc("doc_id")],
+        F.col("mean_bits"),
+        rank_col="rnk",
+        n_total_col="n_docs_total",
+        sub_key=F.col("doc_id"),
+    )
+    scored = ranked.select(
+        ntile_from_rank(F.col("rnk"), F.col("n_docs_total"), 4).alias(
+            "quartile"
+        ),
+        "n_tokens",
+        "mean_bits",
+    )
+    return (
+        scored.groupBy(F.col("quartile").cast("long").alias("quartile"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            davg("mean_bits", "mean_surprisal_bits"),
+        )
+        .orderBy("quartile")
     )

@@ -1457,3 +1457,100 @@ def supplier_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# ABC inventory classification (round-9 continuation) — the operations
+# classic: customers ranked by revenue, class A = the prefix covering
+# 80% of revenue, B = the next 15%, C = the tail. Exactly the
+# distributed running-sum machinery of orders_pareto_concentration
+# (two-phase order, DECIMAL cumulative revenue, sub_key tie-split),
+# folded to the 3-row class summary. A customer is in A iff the
+# cumulative share STRICTLY BEFORE them is < 0.80 (the boundary
+# customer lands in the class it completes) — both engines compute
+# that from the same exact decimal cumsum, so the cut is
+# deterministic.
+# ---------------------------------------------------------------------------
+
+_ABC_SQL = """
+WITH per_cust AS (
+    SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS dec_rev
+    FROM orders GROUP BY 1
+),
+ranked AS (
+    SELECT o_custkey, dec_rev,
+           SUM(dec_rev) OVER (ORDER BY dec_rev DESC, o_custkey ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS dec_cum,
+           SUM(dec_rev) OVER () AS dec_tot
+    FROM per_cust
+),
+classed AS (
+    SELECT o_custkey, dec_rev,
+           CASE WHEN CAST(CAST(dec_cum - dec_rev AS VARCHAR) AS DOUBLE)
+                     / CAST(CAST(dec_tot AS VARCHAR) AS DOUBLE) < 0.80
+                THEN 'A'
+                WHEN CAST(CAST(dec_cum - dec_rev AS VARCHAR) AS DOUBLE)
+                     / CAST(CAST(dec_tot AS VARCHAR) AS DOUBLE) < 0.95
+                THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+)
+SELECT abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(CAST(SUM(dec_rev) AS VARCHAR) AS DOUBLE) AS revenue,
+       ROUND(CAST(CAST(SUM(dec_rev) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(MAX(t.dec_tot) AS VARCHAR) AS DOUBLE), 6)
+           AS revenue_share
+FROM classed, (SELECT SUM(dec_rev) AS dec_tot FROM per_cust) t
+GROUP BY abc_class
+ORDER BY abc_class
+"""
+
+
+@register("orders_abc_classification", oracle=_ABC_SQL)
+def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deathmetal_datalake_spark.operators.ordering import two_phase_order
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    per_cust = session_cache(
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("dec_rev")
+        )
+    )
+    ranked = two_phase_order(
+        per_cust,
+        [F.desc("dec_rev"), F.asc("o_custkey")],
+        F.col("dec_rev"),
+        key_desc=True,
+        cumsum=("dec_rev", "dec_cum"),
+        sub_key=F.col("o_custkey"),
+    )
+    tot = per_cust.agg(F.sum("dec_rev").alias("dec_tot"))
+    before = (
+        (F.col("dec_cum") - F.col("dec_rev")).cast("string").cast("double")
+        / F.col("dec_tot").cast("string").cast("double")
+    )
+    classed = ranked.crossJoin(F.broadcast(tot)).select(
+        "dec_rev",
+        "dec_tot",
+        F.when(before < 0.80, F.lit("A"))
+        .when(before < 0.95, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("dec_rev").cast("string").cast("double").alias("revenue"),
+            F.round(
+                F.sum("dec_rev").cast("string").cast("double")
+                / F.max("dec_tot").cast("string").cast("double"),
+                6,
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )

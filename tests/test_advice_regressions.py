@@ -822,3 +822,30 @@ def test_holt_single_day_series(spark, tmp_path):
     assert report["match"] is True, report
     r = QUERIES[name](spark, d).collect()[0]
     assert (r["n_days"], r["level"], r["trend"], r["forecast_7d"]) == (1, 9.0, 0.0, 9.0)
+
+
+@pytest.mark.parametrize(
+    "name", ["corpus_perplexity_quartile_mix", "text_bigram_surprisal_score"]
+)
+def test_bigram_lm_family_survives_degenerate_corpus(spark, tmp_path, name):
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    d = _corpus_with(tmp_path, _doc_rows(spark, _DEGENERATE_TEXTS), spark)
+    report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+    assert report["match"] is True, report
+
+
+def test_abc_classification_single_customer(spark, tmp_path):
+    # One customer holds 100% of revenue: a single class-A row.
+    import datetime
+
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    T1 = datetime.datetime(1998, 6, 1)
+    rows = [(i, 1, "O", 100.0, T1, "1-URGENT") for i in range(5)]
+    d = _orders_with(tmp_path, spark, rows)
+    name = "orders_abc_classification"
+    report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+    assert report["match"] is True, report
+    got = QUERIES[name](spark, d).collect()
+    assert [(r["abc_class"], r["n_customers"]) for r in got] == [("A", 1)]

@@ -128,6 +128,8 @@ _NONEQUI_OK = {
     "embedding_top_pc_power_iteration",  # 1-row norm frames per round
     "dq_chisquare_value_drift",      # 1-row era-bounds frame
     "embedding_knn_label_agreement",  # ≤40-anchor broadcast scan
+    "orders_abc_classification",     # 1-row revenue-total frame
+    "corpus_perplexity_quartile_mix",  # 1-row vocabulary-size frame
     "similarity_hybrid_rrf_fusion",  # 1-row query-vector + BM25 stats frames
     "dq_freshness_events",           # 1-row corpus-watermark frame
     "corpus_temperature_resampling",  # 1-row grand-total + weight-sum frames
