@@ -87,6 +87,15 @@ NAMES = [
     "text_vocab_mass_coverage",
     "dq_candidate_key_multitable",
     "events_conversion_lag_quantiles",
+    # round-9 continuation: sub-bucketed tie-heavy ranks (RFM covers it
+    # above), the general grouped selection (two bounded actions, G×P
+    # counts), the bigram-LM scorer (two combinable count shuffles, 1:N
+    # probe joins, no vocab broadcast), the sequential KM fold (bounded
+    # one-row frame), and the gaps-and-islands episode merge
+    "embedding_dimension_robust_stats",
+    "text_bigram_surprisal_score",
+    "events_survival_kaplan_meier",
+    "events_burst_episodes",
 ]
 
 _DETAIL_PREFIXES = (
