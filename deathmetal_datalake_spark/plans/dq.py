@@ -1239,3 +1239,146 @@ def dq_column_profile_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out.orderBy("table_name", "column_name")
+
+
+# ---------------------------------------------------------------------------
+# Category-set drift (round-9 continuation) — the schema-on-read
+# failure mode distribution drift misses entirely: a NEW category
+# value appearing (or an old one vanishing) between the first and
+# second half of the observation window. Pure set algebra on bounded
+# category frames: counts of new / vanished / stable values per
+# categorical column, with the concrete values list_agg'd
+# (sorted, so the rendering is deterministic) for the report.
+# ---------------------------------------------------------------------------
+
+_SETDRIFT_SQL = """
+WITH bounds AS (
+    SELECT CAST(FLOOR(epoch(CAST(MIN(ts) AS TIMESTAMP))) AS BIGINT) AS lo,
+           CAST(FLOOR(epoch(CAST(MAX(ts) AS TIMESTAMP))) AS BIGINT) AS hi
+    FROM events
+),
+tagged AS (
+    SELECT event_type,
+           CASE WHEN CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) * 2
+                     <= lo + hi THEN 0 ELSE 1 END AS era
+    FROM events, bounds
+),
+sets AS (
+    SELECT event_type,
+           MAX(CASE WHEN era = 0 THEN 1 ELSE 0 END) AS in_ref,
+           MAX(CASE WHEN era = 1 THEN 1 ELSE 0 END) AS in_cur
+    FROM tagged GROUP BY event_type
+)
+SELECT CAST(SUM(CASE WHEN in_ref = 1 AND in_cur = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_stable,
+       CAST(SUM(CASE WHEN in_ref = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(SUM(CASE WHEN in_cur = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_vanished,
+       COALESCE(string_agg(CASE WHEN in_ref = 0 THEN event_type END, ','
+                           ORDER BY event_type), '') AS new_values,
+       COALESCE(string_agg(CASE WHEN in_cur = 0 THEN event_type END, ','
+                           ORDER BY event_type), '') AS vanished_values
+FROM sets
+"""
+
+
+@register("dq_category_set_drift", oracle=_SETDRIFT_SQL)
+def dq_category_set_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("sec"),
+    )
+    bounds = ev.agg(F.min("sec").alias("lo"), F.max("sec").alias("hi"))
+    sets = (
+        ev.crossJoin(broadcast(bounds))
+        .select(
+            "event_type",
+            F.when(
+                F.col("sec") * 2 <= F.col("lo") + F.col("hi"), F.lit(0)
+            ).otherwise(F.lit(1)).alias("era"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("era") == 0, 1).otherwise(0)).alias("in_ref"),
+            F.max(F.when(F.col("era") == 1, 1).otherwise(0)).alias("in_cur"),
+        )
+    )
+    new_vals = F.array_join(
+        F.array_sort(
+            F.collect_list(F.when(F.col("in_ref") == 0, F.col("event_type")))
+        ),
+        ",",
+    )
+    gone_vals = F.array_join(
+        F.array_sort(
+            F.collect_list(F.when(F.col("in_cur") == 0, F.col("event_type")))
+        ),
+        ",",
+    )
+    return sets.agg(
+        F.sum(F.when((F.col("in_ref") == 1) & (F.col("in_cur") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n_stable"),
+        F.sum(F.when(F.col("in_ref") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(F.when(F.col("in_cur") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_vanished"),
+        new_vals.alias("new_values"),
+        gone_vals.alias("vanished_values"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-table cardinality ratios (round-9 continuation) — the sanity
+# panel a warehouse checks after every load: fact-per-dimension ratios
+# (orders per customer, lines per order, parts per supplier-nation…)
+# drifting outside expectation catches partial loads and fan-out bugs
+# before any query does. Config-driven pairs; counts are one
+# aggregate per table, the ratio one IEEE divide.
+# ---------------------------------------------------------------------------
+
+_RATIO_PAIRS = [
+    ("orders", "customer"),
+    ("lineitem", "orders"),
+    ("lineitem", "part"),
+    ("lineitem", "supplier"),
+    ("customer", "nation"),
+]
+
+_RATIO_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{num}/{den}' AS pair,
+       (SELECT COUNT(*) FROM {num}) AS n_fact,
+       (SELECT COUNT(*) FROM {den}) AS n_dim,
+       ROUND((SELECT COUNT(*) FROM {num}) * 1.0
+             / NULLIF((SELECT COUNT(*) FROM {den}), 0), 6) AS ratio"""
+    for num, den in _RATIO_PAIRS
+) + "\nORDER BY pair"
+
+
+@register("dq_cardinality_ratios", oracle=_RATIO_SQL)
+def dq_cardinality_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    counts = {
+        t: load_table(spark, sf_dir, t).count()
+        for t in sorted({t for pair in _RATIO_PAIRS for t in pair})
+    }
+    rows = []
+    for num, den in _RATIO_PAIRS:
+        nf, nd = counts[num], counts[den]
+        rows.append(
+            (f"{num}/{den}", nf, nd, round(nf * 1.0 / nd, 6) if nd else None)
+        )
+    return (
+        spark.createDataFrame(
+            rows, "pair string, n_fact long, n_dim long, ratio double"
+        )
+        .orderBy("pair")
+    )

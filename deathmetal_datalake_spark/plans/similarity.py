@@ -3557,3 +3557,198 @@ def embedding_knn_label_agreement(
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF nprobe recall curve (round-9 continuation) — the tuning table an
+# ANN deployment reads before picking its probe budget: recall@k vs
+# the brute-force truth at nprobe ∈ {1, 2, 4}, in one pass. The
+# centroid ranking is computed ONCE and filtered three ways (rn <= np
+# against a 3-row literal probe frame), so the curve costs barely more
+# than the single-nprobe query. Recall is an integer hit count over k
+# — exact; the mean over queries goes through davg.
+# ---------------------------------------------------------------------------
+
+_CURVE_NPROBES = [1, 2, 4]
+
+_NPROBE_CURVE_SQL = f"""
+WITH vecs AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+centroids AS (
+    SELECT vec_id AS cid, emb AS cemb FROM vecs
+    WHERE vec_id % {_CENTROID_MOD} = {_CENTROID_REM}
+      AND vec_id < {_CENTROID_CAP}
+),
+ranked_assign AS (
+    SELECT v.vec_id, v.emb, c.cid,
+           ROW_NUMBER() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY {_IVF_COS.format(a='v.emb', b='c.cemb')} DESC,
+                        c.cid ASC
+           ) AS rn
+    FROM vecs v CROSS JOIN centroids c
+),
+assigned AS (
+    SELECT vec_id, emb, cid FROM ranked_assign WHERE rn = 1
+),
+queries AS (
+    SELECT vec_id AS query_id, emb AS qemb FROM vecs
+    WHERE vec_id % {_QUERY_MOD} = 0 AND vec_id < {_QUERY_CAP}
+),
+truth AS (
+    SELECT query_id, vec_id FROM (
+        SELECT q.query_id, v.vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY ROUND(list_dot_product(q.qemb, v.emb) /
+                        (sqrt(list_dot_product(q.qemb, q.qemb))
+                         * sqrt(list_dot_product(v.emb, v.emb))), 4) DESC,
+                        v.vec_id ASC
+               ) AS rank
+        FROM queries q CROSS JOIN vecs v WHERE q.query_id <> v.vec_id
+    ) z WHERE rank <= {_IVF_TOP_K}
+),
+np AS (SELECT UNNEST({_CURVE_NPROBES}) AS nprobe),
+probes AS (
+    SELECT np.nprobe, r.vec_id AS query_id, r.emb AS qemb, r.cid AS probe_cid
+    FROM ranked_assign r, np
+    WHERE r.rn <= np.nprobe AND r.vec_id % {_QUERY_MOD} = 0
+      AND r.vec_id < {_QUERY_CAP}
+),
+scored AS (
+    SELECT q.nprobe, q.query_id, v.vec_id,
+           ROUND(list_dot_product(q.qemb, v.emb) /
+                 (sqrt(list_dot_product(q.qemb, q.qemb))
+                  * sqrt(list_dot_product(v.emb, v.emb))), 4) AS cosine
+    FROM probes q JOIN assigned v
+      ON q.probe_cid = v.cid AND q.query_id <> v.vec_id
+),
+approx AS (
+    SELECT nprobe, query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY nprobe, query_id ORDER BY cosine DESC, vec_id ASC
+        ) AS rank FROM scored
+    ) z WHERE rank <= {_IVF_TOP_K}
+),
+per_query AS (
+    SELECT n.nprobe, t.query_id,
+           COUNT(a.vec_id) * 1.0 / {_IVF_TOP_K} AS recall
+    FROM truth t CROSS JOIN np n
+    LEFT JOIN approx a
+      ON a.nprobe = n.nprobe AND a.query_id = t.query_id
+     AND a.vec_id = t.vec_id
+    GROUP BY n.nprobe, t.query_id
+)
+SELECT CAST(nprobe AS BIGINT) AS nprobe,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       {{davg_recall}}
+FROM per_query
+GROUP BY nprobe
+ORDER BY nprobe
+""".format(davg_recall=sql_davg("recall", "mean_recall_at_k"))
+
+
+@register("similarity_ivf_nprobe_recall_curve", oracle=_NPROBE_CURVE_SQL)
+def similarity_ivf_nprobe_recall_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from deathmetal_datalake_spark.plans.registry import davg, session_cache
+
+    vecs = spread(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", _as_double("embedding").alias("emb")
+        )
+    )
+    centroids = vecs.filter(
+        (F.col("vec_id") % _CENTROID_MOD == _CENTROID_REM)
+        & (F.col("vec_id") < _CENTROID_CAP)
+    ).select(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
+    sim = F.round(
+        _dot(F.col("emb"), F.col("cemb")) / _normprod("emb", "cemb"), 6
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("centroid_sim"), F.asc("cid")
+    )
+    ranked_assign = session_cache(
+        vecs.crossJoin(broadcast(centroids))
+        .select("vec_id", "cid", sim.alias("centroid_sim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+    )
+    assigned = (
+        ranked_assign.filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+        .join(vecs, "vec_id")
+    )
+    queries = vecs.filter(
+        (F.col("vec_id") % _QUERY_MOD == 0) & (F.col("vec_id") < _QUERY_CAP)
+    ).select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"))
+    cos_q = F.round(
+        _dot(F.col("qemb"), F.col("emb")) / _normprod("qemb", "emb"), 4
+    )
+    w_truth = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    truth = session_cache(
+        vecs.join(broadcast(queries), F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id", cos_q.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w_truth))
+        .filter(F.col("rank") <= _IVF_TOP_K)
+        .select("query_id", "vec_id")
+    )
+    np_df = spark.createDataFrame(
+        [(n,) for n in _CURVE_NPROBES], "nprobe int"
+    )
+    probes = (
+        ranked_assign.filter(
+            (F.col("vec_id") % _QUERY_MOD == 0) & (F.col("vec_id") < _QUERY_CAP)
+        )
+        .join(broadcast(np_df), F.col("rn") <= F.col("nprobe"))
+        .select(
+            "nprobe",
+            F.col("vec_id").alias("query_id"),
+            F.col("cid").alias("probe_cid"),
+        )
+        .join(queries, "query_id")
+    )
+    scored = assigned.join(
+        broadcast(probes),
+        (F.col("probe_cid") == F.col("cid"))
+        & (F.col("query_id") != F.col("vec_id")),
+    ).select("nprobe", "query_id", "vec_id", cos_q.alias("cosine"))
+    w_rank = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    approx = (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= _IVF_TOP_K)
+        .select(
+            F.col("nprobe").alias("a_nprobe"),
+            F.col("query_id").alias("a_query_id"),
+            F.col("vec_id").alias("a_vec_id"),
+        )
+    )
+    per_query = (
+        truth.crossJoin(broadcast(np_df))
+        .join(
+            approx,
+            (F.col("nprobe") == F.col("a_nprobe"))
+            & (F.col("query_id") == F.col("a_query_id"))
+            & (F.col("vec_id") == F.col("a_vec_id")),
+            "left",
+        )
+        .groupBy("nprobe", "query_id")
+        .agg(
+            (F.count("a_vec_id") * F.lit(1.0) / F.lit(float(_IVF_TOP_K))).alias(
+                "recall"
+            )
+        )
+    )
+    return (
+        per_query.groupBy(F.col("nprobe").cast("long").alias("nprobe"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            davg("recall", "mean_recall_at_k"),
+        )
+        .orderBy("nprobe")
+    )

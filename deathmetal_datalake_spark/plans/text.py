@@ -2723,3 +2723,120 @@ def text_mattr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated-LM surprisal (round-9 continuation) — Jelinek-Mercer
+# smoothing, the step up from add-one: P = λ·P_bigram + (1−λ)·P_unigram
+# with λ = 1/2, so rare bigrams back off to unigram evidence instead
+# of the flat 1/V floor. The whole mixture stays RATIONAL: with
+# P_bi = n1/d1 and P_uni = n2/d2, P = (n1·d2 + n2·d1)/(2·d1·d2) —
+# integer numerator and denominator (longs: d1 ≤ |vocab-mass|,
+# d2 = corpus tokens; the product stays under 2^63 at any plausible
+# corpus because bits, not the raw ratio, is the score) — and the
+# integer surprisal floor(log2(den/num)) = bit_length(den div num) − 1
+# crosses the engines with zero libm exposure, exactly like
+# text_bigram_surprisal_score. Per-language rollup of per-doc means.
+# ---------------------------------------------------------------------------
+
+_JM_SQL = rf"""
+WITH tok AS (
+    SELECT doc_id, lang,
+           string_split_regex(LOWER(TRIM(text)), '\s+') AS toks
+    FROM documents
+),
+uni AS (SELECT UNNEST(toks) AS w FROM tok),
+c1 AS (SELECT w, COUNT(*) AS cw FROM uni GROUP BY 1),
+tot AS (SELECT COUNT(*) AS nt FROM uni),
+bg AS (
+    SELECT t.doc_id, t.lang, t.toks[g.i] AS w1, t.toks[g.i + 1] AS w2
+    FROM tok t, UNNEST(range(1, len(t.toks))) AS g(i)
+),
+cb AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+sc AS (
+    SELECT b.doc_id, b.lang,
+           -- P = (n1*d2 + n2*d1) / (2*d1*d2); bigram n1/d1 uses the
+           -- raw counts (0 allowed: unigram floor carries it),
+           -- unigram n2/d2 = c(w2)/N.
+           cb.c12 * tot.nt + cu.cw * c1.cw AS num,
+           2 * c1.cw * tot.nt AS den
+    FROM bg b
+    JOIN cb USING (w1, w2)
+    JOIN c1 ON c1.w = b.w1
+    JOIN c1 cu ON cu.w = b.w2, tot
+),
+bits AS (
+    SELECT doc_id, lang,
+           LENGTH(printf('%b', den // num)) - 1 AS s
+    FROM sc WHERE num > 0
+),
+perdoc AS (
+    SELECT doc_id, lang, COUNT(*) AS n_bigrams, {sql_davg("s", "mean_bits")}
+    FROM bits GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs_scored,
+       CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
+       {sql_davg("mean_bits", "mean_jm_bits")}
+FROM perdoc
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("text_interpolated_lm_surprisal", oracle=_JM_SQL)
+def text_interpolated_lm_surprisal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "lang",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
+    )
+    uni = docs.select(F.explode("toks").alias("w"))
+    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    tot = uni.agg(F.count(F.lit(1)).alias("nt"))
+    bg = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+                " (w, i) -> struct(w AS w1, toks[i + 1] AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "lang", "p.w1", "p.w2")
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1a = c1.select(F.col("w").alias("w1"), F.col("cw").alias("cw1"))
+    c1b = c1.select(F.col("w").alias("w2"), F.col("cw").alias("cw2"))
+    sc = (
+        bg.join(cb, ["w1", "w2"])
+        .join(c1a, "w1")
+        .join(c1b, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "lang",
+            (F.col("c12") * F.col("nt") + F.col("cw2") * F.col("cw1"))
+            .cast("long")
+            .alias("num"),
+            (F.lit(2) * F.col("cw1") * F.col("nt")).cast("long").alias("den"),
+        )
+    )
+    bits = sc.filter(F.col("num") > 0).select(
+        "doc_id",
+        "lang",
+        (F.length(F.bin(F.expr("den div num"))) - 1).cast("long").alias("s"),
+    )
+    perdoc = bits.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_bigrams"), davg("s", "mean_bits")
+    )
+    return (
+        perdoc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_scored"),
+            F.sum("n_bigrams").cast("long").alias("n_bigrams"),
+            davg("mean_bits", "mean_jm_bits"),
+        )
+        .orderBy("lang")
+    )

@@ -849,3 +849,41 @@ def test_abc_classification_single_customer(spark, tmp_path):
     assert report["match"] is True, report
     got = QUERIES[name](spark, d).collect()
     assert [(r["abc_class"], r["n_customers"]) for r in got] == [("A", 1)]
+
+
+@pytest.mark.parametrize("name", ["text_interpolated_lm_surprisal"])
+def test_jm_surprisal_survives_degenerate_corpus(spark, tmp_path, name):
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    d = _corpus_with(tmp_path, _doc_rows(spark, _DEGENERATE_TEXTS), spark)
+    report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+    assert report["match"] is True, report
+
+
+def test_category_set_drift_detects_new_and_vanished(spark, tmp_path):
+    # Crafted eras: 'legacy' vanishes after the midpoint, 'beta'
+    # appears after it — the driver corpus never produces either
+    # (every type spans both halves), so pin the non-vacuous path.
+    import datetime
+
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    T0 = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for k in range(10):  # stable type across the window
+        rows.append((eid, T0 + datetime.timedelta(hours=3 * k), 1, "click", 1.0, None))
+        eid += 1
+    for k in range(3):  # first half only
+        rows.append((eid, T0 + datetime.timedelta(hours=k), 2, "legacy", 1.0, None))
+        eid += 1
+    for k in range(3):  # second half only
+        rows.append((eid, T0 + datetime.timedelta(hours=24 + k), 3, "beta", 1.0, None))
+        eid += 1
+    d = _events_with(tmp_path, spark, rows)
+    name = "dq_category_set_drift"
+    report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+    assert report["match"] is True, report
+    r = QUERIES[name](spark, d).collect()[0]
+    assert (r["n_new"], r["n_vanished"], r["new_values"], r["vanished_values"]) == (
+        1, 1, "beta", "legacy",
+    )

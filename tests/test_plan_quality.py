@@ -130,6 +130,9 @@ _NONEQUI_OK = {
     "embedding_knn_label_agreement",  # ≤40-anchor broadcast scan
     "orders_abc_classification",     # 1-row revenue-total frame
     "corpus_perplexity_quartile_mix",  # 1-row vocabulary-size frame
+    "text_interpolated_lm_surprisal",  # 1-row token-total frame
+    "dq_category_set_drift",         # 1-row era-bounds frame
+    "similarity_ivf_nprobe_recall_curve",  # corpus×centroids assignment + 3-row nprobe dim
     "similarity_hybrid_rrf_fusion",  # 1-row query-vector + BM25 stats frames
     "dq_freshness_events",           # 1-row corpus-watermark frame
     "corpus_temperature_resampling",  # 1-row grand-total + weight-sum frames
