@@ -3199,3 +3199,178 @@ def events_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast_7d"
         ),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# User resurrection (round-9 continuation) — the growth-accounting
+# state new_vs_returning cannot express: a user coming back after a
+# DORMANCY gap (>= _RESURRECT_GAP_DAYS since their previous
+# event; 3 days here — the corpus spans one month of near-daily
+# activity, production sets 14+) is
+# "resurrected", not merely returning — product teams track it as its
+# own funnel. Per day: active users split into new / resurrected /
+# returning by the day-gap to each user's PREVIOUS active day (lag
+# window per user over the distinct active-day frame). All integer
+# day arithmetic.
+# ---------------------------------------------------------------------------
+
+_RESURRECT_GAP_DAYS = 3
+
+_RESURRECTION_SQL = f"""
+WITH user_days AS (
+    SELECT DISTINCT user_id,
+           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d
+    FROM events
+),
+lagged AS (
+    SELECT user_id, d,
+           LAG(d) OVER (PARTITION BY user_id ORDER BY d) AS prev_d
+    FROM user_days
+),
+classed AS (
+    SELECT d,
+           CASE WHEN prev_d IS NULL THEN 'new'
+                WHEN date_diff('day', prev_d, d) >= {_RESURRECT_GAP_DAYS}
+                THEN 'resurrected'
+                ELSE 'returning' END AS state
+    FROM lagged
+)
+SELECT d AS day,
+       CAST(SUM(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new,
+       CAST(SUM(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_resurrected,
+       CAST(SUM(CASE WHEN state = 'returning' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_returning
+FROM classed
+GROUP BY d
+ORDER BY day
+"""
+
+
+@register("events_user_resurrection", oracle=_RESURRECTION_SQL)
+def events_user_resurrection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    user_days = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    lagged = user_days.withColumn("prev_d", F.lag("d").over(w))
+    state = (
+        F.when(F.col("prev_d").isNull(), F.lit("new"))
+        .when(
+            F.datediff(F.col("d"), F.col("prev_d")) >= _RESURRECT_GAP_DAYS,
+            F.lit("resurrected"),
+        )
+        .otherwise(F.lit("returning"))
+    )
+    return (
+        lagged.select(F.col("d").alias("day"), state.alias("state"))
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("state") == "new", 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+            F.sum(F.when(F.col("state") == "resurrected", 1).otherwise(0))
+            .cast("long")
+            .alias("n_resurrected"),
+            F.sum(F.when(F.col("state") == "returning", 1).otherwise(0))
+            .cast("long")
+            .alias("n_returning"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session depth → conversion (round-9 continuation) — the funnel
+# question sessionization exists to answer: do deeper sessions
+# convert? Sessions are the same 30-minute-gap islands as
+# events_sessionization_30min (identical flag/cumsum construction);
+# each session's DEPTH (event count) buckets into 1 / 2-3 / 4-7 / 8+,
+# and conversion = the session contains a purchase. Output per depth
+# bucket: sessions, conversions, rate — all integers and one exact
+# division.
+# ---------------------------------------------------------------------------
+
+_DEPTH_CONV_SQL = """
+WITH flagged AS (
+    SELECT user_id, event_type,
+           CASE WHEN CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP)) OVER (
+                    PARTITION BY user_id ORDER BY ts
+                ) >= INTERVAL 30 MINUTE THEN 1
+                WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1
+                ELSE 0 END AS new_session,
+           ts
+    FROM events
+),
+sessions AS (
+    SELECT user_id, event_type,
+           SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_no
+    FROM flagged
+),
+per_session AS (
+    SELECT user_id, session_no, COUNT(*) AS depth,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+    FROM sessions GROUP BY 1, 2
+),
+bucketed AS (
+    SELECT CASE WHEN depth = 1 THEN '1'
+                WHEN depth <= 3 THEN '2-3'
+                WHEN depth <= 7 THEN '4-7'
+                ELSE '8+' END AS depth_bucket,
+           converted
+    FROM per_session
+)
+SELECT depth_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(converted) AS BIGINT) AS n_converted,
+       ROUND(SUM(converted) * 1.0 / COUNT(*), 6) AS conversion_rate
+FROM bucketed
+GROUP BY depth_bucket
+ORDER BY depth_bucket
+"""
+
+
+@register("events_session_depth_conversion", oracle=_DEPTH_CONV_SQL)
+def events_session_depth_conversion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # Same session identity as events_sessionization_30min: the native
+    # session_window (full-precision gap semantics, matching the
+    # oracle's interval-lag flag construction).
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    per_session = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("depth"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted"),
+        )
+    )
+    bucket = (
+        F.when(F.col("depth") == 1, F.lit("1"))
+        .when(F.col("depth") <= 3, F.lit("2-3"))
+        .when(F.col("depth") <= 7, F.lit("4-7"))
+        .otherwise(F.lit("8+"))
+    )
+    return (
+        per_session.groupBy(bucket.alias("depth_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("converted").cast("long").alias("n_converted"),
+            F.round(
+                F.sum("converted") * F.lit(1.0) / F.count(F.lit(1)), 6
+            ).alias("conversion_rate"),
+        )
+        .orderBy("depth_bucket")
+    )

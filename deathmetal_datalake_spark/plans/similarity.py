@@ -3752,3 +3752,106 @@ def similarity_ivf_nprobe_recall_curve(
         )
         .orderBy("nprobe")
     )
+
+
+# ---------------------------------------------------------------------------
+# Intra-list diversity at k (round-9 continuation) — the audit MMR
+# exists to improve: for each eval query, the mean pairwise
+# dissimilarity (1 − cosine) among its brute-force top-5 results. A
+# near-zero diversity list is five copies of one document — retrieval
+# that "works" but tells the user nothing new. Pairwise work is k·(k−1)/2
+# = 10 pairs per query over the FIXED eval set — bounded by
+# construction. Cosines round to 4 before differencing (the family
+# convention), pair means go through davg.
+# ---------------------------------------------------------------------------
+
+_DIVERSITY_K = 5
+
+_DIVERSITY_SQL = f"""
+WITH vecs AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+queries AS (
+    SELECT vec_id AS query_id, emb AS qemb FROM vecs
+    WHERE vec_id % {_QUERY_MOD} = 0 AND vec_id < {_QUERY_CAP}
+),
+topk AS (
+    SELECT query_id, vec_id, emb FROM (
+        SELECT q.query_id, v.vec_id, v.emb,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY ROUND(list_dot_product(q.qemb, v.emb) /
+                        (sqrt(list_dot_product(q.qemb, q.qemb))
+                         * sqrt(list_dot_product(v.emb, v.emb))), 4) DESC,
+                        v.vec_id ASC
+               ) AS rank
+        FROM queries q CROSS JOIN vecs v WHERE q.query_id <> v.vec_id
+    ) z WHERE rank <= {_DIVERSITY_K}
+),
+pairs AS (
+    SELECT a.query_id,
+           1.0 - ROUND(list_dot_product(a.emb, b.emb) /
+                 (sqrt(list_dot_product(a.emb, a.emb))
+                  * sqrt(list_dot_product(b.emb, b.emb))), 4) AS dissim
+    FROM topk a JOIN topk b
+      ON a.query_id = b.query_id AND a.vec_id < b.vec_id
+),
+perq AS (
+    SELECT query_id, COUNT(*) AS n_pairs, {sql_davg("dissim", "diversity")}
+    FROM pairs GROUP BY query_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(n_pairs) AS BIGINT) AS n_pairs,
+       {sql_davg("diversity", "mean_diversity")},
+       ROUND(MIN(diversity), 6) AS min_diversity
+FROM perq
+"""
+
+
+@register("similarity_result_diversity_at_k", oracle=_DIVERSITY_SQL)
+def similarity_result_diversity_at_k(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from deathmetal_datalake_spark.plans.registry import davg, session_cache
+
+    vecs = spread(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", _as_double("embedding").alias("emb")
+        )
+    )
+    queries = vecs.filter(
+        (F.col("vec_id") % _QUERY_MOD == 0) & (F.col("vec_id") < _QUERY_CAP)
+    ).select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"))
+    cos_q = F.round(
+        _dot(F.col("qemb"), F.col("emb")) / _normprod("qemb", "emb"), 4
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    topk = session_cache(
+        vecs.join(broadcast(queries), F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id", "emb", cos_q.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _DIVERSITY_K)
+        .select("query_id", "vec_id", "emb")
+    )
+    b = topk.select(
+        F.col("query_id").alias("b_query_id"),
+        F.col("vec_id").alias("b_vec_id"),
+        F.col("emb").alias("b_emb"),
+    )
+    dissim = F.lit(1.0) - F.round(
+        _dot(F.col("emb"), F.col("b_emb")) / _normprod("emb", "b_emb"), 4
+    )
+    pairs = topk.join(
+        b,
+        (F.col("query_id") == F.col("b_query_id"))
+        & (F.col("vec_id") < F.col("b_vec_id")),
+    ).select("query_id", dissim.alias("dissim"))
+    perq = pairs.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"), davg("dissim", "diversity")
+    )
+    return perq.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum("n_pairs").cast("long").alias("n_pairs"),
+        davg("diversity", "mean_diversity"),
+        F.round(F.min("diversity"), 6).alias("min_diversity"),
+    )

@@ -887,3 +887,56 @@ def test_category_set_drift_detects_new_and_vanished(spark, tmp_path):
     assert (r["n_new"], r["n_vanished"], r["new_values"], r["vanished_values"]) == (
         1, 1, "beta", "legacy",
     )
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "events_user_resurrection",
+        "events_session_depth_conversion",
+        "events_time_weighted_average",
+    ],
+)
+def test_batch10_event_ops_survive_degenerate_events(spark, tmp_path, name):
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    d = _events_with(tmp_path, spark, _degenerate_event_rows())
+    report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+    assert report["match"] is True, report
+
+
+def test_resurrection_classifies_gap_user(spark, tmp_path):
+    # A user active on day 0, dormant past the gap, back on day 5 —
+    # must land as resurrected exactly once (driver data never gaps).
+    import datetime
+
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    T0 = datetime.datetime(2024, 4, 1)
+    rows = [(0, T0, 1, "view", 1.0, None),
+            (1, T0 + datetime.timedelta(days=5), 1, "view", 1.0, None),
+            (2, T0 + datetime.timedelta(days=1), 2, "view", 1.0, None),
+            (3, T0 + datetime.timedelta(days=2), 2, "view", 1.0, None)]
+    d = _events_with(tmp_path, spark, rows)
+    name = "events_user_resurrection"
+    report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+    assert report["match"] is True, report
+    rows_out = {str(r["day"]): r for r in QUERIES[name](spark, d).collect()}
+    assert rows_out["2024-04-06"]["n_resurrected"] == 1
+
+
+@pytest.mark.parametrize("name", ["similarity_result_diversity_at_k"])
+def test_diversity_survives_zero_vectors(spark, tmp_path, name):
+    import math
+
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    rows = []
+    for i in range(60):
+        emb = [0.0] * 64 if i in (7, 50) else [
+            math.sin(0.1 * i + 0.01 * j) for j in range(64)
+        ]
+        rows.append((i, emb, i % 3))
+    d = _embeddings_with(tmp_path, spark, rows)
+    report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+    assert report["match"] is True, report

@@ -133,6 +133,7 @@ _NONEQUI_OK = {
     "text_interpolated_lm_surprisal",  # 1-row token-total frame
     "dq_category_set_drift",         # 1-row era-bounds frame
     "similarity_ivf_nprobe_recall_curve",  # corpus×centroids assignment + 3-row nprobe dim
+    "similarity_result_diversity_at_k",  # ≤40-query broadcast truth scan
     "similarity_hybrid_rrf_fusion",  # 1-row query-vector + BM25 stats frames
     "dq_freshness_events",           # 1-row corpus-watermark frame
     "corpus_temperature_resampling",  # 1-row grand-total + weight-sum frames
