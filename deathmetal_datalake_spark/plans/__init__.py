@@ -40,6 +40,45 @@ del _rev_q, _rev_o
 # promoted to the head explicitly — the driver's prefix sample then
 # always covers the newest, least-battle-tested surface first.
 _NEWEST_FIRST = [
+    # round 9 continuation (batch 10)
+    "similarity_result_diversity_at_k",
+    "events_user_resurrection",
+    "events_session_depth_conversion",
+    # round 9 continuation (batch 9)
+    "text_interpolated_lm_surprisal",
+    "dq_category_set_drift",
+    "dq_cardinality_ratios",
+    "similarity_ivf_nprobe_recall_curve",
+    # round 9 continuation (batch 8)
+    "orders_abc_classification",
+    "corpus_perplexity_quartile_mix",
+    # round 9 continuation (batch 7)
+    "events_holt_linear_forecast",
+    "supplier_revenue_hhi",
+    # round 9 continuation (batch 6)
+    "events_burst_episodes",
+    "lineitem_discount_qty_ols",
+    "text_mattr_lexical_diversity",
+    # round 9 continuation (batch 5)
+    "dq_column_profile_multitable",
+    # round 9 continuation (batch 4)
+    "orders_ship_lag_quantiles",
+    "events_seasonal_residual_anomaly",
+    "events_user_features",
+    # round 9 continuation (batches 1-3)
+    "events_time_weighted_average",
+    "orders_cohort_ltv",
+    "text_keyphrase_rake",
+    "embedding_top_pc_power_iteration",
+    "dq_l_diversity_customer",
+    "dq_chisquare_value_drift",
+    "embedding_knn_label_agreement",
+    "text_bigram_surprisal_score",
+    "events_survival_kaplan_meier",
+    "dq_daily_volume_anomaly",
+    "embedding_silhouette_by_label",
+    "embedding_dimension_robust_stats",
+    "dq_price_robust_outliers",
     # round 9 (batch 4)
     "corpus_sentence_dedup",
     "orders_repeat_interval_profile",
