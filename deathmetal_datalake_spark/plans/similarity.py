@@ -1450,15 +1450,16 @@ FROM labeled
 def dedup_semdedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops = dedup_semdedup_ivf(spark, sf_dir).select("vec_id", "exemplar_id")
     labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    # `drops` (the semdedup-dropped set) and the exemplar-label frame
+    # (the full embeddings table, re-keyed) both grow with the data —
+    # no forced broadcast hints (round-10 extension of the round-9
+    # verdict's multimodal finding); plain equi-joins let AQE decide.
     labeled = (
-        broadcast(drops)
-        .join(labels.withColumnRenamed("label", "drop_label"), "vec_id")
+        drops.join(labels.withColumnRenamed("label", "drop_label"), "vec_id")
         .join(
-            broadcast(
-                labels.select(
-                    F.col("vec_id").alias("exemplar_id"),
-                    F.col("label").alias("exemplar_label"),
-                )
+            labels.select(
+                F.col("vec_id").alias("exemplar_id"),
+                F.col("label").alias("exemplar_label"),
             ),
             "exemplar_id",
         )

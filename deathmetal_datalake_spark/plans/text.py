@@ -764,8 +764,12 @@ def text_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("dfreq"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     is_rare = F.when(F.col("dfreq") * 10 < F.col("n_docs"), 1).otherwise(0)
+    # `df` is one row per DISTINCT token — vocabulary-sized, which grows
+    # with the corpus (Heaps' law), so no forced broadcast hint: the
+    # equi-join on token shuffles both sides by the same key and AQE
+    # broadcasts only when runtime stats say the vocab side is small.
     return (
-        tok.join(F.broadcast(df), "token")
+        tok.join(df, "token")
         .crossJoin(F.broadcast(n))
         .groupBy("doc_id")
         .agg(

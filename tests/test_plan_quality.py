@@ -175,10 +175,130 @@ _NONEQUI_OK = {
 }
 
 
+# Rule 4 (round-10, closing the round-9 verdict's broadcast-hint
+# scale-killer class): a FORCED broadcast hint — `strategy=broadcast`
+# on a Join in the optimized logical plan, i.e. an explicit
+# F.broadcast() in the code, NOT a stats-based AQE decision — is
+# allowed only on audited bounded frames. The map below is the audit:
+# query → max hint count, each entry naming why every hinted frame is
+# bounded by CONSTRUCTION (never data-proportional). A new F.broadcast()
+# anywhere in the catalog fails here until its frame is audited.
+# Bounded-frame classes seen in the audit:
+#   [dim]   fixed TPC-H dims (nation=25 rows, region=5) or literal dims
+#   [1row]  single-row aggregate frames (totals, watermarks, thresholds)
+#   [k]     fixed-k frames (centroids, PQ codebooks, sketch cells)
+#   [enum]  per-group stats over a bounded-cardinality key
+#           (event_type, source, lang, o_orderpriority, label, status)
+#   [q40]   the ≤40-row query/anchor eval-set frame
+#   [topk]  post-limit top-k frames
+#   [time]  time-range-bounded frames (date grids, window spines,
+#           cohort months)
+#   [bkt]   operators/ordering.py offsets/spec frames — one row per
+#           value-bucket x partition, fixed bucket count
+_HINTED_BROADCAST_OK = {
+    "corpus_anneal_apportionment": 5,    # [1row] median/total + [enum] per-source quotas
+    "corpus_curation_funnel": 1,         # [1row] corpus total
+    "corpus_dsir_importance": 2,         # [1row] token totals
+    "corpus_epoch_repeats": 4,           # [1row] budget + [enum] per-source plan
+    "corpus_heaps_vocab_growth": 4,      # 10-row checkpoints + [1row] + [bkt]
+    "corpus_perplexity_quartile_mix": 1, # [1row] vocab size
+    "corpus_temperature_resampling": 1,  # [1row] totals
+    "corpus_token_budget_fill": 2,       # [1row] corpus total + [bkt]
+    "dataset_mixture_weights": 1,        # [1row] grand total
+    "dedup_cdc_incremental": 2,          # [1row] stats frames
+    "dedup_content_chunks": 1,           # [1row] stats frame
+    "dedup_graph_triangles": 2,          # [1row] count frames
+    "dedup_semdedup_eval": 2,            # [k] 16-centroid frames (via semdedup_ivf)
+    "dedup_semdedup_ivf": 2,             # [k] 16-centroid frames
+    "dq_benford_first_digit": 1,         # [1row] digit total
+    "dq_category_set_drift": 1,          # [1row] era bounds
+    "dq_daily_volume_anomaly": 4,        # [enum] per-event_type median/MAD
+    "dq_distribution_drift_orders": 1,   # [1row] era totals
+    "dq_embedding_coverage": 4,          # [1row] count frames
+    "dq_freshness_events": 1,            # [1row] watermark
+    "dq_price_robust_outliers": 4,       # [enum] per-o_orderpriority median/MAD
+    "embedding_dimension_robust_stats": 3,  # [k] per-pos (fixed dim) frames
+    "embedding_int8_quantization": 1,    # [k] per-pos scale frame
+    "embedding_knn_label_agreement": 1,  # [q40] anchor frame
+    "embedding_norm_outliers": 3,        # [1row] median/MAD/fraction
+    "embedding_pq_distortion": 1,        # [k] PQ codebook
+    "embedding_silhouette_by_label": 1,  # [enum] per-label centroids
+    "embedding_top_pc_power_iteration": 9,  # [1row] norm frames per round
+    "events_audience_overlap_jaccard": 2,   # [enum] per-event_type set sizes
+    "events_conversion_lag_quantiles": 5,   # [1row] quantile pivot + literal fractions
+    "events_countmin_user_freq": 1,      # [k] fixed sketch cells
+    "events_dau_wau_stickiness": 1,      # [time] date grid
+    "events_interval_overlap_join": 1,   # [time] window spine
+    "events_rfm_quintiles": 7,           # [1row] watermark + 3x[bkt] offsets
+    "events_seasonal_residual_anomaly": 4,  # 7x[enum] dow + per-type median/MAD
+    "events_survival_kaplan_meier": 1,   # [1row] watermark
+    "events_user_features": 1,           # [1row] watermark
+    "events_value_band_rollup": 1,       # [dim] 3-row literal bands
+    "g1_top10_customers_per_nation": 1,  # [dim] nation
+    "g2_customer_order_stats": 1,        # [dim] nation
+    "g3_customer_counts_per_nation": 1,  # [dim] nation
+    "g4_filtered_nation_ranking": 1,     # [dim] nation
+    "j1_customer_catalog": 1,            # [dim] nation
+    "kmeans_two_rounds": 2,              # [k] centroid frames
+    "orders_abc_classification": 2,      # [1row] revenue totals
+    "orders_cohort_ltv": 1,              # [time] per-cohort-month sizes
+    "orders_pareto_concentration": 2,    # [1row] totals
+    "orders_ship_lag_quantiles": 2,      # [dim] literal fraction frames
+    "pack_sequences_by_lang": 1,         # [enum]x[bkt] per-(lang,bucket) offsets
+    "pagerank_neardup_two_rounds": 4,    # [1row] N frames per round
+    "percentile_prices_by_status": 12,   # [dim] fractions x [enum] status spec frames
+    "similarity_ann_lsh_topk": 1,        # [q40] query frame
+    "similarity_ann_recall": 2,          # [q40] + [k] centroids
+    "similarity_binary_sign_quant": 2,   # [q40] query frames
+    "similarity_bruteforce_topk": 1,     # [q40] query frame
+    "similarity_centroid_separation": 2, # [enum] per-label centroids
+    "similarity_dim_truncation_recall": 2,  # [q40] query frames
+    "similarity_filtered_ann": 1,        # [q40] query frame
+    "similarity_hard_negatives": 3,      # [q40] + [k] centroids + probes
+    "similarity_hybrid_rrf_fusion": 4,   # [1row] qvec/stats + [topk] rank frames
+    "similarity_ivf_multiprobe_topk": 1, # [k] centroids/probes
+    "similarity_ivf_nprobe_recall_curve": 3,  # [k] centroids + 3-row nprobe dim
+    "similarity_ivf_topk": 3,            # [k] centroids + [q40] probes
+    "similarity_ivfpq_topk": 4,          # [k] centroids + codebook + [q40]
+    "similarity_mmr_rerank": 1,          # [q40] relevance frame
+    "similarity_pandas_udf_topk": 1,     # [q40] query frame
+    "similarity_pq_adc_topk": 3,         # [k] codebook + [q40] LUT
+    "similarity_pq_recall": 4,           # [k] codebook + [q40] frames
+    "similarity_radius_search": 3,       # [q40] query frames
+    "similarity_retrieval_with_metadata": 2,  # [q40] + [topk] join-back
+    "similarity_triplet_margin_audit": 1,     # [q40] anchor frame
+    "subquery_above_avg_balance": 1,     # [1row] mean
+    "supplier_revenue_hhi": 1,           # [1row] total
+    "text_bigram_lift": 2,               # [1row] totals
+    "text_bigram_surprisal_score": 1,    # [1row] vocab size
+    "text_bm25_retrieval": 3,            # [enum] query-term df + [1row] N/avgdl
+    "text_bpe_merge_coverage": 1,        # [topk] top-N merges
+    "text_interpolated_lm_surprisal": 1, # [1row] token total
+    "text_quality_mean_filter": 1,       # [enum] per-lang cutoffs
+    "text_rare_token_ratio": 1,          # [1row] n_docs
+    "text_robust_length_outliers": 3,    # [enum] per-source median/MAD + [1row]
+    "text_tfidf_top_terms": 1,           # [1row] N frame
+    "text_vocab_mass_coverage": 2,       # [1row] totals
+    "text_zipf_rank_frequency": 1,       # [bkt] offsets
+    "tpch_q10_returned_items": 1,        # [dim] nation
+    "tpch_q11_important_parts": 3,       # [dim] nation + [1row] threshold
+    "tpch_q15_top_supplier": 1,          # [1row] max revenue
+    "tpch_q20_part_promotion": 1,        # [dim] nation
+    "tpch_q22_sales_opportunity": 1,     # [1row] avg balance
+    "tpch_q2_min_cost_supplier": 2,      # [dim] nation + region
+    "tpch_q5_regional_revenue": 2,       # [dim] region + nation
+    "tpch_q7_nation_volume": 2,          # [dim] nation x2
+    "tpch_q8_market_share": 3,           # [dim] nation x2 + region
+    "tpch_q9_profit_by_nation": 1,       # [dim] nation
+    "window_dense_rank_ntile": 1,        # [dim] nation
+}
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_plan_is_scale_sane(spark, name):
     df = QUERIES[name](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
     scans = _parquet_scans(df)
     release_caches()
     # 1. No unbounded cartesian products outside the whitelist.
@@ -201,6 +321,21 @@ def test_plan_is_scale_sane(spark, name):
             f"{name}: window with EMPTY partition spec over an unbounded "
             f"frame (single-task sort at scale): {offenders[0]}"
         )
+    # 4. Forced broadcast hints only on audited bounded frames: a
+    #    `strategy=broadcast` join hint in the optimized logical plan
+    #    means an explicit F.broadcast() in the code — a frame the plan
+    #    SHIPS THROUGH THE DRIVER regardless of
+    #    autoBroadcastJoinThreshold, which OOMs at 100x if the frame is
+    #    data-proportional (the round-9 verdict's multimodal finding).
+    #    Un-hinted joins stay free to broadcast via AQE runtime stats.
+    n_hints = optimized.count("strategy=broadcast")
+    allowed = _HINTED_BROADCAST_OK.get(name, 0)
+    assert n_hints <= allowed, (
+        f"{name}: {n_hints} forced broadcast hint(s) in the optimized "
+        f"plan but only {allowed} audited as bounded — a new "
+        "F.broadcast() needs a bounded-frame audit entry in "
+        "_HINTED_BROADCAST_OK (or drop the hint and let AQE decide)"
+    )
     # 3. Column pruning reaches every parquet scan: a scan over a gated
     #    (>= 5 column) testdata table must read a STRICT subset of the
     #    table's physical schema — an all-columns scan under a
