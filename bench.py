@@ -319,13 +319,43 @@ def _canary(spark, reps: int = 5) -> tuple[float, float]:
     catalog changes. Recorded on the compact stdout line at both
     scales so any two bench records (driver vs builder, round N vs
     N+1) can be normalized mechanically: query-time deltas that track
-    the canary delta are environment, not regressions."""
+    the canary delta are environment, not regressions.
+
+    Round-10 adjudication finding: at local[32] a 4M-row burn is
+    scheduler/JIT-dominated, not compute-dominated — on a VERIFIED-idle
+    host the first 8 reps spread 0.21–4.64 s and an 8-thread session
+    beats a 32-thread one. The r9 record's base-vs-scale canary gap
+    (0.195 vs 0.087) was JVM warm-up state (the scale canary ran after
+    the full base suite in the same process), NOT host load. Kept
+    bit-identical for cross-record continuity; `_canary2` below is the
+    compute-dominated instrument to cite going forward."""
     import statistics
 
     ts = []
     for _ in range(reps):
         start = time.perf_counter()
         spark.range(4_000_000).agg(F.sum(F.xxhash64("id"))).collect()
+        ts.append(time.perf_counter() - start)
+    return round(statistics.median(ts), 3), round(min(ts), 3)
+
+
+def _canary2(spark, reps: int = 5) -> tuple[float, float]:
+    """Compute-dominated canary (round-10): 64M-row xxhash64 burn with
+    3 unmeasured warm reps so JIT compilation of the hash/range path is
+    done before the clock starts. ~16x the work of `_canary` amortizes
+    per-task scheduling, so the reading tracks per-core throughput +
+    genuine host load and is stable run-to-run on an idle host — the
+    number to use when normalizing two bench records against each
+    other. Recorded in BENCH_FULL.json alongside cpu count and 1-min
+    load average so a record carries its own environment receipt."""
+    import statistics
+
+    for _ in range(3):
+        spark.range(64_000_000).agg(F.sum(F.xxhash64("id"))).collect()
+    ts = []
+    for _ in range(reps):
+        start = time.perf_counter()
+        spark.range(64_000_000).agg(F.sum(F.xxhash64("id"))).collect()
         ts.append(time.perf_counter() - start)
     return round(statistics.median(ts), 3), round(min(ts), 3)
 
@@ -354,6 +384,7 @@ def main() -> None:
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
     canary_med, canary_min = _canary(spark)
+    canary2_med, canary2_min = _canary2(spark)
     med, mins = _run_suite(spark, sf_dir, reps=reps)
     payload = {
         "metric": "headline_queries_total",
@@ -363,6 +394,10 @@ def main() -> None:
         "core30_min": round(sum(mins[q] for q in CORE_QUERIES), 3),
         "canary": canary_med,
         "canary_min": canary_min,
+        "canary2": canary2_med,
+        "canary2_min": canary2_min,
+        "host_cpus": os.cpu_count(),
+        "host_load1": round(os.getloadavg()[0], 2),
         "unit": "sec",
         "queries": med,
         "queries_min": mins,
@@ -392,6 +427,7 @@ def main() -> None:
         # median >> min instead of poisoning round-over-round deltas).
         sreps = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2")))
         scanary_med, scanary_min = _canary(spark)
+        scanary2_med, scanary2_min = _canary2(spark)
         smed, smins = _run_suite(spark, scale_dir, reps=sreps)
         payload["scale"] = {
             "metric": "headline_queries_total_scale",
@@ -401,6 +437,9 @@ def main() -> None:
             "core30_min": round(sum(smins[q] for q in CORE_QUERIES), 3),
             "canary": scanary_med,
             "canary_min": scanary_min,
+            "canary2": scanary2_med,
+            "canary2_min": scanary2_min,
+            "host_load1": round(os.getloadavg()[0], 2),
             "unit": "sec",
             "queries": smed,
             "queries_min": smins,
