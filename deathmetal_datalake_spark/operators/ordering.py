@@ -64,6 +64,8 @@ its gold queries); this is the multi-executor equivalent.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -115,6 +117,67 @@ def _bucket_expr(
         row = df.select(F.percentile_approx(kd, fracs, 1000).alias("bs")).first()
         got = row["bs"] if row is not None else None
         raw = [float(b) for b in (got or []) if b is not None]
+    sub_bounds = None
+    if sub_key is not None:
+        heavy, aggs = _sub_agg_exprs(kd, sub_key.cast("double"), raw, "h")
+        if heavy:
+            row = df.select(*aggs).first()
+            sub_bounds = _sub_bounds_from_row(row, heavy, "h", sub_desc)
+    return _bucket_from_collected(key, key_desc, raw, sub_key, sub_desc, sub_bounds)
+
+
+def _sub_agg_exprs(
+    kd: Column, sd: Column, raw: list[float], prefix: str
+) -> tuple[list[float], list[Column]]:
+    """Heavy tie values of a collected boundary list + the batched
+    percentile aggregates that compute their sub-boundaries. A boundary
+    value hit by m >= 2 quantile fractions holds >= ~(m-1)/n_parts of
+    the frame and can never be split by boundaries of the key itself —
+    those are the heavy values (see the skew note)."""
+    from collections import Counter
+
+    mult = Counter(raw)
+    heavy = sorted(v for v, c in mult.items() if c >= 2)
+    aggs = []
+    for i, v in enumerate(heavy):
+        m = mult[v]
+        sub_fracs = [j / (m + 1) for j in range(1, m + 1)]
+        aggs.append(
+            F.percentile_approx(
+                F.when(kd == F.lit(v), sd), sub_fracs, 1000
+            ).alias(f"{prefix}{i}")
+        )
+    return heavy, aggs
+
+
+def _sub_bounds_from_row(
+    row, heavy: list[float], prefix: str, sub_desc: bool
+) -> dict[float, list[float]]:
+    sub_bounds: dict[float, list[float]] = {}
+    for i, v in enumerate(heavy):
+        got = row[f"{prefix}{i}"] if row is not None else None
+        sub_bounds[v] = sorted(
+            {float(b) for b in (got or []) if b is not None}, reverse=sub_desc
+        )
+    return sub_bounds
+
+
+def _bucket_from_collected(
+    key: Column,
+    key_desc: bool,
+    raw: list[float],
+    sub_key: Column | None,
+    sub_desc: bool,
+    sub_bounds: dict[float, list[float]] | None,
+) -> Column:
+    """Pure bucket expression from ALREADY-collected boundaries — no
+    actions. Sub-bucketing of heavy tie groups: every heavy value is a
+    deduped boundary, so (a) rows with key strictly before it in sort
+    order land in a strictly lower primary bucket, and (b) two heavy
+    values never share a primary bucket — the only cohabitants are rows
+    sorting strictly AFTER the tie group, which get the sentinel
+    sub-bucket nsub+2."""
+    kd = key.cast("double")
     # Dedup keeps the bucket assignment strictly monotone when
     # quantiles collapse.
     bounds = sorted(set(raw), reverse=key_desc)
@@ -133,41 +196,9 @@ def _bucket_expr(
     else:
         bucket = F.coalesce(bucket, F.lit(0).cast("long"))
 
-    if sub_key is None:
-        return bucket
-    # Heavy tie groups: a boundary value hit by m >= 2 quantile
-    # fractions holds >= ~(m-1)/n_parts of the frame and can never be
-    # split by boundaries of the key itself. Sub-bucket those rows by
-    # literal quantile boundaries of sub_key WITHIN the tie group (one
-    # batched action for all heavy values). Every heavy value is a
-    # deduped boundary, so (a) rows with key strictly before it in sort
-    # order land in a strictly lower primary bucket, and (b) two heavy
-    # values never share a primary bucket — the only cohabitants are
-    # rows sorting strictly AFTER the tie group, which get the sentinel
-    # sub-bucket nsub+2.
-    from collections import Counter
-
-    heavy = sorted(v for v, c in Counter(raw).items() if c >= 2)
-    if not heavy:
+    if sub_key is None or not sub_bounds:
         return bucket
     sd = sub_key.cast("double")
-    mult = Counter(raw)
-    aggs = []
-    for i, v in enumerate(heavy):
-        m = mult[v]
-        sub_fracs = [j / (m + 1) for j in range(1, m + 1)]
-        aggs.append(
-            F.percentile_approx(
-                F.when(kd == F.lit(v), sd), sub_fracs, 1000
-            ).alias(f"h{i}")
-        )
-    row = df.select(*aggs).first()
-    sub_bounds: dict[float, list[float]] = {}
-    for i, v in enumerate(heavy):
-        got = row[f"h{i}"] if row is not None else None
-        sub_bounds[v] = sorted(
-            {float(b) for b in (got or []) if b is not None}, reverse=sub_desc
-        )
     stride = max(len(sb) for sb in sub_bounds.values()) + 3
     s_expr = F.lit(0).cast("long")
     for v, sb in sub_bounds.items():
@@ -232,50 +263,161 @@ def two_phase_order(
                    through :func:`string_order_key`.
     ``sub_desc``   True when that second sort entry is descending.
     """
-    if rank_col is None and cumsum is None and n_total_col is None:
+    spec = OrderSpec(
+        order_by=order_by,
+        key=key,
+        key_desc=key_desc,
+        rank_col=rank_col,
+        cumsum=cumsum,
+        sub_key=sub_key,
+        sub_desc=sub_desc,
+    )
+    return two_phase_order_multi(
+        df, [spec], n_total_col=n_total_col, num_partitions=num_partitions
+    )
+
+
+@dataclass
+class OrderSpec:
+    """One total-order rank/cumsum request for
+    :func:`two_phase_order_multi` — same fields and semantics as the
+    matching :func:`two_phase_order` arguments."""
+
+    order_by: list[Column]
+    key: Column
+    key_desc: bool = False
+    rank_col: str | None = None
+    cumsum: tuple[str, str] | None = None
+    sub_key: Column | None = None
+    sub_desc: bool = False
+
+
+def two_phase_order_multi(
+    df: DataFrame,
+    specs: list[OrderSpec],
+    *,
+    n_total_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Fused multi-order form (round-10, NEXT #3): attach the ranks /
+    running sums of SEVERAL independent total orders over the same
+    frame while paying at most TWO plan-build actions total — one
+    batched select for every spec's boundary quantiles, one for every
+    spec's heavy-tie sub-boundaries (skipped when no spec has heavy
+    ties). The serial equivalent pays up to 2 actions PER spec; a
+    three-order caller like the RFM quintile query drops from 6
+    boundary actions to 2.
+
+    Results are bit-identical to calling :func:`two_phase_order` once
+    per spec: the batched aggregates are the SAME percentile_approx
+    expressions, merely computed side-by-side in one pass, and every
+    per-spec bucket stays a pure function of the row's values.
+    ``n_total_col`` (the shared grand row count) is attached via the
+    first spec's totals frame.
+    """
+    if not specs:
+        raise ValueError("no specs")
+    if (
+        all(s.rank_col is None and s.cumsum is None for s in specs)
+        and n_total_col is None
+    ):
         raise ValueError("nothing to compute")
-    bkt = _BKT
-    while bkt in df.columns:
-        bkt = "_" + bkt
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    fracs = [i / n_parts for i in range(1, n_parts)]
 
-    bucket = _bucket_expr(df, key, key_desc, n_parts, sub_key, sub_desc)
-    tagged = df.withColumn(bkt, bucket)
-    aggs = [F.count(F.lit(1)).alias(_CNT)]
-    if cumsum is not None:
-        aggs.append(F.sum(cumsum[0]).alias(_SUM))
-    totals = tagged.groupBy(bkt).agg(*aggs)
-    # Offsets over the totals frame: #buckets rows — the one global
-    # window here is bounded by construction (see module docstring).
-    w_off = Window.orderBy(bkt).rowsBetween(Window.unboundedPreceding, -1)
-    off_cols = [
-        F.col(bkt),
-        F.coalesce(F.sum(_CNT).over(w_off), F.lit(0).cast("long")).alias(_CNT_OFF),
-    ]
-    if cumsum is not None:
-        off_cols.append(F.sum(_SUM).over(w_off).alias(_SUM_OFF))
-    if n_total_col is not None:
-        w_all = Window.orderBy(bkt).rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing
-        )
-        off_cols.append(F.sum(_CNT).over(w_all).cast("long").alias(n_total_col))
-    offsets = totals.select(*off_cols)
+    # Plan-build action 1: every spec's boundary quantiles, one select.
+    raws: list[list[float]] = [[] for _ in specs]
+    if fracs:
+        aggs = [
+            F.percentile_approx(s.key.cast("double"), fracs, 1000).alias(f"__b{i}")
+            for i, s in enumerate(specs)
+        ]
+        row = df.select(*aggs).first()
+        for i in range(len(specs)):
+            got = row[f"__b{i}"] if row is not None else None
+            raws[i] = [float(b) for b in (got or []) if b is not None]
 
-    w_local = Window.partitionBy(bkt).orderBy(*order_by)
-    out = tagged.join(F.broadcast(offsets), bkt)
-    if rank_col is not None:
+    # Plan-build action 2 (only when some spec has heavy ties): every
+    # spec's sub-boundaries, one select.
+    heavies: dict[int, list[float]] = {}
+    all_sub_aggs: list[Column] = []
+    for i, s in enumerate(specs):
+        if s.sub_key is None:
+            continue
+        heavy, sub_aggs = _sub_agg_exprs(
+            s.key.cast("double"), s.sub_key.cast("double"), raws[i], f"s{i}_"
+        )
+        if heavy:
+            heavies[i] = heavy
+            all_sub_aggs.extend(sub_aggs)
+    sub_row = df.select(*all_sub_aggs).first() if all_sub_aggs else None
+    sub_bounds_by_spec = {
+        i: _sub_bounds_from_row(sub_row, heavy, f"s{i}_", specs[i].sub_desc)
+        for i, heavy in heavies.items()
+    }
+
+    # Per-spec shapes below exactly mirror the proven single-spec form
+    # (tag bucket -> totals -> offsets -> broadcast join -> local
+    # window -> drop), run serially over the accumulating frame; only
+    # the driver-side boundary collection above is fused. Tagging each
+    # bucket immediately before its own groupBy keeps the tagged frame
+    # as the diamond root, the self-join shape Catalyst's attribute
+    # dedup handles (pre-tagging every bucket up front made the
+    # optimizer inline a bucket expression past another spec's
+    # aggregation and fail binding at execution).
+    out = df
+    for i, s in enumerate(specs):
+        bkt = f"{_BKT}{i}"
+        while bkt in out.columns:
+            bkt = "_" + bkt
+        cnt_off, sum_off = f"{_CNT_OFF}{i}", f"{_SUM_OFF}{i}"
         out = out.withColumn(
-            rank_col,
-            (F.col(_CNT_OFF) + F.row_number().over(w_local)).cast("long"),
+            bkt,
+            _bucket_from_collected(
+                s.key, s.key_desc, raws[i], s.sub_key, s.sub_desc,
+                sub_bounds_by_spec.get(i),
+            ),
         )
-    if cumsum is not None:
-        local = F.sum(cumsum[0]).over(
-            w_local.rowsBetween(Window.unboundedPreceding, 0)
-        )
-        out = out.withColumn(
-            cumsum[1], F.coalesce(F.col(_SUM_OFF), F.lit(0)) + local
-        )
-    return out.drop(bkt, _CNT_OFF, _SUM_OFF)
+        aggs = [F.count(F.lit(1)).alias(_CNT)]
+        if s.cumsum is not None:
+            aggs.append(F.sum(s.cumsum[0]).alias(_SUM))
+        totals = out.groupBy(bkt).agg(*aggs)
+        # Offsets over the totals frame: #buckets rows — the one global
+        # window here is bounded by construction (see module docstring).
+        w_off = Window.orderBy(bkt).rowsBetween(Window.unboundedPreceding, -1)
+        off_cols = [
+            F.col(bkt),
+            F.coalesce(F.sum(_CNT).over(w_off), F.lit(0).cast("long")).alias(
+                cnt_off
+            ),
+        ]
+        if s.cumsum is not None:
+            off_cols.append(F.sum(_SUM).over(w_off).alias(sum_off))
+        if n_total_col is not None and i == 0:
+            w_all = Window.orderBy(bkt).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+            off_cols.append(
+                F.sum(_CNT).over(w_all).cast("long").alias(n_total_col)
+            )
+        offsets = totals.select(*off_cols)
+
+        w_local = Window.partitionBy(bkt).orderBy(*s.order_by)
+        out = out.join(F.broadcast(offsets), bkt)
+        if s.rank_col is not None:
+            out = out.withColumn(
+                s.rank_col,
+                (F.col(cnt_off) + F.row_number().over(w_local)).cast("long"),
+            )
+        if s.cumsum is not None:
+            local = F.sum(s.cumsum[0]).over(
+                w_local.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            out = out.withColumn(
+                s.cumsum[1], F.coalesce(F.col(sum_off), F.lit(0)) + local
+            )
+        out = out.drop(bkt, cnt_off, sum_off)
+    return out
 
 
 def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:

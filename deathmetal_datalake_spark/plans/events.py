@@ -2198,39 +2198,45 @@ def events_rfm_quintiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-customer frame is cached: each rank pass evaluates it for
     # boundaries/totals/ranks, and it is |customers| ≪ |orders|.
     from deathmetal_datalake_spark.operators.ordering import (
+        OrderSpec,
         ntile_from_rank,
-        two_phase_order,
+        two_phase_order_multi,
     )
     from deathmetal_datalake_spark.plans.registry import session_cache
 
     per_cust = session_cache(per_cust)
     # recency_days and frequency are SMALL-DOMAIN values (days, order
     # counts) — massive tie groups at scale. sub_key=o_custkey (the
-    # tie-break) lets two_phase_order split heavy tie groups into
-    # balanced sub-buckets; the ranks stay bit-identical.
-    ranked = two_phase_order(
+    # tie-break) splits heavy tie groups into balanced sub-buckets; the
+    # ranks stay bit-identical. The FUSED multi-order form (round-10,
+    # NEXT #3) batches all three dimensions' boundary and sub-boundary
+    # quantiles into two plan-build actions total, instead of the six
+    # the serial form paid over the cached per-customer frame.
+    ranked = two_phase_order_multi(
         per_cust,
-        [F.asc("recency_days"), F.asc("o_custkey")],
-        F.col("recency_days"),
-        rank_col="r_rank",
+        [
+            OrderSpec(
+                [F.asc("recency_days"), F.asc("o_custkey")],
+                F.col("recency_days"),
+                rank_col="r_rank",
+                sub_key=F.col("o_custkey"),
+            ),
+            OrderSpec(
+                [F.desc("frequency"), F.asc("o_custkey")],
+                F.col("frequency"),
+                key_desc=True,
+                rank_col="f_rank",
+                sub_key=F.col("o_custkey"),
+            ),
+            OrderSpec(
+                [F.desc("monetary"), F.asc("o_custkey")],
+                F.col("monetary"),
+                key_desc=True,
+                rank_col="m_rank",
+                sub_key=F.col("o_custkey"),
+            ),
+        ],
         n_total_col="n_cust",
-        sub_key=F.col("o_custkey"),
-    )
-    ranked = two_phase_order(
-        ranked,
-        [F.desc("frequency"), F.asc("o_custkey")],
-        F.col("frequency"),
-        key_desc=True,
-        rank_col="f_rank",
-        sub_key=F.col("o_custkey"),
-    )
-    ranked = two_phase_order(
-        ranked,
-        [F.desc("monetary"), F.asc("o_custkey")],
-        F.col("monetary"),
-        key_desc=True,
-        rank_col="m_rank",
-        sub_key=F.col("o_custkey"),
     )
     n = F.col("n_cust")
     scored = ranked.select(

@@ -391,3 +391,85 @@ def test_grouped_quantiles_general_empty_frame(spark):
 
     df = spark.createDataFrame([], "g int, v double")
     assert grouped_quantiles_general(df, "g", F.col("v"), [0.5]).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# two_phase_order_multi: the fused multi-order form (round-10, NEXT #3)
+# — bit-identical to serial two_phase_order calls, and its plan build
+# pays at most TWO driver-side actions no matter how many specs.
+# ---------------------------------------------------------------------------
+
+
+def _actions_during(spark, fn):
+    """Run fn() and return (result, #driver-side ACTIONS it
+    triggered) — the action-count harness. Counts SQL executions, not
+    Spark jobs: under AQE one .first()/.collect() action fans out into
+    several jobs (one per query stage), so job counts over-report."""
+    store = spark._jsparkSession.sharedState().statusStore()
+    before = store.executionsCount()
+    out = fn()
+    return out, store.executionsCount() - before
+
+
+def test_multi_matches_serial_and_pays_two_actions(spark):
+    from deathmetal_datalake_spark.operators.ordering import (
+        OrderSpec,
+        two_phase_order_multi,
+    )
+
+    df = _frame(spark).select(
+        "id", "k", "v", ((F.col("id") * 13) % 7).alias("m")
+    )
+    specs = [
+        OrderSpec(
+            [F.asc("k"), F.asc("id")], F.col("k"),
+            rank_col="rk", sub_key=F.col("id"),
+        ),
+        OrderSpec(
+            [F.desc("m"), F.asc("id")], F.col("m"), key_desc=True,
+            rank_col="rm", cumsum=("v", "cm"), sub_key=F.col("id"),
+        ),
+        OrderSpec(
+            [F.desc("v"), F.asc("id")], F.col("v"), key_desc=True,
+            rank_col="rv", sub_key=F.col("id"),
+        ),
+    ]
+    fused, n_jobs = _actions_during(
+        spark,
+        lambda: two_phase_order_multi(
+            df, specs, n_total_col="n", num_partitions=8
+        ),
+    )
+    # Two batched actions regardless of spec count (boundaries + heavy
+    # sub-boundaries; k and m are tie-heavy so the sub action fires).
+    assert n_jobs <= 2, n_jobs
+    serial = df
+    for s in specs:
+        serial = two_phase_order(
+            serial, s.order_by, s.key, key_desc=s.key_desc,
+            rank_col=s.rank_col, cumsum=s.cumsum, sub_key=s.sub_key,
+            num_partitions=8,
+        )
+    n = df.count()
+    cols = ["id", "rk", "rm", "cm", "rv"]
+    # Collected-set comparison (not exceptAll): unioning the fused and
+    # serial plans into one query re-triggers the Catalyst self-join
+    # attribute-dedup binding bug the fused form itself avoids.
+    a = {tuple(r) for r in fused.select(*cols).collect()}
+    b = {tuple(r) for r in serial.select(*cols).collect()}
+    assert a == b
+    assert fused.select("n").distinct().collect()[0][0] == n
+
+
+def test_rfm_quintiles_plan_build_pays_two_actions(spark):
+    from deathmetal_datalake_spark.plans.events import events_rfm_quintiles
+    from deathmetal_datalake_spark.plans.registry import release_caches
+
+    try:
+        _, n_jobs = _actions_during(
+            spark,
+            lambda: events_rfm_quintiles(spark, "/root/testdata/sf0.001"),
+        )
+    finally:
+        release_caches()
+    assert n_jobs <= 2, n_jobs
