@@ -591,15 +591,32 @@ def grouped_quantiles_general(
 
     Boundary quality affects only balance, never results. NULL values
     are excluded (aggregate semantics); groups with no non-NULL values
-    contribute no rows. Caveat: a bucket whose boundaries collapsed
-    onto one heavy tie value is held by one task — tie-heavy domains
-    belong to :func:`grouped_quantiles_lowcard` instead.
+    contribute no rows.
+
+    Heavy tie values (round-10, NEXT #4): a per-group boundary value
+    hit by >= 2 bucket fractions marks a tie run holding >= ~1/buckets
+    of the group. Such a run can never be split by value boundaries —
+    but it does not need a window at all: every global rank landing
+    inside the run answers with the tie value ITSELF, known at plan
+    time from the boundary literals. Those ranks are answered directly;
+    the heavy rows are EXCLUDED from the windowed path entirely, so no
+    (group, bucket) task ever holds a heavy run (the lowcard caveat
+    this function used to carry is gone). A heavy value is the minimum
+    of its own bucket (bucket assignment is ``__v >= boundary`` and the
+    value IS a deduped boundary), so the per-bucket rank layout is
+    [heavy run][rest] and stays exactly reconstructible from the
+    (bucket, is-heavy) counts.
 
     Returns ``(<group_col>, frac DOUBLE, q DOUBLE)``.
     """
     import math
+    from collections import Counter
 
     spark = df.sparkSession
+    # Group type computed BEFORE the empty-frame early return so an
+    # empty result unions/joins cleanly with non-empty ones (a
+    # hardcoded DOUBLE group column broke STRING-grouped callers).
+    gtype = df.select(F.col(group_col).alias("__g")).schema[0].dataType.simpleString()
     vals = df.select(
         F.col(group_col).alias("__g"), value.cast("double").alias("__v")
     ).filter(F.col("__v").isNotNull())
@@ -612,60 +629,105 @@ def grouped_quantiles_general(
     )
     if not brows:
         return spark.createDataFrame(
-            [], f"__g double, frac double, q double"
+            [], f"__g {gtype}, frac double, q double"
         ).select(F.col("__g").alias(group_col), "frac", "q")
-    gtype = df.select(F.col(group_col).alias("__g")).schema[0].dataType.simpleString()
+    bounds_rows = []
+    heavy_by_group: dict = {}
+    bounds_by_group: dict = {}
+    for r in brows:
+        raw = [float(b) for b in (r["bs"] or []) if b is not None]
+        heavy = sorted(v for v, c in Counter(raw).items() if c >= 2)
+        heavy_by_group[r["__g"]] = heavy
+        bounds_by_group[r["__g"]] = sorted(set(raw))
+        bounds_rows.append((r["__g"], bounds_by_group[r["__g"]], heavy))
     bounds_df = spark.createDataFrame(
-        [(r["__g"], sorted({float(b) for b in (r["bs"] or []) if b is not None}))
-         for r in brows],
-        f"__g {gtype}, barr array<double>",
+        bounds_rows, f"__g {gtype}, barr array<double>, harr array<double>"
     )
-    tagged = vals.join(F.broadcast(bounds_df), "__g").withColumn(
-        "__b",
-        F.size(F.filter(F.col("barr"), lambda b: F.col("__v") >= b)).cast("long"),
-    ).drop("barr")
+    tagged = (
+        vals.join(F.broadcast(bounds_df), "__g")
+        .withColumn(
+            "__b",
+            F.size(
+                F.filter(F.col("barr"), lambda b: F.col("__v") >= b)
+            ).cast("long"),
+        )
+        .withColumn("__hv", F.array_contains(F.col("harr"), F.col("__v")))
+        .drop("barr", "harr")
+    )
 
-    counts = {
-        (r["__g"], r["__b"]): r["c"]
-        for r in tagged.groupBy("__g", "__b")
+    counts: dict = {}
+    for r in (
+        tagged.groupBy("__g", "__b", "__hv")
         .agg(F.count(F.lit(1)).alias("c"))
         .collect()
-    }
-    # Per group: cumulative bucket counts -> (bucket, local_rank) for
-    # every bracketing global rank of every fraction.
+    ):
+        counts[(r["__g"], r["__b"], r["__hv"])] = r["c"]
+    # Per group: cumulative layout [heavy run][rest] per bucket ->
+    # either a DIRECT answer (rank inside a heavy run: the run's value,
+    # known from the boundary literals) or a (bucket, local_rank)
+    # window target for every bracketing global rank of every fraction.
     per_group: dict = {}
-    for (g, b), c in counts.items():
-        per_group.setdefault(g, {})[b] = c
-    spec_rows = []  # (g, bucket, local_rank, frac, pos, role)
+    for (g, b, hv), c in counts.items():
+        bk = per_group.setdefault(g, {}).setdefault(b, [0, 0])
+        bk[1 if hv else 0] += c
+    spec_rows = []  # (g, bucket, local_rank_in_nonheavy, frac, pos, role)
+    direct_rows = []  # (g, frac, pos, role, value)
     for g, bks in per_group.items():
-        n = sum(bks.values())
+        n = sum(h + nh for nh, h in bks.values())
         order = sorted(bks)
+        # A heavy value is the min of its own bucket (bucket id = count
+        # of deduped boundaries <= v), so per-bucket layout under
+        # orderBy(__v) is [heavy run][non-heavy rest].
+        dedup_bounds = bounds_by_group[g]
+        heavy_of_bucket = {
+            sum(1 for bb in dedup_bounds if bb <= v): v
+            for v in heavy_by_group.get(g, [])
+        }
         cum_before = {}
         run = 0
         for b in order:
             cum_before[b] = run
-            run += bks[b]
+            run += bks[b][1] + bks[b][0]
         for f in fracs:
             pos = (n - 1) * float(f)
             for role, r in (("lo", math.floor(pos) + 1), ("hi", math.ceil(pos) + 1)):
                 for b in order:
-                    if cum_before[b] < r <= cum_before[b] + bks[b]:
-                        spec_rows.append(
-                            (g, b, r - cum_before[b], float(f), pos, role)
+                    nh, h = bks[b][0], bks[b][1]
+                    if not (cum_before[b] < r <= cum_before[b] + h + nh):
+                        continue
+                    lr = r - cum_before[b]
+                    if lr <= h:
+                        direct_rows.append(
+                            (g, float(f), pos, role, heavy_of_bucket[b])
                         )
-                        break
+                    else:
+                        spec_rows.append(
+                            (g, b, lr - h, float(f), pos, role)
+                        )
+                    break
     spec = spark.createDataFrame(
         spec_rows,
         f"__g {gtype}, __b long, __lr long, "
         "frac double, __pos double, __role string",
     )
+    # Window over NON-HEAVY rows only: heavy runs were answered above,
+    # so no partition holds a collapsed tie group.
     w = Window.partitionBy("__g", "__b").orderBy("__v")
+    nonheavy = tagged.filter(~F.col("__hv"))
     picked = (
-        tagged.join(F.broadcast(spec.select("__g", "__b").distinct()), ["__g", "__b"])
+        nonheavy.join(
+            F.broadcast(spec.select("__g", "__b").distinct()), ["__g", "__b"]
+        )
         .withColumn("__lr", F.row_number().over(w))
         .join(F.broadcast(spec), ["__g", "__b", "__lr"])
         .select("__g", "frac", "__pos", "__role", "__v")
     )
+    if direct_rows:
+        direct = spark.createDataFrame(
+            direct_rows,
+            f"__g {gtype}, frac double, __pos double, __role string, __v double",
+        )
+        picked = picked.unionByName(direct)
     piv = picked.groupBy("__g", "frac", "__pos").agg(
         F.max(F.when(F.col("__role") == "lo", F.col("__v"))).alias("__vlo"),
         F.max(F.when(F.col("__role") == "hi", F.col("__v"))).alias("__vhi"),

@@ -473,3 +473,71 @@ def test_rfm_quintiles_plan_build_pays_two_actions(spark):
     finally:
         release_caches()
     assert n_jobs <= 2, n_jobs
+
+
+def test_grouped_quantiles_general_tie_heavy_matches_lowcard(spark):
+    # Round-10 NEXT #4: one dominant value per group (the shape whose
+    # collapsed boundaries used to pin a single task) must produce
+    # bit-identical results to the lowcard form and the percentile
+    # aggregate — heavy runs are answered from boundary literals, and
+    # NO window partition contains the heavy mass.
+    import random
+
+    from deathmetal_datalake_spark.operators.ordering import (
+        grouped_quantiles_general,
+        grouped_quantiles_lowcard,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for _ in range(6000):
+        g = rng.randint(0, 5)
+        r = rng.random()
+        if r < 0.85:
+            v = float(g)              # dominant value: 85% of the group
+        elif r < 0.9:
+            v = None
+        else:
+            v = float(rng.randint(0, 20))
+        rows.append((g, v))
+    rows += [(9, 4.0)] * 50           # a group that is ONE value entirely
+    df = spark.createDataFrame(rows, "g int, v double")
+    fracs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    gen = {
+        (r["g"], r["frac"]): r["q"]
+        for r in grouped_quantiles_general(
+            df, "g", F.col("v"), fracs, buckets=8
+        ).collect()
+    }
+    low = {
+        (r["g"], r["frac"]): r["q"]
+        for r in grouped_quantiles_lowcard(df, "g", F.col("v"), fracs).collect()
+    }
+    assert gen == low
+    want_rows = df.groupBy("g").agg(
+        *[
+            F.expr(f"percentile(v, {f})").alias(f"p{i}")
+            for i, f in enumerate(fracs)
+        ]
+    ).collect()
+    want = {
+        (r["g"], f): r[f"p{i}"]
+        for r in want_rows
+        for i, f in enumerate(fracs)
+        if r[f"p{i}"] is not None
+    }
+    assert gen == want
+
+
+def test_grouped_quantiles_general_empty_frame_keeps_group_type(spark):
+    # ADVICE r9: the empty-frame early return used to hardcode the
+    # group column as DOUBLE; a STRING-grouped caller unioning an empty
+    # result hit a schema mismatch.
+    from deathmetal_datalake_spark.operators.ordering import (
+        grouped_quantiles_general,
+    )
+
+    df = spark.createDataFrame([], "g string, v double")
+    out = grouped_quantiles_general(df, "g", F.col("v"), [0.5])
+    assert out.schema["g"].dataType.simpleString() == "string"
+    assert out.count() == 0
