@@ -1038,15 +1038,23 @@ def tiff_decode(content: bytes):
     if ifd_off + 2 > len(b):
         raise ValueError("truncated TIFF IFD offset")
     (n_entries,) = struct.unpack_from(bo + "H", b, ifd_off)
+    if ifd_off + 2 + 12 * n_entries > len(b):
+        raise ValueError("truncated TIFF IFD entry table")
 
     _TYPE_SIZE = {1: 1, 3: 2, 4: 4}
 
     def entry_values(pos: int):
+        # Every offset is bounds-checked before unpacking so a corrupt
+        # IFD or value offset raises the documented ValueError, never a
+        # bare struct.error that bypasses callers' quarantine routing
+        # (ADVICE r9).
         tag, typ, cnt = struct.unpack_from(bo + "HHI", b, pos)
         if typ not in _TYPE_SIZE:
             return tag, None
         size = _TYPE_SIZE[typ] * cnt
         off = pos + 8 if size <= 4 else struct.unpack_from(bo + "I", b, pos + 8)[0]
+        if off + size > len(b):
+            raise ValueError(f"TIFF tag {tag} value offset out of range")
         fmt = {1: "B", 3: "H", 4: "I"}[typ]
         vals = struct.unpack_from(bo + str(cnt) + fmt, b, off)
         return tag, list(vals)

@@ -1200,16 +1200,39 @@ _PROFILE_TABLES: dict[str, list[str]] = {
     "events": ["event_id", "user_id", "event_type", "value"],
 }
 
+# DOUBLE columns cross engines as strings via a fixed-precision
+# DECIMAL(24,6) cast (both engines render identical full-scale digits);
+# a raw double->VARCHAR differs between Spark's Java repr and DuckDB's
+# formatter once values leave the plain range (scientific notation
+# below 1e-3 / at 1e7) — ADVICE r9. Data values are exact 2-decimal, so
+# ROUND(x,6) loses nothing.
+_PROFILE_DOUBLE_COLS = {"c_acctbal", "s_acctbal", "p_retailprice", "value"}
+
+
+def _mt_render_sql(c: str) -> str:
+    if c in _PROFILE_DOUBLE_COLS:
+        return f"CAST(CAST(ROUND({{agg}}({c}), 6) AS DECIMAL(24,6)) AS VARCHAR)"
+    return f"CAST({{agg}}({c}) AS VARCHAR)"
+
+
 _PROFILE_MT_SQL = "\nUNION ALL\n".join(
     f"""SELECT '{t}' AS table_name, '{c}' AS column_name, COUNT(*) AS n_rows,
        CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
-       CAST(MIN({c}) AS VARCHAR) AS min_value,
-       CAST(MAX({c}) AS VARCHAR) AS max_value
+       {_mt_render_sql(c).format(agg="MIN")} AS min_value,
+       {_mt_render_sql(c).format(agg="MAX")} AS max_value
 FROM {t}"""
     for t, cols in _PROFILE_TABLES.items()
     for c in cols
 ) + "\nORDER BY table_name, column_name"
+
+
+def _mt_render(col, c: str):
+    from pyspark.sql import functions as F
+
+    if c in _PROFILE_DOUBLE_COLS:
+        return F.round(col, 6).cast("decimal(24,6)").cast("string")
+    return col.cast("string")
 
 
 @register("dq_column_profile_multitable", oracle=_PROFILE_MT_SQL)
@@ -1231,8 +1254,8 @@ def dq_column_profile_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .cast("long")
                     .alias("n_nulls"),
                     F.countDistinct(c).cast("long").alias("n_distinct"),
-                    F.min(c).cast("string").alias("min_value"),
-                    F.max(c).cast("string").alias("max_value"),
+                    _mt_render(F.min(c), c).alias("min_value"),
+                    _mt_render(F.max(c), c).alias("max_value"),
                 )
             )
     out = frames[0]

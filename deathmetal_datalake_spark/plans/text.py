@@ -2761,9 +2761,14 @@ sc AS (
     SELECT b.doc_id, b.lang,
            -- P = (n1*d2 + n2*d1) / (2*d1*d2); bigram n1/d1 uses the
            -- raw counts (0 allowed: unigram floor carries it),
-           -- unigram n2/d2 = c(w2)/N.
-           cb.c12 * tot.nt + cu.cw * c1.cw AS num,
-           2 * c1.cw * tot.nt AS den
+           -- unigram n2/d2 = c(w2)/N. 128-bit accumulation (ADVICE
+           -- r9): c12*nt can exceed 2^63 at corpus scale — HUGEINT
+           -- here, DECIMAL(38,0) on the Spark side, both exact; the
+           -- QUOTIENT den/num is bounded by 2*cw1, so only the
+           -- products need width.
+           CAST(cb.c12 AS HUGEINT) * CAST(tot.nt AS HUGEINT)
+               + CAST(cu.cw AS HUGEINT) * CAST(c1.cw AS HUGEINT) AS num,
+           2 * CAST(c1.cw AS HUGEINT) * CAST(tot.nt AS HUGEINT) AS den
     FROM bg b
     JOIN cb USING (w1, w2)
     JOIN c1 ON c1.w = b.w1
@@ -2771,7 +2776,7 @@ sc AS (
 ),
 bits AS (
     SELECT doc_id, lang,
-           LENGTH(printf('%b', den // num)) - 1 AS s
+           LENGTH(printf('%b', CAST(den // num AS BIGINT))) - 1 AS s
     FROM sc WHERE num > 0
 ),
 perdoc AS (
@@ -2821,16 +2826,30 @@ def text_interpolated_lm_surprisal(
         .select(
             "doc_id",
             "lang",
-            (F.col("c12") * F.col("nt") + F.col("cw2") * F.col("cw1"))
-            .cast("long")
-            .alias("num"),
-            (F.lit(2) * F.col("cw1") * F.col("nt")).cast("long").alias("den"),
+            # decimal(19,0) inputs -> decimal(38,0) products: exact up
+            # to ~8.5e37, covering c12*nt at any corpus size whose
+            # counts fit BIGINT (the raw long product wrapped silently
+            # on Spark and errored on DuckDB — ADVICE r9). The div
+            # below is Spark's exact decimal integral divide; the
+            # quotient is bounded by 2*cw1, far inside BIGINT.
+            (
+                F.col("c12").cast("decimal(19,0)") * F.col("nt").cast("decimal(19,0)")
+                + F.col("cw2").cast("decimal(19,0)")
+                * F.col("cw1").cast("decimal(19,0)")
+            ).alias("num"),
+            (
+                F.lit(2).cast("decimal(19,0)")
+                * F.col("cw1").cast("decimal(19,0)")
+                * F.col("nt").cast("decimal(19,0)")
+            ).alias("den"),
         )
     )
     bits = sc.filter(F.col("num") > 0).select(
         "doc_id",
         "lang",
-        (F.length(F.bin(F.expr("den div num"))) - 1).cast("long").alias("s"),
+        (F.length(F.bin(F.expr("CAST(den div num AS BIGINT)"))) - 1)
+        .cast("long")
+        .alias("s"),
     )
     perdoc = bits.groupBy("doc_id", "lang").agg(
         F.count(F.lit(1)).alias("n_bigrams"), davg("s", "mean_bits")

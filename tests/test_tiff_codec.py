@@ -303,3 +303,40 @@ def test_media_average_hash_dispatch_matches_specific_decoders(spark):
         for r in perceptual_hashes(df, hasher=media_average_hash).collect()
     }
     assert got == {k: media_average_hash(v) for k, v in payloads.items()}
+
+
+def test_malformed_payloads_raise_valueerror_never_struct_error():
+    # ADVICE r9: a corrupt IFD / out-of-range value offset used to
+    # escape as struct.error, bypassing callers that catch ValueError
+    # for quarantine routing. Fuzz the header fields and truncations:
+    # ONLY ValueError may escape.
+    import numpy as np
+
+    from deathmetal_datalake_spark.operators.multimodal import tiff_decode
+
+    img = (np.arange(48, dtype=np.int64).reshape(6, 8) * 5) % 256
+    good = bytearray(_encode_tiff(img))
+    cases = []
+    # Truncations at every interesting boundary.
+    for cut in (3, 7, 8, 9, 11, 16, len(good) // 2, len(good) - 1):
+        cases.append(bytes(good[:cut]))
+    # Corrupt the IFD offset to point far out of range / mid-file.
+    for off in (0xFFFFFFF0, len(good) + 1, len(good) - 3):
+        c = bytearray(good)
+        c[4:8] = off.to_bytes(4, "little")
+        cases.append(bytes(c))
+    # Corrupt the entry count so the table runs off the payload.
+    (ifd_off,) = (int.from_bytes(good[4:8], "little"),)
+    c = bytearray(good)
+    c[ifd_off : ifd_off + 2] = (60000).to_bytes(2, "little")
+    cases.append(bytes(c))
+    # Corrupt a value offset inside the first IFD entry.
+    c = bytearray(good)
+    c[ifd_off + 2 + 8 : ifd_off + 2 + 12] = (0xFFFFFF00).to_bytes(4, "little")
+    cases.append(bytes(c))
+    for payload in cases:
+        try:
+            tiff_decode(payload)
+        except ValueError:
+            pass  # the documented contract
+        # anything else (struct.error, IndexError, ...) fails the test
