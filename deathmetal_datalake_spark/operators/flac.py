@@ -1,0 +1,499 @@
+"""REAL stdlib FLAC codec — fixed/verbatim prediction + Rice coding,
+pure integer math, no codec libs (the PNG/JPEG pattern applied to
+lossless audio; round-10, closing the last stdlib-reachable codec-seam
+item — MP3/H.264 genuinely need external libs and stay stubbed).
+
+Implements the subset a lossless PCM corpus needs, per the public FLAC
+format (RFC 9639): STREAMINFO parsing, fixed-blocking frames, subframe
+types CONSTANT / VERBATIM / FIXED orders 0-4, both Rice residual
+methods (4- and 5-bit parameters) including the escape-to-raw form,
+arbitrary partition orders, wasted-bits shifting, 8/16/24-bit depths,
+and up to 8 independently-coded channels. Every integrity field is
+verified — header CRC-8 (poly 0x07), frame CRC-16 (poly 0x8005), and
+the STREAMINFO MD5 of the decoded stream — raising ``ValueError`` on
+any mismatch so a corrupt corpus fails loudly (the same contract as
+``wav_pcm_decode``/``tiff_decode``). LPC subframes and inter-channel
+decorrelation (left/side, right/side, mid/side) raise ``ValueError``
+as documented unsupported variants.
+
+``flac_encode`` is the test-side synthesizer (the WAV-vs-``wave``
+round-trip pattern): fixed-order prediction chosen per block by exact
+cost, Rice parameter swept exactly, VERBATIM/CONSTANT fallbacks —
+enough to produce real, spec-valid streams for the decoder tests and
+the Arrow-path end-to-end checks.
+
+Reference parity: the reference pipeline treats media as opaque binary
+columns and defers decode to external tooling; this codec makes the
+decode stage real for lossless audio the same way the PNG/TIFF/JPEG
+decoders did for images (reference analog: its notebooks' media
+passthrough, e.g. datalake/flows/bronze.py's untyped blob columns).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for byte in data:
+        crc ^= byte
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for byte in data:
+        crc ^= byte << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+            )
+    return crc
+
+
+class _BitReader:
+    """MSB-first bit reader with byte-position access (CRC spans)."""
+
+    def __init__(self, b: bytes, pos: int = 0):
+        self.b = b
+        self.pos = pos  # byte position
+        self.bit = 0  # bits consumed within current byte
+
+    def read(self, n: int) -> int:
+        out = 0
+        while n:
+            if self.pos >= len(self.b):
+                raise ValueError("truncated FLAC bitstream")
+            avail = 8 - self.bit
+            take = min(n, avail)
+            cur = self.b[self.pos]
+            out = (out << take) | ((cur >> (avail - take)) & ((1 << take) - 1))
+            self.bit += take
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+            n -= take
+        return out
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v & (1 << (n - 1)) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self):
+        if self.bit:
+            self.bit = 0
+            self.pos += 1
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.cur = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int):
+        for i in range(n - 1, -1, -1):
+            self.cur = (self.cur << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.cur)
+                self.cur = 0
+                self.nbits = 0
+
+    def align(self):
+        if self.nbits:
+            self.cur <<= 8 - self.nbits
+            self.out.append(self.cur)
+            self.cur = 0
+            self.nbits = 0
+
+    def bytes(self) -> bytes:
+        self.align()
+        return bytes(self.out)
+
+
+# Fixed-predictor residual: res_n[i] = n-th order forward difference.
+_FIXED_COEF = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+_BLOCKSIZE_TABLE = {
+    1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+    13: 8192, 14: 16384, 15: 32768,
+}
+
+_SAMPLE_SIZE_TABLE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def _read_coded_number(r: _BitReader) -> int:
+    """The UTF-8-like extended coded number in frame headers."""
+    first = r.read(8)
+    if first < 0x80:
+        return first
+    n_follow = 0
+    mask = 0x40
+    while first & mask:
+        n_follow += 1
+        mask >>= 1
+    if n_follow < 1 or n_follow > 6:
+        raise ValueError("invalid FLAC coded frame number")
+    val = first & (mask - 1)
+    for _ in range(n_follow):
+        byte = r.read(8)
+        if byte & 0xC0 != 0x80:
+            raise ValueError("invalid FLAC coded frame number continuation")
+    # value bits accumulate 6 per continuation byte
+        val = (val << 6) | (byte & 0x3F)
+    return val
+
+
+def _decode_subframe(r: _BitReader, n: int, bps: int) -> list[int]:
+    if r.read(1) != 0:
+        raise ValueError("FLAC subframe padding bit set")
+    stype = r.read(6)
+    wasted = 0
+    if r.read(1):
+        wasted = r.read_unary() + 1
+    eff = bps - wasted
+    if stype == 0:  # CONSTANT
+        v = r.read_signed(eff)
+        samples = [v] * n
+    elif stype == 1:  # VERBATIM
+        samples = [r.read_signed(eff) for _ in range(n)]
+    elif 8 <= stype <= 12:  # FIXED order 0-4
+        order = stype - 8
+        if order > n:
+            raise ValueError("FLAC fixed order exceeds block size")
+        warm = [r.read_signed(eff) for _ in range(order)]
+        res = _decode_residual(r, n, order)
+        samples = warm[:]
+        coef = _FIXED_COEF[order]
+        for i in range(order, n):
+            pred = sum(c * samples[i - 1 - j] for j, c in enumerate(coef))
+            samples.append(res[i - order] + pred)
+    elif stype >= 32:
+        raise ValueError("unsupported FLAC subframe type LPC (external-lib tier)")
+    else:
+        raise ValueError(f"reserved FLAC subframe type {stype}")
+    if wasted:
+        samples = [s << wasted for s in samples]
+    return samples
+
+
+def _decode_residual(r: _BitReader, n: int, order: int) -> list[int]:
+    method = r.read(2)
+    if method not in (0, 1):
+        raise ValueError(f"reserved FLAC residual method {method}")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    po = r.read(4)
+    nparts = 1 << po
+    if n % nparts:
+        raise ValueError("FLAC block size not divisible by partition count")
+    if (n >> po) < order:
+        raise ValueError("invalid FLAC partition order")
+    res: list[int] = []
+    for part in range(nparts):
+        cnt = (n >> po) - (order if part == 0 else 0)
+        if cnt < 0:
+            raise ValueError("invalid FLAC partition layout")
+        param = r.read(pbits)
+        if param == escape:
+            raw = r.read(5)
+            for _ in range(cnt):
+                res.append(r.read_signed(raw) if raw else 0)
+        else:
+            for _ in range(cnt):
+                q = r.read_unary()
+                v = (q << param) | (r.read(param) if param else 0)
+                res.append((v >> 1) ^ -(v & 1))
+    return res
+
+
+def flac_decode(content: bytes):
+    """Decode a FLAC payload to per-channel int64 samples. Returns
+    ``(samples, sample_rate, n_channels)`` where ``samples`` is the
+    FIRST channel as a numpy int64 array (the ``wav_pcm_decode``
+    convention). Raises ``ValueError`` on non-FLAC payloads, CRC or
+    MD5 mismatches, and documented-unsupported variants (LPC,
+    inter-channel decorrelation)."""
+    import numpy as np
+
+    b = bytes(content)
+    if len(b) < 42 or b[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    # Metadata blocks; STREAMINFO is mandatory first.
+    pos = 4
+    streaminfo = None
+    while True:
+        if pos + 4 > len(b):
+            raise ValueError("truncated FLAC metadata")
+        hdr = b[pos]
+        last = hdr & 0x80
+        btype = hdr & 0x7F
+        (ln,) = struct.unpack(">I", b"\x00" + b[pos + 1 : pos + 4])
+        body = b[pos + 4 : pos + 4 + ln]
+        if len(body) < ln:
+            raise ValueError("truncated FLAC metadata block")
+        if btype == 0:
+            streaminfo = body
+        pos += 4 + ln
+        if last:
+            break
+    if streaminfo is None or len(streaminfo) < 34:
+        raise ValueError("FLAC STREAMINFO missing")
+    r = _BitReader(streaminfo)
+    r.read(16)  # min block size
+    r.read(16)  # max block size
+    r.read(24)  # min frame size
+    r.read(24)  # max frame size
+    sample_rate = r.read(20)
+    n_channels = r.read(3) + 1
+    bps = r.read(5) + 1
+    total = r.read(36)
+    md5_expect = streaminfo[18:34]
+    if bps not in (8, 16, 24):
+        raise ValueError(f"unsupported FLAC bits-per-sample {bps}")
+
+    channels: list[list[int]] = [[] for _ in range(n_channels)]
+    while pos < len(b):
+        frame_start = pos
+        r = _BitReader(b, pos)
+        sync = r.read(14)
+        if sync != 0b11111111111110:
+            raise ValueError("bad FLAC frame sync")
+        if r.read(1):
+            raise ValueError("reserved FLAC frame bit set")
+        r.read(1)  # blocking strategy
+        bs_code = r.read(4)
+        sr_code = r.read(4)
+        chan_code = r.read(4)
+        ss_code = r.read(3)
+        if r.read(1):
+            raise ValueError("reserved FLAC frame bit set")
+        _read_coded_number(r)
+        if bs_code == 0:
+            raise ValueError("reserved FLAC block size code")
+        elif bs_code == 6:
+            block = r.read(8) + 1
+        elif bs_code == 7:
+            block = r.read(16) + 1
+        else:
+            block = _BLOCKSIZE_TABLE[bs_code]
+        if sr_code == 12:
+            r.read(8)
+        elif sr_code in (13, 14):
+            r.read(16)
+        elif sr_code == 15:
+            raise ValueError("invalid FLAC sample rate code")
+        frame_bps = _SAMPLE_SIZE_TABLE.get(ss_code, bps) if ss_code else bps
+        if ss_code == 3:
+            raise ValueError("reserved FLAC sample size code")
+        r.align()
+        header_bytes = b[frame_start : r.pos]
+        crc8 = r.read(8)
+        if crc8 != _crc8(header_bytes):
+            raise ValueError("FLAC frame header CRC-8 mismatch")
+        if chan_code >= 8:
+            raise ValueError(
+                "unsupported FLAC channel decorrelation (left/mid/right-side)"
+            )
+        if chan_code + 1 != n_channels:
+            raise ValueError("FLAC frame channel count disagrees with STREAMINFO")
+        for ch in range(n_channels):
+            channels[ch].extend(_decode_subframe(r, block, frame_bps))
+        r.align()
+        body_bytes = b[frame_start : r.pos]
+        crc16 = r.read(16)
+        if crc16 != _crc16(body_bytes):
+            raise ValueError("FLAC frame CRC-16 mismatch")
+        pos = r.pos
+
+    if total and any(len(c) != total for c in channels):
+        raise ValueError("FLAC decoded sample count disagrees with STREAMINFO")
+    # MD5 check: interleaved little-endian signed samples, bps/8 bytes.
+    if md5_expect != b"\x00" * 16:
+        m = hashlib.md5()
+        width = bps // 8
+        ntot = len(channels[0])
+        buf = bytearray()
+        for i in range(ntot):
+            for ch in range(n_channels):
+                buf += int(channels[ch][i]).to_bytes(width, "little", signed=True)
+        m.update(bytes(buf))
+        if m.digest() != md5_expect:
+            raise ValueError("FLAC MD5 mismatch (corrupt or mis-decoded stream)")
+    return np.array(channels[0], dtype=np.int64), sample_rate, n_channels
+
+
+def flac_pcm_decode(content: bytes):
+    """First-channel samples as int64 — the ``wav_pcm_decode``-shaped
+    entry the audio stages dispatch to."""
+    samples, _, _ = flac_decode(content)
+    return samples
+
+
+# ---------------------------------------------------------------------------
+# Encoder (test-side synthesizer)
+# ---------------------------------------------------------------------------
+
+
+def _rice_cost(res: list[int], param: int) -> int:
+    cost = 0
+    for v in res:
+        u = (v << 1) if v >= 0 else ((-v) << 1) - 1
+        cost += (u >> param) + 1 + param
+    return cost
+
+
+def _best_rice(res: list[int]) -> tuple[int, int]:
+    best_p, best_c = 0, None
+    for p in range(15):
+        c = _rice_cost(res, p)
+        if best_c is None or c < best_c:
+            best_p, best_c = p, c
+    return best_p, best_c
+
+
+def flac_encode(
+    samples,
+    *,
+    sample_rate: int = 8000,
+    bits: int = 16,
+    block_size: int = 256,
+    channels=None,
+) -> bytes:
+    """Encode signed integer samples (one mono list/array, or a list of
+    per-channel sequences via ``channels``) into a spec-valid FLAC
+    stream: independent channels, fixed blocking, FIXED order 0-2 /
+    CONSTANT / VERBATIM subframes chosen by exact cost, Rice partition
+    order 0 with an exact parameter sweep, real CRC-8/CRC-16 and
+    STREAMINFO MD5."""
+    chans = channels if channels is not None else [samples]
+    chans = [[int(s) for s in c] for c in chans]
+    n_ch = len(chans)
+    ntot = len(chans[0])
+    if any(len(c) != ntot for c in chans):
+        raise ValueError("channel length mismatch")
+    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    for c in chans:
+        for s in c:
+            if not lo <= s <= hi:
+                raise ValueError("sample out of range for bit depth")
+
+    out = bytearray(b"fLaC")
+    w = _BitWriter()
+    w.write(block_size, 16)
+    w.write(block_size, 16)
+    w.write(0, 24)
+    w.write(0, 24)
+    w.write(sample_rate, 20)
+    w.write(n_ch - 1, 3)
+    w.write(bits - 1, 5)
+    w.write(ntot, 36)
+    info = w.bytes()
+    m = hashlib.md5()
+    width = bits // 8
+    buf = bytearray()
+    for i in range(ntot):
+        for c in chans:
+            buf += int(c[i]).to_bytes(width, "little", signed=True)
+    m.update(bytes(buf))
+    out += bytes([0x80]) + (34).to_bytes(3, "big") + info + m.digest()
+
+    ss_code = {8: 1, 16: 4, 24: 6}[bits]
+    frame_no = 0
+    for start in range(0, ntot, block_size):
+        blk = [c[start : start + block_size] for c in chans]
+        n = len(blk[0])
+        w = _BitWriter()
+        w.write(0b11111111111110, 14)
+        w.write(0, 1)
+        w.write(0, 1)  # fixed blocking
+        w.write(7, 4)  # 16-bit block size - 1 at header end
+        w.write(0, 4)  # sample rate from STREAMINFO
+        w.write(n_ch - 1, 4)
+        w.write(ss_code, 3)
+        w.write(0, 1)
+        if frame_no < 0x80:
+            w.write(frame_no, 8)
+        else:  # 2-byte UTF-8-like form (plenty for tests)
+            w.write(0b110, 3)
+            w.write(frame_no >> 6, 5)
+            w.write(0b10, 2)
+            w.write(frame_no & 0x3F, 6)
+        w.write(n - 1, 16)
+        header = w.bytes()
+        frame = bytearray(header)
+        frame.append(_crc8(bytes(frame)))
+        w = _BitWriter()
+        for c in blk:
+            _encode_subframe(w, c, bits)
+        frame += w.bytes()
+        frame += _crc16(bytes(frame)).to_bytes(2, "big")
+        out += frame
+        frame_no += 1
+    return bytes(out)
+
+
+def _encode_subframe(w: _BitWriter, samples: list[int], bps: int):
+    n = len(samples)
+    if all(s == samples[0] for s in samples):
+        w.write(0, 1)
+        w.write(0, 6)  # CONSTANT
+        w.write(0, 1)
+        w.write(samples[0] & ((1 << bps) - 1), bps)
+        return
+    best = None  # (cost, order, res, param)
+    for order in range(0, 3):
+        if n <= order:
+            continue
+        # order-k fixed-predictor residual == k-th forward difference;
+        # after k passes res has n-k entries, warmup = samples[:order].
+        res = list(samples)
+        for _ in range(order):
+            res = [res[i] - res[i - 1] for i in range(1, len(res))]
+        param, cost = _best_rice(res)
+        cost += order * bps
+        if best is None or cost < best[0]:
+            best = (cost, order, res, param)
+    verbatim_cost = n * bps
+    if best is None or best[0] >= verbatim_cost:
+        w.write(0, 1)
+        w.write(1, 6)  # VERBATIM
+        w.write(0, 1)
+        for s in samples:
+            w.write(s & ((1 << bps) - 1), bps)
+        return
+    _, order, res, param = best
+    w.write(0, 1)
+    w.write(8 + order, 6)  # FIXED
+    w.write(0, 1)
+    for s in samples[:order]:
+        w.write(s & ((1 << bps) - 1), bps)
+    w.write(0, 2)  # rice method 0 (4-bit params)
+    w.write(0, 4)  # partition order 0
+    w.write(param, 4)
+    for v in res:
+        u = (v << 1) if v >= 0 else ((-v) << 1) - 1
+        q = u >> param
+        for _ in range(q):
+            w.write(0, 1)
+        w.write(1, 1)
+        if param:
+            w.write(u & ((1 << param) - 1), param)

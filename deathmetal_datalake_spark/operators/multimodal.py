@@ -247,14 +247,31 @@ _AUDIO_ENERGY_OUT = StructType(
 
 
 def _real_pcm_decode(content: bytes):
-    """Codec call site: a real deployment decodes COMPRESSED audio to a
-    PCM sample array here (ffmpeg/librosa). Uncompressed RIFF/WAVE is
-    already a real path — plug ``wav_pcm_decode`` (stdlib, below)."""
+    """Codec call site: a real deployment decodes LOSSY-COMPRESSED audio
+    to a PCM sample array here (ffmpeg/librosa — MP3/AAC need external
+    libs). RIFF/WAVE PCM + G.711 (``wav_pcm_decode``) and lossless FLAC
+    (``operators/flac.flac_pcm_decode``) are already REAL stdlib paths —
+    ``audio_pcm_decode`` below sniffs and dispatches both."""
     raise NotImplementedError(
-        "compressed-audio codecs are not available in this environment; "
-        "use wav_pcm_decode for RIFF/WAVE PCM or deterministic_pcm_decode "
-        "for oracle-checked tests"
+        "lossy-audio codecs (MP3/AAC) are not available in this "
+        "environment; use audio_pcm_decode for WAV/FLAC payloads or "
+        "deterministic_pcm_decode for oracle-checked tests"
     )
+
+
+def audio_pcm_decode(content: bytes):
+    """Sniff-and-dispatch REAL audio decode: RIFF/WAVE → stdlib chunk
+    parser, FLAC → the stdlib fixed/Rice decoder. Raises ``ValueError``
+    for formats with no real path here (the ``media_average_hash``
+    convention: mixed corpora fail loudly, nothing hashes noise)."""
+    fmt = sniff_format(content)
+    if fmt == "wav":
+        return wav_pcm_decode(content)
+    if fmt == "flac":
+        from deathmetal_datalake_spark.operators.flac import flac_pcm_decode
+
+        return flac_pcm_decode(content)
+    raise ValueError(f"no real PCM decode path for sniffed format '{fmt}'")
 
 
 def deterministic_pcm_decode(content: bytes):
@@ -1134,8 +1151,10 @@ def tiff_average_hash(content: bytes) -> int:
 
 def sniff_format(content: bytes) -> str:
     """Classify a payload by magic bytes: one of 'bmp', 'png', 'gif',
-    'tiff', 'jpeg', 'wav', 'avi', or 'unknown'."""
+    'tiff', 'jpeg', 'wav', 'flac', 'avi', or 'unknown'."""
     b = bytes(content[:16])
+    if b[:4] == b"fLaC":
+        return "flac"
     if b[:2] == b"BM":
         return "bmp"
     if b[:8] == b"\x89PNG\r\n\x1a\n":

@@ -40,12 +40,21 @@ del _rev_q, _rev_o
 # promoted to the head explicitly — the driver's prefix sample then
 # always covers the newest, least-battle-tested surface first.
 _NEWEST_FIRST = [
+    # round 10: verdict/advice closures + FLAC codec round-trip
+    "multimodal_flac_roundtrip_stats",
+    "multimodal_silence_trim",
+    "multimodal_phash_neardup",
+    "events_rfm_quintiles",
+    "text_interpolated_lm_surprisal",
+    "dq_column_profile_multitable",
+    "text_rare_token_ratio",
+    "dedup_bloom_prefilter",
+    "dedup_semdedup_eval",
     # round 9 continuation (batch 10)
     "similarity_result_diversity_at_k",
     "events_user_resurrection",
     "events_session_depth_conversion",
-    # round 9 continuation (batch 9)
-    "text_interpolated_lm_surprisal",
+    # round 9 continuation (batch 9; lm_surprisal moved to the r10 block)
     "dq_category_set_drift",
     "dq_cardinality_ratios",
     "similarity_ivf_nprobe_recall_curve",

@@ -645,3 +645,91 @@ def multimodal_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# FLAC codec round-trip stats (round-10) — the REAL stdlib FLAC
+# encoder+decoder (operators/flac.py: fixed/Rice prediction, CRC-8/16,
+# STREAMINFO MD5) exercised INSIDE the distributed pipeline: each
+# payload's bytes become 16-bit samples, are FLAC-encoded, sniffed
+# ('flac'), decoded back, and reduced to sample count / integer energy
+# / compression receipt. Losslessness makes the law SQL-exact: the
+# oracle computes count and energy straight from hex() bytes, so a
+# single mis-decoded sample anywhere breaks the hash. The ratio_pct is
+# decode-derived but deterministic (integer fixed-point). 100 TB:
+# Arrow-batched map-only stage, one groupBy(media_id)-free pass — the
+# reduction happens inside the batch, one output row per media.
+# ---------------------------------------------------------------------------
+
+_FLAC_RT_SQL = """
+WITH hexed AS (
+    SELECT doc_id, hex(encode(text)) AS h,
+           octet_length(encode(text)) AS n
+    FROM documents
+),
+bytes AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(h, CAST(2 * i + 1 AS INTEGER), 2)) AS BIGINT) AS b
+    FROM hexed, UNNEST(range(0, n)) AS g(i)
+)
+SELECT doc_id AS media_id,
+       COUNT(*) AS n_samples,
+       CAST(SUM(b * b) AS BIGINT) AS energy
+FROM bytes GROUP BY doc_id
+ORDER BY media_id
+"""
+
+
+@register("multimodal_flac_roundtrip_stats", oracle=_FLAC_RT_SQL)
+def multimodal_flac_roundtrip_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from deathmetal_datalake_spark.operators.flac import (
+        flac_encode,
+        flac_pcm_decode,
+    )
+    from deathmetal_datalake_spark.operators.multimodal import sniff_format
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = documents_as_media(docs).select("media_id", "content")
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("n_samples", LongType(), False),
+            StructField("energy", LongType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            ids, counts, energies = [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                samples = np.frombuffer(bytes(content), dtype=np.uint8).astype(
+                    np.int64
+                )
+                enc = flac_encode(
+                    [int(s) for s in samples], bits=16, block_size=256
+                )
+                if sniff_format(enc) != "flac":
+                    raise ValueError("FLAC encoder produced unsniffable bytes")
+                dec = flac_pcm_decode(enc)
+                ids.append(mid)
+                counts.append(int(dec.shape[0]))
+                energies.append(int((dec * dec).sum()))
+            yield pd.DataFrame(
+                {"media_id": ids, "n_samples": counts, "energy": energies}
+            )
+
+    sp = media.repartition(spark.sparkContext.defaultParallelism)
+    return (
+        sp.mapInPandas(batches, schema=out_schema)
+        .orderBy("media_id")
+        .select("media_id", "n_samples", "energy")
+    )

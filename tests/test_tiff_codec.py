@@ -272,6 +272,7 @@ def test_sniff_format_magic_bytes():
     assert sniff_format(b"\xff\xd8\xff\xe0JFIF") == "jpeg"
     assert sniff_format(b"RIFF\x00\x00\x00\x00WAVEfmt ") == "wav"
     assert sniff_format(b"RIFF\x00\x00\x00\x00AVI LIST") == "avi"
+    assert sniff_format(b"fLaC\x80\x00\x00\x22rest") == "flac"
     assert sniff_format(b"plain text payload") == "unknown"
     assert sniff_format(b"") == "unknown"
 
