@@ -40,6 +40,11 @@ del _rev_q, _rev_o
 # promoted to the head explicitly — the driver's prefix sample then
 # always covers the newest, least-battle-tested surface first.
 _NEWEST_FIRST = [
+    # round 10 batch 2: nonparametric drift/trend statistics
+    "dq_mannwhitney_value_drift",
+    "dq_ks_two_sample_drift",
+    "events_cusum_changepoint",
+    "orders_theil_sen_weekly_trend",
     # round 10: verdict/advice closures + FLAC codec round-trip
     "multimodal_flac_roundtrip_stats",
     "multimodal_silence_trim",

@@ -1405,3 +1405,256 @@ def dq_cardinality_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pair")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U value drift (round 10) — the NONPARAMETRIC two-sample
+# drift test the chi-square binning misses: did the VALUE DISTRIBUTION
+# shift between the observation window's first and second half,
+# without assuming any distribution or bin layout? Rank-sum math is
+# done entirely on integers: per DISTINCT value the tie group's rank
+# contribution is n_a(v) * (2*cum_before + cnt + 1) (doubled ranks, so
+# tie-averaged ranks of .5 stay integral), accumulated in DECIMAL(38,0)
+# / HUGEINT (products reach N^2). The z-score uses the tie-corrected
+# variance; every double is derived from the same exact integers via
+# the VARCHAR-parse crossing, so ROUND(z, 6) agrees bit-for-bit.
+# 100 TB: the distinct-value frame is data-proportional, so its running
+# count uses the two-phase distributed cumsum — no single-task sort.
+# ---------------------------------------------------------------------------
+
+_MWU_SQL = """
+WITH b AS (
+    SELECT CAST(FLOOR(epoch(CAST(MIN(ts) AS TIMESTAMP))) AS BIGINT) AS lo,
+           CAST(FLOOR(epoch(CAST(MAX(ts) AS TIMESTAMP))) AS BIGINT) AS hi
+    FROM events
+),
+tagged AS (
+    SELECT value,
+           CASE WHEN CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) * 2
+                     <= lo + hi THEN 0 ELSE 1 END AS era
+    FROM events, b WHERE value IS NOT NULL
+),
+g AS (
+    SELECT value,
+           SUM(CASE WHEN era = 0 THEN 1 ELSE 0 END) AS na,
+           SUM(CASE WHEN era = 1 THEN 1 ELSE 0 END) AS nb,
+           COUNT(*) AS cnt
+    FROM tagged GROUP BY value
+),
+o AS (
+    SELECT na, nb, cnt,
+           COALESCE(SUM(cnt) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+    FROM g
+),
+s AS (
+    SELECT SUM(CAST(na AS HUGEINT)) AS n_a,
+           SUM(CAST(nb AS HUGEINT)) AS n_b,
+           SUM(CAST(na AS HUGEINT) * (2 * CAST(cb AS HUGEINT)
+                                      + CAST(cnt AS HUGEINT) + 1)) AS r2a,
+           SUM(CAST(cnt AS HUGEINT) * CAST(cnt AS HUGEINT) * CAST(cnt AS HUGEINT)
+               - CAST(cnt AS HUGEINT)) AS tie3
+    FROM o
+)
+SELECT CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(CAST(r2a - n_a * (n_a + 1) AS VARCHAR) AS DOUBLE) AS u2_a,
+       ROUND(
+         (CAST(CAST(r2a - n_a * (n_a + 1) AS VARCHAR) AS DOUBLE)
+          - CAST(CAST(n_a * n_b AS VARCHAR) AS DOUBLE))
+         / (2.0 * SQRT(
+             (CAST(CAST(n_a AS VARCHAR) AS DOUBLE)
+              * CAST(CAST(n_b AS VARCHAR) AS DOUBLE) / 12.0)
+             * ((CAST(CAST(n_a + n_b AS VARCHAR) AS DOUBLE) + 1.0)
+                - CAST(CAST(tie3 AS VARCHAR) AS DOUBLE)
+                  / (CAST(CAST(n_a + n_b AS VARCHAR) AS DOUBLE)
+                     * (CAST(CAST(n_a + n_b AS VARCHAR) AS DOUBLE) - 1.0))))),
+         6) AS z_score
+FROM s
+"""
+
+
+@register("dq_mannwhitney_value_drift", oracle=_MWU_SQL)
+def dq_mannwhitney_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    from deathmetal_datalake_spark.operators.ordering import two_phase_order
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "value",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("sec"),
+    ).filter(F.col("value").isNotNull())
+    bounds = ev.agg(F.min("sec").alias("lo"), F.max("sec").alias("hi"))
+    tagged = ev.crossJoin(broadcast(bounds)).select(
+        "value",
+        F.when(F.col("sec") * 2 <= F.col("lo") + F.col("hi"), 0)
+        .otherwise(1)
+        .alias("era"),
+    )
+    g = tagged.groupBy("value").agg(
+        F.sum(F.when(F.col("era") == 0, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("era") == 1, 1).otherwise(0)).alias("nb"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    # Distinct-value frame is data-proportional: distributed running
+    # count (two-phase), never a single-task ORDER BY window.
+    o = two_phase_order(
+        g, [F.asc("value")], F.col("value"), cumsum=("cnt", "cum_incl")
+    ).select(
+        "na", "nb", "cnt", (F.col("cum_incl") - F.col("cnt")).alias("cb")
+    )
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    s = o.agg(
+        F.sum(d19("na")).alias("n_a"),
+        F.sum(d19("nb")).alias("n_b"),
+        F.sum(
+            d19("na") * (F.lit(2).cast("decimal(19,0)") * d19("cb") + d19("cnt") + 1)
+        ).alias("r2a"),
+        F.sum(d19("cnt") * d19("cnt") * d19("cnt") - d19("cnt")).alias("tie3"),
+    )
+    dd = lambda c: c.cast("string").cast("double")  # noqa: E731
+    u2 = dd(F.col("r2a") - F.col("n_a") * (F.col("n_a") + 1))
+    na, nb = dd(F.col("n_a")), dd(F.col("n_b"))
+    nn = dd(F.col("n_a") + F.col("n_b"))
+    tie = dd(F.col("tie3"))
+    var = (na * nb / F.lit(12.0)) * (
+        (nn + F.lit(1.0)) - tie / (nn * (nn - F.lit(1.0)))
+    )
+    z = (u2 - dd(F.col("n_a") * F.col("n_b"))) / (F.lit(2.0) * F.sqrt(var))
+    return s.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        u2.alias("u2_a"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kolmogorov-Smirnov two-sample drift (round 10) — the companion to the
+# Mann-Whitney test: D = sup |F_a(v) - F_b(v)| catches SHAPE changes a
+# rank-sum misses (equal medians, different spread). Exactness trick:
+# the supremum is taken over the INTEGER quantity
+# |n_b * cumA(v) - n_a * cumB(v)| (cross-multiplied ECDFs, HUGEINT /
+# DECIMAL(38,0) — products reach N^2), so the argmax and the tie-break
+# (smallest value attaining it) are exact; only the final division
+# becomes a rounded double via the VARCHAR crossing. 100 TB: running
+# ECDF counts over the data-proportional distinct-value frame use the
+# fused two-phase cumsum (one boundary action for both eras' sums).
+# ---------------------------------------------------------------------------
+
+_KS_SQL = """
+WITH b AS (
+    SELECT CAST(FLOOR(epoch(CAST(MIN(ts) AS TIMESTAMP))) AS BIGINT) AS lo,
+           CAST(FLOOR(epoch(CAST(MAX(ts) AS TIMESTAMP))) AS BIGINT) AS hi
+    FROM events
+),
+tagged AS (
+    SELECT value,
+           CASE WHEN CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) * 2
+                     <= lo + hi THEN 0 ELSE 1 END AS era
+    FROM events, b WHERE value IS NOT NULL
+),
+g AS (
+    SELECT value,
+           SUM(CASE WHEN era = 0 THEN 1 ELSE 0 END) AS ca,
+           SUM(CASE WHEN era = 1 THEN 1 ELSE 0 END) AS cb
+    FROM tagged GROUP BY value
+),
+o AS (
+    SELECT value,
+           SUM(ca) OVER (ORDER BY value) AS cuma,
+           SUM(cb) OVER (ORDER BY value) AS cumb
+    FROM g
+),
+t AS (SELECT SUM(ca) AS n_a, SUM(cb) AS n_b FROM g),
+d AS (
+    SELECT value,
+           ABS(CAST(t.n_b AS HUGEINT) * CAST(cuma AS HUGEINT)
+               - CAST(t.n_a AS HUGEINT) * CAST(cumb AS HUGEINT)) AS dn
+    FROM o, t
+),
+m AS (SELECT MAX(dn) AS dmax FROM d)
+SELECT CAST(t.n_a AS BIGINT) AS n_a,
+       CAST(t.n_b AS BIGINT) AS n_b,
+       ROUND(CAST(CAST(m.dmax AS VARCHAR) AS DOUBLE)
+             / (CAST(CAST(t.n_a AS VARCHAR) AS DOUBLE)
+                * CAST(CAST(t.n_b AS VARCHAR) AS DOUBLE)), 6) AS d_stat,
+       (SELECT MIN(value) FROM d WHERE d.dn = m.dmax) AS ks_at_value
+FROM t, m
+"""
+
+
+@register("dq_ks_two_sample_drift", oracle=_KS_SQL)
+def dq_ks_two_sample_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    from deathmetal_datalake_spark.operators.ordering import (
+        OrderSpec,
+        two_phase_order_multi,
+    )
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "value",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("sec"),
+    ).filter(F.col("value").isNotNull())
+    bounds = ev.agg(F.min("sec").alias("lo"), F.max("sec").alias("hi"))
+    tagged = ev.crossJoin(broadcast(bounds)).select(
+        "value",
+        F.when(F.col("sec") * 2 <= F.col("lo") + F.col("hi"), 0)
+        .otherwise(1)
+        .alias("era"),
+    )
+    g = session_cache(
+        tagged.groupBy("value").agg(
+            F.sum(F.when(F.col("era") == 0, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("era") == 1, 1).otherwise(0)).alias("cb"),
+        )
+    )
+    # BOTH running ECDF counts over one fused two-phase pass (one
+    # boundary action for the two specs — same total order).
+    o = two_phase_order_multi(
+        g,
+        [
+            OrderSpec([F.asc("value")], F.col("value"), cumsum=("ca", "cuma")),
+            OrderSpec([F.asc("value")], F.col("value"), cumsum=("cb", "cumb")),
+        ],
+    )
+    t = g.agg(
+        F.sum("ca").cast("decimal(19,0)").alias("n_a"),
+        F.sum("cb").cast("decimal(19,0)").alias("n_b"),
+    )
+    d = o.crossJoin(broadcast(t)).select(
+        "value",
+        F.abs(
+            F.col("n_b") * F.col("cuma").cast("decimal(19,0)")
+            - F.col("n_a") * F.col("cumb").cast("decimal(19,0)")
+        ).alias("dn"),
+        "n_a",
+        "n_b",
+    )
+    d = session_cache(d)
+    m = d.agg(F.max("dn").alias("dmax"))
+    at = (
+        d.join(broadcast(m), d["dn"] == m["dmax"])
+        .agg(F.min("value").alias("ks_at_value"))
+    )
+    dd = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    return (
+        d.select("n_a", "n_b")
+        .limit(1)
+        .crossJoin(broadcast(m))
+        .crossJoin(broadcast(at))
+        .select(
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(dd("dmax") / (dd("n_a") * dd("n_b")), 6).alias("d_stat"),
+            "ks_at_value",
+        )
+    )

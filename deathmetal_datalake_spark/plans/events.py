@@ -3380,3 +3380,116 @@ def events_session_depth_conversion(
         )
         .orderBy("depth_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection (round 10) — the classic sequential
+# drift detector over the daily event-count series: S+_i =
+# max(0, S+_{i-1} + (x_i - mean)) flags sustained upward shifts, S-
+# the downward ones, and the argmax day is the changepoint estimate.
+# Exactness: with mean = T/D rational, everything is scaled by D —
+# P_i = D*C_i - i*T (C = cumulative count) — and the recursive max
+# unrolls to the CLOSED FORM S+_i = P_i - min(0, min_{j<=i} P_j), so
+# both engines compute pure-integer prefix sums and running minima:
+# no fold, no recursion, bit-exact. The daily frame is time-range
+# bounded (the whitelisted global-window class); products D*C stay in
+# BIGINT until D*N exceeds 2^63 (~2.5e15 events at a 10-year span).
+# ---------------------------------------------------------------------------
+
+_CUSUM_SQL = """
+WITH daily AS (
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+           COUNT(*) AS x
+    FROM events GROUP BY 1
+),
+t AS (SELECT COUNT(*) AS nd, SUM(x) AS tot FROM daily),
+p AS (
+    SELECT d,
+           CAST(t.nd AS BIGINT) * SUM(x) OVER (ORDER BY d)
+             - ROW_NUMBER() OVER (ORDER BY d) * CAST(t.tot AS BIGINT) AS pi
+    FROM daily, t
+),
+s AS (
+    SELECT d, pi,
+           pi - LEAST(0, MIN(pi) OVER (ORDER BY d)) AS s_up,
+           GREATEST(0, MAX(pi) OVER (ORDER BY d)) - pi AS s_down
+    FROM p
+),
+m AS (SELECT MAX(s_up) AS up_max, MAX(s_down) AS down_max FROM s)
+SELECT (SELECT CAST(nd AS BIGINT) FROM t) AS n_days,
+       (SELECT CAST(tot AS BIGINT) FROM t) AS n_events,
+       CAST(m.up_max AS BIGINT) AS cusum_up_max,
+       (SELECT MIN(d) FROM s WHERE s.s_up = m.up_max) AS up_peak_day,
+       CAST(m.down_max AS BIGINT) AS cusum_down_max,
+       (SELECT MIN(d) FROM s WHERE s.s_down = m.down_max) AS down_peak_day
+FROM m
+"""
+
+
+@register("events_cusum_changepoint", oracle=_CUSUM_SQL)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    t = daily.agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("x").alias("tot")
+    )
+    w = Window.orderBy("d")  # time-range-bounded daily frame
+    p = (
+        daily.crossJoin(broadcast(t))
+        .select(
+            "d",
+            "nd",
+            "tot",
+            (
+                F.col("nd") * F.sum("x").over(w)
+                - F.row_number().over(w) * F.col("tot")
+            ).alias("pi"),
+        )
+    )
+    s = session_cache(
+        p.select(
+            "d",
+            "nd",
+            "tot",
+            (
+                F.col("pi")
+                - F.least(F.lit(0).cast("long"), F.min("pi").over(w))
+            ).alias("s_up"),
+            (
+                F.greatest(F.lit(0).cast("long"), F.max("pi").over(w))
+                - F.col("pi")
+            ).alias("s_down"),
+        )
+    )
+    m = s.agg(F.max("s_up").alias("up_max"), F.max("s_down").alias("down_max"))
+    up_day = (
+        s.join(broadcast(m), s["s_up"] == m["up_max"])
+        .agg(F.min("d").alias("up_peak_day"))
+    )
+    down_day = (
+        s.join(broadcast(m), s["s_down"] == m["down_max"])
+        .agg(F.min("d").alias("down_peak_day"))
+    )
+    return (
+        s.select("nd", "tot")
+        .limit(1)
+        .crossJoin(broadcast(m))
+        .crossJoin(broadcast(up_day))
+        .crossJoin(broadcast(down_day))
+        .select(
+            F.col("nd").cast("long").alias("n_days"),
+            F.col("tot").cast("long").alias("n_events"),
+            F.col("up_max").alias("cusum_up_max"),
+            "up_peak_day",
+            F.col("down_max").alias("cusum_down_max"),
+            "down_peak_day",
+        )
+    )

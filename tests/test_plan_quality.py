@@ -96,6 +96,8 @@ _GLOBAL_WINDOW_OK = {
     "events_gap_filled_locf",      # LOCF carry over the 5-min window SPINE
                                    # (time-range bound, not event-count bound)
     "similarity_hybrid_rrf_fusion",  # ranks over two post-limit top-20 frames
+    "events_cusum_changepoint",      # prefix sums/minima over the DAILY spine
+                                     # (time-range bound, not event-count bound)
 }
 
 
@@ -172,6 +174,10 @@ _NONEQUI_OK = {
     "embedding_norm_outliers",       # 1-row fraction frame crossJoined (median+MAD)
     "orders_ship_lag_quantiles",     # ≤2-row literal fraction frame crossJoined
     "events_user_features",          # 1-row watermark frame
+    "dq_mannwhitney_value_drift",    # 1-row era-bounds frame crossJoined
+    "dq_ks_two_sample_drift",        # 1-row bounds/totals/max frames crossJoined
+    "events_cusum_changepoint",      # 1-row totals/max frames crossJoined
+    "orders_theil_sen_weekly_trend",  # time-bounded weekly frame pairwise self-join + 1-row medians
 }
 
 
@@ -291,6 +297,10 @@ _HINTED_BROADCAST_OK = {
     "tpch_q8_market_share": 3,           # [dim] nation x2 + region
     "tpch_q9_profit_by_nation": 1,       # [dim] nation
     "window_dense_rank_ntile": 1,        # [dim] nation
+    "dq_mannwhitney_value_drift": 3,     # [1row] era bounds + [bkt] offsets
+    "dq_ks_two_sample_drift": 3,         # [1row] bounds/totals/dmax + [bkt] offsets
+    "events_cusum_changepoint": 5,       # [1row] totals + peak-day frames
+    "orders_theil_sen_weekly_trend": 3,  # [1row] medians/counts frames
 }
 
 
