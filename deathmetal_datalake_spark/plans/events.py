@@ -3493,3 +3493,263 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "down_peak_day",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Explicit HyperLogLog registers (round 10) — the sketch the built-in
+# approx_count_distinct hides, implemented register-by-register so BOTH
+# engines reproduce it bit-for-bit AND the distributed-merge property
+# is verified in-query: per-type register banks max-merged equal the
+# globally-built bank (max is associative/commutative — the reason HLL
+# shards freely across 1000 executors). Exactness: the shared 60-bit
+# md5 hash splits into an 8-bit register index and a 52-bit window;
+# rho = 53 - bitlength(w) is pure integer; the harmonic denominator is
+# accumulated as the INTEGER sum of 2^(53-M) (<= 256*2^53 < 2^63), so
+# the only floating-point op is the final alpha*m^2*2^53/Z divide —
+# identical IEEE on identical integers. n_zero registers use the
+# standard raw estimate (no linear-counting branch: ln() is libm- and
+# engine-dependent; documented trade).
+# ---------------------------------------------------------------------------
+
+_HLL_M = 256  # registers (b = 8 index bits of the 60-bit hash)
+
+_HLL_SQL = f"""
+WITH h AS (
+    SELECT event_type,
+           CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+               AS hv
+    FROM events
+),
+rw AS (
+    SELECT event_type, hv % {_HLL_M} AS reg, hv // {_HLL_M} AS w FROM h
+),
+rho AS (
+    SELECT event_type, reg,
+           CASE WHEN w = 0 THEN 53 ELSE 53 - LENGTH(bin(w)) END AS r
+    FROM rw
+),
+global_regs AS (SELECT reg, MAX(r) AS m FROM rho GROUP BY reg),
+type_regs AS (SELECT event_type, reg, MAX(r) AS m FROM rho GROUP BY 1, 2),
+merged AS (SELECT reg, MAX(m) AS m FROM type_regs GROUP BY reg),
+zg AS (
+    SELECT {_HLL_M} - COUNT(*) AS n_zero,
+           SUM(CAST(1 AS BIGINT) << (53 - m)) AS z_used
+    FROM global_regs
+),
+est AS (
+    SELECT n_zero,
+           (0.7213 / (1.0 + 1.079 / {_HLL_M}.0)) * {_HLL_M}.0 * {_HLL_M}.0
+             * CAST(CAST(1 AS BIGINT) << 53 AS DOUBLE)
+             / CAST(z_used + n_zero * (CAST(1 AS BIGINT) << 53) AS DOUBLE)
+               AS raw
+    FROM zg
+),
+x AS (SELECT COUNT(DISTINCT user_id) AS n_exact FROM events),
+chk AS (
+    SELECT COUNT(*) = 0 AS merged_equals_global
+    FROM (
+        SELECT reg, m FROM merged
+        EXCEPT
+        SELECT reg, m FROM global_regs
+    )
+)
+SELECT CAST(x.n_exact AS BIGINT) AS n_exact,
+       ROUND(est.raw, 6) AS hll_estimate,
+       CAST(est.n_zero AS BIGINT) AS n_zero_registers,
+       ROUND(100.0 * (est.raw - x.n_exact) / x.n_exact, 4) AS rel_error_pct,
+       chk.merged_equals_global
+FROM x, est, chk
+"""
+
+
+@register("events_hll_registers", oracle=_HLL_SQL)
+def events_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    from deathmetal_datalake_spark.plans.registry import hash60, session_cache
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    h = ev.select(
+        "event_type", hash60(F.col("user_id").cast("string")).alias("hv")
+    )
+    rho = session_cache(
+        h.select(
+            "event_type",
+            (F.col("hv") % _HLL_M).alias("reg"),
+            F.when(F.col("hv") / _HLL_M < 1, F.lit(53))
+            .otherwise(
+                F.lit(53) - F.length(F.bin(F.expr(f"hv div {_HLL_M}")))
+            )
+            .cast("long")
+            .alias("r"),
+        )
+    )
+    global_regs = session_cache(
+        rho.groupBy("reg").agg(F.max("r").alias("m"))
+    )
+    merged = (
+        rho.groupBy("event_type", "reg")
+        .agg(F.max("r").alias("m"))
+        .groupBy("reg")
+        .agg(F.max("m").alias("m"))
+    )
+    chk = (
+        merged.exceptAll(global_regs)
+        .agg((F.count(F.lit(1)) == 0).alias("merged_equals_global"))
+    )
+    zg = global_regs.agg(
+        (F.lit(_HLL_M) - F.count(F.lit(1))).cast("long").alias("n_zero"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - m AS INT))"))
+        .alias("z_used"),
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / _HLL_M)
+    two53 = float(1 << 53)
+    raw = (
+        F.lit(alpha)
+        * F.lit(float(_HLL_M) * float(_HLL_M))
+        * F.lit(two53)
+        / (
+            F.col("z_used") + F.col("n_zero") * F.lit(1 << 53).cast("long")
+        ).cast("double")
+    )
+    x = ev.agg(F.countDistinct("user_id").cast("long").alias("n_exact"))
+    return (
+        x.crossJoin(broadcast(zg))
+        .crossJoin(broadcast(chk))
+        .select(
+            "n_exact",
+            F.round(raw, 6).alias("hll_estimate"),
+            F.col("n_zero").alias("n_zero_registers"),
+            F.round(
+                F.lit(100.0) * (raw - F.col("n_exact")) / F.col("n_exact"), 4
+            ).alias("rel_error_pct"),
+            "merged_equals_global",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov stationary distribution, two exact power steps (round 10) —
+# the transition matrix's downstream consumer: where does user
+# behavior CONCENTRATE if the observed dynamics run forward? pi_2 =
+# pi_0 P^2 from the uniform start over the BOUNDED event-type space.
+# Exactness without rationals blowing up: P[i][j] = C[i][j]/R[i] is one
+# IEEE divide per cell from exact counts; each mat-vec accumulates in
+# EXPLICIT ascending-type order (sorted list fold on both engines —
+# relational SUM guarantees no order, so it is never used on the
+# doubles), making every intermediate bit-identical. K is the type
+# cardinality (bounded domain), so lists and folds are K-sized — the
+# same bounded-frame argument as the Holt fold. Absorbing/unseen rows
+# keep pi mass in place (identity row), the standard lazy completion.
+# ---------------------------------------------------------------------------
+
+_MARKOV_SQL = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+    FROM events
+),
+c AS (
+    SELECT prev_type AS i, event_type AS j, COUNT(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+types AS (SELECT DISTINCT event_type AS t FROM events),
+k AS (SELECT COUNT(*) AS kk FROM types),
+r AS (SELECT i, SUM(n) AS tot FROM c GROUP BY i),
+-- dense K x K matrix with identity completion for unseen rows
+p AS (
+    SELECT a.t AS i, b.t AS j,
+           CASE WHEN r.tot IS NULL THEN CASE WHEN a.t = b.t THEN 1.0 ELSE 0.0 END
+                ELSE COALESCE(c.n, 0) / CAST(r.tot AS DOUBLE) END AS pij
+    FROM types a
+    CROSS JOIN types b
+    LEFT JOIN r ON r.i = a.t
+    LEFT JOIN c ON c.i = a.t AND c.j = b.t
+),
+pi1 AS (
+    SELECT j, list_sum(list(pi0_term ORDER BY i)) AS v
+    FROM (SELECT i, j, (1.0 / kk) * pij AS pi0_term FROM p, k)
+    GROUP BY j
+),
+pi2 AS (
+    SELECT p.j, list_sum(list(pi1.v * p.pij ORDER BY p.i)) AS v
+    FROM p JOIN pi1 ON pi1.j = p.i
+    GROUP BY p.j
+)
+SELECT j AS event_type, ROUND(v, 6) AS pi_2step
+FROM pi2 ORDER BY event_type
+"""
+
+
+@register("events_markov_stationary_2step", oracle=_MARKOV_SQL)
+def events_markov_stationary_2step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = (
+        ev.select(
+            "event_type", F.lag("event_type").over(w).alias("prev_type")
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("i"), F.col("event_type").alias("j"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    types = session_cache(
+        ev.select(F.col("event_type").alias("t")).distinct()
+    )
+    kk = types.agg(F.count(F.lit(1)).alias("kk"))
+    r = c.groupBy("i").agg(F.sum("n").alias("tot"))
+    p = session_cache(
+        types.select(F.col("t").alias("i"))
+        .crossJoin(broadcast(types.select(F.col("t").alias("j"))))
+        .join(broadcast(r), "i", "left")
+        .join(broadcast(c), ["i", "j"], "left")
+        .select(
+            "i",
+            "j",
+            F.when(
+                F.col("tot").isNull(),
+                F.when(F.col("i") == F.col("j"), 1.0).otherwise(0.0),
+            )
+            .otherwise(
+                F.coalesce(F.col("n"), F.lit(0)).cast("double")
+                / F.col("tot").cast("double")
+            )
+            .alias("pij"),
+        )
+    )
+    # Ordered K-term folds: sort_array(collect_list(struct(i, term)))
+    # then an explicit left-to-right aggregate — relational SUM has no
+    # order guarantee, so the doubles never go through it.
+    pi1 = (
+        p.crossJoin(broadcast(kk))
+        .select("i", "j", ((F.lit(1.0) / F.col("kk")) * F.col("pij")).alias("term"))
+        .groupBy("j")
+        .agg(F.sort_array(F.collect_list(F.struct("i", "term"))).alias("a"))
+        .select(
+            F.col("j").alias("i"),  # pi1 indexed by state for the next step
+            F.expr(
+                "aggregate(a, cast(0.0 as double), (acc, x) -> acc + x.term)"
+            ).alias("v"),
+        )
+    )
+    pi2 = (
+        p.join(broadcast(pi1), "i")
+        .select("i", "j", (F.col("v") * F.col("pij")).alias("term"))
+        .groupBy("j")
+        .agg(F.sort_array(F.collect_list(F.struct("i", "term"))).alias("a"))
+        .select(
+            F.col("j").alias("event_type"),
+            F.round(
+                F.expr(
+                    "aggregate(a, cast(0.0 as double), (acc, x) -> acc + x.term)"
+                ),
+                6,
+            ).alias("pi_2step"),
+        )
+    )
+    return pi2.orderBy("event_type")

@@ -2863,3 +2863,117 @@ def text_interpolated_lm_surprisal(
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rocchio pseudo-relevance feedback (round 10) — the classic IR query
+# expansion loop: retrieve a feedback set for the seed terms, mine the
+# set's strongest NEW terms, re-issue the widened query, and report the
+# recall gain. Everything is integer-exact: the feedback set is the
+# top-N docs by total seed-term frequency (tie-break doc_id), the
+# expansion terms are the top-M non-seed terms by frequency WITHIN the
+# feedback set (tie-break term), and the before/after match counts are
+# distinct-doc counts. Scale: term mining is a hash aggregate over the
+# N-doc feedback set (bounded), the final match counts are semi-join
+# shapes on an isin() filter — no all-pairs anywhere.
+# ---------------------------------------------------------------------------
+
+_ROCCHIO_SEEDS = ["table", "scan", "join"]
+_ROCCHIO_FEEDBACK_N = 10
+_ROCCHIO_EXPAND_M = 5
+
+_ROCCHIO_IN = ", ".join(f"'{t}'" for t in _ROCCHIO_SEEDS)
+
+_ROCCHIO_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS token
+    FROM documents
+),
+fb AS (
+    SELECT doc_id FROM tok WHERE token IN ({_ROCCHIO_IN})
+    GROUP BY doc_id
+    ORDER BY COUNT(*) DESC, doc_id ASC
+    LIMIT {_ROCCHIO_FEEDBACK_N}
+),
+mined AS (
+    SELECT token FROM tok JOIN fb USING (doc_id)
+    WHERE token NOT IN ({_ROCCHIO_IN}) AND LENGTH(token) >= 3
+    GROUP BY token
+    ORDER BY COUNT(*) DESC, token ASC
+    LIMIT {_ROCCHIO_EXPAND_M}
+),
+before AS (
+    SELECT COUNT(DISTINCT doc_id) AS n FROM tok WHERE token IN ({_ROCCHIO_IN})
+),
+after AS (
+    SELECT COUNT(DISTINCT doc_id) AS n FROM tok
+    WHERE token IN ({_ROCCHIO_IN}) OR token IN (SELECT token FROM mined)
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM fb) AS n_feedback_docs,
+       (SELECT string_agg(token, ',' ORDER BY token) FROM mined)
+           AS expansion_terms,
+       (SELECT CAST(n AS BIGINT) FROM before) AS n_docs_before,
+       (SELECT CAST(n AS BIGINT) FROM after) AS n_docs_after
+"""
+
+
+@register("text_rocchio_expansion", oracle=_ROCCHIO_SQL)
+def text_rocchio_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = session_cache(
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("token"),
+        )
+    )
+    seeds = tok.filter(F.col("token").isin(_ROCCHIO_SEEDS))
+    fb = (
+        seeds.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("doc_id"))
+        .limit(_ROCCHIO_FEEDBACK_N)
+        .select("doc_id")
+    )
+    mined = (
+        tok.join(broadcast(fb), "doc_id")
+        .filter(
+            ~F.col("token").isin(_ROCCHIO_SEEDS)
+            & (F.length("token") >= 3)
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("token"))
+        .limit(_ROCCHIO_EXPAND_M)
+        .select("token")
+    )
+    mined = session_cache(mined)
+    before = seeds.agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs_before")
+    )
+    after = (
+        tok.join(
+            broadcast(mined.withColumn("hit", F.lit(1))), "token", "left"
+        )
+        .filter(F.col("token").isin(_ROCCHIO_SEEDS) | F.col("hit").isNotNull())
+        .agg(F.countDistinct("doc_id").cast("long").alias("n_docs_after"))
+    )
+    nfb = fb.agg(F.count(F.lit(1)).cast("long").alias("n_feedback_docs"))
+    terms = mined.agg(
+        F.array_join(F.array_sort(F.collect_list("token")), ",").alias(
+            "expansion_terms"
+        )
+    )
+    return (
+        nfb.crossJoin(broadcast(terms))
+        .crossJoin(broadcast(before))
+        .crossJoin(broadcast(after))
+        .select(
+            "n_feedback_docs", "expansion_terms", "n_docs_before", "n_docs_after"
+        )
+    )

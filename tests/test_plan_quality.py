@@ -178,6 +178,9 @@ _NONEQUI_OK = {
     "dq_ks_two_sample_drift",        # 1-row bounds/totals/max frames crossJoined
     "events_cusum_changepoint",      # 1-row totals/max frames crossJoined
     "orders_theil_sen_weekly_trend",  # time-bounded weekly frame pairwise self-join + 1-row medians
+    "events_hll_registers",          # 1-row sketch-summary frames crossJoined
+    "events_markov_stationary_2step",  # K x K bounded type-space matrix
+    "text_rocchio_expansion",        # 1-row counts + post-limit term frames
 }
 
 
@@ -301,6 +304,9 @@ _HINTED_BROADCAST_OK = {
     "dq_ks_two_sample_drift": 3,         # [1row] bounds/totals/dmax + [bkt] offsets
     "events_cusum_changepoint": 5,       # [1row] totals + peak-day frames
     "orders_theil_sen_weekly_trend": 3,  # [1row] medians/counts frames
+    "events_hll_registers": 2,           # [1row] sketch summary + check frames
+    "events_markov_stationary_2step": 2,  # [enum] K-type dims + [1row] K
+    "text_rocchio_expansion": 4,         # [topk] feedback/term frames + [1row] counts
 }
 
 
