@@ -3753,3 +3753,105 @@ def events_markov_stationary_2step(spark: SparkSession, sf_dir: str) -> DataFram
         )
     )
     return pi2.orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Haar wavelet energy decomposition (round 10) — the multi-resolution
+# spectral profile of the daily activity series: which TIME SCALE
+# (day-to-day, week-ish, month-ish...) carries the variance. The usual
+# recursive averaging cascade is rewritten as a closed form: the
+# unnormalized detail coefficient at level l, block k is the SIGNED
+# block sum d_{l,k} = sum_i sign_l(i) * x_i with sign_l(i) = +1 when
+# bit (l-1) of the day index is 0, else -1 — so ONE explode of each
+# day into its log2(P) levels plus ONE hash aggregate computes every
+# coefficient: no recursion, no per-level passes, all integers
+# (energies fit BIGINT while sum(x)^2 * levels < 2^63). Missing days
+# inside the padded power-of-two span act as zeros by simply being
+# absent. The day-index frame is time-range bounded (whitelisted
+# global-window class).
+# ---------------------------------------------------------------------------
+
+_HAAR_SQL = """
+WITH daily AS (
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+           COUNT(*) AS x
+    FROM events GROUP BY 1
+),
+idx AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY d) - 1 AS i, x FROM daily
+),
+span AS (
+    -- ceil(log2(D)) computed as bitlength(D-1) = LENGTH(bin(max_i)) —
+    -- pure integer, no libm log2 edge cases at exact powers of two
+    SELECT CAST(LENGTH(bin(GREATEST(MAX(i), 1))) AS BIGINT) AS nlev
+    FROM idx
+),
+coef AS (
+    SELECT l.lvl,
+           i // (CAST(1 AS BIGINT) << l.lvl) AS k,
+           SUM(CASE WHEN (i // (CAST(1 AS BIGINT) << (l.lvl - 1))) % 2 = 0
+                    THEN x ELSE -x END) AS dlk
+    FROM idx, span,
+         LATERAL (SELECT UNNEST(range(1, nlev + 1)) AS lvl) l
+    GROUP BY 1, 2
+)
+SELECT CAST(lvl AS BIGINT) AS level,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(SUM(dlk * dlk) AS BIGINT) AS energy
+FROM coef
+GROUP BY lvl
+ORDER BY lvl
+"""
+
+
+@register("events_haar_energy_levels", oracle=_HAAR_SQL)
+def events_haar_energy_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    w = Window.orderBy("d")  # time-range-bounded daily spine
+    idx = daily.select((F.row_number().over(w) - 1).alias("i"), "x")
+    span = idx.agg(
+        F.length(F.bin(F.greatest(F.max("i"), F.lit(1))))
+        .cast("long")
+        .alias("nlev")
+    )
+    coef = (
+        idx.crossJoin(broadcast(span))
+        .select(
+            "i",
+            "x",
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("nlev"))).alias(
+                "lvl"
+            ),
+        )
+        .select(
+            "lvl",
+            F.expr("i div shiftleft(CAST(1 AS BIGINT), CAST(lvl AS INT))").alias(
+                "k"
+            ),
+            F.when(
+                F.expr(
+                    "(i div shiftleft(CAST(1 AS BIGINT), CAST(lvl - 1 AS INT))) % 2"
+                )
+                == 0,
+                F.col("x"),
+            )
+            .otherwise(-F.col("x"))
+            .alias("sx"),
+        )
+        .groupBy("lvl", "k")
+        .agg(F.sum("sx").alias("dlk"))
+    )
+    return (
+        coef.groupBy(F.col("lvl").alias("level"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.sum(F.col("dlk") * F.col("dlk")).cast("long").alias("energy"),
+        )
+        .orderBy("level")
+    )

@@ -1628,3 +1628,182 @@ def corpus_perplexity_quartile_mix(
         )
         .orderBy("quartile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Neyman-allocation stratified sample (round 10) — the
+# variance-optimal upgrade of the proportional stratified sampler: a
+# stratum's share of the budget is proportional to N_h * S_h (big AND
+# internally varied strata get more), the allocation every survey- and
+# eval-set-builder reaches for once quality scores have spread. Chain:
+# exact per-stratum moments (decimal sums -> the VARCHAR double
+# crossing, so S_h = sqrt(var) is the same IEEE value on both
+# engines), weights summed by an ORDERED bounded fold (relational SUM
+# guarantees no order for doubles), largest-remainder integer
+# apportionment of the budget (exact; frac ties broken by source), and
+# a deterministic hash-priority draw within each stratum. 100 TB: one
+# scan for moments, one rank-per-stratum draw — no all-pairs, strata
+# bounded by the source enum.
+# ---------------------------------------------------------------------------
+
+_NEYMAN_BUDGET = 600
+
+_NEYMAN_SQL = f"""
+WITH m AS (
+    SELECT source,
+           COUNT(*) AS n_pop,
+           CAST(CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+               AS s1,
+           CAST(CAST(SUM(CAST(n_chars AS DECIMAL(18,6))
+                         * CAST(n_chars AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+               AS s2
+    FROM documents GROUP BY source
+),
+sh AS (
+    SELECT source, n_pop,
+           SQRT((s2 - s1 * s1 / n_pop) / n_pop) AS s_h
+    FROM m
+),
+wtot AS (
+    SELECT list_sum(list(n_pop * s_h ORDER BY source)) AS wsum FROM sh
+),
+quota AS (
+    SELECT source, n_pop, s_h,
+           {_NEYMAN_BUDGET} * (n_pop * s_h) / wsum AS q
+    FROM sh, wtot
+),
+alloc AS (
+    SELECT source, n_pop, s_h, q, FLOOR(q) AS fl,
+           ROW_NUMBER() OVER (ORDER BY q - FLOOR(q) DESC, source ASC) AS rk
+    FROM quota
+),
+rem AS (
+    SELECT {_NEYMAN_BUDGET} - SUM(CAST(fl AS BIGINT)) AS r FROM alloc
+),
+final AS (
+    SELECT source, n_pop, s_h,
+           CAST(fl AS BIGINT) + CASE WHEN rk <= rem.r THEN 1 ELSE 0 END
+               AS alloc_n
+    FROM alloc, rem
+),
+ranked AS (
+    SELECT d.source, d.n_chars,
+           ROW_NUMBER() OVER (
+               PARTITION BY d.source
+               ORDER BY {sql_hash60("CAST(d.doc_id AS VARCHAR)")}, d.doc_id
+           ) AS rn
+    FROM documents d
+),
+drawn AS (
+    SELECT r.source, COUNT(*) AS n_drawn,
+           {sql_davg("r.n_chars", "mean_chars")}
+    FROM ranked r JOIN final f USING (source)
+    WHERE r.rn <= f.alloc_n
+    GROUP BY r.source
+)
+SELECT f.source,
+       CAST(f.n_pop AS BIGINT) AS n_pop,
+       ROUND(f.s_h, 6) AS stddev_chars,
+       f.alloc_n,
+       CAST(COALESCE(d.n_drawn, 0) AS BIGINT) AS n_drawn,
+       d.mean_chars AS mean_chars_drawn
+FROM final f LEFT JOIN drawn d USING (source)
+ORDER BY f.source
+"""
+
+
+@register("sample_neyman_allocation", oracle=_NEYMAN_SQL)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    dec = F.col("n_chars").cast("decimal(18,6)")
+    dd = lambda c: c.cast("string").cast("double")  # noqa: E731
+    m = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_pop"),
+        dd(F.sum(dec)).alias("s1"),
+        dd(F.sum(dec * dec)).alias("s2"),
+    )
+    sh = session_cache(
+        m.select(
+            "source",
+            "n_pop",
+            F.sqrt(
+                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_pop"))
+                / F.col("n_pop")
+            ).alias("s_h"),
+        )
+    )
+    # Ordered bounded fold for the weight total (sources sorted) — the
+    # markov/holt convention for summing doubles deterministically.
+    wtot = sh.agg(
+        F.sort_array(
+            F.collect_list(F.struct("source", (F.col("n_pop") * F.col("s_h")).alias("w")))
+        ).alias("a")
+    ).select(
+        F.expr(
+            "aggregate(a, cast(0.0 as double), (acc, x) -> acc + x.w)"
+        ).alias("wsum")
+    )
+    quota = sh.crossJoin(broadcast(wtot)).select(
+        "source",
+        "n_pop",
+        "s_h",
+        (
+            F.lit(_NEYMAN_BUDGET) * (F.col("n_pop") * F.col("s_h")) / F.col("wsum")
+        ).alias("q"),
+    )
+    w_rk = Window.orderBy(
+        F.desc(F.col("q") - F.floor(F.col("q"))), F.asc("source")
+    )  # bounded source-enum frame
+    alloc = quota.select(
+        "source",
+        "n_pop",
+        "s_h",
+        "q",
+        F.floor("q").alias("fl"),
+        F.row_number().over(w_rk).alias("rk"),
+    )
+    rem = alloc.agg(
+        (F.lit(_NEYMAN_BUDGET) - F.sum(F.col("fl").cast("long"))).alias("r")
+    )
+    final = session_cache(
+        alloc.crossJoin(broadcast(rem)).select(
+            "source",
+            "n_pop",
+            "s_h",
+            (
+                F.col("fl").cast("long")
+                + F.when(F.col("rk") <= F.col("r"), 1).otherwise(0)
+            ).alias("alloc_n"),
+        )
+    )
+    w_draw = Window.partitionBy("source").orderBy(
+        hash60(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = docs.select(
+        "source", "n_chars", F.row_number().over(w_draw).alias("rn")
+    )
+    drawn = (
+        ranked.join(broadcast(final.select("source", "alloc_n")), "source")
+        .filter(F.col("rn") <= F.col("alloc_n"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_drawn"),
+            davg("n_chars", "mean_chars"),
+        )
+    )
+    return (
+        final.join(drawn, "source", "left")
+        .select(
+            "source",
+            F.col("n_pop").cast("long").alias("n_pop"),
+            F.round("s_h", 6).alias("stddev_chars"),
+            "alloc_n",
+            F.coalesce(F.col("n_drawn"), F.lit(0)).cast("long").alias("n_drawn"),
+            F.col("mean_chars").alias("mean_chars_drawn"),
+        )
+        .orderBy("source")
+    )

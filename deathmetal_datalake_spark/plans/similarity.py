@@ -3856,3 +3856,187 @@ def similarity_result_diversity_at_k(
         davg("diversity", "mean_diversity"),
         F.round(F.min("diversity"), 6).alias("min_diversity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Second principal component by deflation (round 10) — the natural
+# continuation of the top-PC power iteration: subtract the rank-one
+# projection onto the (rounded, hence engine-deterministic) first
+# component and run the same two power rounds on the residual. Reports
+# the second loadings, its Rayleigh-norm proxy, and the v1.v2
+# orthogonality dot as an in-query invariant check (should be ~0; it
+# is NOT exactly 0 because v1 is the 2-round approximation, which is
+# the point of reporting it). All sums go through the DECIMAL(25,12)
+# crossing; every division/sqrt is the same IEEE op on both engines.
+# Scale: each round is one join + two hash aggregates over the
+# centered component frame — the same shapes as the top-PC query.
+# ---------------------------------------------------------------------------
+
+_SECOND_PC_SQL = f"""
+WITH comps AS (
+    SELECT e.vec_id, g.i AS pos, CAST(e.embedding[g.i + 1] AS DOUBLE) AS x
+    FROM embeddings e, (SELECT UNNEST(range({_EMB_DIM})) AS i) g
+),
+means AS (
+    SELECT pos, ROUND({_sql_dec_sum("x")} / COUNT(*), 6) AS m
+    FROM comps GROUP BY pos
+),
+cent AS (
+    SELECT c.vec_id, c.pos, c.x - m.m AS y
+    FROM comps c JOIN means m USING (pos)
+),
+s1 AS (
+    SELECT vec_id, {_sql_dec_sum("y * 0.125")} AS s FROM cent GROUP BY vec_id
+),
+w1 AS (
+    SELECT c.pos, {_sql_dec_sum("c.y * s1.s")} AS w
+    FROM cent c JOIN s1 USING (vec_id) GROUP BY c.pos
+),
+n1 AS (SELECT sqrt({_sql_dec_sum("w * w")}) AS nrm FROM w1),
+v1a AS (SELECT pos, ROUND(w / nrm, 6) AS vd FROM w1, n1),
+s2 AS (
+    SELECT c.vec_id, {_sql_dec_sum("c.y * v1a.vd")} AS s
+    FROM cent c JOIN v1a USING (pos) GROUP BY c.vec_id
+),
+w2 AS (
+    SELECT c.pos, {_sql_dec_sum("c.y * s2.s")} AS w
+    FROM cent c JOIN s2 USING (vec_id) GROUP BY c.pos
+),
+n2 AS (SELECT sqrt({_sql_dec_sum("w * w")}) AS nrm FROM w2),
+v1 AS (SELECT pos, ROUND(w / nrm, 6) AS vd FROM w2, n2),
+proj AS (
+    SELECT c.vec_id, {_sql_dec_sum("c.y * v1.vd")} AS p
+    FROM cent c JOIN v1 USING (pos) GROUP BY c.vec_id
+),
+cent2 AS (
+    SELECT c.vec_id, c.pos, c.y - proj.p * v1.vd AS y
+    FROM cent c JOIN proj USING (vec_id) JOIN v1 USING (pos)
+),
+t1 AS (
+    SELECT vec_id, {_sql_dec_sum("y * 0.125")} AS s FROM cent2 GROUP BY vec_id
+),
+u1 AS (
+    SELECT c.pos, {_sql_dec_sum("c.y * t1.s")} AS w
+    FROM cent2 c JOIN t1 USING (vec_id) GROUP BY c.pos
+),
+m1 AS (SELECT sqrt({_sql_dec_sum("w * w")}) AS nrm FROM u1),
+q1 AS (SELECT pos, ROUND(w / nrm, 6) AS vd FROM u1, m1),
+t2 AS (
+    SELECT c.vec_id, {_sql_dec_sum("c.y * q1.vd")} AS s
+    FROM cent2 c JOIN q1 USING (pos) GROUP BY c.vec_id
+),
+u2 AS (
+    SELECT c.pos, {_sql_dec_sum("c.y * t2.s")} AS w
+    FROM cent2 c JOIN t2 USING (vec_id) GROUP BY c.pos
+),
+m2 AS (SELECT sqrt({_sql_dec_sum("w * w")}) AS nrm FROM u2),
+v2 AS (SELECT pos, ROUND(w / nrm, 6) AS vd FROM u2, m2),
+ortho AS (
+    SELECT {_sql_dec_sum("v1.vd * v2.vd")} AS od
+    FROM v1 JOIN v2 USING (pos)
+)
+SELECT CAST(u2.pos AS BIGINT) AS pos,
+       ROUND(u2.w / m2.nrm, 6) AS loading2,
+       ROUND(m2.nrm, 6) AS lambda2_proxy,
+       ROUND(ortho.od, 6) AS ortho_dot
+FROM u2, m2, ortho
+ORDER BY pos
+"""
+
+
+@register("embedding_second_pc_deflation", oracle=_SECOND_PC_SQL)
+def embedding_second_pc_deflation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    comps = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode(_as_double("embedding")).alias("pos", "x")
+    )
+    means = comps.groupBy("pos").agg(
+        F.round(_dec_sum(F.col("x")) / F.count(F.lit(1)), 6).alias("m")
+    )
+    cent = session_cache(
+        comps.join(broadcast(means), "pos").select(
+            "vec_id", "pos", (F.col("x") - F.col("m")).alias("y")
+        )
+    )
+
+    def power_round(frame: DataFrame, v_frame: DataFrame):
+        # Every round output is session_cached: these are DIM-row /
+        # 1-row frames, but each is referenced from several downstream
+        # plans — uncached, the subplan multiplicity compounds per
+        # round and the deflation chain re-evaluates the corpus passes
+        # exponentially (measured 49 s warm vs 4 s cached).
+        s = (
+            frame.join(broadcast(v_frame), "pos")
+            .groupBy("vec_id")
+            .agg(_dec_sum(F.col("y") * F.col("vd")).alias("s"))
+        )
+        w = session_cache(
+            frame.join(s, "vec_id")
+            .groupBy("pos")
+            .agg(_dec_sum(F.col("y") * F.col("s")).alias("w"))
+        )
+        n = session_cache(
+            w.agg(F.sqrt(_dec_sum(F.col("w") * F.col("w"))).alias("nrm"))
+        )
+        return w, n
+
+    def normalized(w, n):
+        return session_cache(
+            w.crossJoin(broadcast(n)).select(
+                "pos", F.round(F.col("w") / F.col("nrm"), 6).alias("vd")
+            )
+        )
+
+    v0 = comps.sparkSession.range(_EMB_DIM).select(
+        F.col("id").alias("pos"), F.lit(0.125).alias("vd")
+    )
+    # v1 is LOCALIZED to a literal DIM-row frame (one bounded
+    # plan-time action, the two_phase-boundary convention): the
+    # deflation chain otherwise nests the whole two-round lineage
+    # inside every downstream reference and the plan TREE itself blows
+    # the driver heap at explain time, cached or not.
+    v1_rows = normalized(
+        *power_round(cent, normalized(*power_round(cent, v0)))
+    ).collect()
+    v1 = comps.sparkSession.createDataFrame(
+        [(int(r["pos"]), float(r["vd"])) for r in v1_rows],
+        "pos bigint, vd double",
+    )
+    proj = (
+        cent.join(broadcast(v1), "pos")
+        .groupBy("vec_id")
+        .agg(_dec_sum(F.col("y") * F.col("vd")).alias("p"))
+    )
+    cent2 = session_cache(
+        cent.join(proj, "vec_id")
+        .join(broadcast(v1), "pos")
+        .select(
+            "vec_id", "pos", (F.col("y") - F.col("p") * F.col("vd")).alias("y")
+        )
+    )
+    q1_rows = normalized(*power_round(cent2, v0)).collect()
+    q1 = comps.sparkSession.createDataFrame(
+        [(int(r["pos"]), float(r["vd"])) for r in q1_rows],
+        "pos bigint, vd double",
+    )
+    u2, m2 = power_round(cent2, q1)
+    v2 = normalized(u2, m2)
+    ortho = (
+        v1.withColumnRenamed("vd", "vd1")
+        .join(v2.withColumnRenamed("vd", "vd2"), "pos")
+        .agg(_dec_sum(F.col("vd1") * F.col("vd2")).alias("od"))
+    )
+    return (
+        u2.crossJoin(broadcast(m2))
+        .crossJoin(broadcast(ortho))
+        .select(
+            F.col("pos").cast("long"),
+            F.round(F.col("w") / F.col("nrm"), 6).alias("loading2"),
+            F.round("nrm", 6).alias("lambda2_proxy"),
+            F.round("od", 6).alias("ortho_dot"),
+        )
+        .orderBy("pos")
+    )

@@ -98,6 +98,8 @@ _GLOBAL_WINDOW_OK = {
     "similarity_hybrid_rrf_fusion",  # ranks over two post-limit top-20 frames
     "events_cusum_changepoint",      # prefix sums/minima over the DAILY spine
                                      # (time-range bound, not event-count bound)
+    "events_haar_energy_levels",     # day-index assignment over the DAILY spine
+    "sample_neyman_allocation",      # remainder ranking over the source-enum frame
 }
 
 
@@ -181,6 +183,9 @@ _NONEQUI_OK = {
     "events_hll_registers",          # 1-row sketch-summary frames crossJoined
     "events_markov_stationary_2step",  # K x K bounded type-space matrix
     "text_rocchio_expansion",        # 1-row counts + post-limit term frames
+    "events_haar_energy_levels",     # 1-row level-count frame crossJoined
+    "sample_neyman_allocation",      # 1-row weight-total/remainder frames
+    "embedding_second_pc_deflation",  # 1-row norm/ortho frames crossJoined
 }
 
 
@@ -307,6 +312,9 @@ _HINTED_BROADCAST_OK = {
     "events_hll_registers": 2,           # [1row] sketch summary + check frames
     "events_markov_stationary_2step": 2,  # [enum] K-type dims + [1row] K
     "text_rocchio_expansion": 4,         # [topk] feedback/term frames + [1row] counts
+    "events_haar_energy_levels": 1,      # [1row] level-count frame
+    "sample_neyman_allocation": 1,       # [enum]/[1row] allocation frames
+    "embedding_second_pc_deflation": 2,  # [k] localized PC vectors + [1row] norms
 }
 
 
