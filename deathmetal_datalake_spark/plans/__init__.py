@@ -40,6 +40,10 @@ del _rev_q, _rev_o
 # promoted to the head explicitly — the driver's prefix sample then
 # always covers the newest, least-battle-tested surface first.
 _NEWEST_FIRST = [
+    # round 10 batch 5: rank correlation, ACF, Markov attribution
+    "text_signal_spearman",
+    "events_daily_autocorrelation",
+    "events_markov_attribution",
     # round 10 batch 4: wavelets, optimal allocation, PCA deflation
     "events_haar_energy_levels",
     "sample_neyman_allocation",

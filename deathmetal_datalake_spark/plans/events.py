@@ -3855,3 +3855,319 @@ def events_haar_energy_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("level")
     )
+
+
+# ---------------------------------------------------------------------------
+# Daily-series autocorrelation / period detection (round 10) — the ACF
+# at lags 1..14 over the daily event counts, the instrument that finds
+# weekly rhythm (lag 7) before any seasonal model is fit. Exactness by
+# cross-multiplication: with mean = T/D rational, every centered term
+# scales by D — num(k) = sum (D*x_i - T)(D*x_{i+k} - T) and
+# den = sum (D*x_i - T)^2 are exact integers (DECIMAL(38,0)/HUGEINT;
+# D^2*x^2 products) — and acf = num/den is one IEEE divide. Pairs with
+# a missing day on either side are simply absent (gap-tolerant ACF;
+# n_pairs is reported so the reader sees coverage). The lag dim is a
+# 14-row literal; the daily frame is time-range bounded.
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 14
+
+_ACF_SQL = f"""
+WITH daily AS (
+    SELECT CAST(date_diff('day', DATE '1970-01-01',
+                CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
+                AS BIGINT) AS dn,
+           COUNT(*) AS x
+    FROM events GROUP BY 1
+),
+t AS (SELECT COUNT(*) AS d, SUM(x) AS tot FROM daily),
+c AS (
+    SELECT dn, CAST(t.d AS HUGEINT) * x - CAST(t.tot AS HUGEINT) AS y
+    FROM daily, t
+),
+den AS (SELECT SUM(y * y) AS dd FROM c),
+lags AS (SELECT UNNEST(range(1, {_ACF_MAX_LAG} + 1)) AS k),
+num AS (
+    SELECT l.k, COUNT(*) AS n_pairs, SUM(a.y * b.y) AS nn
+    FROM lags l
+    JOIN c a ON TRUE
+    JOIN c b ON b.dn = a.dn + l.k
+    GROUP BY l.k
+)
+SELECT CAST(num.k AS BIGINT) AS lag,
+       CAST(num.n_pairs AS BIGINT) AS n_pairs,
+       ROUND(CAST(CAST(num.nn AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(den.dd AS VARCHAR) AS DOUBLE), 6) AS acf
+FROM num, den
+ORDER BY lag
+"""
+
+
+@register("events_daily_autocorrelation", oracle=_ACF_SQL)
+def events_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.datediff(
+                F.to_date(F.date_trunc("day", F.col("ts"))),
+                F.lit("1970-01-01").cast("date"),
+            )
+            .cast("long")
+            .alias("dn")
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    t = daily.agg(F.count(F.lit(1)).alias("d"), F.sum("x").alias("tot"))
+    c = session_cache(
+        daily.crossJoin(broadcast(t)).select(
+            "dn",
+            (
+                F.col("d").cast("decimal(19,0)") * F.col("x")
+                - F.col("tot").cast("decimal(19,0)")
+            ).alias("y"),
+        )
+    )
+    den = c.agg(F.sum(F.col("y") * F.col("y")).alias("dd"))
+    lags = c.sparkSession.range(1, _ACF_MAX_LAG + 1).select(
+        F.col("id").alias("k")
+    )
+    a = c.select(F.col("dn").alias("dna"), F.col("y").alias("ya"))
+    b = c.select(F.col("dn").alias("dnb"), F.col("y").alias("yb"))
+    num = (
+        a.crossJoin(broadcast(lags))
+        .join(b, F.col("dnb") == F.col("dna") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("ya") * F.col("yb")).alias("nn"),
+        )
+    )
+    dd = lambda c_: F.col(c_).cast("string").cast("double")  # noqa: E731
+    return (
+        num.crossJoin(broadcast(den))
+        .select(
+            F.col("k").cast("long").alias("lag"),
+            "n_pairs",
+            F.round(dd("nn") / dd("dd"), 6).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution (round 10) — the data-driven
+# multi-touch attribution model: each user's journey (event sequence up
+# to the first purchase, mapped start -> channels -> conv/null) builds
+# a first-order transition matrix; a channel's credit is its REMOVAL
+# EFFECT, 1 - P(conv | channel deleted)/P(conv), with conversion
+# probability taken over paths of <= 3 steps (the bounded-path
+# truncation that replaces the absorbing-chain inversion — exact DP,
+# no matrix solve). Exactness: transition probs are single IEEE
+# divides from exact counts; every DP contraction sums its K channel
+# terms via an ORDERED fold (sorted-state list, never relational SUM
+# on doubles); the state space is the bounded event-type enum, so the
+# whole DP is a few hundred rows regardless of corpus size.
+# ---------------------------------------------------------------------------
+
+_ATTR_SQL = """
+WITH seq AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN event_type = 'purchase' THEN 'conv' ELSE event_type END
+               AS st,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+               OVER (PARTITION BY user_id) AS first_conv_ts
+    FROM events
+),
+trunc AS (
+    SELECT user_id, ts, event_id, st FROM seq
+    WHERE first_conv_ts IS NULL OR ts <= first_conv_ts
+),
+hops AS (
+    SELECT user_id, st,
+           LAG(st) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY user_id) AS n,
+           MAX(CASE WHEN st = 'conv' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id) AS converted
+    FROM trunc
+),
+trans AS (
+    SELECT 'start' AS f, st AS t FROM hops WHERE rn = 1
+    UNION ALL
+    SELECT prev, st FROM hops WHERE prev IS NOT NULL
+    UNION ALL
+    SELECT st, 'null' FROM hops WHERE rn = n AND converted = 0
+),
+c AS (SELECT f, t, COUNT(*) AS n FROM trans GROUP BY f, t),
+r AS (SELECT f, SUM(n) AS tot FROM c GROUP BY f),
+p AS (SELECT c.f, c.t, c.n / CAST(r.tot AS DOUBLE) AS pv FROM c JOIN r USING (f)),
+chans AS (
+    SELECT DISTINCT f AS ch FROM c WHERE f NOT IN ('start', 'conv', 'null')
+),
+removals AS (SELECT 'none' AS rm UNION ALL SELECT ch FROM chans),
+pr AS (
+    SELECT rm, f, t, pv FROM p, removals
+    WHERE f <> rm AND t <> rm
+),
+g1 AS (
+    SELECT rm, f, COALESCE(MAX(CASE WHEN t = 'conv' THEN pv END), 0.0) AS v
+    FROM pr GROUP BY rm, f
+),
+g2 AS (
+    SELECT g1.rm, g1.f,
+           g1.v + COALESCE(list_sum(list(pr.pv * gt.v ORDER BY pr.t)), 0.0) AS v
+    FROM g1
+    LEFT JOIN pr ON pr.rm = g1.rm AND pr.f = g1.f
+        AND pr.t NOT IN ('conv', 'null', 'start')
+    LEFT JOIN g1 gt ON gt.rm = g1.rm AND gt.f = pr.t
+    GROUP BY g1.rm, g1.f, g1.v
+),
+g3 AS (
+    SELECT g1.rm, g1.f,
+           g1.v + COALESCE(list_sum(list(pr.pv * gt.v ORDER BY pr.t)), 0.0) AS v
+    FROM g1
+    LEFT JOIN pr ON pr.rm = g1.rm AND pr.f = g1.f
+        AND pr.t NOT IN ('conv', 'null', 'start')
+    LEFT JOIN g2 gt ON gt.rm = g1.rm AND gt.f = pr.t
+    GROUP BY g1.rm, g1.f, g1.v
+),
+base AS (SELECT v FROM g3 WHERE rm = 'none' AND f = 'start')
+SELECT g3.rm AS channel,
+       ROUND(g3.v, 6) AS p_conv_3step,
+       ROUND(1.0 - g3.v / base.v, 6) AS removal_effect
+FROM g3, base
+WHERE g3.f = 'start' AND g3.rm <> 'none'
+ORDER BY channel
+"""
+
+
+@register("events_markov_attribution", oracle=_ATTR_SQL)
+def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    ev = load_table(spark, sf_dir, "events")
+    wq = Window.partitionBy("user_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", "conv")
+        .otherwise(F.col("event_type"))
+        .alias("st"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).over(wq).alias("first_conv_ts"),
+    )
+    trunc = seq.filter(
+        F.col("first_conv_ts").isNull() | (F.col("ts") <= F.col("first_conv_ts"))
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hops = trunc.select(
+        "st",
+        F.lag("st").over(wo).alias("prev"),
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wq).alias("n"),
+        F.max(F.when(F.col("st") == "conv", 1).otherwise(0))
+        .over(wq)
+        .alias("converted"),
+    )
+    trans = (
+        hops.filter(F.col("rn") == 1)
+        .select(F.lit("start").alias("f"), F.col("st").alias("t"))
+        .unionByName(
+            hops.filter(F.col("prev").isNotNull()).select(
+                F.col("prev").alias("f"), F.col("st").alias("t")
+            )
+        )
+        .unionByName(
+            hops.filter(
+                (F.col("rn") == F.col("n")) & (F.col("converted") == 0)
+            ).select(F.col("st").alias("f"), F.lit("null").alias("t"))
+        )
+    )
+    c = trans.groupBy("f", "t").agg(F.count(F.lit(1)).alias("n"))
+    r = c.groupBy("f").agg(F.sum("n").alias("tot"))
+    p = session_cache(
+        c.join(r, "f").select(
+            "f", "t", (F.col("n") / F.col("tot").cast("double")).alias("pv")
+        )
+    )
+    chans = p.filter(
+        ~F.col("f").isin("start", "conv", "null")
+    ).select(F.col("f").alias("rm")).distinct()
+    removals = chans.unionByName(
+        p.sparkSession.createDataFrame([("none",)], "rm string")
+    )
+    pr = session_cache(
+        p.crossJoin(broadcast(removals)).filter(
+            (F.col("f") != F.col("rm")) & (F.col("t") != F.col("rm"))
+        )
+    )
+    g1 = session_cache(
+        pr.groupBy("rm", "f").agg(
+            F.coalesce(
+                F.max(F.when(F.col("t") == "conv", F.col("pv"))), F.lit(0.0)
+            ).alias("v")
+        )
+    )
+
+    def contract(g_prev: DataFrame) -> DataFrame:
+        # Ordered K-term fold per (removal, state): sorted target list,
+        # explicit left-to-right aggregate (the markov convention).
+        hop = (
+            pr.filter(~F.col("t").isin("conv", "null", "start"))
+            .join(
+                g_prev.select(
+                    F.col("rm").alias("rm2"),
+                    F.col("f").alias("t2"),
+                    F.col("v").alias("vt"),
+                ),
+                (F.col("rm") == F.col("rm2")) & (F.col("t") == F.col("t2")),
+            )
+            .groupBy("rm", "f")
+            .agg(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct("t", (F.col("pv") * F.col("vt")).alias("w"))
+                    )
+                ).alias("a")
+            )
+            .select(
+                "rm",
+                "f",
+                F.expr(
+                    "aggregate(a, cast(0.0 as double), (acc, x) -> acc + x.w)"
+                ).alias("hopv"),
+            )
+        )
+        return session_cache(
+            g1.join(hop, ["rm", "f"], "left").select(
+                "rm",
+                "f",
+                (F.col("v") + F.coalesce(F.col("hopv"), F.lit(0.0))).alias("v"),
+            )
+        )
+
+    g2 = contract(g1)
+    g3 = contract(g2)
+    base = g3.filter(
+        (F.col("rm") == "none") & (F.col("f") == "start")
+    ).select(F.col("v").alias("basev"))
+    return (
+        g3.filter((F.col("f") == "start") & (F.col("rm") != "none"))
+        .crossJoin(broadcast(base))
+        .select(
+            F.col("rm").alias("channel"),
+            F.round(F.col("v"), 6).alias("p_conv_3step"),
+            F.round(F.lit(1.0) - F.col("v") / F.col("basev"), 6).alias(
+                "removal_effect"
+            ),
+        )
+        .orderBy("channel")
+    )

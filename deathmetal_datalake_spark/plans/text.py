@@ -2977,3 +2977,122 @@ def text_rocchio_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_feedback_docs", "expansion_terms", "n_docs_before", "n_docs_after"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation between document signals (round 10) — the
+# signal-calibration readout every quality pipeline needs: do two
+# scoring signals actually order the corpus the same way? Spearman is
+# Pearson on TIE-AVERAGED ranks; the doubled-rank trick (2r = 2*cum_lt
+# + cnt + 1, same as the Mann-Whitney query) keeps every rank integral,
+# so all five correlation moments are exact integer sums in
+# DECIMAL(38,0)/HUGEINT and the final rho is one identical IEEE
+# expression on both engines (exact while 8*N^3 < 10^38, i.e. N below
+# ~2.3e12 docs; beyond that the moments need 256-bit — documented
+# trade). 100 TB: each signal's rank map is a hash aggregate over its
+# DISTINCT values plus a two-phase distributed cumsum — no single-task
+# sort anywhere.
+# ---------------------------------------------------------------------------
+
+_SPEARMAN_SQL = """
+WITH sig AS (
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS x,
+           CAST(LENGTH(trim(text)) - LENGTH(REPLACE(trim(text), ' ', '')) + 1
+                AS BIGINT) AS y
+    FROM documents
+),
+rx AS (
+    SELECT x, 2 * (SUM(cnt) OVER (ORDER BY x) - cnt) + cnt + 1 AS r2
+    FROM (SELECT x, COUNT(*) AS cnt FROM sig GROUP BY x)
+),
+ry AS (
+    SELECT y, 2 * (SUM(cnt) OVER (ORDER BY y) - cnt) + cnt + 1 AS r2
+    FROM (SELECT y, COUNT(*) AS cnt FROM sig GROUP BY y)
+),
+j AS (
+    SELECT CAST(rx.r2 AS HUGEINT) AS a, CAST(ry.r2 AS HUGEINT) AS b
+    FROM sig JOIN rx USING (x) JOIN ry USING (y)
+),
+m AS (
+    SELECT COUNT(*) AS n, SUM(a) AS sa, SUM(b) AS sb,
+           SUM(a * a) AS saa, SUM(b * b) AS sbb, SUM(a * b) AS sab
+    FROM j
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       ROUND(
+         (CAST(CAST(n AS VARCHAR) AS DOUBLE) * CAST(CAST(sab AS VARCHAR) AS DOUBLE)
+          - CAST(CAST(sa AS VARCHAR) AS DOUBLE) * CAST(CAST(sb AS VARCHAR) AS DOUBLE))
+         / (SQRT(CAST(CAST(n AS VARCHAR) AS DOUBLE)
+                 * CAST(CAST(saa AS VARCHAR) AS DOUBLE)
+                 - CAST(CAST(sa AS VARCHAR) AS DOUBLE)
+                   * CAST(CAST(sa AS VARCHAR) AS DOUBLE))
+            * SQRT(CAST(CAST(n AS VARCHAR) AS DOUBLE)
+                   * CAST(CAST(sbb AS VARCHAR) AS DOUBLE)
+                   - CAST(CAST(sb AS VARCHAR) AS DOUBLE)
+                     * CAST(CAST(sb AS VARCHAR) AS DOUBLE))),
+         6) AS spearman_rho
+FROM m
+"""
+
+
+@register("text_signal_spearman", oracle=_SPEARMAN_SQL)
+def text_signal_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast  # noqa: F401
+
+    from deathmetal_datalake_spark.operators.ordering import two_phase_order
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sig = session_cache(
+        docs.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("x"),
+            (
+                F.length(F.trim(F.col("text")))
+                - F.length(F.regexp_replace(F.trim(F.col("text")), " ", ""))
+                + 1
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+
+    def rank2(col: str):
+        g = sig.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        o = two_phase_order(
+            g, [F.asc(col)], F.col(col), cumsum=("cnt", "cum")
+        )
+        return o.select(
+            col,
+            (
+                F.lit(2) * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1
+            ).alias("r2"),
+        )
+
+    j = (
+        sig.join(rank2("x").withColumnRenamed("r2", "a"), "x")
+        .join(rank2("y").withColumnRenamed("r2", "b"), "y")
+        .select(
+            F.col("a").cast("decimal(19,0)").alias("a"),
+            F.col("b").cast("decimal(19,0)").alias("b"),
+        )
+    )
+    m = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.sum(F.col("a") * F.col("a")).alias("saa"),
+        F.sum(F.col("b") * F.col("b")).alias("sbb"),
+        F.sum(F.col("a") * F.col("b")).alias("sab"),
+    )
+    dd = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    n = F.col("n").cast("string").cast("double")
+    rho = (n * dd("sab") - dd("sa") * dd("sb")) / (
+        F.sqrt(n * dd("saa") - dd("sa") * dd("sa"))
+        * F.sqrt(n * dd("sbb") - dd("sb") * dd("sb"))
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.round(rho, 6).alias("spearman_rho"),
+    )

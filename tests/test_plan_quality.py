@@ -186,6 +186,8 @@ _NONEQUI_OK = {
     "events_haar_energy_levels",     # 1-row level-count frame crossJoined
     "sample_neyman_allocation",      # 1-row weight-total/remainder frames
     "embedding_second_pc_deflation",  # 1-row norm/ortho frames crossJoined
+    "events_daily_autocorrelation",  # 14-row literal lag dim + 1-row denominator
+    "events_markov_attribution",     # bounded type-space transition/DP frames
 }
 
 
@@ -315,6 +317,9 @@ _HINTED_BROADCAST_OK = {
     "events_haar_energy_levels": 1,      # [1row] level-count frame
     "sample_neyman_allocation": 1,       # [enum]/[1row] allocation frames
     "embedding_second_pc_deflation": 2,  # [k] localized PC vectors + [1row] norms
+    "text_signal_spearman": 2,           # [bkt] rank-cumsum offsets x2
+    "events_daily_autocorrelation": 2,   # [dim] lag frame + [1row] totals
+    "events_markov_attribution": 1,      # [enum] removal dim
 }
 
 
