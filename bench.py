@@ -197,6 +197,13 @@ BENCH_QUERIES = [
     # which IS benched); CORRECTNESS covers it every round.
     # NOT here: catalog_rename_evolution_read — runtime is deliberate
     # multi-write table construction like bloom_point_lookup.
+    # Rotated IN round 10 (newest-first, per governance): one
+    # representative per new family — the real-FLAC Arrow round-trip,
+    # the nonparametric drift pair's rank-sum half (KS shares its
+    # era-split scan shape), and the bounded-DP attribution model.
+    "multimodal_flac_roundtrip_stats",
+    "dq_mannwhitney_value_drift",
+    "events_markov_attribution",
 ]
 
 # Governance (round-8, VERDICT r7 #2): the headline set may rotate —
