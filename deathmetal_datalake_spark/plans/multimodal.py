@@ -714,9 +714,7 @@ def multimodal_flac_roundtrip_stats(
                 samples = np.frombuffer(bytes(content), dtype=np.uint8).astype(
                     np.int64
                 )
-                enc = flac_encode(
-                    [int(s) for s in samples], bits=16, block_size=256
-                )
+                enc = flac_encode(samples, bits=16, block_size=256)
                 if sniff_format(enc) != "flac":
                     raise ValueError("FLAC encoder produced unsniffable bytes")
                 dec = flac_pcm_decode(enc)
