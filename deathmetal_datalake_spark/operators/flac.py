@@ -3,24 +3,28 @@ pure integer math, no codec libs (the PNG/JPEG pattern applied to
 lossless audio; round-10, closing the last stdlib-reachable codec-seam
 item — MP3/H.264 genuinely need external libs and stay stubbed).
 
-Implements the subset a lossless PCM corpus needs, per the public FLAC
-format (RFC 9639): STREAMINFO parsing, fixed-blocking frames, subframe
-types CONSTANT / VERBATIM / FIXED orders 0-4, both Rice residual
-methods (4- and 5-bit parameters) including the escape-to-raw form,
-arbitrary partition orders, wasted-bits shifting, 8/16/24-bit depths,
-and up to 8 independently-coded channels. Every integrity field is
-verified — header CRC-8 (poly 0x07), frame CRC-16 (poly 0x8005), and
-the STREAMINFO MD5 of the decoded stream — raising ``ValueError`` on
-any mismatch so a corrupt corpus fails loudly (the same contract as
-``wav_pcm_decode``/``tiff_decode``). LPC subframes and inter-channel
-decorrelation (left/side, right/side, mid/side) raise ``ValueError``
-as documented unsupported variants.
+Implements the profile a lossless PCM corpus needs, per the public
+FLAC format (RFC 9639): STREAMINFO parsing, fixed-blocking frames,
+subframe types CONSTANT / VERBATIM / FIXED orders 0-4 / LPC orders
+1-32 (quantized integer predictor + shift), both Rice residual methods
+(4- and 5-bit parameters) including the escape-to-raw form, arbitrary
+partition orders, wasted-bits shifting, 8/16/24-bit depths, up to 8
+independently-coded channels, and all three inter-channel
+decorrelation modes for stereo (left/side, right/side, mid/side — the
+side channel carries one extra bit per the spec). Every integrity
+field is verified — header CRC-8 (poly 0x07), frame CRC-16 (poly
+0x8005), and the STREAMINFO MD5 of the decoded stream — raising
+``ValueError`` on any mismatch so a corrupt corpus fails loudly (the
+same contract as ``wav_pcm_decode``/``tiff_decode``).
 
 ``flac_encode`` is the test-side synthesizer (the WAV-vs-``wave``
 round-trip pattern): fixed-order prediction chosen per block by exact
-cost, Rice parameter swept exactly, VERBATIM/CONSTANT fallbacks —
-enough to produce real, spec-valid streams for the decoder tests and
-the Arrow-path end-to-end checks.
+cost, optional quantized-LPC prediction (Levinson-Durbin analysis,
+integer coefficients + shift, exact integer residual), optional stereo
+decorrelation, Rice parameter swept exactly, VERBATIM/CONSTANT
+fallbacks, and the general n-byte coded frame number (so streams with
+>= 2048 frames stay spec-valid) — enough to produce real, spec-valid
+streams for the decoder tests and the Arrow-path end-to-end checks.
 
 Reference parity: the reference pipeline treats media as opaque binary
 columns and defers decode to external tooling; this codec makes the
@@ -193,8 +197,24 @@ def _decode_subframe(r: _BitReader, n: int, bps: int) -> list[int]:
         for i in range(order, n):
             pred = sum(c * samples[i - 1 - j] for j, c in enumerate(coef))
             samples.append(res[i - order] + pred)
-    elif stype >= 32:
-        raise ValueError("unsupported FLAC subframe type LPC (external-lib tier)")
+    elif stype >= 32:  # LPC orders 1-32
+        order = (stype & 0x1F) + 1
+        if order > n:
+            raise ValueError("FLAC LPC order exceeds block size")
+        warm = [r.read_signed(eff) for _ in range(order)]
+        prec = r.read(4)
+        if prec == 15:
+            raise ValueError("invalid FLAC LPC coefficient precision")
+        prec += 1
+        shift = r.read_signed(5)
+        if shift < 0:
+            raise ValueError("negative FLAC LPC shift")
+        coef = [r.read_signed(prec) for _ in range(order)]
+        res = _decode_residual(r, n, order)
+        samples = warm[:]
+        for i in range(order, n):
+            pred = sum(c * samples[i - 1 - j] for j, c in enumerate(coef)) >> shift
+            samples.append(res[i - order] + pred)
     else:
         raise ValueError(f"reserved FLAC subframe type {stype}")
     if wasted:
@@ -236,9 +256,9 @@ def flac_decode(content: bytes):
     """Decode a FLAC payload to per-channel int64 samples. Returns
     ``(samples, sample_rate, n_channels)`` where ``samples`` is the
     FIRST channel as a numpy int64 array (the ``wav_pcm_decode``
-    convention). Raises ``ValueError`` on non-FLAC payloads, CRC or
-    MD5 mismatches, and documented-unsupported variants (LPC,
-    inter-channel decorrelation)."""
+    convention). Supports FIXED and LPC prediction and all three
+    stereo decorrelation modes. Raises ``ValueError`` on non-FLAC
+    payloads, CRC or MD5 mismatches, and reserved/invalid fields."""
     import numpy as np
 
     b = bytes(content)
@@ -316,14 +336,42 @@ def flac_decode(content: bytes):
         crc8 = r.read(8)
         if crc8 != _crc8(header_bytes):
             raise ValueError("FLAC frame header CRC-8 mismatch")
-        if chan_code >= 8:
-            raise ValueError(
-                "unsupported FLAC channel decorrelation (left/mid/right-side)"
-            )
-        if chan_code + 1 != n_channels:
-            raise ValueError("FLAC frame channel count disagrees with STREAMINFO")
-        for ch in range(n_channels):
-            channels[ch].extend(_decode_subframe(r, block, frame_bps))
+        if chan_code > 10:
+            raise ValueError(f"reserved FLAC channel assignment {chan_code}")
+        if chan_code < 8:
+            if chan_code + 1 != n_channels:
+                raise ValueError(
+                    "FLAC frame channel count disagrees with STREAMINFO"
+                )
+            for ch in range(n_channels):
+                channels[ch].extend(_decode_subframe(r, block, frame_bps))
+        else:
+            # Inter-channel decorrelation — stereo only; the SIDE
+            # (difference) channel carries one extra bit.
+            if n_channels != 2:
+                raise ValueError(
+                    "FLAC frame channel count disagrees with STREAMINFO"
+                )
+            if chan_code == 8:  # left/side: right = left - side
+                left = _decode_subframe(r, block, frame_bps)
+                side = _decode_subframe(r, block, frame_bps + 1)
+                right = [lv - sv for lv, sv in zip(left, side)]
+            elif chan_code == 9:  # right/side: left = side + right
+                side = _decode_subframe(r, block, frame_bps + 1)
+                right = _decode_subframe(r, block, frame_bps)
+                left = [sv + rv for sv, rv in zip(side, right)]
+            else:  # mid/side: mid = (l+r)>>1 (floor), side = l-r.
+                # (l+r) = (mid<<1)|(side&1) since (l+r)&1 == (l-r)&1;
+                # both halves below are exact integers.
+                mid = _decode_subframe(r, block, frame_bps)
+                side = _decode_subframe(r, block, frame_bps + 1)
+                left, right = [], []
+                for mv, sv in zip(mid, side):
+                    lr = (mv << 1) | (sv & 1)
+                    left.append((lr + sv) >> 1)
+                    right.append((lr - sv) >> 1)
+            channels[0].extend(left)
+            channels[1].extend(right)
         r.align()
         body_bytes = b[frame_start : r.pos]
         crc16 = r.read(16)
@@ -388,6 +436,86 @@ def _best_rice(u) -> tuple[int, int]:
     return best_p, best_c
 
 
+def _write_coded_number(w: _BitWriter, val: int):
+    """General n-byte UTF-8-like coded number (frame headers) — the
+    exact inverse of ``_read_coded_number``; 1-7 bytes cover the full
+    36-bit sample/frame-number space, so streams with >= 2048 frames
+    stay spec-valid (the 2-byte-only form silently truncated them)."""
+    if val < 0 or val >= 1 << 36:
+        raise ValueError("FLAC coded number out of range")
+    if val < 0x80:
+        w.write(val, 8)
+        return
+    for n_follow in range(1, 7):
+        # leading byte: n_follow+1 ones, a zero, then 6-n_follow
+        # payload bits; each continuation byte is 10xxxxxx.
+        lead_bits = 6 - n_follow
+        if val < 1 << (lead_bits + 6 * n_follow):
+            w.write((1 << (n_follow + 2)) - 2, n_follow + 2)
+            if lead_bits:
+                w.write(val >> (6 * n_follow), lead_bits)
+            for k in range(n_follow - 1, -1, -1):
+                w.write(0b10, 2)
+                w.write((val >> (6 * k)) & 0x3F, 6)
+            return
+    raise ValueError("FLAC coded number out of range")
+
+
+def _quantized_lpc(arr, bps: int, max_order: int):
+    """Levinson-Durbin LPC analysis + coefficient quantization.
+    Returns ``(order, qcoef, shift, precision)`` or ``None`` when the
+    block has no usable predictor. Pure analysis — the encoder computes
+    the residual with the QUANTIZED integer predictor, so decode is
+    exact regardless of analysis precision."""
+    import numpy as np
+
+    x = arr.astype(np.float64)
+    n = len(x)
+    max_order = min(max_order, n - 1, 32)
+    if max_order < 1:
+        return None
+    autoc = np.array(
+        [float(np.dot(x[: n - i], x[i:])) for i in range(max_order + 1)]
+    )
+    if autoc[0] <= 0:
+        return None
+    # Levinson-Durbin recursion; keep the highest stable order.
+    err = autoc[0]
+    lpc = np.zeros(max_order)
+    order = 0
+    for i in range(max_order):
+        acc = autoc[i + 1] - float(np.dot(lpc[:i], autoc[i:0:-1]))
+        if err <= 0:
+            break
+        k = acc / err
+        if not np.isfinite(k) or abs(k) >= 1.0:
+            break
+        lpc[:i] = lpc[:i] - k * lpc[i - 1 :: -1] if i else lpc[:i]
+        lpc[i] = k
+        err *= 1.0 - k * k
+        order = i + 1
+    if order < 1:
+        return None
+    coefs = lpc[:order]
+    precision = 12
+    cmax = float(np.abs(coefs).max())
+    if cmax <= 0:
+        return None
+    # Largest shift (<= 15, the positive half of the signed 5-bit
+    # field) keeping every quantized coefficient inside precision bits.
+    shift = 15
+    while shift > 0 and cmax * (1 << shift) >= (1 << (precision - 1)) - 1:
+        shift -= 1
+    if shift == 0:
+        return None
+    qcoef = np.round(coefs * (1 << shift)).astype(np.int64)
+    lim = 1 << (precision - 1)
+    qcoef = np.clip(qcoef, -lim, lim - 1)
+    if not qcoef.any():
+        return None
+    return order, qcoef, shift, precision
+
+
 def flac_encode(
     samples,
     *,
@@ -395,15 +523,23 @@ def flac_encode(
     bits: int = 16,
     block_size: int = 256,
     channels=None,
+    stereo_mode: str = "independent",
+    max_lpc_order: int = 0,
 ) -> bytes:
     """Encode signed integer samples (one mono list/array, or a list of
     per-channel sequences via ``channels``) into a spec-valid FLAC
-    stream: independent channels, fixed blocking, FIXED order 0-2 /
-    CONSTANT / VERBATIM subframes chosen by exact cost, Rice partition
-    order 0 with an exact parameter sweep, real CRC-8/CRC-16 and
-    STREAMINFO MD5."""
+    stream: fixed blocking, FIXED order 0-2 / CONSTANT / VERBATIM
+    subframes chosen by exact cost (plus quantized-LPC candidates when
+    ``max_lpc_order`` > 0), Rice partition order 0 with an exact
+    parameter sweep, the general n-byte coded frame number, real
+    CRC-8/CRC-16 and STREAMINFO MD5. ``stereo_mode`` selects the
+    2-channel decorrelation: ``independent`` (default), ``left_side``,
+    ``right_side``, or ``mid_side`` — the side channel is encoded at
+    bits+1 per the spec."""
     import numpy as np
 
+    if stereo_mode not in ("independent", "left_side", "right_side", "mid_side"):
+        raise ValueError(f"unknown stereo_mode {stereo_mode!r}")
     chans = channels if channels is not None else [samples]
     chans = [np.asarray(list(c), dtype=np.int64) for c in chans]
     n_ch = len(chans)
@@ -439,6 +575,12 @@ def flac_encode(
     out += bytes([0x80]) + (34).to_bytes(3, "big") + info + m.digest()
 
     ss_code = {8: 1, 16: 4, 24: 6}[bits]
+    decorrelate = stereo_mode != "independent" and n_ch == 2
+    chan_field = (
+        {"left_side": 8, "right_side": 9, "mid_side": 10}[stereo_mode]
+        if decorrelate
+        else n_ch - 1
+    )
     frame_no = 0
     for start in range(0, ntot, block_size):
         blk = [c[start : start + block_size] for c in chans]
@@ -449,23 +591,30 @@ def flac_encode(
         w.write(0, 1)  # fixed blocking
         w.write(7, 4)  # 16-bit block size - 1 at header end
         w.write(0, 4)  # sample rate from STREAMINFO
-        w.write(n_ch - 1, 4)
+        w.write(chan_field, 4)
         w.write(ss_code, 3)
         w.write(0, 1)
-        if frame_no < 0x80:
-            w.write(frame_no, 8)
-        else:  # 2-byte UTF-8-like form (plenty for tests)
-            w.write(0b110, 3)
-            w.write(frame_no >> 6, 5)
-            w.write(0b10, 2)
-            w.write(frame_no & 0x3F, 6)
+        _write_coded_number(w, frame_no)
         w.write(n - 1, 16)
         header = w.bytes()
         frame = bytearray(header)
         frame.append(_crc8(bytes(frame)))
         w = _BitWriter()
-        for c in blk:
-            _encode_subframe(w, c, bits)
+        if decorrelate:
+            left, right = blk
+            side = left - right
+            if stereo_mode == "left_side":
+                subs = [(left, bits), (side, bits + 1)]
+            elif stereo_mode == "right_side":
+                subs = [(side, bits + 1), (right, bits)]
+            else:  # mid_side: mid = floor((l+r)/2) — exact with side's
+                # low bit carrying the dropped parity (decoder invariant)
+                subs = [((left + right) >> 1, bits), (side, bits + 1)]
+            for c, sub_bps in subs:
+                _encode_subframe(w, c, sub_bps, max_lpc_order=max_lpc_order)
+        else:
+            for c in blk:
+                _encode_subframe(w, c, bits, max_lpc_order=max_lpc_order)
         frame += w.bytes()
         frame += _crc16(bytes(frame)).to_bytes(2, "big")
         out += frame
@@ -473,7 +622,19 @@ def flac_encode(
     return bytes(out)
 
 
-def _encode_subframe(w: _BitWriter, samples, bps: int):
+def _write_rice_residual(w: _BitWriter, u, param: int):
+    w.write(0, 2)  # rice method 0 (4-bit params)
+    w.write(0, 4)  # partition order 0
+    w.write(param, 4)
+    stop = 1 << param
+    pmask = stop - 1
+    for uu in u.tolist():
+        # one field write per residual: q zero bits, the stop 1, then
+        # the param low bits — as a single (q+1+param)-bit value
+        w.write(stop | (uu & pmask), (uu >> param) + 1 + param)
+
+
+def _encode_subframe(w: _BitWriter, samples, bps: int, *, max_lpc_order: int = 0):
     import numpy as np
 
     arr = np.asarray(samples, dtype=np.int64)
@@ -484,7 +645,7 @@ def _encode_subframe(w: _BitWriter, samples, bps: int):
         w.write(0, 1)
         w.write(int(arr[0]) & ((1 << bps) - 1), bps)
         return
-    best = None  # (cost, order, u, param)
+    best = None  # (cost, kind, order, u, param, lpc_meta)
     for order in range(0, 3):
         if n <= order:
             continue
@@ -497,7 +658,22 @@ def _encode_subframe(w: _BitWriter, samples, bps: int):
         param, cost = _best_rice(u)
         cost += order * bps
         if best is None or cost < best[0]:
-            best = (cost, order, u, param)
+            best = (cost, "fixed", order, u, param, None)
+    if max_lpc_order > 0:
+        lpc = _quantized_lpc(arr, bps, max_lpc_order)
+        if lpc is not None:
+            order, qcoef, shift, prec = lpc
+            if n > order:
+                # Exact integer residual with the QUANTIZED predictor:
+                # pred[i] = (sum_j qcoef[j] * arr[i-1-j]) >> shift, a
+                # correlation — one np.convolve keeps it in C.
+                pred = np.convolve(arr, qcoef)[order - 1 : n - 1] >> shift
+                res = arr[order:] - pred
+                u = _zigzag(res)
+                param, cost = _best_rice(u)
+                cost += order * bps + 4 + 5 + order * prec
+                if best is None or cost < best[0]:
+                    best = (cost, "lpc", order, u, param, (qcoef, shift, prec))
     verbatim_cost = n * bps
     if best is None or best[0] >= verbatim_cost:
         w.write(0, 1)
@@ -507,19 +683,24 @@ def _encode_subframe(w: _BitWriter, samples, bps: int):
         for s in arr.tolist():
             w.write(s & mask, bps)
         return
-    _, order, u, param = best
-    w.write(0, 1)
-    w.write(8 + order, 6)  # FIXED
-    w.write(0, 1)
+    _, kind, order, u, param, meta = best
     mask = (1 << bps) - 1
-    for s in arr[:order].tolist():
-        w.write(s & mask, bps)
-    w.write(0, 2)  # rice method 0 (4-bit params)
-    w.write(0, 4)  # partition order 0
-    w.write(param, 4)
-    stop = 1 << param
-    pmask = stop - 1
-    for uu in u.tolist():
-        # one field write per residual: q zero bits, the stop 1, then
-        # the param low bits — as a single (q+1+param)-bit value
-        w.write(stop | (uu & pmask), (uu >> param) + 1 + param)
+    if kind == "fixed":
+        w.write(0, 1)
+        w.write(8 + order, 6)  # FIXED
+        w.write(0, 1)
+        for s in arr[:order].tolist():
+            w.write(s & mask, bps)
+    else:
+        qcoef, shift, prec = meta
+        w.write(0, 1)
+        w.write(32 | (order - 1), 6)  # LPC
+        w.write(0, 1)
+        for s in arr[:order].tolist():
+            w.write(s & mask, bps)
+        w.write(prec - 1, 4)
+        w.write(shift, 5)
+        cmask = (1 << prec) - 1
+        for c in qcoef.tolist():
+            w.write(c & cmask, prec)
+    _write_rice_residual(w, u, param)

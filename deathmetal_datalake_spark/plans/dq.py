@@ -1646,10 +1646,12 @@ def dq_ks_two_sample_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("value").alias("ks_at_value"))
     )
     dd = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    # Final row assembled from the AGGREGATE frames (t/m/at each always
+    # yield exactly one row) — never limit(1) over the data frame, which
+    # returns 0 rows on an empty events table while the oracle's
+    # scalar-subquery form returns one NULL-fielded row (r10 ADVICE).
     return (
-        d.select("n_a", "n_b")
-        .limit(1)
-        .crossJoin(broadcast(m))
+        t.crossJoin(broadcast(m))
         .crossJoin(broadcast(at))
         .select(
             F.col("n_a").cast("long").alias("n_a"),

@@ -3478,10 +3478,12 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(broadcast(m), s["s_down"] == m["down_max"])
         .agg(F.min("d").alias("down_peak_day"))
     )
+    # Final row from the AGGREGATE frames (t/m/up_day/down_day always
+    # yield exactly one row) — not limit(1) over the windowed data
+    # frame, which is empty on an empty events table while the oracle's
+    # scalar subqueries still emit one NULL/0 row (r10 ADVICE).
     return (
-        s.select("nd", "tot")
-        .limit(1)
-        .crossJoin(broadcast(m))
+        t.crossJoin(broadcast(m))
         .crossJoin(broadcast(up_day))
         .crossJoin(broadcast(down_day))
         .select(

@@ -696,7 +696,15 @@ def multimodal_flac_roundtrip_stats(
     from deathmetal_datalake_spark.operators.multimodal import sniff_format
 
     docs = load_table(spark, sf_dir, "documents")
-    media = documents_as_media(docs).select("media_id", "content")
+    # NULL/zero-length payloads are dropped BEFORE the codec stage to
+    # match the oracle's UNNEST(range(0, n)) group-by-over-no-rows
+    # behavior (n=0 emits no row per doc); a NULL would also crash
+    # bytes(None) inside the batch fn (r10 ADVICE).
+    media = (
+        documents_as_media(docs)
+        .select("media_id", "content")
+        .filter(F.col("content").isNotNull() & (F.length("content") > 0))
+    )
     out_schema = StructType(
         [
             StructField("media_id", LongType(), False),

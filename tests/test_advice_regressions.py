@@ -940,3 +940,55 @@ def test_diversity_survives_zero_vectors(spark, tmp_path, name):
     d = _embeddings_with(tmp_path, spark, rows)
     report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
     assert report["match"] is True, report
+
+
+# ---------------------------------------------------------------------------
+# Round-11 (r10 ADVICE): empty-input parity for scalar-subquery-shaped
+# queries, and degenerate documents through the FLAC round-trip.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name", ["dq_ks_two_sample_drift", "events_cusum_changepoint"]
+)
+def test_ks_and_cusum_emit_one_row_on_empty_events(spark, tmp_path, name):
+    # The oracle's scalar-subquery form yields exactly one NULL/0 row on
+    # an empty events table; limit(1) over the data frame yielded zero.
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    d = _events_with(tmp_path, spark, [])
+    report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+    assert report["match"] is True, report
+
+
+def test_ks_survives_all_null_values(spark, tmp_path):
+    import datetime
+
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    T0 = datetime.datetime(2024, 3, 1)
+    rows = [
+        (i, T0 + datetime.timedelta(hours=i), i % 5, "click", None, None)
+        for i in range(30)
+    ]
+    d = _events_with(tmp_path, spark, rows)
+    report = compare_query(
+        spark,
+        "dq_ks_two_sample_drift",
+        QUERIES["dq_ks_two_sample_drift"],
+        ORACLES["dq_ks_two_sample_drift"],
+        d,
+    )
+    assert report["match"] is True, report
+
+
+def test_flac_roundtrip_drops_empty_and_null_docs(spark, tmp_path):
+    # Oracle's UNNEST(range(0, 0)) emits no row for an empty doc; a NULL
+    # text used to crash bytes(None) inside the Arrow batch fn.
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    texts = ["payload one", "", None, "another real payload", "x"]
+    d = _corpus_with(tmp_path, _doc_rows(spark, texts), spark)
+    name = "multimodal_flac_roundtrip_stats"
+    report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+    assert report["match"] is True, report
