@@ -1384,7 +1384,7 @@ v2 AS (
     FROM orders WHERE o_orderstatus = 'O'
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(qty) AS BIGINT) AS total_qty,
+       CAST(CAST(SUM(qty) AS DECIMAL(38,0)) AS VARCHAR) AS total_qty,
        CAST(MIN(qty) AS BIGINT) AS min_qty,
        CAST(MAX(qty) AS BIGINT) AS max_qty
 FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
@@ -1414,7 +1414,13 @@ def catalog_type_widening_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert dict(merged.dtypes)["qty"] == "bigint", "widening did not apply"
         out = merged.agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum("qty").cast("long").alias("total_qty"),
+            # DECIMAL(38,0) accumulation, VARCHAR-rendered: each row
+            # carries the 3e9 widening offset, so a BIGINT sum wraps
+            # near ~3e9 rows — far below the 100 TB row count (the r9
+            # LM-surprisal overflow class; round-11 headroom gate).
+            F.sum(F.col("qty").cast("decimal(38,0)"))
+            .cast("string")
+            .alias("total_qty"),
             F.min("qty").cast("long").alias("min_qty"),
             F.max("qty").cast("long").alias("max_qty"),
         )
