@@ -99,7 +99,11 @@ BENCH_QUERIES = [
     # (similarity_ann_recall rotated out late round 6 for
     # similarity_filtered_ann — the recall-audit shape stays covered by
     # the filtered variant; two-scale history in docs/BENCH_FULL.json.)
-    "dedup_minhash_calibration",
+    # (dedup_minhash_calibration rotated out round 11, stdout budget
+    # for the round-10 statistics rotation — the banded-LSH shape stays
+    # benched via dedup_minhash_lsh and the df-cap audit via
+    # dedup_shingle_df_profile; dedup keeps 9 benched representatives,
+    # two-scale history in docs/BENCH_FULL.json through r10.)
     # (text_repetition_scores rotated out late round 6 for
     # corpus_dsir_importance — text kept 7 other representatives.
     # dedup_cluster_canonical and embedding_int8_quantization rotated
@@ -109,7 +113,11 @@ BENCH_QUERIES = [
     "catalog_snapshot_time_travel",
     # round 3 (cont.): CDC diff, novelty, cross-method + graph audits,
     # truncation recall
-    "catalog_snapshot_diff",
+    # (catalog_snapshot_diff rotated out round 11, stdout budget — the
+    # snapshot-compare shape stays benched via catalog_changes_cdc,
+    # whose CDC diff is a superset; catalog keeps 5 benched
+    # representatives, two-scale history in docs/BENCH_FULL.json
+    # through r10.)
     "text_ngram_novelty",
     "dedup_method_agreement",
     # (dedup_graph_triangles rotated out late round 6 for
@@ -176,7 +184,11 @@ BENCH_QUERIES = [
     # and threshold-based range retrieval (O(n*40) broadcast scan)
     "events_peak_concurrency",
     "dedup_shingle_df_profile",
-    "similarity_radius_search",
+    # (similarity_radius_search rotated out round 11, stdout budget —
+    # the broadcast-scan threshold shape stays benched via
+    # similarity_filtered_ann; similarity keeps 5 benched
+    # representatives, two-scale history in docs/BENCH_FULL.json
+    # through r10.)
     # round 9: the Lorenz-decile audit (distributed two-phase rank +
     # decimal running sum — the new ordering helper's showcase) and the
     # stream-static broadcast enrichment (the 26th replay's join shape)
@@ -204,6 +216,13 @@ BENCH_QUERIES = [
     "multimodal_flac_roundtrip_stats",
     "dq_mannwhitney_value_drift",
     "events_markov_attribution",
+    # Rotated IN round 11 (newest-first, per governance): the remaining
+    # round-10 statistics batches — rank-transform correlation, the
+    # dyadic wavelet energy pyramid, and variance-proportional stratum
+    # allocation.
+    "text_signal_spearman",
+    "events_haar_energy_levels",
+    "sample_neyman_allocation",
 ]
 
 # Governance (round-8, VERDICT r7 #2): the headline set may rotate —
@@ -278,7 +297,11 @@ _HASH_DRAIN = {
     "dedup_minhash_calibration",
     "text_repetition_scores",
     "dedup_cluster_canonical",
-    "catalog_snapshot_diff",
+    # (catalog_snapshot_diff rotated out round 11, stdout budget — the
+    # snapshot-compare shape stays benched via catalog_changes_cdc,
+    # whose CDC diff is a superset; catalog keeps 5 benched
+    # representatives, two-scale history in docs/BENCH_FULL.json
+    # through r10.)
     "text_ngram_novelty",
     "events_gap_filled_5min",
     "catalog_delete_takedown",
