@@ -40,6 +40,14 @@ del _rev_q, _rev_o
 # promoted to the head explicitly — the driver's prefix sample then
 # always covers the newest, least-battle-tested surface first.
 _NEWEST_FIRST = [
+    # round 11 batch 1: paired/k-group nonparametrics, drift-tolerant
+    # changepoint, randomness audit, effect size, deterministic sampling
+    "events_page_hinkley_drift",
+    "events_wilcoxon_signed_rank",
+    "events_runs_test_daily",
+    "dq_cliffs_delta_effect_size",
+    "dq_kruskal_wallis_rank_sums",
+    "sample_bottomk_uniform",
     # round 10 batch 5: rank correlation, ACF, Markov attribution
     "text_signal_spearman",
     "events_daily_autocorrelation",

@@ -1660,3 +1660,250 @@ def dq_ks_two_sample_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ks_at_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cliff's delta effect size (round 11) — the EFFECT-SIZE companion to
+# the Mann-Whitney/KS drift pair: those answer "did the distribution
+# shift?", this answers "by how much?" on the ordinal dominance scale
+# delta = (#(a>b) - #(a<b)) / (n_a*n_b) in [-1, 1], robust to any
+# monotone transform of value. Exactness: per distinct value v the
+# era-0 items dominate exactly cum_b_before(v) era-1 items, so
+# gt = sum_v na(v)*cumb(v) is a pure-integer DECIMAL(38,0)/HUGEINT
+# aggregate (products reach N^2), lt falls out as n_a*n_b - gt - ties,
+# and only the final ratio becomes a rounded double via the VARCHAR
+# crossing. 100 TB: the distinct-value frame is data-proportional —
+# running era-1 count via the two-phase distributed cumsum.
+# ---------------------------------------------------------------------------
+
+_CLIFFS_SQL = """
+WITH b AS (
+    SELECT CAST(FLOOR(epoch(CAST(MIN(ts) AS TIMESTAMP))) AS BIGINT) AS lo,
+           CAST(FLOOR(epoch(CAST(MAX(ts) AS TIMESTAMP))) AS BIGINT) AS hi
+    FROM events
+),
+tagged AS (
+    SELECT value,
+           CASE WHEN CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) * 2
+                     <= lo + hi THEN 0 ELSE 1 END AS era
+    FROM events, b WHERE value IS NOT NULL
+),
+g AS (
+    SELECT value,
+           SUM(CASE WHEN era = 0 THEN 1 ELSE 0 END) AS na,
+           SUM(CASE WHEN era = 1 THEN 1 ELSE 0 END) AS nb
+    FROM tagged GROUP BY value
+),
+o AS (
+    SELECT na, nb,
+           COALESCE(SUM(nb) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cbb
+    FROM g
+),
+s AS (
+    SELECT SUM(CAST(na AS HUGEINT)) AS n_a,
+           SUM(CAST(nb AS HUGEINT)) AS n_b,
+           SUM(CAST(na AS HUGEINT) * CAST(cbb AS HUGEINT)) AS gt,
+           SUM(CAST(na AS HUGEINT) * CAST(nb AS HUGEINT)) AS ties
+    FROM o
+)
+SELECT CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(CAST(gt AS VARCHAR) AS DOUBLE) AS gt_pairs,
+       CAST(CAST(n_a * n_b - gt - ties AS VARCHAR) AS DOUBLE) AS lt_pairs,
+       CASE WHEN COALESCE(n_a, 0) = 0 OR COALESCE(n_b, 0) = 0 THEN NULL
+            ELSE ROUND((2.0 * CAST(CAST(gt AS VARCHAR) AS DOUBLE)
+                        + CAST(CAST(ties AS VARCHAR) AS DOUBLE)
+                        - CAST(CAST(n_a * n_b AS VARCHAR) AS DOUBLE))
+                       / CAST(CAST(n_a * n_b AS VARCHAR) AS DOUBLE), 6)
+       END AS cliffs_delta
+FROM s
+"""
+
+
+@register("dq_cliffs_delta_effect_size", oracle=_CLIFFS_SQL)
+def dq_cliffs_delta_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    from deathmetal_datalake_spark.operators.ordering import two_phase_order
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "value",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("sec"),
+    ).filter(F.col("value").isNotNull())
+    bounds = ev.agg(F.min("sec").alias("lo"), F.max("sec").alias("hi"))
+    tagged = ev.crossJoin(broadcast(bounds)).select(
+        "value",
+        F.when(F.col("sec") * 2 <= F.col("lo") + F.col("hi"), 0)
+        .otherwise(1)
+        .alias("era"),
+    )
+    g = tagged.groupBy("value").agg(
+        F.sum(F.when(F.col("era") == 0, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("era") == 1, 1).otherwise(0)).alias("nb"),
+    )
+    o = two_phase_order(
+        g, [F.asc("value")], F.col("value"), cumsum=("nb", "cum_incl")
+    ).select("na", "nb", (F.col("cum_incl") - F.col("nb")).alias("cbb"))
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    s = o.agg(
+        F.sum(d19("na")).alias("n_a"),
+        F.sum(d19("nb")).alias("n_b"),
+        F.sum(d19("na") * d19("cbb")).alias("gt"),
+        F.sum(d19("na") * d19("nb")).alias("ties"),
+    )
+    dd = lambda c: c.cast("string").cast("double")  # noqa: E731
+    na, nb = F.col("n_a"), F.col("n_b")
+    gt, ties = F.col("gt"), F.col("ties")
+    delta = (
+        F.lit(2.0) * dd(gt) + dd(ties) - dd(na * nb)
+    ) / dd(na * nb)
+    return s.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        dd(gt).alias("gt_pairs"),
+        dd(na * nb - gt - ties).alias("lt_pairs"),
+        F.when(
+            (F.coalesce(na, F.lit(0).cast("decimal(19,0)")) == 0)
+            | (F.coalesce(nb, F.lit(0).cast("decimal(19,0)")) == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.round(delta, 6))
+        .alias("cliffs_delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis rank sums by event type (round 11) — the K-GROUP
+# generalization of the Mann-Whitney pair: are the value distributions
+# of the event types exchangeable, reported as per-type rank-sum
+# deviations? All types are ranked JOINTLY with tie-averaged ranks via
+# the doubled-rank trick (2*cum_before + cnt + 1 per distinct-value tie
+# group), so R_j = sum over the type's values of its members' averaged
+# ranks is exact (DECIMAL(38,0)/HUGEINT — rank sums reach N^2); the
+# per-type z-score uses the finite-population variance
+# n_j(N-n_j)(N+1)/12 with the tie-correction factor
+# (1 - sum(t^3-t)/(N^3-N)), every double derived from the same exact
+# integers via the VARCHAR crossing. 100 TB: distinct values get the
+# two-phase cumsum; the (value x type) frame joins to it on value (hash
+# join); the final frame is event_type-bounded.
+# ---------------------------------------------------------------------------
+
+_KRUSKAL_SQL = """
+WITH v AS (
+    SELECT value, event_type FROM events WHERE value IS NOT NULL
+),
+g AS (SELECT value, COUNT(*) AS cnt FROM v GROUP BY value),
+o AS (
+    SELECT value, cnt,
+           COALESCE(SUM(cnt) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+    FROM g
+),
+t AS (
+    SELECT SUM(CAST(cnt AS HUGEINT)) AS n,
+           SUM(CAST(cnt AS HUGEINT) * CAST(cnt AS HUGEINT)
+               * CAST(cnt AS HUGEINT) - CAST(cnt AS HUGEINT)) AS tie3
+    FROM g
+),
+gt AS (
+    SELECT event_type, value, COUNT(*) AS cj FROM v GROUP BY 1, 2
+),
+r AS (
+    SELECT event_type,
+           SUM(CAST(cj AS HUGEINT)) AS nj,
+           SUM(CAST(cj AS HUGEINT) * (2 * CAST(o.cb AS HUGEINT)
+                                      + CAST(o.cnt AS HUGEINT) + 1)) AS r2
+    FROM gt JOIN o ON gt.value = o.value GROUP BY event_type
+)
+SELECT event_type,
+       CAST(nj AS BIGINT) AS n_j,
+       CAST(CAST(r2 AS VARCHAR) AS DOUBLE) / 2.0 AS rank_sum,
+       ROUND(CAST(CAST(nj AS VARCHAR) AS DOUBLE)
+             * (CAST(CAST(t.n AS VARCHAR) AS DOUBLE) + 1.0) / 2.0, 6)
+           AS expected_rank_sum,
+       CASE WHEN t.n <= 1 OR nj = t.n
+                 OR t.tie3 = t.n * t.n * t.n - t.n THEN NULL
+            ELSE ROUND(
+              (CAST(CAST(r2 AS VARCHAR) AS DOUBLE) / 2.0
+               - CAST(CAST(nj AS VARCHAR) AS DOUBLE)
+                 * (CAST(CAST(t.n AS VARCHAR) AS DOUBLE) + 1.0) / 2.0)
+              / SQRT(CAST(CAST(nj AS VARCHAR) AS DOUBLE)
+                     * (CAST(CAST(t.n AS VARCHAR) AS DOUBLE)
+                        - CAST(CAST(nj AS VARCHAR) AS DOUBLE))
+                     * (CAST(CAST(t.n AS VARCHAR) AS DOUBLE) + 1.0) / 12.0
+                     * (1.0 - CAST(CAST(t.tie3 AS VARCHAR) AS DOUBLE)
+                        / (CAST(CAST(t.n AS VARCHAR) AS DOUBLE)
+                           * CAST(CAST(t.n AS VARCHAR) AS DOUBLE)
+                           * CAST(CAST(t.n AS VARCHAR) AS DOUBLE)
+                           - CAST(CAST(t.n AS VARCHAR) AS DOUBLE)))),
+              6)
+       END AS z_score
+FROM r, t ORDER BY event_type
+"""
+
+
+@register("dq_kruskal_wallis_rank_sums", oracle=_KRUSKAL_SQL)
+def dq_kruskal_wallis_rank_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    from deathmetal_datalake_spark.operators.ordering import two_phase_order
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    v = load_table(spark, sf_dir, "events").select(
+        "value", "event_type"
+    ).filter(F.col("value").isNotNull())
+    g = session_cache(
+        v.groupBy("value").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    o = two_phase_order(
+        g, [F.asc("value")], F.col("value"), cumsum=("cnt", "cum_incl")
+    ).select("value", "cnt", (F.col("cum_incl") - F.col("cnt")).alias("cb"))
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    t = g.agg(
+        F.sum(d19("cnt")).alias("n"),
+        F.sum(d19("cnt") * d19("cnt") * d19("cnt") - d19("cnt")).alias("tie3"),
+    )
+    gt = v.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("cj"))
+    r = (
+        gt.join(o, "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum(d19("cj")).alias("nj"),
+            F.sum(
+                d19("cj")
+                * (F.lit(2).cast("decimal(19,0)") * d19("cb") + d19("cnt") + 1)
+            ).alias("r2"),
+        )
+    )
+    dd = lambda c: c.cast("string").cast("double")  # noqa: E731
+    n, tie3, nj, r2 = F.col("n"), F.col("tie3"), F.col("nj"), F.col("r2")
+    rank_sum = dd(r2) / F.lit(2.0)
+    expected = dd(nj) * (dd(n) + F.lit(1.0)) / F.lit(2.0)
+    z = (rank_sum - expected) / F.sqrt(
+        dd(nj) * (dd(n) - dd(nj)) * (dd(n) + F.lit(1.0)) / F.lit(12.0)
+        * (
+            F.lit(1.0)
+            - dd(tie3) / (dd(n) * dd(n) * dd(n) - dd(n))
+        )
+    )
+    return (
+        r.crossJoin(broadcast(t))
+        .select(
+            "event_type",
+            nj.cast("long").alias("n_j"),
+            rank_sum.alias("rank_sum"),
+            F.round(expected, 6).alias("expected_rank_sum"),
+            F.when(
+                (n <= 1) | (nj == n) | (tie3 == n * n * n - n),
+                F.lit(None).cast("double"),
+            )
+            .otherwise(F.round(z, 6))
+            .alias("z_score"),
+        )
+        .orderBy("event_type")
+    )

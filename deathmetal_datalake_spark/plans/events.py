@@ -4173,3 +4173,408 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# Page-Hinkley drift changepoint (round 11) — the drift-TOLERANT
+# companion to events_cusum_changepoint: CUSUM clamps its statistic at
+# zero and flags any deviation from the global mean, while Page-Hinkley
+# measures the maximum drawup/drawdown of the cumulative deviation
+# AFTER granting an explicit per-day drift allowance delta (here 5% of
+# the mean daily rate, floor), so slow trends don't alarm. Exactness:
+# with mean = T/D and delta = T div (20*D), everything scales by D —
+# PU_i = D*C_i - i*(T + delta*D) — and the running-extremum difference
+# is pure-integer prefix sums and minima/maxima: bit-exact on both
+# engines. 100 TB: the daily frame is time-range bounded (whitelisted
+# global-window class); D*C stays in BIGINT until D*N ~ 2^63.
+# ---------------------------------------------------------------------------
+
+_PAGE_HINKLEY_SQL = """
+WITH daily AS (
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+           COUNT(*) AS x
+    FROM events GROUP BY 1
+),
+t AS (
+    SELECT COUNT(*) AS nd, SUM(x) AS tot,
+           CASE WHEN COUNT(*) = 0 THEN 0
+                ELSE SUM(x) // (20 * COUNT(*)) END AS delta
+    FROM daily
+),
+p AS (
+    SELECT d,
+           CAST(t.nd AS BIGINT) * SUM(x) OVER (ORDER BY d)
+             - ROW_NUMBER() OVER (ORDER BY d)
+               * (CAST(t.tot AS BIGINT)
+                  + CAST(t.delta AS BIGINT) * CAST(t.nd AS BIGINT)) AS pu,
+           CAST(t.nd AS BIGINT) * SUM(x) OVER (ORDER BY d)
+             - ROW_NUMBER() OVER (ORDER BY d)
+               * (CAST(t.tot AS BIGINT)
+                  - CAST(t.delta AS BIGINT) * CAST(t.nd AS BIGINT)) AS qd
+    FROM daily, t
+),
+s AS (
+    SELECT d,
+           pu - MIN(pu) OVER (ORDER BY d) AS ph_up,
+           MAX(qd) OVER (ORDER BY d) - qd AS ph_down
+    FROM p
+),
+m AS (SELECT MAX(ph_up) AS up_max, MAX(ph_down) AS down_max FROM s)
+SELECT (SELECT CAST(nd AS BIGINT) FROM t) AS n_days,
+       (SELECT CAST(tot AS BIGINT) FROM t) AS n_events,
+       (SELECT CAST(delta AS BIGINT) FROM t) AS delta_per_day,
+       CAST(m.up_max AS BIGINT) AS ph_up_max,
+       (SELECT MIN(d) FROM s WHERE s.ph_up = m.up_max) AS up_peak_day,
+       CAST(m.down_max AS BIGINT) AS ph_down_max,
+       (SELECT MIN(d) FROM s WHERE s.ph_down = m.down_max) AS down_peak_day
+FROM m
+"""
+
+
+@register("events_page_hinkley_drift", oracle=_PAGE_HINKLEY_SQL)
+def events_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    t = daily.agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("x").alias("tot"),
+        F.when(F.count(F.lit(1)) == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("sum(x) div (20 * count(1))"))
+        .alias("delta"),
+    )
+    w = Window.orderBy("d")  # time-range-bounded daily frame
+    p = daily.crossJoin(broadcast(t)).select(
+        "d",
+        "nd",
+        "tot",
+        "delta",
+        (
+            F.col("nd") * F.sum("x").over(w)
+            - F.row_number().over(w)
+            * (F.col("tot") + F.col("delta") * F.col("nd"))
+        ).alias("pu"),
+        (
+            F.col("nd") * F.sum("x").over(w)
+            - F.row_number().over(w)
+            * (F.col("tot") - F.col("delta") * F.col("nd"))
+        ).alias("qd"),
+    )
+    s = session_cache(
+        p.select(
+            "d",
+            "nd",
+            "tot",
+            "delta",
+            (F.col("pu") - F.min("pu").over(w)).alias("ph_up"),
+            (F.max("qd").over(w) - F.col("qd")).alias("ph_down"),
+        )
+    )
+    m = s.agg(
+        F.max("ph_up").alias("up_max"), F.max("ph_down").alias("down_max")
+    )
+    up_day = (
+        s.join(broadcast(m), s["ph_up"] == m["up_max"])
+        .agg(F.min("d").alias("up_peak_day"))
+    )
+    down_day = (
+        s.join(broadcast(m), s["ph_down"] == m["down_max"])
+        .agg(F.min("d").alias("down_peak_day"))
+    )
+    # Final row from the AGGREGATE frames (each always one row) — never
+    # limit(1) over the windowed data frame (empty-input parity).
+    return (
+        t.crossJoin(broadcast(m))
+        .crossJoin(broadcast(up_day))
+        .crossJoin(broadcast(down_day))
+        .select(
+            F.col("nd").cast("long").alias("n_days"),
+            F.col("tot").cast("long").alias("n_events"),
+            F.col("delta").cast("long").alias("delta_per_day"),
+            F.col("up_max").alias("ph_up_max"),
+            "up_peak_day",
+            F.col("down_max").alias("ph_down_max"),
+            "down_peak_day",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank over paired per-user era activity (round 11) —
+# the PAIRED companion to the Mann-Whitney drift test: each user is
+# their own control (event count in the window's first half vs the
+# second), so between-user variance cancels and the test asks only
+# "did individual users change?". Rank math is the doubled-rank trick
+# from the MWU query: per |diff| tie group the averaged rank is
+# (2*cum_before + cnt + 1)/2, accumulated doubled so everything stays
+# integral; W+ sums positive-diff users' ranks; the z-score's
+# n(n+1)(2n+1)/24 variance (tie-corrected by sum(t^3-t)/48) is derived
+# from the same exact integers via the VARCHAR crossing. 100 TB: the
+# per-user frame is data-proportional — its running count uses the
+# two-phase distributed cumsum, never a single-task sort.
+# ---------------------------------------------------------------------------
+
+_WILCOXON_SQL = """
+WITH b AS (
+    SELECT CAST(FLOOR(epoch(CAST(MIN(ts) AS TIMESTAMP))) AS BIGINT) AS lo,
+           CAST(FLOOR(epoch(CAST(MAX(ts) AS TIMESTAMP))) AS BIGINT) AS hi
+    FROM events
+),
+u AS (
+    SELECT user_id,
+           SUM(CASE WHEN CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                         * 2 <= lo + hi THEN 1 ELSE 0 END) AS c0,
+           SUM(CASE WHEN CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                         * 2 > lo + hi THEN 1 ELSE 0 END) AS c1
+    FROM events, b GROUP BY user_id
+),
+dnz AS (
+    SELECT c1 - c0 AS diff, ABS(c1 - c0) AS adiff FROM u WHERE c1 <> c0
+),
+g AS (
+    SELECT adiff, COUNT(*) AS cnt,
+           SUM(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS npos
+    FROM dnz GROUP BY adiff
+),
+o AS (
+    SELECT adiff, cnt, npos,
+           COALESCE(SUM(cnt) OVER (ORDER BY adiff
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+    FROM g
+),
+s AS (
+    SELECT SUM(CAST(cnt AS HUGEINT)) AS n,
+           SUM(CAST(npos AS HUGEINT) * (2 * CAST(cb AS HUGEINT)
+                                        + CAST(cnt AS HUGEINT) + 1)) AS w2,
+           SUM(CAST(cnt AS HUGEINT) * CAST(cnt AS HUGEINT)
+               * CAST(cnt AS HUGEINT) - CAST(cnt AS HUGEINT)) AS tie3
+    FROM o
+)
+SELECT CAST(n AS BIGINT) AS n_pairs,
+       CAST(CAST(w2 AS VARCHAR) AS DOUBLE) / 2.0 AS w_plus,
+       CASE WHEN n IS NULL OR n < 2 THEN NULL ELSE
+         ROUND((CAST(CAST(w2 AS VARCHAR) AS DOUBLE) / 2.0
+                - CAST(CAST(n * (n + 1) AS VARCHAR) AS DOUBLE) / 4.0)
+               / SQRT(CAST(CAST(n * (n + 1) * (2 * n + 1) AS VARCHAR)
+                           AS DOUBLE) / 24.0
+                      - CAST(CAST(tie3 AS VARCHAR) AS DOUBLE) / 48.0), 6)
+       END AS z_score
+FROM s
+"""
+
+
+@register("events_wilcoxon_signed_rank", oracle=_WILCOXON_SQL)
+def events_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    from deathmetal_datalake_spark.operators.ordering import two_phase_order
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("sec"),
+    )
+    bounds = ev.agg(F.min("sec").alias("lo"), F.max("sec").alias("hi"))
+    u = (
+        ev.crossJoin(broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("sec") * 2 <= F.col("lo") + F.col("hi"), 1)
+                .otherwise(0)
+            ).alias("c0"),
+            F.sum(
+                F.when(F.col("sec") * 2 > F.col("lo") + F.col("hi"), 1)
+                .otherwise(0)
+            ).alias("c1"),
+        )
+    )
+    dnz = u.filter(F.col("c1") != F.col("c0")).select(
+        (F.col("c1") - F.col("c0")).alias("diff"),
+        F.abs(F.col("c1") - F.col("c0")).alias("adiff"),
+    )
+    g = dnz.groupBy("adiff").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col("diff") > 0, 1).otherwise(0)).alias("npos"),
+    )
+    o = two_phase_order(
+        g, [F.asc("adiff")], F.col("adiff"), cumsum=("cnt", "cum_incl")
+    ).select("cnt", "npos", (F.col("cum_incl") - F.col("cnt")).alias("cb"))
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    s = o.agg(
+        F.sum(d19("cnt")).alias("n"),
+        F.sum(
+            d19("npos")
+            * (F.lit(2).cast("decimal(19,0)") * d19("cb") + d19("cnt") + 1)
+        ).alias("w2"),
+        F.sum(d19("cnt") * d19("cnt") * d19("cnt") - d19("cnt")).alias("tie3"),
+    )
+    dd = lambda c: c.cast("string").cast("double")  # noqa: E731
+    n = F.col("n")
+    w_plus = dd(F.col("w2")) / F.lit(2.0)
+    z = (
+        w_plus - dd(n * (n + 1)) / F.lit(4.0)
+    ) / F.sqrt(
+        dd(n * (n + 1) * (2 * n + 1)) / F.lit(24.0)
+        - dd(F.col("tie3")) / F.lit(48.0)
+    )
+    return s.select(
+        n.cast("long").alias("n_pairs"),
+        w_plus.alias("w_plus"),
+        F.when(n.isNull() | (n < 2), F.lit(None).cast("double"))
+        .otherwise(F.round(z, 6))
+        .alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test over the daily series (round 11) — is the
+# sequence of above/below-median days RANDOM, or does it cluster
+# (regimes) / alternate (overcorrection)? Median exactness: the doubled
+# comparison 2*x vs x_(ceil(D/2)) + x_(floor(D/2)+1) keeps the even-D
+# half-sample median integral; equal-to-median days are dropped per the
+# standard test. The run count is a LAG inequality sum over the daily
+# spine (time-range bounded, whitelisted); n1/n2/r are exact integers
+# and the normal-approximation z is derived from them via the VARCHAR
+# crossing. Degenerate guards (all days one side, < 2 kept days) yield
+# NULL on both engines.
+# ---------------------------------------------------------------------------
+
+_RUNS_TEST_SQL = """
+WITH daily AS (
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+           COUNT(*) AS x
+    FROM events GROUP BY 1
+),
+t AS (SELECT COUNT(*) AS nd FROM daily),
+rk AS (
+    SELECT x, ROW_NUMBER() OVER (ORDER BY x, d) AS rn FROM daily
+),
+med AS (
+    SELECT SUM(CASE WHEN rn = (t.nd + 1) // 2 THEN x ELSE 0 END)
+           + SUM(CASE WHEN rn = t.nd // 2 + 1 THEN x ELSE 0 END) AS med2
+    FROM rk, t
+),
+signs AS (
+    SELECT d, CASE WHEN 2 * x > med2 THEN 1 ELSE -1 END AS s
+    FROM daily, med WHERE 2 * x <> med2
+),
+runs AS (SELECT s, LAG(s) OVER (ORDER BY d) AS prev FROM signs),
+c AS (
+    SELECT COUNT(*) AS n_kept,
+           SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS n1,
+           SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS n2,
+           SUM(CASE WHEN prev IS NULL OR s <> prev THEN 1 ELSE 0 END) AS r
+    FROM runs
+)
+SELECT (SELECT CAST(nd AS BIGINT) FROM t) AS n_days,
+       CAST(c.n_kept AS BIGINT) AS n_kept,
+       CAST(c.n1 AS BIGINT) AS n_plus,
+       CAST(c.n2 AS BIGINT) AS n_minus,
+       CAST(c.r AS BIGINT) AS n_runs,
+       CASE WHEN COALESCE(c.n1, 0) = 0 OR COALESCE(c.n2, 0) = 0 THEN NULL
+            ELSE ROUND(1.0 + 2.0 * CAST(CAST(c.n1 AS VARCHAR) AS DOUBLE)
+                       * CAST(CAST(c.n2 AS VARCHAR) AS DOUBLE)
+                       / CAST(CAST(c.n_kept AS VARCHAR) AS DOUBLE), 6)
+       END AS expected_runs,
+       CASE WHEN COALESCE(c.n1, 0) = 0 OR COALESCE(c.n2, 0) = 0
+                 OR c.n_kept < 3 THEN NULL
+            ELSE ROUND(
+              (CAST(CAST(c.r AS VARCHAR) AS DOUBLE)
+               - (1.0 + 2.0 * CAST(CAST(c.n1 AS VARCHAR) AS DOUBLE)
+                  * CAST(CAST(c.n2 AS VARCHAR) AS DOUBLE)
+                  / CAST(CAST(c.n_kept AS VARCHAR) AS DOUBLE)))
+              / SQRT((2.0 * CAST(CAST(c.n1 AS VARCHAR) AS DOUBLE)
+                      * CAST(CAST(c.n2 AS VARCHAR) AS DOUBLE)
+                      * (2.0 * CAST(CAST(c.n1 AS VARCHAR) AS DOUBLE)
+                         * CAST(CAST(c.n2 AS VARCHAR) AS DOUBLE)
+                         - CAST(CAST(c.n_kept AS VARCHAR) AS DOUBLE)))
+                     / (CAST(CAST(c.n_kept AS VARCHAR) AS DOUBLE)
+                        * CAST(CAST(c.n_kept AS VARCHAR) AS DOUBLE)
+                        * (CAST(CAST(c.n_kept AS VARCHAR) AS DOUBLE) - 1.0))),
+              6)
+       END AS z_score
+FROM c
+"""
+
+
+@register("events_runs_test_daily", oracle=_RUNS_TEST_SQL)
+def events_runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    daily = session_cache(
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    t = daily.agg(F.count(F.lit(1)).alias("nd"))
+    wrk = Window.orderBy("x", "d")  # time-range-bounded daily frame
+    rk = daily.select("x", F.row_number().over(wrk).alias("rn"))
+    med = rk.crossJoin(broadcast(t)).agg(
+        (
+            F.sum(
+                F.when(
+                    F.col("rn") == F.expr("(nd + 1) div 2"), F.col("x")
+                ).otherwise(0)
+            )
+            + F.sum(
+                F.when(
+                    F.col("rn") == F.expr("nd div 2 + 1"), F.col("x")
+                ).otherwise(0)
+            )
+        ).alias("med2")
+    )
+    signs = (
+        daily.crossJoin(broadcast(med))
+        .filter(F.col("x") * 2 != F.col("med2"))
+        .select(
+            "d",
+            F.when(F.col("x") * 2 > F.col("med2"), 1).otherwise(-1).alias("s"),
+        )
+    )
+    wd = Window.orderBy("d")  # time-range-bounded daily frame
+    runs = signs.select("s", F.lag("s").over(wd).alias("prev"))
+    c = runs.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0)).alias("n2"),
+        F.sum(
+            F.when(
+                F.col("prev").isNull() | (F.col("s") != F.col("prev")), 1
+            ).otherwise(0)
+        ).alias("r"),
+    )
+    dd = lambda c_: F.col(c_).cast("string").cast("double")  # noqa: E731
+    n1d, n2d, nd_, rd = dd("n1"), dd("n2"), dd("n_kept"), dd("r")
+    exp_runs = F.lit(1.0) + F.lit(2.0) * n1d * n2d / nd_
+    z = (rd - exp_runs) / F.sqrt(
+        (F.lit(2.0) * n1d * n2d * (F.lit(2.0) * n1d * n2d - nd_))
+        / (nd_ * nd_ * (nd_ - F.lit(1.0)))
+    )
+    degenerate = (
+        (F.coalesce(F.col("n1"), F.lit(0)) == 0)
+        | (F.coalesce(F.col("n2"), F.lit(0)) == 0)
+    )
+    # Final row from the AGGREGATE frames (t and c each one row always).
+    return t.crossJoin(broadcast(c)).select(
+        F.col("nd").cast("long").alias("n_days"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.col("n1").cast("long").alias("n_plus"),
+        F.col("n2").cast("long").alias("n_minus"),
+        F.col("r").cast("long").alias("n_runs"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(F.round(exp_runs, 6))
+        .alias("expected_runs"),
+        F.when(degenerate | (F.col("n_kept") < 3), F.lit(None).cast("double"))
+        .otherwise(F.round(z, 6))
+        .alias("z_score"),
+    )

@@ -1807,3 +1807,43 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic bottom-k uniform sample (round 11) — hash-ordered
+# sampling, the distributed replacement for reservoir sampling: the k
+# documents with the smallest 60-bit md5(doc_id) hashes ARE a uniform
+# random sample of the corpus (the hash induces a random permutation),
+# and because the order is a pure function of the data, every engine,
+# every retry, and every incremental re-run draws the SAME sample — no
+# seed plumbing, no driver-side state. 100 TB: Spark executes the
+# ORDER BY hash LIMIT k as TakeOrderedAndProject — each partition keeps
+# a local k-heap, the driver merges P*k candidates, nothing resembling
+# a global sort happens. The companion receipt columns (doc length)
+# make the drawn sample auditable downstream.
+# ---------------------------------------------------------------------------
+
+_BOTTOMK_K = 200
+
+_BOTTOMK_SQL = f"""
+SELECT doc_id,
+       {sql_hash60("CAST(doc_id AS VARCHAR)")} AS hash_key,
+       n_chars
+FROM documents
+ORDER BY hash_key, doc_id
+LIMIT {_BOTTOMK_K}
+"""
+
+
+@register("sample_bottomk_uniform", oracle=_BOTTOMK_SQL)
+def sample_bottomk_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        docs.select(
+            "doc_id",
+            hash60(F.col("doc_id").cast("string")).alias("hash_key"),
+            "n_chars",
+        )
+        .orderBy("hash_key", "doc_id")
+        .limit(_BOTTOMK_K)
+    )

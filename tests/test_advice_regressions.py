@@ -992,3 +992,53 @@ def test_flac_roundtrip_drops_empty_and_null_docs(spark, tmp_path):
     name = "multimodal_flac_roundtrip_stats"
     report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
     assert report["match"] is True, report
+
+
+# ---------------------------------------------------------------------------
+# Round-11 statistics batch: degenerate- and empty-events parity.
+# ---------------------------------------------------------------------------
+
+_R11_STATS = [
+    "events_page_hinkley_drift",
+    "events_wilcoxon_signed_rank",
+    "events_runs_test_daily",
+    "dq_cliffs_delta_effect_size",
+    "dq_kruskal_wallis_rank_sums",
+]
+
+
+@pytest.mark.parametrize("name", _R11_STATS)
+def test_r11_stats_survive_degenerate_events(spark, tmp_path, name):
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    d = _events_with(tmp_path, spark, _degenerate_event_rows())
+    report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+    assert report["match"] is True, report
+
+
+@pytest.mark.parametrize("name", _R11_STATS)
+def test_r11_stats_survive_empty_events(spark, tmp_path, name):
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    d = _events_with(tmp_path, spark, [])
+    report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+    assert report["match"] is True, report
+
+
+def test_r11_stats_single_day_single_user(spark, tmp_path):
+    # One day, one user, constant activity: runs test drops every
+    # equal-to-median day (n_kept 0), Wilcoxon has no nonzero pairs,
+    # Page-Hinkley's single-day drawup is 0 — all must match the oracle.
+    import datetime
+
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    T0 = datetime.datetime(2024, 5, 1)
+    rows = [
+        (i, T0 + datetime.timedelta(minutes=i), 1, "click", 2.0, None)
+        for i in range(10)
+    ]
+    d = _events_with(tmp_path, spark, rows)
+    for name in _R11_STATS:
+        report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+        assert report["match"] is True, (name, report)

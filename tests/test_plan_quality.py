@@ -98,6 +98,8 @@ _GLOBAL_WINDOW_OK = {
     "similarity_hybrid_rrf_fusion",  # ranks over two post-limit top-20 frames
     "events_cusum_changepoint",      # prefix sums/minima over the DAILY spine
                                      # (time-range bound, not event-count bound)
+    "events_page_hinkley_drift",     # drawup/drawdown over the DAILY spine
+    "events_runs_test_daily",        # rank + lag over the DAILY spine
     "events_haar_energy_levels",     # day-index assignment over the DAILY spine
     "sample_neyman_allocation",      # remainder ranking over the source-enum frame
 }
@@ -188,6 +190,11 @@ _NONEQUI_OK = {
     "embedding_second_pc_deflation",  # 1-row norm/ortho frames crossJoined
     "events_daily_autocorrelation",  # 14-row literal lag dim + 1-row denominator
     "events_markov_attribution",     # bounded type-space transition/DP frames
+    "events_page_hinkley_drift",     # 1-row totals + peak-day frames crossJoined
+    "events_wilcoxon_signed_rank",   # 1-row era-bounds frame crossJoined
+    "events_runs_test_daily",        # 1-row count/median frames crossJoined
+    "dq_cliffs_delta_effect_size",   # 1-row era-bounds frame crossJoined
+    "dq_kruskal_wallis_rank_sums",   # 1-row totals frame crossJoined
 }
 
 
@@ -318,6 +325,11 @@ _HINTED_BROADCAST_OK = {
     "sample_neyman_allocation": 1,       # [enum]/[1row] allocation frames
     "embedding_second_pc_deflation": 2,  # [k] localized PC vectors + [1row] norms
     "text_signal_spearman": 2,           # [bkt] rank-cumsum offsets x2
+    "events_page_hinkley_drift": 6,      # [1row] totals + peak-day frames
+    "events_wilcoxon_signed_rank": 3,    # [1row] era bounds + [bkt] offsets
+    "events_runs_test_daily": 3,         # [1row] count/median/agg frames
+    "dq_cliffs_delta_effect_size": 3,    # [1row] era bounds + [bkt] offsets
+    "dq_kruskal_wallis_rank_sums": 3,    # [1row] totals + [bkt] offsets
     "events_daily_autocorrelation": 2,   # [dim] lag frame + [1row] totals
     "events_markov_attribution": 1,      # [enum] removal dim
 }
