@@ -40,6 +40,13 @@ del _rev_q, _rev_o
 # promoted to the head explicitly — the driver's prefix sample then
 # always covers the newest, least-battle-tested surface first.
 _NEWEST_FIRST = [
+    # round 11 batch 2: metric drift, burstiness, edit-distance dedup,
+    # embedding drift, corpus quality rollup
+    "dq_wasserstein_value_drift",
+    "events_burstiness_by_type",
+    "dedup_levenshtein_block_pairs",
+    "similarity_centroid_shift_drift",
+    "corpus_dedup_rate_by_source",
     # round 11 batch 1: paired/k-group nonparametrics, drift-tolerant
     # changepoint, randomness audit, effect size, deterministic sampling
     "events_page_hinkley_drift",

@@ -2931,3 +2931,129 @@ def dedup_crosslingual_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_langs")
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance near-dup audit under length blocking (round 11) — the
+# character-level companion to the shingle/MinHash family: Levenshtein
+# distance catches single-character edits (OCR noise, typo variants)
+# that token-level Jaccard dilutes. Candidate pairs come from exact
+# (lang, n_chars) blocks — equal-length blocking is sound for small
+# edit budgets dominated by substitutions and is the standard first
+# filter; distances are computed on 64-char prefixes (both engines'
+# 1-based substr agrees), so each comparison is O(64^2) regardless of
+# document size. Hot blocks beyond the pair cap are EXCLUDED AND
+# COUNTED (never silently dropped — the no-silent-caps rule), bounding
+# the per-block pair mass at cap^2/2 at any corpus size. Distances are
+# exact integers on both engines; the mean goes through the decimal
+# sum. 100 TB: the self-join is an equi-join on the block key (hash
+# join, no broadcast hint); the cap guard is a count aggregate BEFORE
+# the join, so no block ever expands quadratically.
+# ---------------------------------------------------------------------------
+
+_LEV_PREFIX = 64
+_LEV_MAX_DIST = 8
+_LEV_BLOCK_CAP = 40
+
+_LEV_SQL = f"""
+WITH d AS (
+    SELECT doc_id, lang, n_chars,
+           substr(text, 1, {_LEV_PREFIX}) AS p
+    FROM documents WHERE text IS NOT NULL
+),
+blocks AS (
+    SELECT lang, n_chars, COUNT(*) AS bn FROM d GROUP BY 1, 2
+),
+usable AS (SELECT * FROM blocks WHERE bn BETWEEN 2 AND {_LEV_BLOCK_CAP}),
+pairs AS (
+    SELECT a.lang, levenshtein(a.p, b.p) AS dist
+    FROM d a JOIN d b ON a.lang = b.lang AND a.n_chars = b.n_chars
+                      AND a.doc_id < b.doc_id
+    JOIN usable u ON u.lang = a.lang AND u.n_chars = a.n_chars
+)
+SELECT l.lang,
+       CAST(COALESCE(ub.n_usable, 0) AS BIGINT) AS n_blocks_used,
+       CAST(COALESCE(hb.n_heavy, 0) AS BIGINT) AS n_heavy_blocks,
+       CAST(COALESCE(pr.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(pr.n_neardup, 0) AS BIGINT) AS n_neardup,
+       pr.mean_dist
+FROM (SELECT DISTINCT lang FROM d) l
+LEFT JOIN (
+    SELECT lang, COUNT(*) AS n_usable FROM usable GROUP BY lang
+) ub USING (lang)
+LEFT JOIN (
+    SELECT lang, COUNT(*) AS n_heavy FROM blocks
+    WHERE bn > {_LEV_BLOCK_CAP} GROUP BY lang
+) hb USING (lang)
+LEFT JOIN (
+    SELECT lang, COUNT(*) AS n_pairs,
+           SUM(CASE WHEN dist <= {_LEV_MAX_DIST} THEN 1 ELSE 0 END)
+               AS n_neardup,
+           {sql_davg("dist", "mean_dist")}
+    FROM pairs GROUP BY lang
+) pr USING (lang)
+ORDER BY l.lang
+"""
+
+
+@register("dedup_levenshtein_block_pairs", oracle=_LEV_SQL)
+def dedup_levenshtein_block_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = session_cache(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.substring("text", 1, _LEV_PREFIX).alias("p"),
+        )
+    )
+    blocks = session_cache(
+        d.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("bn"))
+    )
+    usable = blocks.filter(
+        (F.col("bn") >= 2) & (F.col("bn") <= _LEV_BLOCK_CAP)
+    )
+    a = d.select(
+        "lang", "n_chars", F.col("doc_id").alias("id_a"), F.col("p").alias("pa")
+    )
+    b = d.select(
+        "lang", "n_chars", F.col("doc_id").alias("id_b"), F.col("p").alias("pb")
+    )
+    pairs = (
+        a.join(b, ["lang", "n_chars"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(usable.select("lang", "n_chars"), ["lang", "n_chars"])
+        .select("lang", F.levenshtein("pa", "pb").alias("dist"))
+    )
+    pr = pairs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            F.when(F.col("dist") <= _LEV_MAX_DIST, 1).otherwise(0)
+        ).alias("n_neardup"),
+        davg("dist", "mean_dist"),
+    )
+    ub = usable.groupBy("lang").agg(F.count(F.lit(1)).alias("n_usable"))
+    hb = (
+        blocks.filter(F.col("bn") > _LEV_BLOCK_CAP)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_heavy"))
+    )
+    langs = d.select("lang").distinct()
+    z = F.lit(0).cast("long")
+    return (
+        langs.join(ub, "lang", "left")
+        .join(hb, "lang", "left")
+        .join(pr, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce(F.col("n_usable"), z).cast("long").alias("n_blocks_used"),
+            F.coalesce(F.col("n_heavy"), z).cast("long").alias("n_heavy_blocks"),
+            F.coalesce(F.col("n_pairs"), z).cast("long").alias("n_pairs"),
+            F.coalesce(F.col("n_neardup"), z).cast("long").alias("n_neardup"),
+            "mean_dist",
+        )
+        .orderBy("lang")
+    )

@@ -1907,3 +1907,143 @@ def dq_kruskal_wallis_rank_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# 1-D Wasserstein (earth mover's) value drift (round 11) — the METRIC
+# companion to KS: KS reports the worst single ECDF gap, W1 integrates
+# |F_a - F_b| over the value axis, so it weighs HOW FAR mass moved, not
+# just whether it did. Exactness: over the distinct-value support,
+# W1 = sum_v |n_b*cumA(v) - n_a*cumB(v)| * gap(v) / (n_a*n_b) where
+# gap(v) is the distance to the next distinct value in CENTS (values
+# are exact 2-decimal; the decimal cast recovers them identically on
+# both engines) — the weighted sum is pure DECIMAL(38,0)/HUGEINT
+# integer math (terms reach N^2 * gap_cents), and only the final
+# normalization becomes a rounded double via the VARCHAR crossing.
+# 100 TB: both ECDF running counts come from ONE fused two-phase pass;
+# the next-value lookup is an equi-join on the global rank, never a
+# LEAD over an unpartitioned window.
+# ---------------------------------------------------------------------------
+
+_WASSERSTEIN_SQL = """
+WITH b AS (
+    SELECT CAST(FLOOR(epoch(CAST(MIN(ts) AS TIMESTAMP))) AS BIGINT) AS lo,
+           CAST(FLOOR(epoch(CAST(MAX(ts) AS TIMESTAMP))) AS BIGINT) AS hi
+    FROM events
+),
+tagged AS (
+    SELECT CAST(value AS DECIMAL(18,2)) AS v,
+           CASE WHEN CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) * 2
+                     <= lo + hi THEN 0 ELSE 1 END AS era
+    FROM events, b WHERE value IS NOT NULL
+),
+g AS (
+    SELECT v,
+           SUM(CASE WHEN era = 0 THEN 1 ELSE 0 END) AS na,
+           SUM(CASE WHEN era = 1 THEN 1 ELSE 0 END) AS nb
+    FROM tagged GROUP BY v
+),
+o AS (
+    SELECT v,
+           SUM(na) OVER (ORDER BY v) AS cuma,
+           SUM(nb) OVER (ORDER BY v) AS cumb,
+           LEAD(v) OVER (ORDER BY v) AS nextv
+    FROM g
+),
+t AS (SELECT SUM(CAST(na AS HUGEINT)) AS n_a, SUM(CAST(nb AS HUGEINT)) AS n_b
+      FROM g),
+s AS (
+    SELECT SUM(ABS(t.n_b * CAST(cuma AS HUGEINT)
+                   - t.n_a * CAST(cumb AS HUGEINT))
+               * CAST(CAST((nextv - v) * 100 AS BIGINT) AS HUGEINT)) AS num
+    FROM o, t WHERE nextv IS NOT NULL
+)
+SELECT CAST(t.n_a AS BIGINT) AS n_a,
+       CAST(t.n_b AS BIGINT) AS n_b,
+       CASE WHEN COALESCE(t.n_a, 0) = 0 OR COALESCE(t.n_b, 0) = 0 THEN NULL
+            ELSE ROUND(CAST(CAST(COALESCE(s.num, 0) AS VARCHAR) AS DOUBLE)
+                       / (100.0 * CAST(CAST(t.n_a AS VARCHAR) AS DOUBLE)
+                          * CAST(CAST(t.n_b AS VARCHAR) AS DOUBLE)), 6)
+       END AS w1_distance
+FROM t, s
+"""
+
+
+@register("dq_wasserstein_value_drift", oracle=_WASSERSTEIN_SQL)
+def dq_wasserstein_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    from deathmetal_datalake_spark.operators.ordering import (
+        OrderSpec,
+        two_phase_order_multi,
+    )
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "value",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("sec"),
+    ).filter(F.col("value").isNotNull())
+    bounds = ev.agg(F.min("sec").alias("lo"), F.max("sec").alias("hi"))
+    tagged = ev.crossJoin(broadcast(bounds)).select(
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        F.when(F.col("sec") * 2 <= F.col("lo") + F.col("hi"), 0)
+        .otherwise(1)
+        .alias("era"),
+    )
+    g = session_cache(
+        tagged.groupBy("v").agg(
+            F.sum(F.when(F.col("era") == 0, 1).otherwise(0)).alias("na"),
+            F.sum(F.when(F.col("era") == 1, 1).otherwise(0)).alias("nb"),
+        )
+    )
+    # Both ECDFs + the global rank in ONE fused two-phase pass.
+    o = session_cache(
+        two_phase_order_multi(
+            g,
+            [
+                OrderSpec(
+                    [F.asc("v")], F.col("v"), rank_col="rk",
+                    cumsum=("na", "cuma"),
+                ),
+                OrderSpec([F.asc("v")], F.col("v"), cumsum=("nb", "cumb")),
+            ],
+        )
+    )
+    t = g.agg(
+        F.sum(F.col("na").cast("decimal(19,0)")).alias("n_a"),
+        F.sum(F.col("nb").cast("decimal(19,0)")).alias("n_b"),
+    )
+    nxt = o.select((F.col("rk") - 1).alias("rk"), F.col("v").alias("nextv"))
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    terms = (
+        o.join(nxt, "rk")
+        .crossJoin(broadcast(t))
+        .select(
+            (
+                F.abs(
+                    F.col("n_b") * d19("cuma") - F.col("n_a") * d19("cumb")
+                )
+                * ((F.col("nextv") - F.col("v")) * 100).cast("decimal(19,0)")
+            ).alias("term")
+        )
+    )
+    s = terms.agg(F.sum("term").alias("num"))
+    dd = lambda c: c.cast("string").cast("double")  # noqa: E731
+    na, nb = F.col("n_a"), F.col("n_b")
+    zero = F.lit(0).cast("decimal(19,0)")
+    w1 = dd(F.coalesce(F.col("num"), F.lit(0).cast("decimal(38,0)"))) / (
+        F.lit(100.0) * dd(na) * dd(nb)
+    )
+    return t.crossJoin(broadcast(s)).select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.when(
+            (F.coalesce(na, zero) == 0) | (F.coalesce(nb, zero) == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.round(w1, 6))
+        .alias("w1_distance"),
+    )

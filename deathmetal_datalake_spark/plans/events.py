@@ -4578,3 +4578,82 @@ def events_runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(z, 6))
         .alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-event burstiness by type (round 11) — the Goh-Barabási
+# burstiness coefficient B = (sigma - mu)/(sigma + mu) over per-user
+# inter-event gaps, per event type: B ~ -1 for metronome traffic, 0 for
+# Poisson, -> 1 for heavy-tailed bursts. The gap MULTISET is
+# order-independent (sorting by timestamp fully determines consecutive
+# differences, ties contribute zero gaps), so no tie-break column is
+# needed; gaps are exact integer seconds, and sigma/mu come from the
+# DECIMAL(38,0) moment pair (n*sum(g^2) - sum(g)^2 stays inside 2^126
+# for any corpus whose counts fit BIGINT). Only the final sqrt/ratio is
+# a rounded double via the VARCHAR crossing. 100 TB: the lag window is
+# partitioned by (user, type) — never global; the output frame is
+# event_type-bounded.
+# ---------------------------------------------------------------------------
+
+_BURSTINESS_SQL = """
+WITH seq AS (
+    SELECT event_type,
+           CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+             - LAG(CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT))
+               OVER (PARTITION BY user_id, event_type
+                     ORDER BY CAST(ts AS TIMESTAMP)) AS gap
+    FROM events
+),
+m AS (
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(gap AS HUGEINT)) AS sg,
+           SUM(CAST(gap AS HUGEINT) * CAST(gap AS HUGEINT)) AS sg2
+    FROM seq WHERE gap IS NOT NULL GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_gaps,
+       ROUND(CAST(CAST(sg AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(n AS VARCHAR) AS DOUBLE), 6) AS mean_gap_sec,
+       CASE WHEN sg = 0 THEN NULL
+            ELSE ROUND(
+              (SQRT(CAST(CAST(n * sg2 - sg * sg AS VARCHAR) AS DOUBLE))
+               - CAST(CAST(sg AS VARCHAR) AS DOUBLE))
+              / (SQRT(CAST(CAST(n * sg2 - sg * sg AS VARCHAR) AS DOUBLE))
+                 + CAST(CAST(sg AS VARCHAR) AS DOUBLE)), 6)
+       END AS burstiness
+FROM m ORDER BY event_type
+"""
+
+
+@register("events_burstiness_by_type", oracle=_BURSTINESS_SQL)
+def events_burstiness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("sec"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("sec")
+    seq = ev.select(
+        "event_type", (F.col("sec") - F.lag("sec").over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    m = seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d19("gap")).alias("sg"),
+        F.sum(d19("gap") * d19("gap")).alias("sg2"),
+    )
+    dd = lambda c: c.cast("string").cast("double")  # noqa: E731
+    n, sg, sg2 = F.col("n").cast("decimal(19,0)"), F.col("sg"), F.col("sg2")
+    num = n * sg2 - sg * sg
+    root = F.sqrt(dd(num))
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_gaps"),
+        F.round(dd(sg) / dd(n), 6).alias("mean_gap_sec"),
+        F.when(sg == 0, F.lit(None).cast("double"))
+        .otherwise(F.round((root - dd(sg)) / (root + dd(sg)), 6))
+        .alias("burstiness"),
+    ).orderBy("event_type")

@@ -1847,3 +1847,50 @@ def sample_bottomk_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hash_key", "doc_id")
         .limit(_BOTTOMK_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-rate rollup by source (round 11) — the corpus-quality gauge
+# curation dashboards lead with: what fraction of each source's
+# documents are exact-content duplicates? Content identity is the
+# engine-portable 60-bit md5 hash of the (NULL-coalesced) text, so both
+# engines count the same distinct set; the rate is a rounded ratio of
+# exact counts. 100 TB: one hash aggregate per source — COUNT(DISTINCT)
+# over the hash is a partial-aggregated two-stage plan, no window, no
+# broadcast.
+# ---------------------------------------------------------------------------
+
+_DUPRATE_SQL = f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT {sql_hash60("COALESCE(text, '')")}) AS BIGINT)
+           AS n_distinct,
+       ROUND(1.0 - CAST(COUNT(DISTINCT {sql_hash60("COALESCE(text, '')")})
+                        AS DOUBLE) / COUNT(*), 6) AS dup_rate
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+@register("corpus_dedup_rate_by_source", oracle=_DUPRATE_SQL)
+def corpus_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", hash60(F.coalesce(F.col("text"), F.lit(""))).alias("h")
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("h").alias("n_distinct"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            F.round(
+                F.lit(1.0)
+                - F.col("n_distinct").cast("double") / F.col("n_docs"),
+                6,
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )

@@ -4040,3 +4040,149 @@ def embedding_second_pc_deflation(
         )
         .orderBy("pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Centroid shift drift by label (round 11) — embedding-space drift
+# detection, the vector analog of the value-drift family: split each
+# label's vectors into two deterministic halves (vec_id parity — a
+# hash-free A/B of the corpus) and compare the half-centroids. Because
+# centroid cosine is scale-invariant, the per-dimension DECIMAL(25,12)
+# SUM vectors stand in for the means exactly (counts cancel); the
+# shift norm re-introduces the counts in plain double arithmetic over
+# the same three exact dots. The dots run over 64-element arrays built
+# in dimension order, folded sequentially on both engines (the
+# established list_dot_product <-> F.aggregate parity, ROUND 4).
+# 100 TB: per-(label, half, dim) sums are one hash aggregate over the
+# exploded frame; the label-level result is enum-bounded.
+# ---------------------------------------------------------------------------
+
+_CSHIFT_DIM = 64
+
+_CSHIFT_SQL = f"""
+WITH vecs AS (
+    SELECT label, vec_id % 2 AS half,
+           CAST(embedding AS DOUBLE[]) AS emb
+    FROM embeddings
+),
+sums AS (
+    SELECT label, half, g.i,
+           CAST(CAST(SUM(CAST(emb[g.i + 1] AS DECIMAL(25,12))) AS VARCHAR)
+                AS DOUBLE) AS s
+    FROM vecs, (SELECT UNNEST(range({_CSHIFT_DIM})) AS i) g
+    GROUP BY 1, 2, 3
+),
+sv AS (
+    SELECT label, half, list(s ORDER BY i) AS v FROM sums GROUP BY 1, 2
+),
+cnt AS (SELECT label, half, COUNT(*) AS n FROM vecs GROUP BY 1, 2),
+j AS (
+    SELECT a.label,
+           ca.n AS n_even, cb.n AS n_odd,
+           list_dot_product(a.v, b.v) AS dab,
+           list_dot_product(a.v, a.v) AS daa,
+           list_dot_product(b.v, b.v) AS dbb
+    FROM sv a
+    JOIN sv b ON a.label = b.label AND a.half = 0 AND b.half = 1
+    JOIN cnt ca ON ca.label = a.label AND ca.half = 0
+    JOIN cnt cb ON cb.label = a.label AND cb.half = 1
+)
+SELECT label,
+       CAST(n_even AS BIGINT) AS n_even,
+       CAST(n_odd AS BIGINT) AS n_odd,
+       CASE WHEN daa = 0 OR dbb = 0 THEN NULL
+            ELSE ROUND(dab / (sqrt(daa) * sqrt(dbb)), 4) END
+           AS centroid_cosine,
+       ROUND(SQRT(GREATEST(
+           daa / (CAST(n_even AS DOUBLE) * n_even)
+           - 2.0 * dab / (CAST(n_even AS DOUBLE) * n_odd)
+           + dbb / (CAST(n_odd AS DOUBLE) * n_odd), 0.0)), 6)
+           AS shift_norm
+FROM j ORDER BY label
+"""
+
+
+@register("similarity_centroid_shift_drift", oracle=_CSHIFT_SQL)
+def similarity_centroid_shift_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    vecs = spread(
+        load_table(spark, sf_dir, "embeddings").select(
+            "label",
+            (F.col("vec_id") % 2).alias("half"),
+            _as_double("embedding").alias("emb"),
+        )
+    )
+    sums = (
+        vecs.select(
+            "label", "half", F.posexplode("emb").alias("i", "x")
+        )
+        .groupBy("label", "half", "i")
+        .agg(
+            F.sum(F.col("x").cast("decimal(25,12)"))
+            .cast("string")
+            .cast("double")
+            .alias("s")
+        )
+    )
+    sv = sums.groupBy("label", "half").agg(
+        F.array_sort(F.collect_list(F.struct("i", "s"))).alias("iv")
+    ).select(
+        "label",
+        "half",
+        F.expr("transform(iv, p -> p.s)").alias("v"),
+    )
+    cnt = vecs.groupBy("label", "half").agg(F.count(F.lit(1)).alias("n"))
+    a = sv.filter(F.col("half") == 0).select(
+        "label", F.col("v").alias("va")
+    )
+    b = sv.filter(F.col("half") == 1).select(
+        "label", F.col("v").alias("vb")
+    )
+    ca = cnt.filter(F.col("half") == 0).select(
+        "label", F.col("n").alias("n_even")
+    )
+    cb = cnt.filter(F.col("half") == 1).select(
+        "label", F.col("n").alias("n_odd")
+    )
+    j = (
+        a.join(b, "label")
+        .join(ca, "label")
+        .join(cb, "label")
+        .select(
+            "label",
+            "n_even",
+            "n_odd",
+            _dot(F.col("va"), F.col("vb")).alias("dab"),
+            _dot(F.col("va"), F.col("va")).alias("daa"),
+            _dot(F.col("vb"), F.col("vb")).alias("dbb"),
+        )
+    )
+    ne = F.col("n_even").cast("double")
+    no = F.col("n_odd").cast("double")
+    return j.select(
+        "label",
+        F.col("n_even").cast("long").alias("n_even"),
+        F.col("n_odd").cast("long").alias("n_odd"),
+        F.when(
+            (F.col("daa") == 0) | (F.col("dbb") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                F.col("dab") / (F.sqrt(F.col("daa")) * F.sqrt(F.col("dbb"))), 4
+            )
+        )
+        .alias("centroid_cosine"),
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    F.col("daa") / (ne * ne)
+                    - F.lit(2.0) * F.col("dab") / (ne * no)
+                    + F.col("dbb") / (no * no),
+                    F.lit(0.0),
+                )
+            ),
+            6,
+        ).alias("shift_norm"),
+    ).orderBy("label")

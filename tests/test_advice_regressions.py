@@ -1042,3 +1042,61 @@ def test_r11_stats_single_day_single_user(spark, tmp_path):
     for name in _R11_STATS:
         report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
         assert report["match"] is True, (name, report)
+
+
+_R11_STATS_B2 = [
+    "dq_wasserstein_value_drift",
+    "events_burstiness_by_type",
+]
+
+
+@pytest.mark.parametrize("name", _R11_STATS_B2)
+def test_r11_batch2_survive_degenerate_events(spark, tmp_path, name):
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    d = _events_with(tmp_path, spark, _degenerate_event_rows())
+    report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+    assert report["match"] is True, report
+
+
+@pytest.mark.parametrize("name", _R11_STATS_B2)
+def test_r11_batch2_survive_empty_events(spark, tmp_path, name):
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    d = _events_with(tmp_path, spark, [])
+    report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+    assert report["match"] is True, report
+
+
+def test_levenshtein_pairs_with_crafted_near_dups(spark, tmp_path):
+    # Known-answer corpus: two single-char-edit twins inside one block,
+    # one exact-length unrelated doc, one heavy block above the cap.
+    # n_chars is set to the real length so the (lang, n_chars) blocking
+    # groups by actual equal-length documents.
+    import os as _os
+
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    texts = ["the quick brown fox", "the quick brown fix", "abcdefghijklmnopqrs"]
+    texts += [f"heavy block filler {i:03d}" for i in range(45)]  # same length
+    base = spark.read.parquet(_os.path.join(SF_DIR, "documents.parquet"))
+    template = base.limit(1).collect()[0].asDict()
+    rows = []
+    for i, t in enumerate(texts):
+        r = dict(template)
+        r["doc_id"], r["text"], r["n_chars"] = i + 1, t, len(t)
+        rows.append(tuple(r[f.name] for f in base.schema.fields))
+    d = _corpus_with(tmp_path, rows, spark)
+    name = "dedup_levenshtein_block_pairs"
+    report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+    assert report["match"] is True, report
+    # The crafted twins must actually surface: one 19-char block with 3
+    # docs -> 3 pairs, exactly 1 within the edit budget; the 45-doc
+    # block must be excluded as heavy.
+    got = {
+        r["lang"]: r
+        for r in QUERIES[name](spark, d).collect()
+    }
+    lang = template["lang"]
+    assert got[lang]["n_pairs"] == 3 and got[lang]["n_neardup"] == 1
+    assert got[lang]["n_heavy_blocks"] == 1

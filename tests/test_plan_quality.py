@@ -195,6 +195,7 @@ _NONEQUI_OK = {
     "events_runs_test_daily",        # 1-row count/median frames crossJoined
     "dq_cliffs_delta_effect_size",   # 1-row era-bounds frame crossJoined
     "dq_kruskal_wallis_rank_sums",   # 1-row totals frame crossJoined
+    "dq_wasserstein_value_drift",    # 1-row bounds/totals/num frames crossJoined
 }
 
 
@@ -330,6 +331,7 @@ _HINTED_BROADCAST_OK = {
     "events_runs_test_daily": 3,         # [1row] count/median/agg frames
     "dq_cliffs_delta_effect_size": 3,    # [1row] era bounds + [bkt] offsets
     "dq_kruskal_wallis_rank_sums": 3,    # [1row] totals + [bkt] offsets
+    "dq_wasserstein_value_drift": 5,     # [1row] bounds/totals/num + [bkt] offsets
     "events_daily_autocorrelation": 2,   # [dim] lag frame + [1row] totals
     "events_markov_attribution": 1,      # [enum] removal dim
 }
