@@ -40,6 +40,13 @@ del _rev_q, _rev_o
 # promoted to the head explicitly — the driver's prefix sample then
 # always covers the newest, least-battle-tested surface first.
 _NEWEST_FIRST = [
+    # round 11 batch 3: monotone-trend test, categorical drift, exact
+    # diversity, survey-design receipts, LPC codec in-pipeline
+    "orders_mann_kendall_trend",
+    "dq_total_variation_drift",
+    "text_simpson_diversity",
+    "sample_kish_effective_size",
+    "multimodal_flac_zero_crossings",
     # round 11 batch 2: metric drift, burstiness, edit-distance dedup,
     # embedding drift, corpus quality rollup
     "dq_wasserstein_value_drift",

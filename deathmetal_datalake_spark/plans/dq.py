@@ -2047,3 +2047,114 @@ def dq_wasserstein_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(w1, 6))
         .alias("w1_distance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Total-variation drift over the event-type mix (round 11) — the
+# HISTOGRAM-distance member of the drift family: KS/W1 compare the
+# value axis, TV compares the categorical composition: did the MIX of
+# event types shift between eras? TV = max over event sets of
+# |P_a - P_b| = (1/2) sum_types |na_i*N_b - nb_i*N_a| / (N_a*N_b), an
+# exact DECIMAL(38,0)/HUGEINT integer sum (cross-products reach N^2)
+# with one rounded double at the end via the VARCHAR crossing. 100 TB:
+# one hash aggregate over the enum-bounded type frame; the final row
+# assembles from always-one-row aggregate frames.
+# ---------------------------------------------------------------------------
+
+_TV_SQL = """
+WITH b AS (
+    SELECT CAST(FLOOR(epoch(CAST(MIN(ts) AS TIMESTAMP))) AS BIGINT) AS lo,
+           CAST(FLOOR(epoch(CAST(MAX(ts) AS TIMESTAMP))) AS BIGINT) AS hi
+    FROM events
+),
+tagged AS (
+    SELECT event_type,
+           CASE WHEN CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) * 2
+                     <= lo + hi THEN 0 ELSE 1 END AS era
+    FROM events, b
+),
+g AS (
+    SELECT event_type,
+           SUM(CASE WHEN era = 0 THEN 1 ELSE 0 END) AS na,
+           SUM(CASE WHEN era = 1 THEN 1 ELSE 0 END) AS nb
+    FROM tagged GROUP BY event_type
+),
+t AS (SELECT SUM(CAST(na AS HUGEINT)) AS n_a, SUM(CAST(nb AS HUGEINT)) AS n_b,
+             COUNT(*) AS n_types
+      FROM g),
+s AS (
+    SELECT SUM(ABS(CAST(na AS HUGEINT) * t.n_b
+                   - CAST(nb AS HUGEINT) * t.n_a)) AS num
+    FROM g, t
+)
+SELECT CAST(t.n_a AS BIGINT) AS n_a,
+       CAST(t.n_b AS BIGINT) AS n_b,
+       CAST(t.n_types AS BIGINT) AS n_types,
+       CASE WHEN COALESCE(t.n_a, 0) = 0 OR COALESCE(t.n_b, 0) = 0 THEN NULL
+            ELSE ROUND(CAST(CAST(s.num AS VARCHAR) AS DOUBLE)
+                       / (2.0 * CAST(CAST(t.n_a AS VARCHAR) AS DOUBLE)
+                          * CAST(CAST(t.n_b AS VARCHAR) AS DOUBLE)), 6)
+       END AS tv_distance
+FROM t, s
+"""
+
+
+@register("dq_total_variation_drift", oracle=_TV_SQL)
+def dq_total_variation_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("sec"),
+    )
+    bounds = ev.agg(F.min("sec").alias("lo"), F.max("sec").alias("hi"))
+    tagged = ev.crossJoin(broadcast(bounds)).select(
+        "event_type",
+        F.when(F.col("sec") * 2 <= F.col("lo") + F.col("hi"), 0)
+        .otherwise(1)
+        .alias("era"),
+    )
+    g = session_cache(
+        tagged.groupBy("event_type").agg(
+            F.sum(F.when(F.col("era") == 0, 1).otherwise(0)).alias("na"),
+            F.sum(F.when(F.col("era") == 1, 1).otherwise(0)).alias("nb"),
+        )
+    )
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    t = g.agg(
+        F.sum(d19("na")).alias("n_a"),
+        F.sum(d19("nb")).alias("n_b"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    s = (
+        g.crossJoin(broadcast(t))
+        .select(
+            F.abs(
+                d19("na") * F.col("n_b") - d19("nb") * F.col("n_a")
+            ).alias("term")
+        )
+        .agg(F.sum("term").alias("num"))
+    )
+    dd = lambda c: c.cast("string").cast("double")  # noqa: E731
+    na, nb = F.col("n_a"), F.col("n_b")
+    zero = F.lit(0).cast("decimal(19,0)")
+    return t.crossJoin(broadcast(s)).select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.when(
+            (F.coalesce(na, zero) == 0) | (F.coalesce(nb, zero) == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                dd(F.col("num")) / (F.lit(2.0) * dd(na) * dd(nb)), 6
+            )
+        )
+        .alias("tv_distance"),
+    )

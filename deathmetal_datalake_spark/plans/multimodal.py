@@ -739,3 +739,113 @@ def multimodal_flac_roundtrip_stats(
         .orderBy("media_id")
         .select("media_id", "n_samples", "energy")
     )
+
+
+# ---------------------------------------------------------------------------
+# Zero-crossing rate through the LPC-FLAC round trip (round 11) — the
+# round-11 codec extension (LPC prediction, operators/flac.py)
+# exercised INSIDE the distributed pipeline the way the round-10 query
+# exercised the fixed-predictor path: payload bytes become samples, are
+# FLAC-encoded WITH Levinson-Durbin LPC subframes (max order 4), sniffed,
+# decoded back (CRC-8/16 + MD5 verified), and reduced to the
+# zero-crossing count around the byte midline — the classic cheap
+# voiced/unvoiced audio feature. Losslessness makes the law SQL-exact:
+# the oracle recomputes the crossings straight from hex() bytes, so a
+# single mis-decoded LPC sample anywhere breaks the hash. 100 TB:
+# Arrow-batched map-only stage, reduction inside the batch, one output
+# row per media.
+# ---------------------------------------------------------------------------
+
+_FLAC_ZCR_SQL = """
+WITH hexed AS (
+    SELECT doc_id, hex(encode(text)) AS h,
+           octet_length(encode(text)) AS n
+    FROM documents
+    WHERE text IS NOT NULL AND octet_length(encode(text)) > 0
+),
+bytes AS (
+    SELECT doc_id, i,
+           CAST(('0x' || substr(h, CAST(2 * i + 1 AS INTEGER), 2)) AS BIGINT)
+             - 128 AS s
+    FROM hexed, UNNEST(range(0, n)) AS g(i)
+),
+nxt AS (
+    SELECT doc_id, s,
+           LEAD(s) OVER (PARTITION BY doc_id ORDER BY i) AS s2
+    FROM bytes
+),
+cr AS (
+    SELECT doc_id,
+           SUM(CASE WHEN s * s2 < 0 THEN 1 ELSE 0 END) AS c
+    FROM nxt WHERE s2 IS NOT NULL GROUP BY doc_id
+)
+SELECT h.doc_id AS media_id,
+       CAST(h.n AS BIGINT) AS n_samples,
+       CAST(COALESCE(cr.c, 0) AS BIGINT) AS n_crossings
+FROM hexed h LEFT JOIN cr ON cr.doc_id = h.doc_id
+ORDER BY media_id
+"""
+
+
+@register("multimodal_flac_zero_crossings", oracle=_FLAC_ZCR_SQL)
+def multimodal_flac_zero_crossings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from deathmetal_datalake_spark.operators.flac import (
+        flac_encode,
+        flac_pcm_decode,
+    )
+    from deathmetal_datalake_spark.operators.multimodal import sniff_format
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = (
+        documents_as_media(docs)
+        .select("media_id", "content")
+        .filter(F.col("content").isNotNull() & (F.length("content") > 0))
+    )
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("n_samples", LongType(), False),
+            StructField("n_crossings", LongType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            ids, counts, crossings = [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                samples = np.frombuffer(bytes(content), dtype=np.uint8).astype(
+                    np.int64
+                )
+                enc = flac_encode(
+                    samples, bits=16, block_size=256, max_lpc_order=4
+                )
+                if sniff_format(enc) != "flac":
+                    raise ValueError("FLAC encoder produced unsniffable bytes")
+                dec = flac_pcm_decode(enc)
+                s = dec - 128
+                ids.append(mid)
+                counts.append(int(dec.shape[0]))
+                crossings.append(int(((s[:-1] * s[1:]) < 0).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "n_samples": counts,
+                    "n_crossings": crossings,
+                }
+            )
+
+    sp = media.repartition(spark.sparkContext.defaultParallelism)
+    return (
+        sp.mapInPandas(batches, schema=out_schema)
+        .orderBy("media_id")
+        .select("media_id", "n_samples", "n_crossings")
+    )

@@ -1894,3 +1894,67 @@ def corpus_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Kish effective sample size under language balancing (round 11) — the
+# survey-statistics receipt every reweighted training mix needs: if
+# documents are weighted inverse to language prevalence (w = N/n_lang,
+# the standard balancing weight), the weighted corpus behaves like only
+# n_eff = (sum w)^2 / sum w^2 = L^2 / sum_l (1/n_l) i.i.d. documents
+# (L x the harmonic mean of stratum sizes). The design effect N/n_eff
+# quantifies the variance cost of balancing. Exactness: stratum counts
+# are exact; the <= |langs|-term reciprocal sum is folded in lang order
+# on both engines (the Neyman list_sum ORDER BY parity). 100 TB: one
+# enum-bounded aggregate.
+# ---------------------------------------------------------------------------
+
+_KISH_SQL = """
+WITH c AS (SELECT lang, COUNT(*) AS nl FROM documents GROUP BY lang),
+t AS (SELECT COUNT(*) AS l, SUM(nl) AS n FROM c),
+h AS (SELECT list_sum(list(1.0 / nl ORDER BY lang)) AS inv FROM c)
+SELECT CAST(t.n AS BIGINT) AS n_docs,
+       CAST(t.l AS BIGINT) AS n_strata,
+       CASE WHEN t.l = 0 THEN NULL
+            ELSE ROUND(CAST(t.l AS DOUBLE) * t.l / h.inv, 6) END AS kish_neff,
+       CASE WHEN t.l = 0 THEN NULL
+            ELSE ROUND(CAST(t.n AS DOUBLE) * h.inv
+                       / (CAST(t.l AS DOUBLE) * t.l), 6) END AS design_effect
+FROM t, h
+"""
+
+
+@register("sample_kish_effective_size", oracle=_KISH_SQL)
+def sample_kish_effective_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    c = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("nl"))
+    )
+    t = c.agg(F.count(F.lit(1)).alias("l"), F.sum("nl").alias("n"))
+    # Reciprocal sum folded in lang order — deterministic double
+    # addition on both engines (list_sum <-> aggregate parity).
+    h = c.agg(
+        F.aggregate(
+            F.expr(
+                "transform(array_sort(collect_list(struct(lang, nl))),"
+                " p -> 1.0 / p.nl)"
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("inv")
+    )
+    ld = F.col("l").cast("double")
+    nd = F.col("n").cast("double")
+    return t.crossJoin(broadcast(h)).select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("l").cast("long").alias("n_strata"),
+        F.when(F.col("l") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(ld * ld / F.col("inv"), 6))
+        .alias("kish_neff"),
+        F.when(F.col("l") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(nd * F.col("inv") / (ld * ld), 6))
+        .alias("design_effect"),
+    )

@@ -1663,3 +1663,130 @@ def orders_theil_sen_weekly_trend(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.col("icept"), 6).alias("intercept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test on weekly revenue (round 11) — the TEST
+# companion to the Theil-Sen estimator directly above: Theil-Sen
+# reports HOW steep the robust trend is, Mann-Kendall reports whether a
+# monotone trend exists at all, from the same bounded weekly frame.
+# S = sum of sign(rev_j - rev_i) over week pairs is an exact integer
+# (revenues are identical IEEE doubles on both engines via the decimal
+# sum + VARCHAR crossing, so every sign agrees); the tie-corrected
+# variance is kept as the INTEGER var18 = n(n-1)(2n+5) - sum t(t-1)(2t+5)
+# (= 18*Var(S)), and the continuity-corrected z uses only those exact
+# integers. 100 TB: the O(weeks^2) pair join is over the time-range
+# bounded weekly frame (the whitelisted Theil-Sen class), never
+# corpus-quadratic.
+# ---------------------------------------------------------------------------
+
+_MANNKENDALL_SQL = f"""
+WITH weekly AS (
+    SELECT CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) // 7
+               AS wn,
+           {sql_dsum("o_totalprice", "rev")}
+    FROM orders
+    GROUP BY 1
+),
+s AS (
+    SELECT SUM(CASE WHEN b.rev > a.rev THEN 1
+                    WHEN b.rev < a.rev THEN -1 ELSE 0 END) AS s_stat,
+           COUNT(*) AS n_pairs
+    FROM weekly a JOIN weekly b ON b.wn > a.wn
+),
+t AS (SELECT COUNT(*) AS n FROM weekly),
+ties AS (
+    SELECT COALESCE(SUM(c * (c - 1) * (2 * c + 5)), 0) AS tt
+    FROM (SELECT COUNT(*) AS c FROM weekly GROUP BY rev) g WHERE c > 1
+),
+v AS (
+    SELECT CAST(t.n * (t.n - 1) * (2 * t.n + 5) - ties.tt AS BIGINT) AS var18
+    FROM t, ties
+)
+SELECT CAST(t.n AS BIGINT) AS n_weeks,
+       CAST(s.n_pairs AS BIGINT) AS n_pairs,
+       CAST(s.s_stat AS BIGINT) AS s_stat,
+       v.var18,
+       CASE WHEN v.var18 <= 0 OR s.s_stat IS NULL THEN NULL
+            WHEN s.s_stat > 0 THEN
+              ROUND((CAST(s.s_stat AS DOUBLE) - 1.0)
+                    / SQRT(CAST(v.var18 AS DOUBLE) / 18.0), 6)
+            WHEN s.s_stat < 0 THEN
+              ROUND((CAST(s.s_stat AS DOUBLE) + 1.0)
+                    / SQRT(CAST(v.var18 AS DOUBLE) / 18.0), 6)
+            ELSE 0.0 END AS z_score
+FROM t, s, v
+"""
+
+
+@register("orders_mann_kendall_trend", oracle=_MANNKENDALL_SQL)
+def orders_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    orders = load_table(spark, sf_dir, "orders")
+    weekly = session_cache(
+        orders.select(
+            F.expr(
+                "CAST(datediff(o_orderdate, DATE '1970-01-01') AS BIGINT)"
+                " div 7"
+            ).alias("wn"),
+            "o_totalprice",
+        )
+        .groupBy("wn")
+        .agg(dsum("o_totalprice", "rev"))
+    )
+    a = weekly.select(F.col("wn").alias("wa"), F.col("rev").alias("ra"))
+    b = weekly.select(F.col("wn").alias("wb"), F.col("rev").alias("rb"))
+    s = (
+        a.join(b, F.col("wb") > F.col("wa"))  # bounded weekly frame
+        .agg(
+            F.sum(
+                F.when(F.col("rb") > F.col("ra"), 1)
+                .when(F.col("rb") < F.col("ra"), -1)
+                .otherwise(0)
+            ).alias("s_stat"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+    t = weekly.agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        weekly.groupBy("rev")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("c") * (F.col("c") - 1) * (2 * F.col("c") + 5)
+                ),
+                F.lit(0).cast("long"),
+            ).alias("tt")
+        )
+    )
+    n = F.col("n")
+    var18 = (n * (n - 1) * (2 * n + 5) - F.col("tt")).cast("long")
+    sd = F.col("s_stat").cast("double")
+    root = F.sqrt(F.col("var18").cast("double") / F.lit(18.0))
+    return (
+        t.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            n.cast("long").alias("n_weeks"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("s_stat").cast("long").alias("s_stat"),
+            var18.alias("var18"),
+        )
+        .select(
+            "n_weeks",
+            "n_pairs",
+            "s_stat",
+            "var18",
+            F.when(
+                (F.col("var18") <= 0) | F.col("s_stat").isNull(),
+                F.lit(None).cast("double"),
+            )
+            .when(F.col("s_stat") > 0, F.round((sd - 1.0) / root, 6))
+            .when(F.col("s_stat") < 0, F.round((sd + 1.0) / root, 6))
+            .otherwise(F.lit(0.0))
+            .alias("z_score"),
+        )
+    )

@@ -3096,3 +3096,79 @@ def text_signal_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_docs"),
         F.round(rho, 6).alias("spearman_rho"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Simpson lexical diversity by source (round 11) — the EXACT-arithmetic
+# diversity index (the entropy family needs ln(), which is libm- and
+# engine-dependent; Simpson's lambda = sum n_w(n_w-1) / (N(N-1)) is the
+# probability two tokens drawn without replacement coincide — pure
+# integer counts). 1 - lambda is the diversity: 0 for a one-word
+# corpus, -> 1 for a flat vocabulary. Token identity is the catalog's
+# standard whitespace split over lower(trim(text)). 100 TB: one hash
+# aggregate per (source, token) then per source — no window, no
+# broadcast; numerators reach N^2 and are accumulated in
+# DECIMAL(38,0)/HUGEINT with one rounded double at the end.
+# ---------------------------------------------------------------------------
+
+_SIMPSON_SQL = """
+WITH toks AS (
+    SELECT source, UNNEST(string_split_regex(LOWER(TRIM(text)), '\\s+')) AS w
+    FROM documents WHERE text IS NOT NULL AND TRIM(text) <> ''
+),
+cw AS (SELECT source, w, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+m AS (
+    SELECT source,
+           SUM(CAST(c AS HUGEINT)) AS n,
+           COUNT(*) AS vocab,
+           SUM(CAST(c AS HUGEINT) * (CAST(c AS HUGEINT) - 1)) AS num
+    FROM cw GROUP BY source
+)
+SELECT source,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(vocab AS BIGINT) AS vocab_size,
+       CASE WHEN n < 2 THEN NULL
+            ELSE ROUND(1.0 - CAST(CAST(num AS VARCHAR) AS DOUBLE)
+                       / (CAST(CAST(n AS VARCHAR) AS DOUBLE)
+                          * (CAST(CAST(n AS VARCHAR) AS DOUBLE) - 1.0)), 6)
+       END AS simpson_diversity
+FROM m ORDER BY source
+"""
+
+
+@register("text_simpson_diversity", oracle=_SIMPSON_SQL)
+def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.trim(F.col("text")) != ""))
+        .select(
+            "source",
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
+        )
+    )
+    cw = (
+        docs.select("source", F.explode("toks").alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    m = cw.groupBy("source").agg(
+        F.sum(d19("c")).alias("n"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(d19("c") * (d19("c") - 1)).alias("num"),
+    )
+    dd = lambda c: c.cast("string").cast("double")  # noqa: E731
+    n = F.col("n")
+    return m.select(
+        "source",
+        n.cast("long").alias("n_tokens"),
+        F.col("vocab").cast("long").alias("vocab_size"),
+        F.when(n < 2, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.lit(1.0) - dd(F.col("num")) / (dd(n) * (dd(n) - F.lit(1.0))),
+                6,
+            )
+        )
+        .alias("simpson_diversity"),
+    ).orderBy("source")

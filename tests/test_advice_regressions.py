@@ -1100,3 +1100,35 @@ def test_levenshtein_pairs_with_crafted_near_dups(spark, tmp_path):
     lang = template["lang"]
     assert got[lang]["n_pairs"] == 3 and got[lang]["n_neardup"] == 1
     assert got[lang]["n_heavy_blocks"] == 1
+
+
+@pytest.mark.parametrize(
+    "name", ["dq_total_variation_drift"]
+)
+def test_r11_batch3_event_stats_degenerate_and_empty(spark, tmp_path, name):
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    for rows in (_degenerate_event_rows(), []):
+        d = _events_with(tmp_path / f"c{len(rows)}", spark, rows)
+        report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+        assert report["match"] is True, report
+
+
+def test_simpson_and_kish_survive_degenerate_corpus(spark, tmp_path):
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    texts = ["solo", "", None, "alpha alpha alpha", "beta  gamma beta"]
+    d = _corpus_with(tmp_path, _doc_rows(spark, texts), spark)
+    for name in ("text_simpson_diversity", "sample_kish_effective_size"):
+        report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+        assert report["match"] is True, (name, report)
+
+
+def test_flac_zero_crossings_drops_empty_and_null_docs(spark, tmp_path):
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    texts = ["a real payload with some bytes", "", None, "x"]
+    d = _corpus_with(tmp_path, _doc_rows(spark, texts), spark)
+    name = "multimodal_flac_zero_crossings"
+    report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+    assert report["match"] is True, report

@@ -196,6 +196,9 @@ _NONEQUI_OK = {
     "dq_cliffs_delta_effect_size",   # 1-row era-bounds frame crossJoined
     "dq_kruskal_wallis_rank_sums",   # 1-row totals frame crossJoined
     "dq_wasserstein_value_drift",    # 1-row bounds/totals/num frames crossJoined
+    "orders_mann_kendall_trend",     # time-bounded weekly pairwise self-join + 1-row frames
+    "dq_total_variation_drift",      # 1-row bounds/totals frames crossJoined
+    "sample_kish_effective_size",    # 1-row stratum-fold frames crossJoined
 }
 
 
@@ -332,6 +335,9 @@ _HINTED_BROADCAST_OK = {
     "dq_cliffs_delta_effect_size": 3,    # [1row] era bounds + [bkt] offsets
     "dq_kruskal_wallis_rank_sums": 3,    # [1row] totals + [bkt] offsets
     "dq_wasserstein_value_drift": 5,     # [1row] bounds/totals/num + [bkt] offsets
+    "orders_mann_kendall_trend": 2,      # [1row] pair-sum + tie frames
+    "dq_total_variation_drift": 3,       # [1row] bounds/totals/num frames
+    "sample_kish_effective_size": 1,     # [1row] stratum reciprocal fold
     "events_daily_autocorrelation": 2,   # [dim] lag frame + [1row] totals
     "events_markov_attribution": 1,      # [enum] removal dim
 }
