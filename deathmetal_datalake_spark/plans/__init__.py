@@ -40,6 +40,8 @@ del _rev_q, _rev_o
 # promoted to the head explicitly — the driver's prefix sample then
 # always covers the newest, least-battle-tested surface first.
 _NEWEST_FIRST = [
+    # round 11 batch 4: O(delta) MERGE via sequence-scoped equality deletes
+    "catalog_incremental_merge",
     # round 11 batch 3: monotone-trend test, categorical drift, exact
     # diversity, survey-design receipts, LPC codec in-pipeline
     "orders_mann_kendall_trend",

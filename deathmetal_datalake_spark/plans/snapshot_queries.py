@@ -1960,3 +1960,76 @@ def catalog_snapshots_metadata_read(spark: SparkSession, sf_dir: str) -> DataFra
             "version long, operation string, n_dirs_added long, "
             "rows_added long, total_rows long",
         )
+
+
+# ---------------------------------------------------------------------------
+# INCREMENTAL MERGE, driver-checked (round 11) — the O(delta) upsert
+# the existing catalog_merge_upsert (a full-table rewrite through the
+# DataFrame-level merge) deliberately is not: ONE snapshot that
+# REPLACES matched keys and INSERTS unmatched ones by pairing a new
+# data dir with an equality-delete SCOPED to the pre-merge dirs
+# (sources/snapshots.merge_upsert — Iceberg's sequence-scoped MERGE),
+# writing O(incoming) bytes regardless of table size. The query writes
+# every order, then merges a batch that bumps every 'P' order's amount
+# by 1000 AND adds a brand-new key per 'P' order; the read-back
+# aggregates pin replace AND insert semantics at once (a doubled match
+# would break n_rows = n_distinct_keys; a lost update would break the
+# sum). The oracle recomputes the post-merge state relationally.
+# ---------------------------------------------------------------------------
+
+_MERGE_KEY_OFFSET = 6_000_000_000  # new-key space, disjoint from o_orderkey
+
+_INC_MERGE_SQL = f"""
+WITH base AS (SELECT o_orderkey AS k, o_totalprice AS a FROM orders),
+ups AS (
+    SELECT o_orderkey AS k, o_totalprice + 1000 AS a
+    FROM orders WHERE o_orderstatus = 'P'
+),
+ins AS (
+    SELECT o_orderkey + {_MERGE_KEY_OFFSET} AS k, o_totalprice AS a
+    FROM orders WHERE o_orderstatus = 'P'
+),
+final AS (
+    SELECT k, a FROM base WHERE k NOT IN (SELECT k FROM ups)
+    UNION ALL SELECT k, a FROM ups
+    UNION ALL SELECT k, a FROM ins
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_keys,
+       {sql_dsum("a", "total_amount")},
+       CAST(MAX(k) AS BIGINT) AS max_key
+FROM final
+"""
+
+
+@register("catalog_incremental_merge", oracle=_INC_MERGE_SQL)
+def catalog_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = session_cache(spread(load_table(spark, sf_dir, "orders")))
+    with tempfile.TemporaryDirectory(prefix="dml-snapq-") as d:
+        tbl = SnapshotTable(spark, os.path.join(d, "orders_merge"))
+        tbl.write(
+            orders.select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_totalprice").alias("a"),
+            ),
+            "overwrite",
+        )
+        p = orders.filter(F.col("o_orderstatus") == "P")
+        batch = p.select(
+            F.col("o_orderkey").alias("k"),
+            (F.col("o_totalprice") + 1000).alias("a"),
+        ).unionByName(
+            p.select(
+                (F.col("o_orderkey") + F.lit(_MERGE_KEY_OFFSET)).alias("k"),
+                F.col("o_totalprice").alias("a"),
+            )
+        )
+        tbl.merge_upsert(batch, "k")
+        out = tbl.read().agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("k").alias("n_distinct_keys"),
+            dsum("a", "total_amount"),
+            F.max("k").cast("long").alias("max_key"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)

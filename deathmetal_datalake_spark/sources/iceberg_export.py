@@ -1187,6 +1187,9 @@ def export_iceberg_metadata(
                         "overwrite": "overwrite",
                         "append": "append",
                         "delete": "delete",
+                        # Iceberg renders row-replacing commits (MERGE)
+                        # as an overwrite operation.
+                        "merge": "overwrite",
                     }.get(s.mode, s.mode),
                 },
             }

@@ -1639,6 +1639,88 @@ class SnapshotTable:
             self._write_refs(refs)
         return snap
 
+    def merge_upsert(
+        self,
+        df: DataFrame,
+        key_col: str,
+        branch: str = _MAIN,
+        expected_parent: "Optional[int] | _Unset" = UNSET,
+    ) -> Snapshot:
+        """Iceberg-style MERGE (upsert) in ONE snapshot: rows whose key
+        matches an existing row are replaced, unmatched rows are
+        inserted, atomically. The commit pairs a new data dir with an
+        equality-delete of ``df``'s keys SCOPED to the dirs visible at
+        commit time (Iceberg's sequence-number-scoped equality delete),
+        so readers drop the old versions of matched keys while the new
+        dir — NOT covered by the delete — supplies the upserted rows.
+        O(incoming) write, no data-file rewrite; delete-vector stacking
+        triggers the same :meth:`fold_deletes` maintenance as
+        ``delete_keys``. CAS semantics mirror :meth:`write`.
+        """
+        if key_col not in df.columns:
+            raise ValueError(f"df has no column {key_col!r}")
+        if not isinstance(expected_parent, _Unset):
+            current = self._read_refs().get(branch)
+            if current != expected_parent:
+                raise CommitConflict(
+                    f"branch {branch!r} is at snapshot {current}, "
+                    f"expected {expected_parent}"
+                )
+        write_epoch = self._registry_epoch_for_write(df)
+        # Data and the key dir land OUTSIDE the lock (write-then-publish).
+        new_dirs, new_partitions, new_dir_stats, new_file_stats = (
+            self._write_data_dirs(df, "merge")
+        )
+        del_dir = os.path.join(self._data_dir, f"del-{uuid.uuid4().hex[:12]}")
+        df.select(key_col).distinct().write.mode("errorifexists").parquet(
+            del_dir
+        )
+        new_epochs = (
+            {d: write_epoch for d in new_dirs} if write_epoch is not None else {}
+        )
+        fold_after = self.DELETE_FOLD_THRESHOLD
+        with self._commit_lock():
+            refs = self._read_refs()
+            parent_id = refs.get(branch)
+            if not isinstance(expected_parent, _Unset) and parent_id != expected_parent:
+                raise CommitConflict(
+                    f"branch {branch!r} is at snapshot {parent_id}, "
+                    f"expected {expected_parent}"
+                )
+            if parent_id is None:
+                raise LookupError(
+                    f"branch {branch!r} has no snapshots to merge into; "
+                    "use write() for the first commit"
+                )
+            parent = self._load_snapshot(parent_id)
+            snapshot_id = self._next_snapshot_id()
+            snap = Snapshot(
+                snapshot_id=snapshot_id,
+                parent_id=parent_id,
+                mode="merge",
+                data_dirs=parent.data_dirs + tuple(new_dirs),
+                committed_at=time.time(),
+                # The delete covers ONLY the pre-merge dirs: the new dir's
+                # rows survive even though they carry the deleted keys.
+                deletes=parent.deletes
+                + ((del_dir, key_col, parent.data_dirs),),
+                dir_stats={**parent.dir_stats, **new_dir_stats},
+                file_stats={**parent.file_stats, **new_file_stats},
+                dir_partitions={**parent.dir_partitions, **new_partitions},
+                dir_epochs={**parent.dir_epochs, **new_epochs},
+            )
+            with open(self._snap_path(snapshot_id), "x") as f:
+                json.dump(_snapshot_to_json(snap), f, indent=1)
+            self._record_snapshot_id(snapshot_id)
+            refs[branch] = snapshot_id
+            self._write_refs(refs)
+        if fold_after and len(snap.deletes) >= fold_after:
+            try:
+                self.fold_deletes(branch=branch)
+            except CommitConflict:
+                pass
+        return snap
+
     def delete_keys(
         self,
         keys: DataFrame,
@@ -2571,7 +2653,10 @@ class SnapshotTable:
             d for d, _, _ in self._load_snapshot(since_snapshot_id).deletes
         }
         for snap in newer:
-            if snap.mode == "append":
+            if snap.mode in ("append", "merge"):
+                # A merge's delete half is emitted below; its insert half
+                # is exactly its new dirs (delete-then-insert per key —
+                # the standard CDC rendering of an upsert).
                 new_dirs = [d for d in snap.data_dirs if d not in prev_dirs]
                 if new_dirs:
                     df = self._read_dirs_evolved(snap, new_dirs)
@@ -2589,7 +2674,7 @@ class SnapshotTable:
                             "*",
                         )
                     )
-            elif snap.mode == "delete":
+            if snap.mode in ("delete", "merge"):
                 new_dels = [
                     (d, k) for d, k, _ in snap.deletes if d not in prev_dels
                 ]

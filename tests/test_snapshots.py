@@ -1013,3 +1013,86 @@ def test_maintain_one_call_policy(spark, tmp_path):
     # Sorted compaction (declared order) restores pruning.
     kept, pruned = t.scan_files(filters=[("k", ">=", 590)])
     assert pruned
+
+
+# ---------------------------------------------------------------------------
+# Round-11: single-snapshot MERGE (upsert) via pre-merge-scoped
+# equality deletes (sources/snapshots.merge_upsert).
+# ---------------------------------------------------------------------------
+
+
+def test_merge_upsert_replaces_and_inserts_in_one_snapshot(table, spark):
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, s string, v double"
+    )
+    s1 = table.write(base, "overwrite")
+    batch = spark.createDataFrame(
+        [(2, "B", 200.0), (4, "d", 40.0)], "k long, s string, v double"
+    )
+    s2 = table.merge_upsert(batch, "k")
+    assert s2.mode == "merge" and s2.parent_id == s1.snapshot_id
+    got = {r["k"]: (r["s"], r["v"]) for r in table.read().collect()}
+    assert got == {1: ("a", 10.0), 2: ("B", 200.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+    # ONE snapshot: history grew by exactly one and time travel still
+    # sees the pre-merge state.
+    assert [s.snapshot_id for s in table.history()] == [
+        s1.snapshot_id, s2.snapshot_id
+    ]
+    pre = {r["k"]: r["s"] for r in table.read(snapshot_id=s1.snapshot_id).collect()}
+    assert pre == {1: "a", 2: "b", 3: "c"}
+
+
+def test_merge_upsert_repeated_merges_latest_wins(table, spark):
+    table.write(
+        spark.createDataFrame([(1, 1.0)], "k long, v double"), "overwrite"
+    )
+    table.merge_upsert(
+        spark.createDataFrame([(1, 2.0), (2, 1.0)], "k long, v double"), "k"
+    )
+    table.merge_upsert(
+        spark.createDataFrame([(2, 9.0)], "k long, v double"), "k"
+    )
+    got = {r["k"]: r["v"] for r in table.read().collect()}
+    assert got == {1: 2.0, 2: 9.0}
+
+
+def test_merge_upsert_cdc_emits_delete_then_insert(table, spark):
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    s1 = table.write(base, "overwrite")
+    table.merge_upsert(
+        spark.createDataFrame([(2, "B"), (3, "c")], "k long, s string"), "k"
+    )
+    ch = table.read_changes(s1.snapshot_id)
+    rows = {(r["_change_type"], r["k"], r["s"]) for r in ch.collect()}
+    # delete events carry the KEY (non-key columns NULL); inserts carry
+    # the full new row — the upserted keys appear as delete+insert.
+    assert rows == {
+        ("delete", 2, None),
+        ("delete", 3, None),
+        ("insert", 2, "B"),
+        ("insert", 3, "c"),
+    }
+
+
+def test_merge_upsert_refuses_empty_table_and_missing_key(table, spark):
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    with pytest.raises(LookupError):
+        table.merge_upsert(df, "k")
+    table.write(df, "overwrite")
+    with pytest.raises(ValueError):
+        table.merge_upsert(df, "nope")
+
+
+def test_merge_upsert_cas_conflict(table, spark):
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    s1 = table.write(df, "overwrite")
+    s2 = table.write(
+        spark.createDataFrame([(9, "z")], "k long, s string"), "append"
+    )
+    from deathmetal_datalake_spark.sources.snapshots import CommitConflict
+
+    with pytest.raises(CommitConflict):
+        table.merge_upsert(df, "k", expected_parent=s1.snapshot_id)
+    # Rebased on the real head it commits.
+    s3 = table.merge_upsert(df, "k", expected_parent=s2.snapshot_id)
+    assert s3.parent_id == s2.snapshot_id
