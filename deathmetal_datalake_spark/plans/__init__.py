@@ -40,6 +40,11 @@ del _rev_q, _rev_o
 # promoted to the head explicitly — the driver's prefix sample then
 # always covers the newest, least-battle-tested surface first.
 _NEWEST_FIRST = [
+    # round 11 batch 5: segmented regression, rank concordance, the
+    # 27th replay (incremental categorical drift)
+    "orders_its_level_shift",
+    "events_kendall_volume_value",
+    "streaming_tv_drift_replay",
     # round 11 batch 4: O(delta) MERGE via sequence-scoped equality deletes
     "catalog_incremental_merge",
     # round 11 batch 3: monotone-trend test, categorical drift, exact

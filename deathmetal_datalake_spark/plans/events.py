@@ -4657,3 +4657,144 @@ def events_burstiness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round((root - dd(sg)) / (root + dd(sg)), 6))
         .alias("burstiness"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b between weekly volume and weekly mean value (round 11)
+# — the rank-concordance companion to the Spearman signal correlation:
+# does heavier weekly traffic come with higher (or lower) typical
+# values? Concordant/discordant/tie pair counts are exact integers over
+# the time-range BOUNDED weekly frame (the whitelisted Theil-Sen
+# pairwise class — O(weeks^2), never corpus-quadratic); both weekly
+# signals are exact-decimal-derived doubles, so every pairwise
+# comparison agrees across engines, and tau-b's denominator uses the
+# standard per-variable tie corrections. Only the final ratio is a
+# rounded double.
+# ---------------------------------------------------------------------------
+
+_KENDALL_SQL = """
+WITH weekly AS (
+    SELECT CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 604800) AS BIGINT) AS wn,
+           COUNT(*) AS vol,
+           ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR)
+                      AS DOUBLE) / COUNT(value), 6) AS mv
+    FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+p AS (
+    SELECT SUM(CASE WHEN (b.vol - a.vol) * (b.mv - a.mv) > 0
+                    THEN 1 ELSE 0 END) AS c,
+           SUM(CASE WHEN (b.vol - a.vol) * (b.mv - a.mv) < 0
+                    THEN 1 ELSE 0 END) AS d,
+           SUM(CASE WHEN b.vol = a.vol AND b.mv <> a.mv
+                    THEN 1 ELSE 0 END) AS tx,
+           SUM(CASE WHEN b.mv = a.mv AND b.vol <> a.vol
+                    THEN 1 ELSE 0 END) AS ty,
+           COUNT(*) AS n0
+    FROM weekly a JOIN weekly b ON b.wn > a.wn
+),
+t AS (SELECT COUNT(*) AS n FROM weekly)
+SELECT CAST(t.n AS BIGINT) AS n_weeks,
+       CAST(p.c AS BIGINT) AS concordant,
+       CAST(p.d AS BIGINT) AS discordant,
+       CASE WHEN COALESCE(p.n0, 0) = 0
+                 OR p.n0 - p.tx - (p.n0 - p.c - p.d - p.tx - p.ty) = 0
+                 OR p.n0 - p.ty - (p.n0 - p.c - p.d - p.tx - p.ty) = 0
+            THEN NULL
+            ELSE ROUND((CAST(p.c AS DOUBLE) - p.d)
+                       / SQRT((CAST(p.n0 AS DOUBLE) - p.tx
+                               - (p.n0 - p.c - p.d - p.tx - p.ty))
+                              * (CAST(p.n0 AS DOUBLE) - p.ty
+                                 - (p.n0 - p.c - p.d - p.tx - p.ty))), 6)
+       END AS kendall_tau_b
+FROM t, p
+"""
+
+
+@register("events_kendall_volume_value", oracle=_KENDALL_SQL)
+def events_kendall_volume_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    weekly = session_cache(
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.expr(
+                "CAST(FLOOR(timestampdiff(SECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) / 604800)"
+                " AS BIGINT)"
+            ).alias("wn"),
+            "value",
+        )
+        .groupBy("wn")
+        .agg(
+            F.count(F.lit(1)).alias("vol"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("string")
+                .cast("double")
+                / F.count("value"),
+                6,
+            ).alias("mv"),
+        )
+    )
+    a = weekly.select(
+        F.col("wn").alias("wa"), F.col("vol").alias("va"), F.col("mv").alias("ma")
+    )
+    bb = weekly.select(
+        F.col("wn").alias("wb"), F.col("vol").alias("vb"), F.col("mv").alias("mb")
+    )
+    p = (
+        a.join(bb, F.col("wb") > F.col("wa"))  # bounded weekly frame
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("vb") - F.col("va")) * (F.col("mb") - F.col("ma"))
+                    > 0,
+                    1,
+                ).otherwise(0)
+            ).alias("c"),
+            F.sum(
+                F.when(
+                    (F.col("vb") - F.col("va")) * (F.col("mb") - F.col("ma"))
+                    < 0,
+                    1,
+                ).otherwise(0)
+            ).alias("d"),
+            F.sum(
+                F.when(
+                    (F.col("vb") == F.col("va"))
+                    & (F.col("mb") != F.col("ma")),
+                    1,
+                ).otherwise(0)
+            ).alias("tx"),
+            F.sum(
+                F.when(
+                    (F.col("mb") == F.col("ma"))
+                    & (F.col("vb") != F.col("va")),
+                    1,
+                ).otherwise(0)
+            ).alias("ty"),
+            F.count(F.lit(1)).alias("n0"),
+        )
+    )
+    t = weekly.agg(F.count(F.lit(1)).alias("n"))
+    c, d = F.col("c").cast("double"), F.col("d").cast("double")
+    n0 = F.col("n0").cast("double")
+    txy = n0 - c - d - F.col("tx").cast("double") - F.col("ty").cast("double")
+    denx = n0 - F.col("tx").cast("double") - txy
+    deny = n0 - F.col("ty").cast("double") - txy
+    return t.crossJoin(broadcast(p)).select(
+        F.col("n").cast("long").alias("n_weeks"),
+        F.col("c").cast("long").alias("concordant"),
+        F.col("d").cast("long").alias("discordant"),
+        F.when(
+            (F.coalesce(F.col("n0"), F.lit(0)) == 0)
+            | (denx == 0)
+            | (deny == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.round((c - d) / F.sqrt(denx * deny), 6))
+        .alias("kendall_tau_b"),
+    )

@@ -1790,3 +1790,160 @@ def orders_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("z_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Interrupted time series on weekly revenue (round 11) — the causal
+# reading of the trend family: split the weekly series at its midpoint
+# week and fit one OLS line per era; the LEVEL SHIFT is the gap between
+# the post-era intercept and the pre-era line's prediction at the
+# boundary, the SLOPE CHANGE is the slope delta — the standard
+# segmented-regression pair. Exactness: x is the integer week number,
+# y the exact decimal weekly revenue; per-era moments (n, Sx, Sy, Sxy,
+# Sxx) accumulate in DECIMAL and cross to identical doubles via the
+# VARCHAR parse, so slope = (n*Sxy - Sx*Sy)/(n*Sxx - Sx^2) is one
+# identical IEEE expression on both engines. 100 TB: the weekly frame
+# is time-range bounded; moments are one hash aggregate per era.
+# ---------------------------------------------------------------------------
+
+_ITS_SQL = f"""
+WITH weekly AS (
+    SELECT CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) // 7
+               AS wn,
+           {sql_dsum("o_totalprice", "rev")}
+    FROM orders
+    GROUP BY 1
+),
+b AS (SELECT MIN(wn) AS lo, MAX(wn) AS hi FROM weekly),
+m AS (
+    SELECT CASE WHEN wn * 2 <= b.lo + b.hi THEN 0 ELSE 1 END AS era,
+           COUNT(*) AS n,
+           SUM(CAST(wn AS HUGEINT)) AS sx,
+           CAST(CAST(SUM(CAST(rev AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
+               AS sy,
+           CAST(CAST(SUM(CAST(wn AS DECIMAL(12,0))
+                         * CAST(rev AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
+               AS sxy,
+           SUM(CAST(wn AS HUGEINT) * CAST(wn AS HUGEINT)) AS sxx
+    FROM weekly, b GROUP BY 1
+),
+f AS (
+    SELECT era, n, CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sx, sy, sxy,
+           CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxx,
+           CAST(n AS DOUBLE) AS nd
+    FROM m
+),
+fit AS (
+    SELECT era, n,
+           CASE WHEN nd * sxx - sx * sx = 0 THEN NULL
+                ELSE (nd * sxy - sx * sy) / (nd * sxx - sx * sx) END AS slope,
+           CASE WHEN nd * sxx - sx * sx = 0 THEN NULL
+                ELSE (sy - (nd * sxy - sx * sy) / (nd * sxx - sx * sx) * sx)
+                     / nd END AS icept
+    FROM f
+)
+SELECT CAST(pre.n AS BIGINT) AS n_pre_weeks,
+       CAST(post.n AS BIGINT) AS n_post_weeks,
+       ROUND(pre.slope, 6) AS pre_slope,
+       ROUND(post.slope, 6) AS post_slope,
+       ROUND(post.slope - pre.slope, 6) AS slope_change,
+       ROUND((post.icept + post.slope * bd.cut)
+             - (pre.icept + pre.slope * bd.cut), 6) AS level_shift
+FROM (SELECT * FROM fit WHERE era = 0) pre,
+     (SELECT * FROM fit WHERE era = 1) post,
+     (SELECT CAST((lo + hi) AS DOUBLE) / 2.0 AS cut FROM b) bd
+"""
+
+
+@register("orders_its_level_shift", oracle=_ITS_SQL)
+def orders_its_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    weekly = session_cache(
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.expr(
+                "CAST(datediff(o_orderdate, DATE '1970-01-01') AS BIGINT)"
+                " div 7"
+            ).alias("wn"),
+            "o_totalprice",
+        )
+        .groupBy("wn")
+        .agg(dsum("o_totalprice", "rev"))
+    )
+    b = weekly.agg(F.min("wn").alias("lo"), F.max("wn").alias("hi"))
+    dd = lambda c: c.cast("string").cast("double")  # noqa: E731
+    m = (
+        weekly.crossJoin(broadcast(b))
+        .select(
+            F.when(F.col("wn") * 2 <= F.col("lo") + F.col("hi"), 0)
+            .otherwise(1)
+            .alias("era"),
+            "wn",
+            "rev",
+        )
+        .groupBy("era")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dd(F.sum(F.col("wn").cast("decimal(19,0)"))).alias("sx"),
+            dd(F.sum(F.col("rev").cast("decimal(25,6)"))).alias("sy"),
+            dd(
+                F.sum(
+                    F.col("wn").cast("decimal(12,0)")
+                    * F.col("rev").cast("decimal(25,6)")
+                )
+            ).alias("sxy"),
+            dd(
+                F.sum(
+                    F.col("wn").cast("decimal(19,0)")
+                    * F.col("wn").cast("decimal(19,0)")
+                )
+            ).alias("sxx"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    den = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(den == 0, F.lit(None).cast("double")).otherwise(
+        (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / den
+    )
+    icept = F.when(den == 0, F.lit(None).cast("double")).otherwise(
+        (
+            F.col("sy")
+            - (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / den * F.col("sx")
+        )
+        / nd
+    )
+    fit = m.select("era", "n", slope.alias("slope"), icept.alias("icept"))
+    pre = fit.filter(F.col("era") == 0).select(
+        F.col("n").alias("n_pre"),
+        F.col("slope").alias("pre_slope"),
+        F.col("icept").alias("pre_icept"),
+    )
+    post = fit.filter(F.col("era") == 1).select(
+        F.col("n").alias("n_post"),
+        F.col("slope").alias("post_slope"),
+        F.col("icept").alias("post_icept"),
+    )
+    cut = b.select(
+        ((F.col("lo") + F.col("hi")).cast("double") / 2.0).alias("cut")
+    )
+    return (
+        pre.crossJoin(broadcast(post))
+        .crossJoin(broadcast(cut))
+        .select(
+            F.col("n_pre").cast("long").alias("n_pre_weeks"),
+            F.col("n_post").cast("long").alias("n_post_weeks"),
+            F.round(F.col("pre_slope"), 6).alias("pre_slope"),
+            F.round(F.col("post_slope"), 6).alias("post_slope"),
+            F.round(F.col("post_slope") - F.col("pre_slope"), 6).alias(
+                "slope_change"
+            ),
+            F.round(
+                (F.col("post_icept") + F.col("post_slope") * F.col("cut"))
+                - (F.col("pre_icept") + F.col("pre_slope") * F.col("cut")),
+                6,
+            ).alias("level_shift"),
+        )
+    )

@@ -1692,3 +1692,114 @@ def streaming_static_enrich_replay(spark: SparkSession, sf_dir: str) -> DataFram
     )
     tbl = _drain(agg, scratch, "complete")
     return tbl.orderBy("segment", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Total-variation drift, streamed (round 11 — the 27th replay): the
+# categorical drift monitor maintained incrementally. Era tagging needs
+# the GLOBAL time bounds, which no prefix of the stream knows — so the
+# IVM split puts only the MERGEABLE state in the stream (counts per
+# (event_type, day): commutative, complete mode — the final table
+# equals the batch frame however the files were batched) and derives
+# bounds, the era split, and the TV fold post-drain as a batch
+# transform over the day-bounded sink. Day granularity (not the batch
+# TV query's second-midpoint) because the stream state must stay
+# bounded by the TIME RANGE, not the event count — the oracle states
+# the same day-midpoint law. Exactness: identical integer cross-product
+# math to dq_total_variation_drift.
+# ---------------------------------------------------------------------------
+
+_TV_REPLAY_SQL = """
+WITH daily AS (
+    SELECT event_type,
+           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+           COUNT(*) AS c
+    FROM events GROUP BY 1, 2
+),
+b AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+g AS (
+    SELECT event_type,
+           SUM(CASE WHEN d - b.lo <= b.hi - d THEN c ELSE 0 END) AS na,
+           SUM(CASE WHEN d - b.lo <= b.hi - d THEN 0 ELSE c END) AS nb
+    FROM daily, b GROUP BY event_type
+),
+t AS (SELECT SUM(CAST(na AS HUGEINT)) AS n_a, SUM(CAST(nb AS HUGEINT)) AS n_b,
+             COUNT(*) AS n_types
+      FROM g),
+s AS (
+    SELECT SUM(ABS(CAST(na AS HUGEINT) * t.n_b
+                   - CAST(nb AS HUGEINT) * t.n_a)) AS num
+    FROM g, t
+)
+SELECT CAST(t.n_a AS BIGINT) AS n_a,
+       CAST(t.n_b AS BIGINT) AS n_b,
+       CAST(t.n_types AS BIGINT) AS n_types,
+       CASE WHEN COALESCE(t.n_a, 0) = 0 OR COALESCE(t.n_b, 0) = 0 THEN NULL
+            ELSE ROUND(CAST(CAST(s.num AS VARCHAR) AS DOUBLE)
+                       / (2.0 * CAST(CAST(t.n_a AS VARCHAR) AS DOUBLE)
+                          * CAST(CAST(t.n_b AS VARCHAR) AS DOUBLE)), 6)
+       END AS tv_distance
+FROM t, s
+"""
+
+
+@register("streaming_tv_drift_replay", oracle=_TV_REPLAY_SQL)
+def streaming_tv_drift_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    stream, scratch = _replay_events_stream(spark, sf_dir)
+    daily_stream = stream.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    daily = _drain(daily_stream, scratch, "complete")
+
+    b = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    g = daily.crossJoin(broadcast(b)).groupBy("event_type").agg(
+        F.sum(
+            F.when(
+                F.datediff(F.col("d"), F.col("lo"))
+                <= F.datediff(F.col("hi"), F.col("d")),
+                F.col("c"),
+            ).otherwise(0)
+        ).alias("na"),
+        F.sum(
+            F.when(
+                F.datediff(F.col("d"), F.col("lo"))
+                <= F.datediff(F.col("hi"), F.col("d")),
+                0,
+            ).otherwise(F.col("c"))
+        ).alias("nb"),
+    )
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    t = g.agg(
+        F.sum(d19("na")).alias("n_a"),
+        F.sum(d19("nb")).alias("n_b"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    s = (
+        g.crossJoin(broadcast(t))
+        .select(
+            F.abs(
+                d19("na") * F.col("n_b") - d19("nb") * F.col("n_a")
+            ).alias("term")
+        )
+        .agg(F.sum("term").alias("num"))
+    )
+    dd = lambda c: c.cast("string").cast("double")  # noqa: E731
+    na, nb = F.col("n_a"), F.col("n_b")
+    zero = F.lit(0).cast("decimal(19,0)")
+    out = t.crossJoin(broadcast(s)).select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.when(
+            (F.coalesce(na, zero) == 0) | (F.coalesce(nb, zero) == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(dd(F.col("num")) / (F.lit(2.0) * dd(na) * dd(nb)), 6)
+        )
+        .alias("tv_distance"),
+    )
+    rows = out.collect()
+    return spark.createDataFrame(rows, schema=out.schema)

@@ -1132,3 +1132,19 @@ def test_flac_zero_crossings_drops_empty_and_null_docs(spark, tmp_path):
     name = "multimodal_flac_zero_crossings"
     report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
     assert report["match"] is True, report
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "events_kendall_volume_value",
+        "streaming_tv_drift_replay",
+    ],
+)
+def test_r11_batch5_event_stats_degenerate_and_empty(spark, tmp_path, name):
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    for tag, rows in (("deg", _degenerate_event_rows()), ("empty", [])):
+        d = _events_with(tmp_path / tag, spark, rows)
+        report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+        assert report["match"] is True, (tag, report)

@@ -199,6 +199,9 @@ _NONEQUI_OK = {
     "orders_mann_kendall_trend",     # time-bounded weekly pairwise self-join + 1-row frames
     "dq_total_variation_drift",      # 1-row bounds/totals frames crossJoined
     "sample_kish_effective_size",    # 1-row stratum-fold frames crossJoined
+    "orders_its_level_shift",        # 1-row era-fit/cut frames crossJoined
+    "events_kendall_volume_value",   # time-bounded weekly pairwise self-join + 1-row frames
+    "streaming_tv_drift_replay",     # 1-row bounds/totals frames over the drained sink
 }
 
 
@@ -338,6 +341,9 @@ _HINTED_BROADCAST_OK = {
     "orders_mann_kendall_trend": 2,      # [1row] pair-sum + tie frames
     "dq_total_variation_drift": 3,       # [1row] bounds/totals/num frames
     "sample_kish_effective_size": 1,     # [1row] stratum reciprocal fold
+    "orders_its_level_shift": 4,         # [1row] bounds + era-fit + cut frames
+    "events_kendall_volume_value": 1,    # [1row] pair-count frame
+    "streaming_tv_drift_replay": 3,      # [1row] bounds/totals/num frames
     "events_daily_autocorrelation": 2,   # [dim] lag frame + [1row] totals
     "events_markov_attribution": 1,      # [enum] removal dim
 }
