@@ -40,6 +40,12 @@ del _rev_q, _rev_o
 # promoted to the head explicitly — the driver's prefix sample then
 # always covers the newest, least-battle-tested surface first.
 _NEWEST_FIRST = [
+    # round 11 batch 6: matryoshka energy, shard uniformity, exact
+    # entropy bound, packing histogram
+    "embedding_prefix_energy_profile",
+    "corpus_shard_assignment_uniformity",
+    "text_unigram_entropy_bits",
+    "corpus_length_log2_histogram",
     # round 11 batch 5: segmented regression, rank concordance, the
     # 27th replay (incremental categorical drift)
     "orders_its_level_shift",

@@ -1958,3 +1958,173 @@ def sample_kish_effective_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(nd * F.col("inv") / (ld * ld), 6))
         .alias("design_effect"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Shard-assignment uniformity (round 11) — the global-shuffle receipt a
+# training pipeline reads before writing shards: documents land in
+# shard = hash60(doc_id) % K, and the query reports how uniform the
+# assignment actually is (min/max/expected shard size plus the exact
+# scaled chi-square sum((K*c_i - N)^2), whose integer form avoids any
+# per-shard division). A skewed hash here means one trainer reads 3x
+# the data of another — this is the audit that catches it. 100 TB: one
+# hash aggregate to the K-bounded shard frame, one 1-row reduce.
+# ---------------------------------------------------------------------------
+
+_SHARD_K = 1024
+
+_SHARD_SQL = f"""
+WITH a AS (
+    SELECT {sql_hash60("CAST(doc_id AS VARCHAR)")} % {_SHARD_K} AS shard
+    FROM documents
+),
+c AS (SELECT shard, COUNT(*) AS cnt FROM a GROUP BY shard),
+t AS (
+    SELECT COUNT(*) AS n_used,
+           SUM(CAST(cnt AS HUGEINT)) AS n,
+           MIN(cnt) AS cmin,
+           MAX(cnt) AS cmax,
+           SUM(({_SHARD_K} * CAST(cnt AS HUGEINT) - (SELECT SUM(CAST(cnt AS HUGEINT)) FROM c))
+               * ({_SHARD_K} * CAST(cnt AS HUGEINT) - (SELECT SUM(CAST(cnt AS HUGEINT)) FROM c))) AS chi2s
+    FROM c
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(n_used AS BIGINT) AS n_shards_used,
+       CAST(cmin AS BIGINT) AS min_shard,
+       CAST(cmax AS BIGINT) AS max_shard,
+       CASE WHEN COALESCE(n, 0) = 0 THEN NULL
+            ELSE ROUND(CAST(CAST(chi2s AS VARCHAR) AS DOUBLE)
+                       / ({_SHARD_K}.0 * {_SHARD_K}.0
+                          * CAST(CAST(n AS VARCHAR) AS DOUBLE)), 6)
+       END AS chi2_over_k2n
+FROM t
+"""
+
+
+@register("corpus_shard_assignment_uniformity", oracle=_SHARD_SQL)
+def corpus_shard_assignment_uniformity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    a = load_table(spark, sf_dir, "documents").select(
+        (hash60(F.col("doc_id").cast("string")) % _SHARD_K).alias("shard")
+    )
+    c = session_cache(
+        a.groupBy("shard").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = c.agg(F.sum(F.col("cnt").cast("decimal(19,0)")).alias("ntot"))
+    d19 = lambda col: F.col(col).cast("decimal(19,0)")  # noqa: E731
+    t = (
+        c.crossJoin(broadcast(tot))
+        .agg(
+            F.count(F.lit(1)).alias("n_used"),
+            F.max(F.col("ntot")).alias("n"),
+            F.min("cnt").alias("cmin"),
+            F.max("cnt").alias("cmax"),
+            F.sum(
+                (F.lit(_SHARD_K).cast("decimal(19,0)") * d19("cnt") - F.col("ntot"))
+                * (F.lit(_SHARD_K).cast("decimal(19,0)") * d19("cnt") - F.col("ntot"))
+            ).alias("chi2s"),
+        )
+    )
+    dd = lambda col: col.cast("string").cast("double")  # noqa: E731
+    n = F.col("n")
+    return t.select(
+        n.cast("long").alias("n_docs"),
+        F.col("n_used").cast("long").alias("n_shards_used"),
+        F.col("cmin").cast("long").alias("min_shard"),
+        F.col("cmax").cast("long").alias("max_shard"),
+        F.when(
+            F.coalesce(n, F.lit(0).cast("decimal(19,0)")) == 0,
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                dd(F.col("chi2s"))
+                / (
+                    F.lit(float(_SHARD_K))
+                    * F.lit(float(_SHARD_K))
+                    * dd(n)
+                ),
+                6,
+            )
+        )
+        .alias("chi2_over_k2n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Length histogram in log2 buckets (round 11) — the packing-design
+# input: sequence packing efficiency is a function of the LENGTH
+# DISTRIBUTION's shape, and log2 buckets (bucket = bitlength(n_chars))
+# are the standard exact-integer rendering of it. Per bucket: count,
+# bounds, exact mean length, share of corpus bytes. 100 TB: one hash
+# aggregate to a <= 64-row frame.
+# ---------------------------------------------------------------------------
+
+_LOG2_HIST_SQL = f"""
+WITH b AS (
+    SELECT CASE WHEN n_chars <= 0 THEN 0
+                ELSE LENGTH(bin(CAST(n_chars AS BIGINT))) END AS bucket,
+           n_chars
+    FROM documents
+),
+t AS (SELECT SUM(CAST(n_chars AS HUGEINT)) AS total_chars FROM documents)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       {sql_davg("n_chars", "mean_chars")},
+       ROUND(CAST(CAST(SUM(CAST(n_chars AS HUGEINT)) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(t.total_chars AS VARCHAR) AS DOUBLE), 6)
+           AS char_share
+FROM b, t
+GROUP BY bucket, t.total_chars
+ORDER BY bucket
+"""
+
+
+@register("corpus_length_log2_histogram", oracle=_LOG2_HIST_SQL)
+def corpus_length_log2_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    docs = load_table(spark, sf_dir, "documents").select("n_chars")
+    b = docs.select(
+        F.when(F.col("n_chars") <= 0, F.lit(0).cast("long"))
+        .otherwise(F.length(F.bin(F.col("n_chars").cast("bigint"))).cast("long"))
+        .alias("bucket"),
+        "n_chars",
+    )
+    t = docs.agg(
+        F.sum(F.col("n_chars").cast("decimal(19,0)")).alias("total_chars")
+    )
+    dd = lambda c: c.cast("string").cast("double")  # noqa: E731
+    return (
+        b.crossJoin(broadcast(t))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+            davg("n_chars", "mean_chars"),
+            F.round(
+                dd(F.sum(F.col("n_chars").cast("decimal(19,0)")))
+                / dd(F.max("total_chars")),
+                6,
+            ).alias("char_share"),
+        )
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "min_chars",
+            "max_chars",
+            "mean_chars",
+            "char_share",
+        )
+        .orderBy("bucket")
+    )

@@ -4186,3 +4186,91 @@ def similarity_centroid_shift_drift(
             6,
         ).alias("shift_norm"),
     ).orderBy("label")
+
+
+# ---------------------------------------------------------------------------
+# Prefix energy profile (round 11) — the Matryoshka-representation
+# audit: how much of the corpus's embedding energy lives in the first
+# L dimensions? If 32 of 64 dims carry 95% of the energy, a truncated
+# index is nearly free recall-wise — this is the receipt that decision
+# reads. Exactness: per-dimension squared mass is a DECIMAL(25,12) sum
+# of exact double squares (float->double is exact; the double product
+# rounds identically on both engines before the decimal cast), prefix
+# totals are sums over the FIXED 64-dim frame, and the ratio crosses to
+# double via the VARCHAR parse. 100 TB: one hash aggregate over the
+# exploded (dim, x^2) frame; the profile frame is 4 rows.
+# ---------------------------------------------------------------------------
+
+_PREFIX_LENGTHS = (8, 16, 32, 64)
+
+_PREFIX_ENERGY_SQL = f"""
+WITH comps AS (
+    SELECT g.i AS i, emb[g.i + 1] * emb[g.i + 1] AS x2
+    FROM (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         (SELECT UNNEST(range({_CSHIFT_DIM})) AS i) g
+),
+dims AS (
+    SELECT i, SUM(CAST(x2 AS DECIMAL(25,12))) AS e FROM comps GROUP BY i
+),
+tot AS (SELECT SUM(e) AS te FROM dims),
+prof AS (
+    SELECT l.len,
+           SUM(CASE WHEN dims.i < l.len THEN dims.e ELSE CAST(0 AS DECIMAL(25,12)) END) AS pe
+    FROM dims, (SELECT UNNEST({list(_PREFIX_LENGTHS)}) AS len) l
+    GROUP BY l.len
+)
+SELECT CAST(prof.len AS BIGINT) AS prefix_len,
+       CAST(CAST(prof.pe AS VARCHAR) AS DOUBLE) AS prefix_energy,
+       CASE WHEN tot.te = 0 THEN NULL
+            ELSE ROUND(CAST(CAST(prof.pe AS VARCHAR) AS DOUBLE)
+                       / CAST(CAST(tot.te AS VARCHAR) AS DOUBLE), 6)
+       END AS energy_fraction
+FROM prof, tot ORDER BY prefix_len
+"""
+
+
+@register("embedding_prefix_energy_profile", oracle=_PREFIX_ENERGY_SQL)
+def embedding_prefix_energy_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    vecs = spread(
+        load_table(spark, sf_dir, "embeddings").select(
+            _as_double("embedding").alias("emb")
+        )
+    )
+    dims = (
+        vecs.select(F.posexplode("emb").alias("i", "x"))
+        .select("i", (F.col("x") * F.col("x")).alias("x2"))
+        .groupBy("i")
+        .agg(F.sum(F.col("x2").cast("decimal(25,12)")).alias("e"))
+    )
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    dims = session_cache(dims)
+    tot = dims.agg(F.sum("e").alias("te"))
+    lens = spark.createDataFrame(
+        [(int(l),) for l in _PREFIX_LENGTHS], "len long"
+    )
+    prof = (
+        dims.crossJoin(broadcast(lens))
+        .groupBy("len")
+        .agg(
+            F.sum(
+                F.when(F.col("i") < F.col("len"), F.col("e")).otherwise(
+                    F.lit(0).cast("decimal(25,12)")
+                )
+            ).alias("pe")
+        )
+    )
+    dd = lambda c: c.cast("string").cast("double")  # noqa: E731
+    return (
+        prof.crossJoin(broadcast(tot))
+        .select(
+            F.col("len").cast("long").alias("prefix_len"),
+            dd(F.col("pe")).alias("prefix_energy"),
+            F.when(F.col("te") == 0, F.lit(None).cast("double"))
+            .otherwise(F.round(dd(F.col("pe")) / dd(F.col("te")), 6))
+            .alias("energy_fraction"),
+        )
+        .orderBy("prefix_len")
+    )

@@ -3172,3 +3172,96 @@ def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("simpson_diversity"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Unigram entropy lower bound in floor-log2 bits (round 11) — the
+# corpus-compressibility gauge, ENGINE-EXACT by the same trade the HLL
+# and LM-surprisal queries document: true Shannon entropy needs ln(),
+# whose libm rounding differs across engines, so the per-token
+# information is floored to whole bits — floor(log2(N/n_w)) =
+# bitlength(N div n_w) - 1 on exact integers (a deterministic lower
+# bound within 1 bit/token of H). Output per lang: tokens, vocab, the
+# floored total bit count, and mean bits/token. 100 TB: two hash
+# aggregates ((lang, token) then lang), one 1-row-per-lang frame.
+# ---------------------------------------------------------------------------
+
+_ENTROPY_BITS_SQL = """
+WITH toks AS (
+    SELECT lang, UNNEST(string_split_regex(LOWER(TRIM(text)), '\\s+')) AS w
+    FROM documents WHERE text IS NOT NULL AND TRIM(text) <> ''
+),
+cw AS (SELECT lang, w, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+nt AS (SELECT lang, SUM(CAST(c AS HUGEINT)) AS n FROM cw GROUP BY lang),
+bits AS (
+    SELECT cw.lang,
+           SUM(CAST(cw.c AS HUGEINT)
+               * (LENGTH(bin(CAST(nt.n // cw.c AS BIGINT))) - 1)) AS tb,
+           COUNT(*) AS vocab
+    FROM cw JOIN nt ON cw.lang = nt.lang
+    GROUP BY cw.lang
+)
+SELECT bits.lang,
+       CAST(nt.n AS BIGINT) AS n_tokens,
+       CAST(bits.vocab AS BIGINT) AS vocab_size,
+       CAST(bits.tb AS BIGINT) AS total_bits_floor,
+       ROUND(CAST(CAST(bits.tb AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(nt.n AS VARCHAR) AS DOUBLE), 6) AS mean_bits_per_token
+FROM bits JOIN nt ON bits.lang = nt.lang
+ORDER BY bits.lang
+"""
+
+
+@register("text_unigram_entropy_bits", oracle=_ENTROPY_BITS_SQL)
+def text_unigram_entropy_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.trim(F.col("text")) != ""))
+        .select(
+            "lang",
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
+        )
+    )
+    cw = (
+        docs.select("lang", F.explode("toks").alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    cw = session_cache(cw)
+    nt = cw.groupBy("lang").agg(
+        F.sum(F.col("c").cast("decimal(19,0)")).alias("n")
+    )
+    bits = (
+        cw.join(nt, "lang")
+        .select(
+            "lang",
+            "c",
+            (
+                F.col("c").cast("decimal(19,0)")
+                * (
+                    F.length(
+                        F.bin(F.expr("CAST(n div c AS BIGINT)"))
+                    )
+                    - 1
+                ).cast("decimal(19,0)")
+            ).alias("b"),
+        )
+        .groupBy("lang")
+        .agg(F.sum("b").alias("tb"), F.count(F.lit(1)).alias("vocab"))
+    )
+    dd = lambda c: c.cast("string").cast("double")  # noqa: E731
+    return (
+        bits.join(nt, "lang")
+        .select(
+            "lang",
+            F.col("n").cast("long").alias("n_tokens"),
+            F.col("vocab").cast("long").alias("vocab_size"),
+            F.col("tb").cast("long").alias("total_bits_floor"),
+            F.round(dd(F.col("tb")) / dd(F.col("n")), 6).alias(
+                "mean_bits_per_token"
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -1148,3 +1148,31 @@ def test_r11_batch5_event_stats_degenerate_and_empty(spark, tmp_path, name):
         d = _events_with(tmp_path / tag, spark, rows)
         report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
         assert report["match"] is True, (tag, report)
+
+
+def test_entropy_bits_and_log2_hist_survive_degenerate_corpus(spark, tmp_path):
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    texts = ["solo", "", None, "alpha alpha alpha", "beta  gamma beta"]
+    d = _corpus_with(tmp_path, _doc_rows(spark, texts), spark)
+    for name in ("text_unigram_entropy_bits", "corpus_length_log2_histogram",
+                 "corpus_shard_assignment_uniformity"):
+        report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+        assert report["match"] is True, (name, report)
+
+
+def test_prefix_energy_survives_zero_vectors(spark, tmp_path):
+    import math
+
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    rows = []
+    for i in range(40):
+        emb = [0.0] * 64 if i < 5 else [
+            math.sin(0.1 * i + 0.01 * j) for j in range(64)
+        ]
+        rows.append((i, emb, i % 3))
+    d = _embeddings_with(tmp_path, spark, rows)
+    name = "embedding_prefix_energy_profile"
+    report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+    assert report["match"] is True, report

@@ -202,6 +202,9 @@ _NONEQUI_OK = {
     "orders_its_level_shift",        # 1-row era-fit/cut frames crossJoined
     "events_kendall_volume_value",   # time-bounded weekly pairwise self-join + 1-row frames
     "streaming_tv_drift_replay",     # 1-row bounds/totals frames over the drained sink
+    "embedding_prefix_energy_profile",  # 4-row literal prefix dim + 1-row total
+    "corpus_shard_assignment_uniformity",  # 1-row total frame crossJoined
+    "corpus_length_log2_histogram",  # 1-row total frame crossJoined
 }
 
 
@@ -344,6 +347,9 @@ _HINTED_BROADCAST_OK = {
     "orders_its_level_shift": 4,         # [1row] bounds + era-fit + cut frames
     "events_kendall_volume_value": 1,    # [1row] pair-count frame
     "streaming_tv_drift_replay": 3,      # [1row] bounds/totals/num frames
+    "embedding_prefix_energy_profile": 2,  # [dim] 4-row prefix lens + [1row] total
+    "corpus_shard_assignment_uniformity": 1,  # [1row] corpus total
+    "corpus_length_log2_histogram": 1,   # [1row] corpus total
     "events_daily_autocorrelation": 2,   # [dim] lag frame + [1row] totals
     "events_markov_attribution": 1,      # [enum] removal dim
 }
