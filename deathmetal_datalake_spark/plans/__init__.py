@@ -40,6 +40,11 @@ del _rev_q, _rev_o
 # promoted to the head explicitly — the driver's prefix sample then
 # always covers the newest, least-battle-tested surface first.
 _NEWEST_FIRST = [
+    # round 11 batch 7: count dispersion, retention triangle, price
+    # indices
+    "events_fano_factor_hourly",
+    "events_cohort_retention_triangle",
+    "lineitem_price_index_pair",
     # round 11 batch 6: matryoshka energy, shard uniformity, exact
     # entropy bound, packing histogram
     "embedding_prefix_energy_profile",

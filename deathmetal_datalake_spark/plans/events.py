@@ -4798,3 +4798,148 @@ def events_kendall_volume_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round((c - d) / F.sqrt(denx * deny), 6))
         .alias("kendall_tau_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fano factor over hourly counts by type (round 11) — the COUNT
+# dispersion companion to the gap-based burstiness coefficient: a
+# Poisson arrival process has var/mean = 1 over any counting window;
+# F >> 1 means clumped arrivals, F < 1 regular ones. The hourly frame
+# is time-range bounded; moments (n, sum c, sum c^2) are exact integers
+# and F = (n*S2 - S1^2) / ((n-1) * S1) is derived from them via the
+# VARCHAR crossing (sample variance over mean). Degenerate guards
+# (one window, zero mean) yield NULL on both engines.
+# ---------------------------------------------------------------------------
+
+_FANO_SQL = """
+WITH hourly AS (
+    SELECT event_type,
+           date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+           COUNT(*) AS c
+    FROM events GROUP BY 1, 2
+),
+m AS (
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(c AS HUGEINT)) AS s1,
+           SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS s2
+    FROM hourly GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_hours,
+       CAST(s1 AS BIGINT) AS n_events,
+       CASE WHEN n < 2 OR s1 = 0 THEN NULL
+            ELSE ROUND(CAST(CAST(n * s2 - s1 * s1 AS VARCHAR) AS DOUBLE)
+                       / ((CAST(CAST(n AS VARCHAR) AS DOUBLE) - 1.0)
+                          * CAST(CAST(n AS VARCHAR) AS DOUBLE))
+                       / (CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+                          / CAST(CAST(n AS VARCHAR) AS DOUBLE)), 6)
+       END AS fano_factor
+FROM m ORDER BY event_type
+"""
+
+
+@register("events_fano_factor_hourly", oracle=_FANO_SQL)
+def events_fano_factor_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    m = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d19("c")).alias("s1"),
+        F.sum(d19("c") * d19("c")).alias("s2"),
+    )
+    dd = lambda c: c.cast("string").cast("double")  # noqa: E731
+    n = F.col("n").cast("decimal(19,0)")
+    var_num = dd(n * F.col("s2") - F.col("s1") * F.col("s1"))
+    nd = dd(n)
+    mean = dd(F.col("s1")) / nd
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_hours"),
+        F.col("s1").cast("long").alias("n_events"),
+        F.when(
+            (F.col("n") < 2) | (F.col("s1") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.round(var_num / ((nd - F.lit(1.0)) * nd) / mean, 6))
+        .alias("fano_factor"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention triangle (round 11) — the product-analytics view the
+# DAU/WAU and resurrection queries bracket but never materialize: users
+# grouped by FIRST-ACTIVE week (cohort), counted distinct in each
+# subsequent week, as (cohort_week, age_weeks) cells with retention
+# relative to the cohort's size. Week number is the engine-independent
+# integer epoch-seconds div 604800 (the Theil-Sen convention). 100 TB:
+# first-active is one hash aggregate per user; the triangle is a
+# distinct-count per (cohort, age) cell — both shuffle on bounded-ish
+# keys; the output frame is (weeks x weeks)/2, time-range bounded.
+# ---------------------------------------------------------------------------
+
+_RETENTION_SQL = """
+WITH uw AS (
+    SELECT DISTINCT user_id,
+           CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 604800) AS BIGINT) AS wn
+    FROM events
+),
+first_w AS (SELECT user_id, MIN(wn) AS cw FROM uw GROUP BY user_id),
+cohort_size AS (SELECT cw, COUNT(*) AS n0 FROM first_w GROUP BY cw),
+cells AS (
+    SELECT f.cw, uw.wn - f.cw AS age, COUNT(DISTINCT uw.user_id) AS n
+    FROM uw JOIN first_w f ON uw.user_id = f.user_id
+    GROUP BY 1, 2
+)
+SELECT cells.cw AS cohort_week,
+       CAST(cells.age AS BIGINT) AS age_weeks,
+       CAST(cells.n AS BIGINT) AS n_active,
+       CAST(cs.n0 AS BIGINT) AS cohort_size,
+       ROUND(CAST(cells.n AS DOUBLE) / cs.n0, 6) AS retention
+FROM cells JOIN cohort_size cs ON cells.cw = cs.cw
+ORDER BY cohort_week, age_weeks
+"""
+
+
+@register("events_cohort_retention_triangle", oracle=_RETENTION_SQL)
+def events_cohort_retention_triangle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    uw = session_cache(
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr(
+                "CAST(FLOOR(timestampdiff(SECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) / 604800)"
+                " AS BIGINT)"
+            ).alias("wn"),
+        )
+        .distinct()
+    )
+    first_w = uw.groupBy("user_id").agg(F.min("wn").alias("cw"))
+    cohort_size = first_w.groupBy("cw").agg(F.count(F.lit(1)).alias("n0"))
+    cells = (
+        uw.join(first_w, "user_id")
+        .groupBy("cw", (F.col("wn") - F.col("cw")).alias("age"))
+        .agg(F.countDistinct("user_id").alias("n"))
+    )
+    return (
+        cells.join(cohort_size, "cw")
+        .select(
+            F.col("cw").alias("cohort_week"),
+            F.col("age").cast("long").alias("age_weeks"),
+            F.col("n").cast("long").alias("n_active"),
+            F.col("n0").cast("long").alias("cohort_size"),
+            F.round(F.col("n").cast("double") / F.col("n0"), 6).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "age_weeks")
+    )

@@ -1947,3 +1947,113 @@ def orders_its_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("level_shift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Laspeyres / Paasche price indices between order-date eras (round 11)
+# — the economics pair over lineitem: how did PRICES move, holding the
+# BASKET fixed (Laspeyres: era-0 quantities) vs holding the CURRENT
+# basket (Paasche: era-1 quantities)? Per-part era price uses the
+# MIN-observed-unit-price convention (unit price l_extendedprice /
+# l_quantity is a ratio, whose per-part aggregation would be inexact;
+# the MIN of exact 2-decimal unit prices is itself exact — documented
+# convention, stated identically in the oracle). All products are
+# DECIMAL (price x integer quantity); only the final index ratios cross
+# to rounded doubles. 100 TB: two hash aggregates per era keyed by
+# part, one join on partkey, one 1-row reduce.
+# ---------------------------------------------------------------------------
+
+_PRICE_INDEX_SQL = """
+WITH li AS (
+    SELECT l_partkey AS pk,
+           CAST(l_extendedprice AS DECIMAL(18,2))
+             / CAST(l_quantity AS DECIMAL(18,2)) AS unit,
+           CAST(l_quantity AS BIGINT) AS qty,
+           CASE WHEN l_shipdate <= DATE '1995-06-17' THEN 0 ELSE 1 END AS era
+    FROM lineitem
+),
+p AS (
+    SELECT pk, era,
+           CAST(MIN(unit) AS DECIMAL(18,6)) AS minp,
+           SUM(qty) AS q
+    FROM li GROUP BY 1, 2
+),
+j AS (
+    SELECT a.pk, a.minp AS p0, b.minp AS p1,
+           CAST(a.q AS DECIMAL(19,0)) AS q0, CAST(b.q AS DECIMAL(19,0)) AS q1
+    FROM (SELECT * FROM p WHERE era = 0) a
+    JOIN (SELECT * FROM p WHERE era = 1) b USING (pk)
+),
+s AS (
+    SELECT COUNT(*) AS n_parts,
+           SUM(p1 * q0) AS l_num, SUM(p0 * q0) AS l_den,
+           SUM(p1 * q1) AS p_num, SUM(p0 * q1) AS p_den
+    FROM j
+)
+SELECT CAST(n_parts AS BIGINT) AS n_parts,
+       CASE WHEN COALESCE(l_den, 0) = 0 THEN NULL
+            ELSE ROUND(CAST(CAST(l_num AS VARCHAR) AS DOUBLE)
+                       / CAST(CAST(l_den AS VARCHAR) AS DOUBLE), 6)
+       END AS laspeyres_index,
+       CASE WHEN COALESCE(p_den, 0) = 0 THEN NULL
+            ELSE ROUND(CAST(CAST(p_num AS VARCHAR) AS DOUBLE)
+                       / CAST(CAST(p_den AS VARCHAR) AS DOUBLE), 6)
+       END AS paasche_index
+FROM s
+"""
+
+
+@register("lineitem_price_index_pair", oracle=_PRICE_INDEX_SQL)
+def lineitem_price_index_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk"),
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            / F.col("l_quantity").cast("decimal(18,2)")
+        ).alias("unit"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.when(F.col("l_shipdate") <= F.lit("1995-06-17").cast("date"), 0)
+        .otherwise(1)
+        .alias("era"),
+    )
+    p = li.groupBy("pk", "era").agg(
+        F.min("unit").cast("decimal(18,6)").alias("minp"),
+        F.sum("qty").alias("q"),
+    )
+    a = p.filter(F.col("era") == 0).select(
+        "pk",
+        F.col("minp").alias("p0"),
+        F.col("q").cast("decimal(19,0)").alias("q0"),
+    )
+    b = p.filter(F.col("era") == 1).select(
+        "pk",
+        F.col("minp").alias("p1"),
+        F.col("q").cast("decimal(19,0)").alias("q1"),
+    )
+    s = (
+        a.join(b, "pk")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.col("p1") * F.col("q0")).alias("l_num"),
+            F.sum(F.col("p0") * F.col("q0")).alias("l_den"),
+            F.sum(F.col("p1") * F.col("q1")).alias("p_num"),
+            F.sum(F.col("p0") * F.col("q1")).alias("p_den"),
+        )
+    )
+    dd = lambda c: c.cast("string").cast("double")  # noqa: E731
+    zero = F.lit(0).cast("decimal(38,6)")
+    return s.select(
+        F.col("n_parts").cast("long").alias("n_parts"),
+        F.when(
+            F.coalesce(F.col("l_den").cast("decimal(38,6)"), zero) == 0,
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.round(dd(F.col("l_num")) / dd(F.col("l_den")), 6))
+        .alias("laspeyres_index"),
+        F.when(
+            F.coalesce(F.col("p_den").cast("decimal(38,6)"), zero) == 0,
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.round(dd(F.col("p_num")) / dd(F.col("p_den")), 6))
+        .alias("paasche_index"),
+    )

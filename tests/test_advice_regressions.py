@@ -1176,3 +1176,15 @@ def test_prefix_energy_survives_zero_vectors(spark, tmp_path):
     name = "embedding_prefix_energy_profile"
     report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
     assert report["match"] is True, report
+
+
+@pytest.mark.parametrize(
+    "name", ["events_fano_factor_hourly", "events_cohort_retention_triangle"]
+)
+def test_r11_batch7_event_stats_degenerate_and_empty(spark, tmp_path, name):
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    for tag, rows in (("deg", _degenerate_event_rows()), ("empty", [])):
+        d = _events_with(tmp_path / tag, spark, rows)
+        report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+        assert report["match"] is True, (tag, report)

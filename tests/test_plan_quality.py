@@ -207,6 +207,10 @@ _NONEQUI_OK = {
     "corpus_length_log2_histogram",  # 1-row total frame crossJoined
 }
 
+# (events_fano_factor_hourly, events_cohort_retention_triangle, and
+# lineitem_price_index_pair need no whitelist entries: hash aggregates
+# and equi-joins only.)
+
 
 # Rule 4 (round-10, closing the round-9 verdict's broadcast-hint
 # scale-killer class): a FORCED broadcast hint — `strategy=broadcast`
