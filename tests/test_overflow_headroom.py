@@ -48,6 +48,7 @@ BOUNDED_BY_CONSTRUCTION = {
     ("text_chunk_sliding_windows", "chunk_hash"): "60-bit hash value",
     ("text_blocklist_scrub", "redacted_hash"): "60-bit hash value",
     ("text_fingerprint", "fingerprint"): "60-bit winnowing hash value",
+    ("sample_bottomk_uniform", "hash_key"): "60-bit hash sort key",
     # Per-user event gap in microseconds: bounded by the corpus TIME
     # SPAN (a 300-year span is ~1e16 us < 2^63), not by row count.
     ("events_lag_delta", "gap_micros"): "time-span-bounded gap",
