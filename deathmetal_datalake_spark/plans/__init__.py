@@ -40,6 +40,9 @@ del _rev_q, _rev_o
 # promoted to the head explicitly — the driver's prefix sample then
 # always covers the newest, least-battle-tested surface first.
 _NEWEST_FIRST = [
+    # round 11 batch 8: PNG codec in-pipeline, cross-shard dup leakage
+    "multimodal_png_roundtrip_stats",
+    "dedup_cross_shard_leakage",
     # round 11 batch 7: count dispersion, retention triangle, price
     # indices
     "events_fano_factor_hourly",

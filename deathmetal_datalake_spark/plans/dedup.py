@@ -3057,3 +3057,85 @@ def dedup_levenshtein_block_pairs(
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-shard duplicate leakage (round 11) — the composition audit the
+# shard-uniformity receipt implies: if exact-duplicate clusters span
+# MULTIPLE training shards, per-shard dedup misses them and the model
+# sees the same text twice — this query counts exactly how much of the
+# duplicate mass leaks across the hash-shard boundary (doc-hash shards
+# vs content-hash clusters are independent hashes, so leakage is the
+# norm: the receipt quantifies it and motivates global-before-shard
+# dedup). Exact integer counts throughout. 100 TB: one hash aggregate
+# per content cluster, one 1-row reduce.
+# ---------------------------------------------------------------------------
+
+_XSHARD_K = 1024
+
+_XSHARD_SQL = f"""
+WITH d AS (
+    SELECT {sql_hash60("COALESCE(text, '')")} AS ch,
+           {sql_hash60("CAST(doc_id AS VARCHAR)")} % {_XSHARD_K} AS shard
+    FROM documents
+),
+cl AS (
+    SELECT ch, COUNT(*) AS n_docs, COUNT(DISTINCT shard) AS n_shards
+    FROM d GROUP BY ch HAVING COUNT(*) > 1
+),
+s AS (
+    SELECT COUNT(*) AS n_clusters,
+           SUM(CASE WHEN n_shards > 1 THEN 1 ELSE 0 END) AS n_leaky,
+           SUM(CAST(n_docs AS HUGEINT)) AS n_dup_docs,
+           MAX(n_shards) AS max_shards
+    FROM cl
+)
+SELECT CAST(n_clusters AS BIGINT) AS n_dup_clusters,
+       CAST(COALESCE(n_leaky, 0) AS BIGINT) AS n_cross_shard_clusters,
+       CAST(COALESCE(n_dup_docs, 0) AS BIGINT) AS n_docs_in_dup_clusters,
+       CAST(max_shards AS BIGINT) AS max_shards_per_cluster,
+       CASE WHEN n_clusters = 0 THEN NULL
+            ELSE ROUND(CAST(n_leaky AS DOUBLE) / n_clusters, 6)
+       END AS leakage_rate
+FROM s
+"""
+
+
+@register("dedup_cross_shard_leakage", oracle=_XSHARD_SQL)
+def dedup_cross_shard_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        hash60(F.coalesce(F.col("text"), F.lit(""))).alias("ch"),
+        (hash60(F.col("doc_id").cast("string")) % _XSHARD_K).alias("shard"),
+    )
+    cl = (
+        d.groupBy("ch")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("shard").alias("n_shards"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+    s = cl.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum(F.when(F.col("n_shards") > 1, 1).otherwise(0)).alias("n_leaky"),
+        F.sum(F.col("n_docs").cast("decimal(19,0)")).alias("n_dup_docs"),
+        F.max("n_shards").alias("max_shards"),
+    )
+    z = F.lit(0).cast("long")
+    return s.select(
+        F.col("n_clusters").cast("long").alias("n_dup_clusters"),
+        F.coalesce(F.col("n_leaky"), z)
+        .cast("long")
+        .alias("n_cross_shard_clusters"),
+        F.coalesce(F.col("n_dup_docs").cast("long"), z).alias(
+            "n_docs_in_dup_clusters"
+        ),
+        F.col("max_shards").cast("long").alias("max_shards_per_cluster"),
+        F.when(F.col("n_clusters") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.col("n_leaky").cast("double") / F.col("n_clusters"), 6
+            )
+        )
+        .alias("leakage_rate"),
+    )

@@ -849,3 +849,105 @@ def multimodal_flac_zero_crossings(
         .orderBy("media_id")
         .select("media_id", "n_samples", "n_crossings")
     )
+
+
+# ---------------------------------------------------------------------------
+# PNG codec round-trip stats (round 11) — the IMAGE twin of the FLAC
+# round-trip: each payload's bytes become an (H, 64) grayscale image,
+# are PNG-encoded (stdlib zlib + chunk writer), sniffed, decoded back
+# through the real chunk-walking unfilter path, and reduced to pixel
+# count / integer pixel sum / integer energy. Losslessness makes the
+# law SQL-exact: the oracle computes all three straight from hex()
+# bytes over the same 64-truncated prefix, so a single mis-decoded
+# pixel anywhere breaks the hash. Payloads shorter than one 64-byte
+# row are dropped (H = 0 is not a valid PNG) — the oracle states the
+# same floor. 100 TB: Arrow-batched map-only stage, one output row per
+# media.
+# ---------------------------------------------------------------------------
+
+_PNG_RT_SQL = """
+WITH hexed AS (
+    SELECT doc_id, hex(encode(text)) AS h,
+           (octet_length(encode(text)) // 64) * 64 AS n
+    FROM documents
+    WHERE text IS NOT NULL AND octet_length(encode(text)) >= 64
+),
+bytes AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(h, CAST(2 * i + 1 AS INTEGER), 2)) AS BIGINT)
+               AS b
+    FROM hexed, UNNEST(range(0, n)) AS g(i)
+)
+SELECT doc_id AS media_id,
+       COUNT(*) AS n_pixels,
+       CAST(SUM(b) AS BIGINT) AS pixel_sum,
+       CAST(SUM(b * b) AS BIGINT) AS energy
+FROM bytes GROUP BY doc_id
+ORDER BY media_id
+"""
+
+
+@register("multimodal_png_roundtrip_stats", oracle=_PNG_RT_SQL)
+def multimodal_png_roundtrip_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from deathmetal_datalake_spark.operators.multimodal import (
+        png_decode,
+        png_encode_gray,
+        sniff_format,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = (
+        documents_as_media(docs)
+        .select("media_id", "content")
+        .filter(F.col("content").isNotNull() & (F.length("content") >= 64))
+    )
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("n_pixels", LongType(), False),
+            StructField("pixel_sum", LongType(), False),
+            StructField("energy", LongType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            ids, counts, sums, energies = [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                raw = np.frombuffer(bytes(content), dtype=np.uint8)
+                h = raw.shape[0] // 64
+                img = raw[: h * 64].reshape(h, 64)
+                enc = png_encode_gray(img)
+                if sniff_format(enc) != "png":
+                    raise ValueError("PNG encoder produced unsniffable bytes")
+                dec = png_decode(enc)
+                if dec.shape != (h, 64):
+                    raise ValueError("PNG round-trip changed dimensions")
+                ids.append(mid)
+                counts.append(int(dec.size))
+                sums.append(int(dec.sum()))
+                energies.append(int((dec * dec).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "n_pixels": counts,
+                    "pixel_sum": sums,
+                    "energy": energies,
+                }
+            )
+
+    sp = media.repartition(spark.sparkContext.defaultParallelism)
+    return (
+        sp.mapInPandas(batches, schema=out_schema)
+        .orderBy("media_id")
+        .select("media_id", "n_pixels", "pixel_sum", "energy")
+    )

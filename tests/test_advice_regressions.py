@@ -1188,3 +1188,26 @@ def test_r11_batch7_event_stats_degenerate_and_empty(spark, tmp_path, name):
         d = _events_with(tmp_path / tag, spark, rows)
         report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
         assert report["match"] is True, (tag, report)
+
+
+def test_png_roundtrip_drops_short_and_null_docs(spark, tmp_path):
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    texts = ["x" * 200, "short", "", None, "y" * 64, "z" * 63]
+    d = _corpus_with(tmp_path, _doc_rows(spark, texts), spark)
+    name = "multimodal_png_roundtrip_stats"
+    report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+    assert report["match"] is True, report
+
+
+def test_cross_shard_leakage_counts_known_clusters(spark, tmp_path):
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    texts = ["dup one", "dup one", "dup one", "dup two", "dup two", "solo"]
+    d = _corpus_with(tmp_path, _doc_rows(spark, texts), spark)
+    name = "dedup_cross_shard_leakage"
+    report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+    assert report["match"] is True, report
+    row = QUERIES[name](spark, d).collect()[0]
+    assert row["n_dup_clusters"] == 2
+    assert row["n_docs_in_dup_clusters"] == 5
