@@ -94,7 +94,11 @@ BENCH_QUERIES = [
     "text_tfidf_top_terms",
     # round 3: multi-probe indexes, calibration/eval audits, repetition
     # scoring, survivorship, versioned-table time travel
-    "dedup_simhash_multiprobe",
+    # (dedup_simhash_multiprobe rotated out round 11 (late), stdout
+    # budget for the round-11 rotation — the multi-probe shape stays
+    # benched via similarity_ivf_multiprobe_topk and the simhash family
+    # via dedup_simhash_pairs; dedup keeps 9 benched representatives,
+    # two-scale history in docs/BENCH_FULL.json through the r11 seal.)
     "similarity_ivf_multiprobe_topk",
     # (similarity_ann_recall rotated out late round 6 for
     # similarity_filtered_ann — the recall-audit shape stays covered by
@@ -149,7 +153,9 @@ BENCH_QUERIES = [
     # (dedup_bloom_prefilter rotated out round 8, stdout budget — dedup
     # keeps 8 benched representatives; two-scale history in
     # docs/BENCH_FULL.json through r7.)
-    "text_bpe_merge_step",
+    # (text_bpe_merge_step rotated out round 11 (late), stdout budget —
+    # text keeps 6 benched representatives incl. the core quartet;
+    # two-scale history in docs/BENCH_FULL.json through the r11 seal.)
     # round 5: semantic dedup over embeddings (IVF-cell SemDeDup) +
     # BM25 retrieval (rational-IDF, corpus-linear)
     "dedup_semdedup_ivf",
@@ -182,7 +188,10 @@ BENCH_QUERIES = [
     # round 8: the sweep-line concurrency audit (new window shape), the
     # shingle-df audit behind the _MAX_DF cap (one full shingle pass),
     # and threshold-based range retrieval (O(n*40) broadcast scan)
-    "events_peak_concurrency",
+    # (events_peak_concurrency rotated out round 11 (late), stdout
+    # budget — the sweep-line shape stays covered by its streaming twin
+    # in CORRECTNESS; events keeps 6 benched representatives incl. the
+    # core trio, two-scale history through the r11 seal.)
     "dedup_shingle_df_profile",
     # (similarity_radius_search rotated out round 11, stdout budget —
     # the broadcast-scan threshold shape stays benched via
@@ -223,6 +232,14 @@ BENCH_QUERIES = [
     "text_signal_spearman",
     "events_haar_energy_levels",
     "sample_neyman_allocation",
+    # Rotated IN round 11 (late, newest-first): one representative per
+    # new round-11 family axis — the 1-D Wasserstein drift (two-phase
+    # ECDF + rank equi-join), edit-distance blocking dedup (levenshtein
+    # at scale behind the counted heavy-block cap), and the cohort
+    # retention triangle (per-user first-active + distinct cells).
+    "dq_wasserstein_value_drift",
+    "dedup_levenshtein_block_pairs",
+    "events_cohort_retention_triangle",
 ]
 
 # Governance (round-8, VERDICT r7 #2): the headline set may rotate —
@@ -293,7 +310,11 @@ _HASH_DRAIN = {
     "dedup_simhash_pairs",
     "events_asof_click_before_purchase",
     "text_tfidf_top_terms",
-    "dedup_simhash_multiprobe",
+    # (dedup_simhash_multiprobe rotated out round 11 (late), stdout
+    # budget for the round-11 rotation — the multi-probe shape stays
+    # benched via similarity_ivf_multiprobe_topk and the simhash family
+    # via dedup_simhash_pairs; dedup keeps 9 benched representatives,
+    # two-scale history in docs/BENCH_FULL.json through the r11 seal.)
     "dedup_minhash_calibration",
     "text_repetition_scores",
     "dedup_cluster_canonical",
