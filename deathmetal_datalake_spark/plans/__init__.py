@@ -40,6 +40,12 @@ del _rev_q, _rev_o
 # promoted to the head explicitly — the driver's prefix sample then
 # always covers the newest, least-battle-tested surface first.
 _NEWEST_FIRST = [
+    # round 11 batch 9: classifier eval, hash integrity, exact
+    # surge flagging, sampling-theory audit
+    "text_langid_confusion_matrix",
+    "dq_hash_collision_audit",
+    "events_chebyshev_outlier_hours",
+    "sample_bottomk_ht_estimate",
     # round 11 batch 8: PNG codec in-pipeline, cross-shard dup leakage
     "multimodal_png_roundtrip_stats",
     "dedup_cross_shard_leakage",

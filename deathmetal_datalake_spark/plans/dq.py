@@ -2158,3 +2158,61 @@ def dq_total_variation_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("tv_distance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hash-collision audit (round 11) — the integrity check every
+# hash-keyed dedup pipeline owes its users: does the 60-bit content
+# hash ever map two DIFFERENT texts to one key (a false-positive
+# "duplicate" that would silently delete a unique document)? The query
+# counts hash groups whose distinct-text count exceeds 1 — expected 0
+# at any realistic corpus size (birthday bound ~N^2/2^61) — plus the
+# group-size profile that makes the bound checkable. 100 TB: two hash
+# aggregates, no window.
+# ---------------------------------------------------------------------------
+
+from deathmetal_datalake_spark.plans.registry import sql_hash60 as _sql_hash60
+
+_HASH_COLLISION_SQL = f"""
+WITH d AS (
+    SELECT {_sql_hash60("COALESCE(text, '')")} AS ch, COALESCE(text, '') AS t
+    FROM documents
+),
+g AS (
+    SELECT ch, COUNT(*) AS n_docs, COUNT(DISTINCT t) AS n_texts
+    FROM d GROUP BY ch
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_hashes,
+       CAST(SUM(CASE WHEN n_texts > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_collisions,
+       CAST(MAX(n_docs) AS BIGINT) AS max_group_size,
+       CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_multi_doc_hashes
+FROM g
+"""
+
+
+@register("dq_hash_collision_audit", oracle=_HASH_COLLISION_SQL)
+def dq_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from deathmetal_datalake_spark.plans.registry import hash60
+
+    d = load_table(spark, sf_dir, "documents").select(
+        hash60(F.coalesce(F.col("text"), F.lit(""))).alias("ch"),
+        F.coalesce(F.col("text"), F.lit("")).alias("t"),
+    )
+    g = d.groupBy("ch").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("t").alias("n_texts"),
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hashes"),
+        F.sum(F.when(F.col("n_texts") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_collisions"),
+        F.max("n_docs").cast("long").alias("max_group_size"),
+        F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_multi_doc_hashes"),
+    )

@@ -4943,3 +4943,108 @@ def events_cohort_retention_triangle(
         )
         .orderBy("cohort_week", "age_weeks")
     )
+
+
+# ---------------------------------------------------------------------------
+# Chebyshev outlier hours (round 11) — distribution-free surge
+# flagging with a PURE-INTEGER criterion: hour h is an outlier iff
+# |c_h - mean| > k*s, which cross-multiplies to
+# (c_h*n - S1)^2 * (n-1) > k^2 * n * (n*S2 - S1^2) — every term an
+# exact DECIMAL(38,0)/HUGEINT product, so the flag set is bit-identical
+# on both engines with NO square roots or divisions anywhere (k = 4:
+# Chebyshev guarantees < 1/16 of hours can flag under ANY
+# distribution). 100 TB: hourly frame is time-range bounded; one
+# moment aggregate per type, one broadcast-join back.
+# ---------------------------------------------------------------------------
+
+_CHEBYSHEV_K2 = 16  # k = 4
+
+_CHEBYSHEV_SQL = f"""
+WITH hourly AS (
+    SELECT event_type,
+           date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+           COUNT(*) AS c
+    FROM events GROUP BY 1, 2
+),
+m AS (
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(c AS HUGEINT)) AS s1,
+           SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS s2
+    FROM hourly GROUP BY event_type
+),
+flagged AS (
+    SELECT hourly.event_type, hourly.h, hourly.c, m.n, m.s1
+    FROM hourly JOIN m ON hourly.event_type = m.event_type
+    WHERE m.n >= 2
+      AND (CAST(hourly.c AS HUGEINT) * m.n - m.s1)
+          * (CAST(hourly.c AS HUGEINT) * m.n - m.s1) * (m.n - 1)
+          > {_CHEBYSHEV_K2} * m.n * (m.n * m.s2 - m.s1 * m.s1)
+)
+SELECT m.event_type,
+       CAST(m.n AS BIGINT) AS n_hours,
+       CAST(COALESCE(f.n_out, 0) AS BIGINT) AS n_outlier_hours,
+       f.first_outlier_hour,
+       CAST(f.peak AS BIGINT) AS peak_outlier_count
+FROM m
+LEFT JOIN (
+    SELECT event_type, COUNT(*) AS n_out, MIN(h) AS first_outlier_hour,
+           MAX(c) AS peak
+    FROM flagged GROUP BY event_type
+) f ON m.event_type = f.event_type
+ORDER BY m.event_type
+"""
+
+
+@register("events_chebyshev_outlier_hours", oracle=_CHEBYSHEV_SQL)
+def events_chebyshev_outlier_hours(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    hourly = session_cache(
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    m = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d19("c")).alias("s1"),
+        F.sum(d19("c") * d19("c")).alias("s2"),
+    )
+    n = F.col("n").cast("decimal(19,0)")
+    dev = d19("c") * n - F.col("s1")
+    # Enum-bounded per-type moment frame: broadcast join back.
+    flagged = (
+        hourly.join(broadcast(m), "event_type")
+        .filter(
+            (F.col("n") >= 2)
+            & (
+                dev * dev * (n - 1)
+                > F.lit(_CHEBYSHEV_K2).cast("decimal(19,0)")
+                * n
+                * (n * F.col("s2") - F.col("s1") * F.col("s1"))
+            )
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_out"),
+            F.min("h").alias("first_outlier_hour"),
+            F.max("c").alias("peak"),
+        )
+    )
+    z = F.lit(0).cast("long")
+    return (
+        m.join(flagged, "event_type", "left")
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_hours"),
+            F.coalesce(F.col("n_out"), z).cast("long").alias("n_outlier_hours"),
+            "first_outlier_hour",
+            F.col("peak").cast("long").alias("peak_outlier_count"),
+        )
+        .orderBy("event_type")
+    )

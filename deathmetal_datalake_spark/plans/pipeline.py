@@ -2128,3 +2128,88 @@ def corpus_length_log2_histogram(
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Horvitz-Thompson estimate from the bottom-k sample (round 11) — the
+# audit that closes the sampling loop: the deterministic hash bottom-k
+# draw (sample_bottomk_uniform) is a simple random sample of size
+# k' = min(k, N), so the HT estimator (N/k') * sum_sample(n_chars)
+# should land near the true corpus total — and because the sample is a
+# pure function of the data, the estimate (and its signed relative
+# error, computed IN-QUERY against the true total) is reproducible
+# bit-for-bit. 100 TB: TakeOrderedAndProject for the draw, one scan
+# for the truth, two 1-row reduces.
+# ---------------------------------------------------------------------------
+
+_HT_SQL = f"""
+WITH s AS (
+    SELECT n_chars
+    FROM documents
+    ORDER BY {sql_hash60("CAST(doc_id AS VARCHAR)")}, doc_id
+    LIMIT {_BOTTOMK_K}
+),
+samp AS (SELECT COUNT(*) AS kd, SUM(CAST(n_chars AS HUGEINT)) AS sy FROM s),
+t AS (SELECT COUNT(*) AS n, SUM(CAST(n_chars AS HUGEINT)) AS ty
+      FROM documents)
+SELECT CAST(t.n AS BIGINT) AS n_docs,
+       CAST(samp.kd AS BIGINT) AS k_drawn,
+       CAST(t.ty AS BIGINT) AS true_total_chars,
+       CASE WHEN COALESCE(samp.kd, 0) = 0 THEN NULL
+            ELSE ROUND(CAST(CAST(t.n AS VARCHAR) AS DOUBLE)
+                       / CAST(CAST(samp.kd AS VARCHAR) AS DOUBLE)
+                       * CAST(CAST(samp.sy AS VARCHAR) AS DOUBLE), 6)
+       END AS ht_estimate,
+       CASE WHEN COALESCE(samp.kd, 0) = 0 OR COALESCE(t.ty, 0) = 0 THEN NULL
+            ELSE ROUND((CAST(CAST(t.n AS VARCHAR) AS DOUBLE)
+                        / CAST(CAST(samp.kd AS VARCHAR) AS DOUBLE)
+                        * CAST(CAST(samp.sy AS VARCHAR) AS DOUBLE)
+                        - CAST(CAST(t.ty AS VARCHAR) AS DOUBLE))
+                       / CAST(CAST(t.ty AS VARCHAR) AS DOUBLE), 6)
+       END AS rel_error
+FROM t, samp
+"""
+
+
+@register("sample_bottomk_ht_estimate", oracle=_HT_SQL)
+def sample_bottomk_ht_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    s = (
+        docs.select(
+            "n_chars",
+            hash60(F.col("doc_id").cast("string")).alias("hk"),
+            "doc_id",
+        )
+        .orderBy("hk", "doc_id")
+        .limit(_BOTTOMK_K)
+    )
+    samp = s.agg(
+        F.count(F.lit(1)).alias("kd"),
+        F.sum(F.col("n_chars").cast("decimal(19,0)")).alias("sy"),
+    )
+    t = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("n_chars").cast("decimal(19,0)")).alias("ty"),
+    )
+    dd = lambda c: c.cast("string").cast("double")  # noqa: E731
+    ht = dd(F.col("n").cast("decimal(19,0)")) / dd(
+        F.col("kd").cast("decimal(19,0)")
+    ) * dd(F.col("sy"))
+    zero19 = F.lit(0).cast("decimal(19,0)")
+    return t.crossJoin(broadcast(samp)).select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("kd").cast("long").alias("k_drawn"),
+        F.col("ty").cast("long").alias("true_total_chars"),
+        F.when(F.coalesce(F.col("kd"), F.lit(0)) == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(ht, 6))
+        .alias("ht_estimate"),
+        F.when(
+            (F.coalesce(F.col("kd"), F.lit(0)) == 0)
+            | (F.coalesce(F.col("ty"), zero19) == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.round((ht - dd(F.col("ty"))) / dd(F.col("ty")), 6))
+        .alias("rel_error"),
+    )

@@ -172,8 +172,8 @@ def _sql_hits(words: list[str]) -> str:
 _LANGID_SQL = rf"""
 WITH tok AS (
     SELECT doc_id, lang,
-           string_split_regex(LOWER(TRIM(text)), '\s+') AS toks,
-           regexp_matches(text, '[\x{{4e00}}-\x{{9fff}}]') AS has_cjk
+           string_split_regex(LOWER(TRIM(COALESCE(text, ''))), '\s+') AS toks,
+           regexp_matches(COALESCE(text, ''), '[\x{{4e00}}-\x{{9fff}}]') AS has_cjk
     FROM documents
 ),
 scored AS (
@@ -202,8 +202,13 @@ FROM scored
 @register("text_language_id", oracle=_LANGID_SQL)
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    has_cjk = F.col("text").rlike("[一-鿿]")
+    # NULL text classifies like an empty doc: without the coalesce,
+    # Spark's size(NULL) = -1 made every hit comparison true ('en')
+    # while the oracle's NULL CASE chain fell through to 'es' — a
+    # latent NULL-doc divergence (round-11 degenerate-corpus find).
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    toks = F.split(F.lower(F.trim(txt)), r"\s+")
+    has_cjk = txt.rlike("[一-鿿]")
     scored = docs.select(
         "doc_id",
         "lang",
@@ -3265,3 +3270,95 @@ def text_unigram_entropy_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix (round 11) — the EVALUATION view of the
+# text_language_id classifier: labeled lang x predicted lang cell
+# counts with per-true-lang recall, the receipt a corpus pipeline reads
+# before trusting the cheap n-gram router for mixture weighting. The
+# prediction cascade is the classifier's own deterministic CASE chain;
+# counts are exact. 100 TB: one projection + one hash aggregate to the
+# (langs x langs) bounded frame.
+# ---------------------------------------------------------------------------
+
+_LANGID_CONFUSION_SQL = rf"""
+WITH tok AS (
+    SELECT lang,
+           string_split_regex(LOWER(TRIM(COALESCE(text, ''))), '\s+') AS toks,
+           regexp_matches(COALESCE(text, ''), '[\x{{4e00}}-\x{{9fff}}]') AS has_cjk
+    FROM documents
+),
+scored AS (
+    SELECT lang, has_cjk,
+           {_sql_hits(_LANG_MARKERS["en"])} AS hits_en,
+           {_sql_hits(_LANG_MARKERS["de"])} AS hits_de,
+           {_sql_hits(_LANG_MARKERS["fr"])} AS hits_fr,
+           {_sql_hits(_LANG_MARKERS["es"])} AS hits_es
+    FROM tok
+),
+pred AS (
+    SELECT lang,
+           CASE WHEN has_cjk THEN 'zh'
+                WHEN hits_en >= hits_de AND hits_en >= hits_fr
+                     AND hits_en >= hits_es THEN 'en'
+                WHEN hits_de >= hits_fr AND hits_de >= hits_es THEN 'de'
+                WHEN hits_fr >= hits_es THEN 'fr'
+                ELSE 'es' END AS predicted_lang
+    FROM scored
+),
+cells AS (
+    SELECT lang, predicted_lang, COUNT(*) AS n
+    FROM pred GROUP BY 1, 2
+),
+tot AS (SELECT lang, SUM(n) AS nl FROM cells GROUP BY lang)
+SELECT cells.lang,
+       cells.predicted_lang,
+       CAST(cells.n AS BIGINT) AS n_docs,
+       ROUND(CAST(cells.n AS DOUBLE) / tot.nl, 6) AS share_of_true_lang
+FROM cells JOIN tot ON cells.lang = tot.lang
+ORDER BY cells.lang, cells.predicted_lang
+"""
+
+
+@register("text_langid_confusion_matrix", oracle=_LANGID_CONFUSION_SQL)
+def text_langid_confusion_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # Same NULL-as-empty convention as text_language_id (see there).
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    toks = F.split(F.lower(F.trim(txt)), r"\s+")
+    has_cjk = txt.rlike("[一-鿿]")
+    scored = docs.select(
+        "lang",
+        has_cjk.alias("has_cjk"),
+        *[
+            _hits(toks, words).cast("long").alias(f"hits_{lang}")
+            for lang, words in _LANG_MARKERS.items()
+        ],
+    )
+    he, hd, hf, hs = (F.col(f"hits_{x}") for x in ("en", "de", "fr", "es"))
+    predicted = (
+        F.when(F.col("has_cjk"), F.lit("zh"))
+        .when((he >= hd) & (he >= hf) & (he >= hs), F.lit("en"))
+        .when((hd >= hf) & (hd >= hs), F.lit("de"))
+        .when(hf >= hs, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    cells = (
+        scored.select("lang", predicted.alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "predicted_lang",
+        F.col("n").cast("long").alias("n_docs"),
+        F.round(F.col("n").cast("double") / F.sum("n").over(w), 6).alias(
+            "share_of_true_lang"
+        ),
+    ).orderBy("lang", "predicted_lang")

@@ -1211,3 +1211,41 @@ def test_cross_shard_leakage_counts_known_clusters(spark, tmp_path):
     row = QUERIES[name](spark, d).collect()[0]
     assert row["n_dup_clusters"] == 2
     assert row["n_docs_in_dup_clusters"] == 5
+
+
+def test_chebyshev_outliers_degenerate_and_empty(spark, tmp_path):
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    name = "events_chebyshev_outlier_hours"
+    for tag, rows in (("deg", _degenerate_event_rows()), ("empty", [])):
+        d = _events_with(tmp_path / tag, spark, rows)
+        report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+        assert report["match"] is True, (tag, report)
+
+
+def test_langid_confusion_and_ht_estimate_degenerate_corpus(spark, tmp_path):
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    texts = ["the and of", "der und die", "", None, "le la et", "solo"]
+    d = _corpus_with(tmp_path, _doc_rows(spark, texts), spark)
+    for name in (
+        "text_langid_confusion_matrix",
+        "sample_bottomk_ht_estimate",
+        "dq_hash_collision_audit",
+    ):
+        report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+        assert report["match"] is True, (name, report)
+
+
+def test_language_id_null_doc_parity(spark, tmp_path):
+    # The round-11 degenerate-corpus find, pinned on the ORIGINAL
+    # classifier too: a NULL text classifies like an empty doc on both
+    # engines (Spark's size(NULL) = -1 used to make every comparison
+    # true while the oracle's NULL CASE chain fell through).
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    texts = [None, "", "the and of", "der und die"]
+    d = _corpus_with(tmp_path, _doc_rows(spark, texts), spark)
+    name = "text_language_id"
+    report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+    assert report["match"] is True, report

@@ -205,6 +205,7 @@ _NONEQUI_OK = {
     "embedding_prefix_energy_profile",  # 4-row literal prefix dim + 1-row total
     "corpus_shard_assignment_uniformity",  # 1-row total frame crossJoined
     "corpus_length_log2_histogram",  # 1-row total frame crossJoined
+    "sample_bottomk_ht_estimate",    # 1-row truth/sample frames crossJoined
 }
 
 # (events_fano_factor_hourly, events_cohort_retention_triangle, and
@@ -354,6 +355,8 @@ _HINTED_BROADCAST_OK = {
     "embedding_prefix_energy_profile": 2,  # [dim] 4-row prefix lens + [1row] total
     "corpus_shard_assignment_uniformity": 1,  # [1row] corpus total
     "corpus_length_log2_histogram": 1,   # [1row] corpus total
+    "sample_bottomk_ht_estimate": 1,     # [1row] sample-sum frame
+    "events_chebyshev_outlier_hours": 1,  # [enum] per-type moment frame
     "events_daily_autocorrelation": 2,   # [dim] lag frame + [1row] totals
     "events_markov_attribution": 1,      # [enum] removal dim
 }
