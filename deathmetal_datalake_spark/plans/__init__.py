@@ -40,6 +40,9 @@ del _rev_q, _rev_o
 # promoted to the head explicitly — the driver's prefix sample then
 # always covers the newest, least-battle-tested surface first.
 _NEWEST_FIRST = [
+    # round 11 batch 10: mergeable-sketch streaming state, ordered funnel
+    "streaming_hll_sketch_replay",
+    "events_ordered_funnel",
     # round 11 batch 9: classifier eval, hash integrity, exact
     # surge flagging, sampling-theory audit
     "text_langid_confusion_matrix",

@@ -5048,3 +5048,121 @@ def events_chebyshev_outlier_hours(
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel view -> click -> purchase (round 11) — the classic
+# product-analytics operator the session-path queries bracket but never
+# answer directly: how many users progress through the staged sequence
+# IN ORDER (each stage strictly after the previous one's first
+# occurrence)? Three sequential min-timestamp aggregates with a join
+# between each stage — the standard distributed funnel shape (no
+# window, no per-user sort; each pass is one hash aggregate + one
+# equi-join on user_id). Timestamps compare as exact epoch seconds.
+# Output: one row per stage with survivors and conversion from the
+# previous stage.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_SQL = """
+WITH e AS (
+    SELECT user_id, event_type,
+           CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+    FROM events
+),
+s1 AS (
+    SELECT user_id, MIN(sec) AS t1 FROM e WHERE event_type = 'view'
+    GROUP BY user_id
+),
+s2 AS (
+    SELECT e.user_id, MIN(e.sec) AS t2
+    FROM e JOIN s1 ON e.user_id = s1.user_id
+    WHERE e.event_type = 'click' AND e.sec > s1.t1
+    GROUP BY e.user_id
+),
+s3 AS (
+    SELECT e.user_id, MIN(e.sec) AS t3
+    FROM e JOIN s2 ON e.user_id = s2.user_id
+    WHERE e.event_type = 'purchase' AND e.sec > s2.t2
+    GROUP BY e.user_id
+),
+counts AS (
+    SELECT (SELECT COUNT(*) FROM s1) AS n1,
+           (SELECT COUNT(*) FROM s2) AS n2,
+           (SELECT COUNT(*) FROM s3) AS n3
+)
+SELECT stage, n_users, conversion_from_prev FROM (
+    SELECT 1 AS stage, 'view' AS stage_name, CAST(n1 AS BIGINT) AS n_users,
+           CAST(NULL AS DOUBLE) AS conversion_from_prev
+    FROM counts
+    UNION ALL
+    SELECT 2, 'click', CAST(n2 AS BIGINT),
+           CASE WHEN n1 = 0 THEN NULL
+                ELSE ROUND(CAST(n2 AS DOUBLE) / n1, 6) END
+    FROM counts
+    UNION ALL
+    SELECT 3, 'purchase', CAST(n3 AS BIGINT),
+           CASE WHEN n2 = 0 THEN NULL
+                ELSE ROUND(CAST(n3 AS DOUBLE) / n2, 6) END
+    FROM counts
+) ORDER BY stage
+"""
+
+
+@register("events_ordered_funnel", oracle=_FUNNEL_SQL)
+def events_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    e = session_cache(
+        load_table(spark, sf_dir, "events").select(
+            "user_id",
+            "event_type",
+            F.expr(
+                "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            ).alias("sec"),
+        )
+    )
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("sec") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("sec") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t3"))
+    )
+    c1 = s1.agg(F.count(F.lit(1)).alias("n1"))
+    c2 = s2.agg(F.count(F.lit(1)).alias("n2"))
+    c3 = s3.agg(F.count(F.lit(1)).alias("n3"))
+    counts = c1.crossJoin(broadcast(c2)).crossJoin(broadcast(c3))
+    stage1 = counts.select(
+        F.lit(1).cast("int").alias("stage"),
+        F.col("n1").cast("long").alias("n_users"),
+        F.lit(None).cast("double").alias("conversion_from_prev"),
+    )
+    stage2 = counts.select(
+        F.lit(2).cast("int").alias("stage"),
+        F.col("n2").cast("long").alias("n_users"),
+        F.when(F.col("n1") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("n2").cast("double") / F.col("n1"), 6))
+        .alias("conversion_from_prev"),
+    )
+    stage3 = counts.select(
+        F.lit(3).cast("int").alias("stage"),
+        F.col("n3").cast("long").alias("n_users"),
+        F.when(F.col("n2") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("n3").cast("double") / F.col("n2"), 6))
+        .alias("conversion_from_prev"),
+    )
+    return stage1.unionByName(stage2).unionByName(stage3).orderBy("stage")

@@ -1803,3 +1803,102 @@ def streaming_tv_drift_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = out.collect()
     return spark.createDataFrame(rows, schema=out.schema)
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch, streamed (round 11 — the 28th replay): the textbook
+# "sketch as streaming state" — per-register MAX(rho) is associative,
+# commutative, and idempotent, so the stream keeps a FIXED 256-row
+# state regardless of event volume and the final bank equals the batch
+# bank however the files were batched (the same merge property that
+# lets HLL shard across 1000 executors lets it micro-batch). The
+# estimate math (integer harmonic denominator, one final IEEE divide)
+# runs post-drain over the bounded bank. Shares the batch query's
+# documented raw-estimate trade (no linear-counting: ln is
+# libm-dependent); the oracle restates the register+estimate law.
+# ---------------------------------------------------------------------------
+
+from deathmetal_datalake_spark.plans.events import _HLL_M
+
+_HLL_REPLAY_SQL = f"""
+WITH h AS (
+    SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+               AS hv
+    FROM events
+),
+rw AS (SELECT hv % {_HLL_M} AS reg, hv // {_HLL_M} AS w FROM h),
+rho AS (
+    SELECT reg,
+           CASE WHEN w = 0 THEN 53 ELSE 53 - LENGTH(bin(w)) END AS r
+    FROM rw
+),
+regs AS (SELECT reg, MAX(r) AS m FROM rho GROUP BY reg),
+zg AS (
+    SELECT COUNT(*) AS n_used,
+           {_HLL_M} - COUNT(*) AS n_zero,
+           SUM(CAST(1 AS BIGINT) << (53 - m)) AS z_used
+    FROM regs
+)
+SELECT CAST(n_used AS BIGINT) AS n_registers_used,
+       CAST(n_zero AS BIGINT) AS n_zero_registers,
+       CASE WHEN COALESCE(n_used, 0) = 0 THEN NULL
+            ELSE ROUND((0.7213 / (1.0 + 1.079 / {_HLL_M}.0))
+                       * {_HLL_M}.0 * {_HLL_M}.0
+                       * CAST(CAST(1 AS BIGINT) << 53 AS DOUBLE)
+                       / CAST(z_used + n_zero * (CAST(1 AS BIGINT) << 53)
+                              AS DOUBLE), 6)
+       END AS hll_estimate
+FROM zg
+"""
+
+
+@register("streaming_hll_sketch_replay", oracle=_HLL_REPLAY_SQL)
+def streaming_hll_sketch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    stream, scratch = _replay_events_stream(spark, sf_dir)
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    rho = stream.select(hv.alias("hv")).select(
+        (F.col("hv") % _HLL_M).alias("reg"),
+        F.when(F.col("hv") / _HLL_M < 1, F.lit(53))
+        .otherwise(
+            F.lit(53) - F.length(F.bin(F.expr(f"hv div {_HLL_M}")))
+        )
+        .cast("long")
+        .alias("r"),
+    )
+    regs_stream = rho.groupBy("reg").agg(F.max("r").alias("m"))
+    regs = _drain(regs_stream, scratch, "complete")
+
+    zg = regs.agg(
+        F.count(F.lit(1)).alias("n_used"),
+        (F.lit(_HLL_M) - F.count(F.lit(1))).alias("n_zero"),
+        F.sum(F.expr("CAST(1 AS BIGINT) << CAST(53 - m AS INT)")).alias(
+            "z_used"
+        ),
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / _HLL_M)
+    two53 = float(1 << 53)
+    est = (
+        F.lit(alpha)
+        * F.lit(float(_HLL_M))
+        * F.lit(float(_HLL_M))
+        * F.lit(two53)
+        / (
+            F.col("z_used") + F.col("n_zero") * F.lit(1 << 53)
+        ).cast("double")
+    )
+    out = zg.select(
+        F.col("n_used").cast("long").alias("n_registers_used"),
+        F.col("n_zero").cast("long").alias("n_zero_registers"),
+        F.when(
+            F.coalesce(F.col("n_used"), F.lit(0)) == 0,
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.round(est, 6))
+        .alias("hll_estimate"),
+    )
+    rows = out.collect()
+    return spark.createDataFrame(rows, schema=out.schema)

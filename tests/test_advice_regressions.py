@@ -1249,3 +1249,15 @@ def test_language_id_null_doc_parity(spark, tmp_path):
     name = "text_language_id"
     report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
     assert report["match"] is True, report
+
+
+@pytest.mark.parametrize(
+    "name", ["events_ordered_funnel", "streaming_hll_sketch_replay"]
+)
+def test_r11_batch10_degenerate_and_empty_events(spark, tmp_path, name):
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    for tag, rows in (("deg", _degenerate_event_rows()), ("empty", [])):
+        d = _events_with(tmp_path / tag, spark, rows)
+        report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+        assert report["match"] is True, (tag, report)

@@ -206,6 +206,7 @@ _NONEQUI_OK = {
     "corpus_shard_assignment_uniformity",  # 1-row total frame crossJoined
     "corpus_length_log2_histogram",  # 1-row total frame crossJoined
     "sample_bottomk_ht_estimate",    # 1-row truth/sample frames crossJoined
+    "events_ordered_funnel",         # 1-row stage-count frames crossJoined
 }
 
 # (events_fano_factor_hourly, events_cohort_retention_triangle, and
@@ -356,6 +357,7 @@ _HINTED_BROADCAST_OK = {
     "corpus_shard_assignment_uniformity": 1,  # [1row] corpus total
     "corpus_length_log2_histogram": 1,   # [1row] corpus total
     "sample_bottomk_ht_estimate": 1,     # [1row] sample-sum frame
+    "events_ordered_funnel": 6,          # [1row] stage-count frames, replicated per union branch
     "events_chebyshev_outlier_hours": 1,  # [enum] per-type moment frame
     "events_daily_autocorrelation": 2,   # [dim] lag frame + [1row] totals
     "events_markov_attribution": 1,      # [enum] removal dim
