@@ -40,6 +40,10 @@ NAMES = [
     # round 4: auto-capped jaccard, KMV sketch (WindowGroupLimit proof)
     "dedup_ngram_jaccard",
     "events_approx_distinct_users",
+    # round 11: the distributed two-phase ECDF + rank equi-join shape,
+    # and the blocked self-join with the counted heavy-block cap
+    "dq_wasserstein_value_drift",
+    "dedup_levenshtein_block_pairs",
     # round 4 (cont.): corpus gates, contrastive mining, freq sketch
     "dedup_bloom_prefilter",
     "text_bpe_merge_step",
