@@ -20,7 +20,10 @@ Output contract (round-4 lesson — the driver's stdout capture keeps
 only the LAST 2000 characters, and BENCH_r04 recorded
 ``"parsed": null`` because the full record overflowed it): the FULL
 record (medians + minima + the per-query 10× scale breakdown) is
-written to ``docs/BENCH_FULL.json``; stdout gets exactly ONE final
+written to ``docs/BENCH_FULL.json`` ONLY when ``SPARK_GRAFT_SEAL=1``
+(a deliberate canary-checked sealing run); every other invocation
+writes it to a scratch path under $TMPDIR so ad-hoc/driver runs never
+shadow the sealed record (round-12 gating); stdout gets exactly ONE final
 compact JSON line — ``{metric, value, value_min, core30, canary,
 unit, queries (medians, 2dp), sf, scale: {value, value_min, core30,
 canary, sf, ratio_vs_base}}`` with minified separators, ≤ ~1.9 KB —
@@ -43,6 +46,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 from pyspark.sql import functions as F
@@ -499,10 +503,21 @@ def main() -> None:
             "ratio_vs_base": round(sum(smed.values()) / max(sum(med.values()), 1e-9), 3),
         }
 
-    # Full record → docs/ (for the judge / SCALING.md); stdout gets ONE
-    # compact final line that fits the driver's 2000-char tail capture.
+    # Full record: stdout gets ONE compact final line that fits the
+    # driver's 2000-char tail capture; the full payload goes to the
+    # committed docs/BENCH_FULL.json ONLY under SPARK_GRAFT_SEAL=1 (a
+    # deliberate, canary-checked sealing run per docs/BENCH_GOVERNANCE.md
+    # "Seal gating"). Any other invocation — driver per-round runs,
+    # iteration loops — writes a scratch path instead, so contaminated
+    # ad-hoc records can never shadow the sealed one in the working
+    # tree (the recurring round-10/11 wart).
     repo_root = os.path.dirname(os.path.abspath(__file__))
-    full_path = os.path.join(repo_root, "docs", "BENCH_FULL.json")
+    if os.environ.get("SPARK_GRAFT_SEAL") == "1":
+        full_path = os.path.join(repo_root, "docs", "BENCH_FULL.json")
+    else:
+        full_path = os.path.join(
+            tempfile.gettempdir(), "dml_bench_full_scratch.json"
+        )
     try:
         with open(full_path, "w") as fh:
             json.dump(payload, fh, indent=1, sort_keys=True)
