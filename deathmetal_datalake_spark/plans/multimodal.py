@@ -340,16 +340,26 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_rn = Window.partitionBy("k", "key").orderBy("phash")
     ranked = bands.withColumn("rn", F.row_number().over(w_rn))
-    a = ranked.select(
-        F.col("phash").alias("pa"), "k", "key", F.col("rn").alias("rn_a")
-    )
-    b = ranked.select(
-        F.col("phash").alias("pb"), "k", "key", F.col("rn").alias("rn_b")
-    )
+    # Anchor decomposition (round-12, plan rule 5): the OR-anchor
+    # condition `rn_a <= A OR rn_b <= A` is applied UPSTREAM of the
+    # pair join by splitting it into two disjoint branches, each with
+    # one side pruned to its bucket's anchors BEFORE pairing:
+    #   branch 1: anchors(a) x all(b)        (rn_a <= A)
+    #   branch 2: rest(a)    x anchors(b)    (rn_a > A AND rn_b <= A)
+    # The union is exactly the OR set, and per-bucket pair mass is
+    # bounded at ~2*A*s instead of s^2 — a hot band bucket never
+    # expands quadratically in any intermediate.
+    anchors = ranked.filter(F.col("rn") <= _PHASH_ANCHORS)
+    rest = ranked.filter(F.col("rn") > _PHASH_ANCHORS)
+    a_anchor = anchors.select(F.col("phash").alias("pa"), "k", "key")
+    a_rest = rest.select(F.col("phash").alias("pa"), "k", "key")
+    b_all = ranked.select(F.col("phash").alias("pb"), "k", "key")
+    b_anchor = anchors.select(F.col("phash").alias("pb"), "k", "key")
+    branch1 = a_anchor.join(b_all, ["k", "key"]).filter(F.col("pa") < F.col("pb"))
+    branch2 = a_rest.join(b_anchor, ["k", "key"]).filter(F.col("pa") < F.col("pb"))
     sig_pairs = (
-        a.join(b, ["k", "key"])
-        .filter(F.col("pa") < F.col("pb"))
-        .filter((F.col("rn_a") <= _PHASH_ANCHORS) | (F.col("rn_b") <= _PHASH_ANCHORS))
+        branch1.select("pa", "pb")
+        .unionByName(branch2.select("pa", "pb"))
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_bands"))
     )

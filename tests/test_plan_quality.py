@@ -364,12 +364,167 @@ _HINTED_BROADCAST_OK = {
 }
 
 
+# Rule 5 (round-12, closing the round-11 verdict's prune-after-
+# expansion class): a candidate-pair self-join — an Inner/Cross join
+# whose BOTH subtrees reach the SAME source (parquet relation or cached
+# frame, identified by leaf class + sorted output column names) without
+# passing a cardinality-reducing node (Aggregate / limit / Deduplicate),
+# a prune-applying join (LeftSemi / LeftAnti), or a rank-cap filter
+# (Filter directly over a Window through Projects) — expands
+# quadratically in the intermediate even when a cap frame prunes it
+# downstream (Catalyst preserves written join order; the levenshtein
+# block-pair bug). Every such join must be audited below: each entry
+# names why the join is LINEAR or bounded by construction. A new
+# unpruned self-join anywhere in the catalog fails here until audited
+# — or, better, restructured so the prune sits upstream (semi-join the
+# cap frame into both sides, or anchor-decompose an OR-cap).
+# Bounded classes seen in the audit:
+#   [key]    equi-join back on a unique id (doc_id/vec_id/o_orderkey/
+#            phash/rank) — linear by key uniqueness
+#   [q40]    one side is the ≤40-row eval/query frame
+#   [k]      fixed-k frames (centroids, PQ codebooks, probe sets)
+#   [dim]    fixed TPC-H dims on both sides (nation n1 x n2, 25 rows)
+#   [enum]   bounded-cardinality key frames (event_type, label, source)
+#   [1row]   scalar frames (cached — the cache leaf hides the upstream
+#            aggregate from the walker)
+#   [user]   per-user equi-join with a time-band filter — fan-out
+#            bounded by per-user activity inside the band; AQE skew
+#   [basket] per-order pair join — basket size bounded by data model
+#   [edge]   closure joins over the already-capped candidate-pair edge
+#            frame (degree-bounded by the upstream band caps)
+#   [doc]    documented brute-force baseline with a bucketed scale-path
+#            sibling query
+_SELF_JOIN_PAIR_OK = {
+    "corpus_anneal_apportionment": 1,    # [1row] cached quota frame
+    "corpus_curation_funnel": 1,         # [key] sig-cache join-back on doc_id
+    "corpus_split_leakage": 2,           # [key] doc/sig join-backs on doc_id
+    "dedup_embedding_cosine": 1,         # [doc] label-blocked brute force; scale path = dedup_semdedup_ivf
+    "dedup_graph_triangles": 2,          # [edge] triangle closure over capped pair graph
+    "dedup_method_agreement": 1,         # [key] sig-cache join-back on doc_id
+    "dedup_minhash_calibration": 1,      # [key] sig-cache join-back on doc_id
+    "dedup_minhash_incremental": 1,      # [key] sig-cache join-back on doc_id
+    "dedup_minhash_lsh": 1,              # [key] sig-cache join-back on doc_id
+    "dedup_semdedup_eval": 3,            # [k] corpus x 16-centroid assignment + [q40]
+    "dedup_semdedup_ivf": 2,             # [k] corpus x 16-centroid assignment
+    "dedup_source_crossrate": 2,         # [key] doc/sig join-backs on doc_id
+    "dq_wasserstein_value_drift": 1,     # [key] rank equi-join on unique rk
+    "embedding_knn_label_agreement": 1,  # [q40] anchor frame x corpus
+    "embedding_pq_distortion": 1,        # [key] join-back on vec_id
+    "events_audience_overlap_jaccard": 1,  # [enum] K^2 type-pair sets on user_id
+    "events_markov_attribution": 1,      # [enum] removal dim x channel paths
+    "events_view_purchase_attribution": 1,  # [user] per-user join, 30-min band
+    "flagship_multijoin": 1,             # [key] join-back on o_orderkey
+    "kmeans_two_rounds": 1,              # [k] corpus x 8-centroid assignment
+    "lineitem_market_basket_lift": 1,    # [basket] per-order pairs, ≤7 items
+    "multimodal_phash_neardup": 1,       # [key] clusters join-back on unique phash
+    "similarity_ann_lsh_topk": 1,        # [q40] query frame x bucketed corpus
+    "similarity_ann_recall": 2,          # [q40] query frames
+    "similarity_binary_sign_quant": 2,   # [q40] query frames
+    "similarity_bruteforce_topk": 1,     # [doc]+[q40] documented brute-force baseline
+    "similarity_centroid_separation": 1, # [enum] per-label centroid pairs
+    "similarity_dim_truncation_recall": 2,  # [q40] query frames
+    "similarity_hard_negatives": 3,      # [q40] + [k] centroids/probes
+    "similarity_hybrid_rrf_fusion": 1,   # [1row] qvec frame x corpus
+    "similarity_ivf_multiprobe_topk": 1, # [k] probe assignment x corpus
+    "similarity_ivf_nprobe_recall_curve": 1,  # [k] probe assignment x corpus
+    "similarity_ivf_topk": 3,            # [q40] + [k] centroids/probes
+    "similarity_ivfpq_topk": 3,          # [k] codebooks + [q40]
+    "similarity_mmr_rerank": 1,          # [topk] cached rerank frame pairs
+    "similarity_mutual_topk": 1,         # [topk] cached top-k pair frame
+    "similarity_pandas_udf_topk": 1,     # [q40] query frame x corpus
+    "similarity_pq_adc_topk": 2,         # [k] codebook + [q40] LUT
+    "similarity_pq_recall": 3,           # [k] codebook + [q40] frames
+    "similarity_radius_search": 2,       # [q40] query frames
+    "similarity_retrieval_with_metadata": 1,  # [q40] + join-back on vec_id
+    "similarity_triplet_margin_audit": 1,     # [q40] anchor frame
+    "tpch_q7_nation_volume": 1,          # [dim] nation n1 x n2 (25 rows)
+    "tpch_q8_market_share": 1,           # [dim] nation n1 x n2 (25 rows)
+}
+
+_R5_PRUNE_NODES = {"Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate"}
+_R5_PRUNE_JOIN_TYPES = {"LeftSemi", "LeftAnti"}
+_R5_LEAF_CLASSES = {
+    "LogicalRelation",
+    "InMemoryRelation",
+    "LocalRelation",
+    "LogicalRDD",
+    "DataSourceV2Relation",
+    "Range",
+}
+
+
+def _jseq(seq):
+    return [seq.apply(i) for i in range(seq.size())]
+
+
+def _r5_is_rank_prune(node):
+    """Filter whose input is a Window through Projects — the top-k /
+    anchor rank-cap shape (per-group cardinality cut to a constant)."""
+    if node.nodeName() != "Filter":
+        return False
+    ch = _jseq(node.children())
+    while ch:
+        c = ch[0]
+        n = c.nodeName()
+        if n == "Window":
+            return True
+        if n != "Project":
+            return False
+        ch = _jseq(c.children())
+    return False
+
+
+def _r5_raw_leaves(node):
+    """Leaf signatures (class, sorted output column names) reachable
+    from `node` without passing a cardinality-reducing or
+    prune-applying node."""
+    if node.nodeName() in _R5_PRUNE_NODES:
+        return set()
+    if (
+        node.nodeName() == "Join"
+        and node.joinType().toString() in _R5_PRUNE_JOIN_TYPES
+    ):
+        return set()
+    if _r5_is_rank_prune(node):
+        return set()
+    cls = node.getClass().getSimpleName()
+    ch = _jseq(node.children())
+    if cls in _R5_LEAF_CLASSES or not ch:
+        cols = tuple(sorted(a.name() for a in _jseq(node.output())))
+        return {(cls, cols)}
+    out = set()
+    for c in ch:
+        out |= _r5_raw_leaves(c)
+    return out
+
+
+def _unpruned_self_joins(optimized_jplan):
+    """Inner/Cross join nodes in the optimized logical plan where both
+    sides reach the same raw (unpruned) source leaf."""
+    out = []
+    stack = [optimized_jplan]
+    while stack:
+        node = stack.pop()
+        ch = _jseq(node.children())
+        stack.extend(ch)
+        if node.nodeName() != "Join":
+            continue
+        if node.joinType().toString() not in ("Inner", "Cross"):
+            continue
+        shared = _r5_raw_leaves(ch[0]) & _r5_raw_leaves(ch[1])
+        if shared:
+            out.append(sorted(shared))
+    return out
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_plan_is_scale_sane(spark, name):
     df = QUERIES[name](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    jopt = df._jdf.queryExecution().optimizedPlan()
+    optimized = jopt.toString()
     scans = _parquet_scans(df)
+    self_joins = _unpruned_self_joins(jopt)
     release_caches()
     # 1. No unbounded cartesian products outside the whitelist.
     if name not in _NONEQUI_OK:
@@ -405,6 +560,20 @@ def test_plan_is_scale_sane(spark, name):
         f"plan but only {allowed} audited as bounded — a new "
         "F.broadcast() needs a bounded-frame audit entry in "
         "_HINTED_BROADCAST_OK (or drop the hint and let AQE decide)"
+    )
+    # 5. Candidate-pair self-joins must apply their cap/prune UPSTREAM
+    #    of the pair join (round-11 verdict's prune-after-expansion
+    #    class): any Inner/Cross join reaching the same unpruned source
+    #    on both sides needs an audit entry naming why it is linear or
+    #    bounded by construction.
+    allowed5 = _SELF_JOIN_PAIR_OK.get(name, 0)
+    assert len(self_joins) <= allowed5, (
+        f"{name}: {len(self_joins)} unpruned self-join(s) in the "
+        f"optimized plan but only {allowed5} audited — shared raw "
+        f"leaves: {self_joins} — restructure so the cap/prune frame "
+        "joins UPSTREAM of the pair join (semi-join it into both "
+        "sides, or anchor-decompose an OR-cap), or audit the join as "
+        "linear/bounded in _SELF_JOIN_PAIR_OK"
     )
     # 3. Column pruning reaches every parquet scan: a scan over a gated
     #    (>= 5 column) testdata table must read a STRICT subset of the
