@@ -590,6 +590,37 @@ def test_plan_is_scale_sane(spark, name):
                 )
 
 
+def test_readme_counts_are_current(request):
+    # README's header counts are generated (tools/gen_readme_counts.py)
+    # and pinned here the way CATALOG.md is: the query phrase against
+    # the live registry always, the test count against this very
+    # session's collected item count whenever the full suite runs
+    # (subset runs can't know the total, so they check only the query
+    # phrase). Round-12: the hand-maintained counts drifted two rounds
+    # running.
+    import pathlib
+    import re
+
+    from deathmetal_datalake_spark.plans import ORACLES
+
+    readme = (
+        pathlib.Path(__file__).resolve().parent.parent / "README.md"
+    ).read_text()
+    phrase = f"{len(QUERIES)} named queries, ALL {len(ORACLES)} with"
+    assert phrase in readme, (
+        f"README query count is stale (expected '{phrase}') — run "
+        "`python tools/gen_readme_counts.py`"
+    )
+    items = request.session.items
+    if len(items) >= 1000:  # a full-suite collection
+        m = re.search(r"(\d+) tests:", readme)
+        assert m, "README test-count phrase missing"
+        assert int(m.group(1)) == len(items), (
+            f"README says {m.group(1)} tests but this full run collected "
+            f"{len(items)} — run `python tools/gen_readme_counts.py`"
+        )
+
+
 def test_catalog_index_is_current():
     # docs/CATALOG.md is generated from the registry
     # (tools/gen_catalog_index.py); this pins doc/code drift — if a
