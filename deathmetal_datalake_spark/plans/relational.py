@@ -1954,33 +1954,40 @@ def orders_its_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # — the economics pair over lineitem: how did PRICES move, holding the
 # BASKET fixed (Laspeyres: era-0 quantities) vs holding the CURRENT
 # basket (Paasche: era-1 quantities)? Per-part era price uses the
-# MIN-observed-unit-price convention (unit price l_extendedprice /
-# l_quantity is a ratio, whose per-part aggregation would be inexact;
-# the MIN of exact 2-decimal unit prices is itself exact — documented
-# convention, stated identically in the oracle). All products are
-# DECIMAL (price x integer quantity); only the final index ratios cross
-# to rounded doubles. 100 TB: two hash aggregates per era keyed by
-# part, one join on partkey, one 1-row reduce.
+# MIN-observed-unit-price convention at a FIXED micro-unit (1e-6)
+# precision: unit_micro = (cents * 10000) floor-div quantity, pure
+# INTEGER arithmetic — cents is the exact decimal(18,2) price times
+# 100, and both engines floor-divide positive BIGINTs identically.
+# (Round-12 ADVICE fix: the previous decimal division computed a
+# non-terminating ratio as high-scale DECIMAL with HALF_UP rounding in
+# Spark but effectively as DOUBLE with half-even in DuckDB, so a unit
+# price near a 6-dp boundary could make the MIN diverge across
+# engines. Integer floor division removes the rounding-mode surface
+# entirely.) Products are 128-bit-integer-summed (DECIMAL(38,0) /
+# HUGEINT); only the final index ratios cross to rounded doubles via
+# the exact VARCHAR parse. 100 TB: two hash aggregates per era keyed
+# by part, one join on partkey, one 1-row reduce.
 # ---------------------------------------------------------------------------
 
 _PRICE_INDEX_SQL = """
 WITH li AS (
     SELECT l_partkey AS pk,
-           CAST(l_extendedprice AS DECIMAL(18,2))
-             / CAST(l_quantity AS DECIMAL(18,2)) AS unit,
+           (CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+              * 10000) // CAST(l_quantity AS BIGINT) AS unit_micro,
            CAST(l_quantity AS BIGINT) AS qty,
            CASE WHEN l_shipdate <= DATE '1995-06-17' THEN 0 ELSE 1 END AS era
     FROM lineitem
 ),
 p AS (
     SELECT pk, era,
-           CAST(MIN(unit) AS DECIMAL(18,6)) AS minp,
+           MIN(unit_micro) AS minp,
            SUM(qty) AS q
     FROM li GROUP BY 1, 2
 ),
 j AS (
-    SELECT a.pk, a.minp AS p0, b.minp AS p1,
-           CAST(a.q AS DECIMAL(19,0)) AS q0, CAST(b.q AS DECIMAL(19,0)) AS q1
+    SELECT a.pk,
+           CAST(a.minp AS HUGEINT) AS p0, CAST(b.minp AS HUGEINT) AS p1,
+           CAST(a.q AS HUGEINT) AS q0, CAST(b.q AS HUGEINT) AS q1
     FROM (SELECT * FROM p WHERE era = 0) a
     JOIN (SELECT * FROM p WHERE era = 1) b USING (pk)
 ),
@@ -2007,27 +2014,29 @@ FROM s
 def lineitem_price_index_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").alias("pk"),
-        (
-            F.col("l_extendedprice").cast("decimal(18,2)")
-            / F.col("l_quantity").cast("decimal(18,2)")
-        ).alias("unit"),
+        # Pure integer arithmetic: exact cents, then floor division —
+        # both engines agree bit-for-bit on positive BIGINT `div`.
+        F.expr(
+            "(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " * 10000) div CAST(l_quantity AS BIGINT)"
+        ).alias("unit_micro"),
         F.col("l_quantity").cast("long").alias("qty"),
         F.when(F.col("l_shipdate") <= F.lit("1995-06-17").cast("date"), 0)
         .otherwise(1)
         .alias("era"),
     )
     p = li.groupBy("pk", "era").agg(
-        F.min("unit").cast("decimal(18,6)").alias("minp"),
+        F.min("unit_micro").alias("minp"),
         F.sum("qty").alias("q"),
     )
     a = p.filter(F.col("era") == 0).select(
         "pk",
-        F.col("minp").alias("p0"),
+        F.col("minp").cast("decimal(19,0)").alias("p0"),
         F.col("q").cast("decimal(19,0)").alias("q0"),
     )
     b = p.filter(F.col("era") == 1).select(
         "pk",
-        F.col("minp").alias("p1"),
+        F.col("minp").cast("decimal(19,0)").alias("p1"),
         F.col("q").cast("decimal(19,0)").alias("q1"),
     )
     s = (

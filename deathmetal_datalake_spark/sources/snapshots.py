@@ -1659,6 +1659,32 @@ class SnapshotTable:
         """
         if key_col not in df.columns:
             raise ValueError(f"df has no column {key_col!r}")
+        # Upsert semantics need a well-formed key set (round-12 ADVICE):
+        # a NULL key never matches the equality delete's anti-join, so
+        # the old NULL-key row would survive alongside the inserted one;
+        # duplicate keys within one batch would both insert (Iceberg's
+        # MERGE errors on multiple matches). One aggregate over the
+        # incoming batch — O(incoming), before anything is written.
+        from pyspark.sql import functions as F
+
+        kstats = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(key_col).alias("n_nonnull"),
+            F.countDistinct(key_col).alias("n_keys"),
+        ).first()
+        if kstats["n_nonnull"] < kstats["n"]:
+            raise ValueError(
+                f"merge_upsert: {kstats['n'] - kstats['n_nonnull']} row(s) "
+                f"with NULL {key_col!r} — NULL keys cannot match an "
+                "equality delete; clean or re-key the batch"
+            )
+        if kstats["n_keys"] < kstats["n_nonnull"]:
+            raise ValueError(
+                f"merge_upsert: {key_col!r} has duplicate values within "
+                "the incoming batch "
+                f"({kstats['n_nonnull'] - kstats['n_keys']} extra row(s)) "
+                "— MERGE requires at most one source row per key"
+            )
         if not isinstance(expected_parent, _Unset):
             current = self._read_refs().get(branch)
             if current != expected_parent:
@@ -2628,6 +2654,16 @@ class SnapshotTable:
         cost a scan of every covered file). Overwrites after the
         anchor raise — that delta is not row-expressible; re-anchor or
         use ``flows.catalog.snapshot_diff``.
+
+        MERGE rendering is an OVER-APPROXIMATION (documented trade,
+        round-12 ADVICE): a merge emits delete-then-insert for EVERY
+        incoming key — including keys that never existed in the table —
+        because filtering the delete half to previously-present keys
+        would require scanning the covered data files, breaking the
+        O(delta) guarantee above. Consumers must treat the feed as
+        idempotent delete-then-insert per key (apply semantics, which
+        are unaffected), not count delete events as prior-row
+        tombstones the way Iceberg/Delta changelogs allow.
         """
         lineage = self.history(branch)
         ids = [s.snapshot_id for s in lineage]

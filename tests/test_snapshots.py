@@ -1096,3 +1096,32 @@ def test_merge_upsert_cas_conflict(table, spark):
     # Rebased on the real head it commits.
     s3 = table.merge_upsert(df, "k", expected_parent=s2.snapshot_id)
     assert s3.parent_id == s2.snapshot_id
+
+
+def test_merge_upsert_rejects_null_and_duplicate_keys(table, spark):
+    # Round-12 ADVICE: a NULL key can never match the equality delete's
+    # anti-join (the old NULL-key row would survive alongside the new
+    # insert), and duplicate keys within one batch would both insert —
+    # Iceberg MERGE errors on multiple source matches. Both are
+    # rejected up front, before anything is written.
+    table.write(
+        spark.createDataFrame([(1, "a")], "k long, s string"), "overwrite"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        table.merge_upsert(
+            spark.createDataFrame([(None, "x"), (2, "b")], "k long, s string"),
+            "k",
+        )
+    with pytest.raises(ValueError, match="duplicate"):
+        table.merge_upsert(
+            spark.createDataFrame([(2, "b"), (2, "B")], "k long, s string"),
+            "k",
+        )
+    # Nothing committed, no orphan state visible: history unchanged and
+    # a subsequent valid merge still works.
+    assert len(table.history()) == 1
+    table.merge_upsert(
+        spark.createDataFrame([(2, "b")], "k long, s string"), "k"
+    )
+    got = {r["k"]: r["s"] for r in table.read().collect()}
+    assert got == {1: "a", 2: "b"}
