@@ -40,6 +40,10 @@ del _rev_q, _rev_o
 # promoted to the head explicitly — the driver's prefix sample then
 # always covers the newest, least-battle-tested surface first.
 _NEWEST_FIRST = [
+    # round 12 batch 1: length-banded edit-distance blocking (verdict
+    # #6 — catches the insertion/deletion near-dups equal-length
+    # blocking misses by construction)
+    "dedup_levenshtein_banded_lengths",
     # round 11 batch 10: mergeable-sketch streaming state, ordered funnel
     "streaming_hll_sketch_replay",
     "events_ordered_funnel",

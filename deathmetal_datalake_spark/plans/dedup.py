@@ -3028,6 +3028,18 @@ def dedup_levenshtein_block_pairs(
     d_usable = d.join(
         usable.select("lang", "n_chars"), ["lang", "n_chars"], "left_semi"
     )
+    # Expansion-aware parallelism floor (round-12): the pair join
+    # multiplies rows ~cap/2 x and levenshtein costs O(prefix^2) per
+    # pair, so AQE's SIZE-based coalescing — which sees only the small
+    # pre-join bytes — would funnel the whole distance compute into one
+    # or two tasks (measured: 426k pairs on 1 task, 16 s at the 10x
+    # scratch). An explicit user repartition (count = cluster default
+    # parallelism, which AQE respects verbatim) keyed by the block key
+    # pins the join + distance stage to full-cluster width at every
+    # scale; the exchange itself moves only the pruned (tiny) frame.
+    d_usable = d_usable.repartition(
+        spark.sparkContext.defaultParallelism, "lang", "n_chars"
+    )
     a = d_usable.select(
         "lang", "n_chars", F.col("doc_id").alias("id_a"), F.col("p").alias("pa")
     )
@@ -3062,6 +3074,163 @@ def dedup_levenshtein_block_pairs(
             "lang",
             F.coalesce(F.col("n_usable"), z).cast("long").alias("n_blocks_used"),
             F.coalesce(F.col("n_heavy"), z).cast("long").alias("n_heavy_blocks"),
+            F.coalesce(F.col("n_pairs"), z).cast("long").alias("n_pairs"),
+            F.coalesce(F.col("n_neardup"), z).cast("long").alias("n_neardup"),
+            "mean_dist",
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance near-dup under LENGTH-BANDED blocking (round 12) — the
+# production companion to the equal-length query above: equal-length
+# blocking misses EVERY insertion/deletion near-dup by construction
+# (|len_a - len_b| >= 1 already lands the pair in different blocks),
+# so this variant blocks on (lang, n_chars div W) length buckets with
+# W = the edit budget. Any pair with |delta_len| <= W is then either
+# in the SAME bucket or in ADJACENT buckets — two disjoint equi-join
+# branches (same-bucket with id_a < id_b; lower-bucket x next-bucket)
+# cover exactly the banded pair set once. The heavy-bucket cap is
+# applied UPSTREAM (plan rule 5): docs are left-semi-joined against
+# the usable-bucket frame BEFORE either pair join, so a hot
+# (lang, bucket) cell never expands quadratically in any intermediate;
+# heavy buckets are excluded AND counted. Distances on 64-char
+# prefixes, exact integers on both engines. 100 TB: two equi-joins on
+# the bucket key with per-bucket pair mass <= cap^2, one rollup.
+# ---------------------------------------------------------------------------
+
+_LEVB_WIDTH = _LEV_MAX_DIST  # bucket width = edit budget
+
+_LEVB_SQL = f"""
+WITH d AS (
+    SELECT doc_id, lang, n_chars,
+           n_chars // {_LEVB_WIDTH} AS g,
+           substr(text, 1, {_LEV_PREFIX}) AS p
+    FROM documents WHERE text IS NOT NULL
+),
+buckets AS (
+    SELECT lang, g, COUNT(*) AS bn FROM d GROUP BY 1, 2
+),
+usable AS (SELECT * FROM buckets WHERE bn <= {_LEV_BLOCK_CAP}),
+du AS (
+    SELECT d.* FROM d JOIN usable u ON u.lang = d.lang AND u.g = d.g
+),
+pairs AS (
+    SELECT a.lang, levenshtein(a.p, b.p) AS dist
+    FROM du a JOIN du b ON a.lang = b.lang AND a.g = b.g
+                        AND a.doc_id < b.doc_id
+    WHERE abs(a.n_chars - b.n_chars) <= {_LEV_MAX_DIST}
+    UNION ALL
+    SELECT a.lang, levenshtein(a.p, b.p) AS dist
+    FROM du a JOIN du b ON a.lang = b.lang AND b.g = a.g + 1
+    WHERE b.n_chars - a.n_chars <= {_LEV_MAX_DIST}
+)
+SELECT l.lang,
+       CAST(COALESCE(ub.n_usable, 0) AS BIGINT) AS n_buckets_used,
+       CAST(COALESCE(hb.n_heavy, 0) AS BIGINT) AS n_heavy_buckets,
+       CAST(COALESCE(pr.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(pr.n_neardup, 0) AS BIGINT) AS n_neardup,
+       pr.mean_dist
+FROM (SELECT DISTINCT lang FROM d) l
+LEFT JOIN (
+    SELECT lang, COUNT(*) AS n_usable FROM usable GROUP BY lang
+) ub USING (lang)
+LEFT JOIN (
+    SELECT lang, COUNT(*) AS n_heavy FROM buckets
+    WHERE bn > {_LEV_BLOCK_CAP} GROUP BY lang
+) hb USING (lang)
+LEFT JOIN (
+    SELECT lang, COUNT(*) AS n_pairs,
+           SUM(CASE WHEN dist <= {_LEV_MAX_DIST} THEN 1 ELSE 0 END)
+               AS n_neardup,
+           {sql_davg("dist", "mean_dist")}
+    FROM pairs GROUP BY lang
+) pr USING (lang)
+ORDER BY l.lang
+"""
+
+
+@register("dedup_levenshtein_banded_lengths", oracle=_LEVB_SQL)
+def dedup_levenshtein_banded_lengths(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = session_cache(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.expr(f"n_chars div {_LEVB_WIDTH}").alias("g"),
+            F.substring("text", 1, _LEV_PREFIX).alias("p"),
+        )
+    )
+    buckets = session_cache(
+        d.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("bn"))
+    )
+    usable = buckets.filter(F.col("bn") <= _LEV_BLOCK_CAP)
+    # Prune BEFORE pairing (plan rule 5): only docs in usable buckets
+    # enter either pair join; then the expansion-aware parallelism
+    # floor (see dedup_levenshtein_block_pairs) keeps the distance
+    # stage at cluster width despite the small pre-join bytes.
+    du = d.join(usable.select("lang", "g"), ["lang", "g"], "left_semi")
+    du = du.repartition(spark.sparkContext.defaultParallelism, "lang", "g")
+    a = du.select(
+        "lang",
+        "g",
+        F.col("doc_id").alias("id_a"),
+        F.col("n_chars").alias("na"),
+        F.col("p").alias("pa"),
+    )
+    b_same = du.select(
+        "lang",
+        "g",
+        F.col("doc_id").alias("id_b"),
+        F.col("n_chars").alias("nb"),
+        F.col("p").alias("pb"),
+    )
+    b_next = du.select(
+        "lang",
+        (F.col("g") - 1).alias("g"),
+        F.col("n_chars").alias("nb"),
+        F.col("p").alias("pb"),
+    )
+    same = (
+        a.join(b_same, ["lang", "g"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.abs(F.col("na") - F.col("nb")) <= _LEV_MAX_DIST)
+        .select("lang", F.levenshtein("pa", "pb").alias("dist"))
+    )
+    adj = (
+        a.join(b_next, ["lang", "g"])
+        .filter(F.col("nb") - F.col("na") <= _LEV_MAX_DIST)
+        .select("lang", F.levenshtein("pa", "pb").alias("dist"))
+    )
+    pairs = same.unionByName(adj)
+    pr = pairs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            F.when(F.col("dist") <= _LEV_MAX_DIST, 1).otherwise(0)
+        ).alias("n_neardup"),
+        davg("dist", "mean_dist"),
+    )
+    ub = usable.groupBy("lang").agg(F.count(F.lit(1)).alias("n_usable"))
+    hb = (
+        buckets.filter(F.col("bn") > _LEV_BLOCK_CAP)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_heavy"))
+    )
+    langs = d.select("lang").distinct()
+    z = F.lit(0).cast("long")
+    return (
+        langs.join(ub, "lang", "left")
+        .join(hb, "lang", "left")
+        .join(pr, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce(F.col("n_usable"), z).cast("long").alias("n_buckets_used"),
+            F.coalesce(F.col("n_heavy"), z).cast("long").alias("n_heavy_buckets"),
             F.coalesce(F.col("n_pairs"), z).cast("long").alias("n_pairs"),
             F.coalesce(F.col("n_neardup"), z).cast("long").alias("n_neardup"),
             "mean_dist",

@@ -1261,3 +1261,46 @@ def test_r11_batch10_degenerate_and_empty_events(spark, tmp_path, name):
         d = _events_with(tmp_path / tag, spark, rows)
         report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
         assert report["match"] is True, (tag, report)
+
+
+def test_levenshtein_banded_lengths_catches_insertion_neardups(spark, tmp_path):
+    # Round-12 (verdict #6): equal-length blocking misses every
+    # insertion/deletion near-dup by construction; the length-banded
+    # variant must catch them. Crafted corpus: a 19-char doc and its
+    # one-char-INSERTION twin (20 chars — different n_chars, same
+    # length bucket), an unrelated doc far away in length, and a heavy
+    # bucket above the cap.
+    import os as _os
+
+    from deathmetal_datalake_spark.plans import ORACLES, QUERIES
+
+    texts = [
+        "the quick brown fox",        # 19 chars, bucket 19//8 = 2
+        "the quick browns fox",       # 20 chars, same bucket — Δlen 1
+        "tiny",                       # bucket 0 — never paired
+    ]
+    # 43 chars -> bucket 43//8 = 5, far from the twins' bucket 2.
+    texts += [f"heavy bucket filler with longer padding {i:03d}" for i in range(45)]
+    base = spark.read.parquet(_os.path.join(SF_DIR, "documents.parquet"))
+    template = base.limit(1).collect()[0].asDict()
+    rows = []
+    for i, t in enumerate(texts):
+        r = dict(template)
+        r["doc_id"], r["text"], r["n_chars"] = i + 1, t, len(t)
+        rows.append(tuple(r[f.name] for f in base.schema.fields))
+    d = _corpus_with(tmp_path, rows, spark)
+    name = "dedup_levenshtein_banded_lengths"
+    report = compare_query(spark, name, QUERIES[name], ORACLES[name], d)
+    assert report["match"] is True, report
+    got = {r["lang"]: r for r in QUERIES[name](spark, d).collect()}
+    lang = template["lang"]
+    # The insertion twins pair up (equal-length blocking would have
+    # missed them: 19 != 20); the 45-doc bucket is excluded as heavy.
+    assert got[lang]["n_pairs"] == 1 and got[lang]["n_neardup"] == 1
+    assert got[lang]["n_heavy_buckets"] == 1
+    # Receipt that the equal-length query misses the same pair.
+    eq = {
+        r["lang"]: r
+        for r in QUERIES["dedup_levenshtein_block_pairs"](spark, d).collect()
+    }
+    assert eq[lang]["n_neardup"] == 0
