@@ -2216,3 +2216,153 @@ def dq_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_multi_doc_hashes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence of event_type x day-of-week (round 12), with
+# Cramér's V — the categorical-association audit behind "is traffic
+# mix weekday-dependent?" (and the template for any two bounded-
+# cardinality columns). Exactness: each cell's deviation is kept as
+# the exact 128-bit integer obs*N - row_tot*col_tot (products reach
+# N^2 — DECIMAL(38,0)/HUGEINT); the per-cell contribution
+# (num^2/(N*row*col)) crosses to double via the exact VARCHAR parse
+# and ONE identical IEEE expression, then rounds to a 6-dp integer in
+# MICRO units so the chi-square total is an exact integer sum (never
+# an order-dependent float sum). 100 TB: one hash aggregate to
+# K x 7 cells, bounded-frame broadcasts only, one 1-row reduce.
+# ---------------------------------------------------------------------------
+
+_CHI2_SQL = """
+WITH cells AS (
+    SELECT event_type, dayofweek(CAST(ts AS TIMESTAMP)) AS wd,
+           COUNT(*) AS obs
+    FROM events GROUP BY 1, 2
+),
+rt AS (SELECT event_type, SUM(obs) AS row_tot FROM cells GROUP BY 1),
+ct AS (SELECT wd, SUM(obs) AS col_tot FROM cells GROUP BY 1),
+nt AS (SELECT SUM(obs) AS n FROM cells),
+contrib AS (
+    SELECT c.event_type, c.wd,
+           CAST(ROUND(
+               (CAST(CAST(CAST(c.obs AS HUGEINT) * n.n
+                          - r.row_tot * ct.col_tot AS VARCHAR) AS DOUBLE)
+                * CAST(CAST(CAST(c.obs AS HUGEINT) * n.n
+                            - r.row_tot * ct.col_tot AS VARCHAR) AS DOUBLE))
+               / (CAST(CAST(n.n AS VARCHAR) AS DOUBLE)
+                  * CAST(CAST(r.row_tot AS VARCHAR) AS DOUBLE)
+                  * CAST(CAST(ct.col_tot AS VARCHAR) AS DOUBLE))
+               * 1000000.0) AS BIGINT) AS micro
+    FROM cells c
+    JOIN rt r USING (event_type)
+    JOIN ct USING (wd)
+    CROSS JOIN nt n
+),
+s AS (
+    SELECT (SELECT COUNT(*) FROM rt) AS n_types,
+           (SELECT COUNT(*) FROM ct) AS n_days,
+           (SELECT COALESCE(n, 0) FROM nt) AS n_events,
+           (SELECT COUNT(*) FROM cells) AS n_cells,
+           (SELECT SUM(micro) FROM contrib) AS chi2_micro
+)
+SELECT CAST(n_types AS BIGINT) AS n_types,
+       CAST(n_days AS BIGINT) AS n_days,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_cells AS BIGINT) AS n_cells,
+       ROUND(CAST(COALESCE(chi2_micro, 0) AS DOUBLE) / 1000000.0, 6) AS chi2,
+       CASE WHEN n_events = 0 OR n_types < 2 OR n_days < 2 THEN NULL
+            ELSE ROUND(SQRT((CAST(COALESCE(chi2_micro, 0) AS DOUBLE) / 1000000.0)
+                            / (CAST(n_events AS DOUBLE)
+                               * CAST(LEAST(n_types - 1, n_days - 1) AS DOUBLE))), 6)
+       END AS cramers_v
+FROM s
+"""
+
+
+@register("dq_chi2_type_dow_independence", oracle=_CHI2_SQL)
+def dq_chi2_type_dow_independence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    # Spark dayofweek == DuckDB dayofweek + 1 (Sun=1 vs Sun=0).
+    cells = session_cache(
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type", (F.dayofweek(F.col("ts")) - 1).alias("wd")
+        )
+        .groupBy("event_type", "wd")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    rt = cells.groupBy("event_type").agg(F.sum(d38(F.col("obs"))).alias("row_tot"))
+    ct = cells.groupBy("wd").agg(F.sum(d38(F.col("obs"))).alias("col_tot"))
+    nt = cells.agg(F.sum(d38(F.col("obs"))).alias("n"))
+    dd = lambda c: c.cast("string").cast("double")  # noqa: E731
+    num = dd(
+        (d38(F.col("obs")) * F.col("n") - F.col("row_tot") * F.col("col_tot"))
+        .cast("decimal(38,0)")
+    )
+    micro = (
+        F.round(
+            num
+            * num
+            / (dd(F.col("n")) * dd(F.col("row_tot")) * dd(F.col("col_tot")))
+            * F.lit(1000000.0)
+        )
+    ).cast("long")
+    contrib = (
+        cells.join(broadcast(rt), "event_type")  # [enum] per-type totals
+        .join(broadcast(ct), "wd")  # [enum] 7-row dow totals
+        .crossJoin(broadcast(nt))  # [1row] grand total
+        .select(micro.alias("micro"))
+    )
+    s = (
+        contrib.agg(F.sum("micro").alias("chi2_micro"))
+        .crossJoin(broadcast(rt.agg(F.count(F.lit(1)).alias("n_types"))))
+        .crossJoin(broadcast(ct.agg(F.count(F.lit(1)).alias("n_days"))))
+        .crossJoin(
+            broadcast(
+                nt.select(
+                    F.coalesce(F.col("n"), F.lit(0).cast("decimal(38,0)"))
+                    .cast("long")
+                    .alias("n_events")
+                )
+            )
+        )
+        .crossJoin(broadcast(cells.agg(F.count(F.lit(1)).alias("n_cells"))))
+    )
+    chi2 = F.col("chi2_micro").cast("double") / F.lit(1000000.0)
+    chi2z = F.coalesce(F.col("chi2_micro"), F.lit(0)).cast("double") / F.lit(
+        1000000.0
+    )
+    return s.select(
+        F.col("n_types").cast("long").alias("n_types"),
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_cells").cast("long").alias("n_cells"),
+        F.round(chi2z, 6).alias("chi2"),
+        F.when(
+            (F.col("n_events") == 0)
+            | (F.col("n_types") < 2)
+            | (F.col("n_days") < 2),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                F.sqrt(
+                    chi2z
+                    / (
+                        F.col("n_events").cast("double")
+                        * F.least(
+                            F.col("n_types") - 1, F.col("n_days") - 1
+                        ).cast("double")
+                    )
+                ),
+                6,
+            )
+        )
+        .alias("cramers_v"),
+    )

@@ -5166,3 +5166,185 @@ def events_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("conversion_from_prev"),
     )
     return stage1.unionByName(stage2).unionByName(stage3).orderBy("stage")
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of per-user event activity (round 12) — the
+# concentration scalar behind every "1% of users generate X% of
+# traffic" claim, and the workload-skew receipt for per-user
+# partitioning decisions. Exactness: with counts c ranked ascending
+# (ties broken by user_id), G = (2*sum(r*c) - (n+1)*sum(c)) /
+# (n*sum(c)) — every sum is an exact 128-bit integer (rank x count
+# products reach n * max_count, DECIMAL(38,0)/HUGEINT), and only the
+# final closed form crosses to double via the exact VARCHAR parse.
+# 100 TB: per-user counts are one hash aggregate; the global rank uses
+# the distributed two-phase cumsum (bucket-bounded boundary frames),
+# never a single-task ORDER BY window; one 1-row reduce.
+# ---------------------------------------------------------------------------
+
+_GINI_SQL = """
+WITH c AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id),
+r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c ASC, user_id ASC) AS r FROM c),
+s AS (SELECT COUNT(*) AS n,
+             SUM(CAST(c AS HUGEINT)) AS t,
+             SUM(CAST(r AS HUGEINT) * CAST(c AS HUGEINT)) AS a
+      FROM r)
+SELECT CAST(n AS BIGINT) AS n_users,
+       CAST(COALESCE(t, 0) AS BIGINT) AS total_events,
+       CASE WHEN n = 0 OR COALESCE(t, 0) = 0 THEN NULL
+            ELSE ROUND((2.0 * CAST(CAST(a AS VARCHAR) AS DOUBLE)
+                        - (CAST(CAST(n AS VARCHAR) AS DOUBLE) + 1.0)
+                          * CAST(CAST(t AS VARCHAR) AS DOUBLE))
+                       / (CAST(CAST(n AS VARCHAR) AS DOUBLE)
+                          * CAST(CAST(t AS VARCHAR) AS DOUBLE)), 6)
+       END AS gini
+FROM s
+"""
+
+
+@register("events_gini_user_activity", oracle=_GINI_SQL)
+def events_gini_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deathmetal_datalake_spark.operators.ordering import two_phase_order
+
+    c = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # Counts are a small-domain leading key: sub-bucket ties by user_id.
+    o = two_phase_order(
+        c,
+        [F.asc("c"), F.asc("user_id")],
+        F.col("c"),
+        rank_col="r",
+        sub_key=F.col("user_id"),
+    )
+    d19 = lambda col: F.col(col).cast("decimal(19,0)")  # noqa: E731
+    s = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d19("c")).alias("t"),
+        F.sum(d19("r") * d19("c")).alias("a"),
+    )
+    dd = lambda c_: c_.cast("string").cast("double")  # noqa: E731
+    zero = F.lit(0).cast("decimal(38,0)")
+    gini = (
+        F.lit(2.0) * dd(F.col("a"))
+        - (dd(F.col("n")) + F.lit(1.0)) * dd(F.col("t"))
+    ) / (dd(F.col("n")) * dd(F.col("t")))
+    return s.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.coalesce(F.col("t"), zero).cast("long").alias("total_events"),
+        F.when(
+            (F.col("n") == 0) | (F.coalesce(F.col("t"), zero) == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.round(gini, 6))
+        .alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lorenz curve of user activity by decile (round 12) — the curve the
+# Gini scalar summarizes: users ranked ascending by event count, split
+# into 10 equal-population bins (decile = floor((r-1)*10/n), stated
+# identically in both engines — NOT NTILE, whose remainder placement
+# differs), each reporting its exact share and cumulative share of
+# total activity. 100 TB: two-phase global rank, one hash aggregate to
+# 10 rows, and a 10x10 bounded triangle join for the cumulative —
+# nothing data-proportional past the rank.
+# ---------------------------------------------------------------------------
+
+_LORENZ_SQL = """
+WITH c AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id),
+n AS (SELECT COUNT(*) AS n, SUM(CAST(c AS HUGEINT)) AS t FROM c),
+r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c ASC, user_id ASC) AS r FROM c),
+d AS (
+    SELECT (CAST(r - 1 AS HUGEINT) * 10) // (SELECT n FROM n) AS decile,
+           COUNT(*) AS n_users,
+           SUM(CAST(c AS HUGEINT)) AS n_events
+    FROM r GROUP BY 1
+),
+cum AS (
+    SELECT a.decile, a.n_users, a.n_events,
+           SUM(b.n_events) AS cum_events
+    FROM d a JOIN d b ON b.decile <= a.decile
+    GROUP BY 1, 2, 3
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(n_users AS BIGINT) AS n_users,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(cum_events AS BIGINT) AS cum_events,
+       ROUND(CAST(CAST(cum_events AS VARCHAR) AS DOUBLE)
+             / CAST(CAST((SELECT t FROM n) AS VARCHAR) AS DOUBLE), 6)
+           AS cum_share
+FROM cum
+ORDER BY decile
+"""
+
+
+@register("events_lorenz_activity_deciles", oracle=_LORENZ_SQL)
+def events_lorenz_activity_deciles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    from deathmetal_datalake_spark.operators.ordering import two_phase_order
+
+    c = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    o = two_phase_order(
+        c,
+        [F.asc("c"), F.asc("user_id")],
+        F.col("c"),
+        rank_col="r",
+        sub_key=F.col("user_id"),
+        n_total_col="n",
+    )
+    d19 = lambda col: F.col(col).cast("decimal(19,0)")  # noqa: E731
+    d = (
+        o.select(
+            (
+                (d19("r") - 1) * 10
+            ).cast("decimal(38,0)").alias("r10"),
+            F.col("n"),
+            F.col("c"),
+        )
+        .select(
+            F.expr("CAST(r10 div n AS decimal(38,0))").alias("decile"),
+            "c",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(d19("c")).alias("n_events"),
+        )
+    )
+    t = c.agg(F.sum(d19("c")).alias("t"))
+    a = d.alias("a")
+    b = d.alias("b")
+    cum = (
+        a.join(broadcast(b), F.col("b.decile") <= F.col("a.decile"))
+        .groupBy(
+            F.col("a.decile").alias("decile"),
+            F.col("a.n_users").alias("n_users"),
+            F.col("a.n_events").alias("n_events"),
+        )
+        .agg(F.sum(F.col("b.n_events")).alias("cum_events"))
+    )
+    dd = lambda c_: c_.cast("string").cast("double")  # noqa: E731
+    return (
+        cum.crossJoin(broadcast(t))
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("cum_events").cast("long").alias("cum_events"),
+            F.round(dd(F.col("cum_events")) / dd(F.col("t")), 6).alias(
+                "cum_share"
+            ),
+        )
+        .orderBy("decile")
+    )

@@ -2066,3 +2066,89 @@ def lineitem_price_index_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(dd(F.col("p_num")) / dd(F.col("p_den")), 6))
         .alias("paasche_index"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil's U on weekly revenue (round 12) — the forecastability scalar
+# for the trend family (Mann-Kendall / Theil-Sen / ITS above): U =
+# sqrt(sum (y_{t+1}-y_t)^2) / sqrt(sum y_{t+1}^2) over CONSECUTIVE
+# calendar weeks (pairs come from an equi-join on wn+1 — weeks with no
+# orders break the chain by convention; no window, no sort). U ~ 1
+# means revenue is no more predictable than a naive carry-forward.
+# Exactness: weekly revenues are exact 2-dp decimal sums; differences
+# and squares stay DECIMAL(38,4); the two square roots and the final
+# ratio are one identical IEEE expression via the VARCHAR crossing.
+# 100 TB: one hash aggregate to the time-bounded weekly frame, one
+# equi-join on week number, one 1-row reduce.
+# ---------------------------------------------------------------------------
+
+_THEIL_U_SQL = f"""
+WITH weekly AS (
+    SELECT CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) // 7
+               AS wn,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+    FROM orders GROUP BY 1
+),
+pairs AS (
+    SELECT a.rev AS y0, b.rev AS y1
+    FROM weekly a JOIN weekly b ON b.wn = a.wn + 1
+),
+s AS (
+    SELECT COUNT(*) AS n_pairs,
+           SUM(CAST((y1 - y0) * (y1 - y0) AS DECIMAL(38,4))) AS se,
+           SUM(CAST(y1 * y1 AS DECIMAL(38,4))) AS sy
+    FROM pairs
+)
+SELECT CAST((SELECT COUNT(*) FROM weekly) AS BIGINT) AS n_weeks,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CASE WHEN COALESCE(sy, 0) = 0 THEN NULL
+            ELSE ROUND(SQRT(CAST(CAST(se AS VARCHAR) AS DOUBLE))
+                       / SQRT(CAST(CAST(sy AS VARCHAR) AS DOUBLE)), 6)
+       END AS theil_u
+FROM s
+"""
+
+
+@register("orders_theil_u_weekly", oracle=_THEIL_U_SQL)
+def orders_theil_u_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    weekly = session_cache(
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.expr(
+                "CAST(datediff(o_orderdate, DATE '1970-01-01') AS BIGINT)"
+                " div 7"
+            ).alias("wn"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        )
+        .groupBy("wn")
+        .agg(F.sum("p").alias("rev"))
+    )
+    a = weekly.select(F.col("wn").alias("wa"), F.col("rev").alias("y0"))
+    b = weekly.select(F.col("wn").alias("wb"), F.col("rev").alias("y1"))
+    pairs = a.join(b, F.col("wb") == F.col("wa") + 1)
+    d384 = lambda c: c.cast("decimal(38,4)")  # noqa: E731
+    s = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            d384((F.col("y1") - F.col("y0")) * (F.col("y1") - F.col("y0")))
+        ).alias("se"),
+        F.sum(d384(F.col("y1") * F.col("y1"))).alias("sy"),
+    )
+    nw = weekly.agg(F.count(F.lit(1)).alias("n_weeks"))
+    dd = lambda c: c.cast("string").cast("double")  # noqa: E731
+    zero = F.lit(0).cast("decimal(38,4)")
+    return s.crossJoin(broadcast(nw)).select(  # [1row] week count
+        F.col("n_weeks").cast("long").alias("n_weeks"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.when(
+            F.coalesce(F.col("sy"), zero) == 0, F.lit(None).cast("double")
+        )
+        .otherwise(
+            F.round(F.sqrt(dd(F.col("se"))) / F.sqrt(dd(F.col("sy"))), 6)
+        )
+        .alias("theil_u"),
+    )

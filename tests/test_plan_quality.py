@@ -182,6 +182,9 @@ _NONEQUI_OK = {
     "dq_ks_two_sample_drift",        # 1-row bounds/totals/max frames crossJoined
     "events_cusum_changepoint",      # 1-row totals/max frames crossJoined
     "orders_theil_sen_weekly_trend",  # time-bounded weekly frame pairwise self-join + 1-row medians
+    "events_lorenz_activity_deciles",  # 10x10 decile triangle join
+    "dq_chi2_type_dow_independence",  # [1row] grand-total frame
+    "orders_theil_u_weekly",          # [1row] week-count frame
     "events_hll_registers",          # 1-row sketch-summary frames crossJoined
     "events_markov_stationary_2step",  # K x K bounded type-space matrix
     "text_rocchio_expansion",        # 1-row counts + post-limit term frames
@@ -361,6 +364,11 @@ _HINTED_BROADCAST_OK = {
     "events_chebyshev_outlier_hours": 1,  # [enum] per-type moment frame
     "events_daily_autocorrelation": 2,   # [dim] lag frame + [1row] totals
     "events_markov_attribution": 1,      # [enum] removal dim
+    # round 12
+    "events_gini_user_activity": 1,      # [bkt] two-phase rank offsets
+    "events_lorenz_activity_deciles": 4, # [bkt] offsets + 10-row decile frame + [1row] total
+    "dq_chi2_type_dow_independence": 7,  # [enum] Kx7 cell/row/col frames + [1row] N
+    "orders_theil_u_weekly": 1,          # [1row] week count
 }
 
 
