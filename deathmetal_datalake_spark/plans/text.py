@@ -3362,3 +3362,284 @@ def text_langid_confusion_matrix(
             "share_of_true_lang"
         ),
     ).orderBy("lang", "predicted_lang")
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality-rule battery (round 12) — the document-level
+# pass/fail rules a pretraining curation pipeline applies before any
+# model-based scoring (Rae et al.'s repetition/format class): word
+# count bounds, mean word length bounds, alphabetic-token fraction,
+# and stopword presence, rolled up per source. Exactness: every rule
+# is an INTEGER CROSS-MULTIPLIED comparison (3*n <= chars <= 10*n;
+# 5*alpha >= 4*n), so no per-doc ratio ever crosses engines; only the
+# final per-source rates round to 6 dp from exact integer counts.
+# 100 TB: one map-only pass per doc, one hash aggregate per source.
+# ---------------------------------------------------------------------------
+
+_GOPHER_SQL = f"""
+WITH d AS (
+    SELECT source,
+           string_split_regex(LOWER(TRIM(text)), '\\s+') AS toks
+    FROM documents WHERE text IS NOT NULL
+),
+m AS (
+    SELECT source,
+           LENGTH(toks) AS n_tok,
+           CAST(list_sum(list_transform(toks, t -> LENGTH(t))) AS BIGINT)
+               AS n_chars,
+           LENGTH(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+               AS n_alpha,
+           (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(toks, 'a') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(toks, 'in') THEN 1 ELSE 0 END)
+               AS n_stop
+    FROM d
+),
+r AS (
+    SELECT source,
+           CASE WHEN n_tok BETWEEN 10 AND 10000 THEN 1 ELSE 0 END AS r_wc,
+           CASE WHEN 3 * n_tok <= n_chars AND n_chars <= 10 * n_tok
+                THEN 1 ELSE 0 END AS r_mwl,
+           CASE WHEN 5 * n_alpha >= 4 * n_tok THEN 1 ELSE 0 END AS r_alpha,
+           CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS r_stop
+    FROM m
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(r_wc) AS BIGINT) AS pass_word_count,
+       CAST(SUM(r_mwl) AS BIGINT) AS pass_mean_word_len,
+       CAST(SUM(r_alpha) AS BIGINT) AS pass_alpha_fraction,
+       CAST(SUM(r_stop) AS BIGINT) AS pass_stopwords,
+       CAST(SUM(r_wc * r_mwl * r_alpha * r_stop) AS BIGINT) AS pass_all,
+       ROUND(CAST(SUM(r_wc * r_mwl * r_alpha * r_stop) AS DOUBLE)
+             / COUNT(*), 6) AS pass_all_rate
+FROM r GROUP BY source ORDER BY source
+"""
+
+
+@register("corpus_gopher_quality_rules", oracle=_GOPHER_SQL)
+def corpus_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "source",
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
+        )
+        .select(
+            "source",
+            F.size("toks").alias("n_tok"),
+            F.expr("aggregate(toks, 0L, (a, t) -> a + length(t))").alias(
+                "n_chars"
+            ),
+            F.expr("size(filter(toks, t -> t rlike '[a-z]'))").alias(
+                "n_alpha"
+            ),
+            (
+                F.array_contains("toks", "the").cast("int")
+                + F.array_contains("toks", "a").cast("int")
+                + F.array_contains("toks", "and").cast("int")
+                + F.array_contains("toks", "of").cast("int")
+                + F.array_contains("toks", "to").cast("int")
+                + F.array_contains("toks", "in").cast("int")
+            ).alias("n_stop"),
+        )
+    )
+    r = m.select(
+        "source",
+        F.col("n_tok").between(10, 10000).cast("int").alias("r_wc"),
+        (
+            (F.lit(3) * F.col("n_tok") <= F.col("n_chars"))
+            & (F.col("n_chars") <= F.lit(10) * F.col("n_tok"))
+        ).cast("int").alias("r_mwl"),
+        (F.lit(5) * F.col("n_alpha") >= F.lit(4) * F.col("n_tok"))
+        .cast("int")
+        .alias("r_alpha"),
+        (F.col("n_stop") >= 2).cast("int").alias("r_stop"),
+    )
+    allp = F.col("r_wc") * F.col("r_mwl") * F.col("r_alpha") * F.col("r_stop")
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("r_wc").cast("long").alias("pass_word_count"),
+            F.sum("r_mwl").cast("long").alias("pass_mean_word_len"),
+            F.sum("r_alpha").cast("long").alias("pass_alpha_fraction"),
+            F.sum("r_stop").cast("long").alias("pass_stopwords"),
+            F.sum(allp).cast("long").alias("pass_all"),
+            F.round(
+                F.sum(allp).cast("double") / F.count(F.lit(1)), 6
+            ).alias("pass_all_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition (round 12) — the within-doc companion to
+# the cross-doc dedup family: a doc whose word trigrams are mostly
+# repeats of themselves (boilerplate, keyword stuffing, decoding
+# loops) hurts training even when globally unique. Per doc: distinct /
+# total trigram ratio; per source: mean ratio and the fraction of docs
+# below the 0.5 repetition threshold, decided by the exact integer
+# comparison 2*distinct < total. 100 TB: trigram explode is one
+# map-side pass (~n_tokens rows per doc), two hash aggregates.
+# ---------------------------------------------------------------------------
+
+_REPETITION_SQL = f"""
+WITH d AS (
+    SELECT doc_id, source,
+           string_split_regex(LOWER(TRIM(text)), '\\s+') AS toks
+    FROM documents WHERE text IS NOT NULL
+),
+t AS (
+    SELECT doc_id, source,
+           UNNEST(list_transform(range(1, LENGTH(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+               AS tri
+    FROM d WHERE LENGTH(toks) >= 3
+),
+pd AS (
+    SELECT doc_id, source,
+           COUNT(*) AS n_tri,
+           COUNT(DISTINCT tri) AS n_distinct
+    FROM t GROUP BY 1, 2
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tri) AS BIGINT) AS n_trigrams,
+       CAST(SUM(n_distinct) AS BIGINT) AS n_distinct_trigrams,
+       {sql_davg("CAST(n_distinct AS DOUBLE) / n_tri", "mean_distinct_ratio")},
+       CAST(SUM(CASE WHEN 2 * n_distinct < n_tri THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_repetitive,
+       ROUND(CAST(SUM(CASE WHEN 2 * n_distinct < n_tri THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS repetitive_rate
+FROM pd GROUP BY source ORDER BY source
+"""
+
+
+@register("corpus_intra_doc_repetition", oracle=_REPETITION_SQL)
+def corpus_intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
+        )
+        .filter(F.size("toks") >= 3)
+    )
+    # 1-based SQL list indexing mirrors 0-based Spark element_at via
+    # explicit index arithmetic inside transform.
+    t = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 3), i -> "
+                "concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))"
+            )
+        ).alias("tri"),
+    )
+    pd = t.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_tri"),
+        F.countDistinct("tri").alias("n_distinct"),
+    )
+    rep = F.when(
+        F.lit(2) * F.col("n_distinct") < F.col("n_tri"), 1
+    ).otherwise(0)
+    return (
+        pd.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tri").cast("long").alias("n_trigrams"),
+            F.sum("n_distinct").cast("long").alias("n_distinct_trigrams"),
+            davg(
+                F.col("n_distinct").cast("double") / F.col("n_tri"),
+                "mean_distinct_ratio",
+            ),
+            F.sum(rep).cast("long").alias("n_repetitive"),
+            F.round(F.sum(rep).cast("double") / F.count(F.lit(1)), 6).alias(
+                "repetitive_rate"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pattern-scrub audit (round 12) — the PII/artifact scan a corpus runs
+# before release: per source, documents containing and total matches of
+# (1) email-shaped spans, (2) long digit runs (ids/phones), and (3) a
+# control pattern guaranteed to fire on this corpus (double-'a' words)
+# so the extraction counting machinery is exercised end-to-end even
+# where the realistic patterns are clean. RE2-safe patterns only (no
+# backreferences/lookarounds — Java regex and DuckDB RE2 agree on
+# these exactly); counts are non-overlapping left-to-right matches in
+# both engines. 100 TB: map-only regexp_extract_all + one aggregate.
+# ---------------------------------------------------------------------------
+
+_SCRUB_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_SCRUB_DIGITS = "[0-9]{6,}"
+_SCRUB_CONTROL = "[a-z]*a[a-z]*a[a-z]*"
+
+_SCRUB_SQL = f"""
+WITH m AS (
+    SELECT source,
+           LENGTH(regexp_extract_all(text, '{_SCRUB_EMAIL}')) AS n_email,
+           LENGTH(regexp_extract_all(text, '{_SCRUB_DIGITS}')) AS n_digits,
+           LENGTH(regexp_extract_all(LOWER(text), '{_SCRUB_CONTROL}'))
+               AS n_control
+    FROM documents WHERE text IS NOT NULL
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_with_email,
+       CAST(SUM(n_email) AS BIGINT) AS email_matches,
+       CAST(SUM(CASE WHEN n_digits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_with_digit_run,
+       CAST(SUM(n_digits) AS BIGINT) AS digit_run_matches,
+       CAST(SUM(CASE WHEN n_control > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_with_control,
+       CAST(SUM(n_control) AS BIGINT) AS control_matches
+FROM m GROUP BY source ORDER BY source
+"""
+
+
+@register("corpus_pattern_scrub_rates", oracle=_SCRUB_SQL)
+def corpus_pattern_scrub_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "source",
+            F.size(
+                F.regexp_extract_all("text", F.lit(_SCRUB_EMAIL), 0)
+            ).alias("n_email"),
+            F.size(
+                F.regexp_extract_all("text", F.lit(_SCRUB_DIGITS), 0)
+            ).alias("n_digits"),
+            F.size(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(_SCRUB_CONTROL), 0)
+            ).alias("n_control"),
+        )
+    )
+    flag = lambda c: F.sum(F.when(F.col(c) > 0, 1).otherwise(0))  # noqa: E731
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            flag("n_email").cast("long").alias("docs_with_email"),
+            F.sum("n_email").cast("long").alias("email_matches"),
+            flag("n_digits").cast("long").alias("docs_with_digit_run"),
+            F.sum("n_digits").cast("long").alias("digit_run_matches"),
+            flag("n_control").cast("long").alias("docs_with_control"),
+            F.sum("n_control").cast("long").alias("control_matches"),
+        )
+        .orderBy("source")
+    )
