@@ -5348,3 +5348,209 @@ def events_lorenz_activity_deciles(
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact Shapley channel attribution (round 12) — the game-theoretic
+# upgrade of events_markov_attribution: credit for a conversion is
+# split among the pre-purchase touch channels (view / click / signup)
+# by the exact Shapley value over the 3-channel coalition game
+# v(S) = #converted users whose touched-channel set is a subset of S.
+# With 3 channels the subset lattice has 8 nodes and the Shapley sum
+# 12 terms — everything is a bounded-frame pivot over ONE per-user
+# hash aggregate, and the weights s!(2-s)!/3! have common denominator
+# 6, so each channel's credit is an exact INTEGER numerator divided by
+# 6.0 in one identical IEEE step. Efficiency property pinned by the
+# oracle: credits sum to v(all) - v(none). 100 TB: one aggregate to
+# user grain, one to 8 masks; the lattice math is literal-frame joins.
+# ---------------------------------------------------------------------------
+
+_SHAPLEY_DIM = [
+    # (channel bit, channel name, base subset S with bit not in S,
+    #  weight numerator over denominator 6: |S|=0 -> 2, 1 -> 1, 2 -> 2)
+    (ch, name, s, {0: 2, 1: 1, 2: 2}[bin(s).count("1")])
+    for ch, name in ((1, "view"), (2, "click"), (4, "signup"))
+    for s in range(8)
+    if (s & ch) == 0
+]
+
+_SHAPLEY_DIM_SQL = ", ".join(
+    f"({ch}, '{name}', {s}, {w})" for ch, name, s, w in _SHAPLEY_DIM
+)
+
+_SHAPLEY_SQL = f"""
+WITH fp AS (
+    SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS fpts
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+ch AS (
+    SELECT f.user_id,
+           MAX(CASE WHEN e.event_type = 'view'
+                     AND CAST(e.ts AS TIMESTAMP) < f.fpts THEN 1 ELSE 0 END)
+           + 2 * MAX(CASE WHEN e.event_type = 'click'
+                     AND CAST(e.ts AS TIMESTAMP) < f.fpts THEN 1 ELSE 0 END)
+           + 4 * MAX(CASE WHEN e.event_type = 'signup'
+                     AND CAST(e.ts AS TIMESTAMP) < f.fpts THEN 1 ELSE 0 END)
+               AS mask
+    FROM fp f JOIN events e ON e.user_id = f.user_id
+    GROUP BY 1
+),
+m AS (SELECT mask, COUNT(*) AS n FROM ch GROUP BY 1),
+subsets AS (SELECT UNNEST(range(8)) AS s),
+v AS (
+    SELECT s.s, COALESCE(SUM(m.n), 0) AS v
+    FROM subsets s LEFT JOIN m ON (m.mask & s.s) = m.mask
+    GROUP BY 1
+),
+dim AS (
+    SELECT * FROM (VALUES {_SHAPLEY_DIM_SQL}) AS t(ch, channel, s, wnum)
+),
+contrib AS (
+    SELECT d.ch, d.channel,
+           SUM(CAST(d.wnum AS BIGINT) * (vi.v - vs.v)) AS num
+    FROM dim d
+    JOIN v vs ON vs.s = d.s
+    JOIN v vi ON vi.s = d.s + d.ch
+    GROUP BY 1, 2
+)
+SELECT channel,
+       CAST((SELECT COALESCE(SUM(n), 0) FROM m) AS BIGINT) AS n_converted,
+       CAST(num AS BIGINT) AS credit_numerator_6ths,
+       ROUND(CAST(num AS DOUBLE) / 6.0, 6) AS shapley_credit
+FROM contrib
+ORDER BY channel
+"""
+
+
+@register("events_shapley_attribution", oracle=_SHAPLEY_SQL)
+def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    ev = load_table(spark, sf_dir, "events")
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fpts"))
+    )
+    touched = lambda t: F.max(  # noqa: E731
+        F.when(
+            (F.col("event_type") == t) & (F.col("ts") < F.col("fpts")), 1
+        ).otherwise(0)
+    )
+    ch = (
+        fp.join(ev, "user_id")
+        .groupBy("user_id")
+        .agg(
+            (
+                touched("view")
+                + F.lit(2) * touched("click")
+                + F.lit(4) * touched("signup")
+            ).alias("mask")
+        )
+    )
+    m = ch.groupBy("mask").agg(F.count(F.lit(1)).alias("n"))
+    subsets = spark.range(8).select(F.col("id").cast("int").alias("s"))
+    v = (
+        subsets.join(
+            broadcast(m), F.col("mask").bitwiseAND(F.col("s")) == F.col("mask"), "left"
+        )  # [enum] 8-mask frame
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("v"))
+    )
+    dim = spark.createDataFrame(
+        _SHAPLEY_DIM, "ch int, channel string, s int, wnum int"
+    )
+    vs = v.select(F.col("s").alias("s0"), F.col("v").alias("v0"))
+    vi = v.select(F.col("s").alias("s1"), F.col("v").alias("v1"))
+    contrib = (
+        dim.join(broadcast(vs), F.col("s0") == F.col("s"))  # [enum] 8-row v
+        .join(broadcast(vi), F.col("s1") == F.col("s") + F.col("ch"))
+        .groupBy("ch", "channel")
+        .agg(
+            F.sum(
+                F.col("wnum").cast("long") * (F.col("v1") - F.col("v0"))
+            ).alias("num")
+        )
+    )
+    nconv = m.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_converted")
+    )
+    return (
+        contrib.crossJoin(broadcast(nconv))  # [1row] converted total
+        .select(
+            "channel",
+            "n_converted",
+            F.col("num").cast("long").alias("credit_numerator_6ths"),
+            F.round(F.col("num").cast("double") / F.lit(6.0), 6).alias(
+                "shapley_credit"
+            ),
+        )
+        .orderBy("channel")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Daily bounce rate (round 12) — the engagement-quality rollup of the
+# 30-minute sessionization: a bounce is a single-event session, the
+# classic junk-traffic / crawler signal. Session grain reuses the
+# exact session_window <-> lag/cumsum equivalence the sessionization
+# query pins; the rollup keys on the session's start DAY. Exact
+# integer counts; one ratio rounds at the end. 100 TB: the session
+# window is per-user partitioned (never global), then one hash
+# aggregate to days.
+# ---------------------------------------------------------------------------
+
+_BOUNCE_SQL = """
+WITH flagged AS (
+    SELECT user_id,
+           CAST(ts AS TIMESTAMP) AS ts,
+           CASE WHEN CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP)) OVER (
+                    PARTITION BY user_id ORDER BY ts
+                ) >= INTERVAL 30 MINUTE THEN 1
+                WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1
+                ELSE 0 END AS new_session
+    FROM events
+),
+sessions AS (
+    SELECT user_id, ts,
+           SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_no
+    FROM flagged
+),
+s AS (
+    SELECT user_id, session_no,
+           MIN(ts) AS session_start,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY 1, 2
+)
+SELECT CAST(date_trunc('day', session_start) AS DATE) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bounces,
+       ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS bounce_rate
+FROM s GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("events_bounce_rate_daily", oracle=_BOUNCE_SQL)
+def events_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(F.min("ts").alias("session_start"), F.count(F.lit(1)).alias("n"))
+    bounce = F.when(F.col("n") == 1, 1).otherwise(0)
+    return (
+        s.select(F.to_date("session_start").alias("day"), "n")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum(bounce).cast("long").alias("n_bounces"),
+            F.round(F.sum(bounce).cast("double") / F.count(F.lit(1)), 6).alias(
+                "bounce_rate"
+            ),
+        )
+        .orderBy("day")
+    )

@@ -185,6 +185,7 @@ _NONEQUI_OK = {
     "events_lorenz_activity_deciles",  # 10x10 decile triangle join
     "dq_chi2_type_dow_independence",  # [1row] grand-total frame
     "orders_theil_u_weekly",          # [1row] week-count frame
+    "events_shapley_attribution",     # 8-subset x 8-mask lattice joins
     "events_hll_registers",          # 1-row sketch-summary frames crossJoined
     "events_markov_stationary_2step",  # K x K bounded type-space matrix
     "text_rocchio_expansion",        # 1-row counts + post-limit term frames
@@ -369,6 +370,7 @@ _HINTED_BROADCAST_OK = {
     "events_lorenz_activity_deciles": 4, # [bkt] offsets + 10-row decile frame + [1row] total
     "dq_chi2_type_dow_independence": 7,  # [enum] Kx7 cell/row/col frames + [1row] N
     "orders_theil_u_weekly": 1,          # [1row] week count
+    "events_shapley_attribution": 5,     # [enum] 8-mask/8-subset lattice + [1row] total
 }
 
 
