@@ -4274,3 +4274,114 @@ def embedding_prefix_energy_profile(
         )
         .orderBy("prefix_len")
     )
+
+
+# ---------------------------------------------------------------------------
+# Participation ratio of the per-dimension variance spectrum (round
+# 12) — the one-number answer to "how many of the 64 embedding
+# dimensions actually carry signal?": PR = (Σ var_d)² / Σ var_d², the
+# inverse-participation measure from physics that equals 64 for a
+# perfectly isotropic space and 1 when a single dimension dominates —
+# the cheap proxy for effective rank that needs NO eigendecomposition
+# (the power-iteration query above covers the top component; this
+# covers the whole spectrum's flatness). Exactness: per-dim moments
+# are the DECIMAL(25,12) order-free sums; each var_d is then ONE
+# identical IEEE expression, re-quantized to DECIMAL at 12 dp before
+# the 64-row spectrum sums so no float sum is order-dependent. 100 TB:
+# one row-local explode (64 rows/vector, map-side combinable), one
+# aggregate to 64 rows, one 1-row reduce.
+# ---------------------------------------------------------------------------
+
+_PR_SQL = f"""
+WITH vals AS (
+    SELECT g.i, (CAST(embedding AS DOUBLE[]))[g.i + 1] AS v
+    FROM embeddings, (SELECT UNNEST(range({_EMB_DIM})) AS i) g
+),
+moments AS (
+    SELECT i,
+           COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(v AS DECIMAL(25,12))) AS VARCHAR) AS DOUBLE) AS s1,
+           CAST(CAST(SUM(CAST(v * v AS DECIMAL(25,12))) AS VARCHAR) AS DOUBLE) AS s2
+    FROM vals GROUP BY i
+),
+vars_ AS (
+    SELECT i,
+           ROUND((s2 - s1 * s1 / n) / n, 12) AS var_d
+    FROM moments
+),
+s AS (
+    SELECT COUNT(*) AS n_dims,
+           CAST(CAST(SUM(CAST(var_d AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE)
+               AS sv,
+           CAST(CAST(SUM(CAST(ROUND(var_d * var_d, 12) AS DECIMAL(28,12)))
+                AS VARCHAR) AS DOUBLE) AS sv2
+    FROM vars_
+)
+SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_vectors,
+       CAST(n_dims AS BIGINT) AS n_dims,
+       ROUND(sv, 6) AS total_variance,
+       CASE WHEN COALESCE(sv2, 0) = 0 THEN NULL
+            ELSE ROUND(sv * sv / sv2, 6) END AS participation_ratio,
+       CASE WHEN COALESCE(sv2, 0) = 0 OR n_dims = 0 THEN NULL
+            ELSE ROUND(sv * sv / sv2 / n_dims, 6) END AS pr_fraction
+FROM s
+"""
+
+
+@register("embedding_participation_ratio", oracle=_PR_SQL)
+def embedding_participation_ratio(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        F.posexplode(F.slice(_as_double("embedding"), 1, _EMB_DIM)).alias(
+            "i", "v"
+        )
+    )
+    dd = lambda c: c.cast("string").cast("double")  # noqa: E731
+    dec = lambda c: dd(F.sum(c.cast("decimal(25,12)")))  # noqa: E731
+    moments = vals.groupBy("i").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec(F.col("v")).alias("s1"),
+        dec(F.col("v") * F.col("v")).alias("s2"),
+    )
+    vars_ = moments.select(
+        F.round(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / F.col("n"),
+            12,
+        ).alias("var_d")
+    )
+    s = vars_.agg(
+        F.count(F.lit(1)).alias("n_dims"),
+        dd(F.sum(F.col("var_d").cast("decimal(28,12)"))).alias("sv"),
+        dd(
+            F.sum(
+                F.round(F.col("var_d") * F.col("var_d"), 12).cast(
+                    "decimal(28,12)"
+                )
+            )
+        ).alias("sv2"),
+    )
+    nv = emb.agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    pr = F.col("sv") * F.col("sv") / F.col("sv2")
+    return s.crossJoin(broadcast(nv)).select(  # [1row] vector count
+        "n_vectors",
+        F.col("n_dims").cast("long").alias("n_dims"),
+        F.round(F.col("sv"), 6).alias("total_variance"),
+        F.when(
+            F.coalesce(F.col("sv2"), F.lit(0.0)) == 0,
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.round(pr, 6))
+        .alias("participation_ratio"),
+        F.when(
+            (F.coalesce(F.col("sv2"), F.lit(0.0)) == 0)
+            | (F.col("n_dims") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.round(pr / F.col("n_dims"), 6))
+        .alias("pr_fraction"),
+    )

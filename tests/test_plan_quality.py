@@ -186,6 +186,7 @@ _NONEQUI_OK = {
     "dq_chi2_type_dow_independence",  # [1row] grand-total frame
     "orders_theil_u_weekly",          # [1row] week-count frame
     "events_shapley_attribution",     # 8-subset x 8-mask lattice joins
+    "embedding_participation_ratio",  # [1row] vector-count frame
     "events_hll_registers",          # 1-row sketch-summary frames crossJoined
     "events_markov_stationary_2step",  # K x K bounded type-space matrix
     "text_rocchio_expansion",        # 1-row counts + post-limit term frames
@@ -371,6 +372,7 @@ _HINTED_BROADCAST_OK = {
     "dq_chi2_type_dow_independence": 7,  # [enum] Kx7 cell/row/col frames + [1row] N
     "orders_theil_u_weekly": 1,          # [1row] week count
     "events_shapley_attribution": 5,     # [enum] 8-mask/8-subset lattice + [1row] total
+    "embedding_participation_ratio": 1,  # [1row] vector count
 }
 
 
