@@ -1902,3 +1902,73 @@ def streaming_hll_sketch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = out.collect()
     return spark.createDataFrame(rows, schema=out.schema)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram, streamed (round 12 — the 29th replay): the
+# simplest volume-independent distribution sketch — 32 fixed value
+# buckets (width 16, clamped into [0, 31]) whose per-bucket counts are
+# associative/commutative sums, so the stream state is AT MOST 32 rows
+# however the files are batched and the final bank equals the batch
+# histogram exactly (the merge property that shards the same histogram
+# across 1000 executors). Bucketing arithmetic is floor(value/16) on
+# the exact 2-dp doubles — identical IEEE in both engines. Shares are
+# computed post-drain over the bounded bank. The oracle restates the
+# law directly over events.
+# ---------------------------------------------------------------------------
+
+_HIST_BUCKETS = 32
+_HIST_WIDTH = 16
+
+_HIST_REPLAY_SQL = f"""
+WITH b AS (
+    SELECT LEAST(GREATEST(CAST(FLOOR(value / {_HIST_WIDTH}.0) AS BIGINT),
+                          0), {_HIST_BUCKETS - 1}) AS bucket
+    FROM events WHERE value IS NOT NULL
+),
+h AS (SELECT bucket, COUNT(*) AS n_events FROM b GROUP BY bucket),
+t AS (SELECT SUM(n_events) AS total FROM h)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(bucket * {_HIST_WIDTH} AS DOUBLE) AS bucket_lo,
+       CAST(n_events AS BIGINT) AS n_events,
+       ROUND(CAST(n_events AS DOUBLE) / (SELECT total FROM t), 6) AS share
+FROM h ORDER BY bucket
+"""
+
+
+@register("streaming_fixed_histogram_replay", oracle=_HIST_REPLAY_SQL)
+def streaming_fixed_histogram_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    stream, scratch = _replay_events_stream(spark, sf_dir)
+    bucket = F.least(
+        F.greatest(
+            F.floor(F.col("value") / F.lit(float(_HIST_WIDTH))).cast("long"),
+            F.lit(0).cast("long"),
+        ),
+        F.lit(_HIST_BUCKETS - 1).cast("long"),
+    )
+    h_stream = (
+        stream.filter(F.col("value").isNotNull())
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    h = _drain(h_stream, scratch, "complete")
+    t = h.agg(F.sum("n_events").alias("total"))
+    out = (
+        h.crossJoin(broadcast(t))  # [1row] histogram total
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            (F.col("bucket") * _HIST_WIDTH).cast("double").alias("bucket_lo"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round(
+                F.col("n_events").cast("double") / F.col("total"), 6
+            ).alias("share"),
+        )
+        .orderBy("bucket")
+    )
+    rows = out.collect()
+    return spark.createDataFrame(rows, schema=out.schema)
