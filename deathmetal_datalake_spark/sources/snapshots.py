@@ -110,6 +110,17 @@ class CommitConflict(RuntimeError):
     """Another writer moved the branch between read and publish."""
 
 
+class MergeConflict(RuntimeError):
+    """Three-way branch merge found keys mutated on BOTH sides since
+    the fork point (see :meth:`SnapshotTable.merge_branch`). Carries a
+    deterministic sample of the clashing keys for the conflict report."""
+
+    def __init__(self, msg: str, conflict_keys=None, n_conflicts: int = 0):
+        super().__init__(msg)
+        self.conflict_keys = list(conflict_keys or [])
+        self.n_conflicts = n_conflicts
+
+
 def _snapshot_to_json(snap: Snapshot) -> dict:
     return {
         "snapshot_id": snap.snapshot_id,
@@ -2443,6 +2454,177 @@ class SnapshotTable:
             refs = self._read_refs()
             refs.pop(name, None)
             self._write_refs(refs)
+
+    def merge_branch(
+        self, src: str, dst: str, key_col: str, sample_conflicts: int = 20
+    ) -> Snapshot:
+        """Three-way branch merge with key-level conflict detection —
+        the Nessie-merge analog completing the branch surface
+        (create_branch = fork, fast_forward = publish, this = the
+        divergent case). The fork point is the last common snapshot of
+        the two lineages; each side's MUTATED KEY SET since the fork is
+        the union of ``key_col`` values in its post-fork data dirs and
+        delete-key dirs (an O(delta) read — only post-fork dirs are
+        opened, never the fork-side table). Overlapping mutations raise
+        :class:`MergeConflict` with a deterministic sample of the
+        conflicting keys; disjoint mutations commit src's whole
+        post-fork delta (new dirs + new scoped deletes, original
+        ordering and scoping preserved) onto dst as ONE ``merge``
+        snapshot. Degenerate forms short-circuit: src at the fork is a
+        no-op, dst at the fork is a fast-forward. A post-fork overwrite
+        or compaction on either side raises ValueError (that delta is
+        not row-expressible — same rule as read_changes). Assumes
+        ``key_col`` was not renamed during the divergence. CAS: the
+        commit re-checks both refs under the lock and raises
+        :class:`CommitConflict` if either branch moved.
+        """
+        refs = self._read_refs()
+        for b in (src, dst):
+            if b not in refs:
+                raise LookupError(f"branch {b!r} has no snapshots")
+        src_head_id, dst_head_id = refs[src], refs[dst]
+        src_hist = self.history(src)
+        dst_hist = self.history(dst)
+        src_ids = [s.snapshot_id for s in src_hist]
+        dst_ids = [s.snapshot_id for s in dst_hist]
+        common = set(src_ids) & set(dst_ids)
+        if not common:
+            raise ValueError(
+                f"branches {src!r} and {dst!r} share no common ancestor"
+            )
+        fork_id = next(i for i in reversed(dst_ids) if i in common)
+        if src_head_id == fork_id:
+            return self._load_snapshot(dst_head_id)  # nothing to merge
+        if dst_head_id == fork_id:
+            # Clean fast-forward — no divergence to reconcile.
+            with self._commit_lock():
+                live = self._read_refs()
+                if live.get(dst) != dst_head_id or live.get(src) != src_head_id:
+                    raise CommitConflict(
+                        f"{src!r} or {dst!r} moved during merge"
+                    )
+                live[dst] = src_head_id
+                self._write_refs(live)
+            return self._load_snapshot(src_head_id)
+
+        fork = self._load_snapshot(fork_id)
+        src_head = self._load_snapshot(src_head_id)
+        dst_head = self._load_snapshot(dst_head_id)
+
+        def _post_fork(hist: list[Snapshot]) -> list[Snapshot]:
+            ids = [s.snapshot_id for s in hist]
+            return hist[ids.index(fork_id) + 1 :]
+
+        for side, hist in ((src, src_hist), (dst, dst_hist)):
+            bad = [
+                s.snapshot_id
+                for s in _post_fork(hist)
+                if s.mode not in ("append", "delete", "merge")
+            ]
+            if bad:
+                raise ValueError(
+                    f"snapshots {bad} on {side!r} after the fork are "
+                    "overwrites/compactions; the delta is not "
+                    "row-expressible — rebase instead"
+                )
+
+        from pyspark.sql.functions import col as F_col
+
+        def _mutated_keys(head: Snapshot) -> "Optional[DataFrame]":
+            new_dirs = [d for d in head.data_dirs if d not in fork.data_dirs]
+            new_dels = [
+                dd for dd in head.deletes if dd not in fork.deletes
+            ]
+            frames = []
+            if new_dirs:
+                frames.append(
+                    self._read_dirs_evolved(head, new_dirs).select(key_col)
+                )
+            for del_dir, del_key, _covers in new_dels:
+                frames.append(
+                    self.spark.read.parquet(del_dir)
+                    .select(F_col(del_key).alias(key_col))
+                )
+            if not frames:
+                return None
+            out = frames[0]
+            for f in frames[1:]:
+                out = out.unionByName(f)
+            return out.distinct()
+
+        src_keys = _mutated_keys(src_head)
+        dst_keys = _mutated_keys(dst_head)
+        if src_keys is not None and dst_keys is not None:
+            clash = src_keys.join(dst_keys, key_col, "inner")
+            sample = [
+                r[key_col]
+                for r in clash.orderBy(key_col).limit(sample_conflicts).collect()
+            ]
+            if sample:
+                n = clash.count()
+                raise MergeConflict(
+                    f"merge {src!r} -> {dst!r}: {n} key(s) mutated on both "
+                    f"branches since fork snapshot {fork_id}; first "
+                    f"{len(sample)}: {sample}",
+                    conflict_keys=sample,
+                    n_conflicts=n,
+                )
+
+        new_dirs = [d for d in src_head.data_dirs if d not in fork.data_dirs]
+        new_dels = tuple(
+            dd for dd in src_head.deletes if dd not in fork.deletes
+        )
+        with self._commit_lock():
+            live = self._read_refs()
+            if live.get(dst) != dst_head_id or live.get(src) != src_head_id:
+                raise CommitConflict(f"{src!r} or {dst!r} moved during merge")
+            snapshot_id = self._next_snapshot_id()
+            snap = Snapshot(
+                snapshot_id=snapshot_id,
+                parent_id=dst_head_id,
+                mode="merge",
+                data_dirs=dst_head.data_dirs + tuple(new_dirs),
+                committed_at=time.time(),
+                deletes=dst_head.deletes + new_dels,
+                dir_stats={
+                    **dst_head.dir_stats,
+                    **{
+                        d: src_head.dir_stats[d]
+                        for d in new_dirs
+                        if d in src_head.dir_stats
+                    },
+                },
+                file_stats={
+                    **dst_head.file_stats,
+                    **{
+                        d: src_head.file_stats[d]
+                        for d in new_dirs
+                        if d in src_head.file_stats
+                    },
+                },
+                dir_partitions={
+                    **dst_head.dir_partitions,
+                    **{
+                        d: src_head.dir_partitions[d]
+                        for d in new_dirs
+                        if d in src_head.dir_partitions
+                    },
+                },
+                dir_epochs={
+                    **dst_head.dir_epochs,
+                    **{
+                        d: src_head.dir_epochs[d]
+                        for d in new_dirs
+                        if d in src_head.dir_epochs
+                    },
+                },
+            )
+            with open(self._snap_path(snapshot_id), "x") as f:
+                json.dump(_snapshot_to_json(snap), f, indent=1)
+            self._record_snapshot_id(snapshot_id)
+            live[dst] = snapshot_id
+            self._write_refs(live)
+        return snap
 
     # ---- maintenance ----------------------------------------------------
 

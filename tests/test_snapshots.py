@@ -1125,3 +1125,82 @@ def test_merge_upsert_rejects_null_and_duplicate_keys(table, spark):
     )
     got = {r["k"]: r["s"] for r in table.read().collect()}
     assert got == {1: "a", 2: "b"}
+
+
+# ---------------------------------------------------------------------------
+# Round 12: three-way branch merge with key-level conflict detection
+# (sources/snapshots.merge_branch) — the Nessie-merge analog.
+# ---------------------------------------------------------------------------
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, "k long, s string")
+
+
+def test_merge_branch_disjoint_edits_merge_cleanly(table, spark):
+    s0 = table.write(_kv(spark, [(1, "a"), (2, "b")]), "overwrite")
+    table.create_branch("dev")
+    table.write(_kv(spark, [(3, "c")]), "append", branch="dev")
+    table.delete_keys(_kv(spark, [(1, "x")]).select("k"), "k", branch="dev")
+    table.write(_kv(spark, [(4, "d")]), "append")  # main diverges too
+    snap = table.merge_branch("dev", "main", "k")
+    assert snap.mode == "merge"
+    got = {r["k"]: r["s"] for r in table.read().collect()}
+    # dev's delta (insert 3, delete 1) lands on main's (insert 4).
+    assert got == {2: "b", 3: "c", 4: "d"}
+    # dev itself is untouched; time travel pre-merge still works.
+    dev = {r["k"] for r in table.read(branch="dev").collect()}
+    assert dev == {2, 3}
+    pre = {r["k"] for r in table.read(snapshot_id=s0.snapshot_id).collect()}
+    assert pre == {1, 2}
+
+
+def test_merge_branch_conflicting_key_raises_with_report(table, spark):
+    from deathmetal_datalake_spark.sources.snapshots import MergeConflict
+
+    table.write(_kv(spark, [(1, "a"), (2, "b")]), "overwrite")
+    table.create_branch("dev")
+    table.write(_kv(spark, [(2, "DEV")]), "append", branch="dev")
+    table.delete_keys(_kv(spark, [(2, "x")]).select("k"), "k")  # main touches 2
+    with pytest.raises(MergeConflict) as ei:
+        table.merge_branch("dev", "main", "k")
+    assert ei.value.conflict_keys == [2] and ei.value.n_conflicts == 1
+    # Nothing committed: main's head is still the delete.
+    assert table.history()[-1].mode == "delete"
+
+
+def test_merge_branch_fast_forward_and_noop_paths(table, spark):
+    s0 = table.write(_kv(spark, [(1, "a")]), "overwrite")
+    table.create_branch("dev")
+    # src at fork -> no-op returns dst head.
+    snap = table.merge_branch("dev", "main", "k")
+    assert snap.snapshot_id == s0.snapshot_id
+    # dst at fork, src ahead -> pure fast-forward (no new snapshot).
+    s1 = table.write(_kv(spark, [(2, "b")]), "append", branch="dev")
+    snap = table.merge_branch("dev", "main", "k")
+    assert snap.snapshot_id == s1.snapshot_id
+    assert table.branches()["main"] == s1.snapshot_id
+    got = {r["k"] for r in table.read().collect()}
+    assert got == {1, 2}
+
+
+def test_merge_branch_post_fork_overwrite_refuses(table, spark):
+    table.write(_kv(spark, [(1, "a")]), "overwrite")
+    table.create_branch("dev")
+    table.write(_kv(spark, [(9, "z")]), "overwrite", branch="dev")
+    table.write(_kv(spark, [(2, "b")]), "append")
+    with pytest.raises(ValueError, match="not\\s+row-expressible"):
+        table.merge_branch("dev", "main", "k")
+
+
+def test_merge_branch_upsert_delta_carries_scoped_deletes(table, spark):
+    # A merge_upsert on the side branch (delete+insert in one snapshot)
+    # must land on dst with its delete still scoped to the FORK-side
+    # dirs: the upserted key shows the DEV value post-merge.
+    table.write(_kv(spark, [(1, "a"), (2, "b")]), "overwrite")
+    table.create_branch("dev")
+    table.merge_upsert(_kv(spark, [(2, "DEV"), (5, "e")]), "k", branch="dev")
+    table.write(_kv(spark, [(7, "g")]), "append")
+    table.merge_branch("dev", "main", "k")
+    got = {r["k"]: r["s"] for r in table.read().collect()}
+    assert got == {1: "a", 2: "DEV", 5: "e", 7: "g"}
