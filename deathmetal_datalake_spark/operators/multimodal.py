@@ -1191,3 +1191,39 @@ def media_average_hash(content: bytes) -> int:
 
         return jpeg_average_hash(content)
     raise ValueError(f"no average-hash path for sniffed format '{fmt}'")
+
+
+def wav_pcm_encode(samples, bits: int = 16, rate: int = 8000) -> bytes:
+    """REAL RIFF/WAVE integer-PCM encoder (round 12) — the write half
+    of ``wav_pcm_decode``'s stdlib chunk parser, closing the WAV round
+    trip the way ``operators/flac.flac_encode`` closed FLAC's. One
+    mono channel, little-endian signed 16/32-bit or unsigned-biased
+    8-bit per spec; raises on samples outside the target depth so a
+    clipped corpus fails loudly instead of wrapping."""
+    import struct
+
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int64)
+    if bits == 8:
+        if s.size and (s.min() < -128 or s.max() > 127):
+            raise ValueError("samples exceed 8-bit range")
+        data = (s + 128).astype(np.uint8).tobytes()
+    elif bits == 16:
+        if s.size and (s.min() < -(1 << 15) or s.max() >= (1 << 15)):
+            raise ValueError("samples exceed 16-bit range")
+        data = s.astype("<i2").tobytes()
+    elif bits == 32:
+        if s.size and (s.min() < -(1 << 31) or s.max() >= (1 << 31)):
+            raise ValueError("samples exceed 32-bit range")
+        data = s.astype("<i4").tobytes()
+    else:
+        raise ValueError("bits must be 8, 16, or 32")
+    block_align = bits // 8
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * block_align, block_align, bits)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks

@@ -961,3 +961,119 @@ def multimodal_png_roundtrip_stats(
         .orderBy("media_id")
         .select("media_id", "n_pixels", "pixel_sum", "energy")
     )
+
+
+# ---------------------------------------------------------------------------
+# Integer decimation through the WAV round trip (round 12) — the
+# resample-for-features stage of an audio pipeline (frame-sample every
+# 4th sample before featurization), run through the REAL stdlib codec
+# BOTH ways now that wav_pcm_encode closes the RIFF writer half:
+# payload bytes become centered samples, are WAV-encoded (16-bit PCM),
+# sniffed, decoded back with the round-8 chunk parser, decimated 4:1,
+# and reduced to exact integer stats. Losslessness makes the law
+# SQL-exact: the oracle recomputes the decimated stats straight from
+# hex() bytes, so one mis-written fmt/data chunk anywhere breaks the
+# hash. 100 TB: Arrow-batched map-only stage, one output row per
+# media.
+# ---------------------------------------------------------------------------
+
+_DECIMATE_Q = 4
+
+_WAV_DECIMATE_SQL = f"""
+WITH hexed AS (
+    SELECT doc_id, hex(encode(text)) AS h,
+           octet_length(encode(text)) AS n
+    FROM documents
+    WHERE text IS NOT NULL AND octet_length(encode(text)) > 0
+),
+bytes AS (
+    SELECT doc_id, n, i,
+           CAST(('0x' || substr(h, CAST(2 * i + 1 AS INTEGER), 2)) AS BIGINT)
+             - 128 AS s
+    FROM hexed, UNNEST(range(0, n)) AS g(i)
+    WHERE i % {_DECIMATE_Q} = 0
+)
+SELECT doc_id AS media_id,
+       CAST(MAX(n) AS BIGINT) AS n_samples_in,
+       CAST(COUNT(*) AS BIGINT) AS n_samples_out,
+       CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+       CAST(MAX(ABS(s)) AS BIGINT) AS peak,
+       CAST(SUM(s * s) AS BIGINT) AS energy
+FROM bytes GROUP BY doc_id
+ORDER BY media_id
+"""
+
+
+@register("multimodal_wav_decimate_stats", oracle=_WAV_DECIMATE_SQL)
+def multimodal_wav_decimate_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from deathmetal_datalake_spark.operators.multimodal import (
+        sniff_format,
+        wav_pcm_decode,
+        wav_pcm_encode,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = (
+        documents_as_media(docs)
+        .select("media_id", "content")
+        .filter(F.col("content").isNotNull() & (F.length("content") > 0))
+    )
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("n_samples_in", LongType(), False),
+            StructField("n_samples_out", LongType(), False),
+            StructField("sum_abs", LongType(), False),
+            StructField("peak", LongType(), False),
+            StructField("energy", LongType(), False),
+        ]
+    )
+
+    def batches(it):
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                s = (
+                    np.frombuffer(bytes(content), dtype=np.uint8).astype(
+                        np.int64
+                    )
+                    - 128
+                )
+                enc = wav_pcm_encode(s, bits=16)
+                if sniff_format(enc) != "wav":
+                    raise ValueError("WAV encoder produced unsniffable bytes")
+                dec = wav_pcm_decode(enc)
+                if dec.shape[0] != s.shape[0] or not (dec == s).all():
+                    raise ValueError("WAV round trip diverged")
+                d = dec[:: _DECIMATE_Q]
+                rows.append(
+                    (
+                        int(mid),
+                        int(s.shape[0]),
+                        int(d.shape[0]),
+                        int(np.abs(d).sum()),
+                        int(np.abs(d).max()),
+                        int((d * d).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "n_samples_in",
+                    "n_samples_out",
+                    "sum_abs",
+                    "peak",
+                    "energy",
+                ],
+            )
+
+    sp = media.repartition(spark.sparkContext.defaultParallelism)
+    return sp.mapInPandas(batches, schema=out_schema).orderBy("media_id")
