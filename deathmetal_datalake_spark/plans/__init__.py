@@ -40,6 +40,25 @@ del _rev_q, _rev_o
 # promoted to the head explicitly — the driver's prefix sample then
 # always covers the newest, least-battle-tested surface first.
 _NEWEST_FIRST = [
+    # round 12 batch 5: price-ending uniformity, WAV round trip
+    "dq_price_ending_uniformity",
+    "multimodal_wav_decimate_stats",
+    # round 12 batch 4: three-way branch merge, 29th streaming replay
+    "catalog_branch_merge_threeway",
+    "streaming_fixed_histogram_replay",
+    # round 12 batch 3: attribution + engagement + spectrum flatness
+    "events_shapley_attribution",
+    "events_bounce_rate_daily",
+    "embedding_participation_ratio",
+    # round 12 batch 2: concentration + association + forecastability
+    # statistics and the corpus-curation rule battery
+    "events_gini_user_activity",
+    "events_lorenz_activity_deciles",
+    "dq_chi2_type_dow_independence",
+    "orders_theil_u_weekly",
+    "corpus_gopher_quality_rules",
+    "corpus_intra_doc_repetition",
+    "corpus_pattern_scrub_rates",
     # round 12 batch 1: length-banded edit-distance blocking (verdict
     # #6 — catches the insertion/deletion near-dups equal-length
     # blocking misses by construction)

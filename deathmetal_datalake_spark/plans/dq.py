@@ -2366,3 +2366,104 @@ def dq_chi2_type_dow_independence(
         )
         .alias("cramers_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Price-ending uniformity (round 12) — the last-two-cent-digits audit
+# behind fraud screens and psychological-pricing detection: synthetic
+# or rounded data piles onto .00/.99 endings, organic data is near
+# uniform over the 100 endings. The chi-square against uniform needs
+# NO per-cell float sum: the expected count is N/100 for every cell,
+# so chi2 = sum((100*obs - N)^2) / (100*N) — ONE ratio of exact
+# 128-bit integers, crossing to double once. 100 TB: one hash
+# aggregate to <=100 cells, one 1-row reduce.
+# ---------------------------------------------------------------------------
+
+_ENDING_SQL = """
+WITH c AS (
+    SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) % 100
+               AS ending
+    FROM orders
+),
+obs AS (SELECT ending, COUNT(*) AS n FROM c GROUP BY ending),
+t AS (SELECT SUM(n) AS total, COUNT(*) AS n_endings FROM obs),
+num AS (
+    SELECT SUM(CAST(100 * o.n - t.total AS HUGEINT)
+               * CAST(100 * o.n - t.total AS HUGEINT)) AS sq
+    FROM obs o, t
+),
+m AS (
+    SELECT ending AS mode_ending, n AS mode_n FROM obs
+    ORDER BY n DESC, ending ASC LIMIT 1
+)
+SELECT CAST(t.total AS BIGINT) AS n_orders,
+       CAST(t.n_endings AS BIGINT) AS n_distinct_endings,
+       CASE WHEN t.total = 0 THEN NULL
+            ELSE ROUND(CAST(CAST(num.sq AS VARCHAR) AS DOUBLE)
+                       / (100.0 * CAST(CAST(t.total AS VARCHAR) AS DOUBLE)), 6)
+       END AS chi2_uniform,
+       CAST(m.mode_ending AS BIGINT) AS mode_ending,
+       CASE WHEN t.total = 0 THEN NULL
+            ELSE ROUND(CAST(m.mode_n AS DOUBLE) / t.total, 6)
+       END AS mode_share
+FROM t, num, m
+"""
+
+
+@register("dq_price_ending_uniformity", oracle=_ENDING_SQL)
+def dq_price_ending_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    obs = session_cache(
+        load_table(spark, sf_dir, "orders")
+        .select(
+            (
+                F.expr(
+                    "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                )
+                % 100
+            ).alias("ending")
+        )
+        .groupBy("ending")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = obs.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_endings")
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    num = (
+        obs.crossJoin(broadcast(t))  # [1row] totals
+        .select(
+            (d38(F.lit(100) * F.col("n") - F.col("total"))
+             * d38(F.lit(100) * F.col("n") - F.col("total"))).alias("sq")
+        )
+        .agg(F.sum("sq").alias("sq"))
+    )
+    m = obs.orderBy(F.desc("n"), F.asc("ending")).limit(1).select(
+        F.col("ending").alias("mode_ending"), F.col("n").alias("mode_n")
+    )
+    dd = lambda c: c.cast("string").cast("double")  # noqa: E731
+    return (
+        t.crossJoin(broadcast(num))  # [1row] numerator
+        .crossJoin(broadcast(m))  # [topk] 1-row mode
+        .select(
+            F.col("total").cast("long").alias("n_orders"),
+            F.col("n_endings").cast("long").alias("n_distinct_endings"),
+            F.when(F.col("total") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.round(
+                    dd(F.col("sq")) / (F.lit(100.0) * dd(F.col("total"))), 6
+                )
+            )
+            .alias("chi2_uniform"),
+            F.col("mode_ending").cast("long").alias("mode_ending"),
+            F.when(F.col("total") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.round(F.col("mode_n").cast("double") / F.col("total"), 6)
+            )
+            .alias("mode_share"),
+        )
+    )
