@@ -2213,3 +2213,133 @@ def sample_bottomk_ht_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round((ht - dd(F.col("ty"))) / dd(F.col("ty")), 6))
         .alias("rel_error"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Length-prune retention simulation (round 12) — the "what do we lose"
+# receipt for the simplest curation filter: dropping the globally
+# shortest 10% / 25% / 50% of documents, how many docs and tokens does
+# each source keep? Sources skewed toward short docs surface
+# immediately (their retention collapses first). Exactness: the global
+# ascending (n_chars, doc_id) rank comes from the distributed
+# two-phase cumsum, and the keep rule is the INTEGER cross-multiplied
+# comparison 100*rank > cutoff*n — no floor, no float thresholds.
+# 100 TB: one two-phase rank, a 3-row cutoff dim, one hash aggregate.
+# ---------------------------------------------------------------------------
+
+_PRUNE_CUTS = (10, 25, 50)
+
+_PRUNE_SQL = f"""
+WITH d AS (
+    SELECT doc_id, source,
+           LENGTH(string_split_regex(TRIM(text), '\\s+')) AS n_tok,
+           n_chars
+    FROM documents WHERE text IS NOT NULL
+),
+n AS (SELECT COUNT(*) AS n FROM d),
+r AS (
+    SELECT source, n_tok,
+           ROW_NUMBER() OVER (ORDER BY n_chars ASC, doc_id ASC) AS r
+    FROM d
+),
+tot AS (
+    SELECT source, COUNT(*) AS src_docs,
+           SUM(CAST(n_tok AS HUGEINT)) AS src_tokens
+    FROM d GROUP BY source
+),
+cuts AS (SELECT UNNEST([{", ".join(str(c) for c in _PRUNE_CUTS)}]) AS cut),
+kept AS (
+    SELECT c.cut, r.source,
+           COUNT(*) AS n_docs_kept,
+           SUM(CAST(r.n_tok AS HUGEINT)) AS n_tokens_kept
+    FROM r CROSS JOIN cuts c
+    WHERE 100 * r.r > c.cut * (SELECT n FROM n)
+    GROUP BY 1, 2
+)
+SELECT t.source,
+       CAST(c.cut AS BIGINT) AS cutoff_pct,
+       CAST(COALESCE(k.n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
+       CAST(COALESCE(k.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+       CASE WHEN t.src_tokens = 0 THEN NULL
+            ELSE ROUND(CAST(COALESCE(k.n_tokens_kept, 0) AS DOUBLE)
+                       / CAST(t.src_tokens AS DOUBLE), 6)
+       END AS token_retention
+FROM tot t CROSS JOIN cuts c
+LEFT JOIN kept k ON k.cut = c.cut AND k.source = t.source
+ORDER BY cutoff_pct, t.source
+"""
+
+
+@register("corpus_length_prune_retention", oracle=_PRUNE_SQL)
+def corpus_length_prune_retention(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    from deathmetal_datalake_spark.operators.ordering import two_phase_order
+
+    d = session_cache(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"),
+            "n_chars",
+        )
+    )
+    r = two_phase_order(
+        d,
+        [F.asc("n_chars"), F.asc("doc_id")],
+        F.col("n_chars"),
+        rank_col="r",
+        sub_key=F.col("doc_id"),
+        n_total_col="n",
+    )
+    cuts = spark.createDataFrame(
+        [(c,) for c in _PRUNE_CUTS], "cut int"
+    )
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    kept = (
+        r.crossJoin(broadcast(cuts))  # [dim] 3-row cutoff dim
+        .filter(
+            F.lit(100) * F.col("r") > F.col("cut").cast("long") * F.col("n")
+        )
+        .groupBy("cut", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum(d19("n_tok")).alias("n_tokens_kept"),
+        )
+    )
+    tot = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("src_docs"),
+        F.sum(d19("n_tok")).alias("src_tokens"),
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    return (
+        tot.crossJoin(broadcast(cuts))
+        .join(kept, ["cut", "source"], "left")
+        .select(
+            "source",
+            F.col("cut").cast("long").alias("cutoff_pct"),
+            F.coalesce(F.col("n_docs_kept"), F.lit(0))
+            .cast("long")
+            .alias("n_docs_kept"),
+            F.coalesce(F.col("n_tokens_kept"), zero)
+            .cast("long")
+            .alias("n_tokens_kept"),
+            F.when(
+                F.coalesce(F.col("src_tokens"), zero) == 0,
+                F.lit(None).cast("double"),
+            )
+            .otherwise(
+                F.round(
+                    F.coalesce(F.col("n_tokens_kept"), zero).cast("double")
+                    / F.col("src_tokens").cast("double"),
+                    6,
+                )
+            )
+            .alias("token_retention"),
+        )
+        .orderBy("cutoff_pct", "source")
+    )

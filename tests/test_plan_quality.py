@@ -188,6 +188,7 @@ _NONEQUI_OK = {
     "events_shapley_attribution",     # 8-subset x 8-mask lattice joins
     "embedding_participation_ratio",  # [1row] vector-count frame
     "dq_price_ending_uniformity",     # [1row] totals/numerator/mode frames
+    "corpus_length_prune_retention",  # [dim] 3-row cutoff dim cross joins
     "events_hll_registers",          # 1-row sketch-summary frames crossJoined
     "events_markov_stationary_2step",  # K x K bounded type-space matrix
     "text_rocchio_expansion",        # 1-row counts + post-limit term frames
@@ -375,6 +376,7 @@ _HINTED_BROADCAST_OK = {
     "events_shapley_attribution": 5,     # [enum] 8-mask/8-subset lattice + [1row] total
     "embedding_participation_ratio": 1,  # [1row] vector count
     "dq_price_ending_uniformity": 3,     # [1row] totals + numerator + [topk] mode
+    "corpus_length_prune_retention": 3,  # [dim] 3-row cutoff dim x2 + [bkt] offsets
 }
 
 
