@@ -287,7 +287,10 @@ class OrderSpec:
     key: Column
     key_desc: bool = False
     rank_col: str | None = None
-    cumsum: tuple[str, str] | None = None
+    # One (value_col, out_col) pair, or a LIST of pairs sharing this
+    # spec's total order (all computed from one bucket tag / totals
+    # aggregate / offsets frame / local window).
+    cumsum: "tuple[str, str] | list[tuple[str, str]] | None" = None
     sub_key: Column | None = None
     sub_desc: bool = False
 
@@ -370,7 +373,19 @@ def two_phase_order_multi(
         bkt = f"{_BKT}{i}"
         while bkt in out.columns:
             bkt = "_" + bkt
-        cnt_off, sum_off = f"{_CNT_OFF}{i}", f"{_SUM_OFF}{i}"
+        cnt_off = f"{_CNT_OFF}{i}"
+        # A spec's ``cumsum`` may be ONE (col, out) pair or a LIST of
+        # pairs sharing this spec's total order (round-12: the
+        # Jonckheere-Terpstra shape needs five per-group running counts
+        # over one value order — one bucket tag, one totals aggregate,
+        # one offsets frame, one local window for all five, instead of
+        # five full per-spec passes).
+        pairs = (
+            []
+            if s.cumsum is None
+            else ([s.cumsum] if isinstance(s.cumsum, tuple) else list(s.cumsum))
+        )
+        sum_offs = [f"{_SUM_OFF}{i}_{k}" for k in range(len(pairs))]
         out = out.withColumn(
             bkt,
             _bucket_from_collected(
@@ -379,8 +394,8 @@ def two_phase_order_multi(
             ),
         )
         aggs = [F.count(F.lit(1)).alias(_CNT)]
-        if s.cumsum is not None:
-            aggs.append(F.sum(s.cumsum[0]).alias(_SUM))
+        for k, (src_col, _outn) in enumerate(pairs):
+            aggs.append(F.sum(src_col).alias(f"{_SUM}{k}"))
         totals = out.groupBy(bkt).agg(*aggs)
         # Offsets over the totals frame: #buckets rows — the one global
         # window here is bounded by construction (see module docstring).
@@ -391,8 +406,8 @@ def two_phase_order_multi(
                 cnt_off
             ),
         ]
-        if s.cumsum is not None:
-            off_cols.append(F.sum(_SUM).over(w_off).alias(sum_off))
+        for k in range(len(pairs)):
+            off_cols.append(F.sum(f"{_SUM}{k}").over(w_off).alias(sum_offs[k]))
         if n_total_col is not None and i == 0:
             w_all = Window.orderBy(bkt).rowsBetween(
                 Window.unboundedPreceding, Window.unboundedFollowing
@@ -409,14 +424,14 @@ def two_phase_order_multi(
                 s.rank_col,
                 (F.col(cnt_off) + F.row_number().over(w_local)).cast("long"),
             )
-        if s.cumsum is not None:
-            local = F.sum(s.cumsum[0]).over(
+        for k, (src_col, out_col) in enumerate(pairs):
+            local = F.sum(src_col).over(
                 w_local.rowsBetween(Window.unboundedPreceding, 0)
             )
             out = out.withColumn(
-                s.cumsum[1], F.coalesce(F.col(sum_off), F.lit(0)) + local
+                out_col, F.coalesce(F.col(sum_offs[k]), F.lit(0)) + local
             )
-        out = out.drop(bkt, cnt_off, sum_off)
+        out = out.drop(bkt, cnt_off, *sum_offs)
     return out
 
 

@@ -40,6 +40,8 @@ del _rev_q, _rev_o
 # promoted to the head explicitly — the driver's prefix sample then
 # always covers the newest, least-battle-tested surface first.
 _NEWEST_FIRST = [
+    # round 12 batch 7: ordered-alternative k-group trend
+    "orders_jonckheere_terpstra_trend",
     # round 12 batch 6: prune-simulation retention
     "corpus_length_prune_retention",
     # round 12 batch 5: price-ending uniformity, WAV round trip

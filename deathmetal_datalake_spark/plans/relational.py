@@ -2152,3 +2152,174 @@ def orders_theil_u_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("theil_u"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Jonckheere-Terpstra ordered-alternative trend (round 12) — the
+# k-group test Kruskal-Wallis cannot be: KW asks "do the groups
+# differ?", J-T asks "do they INCREASE along a known ordering?" (here
+# order value along the 1-URGENT .. 5-LOW priority scale). J is the
+# sum over ordered group pairs i<j of Mann-Whitney exceedance counts;
+# on the distinct-value frame J = sum_v sum_{i<j} [c_j(v)*cumlt_i(v)
+# + c_i(v)*c_j(v)/2] — everything integer once doubled. All five
+# groups' running counts come from ONE fused two-phase pass
+# (two_phase_order_multi, 5 cumsum specs on the same total order —
+# never a single-task window). The raw 2J reaches ~N^2/2, so the
+# OUTPUT carries the normalized J / n_pairs (in [0,1], 0.5 = no
+# trend) and the z-score under the standard no-tie variance
+# (documented convention — o_totalprice is near-unique), never a
+# >2^63 integer. 100 TB: one hash aggregate to distinct values, the
+# fused two-phase cumsum, one 1-row reduce.
+# ---------------------------------------------------------------------------
+
+_JT_GROUPS = 5
+
+
+def _jt_pair_terms_sql() -> str:
+    terms = []
+    for i in range(1, _JT_GROUPS + 1):
+        for j in range(i + 1, _JT_GROUPS + 1):
+            terms.append(
+                f"2 * CAST(c{j} AS HUGEINT) * (cum{i} - c{i})"
+                f" + CAST(c{i} AS HUGEINT) * c{j}"
+            )
+    return " + ".join(terms)
+
+
+_JT_SQL = f"""
+WITH o AS (
+    SELECT CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS g,
+           o_totalprice AS v
+    FROM orders
+),
+d AS (
+    SELECT v,
+           {", ".join(f"SUM(CASE WHEN g = {i} THEN 1 ELSE 0 END) AS c{i}" for i in range(1, _JT_GROUPS + 1))}
+    FROM o GROUP BY v
+),
+cums AS (
+    SELECT v, {", ".join(f"c{i}" for i in range(1, _JT_GROUPS + 1))},
+           {", ".join(f"SUM(CAST(c{i} AS HUGEINT)) OVER (ORDER BY v ASC) AS cum{i}" for i in range(1, _JT_GROUPS + 1))}
+    FROM d
+),
+s AS (
+    SELECT SUM({_jt_pair_terms_sql()}) AS jt2
+    FROM cums
+),
+gn AS (
+    SELECT SUM(CAST(cnt AS HUGEINT) * cnt) AS sq,
+           SUM(CAST(cnt AS HUGEINT)) AS n,
+           COUNT(*) AS n_groups,
+           SUM(CAST(cnt AS HUGEINT) * cnt * (2 * cnt + 3)) AS sq3
+    FROM (SELECT g, COUNT(*) AS cnt FROM o GROUP BY g)
+)
+SELECT CAST(gn.n AS BIGINT) AS n_orders,
+       CAST(gn.n_groups AS BIGINT) AS n_groups,
+       CASE WHEN gn.n * gn.n - gn.sq = 0 THEN NULL
+            ELSE ROUND(CAST(CAST(s.jt2 AS VARCHAR) AS DOUBLE)
+                       / (2.0 * CAST(CAST((gn.n * gn.n - gn.sq) // 2
+                                     AS VARCHAR) AS DOUBLE)), 6)
+       END AS jt_normalized,
+       CASE WHEN gn.n * gn.n - gn.sq = 0 THEN NULL
+            ELSE ROUND((CAST(CAST(s.jt2 AS VARCHAR) AS DOUBLE)
+                        - CAST(CAST(gn.n * gn.n - gn.sq AS VARCHAR) AS DOUBLE)
+                          / 2.0)
+                       / (2.0 * SQRT((CAST(CAST(gn.n AS VARCHAR) AS DOUBLE)
+                                      * CAST(CAST(gn.n AS VARCHAR) AS DOUBLE)
+                                      * (2.0 * CAST(CAST(gn.n AS VARCHAR) AS DOUBLE) + 3.0)
+                                      - CAST(CAST(gn.sq3 AS VARCHAR) AS DOUBLE))
+                                     / 72.0)), 6)
+       END AS z_score
+FROM s, gn
+"""
+
+
+@register("orders_jonckheere_terpstra_trend", oracle=_JT_SQL)
+def orders_jonckheere_terpstra_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    from deathmetal_datalake_spark.operators.ordering import (
+        OrderSpec,
+        two_phase_order_multi,
+    )
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("g"),
+        F.col("o_totalprice").alias("v"),
+    )
+    rng = range(1, _JT_GROUPS + 1)
+    d = session_cache(
+        o.groupBy("v").agg(
+            *[
+                F.sum(F.when(F.col("g") == i, 1).otherwise(0)).alias(f"c{i}")
+                for i in rng
+            ]
+        )
+    )
+    # All five running counts share ONE total order, so they ride one
+    # spec with a multi-pair cumsum (one bucket tag, one totals
+    # aggregate, one offsets frame, one local window — round-12
+    # ordering extension), and the stages are pinned to cluster width
+    # instead of a vanilla session's 200 shuffle partitions.
+    cums = two_phase_order_multi(
+        d,
+        [
+            OrderSpec(
+                [F.asc("v")],
+                F.col("v"),
+                cumsum=[(f"c{i}", f"cum{i}") for i in rng],
+            )
+        ],
+        num_partitions=spark.sparkContext.defaultParallelism,
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    term = None
+    for i in rng:
+        for j in rng:
+            if i < j:
+                t = F.lit(2) * d38(F.col(f"c{j}")) * (
+                    d38(F.col(f"cum{i}")) - d38(F.col(f"c{i}"))
+                ) + d38(F.col(f"c{i}")) * d38(F.col(f"c{j}"))
+                term = t if term is None else term + t
+    s = cums.select(term.cast("decimal(38,0)").alias("t")).agg(
+        F.sum("t").alias("jt2")
+    )
+    gcnt = o.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
+    gn = gcnt.agg(
+        F.sum(d38(F.col("cnt")) * F.col("cnt")).alias("sq"),
+        F.sum(d38(F.col("cnt"))).alias("n"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(
+            d38(F.col("cnt")) * F.col("cnt") * (F.lit(2) * F.col("cnt") + 3)
+        ).alias("sq3"),
+    )
+    dd = lambda c: c.cast("string").cast("double")  # noqa: E731
+    npairs2 = (F.col("n") * F.col("n") - F.col("sq")).cast("decimal(38,0)")
+    half_pairs = F.expr(
+        "CAST((CAST(n AS DECIMAL(38,0)) * n - sq) div 2 AS DECIMAL(38,0))"
+    )
+    var = (
+        dd(F.col("n")) * dd(F.col("n")) * (F.lit(2.0) * dd(F.col("n")) + F.lit(3.0))
+        - dd(F.col("sq3"))
+    ) / F.lit(72.0)
+    return s.crossJoin(broadcast(gn)).select(  # [1row] group counts
+        F.col("n").cast("long").alias("n_orders"),
+        F.col("n_groups").cast("long").alias("n_groups"),
+        F.when(npairs2 == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(dd(F.col("jt2")) / (F.lit(2.0) * dd(half_pairs)), 6)
+        )
+        .alias("jt_normalized"),
+        F.when(npairs2 == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (dd(F.col("jt2")) - dd(npairs2) / F.lit(2.0))
+                / (F.lit(2.0) * F.sqrt(var)),
+                6,
+            )
+        )
+        .alias("z_score"),
+    )

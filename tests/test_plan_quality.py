@@ -189,6 +189,7 @@ _NONEQUI_OK = {
     "embedding_participation_ratio",  # [1row] vector-count frame
     "dq_price_ending_uniformity",     # [1row] totals/numerator/mode frames
     "corpus_length_prune_retention",  # [dim] 3-row cutoff dim cross joins
+    "orders_jonckheere_terpstra_trend",  # [1row] group-count frame
     "events_hll_registers",          # 1-row sketch-summary frames crossJoined
     "events_markov_stationary_2step",  # K x K bounded type-space matrix
     "text_rocchio_expansion",        # 1-row counts + post-limit term frames
@@ -377,6 +378,7 @@ _HINTED_BROADCAST_OK = {
     "embedding_participation_ratio": 1,  # [1row] vector count
     "dq_price_ending_uniformity": 3,     # [1row] totals + numerator + [topk] mode
     "corpus_length_prune_retention": 3,  # [dim] 3-row cutoff dim x2 + [bkt] offsets
+    "orders_jonckheere_terpstra_trend": 2,  # [bkt] offsets + [1row] group counts
 }
 
 
