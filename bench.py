@@ -184,7 +184,12 @@ BENCH_QUERIES = [
     # quantized retrieval with its brute-force recall audit, and the
     # Markov transition rollup (lag window + bounded aggregate)
     "text_winnowing_fingerprint",
-    "similarity_binary_sign_quant",
+    # (similarity_binary_sign_quant rotated out round 12, stdout
+    # budget — the 1-bit quantized retrieval shape stays covered by
+    # similarity_pq_adc_topk (codebook quantization) and
+    # similarity_filtered_ann; similarity keeps 4 benched
+    # representatives, two-scale history in docs/BENCH_FULL.json
+    # through r11.)
     # (events_type_transition_matrix rotated out round 9, stdout
     # budget — the events family keeps 4 benched representatives incl.
     # peak_concurrency, which exercises the same lag-window shape;
@@ -196,7 +201,10 @@ BENCH_QUERIES = [
     # budget — the sweep-line shape stays covered by its streaming twin
     # in CORRECTNESS; events keeps 6 benched representatives incl. the
     # core trio, two-scale history through the r11 seal.)
-    "dedup_shingle_df_profile",
+    # (dedup_shingle_df_profile rotated out round 12, stdout budget —
+    # the full-shingle-pass shape stays benched via dedup_ngram_jaccard
+    # (same explode + df aggregate upstream of its cap); dedup keeps 8
+    # benched representatives, two-scale history through the r11 seal.)
     # (similarity_radius_search rotated out round 11, stdout budget —
     # the broadcast-scan threshold shape stays benched via
     # similarity_filtered_ann; similarity keeps 5 benched
@@ -234,8 +242,12 @@ BENCH_QUERIES = [
     # dyadic wavelet energy pyramid, and variance-proportional stratum
     # allocation.
     "text_signal_spearman",
-    "events_haar_energy_levels",
-    "sample_neyman_allocation",
+    # (events_haar_energy_levels + sample_neyman_allocation rotated out
+    # round 12, stdout budget — the statistics family keeps 5 benched
+    # representatives (mannwhitney, wasserstein, spearman, markov
+    # attribution, gini) and the bounded-frame allocation shape stays
+    # covered by corpus_dsir_importance + pack_sequences_by_lang;
+    # two-scale histories in docs/BENCH_FULL.json through r11.)
     # Rotated IN round 11 (late, newest-first): one representative per
     # new round-11 family axis — the 1-D Wasserstein drift (two-phase
     # ECDF + rank equi-join), edit-distance blocking dedup (levenshtein
@@ -244,6 +256,17 @@ BENCH_QUERIES = [
     "dq_wasserstein_value_drift",
     "dedup_levenshtein_block_pairs",
     "events_cohort_retention_triangle",
+    # Rotated IN round 12 (newest-first, per governance): one
+    # representative per new family axis — banded-length edit-distance
+    # dedup (the adjacent-bucket pair branches + rule-5 upstream
+    # prune), the Gini concentration scalar (128-bit rank-weighted
+    # sums over the two-phase rank), the Gopher quality-rule battery
+    # (integer cross-multiplied thresholds, map-only), and the
+    # 29th streaming replay (32-bucket mergeable histogram state).
+    "dedup_levenshtein_banded_lengths",
+    "events_gini_user_activity",
+    "corpus_gopher_quality_rules",
+    "streaming_fixed_histogram_replay",
 ]
 
 # Governance (round-8, VERDICT r7 #2): the headline set may rotate —

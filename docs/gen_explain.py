@@ -44,6 +44,10 @@ NAMES = [
     # and the blocked self-join with the counted heavy-block cap
     "dq_wasserstein_value_drift",
     "dedup_levenshtein_block_pairs",
+    # round 12: the banded-length variant (adjacent-bucket branches,
+    # rule-5 pruned) and the anchor-decomposed phash band pairs
+    "dedup_levenshtein_banded_lengths",
+    "multimodal_phash_neardup",
     # round 4 (cont.): corpus gates, contrastive mining, freq sketch
     "dedup_bloom_prefilter",
     "text_bpe_merge_step",
