@@ -2334,7 +2334,6 @@ def dq_chi2_type_dow_independence(
         )
         .crossJoin(broadcast(cells.agg(F.count(F.lit(1)).alias("n_cells"))))
     )
-    chi2 = F.col("chi2_micro").cast("double") / F.lit(1000000.0)
     chi2z = F.coalesce(F.col("chi2_micro"), F.lit(0)).cast("double") / F.lit(
         1000000.0
     )
