@@ -40,6 +40,17 @@ del _rev_q, _rev_o
 # promoted to the head explicitly — the driver's prefix sample then
 # always covers the newest, least-battle-tested surface first.
 _NEWEST_FIRST = [
+    # round 12 batch 9: block-design nonparametrics (Friedman, Cochran
+    # Q), classifier-pair agreement (kappa/McNemar), and the
+    # temperature-scaled multilingual sampling mix
+    "orders_friedman_priority_ranks",
+    "events_cochran_q_actions",
+    "dq_rule_agreement_kappa",
+    "corpus_temperature_sampling_mix",
+    # round 12 batch 8: branch rebase (ours/theirs policy) + ref-log
+    # topology — the git-rebase / Nessie-reflog analogs
+    "catalog_branch_rebase_policies",
+    "catalog_ref_log_topology",
     # round 12 batch 7: ordered-alternative k-group trend
     "orders_jonckheere_terpstra_trend",
     # round 12 batch 6: prune-simulation retention

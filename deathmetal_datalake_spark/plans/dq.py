@@ -2466,3 +2466,122 @@ def dq_price_ending_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mode_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Filter-rule agreement: Cohen's kappa + McNemar (round 12) — the
+# classifier-pair audit every curation pipeline needs before swapping
+# one quality filter for another: do rule A (chars >= 200) and rule B
+# (>= 40 whitespace tokens) agree beyond chance, and is their
+# DISAGREEMENT symmetric? Kappa = (p_o - p_e) / (1 - p_e) from the
+# 2x2 confusion counts; McNemar's chi2 = (b - c)^2 / (b + c) on the
+# discordant cells decides whether switching rules shifts the pass
+# rate. Every input is an integer count, so both statistics are one
+# rational apiece — the only float ops are identical IEEE divides.
+# 100 TB: one map-only pass over documents (two CASE flags), one
+# 1-row reduce. Degenerate guards: pe = 1 (perfect chance agreement)
+# and b + c = 0 (no discordance) -> NULL.
+# ---------------------------------------------------------------------------
+
+_KAPPA_CHARS = 200
+_KAPPA_TOKENS = 40
+
+_KAPPA_SQL = rf"""
+WITH flags AS (
+    SELECT CASE WHEN LENGTH(text) >= {_KAPPA_CHARS} THEN 1 ELSE 0 END AS a,
+           CASE WHEN len(string_split_regex(TRIM(text), '\s+'))
+                     >= {_KAPPA_TOKENS} THEN 1 ELSE 0 END AS b
+    FROM documents
+    WHERE text IS NOT NULL AND TRIM(text) <> ''
+),
+cm AS (
+    SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+           SUM(CAST(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END AS HUGEINT)) AS n11,
+           SUM(CAST(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END AS HUGEINT)) AS n10,
+           SUM(CAST(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END AS HUGEINT)) AS n01,
+           SUM(CAST(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END AS HUGEINT)) AS n00
+    FROM flags
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(n11 AS BIGINT) AS n_both_pass,
+       CAST(n10 AS BIGINT) AS n_only_chars,
+       CAST(n01 AS BIGINT) AS n_only_tokens,
+       CAST(n00 AS BIGINT) AS n_both_fail,
+       CASE WHEN n * n - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) = 0
+            THEN NULL
+            ELSE ROUND(
+                CAST(CAST(n * (n11 + n00)
+                          - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+                     AS VARCHAR) AS DOUBLE)
+                / CAST(CAST(n * n
+                            - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+                       AS VARCHAR) AS DOUBLE), 6)
+       END AS cohen_kappa,
+       CASE WHEN n10 + n01 = 0 THEN NULL
+            ELSE ROUND(
+                CAST(CAST((n10 - n01) * (n10 - n01) AS VARCHAR) AS DOUBLE)
+                / CAST(CAST(n10 + n01 AS VARCHAR) AS DOUBLE), 6)
+       END AS mcnemar_chi2
+FROM cm
+"""
+
+
+@register("dq_rule_agreement_kappa", oracle=_KAPPA_SQL)
+def dq_rule_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    )
+    flags = docs.select(
+        F.when(F.length("text") >= _KAPPA_CHARS, 1).otherwise(0).alias("a"),
+        F.when(
+            F.size(F.split(F.trim(F.col("text")), r"\s+")) >= _KAPPA_TOKENS, 1
+        )
+        .otherwise(0)
+        .alias("b"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cm = flags.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(
+            d38(F.when((F.col("a") == 1) & (F.col("b") == 1), 1).otherwise(0))
+        ).alias("n11"),
+        F.sum(
+            d38(F.when((F.col("a") == 1) & (F.col("b") == 0), 1).otherwise(0))
+        ).alias("n10"),
+        F.sum(
+            d38(F.when((F.col("a") == 0) & (F.col("b") == 1), 1).otherwise(0))
+        ).alias("n01"),
+        F.sum(
+            d38(F.when((F.col("a") == 0) & (F.col("b") == 0), 1).otherwise(0))
+        ).alias("n00"),
+    )
+    dd = lambda c: c.cast("string").cast("double")  # noqa: E731
+    pe_num = (
+        (d38(F.col("n11")) + F.col("n10")) * (d38(F.col("n11")) + F.col("n01"))
+        + (d38(F.col("n01")) + F.col("n00"))
+        * (d38(F.col("n10")) + F.col("n00"))
+    ).cast("decimal(38,0)")
+    kap_den = (d38(F.col("n")) * F.col("n") - pe_num).cast("decimal(38,0)")
+    kap_num = (
+        d38(F.col("n")) * (d38(F.col("n11")) + F.col("n00")) - pe_num
+    ).cast("decimal(38,0)")
+    disc = (d38(F.col("n10")) + F.col("n01")).cast("decimal(38,0)")
+    mc_num = (
+        (d38(F.col("n10")) - F.col("n01"))
+        * (d38(F.col("n10")) - F.col("n01"))
+    ).cast("decimal(38,0)")
+    return cm.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("n11").cast("long").alias("n_both_pass"),
+        F.col("n10").cast("long").alias("n_only_chars"),
+        F.col("n01").cast("long").alias("n_only_tokens"),
+        F.col("n00").cast("long").alias("n_both_fail"),
+        F.when(kap_den == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(dd(kap_num) / dd(kap_den), 6))
+        .alias("cohen_kappa"),
+        F.when(disc == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(dd(mc_num) / dd(disc), 6))
+        .alias("mcnemar_chi2"),
+    )

@@ -5554,3 +5554,97 @@ def events_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cochran's Q across engagement actions (round 12) — the k-treatment
+# binary companion to McNemar: blocks are users, treatments the three
+# engagement actions (click / view / purchase), each cell "did the
+# user perform that action at least once". Q asks whether the three
+# action penetration rates differ beyond user-level heterogeneity —
+# the A/B/C feature-reach test run on every engagement funnel. With
+# column totals T_j, N = sum(B_i), and row-square sum sum(B_i^2), the
+# k=3 statistic reduces to Q = (6*sum T_j^2 - 2*N^2) / (3*N -
+# sum B_i^2) — every term an INTEGER aggregate, so the only float op
+# is the final division (identical IEEE divide both engines).
+# Blocks with B_i in {0, k} cancel from both numerator and
+# denominator, per the test's definition — no block filtering needed.
+# 100 TB: one map-combinable per-user aggregate (the pivot is three
+# MAX(CASE)s, not a join), one 1-row reduce. Degenerate denominator
+# (every user all-or-nothing) -> NULL.
+# ---------------------------------------------------------------------------
+
+_CQ_ACTS = ("click", "view", "purchase")
+
+_COCHRAN_Q_SQL = f"""
+WITH ut AS (
+    SELECT user_id,
+           {", ".join(f"MAX(CASE WHEN event_type = '{a}' THEN 1 ELSE 0 END) AS x{i}" for i, a in enumerate(_CQ_ACTS, 1))}
+    FROM events GROUP BY user_id
+),
+agg AS (
+    SELECT CAST(COUNT(*) AS HUGEINT) AS n_users,
+           {", ".join(f"SUM(CAST(x{i} AS HUGEINT)) AS t{i}" for i in range(1, 4))},
+           SUM(CAST(x1 + x2 + x3 AS HUGEINT)) AS sb,
+           SUM(CAST(x1 + x2 + x3 AS HUGEINT) * (x1 + x2 + x3)) AS sb2
+    FROM ut
+)
+SELECT CAST(n_users AS BIGINT) AS n_users,
+       CAST(t1 AS BIGINT) AS n_click_users,
+       CAST(t2 AS BIGINT) AS n_view_users,
+       CAST(t3 AS BIGINT) AS n_purchase_users,
+       CASE WHEN 3 * sb - sb2 = 0 THEN NULL
+            ELSE ROUND(
+                (6.0 * CAST(CAST(t1 * t1 + t2 * t2 + t3 * t3 AS VARCHAR) AS DOUBLE)
+                 - 2.0 * CAST(CAST(sb * sb AS VARCHAR) AS DOUBLE))
+                / CAST(CAST(3 * sb - sb2 AS VARCHAR) AS DOUBLE), 6)
+       END AS q_statistic
+FROM agg
+"""
+
+
+@register("events_cochran_q_actions", oracle=_COCHRAN_Q_SQL)
+def events_cochran_q_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.groupBy("user_id").agg(
+        *[
+            F.max(
+                F.when(F.col("event_type") == a, 1).otherwise(0)
+            ).alias(f"x{i}")
+            for i, a in enumerate(_CQ_ACTS, 1)
+        ]
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    bsum = F.col("x1") + F.col("x2") + F.col("x3")
+    agg = ut.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        *[F.sum(d38(F.col(f"x{i}"))).alias(f"t{i}") for i in range(1, 4)],
+        F.sum(d38(bsum)).alias("sb"),
+        F.sum(d38(bsum) * bsum).alias("sb2"),
+    )
+    dd = lambda c: c.cast("string").cast("double")  # noqa: E731
+    tsq = (
+        d38(F.col("t1")) * F.col("t1")
+        + d38(F.col("t2")) * F.col("t2")
+        + d38(F.col("t3")) * F.col("t3")
+    ).cast("decimal(38,0)")
+    denom = (F.lit(3) * d38(F.col("sb")) - F.col("sb2")).cast("decimal(38,0)")
+    return agg.select(
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("t1").cast("long").alias("n_click_users"),
+        F.col("t2").cast("long").alias("n_view_users"),
+        F.col("t3").cast("long").alias("n_purchase_users"),
+        F.when(denom == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (
+                    F.lit(6.0) * dd(tsq)
+                    - F.lit(2.0)
+                    * dd((d38(F.col("sb")) * F.col("sb")).cast("decimal(38,0)"))
+                )
+                / dd(denom),
+                6,
+            )
+        )
+        .alias("q_statistic"),
+    )

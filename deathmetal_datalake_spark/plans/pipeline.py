@@ -2343,3 +2343,102 @@ def corpus_length_prune_retention(
         )
         .orderBy("cutoff_pct", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled language mix, alpha = 0.5 (round 12) — the
+# multilingual rebalancing rule (mC4 / XLM-R convention): sampling
+# weights proportional to n_tokens^alpha flatten the language
+# distribution so high-resource languages stop drowning the tail.
+# alpha = 0.5 keeps every arithmetic step engine-exact: sqrt is
+# IEEE-correctly-rounded in BOTH engines (no libm drift, unlike
+# pow/log), each weight is then pinned to DECIMAL(18,6) (the same
+# double->decimal contract dsum relies on; sqrt of a 100 TB language's
+# token count is ~3e6, far inside 18,6), the weight total is an exact
+# decimal sum, and the shares/boosts are identical IEEE divides of
+# VARCHAR-parsed doubles. Output per language: natural share,
+# temperature share, and the boost factor the sampler applies. 100 TB:
+# one map-only token count, one map-combinable per-language aggregate,
+# a 1-row total frame — no data-proportional state.
+# ---------------------------------------------------------------------------
+
+_TEMP_MIX_SQL = r"""
+WITH per_doc AS (
+    SELECT lang, LENGTH(string_split_regex(TRIM(text), '\s+')) AS n_tokens
+    FROM documents
+    WHERE text IS NOT NULL AND TRIM(text) <> ''
+),
+langs AS (
+    SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM per_doc GROUP BY lang
+),
+w AS (
+    SELECT lang, n_tokens,
+           CAST(SQRT(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,6)) AS wgt
+    FROM langs
+),
+tot AS (
+    SELECT SUM(CAST(n_tokens AS HUGEINT)) AS nt, SUM(wgt) AS wt FROM w
+)
+SELECT w.lang,
+       w.n_tokens,
+       ROUND(CAST(CAST(w.n_tokens AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(tot.nt AS VARCHAR) AS DOUBLE), 6) AS natural_share,
+       ROUND(CAST(CAST(w.wgt AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(tot.wt AS VARCHAR) AS DOUBLE), 6) AS temp_share,
+       ROUND((CAST(CAST(w.wgt AS VARCHAR) AS DOUBLE)
+              / CAST(CAST(tot.wt AS VARCHAR) AS DOUBLE))
+             / (CAST(CAST(w.n_tokens AS VARCHAR) AS DOUBLE)
+                / CAST(CAST(tot.nt AS VARCHAR) AS DOUBLE)), 6) AS boost
+FROM w, tot
+ORDER BY w.lang
+"""
+
+
+@register("corpus_temperature_sampling_mix", oracle=_TEMP_MIX_SQL)
+def corpus_temperature_sampling_mix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    docs = spread(
+        load_table(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+        )
+    )
+    langs = docs.select(
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    ).groupBy("lang").agg(
+        F.sum(F.col("n_tokens").cast("bigint")).alias("n_tokens")
+    )
+    w = langs.select(
+        "lang",
+        "n_tokens",
+        F.sqrt(F.col("n_tokens").cast("double"))
+        .cast("decimal(18,6)")
+        .alias("wgt"),
+    )
+    tot = w.agg(
+        F.sum(F.col("n_tokens").cast("decimal(38,0)")).alias("nt"),
+        F.sum("wgt").alias("wt"),
+    )
+    dd = lambda c: c.cast("string").cast("double")  # noqa: E731
+    return (
+        w.crossJoin(broadcast(tot))  # [1row] corpus totals
+        .select(
+            "lang",
+            "n_tokens",
+            F.round(dd(F.col("n_tokens")) / dd(F.col("nt")), 6).alias(
+                "natural_share"
+            ),
+            F.round(dd(F.col("wgt")) / dd(F.col("wt")), 6).alias("temp_share"),
+            F.round(
+                (dd(F.col("wgt")) / dd(F.col("wt")))
+                / (dd(F.col("n_tokens")) / dd(F.col("nt"))),
+                6,
+            ).alias("boost"),
+        )
+        .orderBy("lang")
+    )

@@ -2323,3 +2323,131 @@ def orders_jonckheere_terpstra_trend(
         )
         .alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Friedman rank test across priority classes (round 12) — the
+# within-block k-treatment companion to Kruskal-Wallis (between-group)
+# and Jonckheere-Terpstra (ordered-alternative): blocks are calendar
+# weeks, treatments the five order priorities, the response each
+# cell's weekly revenue. Only COMPLETE blocks (all five priorities
+# present) enter, per the test's definition. Ranks are tie-averaged
+# and kept INTEGER as doubled ranks (r2 = 2*lt + eq + 1), so rank sums
+# are exact; the statistic chi2_F = 3*sum_j R2_j^2 / (n*k*(k+1)) -
+# 3*n*(k+1) (the doubled-rank form of the textbook 12/(nk(k+1)) *
+# sum R_j^2 - 3n(k+1)) is one rational of exact integers. Week number
+# is the engine-independent integer dn DIV 7 (Theil-Sen convention);
+# weekly revenues cross to double via the VARCHAR parse so both
+# engines compare identical IEEE values when ranking. 100 TB: one
+# map-combinable weekly aggregate, a within-block self-join bounded at
+# k=5 rows per block (expansion factor 5, never data-quadratic), two
+# hash aggregates, a 1-row statistic frame.
+# ---------------------------------------------------------------------------
+
+_FR_K = 5
+
+_FRIEDMAN_SQL = f"""
+WITH weekly AS (
+    SELECT CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) // 7
+               AS wn,
+           CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS g,
+           {sql_dsum("o_totalprice", "rev")}
+    FROM orders GROUP BY 1, 2
+),
+full_blocks AS (
+    SELECT wn FROM weekly GROUP BY wn HAVING COUNT(*) = {_FR_K}
+),
+wb AS (SELECT weekly.* FROM weekly JOIN full_blocks USING (wn)),
+ranked AS (
+    SELECT a.wn, a.g,
+           2 * SUM(CASE WHEN b.rev < a.rev THEN 1 ELSE 0 END)
+             + SUM(CASE WHEN b.rev = a.rev THEN 1 ELSE 0 END) + 1 AS r2
+    FROM wb a JOIN wb b USING (wn)
+    GROUP BY a.wn, a.g, a.rev
+),
+rs AS (
+    SELECT g, SUM(CAST(r2 AS HUGEINT)) AS r2sum FROM ranked GROUP BY g
+),
+meta AS (
+    SELECT (SELECT CAST(COUNT(*) AS HUGEINT) FROM full_blocks) AS n,
+           SUM(CAST(r2sum AS HUGEINT) * r2sum) AS ssq
+    FROM rs
+)
+SELECT CAST(rs.g AS INTEGER) AS priority_class,
+       CAST(meta.n AS BIGINT) AS n_weeks,
+       CAST(CAST(rs.r2sum AS VARCHAR) AS DOUBLE) / 2.0 AS rank_sum,
+       ROUND(CAST(CAST(rs.r2sum AS VARCHAR) AS DOUBLE) / 2.0
+             / CAST(CAST(meta.n AS VARCHAR) AS DOUBLE), 6) AS mean_rank,
+       ROUND(3.0 * CAST(CAST(meta.ssq AS VARCHAR) AS DOUBLE)
+                 / (CAST(CAST(meta.n AS VARCHAR) AS DOUBLE)
+                    * {_FR_K} * {_FR_K + 1})
+             - 3.0 * CAST(CAST(meta.n AS VARCHAR) AS DOUBLE) * {_FR_K + 1},
+             6) AS chi2_friedman
+FROM rs, meta
+ORDER BY priority_class
+"""
+
+
+@register("orders_friedman_priority_ranks", oracle=_FRIEDMAN_SQL)
+def orders_friedman_priority_ranks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    o = load_table(spark, sf_dir, "orders").select(
+        (
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+            .cast("bigint")
+        ),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("g"),
+        F.col("o_totalprice"),
+    ).toDF("dn", "g", "price")
+    weekly = o.withColumn(
+        "wn", F.expr("dn div 7")
+    ).groupBy("wn", "g").agg(dsum("price", "rev"))
+    weekly = session_cache(weekly)
+    full_blocks = weekly.groupBy("wn").agg(F.count(F.lit(1)).alias("kk")).filter(
+        F.col("kk") == _FR_K
+    ).select("wn")
+    wb = weekly.join(full_blocks, "wn")
+    b = wb.select(
+        F.col("wn"), F.col("rev").alias("rev_b")
+    )
+    ranked = (
+        wb.join(b, "wn")
+        .groupBy("wn", "g", "rev")
+        .agg(
+            (
+                F.lit(2) * F.sum(F.when(F.col("rev_b") < F.col("rev"), 1).otherwise(0))
+                + F.sum(F.when(F.col("rev_b") == F.col("rev"), 1).otherwise(0))
+                + F.lit(1)
+            ).alias("r2")
+        )
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    rs = ranked.groupBy("g").agg(F.sum(d38(F.col("r2"))).alias("r2sum"))
+    meta = rs.agg(
+        F.sum(d38(F.col("r2sum")) * F.col("r2sum")).alias("ssq")
+    ).crossJoin(
+        broadcast(full_blocks.agg(F.count(F.lit(1)).alias("n")))  # [1row]
+    )
+    dd = lambda c: c.cast("string").cast("double")  # noqa: E731
+    return (
+        rs.crossJoin(broadcast(meta))  # [1row] statistic frame
+        .select(
+            F.col("g").cast("int").alias("priority_class"),
+            F.col("n").cast("long").alias("n_weeks"),
+            (dd(F.col("r2sum")) / F.lit(2.0)).alias("rank_sum"),
+            F.round(
+                dd(F.col("r2sum")) / F.lit(2.0) / dd(F.col("n")), 6
+            ).alias("mean_rank"),
+            F.round(
+                F.lit(3.0)
+                * dd(F.col("ssq"))
+                / (dd(F.col("n")) * F.lit(float(_FR_K * (_FR_K + 1))))
+                - F.lit(3.0) * dd(F.col("n")) * F.lit(float(_FR_K + 1)),
+                6,
+            ).alias("chi2_friedman"),
+        )
+        .orderBy("priority_class")
+    )

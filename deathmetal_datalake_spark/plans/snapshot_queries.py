@@ -2137,3 +2137,212 @@ def catalog_branch_merge_threeway(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         rows = out.collect()
         return spark.createDataFrame(rows, schema=out.schema)
+
+
+# ---------------------------------------------------------------------------
+# BRANCH REBASE with ours/theirs policy, driver-checked (round 12) —
+# the git-rebase analog on the branch surface
+# (sources/snapshots.rebase_branch): three identical dev forks each
+# upsert a disjoint 'O' slice (+5), double a sparse 'P' slice (the
+# CONFLICT set — main independently bumps every 'P' order by 1000),
+# and delete a sparse 'F' slice. strategy='fail' must raise with the
+# exact conflict count; 'theirs' must keep main's +1000 on the
+# conflict keys while the rest of the delta lands; 'ours' must keep
+# the doubled values. Both rebased branches are aggregated in one
+# output row, so the oracle pins the policy semantics relationally.
+# O(delta) throughout: the rebase reads only post-fork dirs/key sets.
+# ---------------------------------------------------------------------------
+
+_RB_CONFLICT_MOD = 5  # C = P-status keys divisible by 5 (both sides touch)
+_RB_UPS_MOD = 97  # D = O-status keys divisible by 97 (dev-only upsert)
+_RB_DEL_MOD = 89  # X = F-status keys divisible by 89 (dev-only delete)
+
+_REBASE_SQL = f"""
+WITH kept AS (
+    SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS a
+    FROM orders
+    WHERE NOT (o_orderstatus = 'F' AND o_orderkey % {_RB_DEL_MOD} = 0)
+),
+theirs AS (
+    SELECT CASE
+        WHEN st = 'P' THEN a + 1000
+        WHEN st = 'O' AND k % {_RB_UPS_MOD} = 0 THEN a + 5
+        ELSE a END AS a
+    FROM kept
+),
+ours AS (
+    SELECT CASE
+        WHEN st = 'P' AND k % {_RB_CONFLICT_MOD} = 0 THEN a * 2
+        WHEN st = 'P' THEN a + 1000
+        WHEN st = 'O' AND k % {_RB_UPS_MOD} = 0 THEN a + 5
+        ELSE a END AS a
+    FROM kept
+)
+SELECT
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+     WHERE o_orderstatus = 'P' AND o_orderkey % {_RB_CONFLICT_MOD} = 0)
+        AS n_conflict_keys,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM theirs) AS n_rows_theirs,
+    (SELECT {sql_dsum("a", "t")} FROM theirs) AS total_theirs,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM ours) AS n_rows_ours,
+    (SELECT {sql_dsum("a", "t")} FROM ours) AS total_ours
+"""
+
+
+@register("catalog_branch_rebase_policies", oracle=_REBASE_SQL)
+def catalog_branch_rebase_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deathmetal_datalake_spark.sources.snapshots import MergeConflict
+
+    orders = session_cache(spread(load_table(spark, sf_dir, "orders")))
+    with tempfile.TemporaryDirectory(prefix="dml-snapq-") as d:
+        tbl = SnapshotTable(spark, os.path.join(d, "orders_rebase"))
+        tbl.write(
+            orders.select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_totalprice").alias("a"),
+            ),
+            "overwrite",
+        )
+        dev_delta_ups = orders.filter(
+            (F.col("o_orderstatus") == "O")
+            & (F.col("o_orderkey") % _RB_UPS_MOD == 0)
+        ).select(
+            F.col("o_orderkey").alias("k"),
+            (F.col("o_totalprice") + 5).alias("a"),
+        ).unionByName(
+            orders.filter(
+                (F.col("o_orderstatus") == "P")
+                & (F.col("o_orderkey") % _RB_CONFLICT_MOD == 0)
+            ).select(
+                F.col("o_orderkey").alias("k"),
+                (F.col("o_totalprice") * 2).alias("a"),
+            )
+        )
+        dev_delta_del = orders.filter(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("o_orderkey") % _RB_DEL_MOD == 0)
+        ).select(F.col("o_orderkey").alias("k"))
+        for b in ("dev_fail", "dev_ours", "dev_theirs"):
+            tbl.create_branch(b)
+            tbl.merge_upsert(dev_delta_ups, "k", branch=b)
+            tbl.delete_keys(dev_delta_del, "k", branch=b)
+        # main diverges: every 'P' order bumped by 1000 (superset of C).
+        tbl.merge_upsert(
+            orders.filter(F.col("o_orderstatus") == "P").select(
+                F.col("o_orderkey").alias("k"),
+                (F.col("o_totalprice") + 1000).alias("a"),
+            ),
+            "k",
+        )
+        try:
+            tbl.rebase_branch("dev_fail", "main", "k")
+            n_conflicts = -1  # must be unreachable
+        except MergeConflict as exc:
+            n_conflicts = exc.n_conflicts
+        main_head = tbl.branches()["main"]
+        for b, strat in (("dev_ours", "ours"), ("dev_theirs", "theirs")):
+            snap = tbl.rebase_branch(b, "main", "k", strategy=strat)
+            assert snap.mode == "rebase" and snap.parent_id == main_head
+        assert tbl.branches()["main"] == main_head  # onto never moves
+        th = tbl.read(branch="dev_theirs").agg(
+            F.count(F.lit(1)).alias("n_rows_theirs"),
+            dsum("a", "total_theirs"),
+        )
+        ou = tbl.read(branch="dev_ours").agg(
+            F.count(F.lit(1)).alias("n_rows_ours"),
+            dsum("a", "total_ours"),
+        )
+        out = th.crossJoin(ou).select(
+            F.lit(n_conflicts).cast("long").alias("n_conflict_keys"),
+            "n_rows_theirs",
+            "total_theirs",
+            "n_rows_ours",
+            "total_ours",
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)
+
+
+# ---------------------------------------------------------------------------
+# REF-LOG TOPOLOGY, driver-checked (round 12) — the Nessie
+# reflog/commit-log analog (sources/snapshots.ref_log): main grows by
+# one write per order status ('F' overwrite, then 'O' and 'P'
+# appends), 'dev' forks after the second write and appends the sparse
+# P%3 slice, and a tag pins the fork point. The query emits one row
+# per (ref, lineage position) with the snapshot's mode, fork marker,
+# and its METADATA-ONLY row count (metadata_count — zero data I/O on
+# an append-only lineage), so the oracle pins both the topology and
+# the manifest row-count bookkeeping against plain COUNT(*)s.
+# ---------------------------------------------------------------------------
+
+_REFLOG_SQL = """
+WITH f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders WHERE o_orderstatus = 'F'),
+o AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders WHERE o_orderstatus = 'O'),
+p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders WHERE o_orderstatus = 'P'),
+p3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+       FROM orders WHERE o_orderstatus = 'P' AND o_orderkey % 3 = 0)
+SELECT * FROM (
+    SELECT 'dev' AS ref, 'branch' AS ref_kind, CAST(0 AS BIGINT) AS position,
+           'overwrite' AS mode, FALSE AS is_head, FALSE AS is_fork_of_main,
+           (SELECT n FROM f) AS n_rows
+    UNION ALL
+    SELECT 'dev', 'branch', 1, 'append', FALSE, TRUE,
+           (SELECT n FROM f) + (SELECT n FROM o)
+    UNION ALL
+    SELECT 'dev', 'branch', 2, 'append', TRUE, FALSE,
+           (SELECT n FROM f) + (SELECT n FROM o) + (SELECT n FROM p3)
+    UNION ALL
+    SELECT 'main', 'branch', 0, 'overwrite', FALSE, FALSE, (SELECT n FROM f)
+    UNION ALL
+    SELECT 'main', 'branch', 1, 'append', FALSE, FALSE,
+           (SELECT n FROM f) + (SELECT n FROM o)
+    UNION ALL
+    SELECT 'main', 'branch', 2, 'append', TRUE, FALSE,
+           (SELECT n FROM f) + (SELECT n FROM o) + (SELECT n FROM p)
+    UNION ALL
+    SELECT 'fork-point', 'tag', 0, 'overwrite', FALSE, FALSE, (SELECT n FROM f)
+    UNION ALL
+    SELECT 'fork-point', 'tag', 1, 'append', TRUE, FALSE,
+           (SELECT n FROM f) + (SELECT n FROM o)
+) t
+ORDER BY ref, position
+"""
+
+
+@register("catalog_ref_log_topology", oracle=_REFLOG_SQL)
+def catalog_ref_log_topology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = session_cache(spread(load_table(spark, sf_dir, "orders")))
+    with tempfile.TemporaryDirectory(prefix="dml-snapq-") as d:
+        tbl = SnapshotTable(spark, os.path.join(d, "orders_reflog"))
+        sel = lambda st: orders.filter(F.col("o_orderstatus") == st).select(
+            F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("a")
+        )
+        tbl.write(sel("F"), "overwrite")
+        fork = tbl.write(sel("O"), "append")
+        tbl.create_branch("dev")
+        tbl.create_tag("fork-point", snapshot_id=fork.snapshot_id)
+        tbl.write(
+            sel("P").filter(F.col("k") % 3 == 0), "append", branch="dev"
+        )
+        tbl.write(sel("P"), "append")
+        rows = []
+        for r in tbl.ref_log():
+            n = tbl.metadata_count(snapshot_id=r["snapshot_id"])
+            assert n is not None  # append-only lineage: provable counts
+            rows.append(
+                (
+                    r["ref"],
+                    r["ref_kind"],
+                    r["position"],
+                    r["mode"],
+                    r["is_head"],
+                    r["is_fork_of_main"],
+                    n,
+                )
+            )
+        out = spark.createDataFrame(
+            rows,
+            "ref string, ref_kind string, position long, mode string, "
+            "is_head boolean, is_fork_of_main boolean, n_rows long",
+        )
+        return out.orderBy("ref", "position")

@@ -2519,7 +2519,7 @@ class SnapshotTable:
             bad = [
                 s.snapshot_id
                 for s in _post_fork(hist)
-                if s.mode not in ("append", "delete", "merge")
+                if s.mode not in ("append", "delete", "merge", "rebase")
             ]
             if bad:
                 raise ValueError(
@@ -2625,6 +2625,369 @@ class SnapshotTable:
             live[dst] = snapshot_id
             self._write_refs(live)
         return snap
+
+    def rebase_branch(
+        self,
+        src: str,
+        onto: str,
+        key_col: str,
+        strategy: str = "fail",
+        sample_conflicts: int = 20,
+    ) -> Snapshot:
+        """Replay ``src``'s post-fork NET delta on top of ``onto``'s
+        head — the git-rebase analog over the branch surface, and the
+        "ours/theirs" conflict-policy companion to :meth:`merge_branch`
+        (which only supports disjoint mutation sets). ``src``'s ref
+        moves to ONE new ``rebase`` snapshot whose parent is ``onto``'s
+        head; ``onto`` never moves.
+
+        The net delta since the fork is key-level and O(delta): only
+        post-fork data dirs and delete-key dirs are read, never the
+        fork-side table. Within the delta, a delete kills exactly the
+        rows committed before it (scoped-delete semantics), so the
+        surviving state per key is its last written version; a key with
+        MORE than one surviving row (two plain appends of the same key,
+        no delete between) is not expressible as a keyed upsert and
+        raises ValueError, as do NULL keys — same contract as
+        :meth:`merge_upsert`.
+
+        Conflict keys are delta keys that ``onto`` also mutated since
+        the fork. ``strategy`` decides: ``"fail"`` (default) raises
+        :class:`MergeConflict` with a deterministic key sample
+        (merge_branch parity); ``"ours"`` applies src's delta verbatim
+        (src's version replaces — or deletes — onto's); ``"theirs"``
+        drops the conflict keys from both the upsert frame and the
+        delete set, keeping onto's versions. Degenerate forms
+        short-circuit: src at the fork fast-forwards to onto's head; an
+        unmoved onto (or an empty net delta) leaves src where it is.
+        CAS: both refs are re-checked under the commit lock.
+        """
+        if strategy not in ("fail", "ours", "theirs"):
+            raise ValueError(f"unknown rebase strategy {strategy!r}")
+        refs = self._read_refs()
+        for b in (src, onto):
+            if b not in refs:
+                raise LookupError(f"branch {b!r} has no snapshots")
+        src_head_id, onto_head_id = refs[src], refs[onto]
+        src_hist = self.history(src)
+        onto_hist = self.history(onto)
+        src_ids = [s.snapshot_id for s in src_hist]
+        onto_ids = [s.snapshot_id for s in onto_hist]
+        common = set(src_ids) & set(onto_ids)
+        if not common:
+            raise ValueError(
+                f"branches {src!r} and {onto!r} share no common ancestor"
+            )
+        fork_id = next(i for i in reversed(onto_ids) if i in common)
+        if src_head_id == fork_id:
+            # src added nothing: rebase == fast-forward onto onto's head.
+            with self._commit_lock():
+                live = self._read_refs()
+                if live.get(src) != src_head_id or live.get(onto) != onto_head_id:
+                    raise CommitConflict(
+                        f"{src!r} or {onto!r} moved during rebase"
+                    )
+                live[src] = onto_head_id
+                self._write_refs(live)
+            return self._load_snapshot(onto_head_id)
+        if onto_head_id == fork_id:
+            return self._load_snapshot(src_head_id)  # already based there
+
+        fork = self._load_snapshot(fork_id)
+        src_head = self._load_snapshot(src_head_id)
+        onto_head = self._load_snapshot(onto_head_id)
+
+        def _post_fork(hist: list[Snapshot]) -> list[Snapshot]:
+            ids = [s.snapshot_id for s in hist]
+            return hist[ids.index(fork_id) + 1 :]
+
+        for side, hist in ((src, src_hist), (onto, onto_hist)):
+            bad = [
+                s.snapshot_id
+                for s in _post_fork(hist)
+                if s.mode not in ("append", "delete", "merge", "rebase")
+            ]
+            if bad:
+                raise ValueError(
+                    f"snapshots {bad} on {side!r} after the fork are "
+                    "overwrites/compactions; the delta is not "
+                    "row-expressible"
+                )
+
+        from pyspark.sql import functions as F
+
+        # ---- src's net delta, in commit order -------------------------
+        # Each post-fork snapshot i contributes its NEW dirs at seq 2i+1
+        # and its NEW delete-key dirs at seq 2i: a merge's delete half
+        # covers only pre-merge dirs, so it must order BEFORE the same
+        # snapshot's appended rows.
+        row_frames: list[DataFrame] = []
+        del_frames: list[DataFrame] = []
+        prev_dirs = set(fork.data_dirs)
+        prev_dels = {d for d, _, _ in fork.deletes}
+        for i, snap in enumerate(_post_fork(src_hist)):
+            new_dirs = [d for d in snap.data_dirs if d not in prev_dirs]
+            if new_dirs:
+                row_frames.append(
+                    self._read_dirs_evolved(src_head, new_dirs).withColumn(
+                        "_rb_seq", F.lit(2 * i + 1)
+                    )
+                )
+            for del_dir, del_key, _covers in snap.deletes:
+                if del_dir in prev_dels:
+                    continue
+                del_frames.append(
+                    self.spark.read.parquet(del_dir).select(
+                        F.col(del_key).alias(key_col),
+                        F.lit(2 * i).alias("_rb_seq"),
+                    )
+                )
+            prev_dirs = set(snap.data_dirs)
+            prev_dels = {d for d, _, _ in snap.deletes}
+
+        if not row_frames and not del_frames:
+            return self._load_snapshot(src_head_id)  # empty net delta
+
+        rows = None
+        if row_frames:
+            rows = row_frames[0]
+            for fr in row_frames[1:]:
+                rows = rows.unionByName(fr, allowMissingColumns=True)
+            if key_col not in rows.columns:
+                raise ValueError(f"delta rows have no column {key_col!r}")
+        last_del = None
+        if del_frames:
+            last_del = del_frames[0]
+            for fr in del_frames[1:]:
+                last_del = last_del.unionByName(fr)
+            last_del = last_del.groupBy(key_col).agg(
+                F.max("_rb_seq").alias("_rb_del_seq")
+            )
+
+        if rows is not None:
+            if last_del is not None:
+                live = rows.join(last_del, key_col, "left").filter(
+                    F.col("_rb_seq")
+                    > F.coalesce(F.col("_rb_del_seq"), F.lit(-1))
+                ).drop("_rb_del_seq")
+            else:
+                live = rows
+            kstats = live.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count(key_col).alias("n_nonnull"),
+                F.countDistinct(key_col).alias("n_keys"),
+            ).first()
+            if kstats["n_nonnull"] < kstats["n"]:
+                raise ValueError(
+                    f"rebase_branch: {kstats['n'] - kstats['n_nonnull']} "
+                    f"surviving delta row(s) with NULL {key_col!r} — NULL "
+                    "keys cannot replay as an equality-keyed upsert"
+                )
+            if kstats["n_keys"] < kstats["n_nonnull"]:
+                raise ValueError(
+                    "rebase_branch: a key has more than one surviving row "
+                    "in the post-fork delta "
+                    f"({kstats['n_nonnull'] - kstats['n_keys']} extra); "
+                    "not expressible as a keyed upsert"
+                )
+            upserts = live.drop("_rb_seq")
+        else:
+            upserts = None
+
+        if last_del is not None:
+            deleted = last_del.select(key_col).filter(
+                F.col(key_col).isNotNull()
+            )
+            if upserts is not None:
+                deleted = deleted.join(
+                    upserts.select(key_col), key_col, "left_anti"
+                )
+        else:
+            deleted = None
+
+        # ---- conflicts vs onto's post-fork mutations -------------------
+        def _onto_mutated() -> "Optional[DataFrame]":
+            new_dirs = [
+                d for d in onto_head.data_dirs if d not in fork.data_dirs
+            ]
+            frames = []
+            if new_dirs:
+                frames.append(
+                    self._read_dirs_evolved(onto_head, new_dirs).select(key_col)
+                )
+            for del_dir, del_key, _covers in onto_head.deletes:
+                if del_dir in {d for d, _, _ in fork.deletes}:
+                    continue
+                frames.append(
+                    self.spark.read.parquet(del_dir).select(
+                        F.col(del_key).alias(key_col)
+                    )
+                )
+            if not frames:
+                return None
+            out = frames[0]
+            for fr in frames[1:]:
+                out = out.unionByName(fr)
+            return out.distinct()
+
+        delta_keys = None
+        for part in (upserts, deleted):
+            if part is None:
+                continue
+            k = part.select(key_col)
+            delta_keys = k if delta_keys is None else delta_keys.unionByName(k)
+        delta_keys = delta_keys.distinct()
+        onto_keys = _onto_mutated()
+        conflicts = (
+            delta_keys.join(onto_keys, key_col, "inner")
+            if onto_keys is not None
+            else None
+        )
+        if conflicts is not None and strategy == "fail":
+            sample = [
+                r[key_col]
+                for r in conflicts.orderBy(key_col)
+                .limit(sample_conflicts)
+                .collect()
+            ]
+            if sample:
+                n = conflicts.count()
+                raise MergeConflict(
+                    f"rebase {src!r} onto {onto!r}: {n} key(s) mutated on "
+                    f"both branches since fork snapshot {fork_id}; first "
+                    f"{len(sample)}: {sample} (pick strategy='ours' or "
+                    "'theirs' to resolve)",
+                    conflict_keys=sample,
+                    n_conflicts=n,
+                )
+        if conflicts is not None and strategy == "theirs":
+            if upserts is not None:
+                upserts = upserts.join(conflicts, key_col, "left_anti")
+            if deleted is not None:
+                deleted = deleted.join(conflicts, key_col, "left_anti")
+        # strategy == "ours": apply the delta verbatim.
+
+        # ---- stage outside the lock, publish under it ------------------
+        applied_keys = None
+        for part in (upserts, deleted):
+            if part is None:
+                continue
+            k = part.select(key_col)
+            applied_keys = (
+                k if applied_keys is None else applied_keys.unionByName(k)
+            )
+        new_dirs_out: list[str] = []
+        new_partitions: dict = {}
+        new_dir_stats: dict = {}
+        new_file_stats: dict = {}
+        write_epoch = None
+        if upserts is not None:
+            write_epoch = self._registry_epoch_for_write(upserts)
+            (
+                new_dirs_out,
+                new_partitions,
+                new_dir_stats,
+                new_file_stats,
+            ) = self._write_data_dirs(upserts, "rebase")
+        del_dir = os.path.join(self._data_dir, f"del-{uuid.uuid4().hex[:12]}")
+        applied_keys.distinct().write.mode("errorifexists").parquet(del_dir)
+        new_epochs = (
+            {d: write_epoch for d in new_dirs_out}
+            if write_epoch is not None
+            else {}
+        )
+        with self._commit_lock():
+            live_refs = self._read_refs()
+            if (
+                live_refs.get(src) != src_head_id
+                or live_refs.get(onto) != onto_head_id
+            ):
+                raise CommitConflict(f"{src!r} or {onto!r} moved during rebase")
+            snapshot_id = self._next_snapshot_id()
+            snap = Snapshot(
+                snapshot_id=snapshot_id,
+                parent_id=onto_head_id,
+                mode="rebase",
+                data_dirs=onto_head.data_dirs + tuple(new_dirs_out),
+                committed_at=time.time(),
+                # The equality delete covers ONLY onto-head's dirs: the
+                # replayed dir's rows survive their own keys.
+                deletes=onto_head.deletes
+                + ((del_dir, key_col, onto_head.data_dirs),),
+                dir_stats={**onto_head.dir_stats, **new_dir_stats},
+                file_stats={**onto_head.file_stats, **new_file_stats},
+                dir_partitions={**onto_head.dir_partitions, **new_partitions},
+                dir_epochs={**onto_head.dir_epochs, **new_epochs},
+            )
+            with open(self._snap_path(snapshot_id), "x") as f:
+                json.dump(_snapshot_to_json(snap), f, indent=1)
+            self._record_snapshot_id(snapshot_id)
+            live_refs[src] = snapshot_id
+            self._write_refs(live_refs)
+        return snap
+
+    def ref_log(self) -> list[dict]:
+        """The table's ref topology as plain rows — the Nessie
+        reflog/commit-log analog. One row per (ref, lineage snapshot):
+        ``{ref, ref_kind, position, snapshot_id, parent_id, mode,
+        n_data_dirs, n_deletes, is_head, is_fork_of_main}`` where
+        ``position`` counts from the lineage root and
+        ``is_fork_of_main`` marks the last snapshot the ref shares with
+        ``main`` (the merge/rebase fork point). Metadata-only: reads
+        manifests, never data files. Returned as plain dicts so callers
+        can ``spark.createDataFrame`` at any parallelism."""
+        rows: list[dict] = []
+        refs = self._read_refs()
+        tags = self._read_tags()
+        main_ids = (
+            {s.snapshot_id for s in self.history(_MAIN)}
+            if _MAIN in refs
+            else set()
+        )
+        for kind, mapping in (("branch", refs), ("tag", tags)):
+            for name in sorted(mapping):
+                hist = (
+                    self.history(name)
+                    if kind == "branch"
+                    else self._tag_history(mapping[name])
+                )
+                shared = [
+                    s.snapshot_id for s in hist if s.snapshot_id in main_ids
+                ]
+                # The fork marker is a branch concept: a tag pins a
+                # point, it does not diverge from anything.
+                fork_of_main = (
+                    shared[-1] if shared and kind == "branch" else None
+                )
+                for pos, s in enumerate(hist):
+                    rows.append(
+                        {
+                            "ref": name,
+                            "ref_kind": kind,
+                            "position": pos,
+                            "snapshot_id": s.snapshot_id,
+                            "parent_id": s.parent_id,
+                            "mode": s.mode,
+                            "n_data_dirs": len(s.data_dirs),
+                            "n_deletes": len(s.deletes),
+                            "is_head": pos == len(hist) - 1,
+                            "is_fork_of_main": s.snapshot_id == fork_of_main
+                            and name != _MAIN,
+                        }
+                    )
+        return rows
+
+    def _tag_history(self, snapshot_id: int) -> list[Snapshot]:
+        """Lineage ending at an arbitrary snapshot id (tags pin
+        mid-lineage points that no branch ref reaches)."""
+        out: list[Snapshot] = []
+        cur: Optional[int] = snapshot_id
+        while cur is not None:
+            snap = self._load_snapshot(cur)
+            out.append(snap)
+            cur = snap.parent_id
+        out.reverse()
+        return out
 
     # ---- maintenance ----------------------------------------------------
 
@@ -2871,7 +3234,7 @@ class SnapshotTable:
             d for d, _, _ in self._load_snapshot(since_snapshot_id).deletes
         }
         for snap in newer:
-            if snap.mode in ("append", "merge"):
+            if snap.mode in ("append", "merge", "rebase"):
                 # A merge's delete half is emitted below; its insert half
                 # is exactly its new dirs (delete-then-insert per key —
                 # the standard CDC rendering of an upsert).
@@ -2892,7 +3255,7 @@ class SnapshotTable:
                             "*",
                         )
                     )
-            if snap.mode in ("delete", "merge"):
+            if snap.mode in ("delete", "merge", "rebase"):
                 new_dels = [
                     (d, k) for d, k, _ in snap.deletes if d not in prev_dels
                 ]

@@ -215,6 +215,9 @@ _NONEQUI_OK = {
     "corpus_length_log2_histogram",  # 1-row total frame crossJoined
     "sample_bottomk_ht_estimate",    # 1-row truth/sample frames crossJoined
     "events_ordered_funnel",         # 1-row stage-count frames crossJoined
+    "orders_friedman_priority_ranks",  # 1-row block-count/statistic frames crossJoined
+    "corpus_temperature_sampling_mix",  # 1-row corpus-totals frame crossJoined
+    "catalog_branch_rebase_policies",  # two 1-row branch-aggregate frames crossJoined
 }
 
 # (events_fano_factor_hourly, events_cohort_retention_triangle, and
@@ -378,6 +381,8 @@ _HINTED_BROADCAST_OK = {
     "embedding_participation_ratio": 1,  # [1row] vector count
     "dq_price_ending_uniformity": 3,     # [1row] totals + numerator + [topk] mode
     "corpus_length_prune_retention": 3,  # [dim] 3-row cutoff dim x2 + [bkt] offsets
+    "orders_friedman_priority_ranks": 2,  # [1row] block-count + statistic frames
+    "corpus_temperature_sampling_mix": 1,  # [1row] corpus-totals frame
     "orders_jonckheere_terpstra_trend": 2,  # [bkt] offsets + [1row] group counts
 }
 
@@ -457,6 +462,10 @@ _SELF_JOIN_PAIR_OK = {
     "similarity_triplet_margin_audit": 1,     # [q40] anchor frame
     "tpch_q7_nation_volume": 1,          # [dim] nation n1 x n2 (25 rows)
     "tpch_q8_market_share": 1,           # [dim] nation n1 x n2 (25 rows)
+    "orders_friedman_priority_ranks": 2,  # [block] within-week pair join, ≤5 rows/block
+                                          # ((wn,g) unique ⇒ ≤k=5 per block; the
+                                          # full-block filter join is reordered
+                                          # across both pair sides)
 }
 
 _R5_PRUNE_NODES = {"Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate"}

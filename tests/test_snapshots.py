@@ -1204,3 +1204,172 @@ def test_merge_branch_upsert_delta_carries_scoped_deletes(table, spark):
     table.merge_branch("dev", "main", "k")
     got = {r["k"]: r["s"] for r in table.read().collect()}
     assert got == {1: "a", 2: "DEV", 5: "e", 7: "g"}
+
+
+# ---------------------------------------------------------------------------
+# Round 12 (cont.): rebase_branch — replay src's net post-fork delta
+# onto another branch's head with an ours/theirs conflict policy
+# (sources/snapshots.rebase_branch), plus the ref_log topology view.
+# ---------------------------------------------------------------------------
+
+
+def test_rebase_branch_replays_net_delta_onto_moved_head(table, spark):
+    table.write(_kv(spark, [(1, "a"), (2, "b")]), "overwrite")
+    table.create_branch("dev")
+    # dev: insert 3, upsert 2 -> "DEV", delete 1.
+    table.write(_kv(spark, [(3, "c")]), "append", branch="dev")
+    table.merge_upsert(_kv(spark, [(2, "DEV")]), "k", branch="dev")
+    table.delete_keys(_kv(spark, [(1, "x")]).select("k"), "k", branch="dev")
+    # main diverges on a disjoint key.
+    main_head = table.write(_kv(spark, [(4, "d")]), "append")
+    snap = table.rebase_branch("dev", "main", "k")
+    assert snap.mode == "rebase" and snap.parent_id == main_head.snapshot_id
+    # dev now reads main's state with dev's delta replayed.
+    got = {r["k"]: r["s"] for r in table.read(branch="dev").collect()}
+    assert got == {2: "DEV", 3: "c", 4: "d"}
+    # main never moved.
+    assert table.branches()["main"] == main_head.snapshot_id
+    main_got = {r["k"] for r in table.read().collect()}
+    assert main_got == {1, 2, 4}
+    # The rebased branch shares main's head: a later merge fast-forwards.
+    ff = table.merge_branch("dev", "main", "k")
+    assert ff.snapshot_id == snap.snapshot_id
+
+
+def test_rebase_branch_last_write_wins_within_delta(table, spark):
+    # append 5 -> delete 5 -> append 5 again: net delta is ONE live row
+    # (the second version); the intermediate one was killed by the
+    # scoped delete between them.
+    table.write(_kv(spark, [(1, "a")]), "overwrite")
+    table.create_branch("dev")
+    table.write(_kv(spark, [(5, "v1")]), "append", branch="dev")
+    table.delete_keys(_kv(spark, [(5, "x")]).select("k"), "k", branch="dev")
+    table.write(_kv(spark, [(5, "v2")]), "append", branch="dev")
+    table.write(_kv(spark, [(9, "m")]), "append")
+    table.rebase_branch("dev", "main", "k")
+    got = {r["k"]: r["s"] for r in table.read(branch="dev").collect()}
+    assert got == {1: "a", 5: "v2", 9: "m"}
+
+
+def test_rebase_branch_net_delete_lands_as_delete(table, spark):
+    table.write(_kv(spark, [(1, "a"), (2, "b")]), "overwrite")
+    table.create_branch("dev")
+    table.delete_keys(_kv(spark, [(2, "x")]).select("k"), "k", branch="dev")
+    table.write(_kv(spark, [(3, "c")]), "append")
+    table.rebase_branch("dev", "main", "k")
+    got = {r["k"] for r in table.read(branch="dev").collect()}
+    assert got == {1, 3}
+
+
+def test_rebase_branch_conflict_policies(table, spark):
+    from deathmetal_datalake_spark.sources.snapshots import MergeConflict
+
+    def build():
+        table.write(_kv(spark, [(1, "a"), (2, "b")]), "overwrite")
+        for b in ("dev_fail", "dev_ours", "dev_theirs"):
+            try:
+                table.drop_branch(b)
+            except Exception:
+                pass
+            table.create_branch(b)
+            table.merge_upsert(_kv(spark, [(2, "DEV")]), "k", branch=b)
+        table.merge_upsert(_kv(spark, [(2, "MAIN")]), "k")  # conflict on 2
+
+    build()
+    with pytest.raises(MergeConflict) as ei:
+        table.rebase_branch("dev_fail", "main", "k")
+    assert ei.value.conflict_keys == [2]
+    # ours: dev's version wins on the conflict key.
+    table.rebase_branch("dev_ours", "main", "k", strategy="ours")
+    got = {r["k"]: r["s"] for r in table.read(branch="dev_ours").collect()}
+    assert got == {1: "a", 2: "DEV"}
+    # theirs: main's version survives; the rest of the delta still lands.
+    table.rebase_branch("dev_theirs", "main", "k", strategy="theirs")
+    got = {r["k"]: r["s"] for r in table.read(branch="dev_theirs").collect()}
+    assert got == {1: "a", 2: "MAIN"}
+
+
+def test_rebase_branch_theirs_keeps_nonconflicting_delta(table, spark):
+    table.write(_kv(spark, [(1, "a"), (2, "b")]), "overwrite")
+    table.create_branch("dev")
+    table.merge_upsert(_kv(spark, [(2, "DEV"), (5, "e")]), "k", branch="dev")
+    table.delete_keys(_kv(spark, [(1, "x")]).select("k"), "k", branch="dev")
+    table.merge_upsert(_kv(spark, [(2, "MAIN")]), "k")
+    table.rebase_branch("dev", "main", "k", strategy="theirs")
+    got = {r["k"]: r["s"] for r in table.read(branch="dev").collect()}
+    # 2 keeps MAIN (conflict), 5 inserts, 1 deletes (both non-conflicts).
+    assert got == {2: "MAIN", 5: "e"}
+
+
+def test_rebase_branch_degenerate_paths(table, spark):
+    s0 = table.write(_kv(spark, [(1, "a")]), "overwrite")
+    table.create_branch("dev")
+    # onto unmoved -> no-op (src already based at onto's head).
+    s1 = table.write(_kv(spark, [(2, "b")]), "append", branch="dev")
+    snap = table.rebase_branch("dev", "main", "k")
+    assert snap.snapshot_id == s1.snapshot_id
+    # src at fork -> fast-forward src to onto's head.
+    table.create_branch("idle", from_branch="main")
+    s2 = table.write(_kv(spark, [(3, "c")]), "append")
+    snap = table.rebase_branch("idle", "main", "k")
+    assert snap.snapshot_id == s2.snapshot_id
+    assert table.branches()["idle"] == s2.snapshot_id
+    assert s0.snapshot_id != s2.snapshot_id
+
+
+def test_rebase_branch_rejects_dup_live_rows_and_overwrites(table, spark):
+    table.write(_kv(spark, [(1, "a")]), "overwrite")
+    table.create_branch("dev")
+    # Two plain appends of the same key with no delete between: the
+    # delta holds TWO live rows for key 7 -> not upsert-expressible.
+    table.write(_kv(spark, [(7, "x")]), "append", branch="dev")
+    table.write(_kv(spark, [(7, "y")]), "append", branch="dev")
+    table.write(_kv(spark, [(2, "b")]), "append")
+    with pytest.raises(ValueError, match="surviving"):
+        table.rebase_branch("dev", "main", "k")
+    # Post-fork overwrite on either side refuses (main must move too,
+    # else the unmoved-onto short-circuit returns before the guard).
+    table.create_branch("dev2", from_branch="main")
+    table.write(_kv(spark, [(9, "z")]), "overwrite", branch="dev2")
+    table.write(_kv(spark, [(3, "c")]), "append")
+    with pytest.raises(ValueError, match="row-expressible"):
+        table.rebase_branch("dev2", "main", "k")
+
+
+def test_rebase_then_read_changes_renders_delta(table, spark):
+    # A rebase snapshot is merge-shaped for CDC: delete-then-insert.
+    table.write(_kv(spark, [(1, "a"), (2, "b")]), "overwrite")
+    table.create_branch("dev")
+    table.merge_upsert(_kv(spark, [(2, "DEV")]), "k", branch="dev")
+    s_main = table.write(_kv(spark, [(3, "c")]), "append")
+    table.rebase_branch("dev", "main", "k")
+    changes = table.read_changes(s_main.snapshot_id, branch="dev")
+    got = {(r["_change_type"], r["k"]) for r in changes.collect()}
+    assert got == {("delete", 2), ("insert", 2)}
+
+
+def test_ref_log_topology(table, spark):
+    s0 = table.write(_kv(spark, [(1, "a")]), "overwrite")
+    table.create_branch("dev")
+    table.write(_kv(spark, [(2, "b")]), "append", branch="dev")
+    s2 = table.write(_kv(spark, [(3, "c")]), "append")
+    table.create_tag("v1", snapshot_id=s0.snapshot_id)
+    rows = table.ref_log()
+    by_ref = {}
+    for r in rows:
+        by_ref.setdefault(r["ref"], []).append(r)
+    assert set(by_ref) == {"main", "dev", "v1"}
+    main_rows = sorted(by_ref["main"], key=lambda r: r["position"])
+    assert [r["snapshot_id"] for r in main_rows] == [
+        s0.snapshot_id,
+        s2.snapshot_id,
+    ]
+    assert main_rows[-1]["is_head"] and not main_rows[0]["is_head"]
+    dev_rows = sorted(by_ref["dev"], key=lambda r: r["position"])
+    # dev's fork-of-main marker sits on the shared root snapshot.
+    assert [r["is_fork_of_main"] for r in dev_rows] == [True, False]
+    assert dev_rows[0]["snapshot_id"] == s0.snapshot_id
+    assert by_ref["v1"][0]["ref_kind"] == "tag"
+    assert all(r["ref_kind"] == "branch" for r in main_rows + dev_rows)
+    # Modes round-trip.
+    assert {r["mode"] for r in rows} == {"overwrite", "append"}
