@@ -295,6 +295,37 @@ class OrderSpec:
     sub_desc: bool = False
 
 
+def _cumsum_pairs(
+    cumsum: "tuple[str, str] | list[tuple[str, str]] | None",
+) -> list[tuple[str, str]]:
+    """Normalize an OrderSpec.cumsum value to a list of (value_col,
+    out_col) pairs. The single-pair form is detected structurally —
+    exactly two strings — so a tuple OF pairs is multi-pair input, and
+    anything else (a 2-tuple mixing strings with non-strings, a pair
+    list containing a malformed entry) raises instead of silently
+    producing wrong columns."""
+    if cumsum is None:
+        return []
+    if (
+        isinstance(cumsum, tuple)
+        and len(cumsum) == 2
+        and all(isinstance(e, str) for e in cumsum)
+    ):
+        return [cumsum]
+    pairs = list(cumsum)
+    for p in pairs:
+        if not (
+            isinstance(p, tuple)
+            and len(p) == 2
+            and all(isinstance(e, str) for e in p)
+        ):
+            raise TypeError(
+                "OrderSpec.cumsum must be one (value_col, out_col) string "
+                f"pair or a sequence of such pairs; got element {p!r}"
+            )
+    return pairs
+
+
 def two_phase_order_multi(
     df: DataFrame,
     specs: list[OrderSpec],
@@ -379,12 +410,11 @@ def two_phase_order_multi(
         # Jonckheere-Terpstra shape needs five per-group running counts
         # over one value order — one bucket tag, one totals aggregate,
         # one offsets frame, one local window for all five, instead of
-        # five full per-spec passes).
-        pairs = (
-            []
-            if s.cumsum is None
-            else ([s.cumsum] if isinstance(s.cumsum, tuple) else list(s.cumsum))
-        )
+        # five full per-spec passes). The single-pair case is detected
+        # STRUCTURALLY (two strings), not by tuple-ness: a tuple of
+        # pairs like ``(("a","x"), ("b","y"))`` is multi-pair input and
+        # must not be silently read as one (value_col, out_col) pair.
+        pairs = _cumsum_pairs(s.cumsum)
         sum_offs = [f"{_SUM_OFF}{i}_{k}" for k in range(len(pairs))]
         out = out.withColumn(
             bkt,

@@ -40,6 +40,22 @@ del _rev_q, _rev_o
 # promoted to the head explicitly — the driver's prefix sample then
 # always covers the newest, least-battle-tested surface first.
 _NEWEST_FIRST = [
+    # round 13 batch 2: distribution-shift scores (PSI/JSD), Markov
+    # entropy rate, CvM two-sample, duplicate-cap retention,
+    # systematic sampling, the 30th streaming replay (KMV sketch)
+    "dq_psi_jsd_price_drift",
+    "events_entropy_rate_markov",
+    "orders_cramer_von_mises_two_sample",
+    "corpus_influence_dedup_cap",
+    "sample_systematic_interval",
+    "streaming_kmv_distinct_replay",
+    # round 13 batch 1: branch-surface completion — merged_from base
+    # advance (re-merge of a continued branch), fold-tolerant rebase,
+    # the merge-log view, additive-schema rebase
+    "catalog_remerge_continuation",
+    "catalog_rebase_across_fold",
+    "catalog_merge_log",
+    "catalog_rebase_additive_schema",
     # round 12 batch 9: block-design nonparametrics (Friedman, Cochran
     # Q), classifier-pair agreement (kappa/McNemar), and the
     # temperature-scaled multilingual sampling mix

@@ -2585,3 +2585,125 @@ def dq_rule_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(dd(mc_num) / dd(disc), 6))
         .alias("mcnemar_chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PSI + Jensen-Shannon drift (round 13) — the two industry-standard
+# distribution-shift scores side by side over fixed price bands
+# (20k-wide, capped at 20 — never data-proportional), early era
+# (< 1995) vs late. PSI sums (p-q)ln(p/q) over bands BOTH eras
+# populate (its textbook zero-bin blind spot, surfaced here as
+# n_onesided_bands instead of hidden by an epsilon); JSD is finite by
+# construction and covers every band. Determinism: each band's term is
+# rounded to integer MICROS before the sum (the chi2/Cramér pattern) —
+# the cross-engine float sum is over exact longs, with ONE final
+# divide. 100 TB: one hash aggregate to <=20 cells, one 1-row reduce.
+# ---------------------------------------------------------------------------
+
+_PSI_BAND_W = 20_000.0
+_PSI_BANDS = 19  # LEAST cap -> bands 0..19
+_PSI_PIVOT = "1998-01-01"
+
+_PSI_JSD_SQL = f"""
+WITH c AS (
+    SELECT LEAST(CAST(FLOOR(o_totalprice / {_PSI_BAND_W}) AS BIGINT),
+                 {_PSI_BANDS}) AS band,
+           CASE WHEN o_orderdate < DATE '{_PSI_PIVOT}' THEN 1 ELSE 0 END AS a
+    FROM orders
+),
+cells AS (
+    SELECT band, SUM(a) AS na, SUM(1 - a) AS nb FROM c GROUP BY band
+),
+t AS (SELECT SUM(na) AS ta, SUM(nb) AS tb FROM cells),
+terms AS (
+    SELECT
+        CASE WHEN na > 0 AND nb > 0 THEN
+            CAST(ROUND((CAST(na AS DOUBLE) / ta - CAST(nb AS DOUBLE) / tb)
+                       * LN((CAST(na AS DOUBLE) / ta)
+                            / (CAST(nb AS DOUBLE) / tb))
+                       * 1000000) AS BIGINT)
+        ELSE 0 END AS psi_u,
+        CAST(ROUND((
+            CASE WHEN na > 0 THEN (CAST(na AS DOUBLE) / ta)
+                * LOG2(2.0 * (CAST(na AS DOUBLE) / ta)
+                       / (CAST(na AS DOUBLE) / ta + CAST(nb AS DOUBLE) / tb))
+            ELSE 0.0 END
+          + CASE WHEN nb > 0 THEN (CAST(nb AS DOUBLE) / tb)
+                * LOG2(2.0 * (CAST(nb AS DOUBLE) / tb)
+                       / (CAST(na AS DOUBLE) / ta + CAST(nb AS DOUBLE) / tb))
+            ELSE 0.0 END) * 500000) AS BIGINT) AS jsd_u,
+        CASE WHEN na = 0 OR nb = 0 THEN 1 ELSE 0 END AS one_sided
+    FROM cells, t
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cells) AS n_bands,
+       CAST(SUM(one_sided) AS BIGINT) AS n_onesided_bands,
+       CASE WHEN (SELECT ta FROM t) = 0 OR (SELECT tb FROM t) = 0
+            THEN NULL ELSE ROUND(SUM(psi_u) / 1000000.0, 6) END AS psi,
+       CASE WHEN (SELECT ta FROM t) = 0 OR (SELECT tb FROM t) = 0
+            THEN NULL ELSE ROUND(SUM(jsd_u) / 1000000.0, 6) END AS jsd_bits
+FROM terms
+"""
+
+
+@register("dq_psi_jsd_price_drift", oracle=_PSI_JSD_SQL)
+def dq_psi_jsd_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    orders = load_table(spark, sf_dir, "orders")
+    band = F.least(
+        F.floor(F.col("o_totalprice") / F.lit(_PSI_BAND_W)).cast("long"),
+        F.lit(_PSI_BANDS).cast("long"),
+    )
+    is_a = F.col("o_orderdate") < F.lit(_PSI_PIVOT).cast("date")
+    cells = orders.groupBy(band.alias("band")).agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(is_a, 0).otherwise(1)).cast("long").alias("nb"),
+    )
+    t = cells.agg(
+        F.sum("na").cast("long").alias("ta"),
+        F.sum("nb").cast("long").alias("tb"),
+    )
+    # try_divide: ANSI-mode sessions (the driver contract) raise on a
+    # zero divisor even for doubles; a one-era frame must flow to the
+    # NULL-guarded output instead.
+    p = F.try_divide(F.col("na").cast("double"), F.col("ta"))
+    q = F.try_divide(F.col("nb").cast("double"), F.col("tb"))
+    psi_u = (
+        F.when(
+            (F.col("na") > 0) & (F.col("nb") > 0),
+            F.round((p - q) * F.log(p / q) * F.lit(1000000.0)),
+        )
+        .otherwise(0)
+        .cast("long")
+    )
+    jsd_u = (
+        F.round(
+            (
+                F.when(
+                    F.col("na") > 0, p * F.log2(F.lit(2.0) * p / (p + q))
+                ).otherwise(0.0)
+                + F.when(
+                    F.col("nb") > 0, q * F.log2(F.lit(2.0) * q / (p + q))
+                ).otherwise(0.0)
+            )
+            * F.lit(500000.0)
+        )
+    ).cast("long")
+    one_sided = F.when((F.col("na") == 0) | (F.col("nb") == 0), 1).otherwise(0)
+    terms = cells.crossJoin(broadcast(t)).select(  # [1row] era totals
+        psi_u.alias("psi_u"), jsd_u.alias("jsd_u"), one_sided.alias("os"),
+        F.col("ta"), F.col("tb"),
+    )
+    degenerate = (F.min("ta") == 0) | (F.min("tb") == 0)
+    out = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bands"),
+        F.sum("os").cast("long").alias("n_onesided_bands"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(F.round(F.sum("psi_u") / F.lit(1000000.0), 6))
+        .alias("psi"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(F.round(F.sum("jsd_u") / F.lit(1000000.0), 6))
+        .alias("jsd_bits"),
+    )
+    return out

@@ -22,6 +22,7 @@ from deathmetal_datalake_spark.plans.registry import (
     dsum,
     hash60,
     register,
+    session_cache,
     sql_davg,
     sql_dsum,
     sql_hash60,
@@ -5648,3 +5649,96 @@ def events_cochran_q_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("q_statistic"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov entropy rate (round 13) — the information-theoretic summary
+# of the behavioral transition matrix: H = -sum p(s,t) log2 p(t|s)
+# over first-order event-type transitions (the transition-matrix
+# query's law), i.e. how unpredictable the NEXT action is given the
+# current one. Reported with the perplexity (2^H = effective branching
+# factor) — the sequence-model difficulty number for this corpus.
+# Determinism: per-pair terms are exact-long micro-rounded before the
+# sum (chi2 pattern); the pair frame is bounded by |types|^2. 100 TB:
+# one user-partitioned lag window, one hash aggregate to <=K^2 rows.
+# ---------------------------------------------------------------------------
+
+_ENTROPY_RATE_SQL = """
+WITH seq AS (
+    SELECT event_type,
+           LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+           ) AS prev_type
+    FROM events
+),
+trans AS (
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS c
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+),
+rowt AS (SELECT prev_type, SUM(c) AS cs FROM trans GROUP BY prev_type),
+tot AS (SELECT SUM(c) AS n FROM trans),
+terms AS (
+    SELECT CAST(ROUND((CAST(t.c AS DOUBLE) / tot.n)
+                      * LOG2(CAST(r.cs AS DOUBLE) / t.c)
+                      * 1000000) AS BIGINT) AS h_u
+    FROM trans t
+    JOIN rowt r USING (prev_type), tot
+)
+SELECT (SELECT CAST(n AS BIGINT) FROM tot) AS n_transitions,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM rowt) AS n_states,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM trans) AS n_pairs,
+       ROUND(SUM(h_u) / 1000000.0, 6) AS entropy_rate_bits,
+       ROUND(POW(2.0, ROUND(SUM(h_u) / 1000000.0, 6)), 6) AS perplexity
+FROM terms
+"""
+
+
+@register("events_entropy_rate_markov", oracle=_ENTROPY_RATE_SQL)
+def events_entropy_rate_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            "event_type", F.lag("event_type").over(w).alias("prev_type")
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    trans = session_cache(trans)
+    rowt = trans.groupBy("prev_type").agg(F.sum("c").cast("long").alias("cs"))
+    tot = trans.agg(F.sum("c").cast("long").alias("n"))
+    h_u = F.round(
+        (F.col("c").cast("double") / F.col("n"))
+        * F.log2(F.col("cs").cast("double") / F.col("c"))
+        * F.lit(1000000.0)
+    ).cast("long")
+    terms = (
+        trans.join(broadcast(rowt), "prev_type")  # [enum] per-state totals
+        .crossJoin(broadcast(tot))  # [1row] grand total
+        .select(h_u.alias("h_u"))
+    )
+    h = F.round(F.sum("h_u") / F.lit(1000000.0), 6)
+    out = (
+        terms.agg(h.alias("entropy_rate_bits"))
+        .crossJoin(broadcast(tot.select(F.col("n").alias("n_transitions"))))
+        .crossJoin(
+            broadcast(rowt.agg(F.count(F.lit(1)).cast("long").alias("n_states")))
+        )
+        .crossJoin(
+            broadcast(trans.agg(F.count(F.lit(1)).cast("long").alias("n_pairs")))
+        )
+        .select(
+            "n_transitions",
+            "n_states",
+            "n_pairs",
+            "entropy_rate_bits",
+            F.round(
+                F.pow(F.lit(2.0), F.col("entropy_rate_bits")), 6
+            ).alias("perplexity"),
+        )
+    )
+    return out

@@ -2442,3 +2442,74 @@ def corpus_temperature_sampling_mix(
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Systematic interval sampling (round 13) — the classic 1-in-m design
+# (every m-th unit of an ordered frame) with its expansion estimate,
+# completing the sampling-theory battery (bottom-k/SRS, Neyman,
+# Horvitz-Thompson, Kish): rank documents by doc_id with the two-phase
+# distributed ordering (no single-task sort), take ranks ≡ 1 (mod m),
+# and expand the sampled char mass by m. The audit reports the exact
+# frame total next to the estimate — the design's error on THIS frame,
+# not an approximation claim. 100 TB: one two-phase rank + two hash
+# aggregates.
+# ---------------------------------------------------------------------------
+
+_SYS_M = 23
+
+_SYS_SQL = f"""
+WITH r AS (
+    SELECT n_chars, ROW_NUMBER() OVER (ORDER BY doc_id) AS rk
+    FROM documents
+),
+s AS (
+    SELECT COUNT(*) AS n_sampled, SUM(n_chars) AS chars_sampled
+    FROM r WHERE rk % {_SYS_M} = 1
+),
+t AS (SELECT COUNT(*) AS n_total, SUM(n_chars) AS chars_total FROM documents)
+SELECT CAST(t.n_total AS BIGINT) AS n_total,
+       CAST(s.n_sampled AS BIGINT) AS n_sampled,
+       CAST(t.chars_total AS BIGINT) AS chars_total,
+       CAST({_SYS_M} * s.chars_sampled AS BIGINT) AS chars_estimate,
+       ROUND(CAST({_SYS_M} * s.chars_sampled AS DOUBLE) / t.chars_total, 6)
+           AS expansion_ratio
+FROM s, t
+"""
+
+
+@register("sample_systematic_interval", oracle=_SYS_SQL)
+def sample_systematic_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    from deathmetal_datalake_spark.operators.ordering import two_phase_order
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = two_phase_order(
+        docs,
+        [F.asc("doc_id")],
+        F.col("doc_id"),
+        rank_col="rk",
+        num_partitions=spark.sparkContext.defaultParallelism,
+    )
+    s = ranked.filter(F.col("rk") % _SYS_M == 1).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.sum("n_chars").cast("long").alias("chars_sampled"),
+    )
+    t = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+    )
+    return s.crossJoin(broadcast(t)).select(  # [1row] frame totals
+        "n_total",
+        "n_sampled",
+        "chars_total",
+        (F.lit(_SYS_M) * F.col("chars_sampled")).cast("long").alias(
+            "chars_estimate"
+        ),
+        F.round(
+            (F.lit(_SYS_M) * F.col("chars_sampled")).cast("double")
+            / F.col("chars_total"),
+            6,
+        ).alias("expansion_ratio"),
+    )

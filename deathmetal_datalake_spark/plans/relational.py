@@ -2451,3 +2451,147 @@ def orders_friedman_priority_ranks(
         )
         .orderBy("priority_class")
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Cramér-von Mises (round 13) — the integrated-squared
+# ECDF-distance companion to the KS/Mann-Whitney drift battery:
+# compares finished ('F') vs open ('O') orders on totalprice over the
+# WHOLE distribution, where KS sees only the worst point. Anderson's
+# rank form needs each value's GLOBAL rank r and its WITHIN-GROUP
+# position i; both ride ONE fused two_phase_order_multi pass (no
+# per-group single-task window): the second spec totals-orders a
+# composite numeric key (group * 1e9 + value, exact in doubles at this
+# value range) and subtracts the bounded group-offset frame. All sums
+# are exact integers (d^2 <= N^2 in longs, U in decimal(38,0));
+# T = U/(nmN) - (4mn-1)/(6N) crosses to double once per factor.
+# Ties across groups are broken by o_orderkey (deterministic total
+# order; documented statistic-under-tie-break). 100 TB: two two-phase
+# orderings + one hash aggregate; no data-proportional state.
+# ---------------------------------------------------------------------------
+
+_CVM_GROUP_SHIFT = 1_000_000_000.0
+
+_CVM_SQL = """
+WITH x AS (
+    SELECT o_orderkey AS k, o_totalprice AS v, o_orderstatus AS st
+    FROM orders WHERE o_orderstatus IN ('F', 'O')
+),
+r AS (
+    SELECT st,
+           ROW_NUMBER() OVER (ORDER BY v, k) AS r,
+           ROW_NUMBER() OVER (PARTITION BY st ORDER BY v, k) AS i
+    FROM x
+),
+s AS (
+    SELECT
+        SUM(CASE WHEN st = 'F'
+            THEN CAST((r - i) AS HUGEINT) * CAST((r - i) AS HUGEINT)
+            ELSE CAST(0 AS HUGEINT) END) AS sf,
+        SUM(CASE WHEN st = 'O'
+            THEN CAST((r - i) AS HUGEINT) * CAST((r - i) AS HUGEINT)
+            ELSE CAST(0 AS HUGEINT) END) AS so,
+        SUM(CASE WHEN st = 'F' THEN 1 ELSE 0 END) AS n_a,
+        SUM(CASE WHEN st = 'O' THEN 1 ELSE 0 END) AS n_b
+    FROM r
+)
+SELECT CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE
+           ROUND(
+               CAST(CAST(n_a * sf + n_b * so AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(CAST(n_a AS HUGEINT) * n_b * (n_a + n_b)
+                      AS VARCHAR) AS DOUBLE)
+               - CAST(CAST(4 * CAST(n_a AS HUGEINT) * n_b - 1
+                      AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(6 * (n_a + n_b) AS VARCHAR) AS DOUBLE),
+           6) END AS t_cvm
+FROM s
+"""
+
+
+@register("orders_cramer_von_mises_two_sample", oracle=_CVM_SQL)
+def orders_cramer_von_mises_two_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    from deathmetal_datalake_spark.operators.ordering import (
+        OrderSpec,
+        two_phase_order_multi,
+    )
+
+    x = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("v"),
+        F.col("o_orderstatus").alias("st"),
+        (
+            F.when(F.col("o_orderstatus") == "O", 1.0).otherwise(0.0)
+            * F.lit(_CVM_GROUP_SHIFT)
+            + F.col("o_totalprice")
+        ).alias("gv"),
+    )
+    ranked = two_phase_order_multi(
+        x,
+        [
+            OrderSpec([F.asc("v"), F.asc("k")], F.col("v"),
+                      rank_col="r", sub_key=F.col("k")),
+            OrderSpec([F.asc("gv"), F.asc("k")], F.col("gv"),
+                      rank_col="r2", sub_key=F.col("k")),
+        ],
+        num_partitions=spark.sparkContext.defaultParallelism,
+    )
+    cnts = x.agg(
+        F.sum(F.when(F.col("st") == "F", 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("st") == "O", 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    dd = lambda c: c.cast("string").cast("double")  # noqa: E731
+    i = F.col("r2") - F.when(F.col("st") == "O", F.col("n_a")).otherwise(
+        F.lit(0).cast("long")
+    )
+    d = F.col("r") - i
+    s = (
+        ranked.crossJoin(broadcast(cnts))  # [1row] group counts
+        .agg(
+            F.sum(
+                F.when(F.col("st") == "F", d38(d * d)).otherwise(
+                    F.lit(0).cast("decimal(38,0)")
+                )
+            ).alias("sf"),
+            F.sum(
+                F.when(F.col("st") == "O", d38(d * d)).otherwise(
+                    F.lit(0).cast("decimal(38,0)")
+                )
+            ).alias("so"),
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+        )
+    )
+    u = d38(F.col("n_a")) * F.col("sf") + d38(F.col("n_b")) * F.col("so")
+    denom = d38(F.col("n_a")) * F.col("n_b") * (F.col("n_a") + F.col("n_b"))
+    corr_num = F.lit(4) * d38(F.col("n_a")) * F.col("n_b") - F.lit(1)
+    corr_den = F.lit(6) * (F.col("n_a") + F.col("n_b"))
+    return s.select(
+        F.col("n_a"),
+        F.col("n_b"),
+        F.when(
+            (F.col("n_a") == 0) | (F.col("n_b") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                dd(u.cast("decimal(38,0)")) / dd(denom.cast("decimal(38,0)"))
+                - dd(corr_num.cast("decimal(38,0)"))
+                / dd(corr_den.cast("long")),
+                6,
+            )
+        )
+        .alias("t_cvm"),
+    )

@@ -2346,3 +2346,424 @@ def catalog_ref_log_topology(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_head boolean, is_fork_of_main boolean, n_rows long",
         )
         return out.orderBy("ref", "position")
+
+
+# ---------------------------------------------------------------------------
+# RE-MERGE OF A CONTINUED BRANCH, driver-checked (round 13) — the
+# merged_from base advance (sources/snapshots._merge_base): merge dev
+# into main, keep committing on BOTH, merge again. Before round 13 the
+# second merge re-diffed from the original fork, so dev's
+# already-merged keys counted as mutations on both sides and every
+# re-merge raised a spurious MergeConflict (round-12 ADVICE). The
+# 'merge' snapshot now records its source head (git's second parent),
+# and base discovery advances past it — so the second merge carries
+# ONLY the new work, while a key main changed after the first merge
+# still conflicts when dev touches it (git-faithful base semantics;
+# the third merge here proves it with an exact conflict count).
+# ---------------------------------------------------------------------------
+
+_RM_UPS2_MOD = 97  # dev's post-merge upsert slice (O-status)
+_RM_CONF_MOD = 89  # both sides touch this O slice -> third merge conflicts
+
+_REMERGE_SQL = f"""
+WITH base AS (
+    SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS a
+    FROM orders
+),
+vals AS (
+    SELECT k, CASE
+        WHEN st = 'O' AND k % {_RM_CONF_MOD} = 0 THEN a + 9
+        WHEN st = 'O' AND k % {_RM_UPS2_MOD} = 0 THEN a + 5
+        WHEN st = 'P' THEN a + 1000
+        ELSE a END AS a
+    FROM base
+),
+mirrors AS (
+    SELECT o_orderkey + {_MERGE_KEY_OFFSET} AS k, o_totalprice AS a
+    FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_orderkey + {2 * _MERGE_KEY_OFFSET} AS k, o_totalprice AS a
+    FROM orders WHERE o_orderstatus = 'F'
+),
+final AS (
+    SELECT k, a FROM vals UNION ALL SELECT k, a FROM mirrors
+),
+conf AS (
+    SELECT COUNT(DISTINCT o_orderkey) AS n FROM orders
+    WHERE o_orderstatus = 'O' AND o_orderkey % {_RM_CONF_MOD} = 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_keys,
+       {sql_dsum("a", "total_amount")},
+       CAST(2 AS BIGINT) AS n_branch_merges,
+       CAST((SELECT n FROM conf) AS BIGINT) AS n_conflict_keys
+FROM final
+"""
+
+
+@register("catalog_remerge_continuation", oracle=_REMERGE_SQL)
+def catalog_remerge_continuation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deathmetal_datalake_spark.sources.snapshots import MergeConflict
+
+    orders = session_cache(spread(load_table(spark, sf_dir, "orders")))
+    with tempfile.TemporaryDirectory(prefix="dml-snapq-") as d:
+        tbl = SnapshotTable(spark, os.path.join(d, "orders_remerge"))
+        tbl.write(
+            orders.select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_totalprice").alias("a"),
+            ),
+            "overwrite",
+        )
+        tbl.create_branch("dev")
+        tbl.merge_upsert(
+            orders.filter(F.col("o_orderstatus") == "P").select(
+                F.col("o_orderkey").alias("k"),
+                (F.col("o_totalprice") + 1000).alias("a"),
+            ),
+            "k",
+            branch="dev",
+        )
+        tbl.write(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                (F.col("o_orderkey") + F.lit(_MERGE_KEY_OFFSET)).alias("k"),
+                F.col("o_totalprice").alias("a"),
+            ),
+            "append",
+        )
+        m1 = tbl.merge_branch("dev", "main", "k")
+        assert m1.merged_from is not None
+        # Both sides continue: dev upserts a fresh O slice, main
+        # appends a second mirror — the re-merge must see ONLY this.
+        o_slice = lambda mod, bump: orders.filter(
+            (F.col("o_orderstatus") == "O")
+            & (F.col("o_orderkey") % mod == 0)
+        ).select(
+            F.col("o_orderkey").alias("k"),
+            (F.col("o_totalprice") + bump).alias("a"),
+        )
+        tbl.merge_upsert(o_slice(_RM_UPS2_MOD, 5), "k", branch="dev")
+        tbl.write(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                (F.col("o_orderkey") + F.lit(2 * _MERGE_KEY_OFFSET)).alias(
+                    "k"
+                ),
+                F.col("o_totalprice").alias("a"),
+            ),
+            "append",
+        )
+        m2 = tbl.merge_branch("dev", "main", "k")  # clean under the advance
+        assert m2.mode == "merge" and m2.merged_from is not None
+        # Genuine conflict from the ADVANCED base: both sides now touch
+        # the same O slice; main's upsert commits, the merge must not.
+        tbl.merge_upsert(o_slice(_RM_CONF_MOD, 7), "k", branch="dev")
+        tbl.merge_upsert(o_slice(_RM_CONF_MOD, 9), "k")
+        try:
+            tbl.merge_branch("dev", "main", "k")
+            n_conflicts = -1  # must be unreachable
+        except MergeConflict as exc:
+            n_conflicts = exc.n_conflicts
+        n_branch_merges = sum(
+            1 for s in tbl.history() if s.merged_from is not None
+        )
+        out = tbl.read().agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("k").alias("n_distinct_keys"),
+            dsum("a", "total_amount"),
+            F.lit(n_branch_merges).cast("long").alias("n_branch_merges"),
+            F.lit(n_conflicts).cast("long").alias("n_conflict_keys"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)
+
+
+# ---------------------------------------------------------------------------
+# REBASE ACROSS DELETE FOLDS, driver-checked (round 13) — the
+# fold-tolerant delta walk: both branches fold their outstanding
+# delete vectors mid-divergence (the delete_keys/merge_upsert
+# auto-fold at DELETE_FOLD_THRESHOLD commits the same 'fold' mode),
+# and the rebase must still replay dev's NET delta — reading the
+# ORIGINAL append/delete dirs the folds rewrote away, skipping the
+# row-neutral fold dirs — onto main's post-fold head. Round-12 ADVICE:
+# this previously raised "overwrites/compactions" for a branch that
+# only ever did row-expressible work.
+# ---------------------------------------------------------------------------
+
+_RF_DEL_MOD = 89   # dev deletes this F slice, then folds
+_RF_UPS_MOD = 97   # dev upserts this O slice after its fold
+_RF_MAIN_DEL_MOD = 101  # main deletes this P slice, then folds
+
+_REBASE_FOLD_SQL = f"""
+WITH kept AS (
+    SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS a
+    FROM orders
+    WHERE NOT (o_orderstatus = 'F' AND o_orderkey % {_RF_DEL_MOD} = 0)
+      AND NOT (o_orderstatus = 'P' AND o_orderkey % {_RF_MAIN_DEL_MOD} = 0)
+),
+vals AS (
+    SELECT k,
+           CASE WHEN st = 'O' AND k % {_RF_UPS_MOD} = 0 THEN a + 5
+                ELSE a END AS a
+    FROM kept
+),
+final AS (
+    SELECT k, a FROM vals
+    UNION ALL
+    SELECT o_orderkey + {_MERGE_KEY_OFFSET} AS k, o_totalprice AS a
+    FROM orders WHERE o_orderstatus = 'F'
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_keys,
+       {sql_dsum("a", "total_amount")}
+FROM final
+"""
+
+
+@register("catalog_rebase_across_fold", oracle=_REBASE_FOLD_SQL)
+def catalog_rebase_across_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = session_cache(spread(load_table(spark, sf_dir, "orders")))
+    with tempfile.TemporaryDirectory(prefix="dml-snapq-") as d:
+        tbl = SnapshotTable(spark, os.path.join(d, "orders_rbfold"))
+        tbl.write(
+            orders.select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_totalprice").alias("a"),
+            ),
+            "overwrite",
+        )
+        tbl.create_branch("dev")
+        # dev: delete an F slice, FOLD (physically applying it), then
+        # upsert an O slice on the folded head.
+        tbl.delete_keys(
+            orders.filter(
+                (F.col("o_orderstatus") == "F")
+                & (F.col("o_orderkey") % _RF_DEL_MOD == 0)
+            ).select(F.col("o_orderkey").alias("k")),
+            "k",
+            branch="dev",
+        )
+        assert tbl.fold_deletes(branch="dev") is not None
+        tbl.merge_upsert(
+            orders.filter(
+                (F.col("o_orderstatus") == "O")
+                & (F.col("o_orderkey") % _RF_UPS_MOD == 0)
+            ).select(
+                F.col("o_orderkey").alias("k"),
+                (F.col("o_totalprice") + 5).alias("a"),
+            ),
+            "k",
+            branch="dev",
+        )
+        # main: append a mirror, delete a P slice, FOLD.
+        tbl.write(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                (F.col("o_orderkey") + F.lit(_MERGE_KEY_OFFSET)).alias("k"),
+                F.col("o_totalprice").alias("a"),
+            ),
+            "append",
+        )
+        tbl.delete_keys(
+            orders.filter(
+                (F.col("o_orderstatus") == "P")
+                & (F.col("o_orderkey") % _RF_MAIN_DEL_MOD == 0)
+            ).select(F.col("o_orderkey").alias("k")),
+            "k",
+        )
+        assert tbl.fold_deletes(branch="main") is not None
+        snap = tbl.rebase_branch("dev", "main", "k")
+        assert snap.mode == "rebase"
+        out = tbl.read(branch="dev").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("k").alias("n_distinct_keys"),
+            dsum("a", "total_amount"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)
+
+
+# ---------------------------------------------------------------------------
+# MERGE LOG, driver-checked (round 13, VERDICT #4b) — the
+# conflict-history view over the branch surface: ref_log rows (now
+# carrying merged_from, the merge snapshot's source head — git's
+# second parent) aggregated per ref and joined with the observed
+# MergeConflict outcome of an attempted divergent merge. Scenario:
+# dev merges into main cleanly (1 branch-merge in main's lineage,
+# provable from merged_from), then dev2 and main both upsert the same
+# O slice and that merge must raise with the exact clash count — so
+# the oracle pins the merge topology AND the conflict report
+# relationally in one result.
+# ---------------------------------------------------------------------------
+
+_ML_CONF_MOD = 97
+
+_MERGE_LOG_SQL = f"""
+WITH conf AS (
+    SELECT COUNT(DISTINCT o_orderkey) AS n FROM orders
+    WHERE o_orderstatus = 'O' AND o_orderkey % {_ML_CONF_MOD} = 0
+)
+SELECT * FROM (
+    VALUES
+        ('dev', CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        ('dev2', CAST(2 AS BIGINT), CAST(0 AS BIGINT),
+         (SELECT CAST(n AS BIGINT) FROM conf)),
+        ('main', CAST(4 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT))
+) t(ref, n_snapshots, n_branch_merges, n_conflict_keys)
+ORDER BY ref
+"""
+
+
+@register("catalog_merge_log", oracle=_MERGE_LOG_SQL)
+def catalog_merge_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deathmetal_datalake_spark.sources.snapshots import MergeConflict
+
+    orders = session_cache(spread(load_table(spark, sf_dir, "orders")))
+    with tempfile.TemporaryDirectory(prefix="dml-snapq-") as d:
+        tbl = SnapshotTable(spark, os.path.join(d, "orders_mergelog"))
+        tbl.write(
+            orders.select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_totalprice").alias("a"),
+            ),
+            "overwrite",
+        )
+        tbl.create_branch("dev")
+        tbl.create_branch("dev2")
+        tbl.merge_upsert(
+            orders.filter(F.col("o_orderstatus") == "P").select(
+                F.col("o_orderkey").alias("k"),
+                (F.col("o_totalprice") + 1000).alias("a"),
+            ),
+            "k",
+            branch="dev",
+        )
+        tbl.write(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                (F.col("o_orderkey") + F.lit(_MERGE_KEY_OFFSET)).alias("k"),
+                F.col("o_totalprice").alias("a"),
+            ),
+            "append",
+        )
+        tbl.merge_branch("dev", "main", "k")
+        o_slice = lambda bump: orders.filter(
+            (F.col("o_orderstatus") == "O")
+            & (F.col("o_orderkey") % _ML_CONF_MOD == 0)
+        ).select(
+            F.col("o_orderkey").alias("k"),
+            (F.col("o_totalprice") + bump).alias("a"),
+        )
+        tbl.merge_upsert(o_slice(5), "k", branch="dev2")
+        tbl.merge_upsert(o_slice(9), "k")
+        conflicts_by_src: dict = {}
+        try:
+            tbl.merge_branch("dev2", "main", "k")
+        except MergeConflict as exc:
+            conflicts_by_src["dev2"] = exc.n_conflicts
+        # Aggregate the ref topology per branch from the log rows —
+        # metadata-only (manifests, never data files).
+        agg: dict = {}
+        for r in tbl.ref_log():
+            if r["ref_kind"] != "branch":
+                continue
+            a = agg.setdefault(r["ref"], {"n": 0, "m": 0})
+            a["n"] += 1
+            if r["merged_from"] is not None:
+                a["m"] += 1
+        rows = [
+            (
+                ref,
+                a["n"],
+                a["m"],
+                conflicts_by_src.get(ref, 0),
+            )
+            for ref, a in sorted(agg.items())
+        ]
+        out = spark.createDataFrame(
+            rows,
+            "ref string, n_snapshots long, n_branch_merges long, "
+            "n_conflict_keys long",
+        )
+        return out.orderBy("ref")
+
+
+# ---------------------------------------------------------------------------
+# REBASE ACROSS ADDITIVE SCHEMA EVOLUTION, driver-checked (round 13,
+# VERDICT #4a) — the legal schema-evolution subset for branch
+# reconciliation, defined and pinned: a branch may ADD columns during
+# divergence (the column registry reconciles them at write;
+# mergeSchema reads NULL-extend), and the rebase replays that delta
+# onto a head that never saw the column — older rows surface NULL, the
+# delta's rows carry their values, and the aggregate proves both.
+# (Key-column RENAMES during divergence remain documented-unsupported:
+# the delta walk equality-joins on one name.)
+# ---------------------------------------------------------------------------
+
+_ADD_SCHEMA_SQL = f"""
+WITH base AS (
+    SELECT o_orderkey AS k, o_totalprice AS a
+    FROM orders WHERE o_orderstatus = 'O'
+),
+devrows AS (
+    SELECT o_orderkey + {_MERGE_KEY_OFFSET} AS k, o_totalprice AS a,
+           o_totalprice * 2 AS b
+    FROM orders WHERE o_orderstatus = 'F'
+),
+mainrows AS (
+    SELECT o_orderkey AS k, o_totalprice AS a
+    FROM orders WHERE o_orderstatus = 'P'
+),
+final AS (
+    SELECT k, a, CAST(NULL AS DOUBLE) AS b FROM base
+    UNION ALL SELECT k, a, b FROM devrows
+    UNION ALL SELECT k, a, CAST(NULL AS DOUBLE) AS b FROM mainrows
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(b) AS BIGINT) AS n_b_rows,
+       {sql_dsum("a", "total_amount")},
+       {sql_dsum("b", "total_b")}
+FROM final
+"""
+
+
+@register("catalog_rebase_additive_schema", oracle=_ADD_SCHEMA_SQL)
+def catalog_rebase_additive_schema(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = session_cache(spread(load_table(spark, sf_dir, "orders")))
+    with tempfile.TemporaryDirectory(prefix="dml-snapq-") as d:
+        tbl = SnapshotTable(spark, os.path.join(d, "orders_rbschema"))
+        tbl.write(
+            orders.filter(F.col("o_orderstatus") == "O").select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_totalprice").alias("a"),
+            ),
+            "overwrite",
+        )
+        tbl.create_branch("dev")
+        # dev's divergence ADDS column b (additive evolution).
+        tbl.write(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                (F.col("o_orderkey") + F.lit(_MERGE_KEY_OFFSET)).alias("k"),
+                F.col("o_totalprice").alias("a"),
+                (F.col("o_totalprice") * 2).alias("b"),
+            ),
+            "append",
+            branch="dev",
+        )
+        # main diverges WITHOUT the column.
+        tbl.write(
+            orders.filter(F.col("o_orderstatus") == "P").select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_totalprice").alias("a"),
+            ),
+            "append",
+        )
+        snap = tbl.rebase_branch("dev", "main", "k")
+        assert snap.mode == "rebase"
+        out = tbl.read(branch="dev").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("b").alias("n_b_rows"),
+            dsum("a", "total_amount"),
+            dsum("b", "total_b"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)

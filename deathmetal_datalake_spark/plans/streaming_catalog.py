@@ -1972,3 +1972,66 @@ def streaming_fixed_histogram_replay(
     )
     rows = out.collect()
     return spark.createDataFrame(rows, schema=out.schema)
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch, streamed (round 13 — the 30th replay): k-minimum
+# -values with stochastic averaging — 64 buckets by hash residue, the
+# per-bucket MINIMUM hash as the whole state. MIN is associative,
+# commutative, and idempotent (the HLL replay's merge property with an
+# even simpler state), so the 64-row bank is batching-invariant and
+# shards across 1000 executors by construction. The estimator reads
+# the bank post-drain: a bucket's min of n uniform draws on [0, 2^60)
+# sits near 2^60/(n+1), so n-hat = sum_b (2^60/min_b - 1), per-bucket
+# terms micro-rounded before the sum (chi2 determinism pattern).
+# Same 60-bit md5 hash as the batch distinct family, so the oracle
+# restates the full law in SQL.
+# ---------------------------------------------------------------------------
+
+_KMV_BUCKETS = 64
+_KMV_W = 1152921504606846976.0  # 2^60 as an exact double
+
+_KMV_REPLAY_SQL = f"""
+WITH h AS (
+    SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+               AS hv
+    FROM events
+),
+regs AS (
+    SELECT hv % {_KMV_BUCKETS} AS b, MIN(hv) AS mn
+    FROM h GROUP BY b
+),
+est AS (
+    SELECT COUNT(*) AS nb, MIN(mn) AS gm,
+           SUM(CAST(ROUND(({_KMV_W} / mn - 1.0) * 1000000) AS BIGINT)) AS eu
+    FROM regs WHERE mn > 0
+)
+SELECT CAST(nb AS BIGINT) AS n_buckets_used,
+       CAST(gm AS BIGINT) AS min_hv,
+       ROUND(eu / 1000000.0, 6) AS kmv_estimate
+FROM est
+"""
+
+
+@register("streaming_kmv_distinct_replay", oracle=_KMV_REPLAY_SQL)
+def streaming_kmv_distinct_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    stream, scratch = _replay_events_stream(spark, sf_dir)
+    hv = hash60(F.col("user_id").cast("string"))
+    bank_stream = (
+        stream.select(hv.alias("hv"))
+        .groupBy((F.col("hv") % _KMV_BUCKETS).alias("b"))
+        .agg(F.min("hv").alias("mn"))
+    )
+    bank = _drain(bank_stream, scratch, "complete")
+    term = F.round(
+        (F.lit(_KMV_W) / F.col("mn") - F.lit(1.0)) * F.lit(1000000.0)
+    ).cast("long")
+    out = bank.filter(F.col("mn") > 0).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets_used"),
+        F.min("mn").cast("long").alias("min_hv"),
+        F.round(F.sum(term) / F.lit(1000000.0), 6).alias("kmv_estimate"),
+    )
+    rows = out.collect()
+    return spark.createDataFrame(rows, schema=out.schema)

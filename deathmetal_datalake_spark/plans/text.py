@@ -3643,3 +3643,81 @@ def corpus_pattern_scrub_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cap retention (round 13) — the "keep at most K copies"
+# curation policy (RefinedWeb/FineWeb keep 1; data-mixing recipes keep
+# a few so common boilerplate is not over-forgotten): exact-duplicate
+# clusters by md5(text), the K lowest doc_ids per cluster survive
+# (deterministic winners), and the per-source audit reports how much
+# survives — docs and CHARS, since duplicate clusters skew short. The
+# per-cluster window is keyed by the hash (never a global sort), the
+# cap is a rank filter, and everything else is one hash aggregate per
+# source. 100 TB: shuffle by content-hash, bounded per-key state.
+# ---------------------------------------------------------------------------
+
+_DUPCAP_K = 2
+
+_DUPCAP_SQL = f"""
+WITH ranked AS (
+    SELECT source, n_chars,
+           ROW_NUMBER() OVER (
+               PARTITION BY md5(text) ORDER BY doc_id
+           ) AS rn
+    FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN rn <= {_DUPCAP_K} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_retained,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       CAST(SUM(CASE WHEN rn <= {_DUPCAP_K} THEN n_chars ELSE 0 END)
+           AS BIGINT) AS n_chars_retained,
+       ROUND(CAST(SUM(CASE WHEN rn <= {_DUPCAP_K} THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS doc_retention,
+       ROUND(CAST(SUM(CASE WHEN rn <= {_DUPCAP_K} THEN n_chars ELSE 0 END)
+                  AS DOUBLE) / SUM(n_chars), 6) AS char_retention
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("corpus_influence_dedup_cap", oracle=_DUPCAP_SQL)
+def corpus_influence_dedup_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    ranked = docs.select(
+        "source", "n_chars", F.row_number().over(w).alias("rn")
+    )
+    keep = F.when(F.col("rn") <= _DUPCAP_K, 1).otherwise(0)
+    kept_chars = F.when(F.col("rn") <= _DUPCAP_K, F.col("n_chars")).otherwise(
+        0
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(keep).cast("long").alias("n_retained"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.sum(kept_chars).cast("long").alias("n_chars_retained"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_retained",
+            "n_chars",
+            "n_chars_retained",
+            F.round(
+                F.col("n_retained").cast("double") / F.col("n_docs"), 6
+            ).alias("doc_retention"),
+            F.round(
+                F.col("n_chars_retained").cast("double") / F.col("n_chars"),
+                6,
+            ).alias("char_retention"),
+        )
+        .orderBy("source")
+    )

@@ -104,6 +104,16 @@ class Snapshot:
     # re-alias them to the current logical names by field-id. Missing
     # entries (pre-registry dirs, legacy manifests) default to epoch 0.
     dir_epochs: dict = field(default_factory=dict)
+    # For ``mode == "merge"`` snapshots only: the SOURCE branch's head
+    # snapshot id at merge time (the second parent of a git merge
+    # commit). merge_branch/rebase_branch use it to advance the
+    # three-way base past an earlier merge — without it, re-merging a
+    # branch that kept committing after a merge always re-diffed from
+    # the original fork and reported the already-merged keys as
+    # spurious conflicts (round-12 ADVICE). ``None`` on every other
+    # mode and on pre-round-13 manifests (which simply keep the old
+    # last-common-snapshot base).
+    merged_from: Optional[int] = None
 
 
 class CommitConflict(RuntimeError):
@@ -135,6 +145,7 @@ def _snapshot_to_json(snap: Snapshot) -> dict:
         "file_stats": snap.file_stats,
         "dir_partitions": snap.dir_partitions,
         "dir_epochs": snap.dir_epochs,
+        "merged_from": snap.merged_from,
     }
 
 
@@ -1435,6 +1446,7 @@ class SnapshotTable:
             file_stats=d.get("file_stats", {}),
             dir_partitions=d.get("dir_partitions", {}),
             dir_epochs=d.get("dir_epochs", {}),
+            merged_from=d.get("merged_from"),
         )
 
     @property
@@ -1666,7 +1678,10 @@ class SnapshotTable:
         dir — NOT covered by the delete — supplies the upserted rows.
         O(incoming) write, no data-file rewrite; delete-vector stacking
         triggers the same :meth:`fold_deletes` maintenance as
-        ``delete_keys``. CAS semantics mirror :meth:`write`.
+        ``delete_keys`` — see that method's note on the auto-fold's
+        interaction with a forked branch (rebase_branch tolerates
+        folds; the dir-copy merge_branch does not). CAS semantics
+        mirror :meth:`write`.
         """
         if key_col not in df.columns:
             raise ValueError(f"df has no column {key_col!r}")
@@ -1775,7 +1790,12 @@ class SnapshotTable:
         ``DELETE_FOLD_THRESHOLD`` vectors are outstanding, the commit
         auto-triggers :meth:`fold_deletes` so read cost stays bounded
         under repeated takedowns; ``compact()`` remains the full
-        rewrite-everything maintenance path.
+        rewrite-everything maintenance path. On a FORKED branch, note
+        the auto-fold's interaction with the branch surface: a fold is
+        fine for :meth:`rebase_branch` (fold-tolerant row-level
+        replay) but makes the dir-copy :meth:`merge_branch`
+        inapplicable — merge before the threshold, raise it, or
+        rebase.
         """
         if key_col not in keys.columns:
             raise ValueError(f"keys DataFrame has no column {key_col!r}")
@@ -2455,14 +2475,67 @@ class SnapshotTable:
             refs.pop(name, None)
             self._write_refs(refs)
 
+    def _merge_base(
+        self, src: str, dst: str, src_hist: list, dst_hist: list
+    ) -> tuple[int, int]:
+        """Three-way base discovery for merge/rebase: ``(fork_id,
+        base_id)``.
+
+        ``fork_id`` is the last PLAIN common snapshot of the two
+        lineages (raises ValueError if none) — the slice point for the
+        post-divergence mode-validity checks. ``base_id`` is the DIFF
+        base: the latest snapshot whose content BOTH sides already
+        incorporate — the fork itself, or a later snapshot recorded as
+        ``merged_from`` by a merge snapshot on either lineage. Without
+        the merged_from candidates, re-merging a branch that kept
+        committing after a merge re-diffed from the original fork and
+        reported the already-merged keys as spurious conflicts
+        (round-12 ADVICE). Dir identity keeps base diffs exact: a merge
+        copies the source's data-dir PATHS, so dirs present at the base
+        never reappear in a side's post-base diff. On a criss-cross
+        topology (both sides merged each other) the highest-id
+        candidate wins — snapshot ids are monotonic per table.
+        Candidates whose manifest was expired fall back to earlier
+        ones.
+        """
+        src_ids = [s.snapshot_id for s in src_hist]
+        dst_ids = [s.snapshot_id for s in dst_hist]
+        common = set(src_ids) & set(dst_ids)
+        if not common:
+            raise ValueError(
+                f"branches {src!r} and {dst!r} share no common ancestor"
+            )
+        fork_id = next(i for i in reversed(dst_ids) if i in common)
+        cands = {fork_id}
+        src_set, dst_set = set(src_ids), set(dst_ids)
+        for s in dst_hist:
+            if s.mode == "merge" and s.merged_from in src_set:
+                cands.add(s.merged_from)
+        for s in src_hist:
+            if s.mode == "merge" and s.merged_from in dst_set:
+                cands.add(s.merged_from)
+        for cand in sorted(cands, reverse=True):
+            if cand == fork_id:
+                break
+            try:
+                self._load_snapshot(cand)
+            except OSError:
+                continue
+            return fork_id, cand
+        return fork_id, fork_id
+
     def merge_branch(
         self, src: str, dst: str, key_col: str, sample_conflicts: int = 20
     ) -> Snapshot:
         """Three-way branch merge with key-level conflict detection —
         the Nessie-merge analog completing the branch surface
         (create_branch = fork, fast_forward = publish, this = the
-        divergent case). The fork point is the last common snapshot of
-        the two lineages; each side's MUTATED KEY SET since the fork is
+        divergent case). The diff base is the last common snapshot of
+        the two lineages — or, after an earlier merge, that merge's
+        recorded ``merged_from`` snapshot (see :meth:`_merge_base`), so
+        a branch that keeps committing after a merge re-merges cleanly
+        instead of re-flagging its already-merged keys as conflicts.
+        Each side's MUTATED KEY SET since the base is
         the union of ``key_col`` values in its post-fork data dirs and
         delete-key dirs (an O(delta) read — only post-fork dirs are
         opened, never the fork-side table). Overlapping mutations raise
@@ -2485,17 +2558,10 @@ class SnapshotTable:
         src_head_id, dst_head_id = refs[src], refs[dst]
         src_hist = self.history(src)
         dst_hist = self.history(dst)
-        src_ids = [s.snapshot_id for s in src_hist]
-        dst_ids = [s.snapshot_id for s in dst_hist]
-        common = set(src_ids) & set(dst_ids)
-        if not common:
-            raise ValueError(
-                f"branches {src!r} and {dst!r} share no common ancestor"
-            )
-        fork_id = next(i for i in reversed(dst_ids) if i in common)
-        if src_head_id == fork_id:
+        fork_id, base_id = self._merge_base(src, dst, src_hist, dst_hist)
+        if src_head_id == base_id:
             return self._load_snapshot(dst_head_id)  # nothing to merge
-        if dst_head_id == fork_id:
+        if dst_head_id == base_id:
             # Clean fast-forward — no divergence to reconcile.
             with self._commit_lock():
                 live = self._read_refs()
@@ -2507,7 +2573,7 @@ class SnapshotTable:
                 self._write_refs(live)
             return self._load_snapshot(src_head_id)
 
-        fork = self._load_snapshot(fork_id)
+        base = self._load_snapshot(base_id)
         src_head = self._load_snapshot(src_head_id)
         dst_head = self._load_snapshot(dst_head_id)
 
@@ -2517,23 +2583,43 @@ class SnapshotTable:
 
         for side, hist in ((src, src_hist), (dst, dst_hist)):
             bad = [
-                s.snapshot_id
+                (s.snapshot_id, s.mode)
                 for s in _post_fork(hist)
                 if s.mode not in ("append", "delete", "merge", "rebase")
             ]
             if bad:
+                # Name the 'fold' case explicitly: delete_keys /
+                # merge_upsert AUTO-commit a fold once
+                # DELETE_FOLD_THRESHOLD delete vectors are outstanding,
+                # so a branch doing only row-expressible work can land
+                # here without ever calling fold_deletes() itself
+                # (round-12 ADVICE). rebase_branch replays the delta
+                # row-level and is fold-tolerant.
+                folds = [i for i, m in bad if m == "fold"]
+                hint = (
+                    (
+                        f" (snapshots {folds} are delete FOLDS — "
+                        "delete_keys/merge_upsert auto-fold after "
+                        "DELETE_FOLD_THRESHOLD outstanding delete "
+                        "vectors; merge before the threshold, raise it, "
+                        "or use rebase_branch, which replays the delta "
+                        "row-level and tolerates folds)"
+                    )
+                    if folds
+                    else " — rebase instead"
+                )
                 raise ValueError(
-                    f"snapshots {bad} on {side!r} after the fork are "
-                    "overwrites/compactions; the delta is not "
-                    "row-expressible — rebase instead"
+                    f"snapshots {[i for i, _ in bad]} on {side!r} after "
+                    "the fork are overwrites/compactions/folds; the "
+                    f"delta is not dir-expressible{hint}"
                 )
 
         from pyspark.sql.functions import col as F_col
 
         def _mutated_keys(head: Snapshot) -> "Optional[DataFrame]":
-            new_dirs = [d for d in head.data_dirs if d not in fork.data_dirs]
+            new_dirs = [d for d in head.data_dirs if d not in base.data_dirs]
             new_dels = [
-                dd for dd in head.deletes if dd not in fork.deletes
+                dd for dd in head.deletes if dd not in base.deletes
             ]
             frames = []
             if new_dirs:
@@ -2564,15 +2650,15 @@ class SnapshotTable:
                 n = clash.count()
                 raise MergeConflict(
                     f"merge {src!r} -> {dst!r}: {n} key(s) mutated on both "
-                    f"branches since fork snapshot {fork_id}; first "
+                    f"branches since base snapshot {base_id}; first "
                     f"{len(sample)}: {sample}",
                     conflict_keys=sample,
                     n_conflicts=n,
                 )
 
-        new_dirs = [d for d in src_head.data_dirs if d not in fork.data_dirs]
+        new_dirs = [d for d in src_head.data_dirs if d not in base.data_dirs]
         new_dels = tuple(
-            dd for dd in src_head.deletes if dd not in fork.deletes
+            dd for dd in src_head.deletes if dd not in base.deletes
         )
         with self._commit_lock():
             live = self._read_refs()
@@ -2583,6 +2669,7 @@ class SnapshotTable:
                 snapshot_id=snapshot_id,
                 parent_id=dst_head_id,
                 mode="merge",
+                merged_from=src_head_id,
                 data_dirs=dst_head.data_dirs + tuple(new_dirs),
                 committed_at=time.time(),
                 deletes=dst_head.deletes + new_dels,
@@ -2641,9 +2728,16 @@ class SnapshotTable:
         moves to ONE new ``rebase`` snapshot whose parent is ``onto``'s
         head; ``onto`` never moves.
 
-        The net delta since the fork is key-level and O(delta): only
-        post-fork data dirs and delete-key dirs are read, never the
-        fork-side table. Within the delta, a delete kills exactly the
+        The net delta is key-level and O(delta): only post-base data
+        dirs and delete-key dirs are read, never the base-side table
+        (the base is the fork — or an earlier merge's recorded
+        ``merged_from`` snapshot, see :meth:`_merge_base`). Unlike the
+        dir-copy :meth:`merge_branch`, the replay is FOLD-TOLERANT on
+        both sides: a ``fold`` snapshot (incl. the auto-fold
+        delete_keys/merge_upsert commit at ``DELETE_FOLD_THRESHOLD``)
+        is row-neutral, so the walk skips fold-produced dirs and keeps
+        reading the original append/delete dirs, which stay on disk
+        until snapshot expiry. Within the delta, a delete kills exactly the
         rows committed before it (scoped-delete semantics), so the
         surviving state per key is its last written version; a key with
         MORE than one surviving row (two plain appends of the same key,
@@ -2671,15 +2765,8 @@ class SnapshotTable:
         src_head_id, onto_head_id = refs[src], refs[onto]
         src_hist = self.history(src)
         onto_hist = self.history(onto)
-        src_ids = [s.snapshot_id for s in src_hist]
-        onto_ids = [s.snapshot_id for s in onto_hist]
-        common = set(src_ids) & set(onto_ids)
-        if not common:
-            raise ValueError(
-                f"branches {src!r} and {onto!r} share no common ancestor"
-            )
-        fork_id = next(i for i in reversed(onto_ids) if i in common)
-        if src_head_id == fork_id:
+        fork_id, base_id = self._merge_base(src, onto, src_hist, onto_hist)
+        if src_head_id == base_id:
             # src added nothing: rebase == fast-forward onto onto's head.
             with self._commit_lock():
                 live = self._read_refs()
@@ -2690,10 +2777,11 @@ class SnapshotTable:
                 live[src] = onto_head_id
                 self._write_refs(live)
             return self._load_snapshot(onto_head_id)
-        if onto_head_id == fork_id:
+        if onto_head_id == base_id:
             return self._load_snapshot(src_head_id)  # already based there
 
         fork = self._load_snapshot(fork_id)
+        base = self._load_snapshot(base_id)
         src_head = self._load_snapshot(src_head_id)
         onto_head = self._load_snapshot(onto_head_id)
 
@@ -2701,11 +2789,17 @@ class SnapshotTable:
             ids = [s.snapshot_id for s in hist]
             return hist[ids.index(fork_id) + 1 :]
 
+        # 'fold' is allowed on BOTH sides (round-12 ADVICE): a fold is
+        # row-neutral — it physically applies delete vectors the delta
+        # walk below already sequences — so the key-level replay just
+        # skips fold-produced dirs and keeps reading the ORIGINAL
+        # append/delete dirs, which stay on disk until snapshot expiry.
         for side, hist in ((src, src_hist), (onto, onto_hist)):
             bad = [
                 s.snapshot_id
                 for s in _post_fork(hist)
-                if s.mode not in ("append", "delete", "merge", "rebase")
+                if s.mode
+                not in ("append", "delete", "merge", "rebase", "fold")
             ]
             if bad:
                 raise ValueError(
@@ -2721,21 +2815,37 @@ class SnapshotTable:
         # and its NEW delete-key dirs at seq 2i: a merge's delete half
         # covers only pre-merge dirs, so it must order BEFORE the same
         # snapshot's appended rows.
+        base_dirs = set(base.data_dirs)
+        base_dels = {d for d, _, _ in base.deletes}
         row_frames: list[DataFrame] = []
         del_frames: list[DataFrame] = []
         prev_dirs = set(fork.data_dirs)
-        prev_dels = {d for d, _, _ in fork.deletes}
+        # Delete capture is by CUMULATIVE first appearance, not a
+        # parent-diff: a fold clears the head's delete list, and a
+        # parent-diff after one would lose the pre-fold delete dirs
+        # (still on disk, still part of the delta algebra). Dirs and
+        # delete dirs the BASE already incorporates (an earlier merge's
+        # delta) are skipped — they are not new work.
+        seen_dels = {d for d, _, _ in fork.deletes} | base_dels
         for i, snap in enumerate(_post_fork(src_hist)):
-            new_dirs = [d for d in snap.data_dirs if d not in prev_dirs]
-            if new_dirs:
+            new_dirs = [
+                d
+                for d in snap.data_dirs
+                if d not in prev_dirs and d not in base_dirs
+            ]
+            if new_dirs and snap.mode != "fold":
+                # Evolved-read via the INTRODUCING snapshot: a dir a
+                # later fold rewrote away is absent from src_head's
+                # dir_epochs, but its own snapshot still carries it.
                 row_frames.append(
-                    self._read_dirs_evolved(src_head, new_dirs).withColumn(
+                    self._read_dirs_evolved(snap, new_dirs).withColumn(
                         "_rb_seq", F.lit(2 * i + 1)
                     )
                 )
             for del_dir, del_key, _covers in snap.deletes:
-                if del_dir in prev_dels:
+                if del_dir in seen_dels:
                     continue
+                seen_dels.add(del_dir)
                 del_frames.append(
                     self.spark.read.parquet(del_dir).select(
                         F.col(del_key).alias(key_col),
@@ -2743,7 +2853,6 @@ class SnapshotTable:
                     )
                 )
             prev_dirs = set(snap.data_dirs)
-            prev_dels = {d for d, _, _ in snap.deletes}
 
         if not row_frames and not del_frames:
             return self._load_snapshot(src_head_id)  # empty net delta
@@ -2807,22 +2916,33 @@ class SnapshotTable:
 
         # ---- conflicts vs onto's post-fork mutations -------------------
         def _onto_mutated() -> "Optional[DataFrame]":
-            new_dirs = [
-                d for d in onto_head.data_dirs if d not in fork.data_dirs
-            ]
+            # Same fold-tolerant walk as the src delta: fold dirs are
+            # row-neutral rewrites (skipped), deletes are captured at
+            # first appearance (a head-diff would lose deletes a later
+            # fold absorbed), base-incorporated dirs/deletes excluded.
             frames = []
-            if new_dirs:
-                frames.append(
-                    self._read_dirs_evolved(onto_head, new_dirs).select(key_col)
-                )
-            for del_dir, del_key, _covers in onto_head.deletes:
-                if del_dir in {d for d, _, _ in fork.deletes}:
-                    continue
-                frames.append(
-                    self.spark.read.parquet(del_dir).select(
-                        F.col(del_key).alias(key_col)
+            o_prev = set(fork.data_dirs)
+            o_seen = {d for d, _, _ in fork.deletes} | base_dels
+            for snap_o in _post_fork(onto_hist):
+                nd = [
+                    d
+                    for d in snap_o.data_dirs
+                    if d not in o_prev and d not in base_dirs
+                ]
+                if nd and snap_o.mode != "fold":
+                    frames.append(
+                        self._read_dirs_evolved(snap_o, nd).select(key_col)
                     )
-                )
+                for del_dir, del_key, _covers in snap_o.deletes:
+                    if del_dir in o_seen:
+                        continue
+                    o_seen.add(del_dir)
+                    frames.append(
+                        self.spark.read.parquet(del_dir).select(
+                            F.col(del_key).alias(key_col)
+                        )
+                    )
+                o_prev = set(snap_o.data_dirs)
             if not frames:
                 return None
             out = frames[0]
@@ -2854,7 +2974,7 @@ class SnapshotTable:
                 n = conflicts.count()
                 raise MergeConflict(
                     f"rebase {src!r} onto {onto!r}: {n} key(s) mutated on "
-                    f"both branches since fork snapshot {fork_id}; first "
+                    f"both branches since base snapshot {base_id}; first "
                     f"{len(sample)}: {sample} (pick strategy='ours' or "
                     "'theirs' to resolve)",
                     conflict_keys=sample,
@@ -2930,7 +3050,8 @@ class SnapshotTable:
         """The table's ref topology as plain rows — the Nessie
         reflog/commit-log analog. One row per (ref, lineage snapshot):
         ``{ref, ref_kind, position, snapshot_id, parent_id, mode,
-        n_data_dirs, n_deletes, is_head, is_fork_of_main}`` where
+        n_data_dirs, n_deletes, merged_from, is_head,
+        is_fork_of_main}`` where
         ``position`` counts from the lineage root and
         ``is_fork_of_main`` marks the last snapshot the ref shares with
         ``main`` (the merge/rebase fork point). Metadata-only: reads
@@ -2970,6 +3091,10 @@ class SnapshotTable:
                             "mode": s.mode,
                             "n_data_dirs": len(s.data_dirs),
                             "n_deletes": len(s.deletes),
+                            # Branch-merge provenance (round 13): the
+                            # source head a 'merge' snapshot carried in
+                            # — the merge-log join key; None elsewhere.
+                            "merged_from": s.merged_from,
                             "is_head": pos == len(hist) - 1,
                             "is_fork_of_main": s.snapshot_id == fork_of_main
                             and name != _MAIN,

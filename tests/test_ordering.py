@@ -541,3 +541,51 @@ def test_grouped_quantiles_general_empty_frame_keeps_group_type(spark):
     out = grouped_quantiles_general(df, "g", F.col("v"), [0.5])
     assert out.schema["g"].dataType.simpleString() == "string"
     assert out.count() == 0
+
+
+def test_cumsum_tuple_of_pairs_is_multi_pair(spark):
+    # Round-12 ADVICE: the multi-pair dispatch keyed on tuple-ness, so
+    # a TUPLE of pairs (("a","x"), ("b","y")) silently read as one
+    # (value_col, out_col) pair. Detection is now structural: exactly
+    # two strings = single pair; anything else iterates as pairs.
+    from deathmetal_datalake_spark.operators.ordering import (
+        OrderSpec,
+        two_phase_order_multi,
+    )
+
+    df = _frame(spark).select(
+        "id", "k", "v", (F.col("v") * 2).alias("w")
+    )
+    spec_tuple = OrderSpec(
+        [F.asc("k"), F.asc("id")], F.col("k"),
+        cumsum=(("v", "cv"), ("w", "cw")), sub_key=F.col("id"),
+    )
+    spec_list = OrderSpec(
+        [F.asc("k"), F.asc("id")], F.col("k"),
+        cumsum=[("v", "cv"), ("w", "cw")], sub_key=F.col("id"),
+    )
+    a = {
+        tuple(r)
+        for r in two_phase_order_multi(df, [spec_tuple], num_partitions=8)
+        .select("id", "cv", "cw")
+        .collect()
+    }
+    b = {
+        tuple(r)
+        for r in two_phase_order_multi(df, [spec_list], num_partitions=8)
+        .select("id", "cv", "cw")
+        .collect()
+    }
+    assert a == b
+    # Both running sums materialized, with the w=2v relation holding
+    # row-for-row — the old dispatch would have bound wrong columns.
+    assert a and all(cw == 2 * cv for _, cv, cw in a)
+    # Malformed forms raise instead of mis-binding columns.
+    import pytest as _pytest
+
+    bad = OrderSpec(
+        [F.asc("k"), F.asc("id")], F.col("k"),
+        cumsum=("v", 5), sub_key=F.col("id"),
+    )
+    with _pytest.raises(TypeError, match="cumsum"):
+        two_phase_order_multi(df, [bad], num_partitions=8)

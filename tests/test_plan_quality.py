@@ -218,6 +218,11 @@ _NONEQUI_OK = {
     "orders_friedman_priority_ranks",  # 1-row block-count/statistic frames crossJoined
     "corpus_temperature_sampling_mix",  # 1-row corpus-totals frame crossJoined
     "catalog_branch_rebase_policies",  # two 1-row branch-aggregate frames crossJoined
+    # round 13
+    "dq_psi_jsd_price_drift",        # 1-row era-totals frame crossJoined
+    "events_entropy_rate_markov",    # 1-row totals + bounded pair/state-count frames
+    "orders_cramer_von_mises_two_sample",  # 1-row group-counts frame crossJoined
+    "sample_systematic_interval",    # 1-row frame-totals crossJoined
 }
 
 # (events_fano_factor_hourly, events_cohort_retention_triangle, and
@@ -384,6 +389,11 @@ _HINTED_BROADCAST_OK = {
     "orders_friedman_priority_ranks": 2,  # [1row] block-count + statistic frames
     "corpus_temperature_sampling_mix": 1,  # [1row] corpus-totals frame
     "orders_jonckheere_terpstra_trend": 2,  # [bkt] offsets + [1row] group counts
+    # round 13
+    "dq_psi_jsd_price_drift": 1,         # [1row] era-totals frame
+    "events_entropy_rate_markov": 5,     # [enum] state totals + [1row] N / n_states / n_pairs
+    "orders_cramer_von_mises_two_sample": 4,  # [bkt] offsets x2 specs (+1 tie sub-bounds) + [1row] group counts
+    "sample_systematic_interval": 2,     # [bkt] offsets + [1row] frame totals
 }
 
 
@@ -525,6 +535,75 @@ def _r5_raw_leaves(node):
     return out
 
 
+# Rule 6 (round-13, gating the round-12 verdict's NEW hazard class):
+# AQE's input-byte partition coalescing under-provisions a stage whose
+# per-row compute is SUPERLINEAR — it sees 3 MB of joined pair input,
+# picks 1 partition, and serializes an O(len^2)-per-pair edit-distance
+# stage onto one core (the levenshtein 15 s -> 1.8 s round-12 fix).
+# Static signature: a plan node whose OWN expressions invoke
+# `levenshtein` while its subtree contains an Inner/Cross join (a
+# pair-distance stage). Every such stage must carry an EXPLICIT-WIDTH
+# RepartitionByExpression in its subtree — `df.repartition(n, cols)`,
+# which AQE's coalescer is contractually forbidden to shrink; a bare
+# `repartition(cols)` does NOT count (user repartitions without a
+# number are coalescible). Audited exceptions go in _R6_EXPANSION_OK
+# with a bounds note, like rules 1-5.
+_R6_EXPANSION_OK: dict = {}
+
+_R6_SUPERLINEAR_FNS = ("levenshtein",)
+
+
+def _r6_has_inner_join(node):
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if n.nodeName() == "Join" and n.joinType().toString() in (
+            "Inner",
+            "Cross",
+        ):
+            return True
+        stack.extend(_jseq(n.children()))
+    return False
+
+
+def _r6_has_pinned_repartition(node):
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if n.nodeName() == "RepartitionByExpression":
+            try:
+                if n.optNumPartitions().isDefined():
+                    return True
+            except Exception:
+                # API drift fallback: the string form renders the
+                # explicit count as a trailing ", <n>".
+                import re as _re
+
+                if _re.search(r",\s*\d+\s*$", n.simpleString(1000)):
+                    return True
+        stack.extend(_jseq(n.children()))
+    return False
+
+
+def _unpinned_superlinear_stages(optimized_jplan):
+    """Nodes computing a superlinear per-row function over a pair-join
+    subtree WITHOUT an explicit-width repartition pinning the stage."""
+    out = []
+    stack = [optimized_jplan]
+    while stack:
+        node = stack.pop()
+        ch = _jseq(node.children())
+        stack.extend(ch)
+        s = node.simpleString(10000)
+        if not any(fn + "(" in s for fn in _R6_SUPERLINEAR_FNS):
+            continue
+        if not _r6_has_inner_join(node):
+            continue
+        if not _r6_has_pinned_repartition(node):
+            out.append(node.nodeName() + ": " + s[:200])
+    return out
+
+
 def _unpruned_self_joins(optimized_jplan):
     """Inner/Cross join nodes in the optimized logical plan where both
     sides reach the same raw (unpruned) source leaf."""
@@ -552,6 +631,7 @@ def test_plan_is_scale_sane(spark, name):
     optimized = jopt.toString()
     scans = _parquet_scans(df)
     self_joins = _unpruned_self_joins(jopt)
+    unpinned6 = _unpinned_superlinear_stages(jopt)
     release_caches()
     # 1. No unbounded cartesian products outside the whitelist.
     if name not in _NONEQUI_OK:
@@ -602,6 +682,19 @@ def test_plan_is_scale_sane(spark, name):
         "sides, or anchor-decompose an OR-cap), or audit the join as "
         "linear/bounded in _SELF_JOIN_PAIR_OK"
     )
+    # 6. Superlinear pair stages must pin their width (round-12
+    #    verdict's AQE input-byte-coalescing class): a node computing
+    #    levenshtein over a pair-join subtree needs an explicit-width
+    #    repartition (df.repartition(n, cols)) in that subtree — AQE
+    #    sizes stages by input BYTES and will coalesce a few-MB pair
+    #    stage onto one core while its compute expands quadratically.
+    allowed6 = _R6_EXPANSION_OK.get(name, 0)
+    assert len(unpinned6) <= allowed6, (
+        f"{name}: {len(unpinned6)} superlinear pair stage(s) without an "
+        f"explicit-width repartition (only {allowed6} audited): "
+        f"{unpinned6[:1]} — add .repartition(n, <block cols>) upstream "
+        "of the distance stage, or audit in _R6_EXPANSION_OK"
+    )
     # 3. Column pruning reaches every parquet scan: a scan over a gated
     #    (>= 5 column) testdata table must read a STRICT subset of the
     #    table's physical schema — an all-columns scan under a
@@ -638,8 +731,20 @@ def test_readme_counts_are_current(request):
         f"README query count is stale (expected '{phrase}') — run "
         "`python tools/gen_readme_counts.py`"
     )
+    # Full-run detection from the invocation itself, not a magic item
+    # threshold (round-12 ADVICE): the count check applies whenever no
+    # selection/deselection narrowed the collection — no -k/-m
+    # expression, no per-file/per-test path args, no --lf/--co tricks —
+    # so a shrinking suite still gets its count pinned.
+    cfg = request.config
+    narrowed = bool(
+        cfg.getoption("keyword", default="")
+        or cfg.getoption("markexpr", default="")
+        or cfg.getoption("--last-failed", default=False)
+        or any("::" in a or a.endswith(".py") for a in cfg.args)
+    )
     items = request.session.items
-    if len(items) >= 1000:  # a full-suite collection
+    if not narrowed:
         m = re.search(r"(\d+) tests:", readme)
         assert m, "README test-count phrase missing"
         assert int(m.group(1)) == len(items), (
@@ -661,4 +766,51 @@ def test_catalog_index_is_current():
     ).read_text()
     assert committed == render(), (
         "docs/CATALOG.md is stale — run `python tools/gen_catalog_index.py`"
+    )
+
+
+def test_cited_receipt_files_exist():
+    # Round-12 verdict finding #2: docs/NEXT.md cited a sweep receipt
+    # (docs/SWEEP_r12.json) that was never committed. Any
+    # docs/SWEEP_r*.json or docs/BENCH_FULL.json path cited in a
+    # committed markdown file must exist in the tree — a cited receipt
+    # is a claim, and claims need their evidence present.
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    md_files = list(root.glob("*.md")) + list((root / "docs").glob("*.md"))
+    # VERDICT/ADVICE are DRIVER-written judgments — they may legitimately
+    # DISCUSS a receipt that was never produced (that is the round-12
+    # finding this gate exists to prevent in builder-maintained docs).
+    md_files = [m for m in md_files if m.name not in ("VERDICT.md", "ADVICE.md")]
+    missing = []
+    for md in md_files:
+        text = md.read_text()
+        for ref in set(re.findall(r"docs/(?:SWEEP_r\d+|BENCH_FULL)\.json", text)):
+            if not (root / ref).exists():
+                missing.append(f"{md.name} cites {ref}")
+    assert not missing, f"cited receipts missing from the tree: {missing}"
+
+
+def test_next_md_counts_match_registry():
+    # NEXT.md is the round-handoff document; its headline catalog count
+    # drifted in round 12 ("390 queries" vs the registry's 396). Pin
+    # the stated count to the live registry the way README's is.
+    import pathlib
+    import re
+
+    from deathmetal_datalake_spark.plans import ORACLES
+
+    text = (
+        pathlib.Path(__file__).resolve().parent.parent / "docs" / "NEXT.md"
+    ).read_text()
+    m = re.search(r"\*\*(\d+) queries / (\d+) exact oracles\*\*", text)
+    assert m, (
+        "NEXT.md must state the catalog size as '**N queries / M exact "
+        "oracles**' so this gate can pin it"
+    )
+    assert (int(m.group(1)), int(m.group(2))) == (len(QUERIES), len(ORACLES)), (
+        f"NEXT.md says {m.group(0)} but the registry holds "
+        f"{len(QUERIES)} queries / {len(ORACLES)} oracles — refresh NEXT.md"
     )

@@ -1189,7 +1189,7 @@ def test_merge_branch_post_fork_overwrite_refuses(table, spark):
     table.create_branch("dev")
     table.write(_kv(spark, [(9, "z")]), "overwrite", branch="dev")
     table.write(_kv(spark, [(2, "b")]), "append")
-    with pytest.raises(ValueError, match="not\\s+row-expressible"):
+    with pytest.raises(ValueError, match="not\\s+dir-expressible"):
         table.merge_branch("dev", "main", "k")
 
 
@@ -1373,3 +1373,149 @@ def test_ref_log_topology(table, spark):
     assert all(r["ref_kind"] == "branch" for r in main_rows + dev_rows)
     # Modes round-trip.
     assert {r["mode"] for r in rows} == {"overwrite", "append"}
+
+
+# ---------------------------------------------------------------------------
+# Round 13: fold-tolerant rebase, the named-fold merge error, and
+# merged_from base advancement (re-merge of a continued branch).
+# ---------------------------------------------------------------------------
+
+
+def test_merge_branch_fold_error_names_fold_and_rebase(table, spark):
+    # delete_keys/merge_upsert auto-fold at DELETE_FOLD_THRESHOLD, so a
+    # branch doing only row-expressible work can become un-mergeable
+    # without ever calling fold_deletes() itself (round-12 ADVICE). The
+    # dir-copy merge must say WHY (the fold) and point at the
+    # fold-tolerant escape hatch (rebase_branch) — not a generic
+    # "overwrites/compactions" message.
+    table.write(_kv(spark, [(1, "a"), (2, "b")]), "overwrite")
+    table.create_branch("dev")
+    table.delete_keys(_kv(spark, [(1, "x")]).select("k"), "k", branch="dev")
+    table.fold_deletes(branch="dev")
+    table.write(_kv(spark, [(4, "d")]), "append")
+    with pytest.raises(ValueError) as ei:
+        table.merge_branch("dev", "main", "k")
+    msg = str(ei.value)
+    assert "FOLD" in msg and "rebase_branch" in msg
+    assert "DELETE_FOLD_THRESHOLD" in msg
+
+
+def test_rebase_branch_tolerates_folds_on_both_sides(table, spark):
+    # A fold physically applies deletes the delta walk already
+    # sequences — row-neutral — so rebase replays across folds on src
+    # AND onto exactly as it would without them.
+    table.write(_kv(spark, [(1, "a"), (2, "b")]), "overwrite")
+    table.create_branch("dev")
+    # dev: +6, upsert 2 -> DEV, delete 1, then fold.
+    table.write(_kv(spark, [(6, "f")]), "append", branch="dev")
+    table.merge_upsert(_kv(spark, [(2, "DEV")]), "k", branch="dev")
+    table.delete_keys(_kv(spark, [(1, "x")]).select("k"), "k", branch="dev")
+    assert table.fold_deletes(branch="dev") is not None
+    # main: +4, delete... nothing dev touched, then fold.
+    table.write(_kv(spark, [(4, "d")]), "append")
+    table.delete_keys(_kv(spark, [(4, "x")]).select("k"), "k")
+    table.write(_kv(spark, [(5, "e")]), "append")
+    assert table.fold_deletes(branch="main") is not None
+    snap = table.rebase_branch("dev", "main", "k")
+    assert snap.mode == "rebase"
+    got = {r["k"]: r["s"] for r in table.read(branch="dev").collect()}
+    # main's post-fold state {2:b, 5:e} + dev's delta (+6, 2->DEV, -1).
+    assert got == {2: "DEV", 5: "e", 6: "f"}
+
+
+def test_rebase_branch_fold_then_more_commits(table, spark):
+    # Delta work BOTH before and after a fold on src: pre-fold appends
+    # are read from their ORIGINAL dirs (still on disk), the folded
+    # delete still kills its key, post-fold commits sequence after.
+    table.write(_kv(spark, [(1, "a"), (2, "b")]), "overwrite")
+    table.create_branch("dev")
+    table.write(_kv(spark, [(7, "x")]), "append", branch="dev")
+    table.delete_keys(_kv(spark, [(7, "x")]).select("k"), "k", branch="dev")
+    table.fold_deletes(branch="dev")
+    table.write(_kv(spark, [(7, "y")]), "append", branch="dev")
+    table.write(_kv(spark, [(3, "c")]), "append")
+    table.rebase_branch("dev", "main", "k")
+    got = {r["k"]: r["s"] for r in table.read(branch="dev").collect()}
+    # 7's pre-fold version died (delete sequenced after its append);
+    # the post-fold re-append survives as the net version.
+    assert got == {1: "a", 2: "b", 3: "c", 7: "y"}
+
+
+def test_merge_branch_continue_after_merge_advances_base(table, spark):
+    # Round-12 ADVICE: merge, keep committing on src, merge again. The
+    # merge snapshot records merged_from, so the second merge diffs
+    # from src's head-at-first-merge instead of the original fork — no
+    # spurious conflict on the already-merged keys.
+    table.write(_kv(spark, [(1, "a"), (2, "b")]), "overwrite")
+    table.create_branch("dev")
+    table.write(_kv(spark, [(3, "c")]), "append", branch="dev")
+    table.write(_kv(spark, [(4, "d")]), "append")
+    m1 = table.merge_branch("dev", "main", "k")
+    assert m1.mode == "merge" and m1.merged_from == table.branches()["dev"]
+    # Immediate re-merge: src contributed nothing new -> no-op.
+    again = table.merge_branch("dev", "main", "k")
+    assert again.snapshot_id == m1.snapshot_id
+    # Both sides keep going on disjoint keys; the re-merge is clean.
+    table.write(_kv(spark, [(5, "e")]), "append", branch="dev")
+    table.write(_kv(spark, [(6, "f")]), "append")
+    m2 = table.merge_branch("dev", "main", "k")
+    assert m2.mode == "merge"
+    got = {r["k"] for r in table.read().collect()}
+    assert got == {1, 2, 3, 4, 5, 6}
+    # Genuine conflicts are still caught from the ADVANCED base: src
+    # touching a key dst changed AFTER the first merge conflicts...
+    from deathmetal_datalake_spark.sources.snapshots import MergeConflict
+
+    table.merge_upsert(_kv(spark, [(6, "DEV")]), "k", branch="dev")
+    with pytest.raises(MergeConflict):
+        table.merge_branch("dev", "main", "k")
+
+
+def test_merge_branch_post_merge_src_touching_premerge_dst_key_conflicts(
+    table, spark
+):
+    # Git-faithful base semantics: dst's ORIGINAL post-fork delta (key
+    # 4) is NOT part of the advanced base (src's head at merge time),
+    # so src later touching key 4 re-merges as a conflict — src's
+    # version must not silently overwrite dst's.
+    table.write(_kv(spark, [(1, "a")]), "overwrite")
+    table.create_branch("dev")
+    table.write(_kv(spark, [(3, "c")]), "append", branch="dev")
+    table.write(_kv(spark, [(4, "d")]), "append")
+    table.merge_branch("dev", "main", "k")
+    table.merge_upsert(_kv(spark, [(4, "DEV")]), "k", branch="dev")
+    from deathmetal_datalake_spark.sources.snapshots import MergeConflict
+
+    with pytest.raises(MergeConflict) as ei:
+        table.merge_branch("dev", "main", "k")
+    assert ei.value.conflict_keys == [4]
+
+
+def test_rebase_after_merge_uses_advanced_base(table, spark):
+    table.write(_kv(spark, [(1, "a"), (2, "b")]), "overwrite")
+    table.create_branch("dev")
+    table.write(_kv(spark, [(3, "c")]), "append", branch="dev")
+    table.write(_kv(spark, [(4, "d")]), "append")
+    table.merge_branch("dev", "main", "k")
+    # dev continues; main continues; rebase must replay ONLY the new
+    # work (key 5), not re-flag the already-merged key 3.
+    table.write(_kv(spark, [(5, "e")]), "append", branch="dev")
+    main_head = table.write(_kv(spark, [(6, "f")]), "append")
+    snap = table.rebase_branch("dev", "main", "k")
+    assert snap.parent_id == main_head.snapshot_id
+    got = {r["k"] for r in table.read(branch="dev").collect()}
+    assert got == {1, 2, 3, 4, 5, 6}
+    assert table.branches()["main"] == main_head.snapshot_id
+
+
+def test_merge_branch_merged_from_survives_manifest_roundtrip(table, spark):
+    table.write(_kv(spark, [(1, "a")]), "overwrite")
+    table.create_branch("dev")
+    table.write(_kv(spark, [(2, "b")]), "append", branch="dev")
+    table.write(_kv(spark, [(3, "c")]), "append")
+    dev_head = table.branches()["dev"]
+    m = table.merge_branch("dev", "main", "k")
+    reloaded = table._load_snapshot(m.snapshot_id)
+    assert reloaded.merged_from == dev_head
+    # Non-merge snapshots carry None (manifest back-compat default).
+    assert table._load_snapshot(dev_head).merged_from is None

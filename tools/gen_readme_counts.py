@@ -33,9 +33,18 @@ def main() -> int:
         text=True,
         cwd=ROOT,
     )
-    m = re.search(r"(\d+) tests collected", out.stdout)
-    if not m:
-        print("could not parse pytest collection output", file=sys.stderr)
+    # pytest prints "N tests collected" on a clean collection but
+    # "collected N items / M errors" when any module fails to import —
+    # match both forms, and surface the tool's own output on failure
+    # instead of a bare one-liner (round-12 ADVICE).
+    m = re.search(r"(\d+) tests? collected", out.stdout) or re.search(
+        r"collected (\d+) items?", out.stdout
+    )
+    err = re.search(r"(\d+) errors?", out.stdout)
+    if not m or err:
+        print("could not parse a clean pytest collection:", file=sys.stderr)
+        print(out.stdout[-2000:], file=sys.stderr)
+        print(out.stderr[-2000:], file=sys.stderr)
         return 1
     n_t = int(m.group(1))
 
