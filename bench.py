@@ -463,6 +463,35 @@ def main() -> None:
     reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
     canary_med, canary_min = _canary(spark)
     canary2_med, canary2_min = _canary2(spark)
+    # Pre-flight seal gate (round 13): a SEALING run refuses to start
+    # on a host whose compute canary exceeds the clean receipt band —
+    # a dirty seal becomes structurally impossible instead of a
+    # protocol promise (rounds 10-13 each lost a record to exactly
+    # this). Threshold: the 0.121 clean receipt + ~15% headroom,
+    # overridable for future hardware via SPARK_GRAFT_SEAL_MAX_CANARY2.
+    if os.environ.get("SPARK_GRAFT_SEAL") == "1":
+        limit = float(os.environ.get("SPARK_GRAFT_SEAL_MAX_CANARY2", "0.14"))
+        if canary2_min > limit:
+            print(
+                f"# SEAL ABORTED: canary2_min {canary2_min} > {limit} "
+                "(host not clean; nothing written)",
+                file=sys.stderr,
+                flush=True,
+            )
+            print(
+                json.dumps(
+                    {
+                        "metric": "seal_aborted_dirty_canary",
+                        "value": canary2_min,
+                        "unit": "sec",
+                        "queries": {},
+                        "sf": _sf_tag(sf_dir),
+                    },
+                    separators=(",", ":"),
+                )
+            )
+            spark.stop()
+            return
     med, mins = _run_suite(spark, sf_dir, reps=reps)
     payload = {
         "metric": "headline_queries_total",

@@ -40,6 +40,12 @@ del _rev_q, _rev_o
 # promoted to the head explicitly — the driver's prefix sample then
 # always covers the newest, least-battle-tested surface first.
 _NEWEST_FIRST = [
+    # round 13 batch 3: clustering eval (ARI), the 31st replay (bloom
+    # filter), Wilson proportion intervals, language-divergence matrix
+    "embedding_ari_kmeans_labels",
+    "streaming_bloom_filter_replay",
+    "lineitem_return_wilson_monthly",
+    "text_lang_divergence_matrix",
     # round 13 batch 2: distribution-shift scores (PSI/JSD), Markov
     # entropy rate, CvM two-sample, duplicate-cap retention,
     # systematic sampling, the 30th streaming replay (KMV sketch)

@@ -2595,3 +2595,75 @@ def orders_cramer_von_mises_two_sample(
         )
         .alias("t_cvm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Monthly return-rate Wilson interval (round 13) — the proportion
+# monitor done right: a per-month return rate with a Wilson score
+# interval instead of the naive ±z*sqrt(pq/n) (which collapses at 0/1
+# and small n). z is pinned at exactly 2 so every intermediate before
+# the final sqrt is exact INTEGER arithmetic: center = (r+2)/(n+4),
+# half-width = 2*sqrt((r(n-r)+n)/n^3)*n/(n+4), with r(n-r)+n exact in
+# longs and the identical expression tree on both engines. 100 TB: one
+# hash aggregate to ~#months rows; everything after is bounded.
+# ---------------------------------------------------------------------------
+
+_WILSON_SQL = """
+WITH m AS (
+    SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+           COUNT(*) AS n,
+           SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r
+    FROM lineitem GROUP BY 1
+)
+SELECT month,
+       CAST(n AS BIGINT) AS n_items,
+       CAST(r AS BIGINT) AS n_returned,
+       ROUND(CAST(r AS DOUBLE) / n, 6) AS p_hat,
+       ROUND((CAST(r AS DOUBLE) + 2.0) / (n + 4)
+             - 2.0 * SQRT(CAST(r * (n - r) + n AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                             * CAST(n AS DOUBLE)))
+               * CAST(n AS DOUBLE) / (n + 4), 6) AS wilson_lo,
+       ROUND((CAST(r AS DOUBLE) + 2.0) / (n + 4)
+             + 2.0 * SQRT(CAST(r * (n - r) + n AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                             * CAST(n AS DOUBLE)))
+               * CAST(n AS DOUBLE) / (n + 4), 6) AS wilson_hi
+FROM m ORDER BY month
+"""
+
+
+@register("lineitem_return_wilson_monthly", oracle=_WILSON_SQL)
+def lineitem_return_wilson_monthly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.groupBy(
+        F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("month")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("r"),
+    )
+    nd = F.col("n").cast("double")
+    center = (F.col("r").cast("double") + F.lit(2.0)) / (F.col("n") + 4)
+    half = (
+        F.lit(2.0)
+        * F.sqrt(
+            (F.col("r") * (F.col("n") - F.col("r")) + F.col("n")).cast(
+                "double"
+            )
+            / (nd * nd * nd)
+        )
+        * nd
+        / (F.col("n") + 4)
+    )
+    return m.select(
+        "month",
+        F.col("n").alias("n_items"),
+        F.col("r").alias("n_returned"),
+        F.round(F.col("r").cast("double") / F.col("n"), 6).alias("p_hat"),
+        F.round(center - half, 6).alias("wilson_lo"),
+        F.round(center + half, 6).alias("wilson_hi"),
+    ).orderBy("month")

@@ -4385,3 +4385,144 @@ def embedding_participation_ratio(
         .otherwise(F.round(pr / F.col("n_dims"), 6))
         .alias("pr_fraction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Adjusted Rand Index of k-means vs labels (round 13) — the external
+# clustering-evaluation number: how much the UNSUPERVISED 2-round
+# k-means structure (kmeans_two_rounds' exact assignment law) agrees
+# with the supervised label column, chance-corrected. Everything is
+# pair-counting combinatorics on the clusters x labels contingency
+# table (bounded 16 x |labels|): with S = sum_ij C(n_ij,2),
+# A = sum_i C(a_i,2), B = sum_j C(b_j,2), T = C(n,2),
+# ARI = 2(ST - AB) / (T(A+B) - 2AB) — exact integers in decimal(38,0)
+# end to end, ONE final division. 100 TB: the assignment is the
+# audited corpus x 16-centroid scan; the rest is bounded frames.
+# ---------------------------------------------------------------------------
+
+_ARI_SQL = f"""
+WITH vecs AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+c0 AS (
+    SELECT vec_id AS cid, emb AS cemb FROM vecs
+    WHERE vec_id % {_KM_MOD} = {_KM_REM} AND vec_id < {_KM_CAP}
+),
+a1 AS (
+    SELECT vec_id, emb, cid FROM (
+        SELECT v.vec_id, v.emb, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {_KM_COS.format(a="v.emb", b="c.cemb")} DESC, c.cid ASC
+               ) AS rn
+        FROM vecs v CROSS JOIN c0 c
+    ) WHERE rn = 1
+),
+comps1 AS (
+    SELECT cid, g.i AS pos, CAST(emb[g.i + 1] AS DECIMAL(25,12)) AS x
+    FROM a1, (SELECT UNNEST(range({_EMB_DIM})) AS i) g
+),
+c1 AS (
+    SELECT cid, list(m ORDER BY pos) AS cemb FROM (
+        SELECT cid, pos, ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS m
+        FROM comps1 GROUP BY cid, pos
+    ) GROUP BY cid
+),
+a2 AS (
+    SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {_KM_COS.format(a="v.emb", b="c.cemb")} DESC, c.cid ASC
+               ) AS rn
+        FROM vecs v CROSS JOIN c1 c
+    ) WHERE rn = 1
+),
+cont AS (
+    SELECT a2.cid, e.label, COUNT(*) AS nij
+    FROM a2 JOIN embeddings e ON a2.vec_id = e.vec_id
+    GROUP BY 1, 2
+),
+sums AS (
+    SELECT
+        SUM(CAST(nij AS HUGEINT) * (nij - 1) // 2) AS s,
+        (SELECT SUM(CAST(a AS HUGEINT) * (a - 1) // 2)
+         FROM (SELECT SUM(nij) AS a FROM cont GROUP BY cid)) AS aa,
+        (SELECT SUM(CAST(b AS HUGEINT) * (b - 1) // 2)
+         FROM (SELECT SUM(nij) AS b FROM cont GROUP BY label)) AS bb,
+        (SELECT CAST(SUM(nij) AS HUGEINT) * (SUM(nij) - 1) // 2 FROM cont)
+            AS t,
+        (SELECT COUNT(DISTINCT cid) FROM cont) AS n_clusters,
+        (SELECT COUNT(DISTINCT label) FROM cont) AS n_labels,
+        (SELECT SUM(nij) FROM cont) AS n
+    FROM cont
+)
+SELECT CAST(n AS BIGINT) AS n_vecs,
+       CAST(n_clusters AS BIGINT) AS n_clusters,
+       CAST(n_labels AS BIGINT) AS n_labels,
+       CASE WHEN t * (aa + bb) - 2 * aa * bb = 0 THEN NULL
+            ELSE ROUND(
+                CAST(CAST(2 * (s * t - aa * bb) AS VARCHAR) AS DOUBLE)
+                / CAST(CAST(t * (aa + bb) - 2 * aa * bb AS VARCHAR)
+                       AS DOUBLE), 6)
+       END AS ari
+FROM sums
+"""
+
+
+@register("embedding_ari_kmeans_labels", oracle=_ARI_SQL)
+def embedding_ari_kmeans_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = spread(
+        emb.select("vec_id", _as_double("embedding").alias("emb"))
+    )
+    c0 = vecs.filter(
+        (F.col("vec_id") % _KM_MOD == _KM_REM) & (F.col("vec_id") < _KM_CAP)
+    ).select(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
+    a1 = _km_assign(vecs, c0)
+    c1 = _km_update(a1)
+    a2 = _km_assign(vecs, c1)
+    cont = (
+        a2.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cid", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("nij"))
+    )
+    from deathmetal_datalake_spark.plans.registry import session_cache
+
+    cont = session_cache(cont)
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    dd = lambda c: c.cast("string").cast("double")  # noqa: E731
+    pairs = lambda c: d38(c) * (c - 1) / 2  # exact: c*(c-1) is even
+    s_f = cont.agg(
+        F.sum(pairs(F.col("nij")).cast("decimal(38,0)")).alias("s"),
+        F.sum("nij").cast("decimal(38,0)").alias("n"),
+        F.countDistinct("cid").cast("long").alias("n_clusters"),
+        F.countDistinct("label").cast("long").alias("n_labels"),
+    )
+    a_f = (
+        cont.groupBy("cid")
+        .agg(F.sum("nij").alias("a"))
+        .agg(F.sum(pairs(F.col("a")).cast("decimal(38,0)")).alias("aa"))
+    )
+    b_f = (
+        cont.groupBy("label")
+        .agg(F.sum("nij").alias("b"))
+        .agg(F.sum(pairs(F.col("b")).cast("decimal(38,0)")).alias("bb"))
+    )
+    j = s_f.crossJoin(broadcast(a_f)).crossJoin(broadcast(b_f))  # [1row] x2
+    t = (F.col("n") * (F.col("n") - 1) / 2).cast("decimal(38,0)")
+    num = (
+        F.lit(2) * (F.col("s") * t - F.col("aa") * F.col("bb"))
+    ).cast("decimal(38,0)")
+    den = (
+        t * (F.col("aa") + F.col("bb"))
+        - F.lit(2) * F.col("aa") * F.col("bb")
+    ).cast("decimal(38,0)")
+    return j.select(
+        F.col("n").cast("long").alias("n_vecs"),
+        "n_clusters",
+        "n_labels",
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(dd(num) / dd(den), 6))
+        .alias("ari"),
+    )

@@ -2035,3 +2035,85 @@ def streaming_kmv_distinct_replay(
     )
     rows = out.collect()
     return spark.createDataFrame(rows, schema=out.schema)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter, streamed (round 13 — the 31st replay): the membership
+# sketch as streaming state — k=4 double-hashed probes per user, the
+# filter as 32 slots x 60 bits, per-slot BIT_OR as the whole state.
+# OR is associative/commutative/idempotent (the HLL/KMV merge family,
+# bitwise flavor), so the 32-row bank is batching-invariant and
+# shards/merges trivially. Entirely INTEGER state — the only float is
+# the final fill-ratio / false-positive estimate ((bits/m)^k) computed
+# once post-drain. Same 60-bit md5 hash as the batch family; the
+# oracle restates filter construction bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_BLOOM_SLOTS = 32
+_BLOOM_SLOT_BITS = 60  # 1 << 59 max: safe signed-64 in BOTH engines
+_BLOOM_M = _BLOOM_SLOTS * _BLOOM_SLOT_BITS
+_BLOOM_K = 4
+
+_BLOOM_REPLAY_SQL = f"""
+WITH h AS (
+    SELECT {sql_hash60("CAST(user_id AS VARCHAR)")} AS h1,
+           {sql_hash60("CAST(user_id AS VARCHAR) || '#2'")} AS h2
+    FROM events
+),
+p AS (
+    SELECT (h1 + g.i * h2) % {_BLOOM_M} AS p
+    FROM h, (SELECT UNNEST(range({_BLOOM_K})) AS i) g
+),
+bank AS (
+    SELECT p // {_BLOOM_SLOT_BITS} AS slot,
+           bit_or(CAST(1 AS BIGINT)
+                  << CAST(p % {_BLOOM_SLOT_BITS} AS INTEGER)) AS bits
+    FROM p GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_slots_used,
+       CAST(SUM(bit_count(bits)) AS BIGINT) AS bits_set,
+       ROUND(CAST(SUM(bit_count(bits)) AS DOUBLE) / {_BLOOM_M}, 6)
+           AS fill_ratio,
+       ROUND(POW(CAST(SUM(bit_count(bits)) AS DOUBLE) / {_BLOOM_M},
+                 {_BLOOM_K}), 6) AS est_fp_rate
+FROM bank
+"""
+
+
+@register("streaming_bloom_filter_replay", oracle=_BLOOM_REPLAY_SQL)
+def streaming_bloom_filter_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    stream, scratch = _replay_events_stream(spark, sf_dir)
+    u = F.col("user_id").cast("string")
+    hs = stream.select(
+        hash60(u).alias("h1"),
+        hash60(F.concat(u, F.lit("#2"))).alias("h2"),
+    )
+    probes = hs.select(
+        F.explode(
+            F.array(
+                *[
+                    (F.col("h1") + F.lit(i) * F.col("h2")) % _BLOOM_M
+                    for i in range(_BLOOM_K)
+                ]
+            )
+        ).alias("p")
+    )
+    bank_stream = probes.groupBy(
+        (F.col("p") / _BLOOM_SLOT_BITS).cast("long").alias("slot")
+    ).agg(
+        F.bit_or(
+            F.expr(f"shiftleft(1L, int(p % {_BLOOM_SLOT_BITS}))")
+        ).alias("bits")
+    )
+    bank = _drain(bank_stream, scratch, "complete")
+    fill = F.sum(F.bit_count("bits")).cast("double") / F.lit(_BLOOM_M)
+    out = bank.agg(
+        F.count(F.lit(1)).cast("long").alias("n_slots_used"),
+        F.sum(F.bit_count("bits")).cast("long").alias("bits_set"),
+        F.round(fill, 6).alias("fill_ratio"),
+        F.round(F.pow(fill, F.lit(_BLOOM_K)), 6).alias("est_fp_rate"),
+    )
+    rows = out.collect()
+    return spark.createDataFrame(rows, schema=out.schema)

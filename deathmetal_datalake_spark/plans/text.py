@@ -3721,3 +3721,163 @@ def corpus_influence_dedup_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise language-divergence matrix (round 13) — Jensen-Shannon
+# distance between every language pair's unigram distribution over the
+# corpus' top-200 global vocabulary: the corpus-composition diagnostic
+# behind multilingual mixing decisions (which languages share surface
+# vocabulary, which are disjoint). One tokenize+count pass (the house
+# whitespace law), a top-V global cut (TakeOrdered, deterministic
+# count-then-word tie-break), then a DENSE bounded frame (<=V rows x
+# |langs| columns) carries every pairwise term — per-word terms are
+# micro-rounded longs (chi2 determinism pattern) and the |langs|^2/2
+# sums land in ONE aggregate. 100 TB: everything after the token count
+# is bounded by V * |langs|.
+# ---------------------------------------------------------------------------
+
+_DIV_LANGS = ("de", "en", "es", "fr", "zh")
+_DIV_TOPV = 200
+
+
+def _div_pairs():
+    ls = _DIV_LANGS
+    return [(ls[i], ls[j]) for i in range(len(ls)) for j in range(len(ls)) if i < j]
+
+
+def _div_sql() -> str:
+    dense_cols = ",\n        ".join(
+        f"SUM(CASE WHEN lang = '{l}' THEN c ELSE 0 END) AS c_{l}"
+        for l in _DIV_LANGS
+    )
+    tot_cols = ", ".join(f"SUM(c_{l}) AS t_{l}" for l in _DIV_LANGS)
+    term_cols, sum_cols, rows = [], [], []
+    for a, b in _div_pairs():
+        p = f"(CAST(c_{a} AS DOUBLE) / t_{a})"
+        q = f"(CAST(c_{b} AS DOUBLE) / t_{b})"
+        term_cols.append(
+            f"CAST(ROUND((CASE WHEN c_{a} > 0 THEN {p} * LOG2(2.0 * {p} / ({p} + {q})) ELSE 0.0 END"
+            f" + CASE WHEN c_{b} > 0 THEN {q} * LOG2(2.0 * {q} / ({p} + {q})) ELSE 0.0 END)"
+            f" * 500000) AS BIGINT) AS u_{a}_{b},"
+            f" CASE WHEN c_{a} > 0 AND c_{b} > 0 THEN 1 ELSE 0 END AS b_{a}_{b}"
+        )
+        sum_cols.append(
+            f"SUM(u_{a}_{b}) AS u_{a}_{b}, SUM(b_{a}_{b}) AS b_{a}_{b}"
+        )
+        rows.append(
+            f"('{a}', '{b}', (SELECT ROUND(u_{a}_{b} / 1000000.0, 6) FROM s),"
+            f" (SELECT CAST(b_{a}_{b} AS BIGINT) FROM s))"
+        )
+    return f"""
+WITH toks AS (
+    SELECT lang, UNNEST(string_split_regex(LOWER(TRIM(text)), '\\s+')) AS w
+    FROM documents WHERE text IS NOT NULL AND TRIM(text) <> ''
+),
+cw AS (SELECT lang, w, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+top AS (
+    SELECT w FROM (
+        SELECT w, SUM(c) AS gc FROM cw GROUP BY w
+        ORDER BY gc DESC, w ASC LIMIT {_DIV_TOPV}
+    )
+),
+dense AS (
+    SELECT w,
+        {dense_cols}
+    FROM cw WHERE w IN (SELECT w FROM top) GROUP BY w
+),
+t AS (SELECT {tot_cols} FROM dense),
+terms AS (
+    SELECT {", ".join(term_cols)}
+    FROM dense, t
+),
+s AS (SELECT {", ".join(sum_cols)} FROM terms)
+SELECT * FROM (VALUES
+    {", ".join(rows)}
+) v(lang_a, lang_b, jsd_bits, n_words_both)
+ORDER BY lang_a, lang_b
+"""
+
+
+@register("text_lang_divergence_matrix", oracle=_div_sql())
+def text_lang_divergence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    from deathmetal_datalake_spark.plans.registry import session_cache, spread
+
+    docs = spread(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.trim(F.col("text")) != ""))
+        .select(
+            "lang",
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
+        )
+    )
+    cw = session_cache(
+        docs.select("lang", F.explode("toks").alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = (
+        cw.groupBy("w")
+        .agg(F.sum("c").alias("gc"))
+        .orderBy(F.desc("gc"), F.asc("w"))
+        .limit(_DIV_TOPV)
+        .select("w")
+    )
+    dense = (
+        cw.join(broadcast(top), "w", "left_semi")
+        .groupBy("w")
+        .agg(
+            *[
+                F.sum(F.when(F.col("lang") == l, F.col("c")).otherwise(0))
+                .cast("long")
+                .alias(f"c_{l}")
+                for l in _DIV_LANGS
+            ]
+        )
+    )
+    tot = dense.agg(
+        *[F.sum(f"c_{l}").cast("long").alias(f"t_{l}") for l in _DIV_LANGS]
+    )
+    terms = dense.crossJoin(broadcast(tot))  # [1row] per-lang totals
+    aggs = []
+    for a, b in _div_pairs():
+        p = F.col(f"c_{a}").cast("double") / F.col(f"t_{a}")
+        q = F.col(f"c_{b}").cast("double") / F.col(f"t_{b}")
+        term = (
+            F.when(
+                F.col(f"c_{a}") > 0,
+                p * F.log2(F.lit(2.0) * p / (p + q)),
+            ).otherwise(0.0)
+            + F.when(
+                F.col(f"c_{b}") > 0,
+                q * F.log2(F.lit(2.0) * q / (p + q)),
+            ).otherwise(0.0)
+        )
+        aggs.append(
+            F.sum(F.round(term * F.lit(500000.0)).cast("long")).alias(
+                f"u_{a}_{b}"
+            )
+        )
+        aggs.append(
+            F.sum(
+                F.when(
+                    (F.col(f"c_{a}") > 0) & (F.col(f"c_{b}") > 0), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"b_{a}_{b}")
+        )
+    s = terms.agg(*aggs)
+    stack_args = ", ".join(
+        # 1e6 (not 1000000.0): a Spark SQL decimal-point literal parses
+        # as DECIMAL and would make jsd_bits decimal-typed; the oracle
+        # (and the micro convention) is double.
+        f"'{a}', '{b}', ROUND(u_{a}_{b} / 1e6, 6), b_{a}_{b}"
+        for a, b in _div_pairs()
+    )
+    return s.selectExpr(
+        f"stack({len(_div_pairs())}, {stack_args}) AS "
+        "(lang_a, lang_b, jsd_bits, n_words_both)"
+    ).orderBy("lang_a", "lang_b")

@@ -223,6 +223,8 @@ _NONEQUI_OK = {
     "events_entropy_rate_markov",    # 1-row totals + bounded pair/state-count frames
     "orders_cramer_von_mises_two_sample",  # 1-row group-counts frame crossJoined
     "sample_systematic_interval",    # 1-row frame-totals crossJoined
+    "embedding_ari_kmeans_labels",   # corpus x 16-centroid assignment + 1-row pair sums
+    "text_lang_divergence_matrix",   # 1-row per-lang totals over the <=200-row dense frame
 }
 
 # (events_fano_factor_hourly, events_cohort_retention_triangle, and
@@ -394,6 +396,8 @@ _HINTED_BROADCAST_OK = {
     "events_entropy_rate_markov": 5,     # [enum] state totals + [1row] N / n_states / n_pairs
     "orders_cramer_von_mises_two_sample": 4,  # [bkt] offsets x2 specs (+1 tie sub-bounds) + [1row] group counts
     "sample_systematic_interval": 2,     # [bkt] offsets + [1row] frame totals
+    "embedding_ari_kmeans_labels": 2,    # [1row] pair-sum frames (centroid scans un-hinted)
+    "text_lang_divergence_matrix": 3,    # [topk] 200-word vocab cut x2 reuse + [1row] lang totals
 }
 
 
