@@ -40,6 +40,13 @@ del _rev_q, _rev_o
 # promoted to the head explicitly — the driver's prefix sample then
 # always covers the newest, least-battle-tested surface first.
 _NEWEST_FIRST = [
+    # round 13 batch 4: spectral analysis (periodogram), market
+    # concentration (HHI), key-space gap audit, the 32nd replay
+    # (count-min sketch)
+    "events_periodogram_daily",
+    "supplier_hhi_by_nation",
+    "dq_orderkey_gap_audit",
+    "streaming_countmin_replay",
     # round 13 batch 3: clustering eval (ARI), the 31st replay (bloom
     # filter), Wilson proportion intervals, language-divergence matrix
     "embedding_ari_kmeans_labels",

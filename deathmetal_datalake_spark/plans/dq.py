@@ -2707,3 +2707,82 @@ def dq_psi_jsd_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("jsd_bits"),
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Key-space gap audit (round 13) — sequence-completeness DQ for a
+# surrogate-key column: how much of [min,max] is unoccupied, where the
+# largest hole is, and how many gap sites exist. Wholesale-missing id
+# ranges are the classic symptom of a dropped ingest partition. The
+# successor join rides the two-phase distributed rank (rank is unique,
+# so the rank -> rank+1 equi-join is LINEAR — no window over the whole
+# key space in one task). 100 TB: distinct + two-phase rank + one
+# shuffle equi-join on rank.
+# ---------------------------------------------------------------------------
+
+_GAP_SQL = """
+WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+g AS (
+    SELECT k, LEAD(k) OVER (ORDER BY k) - k AS gap FROM k
+),
+s AS (
+    SELECT COUNT(*) AS n_keys, MIN(k) AS min_key, MAX(k) AS max_key
+    FROM k
+)
+SELECT CAST(s.n_keys AS BIGINT) AS n_keys,
+       CAST(s.min_key AS BIGINT) AS min_key,
+       CAST(s.max_key AS BIGINT) AS max_key,
+       CAST(s.max_key - s.min_key + 1 - s.n_keys AS BIGINT) AS n_missing,
+       CAST((SELECT MAX(gap) FROM g) AS BIGINT) AS max_gap,
+       CAST((SELECT SUM(CASE WHEN gap > 1 THEN 1 ELSE 0 END) FROM g)
+           AS BIGINT) AS n_gap_sites
+FROM s
+"""
+
+
+@register("dq_orderkey_gap_audit", oracle=_GAP_SQL)
+def dq_orderkey_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    from deathmetal_datalake_spark.operators.ordering import two_phase_order
+
+    keys = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    ranked = two_phase_order(
+        keys,
+        [F.asc("k")],
+        F.col("k"),
+        rank_col="rk",
+        num_partitions=spark.sparkContext.defaultParallelism,
+    )
+    nxt = ranked.select(
+        (F.col("rk") - 1).alias("rk"), F.col("k").alias("k_next")
+    )
+    gaps = ranked.join(nxt, "rk").select(
+        (F.col("k_next") - F.col("k")).alias("gap")
+    )
+    gstats = gaps.agg(
+        F.max("gap").cast("long").alias("max_gap"),
+        F.sum(F.when(F.col("gap") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_gap_sites"),
+    )
+    s = keys.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.min("k").cast("long").alias("min_key"),
+        F.max("k").cast("long").alias("max_key"),
+    )
+    return s.crossJoin(broadcast(gstats)).select(  # [1row] gap stats
+        "n_keys",
+        "min_key",
+        "max_key",
+        (F.col("max_key") - F.col("min_key") + 1 - F.col("n_keys"))
+        .cast("long")
+        .alias("n_missing"),
+        "max_gap",
+        "n_gap_sites",
+    )

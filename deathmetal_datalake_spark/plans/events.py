@@ -5742,3 +5742,106 @@ def events_entropy_rate_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Daily periodogram (round 13) — the discrete-Fourier power of the
+# daily event-count series at the first three harmonics: the spectral
+# companion to the autocorrelation/seasonal battery (is there a
+# weekly-ish cycle, and how much of the variance sits in it). The day
+# spine is time-range bounded; per-day cos/sin terms are micro-rounded
+# longs (chi2 determinism pattern) with the 2*pi*k constants folded to
+# identical double literals on both engines, so the sums are exact and
+# the squared amplitudes divide once at the end. 100 TB: one hash
+# aggregate to the day spine, bounded everything after.
+# ---------------------------------------------------------------------------
+
+_PGRAM_KS = (1, 2, 3)
+
+
+def _pgram_sql() -> str:
+    import math
+
+    terms, sums, rows = [], [], []
+    for k in _PGRAM_KS:
+        c = repr(2.0 * math.pi * k)
+        terms.append(
+            f"CAST(ROUND(c * COS({c} * t / n_days) * 1000000) AS BIGINT) AS a_{k},"
+            f" CAST(ROUND(c * SIN({c} * t / n_days) * 1000000) AS BIGINT) AS b_{k}"
+        )
+        sums.append(f"SUM(a_{k}) AS a_{k}, SUM(b_{k}) AS b_{k}")
+        rows.append(
+            f"({k}, (SELECT CAST(n_days AS BIGINT) FROM b),"
+            f" (SELECT ROUND((a_{k} / 1000000.0) * (a_{k} / 1000000.0)"
+            f" + (b_{k} / 1000000.0) * (b_{k} / 1000000.0), 6) FROM s))"
+        )
+    return f"""
+WITH daily AS (
+    SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, COUNT(*) AS c
+    FROM events GROUP BY 1
+),
+b AS (
+    SELECT MIN(d) AS d0, date_diff('day', MIN(d), MAX(d)) + 1 AS n_days
+    FROM daily
+),
+terms AS (
+    SELECT {", ".join(terms)}
+    FROM (SELECT date_diff('day', b.d0, daily.d) AS t, daily.c, b.n_days
+          FROM daily, b)
+),
+s AS (SELECT {", ".join(sums)} FROM terms)
+SELECT * FROM (VALUES
+    {", ".join(rows)}
+) v(k, n_days, power)
+ORDER BY k
+"""
+
+
+@register("events_periodogram_daily", oracle=_pgram_sql())
+def events_periodogram_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from pyspark.sql.functions import broadcast
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    b = daily.agg(
+        F.min("d").alias("d0"),
+        (F.datediff(F.max("d"), F.min("d")) + 1).cast("long").alias("n_days"),
+    )
+    base = daily.crossJoin(broadcast(b)).select(  # [1row] span bounds
+        F.datediff(F.col("d"), F.col("d0")).cast("long").alias("t"),
+        "c",
+        "n_days",
+    )
+    aggs = []
+    for k in _PGRAM_KS:
+        const = 2.0 * math.pi * k
+        arg = F.lit(const) * F.col("t") / F.col("n_days")
+        aggs.append(
+            F.sum(
+                F.round(F.col("c") * F.cos(arg) * F.lit(1000000.0)).cast(
+                    "long"
+                )
+            ).alias(f"a_{k}")
+        )
+        aggs.append(
+            F.sum(
+                F.round(F.col("c") * F.sin(arg) * F.lit(1000000.0)).cast(
+                    "long"
+                )
+            ).alias(f"b_{k}")
+        )
+    s = base.agg(*aggs).crossJoin(
+        broadcast(b.select("n_days"))  # [1row] day count
+    )
+    stack_args = ", ".join(
+        f"{k}, n_days, ROUND((a_{k} / 1e6) * (a_{k} / 1e6)"
+        f" + (b_{k} / 1e6) * (b_{k} / 1e6), 6)"
+        for k in _PGRAM_KS
+    )
+    return s.selectExpr(
+        f"stack({len(_PGRAM_KS)}, {stack_args}) AS (k, n_days, power)"
+    ).orderBy("k")

@@ -2667,3 +2667,93 @@ def lineitem_return_wilson_monthly(
         F.round(center - half, 6).alias("wilson_lo"),
         F.round(center + half, 6).alias("wilson_hi"),
     ).orderBy("month")
+
+
+# ---------------------------------------------------------------------------
+# Supplier revenue concentration (round 13) — the Herfindahl-Hirschman
+# index per nation: sum of squared supplier revenue shares, the
+# antitrust-grade concentration number (10000 x HHI in economist
+# units would be share-in-percent squared; this keeps the [1/n, 1]
+# fraction form). Revenue sums ride the exact decimal path (dsum law);
+# each supplier's squared share is micro-rounded to a long before the
+# per-nation sum, so the only floats are per-row and the final divide.
+# 100 TB: two hash aggregates (supplier rollup, nation rollup) and a
+# broadcastable nation-totals join.
+# ---------------------------------------------------------------------------
+
+_HHI_SQL = f"""
+WITH rev AS (
+    SELECT s.s_nationkey, l.l_suppkey,
+           SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+               AS DECIMAL(18,6))) AS r
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1, 2
+),
+tot AS (SELECT s_nationkey, SUM(r) AS tr, COUNT(*) AS ns FROM rev GROUP BY 1),
+terms AS (
+    SELECT rev.s_nationkey,
+           CAST(ROUND(
+               (CAST(CAST(rev.r AS VARCHAR) AS DOUBLE)
+                / CAST(CAST(tot.tr AS VARCHAR) AS DOUBLE))
+               * (CAST(CAST(rev.r AS VARCHAR) AS DOUBLE)
+                  / CAST(CAST(tot.tr AS VARCHAR) AS DOUBLE))
+               * 1000000000) AS BIGINT) AS u
+    FROM rev JOIN tot ON rev.s_nationkey = tot.s_nationkey
+)
+SELECT n.n_name AS nation,
+       CAST(t.ns AS BIGINT) AS n_suppliers,
+       ROUND(SUM(terms.u) / 1000000000.0, 6) AS hhi
+FROM terms
+JOIN tot t ON terms.s_nationkey = t.s_nationkey
+JOIN nation n ON terms.s_nationkey = n.n_nationkey
+GROUP BY 1, 2
+ORDER BY nation
+"""
+
+
+@register("supplier_hhi_by_nation", oracle=_HHI_SQL)
+def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    # No forced broadcast on supplier: the table is SF-proportional
+    # (TPC-H SF x 10k rows), so the ship-through-driver hint would OOM
+    # at scale — AQE picks broadcast at small SF on its own.
+    rev = (
+        li.join(
+            sup.select("s_suppkey", "s_nationkey"),
+            li["l_suppkey"] == sup["s_suppkey"],
+        )
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("decimal(18,6)")
+            ).alias("r")
+        )
+    )
+    tot = rev.groupBy("s_nationkey").agg(
+        F.sum("r").alias("tr"), F.count(F.lit(1)).cast("long").alias("ns")
+    )
+    dd = lambda c: c.cast("string").cast("double")  # noqa: E731
+    share = dd(F.col("r")) / dd(F.col("tr"))
+    u = F.round(share * share * F.lit(1000000000.0)).cast("long")
+    return (
+        rev.join(broadcast(tot), "s_nationkey")  # [enum] 25-nation totals
+        .select("s_nationkey", F.col("ns"), u.alias("u"))
+        .groupBy("s_nationkey", "ns")
+        .agg(F.sum("u").alias("su"))
+        .join(
+            broadcast(nat.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("ns").alias("n_suppliers"),
+            F.round(F.col("su") / F.lit(1000000000.0), 6).alias("hhi"),
+        )
+        .orderBy("nation")
+    )

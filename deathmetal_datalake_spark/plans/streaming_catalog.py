@@ -2117,3 +2117,118 @@ def streaming_bloom_filter_replay(
     )
     rows = out.collect()
     return spark.createDataFrame(rows, schema=out.schema)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch, streamed (round 13 — the 32nd replay): per-cell
+# COUNT over the d x w grid is a SUM of indicator increments —
+# associative and commutative, so the bounded cell bank merges across
+# micro-batches and executors exactly like the batch build (the
+# events_countmin_user_freq law, same per-row salted-hash positions).
+# Post-drain, the bank answers point queries: the top-10 users by
+# exact frequency are probed with the min-over-rows estimate, and the
+# oracle re-derives bank AND probes relationally — pinning the
+# ESTIMATE=min(cells) law and the overcount-only property in one
+# result.
+# ---------------------------------------------------------------------------
+
+from deathmetal_datalake_spark.plans.events import _CMS_D, _CMS_W
+
+_CMS_REPLAY_SQL = f"""
+WITH cells AS (
+    SELECT j.i AS j,
+           {sql_hash60("CAST(user_id AS VARCHAR) || ':' || CAST(j.i AS VARCHAR)")}
+               % {_CMS_W} AS pos,
+           COUNT(*) AS c
+    FROM events, (SELECT UNNEST(range({_CMS_D})) AS i) j
+    GROUP BY 1, 2
+),
+users AS (
+    SELECT user_id, COUNT(*) AS n_exact FROM events GROUP BY user_id
+),
+top AS (
+    SELECT user_id, n_exact FROM users
+    ORDER BY n_exact DESC, user_id ASC LIMIT 10
+),
+probes AS (
+    SELECT t.user_id, t.n_exact, j.i AS j,
+           {sql_hash60("CAST(t.user_id AS VARCHAR) || ':' || CAST(j.i AS VARCHAR)")}
+               % {_CMS_W} AS pos
+    FROM top t, (SELECT UNNEST(range({_CMS_D})) AS i) j
+)
+SELECT p.user_id,
+       CAST(p.n_exact AS BIGINT) AS n_exact,
+       CAST(MIN(c.c) AS BIGINT) AS n_est,
+       MIN(c.c) >= p.n_exact AS overcount_only
+FROM probes p JOIN cells c ON p.j = c.j AND p.pos = c.pos
+GROUP BY p.user_id, p.n_exact
+ORDER BY n_exact DESC, user_id ASC
+"""
+
+
+@register("streaming_countmin_replay", oracle=_CMS_REPLAY_SQL)
+def streaming_countmin_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    stream, scratch = _replay_events_stream(spark, sf_dir)
+
+    def pos(col, j: int):
+        return F.pmod(
+            hash60(F.concat(col.cast("string"), F.lit(f":{j}"))),
+            F.lit(_CMS_W),
+        )
+
+    bank_stream = (
+        stream.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            pos(F.col("user_id"), j).alias("pos"),
+                        )
+                        for j in range(_CMS_D)
+                    ]
+                )
+            ).alias("cell")
+        )
+        .select("cell.j", "cell.pos")
+        .groupBy("j", "pos")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bank = _drain(bank_stream, scratch, "complete")
+    ev = load_table(spark, sf_dir, "events")
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("user_id"))
+        .limit(10)
+    )
+    probes = top.select(
+        "user_id",
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        pos(F.col("user_id"), j).alias("pos"),
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("cell"),
+    ).select("user_id", "n_exact", "cell.j", "cell.pos")
+    est = (
+        probes.join(broadcast(bank), ["j", "pos"])  # [k] bounded cell bank
+        .groupBy("user_id", "n_exact")
+        .agg(F.min("c").alias("n_est"))
+    )
+    out = est.select(
+        "user_id",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.col("n_est").cast("long").alias("n_est"),
+        (F.col("n_est") >= F.col("n_exact")).alias("overcount_only"),
+    ).orderBy(F.desc("n_exact"), F.asc("user_id"))
+    rows = out.collect()
+    return spark.createDataFrame(rows, schema=out.schema)

@@ -225,6 +225,8 @@ _NONEQUI_OK = {
     "sample_systematic_interval",    # 1-row frame-totals crossJoined
     "embedding_ari_kmeans_labels",   # corpus x 16-centroid assignment + 1-row pair sums
     "text_lang_divergence_matrix",   # 1-row per-lang totals over the <=200-row dense frame
+    "dq_orderkey_gap_audit",         # 1-row gap-stats frame crossJoined
+    "events_periodogram_daily",      # 1-row day-span bounds frame crossJoined x2
 }
 
 # (events_fano_factor_hourly, events_cohort_retention_triangle, and
@@ -398,6 +400,10 @@ _HINTED_BROADCAST_OK = {
     "sample_systematic_interval": 2,     # [bkt] offsets + [1row] frame totals
     "embedding_ari_kmeans_labels": 2,    # [1row] pair-sum frames (centroid scans un-hinted)
     "text_lang_divergence_matrix": 3,    # [topk] 200-word vocab cut x2 reuse + [1row] lang totals
+    "events_periodogram_daily": 2,       # [1row] day-span bounds frames
+    "dq_orderkey_gap_audit": 3,          # [bkt] two-phase offsets x2 join sides + [1row] gap stats
+    "supplier_hhi_by_nation": 2,         # [enum] 25-nation totals + 25-row nation dim
+    "streaming_countmin_replay": 1,      # [k] bounded 2x1024 cell bank
 }
 
 
