@@ -40,6 +40,11 @@ del _rev_q, _rev_o
 # promoted to the head explicitly — the driver's prefix sample then
 # always covers the newest, least-battle-tested surface first.
 _NEWEST_FIRST = [
+    # round 13 batch 5: auto-fold policy audit, Hill tail index,
+    # deterministic hash-seeded Poisson bootstrap
+    "catalog_fold_policy_audit",
+    "lineitem_hill_tail_index",
+    "sample_poisson_bootstrap_means",
     # round 13 batch 4: spectral analysis (periodogram), market
     # concentration (HHI), key-space gap audit, the 32nd replay
     # (count-min sketch)

@@ -2513,3 +2513,92 @@ def sample_systematic_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("expansion_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Poisson bootstrap (round 13) — the distributed
+# bootstrap done the only way a 1000-executor cluster can: each
+# replicate b draws a per-row Poisson(1) weight from a HASH-seeded
+# uniform (inverse CDF over exact threshold literals), so resampling
+# is a pure row-local expression — no shared RNG state, reproducible
+# across retries/partitionings, mergeable. All 16 replicates ride ONE
+# aggregate (32 columns, no row explosion); each replicate's weighted
+# sum is exact decimal (weights are small ints, values 2-decimal), so
+# the only float per replicate is the final mean divide. The spread of
+# the 16 replicate means IS the sampling distribution of the mean.
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 16
+_BOOT_W = 1152921504606846976.0  # 2^60, the hash range, as exact double
+# Poisson(1) CDF thresholds (exact double literals, shared verbatim
+# with the oracle): P(X <= n) for n = 0..4; weights cap at 5.
+_BOOT_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+)
+
+
+def _boot_w_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {c!r} THEN {n}" for n, c in enumerate(_BOOT_CDF)
+    )
+    return f"(CASE {cases} ELSE 5 END)"
+
+
+def _boot_sql() -> str:
+    aggs, rows = [], []
+    for b in range(_BOOT_B):
+        h = sql_hash60(f"CAST(o_orderkey AS VARCHAR) || ':{b}'")
+        u = f"(CAST({h} AS DOUBLE) / {_BOOT_W!r})"
+        w = _boot_w_sql(u)
+        aggs.append(
+            f"SUM({w}) AS n_{b}, "
+            f"SUM(CAST({w} * o_totalprice AS DECIMAL(18,6))) AS s_{b}"
+        )
+        rows.append(
+            f"({b}, (SELECT CAST(n_{b} AS BIGINT) FROM s),"
+            f" (SELECT ROUND(CAST(CAST(s_{b} AS VARCHAR) AS DOUBLE)"
+            f" / n_{b}, 6) FROM s))"
+        )
+    return f"""
+WITH s AS (SELECT {", ".join(aggs)} FROM orders)
+SELECT * FROM (VALUES
+    {", ".join(rows)}
+) v(b, n_eff, mean_b)
+ORDER BY b
+"""
+
+
+@register("sample_poisson_bootstrap_means", oracle=_boot_sql())
+def sample_poisson_bootstrap_means(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("x")
+    )
+    from deathmetal_datalake_spark.plans.registry import hash60
+
+    aggs = []
+    for b in range(_BOOT_B):
+        u = hash60(
+            F.concat(F.col("k").cast("string"), F.lit(f":{b}"))
+        ).cast("double") / F.lit(_BOOT_W)
+        w = F.lit(5)
+        for n, c in reversed(list(enumerate(_BOOT_CDF))):
+            w = F.when(u < F.lit(c), F.lit(n)).otherwise(w)
+        aggs.append(F.sum(w).cast("long").alias(f"n_{b}"))
+        aggs.append(
+            F.sum((w * F.col("x")).cast("decimal(18,6)")).alias(f"s_{b}")
+        )
+    s = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"{b}, n_{b}, ROUND(CAST(CAST(s_{b} AS STRING) AS DOUBLE)"
+        f" / n_{b}, 6)"
+        for b in range(_BOOT_B)
+    )
+    return s.selectExpr(
+        f"stack({_BOOT_B}, {stack_args}) AS (b, n_eff, mean_b)"
+    ).orderBy("b")

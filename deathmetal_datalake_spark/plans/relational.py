@@ -2757,3 +2757,79 @@ def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hill tail-index estimator (round 13) — the heavy-tail diagnostic for
+# a value column: alpha-hat = k / sum_{i<=k} ln(x_(i) / x_(k+1)) over
+# the k largest order statistics. Small alpha = fat tail (revenue
+# concentration, outlier-prone metrics); the number behind "should
+# this column be log-transformed / winsorized before training".
+# The order statistics ride the two-phase distributed rank (descending
+# with a unique tie-break, never a single-task sort); the k-bounded
+# top frame does the log arithmetic with micro-rounded terms.
+# 100 TB: one two-phase rank + a <=k+1-row frame.
+# ---------------------------------------------------------------------------
+
+_HILL_K = 500
+
+_HILL_SQL = f"""
+WITH x AS (
+    SELECT l_extendedprice AS v,
+           l_orderkey * 10 + l_linenumber AS uid
+    FROM lineitem
+),
+r AS (
+    SELECT v, ROW_NUMBER() OVER (ORDER BY v DESC, uid ASC) AS rk FROM x
+),
+xk AS (SELECT v AS vk FROM r WHERE rk = {_HILL_K} + 1),
+terms AS (
+    SELECT CAST(ROUND(LN(r.v / xk.vk) * 1000000) AS BIGINT) AS u
+    FROM r, xk WHERE r.rk <= {_HILL_K}
+)
+SELECT CAST({_HILL_K} AS BIGINT) AS k,
+       (SELECT ROUND(vk, 6) FROM xk) AS x_threshold,
+       ROUND({_HILL_K} / (SUM(u) / 1000000.0), 6) AS hill_alpha
+FROM terms
+"""
+
+
+@register("lineitem_hill_tail_index", oracle=_HILL_SQL)
+def lineitem_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    from deathmetal_datalake_spark.operators.ordering import two_phase_order
+
+    x = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("uid"),
+    )
+    ranked = two_phase_order(
+        x,
+        [F.desc("v"), F.asc("uid")],
+        F.col("v"),
+        key_desc=True,
+        rank_col="rk",
+        sub_key=F.col("uid"),
+        num_partitions=spark.sparkContext.defaultParallelism,
+    )
+    top = ranked.filter(F.col("rk") <= _HILL_K + 1)
+    xk = top.filter(F.col("rk") == _HILL_K + 1).select(
+        F.col("v").alias("vk")
+    )
+    terms = (
+        top.filter(F.col("rk") <= _HILL_K)
+        .crossJoin(broadcast(xk))  # [1row] threshold order statistic
+        .select(
+            F.round(F.log(F.col("v") / F.col("vk")) * F.lit(1000000.0))
+            .cast("long")
+            .alias("u")
+        )
+    )
+    return terms.crossJoin(broadcast(xk)).agg(
+        F.lit(_HILL_K).cast("long").alias("k"),
+        F.round(F.max("vk"), 6).alias("x_threshold"),
+        F.round(
+            F.lit(_HILL_K) / (F.sum("u") / F.lit(1000000.0)), 6
+        ).alias("hill_alpha"),
+    )

@@ -2767,3 +2767,71 @@ def catalog_rebase_additive_schema(
         )
         rows = out.collect()
         return spark.createDataFrame(rows, schema=out.schema)
+
+
+# ---------------------------------------------------------------------------
+# AUTO-FOLD POLICY AUDIT, driver-checked (round 13) — the
+# DELETE_FOLD_THRESHOLD maintenance loop exercised relationally:
+# commit MORE delete batches than the threshold and prove that (a) the
+# auto-fold fired (a 'fold' snapshot in the lineage), (b) the head
+# carries FEWER outstanding delete vectors than batches committed, and
+# (c) the read is still exactly the delete-complement — the bounded-
+# read-cost promise behind takedown-heavy tables, now pinned by the
+# driver gate rather than pytest alone.
+# ---------------------------------------------------------------------------
+
+_FOLD_BATCHES = 10  # > DELETE_FOLD_THRESHOLD (8): the auto-fold MUST fire
+
+_FOLD_AUDIT_SQL = f"""
+WITH kept AS (
+    SELECT o_orderkey AS k, o_totalprice AS a FROM orders
+    WHERE NOT (o_orderkey % 97 < {_FOLD_BATCHES})
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {sql_dsum("a", "total_amount")},
+       CAST((SELECT COUNT(*) FROM orders
+             WHERE o_orderkey % 97 < {_FOLD_BATCHES}) AS BIGINT)
+           AS n_deleted,
+       TRUE AS fold_fired,
+       TRUE AS deletes_bounded
+FROM kept
+"""
+
+
+@register("catalog_fold_policy_audit", oracle=_FOLD_AUDIT_SQL)
+def catalog_fold_policy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = session_cache(spread(load_table(spark, sf_dir, "orders")))
+    with tempfile.TemporaryDirectory(prefix="dml-snapq-") as d:
+        tbl = SnapshotTable(spark, os.path.join(d, "orders_foldaudit"))
+        tbl.write(
+            orders.select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_totalprice").alias("a"),
+            ),
+            "overwrite",
+        )
+        # One delete batch per residue class: more batches than the
+        # fold threshold, so the auto-fold MUST fire along the way.
+        for i in range(_FOLD_BATCHES):
+            tbl.delete_keys(
+                orders.filter(
+                    (F.col("o_orderkey") % 97 == i)
+                ).select(F.col("o_orderkey").alias("k")),
+                "k",
+            )
+        hist = tbl.history()
+        n_folds = sum(1 for s in hist if s.mode == "fold")
+        head = hist[-1]
+        out = tbl.read().agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("a", "total_amount"),
+            F.lit(
+                orders.filter(F.col("o_orderkey") % 97 < _FOLD_BATCHES).count()
+            ).cast("long").alias("n_deleted"),
+            F.lit(n_folds >= 1).alias("fold_fired"),
+            F.lit(len(head.deletes) < _FOLD_BATCHES).alias(
+                "deletes_bounded"
+            ),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)

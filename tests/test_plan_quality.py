@@ -227,6 +227,7 @@ _NONEQUI_OK = {
     "text_lang_divergence_matrix",   # 1-row per-lang totals over the <=200-row dense frame
     "dq_orderkey_gap_audit",         # 1-row gap-stats frame crossJoined
     "events_periodogram_daily",      # 1-row day-span bounds frame crossJoined x2
+    "lineitem_hill_tail_index",      # 1-row threshold order-statistic crossJoined x2
 }
 
 # (events_fano_factor_hourly, events_cohort_retention_triangle, and
@@ -404,6 +405,7 @@ _HINTED_BROADCAST_OK = {
     "dq_orderkey_gap_audit": 3,          # [bkt] two-phase offsets x2 join sides + [1row] gap stats
     "supplier_hhi_by_nation": 2,         # [enum] 25-nation totals + 25-row nation dim
     "streaming_countmin_replay": 1,      # [k] bounded 2x1024 cell bank
+    "lineitem_hill_tail_index": 5,       # [bkt] offsets (+tie sub-bounds) replicated across the top-k filter branches + [1row] threshold x2
 }
 
 
