@@ -2521,15 +2521,21 @@ def sample_systematic_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # replicate b draws a per-row Poisson(1) weight from a HASH-seeded
 # uniform (inverse CDF over exact threshold literals), so resampling
 # is a pure row-local expression — no shared RNG state, reproducible
-# across retries/partitionings, mergeable. All 16 replicates ride ONE
-# aggregate (32 columns, no row explosion); each replicate's weighted
-# sum is exact decimal (weights are small ints, values 2-decimal), so
-# the only float per replicate is the final mean divide. The spread of
-# the 16 replicate means IS the sampling distribution of the mean.
+# across retries/partitionings, mergeable. Replicate uniforms come
+# from TWO md5 digests per row via double hashing (u_b from
+# h1 + (b+1)*h2, the bloom-filter trick — 16 md5s per row would
+# dominate the scan; the affine cross-replicate dependence is the
+# standard double-hashing trade and is irrelevant to per-replicate
+# weight marginals). All 16 replicates ride ONE aggregate (32
+# columns, no row explosion); each replicate's weighted sum is exact
+# decimal (weights are small ints, values 2-decimal), so the only
+# float per replicate is the final mean divide. The spread of the 16
+# replicate means IS the sampling distribution of the mean.
 # ---------------------------------------------------------------------------
 
 _BOOT_B = 16
-_BOOT_W = 1152921504606846976.0  # 2^60, the hash range, as exact double
+_BOOT_W = 1152921504606846976.0  # 2^60, the u-range, as exact double
+_BOOT_M = 1152921504606846976  # 2^60 (integer form for the modulus)
 # Poisson(1) CDF thresholds (exact double literals, shared verbatim
 # with the oracle): P(X <= n) for n = 0..4; weights cap at 5.
 _BOOT_CDF = (
@@ -2549,10 +2555,16 @@ def _boot_w_sql(u: str) -> str:
 
 
 def _boot_sql() -> str:
+    # h1: 60-bit, h2: 56-bit (so h1 + 16*h2 < 2^62 — no signed-64
+    # overflow in either engine).
+    h1 = sql_hash60("CAST(o_orderkey AS VARCHAR) || ':a'")
+    h2 = (
+        "CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':b'), 1, 14)"
+        " AS BIGINT)"
+    )
     aggs, rows = [], []
     for b in range(_BOOT_B):
-        h = sql_hash60(f"CAST(o_orderkey AS VARCHAR) || ':{b}'")
-        u = f"(CAST({h} AS DOUBLE) / {_BOOT_W!r})"
+        u = f"(CAST(({h1} + {b + 1} * {h2}) % {_BOOT_M} AS DOUBLE) / {_BOOT_W!r})"
         w = _boot_w_sql(u)
         aggs.append(
             f"SUM({w}) AS n_{b}, "
@@ -2581,10 +2593,19 @@ def sample_poisson_bootstrap_means(
     )
     from deathmetal_datalake_spark.plans.registry import hash60
 
+    h1 = hash60(F.concat(F.col("k").cast("string"), F.lit(":a")))
+    h2 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("k").cast("string"), F.lit(":b"))), 1, 14
+        ),
+        16,
+        10,
+    ).cast("long")
+    hashed = orders.select("x", h1.alias("h1"), h2.alias("h2"))
     aggs = []
     for b in range(_BOOT_B):
-        u = hash60(
-            F.concat(F.col("k").cast("string"), F.lit(f":{b}"))
+        u = (
+            (F.col("h1") + F.lit(b + 1) * F.col("h2")) % F.lit(_BOOT_M)
         ).cast("double") / F.lit(_BOOT_W)
         w = F.lit(5)
         for n, c in reversed(list(enumerate(_BOOT_CDF))):
@@ -2593,7 +2614,7 @@ def sample_poisson_bootstrap_means(
         aggs.append(
             F.sum((w * F.col("x")).cast("decimal(18,6)")).alias(f"s_{b}")
         )
-    s = orders.agg(*aggs)
+    s = hashed.agg(*aggs)
     stack_args = ", ".join(
         f"{b}, n_{b}, ROUND(CAST(CAST(s_{b} AS STRING) AS DOUBLE)"
         f" / n_{b}, 6)"

@@ -48,6 +48,12 @@ NAMES = [
     # rule-5 pruned) and the anchor-decomposed phash band pairs
     "dedup_levenshtein_banded_lengths",
     "multimodal_phash_neardup",
+    # round 13: the double fused two-phase order (global + composite
+    # group key), the rank-successor gap join, and the 32-column fused
+    # hash-bootstrap aggregate
+    "orders_cramer_von_mises_two_sample",
+    "dq_orderkey_gap_audit",
+    "sample_poisson_bootstrap_means",
     # round 4 (cont.): corpus gates, contrastive mining, freq sketch
     "dedup_bloom_prefilter",
     "text_bpe_merge_step",
