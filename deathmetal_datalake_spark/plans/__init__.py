@@ -40,6 +40,11 @@ del _rev_q, _rev_o
 # promoted to the head explicitly — the driver's prefix sample then
 # always covers the newest, least-battle-tested surface first.
 _NEWEST_FIRST = [
+    # round 13 batch 6: lead/lag cross-correlation, partial
+    # correlation, the 33rd replay (AMS F2 sign sketch)
+    "events_cross_correlation_lagged",
+    "lineitem_partial_correlation",
+    "streaming_ams_f2_replay",
     # round 13 batch 5: auto-fold policy audit, Hill tail index,
     # deterministic hash-seeded Poisson bootstrap
     "catalog_fold_policy_audit",

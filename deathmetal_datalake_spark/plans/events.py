@@ -5845,3 +5845,108 @@ def events_periodogram_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.selectExpr(
         f"stack({len(_PGRAM_KS)}, {stack_args}) AS (k, n_days, power)"
     ).orderBy("k")
+
+
+# ---------------------------------------------------------------------------
+# Lagged cross-correlation (round 13) — does one event type LEAD
+# another? The daily count series of two types, correlated at lags
+# -3..+3 over the shared day spine: the signal-analysis companion to
+# the periodogram (cycle strength) and autocorrelation (self-memory).
+# The day spine is time-range bounded, the lag join is a bounded
+# spine-to-spine equi-join, and every correlation term is exact
+# integer count arithmetic until the final normalized divide —
+# deterministic without micro-rounding. 100 TB: one hash aggregate to
+# the (day x 2 types) spine, bounded everything after.
+# ---------------------------------------------------------------------------
+
+_CCF_A, _CCF_B = "view", "purchase"
+_CCF_LAGS = (-3, -2, -1, 0, 1, 2, 3)
+
+_CCF_SQL = f"""
+WITH daily AS (
+    SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+           SUM(CASE WHEN event_type = '{_CCF_A}' THEN 1 ELSE 0 END) AS ca,
+           SUM(CASE WHEN event_type = '{_CCF_B}' THEN 1 ELSE 0 END) AS cb
+    FROM events WHERE event_type IN ('{_CCF_A}', '{_CCF_B}')
+    GROUP BY 1
+),
+lags AS (SELECT UNNEST(ARRAY{list(_CCF_LAGS)}) AS lag),
+pairs AS (
+    SELECT l.lag, x.ca, y.cb
+    FROM lags l
+    JOIN daily x ON TRUE
+    JOIN daily y ON y.d = x.d + CAST(l.lag AS INTEGER)
+),
+s AS (
+    SELECT lag, COUNT(*) AS n,
+           SUM(ca) AS sa, SUM(cb) AS sb,
+           SUM(CAST(ca AS HUGEINT) * cb) AS sab,
+           SUM(CAST(ca AS HUGEINT) * ca) AS saa,
+           SUM(CAST(cb AS HUGEINT) * cb) AS sbb
+    FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag,
+       CAST(n AS BIGINT) AS n_days,
+       CASE WHEN n * saa - sa * sa = 0 OR n * sbb - sb * sb = 0 THEN NULL
+            ELSE ROUND(
+                CAST(CAST(n * sab - sa * sb AS VARCHAR) AS DOUBLE)
+                / SQRT(CAST(CAST(n * saa - sa * sa AS VARCHAR) AS DOUBLE)
+                       * CAST(CAST(n * sbb - sb * sb AS VARCHAR)
+                              AS DOUBLE)), 6)
+       END AS ccf
+FROM s ORDER BY lag
+"""
+
+
+@register("events_cross_correlation_lagged", oracle=_CCF_SQL)
+def events_cross_correlation_lagged(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_CCF_A, _CCF_B)
+    )
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == _CCF_A, 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("event_type") == _CCF_B, 1).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    daily = session_cache(daily)
+    lags = spark.createDataFrame(
+        [(lag,) for lag in _CCF_LAGS], "lag long"
+    )
+    x = daily.select(F.col("d").alias("dx"), "ca")
+    y = daily.select(F.col("d").alias("dy"), "cb")
+    pairs = (
+        x.crossJoin(broadcast(lags))  # [dim] 7-row lag frame
+        .join(
+            y,
+            F.col("dy") == F.date_add(F.col("dx"), F.col("lag").cast("int")),
+        )
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    dd = lambda c: c.cast("string").cast("double")  # noqa: E731
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ca").cast("long").alias("sa"),
+        F.sum("cb").cast("long").alias("sb"),
+        F.sum(d38(F.col("ca")) * F.col("cb")).alias("sab"),
+        F.sum(d38(F.col("ca")) * F.col("ca")).alias("saa"),
+        F.sum(d38(F.col("cb")) * F.col("cb")).alias("sbb"),
+    )
+    covn = (d38(F.col("n")) * F.col("sab") - d38(F.col("sa")) * F.col("sb")).cast("decimal(38,0)")
+    vara = (d38(F.col("n")) * F.col("saa") - d38(F.col("sa")) * F.col("sa")).cast("decimal(38,0)")
+    varb = (d38(F.col("n")) * F.col("sbb") - d38(F.col("sb")) * F.col("sb")).cast("decimal(38,0)")
+    return s.select(
+        F.col("lag"),
+        F.col("n").alias("n_days"),
+        F.when(
+            (vara == 0) | (varb == 0), F.lit(None).cast("double")
+        )
+        .otherwise(F.round(dd(covn) / F.sqrt(dd(vara) * dd(varb)), 6))
+        .alias("ccf"),
+    ).orderBy("lag")

@@ -2833,3 +2833,142 @@ def lineitem_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_HILL_K) / (F.sum("u") / F.lit(1000000.0)), 6
         ).alias("hill_alpha"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Partial correlation (round 13) — price vs quantity CONTROLLING for
+# discount on lineitem: the confounder-adjusted association number
+# (first-order partial r), completing the correlation battery (plain
+# Pearson, Spearman, Kendall already in the catalog). Pearson r is
+# invariant under positive scaling, so the variables ride as INTEGER
+# cents/units and all nine moment sums are plain LONG aggregates (the
+# decimal path costs ~3 s per sum at the 10x scale — BigDecimal
+# buffers; longs are whole-stage-codegen fast). The one sum that can
+# exceed signed-64 at scale (sum of squared price-cents) is carried as
+# a split (mod / div 1e9) pair and reconstructed in decimal(38,0) on
+# the 1-row frame, where exactness is free. Only the final normalized
+# ratios are floats. 100 TB: one 11-column hash aggregate.
+# ---------------------------------------------------------------------------
+
+_PCORR_SPLIT = 1_000_000_000
+
+_PCORR_SQL = f"""
+WITH b AS (
+    SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS x,
+           CAST(l_quantity AS BIGINT) AS y,
+           CAST(ROUND(l_discount * 100) AS BIGINT) AS z
+    FROM lineitem
+),
+s AS (
+    SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy, SUM(z) AS sz,
+           SUM(x * y) AS sxy, SUM(x * z) AS sxz, SUM(y * z) AS syz,
+           SUM((x * x) % {_PCORR_SPLIT}) AS sxx_lo,
+           SUM((x * x) // {_PCORR_SPLIT}) AS sxx_hi,
+           SUM(y * y) AS syy, SUM(z * z) AS szz
+    FROM b
+),
+m AS (
+    SELECT n, sx, sy, sz, sxy, sxz, syz, syy, szz,
+           CAST(sxx_hi AS HUGEINT) * {_PCORR_SPLIT} + sxx_lo AS sxx
+    FROM s
+),
+r AS (
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+                AS VARCHAR) AS DOUBLE)
+           / SQRT(CAST(CAST(CAST(n AS HUGEINT) * sxx
+                       - CAST(sx AS HUGEINT) * sx AS VARCHAR) AS DOUBLE)
+                  * CAST(CAST(CAST(n AS HUGEINT) * syy
+                         - CAST(sy AS HUGEINT) * sy AS VARCHAR) AS DOUBLE))
+               AS rxy,
+           CAST(CAST(CAST(n AS HUGEINT) * sxz - CAST(sx AS HUGEINT) * sz
+                AS VARCHAR) AS DOUBLE)
+           / SQRT(CAST(CAST(CAST(n AS HUGEINT) * sxx
+                       - CAST(sx AS HUGEINT) * sx AS VARCHAR) AS DOUBLE)
+                  * CAST(CAST(CAST(n AS HUGEINT) * szz
+                         - CAST(sz AS HUGEINT) * sz AS VARCHAR) AS DOUBLE))
+               AS rxz,
+           CAST(CAST(CAST(n AS HUGEINT) * syz - CAST(sy AS HUGEINT) * sz
+                AS VARCHAR) AS DOUBLE)
+           / SQRT(CAST(CAST(CAST(n AS HUGEINT) * syy
+                       - CAST(sy AS HUGEINT) * sy AS VARCHAR) AS DOUBLE)
+                  * CAST(CAST(CAST(n AS HUGEINT) * szz
+                         - CAST(sz AS HUGEINT) * sz AS VARCHAR) AS DOUBLE))
+               AS ryz
+    FROM m
+)
+SELECT n AS n_rows,
+       ROUND(rxy, 6) AS r_price_qty,
+       ROUND(rxz, 6) AS r_price_disc,
+       ROUND(ryz, 6) AS r_qty_disc,
+       ROUND((rxy - rxz * ryz)
+             / SQRT((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6)
+           AS partial_r_price_qty_given_disc
+FROM r
+"""
+
+
+@register("lineitem_partial_correlation", oracle=_PCORR_SQL)
+def lineitem_partial_correlation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("x"),
+        F.col("l_quantity").cast("long").alias("y"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("z"),
+    )
+    p = F.col("x") * F.col("x")
+    s = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).alias("sxz"),
+        F.sum(F.col("y") * F.col("z")).alias("syz"),
+        F.sum(p % F.lit(_PCORR_SPLIT)).alias("sxx_lo"),
+        F.sum(F.expr(f"(x * x) div {_PCORR_SPLIT}")).alias("sxx_hi"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    dd = lambda c: c.cast("string").cast("double")  # noqa: E731
+    m = s.withColumn(
+        "sxx",
+        (d38(F.col("sxx_hi")) * F.lit(_PCORR_SPLIT) + F.col("sxx_lo")).cast(
+            "decimal(38,0)"
+        ),
+    )
+
+    def corr(sab, sa, sb, saa, sbb):
+        num = (d38(F.col("n")) * F.col(sab) - d38(F.col(sa)) * F.col(sb)).cast(
+            "decimal(38,0)"
+        )
+        da = (d38(F.col("n")) * F.col(saa) - d38(F.col(sa)) * F.col(sa)).cast(
+            "decimal(38,0)"
+        )
+        db = (d38(F.col("n")) * F.col(sbb) - d38(F.col(sb)) * F.col(sb)).cast(
+            "decimal(38,0)"
+        )
+        return dd(num) / F.sqrt(dd(da) * dd(db))
+
+    withr = m.select(
+        F.col("n").alias("n_rows"),
+        corr("sxy", "sx", "sy", "sxx", "syy").alias("rxy"),
+        corr("sxz", "sx", "sz", "sxx", "szz").alias("rxz"),
+        corr("syz", "sy", "sz", "syy", "szz").alias("ryz"),
+    )
+    return withr.select(
+        "n_rows",
+        F.round(F.col("rxy"), 6).alias("r_price_qty"),
+        F.round(F.col("rxz"), 6).alias("r_price_disc"),
+        F.round(F.col("ryz"), 6).alias("r_qty_disc"),
+        F.round(
+            (F.col("rxy") - F.col("rxz") * F.col("ryz"))
+            / F.sqrt(
+                (F.lit(1.0) - F.col("rxz") * F.col("rxz"))
+                * (F.lit(1.0) - F.col("ryz") * F.col("ryz"))
+            ),
+            6,
+        ).alias("partial_r_price_qty_given_disc"),
+    )

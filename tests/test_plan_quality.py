@@ -228,6 +228,7 @@ _NONEQUI_OK = {
     "dq_orderkey_gap_audit",         # 1-row gap-stats frame crossJoined
     "events_periodogram_daily",      # 1-row day-span bounds frame crossJoined x2
     "lineitem_hill_tail_index",      # 1-row threshold order-statistic crossJoined x2
+    "events_cross_correlation_lagged",  # 7-row lag dim crossJoined with the day spine
 }
 
 # (events_fano_factor_hourly, events_cohort_retention_triangle, and
@@ -406,6 +407,8 @@ _HINTED_BROADCAST_OK = {
     "supplier_hhi_by_nation": 2,         # [enum] 25-nation totals + 25-row nation dim
     "streaming_countmin_replay": 1,      # [k] bounded 2x1024 cell bank
     "lineitem_hill_tail_index": 5,       # [bkt] offsets (+tie sub-bounds) replicated across the top-k filter branches + [1row] threshold x2
+    "events_cross_correlation_lagged": 1,  # [dim] 7-row lag frame
+    "streaming_ams_f2_replay": 1,        # [1row] exact-F2 frame
 }
 
 
@@ -485,6 +488,9 @@ _SELF_JOIN_PAIR_OK = {
     "tpch_q7_nation_volume": 1,          # [dim] nation n1 x n2 (25 rows)
     "tpch_q8_market_share": 1,           # [dim] nation n1 x n2 (25 rows)
     "orders_friedman_priority_ranks": 2,  # [block] within-week pair join, ≤5 rows/block
+    "events_cross_correlation_lagged": 1,  # [dim] day-spine x shifted day-spine
+                                           # (time-range bounded; date join key
+                                           # unique per side, x7 lag dim)
                                           # ((wn,g) unique ⇒ ≤k=5 per block; the
                                           # full-block filter join is reordered
                                           # across both pair sides)
