@@ -52,6 +52,10 @@ BOUNDED_BY_CONSTRUCTION = {
     # Per-user event gap in microseconds: bounded by the corpus TIME
     # SPAN (a 300-year span is ~1e16 us < 2^63), not by row count.
     ("events_lag_delta", "gap_micros"): "time-span-bounded gap",
+    # KMV sketch state: the k-th smallest 60-bit hash VALUE — domain-
+    # bounded at 2^60 and monotonically NON-INCREASING in row count
+    # (more rows can only lower a minimum), never accumulated.
+    ("streaming_kmv_distinct_replay", "min_hv"): "60-bit hash minimum",
 }
 
 
