@@ -4050,10 +4050,6 @@ ORDER BY channel
 
 @register("events_markov_attribution", oracle=_ATTR_SQL)
 def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.functions import broadcast
-
-    from deathmetal_datalake_spark.plans.registry import session_cache
-
     ev = load_table(spark, sf_dir, "events")
     wq = Window.partitionBy("user_id")
     seq = ev.select(
@@ -4080,93 +4076,110 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(wq)
         .alias("converted"),
     )
-    trans = (
-        hops.filter(F.col("rn") == 1)
-        .select(F.lit("start").alias("f"), F.col("st").alias("t"))
-        .unionByName(
-            hops.filter(F.col("prev").isNotNull()).select(
-                F.col("prev").alias("f"), F.col("st").alias("t")
+    # One pass emits every transition a row contributes (entry hop,
+    # observed hop, terminal null-hop) as an array, exploded — the
+    # 3-branch union form re-executed the whole window pipeline per
+    # branch (Catalyst does not share common subtrees across a union:
+    # measured 2.3 s -> 1.2 s for the transition phase at sf0.1).
+    # Union order never mattered (the next step is a count aggregate),
+    # so counts are bit-identical.
+    trans = hops.select(
+        F.explode(
+            F.array_compact(
+                F.array(
+                    F.when(
+                        F.col("rn") == 1,
+                        F.struct(
+                            F.lit("start").alias("f"), F.col("st").alias("t")
+                        ),
+                    ),
+                    F.when(
+                        F.col("prev").isNotNull(),
+                        F.struct(
+                            F.col("prev").alias("f"), F.col("st").alias("t")
+                        ),
+                    ),
+                    F.when(
+                        (F.col("rn") == F.col("n"))
+                        & (F.col("converted") == 0),
+                        F.struct(
+                            F.col("st").alias("f"), F.lit("null").alias("t")
+                        ),
+                    ),
+                )
             )
-        )
-        .unionByName(
-            hops.filter(
-                (F.col("rn") == F.col("n")) & (F.col("converted") == 0)
-            ).select(F.col("st").alias("f"), F.lit("null").alias("t"))
-        )
-    )
+        ).alias("p")
+    ).select("p.f", "p.t")
     c = trans.groupBy("f", "t").agg(F.count(F.lit(1)).alias("n"))
     r = c.groupBy("f").agg(F.sum("n").alias("tot"))
-    p = session_cache(
-        c.join(r, "f").select(
+    # The transition matrix is bounded by the event-type enum (K states
+    # + start/conv/null), NEVER data-proportional: collect it (one
+    # bounded action, the adjudicated bounded-probe class) and run the
+    # (K+1)-removal x 3-step DP as driver math instead of unrolling it
+    # into a Catalyst plan. The unrolled form compounded every
+    # contraction's lineage into a ~2,800-line physical plan (267
+    # Exchanges before AQE reuse) whose per-action planning cost
+    # dominated end-to-end latency (round-13 receipt in
+    # OPTIMIZATION_r13.md: 4.3 s -> ~1 s at sf0.1). Exactness is
+    # preserved operation-for-operation: terms fold in sorted-t order
+    # (the sort_array convention), max/plus/mul on IEEE doubles are
+    # bit-identical in Python and the JVM, and the final ROUNDs still
+    # run in Spark on the assembled frame.
+    p_rows = (
+        c.join(r, "f")
+        .select(
             "f", "t", (F.col("n") / F.col("tot").cast("double")).alias("pv")
         )
+        .collect()
     )
-    chans = p.filter(
-        ~F.col("f").isin("start", "conv", "null")
-    ).select(F.col("f").alias("rm")).distinct()
-    removals = chans.unionByName(
-        p.sparkSession.createDataFrame([("none",)], "rm string")
-    )
-    pr = session_cache(
-        p.crossJoin(broadcast(removals)).filter(
-            (F.col("f") != F.col("rm")) & (F.col("t") != F.col("rm"))
-        )
-    )
-    g1 = session_cache(
-        pr.groupBy("rm", "f").agg(
-            F.coalesce(
-                F.max(F.when(F.col("t") == "conv", F.col("pv"))), F.lit(0.0)
-            ).alias("v")
-        )
-    )
+    P = {(row["f"], row["t"]): row["pv"] for row in p_rows}
+    chans = sorted({f for (f, _t) in P if f not in ("start", "conv", "null")})
 
-    def contract(g_prev: DataFrame) -> DataFrame:
-        # Ordered K-term fold per (removal, state): sorted target list,
-        # explicit left-to-right aggregate (the markov convention).
-        hop = (
-            pr.filter(~F.col("t").isin("conv", "null", "start"))
-            .join(
-                g_prev.select(
-                    F.col("rm").alias("rm2"),
-                    F.col("f").alias("t2"),
-                    F.col("v").alias("vt"),
-                ),
-                (F.col("rm") == F.col("rm2")) & (F.col("t") == F.col("t2")),
-            )
-            .groupBy("rm", "f")
-            .agg(
-                F.sort_array(
-                    F.collect_list(
-                        F.struct("t", (F.col("pv") * F.col("vt")).alias("w"))
-                    )
-                ).alias("a")
-            )
-            .select(
-                "rm",
-                "f",
-                F.expr(
-                    "aggregate(a, cast(0.0 as double), (acc, x) -> acc + x.w)"
-                ).alias("hopv"),
-            )
-        )
-        return session_cache(
-            g1.join(hop, ["rm", "f"], "left").select(
-                "rm",
-                "f",
-                (F.col("v") + F.coalesce(F.col("hopv"), F.lit(0.0))).alias("v"),
-            )
-        )
+    def conv3(rm: str):
+        pr = {(f, t): pv for (f, t), pv in P.items() if f != rm and t != rm}
+        fs = sorted({f for (f, _t) in pr})
+        g1 = {}
+        for f in fs:
+            vals = [pv for (ff, t), pv in pr.items() if ff == f and t == "conv"]
+            g1[f] = max(vals) if vals else 0.0
 
-    g2 = contract(g1)
-    g3 = contract(g2)
-    base = g3.filter(
-        (F.col("rm") == "none") & (F.col("f") == "start")
-    ).select(F.col("v").alias("basev"))
+        def contract(g_prev: dict) -> dict:
+            out = {}
+            for f in fs:
+                # Ordered K-term fold (sorted target list, left-to-right
+                # accumulation) — mirrors the oracle's
+                # list_sum(list(... ORDER BY t)) exactly; a term whose
+                # target never occurs as a source state drops out, the
+                # inner-join/NULL-skip convention both engines share.
+                terms = sorted(
+                    (t, pv * g_prev[t])
+                    for (ff, t), pv in pr.items()
+                    if ff == f
+                    and t not in ("conv", "null", "start")
+                    and t in g_prev
+                )
+                acc = 0.0
+                for _t, w in terms:
+                    acc = acc + w
+                out[f] = g1[f] + acc
+            return out
+
+        g3 = contract(contract(g1))
+        return g3.get("start")
+
+    basev = conv3("none")
+    out_rows = [
+        (rm, float(v), float(basev))
+        for rm in chans
+        for v in [conv3(rm)]
+        if v is not None and basev is not None
+    ]
     return (
-        g3.filter((F.col("f") == "start") & (F.col("rm") != "none"))
-        .crossJoin(broadcast(base))
+        spark.createDataFrame(
+            out_rows, "channel string, v double, basev double"
+        )
         .select(
-            F.col("rm").alias("channel"),
+            "channel",
             F.round(F.col("v"), 6).alias("p_conv_3step"),
             F.round(F.lit(1.0) - F.col("v") / F.col("basev"), 6).alias(
                 "removal_effect"

@@ -128,3 +128,38 @@ def spread(df: "DataFrame") -> "DataFrame":
     the downstream stage at scan-task parallelism (docs/SCALING.md §1).
     """
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+def spread_write(df: "DataFrame") -> "DataFrame":
+    """Width for STAGING A TABLE WRITE, sized from the bytes feeding it
+    (``df.inputFiles()``) instead of pinned at cluster width: a 2.6 MB
+    orders frame repartitioned to ``defaultParallelism`` writes 32
+    sliver files per commit — each paying task-commit, footer-harvest
+    and reader-open cost — while at 100 TB the same expression yields
+    thousands of ~target-size files (guide §6: aim output files at a
+    size target, never at a task-count constant). Target bytes per
+    output file come from ``SPARK_GRAFT_WRITE_TARGET_MB`` (default 16
+    locally — small enough that the 10× bench scratch still writes
+    multi-file layouts; production deployments set 128–1024).
+
+    Conservative when the caller filters after this call (width sized
+    on pre-filter bytes — same behavior as the old fixed-width spread,
+    just bounded). Falls back to cluster width when no file sizes are
+    visible (non-file sources)."""
+    import math
+    import os
+
+    target = int(os.environ.get("SPARK_GRAFT_WRITE_TARGET_MB", "16")) * (1 << 20)
+    total = 0
+    try:
+        for f in df.inputFiles():
+            p = f[len("file:"):] if f.startswith("file:") else f
+            try:
+                total += os.path.getsize(p)
+            except OSError:
+                pass
+    except Exception:  # non-file plans: keep the old fixed-width behavior
+        total = 0
+    if total <= 0:
+        return spread(df)
+    return df.repartition(max(1, math.ceil(total / target)))

@@ -21,7 +21,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from deathmetal_datalake_spark.plans.registry import dsum, register, session_cache, spread, sql_dsum
+from deathmetal_datalake_spark.plans.registry import dsum, register, session_cache, spread, spread_write, sql_dsum
 from deathmetal_datalake_spark.sources.snapshots import SnapshotTable
 from deathmetal_datalake_spark.sources.tables import load_table
 
@@ -81,13 +81,14 @@ def catalog_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads of all three versions. v1/v2 are read AFTER the second
     overwrite has moved the branch head — proving historical snapshots
     survive later writes."""
-    # spread: the source table arrives as ~1 parquet split, which would
-    # make every snapshot write a single-task job; repartitioning first
-    # parallelizes the write and gives each snapshot a multi-file layout
-    # (what real table maintenance produces).
+    # spread_write: write width sized from the source bytes (files near
+    # the target size at every scale factor) instead of pinned at
+    # cluster width — 32 sliver files per commit cost task-commits,
+    # footer harvests and reader opens out of proportion to their data
+    # (round-13 optimization, guide §6).
     # Cached: the filtered snapshot writes each re-scan the source
     # otherwise (released by the harness between queries).
-    orders = session_cache(spread(load_table(spark, sf_dir, "orders")))
+    orders = session_cache(spread_write(load_table(spark, sf_dir, "orders")))
     with tempfile.TemporaryDirectory(prefix="dml-snapq-") as d:
         tbl = SnapshotTable(spark, os.path.join(d, "orders_versioned"))
         s1 = tbl.write(orders.filter(F.col("o_orderstatus") == "F"), "overwrite")
@@ -588,7 +589,7 @@ FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 3 = 0
 @register("catalog_delete_takedown", oracle=_TAKEDOWN_SQL)
 def catalog_delete_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = session_cache(
-        spread(load_table(spark, sf_dir, "orders")).select(
+        spread_write(load_table(spark, sf_dir, "orders")).select(
             "o_orderkey", "o_orderstatus", "o_totalprice"
         )
     )
@@ -630,7 +631,7 @@ FROM orders WHERE o_orderstatus IN ('F', 'O') AND o_orderkey % 7 = 0
 @register("catalog_changes_cdc", oracle=_CDC_SQL)
 def catalog_changes_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = session_cache(
-        spread(load_table(spark, sf_dir, "orders")).select(
+        spread_write(load_table(spark, sf_dir, "orders")).select(
             "o_orderkey", "o_orderstatus", "o_totalprice"
         )
     )
@@ -679,7 +680,7 @@ def streaming_cdc_feed_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_snapshot_feed(spark)
     orders = session_cache(
-        spread(load_table(spark, sf_dir, "orders")).select(
+        spread_write(load_table(spark, sf_dir, "orders")).select(
             "o_orderkey", "o_orderstatus", "o_totalprice"
         )
     )
@@ -929,7 +930,7 @@ def catalog_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame
     DDL), re-expressed natively."""
     import datetime as _dt
 
-    orders = spread(load_table(spark, sf_dir, "orders")).select(
+    orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_totalprice"
     )
     cutoff = _dt.date.fromisoformat(_PSPEC_CUTOFF)
@@ -982,7 +983,7 @@ WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '{_EVDAY_CUTOFF} 00:00:00'
 def catalog_partitioned_events_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import datetime as _dt
 
-    ev = spread(load_table(spark, sf_dir, "events")).select(
+    ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "event_type", "value"
     )
     cutoff = _dt.datetime.fromisoformat(f"{_EVDAY_CUTOFF}T00:00:00")
@@ -1026,10 +1027,10 @@ FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 def catalog_bucket_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deathmetal_datalake_spark.operators.colocated import bucket_colocated_join
 
-    orders = spread(load_table(spark, sf_dir, "orders")).select(
+    orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    cust = spread(load_table(spark, sf_dir, "customer")).select(
+    cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_acctbal"
     )
     d = _scratch("catalog_bucket_colocated_join")
@@ -1079,8 +1080,6 @@ SELECT CAST(2 AS BIGINT), CAST(4 AS INTEGER),
        {sql_dsum('o_totalprice', 'total_price')}
 FROM current_read
 """
-
-
 @register("catalog_schema_evolution_read", oracle=_EVOLVE_SQL)
 def catalog_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """write(v1: 3 columns) → append(v2: +o_orderpriority) → read both.

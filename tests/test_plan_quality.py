@@ -197,7 +197,6 @@ _NONEQUI_OK = {
     "sample_neyman_allocation",      # 1-row weight-total/remainder frames
     "embedding_second_pc_deflation",  # 1-row norm/ortho frames crossJoined
     "events_daily_autocorrelation",  # 14-row literal lag dim + 1-row denominator
-    "events_markov_attribution",     # bounded type-space transition/DP frames
     "events_page_hinkley_drift",     # 1-row totals + peak-day frames crossJoined
     "events_wilcoxon_signed_rank",   # 1-row era-bounds frame crossJoined
     "events_runs_test_daily",        # 1-row count/median frames crossJoined
@@ -382,7 +381,6 @@ _HINTED_BROADCAST_OK = {
     "events_ordered_funnel": 6,          # [1row] stage-count frames, replicated per union branch
     "events_chebyshev_outlier_hours": 1,  # [enum] per-type moment frame
     "events_daily_autocorrelation": 2,   # [dim] lag frame + [1row] totals
-    "events_markov_attribution": 1,      # [enum] removal dim
     # round 12
     "events_gini_user_activity": 1,      # [bkt] two-phase rank offsets
     "events_lorenz_activity_deciles": 4, # [bkt] offsets + 10-row decile frame + [1row] total
@@ -459,7 +457,6 @@ _SELF_JOIN_PAIR_OK = {
     "embedding_knn_label_agreement": 1,  # [q40] anchor frame x corpus
     "embedding_pq_distortion": 1,        # [key] join-back on vec_id
     "events_audience_overlap_jaccard": 1,  # [enum] K^2 type-pair sets on user_id
-    "events_markov_attribution": 1,      # [enum] removal dim x channel paths
     "events_view_purchase_attribution": 1,  # [user] per-user join, 30-min band
     "flagship_multijoin": 1,             # [key] join-back on o_orderkey
     "kmeans_two_rounds": 1,              # [k] corpus x 8-centroid assignment

@@ -85,10 +85,26 @@ def build(spark, out: str) -> None:
             union = union.unionByName(p)
         # One FILE per table, like the driver's testdata layout (the
         # DuckDB oracle harness addresses `<dir>/<table>.parquet` as a
-        # single file). Spark still parallelizes the read by row group.
+        # single file). Spark parallelizes the read by ROW GROUP, so
+        # the row-group size is the scan-parallelism knob: the old
+        # default (128 MB blocks) left the 136 MB 10x lineitem as ONE
+        # row group — every scan decoded 6M rows in a single task and
+        # the whole suite's 10x numbers measured one core's decode
+        # throughput, not plan scaling (round-13 optimization finding;
+        # guide §6 "file layout determines how well readers can skip
+        # data" cuts both ways — it also determines how well they can
+        # PARALLELIZE). 4 MB groups give the largest table ~32+ groups
+        # (cluster width at local[32]) while small tables still land in
+        # one group; content is byte-for-byte the same rows, so every
+        # 10x oracle hash is unchanged.
         tmp = os.path.join(out, f"_{t}_build")
         shutil.rmtree(tmp, ignore_errors=True)
-        union.coalesce(1).write.mode("overwrite").parquet(tmp)
+        (
+            union.coalesce(1)
+            .write.option("parquet.block.size", 4 * 1024 * 1024)
+            .mode("overwrite")
+            .parquet(tmp)
+        )
         part = next(
             f for f in os.listdir(tmp) if f.endswith(".parquet")
         )
@@ -101,11 +117,22 @@ def build(spark, out: str) -> None:
         shutil.rmtree(tmp)
         print(f"{t}: wrote {REPLICAS}x", file=sys.stderr)
     with open(os.path.join(out, "_scale10x.done"), "w") as f:
-        f.write(f"replicas={REPLICAS} src={SRC}\n")
+        f.write(_MARKER + "\n")
+
+
+# Layout version is part of the marker so a scratch built with the old
+# single-row-group layout is rebuilt, not silently reused (the cached
+# scratch persists across driver rounds).
+_MARKER = f"replicas={REPLICAS} src={SRC} rowgroup=4m"
 
 
 def is_built(out: str) -> bool:
-    return os.path.exists(os.path.join(out, "_scale10x.done"))
+    path = os.path.join(out, "_scale10x.done")
+    try:
+        with open(path) as f:
+            return f.read().strip() == _MARKER
+    except OSError:
+        return False
 
 
 def main() -> None:
