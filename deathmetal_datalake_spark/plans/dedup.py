@@ -1769,11 +1769,24 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(n - (_SPAN_K - 1), F.lit(0)).cast("long").alias("n_spans"),
     )
     spans = _span_hashes(docs)
-    # Shared-span keys: ONE aggregation over (h, doc_id) — the per-key
-    # cost of a hot span is linear in its document frequency.
+    # Shared-span keys: the per-document DISTINCT runs ROW-LOCALLY
+    # (``array_distinct`` on the span-hash array before the explode)
+    # instead of as a ``dropDuplicates`` shuffle of the full span
+    # frame — a document's span set fits one row, so deduplicating it
+    # never needs the cluster (round-13 optimization; the same move
+    # _hashed_shingles made for the jaccard family, guide §2.4). The
+    # df aggregation is then ONE shuffle whose per-key cost for a hot
+    # span stays linear in its document frequency.
+    span_hash_arr = F.when(
+        n >= _SPAN_K,
+        F.transform(
+            F.sequence(F.lit(1), n - (_SPAN_K - 1)),
+            lambda i: hash60(F.concat_ws(" ", F.slice(toks, i, _SPAN_K))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
     shared = (
-        spans.select("h", "doc_id")
-        .distinct()
+        spread(docs)
+        .select(F.explode(F.array_distinct(span_hash_arr)).alias("h"))
         .groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") >= 2)

@@ -3394,40 +3394,71 @@ def embedding_top_pc_power_iteration(
 ) -> DataFrame:
     from deathmetal_datalake_spark.plans.registry import session_cache
 
-    comps = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.posexplode(_as_double("embedding")).alias("pos", "x")
+    # Columnar power iteration — same round-13 restructuring as
+    # embedding_second_pc_deflation (see its note): s = y·v is a
+    # row-local decimal dot against the collected (DIM-value, bounded)
+    # iterate, removing the data-proportional shuffle-by-vec_id; the
+    # only exchange per round carries the ≤ DIM×tasks partial sums of
+    # the w aggregation. Exactness: identical per-term doubles cast to
+    # DECIMAL(25,12), exact associative decimal addition, norms and
+    # rounds engine-side.
+    dim = _EMB_DIM
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("e")
     )
-    means = comps.groupBy("pos").agg(
-        F.round(_dec_sum(F.col("x")) / F.count(F.lit(1)), 6).alias("m")
+    mean_rows = (
+        emb.select(F.posexplode("e").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.round(_dec_sum(F.col("x")) / F.count(F.lit(1)), 6).alias("m"))
+        .collect()
     )
+    means = [0.0] * dim
+    for r in mean_rows:
+        means[r["pos"]] = float(r["m"])
     cent = session_cache(
-        comps.join(broadcast(means), "pos").select(
-            "vec_id", "pos", (F.col("x") - F.col("m")).alias("y")
+        emb.select(
+            "vec_id",
+            F.array(
+                *[(F.col("e")[i] - F.lit(means[i])) for i in range(dim)]
+            ).alias("y"),
         )
     )
+    dec = "decimal(25,12)"
 
-    def power_round(v_frame: DataFrame):
-        s = (
-            cent.join(broadcast(v_frame), "pos")
-            .groupBy("vec_id")
-            .agg(_dec_sum(F.col("y") * F.col("vd")).alias("s"))
+    def row_dot(arr, vs):
+        # Accumulator pinned at DECIMAL(35,12) with a value-lossless
+        # per-step recast — see embedding_second_pc_deflation.
+        varr = F.array(*[F.lit(float(v)) for v in vs])
+        return (
+            F.aggregate(
+                F.zip_with(arr, varr, lambda a, b: (a * b).cast(dec)),
+                F.lit(0).cast("decimal(35,12)"),
+                lambda acc, t: (acc + t).cast("decimal(35,12)"),
+            )
+            .cast("string")
+            .cast("double")
         )
-        w = (
-            cent.join(s, "vec_id")
+
+    def power_w(vs):
+        s = row_dot(F.col("y"), vs)
+        return (
+            cent.select(s.alias("s"), F.posexplode("y").alias("pos", "yv"))
             .groupBy("pos")
-            .agg(_dec_sum(F.col("y") * F.col("s")).alias("w"))
+            .agg(_dec_sum(F.col("yv") * F.col("s")).alias("w"))
         )
-        n = w.agg(F.sqrt(_dec_sum(F.col("w") * F.col("w"))).alias("nrm"))
-        return w, n
 
-    v0 = spark.range(_EMB_DIM).select(
-        F.col("id").alias("pos"), F.lit(0.125).alias("vd")
+    w1 = power_w([0.125] * dim)
+    n1 = w1.agg(F.sqrt(_dec_sum(F.col("w") * F.col("w"))).alias("nrm"))
+    v1_rows = (
+        w1.crossJoin(broadcast(n1))
+        .select("pos", F.round(F.col("w") / F.col("nrm"), 6).alias("vd"))
+        .collect()
     )
-    w1, n1 = power_round(v0)
-    v1 = w1.crossJoin(broadcast(n1)).select(
-        "pos", F.round(F.col("w") / F.col("nrm"), 6).alias("vd")
-    )
-    w2, n2 = power_round(v1)
+    v1 = [0.0] * dim
+    for r in v1_rows:
+        v1[r["pos"]] = float(r["vd"])
+    w2 = power_w(v1)
+    n2 = w2.agg(F.sqrt(_dec_sum(F.col("w") * F.col("w"))).alias("nrm"))
     return (
         w2.crossJoin(broadcast(n2))
         .select(
@@ -3950,96 +3981,133 @@ def embedding_second_pc_deflation(
 ) -> DataFrame:
     from deathmetal_datalake_spark.plans.registry import session_cache
 
-    comps = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.posexplode(_as_double("embedding")).alias("pos", "x")
+    # Columnar power iteration (round-13 optimization, guide §2.3/§2.4):
+    # the old form posexploded the corpus to (vec_id, pos, y) and ran
+    # every power round as join-by-pos → SHUFFLE-BY-VEC_ID (the
+    # data-proportional exchange) → join-by-vec_id → shuffle-by-pos
+    # (~25 corpus jobs end to end; 28 s at sf0.01 on a vanilla sweep
+    # session). Kept as arrays, the projection s = y·v is a ROW-LOCAL
+    # decimal dot against the (bounded, DIM-value) iterate vector —
+    # collected to literals each round, the established v1-localization
+    # convention — so the only exchange left per round carries the
+    # ≤ DIM×tasks partial sums of the w aggregation. The vec_id-keyed
+    # shuffle of the whole corpus is gone at every scale. Exactness:
+    # identical per-term doubles cast to DECIMAL(25,12); decimal
+    # addition is exact and associative, so the regrouping cannot
+    # change any sum; norms and rounds still run engine-side.
+    dim = _EMB_DIM
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("e")
     )
-    means = comps.groupBy("pos").agg(
-        F.round(_dec_sum(F.col("x")) / F.count(F.lit(1)), 6).alias("m")
+    mean_rows = (
+        emb.select(F.posexplode("e").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.round(_dec_sum(F.col("x")) / F.count(F.lit(1)), 6).alias("m"))
+        .collect()
     )
+    means = [0.0] * dim
+    for r in mean_rows:
+        means[r["pos"]] = float(r["m"])
     cent = session_cache(
-        comps.join(broadcast(means), "pos").select(
-            "vec_id", "pos", (F.col("x") - F.col("m")).alias("y")
+        emb.select(
+            "vec_id",
+            F.array(
+                *[(F.col("e")[i] - F.lit(means[i])) for i in range(dim)]
+            ).alias("y"),
         )
     )
+    dec = "decimal(25,12)"
 
-    def power_round(frame: DataFrame, v_frame: DataFrame):
-        # Every round output is session_cached: these are DIM-row /
-        # 1-row frames, but each is referenced from several downstream
-        # plans — uncached, the subplan multiplicity compounds per
-        # round and the deflation chain re-evaluates the corpus passes
-        # exponentially (measured 49 s warm vs 4 s cached).
-        s = (
-            frame.join(broadcast(v_frame), "pos")
-            .groupBy("vec_id")
-            .agg(_dec_sum(F.col("y") * F.col("vd")).alias("s"))
-        )
-        w = session_cache(
-            frame.join(s, "vec_id")
-            .groupBy("pos")
-            .agg(_dec_sum(F.col("y") * F.col("s")).alias("w"))
-        )
-        n = session_cache(
-            w.agg(F.sqrt(_dec_sum(F.col("w") * F.col("w"))).alias("nrm"))
-        )
-        return w, n
-
-    def normalized(w, n):
-        return session_cache(
-            w.crossJoin(broadcast(n)).select(
-                "pos", F.round(F.col("w") / F.col("nrm"), 6).alias("vd")
+    def row_dot(arr, vs):
+        """Row-local decimal dot of an array column against a literal
+        vector — the map-only replacement for join-by-pos + dec-sum
+        grouped by vec_id. Accumulator pinned at DECIMAL(35,12) with a
+        per-step recast: Spark widens a+b per addition and at the
+        38-precision cap starts shedding scale (38,12 + 25,12 ->
+        38,11), which would ROUND mid-sum; the recast is
+        value-lossless (partial sums of 64 bounded terms stay far
+        below 10^23) and keeps every addition exact at scale 12 — the
+        same exactness SUM(decimal(25,12))'s internal buffer provides.
+        """
+        varr = F.array(*[F.lit(float(v)) for v in vs])
+        return (
+            F.aggregate(
+                F.zip_with(arr, varr, lambda a, b: (a * b).cast(dec)),
+                F.lit(0).cast("decimal(35,12)"),
+                lambda acc, t: (acc + t).cast("decimal(35,12)"),
             )
+            .cast("string")
+            .cast("double")
         )
 
-    v0 = comps.sparkSession.range(_EMB_DIM).select(
-        F.col("id").alias("pos"), F.lit(0.125).alias("vd")
-    )
-    # v1 is LOCALIZED to a literal DIM-row frame (one bounded
-    # plan-time action, the two_phase-boundary convention): the
-    # deflation chain otherwise nests the whole two-round lineage
-    # inside every downstream reference and the plan TREE itself blows
-    # the driver heap at explain time, cached or not.
-    v1_rows = normalized(
-        *power_round(cent, normalized(*power_round(cent, v0)))
-    ).collect()
-    v1 = comps.sparkSession.createDataFrame(
-        [(int(r["pos"]), float(r["vd"])) for r in v1_rows],
-        "pos bigint, vd double",
-    )
-    proj = (
-        cent.join(broadcast(v1), "pos")
-        .groupBy("vec_id")
-        .agg(_dec_sum(F.col("y") * F.col("vd")).alias("p"))
-    )
+    def power_round(frame, vs):
+        """One corpus pass: s map-only, then w_pos = dec-sum of y_pos*s
+        (the exchange carries only per-task partial sums, ≤ DIM rows
+        each); nrm + round(w/nrm, 6) on the DIM-row frame, collected
+        to literals for the next round. Returns (w, nrm, vd) lists."""
+        s = row_dot(F.col("y"), vs)
+        w = (
+            frame.select(s.alias("s"), F.posexplode("y").alias("pos", "yv"))
+            .groupBy("pos")
+            .agg(_dec_sum(F.col("yv") * F.col("s")).alias("w"))
+        )
+        n = w.agg(F.sqrt(_dec_sum(F.col("w") * F.col("w"))).alias("nrm"))
+        rows = (
+            w.crossJoin(broadcast(n))
+            .select(
+                "pos", "w", "nrm", F.round(F.col("w") / F.col("nrm"), 6).alias("vd")
+            )
+            .collect()
+        )
+        ws, vd = [0.0] * dim, [0.0] * dim
+        nrm = rows[0]["nrm"] if rows else None
+        for r in rows:
+            ws[r["pos"]] = float(r["w"])
+            vd[r["pos"]] = float(r["vd"])
+        return ws, nrm, vd
+
+    v0 = [0.125] * dim
+    _, _, v1a = power_round(cent, v0)
+    _, _, v1 = power_round(cent, v1a)
+    p = row_dot(F.col("y"), v1)
+    v1arr = F.array(*[F.lit(float(v)) for v in v1])
     cent2 = session_cache(
-        cent.join(proj, "vec_id")
-        .join(broadcast(v1), "pos")
-        .select(
-            "vec_id", "pos", (F.col("y") - F.col("p") * F.col("vd")).alias("y")
+        cent.select("vec_id", p.alias("p"), "y").select(
+            "vec_id",
+            F.zip_with(
+                F.col("y"), v1arr, lambda yi, vi: yi - F.col("p") * vi
+            ).alias("y"),
         )
     )
-    q1_rows = normalized(*power_round(cent2, v0)).collect()
-    q1 = comps.sparkSession.createDataFrame(
-        [(int(r["pos"]), float(r["vd"])) for r in q1_rows],
-        "pos bigint, vd double",
-    )
-    u2, m2 = power_round(cent2, q1)
-    v2 = normalized(u2, m2)
-    ortho = (
-        v1.withColumnRenamed("vd", "vd1")
-        .join(v2.withColumnRenamed("vd", "vd2"), "pos")
-        .agg(_dec_sum(F.col("vd1") * F.col("vd2")).alias("od"))
-    )
-    return (
-        u2.crossJoin(broadcast(m2))
-        .crossJoin(broadcast(ortho))
-        .select(
-            F.col("pos").cast("long"),
-            F.round(F.col("w") / F.col("nrm"), 6).alias("loading2"),
-            F.round("nrm", 6).alias("lambda2_proxy"),
-            F.round("od", 6).alias("ortho_dot"),
+    _, _, q1 = power_round(cent2, v0)
+    u2, m2_nrm, v2 = power_round(cent2, q1)
+    # v1·v2 orthogonality dot — engine-side decimal fold over the two
+    # DIM-value literal vectors (the oracle's ortho CTE).
+    od_row = spark.range(1).select(
+        F.aggregate(
+            F.zip_with(
+                F.array(*[F.lit(float(v)) for v in v1]),
+                F.array(*[F.lit(float(v)) for v in v2]),
+                lambda a, b: (a * b).cast(dec),
+            ),
+            F.lit(0).cast("decimal(35,12)"),
+            lambda acc, t: (acc + t).cast("decimal(35,12)"),
         )
-        .orderBy("pos")
+        .cast("string")
+        .cast("double")
+        .alias("od")
+    ).first()
+    od = float(od_row["od"])
+    out = spark.createDataFrame(
+        [(i, float(u2[i]), float(m2_nrm), od) for i in range(dim)],
+        "pos bigint, w double, nrm double, od double",
     )
+    return out.select(
+        F.col("pos").cast("long"),
+        F.round(F.col("w") / F.col("nrm"), 6).alias("loading2"),
+        F.round("nrm", 6).alias("lambda2_proxy"),
+        F.round("od", 6).alias("ortho_dot"),
+    ).orderBy("pos")
 
 
 # ---------------------------------------------------------------------------
