@@ -39,33 +39,70 @@ import hashlib
 import struct
 
 
-def _crc8(data: bytes) -> int:
-    crc = 0
-    for byte in data:
-        crc ^= byte
+def _make_crc8_table() -> list[int]:
+    table = []
+    for v in range(256):
+        crc = v
         for _ in range(8):
             crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        table.append(crc)
+    return table
+
+
+def _make_crc16_table() -> list[int]:
+    table = []
+    for v in range(256):
+        crc = v << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF
+                if crc & 0x8000
+                else (crc << 1) & 0xFFFF
+            )
+        table.append(crc)
+    return table
+
+
+_CRC8_TABLE = _make_crc8_table()
+_CRC16_TABLE = _make_crc16_table()
+
+
+def _crc8(data: bytes) -> int:
+    # Table-driven byte-at-a-time form of the poly-0x07 bit loop —
+    # identical output, 8x fewer Python ops (the bit loop was 32% of
+    # encode time in the round-13 roundtrip profile).
+    crc = 0
+    table = _CRC8_TABLE
+    for byte in data:
+        crc = table[crc ^ byte]
     return crc
 
 
 def _crc16(data: bytes) -> int:
     crc = 0
+    table = _CRC16_TABLE
     for byte in data:
-        crc ^= byte << 8
-        for _ in range(8):
-            crc = (
-                ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
-            )
+        crc = ((crc << 8) & 0xFF00) ^ table[(crc >> 8) ^ byte]
     return crc
 
 
 class _BitReader:
-    """MSB-first bit reader with byte-position access (CRC spans)."""
+    """MSB-first bit reader with byte-position access (CRC spans).
 
-    def __init__(self, b: bytes, pos: int = 0):
+    ``bits``/``ones`` (optional) are the whole buffer's unpacked bit
+    array and the sorted positions of its one-bits — computed once per
+    stream by ``flac_decode`` so the vectorized field/Rice readers
+    below can run in numpy instead of bit-by-bit Python (the bit loop
+    was 68% of decode time in the round-13 roundtrip profile). The
+    scalar ``read`` path is kept for headers and stays bit-identical.
+    """
+
+    def __init__(self, b: bytes, pos: int = 0, bits=None, ones=None):
         self.b = b
         self.pos = pos  # byte position
         self.bit = 0  # bits consumed within current byte
+        self.bits = bits  # np.uint8[8*len(b)] or None
+        self.ones = ones  # np.int64 sorted one-bit positions or None
 
     def read(self, n: int) -> int:
         out = 0
@@ -98,6 +135,97 @@ class _BitReader:
             self.bit = 0
             self.pos += 1
 
+    # -- vectorized helpers (require self.bits) -------------------------
+
+    def _bitpos(self) -> int:
+        return (self.pos << 3) + self.bit
+
+    def _seek_bit(self, bitpos: int):
+        self.pos = bitpos >> 3
+        self.bit = bitpos & 7
+
+    def read_fixed_signed_vector(self, count: int, width: int):
+        """``count`` consecutive ``width``-bit two's-complement fields
+        as an int64 array — the vector form of ``read_signed`` in a
+        loop (VERBATIM subframes, escaped-raw Rice partitions)."""
+        import numpy as np
+
+        if count == 0:
+            return np.zeros(0, dtype=np.int64)
+        start = self._bitpos()
+        end = start + count * width
+        if end > len(self.bits):
+            raise ValueError("truncated FLAC bitstream")
+        field_bits = self.bits[start:end].reshape(count, width).astype(np.int64)
+        weights = np.left_shift(np.int64(1), np.arange(width - 1, -1, -1, dtype=np.int64))
+        v = field_bits @ weights
+        half = np.int64(1) << (width - 1)
+        v = np.where(v & half, v - (np.int64(1) << width), v)
+        self._seek_bit(end)
+        return v
+
+    def read_rice_vector(self, count: int, param: int):
+        """``count`` Rice(``param``) codes (unary quotient, stop bit,
+        ``param`` remainder bits) decoded to the SIGNED residuals —
+        exactly ``(v >> 1) ^ -(v & 1)`` per code, as int64. Advances
+        the reader past the last code."""
+        import numpy as np
+
+        if count == 0:
+            return np.zeros(0, dtype=np.int64)
+        bits, ones = self.bits, self.ones
+        start = self._bitpos()
+        j = int(np.searchsorted(ones, start))
+        n_ones = len(ones)
+        if param == 0:
+            # No remainder bits: every one-bit IS the next stop bit.
+            if j + count > n_ones:
+                raise ValueError("truncated FLAC bitstream")
+            stops = ones[j : j + count].astype(np.int64)
+            pos = int(stops[-1]) + 1
+        else:
+            # Each code consumes exactly one stop bit plus at most
+            # ``param`` payload one-bits, so the partition's codes live
+            # inside the next count*(1+param) one-bits — slice that
+            # window and build a vectorized jump table: nxt[i] = index
+            # of the first one-bit usable as the NEXT stop after a stop
+            # at ones_w[i] (i.e. >= ones_w[i]+1+param). The stop walk
+            # is then one list lookup per code instead of a bit loop.
+            win = ones[j : j + count * (1 + param) + 1].astype(np.int64)
+            nxt = np.searchsorted(win, win + 1 + param).tolist()
+            idx = np.empty(count, dtype=np.int64)
+            cur = 0
+            try:
+                for k in range(count):
+                    idx[k] = cur
+                    cur = nxt[cur]
+            except IndexError:
+                raise ValueError("truncated FLAC bitstream") from None
+            if count and idx[-1] >= len(win):
+                raise ValueError("truncated FLAC bitstream")
+            stops = win[idx]
+            pos = int(stops[-1]) + 1 + param
+        if pos > len(bits):
+            raise ValueError("truncated FLAC bitstream")
+        prev_end = np.empty(count, dtype=np.int64)
+        prev_end[0] = start
+        if count > 1:
+            prev_end[1:] = stops[:-1] + 1 + param
+        q = stops - prev_end
+        if param:
+            rem_bits = (
+                bits[stops[:, None] + 1 + np.arange(param, dtype=np.int64)]
+                .astype(np.int64)
+            )
+            weights = np.left_shift(
+                np.int64(1), np.arange(param - 1, -1, -1, dtype=np.int64)
+            )
+            v = (q << param) | (rem_bits @ weights)
+        else:
+            v = q
+        self._seek_bit(pos)
+        return (v >> 1) ^ -(v & 1)
+
 
 class _BitWriter:
     def __init__(self):
@@ -127,6 +255,27 @@ class _BitWriter:
             self.out.append(self.cur)
             self.cur = 0
             self.nbits = 0
+
+    def write_bits(self, bit_arr):
+        """Append a uint8 0/1 bit array in one numpy pack — the vector
+        form of many consecutive ``write`` calls (identical stream)."""
+        import numpy as np
+
+        if self.nbits:
+            lead = np.empty(self.nbits + len(bit_arr), dtype=np.uint8)
+            for i in range(self.nbits):
+                lead[i] = (self.cur >> (self.nbits - 1 - i)) & 1
+            lead[self.nbits :] = bit_arr
+            bit_arr = lead
+            self.cur = 0
+            self.nbits = 0
+        rem = len(bit_arr) & 7
+        head = len(bit_arr) - rem
+        if head:
+            self.out += np.packbits(bit_arr[:head]).tobytes()
+        for i in range(rem):
+            self.cur = (self.cur << 1) | int(bit_arr[head + i])
+        self.nbits = rem
 
     def bytes(self) -> bytes:
         self.align()
@@ -173,7 +322,37 @@ def _read_coded_number(r: _BitReader) -> int:
     return val
 
 
-def _decode_subframe(r: _BitReader, n: int, bps: int) -> list[int]:
+def _undiff(warm, res, order: int):
+    """Invert the ``order``-th forward difference: given the first
+    ``order`` samples and the residual (= order-th difference) array,
+    rebuild the sample array by ``order`` exact int64 cumsums — the
+    closed form of the per-sample ``pred = sum(coef * history)`` loop
+    for the FIXED predictors (whose coefficient rows are exactly the
+    binomial rows of repeated differencing). Intermediate arrays equal
+    the true k-th difference sequences of the decoded signal, so their
+    magnitudes are bounded by 2^(bps+order) — no int64 overflow for
+    any spec-valid stream."""
+    import numpy as np
+
+    if order == 0:
+        return res.copy()
+    w = np.asarray(warm, dtype=np.int64)
+    heads = [int(w[0])]
+    for _ in range(order - 1):
+        w = np.diff(w)
+        heads.append(int(w[0]))
+    x = res
+    for k in range(order - 1, -1, -1):
+        full = np.empty(len(x) + 1, dtype=np.int64)
+        full[0] = heads[k]
+        full[1:] = x
+        x = np.cumsum(full)
+    return x
+
+
+def _decode_subframe(r: _BitReader, n: int, bps: int):
+    import numpy as np
+
     if r.read(1) != 0:
         raise ValueError("FLAC subframe padding bit set")
     stype = r.read(6)
@@ -183,25 +362,21 @@ def _decode_subframe(r: _BitReader, n: int, bps: int) -> list[int]:
     eff = bps - wasted
     if stype == 0:  # CONSTANT
         v = r.read_signed(eff)
-        samples = [v] * n
+        samples = np.full(n, v, dtype=np.int64)
     elif stype == 1:  # VERBATIM
-        samples = [r.read_signed(eff) for _ in range(n)]
+        samples = r.read_fixed_signed_vector(n, eff)
     elif 8 <= stype <= 12:  # FIXED order 0-4
         order = stype - 8
         if order > n:
             raise ValueError("FLAC fixed order exceeds block size")
-        warm = [r.read_signed(eff) for _ in range(order)]
+        warm = r.read_fixed_signed_vector(order, eff)
         res = _decode_residual(r, n, order)
-        samples = warm[:]
-        coef = _FIXED_COEF[order]
-        for i in range(order, n):
-            pred = sum(c * samples[i - 1 - j] for j, c in enumerate(coef))
-            samples.append(res[i - order] + pred)
+        samples = _undiff(warm, res, order)
     elif stype >= 32:  # LPC orders 1-32
         order = (stype & 0x1F) + 1
         if order > n:
             raise ValueError("FLAC LPC order exceeds block size")
-        warm = [r.read_signed(eff) for _ in range(order)]
+        warm = r.read_fixed_signed_vector(order, eff)
         prec = r.read(4)
         if prec == 15:
             raise ValueError("invalid FLAC LPC coefficient precision")
@@ -211,18 +386,25 @@ def _decode_subframe(r: _BitReader, n: int, bps: int) -> list[int]:
             raise ValueError("negative FLAC LPC shift")
         coef = [r.read_signed(prec) for _ in range(order)]
         res = _decode_residual(r, n, order)
-        samples = warm[:]
+        # The LPC recursion floor-shifts EVERY step, so it is not a
+        # linear filter over the residuals — it stays an exact
+        # per-sample loop (Python ints; history as a plain list).
+        out = [int(v) for v in warm]
+        res_l = res.tolist()
         for i in range(order, n):
-            pred = sum(c * samples[i - 1 - j] for j, c in enumerate(coef)) >> shift
-            samples.append(res[i - order] + pred)
+            pred = sum(c * out[i - 1 - j] for j, c in enumerate(coef)) >> shift
+            out.append(res_l[i - order] + pred)
+        samples = np.asarray(out, dtype=np.int64)
     else:
         raise ValueError(f"reserved FLAC subframe type {stype}")
     if wasted:
-        samples = [s << wasted for s in samples]
+        samples = samples << wasted
     return samples
 
 
-def _decode_residual(r: _BitReader, n: int, order: int) -> list[int]:
+def _decode_residual(r: _BitReader, n: int, order: int):
+    import numpy as np
+
     method = r.read(2)
     if method not in (0, 1):
         raise ValueError(f"reserved FLAC residual method {method}")
@@ -234,7 +416,7 @@ def _decode_residual(r: _BitReader, n: int, order: int) -> list[int]:
         raise ValueError("FLAC block size not divisible by partition count")
     if (n >> po) < order:
         raise ValueError("invalid FLAC partition order")
-    res: list[int] = []
+    parts = []
     for part in range(nparts):
         cnt = (n >> po) - (order if part == 0 else 0)
         if cnt < 0:
@@ -242,14 +424,13 @@ def _decode_residual(r: _BitReader, n: int, order: int) -> list[int]:
         param = r.read(pbits)
         if param == escape:
             raw = r.read(5)
-            for _ in range(cnt):
-                res.append(r.read_signed(raw) if raw else 0)
+            if raw:
+                parts.append(r.read_fixed_signed_vector(cnt, raw))
+            else:
+                parts.append(np.zeros(cnt, dtype=np.int64))
         else:
-            for _ in range(cnt):
-                q = r.read_unary()
-                v = (q << param) | (r.read(param) if param else 0)
-                res.append((v >> 1) ^ -(v & 1))
-    return res
+            parts.append(r.read_rice_vector(cnt, param))
+    return parts[0] if nparts == 1 else np.concatenate(parts)
 
 
 def flac_decode(content: bytes):
@@ -297,10 +478,14 @@ def flac_decode(content: bytes):
     if bps not in (8, 16, 24):
         raise ValueError(f"unsupported FLAC bits-per-sample {bps}")
 
-    channels: list[list[int]] = [[] for _ in range(n_channels)]
+    # One bit-unpack + one-bit index for the whole stream: every frame
+    # reader below shares them for the vectorized field/Rice decode.
+    all_bits = np.unpackbits(np.frombuffer(b, dtype=np.uint8))
+    all_ones = np.flatnonzero(all_bits)
+    channels: list[list] = [[] for _ in range(n_channels)]
     while pos < len(b):
         frame_start = pos
-        r = _BitReader(b, pos)
+        r = _BitReader(b, pos, bits=all_bits, ones=all_ones)
         sync = r.read(14)
         if sync != 0b11111111111110:
             raise ValueError("bad FLAC frame sync")
@@ -344,7 +529,7 @@ def flac_decode(content: bytes):
                     "FLAC frame channel count disagrees with STREAMINFO"
                 )
             for ch in range(n_channels):
-                channels[ch].extend(_decode_subframe(r, block, frame_bps))
+                channels[ch].append(_decode_subframe(r, block, frame_bps))
         else:
             # Inter-channel decorrelation — stereo only; the SIDE
             # (difference) channel carries one extra bit.
@@ -355,23 +540,21 @@ def flac_decode(content: bytes):
             if chan_code == 8:  # left/side: right = left - side
                 left = _decode_subframe(r, block, frame_bps)
                 side = _decode_subframe(r, block, frame_bps + 1)
-                right = [lv - sv for lv, sv in zip(left, side)]
+                right = left - side
             elif chan_code == 9:  # right/side: left = side + right
                 side = _decode_subframe(r, block, frame_bps + 1)
                 right = _decode_subframe(r, block, frame_bps)
-                left = [sv + rv for sv, rv in zip(side, right)]
+                left = side + right
             else:  # mid/side: mid = (l+r)>>1 (floor), side = l-r.
                 # (l+r) = (mid<<1)|(side&1) since (l+r)&1 == (l-r)&1;
                 # both halves below are exact integers.
                 mid = _decode_subframe(r, block, frame_bps)
                 side = _decode_subframe(r, block, frame_bps + 1)
-                left, right = [], []
-                for mv, sv in zip(mid, side):
-                    lr = (mv << 1) | (sv & 1)
-                    left.append((lr + sv) >> 1)
-                    right.append((lr - sv) >> 1)
-            channels[0].extend(left)
-            channels[1].extend(right)
+                lr = (mid << 1) | (side & 1)
+                left = (lr + side) >> 1
+                right = (lr - side) >> 1
+            channels[0].append(left)
+            channels[1].append(right)
         r.align()
         body_bytes = b[frame_start : r.pos]
         crc16 = r.read(16)
@@ -379,17 +562,19 @@ def flac_decode(content: bytes):
             raise ValueError("FLAC frame CRC-16 mismatch")
         pos = r.pos
 
-    if total and any(len(c) != total for c in channels):
+    arrs = [
+        np.concatenate(c) if c else np.zeros(0, dtype=np.int64) for c in channels
+    ]
+    if total and any(len(a) != total for a in arrs):
         raise ValueError("FLAC decoded sample count disagrees with STREAMINFO")
     # MD5 check: interleaved little-endian signed samples, bps/8 bytes
     # (vectorized — the per-sample to_bytes loop dominated decode time).
     if md5_expect != b"\x00" * 16:
         m = hashlib.md5()
         width = bps // 8
-        arrs = [np.asarray(c, dtype=np.int64) for c in channels]
         inter = (
             np.column_stack(arrs).reshape(-1)
-            if len(channels[0])
+            if len(arrs[0])
             else np.array([], dtype=np.int64)
         )
         if width == 1:
@@ -401,7 +586,7 @@ def flac_decode(content: bytes):
             m.update(quads[:, :3].tobytes())
         if m.digest() != md5_expect:
             raise ValueError("FLAC MD5 mismatch (corrupt or mis-decoded stream)")
-    return np.array(channels[0], dtype=np.int64), sample_rate, n_channels
+    return arrs[0], sample_rate, n_channels
 
 
 def flac_pcm_decode(content: bytes):
@@ -426,14 +611,15 @@ def _zigzag(res):
 
 def _best_rice(u) -> tuple[int, int]:
     """(param, bit cost) minimizing the Rice cost of zigzagged
-    residuals — one numpy shift-reduce per candidate parameter."""
+    residuals — one 15-row shift matrix instead of 15 passes; argmin
+    keeps the FIRST minimum, matching the strict-< sweep it replaced."""
+    import numpy as np
+
     n = len(u)
-    best_p, best_c = 0, None
-    for p in range(15):
-        c = int((u >> p).sum()) + n * (1 + p)
-        if best_c is None or c < best_c:
-            best_p, best_c = p, c
-    return best_p, best_c
+    params = np.arange(15, dtype=np.int64)
+    costs = (u[None, :] >> params[:, None]).sum(axis=1) + n * (1 + params)
+    best_p = int(np.argmin(costs))
+    return best_p, int(costs[best_p])
 
 
 def _write_coded_number(w: _BitWriter, val: int):
@@ -541,7 +727,15 @@ def flac_encode(
     if stereo_mode not in ("independent", "left_side", "right_side", "mid_side"):
         raise ValueError(f"unknown stereo_mode {stereo_mode!r}")
     chans = channels if channels is not None else [samples]
-    chans = [np.asarray(list(c), dtype=np.int64) for c in chans]
+    # asarray directly for array/list/tuple inputs (list(c) round-
+    # tripped a 100k-sample numpy array through a Python list);
+    # fromiter keeps generator inputs working.
+    chans = [
+        np.asarray(c, dtype=np.int64)
+        if isinstance(c, (np.ndarray, list, tuple))
+        else np.fromiter(c, dtype=np.int64)
+        for c in chans
+    ]
     n_ch = len(chans)
     ntot = len(chans[0])
     if any(len(c) != ntot for c in chans):
@@ -623,15 +817,25 @@ def flac_encode(
 
 
 def _write_rice_residual(w: _BitWriter, u, param: int):
+    import numpy as np
+
     w.write(0, 2)  # rice method 0 (4-bit params)
     w.write(0, 4)  # partition order 0
     w.write(param, 4)
-    stop = 1 << param
-    pmask = stop - 1
-    for uu in u.tolist():
-        # one field write per residual: q zero bits, the stop 1, then
-        # the param low bits — as a single (q+1+param)-bit value
-        w.write(stop | (uu & pmask), (uu >> param) + 1 + param)
+    # Vectorized packing of every residual's (q zeros, stop 1, param
+    # remainder bits) field: compute each field's end offset, drop the
+    # stop and remainder bits into one 0-bit canvas, pack once —
+    # bit-identical to the per-residual ``write`` loop it replaces
+    # (which was 43% of encode time in the round-13 profile).
+    if not len(u):
+        return
+    lens = (u >> param) + 1 + param
+    ends = np.cumsum(lens)
+    canvas = np.zeros(int(ends[-1]), dtype=np.uint8)
+    canvas[ends - 1 - param] = 1
+    for t in range(param):
+        canvas[ends - param + t] = (u >> (param - 1 - t)) & 1
+    w.write_bits(canvas)
 
 
 def _encode_subframe(w: _BitWriter, samples, bps: int, *, max_lpc_order: int = 0):
@@ -680,8 +884,9 @@ def _encode_subframe(w: _BitWriter, samples, bps: int, *, max_lpc_order: int = 0
         w.write(1, 6)  # VERBATIM
         w.write(0, 1)
         mask = (1 << bps) - 1
-        for s in arr.tolist():
-            w.write(s & mask, bps)
+        v = arr & mask
+        shifts = np.arange(bps - 1, -1, -1, dtype=np.int64)
+        w.write_bits(((v[:, None] >> shifts) & 1).astype(np.uint8).ravel())
         return
     _, kind, order, u, param, meta = best
     mask = (1 << bps) - 1

@@ -2389,7 +2389,22 @@ def dedup_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = grams.groupBy("g").agg(F.countDistinct("name").alias("df")).filter(
         F.col("df") <= _FUZZY_MAX_DF
     ).select("g")
-    ga = grams.join(keep, "g").select("g", F.col("name").alias("name_a"))
+    # Explicit-width pins on the Levenshtein pair stage (plan-gate rule
+    # 6, the round-12 AQE hazard class): the optimizer pushes the
+    # edit-distance predicate below the dropDuplicates into the pair
+    # join itself (it is a function of the grouping keys), so BOTH the
+    # join stage and the distinct aggregate evaluate levenshtein — and
+    # AQE sizes both by input bytes (a few MB of short name pairs),
+    # coalescing an O(len²)-per-pair stage onto one core. A pinned
+    # ``repartition(width, ...)`` is contractually non-coalescible;
+    # neither pin adds an Exchange (the g-pin replaces the join's own
+    # exchange on ga's side, the pair-pin replaces the aggregate's).
+    width = spark.sparkContext.defaultParallelism
+    ga = (
+        grams.join(keep, "g")
+        .select("g", F.col("name").alias("name_a"))
+        .repartition(width, "g")
+    )
     gb = grams.select("g", F.col("name").alias("name_b"))
     cand = (
         ga.join(gb, "g")
@@ -2400,6 +2415,7 @@ def dedup_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .select("name_a", "name_b")
+        .repartition(width, "name_a", "name_b")
         .dropDuplicates()
     )
     verified = cand.withColumn(

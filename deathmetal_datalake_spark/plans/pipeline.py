@@ -873,20 +873,34 @@ LIMIT {_DSIR_TOP}
 def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import broadcast
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id",
         "source",
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
     )
-    b = session_cache(
+    # Reduce token rows to (doc, source, bucket) COUNTS before anything
+    # is cached or shuffled (guide §2.3 "aggregate before you shuffle"):
+    # the explode feeds a map-side partial aggregate in its own stage,
+    # so the exchange and the cached frame carry <=256 rows per document
+    # instead of one row per token. Both downstream aggregates are
+    # exact-identical on counts: the bucket model sums cnt instead of
+    # counting rows, and the per-doc importance sums cnt x wt in decimal
+    # arithmetic, which equals adding wt cnt times (decimal + and x are
+    # exact at these magnitudes, so the per-token sum and the counted
+    # sum are the same decimal value).
+    percnt = session_cache(
         toks.select(
             "doc_id", "source", (hash60("token") % _DSIR_BUCKETS).alias("bucket")
         )
+        .groupBy("doc_id", "source", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    bc = b.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("rc"),
-        F.sum(F.when(F.col("source") == _DSIR_TARGET, 1).otherwise(0)).alias("tc"),
+    bc = percnt.groupBy("bucket").agg(
+        F.sum("cnt").alias("rc"),
+        F.sum(
+            F.when(F.col("source") == _DSIR_TARGET, F.col("cnt")).otherwise(0)
+        ).alias("tc"),
     )
     tot = bc.agg(F.sum("rc").alias("rt"), F.sum("tc").alias("tt"))
     nb = float(_DSIR_BUCKETS)
@@ -899,11 +913,13 @@ def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("wt"),
     )
     scored = (
-        b.join(broadcast(w), "bucket")
+        percnt.join(broadcast(w), "bucket")
         .groupBy("doc_id", "source")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.sum(F.col("wt").cast("decimal(18,6)")).cast("double").alias("importance"),
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.sum(F.col("wt").cast("decimal(18,6)") * F.col("cnt"))
+            .cast("double")
+            .alias("importance"),
         )
     )
     return scored.orderBy(F.desc("importance"), F.asc("doc_id")).limit(_DSIR_TOP)
