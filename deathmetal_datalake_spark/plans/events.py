@@ -2877,64 +2877,90 @@ ORDER BY v.event_type
 def events_seasonal_residual_anomaly(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from pyspark.sql.functions import broadcast
+    import math
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
 
-    from deathmetal_datalake_spark.operators.ordering import (
-        grouped_quantiles_general,
-    )
-    from deathmetal_datalake_spark.plans.registry import session_cache
-
-    daily = session_cache(
+    # The per-(type, day) count frame is bounded by the event-type ENUM
+    # x calendar days — it grows with the time range, never with data
+    # volume (150 rows at sf0.1; ~tens of thousands for a decade of
+    # types at any corpus size). Collect it once (the adjudicated
+    # bounded-probe class, the markov-attribution precedent) and run
+    # the dow-mean / residual / median / MAD ladder as driver math:
+    # the previous shape paid TWO grouped_quantiles_general calls
+    # (each with plan-time probe actions) plus three cache
+    # materializations over this 150-row frame — build time 4-9 s for
+    # 0.3 s of actual distributed work (round-13 receipt in
+    # OPTIMIZATION_r13.md). The heavy part — events scan -> daily
+    # counts — STAYS distributed.
+    daily_rows = (
         load_table(spark, sf_dir, "events")
         .groupBy(
             "event_type", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
         )
         .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
     )
-    # Spark dayofweek == DuckDB dayofweek + 1 (Sun=1 vs Sun=0); the
-    # bucket IDENTITY is all that matters, and each side is internally
-    # consistent, so no shift is needed on the join keys it feeds.
-    dow = (
-        daily.groupBy(
-            F.col("event_type").alias("et"), F.dayofweek("d").alias("wd")
+
+    # Driver math mirrors the previous Spark pipeline (and the oracle)
+    # operation-for-operation on IEEE doubles:
+    # - dow_mean: ROUND(double(sum_c) / count, 6). Spark's ROUND on a
+    #   DOUBLE is BigDecimal.valueOf(Double.toString(x)) -> HALF_UP;
+    #   repr() is the same shortest-round-trip decimal, so
+    #   Decimal(repr(x)).quantize(1e-6, HALF_UP) is bit-identical.
+    # - median: percentile interpolation, 0-indexed pos=(n-1)*f,
+    #   q = v_lo*(ceil(pos)-pos) + v_hi*(pos-floor(pos)) — the exact
+    #   formula grouped_quantiles_general applies.
+    # - weekday bucket IDENTITY is all that matters (each engine is
+    #   internally consistent), so isoweekday()%7 needs no shift.
+    # Final ROUNDs stay in Spark on the assembled frame.
+    def round6(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
         )
-        .agg(
-            F.round(
-                F.sum(F.col("c").cast("decimal(18,6)"))
-                .cast("string")
-                .cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("dow_mean")
-        )
-    )
-    resid = session_cache(
-        daily.join(
-            broadcast(dow),
-            (F.col("event_type") == F.col("et"))
-            & (F.dayofweek(F.col("d")) == F.col("wd")),
-        ).select("event_type", (F.col("c") - F.col("dow_mean")).alias("r"))
-    )
-    med = grouped_quantiles_general(
-        resid, "event_type", F.col("r"), [0.5]
-    ).select("event_type", F.col("q").alias("med_r"))
-    dev = session_cache(
-        resid.join(broadcast(med), "event_type").withColumn(
-            "absdev", F.abs(F.col("r") - F.col("med_r"))
-        )
-    )
-    mad = grouped_quantiles_general(
-        dev, "event_type", F.col("absdev"), [0.5]
-    ).select("event_type", F.col("q").alias("mad_r"))
-    is_anom = F.col("absdev") > F.lit(float(_SEAS_MAD_K)) * F.col("mad_r")
+
+    def median_interp(xs: list) -> float:
+        xs = sorted(xs)
+        pos = (len(xs) - 1) * 0.5
+        lo, hi = math.floor(pos), math.ceil(pos)
+        if lo == hi:
+            return xs[lo]
+        return xs[lo] * (hi - pos) + xs[hi] * (pos - lo)
+
+    # A NULL day or type never matched the old dow equi-join (NULL ==
+    # NULL is not true on either engine), so those rows vanished from
+    # the residual frame — skipping them here is the same semantics.
+    daily_rows = [
+        r
+        for r in daily_rows
+        if r["d"] is not None and r["event_type"] is not None
+    ]
+    dow_sum: dict = defaultdict(lambda: [0, 0])  # (et, wd) -> [sum_c, n]
+    for r in daily_rows:
+        k = (r["event_type"], r["d"].isoweekday() % 7)
+        dow_sum[k][0] += r["c"]
+        dow_sum[k][1] += 1
+    dow_mean = {
+        k: round6(float(sc) / float(n)) for k, (sc, n) in dow_sum.items()
+    }
+    resid: dict = defaultdict(list)  # et -> [r...]
+    for r in daily_rows:
+        m = dow_mean[(r["event_type"], r["d"].isoweekday() % 7)]
+        resid[r["event_type"]].append(float(r["c"]) - m)
+    out_rows = []
+    for et in sorted(resid):
+        rs = resid[et]
+        med_r = median_interp(rs)
+        devs = [abs(r - med_r) for r in rs]
+        mad_r = median_interp(devs)
+        cut = float(_SEAS_MAD_K) * mad_r
+        n_anom = sum(1 for a in devs if a > cut)
+        out_rows.append((et, len(rs), med_r, mad_r, n_anom))
     return (
-        dev.join(broadcast(mad), "event_type")
-        .groupBy("event_type", "med_r", "mad_r")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_days"),
-            F.sum(F.when(is_anom, 1).otherwise(0))
-            .cast("long")
-            .alias("n_anomalous_days"),
+        spark.createDataFrame(
+            out_rows,
+            "event_type string, n_days long, med_r double, "
+            "mad_r double, n_anomalous_days long",
         )
         .select(
             "event_type",

@@ -290,7 +290,6 @@ _HINTED_BROADCAST_OK = {
     "events_dau_wau_stickiness": 1,      # [time] date grid
     "events_interval_overlap_join": 1,   # [time] window spine
     "events_rfm_quintiles": 7,           # [1row] watermark + 3x[bkt] offsets
-    "events_seasonal_residual_anomaly": 4,  # 7x[enum] dow + per-type median/MAD
     "events_survival_kaplan_meier": 1,   # [1row] watermark
     "events_user_features": 1,           # [1row] watermark
     "events_value_band_rollup": 1,       # [dim] 3-row literal bands
