@@ -792,35 +792,57 @@ def pagerank_neardup_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
     n_row = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
 
-    def one_round(rank_df: DataFrame) -> DataFrame:
-        """rank_df: (doc_id, r) → next (doc_id, r)."""
-        contrib = (
-            und.join(deg, "a")
-            .join(rank_df.withColumnRenamed("doc_id", "a"), "a")
-            .select(
-                F.col("b").alias("doc_id"),
-                (F.col("r") / F.col("deg")).cast("decimal(25,12)").alias("c"),
-            )
-            .groupBy("doc_id")
-            .agg(F.sum("c").cast("double").alias("s"))
+    # Rank values are only ever CONSUMED at edge-source nodes (the
+    # round-2 contribution joins rank on "a", inner), so the docs-wide
+    # rank frame need not exist between rounds — evaluating the rank
+    # expression tp/n + damp*coalesce(s, 0.0) directly on the edge row
+    # (s left-joined per source) is the same IEEE arithmetic the old
+    # docs-wide left join produced, row for row. The full docs frame
+    # appears exactly once, at the final output expansion. This drops
+    # two docs-wide intermediates and three joins from the plan.
+    w = und.join(deg, "a")  # (a, b, deg) — tiny joins off the cache
+    s1 = (
+        w.crossJoin(broadcast(n_row))
+        .select(
+            F.col("b").alias("doc_id"),
+            ((F.lit(1.0) / F.col("n")) / F.col("deg"))
+            .cast("decimal(25,12)")
+            .alias("c"),
         )
-        return (
-            docs.crossJoin(broadcast(n_row))
-            .join(contrib, "doc_id", "left")
-            .select(
-                "doc_id",
+        .groupBy("doc_id")
+        .agg(F.sum("c").cast("double").alias("s"))
+    )
+    s2 = (
+        w.join(s1.withColumnRenamed("doc_id", "a"), "a", "left")
+        .crossJoin(broadcast(n_row))
+        .select(
+            F.col("b").alias("doc_id"),
+            (
                 (
                     _PR_TELEPORT / F.col("n")
                     + _PR_DAMP * F.coalesce(F.col("s"), F.lit(0.0))
-                ).alias("r"),
+                )
+                / F.col("deg")
             )
+            .cast("decimal(25,12)")
+            .alias("c"),
         )
-
-    r0 = docs.crossJoin(broadcast(n_row)).select(
-        "doc_id", (F.lit(1.0) / F.col("n")).alias("r")
+        .groupBy("doc_id")
+        .agg(F.sum("c").cast("double").alias("s"))
     )
-    r2 = one_round(one_round(r0))
-    return r2.crossJoin(broadcast(n_row)).select(
+    r2 = (
+        docs.crossJoin(broadcast(n_row))
+        .join(s2, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n",
+            (
+                _PR_TELEPORT / F.col("n")
+                + _PR_DAMP * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("r"),
+        )
+    )
+    return r2.select(
         "doc_id", F.round(F.col("r") * F.col("n"), 6).alias("norm_rank")
     )
 

@@ -1617,13 +1617,19 @@ def dq_ks_two_sample_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("era") == 1, 1).otherwise(0)).alias("cb"),
         )
     )
-    # BOTH running ECDF counts over one fused two-phase pass (one
-    # boundary action for the two specs — same total order).
+    # BOTH running ECDF counts share ONE total order, so they ride one
+    # spec with a multi-pair cumsum (one bucket tag, one totals
+    # aggregate, one offsets frame, one local window — the Jonckheere
+    # shape), instead of running the whole per-spec machinery twice
+    # for two identical orders.
     o = two_phase_order_multi(
         g,
         [
-            OrderSpec([F.asc("value")], F.col("value"), cumsum=("ca", "cuma")),
-            OrderSpec([F.asc("value")], F.col("value"), cumsum=("cb", "cumb")),
+            OrderSpec(
+                [F.asc("value")],
+                F.col("value"),
+                cumsum=[("ca", "cuma"), ("cb", "cumb")],
+            )
         ],
     )
     t = g.agg(
@@ -1636,29 +1642,29 @@ def dq_ks_two_sample_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_b") * F.col("cuma").cast("decimal(19,0)")
             - F.col("n_a") * F.col("cumb").cast("decimal(19,0)")
         ).alias("dn"),
-        "n_a",
-        "n_b",
     )
-    d = session_cache(d)
-    m = d.agg(F.max("dn").alias("dmax"))
-    at = (
-        d.join(broadcast(m), d["dn"] == m["dmax"])
-        .agg(F.min("value").alias("ks_at_value"))
+    # One aggregate yields BOTH the supremum and its argmin tie-break:
+    # max(struct(dn, -value)) is lexicographic — max dn first, then max
+    # of -value = MIN(value) among the rows attaining it (value is a
+    # non-NULL double here; -(-v) round-trips every finite v, and
+    # -(-0.0) = 0.0 matches the input). Replaces the cached d frame +
+    # separate max action + argmax equi-join (three plans over the
+    # pair frame) with one pass.
+    mx = d.agg(
+        F.max(
+            F.struct(F.col("dn"), (-F.col("value")).alias("negv"))
+        ).alias("mx")
     )
     dd = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
-    # Final row assembled from the AGGREGATE frames (t/m/at each always
+    # Final row assembled from the AGGREGATE frames (t/mx each always
     # yield exactly one row) — never limit(1) over the data frame, which
     # returns 0 rows on an empty events table while the oracle's
     # scalar-subquery form returns one NULL-fielded row (r10 ADVICE).
-    return (
-        t.crossJoin(broadcast(m))
-        .crossJoin(broadcast(at))
-        .select(
-            F.col("n_a").cast("long").alias("n_a"),
-            F.col("n_b").cast("long").alias("n_b"),
-            F.round(dd("dmax") / (dd("n_a") * dd("n_b")), 6).alias("d_stat"),
-            "ks_at_value",
-        )
+    return t.crossJoin(broadcast(mx)).select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(dd("mx.dn") / (dd("n_a") * dd("n_b")), 6).alias("d_stat"),
+        (-F.col("mx.negv")).alias("ks_at_value"),
     )
 
 
@@ -1999,16 +2005,19 @@ def dq_wasserstein_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("era") == 1, 1).otherwise(0)).alias("nb"),
         )
     )
-    # Both ECDFs + the global rank in ONE fused two-phase pass.
+    # Both ECDFs + the global rank share ONE total order, so they ride
+    # one spec with a multi-pair cumsum (one bucket tag, one totals
+    # aggregate, one offsets frame, one local window — the Jonckheere
+    # shape), instead of running the per-spec machinery twice for two
+    # identical orders.
     o = session_cache(
         two_phase_order_multi(
             g,
             [
                 OrderSpec(
                     [F.asc("v")], F.col("v"), rank_col="rk",
-                    cumsum=("na", "cuma"),
-                ),
-                OrderSpec([F.asc("v")], F.col("v"), cumsum=("nb", "cumb")),
+                    cumsum=[("na", "cuma"), ("nb", "cumb")],
+                )
             ],
         )
     )
