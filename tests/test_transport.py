@@ -144,6 +144,55 @@ def test_checkpoint_restart_resumes_without_redelivery(spark, transport, tmp_pat
     assert got == expect
 
 
+def test_foreachbatch_drain_resumes_and_dedupes_redelivery(spark, transport, tmp_path):
+    # The transport replay queries drain via foreachBatch into a
+    # batch_id-keyed driver dict (round-13: replaces the parquet sink +
+    # re-read). Two contracts pinned here: (a) a second drain on the
+    # same checkpoint delivers ONLY the new records (incremental
+    # offsets survive the sink swap); (b) the keyed overwrite makes a
+    # redelivered micro-batch (foreachBatch is at-least-once) a no-op
+    # instead of a duplication.
+    d = transport.create_stream("ev", n_shards=2)
+    register_record_feed(spark)
+    ckpt = str(tmp_path / "ckpt")
+    batches: dict[int, list] = {}
+
+    def drain():
+        def _sink(bdf, batch_id):
+            batches[batch_id] = bdf.collect()
+
+        q = (
+            spark.readStream.format("record_feed")
+            .schema(RECORD_FEED_SCHEMA)
+            .option("path", d)
+            .load()
+            .writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    transport.put_records("ev", [(f"a-{i}", f"first-{i}") for i in range(10)])
+    drain()
+    first_batches = dict(batches)
+    transport.put_records("ev", [(f"b-{i}", f"second-{i}") for i in range(10)])
+    drain()  # same checkpoint: must deliver ONLY the new records
+    new_ids = set(batches) - set(first_batches)
+    assert new_ids, "second drain must add at least one new batch id"
+    new_rows = [r for b in new_ids for r in batches[b]]
+    assert sorted(r.data for r in new_rows) == sorted(f"second-{i}" for i in range(10))
+    all_rows = [r for rows in batches.values() for r in rows]
+    assert sorted(r.data for r in all_rows) == sorted(
+        [f"first-{i}" for i in range(10)] + [f"second-{i}" for i in range(10)]
+    )
+    # (b) batch ids never collide across the two drains — the keyed
+    # store can only dedupe redeliveries if a resumed query continues
+    # the id sequence instead of restarting it at 0.
+    assert len(batches) == len(first_batches) + len(new_ids)
+    assert max(first_batches) < min(new_ids)
+
+
 def test_chunked_csv_through_transport_to_bronze(spark, transport, tmp_path):
     # The reference's full ingest edge: chunked CSV put_record -> shard
     # log -> streaming parse -> bronze parquet, equal to a batch read
