@@ -24,10 +24,11 @@ written to ``docs/BENCH_FULL.json`` ONLY when ``SPARK_GRAFT_SEAL=1``
 (a deliberate canary-checked sealing run); every other invocation
 writes it to a scratch path under $TMPDIR so ad-hoc/driver runs never
 shadow the sealed record (round-12 gating); stdout gets exactly ONE final
-compact JSON line — ``{metric, value, value_min, core30, canary,
-unit, queries (medians, 2dp), sf, scale: {value, value_min, core30,
-canary, sf, ratio_vs_base}}`` with minified separators, ≤ ~1.9 KB —
-and nothing is printed to stdout after it. ``canary`` (round-9) is a
+compact JSON line — ``{metric, value, canary, unit, sf, queries,
+...}`` rendered by :func:`render_compact_line`, which sheds precision
+and derivable envelope fields level by level so the per-query dict is
+NEVER dropped (round-13 verdict #1) — and nothing is printed to
+stdout after it. ``canary`` (round-9) is a
 pinned data-independent CPU burn timed right before each suite: two
 records are comparable only after normalizing by their canary ratio
 (docs/BENCH_GOVERNANCE.md "Cross-record normalization").
@@ -438,6 +439,100 @@ def _canary2(spark, reps: int = 5) -> tuple[float, float]:
     return round(statistics.median(ts), 3), round(min(ts), 3)
 
 
+def render_compact_line(payload: dict, budget: int = 1950) -> str:
+    """Render the ONE-line stdout JSON within the driver's 2000-char
+    tail capture. Round-13 verdict #1: with 58 headline queries the old
+    two-step degrade always overflowed and dropped the ``queries`` dict,
+    leaving the driver with no per-query times two rounds running. This
+    ladder instead sheds precision and DERIVABLE envelope fields, level
+    by level, and never drops ``queries``:
+
+      0  today's full format (per-query medians at 2dp)
+      1  medians at 1dp
+      2  per-query MINIMA at 1dp (integral values as bare ints), marked
+         ``"qstat":"min"``; core30 dropped (= sum of the CORE_QUERIES
+         entries, recomputable from the dict)
+      3  scale block reduced to {value, value_min, sf, ratio_vs_base};
+         top-level value_min dropped (derivable: FULL record)
+      4  scale block minimal {value (1dp), sf, ratio_vs_base}
+      5  scale block replaced by a pointer
+      6  minima at 0dp (absolute last resort)
+
+    Shedding priorities: the base per-query dict is the one signal the
+    driver's round-over-round/scaling judgment needs (round-13 verdict
+    #1), so its precision is shed LAST; ``canary`` (the cross-record
+    normalizer — most needed exactly when the host is dirty and the
+    line is long) and the ``qstat`` marker survive at EVERY level; the
+    scale-block envelope is recoverable from the sealed FULL record,
+    so it degrades first. Minima (not medians) at level ≥2 because
+    they are the less noisy per-query statistic under host-load bursts
+    (docs/SCALING.md); medians + minima both stay in the FULL record.
+    Worst cases are pinned by tests/test_bench_contract.py against the
+    real BENCH_QUERIES names.
+    """
+
+    def _nums(vals: dict, dp: int) -> dict:
+        out = {}
+        for k, v in vals.items():
+            r = round(v, dp)
+            out[k] = int(r) if float(r).is_integer() else r
+        return out
+
+    def _at(level: int) -> dict:
+        c = {
+            "metric": payload["metric"],
+            "value": payload["value"],
+            # canary median at 2dp (stdout-budget — full med+min in the
+            # BENCH_FULL record): kept at every level.
+            "canary": round(payload["canary"], 2),
+            "unit": "sec",
+            "sf": payload["sf"],
+        }
+        if level <= 1:
+            c["value_min"] = payload["value_min"]
+            c["core30"] = payload["core30_total"]
+            c["queries"] = _nums(payload["queries"], 2 if level == 0 else 1)
+        else:
+            if level == 2:
+                c["value_min"] = payload["value_min"]
+            c["qstat"] = "min"
+            c["queries"] = _nums(payload["queries_min"], 0 if level >= 6 else 1)
+        if "scale" in payload:
+            s = payload["scale"]
+            if level <= 2:
+                c["scale"] = {
+                    "value": s["value"],
+                    "value_min": s["value_min"],
+                    "canary": round(s["canary"], 2),
+                    "sf": s["sf"],
+                    "ratio_vs_base": s["ratio_vs_base"],
+                }
+                if level <= 1:
+                    c["scale"]["core30"] = s["core30_total"]
+            elif level == 3:
+                c["scale"] = {
+                    "value": s["value"],
+                    "value_min": s["value_min"],
+                    "sf": s["sf"],
+                    "ratio_vs_base": s["ratio_vs_base"],
+                }
+            elif level == 4:
+                c["scale"] = {
+                    "value": round(s["value"], 1),
+                    "sf": s["sf"],
+                    "ratio_vs_base": s["ratio_vs_base"],
+                }
+            else:
+                c["scale_in"] = "docs/BENCH_FULL.json"
+        return c
+
+    for level in range(7):
+        line = json.dumps(_at(level), separators=(",", ":"))
+        if len(line) <= budget:
+            return line
+    return line  # level-6 floor: queries always present
+
+
 def _sf_tag(sf_dir: str):
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     return float(sf) if sf.replace(".", "").isdigit() else sf
@@ -578,36 +673,7 @@ def main() -> None:
     except OSError as exc:  # read-only checkout: keep benching
         print(f"# full record not written: {exc}", file=sys.stderr, flush=True)
 
-    compact = {
-        "metric": payload["metric"],
-        "value": payload["value"],
-        "value_min": payload["value_min"],
-        "core30": payload["core30_total"],
-        # canary median at 2dp (stdout-budget — full med+min in the
-        # BENCH_FULL record): the cross-record normalizer.
-        "canary": round(payload["canary"], 2),
-        "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in payload["queries"].items()},
-        "sf": payload["sf"],
-    }
-    if "scale" in payload:
-        compact["scale"] = {
-            "value": payload["scale"]["value"],
-            "value_min": payload["scale"]["value_min"],
-            "core30": payload["scale"]["core30_total"],
-            "canary": round(payload["scale"]["canary"], 2),
-            "sf": payload["scale"]["sf"],
-            "ratio_vs_base": payload["scale"]["ratio_vs_base"],
-        }
-    line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1950:  # never overflow the capture again: degrade, don't die
-        compact["queries"] = {k: round(v, 1) for k, v in compact["queries"].items()}
-        line = json.dumps(compact, separators=(",", ":"))
-        if len(line) > 1950:
-            compact.pop("queries")
-            compact["queries_in"] = "docs/BENCH_FULL.json"
-            line = json.dumps(compact, separators=(",", ":"))
-    print(line)
+    print(render_compact_line(payload))
     spark.stop()
 
 
