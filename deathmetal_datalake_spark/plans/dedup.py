@@ -979,17 +979,43 @@ def _simhash_signatures(
                 ).otherwise(F.lit(0))
             ).alias("simhash")
         )
+    # Two set-bit counters per aggregate, packed into one BIGINT's
+    # 32-bit halves (round-14, §2.3): per row the term is
+    # bit_j + bit_{j+half}·2^32, so the sum carries count_j in the low
+    # word and count_{j+half} in the high word with NO cross-carry —
+    # a counter is bounded by the doc's token count, and one document
+    # is one Spark string (≤ 2 GiB), so n_tokens/doc < 2^31 < 2^32 and
+    # the packed sum stays < 2^63. Halves the aggregate-buffer width
+    # (n_bits+1 → n_bits/2+1 longs) — fewer partial-agg shuffle bytes
+    # per doc — and halves the generated-aggregate codegen size, the
+    # fixed cost that motivated the explode form above.
+    half = n_bits // 2
+    pair_terms = [
+        F.expr(
+            f"(shiftright(h, {j}) & 1) + shiftleft(shiftright(h, {j + half}) & 1, 32)"
+        )
+        for j in range(half)
+    ]
+    odd_terms = (
+        [F.expr(f"shiftright(h, {n_bits - 1}) & 1")] if n_bits % 2 else []
+    )
     counts = hashed.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("_n"),
-        *[
-            F.sum(F.expr(f"shiftright(h, {j}) & 1")).alias(f"_c{j}")
-            for j in range(n_bits)
-        ],
+        *[F.sum(t).alias(f"_p{j}") for j, t in enumerate(pair_terms)],
+        *[F.sum(t).alias("_podd") for t in odd_terms],
     )
+
+    def _cnt(j: int) -> Column:
+        if n_bits % 2 and j == n_bits - 1:
+            return F.col("_podd")
+        if j < half:
+            return F.col(f"_p{j}").bitwiseAND(F.lit(0xFFFFFFFF))
+        return F.expr(f"shiftright(_p{j - half}, 32)")
+
     packed = None
     for j in range(n_bits):
         bit = F.when(
-            F.col(f"_c{j}") * 2 > F.col("_n"), F.lit(1 << j).cast("long")
+            _cnt(j) * 2 > F.col("_n"), F.lit(1 << j).cast("long")
         ).otherwise(F.lit(0).cast("long"))
         packed = bit if packed is None else packed + bit
     return counts.select("doc_id", packed.alias("simhash"))
@@ -2756,12 +2782,23 @@ WHERE bit_count(CAST(xor(a0, b0) AS BIGINT))
 """
 
 
-def _simhash_wide_band_candidates(docs: DataFrame) -> DataFrame:
+def _simhash_wide_band_candidates(
+    docs: DataFrame, n_docs: Optional[int] = None
+) -> DataFrame:
     """Distinct 30-bit-band collision pairs of the 120-bit wide-band
     path (pre-verify candidate set) — exposed separately so the scale
     test can pin the candidate count under the quadratic envelope at
     the 10x twin, the same contract as _simhash_band_candidates
-    (round-8, VERDICT r7 #6)."""
+    (round-8, VERDICT r7 #6).
+
+    Signature build mirrors :func:`_simhash_signatures` (round-14):
+    the same small-corpus explode form / large-corpus packed-counter
+    agg form split, selected by ``n_docs`` when the caller passes it —
+    both bit-identical (vote_j > 0 ⟺ 2·set_count_j > n_tokens). The
+    wide variant previously always took the agg form and paid its full
+    fixed codegen cost (a 121-wide generated aggregate, ~40 s of pure
+    plan/compile at sf0.001) even on corpora a thousandth of its
+    design point."""
     docs = spread(docs)
     tokens = docs.select(
         "doc_id",
@@ -2772,32 +2809,86 @@ def _simhash_wide_band_candidates(docs: DataFrame) -> DataFrame:
         hash60("token").alias("h1"),
         hash60(F.concat(F.col("token"), F.lit(_SIMHASH2_SALT))).alias("h2"),
     )
-    # Same agg-form build as _simhash_signatures: 120 set-bit counters
-    # in one aggregate, no (token x bit) explode.
-    counts = hashed.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("_n"),
-        *[
-            F.sum(F.expr(f"shiftright(h1, {j}) & 1")).alias(f"_c{j}")
-            for j in range(60)
-        ],
-        *[
-            F.sum(F.expr(f"shiftright(h2, {j - 60}) & 1")).alias(f"_c{j}")
-            for j in range(60, 120)
-        ],
-    )
-    w0 = None
-    w1 = None
-    for j in range(60):
-        bit = F.when(
-            F.col(f"_c{j}") * 2 > F.col("_n"), F.lit(1 << j).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        w0 = bit if w0 is None else w0 + bit
-    for j in range(60, 120):
-        bit = F.when(
-            F.col(f"_c{j}") * 2 > F.col("_n"), F.lit(1 << (j - 60)).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        w1 = bit if w1 is None else w1 + bit
-    sig = counts.select("doc_id", w0.alias("w0"), w1.alias("w1"))
+    if n_docs is not None and n_docs < _SIMHASH_AGG_FORM_MIN_DOCS:
+        # Explode form (small corpora): (token × bit) rows, two-stage
+        # ±1 vote aggregate — exactly the oracle's ``bits`` CTE.
+        bits = hashed.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH2_BITS - 1))).alias("j"),
+            "h1",
+            "h2",
+        )
+        votes = bits.groupBy("doc_id", "j").agg(
+            F.sum(
+                F.when(
+                    F.expr(
+                        "CASE WHEN j < 60 THEN shiftright(h1, j) & 1"
+                        " ELSE shiftright(h2, j - 60) & 1 END"
+                    )
+                    == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+            ).alias("vote")
+        )
+        sig = votes.groupBy("doc_id").agg(
+            F.sum(
+                F.when(
+                    (F.col("vote") > 0) & (F.col("j") < 60),
+                    F.expr("shiftleft(CAST(1 AS BIGINT), j)"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("w0"),
+            F.sum(
+                F.when(
+                    (F.col("vote") > 0) & (F.col("j") >= 60),
+                    F.expr("shiftleft(CAST(1 AS BIGINT), j - 60)"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("w1"),
+        )
+    else:
+        # Agg form: packed set-bit counters, two 32-bit fields per
+        # BIGINT (see _simhash_signatures for the no-carry proof) —
+        # 61 aggregate buffers instead of 121, half the partial-agg
+        # shuffle bytes per doc and half the generated-aggregate size.
+        pair_terms = [
+            F.expr(
+                f"(shiftright(h1, {j}) & 1)"
+                f" + shiftleft(shiftright(h1, {j + 30}) & 1, 32)"
+            )
+            for j in range(30)
+        ] + [
+            F.expr(
+                f"(shiftright(h2, {j}) & 1)"
+                f" + shiftleft(shiftright(h2, {j + 30}) & 1, 32)"
+            )
+            for j in range(30)
+        ]
+        counts = hashed.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[F.sum(t).alias(f"_p{j}") for j, t in enumerate(pair_terms)],
+        )
+
+        # Packed layout: _p0.._p29 carry h1 bits (j, j+30); _p30.._p59
+        # carry h2 bits (j-60, j-30) for j in 60..119.
+        def _cnt(j: int) -> Column:
+            word, b = divmod(j, 60)
+            grp = word * 30
+            if b < 30:
+                return F.col(f"_p{grp + b}").bitwiseAND(F.lit(0xFFFFFFFF))
+            return F.expr(f"shiftright(_p{grp + b - 30}, 32)")
+
+        w0 = None
+        w1 = None
+        for j in range(60):
+            bit = F.when(
+                _cnt(j) * 2 > F.col("_n"), F.lit(1 << j).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            w0 = bit if w0 is None else w0 + bit
+        for j in range(60, 120):
+            bit = F.when(
+                _cnt(j) * 2 > F.col("_n"), F.lit(1 << (j - 60)).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            w1 = bit if w1 is None else w1 + bit
+        sig = counts.select("doc_id", w0.alias("w0"), w1.alias("w1"))
     mask = 2**_SIMHASH2_BAND_BITS - 1
     bands = sig.select(
         "doc_id",
@@ -2836,7 +2927,10 @@ def _simhash_wide_band_candidates(docs: DataFrame) -> DataFrame:
 
 @register("dedup_simhash_wide_pairs", oracle=_SIMHASH2_PAIRS_SQL)
 def dedup_simhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cand = _simhash_wide_band_candidates(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
+    # One metadata-backed count selects the physical signature form
+    # (the _auto_band_bits precedent — results are form-independent).
+    cand = _simhash_wide_band_candidates(docs, docs.count())
     hamming = (
         F.bit_count(F.expr("a0 ^ b0")) + F.bit_count(F.expr("a1 ^ b1"))
     ).cast("long")

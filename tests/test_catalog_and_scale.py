@@ -284,6 +284,34 @@ def test_simhash_signature_forms_bit_identical(spark):
     assert a == b
 
 
+def test_simhash_wide_forms_bit_identical(spark):
+    """Round-14: the wide (120-bit) path gained the same explode/agg
+    physical-form switch as the 60-bit path, plus 32-bit packed
+    counters in the agg form (two set-bit counters per BIGINT). Both
+    forms must produce the identical candidate-pair set — the packing
+    must never leak a carry between counter fields."""
+    from deathmetal_datalake_spark.plans.dedup import (
+        _SIMHASH_AGG_FORM_MIN_DOCS,
+        _simhash_wide_band_candidates,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    n = docs.count()
+    assert n < _SIMHASH_AGG_FORM_MIN_DOCS  # sf0.001: the switch is live
+    key = lambda r: (r["doc_a"], r["doc_b"])  # noqa: E731
+    explode_form = {
+        key(r): (r["a0"], r["a1"], r["b0"], r["b1"])
+        for r in _simhash_wide_band_candidates(docs, n).collect()
+    }
+    agg_form = {
+        key(r): (r["a0"], r["a1"], r["b0"], r["b1"])
+        for r in _simhash_wide_band_candidates(
+            docs, _SIMHASH_AGG_FORM_MIN_DOCS
+        ).collect()
+    }
+    assert explode_form == agg_form and explode_form
+
+
 def test_simhash_wide_band_bounds_candidates_at_10x(spark):
     """The 120-bit wide-band path (the documented escape past the
     15-bit band cap) must keep its candidate set bounded as the corpus
