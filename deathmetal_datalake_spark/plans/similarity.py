@@ -537,21 +537,44 @@ FROM a2 GROUP BY cid
 
 
 def _km_assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Argmax-cosine assignment with the engine-shared tie-break."""
-    sim = F.round(
-        _dot(F.col("emb"), F.col("cemb"))
-        / (
-            _normprod("emb", "cemb")
-        ),
-        6,
+    """Argmax-cosine assignment with the engine-shared tie-break.
+
+    Row-local struct-max over a broadcast centroid ARRAY (round-14,
+    §2.4) instead of crossJoin + row_number window: the window form
+    shuffled n·K scored rows per assignment pass purely to pick each
+    vector's max. ``max(struct(sim, -cid))`` equals rank-1 under
+    ``ORDER BY sim DESC NULLS LAST, cid ASC`` exactly: Spark's struct
+    ordering puts a NULL field smallest (so NULL cosines lose, as
+    NULLS LAST did), NaN largest (as DESC did), and sim ties resolve
+    to the smallest cid via the negated id. K is enum-bounded (the
+    seed filter), so the collected array is never data-proportional.
+    Extra caller columns ride along — the convergence loop carries
+    the previous round's assignment through the pass. The trailing
+    isNotNull filter mirrors the crossJoin's empty-centroids behavior
+    (no seeds → no rows, not NULL assignments)."""
+    carr = centroids.agg(F.collect_list(F.struct("cid", "cemb")).alias("_cs"))
+    nemb = F.sqrt(_dot(F.col("emb"), F.col("emb")))
+    best = F.array_max(
+        F.transform(
+            F.col("_cs"),
+            lambda c: F.struct(
+                F.round(
+                    _dot(F.col("emb"), c["cemb"])
+                    / F.nullif(
+                        nemb * F.sqrt(_dot(c["cemb"], c["cemb"])), F.lit(0.0)
+                    ),
+                    6,
+                ).alias("sim"),
+                (-c["cid"]).alias("_ncid"),
+                c["cid"].alias("cid"),
+            ),
+        )
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    cols = vecs.columns
     return (
-        vecs.crossJoin(broadcast(centroids))
-        .withColumn("sim", sim)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "emb", "cid")
+        vecs.crossJoin(broadcast(carr))
+        .select(*cols, best["cid"].alias("cid"))
+        .filter(F.col("cid").isNotNull())
     )
 
 
@@ -680,14 +703,19 @@ def kmeans_converged_assignments(
     """
     assigned = _km_assign(vecs, centroids).localCheckpoint(eager=True)
     for _ in range(max_iters):
-        nxt = _km_assign(vecs, _km_update(assigned)).localCheckpoint(eager=True)
-        changed = (
-            nxt.alias("n")
-            .join(assigned.alias("p"), F.col("n.vec_id") == F.col("p.vec_id"))
-            .filter(F.col("n.cid") != F.col("p.cid"))
-            .count()
+        # The previous assignment rides through the assign pass as an
+        # extra column (round-14, §2.4): the change count becomes a
+        # cheap row-local filter over the freshly checkpointed frame —
+        # the old form re-shuffled BOTH checkpointed assignment tables
+        # through a vec_id equi-join every round just to compare them.
+        prev = assigned.select(
+            "vec_id", "emb", F.col("cid").alias("_prev_cid")
         )
-        assigned = nxt
+        nxt = _km_assign(prev, _km_update(assigned)).localCheckpoint(
+            eager=True
+        )
+        changed = nxt.filter(F.col("cid") != F.col("_prev_cid")).count()
+        assigned = nxt.select("vec_id", "emb", "cid")
         if changed == 0:
             return assigned.select("vec_id", "cid")
     raise RuntimeError(
