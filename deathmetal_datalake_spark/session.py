@@ -28,6 +28,12 @@ _DEFAULTS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.shuffle.partitions": "32",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    # Python-worker spawn tolerance: the default 15 s connect-back
+    # timeout flakes under bursty host contention ("Python worker
+    # failed to connect back", observed killing two transport tests in
+    # a loaded full-suite run). Pure spawn resilience — never affects
+    # results or steady-state timing.
+    "spark.python.authenticate.socketTimeout": "60s",
     # Parity choice: the reference's casts raise on bad input only where
     # it used strict casts; we model strict/lenient per-column with
     # cast/try_cast instead of a global ANSI switch (SURVEY.md §7.4).
